@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+import graft.profile.{ProfileConfig, ProfileJson, Profiler}
+
+/** Console entry point — the Scala analogue of the reference's CLI
+  * (`controller/console.py:86-109`: file scan -> ProfileReport -> sink).
+  *
+  * Usage: ProfileApp <input.(parquet|csv|json|orc)> <output.json> [--minimal]
+  */
+object ProfileApp {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: ProfileApp <input.(parquet|csv|json|orc)> <output.json> [--minimal]")
+    val input = args(0)
+    val output = args(1)
+    val minimal = args.contains("--minimal")
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-profile")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries TIMESTAMP(NANOS) which the vectorized
+      // reader rejects by default; read as nanos-since-epoch longs.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // Extension-dispatched scan (reference: utils/dataframe.py:24-67);
+    // formats with no Spark source (Stata/SAS/Excel/HDF) are unsupported.
+    val df = input.replaceAll(".*\\.", "").toLowerCase match {
+      case "csv" | "tsv" =>
+        spark.read.option("header", "true").option("inferSchema", "true")
+          .option("sep", if (input.endsWith(".tsv")) "\t" else ",").csv(input)
+      case "json" | "jsonl" => spark.read.json(input)
+      case "orc"            => spark.read.orc(input)
+      case _                => spark.read.parquet(input)
+    }
+
+    val cfg = if (minimal) ProfileConfig.minimal else ProfileConfig.default
+    val t0 = System.nanoTime()
+    val profile = Profiler.profile(df, cfg)
+    val elapsed = (System.nanoTime() - t0) / 1e9
+
+    Files.writeString(Paths.get(output), ProfileJson.toJson(profile))
+    println(f"[graft] profiled ${profile.table.n}%d rows x " +
+      f"${profile.table.nVar}%d cols in $elapsed%.2fs -> $output")
+    println(s"[graft] alerts: ${profile.alerts.size} " +
+      profile.alerts.groupBy(_.kind).map { case (k, v) => s"$k=${v.size}" }
+        .toSeq.sorted.mkString(", "))
+    spark.stop()
+  }
+}

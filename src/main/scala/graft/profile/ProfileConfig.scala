@@ -1,0 +1,88 @@
+package graft.profile
+
+/** Engine configuration.
+  *
+  * Mirrors the reference's config surface (reference:
+  * `src/pandas_profiling/config_default.yaml:1-194` and `config.py:11-178`)
+  * as a typed case class. Only knobs that change engine behavior are kept;
+  * presentation-only keys (HTML styling etc.) are out of scope.
+  *
+  * Scale notes: `exactDistinct` / `exactQuantiles` select between
+  * shuffle-exact semantics (used for oracle parity at test scale) and
+  * sketch-based semantics (HLL++ / Greenwald-Khanna) for the 100 TB path.
+  */
+final case class ProfileConfig(
+    /** Quantile probabilities (reference: config_default.yaml:28-33). */
+    quantiles: Seq[Double] = Seq(0.05, 0.25, 0.5, 0.75, 0.95),
+    /** Relative error for approximate quantiles
+      * (reference: config_default.yaml:98 `spark.quantile_error: 0.05`;
+      * we default far tighter since percentile_approx is single-pass). */
+    quantileRelativeError: Double = 0.001,
+    /** Exact (sort-based) quantiles instead of GK sketch. Exact is fine up
+      * to ~1e8 rows per column; at 100 TB keep false. */
+    exactQuantiles: Boolean = false,
+    /** Exact distinct/unique counts (groupBy-based). When false, uses
+      * approx_count_distinct (HLL++) and skips n_unique. */
+    exactDistinct: Boolean = true,
+    /** Top-K values transferred to the driver per column
+      * (reference: config_default.yaml:100 `spark.to_pandas_limit: 250`). */
+    topK: Int = 250,
+    /** Histogram max bin count (reference: config_default.yaml:134-141). */
+    histogramBins: Int = 50,
+    /** Numeric columns with <= this many distinct values are demoted to
+      * Categorical (reference: config_default.yaml:35
+      * `low_categorical_threshold: 5`, typeset_relations.py:68-77). */
+    lowCategoricalThreshold: Int = 5,
+    /** HIGH_CARDINALITY alert threshold (reference: config_default.yaml:41). */
+    highCardinalityThreshold: Int = 50,
+    /** SKEWED alert threshold (reference: config_default.yaml:34). */
+    skewnessThreshold: Double = 20.0,
+    /** HIGH_CORRELATION alert threshold (reference: config_default.yaml:70-92). */
+    correlationThreshold: Double = 0.9,
+    /** UNIFORM alert: chi-square p-value threshold (reference: messages.py). */
+    uniformPThreshold: Double = 0.999,
+    /** DUPLICATES alert threshold as fraction of rows (reference: messages.py:309). */
+    duplicatesFraction: Double = 0.01,
+    /** Number of duplicate rows listed (reference: config_default.yaml:152-153). */
+    duplicatesHead: Int = 10,
+    /** Rows in the head sample (reference: model/sample.py:52-71). */
+    sampleHead: Int = 10,
+    /** Persist the input before multi-pass profiling
+      * (reference: config_default.yaml:96 `spark.persist`). */
+    persist: Boolean = true,
+    /** Pearson + nullity correlations (reference: config_default.yaml:70-92). */
+    computeCorrelations: Boolean = true,
+    /** Spearman correlations (off by default in the reference's spark path). */
+    computeSpearman: Boolean = true,
+    /** Cramer's V for categorical pairs (reference: correlations.py:219-413). */
+    computeCramers: Boolean = true,
+    /** Max distinct values for a column to enter Cramer's V
+      * (reference: config_default.yaml:110). */
+    maxCramersCardinality: Int = 100,
+    /** Character-frequency / unicode analysis (reference: summary_helpers.py:331-435). */
+    computeCharStats: Boolean = true,
+    /** Exact fixed-width histograms (two-pass). */
+    computeHistograms: Boolean = true,
+    /** Median absolute deviation (second pass; reference: summary_algorithms.py:584-591). */
+    computeMad: Boolean = true,
+    /** Duplicate-row detection (reference: dataframe_wrappers.py:515-550). */
+    computeDuplicates: Boolean = true
+)
+
+object ProfileConfig {
+  val default: ProfileConfig = ProfileConfig()
+
+  /** Analogue of the reference's `config_minimal.yaml` big-data escape hatch:
+    * correlations, char stats, histograms, MAD and duplicates off; sketches on. */
+  val minimal: ProfileConfig = ProfileConfig(
+    exactDistinct = false,
+    exactQuantiles = false,
+    computeCorrelations = false,
+    computeSpearman = false,
+    computeCramers = false,
+    computeCharStats = false,
+    computeHistograms = false,
+    computeMad = false,
+    computeDuplicates = false
+  )
+}

@@ -1,0 +1,496 @@
+package graft.profile
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.StatFunctions._
+
+/** Spark-native table profiler.
+  *
+  * Re-expresses the reference's per-column job cascade (8-10 Spark actions
+  * PER COLUMN: `model/summary_algorithms.py:449-620`,
+  * `model/series_wrappers.py:100-171`) as a CONSTANT number of fused jobs
+  * for the whole table, independent of column count:
+  *
+  *   A. one `df.agg` with every scalar aggregate of every column
+  *      (counts, moments, quantile sketches, zeros/infinite, lengths);
+  *   B. one explode->groupBy job producing per-(column,value) counts, from
+  *      which exact n_distinct / n_unique / top-K / uniformity chi2 for ALL
+  *      columns come at once;
+  *   C. one explode->groupBy job for every column's fixed-width histogram;
+  *   D. one `df.agg` for every numeric column's MAD (needs pass-A medians);
+  *   E. one char-level rollup over the (small) distinct-value table;
+  *   F. one groupBy-all-columns job for duplicate rows;
+  *   G. one `df.agg` with all pairwise Pearson + nullity correlations;
+  *   H. one explode->groupBy job for all Cramer's-V contingency tables.
+  *
+  * Every driver transfer is bounded (top-K, bins, contingency <= 100x100,
+  * duplicate head) — nothing scales with row count, so the same plan holds
+  * on a 1000-executor cluster at 100 TB.
+  */
+object Profiler {
+
+  def profile(df: DataFrame, cfg: ProfileConfig = ProfileConfig.default): TableProfile = {
+    val fields = df.schema.fields.toSeq
+    val declared: Seq[(StructField, ProfileType)] =
+      fields.map(f => f -> ProfileType.fromDataType(f.dataType))
+    val supported = declared.filter(_._2 != ProfileType.Unsupported)
+
+    val working = if (cfg.persist) df.persist(StorageLevel.MEMORY_AND_DISK) else df
+
+    // ---- Pass A: fused scalar aggregates -------------------------------
+    val aggExprs = scala.collection.mutable.ArrayBuffer[Column](
+      count(lit(1)).as("__n"))
+    supported.foreach { case (f, t) =>
+      val c = col(f.name)
+      val p = f.name
+      aggExprs += count(c).as(s"$p::count")
+      t match {
+        case ProfileType.Numeric =>
+          val d = c.cast("double")
+          aggExprs += sum(d).as(s"$p::sum")
+          aggExprs += avg(d).as(s"$p::mean")
+          aggExprs += stddev_samp(d).as(s"$p::std")
+          aggExprs += var_samp(d).as(s"$p::variance")
+          aggExprs += min(d).as(s"$p::min")
+          aggExprs += max(d).as(s"$p::max")
+          aggExprs += correctedSkewness(d).as(s"$p::skew")
+          aggExprs += correctedKurtosis(d).as(s"$p::kurt")
+          aggExprs += count(when(d === 0.0, 1)).as(s"$p::zeros")
+          aggExprs += count(
+            when(d === Double.PositiveInfinity || d === Double.NegativeInfinity, 1))
+            .as(s"$p::inf")
+          val qs = cfg.quantiles
+          aggExprs += (if (cfg.exactQuantiles)
+            expr(s"percentile(cast(`$p` as double), array(${qs.mkString(",")}))")
+          else
+            percentile_approx(d, array(qs.map(lit): _*),
+              lit((1.0 / cfg.quantileRelativeError).toInt))).as(s"$p::quantiles")
+          if (!cfg.exactDistinct)
+            aggExprs += approx_count_distinct(c).as(s"$p::approxDistinct")
+        case ProfileType.Categorical =>
+          val len = length(c).cast("double")
+          aggExprs += avg(len).as(s"$p::lenMean")
+          aggExprs += min(length(c)).as(s"$p::lenMin")
+          aggExprs += max(length(c)).as(s"$p::lenMax")
+          aggExprs += percentile_approx(len, lit(0.5), lit(10000)).as(s"$p::lenMedian")
+          if (!cfg.exactDistinct)
+            aggExprs += approx_count_distinct(c).as(s"$p::approxDistinct")
+        case ProfileType.Bool =>
+          aggExprs += count(when(c === true, 1)).as(s"$p::true")
+          aggExprs += count(when(c === false, 1)).as(s"$p::false")
+        case ProfileType.DateTime =>
+          val e = unix_timestamp(c.cast("timestamp"))
+          aggExprs += min(e).as(s"$p::epochMin")
+          aggExprs += max(e).as(s"$p::epochMax")
+        case _ => ()
+      }
+    }
+    val aRow: Row = working.agg(aggExprs.head, aggExprs.tail.toSeq: _*).head()
+    def aLong(k: String): Long =
+      Option(aRow.getAs[Any](k)).map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+    def aDouble(k: String): Double =
+      Option(aRow.getAs[Any](k)).map(_.asInstanceOf[Number].doubleValue)
+        .getOrElse(Double.NaN)
+    val nRows = aLong("__n")
+
+    // ---- Pass B: per-(column,value) counts for ALL columns at once -----
+    // Replaces the reference's per-column value_counts jobs
+    // (series_wrappers.py:104-131) with one explode->groupBy.
+    case class ValueInfo(
+        nDistinct: Long, nUnique: Long, chi2P: Option[Double],
+        topK: Seq[(String, Long)])
+    val (valueInfo: Map[String, ValueInfo], vcTable: Option[DataFrame]) =
+      if (supported.isEmpty) (Map.empty[String, ValueInfo], None)
+      else if (cfg.exactDistinct) {
+        val kvs = supported.map { case (f, _) =>
+          struct(lit(f.name).as("c"), col(f.name).cast("string").as("v"))
+        }
+        val vc = working
+          .select(explode(array(kvs: _*)).as("kv"))
+          .select(col("kv.c").as("c"), col("kv.v").as("v"))
+          .where(col("v").isNotNull)
+          .groupBy("c", "v").agg(count(lit(1)).as("cnt"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val distinctRows = vc.groupBy("c").agg(
+          count(lit(1)).as("k"),
+          sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("u"),
+          sum(col("cnt")).as("N"),
+          sum(col("cnt") * col("cnt")).as("sq")).collect()
+        val distinctMap = distinctRows.map { r =>
+          val k = r.getAs[Long]("k"); val n = r.getAs[Long]("N")
+          val chi2 = chi2FromCounts(n.toDouble, r.getAs[Long]("sq").toDouble, k)
+          r.getAs[String]("c") -> (k, r.getAs[Long]("u"),
+            chi2PValue(chi2, k - 1))
+        }.toMap
+        val w = Window.partitionBy("c").orderBy(col("cnt").desc, col("v"))
+        val topRows = vc.withColumn("rn", row_number().over(w))
+          .where(col("rn") <= cfg.topK).collect()
+        val topMap = topRows.groupBy(_.getAs[String]("c")).map { case (c, rs) =>
+          c -> rs.sortBy(r => (-r.getAs[Long]("cnt"), r.getAs[String]("v")))
+            .map(r => r.getAs[String]("v") -> r.getAs[Long]("cnt")).toSeq
+        }
+        val out = supported.map { case (f, _) =>
+          val (k, u, p) = distinctMap.getOrElse(f.name, (0L, 0L, 1.0))
+          f.name -> ValueInfo(k, u, Some(p), topMap.getOrElse(f.name, Seq.empty))
+        }.toMap
+        if (cfg.computeCharStats) (out, Some(vc))
+        else { vc.unpersist(); (out, None) }
+      } else {
+        (supported.map { case (f, _) =>
+          f.name -> ValueInfo(aLong(s"${f.name}::approxDistinct"), -1L, None, Seq.empty)
+        }.toMap, None)
+      }
+
+    // Demotion: numeric with few distinct values profiles as categorical
+    // (reference: typeset_relations.py:68-77).
+    val typed: Seq[(StructField, ProfileType)] = supported.map { case (f, t) =>
+      val demote = t == ProfileType.Numeric && cfg.exactDistinct &&
+        valueInfo(f.name).nDistinct <= cfg.lowCategoricalThreshold
+      f -> (if (demote) ProfileType.Categorical else t)
+    }
+    val numericCols = typed.collect { case (f, ProfileType.Numeric) => f.name }
+    val categoricalCols = typed.collect { case (f, ProfileType.Categorical) => f.name }
+    val datetimeCols = typed.collect { case (f, ProfileType.DateTime) => f.name }
+
+    // ---- Pass C: all histograms in one explode->groupBy ----------------
+    val histograms: Map[String, Histogram] =
+      if (!cfg.computeHistograms) Map.empty
+      else {
+        val targets: Seq[(String, Double, Double, Int)] =
+          (numericCols.map { c =>
+            (c, aDouble(s"$c::min"), aDouble(s"$c::max"),
+              math.min(cfg.histogramBins,
+                math.max(1, valueInfo(c).nDistinct.toInt)))
+          } ++ datetimeCols.map { c =>
+            (c, aLong(s"$c::epochMin").toDouble, aLong(s"$c::epochMax").toDouble,
+              cfg.histogramBins)
+          }).filter(t => !t._2.isNaN && !t._3.isNaN)
+        if (targets.isEmpty) Map.empty
+        else {
+          val binStructs = targets.map { case (c, mn, mx, bins) =>
+            val base = typed.find(_._1.name == c).get._1.dataType match {
+              case _: TimestampType | DateType | TimestampNTZType =>
+                unix_timestamp(col(c).cast("timestamp")).cast("double")
+              case _ => col(c).cast("double")
+            }
+            struct(lit(c).as("c"),
+              when(base.isNotNull && !base.isNaN &&
+                base =!= Double.PositiveInfinity && base =!= Double.NegativeInfinity,
+                histogramBin(base, mn, mx, bins)).as("bin"))
+          }
+          val rows = working
+            .select(explode(array(binStructs: _*)).as("kb"))
+            .select(col("kb.c").as("c"), col("kb.bin").as("bin"))
+            .where(col("bin").isNotNull)
+            .groupBy("c", "bin").agg(count(lit(1)).as("cnt"))
+            .collect()
+          val byCol = rows.groupBy(_.getAs[String]("c"))
+          targets.map { case (c, mn, mx, bins) =>
+            val counts = Array.fill(bins)(0L)
+            byCol.getOrElse(c, Array.empty[Row]).foreach { r =>
+              val b = r.getAs[Int]("bin")
+              if (b >= 0 && b < bins) counts(b) = r.getAs[Long]("cnt")
+            }
+            val w = if (mx > mn) (mx - mn) / bins else 1.0
+            c -> Histogram(counts.toSeq, (0 to bins).map(i => mn + i * w))
+          }.toMap
+        }
+      }
+
+    // ---- Pass D: MAD for all numeric columns in one agg ----------------
+    val mads: Map[String, Double] =
+      if (!cfg.computeMad || numericCols.isEmpty) Map.empty
+      else {
+        val medians = numericCols.map { c =>
+          c -> {
+            val q = aRow.getAs[Any](s"$c::quantiles")
+            q match {
+              case s: scala.collection.Seq[_] if s.nonEmpty =>
+                val idx = cfg.quantiles.indexOf(0.5)
+                if (idx >= 0) s(idx).asInstanceOf[Number].doubleValue else Double.NaN
+              case _ => Double.NaN
+            }
+          }
+        }.filter(!_._2.isNaN)
+        if (medians.isEmpty) Map.empty
+        else {
+          val exprs = medians.map { case (c, med) =>
+            (if (cfg.exactQuantiles)
+              expr(s"percentile(abs(cast(`$c` as double) - $med), 0.5)")
+            else
+              percentile_approx(abs(col(c).cast("double") - lit(med)), lit(0.5),
+                lit((1.0 / cfg.quantileRelativeError).toInt))).as(c)
+          }
+          val r = working.agg(exprs.head, exprs.tail: _*).head()
+          medians.map { case (c, _) =>
+            c -> Option(r.getAs[Any](c)).map(_.asInstanceOf[Number].doubleValue)
+              .getOrElse(Double.NaN)
+          }.toMap
+        }
+      }
+
+    // ---- Pass E: char-level rollups from the distinct-value table ------
+    val charStats: Map[String, CharStats] =
+      vcTable match {
+        case Some(vc) if categoricalCols.nonEmpty =>
+          val stringCats = categoricalCols.filter(c =>
+            fields.find(_.name == c).exists(_.dataType == StringType))
+          if (stringCats.isEmpty) { vc.unpersist(); Map.empty }
+          else {
+            // Weight each distinct value's chars by the value's count:
+            // explode over the (small) distinct-value table, not the data.
+            val chars = vc
+              .where(col("c").isin(stringCats: _*))
+              .select(col("c"), col("cnt"),
+                explode(split(col("v"), "")).as("ch"))
+              .where(length(col("ch")) > 0)
+              .groupBy("c", "ch").agg(sum(col("cnt")).as("n"))
+            val w = Window.partitionBy("c").orderBy(col("n").desc, col("ch"))
+            val top = chars.withColumn("rn", row_number().over(w))
+              .where(col("rn") <= 1000).collect()
+            vc.unpersist()
+            val byCol = top.groupBy(_.getAs[String]("c"))
+            byCol.map { case (c, rs) =>
+              val pairs = rs.sortBy(r => (-r.getAs[Long]("n"), r.getAs[String]("ch")))
+                .map(r => r.getAs[String]("ch") -> r.getAs[Long]("n")).toSeq
+              val total = pairs.map(_._2).sum
+              def rollup(f: Int => String): Map[String, Long] =
+                pairs.groupBy { case (ch, _) => f(ch.codePointAt(0)) }
+                  .map { case (k, vs) => k -> vs.map(_._2).sum }
+              c -> CharStats(
+                nCharacters = total,
+                nCharactersDistinct = pairs.size.toLong,
+                topChars = pairs.take(100),
+                categoryCounts = rollup(cp =>
+                  unicodeCategoryName(Character.getType(cp))),
+                blockCounts = rollup(cp =>
+                  Option(Character.UnicodeBlock.of(cp))
+                    .map(_.toString).getOrElse("UNKNOWN")),
+                scriptCounts = rollup(cp =>
+                  Character.UnicodeScript.of(cp).name))
+            }
+          }
+        case other =>
+          other.foreach(_.unpersist())
+          Map.empty
+      }
+
+    // ---- Pass F: duplicate rows ----------------------------------------
+    val supportedNames = supported.map(_._1.name)
+    val (nDuplicates, duplicateRows) =
+      if (!cfg.computeDuplicates || supportedNames.isEmpty) (0L, Seq.empty[(Map[String, String], Long)])
+      else {
+        // Pandas semantics (n - distinct rows), NOT the reference spark
+        // impl which is identically zero (dataframe_wrappers.py:542-550).
+        val keyCols = supportedNames.map { n =>
+          fields.find(_.name == n).get.dataType match {
+            case _: MapType => map_entries(col(n)).cast("string").as(n)
+            case _          => col(n)
+          }
+        }
+        val grouped = working.select(keyCols: _*)
+          .groupBy(supportedNames.map(col): _*)
+          .agg(count(lit(1)).as("__cnt"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val distinctRowCount = grouped.count()
+        val top = grouped.where(col("__cnt") > 1)
+          .orderBy((col("__cnt").desc +: supportedNames.map(col)): _*)
+          .limit(cfg.duplicatesHead).collect()
+        grouped.unpersist()
+        val dups = nRows - distinctRowCount
+        val topSeq = top.map { r =>
+          supportedNames.map(n =>
+            n -> Option(r.getAs[Any](n)).map(_.toString).orNull).toMap ->
+            r.getAs[Long]("__cnt")
+        }.toSeq
+        (dups, topSeq)
+      }
+
+    // ---- Pass G: Pearson + nullity correlations in one agg -------------
+    val correlations: Seq[CorrelationMatrix] =
+      if (!cfg.computeCorrelations || numericCols.size < 2) Seq.empty
+      else {
+        val pairs = for {
+          i <- numericCols.indices; j <- (i + 1) until numericCols.size
+        } yield (numericCols(i), numericCols(j))
+        val exprs = pairs.zipWithIndex.map { case ((a, b), i) =>
+          corr(col(a).cast("double"), col(b).cast("double")).as(s"p$i")
+        }
+        val r = working.agg(exprs.head, exprs.tail: _*).head()
+        val m = Array.fill(numericCols.size, numericCols.size)(1.0)
+        pairs.zipWithIndex.foreach { case ((a, b), i) =>
+          val v = Option(r.getAs[Any](s"p$i"))
+            .map(_.asInstanceOf[Number].doubleValue).getOrElse(Double.NaN)
+          val ia = numericCols.indexOf(a); val ib = numericCols.indexOf(b)
+          m(ia)(ib) = v; m(ib)(ia) = v
+        }
+        val pearson = CorrelationMatrix("pearson", numericCols, m.map(_.toSeq).toSeq)
+        val spearmanOpt =
+          if (cfg.computeSpearman) Some(spearmanMatrix(working, numericCols))
+          else None
+        Seq(pearson) ++ spearmanOpt
+      }
+
+    // ---- Pass H: Cramer's V over all categorical pairs -----------------
+    val cramers: Seq[CramersResult] =
+      if (!cfg.computeCramers) Seq.empty
+      else {
+        val eligible = categoricalCols.filter { c =>
+          val nd = valueInfo.get(c).map(_.nDistinct).getOrElse(Long.MaxValue)
+          nd >= 2 && nd <= cfg.maxCramersCardinality
+        }
+        if (eligible.size < 2) Seq.empty
+        else {
+          val pairs = for {
+            i <- eligible.indices; j <- (i + 1) until eligible.size
+          } yield (eligible(i), eligible(j))
+          val pairStructs = pairs.map { case (a, b) =>
+            struct(lit(s"${a}|${b}").as("p"),
+              col(a).cast("string").as("va"), col(b).cast("string").as("vb"))
+          }
+          val ct = working
+            .select(explode(array(pairStructs: _*)).as("kv"))
+            .select(col("kv.p").as("p"), col("kv.va").as("va"), col("kv.vb").as("vb"))
+            .where(col("va").isNotNull && col("vb").isNotNull)
+            .groupBy("p", "va", "vb").agg(count(lit(1)).as("cnt"))
+            .collect()
+          val byPair = ct.groupBy(_.getAs[String]("p"))
+          pairs.flatMap { case (a, b) =>
+            byPair.get(s"${a}|${b}").map { rows =>
+              val obs = rows.map(r => (r.getAs[String]("va"),
+                r.getAs[String]("vb"), r.getAs[Long]("cnt")))
+              val n = obs.map(_._3).sum
+              val rowTotals = obs.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+              val colTotals = obs.groupBy(_._2).map { case (k, v) => k -> v.map(_._3).sum }
+              val chi2 = (for {
+                (ra, rt) <- rowTotals; (cb, ctot) <- colTotals
+              } yield {
+                val e = rt.toDouble * ctot / n
+                val o = obs.find(t => t._1 == ra && t._2 == cb).map(_._3).getOrElse(0L)
+                (o - e) * (o - e) / e
+              }).sum
+              val dof = (rowTotals.size - 1L) * (colTotals.size - 1L)
+              CramersResult(a, b, chi2, chi2PValue(chi2, dof),
+                correctedCramersV(chi2, n, rowTotals.size.toLong, colTotals.size.toLong))
+            }
+          }
+        }
+      }
+
+    // ---- Sample + assembly ---------------------------------------------
+    val head = working.limit(cfg.sampleHead).collect().map { r =>
+      fields.map(f =>
+        f.name -> Option(r.getAs[Any](f.name)).map(_.toString).orNull).toMap
+    }.toSeq
+
+    val columnProfiles: Seq[ColumnProfile] = declared.map { case (f, declaredType) =>
+      val p = f.name
+      val effType = typed.find(_._1.name == p).map(_._2).getOrElse(declaredType)
+      val cnt = if (declaredType == ProfileType.Unsupported) 0L else aLong(s"$p::count")
+      val vi = valueInfo.get(p)
+      val common = CommonStats(nRows, cnt,
+        vi.map(_.nDistinct).getOrElse(0L), vi.map(_.nUnique).getOrElse(0L))
+      val typedStats: TypedStats = effType match {
+        case ProfileType.Numeric =>
+          val qs = aRow.getAs[Any](s"$p::quantiles") match {
+            case s: scala.collection.Seq[_] =>
+              cfg.quantiles.zip(s.map(x =>
+                Option(x).map(_.asInstanceOf[Number].doubleValue)
+                  .getOrElse(Double.NaN))).toMap
+            case _ => Map.empty[Double, Double]
+          }
+          NumericStats(
+            mean = aDouble(s"$p::mean"), std = aDouble(s"$p::std"),
+            variance = aDouble(s"$p::variance"), min = aDouble(s"$p::min"),
+            max = aDouble(s"$p::max"), sum = aDouble(s"$p::sum"),
+            skewness = aDouble(s"$p::skew"), kurtosis = aDouble(s"$p::kurt"),
+            quantiles = qs, mad = mads.getOrElse(p, Double.NaN),
+            nZeros = aLong(s"$p::zeros"), nInfinite = aLong(s"$p::inf"),
+            nonNullCount = cnt, histogram = histograms.get(p),
+            chiSquaredP = vi.flatMap(_.chi2P))
+        case ProfileType.Categorical =>
+          val lengths =
+            if (f.dataType == StringType && declaredType == ProfileType.Categorical)
+              Some(LengthStats(aDouble(s"$p::lenMean"), aLong(s"$p::lenMin"),
+                aLong(s"$p::lenMax"), aDouble(s"$p::lenMedian")))
+            else None
+          CategoricalStats(vi.map(_.topK).getOrElse(Seq.empty), lengths,
+            charStats.get(p), vi.flatMap(_.chi2P))
+        case ProfileType.Bool =>
+          BooleanStats(aLong(s"$p::true"), aLong(s"$p::false"))
+        case ProfileType.DateTime =>
+          DateTimeStats(aLong(s"$p::epochMin"), aLong(s"$p::epochMax"),
+            histograms.get(p))
+        case _ => UnsupportedStats
+      }
+      ColumnProfile(p, f.dataType.simpleString, effType, common, typedStats)
+    }
+
+    val missingCounts = columnProfiles.map(c => c.name -> c.common.nMissing).toMap
+    val nCellsMissing = supported.map(s => missingCounts(s._1.name)).sum
+    val table = TableStats(
+      n = nRows, nVar = fields.size, nCellsMissing = nCellsMissing,
+      pCellsMissing =
+        if (nRows * supported.size == 0) 0.0
+        else nCellsMissing.toDouble / (nRows * supported.size),
+      typeCounts = columnProfiles.groupBy(_.profileType.name)
+        .map { case (k, v) => k -> v.size })
+
+    val profile0 = TableProfile(table, columnProfiles, missingCounts,
+      nDuplicates, duplicateRows, correlations, cramers, head, Seq.empty)
+    val result = profile0.copy(alerts = Alerts.compute(profile0, cfg))
+    if (cfg.persist) working.unpersist()
+    result
+  }
+
+  /** Spearman rank-correlation matrix via MLlib (which ranks each column
+    * distributedly; reference: correlations.py:41-87 uses the same
+    * `ml.stat.Correlation` API). */
+  private def spearmanMatrix(df: DataFrame, cols: Seq[String]): CorrelationMatrix = {
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.stat.Correlation
+    val assembled = new VectorAssembler()
+      .setInputCols(cols.toArray).setOutputCol("__features")
+      .setHandleInvalid("skip")
+      .transform(df.select(cols.map(c => col(c).cast("double")): _*))
+    val m = Correlation.corr(assembled, "__features", "spearman")
+      .head().getAs[org.apache.spark.ml.linalg.Matrix](0)
+    CorrelationMatrix("spearman", cols,
+      Seq.tabulate(cols.size)(i => Seq.tabulate(cols.size)(j => m(i, j))))
+  }
+
+  /** Two-letter Unicode general-category codes, normalizing
+    * java.lang.Character's int constants to the names the reference's
+    * tangled_up_in_unicode rollup uses (summary_helpers.py:366-435). */
+  private def unicodeCategoryName(t: Int): String = t match {
+    case Character.UPPERCASE_LETTER => "Lu"
+    case Character.LOWERCASE_LETTER => "Ll"
+    case Character.TITLECASE_LETTER => "Lt"
+    case Character.MODIFIER_LETTER => "Lm"
+    case Character.OTHER_LETTER => "Lo"
+    case Character.DECIMAL_DIGIT_NUMBER => "Nd"
+    case Character.LETTER_NUMBER => "Nl"
+    case Character.OTHER_NUMBER => "No"
+    case Character.SPACE_SEPARATOR => "Zs"
+    case Character.LINE_SEPARATOR => "Zl"
+    case Character.PARAGRAPH_SEPARATOR => "Zp"
+    case Character.CONNECTOR_PUNCTUATION => "Pc"
+    case Character.DASH_PUNCTUATION => "Pd"
+    case Character.START_PUNCTUATION => "Ps"
+    case Character.END_PUNCTUATION => "Pe"
+    case Character.INITIAL_QUOTE_PUNCTUATION => "Pi"
+    case Character.FINAL_QUOTE_PUNCTUATION => "Pf"
+    case Character.OTHER_PUNCTUATION => "Po"
+    case Character.MATH_SYMBOL => "Sm"
+    case Character.CURRENCY_SYMBOL => "Sc"
+    case Character.MODIFIER_SYMBOL => "Sk"
+    case Character.OTHER_SYMBOL => "So"
+    case Character.CONTROL => "Cc"
+    case Character.FORMAT => "Cf"
+    case _ => "Cn"
+  }
+}

@@ -1,0 +1,181 @@
+package graft.profile
+
+import graft.SparkSpec
+import java.sql.Timestamp
+
+/** Golden per-stat tests, porting the reference's hard-coded expectations
+  * (reference: tests/unit/test_describe.py:70-260, values recomputed with
+  * pandas for full precision — see FIXTURES.md §1). */
+class ProfilerSpec extends SparkSpec {
+
+  private lazy val fixture = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rows = Seq(
+      // id, x, y, cat, s1, bool_tf, bool_01, somedate
+      Row("b", 50.0, 0.000001, "a", 1.0, true, 0, Timestamp.valueOf("1937-05-06 00:00:00")),
+      Row("c", 50.0, 654.152, "long text value", 1.0, false, 1, Timestamp.valueOf("1944-12-28 00:00:00")),
+      Row("d", -10.0, null, "Élysée", 1.0, true, 1, null),
+      Row("d", 0.0, 100.0, "", 1.0, true, 0, Timestamp.valueOf("1970-01-01 00:00:00")),
+      Row("e", 0.0, 0.0, null, 1.0, false, 1, Timestamp.valueOf("1983-08-04 00:00:00")),
+      Row("f", 5.0, 0.954, "some <b> B.s </div>", 1.0, false, 0, Timestamp.valueOf("1990-01-01 00:00:00")),
+      Row("g", 15.0, 0.954, "c", 1.0, true, 1, Timestamp.valueOf("1999-03-31 00:00:00")),
+      Row("h", -3.0, 0.954, "c", 1.0, true, 0, Timestamp.valueOf("2012-07-02 00:00:00")),
+      Row("i", null, 3122.0, "c", 1.0, true, 1, Timestamp.valueOf("2022-01-11 00:00:00"))
+    )
+    val schema = StructType(Seq(
+      StructField("id", StringType), StructField("x", DoubleType),
+      StructField("y", DoubleType), StructField("cat", StringType),
+      StructField("s1", DoubleType), StructField("bool_tf", BooleanType),
+      StructField("bool_01", IntegerType), StructField("somedate", TimestampType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+  }
+
+  private lazy val profile = Profiler.profile(
+    fixture,
+    ProfileConfig.default.copy(exactQuantiles = true, persist = false))
+
+  private def colP(name: String): ColumnProfile =
+    profile.columns.find(_.name == name).get
+  private def num(name: String): NumericStats =
+    colP(name).typed.asInstanceOf[NumericStats]
+  private def approx(a: Double, b: Double, tol: Double = 1e-9): Boolean =
+    math.abs(a - b) <= tol * math.max(1.0, math.abs(b))
+
+  test("x: counts and missing") {
+    val c = colP("x").common
+    assert(c.n == 9); assert(c.count == 8); assert(c.nMissing == 1)
+    assert(c.nDistinct == 6)
+    assert(c.nUnique == 4) // -10, 5, 15, -3 occur once; 50 and 0 twice
+  }
+
+  test("x: moments match pandas (bias-corrected)") {
+    val s = num("x")
+    assert(approx(s.mean, 13.375))
+    assert(approx(s.std, 23.68807716974934))
+    assert(approx(s.variance, 561.125))
+    assert(approx(s.skewness, 1.0851622393567655))
+    assert(approx(s.kurtosis, -0.5029285892900379))
+    assert(s.min == -10.0 && s.max == 50.0 && s.sum == 107.0)
+    assert(s.nZeros == 2)
+    assert(s.nInfinite == 0)
+  }
+
+  test("x: exact quantiles + MAD match pandas/numpy") {
+    val s = num("x")
+    assert(approx(s.quantiles(0.05), -7.55))
+    assert(approx(s.quantiles(0.25), -0.75))
+    assert(approx(s.quantiles(0.5), 2.5))
+    assert(approx(s.quantiles(0.75), 23.75))
+    assert(approx(s.quantiles(0.95), 50.0))
+    assert(approx(s.mad, 9.0))
+    assert(approx(s.iqr, 24.5))
+  }
+
+  test("y: skewed distribution stats") {
+    val s = num("y")
+    assert(approx(s.mean, 484.876750125))
+    assert(approx(s.skewness, 2.612234664849946))
+    assert(approx(s.kurtosis, 6.955694326032086))
+    assert(approx(s.mad, 0.9539995))
+  }
+
+  test("s1: constant numeric demoted to categorical with CONSTANT alert") {
+    assert(colP("s1").profileType == ProfileType.Categorical)
+    assert(profile.alerts.exists(a =>
+      a.kind == "CONSTANT" && a.column.contains("s1")))
+  }
+
+  test("bool_01: low-cardinality numeric demoted to categorical") {
+    assert(colP("bool_01").profileType == ProfileType.Categorical)
+  }
+
+  test("bool_tf: boolean stats reachable (reference bug fixed)") {
+    assert(colP("bool_tf").profileType == ProfileType.Bool)
+    val b = colP("bool_tf").typed.asInstanceOf[BooleanStats]
+    assert(b.nTrue == 6 && b.nFalse == 3)
+    assert(b.top && b.freq == 6)
+  }
+
+  test("cat: top values, lengths, unicode chars") {
+    val c = colP("cat")
+    val cs = c.typed.asInstanceOf[CategoricalStats]
+    assert(cs.topValues.head == ("c", 3))
+    val l = cs.lengths.get
+    assert(l.minLength == 0 && l.maxLength == 19)
+    val chars = cs.chars.get
+    assert(chars.topChars.nonEmpty)
+    assert(chars.scriptCounts.contains("LATIN"))
+  }
+
+  test("somedate: datetime range") {
+    val d = colP("somedate").typed.asInstanceOf[DateTimeStats]
+    assert(d.minEpochSec == Timestamp.valueOf("1937-05-06 00:00:00").getTime / 1000)
+    assert(d.maxEpochSec == Timestamp.valueOf("2022-01-11 00:00:00").getTime / 1000)
+    assert(profile.alerts.exists(a =>
+      a.kind == "TYPE_DATE" && a.column.contains("somedate")))
+  }
+
+  test("id: not unique, n_distinct 8 of 9") {
+    val c = colP("id").common
+    assert(c.nDistinct == 8); assert(!c.isUnique)
+  }
+
+  test("histogram counts sum to non-null count") {
+    val s = num("x")
+    val h = s.histogram.get
+    assert(h.counts.sum == 8)
+    assert(h.binEdges.size == h.counts.size + 1)
+    assert(h.binEdges.head == s.min && approx(h.binEdges.last, s.max))
+  }
+
+  test("no duplicate rows in fixture") {
+    assert(profile.nDuplicates == 0)
+  }
+
+  test("duplicated input doubles rows and flags duplicates") {
+    val doubled = Profiler.profile(fixture.union(fixture),
+      ProfileConfig.default.copy(persist = false,
+        computeCorrelations = false, computeCramers = false,
+        computeCharStats = false))
+    assert(doubled.nDuplicates == 9)
+    assert(doubled.alerts.exists(_.kind == "DUPLICATES"))
+    assert(doubled.duplicateRows.nonEmpty)
+    assert(doubled.duplicateRows.forall(_._2 == 2))
+  }
+
+  test("correlation matrix present and symmetric") {
+    val pearson = profile.correlations.find(_.method == "pearson").get
+    assert(pearson.columns == Seq("x", "y"))
+    assert(pearson.values(0)(1) == pearson.values(1)(0))
+  }
+
+  test("table stats rollup") {
+    assert(profile.table.n == 9)
+    assert(profile.table.nVar == 8)
+    assert(profile.missingCounts("x") == 1)
+    assert(profile.missingCounts("y") == 1)
+  }
+
+  test("JSON sink has the reference's top-level keys") {
+    val json = ProfileJson.toJson(profile)
+    for (k <- Seq("analysis", "table", "variables", "scatter", "correlations",
+        "missing", "messages", "package", "sample", "duplicates"))
+      assert(json.contains("\"" + k + "\""), s"missing key $k")
+    assert(json.contains("bin_edges"))
+  }
+
+  test("uniqueness parametrization (reference test_describe.py:20-46)") {
+    import spark.implicits._
+    val p1 = Profiler.profile(Seq(1, 2).toDF("v"),
+      ProfileConfig.minimal.copy(exactDistinct = true, persist = false))
+    assert(p1.columns.head.common.isUnique)
+    val p2 = Profiler.profile(Seq(1, 2, 2).toDF("v"),
+      ProfileConfig.minimal.copy(exactDistinct = true, persist = false))
+    val c2 = p2.columns.head.common
+    assert(approx(c2.pDistinct, 2.0 / 3))
+    assert(approx(c2.pUnique, 1.0 / 3))
+    assert(!c2.isUnique)
+  }
+}
