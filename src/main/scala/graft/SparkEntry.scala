@@ -1,13 +1,31 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.profile.{ProfileConfig, Profiler}
+import graft.queries.QueryCatalog
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Each entry in `queries` is one operator from SURVEY §2's inventory;
+  * `oracleSql` carries the DuckDB-equivalent SQL for the hash compare. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: full profile of sf0.001 lineitem, returned as a one-row
+    * summary per column (driver smoke-checks rows > 0). */
+  def entry(spark: SparkSession): DataFrame = {
+    val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val profile = Profiler.profile(df,
+      ProfileConfig.default.copy(computeSpearman = false))
+    import spark.implicits._
+    profile.columns.map { c =>
+      (c.name, c.profileType.name, c.common.n, c.common.count,
+        c.common.nDistinct, c.common.nUnique)
+    }.toDF("column", "type", "n", "count", "n_distinct", "n_unique")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    QueryCatalog.all.map(q => q.name -> q.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    QueryCatalog.all.flatMap(q => q.sql.map(q.name -> _)).toMap
 }
