@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.profile.{ProfileConfig, Profiler}
-import graft.queries.QueryCatalog
+import graft.queries.{PipelineQueries, QueryCatalog}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Each entry in `queries` is one operator from SURVEY §2's inventory;
@@ -23,9 +23,12 @@ object SparkEntry {
     }.toDF("column", "type", "n", "count", "n_distinct", "n_unique")
   }
 
+  private def catalog: Seq[graft.queries.Q] =
+    QueryCatalog.all ++ PipelineQueries.all
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    QueryCatalog.all.map(q => q.name -> q.fn).toMap
+    catalog.map(q => q.name -> q.fn).toMap
 
   def oracleSql: Map[String, String] =
-    QueryCatalog.all.flatMap(q => q.sql.map(q.name -> _)).toMap
+    catalog.flatMap(q => q.sql.map(q.name -> _)).toMap
 }

@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.StatFunctions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * column expressions (codegen'd, engine-portable regex only — no \p
+  * classes, whose semantics differ between regex engines).
+  */
+object TextAnalysis {
+
+  /** Small high-frequency stopword sets per language for the n-gram/
+    * stopword language-ID heuristic. Deliberately tiny and ASCII-safe —
+    * the heuristic needs discrimination, not coverage. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "une", "dans", "que", "pour"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "una", "es", "por", "con"))
+
+  /** Lowercased whitespace tokens. */
+  def words(c: Column): Column =
+    filter(split(lower(c), "\\s+"), w => length(w) > 0)
+
+  /** Fraction of tokens that are stopwords of `lang`, 6-decimal rounded. */
+  def stopwordFraction(c: Column, lang: String): Column = {
+    val sw = stopwords(lang)
+    val ws = words(c)
+    round(
+      size(filter(ws, w => w.isin(sw.map(x => x: Any): _*))).cast("double") /
+        greatest(size(ws), lit(1)),
+      6)
+  }
+
+  /** Argmax language by stopword fraction with deterministic tie-break on
+    * language code; "und" (undetermined) when no stopwords hit at all. */
+  def langId(c: Column): Column = {
+    val langs = stopwords.keys.toSeq.sorted
+    val scored = langs.map(l => struct(stopwordFraction(c, l).as("s"),
+      lit(l).as("l")))
+    // array_max on struct orders lexicographically: (score, lang);
+    // equal scores resolve to the lexicographically LARGEST lang, so
+    // invert the lang for a smallest-code tie-break, then restore.
+    val best = array_max(array(scored.map(s =>
+      struct(s.getField("s").as("s"), s.getField("l").as("l"))): _*))
+    when(best.getField("s") > 0.0, best.getField("l")).otherwise(lit("und"))
+  }
+
+  /** Whitespace token count. */
+  def nTokensWhitespace(c: Column): Column = size(words(c))
+
+  /** BPE-ish token count: letter runs, digit runs, other non-space chars
+    * (ASCII classes only — identical in Java regex and RE2). */
+  val tokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def nTokensRegex(c: Column): Column =
+    size(regexp_extract_all(c, lit(tokenPattern), lit(0)))
+
+  /** Quality-signal bundle (length, token stats, character-class ratios).
+    * Ratios are over character length; 6-decimal rounded. */
+  def qualitySignals(c: Column): Map[String, Column] = {
+    val len = length(c).cast("double")
+    val safeLen = greatest(len, lit(1.0))
+    def classRatio(pattern: String): Column =
+      round(size(regexp_extract_all(c, lit(pattern), lit(0))).cast("double") / safeLen, 6)
+    val ws = words(c)
+    val nw = greatest(size(ws), lit(1)).cast("double")
+    Map(
+      "n_chars" -> length(c).cast("long"),
+      "n_words" -> size(ws).cast("long"),
+      "mean_word_len" -> round(
+        aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double") / nw, 6),
+      "punct_ratio" -> classRatio("[^A-Za-z0-9\\s]"),
+      "digit_ratio" -> classRatio("[0-9]"),
+      "upper_ratio" -> classRatio("[A-Z]"),
+      "space_ratio" -> classRatio("[ ]"),
+      "stopword_ratio_en" -> stopwordFraction(c, "en"))
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length documents and
+    * normal word shape, penalizes punctuation/digit soup. The exact
+    * weighting is this library's own spec (the reference has no text
+    * quality op); what matters is determinism and monotonicity. */
+  def qualityScore(c: Column): Column = {
+    val s = qualitySignals(c)
+    val lenScore = least(s("n_chars").cast("double") / 200.0, lit(1.0))
+    val wordScore = when(s("mean_word_len").between(3.0, 10.0), 1.0).otherwise(0.5)
+    val punctPenalty = least(s("punct_ratio") * 2.0, lit(1.0))
+    val digitPenalty = least(s("digit_ratio") * 2.0, lit(1.0))
+    round(
+      greatest(lit(0.0),
+        lenScore * 0.4 + wordScore * 0.3 +
+          (lit(1.0) - punctPenalty) * 0.2 + (lit(1.0) - digitPenalty) * 0.1),
+      6)
+  }
+
+  /** 60-bit document fingerprint: md5 of whitespace-normalized lowercase
+    * text. Identical content modulo spacing/case maps to one fingerprint —
+    * the cheap first stage of any dedup cascade. */
+  def fingerprint(c: Column): Column =
+    hash64(Dedup.normalizedText(c), 0)
+
+  /** Convenience: append all text-analysis columns to a DataFrame. */
+  def analyze(df: DataFrame, textCol: String): DataFrame = {
+    val c = col(textCol)
+    val sig = qualitySignals(c)
+    sig.toSeq.sortBy(_._1).foldLeft(df) { case (d, (name, expr)) =>
+      d.withColumn(name, expr)
+    }
+      .withColumn("lang_pred", langId(c))
+      .withColumn("n_tokens_ws", nTokensWhitespace(c))
+      .withColumn("n_tokens_regex", nTokensRegex(c))
+      .withColumn("quality_score", qualityScore(c))
+      .withColumn("fingerprint", fingerprint(c))
+  }
+}

@@ -1,0 +1,321 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.queries.QueryCatalog.table
+
+/** LLM-data-pipeline operators as oracle-checked queries (north star in
+  * BASELINE.json: dedup, similarity search, text analysis, multimodal —
+  * beyond the reference's own surface).
+  *
+  * The md5-based 60-bit hash ([[graft.functions.StatFunctions.hash64]])
+  * makes even minhash/simhash signatures bit-comparable against DuckDB:
+  * Spark `conv(substr(md5(x),1,15),16,10)` == DuckDB
+  * `('0x'||substr(md5(x),1,15))::BIGINT`.
+  */
+object PipelineQueries {
+
+  private val NUM_HASHES = 8
+  private val BANDS = 4
+  private val SHINGLE_K = 3
+
+  /** DuckDB rendering of hash64(x, seed). */
+  private def dkHash(xSql: String, seed: Int): String =
+    s"('0x'||substr(md5('$seed:'||$xSql),1,15))::BIGINT"
+
+  /** DuckDB char-k-shingles with distinct, mirroring Dedup.shingleTable. */
+  private val dkShingles =
+    s"""SELECT doc_id AS id,
+        unnest(list_distinct([substr(text, i, $SHINGLE_K)
+                              for i in range(1, length(text) - ${SHINGLE_K - 2})])) AS g
+        FROM documents WHERE length(text) >= $SHINGLE_K"""
+
+  // ------------------------------------------------------------------
+  // Dedup
+  // ------------------------------------------------------------------
+
+  /** Exact duplicate count on the whitespace/case-normalized text. */
+  val qDedupExact = Q(
+    "q21_dedup_exact",
+    (s, dir) =>
+      table(s, dir, "documents")
+        .groupBy(Dedup.normalizedText(col("text")).as("t"))
+        .agg(count(lit(1)).as("c"))
+        .agg(
+          (sum(col("c")) - count(lit(1))).cast("long").as("n_duplicates"),
+          count(lit(1)).as("n_after_dedup")),
+    Some("""SELECT CAST(sum(c) - count(*) AS BIGINT) AS n_duplicates,
+      count(*) AS n_after_dedup
+      FROM (SELECT count(*) AS c FROM documents
+            GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g')))"""))
+
+  /** N-gram Jaccard near-dup pairs over distinct char-3-gram sets
+    * (threshold .8 catches the planted near-duplicates). */
+  val qNgramJaccard = Q(
+    "q22_ngram_jaccard",
+    (s, dir) =>
+      Dedup.ngramJaccardPairs(table(s, dir, "documents"),
+          "doc_id", "text", SHINGLE_K, 0.8)
+        .orderBy("i", "j"),
+    Some(s"""WITH sh AS ($dkShingles),
+      sz AS (SELECT id, count(*) sz FROM sh GROUP BY id),
+      cm AS (SELECT a.id i, b.id j, count(*) common
+             FROM sh a JOIN sh b ON a.g = b.g AND a.id < b.id GROUP BY 1, 2)
+      SELECT i, j,
+             round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) AS jaccard
+      FROM cm JOIN sz sa ON sa.id = i JOIN sz sb ON sb.id = j
+      WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.8
+      ORDER BY i, j"""))
+
+  /** MinHash signatures (8 seeded md5 min-hashes per doc). */
+  val qMinhashSig = Q(
+    "q23_minhash_sig",
+    (s, dir) =>
+      Dedup.minhashSignatures(table(s, dir, "documents"),
+          "doc_id", "text", SHINGLE_K, NUM_HASHES)
+        .orderBy("id"),
+    Some {
+      val mins = (0 until NUM_HASHES)
+        .map(i => s"min(${dkHash("g", i)}) AS s$i").mkString(", ")
+      s"""WITH sh AS ($dkShingles)
+      SELECT id, $mins FROM sh GROUP BY id ORDER BY id"""
+    })
+
+  /** Full MinHash-LSH pipeline: band signatures, bucket-join candidates,
+    * verify with exact Jaccard >= 0.7. */
+  val qMinhashLsh = Q(
+    "q24_minhash_lsh",
+    (s, dir) =>
+      Dedup.minhashNearDupPairs(table(s, dir, "documents"),
+          "doc_id", "text", SHINGLE_K, NUM_HASHES, BANDS, 0.7)
+        .orderBy("i", "j"),
+    Some {
+      val r = NUM_HASHES / BANDS
+      val mins = (0 until NUM_HASHES)
+        .map(i => s"min(${dkHash("g", i)}) AS s$i").mkString(", ")
+      val bandSelects = (0 until BANDS).map { b =>
+        val key = (0 until r).map(i => s"s${b * r + i}::VARCHAR")
+          .mkString(" || ',' || ")
+        s"SELECT id, $b AS band, md5($key) AS key FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH sh AS ($dkShingles),
+      sig AS (SELECT id, $mins FROM sh GROUP BY id),
+      buckets AS ($bandSelects),
+      cand AS (SELECT DISTINCT a.id i, b.id j FROM buckets a
+               JOIN buckets b ON a.band = b.band AND a.key = b.key
+                 AND a.id < b.id),
+      sz AS (SELECT id, count(*) sz FROM sh GROUP BY id),
+      cm AS (SELECT c.i, c.j, count(*) common
+             FROM cand c JOIN sh x ON x.id = c.i JOIN sh y ON y.id = c.j
+               AND y.g = x.g
+             GROUP BY 1, 2)
+      SELECT i, j,
+             round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) AS jaccard
+      FROM cm JOIN sz sa ON sa.id = i JOIN sz sb ON sb.id = j
+      WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.7
+      ORDER BY i, j"""
+    })
+
+  /** 32-bit SimHash over the distinct-word set. */
+  val qSimhash = Q(
+    "q25_simhash",
+    (s, dir) =>
+      Dedup.simhash(table(s, dir, "documents"), "doc_id", "text", bits = 32)
+        .orderBy("id"),
+    Some {
+      val bitSums = (0 until 32).map(b =>
+        s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
+        .mkString(", ")
+      val sig = (0 until 32).map(b =>
+        s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+      s"""WITH w AS (SELECT doc_id AS id,
+             unnest(list_distinct(list_filter(
+               string_split_regex(lower(text), '\\s+'), x -> length(x) > 0))) AS w
+           FROM documents),
+      h AS (SELECT id, ${dkHash("w", 0)} AS h FROM w),
+      bits AS (SELECT id, $bitSums FROM h GROUP BY id)
+      SELECT id, CAST($sig AS BIGINT) AS simhash FROM bits ORDER BY id"""
+    })
+
+  // ------------------------------------------------------------------
+  // Similarity search
+  // ------------------------------------------------------------------
+
+  private val dkCos =
+    """round(list_dot_product(p.qv::DOUBLE[], e.embedding::DOUBLE[]) /
+        (sqrt(list_dot_product(p.qv::DOUBLE[], p.qv::DOUBLE[])) *
+         sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6)"""
+
+  /** Brute-force cosine top-k: probes vec_id < 5 against the corpus. */
+  val qEmbedTopK = Q(
+    "q26_embed_topk",
+    (s, dir) => {
+      val e = table(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+          e.where(col("vec_id") < 5), e, "vec_id", "embedding", 5)
+        .orderBy("query_id", "rnk")
+    },
+    Some(s"""WITH p AS (SELECT vec_id AS qid, embedding AS qv
+                        FROM embeddings WHERE vec_id < 5),
+      scored AS (SELECT p.qid AS query_id, e.vec_id AS neighbor_id,
+                        $dkCos AS cos
+                 FROM p CROSS JOIN embeddings e WHERE e.vec_id != p.qid),
+      ranked AS (SELECT *, CAST(row_number() OVER
+                   (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+                   AS INT) AS rnk
+                 FROM scored)
+      SELECT query_id, rnk, neighbor_id, cos FROM ranked
+      WHERE rnk <= 5 ORDER BY query_id, rnk"""))
+
+  /** Embedding near-dup pairs: cosine >= 0.4 over all pairs. */
+  val qEmbedNearDup = Q(
+    "q27_embed_neardup",
+    (s, dir) =>
+      Dedup.embeddingNearDupPairs(table(s, dir, "embeddings"),
+          "vec_id", "embedding", 0.4)
+        .orderBy("i", "j"),
+    Some(s"""SELECT p.qid AS i, e.vec_id AS j, $dkCos AS cos
+      FROM (SELECT vec_id AS qid, embedding AS qv FROM embeddings) p
+      CROSS JOIN embeddings e
+      WHERE p.qid < e.vec_id AND $dkCos >= 0.4
+      ORDER BY i, j"""))
+
+  // ------------------------------------------------------------------
+  // Text analysis
+  // ------------------------------------------------------------------
+
+  private val dkWords =
+    """list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0)"""
+  private def dkStopFrac(lang: String): String = {
+    val sw = TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString(", ")
+    s"""round(CAST(len(list_filter($dkWords, w -> list_contains([$sw], w)))
+         AS DOUBLE) / greatest(len($dkWords), 1), 6)"""
+  }
+
+  /** Stopword-fraction language ID with per-language scores. */
+  val qLangId = Q(
+    "q28_langid",
+    (s, dir) => {
+      val df = table(s, dir, "documents")
+      val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+      val scored = langs.foldLeft(df) { (d, l) =>
+        d.withColumn(s"score_$l",
+          TextAnalysis.stopwordFraction(col("text"), l))
+      }
+      scored
+        .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+        .select("doc_id", "score_de", "score_en", "score_es", "score_fr",
+          "lang_pred")
+        .orderBy("doc_id")
+    },
+    Some(s"""SELECT doc_id,
+        ${dkStopFrac("de")} AS score_de,
+        ${dkStopFrac("en")} AS score_en,
+        ${dkStopFrac("es")} AS score_es,
+        ${dkStopFrac("fr")} AS score_fr,
+        CASE WHEN greatest(${dkStopFrac("de")}, ${dkStopFrac("en")},
+                           ${dkStopFrac("es")}, ${dkStopFrac("fr")}) = 0
+             THEN 'und'
+             WHEN ${dkStopFrac("fr")} >= ${dkStopFrac("es")}
+              AND ${dkStopFrac("fr")} >= ${dkStopFrac("en")}
+              AND ${dkStopFrac("fr")} >= ${dkStopFrac("de")} THEN 'fr'
+             WHEN ${dkStopFrac("es")} >= ${dkStopFrac("en")}
+              AND ${dkStopFrac("es")} >= ${dkStopFrac("de")} THEN 'es'
+             WHEN ${dkStopFrac("en")} >= ${dkStopFrac("de")} THEN 'en'
+             ELSE 'de' END AS lang_pred
+      FROM documents ORDER BY doc_id"""))
+
+  /** Per-document quality signals + composite score. */
+  val qTextQuality = Q(
+    "q29_text_quality",
+    (s, dir) => {
+      val df = table(s, dir, "documents")
+      val sig = TextAnalysis.qualitySignals(col("text"))
+      df.select(
+          col("doc_id"),
+          sig("n_chars").as("n_chars"),
+          sig("n_words").as("n_words"),
+          sig("mean_word_len").as("mean_word_len"),
+          sig("punct_ratio").as("punct_ratio"),
+          sig("digit_ratio").as("digit_ratio"),
+          sig("upper_ratio").as("upper_ratio"),
+          TextAnalysis.qualityScore(col("text")).as("quality_score"))
+        .orderBy("doc_id")
+    },
+    Some(s"""SELECT doc_id,
+        CAST(length(text) AS BIGINT) AS n_chars,
+        CAST(len($dkWords) AS BIGINT) AS n_words,
+        round(CAST(list_sum(list_transform($dkWords, w -> length(w)))
+          AS DOUBLE) / greatest(len($dkWords), 1), 6) AS mean_word_len,
+        round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+          AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio,
+        round(CAST(len(regexp_extract_all(text, '[0-9]'))
+          AS DOUBLE) / greatest(length(text), 1), 6) AS digit_ratio,
+        round(CAST(len(regexp_extract_all(text, '[A-Z]'))
+          AS DOUBLE) / greatest(length(text), 1), 6) AS upper_ratio,
+        round(greatest(0.0,
+          least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.4 +
+          (CASE WHEN round(CAST(list_sum(list_transform($dkWords, w -> length(w)))
+             AS DOUBLE) / greatest(len($dkWords), 1), 6)
+             BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.3 +
+          (1.0 - least(round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+             AS DOUBLE) / greatest(length(text), 1), 6) * 2.0, 1.0)) * 0.2 +
+          (1.0 - least(round(CAST(len(regexp_extract_all(text, '[0-9]'))
+             AS DOUBLE) / greatest(length(text), 1), 6) * 2.0, 1.0)) * 0.1), 6)
+          AS quality_score
+      FROM documents ORDER BY doc_id"""))
+
+  /** Token counting: whitespace + BPE-ish regex tokens. */
+  val qTokenCounts = Q(
+    "q30_token_counts",
+    (s, dir) =>
+      table(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextAnalysis.nTokensWhitespace(col("text")).cast("long").as("n_tokens_ws"),
+          TextAnalysis.nTokensRegex(col("text")).cast("long").as("n_tokens_regex"))
+        .orderBy("doc_id"),
+    Some(s"""SELECT doc_id,
+        CAST(len($dkWords) AS BIGINT) AS n_tokens_ws,
+        CAST(len(regexp_extract_all(text, '${TextAnalysis.tokenPattern}'))
+          AS BIGINT) AS n_tokens_regex
+      FROM documents ORDER BY doc_id"""))
+
+  /** Document fingerprint: 60-bit hash of normalized text. */
+  val qFingerprint = Q(
+    "q31_fingerprint",
+    (s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id"),
+    Some(s"""SELECT doc_id,
+      ${dkHash("trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))", 0)}
+        AS fingerprint
+      FROM documents ORDER BY doc_id"""))
+
+  // ------------------------------------------------------------------
+  // Multimodal (binary-column plumbing; codec stubbed — see Multimodal)
+  // ------------------------------------------------------------------
+
+  /** Blob metadata over an opaque binary column (text bytes stand in for
+    * media bytes; schema/plumbing identical). */
+  val qMultimodalMeta = Q(
+    "q32_multimodal_meta",
+    (s, dir) =>
+      Multimodal.blobMetaColumns(
+          table(s, dir, "documents")
+            .select(col("doc_id"), col("text").cast("binary").as("blob")),
+          "doc_id", "blob")
+        .orderBy("id"),
+    Some("""SELECT doc_id AS id,
+      CAST(octet_length(text::BLOB) AS BIGINT) AS byte_length,
+      CAST(floor(octet_length(text::BLOB) / 256.0) AS INT) + 1 AS n_chunks
+      FROM documents ORDER BY id"""))
+
+  val all: Seq[Q] = Seq(
+    qDedupExact, qNgramJaccard, qMinhashSig, qMinhashLsh, qSimhash,
+    qEmbedTopK, qEmbedNearDup, qLangId, qTextQuality, qTokenCounts,
+    qFingerprint, qMultimodalMeta)
+}
