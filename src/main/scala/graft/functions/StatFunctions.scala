@@ -60,18 +60,13 @@ object StatFunctions {
   }
 
   /** Dot product of two array<numeric> columns in double precision,
-    * summed left-to-right (deterministic). */
-  def dotProduct(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v
-    )
+    * summed left-to-right (deterministic). Backed by the codegen'd
+    * [[ArrayDot]] expression — bit-identical to the interpreted
+    * aggregate(zip_with(...)) HOF form but stays in whole-stage codegen. */
+  def dotProduct(a: Column, b: Column): Column = ArrayDot.dot(a, b)
 
   /** L2 norm of an array<numeric> column (double, deterministic order). */
-  def l2Norm(c: Column): Column =
-    sqrt(aggregate(c, lit(0.0), (acc, v) =>
-      acc + v.cast("double") * v.cast("double")))
+  def l2Norm(c: Column): Column = sqrt(ArrayDot.dot(c, c))
 
   /** Cosine similarity of two embedding columns. */
   def cosineSimilarity(a: Column, b: Column): Column =

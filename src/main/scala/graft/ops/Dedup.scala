@@ -35,38 +35,85 @@ object Dedup {
       .select(col(idCol).as("id"),
         explode(array_distinct(shingles(col(textCol), k))).as("g"))
 
-  /** Exact n-gram Jaccard similarity for all pairs sharing at least one
-    * shingle. The shingle self-join is the scale bottleneck — at 100 TB
-    * route candidates through [[minhashLshPairs]] first and use this only
-    * as the verifier on candidates. */
-  def ngramJaccardPairs(
-      df: DataFrame, idCol: String, textCol: String,
-      k: Int, threshold: Double): DataFrame = {
-    val sh = shingleTable(df, idCol, textCol, k)
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val a = sh.as("a"); val b = sh.as("b")
-    val common = a.join(b, col("a.g") === col("b.g") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("i"), col("b.id").as("j"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.withColumnRenamed("id", "i").withColumnRenamed("sz", "szi"), "i")
-      .join(sizes.withColumnRenamed("id", "j").withColumnRenamed("sz", "szj"), "j")
-      .withColumn("jaccard",
-        col("common").cast("double") /
-          (col("szi") + col("szj") - col("common")))
-      .where(col("jaccard") >= threshold)
-      .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
+  /** Distinct word n-gram shingles per document (space-joined lowercase
+    * word windows). Far more discriminative than char shingles on
+    * natural/templated text — the shingle unit of the Gopher/RefinedWeb
+    * style dedup pipelines — which keeps every shingle's document
+    * frequency (and so any shingle-join's fanout) low. */
+  def wordShingleTable(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val ws = filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0)
+    val grams = transform(
+      sequence(lit(1), size(ws) - lit(n - 1)),
+      i => concat_ws(" ", slice(ws, i, lit(n))))
+    df.where(size(ws) >= n)
+      .select(col(idCol).as("id"),
+        explode(array_distinct(grams)).as("g"))
   }
 
-  /** MinHash signatures: numHashes seeded 60-bit md5 hashes, min per doc.
-    * One explode + one shuffle regardless of numHashes. */
-  def minhashSignatures(
+  /** Exact n-gram Jaccard similarity join with PREFIX FILTERING
+    * (ppjoin-style; Xiao et al., "Efficient Similarity Joins for Near
+    * Duplicate Detection", WWW'08 — public algorithm).
+    *
+    * A naive self-join on shingles blows up quadratically on frequent
+    * shingles (a trigram occurring in every document joins |D|^2 rows).
+    * Prefix filter: under any global shingle order, two sets with
+    * Jaccard >= t MUST share an element within each side's first
+    * floor((1-t)|S|)+1 shingles. Ordering shingles rarest-first makes
+    * those prefix keys precisely the low-fanout ones, so the candidate
+    * join touches only rare shingles; the exact Jaccard verifier then
+    * runs on candidates only. Same output as the naive join, scalable
+    * plan. */
+  def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int, numHashes: Int): DataFrame = {
-    val sh = shingleTable(df, idCol, textCol, k)
+      k: Int, threshold: Double): DataFrame =
+    jaccardPairs(shingleTable(df, idCol, textCol, k), threshold)
+
+  /** Word-n-gram variant — the right shingle unit for natural text (char
+    * shingles are all high-frequency there, which starves the prefix
+    * filter). */
+  def wordNgramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame =
+    jaccardPairs(wordShingleTable(df, idCol, textCol, n), threshold)
+
+  /** Exact Jaccard similarity join over any (id, g) shingle table:
+    * prefix-filtered candidates + length-ratio filter, then exact
+    * verification. */
+  def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    // global order: document frequency asc, shingle asc
+    val docFreq = sh.groupBy("g").agg(count(lit(1)).as("df"))
+    val ordered = sh.join(docFreq, "g")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("df"), col("g"))))
+      .join(sizes, "id")
+      .where(col("rn") <=
+        floor((lit(1.0) - threshold) * col("sz")).cast("int") + 1)
+      .select(col("id"), col("g"), col("sz"))
+    val a = ordered.as("a"); val b = ordered.as("b")
+    // length-ratio filter: J(A,B) >= t forces t*|B| <= |A| <= |B|/t
+    val candidates = a
+      .join(b, col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
+        col("a.sz") >= col("b.sz") * threshold &&
+        col("b.sz") >= col("a.sz") * threshold)
+      .select(col("a.id").as("i"), col("b.id").as("j"))
+      .distinct()
+    verifyJaccard(candidates, sh, threshold)
+  }
+
+  /** MinHash signatures over any (id, g) shingle table: numHashes seeded
+    * 60-bit md5 hashes, min per doc. One shuffle regardless of width. */
+  def minhashSignaturesFromShingles(sh: DataFrame, numHashes: Int): DataFrame = {
     val aggs = (0 until numHashes).map(i => min(hash64(col("g"), i)).as(s"s$i"))
     sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
+
+  /** MinHash signatures over char k-shingles. */
+  def minhashSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int, numHashes: Int): DataFrame =
+    minhashSignaturesFromShingles(shingleTable(df, idCol, textCol, k), numHashes)
 
   /** MinHash-LSH candidate pairs: band the signature (bands x rowsPerBand
     * = numHashes), bucket-join on (band, md5 of band slice), emit each
@@ -90,17 +137,26 @@ object Dedup {
       .distinct()
   }
 
-  /** End-to-end MinHash near-dup detection: LSH candidates verified with
-    * exact shingle Jaccard. */
-  def minhashNearDupPairs(
-      df: DataFrame, idCol: String, textCol: String, k: Int,
-      numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+  /** End-to-end MinHash near-dup detection over any shingle table: LSH
+    * candidates verified with exact shingle Jaccard. Shingle choice
+    * drives selectivity — use [[wordShingleTable]] for natural text
+    * (char shingles make unrelated documents ~60% similar on a shared
+    * vocabulary, which floods the bands with false candidates). */
+  def minhashNearDupPairsFromShingles(
+      sh: DataFrame, numHashes: Int, bands: Int,
+      threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val sigs = minhashSignatures(df, idCol, textCol, k, numHashes)
+    val sigs = minhashSignaturesFromShingles(sh, numHashes)
     val candidates = minhashLshPairs(sigs, bands, numHashes / bands)
-    val sh = shingleTable(df, idCol, textCol, k)
     verifyJaccard(candidates, sh, threshold)
   }
+
+  /** Char-shingle convenience wrapper. */
+  def minhashNearDupPairs(
+      df: DataFrame, idCol: String, textCol: String, k: Int,
+      numHashes: Int, bands: Int, threshold: Double): DataFrame =
+    minhashNearDupPairsFromShingles(
+      shingleTable(df, idCol, textCol, k), numHashes, bands, threshold)
 
   private def verifyJaccard(
       candidates: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
@@ -144,10 +200,15 @@ object Dedup {
   def embeddingNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("i"), col(vecCol).as("va"))
-    val b = df.select(col(idCol).as("j"), col(vecCol).as("vb"))
+    // Precompute each vector's norm ONCE (vs per pair in the cross join):
+    // same doubles, identical product, ~2/3 less arithmetic per pair.
+    val a = df.select(col(idCol).as("i"), col(vecCol).as("va"),
+      l2Norm(col(vecCol)).as("na"))
+    val b = df.select(col(idCol).as("j"), col(vecCol).as("vb"),
+      l2Norm(col(vecCol)).as("nb"))
     a.crossJoin(b).where(col("i") < col("j"))
-      .withColumn("cos", cosineSimilarity(col("va"), col("vb")))
+      .withColumn("cos",
+        dotProduct(col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("cos") >= threshold)
       .select(col("i"), col("j"), round(col("cos"), 6).as("cos"))
   }

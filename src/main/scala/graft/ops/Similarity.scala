@@ -23,11 +23,14 @@ object Similarity {
   def bruteForceTopK(
       probes: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val p = probes.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val p = probes.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      l2Norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      l2Norm(col(vecCol)).as("cn"))
     val scored = c.crossJoin(broadcast(p))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(cosineSimilarity(col("qv"), col("cv")), 6))
+      .withColumn("cos", round(
+        dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
     // rank on the ROUNDED similarity with id tie-break: deterministic
     // across engines even when two raw cosines differ in the last ulp
     val w = Window.partitionBy("query_id")

@@ -16,20 +16,24 @@ import graft.queries.QueryCatalog.table
   */
 object PipelineQueries {
 
-  private val NUM_HASHES = 8
-  private val BANDS = 4
-  private val SHINGLE_K = 3
+  private val NUM_HASHES = 16
+  private val BANDS = 4 // rows per band = 4
+  private val WORD_N = 3
 
   /** DuckDB rendering of hash64(x, seed). */
   private def dkHash(xSql: String, seed: Int): String =
     s"('0x'||substr(md5('$seed:'||$xSql),1,15))::BIGINT"
 
-  /** DuckDB char-k-shingles with distinct, mirroring Dedup.shingleTable. */
-  private val dkShingles =
-    s"""SELECT doc_id AS id,
-        unnest(list_distinct([substr(text, i, $SHINGLE_K)
-                              for i in range(1, length(text) - ${SHINGLE_K - 2})])) AS g
-        FROM documents WHERE length(text) >= $SHINGLE_K"""
+  /** DuckDB word-n-gram shingles with distinct, mirroring
+    * Dedup.wordShingleTable (word shingles keep shingle document
+    * frequency low on natural text — see Dedup scaladoc). */
+  private def dkWordShingles(n: Int) =
+    s"""SELECT id, unnest(list_distinct(
+          [array_to_string(ws[i:i+${n - 1}], ' ')
+           for i in range(1, len(ws) - ${n - 2})])) AS g
+        FROM (SELECT doc_id AS id, $dkWords AS ws FROM documents)
+        WHERE len(ws) >= $n"""
+  private def dkShingles = dkWordShingles(WORD_N)
 
   // ------------------------------------------------------------------
   // Dedup
@@ -50,15 +54,20 @@ object PipelineQueries {
       FROM (SELECT count(*) AS c FROM documents
             GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g')))"""))
 
-  /** N-gram Jaccard near-dup pairs over distinct char-3-gram sets
-    * (threshold .8 catches the planted near-duplicates). */
+  /** Word-5-gram Jaccard near-dup pairs (threshold .8 catches the planted
+    * near-duplicates). Word shingles keep per-shingle document frequency
+    * ~1 on natural text, so the prefix-filtered join stays near-linear;
+    * char trigrams would make every shingle a hot join key. */
   val qNgramJaccard = Q(
     "q22_ngram_jaccard",
     (s, dir) =>
-      Dedup.ngramJaccardPairs(table(s, dir, "documents"),
-          "doc_id", "text", SHINGLE_K, 0.8)
+      Dedup.wordNgramJaccardPairs(table(s, dir, "documents"),
+          "doc_id", "text", 5, 0.8)
         .orderBy("i", "j"),
-    Some(s"""WITH sh AS ($dkShingles),
+    Some(s"""WITH w AS (SELECT doc_id AS id, $dkWords AS ws FROM documents),
+      sh AS (SELECT id, unnest(list_distinct(
+               [array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws) - 3)])) AS g
+             FROM w WHERE len(ws) >= 5),
       sz AS (SELECT id, count(*) sz FROM sh GROUP BY id),
       cm AS (SELECT a.id i, b.id j, count(*) common
              FROM sh a JOIN sh b ON a.g = b.g AND a.id < b.id GROUP BY 1, 2)
@@ -68,12 +77,14 @@ object PipelineQueries {
       WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.8
       ORDER BY i, j"""))
 
-  /** MinHash signatures (8 seeded md5 min-hashes per doc). */
+  /** MinHash signatures (16 seeded md5 min-hashes per doc, word-3-gram
+    * shingles). */
   val qMinhashSig = Q(
     "q23_minhash_sig",
     (s, dir) =>
-      Dedup.minhashSignatures(table(s, dir, "documents"),
-          "doc_id", "text", SHINGLE_K, NUM_HASHES)
+      Dedup.minhashSignaturesFromShingles(
+          Dedup.wordShingleTable(table(s, dir, "documents"),
+            "doc_id", "text", WORD_N), NUM_HASHES)
         .orderBy("id"),
     Some {
       val mins = (0 until NUM_HASHES)
@@ -87,8 +98,9 @@ object PipelineQueries {
   val qMinhashLsh = Q(
     "q24_minhash_lsh",
     (s, dir) =>
-      Dedup.minhashNearDupPairs(table(s, dir, "documents"),
-          "doc_id", "text", SHINGLE_K, NUM_HASHES, BANDS, 0.7)
+      Dedup.minhashNearDupPairsFromShingles(
+          Dedup.wordShingleTable(table(s, dir, "documents"),
+            "doc_id", "text", WORD_N), NUM_HASHES, BANDS, 0.7)
         .orderBy("i", "j"),
     Some {
       val r = NUM_HASHES / BANDS
@@ -185,7 +197,7 @@ object PipelineQueries {
   // Text analysis
   // ------------------------------------------------------------------
 
-  private val dkWords =
+  private def dkWords =
     """list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0)"""
   private def dkStopFrac(lang: String): String = {
     val sw = TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString(", ")

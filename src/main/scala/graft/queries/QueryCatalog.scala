@@ -124,13 +124,19 @@ object QueryCatalog {
     "q05_quantiles",
     (s, dir) => {
       val df = table(s, dir, "lineitem")
+      // ONE percentile buffer per column (an array-probabilities call),
+      // not one sorted copy of the data per requested quantile
       df.agg(
-        round(expr("percentile(l_extendedprice, 0.05)"), 6).as("p05"),
-        round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75"),
-        round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95"),
-        round(expr("percentile(l_quantity, 0.5)"), 6).as("qty_p50"))
+          expr("percentile(l_extendedprice, array(0.05,0.25,0.5,0.75,0.95))")
+            .as("qs"),
+          expr("percentile(l_quantity, 0.5)").as("qty"))
+        .select(
+          round(element_at(col("qs"), 1), 6).as("p05"),
+          round(element_at(col("qs"), 2), 6).as("p25"),
+          round(element_at(col("qs"), 3), 6).as("p50"),
+          round(element_at(col("qs"), 4), 6).as("p75"),
+          round(element_at(col("qs"), 5), 6).as("p95"),
+          round(col("qty"), 6).as("qty_p50"))
     },
     Some("""SELECT
       round(quantile_cont(l_extendedprice, 0.05), 6) AS p05,
