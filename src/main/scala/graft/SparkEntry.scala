@@ -24,7 +24,7 @@ object SparkEntry {
   }
 
   private def catalog: Seq[graft.queries.Q] =
-    QueryCatalog.all ++ PipelineQueries.all
+    QueryCatalog.all ++ PipelineQueries.all ++ graft.queries.ExtraQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     catalog.map(q => q.name -> q.fn).toMap

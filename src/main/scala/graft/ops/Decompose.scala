@@ -1,0 +1,35 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL / path / JSON decomposition operators (reference: URL value_counts
+  * `model/summary_algorithms.py:360-381` + `summary_helpers.py:173-190`;
+  * path decomposition `summary_helpers.py:143-170`).
+  *
+  * Implemented with engine-portable regexp extraction (identical
+  * semantics in Java regex and RE2) rather than `parse_url`, so results
+  * are oracle-checkable and behave the same in any SQL engine.
+  */
+object Decompose {
+
+  /** URL parts: scheme, host, path, query, fragment. */
+  def urlParts(c: Column): Map[String, Column] = Map(
+    "scheme" -> regexp_extract(c, "^([a-z][a-z0-9+.-]*)://", 1),
+    "host" -> regexp_extract(c, "^[a-z][a-z0-9+.-]*://([^/?#]*)", 1),
+    "path" -> regexp_extract(c, "^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1),
+    "query" -> regexp_extract(c, "\\?([^#]*)", 1),
+    "fragment" -> regexp_extract(c, "#(.*)$", 1))
+
+  /** File-path parts: parent, name, stem, suffix (POSIX separators). */
+  def pathParts(c: Column): Map[String, Column] = Map(
+    "parent" -> regexp_extract(c, "^(.*)/[^/]*$", 1),
+    "name" -> regexp_extract(c, "([^/]*)$", 1),
+    "stem" -> regexp_extract(c, "([^/]+?)(?:\\.[^./]*)?$", 1),
+    "suffix" -> regexp_extract(c, "(\\.[^./]*)$", 1))
+
+  /** Scalar JSON field extraction (reference has none; events.props is
+    * JSON so a pipeline needs it). Returns string; cast at call site. */
+  def jsonField(c: Column, field: String): Column =
+    get_json_object(c, s"$$.$field")
+}

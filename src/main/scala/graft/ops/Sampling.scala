@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.StatFunctions._
+
+/** Sampling / extreme-observation operators (reference: head/tail/random
+  * samples `dataframe_wrappers.py:476-482`, `model/sample.py:26-71`;
+  * extreme observations `report/presentation/frequency_table_utils.py:82-117`;
+  * memory estimate `dataframe_wrappers.py:503-513`). */
+object Sampling {
+
+  /** First/last n rows by `orderCol` with a deterministic tie-break on
+    * `tieCols` — the reference's extreme-observation tables
+    * (TakeOrderedAndProject both ways, no full sort). */
+  def extremeObs(df: DataFrame, orderCol: String, n: Int,
+      tieCols: Seq[String]): DataFrame = {
+    val asc = df.orderBy((col(orderCol).asc +: tieCols.map(col(_).asc)): _*)
+      .limit(n).withColumn("extreme", lit("min"))
+    val desc = df.orderBy((col(orderCol).desc +: tieCols.map(col(_).asc)): _*)
+      .limit(n).withColumn("extreme", lit("max"))
+    asc.unionAll(desc)
+  }
+
+  /** Deterministic hash sample: keeps rows whose 60-bit key hash lands in
+    * [0, pct) of 100 buckets. Unlike df.sample's seeded PRNG this is
+    * engine-portable, stable under repartitioning, and consistent across
+    * runs — the right sampling primitive for reproducible pipelines. */
+  def hashSample(df: DataFrame, keyCol: String, pct: Int): DataFrame =
+    df.where(pmod(hash64(col(keyCol).cast("string"), 0), lit(100)) < pct)
+
+  /** Distributed byte-size estimate: fixed widths for fixed-size types +
+    * octet_length for strings/binary (replaces the reference's
+    * cube-root-sample -> toPandas memory probe with one aggregate). */
+  def memoryEstimate(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val perRow = df.schema.fields.map { f =>
+      f.dataType match {
+        case StringType | BinaryType =>
+          coalesce(octet_length(col(f.name)).cast("long"), lit(0L))
+        case ByteType | BooleanType                  => lit(1L)
+        case ShortType                               => lit(2L)
+        case IntegerType | FloatType | DateType      => lit(4L)
+        case _                                       => lit(8L)
+      }
+    }.reduce(_ + _)
+    df.agg(sum(perRow).as("est_bytes"), count(lit(1)).as("n_rows"))
+  }
+}

@@ -1,0 +1,177 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.StatFunctions._
+import graft.ops.{Decompose, Sampling}
+import graft.queries.QueryCatalog.table
+
+/** Remaining SURVEY §2 operators: URL/path decomposition, JSON
+  * extraction, 2-D scatter histograms, nullity correlation, extreme
+  * observations, deterministic sampling, memory estimation. */
+object ExtraQueries {
+
+  /** URL decomposition value_counts (reference:
+    * summary_algorithms.py:360-381). The testdata has no URL column, so
+    * URLs are constructed deterministically from documents fields —
+    * the decomposition logic is what is under test. */
+  val qUrlStats = Q(
+    "q33_url_stats",
+    (s, dir) => {
+      val urls = table(s, dir, "documents").select(
+        concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+          col("doc_id").cast("string"), lit("?lang="), col("lang"),
+          lit("#s1")).as("url"))
+      val parts = Decompose.urlParts(col("url"))
+      urls.select(
+          parts("scheme").as("scheme"), parts("host").as("host"),
+          parts("query").as("query"))
+        .groupBy("scheme", "host", "query")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("host"), col("query"))
+        .limit(25)
+    },
+    Some("""WITH u AS (SELECT 'https://' || source || '.example.com/docs/' ||
+               CAST(doc_id AS VARCHAR) || '?lang=' || lang || '#s1' AS url
+             FROM documents)
+      SELECT regexp_extract(url, '^([a-z][a-z0-9+.-]*)://', 1) AS scheme,
+             regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1) AS host,
+             regexp_extract(url, '\?([^#]*)', 1) AS query,
+             count(*) AS cnt
+      FROM u GROUP BY scheme, host, query
+      ORDER BY cnt DESC, host, query LIMIT 25"""))
+
+  /** Path decomposition value_counts (reference: summary_helpers.py:143-170). */
+  val qPathStats = Q(
+    "q34_path_stats",
+    (s, dir) => {
+      val paths = table(s, dir, "documents").select(
+        concat(lit("/data/"), col("lang"), lit("/"), col("source"),
+          lit("/doc_"), col("doc_id").cast("string"), lit(".txt")).as("p"))
+      val parts = Decompose.pathParts(col("p"))
+      paths.select(parts("parent").as("parent"), parts("suffix").as("suffix"))
+        .groupBy("parent", "suffix").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("parent"))
+        .limit(25)
+    },
+    Some("""WITH p AS (SELECT '/data/' || lang || '/' || source || '/doc_' ||
+               CAST(doc_id AS VARCHAR) || '.txt' AS p FROM documents)
+      SELECT regexp_extract(p, '^(.*)/[^/]*$', 1) AS parent,
+             regexp_extract(p, '(\.[^./]*)$', 1) AS suffix,
+             count(*) AS cnt
+      FROM p GROUP BY parent, suffix ORDER BY cnt DESC, parent LIMIT 25"""))
+
+  /** JSON field extraction + grouped aggregate over events.props. */
+  val qJsonExtract = Q(
+    "q35_json_extract",
+    (s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_type"),
+          Decompose.jsonField(col("props"), "k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n"),
+          (sum(col("k")).cast("double") / count(col("k"))).as("mean_k"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type, count(k) AS n,
+        CAST(sum(k) AS DOUBLE) / count(k) AS mean_k
+      FROM (SELECT event_type,
+              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events)
+      GROUP BY event_type ORDER BY event_type"""))
+
+  /** 2-D scatter histogram: groupBy binned (x, y) — the reference's
+    * spark_scatter_pairwise (visualisation/plot.py:283-330) generalized
+    * to fixed-width 2-D bins. */
+  val qScatter2d = Q(
+    "q36_scatter_2d",
+    (s, dir) => {
+      val df = table(s, dir, "lineitem")
+      val st = df.agg(
+        min(col("l_quantity")).cast("double"), max(col("l_quantity")).cast("double"),
+        min(col("l_extendedprice")).cast("double"),
+        max(col("l_extendedprice")).cast("double")).head()
+      val (qmn, qmx, pmn, pmx) =
+        (st.getDouble(0), st.getDouble(1), st.getDouble(2), st.getDouble(3))
+      df.select(
+          histogramBin(col("l_quantity").cast("double"), qmn, qmx, 10).as("bx"),
+          histogramBin(col("l_extendedprice").cast("double"), pmn, pmx, 10).as("by"))
+        .groupBy("bx", "by").agg(count(lit(1)).as("cnt"))
+        .orderBy("bx", "by")
+    },
+    Some("""WITH st AS (SELECT CAST(min(l_quantity) AS DOUBLE) qmn,
+                               CAST(max(l_quantity) AS DOUBLE) qmx,
+                               CAST(min(l_extendedprice) AS DOUBLE) pmn,
+                               CAST(max(l_extendedprice) AS DOUBLE) pmx
+                        FROM lineitem)
+      SELECT CAST(least(floor((l_quantity - st.qmn) / ((st.qmx - st.qmn) / 10)), 9) AS INT) AS bx,
+             CAST(least(floor((l_extendedprice - st.pmn) / ((st.pmx - st.pmn) / 10)), 9) AS INT) AS by,
+             count(*) AS cnt
+      FROM lineitem, st GROUP BY bx, by ORDER BY bx, by"""))
+
+  /** Nullity correlation — the missing-data heatmap the reference only
+    * has on pandas (visualisation/missing.py:104-171): corr of
+    * null-indicator columns (derived nulls here since the testdata is
+    * fully populated). */
+  val qNullityCorr = Q(
+    "q37_nullity_corr",
+    (s, dir) =>
+      table(s, dir, "lineitem")
+        .select(
+          nullif(col("l_discount"), lit(0.0)).isNull.cast("int").as("na"),
+          nullif(col("l_tax"), lit(0.0)).isNull.cast("int").as("nb"))
+        .agg(round(corr(col("na"), col("nb")), 8).as("nullity_corr")),
+    Some("""SELECT round(corr(na, nb), 8) AS nullity_corr
+      FROM (SELECT CAST(nullif(l_discount, 0.0) IS NULL AS INT) na,
+                   CAST(nullif(l_tax, 0.0) IS NULL AS INT) nb
+            FROM lineitem)"""))
+
+  /** Extreme observations: 5 smallest + 5 largest by value
+    * (TakeOrderedAndProject in both directions, no global sort). */
+  val qExtremeObs = Q(
+    "q38_extreme_obs",
+    (s, dir) =>
+      Sampling.extremeObs(
+          table(s, dir, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_extendedprice"),
+          "l_extendedprice", 5, Seq("l_orderkey", "l_linenumber"))
+        .orderBy("extreme", "l_extendedprice", "l_orderkey", "l_linenumber"),
+    Some("""(SELECT * FROM
+        (SELECT l_orderkey, l_linenumber, l_extendedprice, 'min' AS extreme
+         FROM lineitem
+         ORDER BY l_extendedprice, l_orderkey, l_linenumber LIMIT 5))
+      UNION ALL
+      (SELECT * FROM
+        (SELECT l_orderkey, l_linenumber, l_extendedprice, 'max' AS extreme
+         FROM lineitem
+         ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 5))
+      ORDER BY extreme, l_extendedprice, l_orderkey, l_linenumber"""))
+
+  /** Deterministic hash sampling — engine-portable, repartition-stable
+    * (replaces seeded-PRNG df.sample for reproducible pipelines). */
+  val qHashSample = Q(
+    "q39_hash_sample",
+    (s, dir) =>
+      Sampling.hashSample(table(s, dir, "orders"), "o_orderkey", 2)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey"),
+    Some(s"""SELECT o_orderkey, o_totalprice FROM orders
+      WHERE ('0x'||substr(md5('0:'||CAST(o_orderkey AS VARCHAR)),1,15))::BIGINT % 100 < 2
+      ORDER BY o_orderkey"""))
+
+  /** Distributed memory estimate (reference: cube-root sample ->
+    * toPandas memory_usage, dataframe_wrappers.py:503-513 — here one
+    * exact aggregate, no driver transfer). */
+  val qMemoryEstimate = Q(
+    "q40_memory_estimate",
+    (s, dir) =>
+      Sampling.memoryEstimate(
+        table(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")),
+    Some("""SELECT CAST(sum(8 + octet_length(o_orderstatus::BLOB) + 8 +
+               octet_length(o_orderpriority::BLOB)) AS BIGINT) AS est_bytes,
+             count(*) AS n_rows FROM orders"""))
+
+  val all: Seq[Q] = Seq(
+    qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
+    qExtremeObs, qHashSample, qMemoryEstimate)
+}
