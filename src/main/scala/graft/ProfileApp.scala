@@ -3,20 +3,24 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 
-import graft.profile.{ProfileConfig, ProfileJson, Profiler}
+import graft.profile.{ProfileConfig, ProfileJson, Profiler, TypeInference}
 
 /** Console entry point — the Scala analogue of the reference's CLI
   * (`controller/console.py:86-109`: file scan -> ProfileReport -> sink).
   *
-  * Usage: ProfileApp <input.(parquet|csv|json|orc)> <output.json> [--minimal]
+  * Usage: ProfileApp <input.(parquet|csv|json|orc)> <output.json>
+  *          [--minimal] [--infer]
+  * --infer runs the value-based type-inference pass (string->bool/
+  * numeric/date promotion) before profiling, like the pandas path.
   */
 object ProfileApp {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: ProfileApp <input.(parquet|csv|json|orc)> <output.json> [--minimal]")
+      "usage: ProfileApp <input.(parquet|csv|json|orc)> <output.json> [--minimal] [--infer]")
     val input = args(0)
     val output = args(1)
     val minimal = args.contains("--minimal")
+    val infer = args.contains("--infer")
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
@@ -44,7 +48,8 @@ object ProfileApp {
 
     val cfg = if (minimal) ProfileConfig.minimal else ProfileConfig.default
     val t0 = System.nanoTime()
-    val profile = Profiler.profile(df, cfg)
+    val typed = if (infer) TypeInference.castToInferred(df) else df
+    val profile = Profiler.profile(typed, cfg)
     val elapsed = (System.nanoTime() - t0) / 1e9
 
     Files.writeString(Paths.get(output), ProfileJson.toJson(profile))
