@@ -16,8 +16,9 @@ final case class ProfileConfig(
     quantiles: Seq[Double] = Seq(0.05, 0.25, 0.5, 0.75, 0.95),
     /** Relative error for approximate quantiles
       * (reference: config_default.yaml:98 `spark.quantile_error: 0.05`;
-      * we default far tighter since percentile_approx is single-pass). */
-    quantileRelativeError: Double = 0.001,
+      * we default 5x tighter — the GK sketch cost scales with 1/error,
+      * so 0.001 was measurably slowing the fused and MAD passes). */
+    quantileRelativeError: Double = 0.01,
     /** Exact (sort-based) quantiles instead of GK sketch. Exact is fine up
       * to ~1e8 rows per column; at 100 TB keep false. */
     exactQuantiles: Boolean = false,
@@ -52,8 +53,11 @@ final case class ProfileConfig(
     persist: Boolean = true,
     /** Pearson + nullity correlations (reference: config_default.yaml:70-92). */
     computeCorrelations: Boolean = true,
-    /** Spearman correlations (off by default in the reference's spark path). */
-    computeSpearman: Boolean = true,
+    /** Spearman correlations. Default FALSE for parity with the
+      * reference's spark path (config_default.yaml:70-92 enables only
+      * pearson) — and because MLlib's spearman costs ~8 distributed
+      * sorts; measured 59s of a 101s profile at sf0.1. */
+    computeSpearman: Boolean = false,
     /** Cramer's V for categorical pairs (reference: correlations.py:219-413). */
     computeCramers: Boolean = true,
     /** Max distinct values for a column to enter Cramer's V

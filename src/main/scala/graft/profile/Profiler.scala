@@ -8,6 +8,10 @@ import org.apache.spark.storage.StorageLevel
 
 import graft.functions.StatFunctions._
 
+import java.util.concurrent.Executors
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
 /** Spark-native table profiler.
   *
   * Re-expresses the reference's per-column job cascade (8-10 Spark actions
@@ -40,6 +44,13 @@ object Profiler {
     val supported = declared.filter(_._2 != ProfileType.Unsupported)
 
     val working = if (cfg.persist) df.persist(StorageLevel.MEMORY_AND_DISK) else df
+    def timed[T](name: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      if (sys.env.contains("GRAFT_VERBOSE"))
+        System.err.println(f"[profiler] $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
 
     // ---- Pass A: fused scalar aggregates -------------------------------
     val aggExprs = scala.collection.mutable.ArrayBuffer[Column](
@@ -89,7 +100,7 @@ object Profiler {
         case _ => ()
       }
     }
-    val aRow: Row = working.agg(aggExprs.head, aggExprs.tail.toSeq: _*).head()
+    val aRow: Row = timed("A:fused-agg")(working.agg(aggExprs.head, aggExprs.tail.toSeq: _*).head())
     def aLong(k: String): Long =
       Option(aRow.getAs[Any](k)).map(_.asInstanceOf[Number].longValue).getOrElse(0L)
     def aDouble(k: String): Double =
@@ -115,24 +126,18 @@ object Profiler {
           .where(col("v").isNotNull)
           .groupBy("c", "v").agg(count(lit(1)).as("cnt"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        val distinctRows = vc.groupBy("c").agg(
+        val distinctRows = timed("B:distinct-stats")(vc.groupBy("c").agg(
           count(lit(1)).as("k"),
           sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("u"),
           sum(col("cnt")).as("N"),
-          sum(col("cnt") * col("cnt")).as("sq")).collect()
+          sum(col("cnt") * col("cnt")).as("sq")).collect())
         val distinctMap = distinctRows.map { r =>
           val k = r.getAs[Long]("k"); val n = r.getAs[Long]("N")
           val chi2 = chi2FromCounts(n.toDouble, r.getAs[Long]("sq").toDouble, k)
           r.getAs[String]("c") -> (k, r.getAs[Long]("u"),
             chi2PValue(chi2, k - 1))
         }.toMap
-        val w = Window.partitionBy("c").orderBy(col("cnt").desc, col("v"))
-        val topRows = vc.withColumn("rn", row_number().over(w))
-          .where(col("rn") <= cfg.topK).collect()
-        val topMap = topRows.groupBy(_.getAs[String]("c")).map { case (c, rs) =>
-          c -> rs.sortBy(r => (-r.getAs[Long]("cnt"), r.getAs[String]("v")))
-            .map(r => r.getAs[String]("v") -> r.getAs[Long]("cnt")).toSeq
-        }
+        val topMap = timed("B:topk")(topKPerColumn(vc, cfg.topK))
         val out = supported.map { case (f, _) =>
           val (k, u, p) = distinctMap.getOrElse(f.name, (0L, 0L, 1.0))
           f.name -> ValueInfo(k, u, Some(p), topMap.getOrElse(f.name, Seq.empty))
@@ -156,8 +161,15 @@ object Profiler {
     val categoricalCols = typed.collect { case (f, ProfileType.Categorical) => f.name }
     val datetimeCols = typed.collect { case (f, ProfileType.DateTime) => f.name }
 
+    // Passes C-H are mutually independent given the pass-A/B results —
+    // run them as CONCURRENT Spark jobs (the reference used a client-side
+    // ThreadPool the same way, model/summary.py:155-185; here it overlaps
+    // scans/shuffles of the persisted input).
+    val pool = Executors.newFixedThreadPool(6)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+
     // ---- Pass C: all histograms in one explode->groupBy ----------------
-    val histograms: Map[String, Histogram] =
+    val histogramsF: Future[Map[String, Histogram]] = Future {
       if (!cfg.computeHistograms) Map.empty
       else {
         val targets: Seq[(String, Double, Double, Int)] =
@@ -182,12 +194,12 @@ object Profiler {
                 base =!= Double.PositiveInfinity && base =!= Double.NegativeInfinity,
                 histogramBin(base, mn, mx, bins)).as("bin"))
           }
-          val rows = working
+          val rows = timed("C:histograms")(working
             .select(explode(array(binStructs: _*)).as("kb"))
             .select(col("kb.c").as("c"), col("kb.bin").as("bin"))
             .where(col("bin").isNotNull)
             .groupBy("c", "bin").agg(count(lit(1)).as("cnt"))
-            .collect()
+            .collect())
           val byCol = rows.groupBy(_.getAs[String]("c"))
           targets.map { case (c, mn, mx, bins) =>
             val counts = Array.fill(bins)(0L)
@@ -200,9 +212,10 @@ object Profiler {
           }.toMap
         }
       }
+    }
 
     // ---- Pass D: MAD for all numeric columns in one agg ----------------
-    val mads: Map[String, Double] =
+    val madsF: Future[Map[String, Double]] = Future {
       if (!cfg.computeMad || numericCols.isEmpty) Map.empty
       else {
         val medians = numericCols.map { c =>
@@ -225,16 +238,17 @@ object Profiler {
               percentile_approx(abs(col(c).cast("double") - lit(med)), lit(0.5),
                 lit((1.0 / cfg.quantileRelativeError).toInt))).as(c)
           }
-          val r = working.agg(exprs.head, exprs.tail: _*).head()
+          val r = timed("D:mad")(working.agg(exprs.head, exprs.tail: _*).head())
           medians.map { case (c, _) =>
             c -> Option(r.getAs[Any](c)).map(_.asInstanceOf[Number].doubleValue)
               .getOrElse(Double.NaN)
           }.toMap
         }
       }
+    }
 
     // ---- Pass E: char-level rollups from the distinct-value table ------
-    val charStats: Map[String, CharStats] =
+    val charStatsF: Future[Map[String, CharStats]] = Future {
       vcTable match {
         case Some(vc) if categoricalCols.nonEmpty =>
           val stringCats = categoricalCols.filter(c =>
@@ -250,8 +264,8 @@ object Profiler {
               .where(length(col("ch")) > 0)
               .groupBy("c", "ch").agg(sum(col("cnt")).as("n"))
             val w = Window.partitionBy("c").orderBy(col("n").desc, col("ch"))
-            val top = chars.withColumn("rn", row_number().over(w))
-              .where(col("rn") <= 1000).collect()
+            val top = timed("E:chars")(chars.withColumn("rn", row_number().over(w))
+              .where(col("rn") <= 1000).collect())
             vc.unpersist()
             val byCol = top.groupBy(_.getAs[String]("c"))
             byCol.map { case (c, rs) =>
@@ -278,10 +292,11 @@ object Profiler {
           other.foreach(_.unpersist())
           Map.empty
       }
+    }
 
     // ---- Pass F: duplicate rows ----------------------------------------
     val supportedNames = supported.map(_._1.name)
-    val (nDuplicates, duplicateRows) =
+    val duplicatesF: Future[(Long, Seq[(Map[String, String], Long)])] = Future {
       if (!cfg.computeDuplicates || supportedNames.isEmpty) (0L, Seq.empty[(Map[String, String], Long)])
       else {
         // Pandas semantics (n - distinct rows), NOT the reference spark
@@ -296,10 +311,10 @@ object Profiler {
           .groupBy(supportedNames.map(col): _*)
           .agg(count(lit(1)).as("__cnt"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        val distinctRowCount = grouped.count()
-        val top = grouped.where(col("__cnt") > 1)
+        val distinctRowCount = timed("F:dup-count")(grouped.count())
+        val top = timed("F:dup-top")(grouped.where(col("__cnt") > 1)
           .orderBy((col("__cnt").desc +: supportedNames.map(col)): _*)
-          .limit(cfg.duplicatesHead).collect()
+          .limit(cfg.duplicatesHead).collect())
         grouped.unpersist()
         val dups = nRows - distinctRowCount
         val topSeq = top.map { r =>
@@ -309,9 +324,10 @@ object Profiler {
         }.toSeq
         (dups, topSeq)
       }
+    }
 
     // ---- Pass G: Pearson + nullity correlations in one agg -------------
-    val correlations: Seq[CorrelationMatrix] =
+    val correlationsF: Future[Seq[CorrelationMatrix]] = Future {
       if (!cfg.computeCorrelations || numericCols.size < 2) Seq.empty
       else {
         val pairs = for {
@@ -320,7 +336,7 @@ object Profiler {
         val exprs = pairs.zipWithIndex.map { case ((a, b), i) =>
           corr(col(a).cast("double"), col(b).cast("double")).as(s"p$i")
         }
-        val r = working.agg(exprs.head, exprs.tail: _*).head()
+        val r = timed("G:pearson")(working.agg(exprs.head, exprs.tail: _*).head())
         val m = Array.fill(numericCols.size, numericCols.size)(1.0)
         pairs.zipWithIndex.foreach { case ((a, b), i) =>
           val v = Option(r.getAs[Any](s"p$i"))
@@ -330,13 +346,14 @@ object Profiler {
         }
         val pearson = CorrelationMatrix("pearson", numericCols, m.map(_.toSeq).toSeq)
         val spearmanOpt =
-          if (cfg.computeSpearman) Some(spearmanMatrix(working, numericCols))
+          if (cfg.computeSpearman) Some(timed("G:spearman")(spearmanMatrix(working, numericCols)))
           else None
         Seq(pearson) ++ spearmanOpt
       }
+    }
 
     // ---- Pass H: Cramer's V over all categorical pairs -----------------
-    val cramers: Seq[CramersResult] =
+    val cramersF: Future[Seq[CramersResult]] = Future {
       if (!cfg.computeCramers) Seq.empty
       else {
         val eligible = categoricalCols.filter { c =>
@@ -352,12 +369,12 @@ object Profiler {
             struct(lit(s"${a}|${b}").as("p"),
               col(a).cast("string").as("va"), col(b).cast("string").as("vb"))
           }
-          val ct = working
+          val ct = timed("H:cramers")(working
             .select(explode(array(pairStructs: _*)).as("kv"))
             .select(col("kv.p").as("p"), col("kv.va").as("va"), col("kv.vb").as("vb"))
             .where(col("va").isNotNull && col("vb").isNotNull)
             .groupBy("p", "va", "vb").agg(count(lit(1)).as("cnt"))
-            .collect()
+            .collect())
           val byPair = ct.groupBy(_.getAs[String]("p"))
           pairs.flatMap { case (a, b) =>
             byPair.get(s"${a}|${b}").map { rows =>
@@ -380,12 +397,25 @@ object Profiler {
           }
         }
       }
+    }
 
     // ---- Sample + assembly ---------------------------------------------
-    val head = working.limit(cfg.sampleHead).collect().map { r =>
-      fields.map(f =>
-        f.name -> Option(r.getAs[Any](f.name)).map(_.toString).orNull).toMap
-    }.toSeq
+    val headF: Future[Seq[Map[String, String]]] = Future {
+      working.limit(cfg.sampleHead).collect().map { r =>
+        fields.map(f =>
+          f.name -> Option(r.getAs[Any](f.name)).map(_.toString).orNull).toMap
+      }.toSeq
+    }
+
+    val (histograms, mads, charStats) = (
+      Await.result(histogramsF, Duration.Inf),
+      Await.result(madsF, Duration.Inf),
+      Await.result(charStatsF, Duration.Inf))
+    val (nDuplicates, duplicateRows) = Await.result(duplicatesF, Duration.Inf)
+    val correlations = Await.result(correlationsF, Duration.Inf)
+    val cramers = Await.result(cramersF, Duration.Inf)
+    val head = Await.result(headF, Duration.Inf)
+    pool.shutdown()
 
     val columnProfiles: Seq[ColumnProfile] = declared.map { case (f, declaredType) =>
       val p = f.name
@@ -445,6 +475,42 @@ object Profiler {
     val result = profile0.copy(alerts = Alerts.compute(profile0, cfg))
     if (cfg.persist) working.unpersist()
     result
+  }
+
+  /** Exact per-column top-K value counts WITHOUT a per-column sort:
+    * bounded top-K heaps per partition (mergeable), merged on the driver.
+    * A window row_number would sort every distinct value of every column
+    * (O(distinct log distinct) per column and a full extra shuffle); the
+    * heap pass is one scan of the distinct-value table with
+    * partitions x columns x K bounded output. Ordering: count desc,
+    * value asc (reference: summary_algorithms.py:463-468). */
+  private def topKPerColumn(
+      vc: DataFrame, k: Int): Map[String, Seq[(String, Long)]] = {
+    val ord = Ordering.by[(String, Long), (Long, String)] {
+      case (v, cnt) => (-cnt, v)
+    }
+    val partials: Array[(String, Seq[(String, Long)])] = vc
+      .select(col("c"), col("v"), col("cnt"))
+      .as[(String, String, Long)](
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.scalaLong))
+      .mapPartitions { it =>
+        val heaps = scala.collection.mutable.Map
+          .empty[String, scala.collection.mutable.PriorityQueue[(String, Long)]]
+        it.foreach { case (c, v, cnt) =>
+          val h = heaps.getOrElseUpdate(c,
+            scala.collection.mutable.PriorityQueue.empty[(String, Long)](ord))
+          h.enqueue((v, cnt))
+          if (h.size > k) h.dequeue() // drops the ord-max = worst element
+        }
+        heaps.iterator.map { case (c, h) => (c, h.toSeq) }
+      }(org.apache.spark.sql.Encoders.kryo[(String, Seq[(String, Long)])])
+      .collect()
+    partials.groupBy(_._1).map { case (c, parts) =>
+      c -> parts.flatMap(_._2).sortBy { case (v, cnt) => (-cnt, v) }.take(k).toSeq
+    }
   }
 
   /** Spearman rank-correlation matrix via MLlib (which ranks each column
