@@ -171,7 +171,36 @@ object ExtraQueries {
                octet_length(o_orderpriority::BLOB)) AS BIGINT) AS est_bytes,
              count(*) AS n_rows FROM orders"""))
 
+  /** Kendall tau-b by distributed pair counting over a deterministic 1%
+    * hash-sample (reference pulls the whole table to one node instead —
+    * correlations.py:140-216; sampling is the statistically honest way
+    * to bound the O(n^2) pair space, s.e. ~ 1/sqrt(n)). */
+  val qKendall = Q(
+    "q41_kendall",
+    (s, dir) =>
+      graft.ops.Kendall.tauB(
+        Sampling.hashSample(table(s, dir, "lineitem"), "l_orderkey", 1),
+        "l_quantity", "l_extendedprice"),
+    Some("""WITH base AS (
+        SELECT l_quantity AS x, l_extendedprice AS y,
+               row_number() OVER () AS rid
+        FROM lineitem
+        WHERE ('0x'||substr(md5('0:'||CAST(l_orderkey AS VARCHAR)),1,15))::BIGINT % 100 < 1),
+      p AS (SELECT a.x - b.x AS dx, a.y - b.y AS dy
+            FROM base a JOIN base b ON a.rid < b.rid),
+      agg AS (SELECT count(*) n_pairs,
+          CAST(sum(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS BIGINT) c,
+          CAST(sum(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS BIGINT) d,
+          CAST(sum(CASE WHEN dx = 0 AND dy != 0 THEN 1 ELSE 0 END) AS BIGINT) tx,
+          CAST(sum(CASE WHEN dy = 0 AND dx != 0 THEN 1 ELSE 0 END) AS BIGINT) ty
+        FROM p)
+      SELECT n_pairs, c AS concordant, d AS discordant,
+             round(CAST(c - d AS DOUBLE) /
+                   sqrt(CAST(c + d + tx AS DOUBLE) * CAST(c + d + ty AS DOUBLE)),
+                   8) AS tau_b
+      FROM agg"""))
+
   val all: Seq[Q] = Seq(
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
-    qExtremeObs, qHashSample, qMemoryEstimate)
+    qExtremeObs, qHashSample, qMemoryEstimate, qKendall)
 }
