@@ -1,0 +1,15 @@
+package graft
+
+class EntrySpec extends SparkSpec {
+  test("driver entry: profiles sf0.001 lineitem with rows > 0") {
+    val df = SparkEntry.entry(spark)
+    val rows = df.collect()
+    assert(rows.length == 11)
+    assert(rows.forall(_.getAs[Long]("n") == 6000))
+  }
+
+  test("every oracleSql key exists in queries (driver contract)") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    assert(SparkEntry.queries.size == 41)
+  }
+}
