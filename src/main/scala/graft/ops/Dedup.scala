@@ -80,7 +80,11 @@ object Dedup {
   /** Exact Jaccard similarity join over any (id, g) shingle table:
     * prefix-filtered candidates + length-ratio filter, then exact
     * verification. */
-  def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
+  def jaccardPairs(shRaw: DataFrame, threshold: Double): DataFrame = {
+    // the shingle table feeds candidate generation AND verification (5
+    // scans in the naive plan, Spark reuses no exchanges across them) —
+    // checkpoint it once; RDD-backed, so the ContextCleaner reclaims it
+    val sh = shRaw.localCheckpoint(false)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     // global order: document frequency asc, shingle asc
     val docFreq = sh.groupBy("g").agg(count(lit(1)).as("df"))
@@ -143,9 +147,10 @@ object Dedup {
     * (char shingles make unrelated documents ~60% similar on a shared
     * vocabulary, which floods the bands with false candidates). */
   def minhashNearDupPairsFromShingles(
-      sh: DataFrame, numHashes: Int, bands: Int,
+      shRaw: DataFrame, numHashes: Int, bands: Int,
       threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    val sh = shRaw.localCheckpoint(false)
     val sigs = minhashSignaturesFromShingles(sh, numHashes)
     val candidates = minhashLshPairs(sigs, bands, numHashes / bands)
     verifyJaccard(candidates, sh, threshold)
