@@ -106,11 +106,22 @@ object Dedup {
     verifyJaccard(candidates, sh, threshold)
   }
 
-  /** MinHash signatures over any (id, g) shingle table: numHashes seeded
-    * 60-bit md5 hashes, min per doc. One shuffle regardless of width. */
+  /** MinHash signatures over any (id, g) shingle table. One shuffle
+    * regardless of width, and ONE md5 per shingle regardless of width:
+    * the hash family is the double-hashing construction
+    * h_i(g) = h1(g) + i * h2(g) (h2 forced odd), with h1/h2 the two
+    * 28-bit halves of a single md5 — the standard trick that makes
+    * k-hash minhash cost O(1) hashes per element instead of O(k)
+    * (Kirsch & Mitzenmacher). Values stay < 2^34, overflow-safe and
+    * identically computable in any engine with md5 + integer ops. */
   def minhashSignaturesFromShingles(sh: DataFrame, numHashes: Int): DataFrame = {
-    val aggs = (0 until numHashes).map(i => min(hash64(col("g"), i)).as(s"s$i"))
-    sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    val hex = md5(col("g"))
+    val h1 = conv(substring(hex, 1, 7), 16, 10).cast("long")
+    val h2 = conv(substring(hex, 8, 7), 16, 10).cast("long") * 2 + 1
+    val withH = sh.select(col("id"), h1.as("h1"), h2.as("h2"))
+    val aggs = (0 until numHashes).map(i =>
+      min(col("h1") + lit(i.toLong) * col("h2")).as(s"s$i"))
+    withH.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash signatures over char k-shingles. */

@@ -24,6 +24,12 @@ object PipelineQueries {
   private def dkHash(xSql: String, seed: Int): String =
     s"('0x'||substr(md5('$seed:'||$xSql),1,15))::BIGINT"
 
+  /** DuckDB rendering of the double-hashing minhash family
+    * h_i(g) = h1 + i*h2 (mirrors Dedup.minhashSignaturesFromShingles). */
+  private def dkMinhash(i: Int): String =
+    s"(('0x'||substr(md5(g),1,7))::BIGINT + " +
+      s"$i * (('0x'||substr(md5(g),8,7))::BIGINT * 2 + 1))"
+
   /** DuckDB word-n-gram shingles with distinct, mirroring
     * Dedup.wordShingleTable (word shingles keep shingle document
     * frequency low on natural text — see Dedup scaladoc). */
@@ -88,7 +94,7 @@ object PipelineQueries {
         .orderBy("id"),
     Some {
       val mins = (0 until NUM_HASHES)
-        .map(i => s"min(${dkHash("g", i)}) AS s$i").mkString(", ")
+        .map(i => s"min(${dkMinhash(i)}) AS s$i").mkString(", ")
       s"""WITH sh AS ($dkShingles)
       SELECT id, $mins FROM sh GROUP BY id ORDER BY id"""
     })
@@ -105,7 +111,7 @@ object PipelineQueries {
     Some {
       val r = NUM_HASHES / BANDS
       val mins = (0 until NUM_HASHES)
-        .map(i => s"min(${dkHash("g", i)}) AS s$i").mkString(", ")
+        .map(i => s"min(${dkMinhash(i)}) AS s$i").mkString(", ")
       val bandSelects = (0 until BANDS).map { b =>
         val key = (0 until r).map(i => s"s${b * r + i}::VARCHAR")
           .mkString(" || ',' || ")
