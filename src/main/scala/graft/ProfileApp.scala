@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 
-import graft.profile.{ProfileConfig, ProfileJson, Profiler, TypeInference}
+import graft.profile.{ProfileConfig, ProfileHtml, ProfileJson, Profiler, TypeInference}
 
 /** Console entry point — the Scala analogue of the reference's CLI
   * (`controller/console.py:86-109`: file scan -> ProfileReport -> sink).
@@ -52,7 +52,10 @@ object ProfileApp {
     val profile = Profiler.profile(typed, cfg)
     val elapsed = (System.nanoTime() - t0) / 1e9
 
-    Files.writeString(Paths.get(output), ProfileJson.toJson(profile))
+    val rendered =
+      if (output.endsWith(".html")) ProfileHtml.toHtml(profile)
+      else ProfileJson.toJson(profile)
+    Files.writeString(Paths.get(output), rendered)
     println(f"[graft] profiled ${profile.table.n}%d rows x " +
       f"${profile.table.nVar}%d cols in $elapsed%.2fs -> $output")
     println(s"[graft] alerts: ${profile.alerts.size} " +

@@ -60,6 +60,14 @@ final case class ProfileConfig(
     computeSpearman: Boolean = false,
     /** Cramer's V for categorical pairs (reference: correlations.py:219-413). */
     computeCramers: Boolean = true,
+    /** Kendall tau-b for numeric pairs (off by default like the reference,
+      * config_default.yaml:79-82; pair counting runs on a hash-sample). */
+    computeKendall: Boolean = false,
+    /** Rows kept (hash-sample percent) for Kendall's O(n^2) pair space. */
+    kendallSamplePct: Int = 1,
+    /** phi-k for categorical pairs (off by default like the reference,
+      * config_default.yaml:84-87). */
+    computePhik: Boolean = false,
     /** Max distinct values for a column to enter Cramer's V
       * (reference: config_default.yaml:110). */
     maxCramersCardinality: Int = 100,

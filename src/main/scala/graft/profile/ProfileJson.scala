@@ -18,6 +18,10 @@ object ProfileJson {
     val variables: JObject = JObject(p.columns.map(c =>
       JField(c.name, columnJson(c))).toList)
 
+    def pairList(m: Map[(String, String), Double]): JValue =
+      JArray(m.toList.sortBy(_._1).map { case ((a, b), v) =>
+        (("colA" -> a) ~ ("colB" -> b) ~ ("value" -> jd(v))): JValue
+      })
     val correlations: JObject = JObject(
       p.correlations.map(m => JField(m.method, matrixJson(m))).toList ++
         (if (p.cramers.nonEmpty)
@@ -25,7 +29,11 @@ object ProfileJson {
             ("colA" -> cr.colA) ~ ("colB" -> cr.colB) ~
               ("chi2" -> jd(cr.chi2)) ~ ("pValue" -> jd(cr.pValue)) ~
               ("v" -> jd(cr.v)): JValue).toList)))
-        else Nil))
+        else Nil) ++
+        (if (p.kendall.nonEmpty)
+          List(JField("kendall", pairList(p.kendall))) else Nil) ++
+        (if (p.phik.nonEmpty)
+          List(JField("phik", pairList(p.phik))) else Nil))
 
     ("analysis" -> (("title" -> "graft profile") ~
       ("engine" -> "spark"))) ~

@@ -399,6 +399,35 @@ object Profiler {
       }
     }
 
+    // ---- Optional Kendall / phi-k (off by default, reference parity) ---
+    val kendallF: Future[Map[(String, String), Double]] = Future {
+      if (!cfg.computeKendall || numericCols.size < 2) Map.empty
+      else {
+        val sampled = graft.ops.Sampling.hashSample(
+          working.select(numericCols.map(col): _*),
+          numericCols.head, cfg.kendallSamplePct)
+        (for { i <- numericCols.indices; j <- (i + 1) until numericCols.size }
+          yield {
+            val r = graft.ops.Kendall
+              .tauB(sampled, numericCols(i), numericCols(j)).head()
+            (numericCols(i), numericCols(j)) -> r.getAs[Double]("tau_b")
+          }).toMap
+      }
+    }
+    val phikF: Future[Map[(String, String), Double]] = Future {
+      if (!cfg.computePhik) Map.empty
+      else {
+        val eligible = categoricalCols.filter { c =>
+          val nd = valueInfo.get(c).map(_.nDistinct).getOrElse(Long.MaxValue)
+          nd >= 2 && nd <= cfg.maxCramersCardinality
+        }
+        (for { i <- eligible.indices; j <- (i + 1) until eligible.size }
+          yield (eligible(i), eligible(j)) ->
+            graft.ops.PhiKOp.phik(working, eligible(i), eligible(j),
+              cfg.maxCramersCardinality)).toMap
+      }
+    }
+
     // ---- Sample + assembly ---------------------------------------------
     val headF: Future[Seq[Map[String, String]]] = Future {
       working.limit(cfg.sampleHead).collect().map { r =>
@@ -415,6 +444,8 @@ object Profiler {
     val correlations = Await.result(correlationsF, Duration.Inf)
     val cramers = Await.result(cramersF, Duration.Inf)
     val head = Await.result(headF, Duration.Inf)
+    val kendall = Await.result(kendallF, Duration.Inf)
+    val phikMap = Await.result(phikF, Duration.Inf)
     pool.shutdown()
 
     val columnProfiles: Seq[ColumnProfile] = declared.map { case (f, declaredType) =>
@@ -471,7 +502,8 @@ object Profiler {
         .map { case (k, v) => k -> v.size })
 
     val profile0 = TableProfile(table, columnProfiles, missingCounts,
-      nDuplicates, duplicateRows, correlations, cramers, head, Seq.empty)
+      nDuplicates, duplicateRows, correlations, cramers, head, Seq.empty,
+      kendall, phikMap)
     val result = profile0.copy(alerts = Alerts.compute(profile0, cfg))
     if (cfg.persist) working.unpersist()
     result

@@ -189,5 +189,9 @@ final case class TableProfile(
     correlations: Seq[CorrelationMatrix],
     cramers: Seq[CramersResult],
     sampleHead: Seq[Map[String, String]],
-    alerts: Seq[Alert]
+    alerts: Seq[Alert],
+    /** (colA, colB) -> Kendall tau-b, when enabled. */
+    kendall: Map[(String, String), Double] = Map.empty,
+    /** (colA, colB) -> phi-k, when enabled. */
+    phik: Map[(String, String), Double] = Map.empty
 )
