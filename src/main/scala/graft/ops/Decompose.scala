@@ -32,4 +32,26 @@ object Decompose {
     * JSON so a pipeline needs it). Returns string; cast at call site. */
   def jsonField(c: Column, field: String): Column =
     get_json_object(c, s"$$.$field")
+
+  /** Flatten struct and map columns into prefixed scalar columns — the
+    * reference's opt-in `expand_mixed` (utils/dataframe.py:87-124, which
+    * explodes dict/tuple CELLS into `col_key` columns). Struct fields
+    * expand from the schema; map columns expand over `keys` (maps have
+    * no schema-level key set — pass the keys to materialize). */
+  def expandNested(df: org.apache.spark.sql.DataFrame,
+      mapKeys: Map[String, Seq[String]] = Map.empty): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.{MapType, StructType}
+    val cols = df.schema.fields.flatMap { f =>
+      f.dataType match {
+        case st: StructType =>
+          st.fieldNames.toSeq.map(n =>
+            col(s"`${f.name}`.`$n`").as(s"${f.name}_$n"))
+        case _: MapType if mapKeys.contains(f.name) =>
+          mapKeys(f.name).map(k =>
+            element_at(col(f.name), k).as(s"${f.name}_$k"))
+        case _ => Seq(col(s"`${f.name}`"))
+      }
+    }
+    df.select(cols.toSeq: _*)
+  }
 }

@@ -78,6 +78,24 @@ object Multimodal {
       .toDF("id", "frame_idx", "frame_bytes")
   }
 
+  /** File-level stats over a directory tree via Spark's binaryFile
+    * source — the distributed answer to the reference's per-path
+    * `os.stat` loop (summary_helpers.py:117-140): path, size,
+    * modification time come from the datasource metadata WITHOUT reading
+    * file contents (content column pruned away). */
+  def fileStats(spark: SparkSession, pathGlob: String): DataFrame = {
+    val files = spark.read.format("binaryFile").load(pathGlob)
+      .select(col("path"), col("length"), col("modificationTime"))
+    files.agg(
+      count(lit(1)).as("n_files"),
+      sum(col("length")).as("total_bytes"),
+      min(col("length")).as("min_bytes"),
+      max(col("length")).as("max_bytes"),
+      (sum(col("length")).cast("double") / count(lit(1))).as("mean_bytes"),
+      min(col("modificationTime")).as("oldest"),
+      max(col("modificationTime")).as("newest"))
+  }
+
   /** SQL-expressible blob metadata (no codec needed): byte length,
     * first-byte sniff class, chunk count. Used by the oracle-checked
     * query; `decodeMeta` is the full-fidelity path. */

@@ -1,0 +1,44 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DecomposeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("urlParts decomposes a full URL") {
+    val df = Seq("https://example.com/a/b?x=1#frag").toDF("u")
+    val parts = Decompose.urlParts(col("u"))
+    val r = df.select(parts("scheme"), parts("host"), parts("path"),
+      parts("query"), parts("fragment")).head()
+    assert(r.toSeq == Seq("https", "example.com", "/a/b", "x=1", "frag"))
+  }
+
+  test("pathParts decomposes a POSIX path") {
+    val df = Seq("/data/en/src1/doc_42.txt").toDF("p")
+    val parts = Decompose.pathParts(col("p"))
+    val r = df.select(parts("parent"), parts("name"), parts("stem"),
+      parts("suffix")).head()
+    assert(r.toSeq == Seq("/data/en/src1", "doc_42.txt", "doc_42", ".txt"))
+  }
+
+  test("expandNested flattens structs and maps (expand_mixed)") {
+    val df = Seq((1L, ("a", 2.0), Map("k1" -> 10, "k2" -> 20)))
+      .toDF("id", "s", "m")
+    val out = Decompose.expandNested(df, Map("m" -> Seq("k1", "k2")))
+    assert(out.columns.toSeq == Seq("id", "s__1", "s__2", "m_k1", "m_k2") ||
+      out.columns.toSeq == Seq("id", "s_1", "s_2", "m_k1", "m_k2"))
+    val r = out.head()
+    assert(r.getAs[Int]("m_k1") == 10 && r.getAs[Int]("m_k2") == 20)
+  }
+
+  test("fileStats over a temp directory via binaryFile source") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-files")
+    java.nio.file.Files.writeString(dir.resolve("a.txt"), "hello")
+    java.nio.file.Files.writeString(dir.resolve("b.txt"), "worldworld")
+    val r = Multimodal.fileStats(spark, dir.toString + "/*.txt").head()
+    assert(r.getAs[Long]("n_files") == 2)
+    assert(r.getAs[Long]("total_bytes") == 15)
+    assert(r.getAs[Long]("max_bytes") == 10)
+  }
+}
