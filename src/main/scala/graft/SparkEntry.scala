@@ -23,8 +23,30 @@ object SparkEntry {
     }.toDF("column", "type", "n", "count", "n_distinct", "n_unique")
   }
 
+  /** The flagship profiler as a bench-visible query: full TableProfile of
+    * lineitem at the given scale factor, one summary row per column.
+    * No SQL oracle (the whole-profile pipeline is not one SQL query) —
+    * the driver records a rows-only check; per-stat correctness is
+    * covered by q01-q20's oracles over the same aggregates. */
+  private val qProfile = graft.queries.Q(
+    "q00_profile_lineitem",
+    (s, dir) => {
+      val profile = Profiler.profile(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        ProfileConfig.default.copy(computeSpearman = false))
+      import s.implicits._
+      profile.columns.map { c =>
+        (c.name, c.profileType.name, c.common.n, c.common.count,
+          c.common.nDistinct, c.common.nUnique, profile.nDuplicates,
+          profile.alerts.size.toLong)
+      }.toDF("column", "type", "n", "count", "n_distinct", "n_unique",
+        "n_duplicates", "n_alerts").orderBy("column")
+    },
+    None)
+
   private def catalog: Seq[graft.queries.Q] =
-    QueryCatalog.all ++ PipelineQueries.all ++ graft.queries.ExtraQueries.all
+    Seq(qProfile) ++ QueryCatalog.all ++ PipelineQueries.all ++
+      graft.queries.ExtraQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     catalog.map(q => q.name -> q.fn).toMap

@@ -37,6 +37,11 @@ import scala.concurrent.duration.Duration
   */
 object Profiler {
 
+  /** Column reference by EXACT name (backtick-quoted): `col("a.b")` would
+    * otherwise parse the dot as struct-field access. */
+  private def qcol(name: String): Column =
+    col("`" + name.replace("`", "``") + "`")
+
   def profile(df: DataFrame, cfg: ProfileConfig = ProfileConfig.default): TableProfile = {
     val fields = df.schema.fields.toSeq
     val declared: Seq[(StructField, ProfileType)] =
@@ -56,7 +61,7 @@ object Profiler {
     val aggExprs = scala.collection.mutable.ArrayBuffer[Column](
       count(lit(1)).as("__n"))
     supported.foreach { case (f, t) =>
-      val c = col(f.name)
+      val c = qcol(f.name)
       val p = f.name
       aggExprs += count(c).as(s"$p::count")
       t match {
@@ -118,7 +123,7 @@ object Profiler {
       if (supported.isEmpty) (Map.empty[String, ValueInfo], None)
       else if (cfg.exactDistinct) {
         val kvs = supported.map { case (f, _) =>
-          struct(lit(f.name).as("c"), col(f.name).cast("string").as("v"))
+          struct(lit(f.name).as("c"), qcol(f.name).cast("string").as("v"))
         }
         val vc = working
           .select(explode(array(kvs: _*)).as("kv"))
@@ -186,8 +191,8 @@ object Profiler {
           val binStructs = targets.map { case (c, mn, mx, bins) =>
             val base = typed.find(_._1.name == c).get._1.dataType match {
               case _: TimestampType | DateType | TimestampNTZType =>
-                unix_timestamp(col(c).cast("timestamp")).cast("double")
-              case _ => col(c).cast("double")
+                unix_timestamp(qcol(c).cast("timestamp")).cast("double")
+              case _ => qcol(c).cast("double")
             }
             struct(lit(c).as("c"),
               when(base.isNotNull && !base.isNaN &&
@@ -235,7 +240,7 @@ object Profiler {
             (if (cfg.exactQuantiles)
               expr(s"percentile(abs(cast(`$c` as double) - $med), 0.5)")
             else
-              percentile_approx(abs(col(c).cast("double") - lit(med)), lit(0.5),
+              percentile_approx(abs(qcol(c).cast("double") - lit(med)), lit(0.5),
                 lit((1.0 / cfg.quantileRelativeError).toInt))).as(c)
           }
           val r = timed("D:mad")(working.agg(exprs.head, exprs.tail: _*).head())
@@ -303,17 +308,17 @@ object Profiler {
         // impl which is identically zero (dataframe_wrappers.py:542-550).
         val keyCols = supportedNames.map { n =>
           fields.find(_.name == n).get.dataType match {
-            case _: MapType => map_entries(col(n)).cast("string").as(n)
-            case _          => col(n)
+            case _: MapType => map_entries(qcol(n)).cast("string").as(n)
+            case _          => qcol(n)
           }
         }
         val grouped = working.select(keyCols: _*)
-          .groupBy(supportedNames.map(col): _*)
+          .groupBy(supportedNames.map(qcol): _*)
           .agg(count(lit(1)).as("__cnt"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         val distinctRowCount = timed("F:dup-count")(grouped.count())
         val top = timed("F:dup-top")(grouped.where(col("__cnt") > 1)
-          .orderBy((col("__cnt").desc +: supportedNames.map(col)): _*)
+          .orderBy((col("__cnt").desc +: supportedNames.map(qcol)): _*)
           .limit(cfg.duplicatesHead).collect())
         grouped.unpersist()
         val dups = nRows - distinctRowCount
@@ -334,7 +339,7 @@ object Profiler {
           i <- numericCols.indices; j <- (i + 1) until numericCols.size
         } yield (numericCols(i), numericCols(j))
         val exprs = pairs.zipWithIndex.map { case ((a, b), i) =>
-          corr(col(a).cast("double"), col(b).cast("double")).as(s"p$i")
+          corr(qcol(a).cast("double"), qcol(b).cast("double")).as(s"p$i")
         }
         val r = timed("G:pearson")(working.agg(exprs.head, exprs.tail: _*).head())
         val m = Array.fill(numericCols.size, numericCols.size)(1.0)
@@ -367,7 +372,7 @@ object Profiler {
           } yield (eligible(i), eligible(j))
           val pairStructs = pairs.map { case (a, b) =>
             struct(lit(s"${a}|${b}").as("p"),
-              col(a).cast("string").as("va"), col(b).cast("string").as("vb"))
+              qcol(a).cast("string").as("va"), qcol(b).cast("string").as("vb"))
           }
           val ct = timed("H:cramers")(working
             .select(explode(array(pairStructs: _*)).as("kv"))
@@ -404,7 +409,7 @@ object Profiler {
       if (!cfg.computeKendall || numericCols.size < 2) Map.empty
       else {
         val sampled = graft.ops.Sampling.hashSample(
-          working.select(numericCols.map(col): _*),
+          working.select(numericCols.map(qcol): _*),
           numericCols.head, cfg.kendallSamplePct)
         (for { i <- numericCols.indices; j <- (i + 1) until numericCols.size }
           yield {
@@ -554,7 +559,7 @@ object Profiler {
     val assembled = new VectorAssembler()
       .setInputCols(cols.toArray).setOutputCol("__features")
       .setHandleInvalid("skip")
-      .transform(df.select(cols.map(c => col(c).cast("double")): _*))
+      .transform(df.select(cols.map(c => qcol(c).cast("double").as(c)): _*))
     val m = Correlation.corr(assembled, "__features", "spearman")
       .head().getAs[org.apache.spark.ml.linalg.Matrix](0)
     CorrelationMatrix("spearman", cols,

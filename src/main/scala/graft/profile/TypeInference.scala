@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+/* exact-name column reference; col("a.b") would parse the dot */
+
 /** Value-based type inference — the pandas-path semantics
   * (`model/typeset.py:237-259`, `model/typeset_relations.py:39-101`) that
   * the reference's Spark backend never implemented (it dispatches on the
@@ -34,12 +36,12 @@ object TypeInference {
     val nonString = df.schema.fields.filterNot(_.dataType == StringType).toSeq
       .map { f =>
         val t = ProfileType.fromDataType(f.dataType)
-        InferredType(f.name, t, t, col(f.name))
+        InferredType(f.name, t, t, col("`" + f.name.replace("`", "``") + "`"))
       }
     if (stringCols.isEmpty) return nonString
 
     val aggs = stringCols.flatMap { f =>
-      val c = col(f.name)
+      val c = col("`" + f.name.replace("`", "``") + "`")
       val lc = lower(trim(c))
       Seq(
         count(c).as(s"${f.name}::n"),
@@ -53,7 +55,7 @@ object TypeInference {
 
     val inferredStrings = stringCols.map { f =>
       val n = row.getAs[Long](s"${f.name}::n")
-      val c = col(f.name)
+      val c = col("`" + f.name.replace("`", "``") + "`")
       def allPass(k: String): Boolean = n > 0 && row.getAs[Long](s"${f.name}::$k") == n
       if (allPass("bool"))
         InferredType(f.name, ProfileType.Categorical, ProfileType.Bool,
@@ -76,7 +78,8 @@ object TypeInference {
     val inferred = infer(df)
     df.select(df.schema.fieldNames.toSeq.map { name =>
       inferred.find(_.column == name)
-        .map(i => i.cast.as(name)).getOrElse(col(name))
+        .map(i => i.cast.as(name))
+        .getOrElse(col("`" + name.replace("`", "``") + "`"))
     }: _*)
   }
 }
