@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.StatFunctions._
+
+/** IVF (inverted-file) approximate-nearest-neighbor index over an
+  * embedding column — the coarse-quantizer scale path for similarity
+  * search (complements the SRP-LSH variant in [[Similarity]]).
+  *
+  * Build: k-means (MLlib, fixed seed -> deterministic) assigns every
+  * corpus vector to its nearest of `nlist` centroids; the corpus is
+  * REPARTITIONED BY LIST so each posting list is physically co-located —
+  * the layout a 100 TB deployment would persist (partitioned parquet,
+  * partition pruning turns a probe into an nprobe-partition scan).
+  *
+  * Query: score each probe against centroids (tiny, broadcast), take the
+  * `nprobe` nearest lists, then exact cosine only within those lists.
+  * Recall/cost tradeoff is nprobe/nlist as in FAISS-style IVF-Flat.
+  */
+object IvfIndex {
+
+  final case class Index(
+      /** (list_id, id, vec) — corpus partitioned by posting list. */
+      postings: DataFrame,
+      /** (list_id, centroid array<double>) — small, driver/broadcast. */
+      centroids: DataFrame)
+
+  def build(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, seed: Long = 42L): Index = {
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+
+    val base = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    val assembled = base.withColumn("features", array_to_vector(col("vec")))
+    val model = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("features").setPredictionCol("list_id")
+      .fit(assembled)
+    val postings = model.transform(assembled)
+      .select(col("list_id"), col("id"), col("vec"))
+      .repartition(col("list_id"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("list_id", "centroid")
+    Index(postings, centroids)
+  }
+
+  /** Top-k cosine neighbors per probe, scanning only the nprobe nearest
+    * posting lists of each probe. */
+  def search(index: Index, probes: DataFrame, idCol: String, vecCol: String,
+      k: Int, nprobe: Int): DataFrame = {
+    val p = probes.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    // rank centroids per probe (centroid table is tiny -> broadcast)
+    val scored = p.crossJoin(broadcast(index.centroids))
+      .withColumn("csim", cosineSimilarity(col("qv"), col("centroid")))
+    val wc = Window.partitionBy("query_id")
+      .orderBy(col("csim").desc, col("list_id"))
+    val probeLists = scored
+      .withColumn("crnk", row_number().over(wc))
+      .where(col("crnk") <= nprobe)
+      .select(col("query_id"), col("qv"), col("list_id"))
+    // exact cosine only within the selected lists
+    val candidates = probeLists.join(index.postings, "list_id")
+      .where(col("query_id") =!= col("id"))
+      .withColumn("cos", round(cosineSimilarity(col("qv"), col("vec")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("id"))
+    candidates.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("id").as("neighbor_id"),
+        col("cos"))
+  }
+}
