@@ -21,6 +21,7 @@ object ProfileApp {
     val output = args(1)
     val minimal = args.contains("--minimal")
     val infer = args.contains("--infer")
+    val spearman = args.contains("--spearman")
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
@@ -46,7 +47,8 @@ object ProfileApp {
       case _                => spark.read.parquet(input)
     }
 
-    val cfg = if (minimal) ProfileConfig.minimal else ProfileConfig.default
+    val cfg0 = if (minimal) ProfileConfig.minimal else ProfileConfig.default
+    val cfg = cfg0.copy(computeSpearman = cfg0.computeSpearman || spearman)
     val t0 = System.nanoTime()
     val typed = if (infer) TypeInference.castToInferred(df) else df
     val profile = Profiler.profile(typed, cfg)
