@@ -57,6 +57,13 @@ object Profiler {
       r
     }
 
+    // Pass A and pass B (exact mode) are independent single-scan jobs,
+    // and passes C-H are independent given their results — all overlap
+    // on a bounded pool of concurrent Spark jobs (the reference used a
+    // client-side ThreadPool the same way, model/summary.py:155-185).
+    val pool = Executors.newFixedThreadPool(6)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+
     // ---- Pass A: fused scalar aggregates -------------------------------
     val aggExprs = scala.collection.mutable.ArrayBuffer[Column](
       count(lit(1)).as("__n"))
@@ -105,13 +112,16 @@ object Profiler {
         case _ => ()
       }
     }
-    val aRow: Row = timed("A:fused-agg")(working.agg(aggExprs.head, aggExprs.tail.toSeq: _*).head())
+    val aRowF: Future[Row] = Future {
+      timed("A:fused-agg")(working.agg(aggExprs.head, aggExprs.tail.toSeq: _*).head())
+    }
+    lazy val aRow: Row = Await.result(aRowF, Duration.Inf)
     def aLong(k: String): Long =
       Option(aRow.getAs[Any](k)).map(_.asInstanceOf[Number].longValue).getOrElse(0L)
     def aDouble(k: String): Double =
       Option(aRow.getAs[Any](k)).map(_.asInstanceOf[Number].doubleValue)
         .getOrElse(Double.NaN)
-    val nRows = aLong("__n")
+    lazy val nRows: Long = aLong("__n")
 
     // ---- Pass B: per-(column,value) counts for ALL columns at once -----
     // Replaces the reference's per-column value_counts jobs
@@ -119,7 +129,7 @@ object Profiler {
     case class ValueInfo(
         nDistinct: Long, nUnique: Long, chi2P: Option[Double],
         topK: Seq[(String, Long)])
-    val (valueInfo: Map[String, ValueInfo], vcTable: Option[DataFrame]) =
+    val valueInfoF: Future[(Map[String, ValueInfo], Option[DataFrame])] = Future {
       if (supported.isEmpty) (Map.empty[String, ValueInfo], None)
       else if (cfg.exactDistinct) {
         val kvs = supported.map { case (f, _) =>
@@ -154,7 +164,9 @@ object Profiler {
           f.name -> ValueInfo(aLong(s"${f.name}::approxDistinct"), -1L, None, Seq.empty)
         }.toMap, None)
       }
-
+    }
+    val (valueInfo: Map[String, ValueInfo], vcTable: Option[DataFrame]) =
+      Await.result(valueInfoF, Duration.Inf)
     // Demotion: numeric with few distinct values profiles as categorical
     // (reference: typeset_relations.py:68-77).
     val typed: Seq[(StructField, ProfileType)] = supported.map { case (f, t) =>
@@ -165,13 +177,6 @@ object Profiler {
     val numericCols = typed.collect { case (f, ProfileType.Numeric) => f.name }
     val categoricalCols = typed.collect { case (f, ProfileType.Categorical) => f.name }
     val datetimeCols = typed.collect { case (f, ProfileType.DateTime) => f.name }
-
-    // Passes C-H are mutually independent given the pass-A/B results —
-    // run them as CONCURRENT Spark jobs (the reference used a client-side
-    // ThreadPool the same way, model/summary.py:155-185; here it overlaps
-    // scans/shuffles of the persisted input).
-    val pool = Executors.newFixedThreadPool(6)
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
 
     // ---- Pass C: all histograms in one explode->groupBy ----------------
     val histogramsF: Future[Map[String, Histogram]] = Future {
