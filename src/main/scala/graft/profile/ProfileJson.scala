@@ -85,7 +85,8 @@ object ProfileJson {
           ("n_infinite" -> n.nInfinite) ~ ("p_infinite" -> jd(n.pInfinite)) ~
           ("monotonic" -> n.monotonic) ~
           ("quantiles" -> JObject(n.quantiles.toList.sortBy(_._1).map {
-            case (q, v) => JField(s"$q%", jd(v)) })) ~
+            // reference key style: "5%", "25%", ... (describe.py quantile keys)
+            case (q, v) => JField(f"${q * 100}%.0f%%", jd(v)) })) ~
           ("chi_squared_p" -> n.chiSquaredP.map(jd).getOrElse(JNull: JValue)) ~
           ("histogram" -> n.histogram.map(histJson).getOrElse(JNull: JValue))
       case cat: CategoricalStats =>

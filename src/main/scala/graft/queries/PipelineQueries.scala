@@ -332,8 +332,35 @@ object PipelineQueries {
       CAST(floor(octet_length(text::BLOB) / 256.0) AS INT) + 1 AS n_chunks
       FROM documents ORDER BY id"""))
 
+  /** The full mapPartitions decode path (Multimodal.decodeMeta). The
+    * codec is a deterministic stub, which is precisely what makes the
+    * whole Dataset pipeline oracle-checkable end-to-end: the oracle
+    * recomputes the stub's metadata contract in SQL. (Documents start
+    * with ASCII bytes, so ascii(first char) == first byte.) */
+  val qMultimodalDecode = Q(
+    "q33b_multimodal_decode",
+    (s, dir) =>
+      Multimodal.decodeMeta(
+          table(s, dir, "documents")
+            .select(col("doc_id"), col("text").cast("binary").as("blob")),
+          "doc_id", "blob")
+        .toDF()
+        .orderBy("id"),
+    Some("""SELECT doc_id AS id,
+        CAST(octet_length(text::BLOB) AS BIGINT) AS byteLength,
+        CASE WHEN octet_length(text::BLOB) = 0 THEN 'empty'
+             WHEN ascii(substr(text, 1, 1)) < 64 THEN 'fake/a'
+             WHEN ascii(substr(text, 1, 1)) < 128 THEN 'fake/b'
+             ELSE 'fake/c' END AS format,
+        CAST(octet_length(text::BLOB) % 640 + 1 AS INT) AS width,
+        CAST(octet_length(text::BLOB) % 480 + 1 AS INT) AS height,
+        CAST(octet_length(text::BLOB) // 256 + 1 AS INT) AS nFrames,
+        (octet_length(text::BLOB) > 0 AND octet_length(text::BLOB) % 97 = 0)
+          AS truncated
+      FROM documents ORDER BY id"""))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qNgramJaccard, qMinhashSig, qMinhashLsh, qSimhash,
     qEmbedTopK, qEmbedNearDup, qLangId, qTextQuality, qTokenCounts,
-    qFingerprint, qMultimodalMeta)
+    qFingerprint, qMultimodalMeta, qMultimodalDecode)
 }
