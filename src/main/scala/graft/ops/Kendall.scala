@@ -34,12 +34,15 @@ object Kendall {
       sum(when(col("dx") * col("dy") < 0, 1L).otherwise(0L)).as("d"),
       sum(when(col("dx") === 0 && col("dy") =!= 0, 1L).otherwise(0L)).as("tx"),
       sum(when(col("dy") === 0 && col("dx") =!= 0, 1L).otherwise(0L)).as("ty"))
+    val denom = (col("c") + col("d") + col("tx")).cast("double") *
+      (col("c") + col("d") + col("ty")).cast("double")
     agg.select(
       col("n_pairs"), col("c").as("concordant"), col("d").as("discordant"),
+      // constant column => all pairs tied => denom 0: tau undefined (null),
+      // not an ANSI divide-by-zero failure
       round(
-        (col("c") - col("d")).cast("double") /
-          sqrt((col("c") + col("d") + col("tx")).cast("double") *
-            (col("c") + col("d") + col("ty")).cast("double")),
+        when(denom > 0.0,
+          (col("c") - col("d")).cast("double") / sqrt(denom)),
         8).as("tau_b"))
   }
 }
