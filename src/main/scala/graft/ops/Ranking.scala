@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed tie-averaged ranking without global windows.
+  *
+  * `rank().over(Window.orderBy(v))` forces the whole table onto ONE
+  * reducer (Spark logs "WindowExec: No Partition Defined"); at 100 TB
+  * that is a single-machine sort. Here ranks come from the per-value
+  * COUNT table via a two-phase distributed prefix sum:
+  *
+  *   1. groupBy(key, v) -> counts (one hash shuffle, combiner-side);
+  *   2. repartitionByRange by (key, v) + sortWithinPartitions — each
+  *      range partition holds a contiguous slice of the value domain;
+  *   3. one bounded pass collects per-(partition, key) subtotals
+  *      (<= partitions x keys rows to the driver), the driver prefix-sums
+  *      them into start offsets, broadcasts;
+  *   4. a narrow mapPartitions emits avgrank = offset + cum + (cnt+1)/2.
+  *
+  * No stage ever sees more than its range slice; every shuffle is
+  * hash/range partitioned. Reference semantics: tie-averaged ranks as in
+  * pandas-profiling's Spearman (reference correlations.py:41-87), where
+  * avg rank of value v = #(strictly smaller) + (count(v)+1)/2.
+  */
+object Ranking {
+
+  /** Tie-averaged rank table for melted (key, value) rows.
+    *
+    * Input must have a string column `keyCol` and a double column `vCol`
+    * with nulls/NaNs already filtered. Returns one row per distinct
+    * (key, value): (keyCol, vCol, avgrank). Ranks are 1-based within each
+    * key, ties averaged — exactly
+    * `rank().over(Window.partitionBy(key).orderBy(v)) + (cnt-1)/2`.
+    *
+    * Runs two Spark jobs (subtotals + result materialization is left to
+    * the caller); the intermediate count table is range-partitioned and
+    * persisted so both jobs read the same partitioning.
+    */
+  def avgRanks(kv: DataFrame, keyCol: String, vCol: String, parts: Int = 0): DataFrame = {
+    val spark = kv.sparkSession
+    import spark.implicits._
+    val p =
+      if (parts > 0) parts
+      else spark.sessionState.conf.numShufflePartitions
+    val counts = kv
+      .groupBy(col(keyCol).as("k"), col(vCol).as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val ranged: Dataset[(String, Double, Long)] = counts
+      .repartitionByRange(p, col("k"), col("v"))
+      .sortWithinPartitions("k", "v")
+      .select(col("k"), col("v").cast("double"), col("cnt"))
+      .as[(String, Double, Long)]
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // Phase 1: per-(partition, key) subtotals -> driver (bounded by p*keys).
+    val subtotals: Array[(Int, String, Long)] = ranged
+      .mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        val sums = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        it.foreach { case (k, _, n) => sums.update(k, sums.getOrElse(k, 0L) + n) }
+        sums.iterator.map { case (k, n) => (pid, k, n) }
+      }
+      .collect()
+    val offsets: Map[(Int, String), Long] = subtotals
+      .groupBy(_._2)
+      .flatMap { case (k, arr) =>
+        var cum = 0L
+        arr.sortBy(_._1).map { case (pid, _, n) =>
+          val entry = ((pid, k), cum); cum += n; entry
+        }
+      }
+    val bc = spark.sparkContext.broadcast(offsets)
+
+    // Phase 2: narrow cumulative pass over the same sorted partitions.
+    val ranks = ranged
+      .mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        var curKey: String = null
+        var cum = 0L
+        it.map { case (k, v, n) =>
+          if (k != curKey) {
+            curKey = k
+            cum = bc.value.getOrElse((pid, k), 0L)
+          }
+          val r = cum + (n + 1) / 2.0
+          cum += n
+          (k, v, r)
+        }
+      }
+      .toDF(keyCol, vCol, "avgrank")
+    ranks
+  }
+
+  /** Single-column convenience: tie-averaged rank per distinct value of
+    * `vCol` in `df` (nulls and NaNs dropped). Returns (vCol, avgrank). */
+  def avgRankTable(df: DataFrame, vCol: String, parts: Int = 0): DataFrame = {
+    val kv = df
+      .select(lit("_").as("__k"), col(vCol).cast("double").as("__v"))
+      .where(col("__v").isNotNull && !col("__v").isNaN)
+    avgRanks(kv, "__k", "__v", parts).select(col("__v").as(vCol), col("avgrank"))
+  }
+}

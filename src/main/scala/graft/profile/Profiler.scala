@@ -559,10 +559,13 @@ object Profiler {
     *
     * MLlib's implementation (the reference's choice, correlations.py:41-87)
     * runs one distributed sort PER COLUMN — 59s for 8 columns at sf0.1.
-    * Here ranks come from the per-(column,value) COUNT table: average
-    * rank of value v is cum_count(<v) + (count(v)+1)/2, one window over
-    * distinct values of all columns at once (sort size = distinct values,
-    * not rows), joined back and correlated pairwise in one aggregate. */
+    * Here all columns melt into ONE (col, value) table, ranks come from
+    * [[graft.ops.Ranking.avgRanks]]'s two-phase distributed prefix sum
+    * over the per-(col,value) COUNT table (no global or per-column
+    * windows — every stage is hash/range partitioned), and the rank-space
+    * wide table is rebuilt with conditional aggregation keyed by row id
+    * (a plain hash shuffle over N*m rank rows, no pivot analysis pass).
+    * One fused aggregate then computes all pairwise correlations. */
   private[profile] def spearmanMatrix(df: DataFrame, cols: Seq[String]): CorrelationMatrix = {
     val rid = monotonically_increasing_id().as("__rid")
     val base = df.select((cols.map(c => qcol(c).cast("double").as(c)) :+ rid): _*)
@@ -571,15 +574,13 @@ object Profiler {
           struct(lit(c).as("c"), col(s"`$c`").as("v"))): _*)).as("kv"))
       .select(col("__rid"), col("kv.c").as("c"), col("kv.v").as("v"))
       .where(col("v").isNotNull && !col("v").isNaN)
-    val vc = kv.groupBy("c", "v").agg(count(lit(1)).as("cnt"))
-    val wRank = Window.partitionBy("c").orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val ranks = vc.withColumn("below", coalesce(sum(col("cnt")).over(wRank), lit(0L)))
-      .withColumn("avgrank",
-        col("below").cast("double") + (col("cnt").cast("double") + 1.0) / 2.0)
-      .select("c", "v", "avgrank")
+    val ranks = graft.ops.Ranking.avgRanks(kv.select("c", "v"), "c", "v")
     val ranked = kv.join(ranks, Seq("c", "v"))
-      .groupBy("__rid").pivot("c", cols).agg(first(col("avgrank")))
+      .groupBy("__rid")
+      .agg(
+        max(when(col("c") === cols.head, col("avgrank"))).as(cols.head),
+        cols.tail.map(c =>
+          max(when(col("c") === c, col("avgrank"))).as(c)): _*)
     val pairs = for {
       i <- cols.indices; j <- (i + 1) until cols.size
     } yield (cols(i), cols(j))

@@ -254,20 +254,32 @@ object QueryCatalog {
       round(corr(l_extendedprice, l_discount), 8) AS c_price_disc,
       round(corr(l_extendedprice, l_tax), 8) AS c_price_tax FROM lineitem"""))
 
-  /** Spearman rank correlation via average ranks (tie-corrected), fully
-    * deterministic in SQL form (reference: correlations.py:41-87;
-    * at scale the library uses ml.stat.Correlation — this query form is
-    * the oracle-checkable equivalent). */
+  /** Spearman rank correlation via average ranks (tie-corrected),
+    * reference: correlations.py:41-87. The ranks come from
+    * [[graft.ops.Ranking]]'s two-phase distributed prefix sum — NOT a
+    * global `Window.orderBy` (which would funnel the whole table through
+    * one reducer at scale). Null rows never join a rank and are skipped
+    * by corr — and since corr is invariant under a constant rank shift,
+    * this matches the windowed oracle form exactly. */
   val qSpearman = Q(
     "q12_spearman",
     (s, dir) => {
       val df = table(s, dir, "lineitem")
-        .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"))
-      val rx = rank().over(Window.orderBy("x")).cast("double") +
-        (count(lit(1)).over(Window.partitionBy("x")).cast("double") - 1) / 2.0
-      val ry = rank().over(Window.orderBy("y")).cast("double") +
-        (count(lit(1)).over(Window.partitionBy("y")).cast("double") - 1) / 2.0
-      df.select(rx.as("rx"), ry.as("ry"))
+        .select(
+          col("l_quantity").cast("double").as("x"),
+          col("l_extendedprice").cast("double").as("y"))
+      val kv = df
+        .select(explode(array(
+          struct(lit("x").as("k"), col("x").as("v")),
+          struct(lit("y").as("k"), col("y").as("v")))).as("kv"))
+        .select(col("kv.k").as("k"), col("kv.v").as("v"))
+        .where(col("v").isNotNull && !col("v").isNaN)
+      val ranks = graft.ops.Ranking.avgRanks(kv, "k", "v")
+      val rx = ranks.where(col("k") === "x")
+        .select(col("v").as("x"), col("avgrank").as("rx"))
+      val ry = ranks.where(col("k") === "y")
+        .select(col("v").as("y"), col("avgrank").as("ry"))
+      df.join(rx, "x").join(ry, "y")
         .agg(round(corr(col("rx"), col("ry")), 8).as("spearman"))
     },
     Some("""WITH r AS (SELECT

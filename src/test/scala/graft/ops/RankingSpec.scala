@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RankingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("avgRanks matches window tie-averaged ranks across many partitions") {
+    // Heavy ties + several keys, spread over more partitions than keys so
+    // the per-(partition,key) offset bookkeeping is actually exercised.
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 5000).map { _ =>
+      val k = s"c${rnd.nextInt(3)}"
+      (k, rnd.nextInt(40).toDouble)
+    }
+    val kv = rows.toDF("k", "v").repartition(13)
+
+    val got = Ranking.avgRanks(kv, "k", "v", parts = 7)
+      .collect()
+      .map(r => ((r.getString(0), r.getDouble(1)), r.getDouble(2)))
+      .toMap
+
+    val w = Window.partitionBy("k").orderBy("v")
+    val want = kv
+      .withColumn("r",
+        rank().over(w).cast("double") +
+          (count(lit(1)).over(Window.partitionBy("k", "v")).cast("double") - 1) / 2.0)
+      .select("k", "v", "r")
+      .distinct()
+      .collect()
+      .map(r => ((r.getString(0), r.getDouble(1)), r.getDouble(2)))
+      .toMap
+
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, r) => assert(got(k) == r, s"rank mismatch at $k") }
+  }
+
+  test("avgRankTable: single column, all ties, singleton") {
+    val allTies = Seq(5.0, 5.0, 5.0, 5.0).toDF("x")
+    val t = Ranking.avgRankTable(allTies, "x").collect()
+    assert(t.length == 1 && t.head.getDouble(1) == 2.5)
+
+    val one = Seq(42.0).toDF("x")
+    val t1 = Ranking.avgRankTable(one, "x").collect()
+    assert(t1.length == 1 && t1.head.getDouble(1) == 1.0)
+
+    // nulls and NaNs are excluded from ranking
+    val withNulls = Seq[java.lang.Double](1.0, null, Double.NaN, 2.0).toDF("x")
+    val t2 = Ranking.avgRankTable(withNulls, "x")
+      .orderBy("x").collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(t2.toSeq == Seq((1.0, 1.0), (2.0, 2.0)))
+  }
+}
