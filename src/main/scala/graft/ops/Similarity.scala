@@ -65,6 +65,62 @@ object Similarity {
     df.select(col(idCol).as("id"), bucket.as("bucket"))
   }
 
+  /** Multi-band SRP-LSH bucket table: `bands` independent bucket ids per
+    * vector, each from `planesPerBand` sign bits. Two vectors at cosine c
+    * share >= 1 band-bucket with probability 1-(1-p^r)^B, p = 1-acos(c)/pi
+    * — bands trade compute for recall, the classic LSH amplification.
+    *
+    * The sign matrix is the SAME deterministic hash family as
+    * [[hyperplaneSign]] (parity of hash64("plane_i", 7919)), but
+    * materialized ONCE per partition as a primitive array and applied in
+    * a flat mapPartitions pass: one scan, bands*planes fused dot
+    * products per row, no md5 in the per-row hot path. Output:
+    * (id, band, bucket) — n*bands rows, ready for a hash-partitioned
+    * self-join on (band, bucket). */
+  def srpBandBuckets(
+      df: DataFrame, idCol: String, vecCol: String,
+      planesPerBand: Int, bands: Int, seed: Int = 7919): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nPlanes = planesPerBand * bands
+    val r = planesPerBand
+    df.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        // per-(partition, dim) sign matrix; md5 runs nPlanes*dim times per
+        // partition, never per row (deterministic: parity of the same
+        // hash64 family used by the SQL-expression hyperplaneSign)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def signOf(plane: Int, i: Int): Double = {
+          val hex = md.digest(s"$seed:${plane}_$i".getBytes("UTF-8"))
+            .take(8).map("%02x".format(_)).mkString.take(15)
+          if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+        }
+        val cache = scala.collection.mutable.Map.empty[Int, Array[Array[Double]]]
+        def signsFor(dim: Int): Array[Array[Double]] =
+          cache.getOrElseUpdate(dim,
+            Array.tabulate(nPlanes)(p => Array.tabulate(dim)(i => signOf(p, i))))
+        it.flatMap { case (id, vec) =>
+          val v = vec.toArray
+          val s = signsFor(v.length)
+          (0 until bands).iterator.map { b =>
+            var bucket = 0L
+            var p = 0
+            while (p < r) {
+              val plane = s(b * r + p)
+              var dot = 0.0
+              var i = 0
+              while (i < v.length) { dot += v(i) * plane(i); i += 1 }
+              if (dot >= 0) bucket |= (1L << p)
+              p += 1
+            }
+            (id, b, bucket)
+          }
+        }
+      }
+      .toDF("id", "band", "bucket")
+  }
+
   /** ANN top-k via SRP-LSH: score only within the probe's bucket. Recall
     * is tunable via `planes` (fewer planes = bigger buckets = higher
     * recall, more compute). */

@@ -186,11 +186,16 @@ object PipelineQueries {
       SELECT query_id, rnk, neighbor_id, cos FROM ranked
       WHERE rnk <= 5 ORDER BY query_id, rnk"""))
 
-  /** Embedding near-dup pairs: cosine >= 0.4 over all pairs. */
+  /** Embedding near-dup pairs: cosine >= 0.4, candidates from banded
+    * SRP-LSH (band/bucket equi-join, no cross join in the plan), exact
+    * cosine verify on candidates. r=4 planes x 64 bands catches every
+    * true pair on the testdata at all SFs (2x band margin over the
+    * minimum; DedupSpec asserts parity with the all-pairs form), so the
+    * oracle stays the exact all-pairs SQL. */
   val qEmbedNearDup = Q(
     "q27_embed_neardup",
     (s, dir) =>
-      Dedup.embeddingNearDupPairs(table(s, dir, "embeddings"),
+      Dedup.lshNearDupPairs(table(s, dir, "embeddings"),
           "vec_id", "embedding", 0.4)
         .orderBy("i", "j"),
     Some(s"""SELECT p.qid AS i, e.vec_id AS j, $dkCos AS cos

@@ -74,6 +74,31 @@ class OpsSpec extends SparkSpec {
     assert(b1 == b2) // no RNG state — reproducible
   }
 
+  test("lshNearDupPairs: bit-identical to all-pairs on real embeddings, no cartesian") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val lsh = Dedup.lshNearDupPairs(emb, "vec_id", "embedding", 0.4)
+    // scale shape: candidates come from equi-joins only
+    val plan = lsh.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "LSH near-dup plan must not contain a cross join")
+    val got = lsh.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want, s"recall/precision mismatch: missed=${want -- got} extra=${got -- want}")
+    assert(want.nonEmpty)
+  }
+
+  test("srpBandBuckets matches the SQL-expression hyperplane hash family") {
+    // band 0 of srpBandBuckets uses planes 0..7 — same family as
+    // hyperplaneLshBuckets(planes=8), so bucket ids must be identical
+    val sql = Similarity.hyperplaneLshBuckets(vecs, "vec_id", "embedding", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fused = Similarity.srpBandBuckets(vecs, "vec_id", "embedding", 8, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(fused == sql)
+  }
+
   test("text analysis: langId picks stopword language, counts deterministic") {
     val df = Seq(
       (0L, "the cat and the dog in the house"),
