@@ -30,6 +30,22 @@ object Sampling {
   def hashSample(df: DataFrame, keyCol: String, pct: Int): DataFrame =
     df.where(pmod(hash64(col(keyCol).cast("string"), 0), lit(100)) < pct)
 
+  /** [[hashSample]] additionally capped at an absolute row count. The cap
+    * is taken in deterministic hash order of `tieKey` (pseudorandom, so
+    * the capped set is still a uniform sample), which hard-bounds
+    * downstream quadratic work at ANY input scale: a percent alone does
+    * not — 1% of 10^9 rows is 10^7 rows and 5*10^13 Kendall pairs, while
+    * min(1%, 10^4 rows) is at most 5*10^7 pairs. Executes as
+    * TakeOrderedAndProject (per-partition top-cap, merge of <= cap rows
+    * per partition — no full sort, no single-reducer window). `tieKey`
+    * should be unique per row so the order is total and the cut
+    * deterministic. */
+  def hashSampleCapped(df: DataFrame, keyCol: String, pct: Int, cap: Int,
+      tieKey: org.apache.spark.sql.Column): DataFrame =
+    hashSample(df, keyCol, pct)
+      .orderBy(hash64(tieKey.cast("string"), 1))
+      .limit(cap)
+
   /** Distributed byte-size estimate: fixed widths for fixed-size types +
     * octet_length for strings/binary (replaces the reference's
     * cube-root-sample -> toPandas memory probe with one aggregate). */

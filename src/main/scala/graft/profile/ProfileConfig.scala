@@ -65,9 +65,17 @@ final case class ProfileConfig(
     computeKendall: Boolean = false,
     /** Rows kept (hash-sample percent) for Kendall's O(n^2) pair space. */
     kendallSamplePct: Int = 1,
+    /** Absolute row cap on the Kendall sample — a percent alone leaves
+      * the pair join quadratic in table size (1% of 10^9 rows is 5*10^13
+      * pairs); min(pct, cap) hard-bounds it, and s.e. ~ 1/sqrt(n) makes
+      * >10^4 rows statistically pointless anyway. */
+    kendallSampleCap: Int = 10000,
     /** phi-k for categorical pairs (off by default like the reference,
       * config_default.yaml:84-87). */
     computePhik: Boolean = false,
+    /** Concurrent Spark jobs the profiler overlaps on its client-side
+      * pool (reference `spark.pool_size`, config_default.yaml:97). */
+    poolSize: Int = 6,
     /** Max distinct values for a column to enter Cramer's V
       * (reference: config_default.yaml:110). */
     maxCramersCardinality: Int = 100,

@@ -61,7 +61,7 @@ object Profiler {
     // and passes C-H are independent given their results — all overlap
     // on a bounded pool of concurrent Spark jobs (the reference used a
     // client-side ThreadPool the same way, model/summary.py:155-185).
-    val pool = Executors.newFixedThreadPool(6)
+    val pool = Executors.newFixedThreadPool(cfg.poolSize)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
 
     // ---- Pass A: fused scalar aggregates -------------------------------
@@ -413,9 +413,10 @@ object Profiler {
     val kendallF: Future[Map[(String, String), Double]] = Future {
       if (!cfg.computeKendall || numericCols.size < 2) Map.empty
       else {
-        val sampled = graft.ops.Sampling.hashSample(
+        val sampled = graft.ops.Sampling.hashSampleCapped(
           working.select(numericCols.map(qcol): _*),
-          numericCols.head, cfg.kendallSamplePct)
+          numericCols.head, cfg.kendallSamplePct, cfg.kendallSampleCap,
+          concat_ws("_", numericCols.map(qcol): _*))
         (for { i <- numericCols.indices; j <- (i + 1) until numericCols.size }
           yield {
             val r = graft.ops.Kendall

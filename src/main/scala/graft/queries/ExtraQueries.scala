@@ -171,21 +171,28 @@ object ExtraQueries {
                octet_length(o_orderpriority::BLOB)) AS BIGINT) AS est_bytes,
              count(*) AS n_rows FROM orders"""))
 
-  /** Kendall tau-b by distributed pair counting over a deterministic 1%
-    * hash-sample (reference pulls the whole table to one node instead —
-    * correlations.py:140-216; sampling is the statistically honest way
-    * to bound the O(n^2) pair space, s.e. ~ 1/sqrt(n)). */
+  /** Kendall tau-b by distributed pair counting over a deterministic
+    * hash-sample of min(1%, 10^4 rows) — the absolute cap (taken in hash
+    * order of the unique (orderkey, linenumber) key) hard-bounds the
+    * O(n^2) pair join at ANY scale; a percent alone does not (1% of 10^9
+    * rows is 5*10^13 pairs). Statistically honest: s.e. ~ 1/sqrt(n), so
+    * >10^4 rows buys nothing. (Reference pulls the whole table to one
+    * node instead — correlations.py:140-216.) */
   val qKendall = Q(
     "q41_kendall",
     (s, dir) =>
       graft.ops.Kendall.tauB(
-        Sampling.hashSample(table(s, dir, "lineitem"), "l_orderkey", 1),
+        Sampling.hashSampleCapped(table(s, dir, "lineitem"), "l_orderkey", 1,
+          10000, concat_ws("_", col("l_orderkey"), col("l_linenumber"))),
         "l_quantity", "l_extendedprice"),
     Some("""WITH base AS (
         SELECT l_quantity AS x, l_extendedprice AS y,
                row_number() OVER () AS rid
-        FROM lineitem
-        WHERE ('0x'||substr(md5('0:'||CAST(l_orderkey AS VARCHAR)),1,15))::BIGINT % 100 < 1),
+        FROM (
+          SELECT * FROM lineitem
+          WHERE ('0x'||substr(md5('0:'||CAST(l_orderkey AS VARCHAR)),1,15))::BIGINT % 100 < 1
+          ORDER BY ('0x'||substr(md5('1:'||l_orderkey||'_'||l_linenumber),1,15))::BIGINT
+          LIMIT 10000)),
       p AS (SELECT a.x - b.x AS dx, a.y - b.y AS dy
             FROM base a JOIN base b ON a.rid < b.rid),
       agg AS (SELECT count(*) n_pairs,

@@ -26,4 +26,22 @@ class KendallSpec extends SparkSpec {
     val r = Kendall.tauB(df, "x", "y").head()
     assert(r.getAs[Double]("tau_b") == -1.0)
   }
+
+  test("hashSampleCapped hard-bounds the pair join at any rowcount") {
+    import org.apache.spark.sql.functions._
+    // 200k rows where the 50% rate alone would keep ~100k rows (5e9
+    // pairs); the absolute cap must cut that to exactly 500 rows.
+    val big = spark.range(200000)
+      .select(col("id"), (col("id") % 97).cast("double").as("x"),
+        (col("id") % 31).cast("double").as("y"))
+    val sampled = Sampling.hashSampleCapped(big, "id", 50, 500, col("id"))
+    assert(sampled.count() == 500)
+    val r = Kendall.tauB(sampled, "x", "y").head()
+    assert(r.getAs[Long]("n_pairs") == 500L * 499 / 2)
+    // deterministic: same cap, same rows, same tau
+    val r2 = Kendall.tauB(
+      Sampling.hashSampleCapped(big.repartition(17), "id", 50, 500, col("id")),
+      "x", "y").head()
+    assert(r2.getAs[Double]("tau_b") == r.getAs[Double]("tau_b"))
+  }
 }
