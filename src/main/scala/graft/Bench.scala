@@ -8,6 +8,12 @@ import org.apache.spark.sql.SparkSession
   *
   * Queries are forced through the noop sink so the full plan executes
   * (a bare count() would let Catalyst prune most of the work).
+  *
+  * Self-defending measurement (a contended host once recorded 297 s for
+  * an ~80 s suite): a warmup action absorbs JVM/codegen startup, every
+  * query runs TWICE and reports the min (an OS scheduling stall hits one
+  * run, not both), and the JSON carries availableProcessors + the 1-min
+  * load average so a polluted run is self-evident from the artifact.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -23,19 +29,43 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+
+    // Warmup: exercise scan + shuffle + codegen once, outside any timing.
+    try {
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_returnflag").count()
+        .write.format("noop").mode("overwrite").save()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup failed: ${e.getMessage}")
+    }
+
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
+
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // two full passes, min per query: a transient host stall pollutes one
+    // pass; the min of two is the honest steady-state figure
+    val pass1 = ordered.map { case (n, f) => n -> timeOnce(n, f) }.toMap
+    val pass2 = ordered.map { case (n, f) => n -> timeOnce(n, f) }.toMap
+    val results = ordered.map { case (n, _) =>
+      n -> math.min(pass1(n), pass2(n))
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val procs = Runtime.getRuntime.availableProcessors
+    val load = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val t1 = pass1.values.sum; val t2 = pass2.values.sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","procs":$procs,"loadavg":$load%.2f,"pass_totals":[$t1%.3f,$t2%.3f]}""")
     spark.stop()
   }
 }

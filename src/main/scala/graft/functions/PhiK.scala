@@ -101,11 +101,15 @@ object PhiK {
     val rowTot = new Array[Double](nRows)
     val colTot = new Array[Double](nCols)
     cells.foreach { case (i, j, c) => rowTot(i) += c; colTot(j) += c }
+    // index once: the r*k loop below must be O(1) per cell, not a scan of
+    // the (possibly r*k-sized) cell list per iteration
+    val cellMap: Map[(Int, Int), Long] =
+      cells.map { case (i, j, c) => (i, j) -> c }.toMap
     var chi2Obs = 0.0
     for (i <- 0 until nRows; j <- 0 until nCols) {
       val e = rowTot(i) * colTot(j) / n
       if (e > 1e-14) {
-        val o = cells.collectFirst { case (`i`, `j`, c) => c.toDouble }.getOrElse(0.0)
+        val o = cellMap.getOrElse((i, j), 0L).toDouble
         val d = o - e
         chi2Obs += d * d / e
       }

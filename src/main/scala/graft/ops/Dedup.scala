@@ -210,28 +210,58 @@ object Dedup {
     sums.select(col("id"), sig.as("simhash"))
   }
 
+  /** SRP-LSH candidate pairs for [[lshNearDupPairs]]: a hash-partitioned
+    * self-join on (band, bucket). Exposed separately so selectivity —
+    * candidate count as a fraction of n(n-1)/2 — is directly measurable
+    * (DedupSpec asserts < 5% on random vectors; recall alone says
+    * nothing about whether the join degenerated to all pairs). The
+    * bucket table feeds both sides of the self-join, so it is built
+    * once (eager localCheckpoint; RDD-backed, ContextCleaner-reclaimed)
+    * instead of rebuilding the sign-matrix scan per side. */
+  def lshCandidatePairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      planesPerBand: Int, bands: Int): DataFrame = {
+    val bk = Similarity
+      .srpBandBuckets(df, idCol, vecCol, planesPerBand, bands)
+      .localCheckpoint(true)
+    bk.select(col("band"), col("bucket"), col("id").as("i"))
+      .join(bk.select(col("band"), col("bucket"), col("id").as("j")),
+        Seq("band", "bucket"))
+      .where(col("i") < col("j"))
+      .select("i", "j").distinct()
+  }
+
   /** Embedding near-duplicates via banded SRP-LSH: candidates from a
     * hash-partitioned self-join on (band, bucket), then EXACT cosine
     * verification on candidates only — the q24 minhash shape applied to
     * embeddings. No cross join anywhere: the only joins are equi-joins
     * on (band, bucket) and on id.
     *
-    * Recall is 1-(1-p^r)^bands per pair (p = 1-acos(cos)/pi); with the
-    * default r=4, bands=64, a pair at cosine 0.4 is missed with
-    * probability (1-0.631^4)^64 ~ 1.6e-5 — and empirically 0 of the
-    * true pairs are missed on the driver testdata at any SF (asserted
-    * against [[embeddingNearDupPairs]] in DedupSpec). Verified cosines
-    * are the same doubles as the all-pairs form, so outputs are
-    * bit-identical when recall is 100%. */
+    * OPERATING RANGE — this is a NEAR-DUP operator (threshold >= ~0.8),
+    * not a general threshold-join. SRP-LSH separates signal from noise
+    * only when the threshold's collision probability p = 1-acos(t)/pi
+    * stands clear of the random-pair baseline p = 0.5. Measured on the
+    * driver's embeddings testdata (isotropic 64-dim vectors, where the
+    * pairwise-cosine null sd is 1/sqrt(64) = 0.125):
+    *   - t = 0.4 is BELOW the noise floor: with n = 2000 (sf0.1) the
+    *     null model puts hundreds of random pairs above 0.4 (observed
+    *     920, max cosine 0.62 ~ sd*sqrt(2 ln n^2) — the top tail of
+    *     noise, not planted structure). No (r, b) separates p = 0.631
+    *     from p = 0.5, and metric blocking fails too: k-means IVF cells
+    *     (k = 16/32/64) need 50-95% of all pairs as candidates for 100%
+    *     recall at t = 0.4. Any exact sub-quadratic plan is impossible
+    *     at such a threshold; use [[embeddingNearDupPairs]] there.
+    *   - t >= 0.8: the default r=14 planes x 192 bands gives, on the
+    *     same data, E[candidate fraction] = 2.0% of all pairs with
+    *     recall 99.96% at cosine exactly 0.80, ~100% at >= 0.85
+    *     (1-(1-p^14)^192; DedupSpec asserts both selectivity and
+    *     planted-pair recall).
+    * Verified cosines are the same doubles as the all-pairs form, so
+    * outputs are bit-identical when recall is 100%. */
   def lshNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
-      planesPerBand: Int = 4, bands: Int = 64): DataFrame = {
-    val bk = Similarity.srpBandBuckets(df, idCol, vecCol, planesPerBand, bands)
-    val cand = bk.select(col("band"), col("bucket"), col("id").as("i"))
-      .join(bk.select(col("band"), col("bucket"), col("id").as("j")),
-        Seq("band", "bucket"))
-      .where(col("i") < col("j"))
-      .select("i", "j").distinct()
+      planesPerBand: Int = 14, bands: Int = 192): DataFrame = {
+    val cand = lshCandidatePairs(df, idCol, vecCol, planesPerBand, bands)
     val a = df.select(col(idCol).as("i"), col(vecCol).as("va"),
       l2Norm(col(vecCol)).as("na"))
     val b = df.select(col(idCol).as("j"), col(vecCol).as("vb"),

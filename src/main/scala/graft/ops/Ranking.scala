@@ -91,6 +91,14 @@ object Ranking {
         }
       }
       .toDF(keyCol, vCol, "avgrank")
+      // eager localCheckpoint pins the RESULT (same size class as the
+      // count table) and cuts the lineage to `ranged`/`bc`, so both can
+      // be released NOW instead of leaking until the ContextCleaner runs;
+      // the checkpoint RDD itself is reclaimed when the returned frame
+      // goes out of scope
+      .localCheckpoint(true)
+    ranged.unpersist(false)
+    bc.destroy()
     ranks
   }
 

@@ -80,45 +80,52 @@ object Similarity {
   def srpBandBuckets(
       df: DataFrame, idCol: String, vecCol: String,
       planesPerBand: Int, bands: Int, seed: Int = 7919): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
     val nPlanes = planesPerBand * bands
     val r = planesPerBand
-    df.select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Seq[Float])]
-      .mapPartitions { it =>
-        // per-(partition, dim) sign matrix; md5 runs nPlanes*dim times per
-        // partition, never per row (deterministic: parity of the same
-        // hash64 family used by the SQL-expression hyperplaneSign)
-        val md = java.security.MessageDigest.getInstance("MD5")
-        def signOf(plane: Int, i: Int): Double = {
-          val hex = md.digest(s"$seed:${plane}_$i".getBytes("UTF-8"))
-            .take(8).map("%02x".format(_)).mkString.take(15)
-          if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
-        }
-        val cache = scala.collection.mutable.Map.empty[Int, Array[Array[Double]]]
-        def signsFor(dim: Int): Array[Array[Double]] =
-          cache.getOrElseUpdate(dim,
-            Array.tabulate(nPlanes)(p => Array.tabulate(dim)(i => signOf(p, i))))
-        it.flatMap { case (id, vec) =>
-          val v = vec.toArray
-          val s = signsFor(v.length)
-          (0 until bands).iterator.map { b =>
-            var bucket = 0L
-            var p = 0
-            while (p < r) {
-              val plane = s(b * r + p)
-              var dot = 0.0
-              var i = 0
-              while (i < v.length) { dot += v(i) * plane(i); i += 1 }
-              if (dot >= 0) bucket |= (1L << p)
-              p += 1
-            }
-            (id, b, bucket)
+    // id passes through as an opaque Row field — its ORIGINAL type is
+    // preserved (a cast to long would null out string ids and silently
+    // return zero pairs downstream)
+    val in = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<float>").as("vec"))
+    val outSchema = StructType(Seq(
+      in.schema.fields(0),
+      StructField("band", IntegerType, nullable = false),
+      StructField("bucket", LongType, nullable = false)))
+    in.mapPartitions { it =>
+      // per-(partition, dim) sign matrix; md5 runs nPlanes*dim times per
+      // partition, never per row (deterministic: parity of the same
+      // hash64 family used by the SQL-expression hyperplaneSign)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def signOf(plane: Int, i: Int): Double = {
+        val hex = md.digest(s"$seed:${plane}_$i".getBytes("UTF-8"))
+          .take(8).map("%02x".format(_)).mkString.take(15)
+        if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+      }
+      val cache = scala.collection.mutable.Map.empty[Int, Array[Array[Double]]]
+      def signsFor(dim: Int): Array[Array[Double]] =
+        cache.getOrElseUpdate(dim,
+          Array.tabulate(nPlanes)(p => Array.tabulate(dim)(i => signOf(p, i))))
+      it.flatMap { row =>
+        val id = row.get(0)
+        val v = row.getSeq[Float](1).toArray
+        val s = signsFor(v.length)
+        (0 until bands).iterator.map { b =>
+          var bucket = 0L
+          var p = 0
+          while (p < r) {
+            val plane = s(b * r + p)
+            var dot = 0.0
+            var i = 0
+            while (i < v.length) { dot += v(i) * plane(i); i += 1 }
+            if (dot >= 0) bucket |= (1L << p)
+            p += 1
           }
+          Row(id, b, bucket)
         }
       }
-      .toDF("id", "band", "bucket")
+    }(Encoders.row(outSchema))
   }
 
   /** ANN top-k via SRP-LSH: score only within the probe's bucket. Recall

@@ -413,10 +413,15 @@ object Profiler {
     val kendallF: Future[Map[(String, String), Double]] = Future {
       if (!cfg.computeKendall || numericCols.size < 2) Map.empty
       else {
+        // tie key must be unique per row pattern: concat_ws SKIPS nulls, so
+        // (null,5) and (5,null) would both key as "5" and make the cap cut
+        // run-dependent — coalesce every column to an explicit sentinel
+        val tieKey = concat_ws("_", numericCols.map(c =>
+          coalesce(qcol(c).cast("string"), lit(" "))): _*)
         val sampled = graft.ops.Sampling.hashSampleCapped(
           working.select(numericCols.map(qcol): _*),
           numericCols.head, cfg.kendallSamplePct, cfg.kendallSampleCap,
-          concat_ws("_", numericCols.map(qcol): _*))
+          tieKey)
         (for { i <- numericCols.indices; j <- (i + 1) until numericCols.size }
           yield {
             val r = graft.ops.Kendall

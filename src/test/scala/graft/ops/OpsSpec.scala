@@ -74,19 +74,72 @@ class OpsSpec extends SparkSpec {
     assert(b1 == b2) // no RNG state — reproducible
   }
 
-  test("lshNearDupPairs: bit-identical to all-pairs on real embeddings, no cartesian") {
-    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    val lsh = Dedup.lshNearDupPairs(emb, "vec_id", "embedding", 0.4)
+  /** Deterministic planted-near-dup corpus: nBase isotropic 64-dim
+    * vectors, the first nDups of which get a perturbed copy at cosine
+    * ~0.97 (>= 0.85 with huge margin). Null pair cosines concentrate at
+    * sd = 1/8, so with ~40k pairs nothing random reaches 0.8: the
+    * expected near-dup output at t = 0.8 is EXACTLY the planted pairs. */
+  private def plantedVectors(nBase: Int, nDups: Int, seed: Long) = {
+    val rnd = new scala.util.Random(seed)
+    def gauss64() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = (0 until nBase).map(i => (i.toLong, gauss64()))
+    val dups = (0 until nDups).map { i =>
+      val v = base(i)._2
+      val g = gauss64()
+      ((nBase + i).toLong, v.zip(g).map { case (x, n) => x + 0.25f * n })
+    }
+    (base ++ dups).toDF("vec_id", "embedding")
+  }
+
+  test("lshNearDupPairs: bit-identical to all-pairs on planted near-dups, no cartesian") {
+    val emb = plantedVectors(260, 20, seed = 42).repartition(8)
+    val lsh = Dedup.lshNearDupPairs(emb, "vec_id", "embedding", 0.8)
     // scale shape: candidates come from equi-joins only
     val plan = lsh.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       "LSH near-dup plan must not contain a cross join")
     val got = lsh.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val want = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.4)
+    val want = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(want.size == 20, s"expected exactly the 20 planted pairs, got ${want.size}")
     assert(got == want, s"recall/precision mismatch: missed=${want -- got} extra=${got -- want}")
-    assert(want.nonEmpty)
+  }
+
+  test("lshCandidatePairs is SELECTIVE: < 5% of all pairs on random vectors") {
+    // recall parity alone can hide a degenerate LSH that emits every
+    // pair as a candidate (the round-2 t=0.4 failure mode) — assert the
+    // candidate-set SIZE, on data with no planted structure at all
+    val n = 400
+    val emb = plantedVectors(n, 0, seed = 7).repartition(8)
+    val cand = Dedup.lshCandidatePairs(emb, "vec_id", "embedding", 14, 192).count()
+    val allPairs = n.toLong * (n - 1) / 2
+    assert(cand < allPairs * 0.05,
+      s"candidate set degenerated: $cand of $allPairs pairs (${100.0 * cand / allPairs}%)")
+  }
+
+  test("lshNearDupPairs on real embeddings agrees with all-pairs at t=0.8") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val got = Dedup.lshNearDupPairs(emb, "vec_id", "embedding", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the driver data has no planted embedding dups: the correct answer
+    // is empty, and LSH must agree with the exact form on that
+    assert(got == want)
+  }
+
+  test("srpBandBuckets preserves non-numeric id types") {
+    val named = Seq(
+      ("doc-a", Array(1.0f, 0.0f, 0.0f)),
+      ("doc-b", Array(0.99f, 0.14f, 0.0f)),
+      ("doc-c", Array(0.0f, 1.0f, 0.0f))
+    ).toDF("name", "embedding")
+    // a cast-to-long would null every id and silently yield zero pairs
+    val pairs = Dedup.lshNearDupPairs(named, "name", "embedding", 0.8,
+        planesPerBand = 4, bands = 64)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs == Set(("doc-a", "doc-b")))
   }
 
   test("srpBandBuckets matches the SQL-expression hyperplane hash family") {

@@ -38,6 +38,27 @@ class RankingSpec extends SparkSpec {
     want.foreach { case (k, r) => assert(got(k) == r, s"rank mismatch at $k") }
   }
 
+  test("avgRanks releases its persisted intermediate (no storage growth)") {
+    val rnd = new scala.util.Random(11)
+    val kv = (1 to 2000).map(_ => ("k", rnd.nextDouble())).toDF("k", "v")
+    // repeated invocations must not accumulate persisted RDDs: avgRanks
+    // localCheckpoints its (small) result and unpersists the count table
+    (1 to 3).foreach { _ =>
+      val out = Ranking.avgRanks(kv, "k", "v", parts = 5)
+      assert(out.count() > 0)
+      out.unpersist(true)
+    }
+    // checkpoint RDDs are reaped by the ContextCleaner once unreferenced;
+    // poll instead of a fixed sleep (cleanup is async)
+    val deadline = System.currentTimeMillis() + 15000
+    def persisted() = spark.sparkContext.getPersistentRDDs.size
+    while (persisted() > 1 && System.currentTimeMillis() < deadline) {
+      System.gc(); Thread.sleep(200)
+    }
+    assert(persisted() <= 1,
+      s"expected no accumulated persisted RDDs, found ${persisted()}")
+  }
+
   test("avgRankTable: single column, all ties, singleton") {
     val allTies = Seq(5.0, 5.0, 5.0, 5.0).toDF("x")
     val t = Ranking.avgRankTable(allTies, "x").collect()
