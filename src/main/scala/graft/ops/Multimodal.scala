@@ -8,15 +8,20 @@ import org.apache.spark.sql.types._
   *
   * Design: media is an opaque `binary` column plus a typed metadata
   * struct. The Spark-side plumbing — schema, partition-sized batching via
-  * mapPartitions, deterministic output contract — is real and tested. The
-  * actual codec calls are STUBBED (this container ships no image/audio
-  * libraries): `decodeStub` derives deterministic fake metadata from the
-  * bytes, and is the single seam to replace with javax.imageio /
-  * a JNI codec on a real cluster.
+  * mapPartitions, deterministic output contract — is real and tested.
+  * Image metadata is decoded for REAL by [[MediaCodec]]: magic-number
+  * format sniff + PNG/JPEG/GIF/BMP header-field parsing in pure JDK byte
+  * code (the imghdr/PIL role in the reference,
+  * `model/summary_helpers_image.py:1-114`). Only pixel-level work
+  * (resize, feature extraction) and audio/video codecs would need an
+  * external library on a real cluster; frame *sampling* plumbing is
+  * byte-chunk based and documented as such.
   */
 object Multimodal {
 
-  /** Metadata contract for a decoded media blob. */
+  /** Metadata contract for a decoded media blob. `nFrames` counts
+    * 256-byte chunks — the frame-sampling stand-in of [[sampleFrames]],
+    * not a container-parsed frame count. */
   final case class MediaMeta(
       id: Long,
       byteLength: Long,
@@ -26,23 +31,14 @@ object Multimodal {
       nFrames: Int,
       truncated: Boolean)
 
-  /** STUB decoder — deterministic fake in place of a real codec.
-    * Replace the body with e.g. ImageIO.read for production. */
-  def decodeStub(id: Long, bytes: Array[Byte]): MediaMeta = {
-    val len = bytes.length.toLong
-    // format sniff from leading bytes (the real magic-number approach,
-    // fake table): deterministic on content
-    val format =
-      if (bytes.isEmpty) "empty"
-      else if ((bytes(0) & 0xff) < 64) "fake/a"
-      else if ((bytes(0) & 0xff) < 128) "fake/b"
-      else "fake/c"
-    // fake dimensions derived from content length — stands in for
-    // parsed header fields
-    val width = (len % 640 + 1).toInt
-    val height = (len % 480 + 1).toInt
-    MediaMeta(id, len, format, width, height,
-      nFrames = (len / 256 + 1).toInt, truncated = len > 0 && len % 97 == 0)
+  /** Decode one blob: real header parse for known image formats
+    * (png/jpeg/gif/bmp dimensions + header-truncation flag; webp sniffed
+    * but not dimension-parsed), `unknown`/`empty` pass-through with zero
+    * dimensions otherwise. */
+  def decodeOne(id: Long, bytes: Array[Byte]): MediaMeta = {
+    val m = MediaCodec.parseImageMeta(bytes)
+    MediaMeta(id, bytes.length.toLong, m.format, m.width, m.height,
+      nFrames = (bytes.length / 256 + 1).toInt, truncated = m.truncated)
   }
 
   /** Decode a binary column into metadata via mapPartitions — one codec
@@ -56,7 +52,7 @@ object Multimodal {
       .mapPartitions { it =>
         // per-partition decoder init would go here (expensive handle)
         it.map { case (id, bytes) =>
-          decodeStub(id, Option(bytes).getOrElse(Array.empty)) }
+          decodeOne(id, Option(bytes).getOrElse(Array.empty)) }
       }
   }
 

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, MediaCodec, Multimodal, Similarity, TextAnalysis}
 import graft.queries.QueryCatalog.table
 
 /** LLM-data-pipeline operators as oracle-checked queries (north star in
@@ -351,11 +351,13 @@ object PipelineQueries {
       CAST(floor(octet_length(text::BLOB) / 256.0) AS INT) + 1 AS n_chunks
       FROM documents ORDER BY id"""))
 
-  /** The full mapPartitions decode path (Multimodal.decodeMeta). The
-    * codec is a deterministic stub, which is precisely what makes the
-    * whole Dataset pipeline oracle-checkable end-to-end: the oracle
-    * recomputes the stub's metadata contract in SQL. (Documents start
-    * with ASCII bytes, so ascii(first char) == first byte.) */
+  /** The full mapPartitions decode path (Multimodal.decodeMeta) over
+    * NON-image bytes: the real codec's magic-number sniff classifies text
+    * blobs as `unknown` with zero dimensions — the pass-through contract
+    * the oracle recomputes in SQL. (Verified on all SFs: no document text
+    * begins with a GIF/BMP/RIFF magic prefix, the only ASCII-expressible
+    * image signatures; PNG/JPEG magics are non-ASCII and cannot occur.)
+    * Real image bytes are exercised by q32b below. */
   val qMultimodalDecode = Q(
     "q33b_multimodal_decode",
     (s, dir) =>
@@ -368,18 +370,60 @@ object PipelineQueries {
     Some("""SELECT doc_id AS id,
         CAST(octet_length(text::BLOB) AS BIGINT) AS byteLength,
         CASE WHEN octet_length(text::BLOB) = 0 THEN 'empty'
-             WHEN ascii(substr(text, 1, 1)) < 64 THEN 'fake/a'
-             WHEN ascii(substr(text, 1, 1)) < 128 THEN 'fake/b'
-             ELSE 'fake/c' END AS format,
-        CAST(octet_length(text::BLOB) % 640 + 1 AS INT) AS width,
-        CAST(octet_length(text::BLOB) % 480 + 1 AS INT) AS height,
+             ELSE 'unknown' END AS format,
+        0 AS width,
+        0 AS height,
         CAST(octet_length(text::BLOB) // 256 + 1 AS INT) AS nFrames,
-        (octet_length(text::BLOB) > 0 AND octet_length(text::BLOB) % 97 = 0)
-          AS truncated
+        FALSE AS truncated
+      FROM documents ORDER BY id"""))
+
+  /** Real image-header decode, round-tripped through real bytes: each
+    * doc_id deterministically encodes a minimal-valid PNG/JPEG/GIF/BMP
+    * (MediaCodec.encode*) with dimensions derived from the id, every
+    * 7th truncated to its first 8 bytes (format still sniffable, header
+    * fields gone). The Spark side then recovers format/width/height/
+    * truncated by PARSING THE BYTES (MediaCodec.parseImageMeta via
+    * decodeMeta); the oracle recomputes the planted ground truth from
+    * doc_id arithmetic. A broken header parser — wrong endianness, wrong
+    * offset, bad segment walk — breaks the hash match.
+    * Reference: summary_helpers_image.py:1-114 (PIL open + size),
+    * summary_helpers.py:239-309 (image summary incl. truncation flag). */
+  val qImageDecode = Q(
+    "q32b_image_decode",
+    (s, dir) => {
+      import s.implicits._
+      val blobs = table(s, dir, "documents").select(col("doc_id"))
+        .as[Long]
+        .map { id =>
+          val w = (id % 640 + 1).toInt
+          val h = (id % 480 + 1).toInt
+          val full = (id % 4) match {
+            case 0 => MediaCodec.encodePng(w, h)
+            case 1 => MediaCodec.encodeJpeg(w, h)
+            case 2 => MediaCodec.encodeGif(w, h)
+            case _ => MediaCodec.encodeBmp(w, h)
+          }
+          (id, if (id % 7 == 0) full.take(8) else full)
+        }
+        .toDF("doc_id", "blob")
+      Multimodal.decodeMeta(blobs, "doc_id", "blob")
+        .toDF()
+        .select(col("id"), col("format"), col("width"), col("height"),
+          col("truncated"))
+        .orderBy("id")
+    },
+    Some("""SELECT doc_id AS id,
+        CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+             WHEN 2 THEN 'gif' ELSE 'bmp' END AS format,
+        CASE WHEN doc_id % 7 = 0 THEN 0
+             ELSE CAST(doc_id % 640 + 1 AS INT) END AS width,
+        CASE WHEN doc_id % 7 = 0 THEN 0
+             ELSE CAST(doc_id % 480 + 1 AS INT) END AS height,
+        doc_id % 7 = 0 AS truncated
       FROM documents ORDER BY id"""))
 
   val all: Seq[Q] = Seq(
     qDedupExact, qNgramJaccard, qMinhashSig, qMinhashLsh, qSimhash,
     qEmbedTopK, qEmbedNearDup, qLangId, qTextQuality, qTokenCounts,
-    qFingerprint, qMultimodalMeta, qMultimodalDecode)
+    qFingerprint, qMultimodalMeta, qMultimodalDecode, qImageDecode)
 }

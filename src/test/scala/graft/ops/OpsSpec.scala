@@ -166,17 +166,36 @@ class OpsSpec extends SparkSpec {
     assert(out(2L) == "und")
   }
 
-  test("multimodal: decodeMeta via mapPartitions with stub codec") {
+  test("multimodal: decodeMeta passes non-image bytes through as unknown") {
     val blobs = docs.select($"doc_id", $"text".cast("binary").as("blob"))
     val metas = Multimodal.decodeMeta(blobs, "doc_id", "blob").collect()
     assert(metas.length == 5)
     val m0 = metas.find(_.id == 0L).get
     assert(m0.byteLength == 43)
-    assert(m0.format.startsWith("fake/"))
+    assert(m0.format == "unknown")
+    assert(m0.width == 0 && m0.height == 0 && !m0.truncated)
     // deterministic: same input, same meta
     val again = Multimodal.decodeMeta(blobs, "doc_id", "blob").collect()
       .find(_.id == 0L).get
     assert(again == m0)
+  }
+
+  test("multimodal: decodeMeta parses real image headers distributed") {
+    val blobs = Seq(
+      (1L, MediaCodec.encodePng(640, 360)),
+      (2L, MediaCodec.encodeJpeg(31, 17)),
+      (3L, MediaCodec.encodeGif(255, 257)),
+      (4L, MediaCodec.encodeBmp(1920, 1080)),
+      (5L, MediaCodec.encodePng(9, 9).take(8)) // header cut short
+    ).toDF("doc_id", "blob")
+    val m = Multimodal.decodeMeta(blobs, "doc_id", "blob").collect()
+      .map(x => x.id -> x).toMap
+    assert(m(1L).format == "png" && m(1L).width == 640 && m(1L).height == 360)
+    assert(m(2L).format == "jpeg" && m(2L).width == 31 && m(2L).height == 17)
+    assert(m(3L).format == "gif" && m(3L).width == 255 && m(3L).height == 257)
+    assert(m(4L).format == "bmp" && m(4L).width == 1920 && m(4L).height == 1080)
+    assert(m(5L).format == "png" && m(5L).truncated && m(5L).width == 0)
+    assert(Seq(1L, 2L, 3L, 4L).forall(i => !m(i).truncated))
   }
 
   test("multimodal: frame sampling preserves chunk indices") {
