@@ -33,6 +33,28 @@ object Decompose {
   def jsonField(c: Column, field: String): Column =
     get_json_object(c, s"$$.$field")
 
+  /** Canonicalize MapType columns so maps become group-able/comparable:
+    * `array_sort(map_entries(m))` cast to string. Spark SQL cannot
+    * GROUP BY or compare a map; the reference canonicalizes to
+    * `array(map_keys, map_values)` for the same reason
+    * (model/series_wrappers.py:64-66, dataframe_wrappers.py:520-531) but
+    * keeps whatever entry order the map happens to hold — we sort by key
+    * so equal maps canonicalize identically regardless of construction
+    * order (their nondeterminism, deliberately not copied). Null map →
+    * null, empty map → "[]". Non-map columns pass through untouched. */
+  def canonicalizeMaps(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.MapType
+    if (!df.schema.fields.exists(_.dataType.isInstanceOf[MapType])) df
+    else df.select(df.schema.fields.toSeq.map { f =>
+      val c = col("`" + f.name.replace("`", "``") + "`")
+      f.dataType match {
+        case _: MapType =>
+          array_sort(map_entries(c)).cast("string").as(f.name)
+        case _ => c
+      }
+    }: _*)
+  }
+
   /** Flatten struct and map columns into prefixed scalar columns — the
     * reference's opt-in `expand_mixed` (utils/dataframe.py:87-124, which
     * explodes dict/tuple CELLS into `col_key` columns). Struct fields

@@ -43,12 +43,19 @@ object Profiler {
     col("`" + name.replace("`", "``") + "`")
 
   def profile(df: DataFrame, cfg: ProfileConfig = ProfileConfig.default): TableProfile = {
-    val fields = df.schema.fields.toSeq
+    // MapType columns canonicalize to a sorted-entries string up front
+    // (Decompose.canonicalizeMaps) so maps profile as Categorical —
+    // value counts, top-K, duplicates, alerts all apply — instead of
+    // Unsupported. The report still shows the declared map type.
+    val rawTypeName: Map[String, String] =
+      df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val canon = graft.ops.Decompose.canonicalizeMaps(df)
+    val fields = canon.schema.fields.toSeq
     val declared: Seq[(StructField, ProfileType)] =
       fields.map(f => f -> ProfileType.fromDataType(f.dataType))
     val supported = declared.filter(_._2 != ProfileType.Unsupported)
 
-    val working = if (cfg.persist) df.persist(StorageLevel.MEMORY_AND_DISK) else df
+    val working = if (cfg.persist) canon.persist(StorageLevel.MEMORY_AND_DISK) else canon
     def timed[T](name: String)(body: => T): T = {
       val t0 = System.nanoTime()
       val r = body
@@ -311,13 +318,8 @@ object Profiler {
       else {
         // Pandas semantics (n - distinct rows), NOT the reference spark
         // impl which is identically zero (dataframe_wrappers.py:542-550).
-        val keyCols = supportedNames.map { n =>
-          fields.find(_.name == n).get.dataType match {
-            case _: MapType => map_entries(qcol(n)).cast("string").as(n)
-            case _          => qcol(n)
-          }
-        }
-        val grouped = working.select(keyCols: _*)
+        // (Maps were already canonicalized to strings at profile() entry.)
+        val grouped = working.select(supportedNames.map(qcol): _*)
           .groupBy(supportedNames.map(qcol): _*)
           .agg(count(lit(1)).as("__cnt"))
           .persist(StorageLevel.MEMORY_AND_DISK)
@@ -417,7 +419,7 @@ object Profiler {
         // (null,5) and (5,null) would both key as "5" and make the cap cut
         // run-dependent — coalesce every column to an explicit sentinel
         val tieKey = concat_ws("_", numericCols.map(c =>
-          coalesce(qcol(c).cast("string"), lit(" "))): _*)
+          coalesce(qcol(c).cast("string"), lit("\u0000"))): _*)
         val sampled = graft.ops.Sampling.hashSampleCapped(
           working.select(numericCols.map(qcol): _*),
           numericCols.head, cfg.kendallSamplePct, cfg.kendallSampleCap,
@@ -504,7 +506,8 @@ object Profiler {
             histograms.get(p))
         case _ => UnsupportedStats
       }
-      ColumnProfile(p, f.dataType.simpleString, effType, common, typedStats)
+      ColumnProfile(p, rawTypeName.getOrElse(p, f.dataType.simpleString),
+        effType, common, typedStats)
     }
 
     val missingCounts = columnProfiles.map(c => c.name -> c.common.nMissing).toMap

@@ -207,7 +207,31 @@ object ExtraQueries {
                    8) AS tau_b
       FROM agg"""))
 
+  /** MapType canonicalization (Decompose.canonicalizeMaps — the same
+    * code path the Profiler runs on map columns): a map column derived
+    * from orders becomes a sorted-entries string, so value_counts is an
+    * ordinary groupBy. The oracle reconstructs Spark's canonical
+    * rendering `[{k, v}, ...]` by string concatenation from the known
+    * keys — a wrong sort order, separator, or entry layout breaks the
+    * hash match. (Reference canonicalizes map -> array(map_keys,
+    * map_values): series_wrappers.py:64-66, dataframe_wrappers.py:520-531.) */
+  val qMapValueCounts = Q(
+    "q42_map_value_counts",
+    (s, dir) => {
+      val src = table(s, dir, "orders")
+        .select(map(
+          lit("priority"), col("o_orderpriority"),
+          lit("status"), col("o_orderstatus")).as("m"))
+      Decompose.canonicalizeMaps(src)
+        .groupBy(col("m")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("m"))
+    },
+    Some("""SELECT '[{priority, ' || o_orderpriority || '}, {status, '
+               || o_orderstatus || '}]' AS m,
+             count(*) AS cnt
+      FROM orders GROUP BY 1 ORDER BY m"""))
+
   val all: Seq[Q] = Seq(
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
-    qExtremeObs, qHashSample, qMemoryEstimate, qKendall)
+    qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qMapValueCounts)
 }

@@ -166,6 +166,33 @@ class ProfilerSpec extends SparkSpec {
     assert(json.contains("bin_edges"))
   }
 
+  test("MapType column profiles as Categorical via canonicalization") {
+    import org.apache.spark.sql.functions.{col, map, lit}
+    import spark.implicits._
+    // maps with permuted construction order must canonicalize equal
+    val df = Seq(1, 2, 3, 4).toDF("i").select(
+      org.apache.spark.sql.functions.when(col("i") % 2 === 0,
+          map(lit("a"), lit("x"), lit("b"), lit("y")))
+        .otherwise(map(lit("b"), lit("y"), lit("a"), lit("x"))).as("m"),
+      col("i"))
+    val p = Profiler.profile(df,
+      ProfileConfig.minimal.copy(exactDistinct = true, persist = false,
+        computeDuplicates = true))
+    val m = p.columns.find(_.name == "m").get
+    assert(m.profileType == ProfileType.Categorical)
+    assert(m.sparkType.startsWith("map<"))
+    assert(m.common.nDistinct == 1) // all four rows: same map, sorted
+    val cat = m.typed.asInstanceOf[CategoricalStats]
+    assert(cat.topValues.head == ("[{a, x}, {b, y}]", 4L))
+    // duplicates group on the canonical form too: 4 rows of (m) alone
+    // would be 1 distinct; with unique i alongside, zero duplicates
+    assert(p.nDuplicates == 0)
+    val pMapOnly = Profiler.profile(df.select("m"),
+      ProfileConfig.minimal.copy(exactDistinct = true, persist = false,
+        computeDuplicates = true))
+    assert(pMapOnly.nDuplicates == 3)
+  }
+
   test("uniqueness parametrization (reference test_describe.py:20-46)") {
     import spark.implicits._
     val p1 = Profiler.profile(Seq(1, 2).toDF("v"),
