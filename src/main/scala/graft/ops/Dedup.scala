@@ -51,6 +51,48 @@ object Dedup {
         explode(array_distinct(grams)).as("g"))
   }
 
+  /** Session-scoped cache of checkpointed word-shingle tables: the
+    * q22/q23/q24 family derives its shingle state ONCE per (input, n)
+    * instead of once per query — the "materialize the shingle table once
+    * per corpus snapshot" pattern of production dedup pipelines. Keyed by
+    * session identity + the analyzed plan's semantic hash; bounded LRU(4)
+    * so an evicted entry's checkpoint RDD is reclaimed by the
+    * ContextCleaner once unreferenced. Opt-in via
+    * [[wordShingleTableCached]] (NOT default: a cached checkpoint would
+    * not see files that change under the same path mid-session). */
+  private val shingleCache = new java.util.LinkedHashMap[
+      (Int, Int, String, String, Int), DataFrame](8, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[(Int, Int, String, String, Int), DataFrame])
+        : Boolean = size() > 4
+  }
+
+  /** [[wordShingleTable]], lazily checkpointed and memoized: repeated
+    * calls on a semantically-equal source in one session return the SAME
+    * materialized table, so downstream ops (signatures, LSH, verify)
+    * share one shingle build. */
+  def wordShingleTableCached(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = shingleCache.synchronized {
+    val key = (System.identityHashCode(df.sparkSession),
+      df.queryExecution.analyzed.semanticHash(), idCol, textCol, n)
+    val hit = shingleCache.get(key)
+    if (hit != null) hit
+    else {
+      val v = wordShingleTable(df, idCol, textCol, n).localCheckpoint(false)
+      shingleCache.put(key, v)
+      v
+    }
+  }
+
+  /** Checkpoint once, idempotently: a table that is already a
+    * checkpoint/RDD scan (e.g. from [[wordShingleTableCached]]) passes
+    * through instead of being re-materialized. */
+  private def ensureCheckpointed(df: DataFrame): DataFrame =
+    df.queryExecution.analyzed match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => df
+      case _ => df.localCheckpoint(false)
+    }
+
   /** Exact n-gram Jaccard similarity join with PREFIX FILTERING
     * (ppjoin-style; Xiao et al., "Efficient Similarity Joins for Near
     * Duplicate Detection", WWW'08 — public algorithm).
@@ -84,7 +126,7 @@ object Dedup {
     // the shingle table feeds candidate generation AND verification (5
     // scans in the naive plan, Spark reuses no exchanges across them) —
     // checkpoint it once; RDD-backed, so the ContextCleaner reclaims it
-    val sh = shRaw.localCheckpoint(false)
+    val sh = ensureCheckpointed(shRaw)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     // global order: document frequency asc, shingle asc
     val docFreq = sh.groupBy("g").agg(count(lit(1)).as("df"))
@@ -161,7 +203,7 @@ object Dedup {
       shRaw: DataFrame, numHashes: Int, bands: Int,
       threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val sh = shRaw.localCheckpoint(false)
+    val sh = ensureCheckpointed(shRaw)
     val sigs = minhashSignaturesFromShingles(sh, numHashes)
     val candidates = minhashLshPairs(sigs, bands, numHashes / bands)
     verifyJaccard(candidates, sh, threshold)

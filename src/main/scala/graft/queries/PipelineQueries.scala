@@ -67,8 +67,9 @@ object PipelineQueries {
   val qNgramJaccard = Q(
     "q22_ngram_jaccard",
     (s, dir) =>
-      Dedup.wordNgramJaccardPairs(table(s, dir, "documents"),
-          "doc_id", "text", 5, 0.8)
+      Dedup.jaccardPairs(
+          Dedup.wordShingleTableCached(table(s, dir, "documents"),
+            "doc_id", "text", 5), 0.8)
         .orderBy("i", "j"),
     Some(s"""WITH w AS (SELECT doc_id AS id, $dkWords AS ws FROM documents),
       sh AS (SELECT id, unnest(list_distinct(
@@ -89,7 +90,7 @@ object PipelineQueries {
     "q23_minhash_sig",
     (s, dir) =>
       Dedup.minhashSignaturesFromShingles(
-          Dedup.wordShingleTable(table(s, dir, "documents"),
+          Dedup.wordShingleTableCached(table(s, dir, "documents"),
             "doc_id", "text", WORD_N), NUM_HASHES)
         .orderBy("id"),
     Some {
@@ -105,7 +106,7 @@ object PipelineQueries {
     "q24_minhash_lsh",
     (s, dir) =>
       Dedup.minhashNearDupPairsFromShingles(
-          Dedup.wordShingleTable(table(s, dir, "documents"),
+          Dedup.wordShingleTableCached(table(s, dir, "documents"),
             "doc_id", "text", WORD_N), NUM_HASHES, BANDS, 0.7)
         .orderBy("i", "j"),
     Some {

@@ -166,6 +166,24 @@ class OpsSpec extends SparkSpec {
     assert(out(2L) == "und")
   }
 
+  test("wordShingleTableCached memoizes per (input, n) and stays correct") {
+    val first = Dedup.wordShingleTableCached(docs, "doc_id", "text", 3)
+    val second = Dedup.wordShingleTableCached(docs, "doc_id", "text", 3)
+    assert(first eq second) // same materialized table, no rebuild
+    val other = Dedup.wordShingleTableCached(docs, "doc_id", "text", 2)
+    assert(!(first eq other)) // different n = different state
+    // cached output == uncached output
+    val plain = Dedup.wordShingleTable(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val cached = first
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(cached == plain)
+    // downstream ops accept the checkpointed table without re-checkpoint
+    val pairs = Dedup.jaccardPairs(first, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 3L)))
+  }
+
   test("multimodal: decodeMeta passes non-image bytes through as unknown") {
     val blobs = docs.select($"doc_id", $"text".cast("binary").as("blob"))
     val metas = Multimodal.decodeMeta(blobs, "doc_id", "blob").collect()

@@ -34,6 +34,19 @@ class PhiKSpec extends SparkSpec {
     assert(v > 0.95, s"expected ~1, got $v")
   }
 
+  test("phikFromCounts at 100x100 is O(r*k): sparse cells, sub-second") {
+    // diagonal-heavy sparse table: 100 diagonal cells + 200 off-diagonal
+    val cells = (0 until 100).map(i => (i, i, 1000L)) ++
+      (0 until 200).map(k => (k % 100, (k * 37 + 1) % 100, 3L))
+    val t0 = System.nanoTime()
+    val v = graft.functions.PhiK.phikFromCounts(cells, 100, 100)
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    assert(v > 0.9) // near-diagonal table = strong association
+    // the old collectFirst-in-loop scan was O(r*k*|cells|) ~ 3e6 * scan;
+    // the indexed loop is ~1e4 map lookups + the Brent solve
+    assert(elapsed < 2.0, f"phikFromCounts took $elapsed%.2fs")
+  }
+
   test("phik monotone in association strength") {
     val rnd = new scala.util.Random(13)
     def gen(noise: Double) = (1 to 3000).map { _ =>
