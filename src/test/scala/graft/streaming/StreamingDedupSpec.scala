@@ -28,4 +28,39 @@ class StreamingDedupSpec extends SparkSpec {
 
     assert(rows.sorted.toSeq == Seq("foo bar", "hello world", "new doc"))
   }
+
+  test("event-time TTL expires state: same key re-emits after expiry") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-dedup-ttl-ckpt").toString
+    val out = StreamingDedup.dedupByFingerprintEventTime(
+      mem.toDF.toDF("text", "ts"), "text", "ts", ttlMs = 30000L)
+    val query = out.writeStream.format("memory").queryName("dedup_ttl")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+
+    // batch 1: first arrival at t=10s -> emitted; TTL set to t=40s
+    mem.addData(("dup doc", ts(10)))
+    query.processAllAvailable()
+    // batch 2: repeat BEFORE expiry (t=15s) -> suppressed; an unrelated
+    // event at t=100s will push the watermark past the 40s deadline
+    mem.addData(("dup doc", ts(15)), ("advance one", ts(100)))
+    query.processAllAvailable()
+    // NOTE: the t=15 repeat reset the key's deadline to 45s — still well
+    // below the 100s watermark that batch 2 establishes.
+    // batch 3: watermark is now 100s > 45s -> the key's state times out
+    // and is removed during this batch (no data for it)
+    mem.addData(("advance two", ts(101)))
+    query.processAllAvailable()
+    // batch 4: same fingerprint arrives after expiry -> re-emitted
+    mem.addData(("dup doc", ts(102)))
+    query.processAllAvailable()
+
+    val rows = spark.sql("SELECT payload FROM dedup_ttl")
+      .as[String].collect().sorted.toSeq
+    query.stop()
+    assert(rows == Seq("advance one", "advance two", "dup doc", "dup doc"))
+  }
 }
