@@ -15,7 +15,8 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame = {
     val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val profile = Profiler.profile(df,
-      ProfileConfig.default.copy(computeSpearman = false))
+      ProfileConfig.default.copy(
+        computeSpearman = true, computeKendall = true))
     import spark.implicits._
     profile.columns.map { c =>
       (c.name, c.profileType.name, c.common.n, c.common.count,
@@ -31,9 +32,13 @@ object SparkEntry {
   private val qProfile = graft.queries.Q(
     "q00_profile_lineitem",
     (s, dir) => {
+      // Spearman rides the scale-safe distributed prefix-sum ranking and
+      // Kendall the hard-capped pair sample, so both are on in the
+      // flagship profile (they were off while rank windows were global).
       val profile = Profiler.profile(
         s.read.parquet(s"$dir/lineitem.parquet"),
-        ProfileConfig.default.copy(computeSpearman = false))
+        ProfileConfig.default.copy(
+          computeSpearman = true, computeKendall = true))
       import s.implicits._
       profile.columns.map { c =>
         (c.name, c.profileType.name, c.common.n, c.common.count,

@@ -16,6 +16,129 @@ import org.apache.spark.sql.functions._
   */
 object Kendall {
 
+  /** All-pairs tau-b matrix in ONE pair join: the row-pair product is
+    * materialized once and every column pair's concordant/discordant/tie
+    * counts ride the same fused aggregate — p*(p-1)/2 separate tauB
+    * calls would re-run the O(n^2) join per column pair (28x the work on
+    * an 8-column table). Null handling matches [[tauB]]'s pairwise
+    * deletion: a row-pair contributes to a column pair's counts only
+    * when all four values are non-null (null arithmetic propagates to
+    * the `when` guards, which then take the 0 branch). Input should be
+    * a bounded sample (see [[graft.ops.Sampling.hashSampleCapped]]);
+    * the sample is checkpointed so the self-join's two sides share one
+    * materialization. */
+  def tauBMatrix(df: DataFrame, cols: Seq[String]): Map[(String, String), Double] = {
+    if (cols.size < 2) return Map.empty
+    def q(n: String) = "`" + n.replace("`", "``") + "`"
+    val base = df
+      .select(cols.map(c => col(q(c)).cast("double").as(c)): _*)
+      .withColumn("rid", monotonically_increasing_id())
+      .localCheckpoint(false)
+    val a = base.as("a"); val b = base.as("b")
+    val pairIdx = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (i, j)
+    val aggExprs = pairIdx.flatMap { case (i, j) =>
+      val dx = col(s"a.${q(cols(i))}") - col(s"b.${q(cols(i))}")
+      val dy = col(s"a.${q(cols(j))}") - col(s"b.${q(cols(j))}")
+      Seq(
+        sum(when(dx * dy > 0, 1L).otherwise(0L)).as(s"c_${i}_$j"),
+        sum(when(dx * dy < 0, 1L).otherwise(0L)).as(s"d_${i}_$j"),
+        sum(when(dx === 0 && dy =!= 0, 1L).otherwise(0L)).as(s"tx_${i}_$j"),
+        sum(when(dy === 0 && dx =!= 0, 1L).otherwise(0L)).as(s"ty_${i}_$j"))
+    }
+    val r = a.join(b, col("a.rid") < col("b.rid"))
+      .agg(aggExprs.head, aggExprs.tail: _*)
+      .head()
+    def g(k: String): Double =
+      Option(r.getAs[Any](k)).map(_.asInstanceOf[Number].doubleValue).getOrElse(0.0)
+    pairIdx.map { case (i, j) =>
+      val c = g(s"c_${i}_$j"); val d = g(s"d_${i}_$j")
+      val tx = g(s"tx_${i}_$j"); val ty = g(s"ty_${i}_$j")
+      val denom = (c + d + tx) * (c + d + ty)
+      val tau =
+        if (denom > 0.0)
+          BigDecimal((c - d) / math.sqrt(denom))
+            .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+        else Double.NaN
+      (cols(i), cols(j)) -> tau
+    }.toMap
+  }
+
+  /** Driver-side exact tau-b in O(n log n) — Knight's algorithm (Knight
+    * 1966, the scipy.stats.kendalltau formulation): sort by (x, y), count
+    * x-runs and joint ties, merge-sort-count strict y-inversions (= the
+    * discordant pairs), then
+    *   tau_b = (cnt - xtie - ytie + ntie - 2*dis) /
+    *           sqrt((cnt - xtie) * (cnt - ytie)).
+    * This is the right tool for the profiler's HARD-CAPPED sample: 10^4
+    * rows is <1 MB on the driver and ~10^5 compare ops per pair, vs
+    * 5*10^7 shuffled rows per O(n^2) pair join — and the cap (not this
+    * routine) is what bounds the cost at 100 TB. Inputs must be
+    * null/NaN-filtered; same 8-decimal rounding as [[tauB]]. */
+  def tauBLocal(x0: Array[Double], y0: Array[Double]): Double = {
+    val n = x0.length
+    require(y0.length == n, "length mismatch")
+    if (n < 2) return Double.NaN
+    val perm = Array.range(0, n).sortBy(i => (x0(i), y0(i)))
+    val x = perm.map(x0); val y = perm.map(y0)
+    val cnt = n.toLong * (n - 1) / 2
+    var xtie = 0L; var ntie = 0L
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n && x(j) == x(i)) j += 1 // x-run [i, j), y asc within
+      val t = (j - i).toLong; xtie += t * (t - 1) / 2
+      var a = i
+      while (a < j) {
+        var b = a + 1
+        while (b < j && y(b) == y(a)) b += 1
+        val u = (b - a).toLong; ntie += u * (u - 1) / 2
+        a = b
+      }
+      i = j
+    }
+    // strict y-inversions across the x-sorted order = discordant pairs
+    // (within an x-run y is ascending, so runs contribute none)
+    val dis = countInversions(y.clone())
+    val ys = y.sorted
+    var ytie = 0L
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n && ys(j) == ys(i)) j += 1
+      val u = (j - i).toLong; ytie += u * (u - 1) / 2
+      i = j
+    }
+    val conMinusDis = (cnt - xtie - ytie + ntie - 2 * dis).toDouble
+    val denom = math.sqrt((cnt - xtie).toDouble * (cnt - ytie).toDouble)
+    if (denom > 0.0)
+      BigDecimal(conMinusDis / denom)
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    else Double.NaN
+  }
+
+  /** Merge sort counting STRICT inversions (a(j) < a(i), i < j). */
+  private def countInversions(a: Array[Double]): Long = {
+    val buf = new Array[Double](a.length)
+    def sort(lo: Int, hi: Int): Long = { // [lo, hi)
+      if (hi - lo < 2) return 0L
+      val mid = (lo + hi) >>> 1
+      var inv = sort(lo, mid) + sort(mid, hi)
+      var i = lo; var j = mid; var k = lo
+      while (i < mid && j < hi) {
+        if (a(j) < a(i)) { inv += mid - i; buf(k) = a(j); j += 1 }
+        else { buf(k) = a(i); i += 1 }
+        k += 1
+      }
+      while (i < mid) { buf(k) = a(i); i += 1; k += 1 }
+      while (j < hi) { buf(k) = a(j); j += 1; k += 1 }
+      System.arraycopy(buf, lo, a, lo, hi - lo)
+      inv
+    }
+    sort(0, a.length)
+  }
+
   /** Exact tau-b between two numeric columns of `df` (pair-count join).
     * Output columns: n, concordant, discordant, tau_b (rounded). */
   def tauB(df: DataFrame, xCol: String, yCol: String): DataFrame = {

@@ -27,6 +27,52 @@ class KendallSpec extends SparkSpec {
     assert(r.getAs[Double]("tau_b") == -1.0)
   }
 
+  test("tauBMatrix matches per-pair tauB, incl. nulls and constants") {
+    val df = Seq(
+      (Some(1.0), Some(1.0), Some(5.0), Some(7.0)),
+      (Some(2.0), Some(3.0), None, Some(7.0)),
+      (Some(3.0), Some(2.0), Some(1.0), Some(7.0)),
+      (None, Some(4.0), Some(2.0), Some(7.0)),
+      (Some(4.0), Some(4.0), Some(9.0), Some(7.0)),
+      (Some(5.0), None, Some(3.0), Some(7.0))
+    ).toDF("w", "x", "y", "k")
+    val cols = Seq("w", "x", "y", "k")
+    val m = Kendall.tauBMatrix(df, cols)
+    assert(m.size == 6)
+    for (i <- cols.indices; j <- (i + 1) until cols.size) {
+      val expected = Option(
+        Kendall.tauB(df, cols(i), cols(j)).head().getAs[Any]("tau_b"))
+        .map(_.asInstanceOf[Double]).getOrElse(Double.NaN)
+      val got = m((cols(i), cols(j)))
+      assert(
+        (expected.isNaN && got.isNaN) || math.abs(expected - got) < 1e-12,
+        s"(${cols(i)},${cols(j)}): matrix=$got pairwise=$expected")
+    }
+    // constant column k: every pair fully tied -> undefined
+    assert(m(("w", "k")).isNaN)
+  }
+
+  test("tauBLocal (Knight O(n log n)) matches distributed tauB exactly") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 5) {
+      val n = 60 + trial * 37
+      // heavy ties: values drawn from a small integer set
+      val xs = Array.fill(n)(rnd.nextInt(7).toDouble)
+      val ys = Array.fill(n)(
+        if (trial % 2 == 0) rnd.nextInt(5).toDouble
+        else xs(rnd.nextInt(n)) + rnd.nextInt(3)) // correlated + tied
+      val df = xs.zip(ys).toSeq.toDF("x", "y")
+      val expected = Option(Kendall.tauB(df, "x", "y").head().getAs[Any]("tau_b"))
+        .map(_.asInstanceOf[Double]).getOrElse(Double.NaN)
+      val got = Kendall.tauBLocal(xs, ys)
+      assert(
+        (expected.isNaN && got.isNaN) || math.abs(expected - got) < 1e-12,
+        s"trial $trial: local=$got distributed=$expected")
+    }
+    // constant input: undefined
+    assert(Kendall.tauBLocal(Array(1.0, 1.0, 1.0), Array(1.0, 2.0, 3.0)).isNaN)
+  }
+
   test("hashSampleCapped hard-bounds the pair join at any rowcount") {
     import org.apache.spark.sql.functions._
     // 200k rows where the 50% rate alone would keep ~100k rows (5e9
