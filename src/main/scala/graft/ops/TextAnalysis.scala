@@ -96,6 +96,55 @@ object TextAnalysis {
       6)
   }
 
+  /** Word n-grams WITH multiplicity — repetition analysis needs the
+    * repeats that the dedup shingle tables deliberately distinct away.
+    * Empty array when the document has fewer than n words (guarded:
+    * `sequence(1, 0)` would count DOWN). */
+  def wordNgrams(c: Column, n: Int): Column = {
+    val ws = words(c)
+    when(size(ws) >= n,
+      transform(sequence(lit(1), size(ws) - lit(n - 1)),
+        i => concat_ws(" ", slice(ws, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Repetition signals: what fraction of the document's word n-grams
+    * are repeats of an earlier n-gram (duplicate-n-gram fraction, the
+    * Gopher repetition filters — Rae et al., arXiv:2112.11446 §A1.1).
+    * Pure per-row column expressions: no shuffle, scales as a map-only
+    * pass at any corpus size. */
+  def repetitionSignals(c: Column, n: Int): Map[String, Column] = {
+    val gs = wordNgrams(c, n)
+    val total = size(gs)
+    val nd = size(array_distinct(gs))
+    Map(
+      s"n_${n}grams" -> total.cast("long"),
+      s"n_distinct_${n}grams" -> nd.cast("long"),
+      s"dup_${n}gram_frac" -> round(
+        when(total > 0,
+          lit(1.0) - nd.cast("double") / total.cast("double"))
+          .otherwise(lit(0.0)), 6))
+  }
+
+  /** Gopher-style document filter: word-count window, word-shape window,
+    * repetition ceiling. Returns the per-rule booleans alongside the
+    * composite `keep` so a pipeline can audit WHY a document dropped —
+    * the practical requirement that separates a filter stage from a
+    * black box. */
+  def gopherFilter(c: Column, minWords: Int = 5, maxWords: Int = 100000,
+      maxDupBigramFrac: Double = 0.2): Map[String, Column] = {
+    val s = qualitySignals(c)
+    val rep = repetitionSignals(c, 2)
+    val rWords = s("n_words").between(minWords, maxWords)
+    val rShape = s("mean_word_len").between(2.0, 12.0)
+    val rRep = rep("dup_2gram_frac") <= maxDupBigramFrac
+    Map(
+      "r_word_count" -> rWords,
+      "r_word_shape" -> rShape,
+      "r_repetition" -> rRep,
+      "keep" -> (rWords && rShape && rRep))
+  }
+
   /** 60-bit document fingerprint: md5 of whitespace-normalized lowercase
     * text. Identical content modulo spacing/case maps to one fingerprint —
     * the cheap first stage of any dedup cascade. */

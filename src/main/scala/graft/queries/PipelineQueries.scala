@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, MediaCodec, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, IvfIndex, MediaCodec, Multimodal, Similarity, TextAnalysis}
 import graft.queries.QueryCatalog.table
 
 /** LLM-data-pipeline operators as oracle-checked queries (north star in
@@ -219,6 +219,35 @@ object PipelineQueries {
       WHERE p.qid < e.vec_id AND $dkCos >= 0.8
       ORDER BY i, j"""))
 
+  /** IVF-Flat ANN with full probe width: nprobe == nlist scans every
+    * posting list, which makes the index path EXACT — so the whole
+    * approximate-search machinery (k-means coarse quantizer, posting
+    * lists repartitioned by list, broadcast centroid ranking per probe,
+    * within-list exact cosine) is oracle-checkable against the same
+    * brute-force SQL as q26. The recall/cost tradeoff at PARTIAL nprobe
+    * (the 100 TB operating mode, where partition pruning turns a probe
+    * into an nprobe-list scan) is asserted separately in IvfIndexSpec. */
+  val qEmbedTopKIvf = Q(
+    "q26b_embed_topk_ivf",
+    (s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val idx = IvfIndex.build(e, "vec_id", "embedding", nlist = 16)
+      IvfIndex.search(idx, e.where(col("vec_id") < 5),
+          "vec_id", "embedding", k = 5, nprobe = 16)
+        .orderBy("query_id", "rnk")
+    },
+    Some(s"""WITH p AS (SELECT vec_id AS qid, embedding AS qv
+                        FROM embeddings WHERE vec_id < 5),
+      scored AS (SELECT p.qid AS query_id, e.vec_id AS neighbor_id,
+                        $dkCos AS cos
+                 FROM p CROSS JOIN embeddings e WHERE e.vec_id != p.qid),
+      ranked AS (SELECT *, CAST(row_number() OVER
+                   (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+                   AS INT) AS rnk
+                 FROM scored)
+      SELECT query_id, rnk, neighbor_id, cos FROM ranked
+      WHERE rnk <= 5 ORDER BY query_id, rnk"""))
+
   // ------------------------------------------------------------------
   // Text analysis
   // ------------------------------------------------------------------
@@ -333,6 +362,57 @@ object PipelineQueries {
         AS fingerprint
       FROM documents ORDER BY doc_id"""))
 
+  /** Repetition signals + Gopher-style filter: duplicate-bigram fraction
+    * per document and the per-rule audit booleans behind the composite
+    * keep flag (Rae et al., arXiv:2112.11446 §A1.1 — duplicate n-gram
+    * fractions as quality filters). All per-row expressions: a map-only
+    * pass at any corpus size. */
+  val qRepetitionFilter = Q(
+    "q43_repetition_filter",
+    (s, dir) => {
+      val c = col("text")
+      val rep = TextAnalysis.repetitionSignals(c, 2)
+      val flt = TextAnalysis.gopherFilter(c)
+      table(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          rep("n_2grams").as("n_2grams"),
+          rep("n_distinct_2grams").as("n_distinct_2grams"),
+          rep("dup_2gram_frac").as("dup_2gram_frac"),
+          flt("r_word_count").as("r_word_count"),
+          flt("r_word_shape").as("r_word_shape"),
+          flt("r_repetition").as("r_repetition"),
+          flt("keep").as("keep"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val meanWordLen =
+        s"""round(CAST(coalesce(list_sum(list_transform($dkWords,
+              w -> length(w))), 0) AS DOUBLE) /
+            greatest(len($dkWords), 1), 6)"""
+      val dupFrac =
+        """round(CASE WHEN len(gs) > 0
+            THEN 1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs)
+            ELSE 0.0 END, 6)"""
+      s"""WITH g AS (SELECT doc_id, text,
+            CASE WHEN len($dkWords) >= 2
+              THEN [array_to_string($dkWords[i:i+1], ' ')
+                    for i in range(1, len($dkWords))]
+              ELSE [] END AS gs
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(gs) AS BIGINT) AS n_2grams,
+          CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct_2grams,
+          $dupFrac AS dup_2gram_frac,
+          len($dkWords) BETWEEN 5 AND 100000 AS r_word_count,
+          $meanWordLen BETWEEN 2.0 AND 12.0 AS r_word_shape,
+          $dupFrac <= 0.2 AS r_repetition,
+          (len($dkWords) BETWEEN 5 AND 100000
+            AND $meanWordLen BETWEEN 2.0 AND 12.0
+            AND $dupFrac <= 0.2) AS keep
+        FROM g ORDER BY doc_id"""
+    })
+
   // ------------------------------------------------------------------
   // Multimodal (binary-column plumbing; codec stubbed — see Multimodal)
   // ------------------------------------------------------------------
@@ -425,6 +505,7 @@ object PipelineQueries {
 
   val all: Seq[Q] = Seq(
     qDedupExact, qNgramJaccard, qMinhashSig, qMinhashLsh, qSimhash,
-    qEmbedTopK, qEmbedNearDup, qLangId, qTextQuality, qTokenCounts,
-    qFingerprint, qMultimodalMeta, qMultimodalDecode, qImageDecode)
+    qEmbedTopK, qEmbedTopKIvf, qEmbedNearDup, qLangId, qTextQuality,
+    qTokenCounts, qFingerprint, qRepetitionFilter, qMultimodalMeta,
+    qMultimodalDecode, qImageDecode)
 }

@@ -184,6 +184,24 @@ class OpsSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 3L)))
   }
 
+  test("repetition signals: duplicate-bigram fraction and gopher filter") {
+    val df = Seq(
+      (0L, "spam spam spam spam spam"),          // all bigrams identical
+      (1L, "one two three four five six seven"), // no repeats
+      (2L, "ab")                                 // below min word count
+    ).toDF("doc_id", "text")
+    val rep = TextAnalysis.repetitionSignals(col("text"), 2)
+    val flt = TextAnalysis.gopherFilter(col("text"))
+    val out = df.select(col("doc_id"),
+        rep("n_2grams").as("n"), rep("n_distinct_2grams").as("nd"),
+        rep("dup_2gram_frac").as("f"), flt("keep").as("keep"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out(0L) == ((4L, 1L, 0.75, false)))  // repetitive -> dropped
+    assert(out(1L) == ((6L, 6L, 0.0, true)))    // clean -> kept
+    assert(out(2L) == ((0L, 0L, 0.0, false)))   // too short -> dropped
+  }
+
   test("multimodal: decodeMeta passes non-image bytes through as unknown") {
     val blobs = docs.select($"doc_id", $"text".cast("binary").as("blob"))
     val metas = Multimodal.decodeMeta(blobs, "doc_id", "blob").collect()
