@@ -29,7 +29,7 @@ object IvfIndex {
       centroids: DataFrame)
 
   def build(corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, seed: Long = 42L): Index = {
+      nlist: Int, seed: Long = 42L, maxIter: Int = 10): Index = {
     import org.apache.spark.ml.feature.VectorAssembler
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
@@ -37,7 +37,9 @@ object IvfIndex {
     val base = corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("vec"))
     val assembled = base.withColumn("features", array_to_vector(col("vec")))
-    val model = new KMeans().setK(nlist).setSeed(seed)
+    // a coarse quantizer needs rough cells, not convergence: 10 rounds
+    // is the FAISS-style default; recall is governed by nprobe anyway
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("features").setPredictionCol("list_id")
       .fit(assembled)
     val postings = model.transform(assembled)

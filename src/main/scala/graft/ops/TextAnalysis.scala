@@ -126,6 +126,57 @@ object TextAnalysis {
           .otherwise(lit(0.0)), 6))
   }
 
+  /** Per-document repetition signals as a FULLY-CODEGEN plan: explode
+    * words with positions, form n-grams with `lead` over a per-document
+    * window (bounded partitions — a document's words, never the corpus),
+    * then count/count-distinct per document. The per-row expression form
+    * ([[repetitionSignals]]) is convenient for composition but its
+    * higher-order functions evaluate interpreted, outside codegen —
+    * measured ~10x the CPU of this plan at corpus scale. The shuffles
+    * here carry only (id, gram) pairs and per-doc scalars.
+    * Output: id, n_words, mean_word_len, n_{n}grams,
+    * n_distinct_{n}grams, dup_{n}gram_frac (values identical to the
+    * expression form). */
+  def repetitionTable(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 2, "n-gram size must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val w = df
+      .select(col(idCol).as("id"),
+        posexplode(split(lower(col(textCol)), "\\s+")).as(Seq("pos", "w")))
+      .where(length(col("w")) > 0)
+    val win = Window.partitionBy("id").orderBy("pos")
+    val leads = (1 until n).map(k => lead(col("w"), k).over(win))
+    val grams = w
+      .select(col("id"),
+        concat_ws(" ", (col("w") +: leads): _*).as("g"),
+        leads.last.isNotNull.as("full"))
+      .where(col("full"))
+    val rep = grams.groupBy("id").agg(
+      count(lit(1)).as("ng"),
+      countDistinct(col("g")).as("nd"))
+    val stats = w.groupBy("id").agg(
+      count(lit(1)).as("nw"),
+      sum(length(col("w"))).as("wl"))
+    val ng = coalesce(col("ng"), lit(0L))
+    val nd = coalesce(col("nd"), lit(0L))
+    val nw = coalesce(col("nw"), lit(0L))
+    df.select(col(idCol).as("id"))
+      .join(stats, Seq("id"), "left")
+      .join(rep, Seq("id"), "left")
+      .select(
+        col("id"),
+        nw.as("n_words"),
+        round(coalesce(col("wl").cast("double"), lit(0.0)) /
+          greatest(nw, lit(1L)).cast("double"), 6).as("mean_word_len"),
+        ng.as(s"n_${n}grams"),
+        nd.as(s"n_distinct_${n}grams"),
+        round(
+          when(ng > 0,
+            lit(1.0) - nd.cast("double") / ng.cast("double"))
+            .otherwise(lit(0.0)), 6).as(s"dup_${n}gram_frac"))
+  }
+
   /** Gopher-style document filter: word-count window, word-shape window,
     * repetition ceiling. Returns the per-rule booleans alongside the
     * composite `keep` so a pipeline can audit WHY a document dropped —

@@ -202,6 +202,21 @@ class OpsSpec extends SparkSpec {
     assert(out(2L) == ((0L, 0L, 0.0, false)))   // too short -> dropped
   }
 
+  test("repetitionTable (codegen explode form) == expression form") {
+    val rep = TextAnalysis.repetitionSignals(col("text"), 3)
+    val sig = TextAnalysis.qualitySignals(col("text"))
+    val exprForm = docs.select(col("doc_id").as("id"),
+        sig("n_words").as("n_words"),
+        sig("mean_word_len").as("mean_word_len"),
+        rep("n_3grams").as("n_3grams"),
+        rep("n_distinct_3grams").as("n_distinct_3grams"),
+        rep("dup_3gram_frac").as("dup_3gram_frac"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val tableForm = TextAnalysis.repetitionTable(docs, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(tableForm == exprForm)
+  }
+
   test("multimodal: decodeMeta passes non-image bytes through as unknown") {
     val blobs = docs.select($"doc_id", $"text".cast("binary").as("blob"))
     val metas = Multimodal.decodeMeta(blobs, "doc_id", "blob").collect()
