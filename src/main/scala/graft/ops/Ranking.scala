@@ -39,15 +39,23 @@ object Ranking {
     * the caller); the intermediate count table is range-partitioned and
     * persisted so both jobs read the same partitioning.
     */
-  def avgRanks(kv: DataFrame, keyCol: String, vCol: String, parts: Int = 0): DataFrame = {
-    val spark = kv.sparkSession
+  def avgRanks(kv: DataFrame, keyCol: String, vCol: String, parts: Int = 0): DataFrame =
+    avgRanksFromCounts(
+      kv.groupBy(col(keyCol), col(vCol)).agg(count(lit(1)).as("cnt")),
+      keyCol, vCol, parts)
+
+  /** [[avgRanks]] starting from a PRECOMPUTED per-(key, value) count
+    * table — lets a caller that already has the counts (e.g. the
+    * profiler's value-counts pass) skip the groupBy shuffle entirely. */
+  def avgRanksFromCounts(countsIn: DataFrame, keyCol: String, vCol: String,
+      parts: Int = 0): DataFrame = {
+    val spark = countsIn.sparkSession
     import spark.implicits._
     val p =
       if (parts > 0) parts
       else spark.sessionState.conf.numShufflePartitions
-    val counts = kv
-      .groupBy(col(keyCol).as("k"), col(vCol).as("v"))
-      .agg(count(lit(1)).as("cnt"))
+    val counts = countsIn.select(
+      col(keyCol).as("k"), col(vCol).as("v"), col("cnt"))
     val ranged: Dataset[(String, Double, Long)] = counts
       .repartitionByRange(p, col("k"), col("v"))
       .sortWithinPartitions("k", "v")

@@ -270,7 +270,7 @@ object Profiler {
         case Some(vc) if categoricalCols.nonEmpty =>
           val stringCats = categoricalCols.filter(c =>
             fields.find(_.name == c).exists(_.dataType == StringType))
-          if (stringCats.isEmpty) { vc.unpersist(); Map.empty }
+          if (stringCats.isEmpty) Map.empty
           else {
             // Weight each distinct value's chars by the value's count:
             // explode over the (small) distinct-value table, not the data.
@@ -283,7 +283,8 @@ object Profiler {
             val w = Window.partitionBy("c").orderBy(col("n").desc, col("ch"))
             val top = timed("E:chars")(chars.withColumn("rn", row_number().over(w))
               .where(col("rn") <= 1000).collect())
-            vc.unpersist()
+            // vc stays persisted: pass G's Spearman ranks read it too;
+            // released once at the end of profile()
             val byCol = top.groupBy(_.getAs[String]("c"))
             byCol.map { case (c, rs) =>
               val pairs = rs.sortBy(r => (-r.getAs[Long]("n"), r.getAs[String]("ch")))
@@ -305,9 +306,7 @@ object Profiler {
                   Character.UnicodeScript.of(cp).name))
             }
           }
-        case other =>
-          other.foreach(_.unpersist())
-          Map.empty
+        case _ => Map.empty
       }
     }
 
@@ -358,8 +357,18 @@ object Profiler {
         }
         val pearson = CorrelationMatrix("pearson", numericCols, m.map(_.toSeq).toSeq)
         val spearmanOpt =
-          if (cfg.computeSpearman) Some(timed("G:spearman")(spearmanMatrix(working, numericCols)))
-          else None
+          if (cfg.computeSpearman) {
+            // Pass B already holds the per-(column, value) counts that
+            // ranking needs — reuse them (string values round-trip to
+            // the identical double) instead of re-shuffling the melted
+            // table. NaN excluded to match the kv filter below.
+            val countsFromB = vcTable.map(vc =>
+              vc.where(col("c").isin(numericCols: _*))
+                .select(col("c"), col("v").cast("double").as("v"), col("cnt"))
+                .where(col("v").isNotNull && !col("v").isNaN))
+            Some(timed("G:spearman")(
+              spearmanMatrix(working, numericCols, countsFromB)))
+          } else None
         Seq(pearson) ++ spearmanOpt
       }
     }
@@ -481,6 +490,7 @@ object Profiler {
     val kendall = Await.result(kendallF, Duration.Inf)
     val phikMap = Await.result(phikF, Duration.Inf)
     pool.shutdown()
+    vcTable.foreach(_.unpersist(false)) // passes B/E/G all done with it
 
     val columnProfiles: Seq[ColumnProfile] = declared.map { case (f, declaredType) =>
       val p = f.name
@@ -591,7 +601,8 @@ object Profiler {
     * wide table is rebuilt with conditional aggregation keyed by row id
     * (a plain hash shuffle over N*m rank rows, no pivot analysis pass).
     * One fused aggregate then computes all pairwise correlations. */
-  private[profile] def spearmanMatrix(df: DataFrame, cols: Seq[String]): CorrelationMatrix = {
+  private[profile] def spearmanMatrix(df: DataFrame, cols: Seq[String],
+      precomputedCounts: Option[DataFrame] = None): CorrelationMatrix = {
     val rid = monotonically_increasing_id().as("__rid")
     val base = df.select((cols.map(c => qcol(c).cast("double").as(c)) :+ rid): _*)
     val kv = base.select(col("__rid"),
@@ -599,7 +610,12 @@ object Profiler {
           struct(lit(c).as("c"), col(s"`$c`").as("v"))): _*)).as("kv"))
       .select(col("__rid"), col("kv.c").as("c"), col("kv.v").as("v"))
       .where(col("v").isNotNull && !col("v").isNaN)
-    val ranks = graft.ops.Ranking.avgRanks(kv.select("c", "v"), "c", "v")
+    val ranks = precomputedCounts match {
+      case Some(counts) =>
+        graft.ops.Ranking.avgRanksFromCounts(counts, "c", "v")
+      case None =>
+        graft.ops.Ranking.avgRanks(kv.select("c", "v"), "c", "v")
+    }
     val ranked = kv.join(ranks, Seq("c", "v"))
       .groupBy("__rid")
       .agg(
