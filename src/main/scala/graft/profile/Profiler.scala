@@ -200,6 +200,41 @@ object Profiler {
         }.toMap, None)
       }
     }
+    // Passes that do not depend on pass B's value info start BEFORE the
+    // await below, so they overlap with B's explode/groupBy instead of
+    // queueing behind it.
+    val supportedNames = supported.map(_._1.name)
+    val duplicatesF: Future[(Long, Seq[(Map[String, String], Long)])] = Future {
+      if (!cfg.computeDuplicates || supportedNames.isEmpty) (0L, Seq.empty[(Map[String, String], Long)])
+      else {
+        // Pandas semantics (n - distinct rows), NOT the reference spark
+        // impl which is identically zero (dataframe_wrappers.py:542-550).
+        // (Maps were already canonicalized to strings at profile() entry.)
+        val grouped = working.select(supportedNames.map(qcol): _*)
+          .groupBy(supportedNames.map(qcol): _*)
+          .agg(count(lit(1)).as("__cnt"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val distinctRowCount = timed("F:dup-count")(grouped.count())
+        val top = timed("F:dup-top")(grouped.where(col("__cnt") > 1)
+          .orderBy((col("__cnt").desc +: supportedNames.map(qcol)): _*)
+          .limit(cfg.duplicatesHead).collect())
+        grouped.unpersist()
+        val dups = nRows - distinctRowCount
+        val topSeq = top.map { r =>
+          supportedNames.map(n =>
+            n -> Option(r.getAs[Any](n)).map(_.toString).orNull).toMap ->
+            r.getAs[Long]("__cnt")
+        }.toSeq
+        (dups, topSeq)
+      }
+    }
+    val headF: Future[Seq[Map[String, String]]] = Future {
+      working.limit(cfg.sampleHead).collect().map { r =>
+        fields.map(f =>
+          f.name -> Option(r.getAs[Any](f.name)).map(_.toString).orNull).toMap
+      }.toSeq
+    }
+
     val (valueInfo: Map[String, ValueInfo], vcTable: Option[DataFrame]) =
       Await.result(valueInfoF, Duration.Inf)
     // Demotion: numeric with few distinct values profiles as categorical
@@ -338,34 +373,8 @@ object Profiler {
       }
     }
 
-    // ---- Pass F: duplicate rows ----------------------------------------
-    val supportedNames = supported.map(_._1.name)
-    val duplicatesF: Future[(Long, Seq[(Map[String, String], Long)])] = Future {
-      if (!cfg.computeDuplicates || supportedNames.isEmpty) (0L, Seq.empty[(Map[String, String], Long)])
-      else {
-        // Pandas semantics (n - distinct rows), NOT the reference spark
-        // impl which is identically zero (dataframe_wrappers.py:542-550).
-        // (Maps were already canonicalized to strings at profile() entry.)
-        val grouped = working.select(supportedNames.map(qcol): _*)
-          .groupBy(supportedNames.map(qcol): _*)
-          .agg(count(lit(1)).as("__cnt"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        val distinctRowCount = timed("F:dup-count")(grouped.count())
-        val top = timed("F:dup-top")(grouped.where(col("__cnt") > 1)
-          .orderBy((col("__cnt").desc +: supportedNames.map(qcol)): _*)
-          .limit(cfg.duplicatesHead).collect())
-        grouped.unpersist()
-        val dups = nRows - distinctRowCount
-        val topSeq = top.map { r =>
-          supportedNames.map(n =>
-            n -> Option(r.getAs[Any](n)).map(_.toString).orNull).toMap ->
-            r.getAs[Long]("__cnt")
-        }.toSeq
-        (dups, topSeq)
-      }
-    }
-
     // ---- Pass G: Pearson + nullity correlations in one agg -------------
+    // (Pass F, duplicates, was launched before the pass-B await above.)
     val correlationsF: Future[Seq[CorrelationMatrix]] = Future {
       if (!cfg.computeCorrelations || numericCols.size < 2) Seq.empty
       else {
@@ -508,14 +517,7 @@ object Profiler {
       }
     }
 
-    // ---- Sample + assembly ---------------------------------------------
-    val headF: Future[Seq[Map[String, String]]] = Future {
-      working.limit(cfg.sampleHead).collect().map { r =>
-        fields.map(f =>
-          f.name -> Option(r.getAs[Any](f.name)).map(_.toString).orNull).toMap
-      }.toSeq
-    }
-
+    // ---- Assembly (head sample was launched before the pass-B await) ---
     val (histograms, mads, charStats) = (
       Await.result(histogramsF, Duration.Inf),
       Await.result(madsF, Duration.Inf),
