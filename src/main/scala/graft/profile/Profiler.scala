@@ -667,10 +667,17 @@ object Profiler {
     val exprs = pairs.zipWithIndex.map { case ((a, b), i) =>
       corr(col(s"`$a`"), col(s"`$b`")).as(s"s$i")
     }
-    val r = ranked.agg(exprs.head, exprs.tail: _*).head()
+    // > ~16 corr in one agg exceeds the codegen buffer budget (6 fields
+    // each) — persist the pivoted rank table once and chunk the agg
+    val rankedP = ranked.persist(StorageLevel.MEMORY_AND_DISK)
+    val rs: Map[String, Any] = exprs.grouped(15).toSeq.flatMap { ch =>
+      val r = rankedP.agg(ch.head, ch.tail: _*).head()
+      r.schema.fieldNames.zip(r.toSeq)
+    }.toMap
+    rankedP.unpersist(false)
     val m = Array.fill(cols.size, cols.size)(1.0)
     pairs.zipWithIndex.foreach { case ((a, b), i) =>
-      val v = Option(r.getAs[Any](s"s$i"))
+      val v = Option(rs.getOrElse(s"s$i", null))
         .map(_.asInstanceOf[Number].doubleValue).getOrElse(Double.NaN)
       val ia = cols.indexOf(a); val ib = cols.indexOf(b)
       m(ia)(ib) = v; m(ib)(ia) = v
