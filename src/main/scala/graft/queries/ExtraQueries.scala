@@ -231,7 +231,33 @@ object ExtraQueries {
              count(*) AS cnt
       FROM orders GROUP BY 1 ORDER BY m"""))
 
+  /** Skew-safe salted join (Skew.saltedJoin): the big side is salted by
+    * a deterministic row hash, the dimension side replicated per salt,
+    * so a hot join key spreads over `salts` tasks instead of stalling
+    * one straggler. Output is bit-identical to the plain join — which
+    * is exactly what the oracle checks (the plain SQL join). */
+  val qSaltedJoin = Q(
+    "q44_skew_salted_join",
+    (s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val ord = table(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.ops.Skew.saltedJoin(li, ord, "l_orderkey", salts = 8)
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n_items,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1 ORDER BY o_orderpriority"""))
+
   val all: Seq[Q] = Seq(
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
-    qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qMapValueCounts)
+    qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qMapValueCounts,
+    qSaltedJoin)
 }

@@ -1,0 +1,40 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  // one hot key (0) carrying half the rows, plus a uniform tail
+  private lazy val big = ((1 to 500).map(i => (0, s"hot$i")) ++
+    (1 to 500).map(i => (i % 20 + 1, s"cold$i"))).toDF("k", "payload")
+  private lazy val small = (0 to 20).map(i => (i, s"dim$i")).toDF("k", "attr")
+
+  test("saltedJoin == plain join, and the join key carries the salt") {
+    val salted = Skew.saltedJoin(big, small, "k", salts = 8)
+    val expected = big.join(small, "k").collect().map(_.toSeq).toSet
+    assert(salted.collect().map(_.toSeq).toSet == expected)
+    // the physical join must key on (k, __salt): the hot key's rows
+    // hash-distribute over `salts` tasks instead of one
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), s"salt not in join keys:\n$plan")
+  }
+
+  test("saltedJoin salt is deterministic: same result on re-run") {
+    val a = Skew.saltedJoin(big, small, "k", salts = 8)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val b = Skew.saltedJoin(big, small, "k", salts = 8)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("saltedCount == plain groupBy count") {
+    val salted = Skew.saltedCount(big, "k", salts = 8)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val plain = big.groupBy("k").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+    assert(salted(0) == 500L)
+  }
+}
