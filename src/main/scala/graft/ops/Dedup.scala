@@ -39,17 +39,15 @@ object Dedup {
     * word windows). Far more discriminative than char shingles on
     * natural/templated text — the shingle unit of the Gopher/RefinedWeb
     * style dedup pipelines — which keeps every shingle's document
-    * frequency (and so any shingle-join's fanout) low. */
+    * frequency (and so any shingle-join's fanout) low. The gram array
+    * comes from the codegen'd [[graft.functions.WordNgramsExpr]] (one
+    * static call per row) rather than an interpreted higher-order
+    * chain; documents with fewer than n words yield no rows. */
   def wordShingleTable(df: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame = {
-    val ws = filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0)
-    val grams = transform(
-      sequence(lit(1), size(ws) - lit(n - 1)),
-      i => concat_ws(" ", slice(ws, i, lit(n))))
-    df.where(size(ws) >= n)
-      .select(col(idCol).as("id"),
-        explode(array_distinct(grams)).as("g"))
-  }
+      n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(graft.functions.WordNgramsExpr
+        .ngrams(col(textCol), n, distinct = true)).as("g"))
 
   /** Session-scoped cache of checkpointed word-shingle tables: the
     * q22/q23/q24 family derives its shingle state ONCE per (input, n)
@@ -239,8 +237,8 @@ object Dedup {
   def simhash(df: DataFrame, idCol: String, textCol: String,
       bits: Int = 32): DataFrame = {
     val words = df.select(col(idCol).as("id"),
-      explode(array_distinct(split(lower(col(textCol)), "\\s+"))).as("w"))
-      .where(length(col("w")) > 0)
+      explode(graft.functions.WordNgramsExpr
+        .ngrams(col(textCol), 1, distinct = true)).as("w"))
       .withColumn("h", hash64(col("w"), 0))
     val bitSums = (0 until bits).map(b =>
       sum(when((shiftright(col("h"), b).bitwiseAND(1)) === 1, 1L)

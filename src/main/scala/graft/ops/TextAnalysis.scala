@@ -21,9 +21,10 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "et", "les", "des", "est", "une", "dans", "que", "pour"),
     "es" -> Seq("el", "la", "de", "que", "y", "los", "una", "es", "por", "con"))
 
-  /** Lowercased whitespace tokens. */
+  /** Lowercased whitespace tokens (codegen'd — one call per row, not an
+    * interpreted filter lambda per token). */
   def words(c: Column): Column =
-    filter(split(lower(c), "\\s+"), w => length(w) > 0)
+    graft.functions.WordNgramsExpr.ngrams(c, 1, distinct = false)
 
   /** Fraction of tokens that are stopwords of `lang`, 6-decimal rounded. */
   def stopwordFraction(c: Column, lang: String): Column = {
@@ -98,15 +99,11 @@ object TextAnalysis {
 
   /** Word n-grams WITH multiplicity — repetition analysis needs the
     * repeats that the dedup shingle tables deliberately distinct away.
-    * Empty array when the document has fewer than n words (guarded:
-    * `sequence(1, 0)` would count DOWN). */
-  def wordNgrams(c: Column, n: Int): Column = {
-    val ws = words(c)
-    when(size(ws) >= n,
-      transform(sequence(lit(1), size(ws) - lit(n - 1)),
-        i => concat_ws(" ", slice(ws, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-  }
+    * Empty array when the document has fewer than n words. Backed by
+    * the codegen'd [[graft.functions.WordNgramsExpr]] (the interpreted
+    * higher-order form cost ~µs per ELEMENT; this is one call per row). */
+  def wordNgrams(c: Column, n: Int): Column =
+    graft.functions.WordNgramsExpr.ngrams(c, n, distinct = false)
 
   /** Repetition signals: what fraction of the document's word n-grams
     * are repeats of an earlier n-gram (duplicate-n-gram fraction, the
