@@ -28,6 +28,38 @@ object IvfIndex {
       /** (list_id, centroid array<double>) — small, driver/broadcast. */
       centroids: DataFrame)
 
+  /** Session-scoped index cache: an IVF index is built once per corpus
+    * snapshot and amortized over every probe batch — the production
+    * shape (persist the posting-list layout, query many). Keyed like
+    * the shingle cache: session identity + analyzed-plan semantic hash
+    * + build params; bounded LRU(2) (a posting table is corpus-sized).
+    * Opt-in via [[buildCached]]. */
+  private val indexCache = new java.util.LinkedHashMap[
+      (Int, Int, String, String, Int, Long, Int), Index](4, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[(Int, Int, String, String, Int, Long, Int), Index])
+        : Boolean = size() > 2
+  }
+
+  /** [[build]], memoized per session + input plan + params, with the
+    * posting table checkpointed so repeated searches share one k-means
+    * run and one materialized layout. */
+  def buildCached(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, seed: Long = 42L, maxIter: Int = 10): Index =
+    indexCache.synchronized {
+      val key = (System.identityHashCode(corpus.sparkSession),
+        corpus.queryExecution.analyzed.semanticHash(), idCol, vecCol,
+        nlist, seed, maxIter)
+      val hit = indexCache.get(key)
+      if (hit != null) hit
+      else {
+        val idx0 = build(corpus, idCol, vecCol, nlist, seed, maxIter)
+        val idx = idx0.copy(postings = idx0.postings.localCheckpoint(false))
+        indexCache.put(key, idx)
+        idx
+      }
+    }
+
   def build(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, seed: Long = 42L, maxIter: Int = 10): Index = {
     import org.apache.spark.ml.feature.VectorAssembler

@@ -231,7 +231,9 @@ object PipelineQueries {
     "q26b_embed_topk_ivf",
     (s, dir) => {
       val e = table(s, dir, "embeddings")
-      val idx = IvfIndex.build(e, "vec_id", "embedding", nlist = 16)
+      // buildCached: one k-means + one materialized posting layout per
+      // corpus snapshot, amortized over every probe batch in a session
+      val idx = IvfIndex.buildCached(e, "vec_id", "embedding", nlist = 16)
       IvfIndex.search(idx, e.where(col("vec_id") < 5),
           "vec_id", "embedding", k = 5, nprobe = 16)
         .orderBy("query_id", "rnk")
