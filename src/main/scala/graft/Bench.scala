@@ -29,6 +29,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark) // SQL surface
 
     // Warmup: exercise scan + shuffle + codegen once, outside any timing.
     try {

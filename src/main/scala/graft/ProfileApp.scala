@@ -35,6 +35,7 @@ object ProfileApp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark) // SQL surface
 
     // Extension-dispatched scan (reference: utils/dataframe.py:24-67);
     // formats with no Spark source (Stata/SAS/Excel/HDF) are unsupported.
