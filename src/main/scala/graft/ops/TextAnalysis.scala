@@ -193,6 +193,34 @@ object TextAnalysis {
       "keep" -> (rWords && rShape && rRep))
   }
 
+  /** PII patterns — engine-portable (identical semantics in Java regex,
+    * RE2 and DuckDB): no lookaround, no \b on the phone form. Conservative
+    * by design; a scrubbing stage wants predictable, auditable matches. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val phonePattern = "\\+[0-9][0-9 ]{7,}[0-9]"
+
+  /** PII detection + redaction signals: match counts per class, a
+    * has_pii flag, and the text with matches replaced by typed tokens
+    * (email -> ip -> phone order, so an already-redacted token is never
+    * re-matched). Pure per-row expressions — a map-only scrubbing pass
+    * at any corpus size. */
+  def piiSignals(c: Column): Map[String, Column] = {
+    def n(p: String) = size(regexp_extract_all(c, lit(p), lit(0))).cast("long")
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(c, emailPattern, "[EMAIL]"),
+          ipv4Pattern, "[IP]"),
+        phonePattern, "[PHONE]")
+    Map(
+      "n_emails" -> n(emailPattern),
+      "n_ipv4" -> n(ipv4Pattern),
+      "n_phones" -> n(phonePattern),
+      "has_pii" -> (n(emailPattern) + n(ipv4Pattern) + n(phonePattern) > 0),
+      "text_redacted" -> redacted)
+  }
+
   /** 60-bit document fingerprint: md5 of whitespace-normalized lowercase
     * text. Identical content modulo spacing/case maps to one fingerprint —
     * the cheap first stage of any dedup cascade. */

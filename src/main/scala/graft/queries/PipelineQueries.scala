@@ -416,6 +416,69 @@ object PipelineQueries {
         FROM g ORDER BY doc_id"""
     })
 
+  /** PII scan + redaction over documents with deterministically PLANTED
+    * PII (the documents corpus is synthetic and clean, so matches are
+    * injected from doc_id arithmetic — the q32b pattern): every 3rd doc
+    * gains an email, every 5th an IPv4, every 7th an international
+    * phone. The Spark side detects and redacts with the engine-portable
+    * patterns; the oracle re-plants the same text and applies the same
+    * regexes in DuckDB, so a drifted pattern or wrong replacement order
+    * breaks the hash. */
+  val qPiiScan = Q(
+    "q45_pii_scan",
+    (s, dir) => {
+      val planted = table(s, dir, "documents").select(
+        col("doc_id"),
+        concat(
+          col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com now"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+              lit(".7"))).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            lit(" call +1 415 555 0100")).otherwise(lit(""))).as("text"))
+      val pii = TextAnalysis.piiSignals(col("text"))
+      planted.select(
+          col("doc_id"),
+          pii("n_emails").as("n_emails"),
+          pii("n_ipv4").as("n_ipv4"),
+          pii("n_phones").as("n_phones"),
+          pii("has_pii").as("has_pii"),
+          pii("text_redacted").as("text_redacted"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ipv4 = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+      val phone = "\\+[0-9][0-9 ]{7,}[0-9]"
+      s"""WITH planted AS (SELECT doc_id,
+            text ||
+            CASE WHEN doc_id % 3 = 0
+              THEN ' contact user' || doc_id || '@example.com now'
+              ELSE '' END ||
+            CASE WHEN doc_id % 5 = 0
+              THEN ' from 10.0.' || (doc_id % 256) || '.7'
+              ELSE '' END ||
+            CASE WHEN doc_id % 7 = 0
+              THEN ' call +1 415 555 0100'
+              ELSE '' END AS text
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
+          CAST(len(regexp_extract_all(text, '$ipv4')) AS BIGINT) AS n_ipv4,
+          CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phones,
+          (len(regexp_extract_all(text, '$email')) +
+           len(regexp_extract_all(text, '$ipv4')) +
+           len(regexp_extract_all(text, '$phone'))) > 0 AS has_pii,
+          regexp_replace(regexp_replace(regexp_replace(text,
+            '$email', '[EMAIL]', 'g'),
+            '$ipv4', '[IP]', 'g'),
+            '$phone', '[PHONE]', 'g') AS text_redacted
+        FROM planted ORDER BY doc_id"""
+    })
+
   // ------------------------------------------------------------------
   // Multimodal (binary-column plumbing; codec stubbed — see Multimodal)
   // ------------------------------------------------------------------
@@ -509,6 +572,6 @@ object PipelineQueries {
   val all: Seq[Q] = Seq(
     qDedupExact, qNgramJaccard, qMinhashSig, qMinhashLsh, qSimhash,
     qEmbedTopK, qEmbedTopKIvf, qEmbedNearDup, qLangId, qTextQuality,
-    qTokenCounts, qFingerprint, qRepetitionFilter, qMultimodalMeta,
-    qMultimodalDecode, qImageDecode)
+    qTokenCounts, qFingerprint, qRepetitionFilter, qPiiScan,
+    qMultimodalMeta, qMultimodalDecode, qImageDecode)
 }

@@ -10,6 +10,6 @@ class EntrySpec extends SparkSpec {
 
   test("every oracleSql key exists in queries (driver contract)") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.queries.size == 48)
+    assert(SparkEntry.queries.size == 49)
   }
 }

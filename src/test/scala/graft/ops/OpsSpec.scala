@@ -202,6 +202,23 @@ class OpsSpec extends SparkSpec {
     assert(out(2L) == ((0L, 0L, 0.0, false)))   // too short -> dropped
   }
 
+  test("pii signals: counts, flag, and ordered redaction") {
+    val df = Seq(
+      (0L, "mail a.b+c@ex-1.org or x@y.io, host 10.0.0.1, call +41 22 123 45 67"),
+      (1L, "nothing to see here, version 1.2 only"),
+      (2L, "ip 192.168.255.254 twice 10.1.2.3")
+    ).toDF("doc_id", "text")
+    val p = TextAnalysis.piiSignals(col("text"))
+    val out = df.select(col("doc_id"), p("n_emails"), p("n_ipv4"),
+        p("n_phones"), p("has_pii"), p("text_redacted"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(out(0L) == Seq(2L, 1L, 1L, true,
+      "mail [EMAIL] or [EMAIL], host [IP], call [PHONE]"))
+    assert(out(1L) == Seq(0L, 0L, 0L, false,
+      "nothing to see here, version 1.2 only"))
+    assert(out(2L) == Seq(0L, 2L, 0L, true, "ip [IP] twice [IP]"))
+  }
+
   test("repetitionTable (codegen explode form) == expression form") {
     val rep = TextAnalysis.repetitionSignals(col("text"), 3)
     val sig = TextAnalysis.qualitySignals(col("text"))
