@@ -32,6 +32,25 @@ class DecomposeSpec extends SparkSpec {
     assert(r.getAs[Int]("m_k1") == 10 && r.getAs[Int]("m_k2") == 20)
   }
 
+  test("canonicalizeMaps: int keys sort numerically, null map stays null") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(1, 2).toDF("i").select(
+      when(col("i") === 1,
+          map(lit(10), lit("a"), lit(2), lit("b")))
+        .otherwise(org.apache.spark.sql.functions.lit(null)
+          .cast("map<int,string>")).as("m"),
+      col("i"))
+    val out = Decompose.canonicalizeMaps(df)
+      .orderBy("i").select("m").collect()
+    // sorted by INT key (2 < 10), not lexicographically ("10" < "2")
+    assert(out(0).getString(0) == "[{2, b}, {10, a}]")
+    assert(out(1).isNullAt(0))
+    // empty map canonicalizes to "[]", grouping-stable
+    val e = Seq(1).toDF("i")
+      .select(map_filter(map(lit(1), lit("x")), (_, _) => lit(false)).as("m"))
+    assert(Decompose.canonicalizeMaps(e).head().getString(0) == "[]")
+  }
+
   test("fileStats over a temp directory via binaryFile source") {
     val dir = java.nio.file.Files.createTempDirectory("graft-files")
     java.nio.file.Files.writeString(dir.resolve("a.txt"), "hello")
