@@ -19,6 +19,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // load average BEFORE this JVM does any work: external contention at
+    // entry, unpolluted by the bench's own executor threads
+    val loadStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -52,8 +56,14 @@ object Bench {
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     // two full passes, min per query: a transient host stall pollutes one
-    // pass; the min of two is the honest steady-state figure
+    // pass; the min of two is the honest steady-state figure. Session
+    // caches (shingle table, IVF index) amortize WITHIN a pass — q22/23/24
+    // share one shingle build as designed — but are cleared BETWEEN passes
+    // so the min still carries each pass's one cold build instead of
+    // timing a pure cache hit.
     val pass1 = ordered.map { case (n, f) => n -> timeOnce(n, f) }.toMap
+    graft.ops.Dedup.clearShingleCache()
+    graft.ops.IvfIndex.clearIndexCache()
     val pass2 = ordered.map { case (n, f) => n -> timeOnce(n, f) }.toMap
     val results = ordered.map { case (n, _) =>
       n -> math.min(pass1(n), pass2(n))
@@ -61,12 +71,20 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
+    val qsBoth = ordered.map { case (n, _) =>
+      "\"" + n + f"""\":[${pass1(n)}%.3f,${pass2(n)}%.3f]""" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val procs = Runtime.getRuntime.availableProcessors
     val load = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val t1 = pass1.values.sum; val t2 = pass2.values.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","procs":$procs,"loadavg":$load%.2f,"pass_totals":[$t1%.3f,$t2%.3f]}""")
+    // self-defense gate: external load at entry, or two passes that
+    // disagree by >2x, mean the artifact is a contended measurement —
+    // re-run on a quiet host before committing it
+    val polluted = loadStart > procs / 4.0 ||
+      math.max(t1, t2) > 2.0 * math.min(t1, t2)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","procs":$procs,"loadavg":$load%.2f,"loadavg_start":$loadStart%.2f,"polluted":$polluted,"pass_totals":[$t1%.3f,$t2%.3f],"queries_passes":$qsBoth}""")
     spark.stop()
   }
 }

@@ -65,6 +65,13 @@ object Dedup {
         : Boolean = size() > 4
   }
 
+  /** Drop every memoized shingle table. Bench/test hook: a min-of-two
+    * benchmark must clear this between passes, or the second pass times
+    * a pure cache hit and the reported min never includes the shingle
+    * build that a cold run pays. */
+  def clearShingleCache(): Unit =
+    shingleCache.synchronized { shingleCache.clear() }
+
   /** [[wordShingleTable]], lazily checkpointed and memoized: repeated
     * calls on a semantically-equal source in one session return the SAME
     * materialized table, so downstream ops (signatures, LSH, verify)

@@ -41,6 +41,12 @@ object IvfIndex {
         : Boolean = size() > 2
   }
 
+  /** Drop every memoized index. Bench/test hook: a min-of-two benchmark
+    * must clear this between passes so the reported min still carries
+    * the k-means build a cold run pays. */
+  def clearIndexCache(): Unit =
+    indexCache.synchronized { indexCache.clear() }
+
   /** [[build]], memoized per session + input plan + params, with the
     * posting table checkpointed so repeated searches share one k-means
     * run and one materialized layout. */

@@ -86,9 +86,11 @@ object Similarity {
     val r = planesPerBand
     // id passes through as an opaque Row field — its ORIGINAL type is
     // preserved (a cast to long would null out string ids and silently
-    // return zero pairs downstream)
+    // return zero pairs downstream). Null embeddings are dropped here
+    // rather than NPE-ing the task: a row with no vector has no bucket.
     val in = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<float>").as("vec"))
+      .where(col("vec").isNotNull)
     val outSchema = StructType(Seq(
       in.schema.fields(0),
       StructField("band", IntegerType, nullable = false),

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Key-skew mitigation by salting.
@@ -22,6 +22,30 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** A temp-column name guaranteed absent from every given column set. */
+  private def freshName(base: String, taken: Seq[String]): String = {
+    var n = base
+    while (taken.contains(n)) n = "_" + n
+    n
+  }
+
+  /** Deterministic per-row salt in [0, salts): hash of the row's
+    * hash-supported columns. Spark's `hash` rejects MapType, so map
+    * columns enter through the sorted-entries canonical string
+    * ([[Decompose.canonicalizeMaps]]'s form — equal maps salt
+    * identically regardless of entry order). */
+  private def rowSalt(df: DataFrame, salts: Int): Column = {
+    import org.apache.spark.sql.types.MapType
+    val parts = df.schema.fields.toSeq.map { f =>
+      val c = col("`" + f.name.replace("`", "``") + "`")
+      f.dataType match {
+        case _: MapType => array_sort(map_entries(c)).cast("string")
+        case _ => c
+      }
+    }
+    pmod(hash(parts: _*), lit(salts))
+  }
+
   /** Inner equi-join with the big side salted and the small side
     * replicated `salts` times. Same rows as `big.join(small, key)`.
     * Caveat: rows identical in EVERY column hash to one salt — exact
@@ -31,24 +55,23 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       salts: Int): DataFrame = {
     require(salts >= 1, "salts must be >= 1")
-    val salt = pmod(hash(big.columns.map(c => col(s"`$c`")): _*),
-      lit(salts))
-    val b = big.withColumn("__salt", salt)
-    val s = small.withColumn("__salt",
+    val saltCol = freshName("__salt", big.columns.toSeq ++ small.columns)
+    val b = big.withColumn(saltCol, rowSalt(big, salts))
+    val s = small.withColumn(saltCol,
       explode(sequence(lit(0), lit(salts - 1))))
-    b.join(s, Seq(key, "__salt")).drop("__salt")
+    b.join(s, Seq(key, saltCol)).drop(saltCol)
   }
 
   /** Skew-safe count per key: two-phase groupBy via a deterministic
     * row-hash salt. Same result as `df.groupBy(key).count()`. */
   def saltedCount(df: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts >= 1, "salts must be >= 1")
-    val salt = pmod(hash(df.columns.map(c => col(s"`$c`")): _*),
-      lit(salts))
-    df.withColumn("__salt", salt)
-      .groupBy(col(s"`$key`"), col("__salt"))
-      .agg(count(lit(1)).as("__partial"))
+    val saltCol = freshName("__salt", df.columns.toSeq)
+    val partialCol = freshName("__partial", df.columns.toSeq)
+    df.withColumn(saltCol, rowSalt(df, salts))
+      .groupBy(col(s"`$key`"), col(s"`$saltCol`"))
+      .agg(count(lit(1)).as(partialCol))
       .groupBy(col(s"`$key`"))
-      .agg(sum(col("__partial")).as("count"))
+      .agg(sum(col(s"`$partialCol`")).as("count"))
   }
 }

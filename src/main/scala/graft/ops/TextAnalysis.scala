@@ -42,9 +42,10 @@ object TextAnalysis {
     val langs = stopwords.keys.toSeq.sorted
     val scored = langs.map(l => struct(stopwordFraction(c, l).as("s"),
       lit(l).as("l")))
-    // array_max on struct orders lexicographically: (score, lang);
-    // equal scores resolve to the lexicographically LARGEST lang, so
-    // invert the lang for a smallest-code tie-break, then restore.
+    // array_max on struct orders lexicographically: (score, lang), so
+    // equal scores resolve to the lexicographically LARGEST lang code
+    // (fr > es > en > de). That largest-code preference IS the contract
+    // — the q28 DuckDB oracle's CASE cascade encodes the same order.
     val best = array_max(array(scored.map(s =>
       struct(s.getField("s").as("s"), s.getField("l").as("l"))): _*))
     when(best.getField("s") > 0.0, best.getField("l")).otherwise(lit("und"))
@@ -178,19 +179,26 @@ object TextAnalysis {
     * repetition ceiling. Returns the per-rule booleans alongside the
     * composite `keep` so a pipeline can audit WHY a document dropped —
     * the practical requirement that separates a filter stage from a
-    * black box. */
-  def gopherFilter(c: Column, minWords: Int = 5, maxWords: Int = 100000,
-      maxDupBigramFrac: Double = 0.2): Map[String, Column] = {
-    val s = qualitySignals(c)
-    val rep = repetitionSignals(c, 2)
-    val rWords = s("n_words").between(minWords, maxWords)
-    val rShape = s("mean_word_len").between(2.0, 12.0)
-    val rRep = rep("dup_2gram_frac") <= maxDupBigramFrac
-    Map(
-      "r_word_count" -> rWords,
-      "r_word_shape" -> rShape,
-      "r_repetition" -> rRep,
-      "keep" -> (rWords && rShape && rRep))
+    * black box.
+    *
+    * DataFrame-in/DataFrame-out, built on the fully-codegen
+    * [[repetitionTable]] plan — the per-row expression composition
+    * ([[repetitionSignals]] + [[qualitySignals]]) evaluates its
+    * higher-order lambdas interpreted and measured ~40x slower at
+    * corpus scale; this is the one blessed path (q43 runs it).
+    * Output: id, n_words, mean_word_len, n_2grams, n_distinct_2grams,
+    * dup_2gram_frac, r_word_count, r_word_shape, r_repetition, keep. */
+  def gopherFilter(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 5, maxWords: Int = 100000,
+      maxDupBigramFrac: Double = 0.2): DataFrame = {
+    val rep = repetitionTable(df, idCol, textCol, 2)
+    val rWords = col("n_words").between(minWords, maxWords)
+    val rShape = col("mean_word_len").between(2.0, 12.0)
+    val rRep = col("dup_2gram_frac") <= maxDupBigramFrac
+    rep.select(col("id"), col("n_words"), col("mean_word_len"),
+      col("n_2grams"), col("n_distinct_2grams"), col("dup_2gram_frac"),
+      rWords.as("r_word_count"), rShape.as("r_word_shape"),
+      rRep.as("r_repetition"), (rWords && rShape && rRep).as("keep"))
   }
 
   /** PII patterns — engine-portable (identical semantics in Java regex,

@@ -386,12 +386,14 @@ object Profiler {
         }
         // corr carries 6 aggregate buffer fields; > ~16 pairs in one agg
         // drops the HashAggregate out of codegen (the pass-A lesson) —
-        // chunk to 15 pairs per concurrent job over the persisted input
+        // chunk to 15 pairs, run SEQUENTIALLY here: nesting Futures on
+        // the shared bounded pool and Await-ing them from a pool thread
+        // deadlocks at poolSize=1 (the only thread blocks on tasks that
+        // can never schedule). Other passes still overlap this one.
         val rs = timed("G:pearson")(
           exprs.grouped(15).toSeq
-            .map(ch => Future { working.agg(ch.head, ch.tail: _*).head() })
-            .flatMap { f =>
-              val r = Await.result(f, Duration.Inf)
+            .flatMap { ch =>
+              val r = working.agg(ch.head, ch.tail: _*).head()
               r.schema.fieldNames.zip(r.toSeq)
             }.toMap)
         val m = Array.fill(numericCols.size, numericCols.size)(1.0)
@@ -405,12 +407,25 @@ object Profiler {
         val spearmanOpt =
           if (cfg.computeSpearman) {
             // Pass B already holds the per-(column, value) counts that
-            // ranking needs — reuse them (string values round-trip to
-            // the identical double) instead of re-shuffling the melted
-            // table. NaN excluded to match the kv filter below.
+            // ranking needs — reuse them instead of re-shuffling the
+            // melted table. Pass B stores cast(col as string); for
+            // int/long/double/decimal the string parses back to the
+            // exact double a direct cast produces, but a FLOAT's
+            // shortest-round-trip string ("1.1") parses to a DIFFERENT
+            // double than (double)1.1f — restore those through an
+            // intermediate float cast so the rank-join keys match
+            // spearmanMatrix's cast(col as double) side exactly.
+            // NaN excluded to match the kv filter below.
+            val floatCols = numericCols.filter(c =>
+              fields.find(_.name == c).exists(_.dataType == FloatType))
+            val vBack =
+              if (floatCols.isEmpty) col("v").cast("double")
+              else when(col("c").isin(floatCols: _*),
+                col("v").cast("float").cast("double"))
+                .otherwise(col("v").cast("double"))
             val countsFromB = vcTable.map(vc =>
               vc.where(col("c").isin(numericCols: _*))
-                .select(col("c"), col("v").cast("double").as("v"), col("cnt"))
+                .select(col("c"), vBack.as("v"), col("cnt"))
                 .where(col("v").isNotNull && !col("v").isNaN))
             Some(timed("G:spearman")(
               spearmanMatrix(working, numericCols, countsFromB)))

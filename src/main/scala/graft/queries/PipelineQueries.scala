@@ -372,20 +372,16 @@ object PipelineQueries {
   val qRepetitionFilter = Q(
     "q43_repetition_filter",
     (s, dir) => {
-      // The fully-codegen explode/window/aggregate form: the per-row
-      // expression form (gopherFilter) rebuilds interpreted higher-order
-      // arrays per output column — measured 40 s at sf0.1 vs ~1 s here.
-      val rep = TextAnalysis.repetitionTable(
-        table(s, dir, "documents"), "doc_id", "text", 2)
-      rep.select(
+      // The library's blessed filter path: gopherFilter runs the
+      // fully-codegen explode/window/aggregate repetitionTable plan
+      // (the interpreted higher-order expression composition measured
+      // 40 s at sf0.1 vs ~1 s for this plan).
+      TextAnalysis.gopherFilter(table(s, dir, "documents"), "doc_id", "text")
+        .select(
           col("id").as("doc_id"),
           col("n_2grams"), col("n_distinct_2grams"), col("dup_2gram_frac"),
-          col("n_words").between(5, 100000).as("r_word_count"),
-          col("mean_word_len").between(2.0, 12.0).as("r_word_shape"),
-          (col("dup_2gram_frac") <= 0.2).as("r_repetition"),
-          (col("n_words").between(5, 100000) &&
-            col("mean_word_len").between(2.0, 12.0) &&
-            col("dup_2gram_frac") <= 0.2).as("keep"))
+          col("r_word_count"), col("r_word_shape"), col("r_repetition"),
+          col("keep"))
         .orderBy("doc_id")
     },
     Some {

@@ -142,6 +142,18 @@ class OpsSpec extends SparkSpec {
     assert(pairs == Set(("doc-a", "doc-b")))
   }
 
+  test("srpBandBuckets skips null embeddings instead of failing the job") {
+    val withNull = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, null.asInstanceOf[Array[Float]]),
+      (3L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.srpBandBuckets(withNull, "vec_id", "embedding", 4, 2)
+      .collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 3L)) // null row dropped
+    assert(out.length == 4) // 2 ids x 2 bands
+  }
+
   test("srpBandBuckets matches the SQL-expression hyperplane hash family") {
     // band 0 of srpBandBuckets uses planes 0..7 — same family as
     // hyperplaneLshBuckets(planes=8), so bucket ids must be identical
@@ -190,16 +202,19 @@ class OpsSpec extends SparkSpec {
       (1L, "one two three four five six seven"), // no repeats
       (2L, "ab")                                 // below min word count
     ).toDF("doc_id", "text")
-    val rep = TextAnalysis.repetitionSignals(col("text"), 2)
-    val flt = TextAnalysis.gopherFilter(col("text"))
-    val out = df.select(col("doc_id"),
-        rep("n_2grams").as("n"), rep("n_distinct_2grams").as("nd"),
-        rep("dup_2gram_frac").as("f"), flt("keep").as("keep"))
-      .collect().map(r => r.getLong(0) ->
-        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    val out = TextAnalysis.gopherFilter(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_2grams"), r.getAs[Long]("n_distinct_2grams"),
+          r.getAs[Double]("dup_2gram_frac"), r.getAs[Boolean]("keep")))).toMap
     assert(out(0L) == ((4L, 1L, 0.75, false)))  // repetitive -> dropped
     assert(out(1L) == ((6L, 6L, 0.0, true)))    // clean -> kept
     assert(out(2L) == ((0L, 0L, 0.0, false)))   // too short -> dropped
+    // per-rule audit booleans explain each drop
+    val rules = TextAnalysis.gopherFilter(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Boolean]("r_word_count"), r.getAs[Boolean]("r_repetition")))).toMap
+    assert(rules(0L) == ((true, false)))   // dropped for repetition
+    assert(rules(2L) == ((false, true)))   // dropped for word count
   }
 
   test("pii signals: counts, flag, and ordered redaction") {

@@ -37,4 +37,22 @@ class SkewSpec extends SparkSpec {
     assert(salted == plain)
     assert(salted(0) == 500L)
   }
+
+  test("salting survives a user __salt column and MapType columns") {
+    // an input that already owns "__salt" must not collide with the
+    // temp column, and a map column must not break the row-hash salt
+    // (Spark's hash rejects MapType)
+    val bigTricky = big
+      .withColumn("__salt", lit("user-data"))
+      .withColumn("m", map(lit("a"), col("payload")))
+    val salted = Skew.saltedJoin(bigTricky, small, "k", salts = 8)
+    val expected = bigTricky.join(small, "k")
+      .collect().map(_.toSeq.map(String.valueOf)).toSet
+    assert(salted.collect().map(_.toSeq.map(String.valueOf)).toSet == expected)
+    // user column passes through untouched
+    assert(salted.columns.count(_ == "__salt") == 1)
+    val counts = Skew.saltedCount(bigTricky, "k", salts = 8)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts(0) == 500L)
+  }
 }

@@ -25,6 +25,25 @@ class SpearmanSpec extends SparkSpec {
         s"($i,$j): ${fast.values(i)(j)} vs ${m(i, j)}")
   }
 
+  test("profile spearman is exact for FloatType columns (pass-B count reuse)") {
+    // Floats whose shortest string does NOT parse to the same double as
+    // a direct cast ((double)1.1f = 1.10000002..., but "1.1" parses to
+    // 1.1d): pass B stores cast-to-string values, so reusing its counts
+    // for ranking must restore floats through an intermediate float
+    // cast — before that fix the rank join dropped every float row and
+    // the Spearman entry degraded to NaN.
+    val df = (1 to 200).map(i => ((i * 1.1).toFloat, i.toDouble))
+      .toDF("xf", "y")
+    val p = Profiler.profile(df, ProfileConfig.default.copy(
+      persist = false, computeSpearman = true))
+    val sp = p.correlations.find(_.method == "spearman").get
+    val i = sp.columns.indexOf("xf"); val j = sp.columns.indexOf("y")
+    assert(i >= 0 && j >= 0)
+    val v = sp.values(i)(j)
+    assert(!v.isNaN && math.abs(v - 1.0) < 1e-12,
+      s"float-column spearman should be exactly 1.0, got $v")
+  }
+
   test("spearman handles ties and perfect monotonicity") {
     val df = Seq((1.0, 10.0), (2.0, 20.0), (2.0, 25.0), (3.0, 30.0))
       .toDF("x", "y")
