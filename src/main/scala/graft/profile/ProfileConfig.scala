@@ -58,6 +58,14 @@ final case class ProfileConfig(
       * pearson) — and because MLlib's spearman costs ~8 distributed
       * sorts; measured 59s of a 101s profile at sf0.1. */
     computeSpearman: Boolean = false,
+    /** Spearman plan selector: when the TOTAL distinct-value count across
+      * the numeric columns (known exactly from the value-counts pass) is
+      * at or below this, the tie-averaged rank tables are small enough to
+      * BROADCAST — per-column map-side hash joins replace the melted
+      * rank join + row-id pivot (two shuffles of rows x columns cells).
+      * Above it (e.g. billions of distinct keys at 100 TB) the shuffle
+      * plan runs unchanged. 2M entries ~ tens of MB broadcast. */
+    spearmanBroadcastMaxDistinct: Long = 2000000L,
     /** Cramer's V for categorical pairs (reference: correlations.py:219-413). */
     computeCramers: Boolean = true,
     /** Kendall tau-b for numeric pairs (off by default like the reference,
@@ -74,8 +82,10 @@ final case class ProfileConfig(
       * config_default.yaml:84-87). */
     computePhik: Boolean = false,
     /** Concurrent Spark jobs the profiler overlaps on its client-side
-      * pool (reference `spark.pool_size`, config_default.yaml:97). */
-    poolSize: Int = 6,
+      * pool (reference `pool_size`, config_default.yaml:20 — its 0
+      * means "CPU count"; we fix a bound so a wide post-B wave of small
+      * jobs doesn't thrash the scheduler). */
+    poolSize: Int = 8,
     /** Max distinct values for a column to enter Cramer's V
       * (reference: config_default.yaml:110). */
     maxCramersCardinality: Int = 100,

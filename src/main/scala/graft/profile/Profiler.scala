@@ -140,8 +140,11 @@ object Profiler {
       if (cur.nonEmpty) chunks += cur.toSeq
       chunks.toSeq
     }
+    // sketch chunk FIRST: the percentile job is the longest pass-A leg
+    // (sort-based ObjectHashAggregate) and pass D gates on its medians —
+    // launching it before the scalar chunks packs the pool better
     val aJobs: Seq[Future[Row]] =
-      (scalarChunks ++ (if (sketchAggs.nonEmpty) Seq(sketchAggs.toSeq) else Nil))
+      ((if (sketchAggs.nonEmpty) Seq(sketchAggs.toSeq) else Nil) ++ scalarChunks)
         .zipWithIndex.map { case (ch, i) =>
           Future {
             timed(s"A:agg-chunk$i")(working.agg(ch.head, ch.tail: _*).head())
@@ -158,17 +161,53 @@ object Profiler {
       aAny(k).map(_.asInstanceOf[Number].doubleValue).getOrElse(Double.NaN)
     lazy val nRows: Long = aLong("__n")
 
-    // ---- Pass B: per-(column,value) counts for ALL columns at once -----
+    // ---- Pass B: per-(column,value) counts, as TWO concurrent jobs -----
     // Replaces the reference's per-column value_counts jobs
-    // (series_wrappers.py:104-131) with one explode->groupBy.
+    // (series_wrappers.py:104-131) with explode->groupBy — split by
+    // declared type: the melt multiplies rows by column count, so two
+    // half-width jobs running concurrently finish in roughly half the
+    // wall time of one full-width job. The numeric half (B2) also
+    // carries each value's direct double cast, from which Spearman's
+    // rank table and the clamped-bin histogram fixups derive WITHOUT
+    // re-scanning the data. Distinct stats still group on the
+    // cast-to-string form — injective for every numeric type, unlike
+    // the double cast (longs above 2^53 collide there).
     case class ValueInfo(
         nDistinct: Long, nUnique: Long, chi2P: Option[Double],
         topK: Seq[(String, Long)])
+    val preNumeric = supported.collect {
+      case (f, ProfileType.Numeric) => f.name }
+    val preDatetime = supported.collect {
+      case (f, ProfileType.DateTime) => f.name }
+    val catSupported = supported.collect {
+      case (f, t) if t != ProfileType.Numeric => f.name }
+    // shared tail of both halves: distinct/unique/chi2 + top-K from a
+    // (c, v, cnt) table
+    def statsFromCounts(counts: DataFrame, names: Seq[String], label: String)
+        : Map[String, ValueInfo] = {
+      val distinctRows = timed(s"B:$label-stats")(counts.groupBy("c").agg(
+        count(lit(1)).as("k"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("u"),
+        sum(col("cnt")).as("N"),
+        sum(col("cnt") * col("cnt")).as("sq")).collect())
+      val distinctMap = distinctRows.map { r =>
+        val k = r.getAs[Long]("k"); val n = r.getAs[Long]("N")
+        val chi2 = chi2FromCounts(n.toDouble, r.getAs[Long]("sq").toDouble, k)
+        r.getAs[String]("c") -> ((k, r.getAs[Long]("u"),
+          chi2PValue(chi2, k - 1)))
+      }.toMap
+      val topMap = timed(s"B:$label-topk")(topKPerColumn(counts, cfg.topK))
+      names.map { c =>
+        val (k, u, p) = distinctMap.getOrElse(c, (0L, 0L, 1.0))
+        c -> ValueInfo(k, u, Some(p), topMap.getOrElse(c, Seq.empty))
+      }.toMap
+    }
+    // B1: categorical / boolean / datetime side
     val valueInfoF: Future[(Map[String, ValueInfo], Option[DataFrame])] = Future {
-      if (supported.isEmpty) (Map.empty[String, ValueInfo], None)
+      if (catSupported.isEmpty) (Map.empty[String, ValueInfo], None)
       else if (cfg.exactDistinct) {
-        val kvs = supported.map { case (f, _) =>
-          struct(lit(f.name).as("c"), qcol(f.name).cast("string").as("v"))
+        val kvs = catSupported.map { c =>
+          struct(lit(c).as("c"), qcol(c).cast("string").as("v"))
         }
         val vc = working
           .select(explode(array(kvs: _*)).as("kv"))
@@ -176,27 +215,48 @@ object Profiler {
           .where(col("v").isNotNull)
           .groupBy("c", "v").agg(count(lit(1)).as("cnt"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        val distinctRows = timed("B:distinct-stats")(vc.groupBy("c").agg(
-          count(lit(1)).as("k"),
-          sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("u"),
-          sum(col("cnt")).as("N"),
-          sum(col("cnt") * col("cnt")).as("sq")).collect())
-        val distinctMap = distinctRows.map { r =>
-          val k = r.getAs[Long]("k"); val n = r.getAs[Long]("N")
-          val chi2 = chi2FromCounts(n.toDouble, r.getAs[Long]("sq").toDouble, k)
-          r.getAs[String]("c") -> (k, r.getAs[Long]("u"),
-            chi2PValue(chi2, k - 1))
-        }.toMap
-        val topMap = timed("B:topk")(topKPerColumn(vc, cfg.topK))
-        val out = supported.map { case (f, _) =>
-          val (k, u, p) = distinctMap.getOrElse(f.name, (0L, 0L, 1.0))
-          f.name -> ValueInfo(k, u, Some(p), topMap.getOrElse(f.name, Seq.empty))
-        }.toMap
+        val out = statsFromCounts(vc, catSupported, "cat")
+        // E (char rollups) reads the persisted cat-side table
         if (cfg.computeCharStats) (out, Some(vc))
         else { vc.unpersist(); (out, None) }
       } else {
-        (supported.map { case (f, _) =>
-          f.name -> ValueInfo(aLong(s"${f.name}::approxDistinct"), -1L, None, Seq.empty)
+        (catSupported.map { c =>
+          c -> ValueInfo(aLong(s"$c::approxDistinct"), -1L, None, Seq.empty)
+        }.toMap, None)
+      }
+    }
+    // B2: numeric side, with the double cast carried per distinct value
+    val numStatsF: Future[(Map[String, ValueInfo], Option[DataFrame])] = Future {
+      if (preNumeric.isEmpty) (Map.empty[String, ValueInfo], None)
+      else if (cfg.exactDistinct) {
+        val kvs = preNumeric.map { c =>
+          struct(lit(c).as("c"), qcol(c).cast("string").as("v"))
+        }
+        // vd (the exact double a DIRECT cast produces) is derived per
+        // DISTINCT value after the groupBy, not per input row: int/
+        // long/double/decimal strings parse back to the identical
+        // double, and floats are restored through an intermediate
+        // float cast (a float's shortest string parses to a different
+        // double than (double)f). Keeps the explode+shuffle rows as
+        // narrow as B1's.
+        val floatCols = preNumeric.filter(c =>
+          fields.find(_.name == c).exists(_.dataType == FloatType))
+        val vdExpr =
+          if (floatCols.isEmpty) col("v").cast("double")
+          else when(col("c").isin(floatCols: _*),
+            col("v").cast("float").cast("double"))
+            .otherwise(col("v").cast("double"))
+        val nc = working
+          .select(explode(array(kvs: _*)).as("kv"))
+          .select(col("kv.c").as("c"), col("kv.v").as("v"))
+          .where(col("v").isNotNull)
+          .groupBy("c", "v").agg(count(lit(1)).as("cnt"))
+          .withColumn("vd", vdExpr)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        (statsFromCounts(nc, preNumeric, "num"), Some(nc))
+      } else {
+        (preNumeric.map { c =>
+          c -> ValueInfo(aLong(s"$c::approxDistinct"), -1L, None, Seq.empty)
         }.toMap, None)
       }
     }
@@ -235,8 +295,129 @@ object Profiler {
       }.toSeq
     }
 
-    val (valueInfo: Map[String, ValueInfo], vcTable: Option[DataFrame]) =
+    // ---- Pass C: all histograms in one explode->groupBy ----------------
+    // (name, min, max, bins) -> one explode job over the data; shared by
+    // the pre-await full-bin pass and the sketch-mode clamped pass.
+    def runHistogramJob(targets: Seq[(String, Double, Double, Int)],
+        label: String): Map[String, Histogram] =
+      if (targets.isEmpty) Map.empty
+      else {
+        val binStructs = targets.map { case (c, mn, mx, bins) =>
+          val base = fields.find(_.name == c).get.dataType match {
+            case _: TimestampType | DateType | TimestampNTZType =>
+              unix_timestamp(qcol(c).cast("timestamp")).cast("double")
+            case _ => qcol(c).cast("double")
+          }
+          struct(lit(c).as("c"),
+            when(base.isNotNull && !base.isNaN &&
+              base =!= Double.PositiveInfinity && base =!= Double.NegativeInfinity,
+              histogramBin(base, mn, mx, bins)).as("bin"))
+        }
+        val rows = timed(label)(working
+          .select(explode(array(binStructs: _*)).as("kb"))
+          .select(col("kb.c").as("c"), col("kb.bin").as("bin"))
+          .where(col("bin").isNotNull)
+          .groupBy("c", "bin").agg(count(lit(1)).as("cnt"))
+          .collect())
+        val byCol = rows.groupBy(_.getAs[String]("c"))
+        targets.map { case (c, mn, mx, bins) =>
+          val counts = Array.fill(bins)(0L)
+          byCol.getOrElse(c, Array.empty[Row]).foreach { r =>
+            val b = r.getAs[Int]("bin")
+            if (b >= 0 && b < bins) counts(b) = r.getAs[Long]("cnt")
+          }
+          c -> assembleHistogram(counts, mn, mx, bins)
+        }.toMap
+      }
+    // Exact-by-construction histogram from B2's numeric value counts:
+    // bin each distinct value (its exact double is carried in `vd`)
+    // weighted by its count. Only used for columns with
+    // n_distinct < bins, so the collect is bounded by bins x cols.
+    def histogramsFromCounts(nc: DataFrame,
+        targets: Seq[(String, Double, Double, Int)]): Map[String, Histogram] =
+      if (targets.isEmpty) Map.empty
+      else {
+        val rows = timed("C:hist-fixup")(
+          nc.where(col("c").isin(targets.map(_._1): _*))
+            .select(col("c"), col("vd"), col("cnt")).collect())
+        val byCol = rows.groupBy(_.getAs[String]("c"))
+        targets.map { case (c, mn, mx, bins) =>
+          val counts = Array.fill(bins)(0L)
+          byCol.getOrElse(c, Array.empty[Row]).foreach { r =>
+            val x = r.getAs[Double]("vd")
+            if (!x.isNaN && !x.isInfinite) {
+              // identical IEEE arithmetic to histogramBin
+              val b = if (mx <= mn) 0
+                else math.min(math.floor((x - mn) / ((mx - mn) / bins)),
+                  (bins - 1).toDouble).toInt
+              if (b >= 0 && b < bins) counts(b) += r.getAs[Long]("cnt")
+            }
+          }
+          c -> assembleHistogram(counts, mn, mx, bins)
+        }.toMap
+      }
+    // Exact mode: histograms for every declared-numeric + datetime column
+    // at the FULL bin count, launched BEFORE the pass-B await so the scan
+    // overlaps B's explode/groupBy. Columns whose effective bin count is
+    // smaller (n_distinct < bins) are re-derived afterwards from B2's
+    // value-count table — a bounded driver-side fixup, not a second scan.
+    val histPreF: Future[Map[String, Histogram]] =
+      if (!cfg.computeHistograms || !cfg.exactDistinct)
+        Future.successful(Map.empty)
+      else Future {
+        val targets =
+          (preNumeric.map(c =>
+            (c, aDouble(s"$c::min"), aDouble(s"$c::max"), cfg.histogramBins))
+            ++ preDatetime.map(c =>
+              (c, aLong(s"$c::epochMin").toDouble,
+                aLong(s"$c::epochMax").toDouble, cfg.histogramBins)))
+            .filter(t => !t._2.isNaN && !t._3.isNaN)
+        runHistogramJob(targets, "C:histograms")
+      }
+    // Spearman's rank table derives from B2's numeric counts — one small
+    // aggregation over distinct cells, not another data scan. When those
+    // counts prove the whole rank table driver-sized, the per-column
+    // rank maps are also built HERE, pre-demotion, so the post-B
+    // critical path runs only the one-scan co-moment job. (Awaiting
+    // numStatsF from this pool thread is FIFO-safe: it was created
+    // earlier.)
+    val spearmanRanksF: Future[Option[Either[
+        Map[String, scala.collection.mutable.LongMap[Double]], DataFrame]]] =
+      if (!cfg.computeCorrelations || !cfg.computeSpearman ||
+        preNumeric.size < 2) Future.successful(None)
+      else Future {
+        Await.result(numStatsF, Duration.Inf) match {
+          case (numInfo, Some(nc)) =>
+            // rank in DOUBLE space (ties averaged across values that
+            // collide under the cast, matching the direct-melt plan):
+            // re-aggregate the string-keyed counts by vd
+            val dcounts = nc.where(!col("vd").isNaN)
+              .select(col("c"), col("vd").as("v"), col("cnt"))
+              .groupBy("c", "v").agg(sum(col("cnt")).as("cnt"))
+            val ranks = timed("G:spearman-ranks")(
+              graft.ops.Ranking.avgRanksFromCounts(dcounts, "c", "v"))
+            val total = preNumeric.iterator.map(c => numInfo(c).nDistinct).sum
+            if (total <= cfg.spearmanBroadcastMaxDistinct)
+              Some(Left(timed("G:spearman-maps")(
+                buildRankMaps(ranks, preNumeric))))
+            else Some(Right(ranks))
+          case _ =>
+            // sketch mode: no counts table — rank from a direct melt
+            // (one groupBy shuffle), applied via the shuffle plan
+            val kv = working.select(explode(array(preNumeric.map(c =>
+                struct(lit(c).as("c"), qcol(c).cast("double").as("v"))): _*)).as("kv"))
+              .select(col("kv.c").as("c"), col("kv.v").as("v"))
+              .where(col("v").isNotNull && !col("v").isNaN)
+            Some(Right(timed("G:spearman-ranks")(
+              graft.ops.Ranking.avgRanks(kv, "c", "v"))))
+        }
+      }
+
+    val (catInfo, vcTable: Option[DataFrame]) =
       Await.result(valueInfoF, Duration.Inf)
+    val (numInfo, numCounts: Option[DataFrame]) =
+      Await.result(numStatsF, Duration.Inf)
+    val valueInfo: Map[String, ValueInfo] = catInfo ++ numInfo
     // Demotion: numeric with few distinct values profiles as categorical
     // (reference: typeset_relations.py:68-77).
     val typed: Seq[(StructField, ProfileType)] = supported.map { case (f, t) =>
@@ -248,10 +429,32 @@ object Profiler {
     val categoricalCols = typed.collect { case (f, ProfileType.Categorical) => f.name }
     val datetimeCols = typed.collect { case (f, ProfileType.DateTime) => f.name }
 
-    // ---- Pass C: all histograms in one explode->groupBy ----------------
+    // ---- Pass C (post-B): clamp/fix up the precomputed histograms ------
+    // A numeric column with n_distinct < histogramBins gets
+    // min(bins, n_distinct) bins (reference parity). Its exact histogram
+    // is DERIVED from pass B's value-count table: binning each distinct
+    // value weighted by its count is identical to binning each row, and
+    // such a column has < bins distinct values by definition, so the
+    // collect is bounded. Demoted columns lose their histogram.
     val histogramsF: Future[Map[String, Histogram]] = Future {
       if (!cfg.computeHistograms) Map.empty
-      else {
+      else if (cfg.exactDistinct) {
+        val full = Await.result(histPreF, Duration.Inf)
+        val clamped: Seq[(String, Double, Double, Int)] = numericCols.flatMap { c =>
+          val bins = math.min(cfg.histogramBins,
+            math.max(1, valueInfo(c).nDistinct.toInt))
+          if (bins == cfg.histogramBins) None
+          else Some((c, aDouble(s"$c::min"), aDouble(s"$c::max"), bins))
+        }.filter(t => !t._2.isNaN && !t._3.isNaN)
+        val fixed = numCounts match {
+          case Some(nc) => histogramsFromCounts(nc, clamped)
+          case None => runHistogramJob(clamped, "C:hist-clamped")
+        }
+        val keep = (numericCols ++ datetimeCols).toSet
+        full.view.filterKeys(keep).toMap ++ fixed
+      } else {
+        // sketch mode: pass B is free (no value-count scan to overlap),
+        // so one clamped job after it is the cheapest plan
         val targets: Seq[(String, Double, Double, Int)] =
           (numericCols.map { c =>
             (c, aDouble(s"$c::min"), aDouble(s"$c::max"),
@@ -261,36 +464,7 @@ object Profiler {
             (c, aLong(s"$c::epochMin").toDouble, aLong(s"$c::epochMax").toDouble,
               cfg.histogramBins)
           }).filter(t => !t._2.isNaN && !t._3.isNaN)
-        if (targets.isEmpty) Map.empty
-        else {
-          val binStructs = targets.map { case (c, mn, mx, bins) =>
-            val base = typed.find(_._1.name == c).get._1.dataType match {
-              case _: TimestampType | DateType | TimestampNTZType =>
-                unix_timestamp(qcol(c).cast("timestamp")).cast("double")
-              case _ => qcol(c).cast("double")
-            }
-            struct(lit(c).as("c"),
-              when(base.isNotNull && !base.isNaN &&
-                base =!= Double.PositiveInfinity && base =!= Double.NegativeInfinity,
-                histogramBin(base, mn, mx, bins)).as("bin"))
-          }
-          val rows = timed("C:histograms")(working
-            .select(explode(array(binStructs: _*)).as("kb"))
-            .select(col("kb.c").as("c"), col("kb.bin").as("bin"))
-            .where(col("bin").isNotNull)
-            .groupBy("c", "bin").agg(count(lit(1)).as("cnt"))
-            .collect())
-          val byCol = rows.groupBy(_.getAs[String]("c"))
-          targets.map { case (c, mn, mx, bins) =>
-            val counts = Array.fill(bins)(0L)
-            byCol.getOrElse(c, Array.empty[Row]).foreach { r =>
-              val b = r.getAs[Int]("bin")
-              if (b >= 0 && b < bins) counts(b) = r.getAs[Long]("cnt")
-            }
-            val w = if (mx > mn) (mx - mn) / bins else 1.0
-            c -> Histogram(counts.toSeq, (0 to bins).map(i => mn + i * w))
-          }.toMap
-        }
+        runHistogramJob(targets, "C:histograms")
       }
     }
 
@@ -373,10 +547,12 @@ object Profiler {
       }
     }
 
-    // ---- Pass G: Pearson + nullity correlations in one agg -------------
+    // ---- Pass G: Pearson and Spearman as CONCURRENT futures ------------
     // (Pass F, duplicates, was launched before the pass-B await above.)
-    val correlationsF: Future[Seq[CorrelationMatrix]] = Future {
-      if (!cfg.computeCorrelations || numericCols.size < 2) Seq.empty
+    // Spearman's rank build overlaps Pearson's aggregate instead of
+    // queueing behind it — they share no state beyond the persisted input.
+    val pearsonF: Future[Option[CorrelationMatrix]] = Future {
+      if (!cfg.computeCorrelations || numericCols.size < 2) None
       else {
         val pairs = for {
           i <- numericCols.indices; j <- (i + 1) until numericCols.size
@@ -403,34 +579,23 @@ object Profiler {
           val ia = numericCols.indexOf(a); val ib = numericCols.indexOf(b)
           m(ia)(ib) = v; m(ib)(ia) = v
         }
-        val pearson = CorrelationMatrix("pearson", numericCols, m.map(_.toSeq).toSeq)
-        val spearmanOpt =
-          if (cfg.computeSpearman) {
-            // Pass B already holds the per-(column, value) counts that
-            // ranking needs — reuse them instead of re-shuffling the
-            // melted table. Pass B stores cast(col as string); for
-            // int/long/double/decimal the string parses back to the
-            // exact double a direct cast produces, but a FLOAT's
-            // shortest-round-trip string ("1.1") parses to a DIFFERENT
-            // double than (double)1.1f — restore those through an
-            // intermediate float cast so the rank-join keys match
-            // spearmanMatrix's cast(col as double) side exactly.
-            // NaN excluded to match the kv filter below.
-            val floatCols = numericCols.filter(c =>
-              fields.find(_.name == c).exists(_.dataType == FloatType))
-            val vBack =
-              if (floatCols.isEmpty) col("v").cast("double")
-              else when(col("c").isin(floatCols: _*),
-                col("v").cast("float").cast("double"))
-                .otherwise(col("v").cast("double"))
-            val countsFromB = vcTable.map(vc =>
-              vc.where(col("c").isin(numericCols: _*))
-                .select(col("c"), vBack.as("v"), col("cnt"))
-                .where(col("v").isNotNull && !col("v").isNaN))
-            Some(timed("G:spearman")(
-              spearmanMatrix(working, numericCols, countsFromB)))
-          } else None
-        Seq(pearson) ++ spearmanOpt
+        Some(CorrelationMatrix("pearson", numericCols, m.map(_.toSeq).toSeq))
+      }
+    }
+    val spearmanF: Future[Option[CorrelationMatrix]] = Future {
+      if (!cfg.computeCorrelations || !cfg.computeSpearman ||
+        numericCols.size < 2) None
+      else Await.result(spearmanRanksF, Duration.Inf) match {
+        // rank maps/table were built concurrently with pass B; only the
+        // final application waited for the demotion decision, and it
+        // uses the post-demotion column subset of the pre-built state
+        case Some(Left(maps)) =>
+          Some(timed("G:spearman")(
+            spearmanViaRankMaps(working, numericCols, maps)))
+        case Some(Right(ranks)) =>
+          Some(timed("G:spearman")(
+            spearmanMatrix(working, numericCols, Some(ranks))))
+        case None => None
       }
     }
 
@@ -538,13 +703,16 @@ object Profiler {
       Await.result(madsF, Duration.Inf),
       Await.result(charStatsF, Duration.Inf))
     val (nDuplicates, duplicateRows) = Await.result(duplicatesF, Duration.Inf)
-    val correlations = Await.result(correlationsF, Duration.Inf)
+    val correlations =
+      Await.result(pearsonF, Duration.Inf).toSeq ++
+        Await.result(spearmanF, Duration.Inf).toSeq
     val cramers = Await.result(cramersF, Duration.Inf)
     val head = Await.result(headF, Duration.Inf)
     val kendall = Await.result(kendallF, Duration.Inf)
     val phikMap = Await.result(phikF, Duration.Inf)
     pool.shutdown()
-    vcTable.foreach(_.unpersist(false)) // passes B/E/G all done with it
+    vcTable.foreach(_.unpersist(false))   // pass E done with it
+    numCounts.foreach(_.unpersist(false)) // passes C/G done with it
 
     val columnProfiles: Seq[ColumnProfile] = declared.map { case (f, declaredType) =>
       val p = f.name
@@ -608,6 +776,12 @@ object Profiler {
     result
   }
 
+  private def assembleHistogram(
+      counts: Array[Long], mn: Double, mx: Double, bins: Int): Histogram = {
+    val w = if (mx > mn) (mx - mn) / bins else 1.0
+    Histogram(counts.toSeq, (0 to bins).map(i => mn + i * w))
+  }
+
   /** Exact per-column top-K value counts WITHOUT a per-column sort:
     * bounded top-K heaps per partition (mergeable), merged on the driver.
     * A window row_number would sort every distinct value of every column
@@ -648,34 +822,62 @@ object Profiler {
     *
     * MLlib's implementation (the reference's choice, correlations.py:41-87)
     * runs one distributed sort PER COLUMN — 59s for 8 columns at sf0.1.
-    * Here all columns melt into ONE (col, value) table, ranks come from
-    * [[graft.ops.Ranking.avgRanks]]'s two-phase distributed prefix sum
-    * over the per-(col,value) COUNT table (no global or per-column
-    * windows — every stage is hash/range partitioned), and the rank-space
-    * wide table is rebuilt with conditional aggregation keyed by row id
-    * (a plain hash shuffle over N*m rank rows, no pivot analysis pass).
-    * One fused aggregate then computes all pairwise correlations. */
+    * Here ranks come from [[graft.ops.Ranking.avgRanks]]'s two-phase
+    * distributed prefix sum over the per-(col,value) COUNT table (no
+    * global or per-column windows — every stage is hash/range
+    * partitioned). Two plans rebuild the rank-space wide table:
+    *
+    *   - BROADCAST (when `colDistinct` is known and its total is at most
+    *     `broadcastMaxTotalDistinct`): each column's (value -> avgrank)
+    *     table is broadcast and map-side hash-joined onto the data — ONE
+    *     scan, zero shuffles, fully codegen. The rank tables are exactly
+    *     as big as each column's distinct-value count, which the
+    *     profiler knows exactly from pass B before choosing.
+    *   - SHUFFLE (the 100 TB fallback): melt to (rid, col, value), join
+    *     ranks on (col, value), rebuild rows by conditional aggregation
+    *     on rid — a plain hash shuffle over N*m rank rows, no pivot
+    *     analysis pass, nothing broadcast.
+    *
+    * One chunked aggregate then computes all pairwise correlations. */
   private[profile] def spearmanMatrix(df: DataFrame, cols: Seq[String],
-      precomputedCounts: Option[DataFrame] = None): CorrelationMatrix = {
-    val rid = monotonically_increasing_id().as("__rid")
-    val base = df.select((cols.map(c => qcol(c).cast("double").as(c)) :+ rid): _*)
-    val kv = base.select(col("__rid"),
-        explode(array(cols.map(c =>
-          struct(lit(c).as("c"), col(s"`$c`").as("v"))): _*)).as("kv"))
-      .select(col("__rid"), col("kv.c").as("c"), col("kv.v").as("v"))
-      .where(col("v").isNotNull && !col("v").isNaN)
-    val ranks = precomputedCounts match {
-      case Some(counts) =>
-        graft.ops.Ranking.avgRanksFromCounts(counts, "c", "v")
-      case None =>
-        graft.ops.Ranking.avgRanks(kv.select("c", "v"), "c", "v")
+      precomputedRanks: Option[DataFrame] = None,
+      colDistinct: Map[String, Long] = Map.empty,
+      broadcastMaxTotalDistinct: Long = 0L): CorrelationMatrix = {
+    def vtimed[T](name: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      if (sys.env.contains("GRAFT_VERBOSE"))
+        System.err.println(f"[profiler] $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
     }
-    val ranked = kv.join(ranks, Seq("c", "v"))
-      .groupBy("__rid")
-      .agg(
-        max(when(col("c") === cols.head, col("avgrank"))).as(cols.head),
-        cols.tail.map(c =>
-          max(when(col("c") === c, col("avgrank"))).as(c)): _*)
+    val useBroadcast = precomputedRanks.isDefined && cols.nonEmpty &&
+      cols.forall(colDistinct.contains) &&
+      cols.map(colDistinct).sum <= broadcastMaxTotalDistinct
+    if (sys.env.contains("GRAFT_VERBOSE"))
+      System.err.println(s"[profiler] G:spearman plan=" +
+        (if (useBroadcast) "broadcast" else "shuffle") +
+        s" totalDistinct=${if (colDistinct.nonEmpty) cols.map(colDistinct).sum else -1}")
+    if (useBroadcast)
+      return spearmanViaRankMaps(df, cols,
+        buildRankMaps(precomputedRanks.get, cols))
+    val ranked: DataFrame =
+      {
+        val rid = monotonically_increasing_id().as("__rid")
+        val base = df.select((cols.map(c => qcol(c).cast("double").as(c)) :+ rid): _*)
+        val kv = base.select(col("__rid"),
+            explode(array(cols.map(c =>
+              struct(lit(c).as("c"), col(s"`$c`").as("v"))): _*)).as("kv"))
+          .select(col("__rid"), col("kv.c").as("c"), col("kv.v").as("v"))
+          .where(col("v").isNotNull && !col("v").isNaN)
+        val ranks = precomputedRanks.getOrElse(
+          graft.ops.Ranking.avgRanks(kv.select("c", "v"), "c", "v"))
+        kv.join(ranks, Seq("c", "v"))
+          .groupBy("__rid")
+          .agg(
+            max(when(col("c") === cols.head, col("avgrank"))).as(cols.head),
+            cols.tail.map(c =>
+              max(when(col("c") === c, col("avgrank"))).as(c)): _*)
+      }
     val pairs = for {
       i <- cols.indices; j <- (i + 1) until cols.size
     } yield (cols(i), cols(j))
@@ -683,12 +885,13 @@ object Profiler {
       corr(col(s"`$a`"), col(s"`$b`")).as(s"s$i")
     }
     // > ~16 corr in one agg exceeds the codegen buffer budget (6 fields
-    // each) — persist the pivoted rank table once and chunk the agg
+    // each) — persist the rank-space table once and chunk the agg
     val rankedP = ranked.persist(StorageLevel.MEMORY_AND_DISK)
-    val rs: Map[String, Any] = exprs.grouped(15).toSeq.flatMap { ch =>
-      val r = rankedP.agg(ch.head, ch.tail: _*).head()
-      r.schema.fieldNames.zip(r.toSeq)
-    }.toMap
+    val rs: Map[String, Any] = vtimed("G:spearman-corr")(
+      exprs.grouped(15).toSeq.flatMap { ch =>
+        val r = rankedP.agg(ch.head, ch.tail: _*).head()
+        r.schema.fieldNames.zip(r.toSeq)
+      }.toMap)
     rankedP.unpersist(false)
     val m = Array.fill(cols.size, cols.size)(1.0)
     pairs.zipWithIndex.foreach { case ((a, b), i) =>
@@ -696,6 +899,118 @@ object Profiler {
         .map(_.asInstanceOf[Number].doubleValue).getOrElse(Double.NaN)
       val ia = cols.indexOf(a); val ib = cols.indexOf(b)
       m(ia)(ib) = v; m(ib)(ia) = v
+    }
+    CorrelationMatrix("spearman", cols, m.map(_.toSeq).toSeq)
+  }
+
+  /** Spearman via driver-resident rank maps — the small-cardinality fast
+    * path. The caller guarantees the rank table fits on the driver
+    * (gated on the EXACT per-column distinct counts), so:
+    * per column, a primitive (doubleToLongBits(value) -> avgrank)
+    * LongMap is built and broadcast; ONE mapPartitions scan then
+    * accumulates Welford co-moments for every column pair (numerically
+    * stable, the same merge formula Spark's own Covariance aggregate
+    * uses), merged on the driver. Zero shuffles, zero joins, one scan,
+    * and the driver transfer is partitions x pairs x 6 doubles. */
+  /** Collect a (c, v, avgrank) rank table into per-column primitive
+    * (doubleToLongBits(value) -> avgrank) maps. Caller guarantees the
+    * table is driver-sized. */
+  private[profile] def buildRankMaps(ranks: DataFrame, cols: Seq[String])
+      : Map[String, scala.collection.mutable.LongMap[Double]] = {
+    val maps = cols.map(c =>
+      c -> scala.collection.mutable.LongMap.empty[Double]).toMap
+    ranks.where(col("c").isin(cols: _*)).collect().foreach { r =>
+      val v0 = r.getAs[Double]("v")
+      val v = if (v0 == 0.0) 0.0 else v0 // fold -0.0 (join-key parity)
+      maps(r.getAs[String]("c"))
+        .update(java.lang.Double.doubleToLongBits(v), r.getAs[Double]("avgrank"))
+    }
+    maps
+  }
+
+  private[profile] def spearmanViaRankMaps(df: DataFrame, cols: Seq[String],
+      rankMaps: Map[String, scala.collection.mutable.LongMap[Double]])
+      : CorrelationMatrix = {
+    val spark = df.sparkSession
+    val nCols = cols.size
+    val mapsArr: Array[scala.collection.mutable.LongMap[Double]] =
+      cols.map(c => rankMaps.getOrElse(c,
+        scala.collection.mutable.LongMap.empty[Double])).toArray
+    val bc = spark.sparkContext.broadcast(mapsArr)
+    val base = df.select(cols.map(c => qcol(c).cast("double").as(c)): _*)
+    val pairI = (for { i <- 0 until nCols; j <- (i + 1) until nCols } yield i).toArray
+    val pairJ = (for { i <- 0 until nCols; j <- (i + 1) until nCols } yield j).toArray
+    val nPairs = pairI.length
+    val partStats: Array[Array[Double]] = base.mapPartitions { it =>
+      val maps = bc.value
+      val s = Array.ofDim[Double](nPairs * 6) // n, mx, my, cxx, cyy, cxy
+      val vals = new Array[Double](nCols)
+      it.foreach { row =>
+        var i = 0
+        while (i < nCols) {
+          vals(i) =
+            if (row.isNullAt(i)) Double.NaN
+            else {
+              val x0 = row.getDouble(i)
+              if (x0 != x0) Double.NaN
+              else {
+                val x = if (x0 == 0.0) 0.0 else x0
+                maps(i).getOrElse(
+                  java.lang.Double.doubleToLongBits(x), Double.NaN)
+              }
+            }
+          i += 1
+        }
+        var p = 0
+        while (p < nPairs) {
+          val x = vals(pairI(p)); val y = vals(pairJ(p))
+          if (x == x && y == y) {
+            val o = p * 6
+            val n = s(o) + 1; s(o) = n
+            val dx = x - s(o + 1); s(o + 1) += dx / n
+            val dy = y - s(o + 2); s(o + 2) += dy / n
+            s(o + 3) += dx * (x - s(o + 1))
+            s(o + 4) += dy * (y - s(o + 2))
+            s(o + 5) += dx * (y - s(o + 2))
+          }
+          p += 1
+        }
+      }
+      Iterator.single(s)
+    }(org.apache.spark.sql.Encoders.kryo[Array[Double]]).collect()
+    bc.destroy()
+    // parallel co-moment merge (Chan et al. pairwise-update form)
+    val agg = Array.ofDim[Double](nPairs * 6)
+    partStats.foreach { s =>
+      var p = 0
+      while (p < nPairs) {
+        val o = p * 6
+        val n1 = agg(o); val n2 = s(o)
+        if (n2 > 0) {
+          if (n1 == 0) { var k = 0; while (k < 6) { agg(o + k) = s(o + k); k += 1 } }
+          else {
+            val n = n1 + n2
+            val dx = s(o + 1) - agg(o + 1); val dy = s(o + 2) - agg(o + 2)
+            agg(o) = n
+            agg(o + 1) += dx * n2 / n
+            agg(o + 2) += dy * n2 / n
+            agg(o + 3) += s(o + 3) + dx * dx * n1 * n2 / n
+            agg(o + 4) += s(o + 4) + dy * dy * n1 * n2 / n
+            agg(o + 5) += s(o + 5) + dx * dy * n1 * n2 / n
+          }
+        }
+        p += 1
+      }
+    }
+    val m = Array.fill(nCols, nCols)(1.0)
+    var p = 0
+    while (p < nPairs) {
+      val o = p * 6
+      val v =
+        if (agg(o) < 2 || agg(o + 3) <= 0 || agg(o + 4) <= 0) Double.NaN
+        else agg(o + 5) / math.sqrt(agg(o + 3) * agg(o + 4))
+      m(pairI(p))(pairJ(p)) = v; m(pairJ(p))(pairI(p)) = v
+      p += 1
     }
     CorrelationMatrix("spearman", cols, m.map(_.toSeq).toSeq)
   }
