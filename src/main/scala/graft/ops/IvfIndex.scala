@@ -92,7 +92,11 @@ object IvfIndex {
   }
 
   /** Top-k cosine neighbors per probe, scanning only the nprobe nearest
-    * posting lists of each probe. */
+    * posting lists of each probe. The union of probed lists (bounded by
+    * nlist regardless of probe count) is collected and pushed as a
+    * STATIC filter on the postings side — over a [[load]]ed index that
+    * becomes parquet PARTITION PRUNING, so the scan reads only the
+    * probed list directories. */
   def search(index: Index, probes: DataFrame, idCol: String, vecCol: String,
       k: Int, nprobe: Int): DataFrame = {
     val p = probes.select(col(idCol).as("query_id"),
@@ -106,8 +110,15 @@ object IvfIndex {
       .withColumn("crnk", row_number().over(wc))
       .where(col("crnk") <= nprobe)
       .select(col("query_id"), col("qv"), col("list_id"))
+    // the probed-list set is at most nlist values — a driver round-trip
+    // here buys a static partition filter on the corpus-sized side
+    val probedLists: Array[Any] = probeLists
+      .select("list_id").distinct().collect().map(_.get(0))
+    val prunedPostings =
+      if (probedLists.isEmpty) index.postings
+      else index.postings.where(col("list_id").isin(probedLists: _*))
     // exact cosine only within the selected lists
-    val candidates = probeLists.join(index.postings, "list_id")
+    val candidates = probeLists.join(prunedPostings, "list_id")
       .where(col("query_id") =!= col("id"))
       .withColumn("cos", round(cosineSimilarity(col("qv"), col("vec")), 6))
     val w = Window.partitionBy("query_id")
@@ -117,4 +128,24 @@ object IvfIndex {
       .select(col("query_id"), col("rnk"), col("id").as("neighbor_id"),
         col("cos"))
   }
+
+  /** Persist the index in the layout a large deployment keeps: postings
+    * as parquet PARTITIONED BY list_id — each posting list is one
+    * directory, so a probe touching nprobe lists scans exactly nprobe
+    * partitions ([[search]] pushes the probed-list set as a static
+    * filter, which the parquet source turns into partition pruning) —
+    * and the (tiny) centroid table alongside. */
+  def write(index: Index, path: String): Unit = {
+    index.postings.write
+      .partitionBy("list_id").mode("overwrite").parquet(s"$path/postings")
+    index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Load a [[write]]ten index. The postings scan carries list_id as a
+    * partition column; searches prune to the probed lists. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Index =
+    Index(
+      postings = spark.read.parquet(s"$path/postings")
+        .select(col("list_id"), col("id"), col("vec")),
+      centroids = spark.read.parquet(s"$path/centroids"))
 }
