@@ -29,6 +29,14 @@ object MediaCodec {
   final case class ImageMeta(
       format: String, width: Int, height: Int, truncated: Boolean)
 
+  /** EXIF fields surfaced by [[parseExif]] — absent values are 0/"".
+    * Mirrors the reference's per-image `_getexif` extraction
+    * (model/summary_helpers.py:259-275), restricted to the fields a
+    * metadata scan reads: orientation, camera model, capture time. */
+  final case class ExifMeta(
+      present: Boolean, orientation: Int, model: String,
+      dateTimeOriginal: String)
+
   private val PngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
     .map(_.toByte)
 
@@ -39,6 +47,8 @@ object MediaCodec {
     (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
   private def le32(b: Array[Byte], i: Int): Int =
     (u8(b, i + 3) << 24) | (u8(b, i + 2) << 16) | (u8(b, i + 1) << 8) | u8(b, i)
+  private def le24(b: Array[Byte], i: Int): Int =
+    (u8(b, i + 2) << 16) | (u8(b, i + 1) << 8) | u8(b, i)
 
   private def startsWith(b: Array[Byte], sig: Array[Byte]): Boolean =
     b.length >= sig.length && sig.indices.forall(i => b(i) == sig(i))
@@ -76,8 +86,111 @@ object MediaCodec {
         if (b.length >= 26)
           ImageMeta("bmp", le32(b, 18), math.abs(le32(b, 22)), truncated = false)
         else ImageMeta("bmp", 0, 0, truncated = true)
+      case "webp" => parseWebp(b)
       case f => ImageMeta(f, 0, 0, truncated = false)
     }
+  }
+
+  /** WebP dimensions from the first chunk after the RIFF/WEBP header
+    * (fourcc at 12, payload at 20 — RIFF container spec):
+    *   - VP8  (lossy): 3-byte frame tag, sync 9D 01 2A, then 14-bit
+    *     LE width/height (VP8 bitstream spec §9.1).
+    *   - VP8L (lossless): 0x2F signature byte, then width-1/height-1 as
+    *     two 14-bit fields of a LE u32 (WebP lossless spec §3).
+    *   - VP8X (extended): 4 flag/reserved bytes, then 24-bit LE
+    *     canvas-width-1 and canvas-height-1. */
+  private def parseWebp(b: Array[Byte]): ImageMeta = {
+    if (b.length < 16) return ImageMeta("webp", 0, 0, truncated = true)
+    new String(b, 12, 4, "US-ASCII") match {
+      case "VP8 " =>
+        if (b.length >= 30 && u8(b, 23) == 0x9d && u8(b, 24) == 0x01 &&
+          u8(b, 25) == 0x2a)
+          ImageMeta("webp", le16(b, 26) & 0x3fff, le16(b, 28) & 0x3fff,
+            truncated = false)
+        else ImageMeta("webp", 0, 0, truncated = true)
+      case "VP8L" =>
+        if (b.length >= 25 && u8(b, 20) == 0x2f) {
+          val bits = le32(b, 21)
+          ImageMeta("webp", (bits & 0x3fff) + 1, ((bits >> 14) & 0x3fff) + 1,
+            truncated = false)
+        } else ImageMeta("webp", 0, 0, truncated = true)
+      case "VP8X" =>
+        if (b.length >= 30)
+          ImageMeta("webp", le24(b, 24) + 1, le24(b, 27) + 1,
+            truncated = false)
+        else ImageMeta("webp", 0, 0, truncated = true)
+      case _ => ImageMeta("webp", 0, 0, truncated = true)
+    }
+  }
+
+  /** Extract EXIF orientation / camera model / DateTimeOriginal from a
+    * JPEG's APP1 segment — a pure-JDK TIFF IFD walk (public TIFF 6.0 +
+    * EXIF 2.3 specs): both byte orders, inline and offset values,
+    * IFD0 tags 0x0112 (orientation) / 0x0110 (model) and the 0x8769
+    * EXIF sub-IFD's 0x9003 (DateTimeOriginal). Non-JPEG bytes, files
+    * without APP1/Exif, and malformed offsets all come back absent —
+    * a scrubbing scan must never throw on hostile bytes. */
+  def parseExif(bytes: Array[Byte]): ExifMeta = {
+    val absent = ExifMeta(present = false, 0, "", "")
+    val b = if (bytes == null) Array.empty[Byte] else bytes
+    if (sniffFormat(b) != "jpeg") return absent
+    // find the APP1/Exif segment with the standard marker walk
+    var i = 2
+    var tiff = -1
+    while (tiff < 0 && i + 3 < b.length && u8(b, i) == 0xff) {
+      val marker = u8(b, i + 1)
+      if (marker == 0xff) i += 1
+      else if (marker >= 0xd0 && marker <= 0xd7 || marker == 0x01) i += 2
+      else if (marker == 0xd9 || marker == 0xda) i = b.length
+      else {
+        val len = be16(b, i + 2)
+        if (len < 2) return absent
+        if (marker == 0xe1 && i + 4 + 6 <= b.length &&
+          new String(b, i + 4, 4, "US-ASCII") == "Exif" &&
+          b(i + 8) == 0 && b(i + 9) == 0)
+          tiff = i + 10
+        else i += 2 + len
+      }
+    }
+    if (tiff < 0 || tiff + 8 > b.length) return absent
+    val le = b(tiff) == 'I' && b(tiff + 1) == 'I'
+    val be = b(tiff) == 'M' && b(tiff + 1) == 'M'
+    if (!le && !be) return absent
+    def rd16(o: Int): Int = if (le) le16(b, o) else be16(b, o)
+    def rd32(o: Int): Int = if (le) le32(b, o) else be32(b, o)
+    if (rd16(tiff + 2) != 42) return absent
+    def readAscii(off: Int, count: Int): String =
+      if (count <= 0 || off < 0 || off + count > b.length) ""
+      else new String(b, off, count, "US-ASCII").takeWhile(_ != '\u0000')
+    // walk one IFD, returning the wanted tag values found in it
+    def walkIfd(ifdOff: Int): Map[Int, (Int, Int, Int)] = {
+      // tag -> (type, count, valueFieldOffset)
+      if (ifdOff < 0 || tiff + ifdOff + 2 > b.length) return Map.empty
+      val n = rd16(tiff + ifdOff)
+      (0 until n).flatMap { e =>
+        val eo = tiff + ifdOff + 2 + e * 12
+        if (eo + 12 > b.length) None
+        else Some(rd16(eo) -> ((rd16(eo + 2), rd32(eo + 4), eo + 8)))
+      }.toMap
+    }
+    def asciiValue(t: (Int, Int, Int)): String = {
+      val (tpe, count, vo) = t
+      if (tpe != 2) ""
+      else if (count <= 4) readAscii(vo, count)          // inline
+      else readAscii(tiff + rd32(vo), count)             // offset
+    }
+    val ifd0 = walkIfd(rd32(tiff + 4))
+    val orientation = ifd0.get(0x0112) match {
+      case Some((3, _, vo)) if vo + 2 <= b.length => rd16(vo)
+      case _ => 0
+    }
+    val model = ifd0.get(0x0110).map(asciiValue).getOrElse("")
+    val dto = ifd0.get(0x8769) match {
+      case Some((tpe, _, vo)) if (tpe == 4 || tpe == 3) && vo + 4 <= b.length =>
+        walkIfd(rd32(vo)).get(0x9003).map(asciiValue).getOrElse("")
+      case _ => ""
+    }
+    ExifMeta(present = true, orientation, model, dto)
   }
 
   /** Walk JPEG segments to the first start-of-frame. SOF markers are
@@ -175,6 +288,66 @@ object MediaCodec {
     out.putShort(width.toShort).putShort(height.toShort)
     out.put(0.toByte).put(0.toByte).put(0.toByte) // flags, bg, aspect
     out.put(0x3b.toByte) // trailer
+    out.array()
+  }
+
+  /** Minimal lossless WebP: RIFF/WEBP container + VP8L chunk with the
+    * 0x2F signature and the two 14-bit dimension-minus-one fields (odd
+    * payload padded to even per RIFF). */
+  def encodeWebp(width: Int, height: Int): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(12 + 8 + 5 + 1)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(12 + 8 + 5 + 1 - 8)
+      .put("WEBP".getBytes("US-ASCII"))
+    out.put("VP8L".getBytes("US-ASCII")).putInt(5)
+    out.put(0x2f.toByte)
+    out.putInt((width - 1) & 0x3fff | (((height - 1) & 0x3fff) << 14))
+    out.put(0.toByte) // RIFF pad to even
+    out.array()
+  }
+
+  /** [[encodeJpeg]] with a real EXIF APP1 ahead of the frame header:
+    * little-endian TIFF with IFD0 {Model (ASCII, offset form),
+    * Orientation (SHORT, inline), ExifIFD pointer} and an EXIF sub-IFD
+    * {DateTimeOriginal (ASCII)}. Exercises both the EXIF walk and the
+    * dimension parse THROUGH an APP1 segment. */
+  def encodeJpegExif(width: Int, height: Int, orientation: Int,
+      model: String, dateTimeOriginal: String): Array[Byte] = {
+    val modelBytes = (model + "\u0000").getBytes("US-ASCII")
+    val dtBytes = (dateTimeOriginal + "\u0000").getBytes("US-ASCII")
+    val ifd0Off = 8
+    val ifd0Size = 2 + 3 * 12 + 4
+    val exifIfdOff = ifd0Off + ifd0Size
+    val exifIfdSize = 2 + 1 * 12 + 4
+    val modelOff = exifIfdOff + exifIfdSize
+    val dtOff = modelOff + modelBytes.length
+    val tiffLen = dtOff + dtBytes.length
+    val t = java.nio.ByteBuffer.allocate(tiffLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    t.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifd0Off)
+    t.putShort(3) // IFD0: 3 entries, tag-sorted
+    t.putShort(0x0110).putShort(2).putInt(modelBytes.length).putInt(modelOff)
+    t.putShort(0x0112).putShort(3).putInt(1)
+      .putShort(orientation.toShort).putShort(0)
+    t.putShort(0x8769.toShort).putShort(4).putInt(1).putInt(exifIfdOff)
+    t.putInt(0) // next IFD
+    t.putShort(1) // EXIF sub-IFD: 1 entry
+    t.putShort(0x9003.toShort).putShort(2).putInt(dtBytes.length).putInt(dtOff)
+    t.putInt(0)
+    t.put(modelBytes).put(dtBytes)
+    val tiff = t.array()
+    val app1Len = 2 + 6 + tiff.length
+    val out = java.nio.ByteBuffer.allocate(2 + 2 + app1Len + 13 + 2)
+    out.put(0xff.toByte).put(0xd8.toByte) // SOI
+    out.put(0xff.toByte).put(0xe1.toByte).putShort(app1Len.toShort)
+      .put("Exif".getBytes("US-ASCII")).put(0.toByte).put(0.toByte)
+      .put(tiff)
+    out.put(0xff.toByte).put(0xc0.toByte).putShort(11) // SOF0 len 11
+      .put(8.toByte)
+      .putShort(height.toShort).putShort(width.toShort)
+      .put(1.toByte)
+      .put(1.toByte).put(0x11.toByte).put(0.toByte)
+    out.put(0xff.toByte).put(0xd9.toByte) // EOI
     out.array()
   }
 }

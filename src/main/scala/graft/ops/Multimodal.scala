@@ -56,6 +56,35 @@ object Multimodal {
       }
   }
 
+  /** Per-blob EXIF fields for a decoded media blob ([[decodeExif]]). */
+  final case class ExifRow(
+      id: Long,
+      exif_present: Boolean,
+      orientation: Int,
+      model: String,
+      datetime_original: String,
+      width: Int)
+
+  /** EXIF extraction over a binary column — [[MediaCodec.parseExif]]'s
+    * TIFF walk per blob plus the frame-header width, proving the
+    * dimension parse runs THROUGH an APP1 segment. Same mapPartitions
+    * batch shape as [[decodeMeta]]. */
+  def decodeExif(df: DataFrame, idCol: String, binCol: String): Dataset[ExifRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val b = Option(bytes).getOrElse(Array.empty[Byte])
+          val e = MediaCodec.parseExif(b)
+          val m = MediaCodec.parseImageMeta(b)
+          ExifRow(id, e.present, e.orientation, e.model,
+            e.dateTimeOriginal, m.width)
+        }
+      }
+  }
+
   /** Frame sampling: every `stride`-th 256-byte chunk as a "frame"
     * (stand-in for video keyframe extraction). Pure plumbing: explode to
     * (id, frame_idx, frame_bytes) preserving partition-local order. */

@@ -540,13 +540,16 @@ object PipelineQueries {
         .map { id =>
           val w = (id % 640 + 1).toInt
           val h = (id % 480 + 1).toInt
-          val full = (id % 4) match {
-            case 0 => MediaCodec.encodePng(w, h)
-            case 1 => MediaCodec.encodeJpeg(w, h)
-            case 2 => MediaCodec.encodeGif(w, h)
-            case _ => MediaCodec.encodeBmp(w, h)
+          // truncation prefix per format: past the magic (format still
+          // sniffable) but short of the dimension fields
+          val (full, truncLen) = (id % 5) match {
+            case 0 => (MediaCodec.encodePng(w, h), 12)
+            case 1 => (MediaCodec.encodeJpeg(w, h), 4)
+            case 2 => (MediaCodec.encodeGif(w, h), 8)
+            case 3 => (MediaCodec.encodeBmp(w, h), 4)
+            case _ => (MediaCodec.encodeWebp(w, h), 14)
           }
-          (id, if (id % 7 == 0) full.take(8) else full)
+          (id, if (id % 7 == 0) full.take(truncLen) else full)
         }
         .toDF("doc_id", "blob")
       Multimodal.decodeMeta(blobs, "doc_id", "blob")
@@ -556,8 +559,8 @@ object PipelineQueries {
         .orderBy("id")
     },
     Some("""SELECT doc_id AS id,
-        CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-             WHEN 2 THEN 'gif' ELSE 'bmp' END AS format,
+        CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+             WHEN 2 THEN 'gif' WHEN 3 THEN 'bmp' ELSE 'webp' END AS format,
         CASE WHEN doc_id % 7 = 0 THEN 0
              ELSE CAST(doc_id % 640 + 1 AS INT) END AS width,
         CASE WHEN doc_id % 7 = 0 THEN 0
@@ -565,9 +568,49 @@ object PipelineQueries {
         doc_id % 7 = 0 AS truncated
       FROM documents ORDER BY id"""))
 
+  /** EXIF extraction round-tripped through real bytes: every doc_id not
+    * divisible by 3 encodes a JPEG with a real EXIF APP1 (little-endian
+    * TIFF, IFD0 Model/Orientation + EXIF sub-IFD DateTimeOriginal from
+    * doc_id arithmetic); the rest are plain JFIF JPEGs. The Spark side
+    * recovers the fields by PARSING THE TIFF (MediaCodec.parseExif) and
+    * also reports the frame width — proving the dimension walk skips
+    * the APP1 segment — while the oracle recomputes the planted ground
+    * truth. Reference: model/summary_helpers.py:259-275 (PIL _getexif
+    * per image). */
+  val qExifDecode = Q(
+    "q32c_exif_decode",
+    (s, dir) => {
+      import s.implicits._
+      val blobs = table(s, dir, "documents").select(col("doc_id"))
+        .as[Long]
+        .map { id =>
+          val w = (id % 640 + 1).toInt
+          val h = (id % 480 + 1).toInt
+          val bytes =
+            if (id % 3 == 0) MediaCodec.encodeJpeg(w, h)
+            else MediaCodec.encodeJpegExif(w, h,
+              (id % 8 + 1).toInt, s"cam${id % 4}", "2024:01:02 03:04:05")
+          (id, bytes)
+        }
+        .toDF("doc_id", "blob")
+      Multimodal.decodeExif(blobs, "doc_id", "blob")
+        .toDF()
+        .orderBy("id")
+    },
+    Some("""SELECT doc_id AS id,
+        doc_id % 3 <> 0 AS exif_present,
+        CASE WHEN doc_id % 3 = 0 THEN 0
+             ELSE CAST(doc_id % 8 + 1 AS INT) END AS orientation,
+        CASE WHEN doc_id % 3 = 0 THEN ''
+             ELSE 'cam' || CAST(doc_id % 4 AS VARCHAR) END AS model,
+        CASE WHEN doc_id % 3 = 0 THEN ''
+             ELSE '2024:01:02 03:04:05' END AS datetime_original,
+        CAST(doc_id % 640 + 1 AS INT) AS width
+      FROM documents ORDER BY id"""))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qNgramJaccard, qMinhashSig, qMinhashLsh, qSimhash,
     qEmbedTopK, qEmbedTopKIvf, qEmbedNearDup, qLangId, qTextQuality,
     qTokenCounts, qFingerprint, qRepetitionFilter, qPiiScan,
-    qMultimodalMeta, qMultimodalDecode, qImageDecode)
+    qMultimodalMeta, qMultimodalDecode, qImageDecode, qExifDecode)
 }
