@@ -106,10 +106,15 @@ object IvfIndex {
       .withColumn("csim", cosineSimilarity(col("qv"), col("centroid")))
     val wc = Window.partitionBy("query_id")
       .orderBy(col("csim").desc, col("list_id"))
+    // eagerly materialized so the collected static filter below and the
+    // candidate join read the SAME probe-to-list assignment — without
+    // this, a nondeterministic probes plan (sample/rand/uncheckpointed
+    // shuffle) could re-evaluate differently and drop valid lists
     val probeLists = scored
       .withColumn("crnk", row_number().over(wc))
       .where(col("crnk") <= nprobe)
       .select(col("query_id"), col("qv"), col("list_id"))
+      .localCheckpoint(true)
     // the probed-list set is at most nlist values — a driver round-trip
     // here buys a static partition filter on the corpus-sized side
     val probedLists: Array[Any] = probeLists

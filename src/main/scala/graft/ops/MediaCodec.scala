@@ -132,6 +132,15 @@ object MediaCodec {
     * a scrubbing scan must never throw on hostile bytes. */
   def parseExif(bytes: Array[Byte]): ExifMeta = {
     val absent = ExifMeta(present = false, 0, "", "")
+    // catch-all backstop for the never-throw-on-hostile-bytes contract:
+    // bounds arithmetic below is Long-checked, but a scrubbing scan must
+    // survive even a parser bug without failing the Spark task
+    try parseExifWalk(bytes, absent)
+    catch { case scala.util.control.NonFatal(_) => absent }
+  }
+
+  private def parseExifWalk(
+      bytes: Array[Byte], absent: ExifMeta): ExifMeta = {
     val b = if (bytes == null) Array.empty[Byte] else bytes
     if (sniffFormat(b) != "jpeg") return absent
     // find the APP1/Exif segment with the standard marker walk
@@ -159,13 +168,15 @@ object MediaCodec {
     def rd16(o: Int): Int = if (le) le16(b, o) else be16(b, o)
     def rd32(o: Int): Int = if (le) le32(b, o) else be32(b, o)
     if (rd16(tiff + 2) != 42) return absent
-    def readAscii(off: Int, count: Int): String =
+    // all bounds arithmetic in Long: count/offset are attacker-controlled
+    // u32s whose Int sums (off + count, tiff + ifdOff) can wrap past guards
+    def readAscii(off: Long, count: Int): String =
       if (count <= 0 || off < 0 || off + count > b.length) ""
-      else new String(b, off, count, "US-ASCII").takeWhile(_ != '\u0000')
+      else new String(b, off.toInt, count, "US-ASCII").takeWhile(_ != '\u0000')
     // walk one IFD, returning the wanted tag values found in it
     def walkIfd(ifdOff: Int): Map[Int, (Int, Int, Int)] = {
       // tag -> (type, count, valueFieldOffset)
-      if (ifdOff < 0 || tiff + ifdOff + 2 > b.length) return Map.empty
+      if (ifdOff < 0 || tiff.toLong + ifdOff + 2 > b.length) return Map.empty
       val n = rd16(tiff + ifdOff)
       (0 until n).flatMap { e =>
         val eo = tiff + ifdOff + 2 + e * 12
@@ -177,7 +188,7 @@ object MediaCodec {
       val (tpe, count, vo) = t
       if (tpe != 2) ""
       else if (count <= 4) readAscii(vo, count)          // inline
-      else readAscii(tiff + rd32(vo), count)             // offset
+      else readAscii(tiff.toLong + (rd32(vo) & 0xffffffffL), count) // offset
     }
     val ifd0 = walkIfd(rd32(tiff + 4))
     val orientation = ifd0.get(0x0112) match {
@@ -307,7 +318,7 @@ object MediaCodec {
   }
 
   /** [[encodeJpeg]] with a real EXIF APP1 ahead of the frame header:
-    * little-endian TIFF with IFD0 {Model (ASCII, offset form),
+    * little-endian TIFF with IFD0 {Model (ASCII, inline when <= 4 bytes else offset form),
     * Orientation (SHORT, inline), ExifIFD pointer} and an EXIF sub-IFD
     * {DateTimeOriginal (ASCII)}. Exercises both the EXIF walk and the
     * dimension parse THROUGH an APP1 segment. */
@@ -315,26 +326,37 @@ object MediaCodec {
       model: String, dateTimeOriginal: String): Array[Byte] = {
     val modelBytes = (model + "\u0000").getBytes("US-ASCII")
     val dtBytes = (dateTimeOriginal + "\u0000").getBytes("US-ASCII")
+    // TIFF 6.0 §2: values of byte count <= 4 are stored INLINE in the
+    // value field (zero-padded), not via offset — parseExif honors that,
+    // so short strings must encode inline or they round-trip as garbage
+    val modelInline = modelBytes.length <= 4
+    val dtInline = dtBytes.length <= 4
     val ifd0Off = 8
     val ifd0Size = 2 + 3 * 12 + 4
     val exifIfdOff = ifd0Off + ifd0Size
     val exifIfdSize = 2 + 1 * 12 + 4
     val modelOff = exifIfdOff + exifIfdSize
-    val dtOff = modelOff + modelBytes.length
-    val tiffLen = dtOff + dtBytes.length
+    val dtOff = modelOff + (if (modelInline) 0 else modelBytes.length)
+    val tiffLen = dtOff + (if (dtInline) 0 else dtBytes.length)
     val t = java.nio.ByteBuffer.allocate(tiffLen)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def putAsciiValue(v: Array[Byte], inline: Boolean, off: Int): Unit =
+      if (inline) { t.put(v); (v.length until 4).foreach(_ => t.put(0.toByte)) }
+      else { t.putInt(off); () }
     t.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifd0Off)
     t.putShort(3) // IFD0: 3 entries, tag-sorted
-    t.putShort(0x0110).putShort(2).putInt(modelBytes.length).putInt(modelOff)
+    t.putShort(0x0110).putShort(2).putInt(modelBytes.length)
+    putAsciiValue(modelBytes, modelInline, modelOff)
     t.putShort(0x0112).putShort(3).putInt(1)
       .putShort(orientation.toShort).putShort(0)
     t.putShort(0x8769.toShort).putShort(4).putInt(1).putInt(exifIfdOff)
     t.putInt(0) // next IFD
     t.putShort(1) // EXIF sub-IFD: 1 entry
-    t.putShort(0x9003.toShort).putShort(2).putInt(dtBytes.length).putInt(dtOff)
+    t.putShort(0x9003.toShort).putShort(2).putInt(dtBytes.length)
+    putAsciiValue(dtBytes, dtInline, dtOff)
     t.putInt(0)
-    t.put(modelBytes).put(dtBytes)
+    if (!modelInline) t.put(modelBytes)
+    if (!dtInline) t.put(dtBytes)
     val tiff = t.array()
     val app1Len = 2 + 6 + tiff.length
     val out = java.nio.ByteBuffer.allocate(2 + 2 + app1Len + 13 + 2)

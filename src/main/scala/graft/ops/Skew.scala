@@ -30,18 +30,39 @@ object Skew {
   }
 
   /** Deterministic per-row salt in [0, salts): hash of the row's
-    * hash-supported columns. Spark's `hash` rejects MapType, so map
-    * columns enter through the sorted-entries canonical string
-    * ([[Decompose.canonicalizeMaps]]'s form — equal maps salt
-    * identically regardless of entry order). */
+    * hash-supported columns. Spark's `hash` rejects MapType ANYWHERE in
+    * a column's type, so any column transitively containing a map is
+    * rewritten to a canonical form first — sorted entries with key and
+    * value rendered as strings, recursing through struct and array
+    * nesting — so equal maps salt identically regardless of entry
+    * order and `hash` never sees a MapType. */
   private def rowSalt(df: DataFrame, salts: Int): Column = {
-    import org.apache.spark.sql.types.MapType
+    import org.apache.spark.sql.types._
+    def containsMap(dt: DataType): Boolean = dt match {
+      case _: MapType => true
+      case s: StructType => s.fields.exists(f => containsMap(f.dataType))
+      case a: ArrayType => containsMap(a.elementType)
+      case _ => false
+    }
+    def canon(c: Column, dt: DataType): Column = dt match {
+      case MapType(kt, vt, _) =>
+        // canonicalize each entry FIRST (values may nest further maps,
+        // and struct ordering over a map-bearing value is unsupported),
+        // then sort on the resulting string pairs
+        array_sort(transform(map_entries(c), e => struct(
+          canon(e.getField("key"), kt).cast("string").as("key"),
+          canon(e.getField("value"), vt).cast("string").as("value"))))
+          .cast("string")
+      case s: StructType if containsMap(s) =>
+        struct(s.fields.toSeq.map(f =>
+          canon(c.getField(f.name), f.dataType).as(f.name)): _*)
+      case ArrayType(et, _) if containsMap(et) =>
+        transform(c, x => canon(x, et))
+      case _ => c
+    }
     val parts = df.schema.fields.toSeq.map { f =>
       val c = col("`" + f.name.replace("`", "``") + "`")
-      f.dataType match {
-        case _: MapType => array_sort(map_entries(c)).cast("string")
-        case _ => c
-      }
+      if (containsMap(f.dataType)) canon(c, f.dataType) else c
     }
     pmod(hash(parts: _*), lit(salts))
   }

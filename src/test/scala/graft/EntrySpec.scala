@@ -10,6 +10,10 @@ class EntrySpec extends SparkSpec {
 
   test("every oracleSql key exists in queries (driver contract)") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.queries.size == 49)
+    // every query is oracle-checked except the rows-only flagship profile;
+    // derived (not hardcoded) so adding a query can't silently break this
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == Set("q00_profile_lineitem"),
+      s"unexpected rows-only (no-oracle) queries: $rowsOnly")
   }
 }

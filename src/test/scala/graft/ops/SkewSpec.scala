@@ -55,4 +55,20 @@ class SkewSpec extends SparkSpec {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(counts(0) == 500L)
   }
+
+  test("maps nested in struct and array columns don't break salting") {
+    // Spark's hash() rejects MapType anywhere in the type tree, not just
+    // top level — a map inside a struct or array must be canonicalized
+    val bigNested = big
+      .withColumn("s", struct(col("k").as("kk"),
+        map(lit("a"), col("payload")).as("m")))
+      .withColumn("arr", array(map(lit("x"), col("k"))))
+    val salted = Skew.saltedJoin(bigNested, small, "k", salts = 8)
+    val expected = bigNested.join(small, "k")
+      .collect().map(_.toSeq.map(String.valueOf)).toSet
+    assert(salted.collect().map(_.toSeq.map(String.valueOf)).toSet == expected)
+    val counts = Skew.saltedCount(bigNested, "k", salts = 8)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts(0) == 500L)
+  }
 }
