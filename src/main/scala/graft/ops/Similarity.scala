@@ -11,9 +11,9 @@ import graft.functions.StatFunctions._
   *
   * Baseline: brute-force cosine top-k with a broadcast probe set — exact,
   * O(|corpus| x |probes|), the right tool when probes are few. Scale path:
-  * deterministic random-hyperplane LSH bucketing, which cuts the candidate
-  * set per probe to one bucket (+ neighbors), then the exact scorer runs
-  * only within buckets.
+  * deterministic banded random-hyperplane LSH ([[srpBandBuckets]]), which
+  * cuts the candidate set per probe to the rows sharing a band-bucket,
+  * then the exact scorer runs only on candidates ([[lshTopK]]).
   */
 object Similarity {
 
@@ -40,41 +40,16 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos"))
   }
 
-  /** Deterministic pseudo-random hyperplane projection: plane p dotted
-    * with v, where plane component i is +1/-1 by parity of a 60-bit hash
-    * of (p, i). No RNG state — reproducible across runs and engines. */
-  private def hyperplaneSign(vecCol: String, plane: Int) = {
-    // component sign: hash64 of "plane:i" — computed per element via
-    // transform over the vector's index range
-    val signs = transform(sequence(lit(0), size(col(vecCol)) - 1), i =>
-      when(pmod(hash64(concat(lit(plane.toString), lit("_"), i.cast("string")), 7919), lit(2)) === 0,
-        lit(1.0)).otherwise(lit(-1.0)))
-    aggregate(
-      zip_with(col(vecCol), signs, (x, s) => x.cast("double") * s),
-      lit(0.0), (acc, v) => acc + v)
-  }
-
-  /** Random-hyperplane (SRP) LSH bucket id: `planes` sign bits packed to a
-    * long. Cosine-similar vectors collide with probability
-    * (1 - theta/pi)^planes. */
-  def hyperplaneLshBuckets(
-      df: DataFrame, idCol: String, vecCol: String, planes: Int): DataFrame = {
-    val bucket = (0 until planes).map { p =>
-      when(hyperplaneSign(vecCol, p) >= 0, lit(1L << p)).otherwise(0L)
-    }.reduce((a, b) => a + b)
-    df.select(col(idCol).as("id"), bucket.as("bucket"))
-  }
-
   /** Multi-band SRP-LSH bucket table: `bands` independent bucket ids per
     * vector, each from `planesPerBand` sign bits. Two vectors at cosine c
     * share >= 1 band-bucket with probability 1-(1-p^r)^B, p = 1-acos(c)/pi
     * — bands trade compute for recall, the classic LSH amplification.
     *
-    * The sign matrix is the SAME deterministic hash family as
-    * [[hyperplaneSign]] (parity of hash64("plane_i", 7919)), but
-    * materialized ONCE per partition as a primitive array and applied in
-    * a flat mapPartitions pass: one scan, bands*planes fused dot
-    * products per row, no md5 in the per-row hot path. Output:
+    * The sign matrix is a deterministic hash family (parity of the md5
+    * of "seed:plane_i" — no RNG state, reproducible across runs and
+    * engines), materialized ONCE per partition as a primitive array and
+    * applied in a flat mapPartitions pass: one scan, bands*planes fused
+    * dot products per row, no md5 in the per-row hot path. Output:
     * (id, band, bucket) — n*bands rows, ready for a hash-partitioned
     * self-join on (band, bucket). */
   def srpBandBuckets(
@@ -97,8 +72,7 @@ object Similarity {
       StructField("bucket", LongType, nullable = false)))
     in.mapPartitions { it =>
       // per-(partition, dim) sign matrix; md5 runs nPlanes*dim times per
-      // partition, never per row (deterministic: parity of the same
-      // hash64 family used by the SQL-expression hyperplaneSign)
+      // partition, never per row
       val md = java.security.MessageDigest.getInstance("MD5")
       def signOf(plane: Int, i: Int): Double = {
         val hex = md.digest(s"$seed:${plane}_$i".getBytes("UTF-8"))
@@ -130,20 +104,30 @@ object Similarity {
     }(Encoders.row(outSchema))
   }
 
-  /** ANN top-k via SRP-LSH: score only within the probe's bucket. Recall
-    * is tunable via `planes` (fewer planes = bigger buckets = higher
-    * recall, more compute). */
+  /** ANN top-k via banded SRP-LSH: candidate pairs are (probe, corpus)
+    * rows sharing at least one band-bucket from [[srpBandBuckets]] —
+    * the amplified collision probability 1-(1-p^r)^B (p = 1-theta/pi,
+    * r = planesPerBand, B = bands) gives high recall on near vectors
+    * while a single r-bit bucket keeps candidates scarce. Pairs are
+    * deduped across bands BEFORE the exact cosine is paid; only
+    * candidates are scored, never the full cross product. `bands` up =
+    * recall up; `planesPerBand` up = fewer/cleaner candidates. */
   def lshTopK(
       probes: DataFrame, corpus: DataFrame,
-      idCol: String, vecCol: String, k: Int, planes: Int): DataFrame = {
-    val cb = hyperplaneLshBuckets(corpus, idCol, vecCol, planes)
-      .join(corpus.select(col(idCol).as("id"), col(vecCol).as("cv")), "id")
-      .select(col("id").as("neighbor_id"), col("bucket"), col("cv"))
-    val pb = hyperplaneLshBuckets(probes, idCol, vecCol, planes)
-      .join(probes.select(col(idCol).as("id"), col(vecCol).as("qv")), "id")
-      .select(col("id").as("query_id"), col("bucket"), col("qv"))
-    val scored = cb.join(broadcast(pb), "bucket")
+      idCol: String, vecCol: String, k: Int,
+      planesPerBand: Int = 8, bands: Int = 8, seed: Int = 7919): DataFrame = {
+    val pb = srpBandBuckets(probes, idCol, vecCol, planesPerBand, bands, seed)
+      .withColumnRenamed("id", "query_id")
+    val cb = srpBandBuckets(corpus, idCol, vecCol, planesPerBand, bands, seed)
+      .withColumnRenamed("id", "neighbor_id")
+    // probe bucket table is small by construction -> broadcast; a pair
+    // colliding in several bands is scored once
+    val pairs = cb.join(broadcast(pb), Seq("band", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val qv = probes.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = pairs.join(broadcast(qv), "query_id").join(cv, "neighbor_id")
       .withColumn("cos", round(cosineSimilarity(col("qv"), col("cv")), 6))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))

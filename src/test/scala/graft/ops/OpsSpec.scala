@@ -66,11 +66,11 @@ class OpsSpec extends SparkSpec {
     assert(out.toSeq.sortBy(_._2).map(_._1) == Seq(1L, 2L))
   }
 
-  test("hyperplane LSH: same vector same bucket, deterministic") {
-    val b1 = Similarity.hyperplaneLshBuckets(vecs, "vec_id", "embedding", 8)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val b2 = Similarity.hyperplaneLshBuckets(vecs, "vec_id", "embedding", 8)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  test("srpBandBuckets: same vector same buckets, deterministic") {
+    val b1 = Similarity.srpBandBuckets(vecs, "vec_id", "embedding", 8, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val b2 = Similarity.srpBandBuckets(vecs, "vec_id", "embedding", 8, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
     assert(b1 == b2) // no RNG state — reproducible
   }
 
@@ -154,14 +154,25 @@ class OpsSpec extends SparkSpec {
     assert(out.length == 4) // 2 ids x 2 bands
   }
 
-  test("srpBandBuckets matches the SQL-expression hyperplane hash family") {
-    // band 0 of srpBandBuckets uses planes 0..7 — same family as
-    // hyperplaneLshBuckets(planes=8), so bucket ids must be identical
-    val sql = Similarity.hyperplaneLshBuckets(vecs, "vec_id", "embedding", 8)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val fused = Similarity.srpBandBuckets(vecs, "vec_id", "embedding", 8, 1)
-      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
-    assert(fused == sql)
+  test("lshTopK: banded SRP recall — planted near-dups found like brute force") {
+    // 20 planted pairs at cosine ~0.97: per-pair band collision prob
+    // 1-(1-p^8)^8 ~ 0.997 at p ~ 0.92, and the hash family is
+    // deterministic, so the outcome is fixed for this seed. The exact
+    // scorer then must agree with brute force on every found pair.
+    val emb = plantedVectors(260, 20, seed = 42).repartition(8)
+    val probes = emb.where($"vec_id" < 20)
+    val lsh = Similarity.lshTopK(probes, emb, "vec_id", "embedding", 1,
+      planesPerBand = 8, bands = 8)
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos"))).toMap
+    val bf = Similarity.bruteForceTopK(probes, emb, "vec_id", "embedding", 1)
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos"))).toMap
+    // every probe's true top-1 is its planted dup; LSH must find >= 18/20
+    // and agree with brute force exactly on what it finds
+    (0 until 20).foreach(i => assert(bf(i.toLong)._1 == (260 + i).toLong))
+    val hits = lsh.count { case (q, res) => bf(q) == res }
+    assert(hits >= 18, s"lshTopK recall too low: $hits/20 brute-force matches")
   }
 
   test("text analysis: langId picks stopword language, counts deterministic") {
