@@ -49,8 +49,32 @@ object SparkEntry {
     },
     None)
 
+  /** The 100 TB operating mode as a bench-visible query: the same
+    * flagship profile with SKETCH semantics — HLL++ distinct counts and
+    * Greenwald-Khanna quantiles instead of the exact groupBy/sort paths
+    * (q00 exercises those for oracle parity). Continuously timed so the
+    * configuration a large cluster would actually run has a number every
+    * round; its error vs exact is bounded by SketchAccuracySpec. No SQL
+    * oracle: sketch outputs are approximate by design. */
+  private val qProfileSketch = graft.queries.Q(
+    "q00b_profile_sketch",
+    (s, dir) => {
+      val profile = Profiler.profile(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        ProfileConfig.default.copy(
+          exactDistinct = false, exactQuantiles = false,
+          computeSpearman = true, computeKendall = true))
+      import s.implicits._
+      profile.columns.map { c =>
+        (c.name, c.profileType.name, c.common.n, c.common.count,
+          c.common.nDistinct, profile.nDuplicates, profile.alerts.size.toLong)
+      }.toDF("column", "type", "n", "count", "n_distinct",
+        "n_duplicates", "n_alerts").orderBy("column")
+    },
+    None)
+
   private def catalog: Seq[graft.queries.Q] =
-    Seq(qProfile) ++ QueryCatalog.all ++ PipelineQueries.all ++
+    Seq(qProfile, qProfileSketch) ++ QueryCatalog.all ++ PipelineQueries.all ++
       graft.queries.ExtraQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

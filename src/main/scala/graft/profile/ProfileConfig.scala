@@ -25,6 +25,11 @@ final case class ProfileConfig(
     /** Exact distinct/unique counts (groupBy-based). When false, uses
       * approx_count_distinct (HLL++) and skips n_unique. */
     exactDistinct: Boolean = true,
+    /** HLL++ relative standard deviation for sketch-mode distinct
+      * counts. Sketch size grows ~1/rsd^2 but 0.01 is still only ~10 KB
+      * per column — merged once per partition, negligible even at
+      * 100 TB — and turns a visible 5% default error into ~1%. */
+    distinctRsd: Double = 0.01,
     /** Top-K values transferred to the driver per column
       * (reference: config_default.yaml:100 `spark.to_pandas_limit: 250`). */
     topK: Int = 250,

@@ -110,7 +110,7 @@ object Profiler {
             percentile_approx(d, array(qs.map(lit): _*),
               lit((1.0 / cfg.quantileRelativeError).toInt))).as(s"$p::quantiles")
           if (!cfg.exactDistinct)
-            sketchAggs += approx_count_distinct(c).as(s"$p::approxDistinct")
+            sketchAggs += approx_count_distinct(c, cfg.distinctRsd).as(s"$p::approxDistinct")
         case ProfileType.Categorical =>
           val len = length(c).cast("double")
           scalarAggs += ((avg(len).as(s"$p::lenMean"), 2))
@@ -118,14 +118,21 @@ object Profiler {
           scalarAggs += ((max(length(c)).as(s"$p::lenMax"), 1))
           sketchAggs += percentile_approx(len, lit(0.5), lit(10000)).as(s"$p::lenMedian")
           if (!cfg.exactDistinct)
-            sketchAggs += approx_count_distinct(c).as(s"$p::approxDistinct")
+            sketchAggs += approx_count_distinct(c, cfg.distinctRsd).as(s"$p::approxDistinct")
         case ProfileType.Bool =>
           scalarAggs += ((count(when(c === true, 1)).as(s"$p::true"), 1))
           scalarAggs += ((count(when(c === false, 1)).as(s"$p::false"), 1))
+          // sketch mode reads $p::approxDistinct for EVERY cat-side
+          // column (bool/datetime included) — omitting the aggregate
+          // here silently reported nDistinct = 0
+          if (!cfg.exactDistinct)
+            sketchAggs += approx_count_distinct(c, cfg.distinctRsd).as(s"$p::approxDistinct")
         case ProfileType.DateTime =>
           val e = unix_timestamp(c.cast("timestamp"))
           scalarAggs += ((min(e).as(s"$p::epochMin"), 1))
           scalarAggs += ((max(e).as(s"$p::epochMax"), 1))
+          if (!cfg.exactDistinct)
+            sketchAggs += approx_count_distinct(c, cfg.distinctRsd).as(s"$p::approxDistinct")
         case _ => ()
       }
     }

@@ -13,7 +13,7 @@ class EntrySpec extends SparkSpec {
     // every query is oracle-checked except the rows-only flagship profile;
     // derived (not hardcoded) so adding a query can't silently break this
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("q00_profile_lineitem"),
+    assert(rowsOnly == Set("q00_profile_lineitem", "q00b_profile_sketch"),
       s"unexpected rows-only (no-oracle) queries: $rowsOnly")
   }
 }

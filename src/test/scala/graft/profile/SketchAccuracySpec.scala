@@ -1,0 +1,78 @@
+package graft.profile
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Error bounds for the 100 TB operating mode (q00b_profile_sketch):
+  * HLL++ distinct counts and Greenwald-Khanna quantiles vs the exact
+  * paths, on real sf0.01 data. These are the properties that make the
+  * sketch profile TRUSTWORTHY at scale, where exact is unaffordable. */
+class SketchAccuracySpec extends SparkSpec {
+
+  private lazy val df =
+    spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+
+  // only the count/distinct/quantile machinery under test — the other
+  // passes are identical between modes and only slow the spec down
+  private def cfg(exact: Boolean) = ProfileConfig.default.copy(
+    exactDistinct = exact, exactQuantiles = exact,
+    computeCorrelations = false, computeCharStats = false,
+    computeHistograms = false, computeMad = false,
+    computeDuplicates = false)
+
+  private lazy val exactP = Profiler.profile(df, cfg(exact = true))
+  private lazy val sketchP = Profiler.profile(df, cfg(exact = false))
+
+  test("HLL++ distinct counts within 3 rsd of exact on every column") {
+    // the profiler requests rsd=0.01 (ProfileConfig.distinctRsd); a
+    // 3-sigma bound on the fixed input is 3% — deterministic for a
+    // given corpus, so this cannot flake
+    val exact = exactP.columns.map(c => c.name -> c.common.nDistinct).toMap
+    sketchP.columns.foreach { c =>
+      val e = exact(c.name)
+      if (e > 0) {
+        val rel = math.abs(c.common.nDistinct - e).toDouble / e
+        assert(rel <= 3 * ProfileConfig.default.distinctRsd,
+          s"${c.name}: approx=${c.common.nDistinct} exact=$e rel=$rel")
+      }
+    }
+  }
+
+  test("GK quantiles land inside the exact [p-2eps, p+2eps] envelope") {
+    // Greenwald-Khanna guarantees the returned value's RANK is within
+    // eps*n of the target rank (eps = quantileRelativeError). Verified
+    // value-wise: each sketch quantile must lie between the exact
+    // quantiles at p +- 2eps (2x: the envelope endpoints interpolate
+    // between order statistics, so a 1-eps band can clip a legal value)
+    val eps = ProfileConfig.default.quantileRelativeError
+    val numeric = sketchP.columns.collect {
+      case c if c.typed.isInstanceOf[NumericStats] =>
+        c.name -> c.typed.asInstanceOf[NumericStats].quantiles
+    }
+    assert(numeric.nonEmpty)
+    numeric.foreach { case (name, qs) =>
+      val ps = qs.keys.toSeq.sorted
+      val los = ps.map(p => math.max(0.0, p - 2 * eps))
+      val his = ps.map(p => math.min(1.0, p + 2 * eps))
+      val row = df.select(
+        expr(s"percentile(cast(`$name` as double), array(${los.mkString(",")}))"),
+        expr(s"percentile(cast(`$name` as double), array(${his.mkString(",")}))"))
+        .head()
+      val lo = row.getSeq[Double](0)
+      val hi = row.getSeq[Double](1)
+      ps.zipWithIndex.foreach { case (p, i) =>
+        val v = qs(p)
+        assert(v >= lo(i) - 1e-9 && v <= hi(i) + 1e-9,
+          s"$name q$p: sketch=$v outside exact envelope [${lo(i)}, ${hi(i)}]")
+      }
+    }
+  }
+
+  test("sketch mode: n/count identical to exact (only estimates differ)") {
+    val exact = exactP.columns.map(c => c.name -> c.common).toMap
+    sketchP.columns.foreach { c =>
+      assert(c.common.n == exact(c.name).n)
+      assert(c.common.count == exact(c.name).count)
+    }
+  }
+}
