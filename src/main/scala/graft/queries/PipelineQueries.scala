@@ -250,6 +250,38 @@ object PipelineQueries {
       SELECT query_id, rnk, neighbor_id, cos FROM ranked
       WHERE rnk <= 5 ORDER BY query_id, rnk"""))
 
+  /** The PERSISTED IVF layout end-to-end: build -> write (parquet
+    * partitioned by list_id) -> load -> search, against the same
+    * brute-force oracle as q26b (nprobe == nlist keeps it exact). This
+    * is the production path at 100 TB — the search's probed-list filter
+    * becomes parquet PARTITION PRUNING over the on-disk layout
+    * (IvfIndexSpec asserts the PartitionFilters in the plan); here the
+    * pruned scan's ANSWERS are hash-checked, not just its plan. */
+  val qEmbedTopKIvfPersisted = Q(
+    "q26c_embed_topk_ivf_persisted",
+    (s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val idx = IvfIndex.buildCached(e, "vec_id", "embedding", nlist = 16)
+      val path = System.getProperty("java.io.tmpdir") +
+        s"/graft_ivf_${Integer.toHexString(dir.hashCode)}"
+      IvfIndex.write(idx, path)
+      val loaded = IvfIndex.load(s, path)
+      IvfIndex.search(loaded, e.where(col("vec_id") < 5),
+          "vec_id", "embedding", k = 5, nprobe = 16)
+        .orderBy("query_id", "rnk")
+    },
+    Some(s"""WITH p AS (SELECT vec_id AS qid, embedding AS qv
+                        FROM embeddings WHERE vec_id < 5),
+      scored AS (SELECT p.qid AS query_id, e.vec_id AS neighbor_id,
+                        $dkCos AS cos
+                 FROM p CROSS JOIN embeddings e WHERE e.vec_id != p.qid),
+      ranked AS (SELECT *, CAST(row_number() OVER
+                   (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+                   AS INT) AS rnk
+                 FROM scored)
+      SELECT query_id, rnk, neighbor_id, cos FROM ranked
+      WHERE rnk <= 5 ORDER BY query_id, rnk"""))
+
   // ------------------------------------------------------------------
   // Text analysis
   // ------------------------------------------------------------------
@@ -610,7 +642,8 @@ object PipelineQueries {
 
   val all: Seq[Q] = Seq(
     qDedupExact, qNgramJaccard, qMinhashSig, qMinhashLsh, qSimhash,
-    qEmbedTopK, qEmbedTopKIvf, qEmbedNearDup, qLangId, qTextQuality,
+    qEmbedTopK, qEmbedTopKIvf, qEmbedTopKIvfPersisted, qEmbedNearDup,
+    qLangId, qTextQuality,
     qTokenCounts, qFingerprint, qRepetitionFilter, qPiiScan,
     qMultimodalMeta, qMultimodalDecode, qImageDecode, qExifDecode)
 }
