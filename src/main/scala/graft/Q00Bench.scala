@@ -23,12 +23,16 @@ object Q00Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count()
       .write.format("noop").mode("overwrite").save()
-    val q = SparkEntry.queries("q00_profile_lineitem")
-    (1 to runs).foreach { i =>
-      val t0 = System.nanoTime()
-      q(spark, sfDir).write.format("noop").mode("overwrite").save()
-      System.err.println(
-        f"[q00bench] run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    val names = sys.env.getOrElse("SPARK_GRAFT_Q00_QUERIES",
+      "q00_profile_lineitem").split(",").toSeq
+    names.foreach { name =>
+      val q = SparkEntry.queries(name)
+      (1 to runs).foreach { i =>
+        val t0 = System.nanoTime()
+        q(spark, sfDir).write.format("noop").mode("overwrite").save()
+        System.err.println(
+          f"[q00bench] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
     }
     spark.stop()
   }

@@ -26,10 +26,12 @@ final case class ProfileConfig(
       * approx_count_distinct (HLL++) and skips n_unique. */
     exactDistinct: Boolean = true,
     /** HLL++ relative standard deviation for sketch-mode distinct
-      * counts. Sketch size grows ~1/rsd^2 but 0.01 is still only ~10 KB
-      * per column — merged once per partition, negligible even at
-      * 100 TB — and turns a visible 5% default error into ~1%. */
-    distinctRsd: Double = 0.01,
+      * counts. Spark's HLL++ is dense-only, so small cardinalities see
+      * the full rsd as noise — the 0.05 default gave visible 5-6%
+      * errors. 0.02 halves register memory vs 0.01 and measured ~4x
+      * faster (buffer merge cost grows ~1/rsd^2; 0.01 was 10s vs 3s at
+      * sf0.1) while keeping 3-sigma error at 6%. */
+    distinctRsd: Double = 0.02,
     /** Top-K values transferred to the driver per column
       * (reference: config_default.yaml:100 `spark.to_pandas_limit: 250`). */
     topK: Int = 250,

@@ -84,6 +84,10 @@ object Profiler {
     val scalarAggs = scala.collection.mutable.ArrayBuffer[(Column, Int)](
       (count(lit(1)).as("__n"), 1))
     val sketchAggs = scala.collection.mutable.ArrayBuffer[Column]()
+    // HLL distinct sketches get their OWN chunk: in sketch mode they are
+    // as expensive as the quantile job, and fusing both into one serial
+    // aggregation doubled pass A's critical path (measured 11s vs 2x ~5s)
+    val distinctAggs = scala.collection.mutable.ArrayBuffer[Column]()
     supported.foreach { case (f, t) =>
       val c = qcol(f.name)
       val p = f.name
@@ -110,7 +114,7 @@ object Profiler {
             percentile_approx(d, array(qs.map(lit): _*),
               lit((1.0 / cfg.quantileRelativeError).toInt))).as(s"$p::quantiles")
           if (!cfg.exactDistinct)
-            sketchAggs += approx_count_distinct(c, cfg.distinctRsd).as(s"$p::approxDistinct")
+            distinctAggs += approx_count_distinct(c, cfg.distinctRsd).as(s"$p::approxDistinct")
         case ProfileType.Categorical =>
           val len = length(c).cast("double")
           scalarAggs += ((avg(len).as(s"$p::lenMean"), 2))
@@ -118,7 +122,7 @@ object Profiler {
           scalarAggs += ((max(length(c)).as(s"$p::lenMax"), 1))
           sketchAggs += percentile_approx(len, lit(0.5), lit(10000)).as(s"$p::lenMedian")
           if (!cfg.exactDistinct)
-            sketchAggs += approx_count_distinct(c, cfg.distinctRsd).as(s"$p::approxDistinct")
+            distinctAggs += approx_count_distinct(c, cfg.distinctRsd).as(s"$p::approxDistinct")
         case ProfileType.Bool =>
           scalarAggs += ((count(when(c === true, 1)).as(s"$p::true"), 1))
           scalarAggs += ((count(when(c === false, 1)).as(s"$p::false"), 1))
@@ -126,13 +130,13 @@ object Profiler {
           // column (bool/datetime included) — omitting the aggregate
           // here silently reported nDistinct = 0
           if (!cfg.exactDistinct)
-            sketchAggs += approx_count_distinct(c, cfg.distinctRsd).as(s"$p::approxDistinct")
+            distinctAggs += approx_count_distinct(c, cfg.distinctRsd).as(s"$p::approxDistinct")
         case ProfileType.DateTime =>
           val e = unix_timestamp(c.cast("timestamp"))
           scalarAggs += ((min(e).as(s"$p::epochMin"), 1))
           scalarAggs += ((max(e).as(s"$p::epochMax"), 1))
           if (!cfg.exactDistinct)
-            sketchAggs += approx_count_distinct(c, cfg.distinctRsd).as(s"$p::approxDistinct")
+            distinctAggs += approx_count_distinct(c, cfg.distinctRsd).as(s"$p::approxDistinct")
         case _ => ()
       }
     }
@@ -147,11 +151,12 @@ object Profiler {
       if (cur.nonEmpty) chunks += cur.toSeq
       chunks.toSeq
     }
-    // sketch chunk FIRST: the percentile job is the longest pass-A leg
+    // sketch chunks FIRST: the percentile job is the longest pass-A leg
     // (sort-based ObjectHashAggregate) and pass D gates on its medians —
-    // launching it before the scalar chunks packs the pool better
+    // launching it before the scalar chunks packs the pool better. The
+    // HLL distinct chunk (sketch mode only) runs CONCURRENTLY with it.
     val aJobs: Seq[Future[Row]] =
-      ((if (sketchAggs.nonEmpty) Seq(sketchAggs.toSeq) else Nil) ++ scalarChunks)
+      (Seq(sketchAggs.toSeq, distinctAggs.toSeq).filter(_.nonEmpty) ++ scalarChunks)
         .zipWithIndex.map { case (ch, i) =>
           Future {
             timed(s"A:agg-chunk$i")(working.agg(ch.head, ch.tail: _*).head())
@@ -408,15 +413,25 @@ object Profiler {
               Some(Left(timed("G:spearman-maps")(
                 buildRankMaps(ranks, preNumeric))))
             else Some(Right(ranks))
-          case _ =>
+          case (numInfo, None) =>
             // sketch mode: no counts table — rank from a direct melt
-            // (one groupBy shuffle), applied via the shuffle plan
+            // (one groupBy shuffle). The broadcast one-scan plan is
+            // still gated here, on the HLL++ distinct ESTIMATES with a
+            // 1.2x safety margin for sketch error (3 rsd = 3%; 20% is
+            // comfortably past any excursion): a 100 TB rank table
+            // still takes the shuffle plan, but a driver-sized one gets
+            // the same zero-shuffle co-moment pass as exact mode.
             val kv = working.select(explode(array(preNumeric.map(c =>
                 struct(lit(c).as("c"), qcol(c).cast("double").as("v"))): _*)).as("kv"))
               .select(col("kv.c").as("c"), col("kv.v").as("v"))
               .where(col("v").isNotNull && !col("v").isNaN)
-            Some(Right(timed("G:spearman-ranks")(
-              graft.ops.Ranking.avgRanks(kv, "c", "v"))))
+            val ranks = timed("G:spearman-ranks")(
+              graft.ops.Ranking.avgRanks(kv, "c", "v"))
+            val total = preNumeric.iterator.map(c => numInfo(c).nDistinct).sum
+            if (total * 1.2 <= cfg.spearmanBroadcastMaxDistinct)
+              Some(Left(timed("G:spearman-maps")(
+                buildRankMaps(ranks, preNumeric))))
+            else Some(Right(ranks))
         }
       }
 

@@ -25,4 +25,34 @@ class ProfilerCorrelationSpec extends SparkSpec {
     val json = ProfileJson.toJson(p)
     assert(json.contains("\"kendall\"") && json.contains("\"phik\""))
   }
+
+  test("poolSize=1: full profile with Spearman on completes (no deadlock)") {
+    // spearmanRanksF awaits numStatsF FROM a pool thread — FIFO-safe by
+    // creation order today, but the same nested-await shape that once
+    // deadlocked the chunked-Pearson path at poolSize=1. Pin the shape:
+    // the whole profile, every correlation on, one pool thread. A
+    // deadlock surfaces as the time limit interrupting the Await.
+    import org.scalatest.concurrent.TimeLimits._
+    import org.scalatest.concurrent.{Signaler, ThreadSignaler}
+    import org.scalatest.time.{Seconds, Span}
+    implicit val signaler: Signaler = ThreadSignaler
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 300).map { i =>
+      (rnd.nextDouble() * 10, rnd.nextDouble() * 5, rnd.nextGaussian(),
+        s"c${rnd.nextInt(4)}", i.toLong)
+    }.toDF("x", "y", "z", "cat", "id")
+    val p1 = failAfter(Span(300, Seconds)) {
+      Profiler.profile(df, ProfileConfig.default.copy(
+        poolSize = 1, computeSpearman = true, computeKendall = true))
+    }
+    val p8 = Profiler.profile(df, ProfileConfig.default.copy(
+      poolSize = 8, computeSpearman = true, computeKendall = true))
+    // serial schedule must also COMPUTE the same things
+    def corr(p: TableProfile, name: String) =
+      p.correlations.find(_.method == name).map(_.values.map(_.toVector).toVector)
+    assert(corr(p1, "spearman").isDefined)
+    assert(corr(p1, "spearman") == corr(p8, "spearman"))
+    assert(corr(p1, "pearson") == corr(p8, "pearson"))
+    assert(p1.kendall == p8.kendall)
+  }
 }

@@ -68,6 +68,22 @@ class SketchAccuracySpec extends SparkSpec {
     }
   }
 
+  test("sketch-mode Spearman equals exact-mode (ranks are exact either way)") {
+    // only the DISTINCT/QUANTILE estimates are approximate; Spearman
+    // ranks come from an exact melt-groupBy in sketch mode, and the
+    // HLL-gated broadcast plan must produce the same matrix as exact
+    // mode's counts-derived ranks
+    def spearman(exact: Boolean) = Profiler.profile(df,
+      cfg(exact).copy(computeCorrelations = true, computeSpearman = true))
+      .correlations.find(_.method == "spearman").get
+    val e = spearman(exact = true)
+    val s = spearman(exact = false)
+    assert(e.columns == s.columns)
+    e.values.flatten.zip(s.values.flatten).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"spearman drift: $a vs $b")
+    }
+  }
+
   test("sketch mode: n/count identical to exact (only estimates differ)") {
     val exact = exactP.columns.map(c => c.name -> c.common).toMap
     sketchP.columns.foreach { c =>
