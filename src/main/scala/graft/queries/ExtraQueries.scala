@@ -256,8 +256,60 @@ object ExtraQueries {
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY 1 ORDER BY o_orderpriority"""))
 
+  /** Shared body of the file-source round-trip queries: write the
+    * lineitem table out in `format`, read it back through the schema'd
+    * source, and aggregate with ORDER-INDEPENDENT, exactly-representable
+    * aggregates (counts, integer sums, min/max, formatted timestamps) so
+    * the result is bit-comparable with the same SQL over the original
+    * parquet. A lossy writer/reader (quoting, date formats, type
+    * inference) fails the hash; float SUMS are avoided because their
+    * value depends on row order, which the round-trip legitimately
+    * changes. */
+  private def sourceRoundTrip(format: String)(
+      s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val src = table(s, dir, "lineitem")
+    val path = System.getProperty("java.io.tmpdir") +
+      s"/graft_${format}_${Integer.toHexString(dir.hashCode)}"
+    val w = src.write.mode("overwrite")
+    (if (format == "csv") w.option("header", "true") else w).format(format)
+      .save(path)
+    val r = s.read.schema(src.schema)
+    val back = (if (format == "csv") r.option("header", "true") else r)
+      .format(format).load(path)
+    back.groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum("l_linenumber").as("sum_linenumber"),
+        sum("l_orderkey").as("sum_orderkey"),
+        round(min("l_quantity"), 6).as("min_qty"),
+        round(max("l_extendedprice"), 6).as("max_price"),
+        countDistinct("l_suppkey").as("n_supp"),
+        date_format(max(col("l_shipdate")), "yyyy-MM-dd HH:mm:ss")
+          .as("max_shipdate"))
+      .orderBy("l_returnflag")
+  }
+
+  private val sourceRoundTripSql = """SELECT l_returnflag,
+      count(*) AS cnt,
+      CAST(sum(l_linenumber) AS BIGINT) AS sum_linenumber,
+      CAST(sum(l_orderkey) AS BIGINT) AS sum_orderkey,
+      round(min(l_quantity), 6) AS min_qty,
+      round(max(l_extendedprice), 6) AS max_price,
+      CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+      strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS max_shipdate
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** CSV source round-trip (reference reads csv/tsv via pandas/spark,
+    * utils/dataframe.py:24-67): write-then-scan with explicit schema —
+    * covers quoting, header handling, and date/timestamp formats. */
+  val qCsvScan = Q("q47_csv_scan", sourceRoundTrip("csv"), Some(sourceRoundTripSql))
+
+  /** JSON-lines source round-trip (same reference surface, .json/.jsonl):
+    * covers per-line JSON encode/decode and schema'd read. */
+  val qJsonlScan = Q("q48_jsonl_scan", sourceRoundTrip("json"), Some(sourceRoundTripSql))
+
   val all: Seq[Q] = Seq(
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qMapValueCounts,
-    qSaltedJoin)
+    qSaltedJoin, qCsvScan, qJsonlScan)
 }

@@ -146,6 +146,35 @@ object QueryCatalog {
       round(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
       round(quantile_cont(l_quantity, 0.5), 6) AS qty_p50 FROM lineitem"""))
 
+  /** Median absolute deviation, the profiler's 2-pass construction
+    * (reference: summary_algorithms.py:584-591) as a standalone
+    * oracle-checked query: pass 1 collects the exact medians (bounded:
+    * one row), pass 2 takes the median of |x - median| around the
+    * frozen literals. DuckDB's mad() is quantile_cont-consistent, so
+    * the values match to rounding. */
+  val qMad = Q(
+    "q46_mad",
+    (s, dir) => {
+      val df = table(s, dir, "lineitem")
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val medAggs = cols.map(c => expr(s"percentile($c, 0.5)").as(c))
+      val medRow = df.agg(medAggs.head, medAggs.tail: _*).head()
+      val madAggs = cols.zipWithIndex.map { case (c, i) =>
+        // Double.toString round-trips exactly; CAST keeps the literal
+        // out of Spark's decimal-literal parsing
+        val m = java.lang.Double.toString(medRow.getDouble(i))
+        round(expr(s"percentile(abs($c - CAST('$m' AS DOUBLE)), 0.5)"), 6)
+          .as(s"mad_$c")
+      }
+      df.agg(madAggs.head, madAggs.tail: _*)
+    },
+    Some("""SELECT
+      round(mad(l_quantity), 6) AS mad_l_quantity,
+      round(mad(l_extendedprice), 6) AS mad_l_extendedprice,
+      round(mad(l_discount), 6) AS mad_l_discount,
+      round(mad(l_tax), 6) AS mad_l_tax
+      FROM lineitem"""))
+
   /** Zero/negative predicate counts (reference: summary_algorithms.py:556-561). */
   val qZeros = Q(
     "q06_zeros",
@@ -464,5 +493,5 @@ object QueryCatalog {
     qCounts, qDistinctUnique, qMissingCounts, qMoments, qQuantiles, qZeros,
     qValueCounts, qHistogram, qDuplicateCount, qDuplicateTopK, qPearson,
     qSpearman, qUniformChi2, qCramers, qLengthStats, qCharFreq, qLengthHist,
-    qDateStats, qDateHistogram, qBoolStats)
+    qDateStats, qDateHistogram, qBoolStats, qMad)
 }
