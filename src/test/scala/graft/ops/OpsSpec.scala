@@ -175,6 +175,17 @@ class OpsSpec extends SparkSpec {
     assert(hits >= 18, s"lshTopK recall too low: $hits/20 brute-force matches")
   }
 
+  test("lshTopK plan: no cartesian product, probe side broadcast") {
+    // the scale contract: candidates come from the (band, bucket) hash
+    // join — a CartesianProduct anywhere means the LSH did nothing, and
+    // the probe bucket/vector tables must join as broadcasts
+    val emb = plantedVectors(100, 5, seed = 7)
+    val plan = Similarity.lshTopK(emb.where($"vec_id" < 3), emb,
+      "vec_id", "embedding", 1).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
+
   test("text analysis: langId picks stopword language, counts deterministic") {
     val df = Seq(
       (0L, "the cat and the dog in the house"),

@@ -31,6 +31,27 @@ class EdgeCaseSpec extends SparkSpec {
     assert(p.alerts.exists(a => a.kind == "MISSING" && a.column.contains("x")))
   }
 
+  test("sketch mode survives empty and all-null inputs") {
+    // HLL/GK aggregates over zero rows must come back 0/absent, not
+    // null-NPE — the sketch path has its own result extraction
+    val sketchCfg = cfg.copy(exactDistinct = false, exactQuantiles = false,
+      computeSpearman = true)
+    val schema = StructType(Seq(
+      StructField("x", DoubleType), StructField("s", StringType)))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+    val pe = Profiler.profile(empty, sketchCfg)
+    assert(pe.table.n == 0)
+    assert(pe.columns.forall(_.common.nDistinct == 0))
+    val nulls = Seq[(Option[Double], String)]((None, "a"), (None, "b"))
+      .toDF("x", "s")
+    val pn = Profiler.profile(nulls, sketchCfg)
+    val x = pn.columns.find(_.name == "x").get
+    assert(x.common.nMissing == 2 && x.common.nDistinct == 0)
+    val s = pn.columns.find(_.name == "s").get
+    assert(s.common.nDistinct == 2)
+  }
+
   test("single-row table") {
     val p = Profiler.profile(Seq((1.0, "only")).toDF("x", "s"), cfg)
     assert(p.table.n == 1)
