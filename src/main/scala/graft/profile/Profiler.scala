@@ -406,13 +406,15 @@ object Profiler {
             val dcounts = nc.where(!col("vd").isNaN)
               .select(col("c"), col("vd").as("v"), col("cnt"))
               .groupBy("c", "v").agg(sum(col("cnt")).as("cnt"))
-            val ranks = timed("G:spearman-ranks")(
-              graft.ops.Ranking.avgRanksFromCounts(dcounts, "c", "v"))
             val total = preNumeric.iterator.map(c => numInfo(c).nDistinct).sum
             if (total <= cfg.spearmanBroadcastMaxDistinct)
+              // driver-sized: rank IN the driver off one bounded collect —
+              // the distributed range-shuffle ranking would only have been
+              // collected into these maps anyway
               Some(Left(timed("G:spearman-maps")(
-                buildRankMaps(ranks, preNumeric))))
-            else Some(Right(ranks))
+                buildRankMapsFromCounts(dcounts, preNumeric))))
+            else Some(Right(timed("G:spearman-ranks")(
+              graft.ops.Ranking.avgRanksFromCounts(dcounts, "c", "v"))))
           case (numInfo, None) =>
             // sketch mode: no counts table — rank from a direct melt
             // (one groupBy shuffle). The broadcast one-scan plan is
@@ -425,13 +427,13 @@ object Profiler {
                 struct(lit(c).as("c"), qcol(c).cast("double").as("v"))): _*)).as("kv"))
               .select(col("kv.c").as("c"), col("kv.v").as("v"))
               .where(col("v").isNotNull && !col("v").isNaN)
-            val ranks = timed("G:spearman-ranks")(
-              graft.ops.Ranking.avgRanks(kv, "c", "v"))
             val total = preNumeric.iterator.map(c => numInfo(c).nDistinct).sum
             if (total * 1.2 <= cfg.spearmanBroadcastMaxDistinct)
-              Some(Left(timed("G:spearman-maps")(
-                buildRankMaps(ranks, preNumeric))))
-            else Some(Right(ranks))
+              Some(Left(timed("G:spearman-maps")(buildRankMapsFromCounts(
+                kv.groupBy("c", "v").agg(count(lit(1)).as("cnt")),
+                preNumeric))))
+            else Some(Right(timed("G:spearman-ranks")(
+              graft.ops.Ranking.avgRanks(kv, "c", "v"))))
         }
       }
 
@@ -937,6 +939,38 @@ object Profiler {
   /** Collect a (c, v, avgrank) rank table into per-column primitive
     * (doubleToLongBits(value) -> avgrank) maps. Caller guarantees the
     * table is driver-sized. */
+  /** Driver-side tie-averaged ranking straight from a per-(column, value)
+    * COUNT table already proven driver-sized by the broadcast gate: one
+    * bounded collect, then a per-column sort + prefix sum. Replaces the
+    * distributed range-shuffle ranking ([[graft.ops.Ranking]]) PLUS the
+    * map-building collect when the ranks were only ever going to be
+    * collected into broadcast maps anyway — same avg-rank semantics
+    * (#smaller + (cnt+1)/2, -0.0 folded, matching [[buildRankMaps]]'s
+    * keying). The shuffle plan remains the route above the gate. */
+  private[profile] def buildRankMapsFromCounts(
+      counts: DataFrame, cols: Seq[String])
+      : Map[String, scala.collection.mutable.LongMap[Double]] = {
+    val byCol = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.HashMap[Double, Long]]
+    counts.where(col("c").isin(cols: _*)).collect().foreach { r =>
+      val v0 = r.getAs[Double]("v")
+      val v = if (v0 == 0.0) 0.0 else v0 // fold -0.0 before accumulating
+      val m = byCol.getOrElseUpdate(r.getAs[String]("c"),
+        scala.collection.mutable.HashMap.empty[Double, Long])
+      m.update(v, m.getOrElse(v, 0L) + r.getAs[Number]("cnt").longValue)
+    }
+    cols.map { c =>
+      val out = scala.collection.mutable.LongMap.empty[Double]
+      var cum = 0L
+      byCol.getOrElse(c, scala.collection.mutable.HashMap.empty[Double, Long])
+        .toArray.sortBy(_._1).foreach { case (v, n) =>
+          out.update(java.lang.Double.doubleToLongBits(v), cum + (n + 1) / 2.0)
+          cum += n
+        }
+      c -> out
+    }.toMap
+  }
+
   private[profile] def buildRankMaps(ranks: DataFrame, cols: Seq[String])
       : Map[String, scala.collection.mutable.LongMap[Double]] = {
     val maps = cols.map(c =>

@@ -44,6 +44,33 @@ class SpearmanSpec extends SparkSpec {
       s"float-column spearman should be exactly 1.0, got $v")
   }
 
+  test("driver-side rank maps == distributed ranking + collect") {
+    // buildRankMapsFromCounts replaces Ranking.avgRanksFromCounts +
+    // buildRankMaps below the broadcast gate — the two routes must agree
+    // bit-for-bit, including ties, negatives, and -0.0 folding
+    val counts = Seq(
+      ("x", 1.5, 2L), ("x", -3.0, 1L), ("x", 7.0, 3L), ("x", 0.0, 1L),
+      ("x", -0.0, 2L), // folds into 0.0's count
+      ("y", 10.0, 4L), ("y", 2.0, 1L)
+    ).toDF("c", "v", "cnt")
+      .groupBy("c", "v")
+      .agg(org.apache.spark.sql.functions.sum("cnt").as("cnt")) // fold like pass B
+    val cols = Seq("x", "y")
+    val direct = Profiler.buildRankMapsFromCounts(counts, cols)
+    val viaDist = Profiler.buildRankMaps(
+      graft.ops.Ranking.avgRanksFromCounts(counts, "c", "v"), cols)
+    cols.foreach { c =>
+      assert(direct(c).toMap == viaDist(c).toMap, s"column $c rank maps differ")
+    }
+    // spot-check semantics: x values sorted [-3(1), 0(3), 1.5(2), 7(3)]
+    // -> avg ranks 1, 3, 5.5, 8
+    val x = direct("x")
+    assert(x(java.lang.Double.doubleToLongBits(-3.0)) == 1.0)
+    assert(x(java.lang.Double.doubleToLongBits(0.0)) == 3.0)
+    assert(x(java.lang.Double.doubleToLongBits(1.5)) == 5.5)
+    assert(x(java.lang.Double.doubleToLongBits(7.0)) == 8.0)
+  }
+
   test("spearman handles ties and perfect monotonicity") {
     val df = Seq((1.0, 10.0), (2.0, 20.0), (2.0, 25.0), (3.0, 30.0))
       .toDF("x", "y")
