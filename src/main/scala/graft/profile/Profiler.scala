@@ -403,18 +403,25 @@ object Profiler {
             // rank in DOUBLE space (ties averaged across values that
             // collide under the cast, matching the direct-melt plan):
             // re-aggregate the string-keyed counts by vd
-            val dcounts = nc.where(!col("vd").isNaN)
-              .select(col("c"), col("vd").as("v"), col("cnt"))
-              .groupBy("c", "v").agg(sum(col("cnt")).as("cnt"))
             val total = preNumeric.iterator.map(c => numInfo(c).nDistinct).sum
             if (total <= cfg.spearmanBroadcastMaxDistinct)
-              // driver-sized: rank IN the driver off one bounded collect —
-              // the distributed range-shuffle ranking would only have been
-              // collected into these maps anyway
-              Some(Left(timed("G:spearman-maps")(
-                buildRankMapsFromCounts(dcounts, preNumeric))))
-            else Some(Right(timed("G:spearman-ranks")(
-              graft.ops.Ranking.avgRanksFromCounts(dcounts, "c", "v"))))
+              // driver-sized: rank IN the driver off one bounded collect
+              // of the PERSISTED count table — no vd re-aggregation
+              // shuffle (the driver accumulator folds string-distinct
+              // values that collide under the double cast), and the
+              // distributed ranking would only have been collected into
+              // these maps anyway
+              Some(Left(timed("G:spearman-maps")(buildRankMapsFromCounts(
+                nc.where(!col("vd").isNaN)
+                  .select(col("c"), col("vd").as("v"), col("cnt")),
+                preNumeric))))
+            else {
+              val dcounts = nc.where(!col("vd").isNaN)
+                .select(col("c"), col("vd").as("v"), col("cnt"))
+                .groupBy("c", "v").agg(sum(col("cnt")).as("cnt"))
+              Some(Right(timed("G:spearman-ranks")(
+                graft.ops.Ranking.avgRanksFromCounts(dcounts, "c", "v"))))
+            }
           case (numInfo, None) =>
             // sketch mode: no counts table — rank from a direct melt
             // (one groupBy shuffle). The broadcast one-scan plan is
@@ -950,15 +957,21 @@ object Profiler {
   private[profile] def buildRankMapsFromCounts(
       counts: DataFrame, cols: Seq[String])
       : Map[String, scala.collection.mutable.LongMap[Double]] = {
+    import org.apache.spark.sql.Encoders
     val byCol = scala.collection.mutable.Map
       .empty[String, scala.collection.mutable.HashMap[Double, Long]]
-    counts.where(col("c").isin(cols: _*)).collect().foreach { r =>
-      val v0 = r.getAs[Double]("v")
-      val v = if (v0 == 0.0) 0.0 else v0 // fold -0.0 before accumulating
-      val m = byCol.getOrElseUpdate(r.getAs[String]("c"),
-        scala.collection.mutable.HashMap.empty[Double, Long])
-      m.update(v, m.getOrElse(v, 0L) + r.getAs[Number]("cnt").longValue)
-    }
+    // typed collect: primitive tuple decode, no per-field Row boxing on
+    // a table that can be millions of rows
+    counts.where(col("c").isin(cols: _*))
+      .select(col("c"), col("v").cast("double"), col("cnt").cast("long"))
+      .as[(String, Double, Long)](Encoders.tuple(
+        Encoders.STRING, Encoders.scalaDouble, Encoders.scalaLong))
+      .collect().foreach { case (c, v0, n) =>
+        val v = if (v0 == 0.0) 0.0 else v0 // fold -0.0 before accumulating
+        val m = byCol.getOrElseUpdate(c,
+          scala.collection.mutable.HashMap.empty[Double, Long])
+        m.update(v, m.getOrElse(v, 0L) + n)
+      }
     cols.map { c =>
       val out = scala.collection.mutable.LongMap.empty[Double]
       var cum = 0L
