@@ -9,17 +9,21 @@ import graft.profile.{ProfileConfig, ProfileHtml, ProfileJson, Profiler, TypeInf
   * (`controller/console.py:86-109`: file scan -> ProfileReport -> sink).
   *
   * Usage: ProfileApp <input.(parquet|csv|json|orc)> <output.json>
-  *          [--minimal] [--infer]
+  *          [--minimal] [--sketch] [--infer]
   * --infer runs the value-based type-inference pass (string->bool/
   * numeric/date promotion) before profiling, like the pandas path.
+  * --sketch keeps the full stat set but swaps exact distinct/quantiles
+  * for HLL++/GK sketches — the 100 TB operating mode (--minimal
+  * additionally turns the expensive stats off entirely).
   */
 object ProfileApp {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: ProfileApp <input.(parquet|csv|json|orc)> <output.json> [--minimal] [--infer]")
+      "usage: ProfileApp <input.(parquet|csv|json|orc)> <output.json> [--minimal] [--sketch] [--infer]")
     val input = args(0)
     val output = args(1)
     val minimal = args.contains("--minimal")
+    val sketch = args.contains("--sketch")
     val infer = args.contains("--infer")
     val spearman = args.contains("--spearman")
 
@@ -49,7 +53,10 @@ object ProfileApp {
     }
 
     val cfg0 = if (minimal) ProfileConfig.minimal else ProfileConfig.default
-    val cfg = cfg0.copy(computeSpearman = cfg0.computeSpearman || spearman)
+    val cfg = cfg0.copy(
+      computeSpearman = cfg0.computeSpearman || spearman,
+      exactDistinct = cfg0.exactDistinct && !sketch,
+      exactQuantiles = cfg0.exactQuantiles && !sketch)
     val t0 = System.nanoTime()
     val typed = if (infer) TypeInference.castToInferred(df) else df
     val profile = Profiler.profile(typed, cfg)
