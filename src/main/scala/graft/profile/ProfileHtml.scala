@@ -49,7 +49,9 @@ object ProfileHtml {
       sb ++= row("count", c.common.count.toString)
       sb ++= row("missing", s"${c.common.nMissing} (${pct(c.common.pMissing)})")
       sb ++= row("distinct", c.common.nDistinct.toString)
-      sb ++= row("unique", c.common.nUnique.toString)
+      // nUnique < 0 = not computed (sketch mode): omit instead of "-1"
+      if (c.common.nUnique >= 0)
+        sb ++= row("unique", c.common.nUnique.toString)
       sb ++= "</table>"
       c.typed match {
         case n: NumericStats =>

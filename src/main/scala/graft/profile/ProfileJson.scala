@@ -62,16 +62,21 @@ object ProfileJson {
   }
 
   private def columnJson(c: ColumnProfile): JValue = {
+    // nUnique < 0 is the "not computed" sentinel (sketch mode skips the
+    // exact uniqueness pass, like the reference's spark path) — the
+    // uniqueness fields are omitted rather than reporting -1 / negative
+    // p_unique to a consumer
+    val uniqueKnown = c.common.nUnique >= 0
     val common: JObject =
       ("type" -> c.profileType.name) ~ ("spark_type" -> c.sparkType) ~
         ("n" -> c.common.n) ~ ("count" -> c.common.count) ~
         ("n_missing" -> c.common.nMissing) ~
         ("p_missing" -> jd(c.common.pMissing)) ~
         ("n_distinct" -> c.common.nDistinct) ~
-        ("n_unique" -> c.common.nUnique) ~
+        ("n_unique" -> (if (uniqueKnown) Some(c.common.nUnique) else None)) ~
         ("p_distinct" -> jd(c.common.pDistinct)) ~
-        ("p_unique" -> jd(c.common.pUnique)) ~
-        ("is_unique" -> c.common.isUnique)
+        ("p_unique" -> (if (uniqueKnown) Some(jd(c.common.pUnique)) else None)) ~
+        ("is_unique" -> (if (uniqueKnown) Some(c.common.isUnique) else None))
 
     val typed: JObject = c.typed match {
       case n: NumericStats =>

@@ -84,6 +84,14 @@ class SketchAccuracySpec extends SparkSpec {
     }
   }
 
+  test("sketch-mode report omits uniqueness instead of emitting -1") {
+    val json = ProfileJson.toJson(sketchP)
+    assert(!json.contains("\"n_unique\":-1"))
+    assert(!json.contains("\"n_unique\""), "uniqueness not computed in sketch mode")
+    // exact mode still reports it
+    assert(ProfileJson.toJson(exactP).contains("\"n_unique\""))
+  }
+
   test("sketch mode: n/count identical to exact (only estimates differ)") {
     val exact = exactP.columns.map(c => c.name -> c.common).toMap
     sketchP.columns.foreach { c =>
