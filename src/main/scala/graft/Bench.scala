@@ -23,6 +23,21 @@ object Bench {
     // entry, unpolluted by the bench's own executor threads
     val loadStart = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    // loadavg carries ~1 min of memory of the LAUNCHER's own startup
+    // burst (sbt project load + JIT spin all 32 cores), so it reads 2-3
+    // even on an idle host. The honest external signal: sample
+    // /proc/stat while THIS process sleeps — whatever CPU ticks by is
+    // someone else's.
+    val busyStart: Double = try {
+      def cpu(): (Long, Long) = {
+        val f = scala.io.Source.fromFile("/proc/stat")
+        val v = try f.getLines().next().split("\\s+").drop(1).map(_.toLong)
+        finally f.close()
+        (v.sum, v(3) + v(4)) // total, idle+iowait
+      }
+      val (t0, i0) = cpu(); Thread.sleep(2000); val (t1, i1) = cpu()
+      if (t1 == t0) 0.0 else 1.0 - (i1 - i0).toDouble / (t1 - t0)
+    } catch { case _: Throwable => 0.0 }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -148,21 +163,22 @@ object Bench {
     val load = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val t1 = allPass1.values.sum; val t2 = allPass2.values.sum
-    // self-defense gate: external load at entry, or two passes that
-    // disagree by >2x, mean the artifact is a contended measurement —
-    // re-run on a quiet host before committing it. The loadavg bound is
-    // ABSOLUTE (2.0): on a 32-core host even 2-3 stray busy cores
-    // visibly stretch the serial profile passes, so procs/4 was far too
-    // lax (it passed a run whose headline q00 was 1.6x inflated).
-    // Per-query pass disagreement > 2x on non-trivial queries names the
-    // suspect rows, so a contended artifact indicts itself.
+    // self-defense gate: external CPU at entry (sampled while this
+    // process slept — the launcher's own loadavg burst doesn't count),
+    // two passes disagreeing >2x in total, or >= 3 individually-suspect
+    // queries mean a contended measurement — re-run on a quiet host
+    // before trusting it. busyStart > 8% on a 32-core host = 2-3 stray
+    // busy cores, enough to visibly stretch the serial profile passes
+    // (the old procs/4 loadavg bound passed a run whose headline q00 was
+    // 1.6x inflated). Per-query pass disagreement > 2x on non-trivial
+    // queries names the suspect rows, so the artifact indicts itself.
     val suspects = allOrdered.collect { case n
       if math.min(allPass1(n), allPass2(n)) > 0.5 &&
         math.max(allPass1(n), allPass2(n)) > 2.0 * math.min(allPass1(n), allPass2(n)) => n }
-    val polluted = loadStart > 2.0 ||
+    val polluted = busyStart > 0.08 ||
       math.max(t1, t2) > 2.0 * math.min(t1, t2) || suspects.size >= 3
     val suspectJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","streaming_total":$streamingTotal%.3f,"queries":$qs,"sf":"$sfDir","procs":$procs,"loadavg":$load%.2f,"loadavg_start":$loadStart%.2f,"polluted":$polluted,"suspect_queries":$suspectJson,"pass_totals":[$t1%.3f,$t2%.3f],"queries_passes":$qsBoth}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","streaming_total":$streamingTotal%.3f,"queries":$qs,"sf":"$sfDir","procs":$procs,"loadavg":$load%.2f,"loadavg_start":$loadStart%.2f,"cpu_busy_start":$busyStart%.3f,"polluted":$polluted,"suspect_queries":$suspectJson,"pass_totals":[$t1%.3f,$t2%.3f],"queries_passes":$qsBoth}""")
     spark.stop()
   }
 }
