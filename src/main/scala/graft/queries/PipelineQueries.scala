@@ -84,6 +84,43 @@ object PipelineQueries {
       WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.8
       ORDER BY i, j"""))
 
+  /** Near-dup CLUSTERS: connected components over q22's pair list —
+    * near-dup relations are not transitive, so pairs must collapse into
+    * clusters before one canonical doc per group can be kept. Spark side
+    * is [[Dedup.connectedComponents]] (min-label propagation, hash joins
+    * only); the oracle computes the same min-reachable-id label with a
+    * recursive CTE, so the distributed fixpoint is hash-checked against
+    * a closed-form transitive closure. */
+  val qDedupClusters = Q(
+    "q49_dedup_clusters",
+    (s, dir) => {
+      val pairs = Dedup.jaccardPairs(
+        Dedup.wordShingleTableCached(table(s, dir, "documents"),
+          "doc_id", "text", 5), 0.8)
+      Dedup.connectedComponents(pairs, "i", "j")
+        .select(col("i").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE
+      w AS (SELECT doc_id AS id, $dkWords AS ws FROM documents),
+      sh AS (SELECT id, unnest(list_distinct(
+               [array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws) - 3)])) AS g
+             FROM w WHERE len(ws) >= 5),
+      sz AS (SELECT id, count(*) sz FROM sh GROUP BY id),
+      cm AS (SELECT a.id i, b.id j, count(*) common
+             FROM sh a JOIN sh b ON a.g = b.g AND a.id < b.id GROUP BY 1, 2),
+      p AS (SELECT i, j
+            FROM cm JOIN sz sa ON sa.id = i JOIN sz sb ON sb.id = j
+            WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.8),
+      edges AS (SELECT i AS a, j AS b FROM p UNION SELECT j, i FROM p),
+      reach(n, m) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
+      )
+      SELECT n AS doc_id, min(m) AS component
+      FROM reach GROUP BY n ORDER BY doc_id"""))
+
   /** MinHash signatures (16 seeded md5 min-hashes per doc, word-3-gram
     * shingles). */
   val qMinhashSig = Q(
@@ -641,7 +678,8 @@ object PipelineQueries {
       FROM documents ORDER BY id"""))
 
   val all: Seq[Q] = Seq(
-    qDedupExact, qNgramJaccard, qMinhashSig, qMinhashLsh, qSimhash,
+    qDedupExact, qNgramJaccard, qDedupClusters, qMinhashSig, qMinhashLsh,
+    qSimhash,
     qEmbedTopK, qEmbedTopKIvf, qEmbedTopKIvfPersisted, qEmbedNearDup,
     qLangId, qTextQuality,
     qTokenCounts, qFingerprint, qRepetitionFilter, qPiiScan,

@@ -20,6 +20,24 @@ class OpsSpec extends SparkSpec {
     assert(out.toSeq == Seq(0L, 1L, 2L, 4L))
   }
 
+  test("connectedComponents: chains collapse, clusters labeled by min id") {
+    // component {1,2,3,4} only via a CHAIN (diameter 3 — needs multiple
+    // propagation iterations), component {10,11}, and 2-3 reversed to
+    // check symmetrization; nodes not in any pair don't appear
+    val pairs = Seq((1L, 2L), (3L, 2L), (3L, 4L), (10L, 11L)).toDF("i", "j")
+    val cc = Dedup.connectedComponents(pairs, "i", "j")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    // canonical selection: keep doc_id == component -> one survivor/group
+    assert(cc.count { case (n, c) => n == c } == 2)
+  }
+
+  test("connectedComponents on empty pair list is empty, no iteration blowup") {
+    val empty = Seq.empty[(Long, Long)].toDF("i", "j")
+    assert(Dedup.connectedComponents(empty, "i", "j").collect().isEmpty)
+  }
+
   test("ngramJaccardPairs finds the exact and near duplicate") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
