@@ -28,3 +28,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// The full suite runs 20+ Spark-heavy specs in ONE forked JVM (shared
+// session); late suites occasionally flaked under 8g heap pressure —
+// give tests headroom (last -Xmx wins).
+Test / javaOptions += "-Xmx12g"

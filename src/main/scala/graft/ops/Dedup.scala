@@ -386,4 +386,19 @@ object Dedup {
     edges.unpersist(false)
     labels.select(col("n").as(aCol), col("lbl").as("component"))
   }
+
+  /** End-to-end near-dup dedup: collapse `pairs` into clusters
+    * ([[connectedComponents]]) and keep ONE canonical row per cluster —
+    * the one whose id equals the component label (= min id, deterministic)
+    * — plus every row not in any pair. The left join broadcasts nothing
+    * and shuffles on the id: at 100 TB the cluster table is tiny next to
+    * the corpus (only docs with a near-dup appear in it). */
+  def dedupByNearDupClusters(docs: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cc = connectedComponents(pairs, aCol, bCol)
+      .select(col(aCol).as("__ccid"), col("component").as("__component"))
+    docs.join(cc, docs(idCol) === col("__ccid"), "left")
+      .where(col("__component").isNull || col("__component") === docs(idCol))
+      .drop("__ccid", "__component")
+  }
 }

@@ -121,6 +121,42 @@ object PipelineQueries {
       SELECT n AS doc_id, min(m) AS component
       FROM reach GROUP BY n ORDER BY doc_id"""))
 
+  /** Canonical selection on top of q49's clusters: the corpus with every
+    * near-dup cluster collapsed to its min-id representative — the final
+    * shape a training-data dedup actually ships. */
+  val qDedupCanonical = Q(
+    "q50_dedup_canonical",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(
+        Dedup.wordShingleTableCached(docs, "doc_id", "text", 5), 0.8)
+      Dedup.dedupByNearDupClusters(docs, "doc_id", pairs, "i", "j")
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE
+      w AS (SELECT doc_id AS id, $dkWords AS ws FROM documents),
+      sh AS (SELECT id, unnest(list_distinct(
+               [array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws) - 3)])) AS g
+             FROM w WHERE len(ws) >= 5),
+      sz AS (SELECT id, count(*) sz FROM sh GROUP BY id),
+      cm AS (SELECT a.id i, b.id j, count(*) common
+             FROM sh a JOIN sh b ON a.g = b.g AND a.id < b.id GROUP BY 1, 2),
+      p AS (SELECT i, j
+            FROM cm JOIN sz sa ON sa.id = i JOIN sz sb ON sb.id = j
+            WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.8),
+      edges AS (SELECT i AS a, j AS b FROM p UNION SELECT j, i FROM p),
+      reach(n, m) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
+      ),
+      comp AS (SELECT n, min(m) AS component FROM reach GROUP BY n)
+      SELECT d.doc_id, d.source, d.lang
+      FROM documents d LEFT JOIN comp c ON c.n = d.doc_id
+      WHERE c.component IS NULL OR c.component = d.doc_id
+      ORDER BY d.doc_id"""))
+
   /** MinHash signatures (16 seeded md5 min-hashes per doc, word-3-gram
     * shingles). */
   val qMinhashSig = Q(
@@ -678,8 +714,8 @@ object PipelineQueries {
       FROM documents ORDER BY id"""))
 
   val all: Seq[Q] = Seq(
-    qDedupExact, qNgramJaccard, qDedupClusters, qMinhashSig, qMinhashLsh,
-    qSimhash,
+    qDedupExact, qNgramJaccard, qDedupClusters, qDedupCanonical,
+    qMinhashSig, qMinhashLsh, qSimhash,
     qEmbedTopK, qEmbedTopKIvf, qEmbedTopKIvfPersisted, qEmbedNearDup,
     qLangId, qTextQuality,
     qTokenCounts, qFingerprint, qRepetitionFilter, qPiiScan,

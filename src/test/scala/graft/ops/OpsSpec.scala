@@ -38,6 +38,15 @@ class OpsSpec extends SparkSpec {
     assert(Dedup.connectedComponents(empty, "i", "j").collect().isEmpty)
   }
 
+  test("dedupByNearDupClusters keeps min-id per cluster + untouched rows") {
+    val corpus = (0L to 6L).map(i => (i, s"body$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 2L), (5L, 6L)).toDF("i", "j")
+    val kept = Dedup.dedupByNearDupClusters(corpus, "doc_id", pairs, "i", "j")
+      .select("doc_id").as[Long].collect().sorted
+    // cluster {1,2,3} -> keep 1; {5,6} -> keep 5; 0 and 4 untouched
+    assert(kept.toSeq == Seq(0L, 1L, 4L, 5L))
+  }
+
   test("ngramJaccardPairs finds the exact and near duplicate") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
