@@ -46,6 +46,24 @@ object Sampling {
       .orderBy(hash64(tieKey.cast("string"), 1))
       .limit(cap)
 
+  /** Deterministic per-stratum hash sampling — the training-mix builder:
+    * each stratum (source, language, quality bucket) keeps its own
+    * percentage of rows, reproducible across runs and engines (same
+    * md5-derived hash family as [[hashSample]], so the SAME rows
+    * survive wherever the pipeline reruns). Strata absent from `rates`
+    * keep `defaultPct`. Map-only — the rate lookup is a constant CASE
+    * expression, no shuffle, no per-stratum pass: one filter scans the
+    * corpus once at any scale. */
+  def stratifiedHashSample(df: DataFrame, keyCol: String,
+      stratumCol: String, rates: Map[String, Int],
+      defaultPct: Int): DataFrame = {
+    val pctCol = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
+      case (acc, (stratum, pct)) =>
+        when(col(stratumCol) === stratum, lit(pct)).otherwise(acc)
+    }
+    df.where(pmod(hash64(col(keyCol).cast("string"), 0), lit(100)) < pctCol)
+  }
+
   /** Distributed byte-size estimate: fixed widths for fixed-size types +
     * octet_length for strings/binary (replaces the reference's
     * cube-root-sample -> toPandas memory probe with one aggregate). */

@@ -256,6 +256,22 @@ object ExtraQueries {
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY 1 ORDER BY o_orderpriority"""))
 
+  /** Stratified deterministic sampling — per-language rates over the
+    * documents corpus, the shape a training-mix builder runs (upsample
+    * en, downsample the tail). Engine-portable hash: the oracle keeps
+    * the exact same rows. */
+  val qStratifiedSample = Q(
+    "q51_stratified_sample",
+    (s, dir) =>
+      Sampling.stratifiedHashSample(table(s, dir, "documents"),
+          "doc_id", "lang", Map("en" -> 50, "de" -> 10), defaultPct = 5)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, lang, source FROM documents
+      WHERE ('0x'||substr(md5('0:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 100 <
+        CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 10 ELSE 5 END
+      ORDER BY doc_id"""))
+
   /** Shared body of the file-source round-trip queries: write the
     * lineitem table out in `format`, read it back through the schema'd
     * source, and aggregate with ORDER-INDEPENDENT, exactly-representable
@@ -311,5 +327,5 @@ object ExtraQueries {
   val all: Seq[Q] = Seq(
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qMapValueCounts,
-    qSaltedJoin, qCsvScan, qJsonlScan)
+    qSaltedJoin, qCsvScan, qJsonlScan, qStratifiedSample)
 }

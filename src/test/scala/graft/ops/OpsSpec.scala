@@ -38,6 +38,31 @@ class OpsSpec extends SparkSpec {
     assert(Dedup.connectedComponents(empty, "i", "j").collect().isEmpty)
   }
 
+  test("stratifiedHashSample: per-stratum rates, deterministic, subset of full") {
+    val corpus = (0L until 2000L).map(i =>
+      (i, if (i % 4 == 0) "en" else if (i % 4 == 1) "de" else "fr"))
+      .toDF("id", "lang")
+    val s1 = Sampling.stratifiedHashSample(corpus, "id", "lang",
+      Map("en" -> 50, "de" -> 10), defaultPct = 0)
+    val rows = s1.collect().map(r => (r.getLong(0), r.getString(1)))
+    // defaultPct=0: no stratum outside the map survives
+    assert(rows.forall(_._2 != "fr"))
+    // rates land near nominal (hash is uniform; 500 candidates/stratum)
+    val en = rows.count(_._2 == "en"); val de = rows.count(_._2 == "de")
+    assert(en > 200 && en < 300, s"en kept $en of 500 at 50%")
+    assert(de > 20 && de < 80, s"de kept $de of 500 at 10%")
+    // deterministic: same rows on re-run
+    val again = Sampling.stratifiedHashSample(corpus, "id", "lang",
+      Map("en" -> 50, "de" -> 10), defaultPct = 0)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSet == again.toSet)
+    // consistent with the unstratified sampler: a stratum at pct p keeps
+    // EXACTLY the rows plain hashSample(p) keeps (same hash family)
+    val plain = Sampling.hashSample(corpus.where($"lang" === "en"), "id", 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.filter(_._2 == "en").map(_._1).toSet == plain)
+  }
+
   test("dedupByNearDupClusters keeps min-id per cluster + untouched rows") {
     val corpus = (0L to 6L).map(i => (i, s"body$i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (3L, 2L), (5L, 6L)).toDF("i", "j")
