@@ -387,6 +387,27 @@ object Dedup {
     labels.select(col("n").as(aCol), col("lbl").as("component"))
   }
 
+  /** Benchmark decontamination: (corpus doc, benchmark doc) pairs that
+    * share at least `minShared` word n-grams — the standard check that
+    * training data does not contain eval-set text (long n-grams, e.g.
+    * n=13 in common practice; any shared one is near-verbatim overlap).
+    * One hash join on the shingle, group by pair: the benchmark side is
+    * tiny next to the corpus, so its shingle table broadcast-joins, and
+    * the corpus is scanned once. Returns (corpusId, benchId, n_shared). */
+  def contaminationPairs(
+      corpus: DataFrame, corpusIdCol: String,
+      benchmark: DataFrame, benchIdCol: String,
+      textCol: String, n: Int, minShared: Int = 1): DataFrame = {
+    val cs = wordShingleTable(corpus, corpusIdCol, textCol, n)
+      .select(col("id").as("corpus_id"), col("g"))
+    val bs = wordShingleTable(benchmark, benchIdCol, textCol, n)
+      .select(col("id").as("bench_id"), col("g"))
+    cs.join(broadcast(bs), "g")
+      .groupBy("corpus_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** End-to-end near-dup dedup: collapse `pairs` into clusters
     * ([[connectedComponents]]) and keep ONE canonical row per cluster —
     * the one whose id equals the component label (= min id, deterministic)

@@ -157,6 +157,30 @@ object PipelineQueries {
       WHERE c.component IS NULL OR c.component = d.doc_id
       ORDER BY d.doc_id"""))
 
+  /** Benchmark decontamination: corpus docs sharing word-5-grams with a
+    * held-out "benchmark" slice (source src0 stands in for an eval set).
+    * The real-world check that training data contains no eval text. */
+  val qDecontamination = Q(
+    "q52_decontamination",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      Dedup.contaminationPairs(
+          docs.where(col("source") =!= "src0"), "doc_id",
+          docs.where(col("source") === "src0"), "doc_id",
+          "text", 5, minShared = 3)
+        .orderBy("corpus_id", "bench_id")
+    },
+    Some(s"""WITH w AS (SELECT doc_id AS id, source, $dkWords AS ws FROM documents),
+      sh AS (SELECT id, source, unnest(list_distinct(
+               [array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws) - 3)])) AS g
+             FROM w WHERE len(ws) >= 5),
+      c AS (SELECT id, g FROM sh WHERE source != 'src0'),
+      b AS (SELECT id, g FROM sh WHERE source = 'src0')
+      SELECT c.id AS corpus_id, b.id AS bench_id, count(*) AS n_shared
+      FROM c JOIN b ON c.g = b.g
+      GROUP BY 1, 2 HAVING count(*) >= 3
+      ORDER BY corpus_id, bench_id"""))
+
   /** MinHash signatures (16 seeded md5 min-hashes per doc, word-3-gram
     * shingles). */
   val qMinhashSig = Q(
@@ -715,7 +739,7 @@ object PipelineQueries {
 
   val all: Seq[Q] = Seq(
     qDedupExact, qNgramJaccard, qDedupClusters, qDedupCanonical,
-    qMinhashSig, qMinhashLsh, qSimhash,
+    qDecontamination, qMinhashSig, qMinhashLsh, qSimhash,
     qEmbedTopK, qEmbedTopKIvf, qEmbedTopKIvfPersisted, qEmbedNearDup,
     qLangId, qTextQuality,
     qTokenCounts, qFingerprint, qRepetitionFilter, qPiiScan,

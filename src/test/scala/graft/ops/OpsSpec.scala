@@ -38,6 +38,24 @@ class OpsSpec extends SparkSpec {
     assert(Dedup.connectedComponents(empty, "i", "j").collect().isEmpty)
   }
 
+  test("contaminationPairs finds planted eval overlap, benchmark broadcast") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "one two three four five six seven eight"),
+      (2L, "totally unrelated words that overlap with nothing else at all")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "xx one two three four five six seven yy") // 5-gram overlap with 1
+    ).toDF("bench_id", "text")
+    val out = Dedup.contaminationPairs(corpus, "doc_id", bench, "bench_id",
+      "text", 5, minShared = 1)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSet == Set((1L, 100L)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark side should broadcast:\n$plan")
+  }
+
   test("stratifiedHashSample: per-stratum rates, deterministic, subset of full") {
     val corpus = (0L until 2000L).map(i =>
       (i, if (i % 4 == 0) "en" else if (i % 4 == 1) "de" else "fr"))
