@@ -248,4 +248,34 @@ object TextAnalysis {
       .withColumn("quality_score", qualityScore(c))
       .withColumn("fingerprint", fingerprint(c))
   }
+
+  /** Context-window chunking: split each document into fixed-size word
+    * windows with `overlap` words shared between consecutive chunks —
+    * the splitting step before tokenization/sequence packing. Chunk
+    * starts advance by `chunkSize - overlap` while `start + overlap`
+    * stays inside the document, so every chunk carries at least
+    * `overlap + 1` words and at least one word no earlier chunk has
+    * (no chunk is a strict subset of its predecessor). Entirely
+    * codegen'd expressions (explode + slice + array_join, no lambda
+    * HOFs): one narrow map-side pass, rows fan out by chunks-per-doc,
+    * no shuffle — at 100 TB this is a pure map stage.
+    * Output: (idCol, chunk_id, n_words, chunk). */
+  def chunkWords(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      "need 0 <= overlap < chunkSize")
+    val stride = chunkSize - overlap
+    df.where(length(trim(col(textCol))) > 0)
+      .select(col(idCol),
+        split(trim(regexp_replace(col(textCol), "\\s+", " ")), " ").as("ws"))
+      .select(col(idCol), col("ws"),
+        explode(sequence(lit(0),
+          greatest(size(col("ws")) - overlap - 1, lit(0)),
+          lit(stride))).as("start"))
+      .select(col(idCol),
+        (col("start") / stride).cast("int").as("chunk_id"),
+        least(lit(chunkSize), size(col("ws")) - col("start")).as("n_words"),
+        array_join(slice(col("ws"), col("start") + 1, lit(chunkSize)), " ")
+          .as("chunk"))
+  }
 }

@@ -157,6 +157,27 @@ object PipelineQueries {
       WHERE c.component IS NULL OR c.component = d.doc_id
       ORDER BY d.doc_id"""))
 
+  /** Context-window chunking: 50-word windows, 10-word overlap — the
+    * split-before-tokenization step of sequence packing. Pure map stage
+    * (explode + slice, codegen'd, no shuffle). */
+  val qChunking = Q(
+    "q53_chunk_windows",
+    (s, dir) =>
+      TextAnalysis.chunkWords(table(s, dir, "documents"),
+          "doc_id", "text", chunkSize = 50, overlap = 10)
+        .orderBy("doc_id", "chunk_id"),
+    Some("""WITH w AS (SELECT doc_id,
+               string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS ws
+             FROM documents WHERE len(trim(text)) > 0),
+      st AS (SELECT doc_id, ws,
+               unnest(generate_series(0, greatest(len(ws) - 10 - 1, 0), 40)) AS start
+             FROM w)
+      SELECT doc_id,
+             CAST(start // 40 AS INT) AS chunk_id,
+             CAST(least(50, len(ws) - start) AS INT) AS n_words,
+             array_to_string(ws[start+1 : start+50], ' ') AS chunk
+      FROM st ORDER BY doc_id, chunk_id"""))
+
   /** Benchmark decontamination: corpus docs sharing word-5-grams with a
     * held-out "benchmark" slice (source src0 stands in for an eval set).
     * The real-world check that training data contains no eval text. */
@@ -739,7 +760,7 @@ object PipelineQueries {
 
   val all: Seq[Q] = Seq(
     qDedupExact, qNgramJaccard, qDedupClusters, qDedupCanonical,
-    qDecontamination, qMinhashSig, qMinhashLsh, qSimhash,
+    qDecontamination, qChunking, qMinhashSig, qMinhashLsh, qSimhash,
     qEmbedTopK, qEmbedTopKIvf, qEmbedTopKIvfPersisted, qEmbedNearDup,
     qLangId, qTextQuality,
     qTokenCounts, qFingerprint, qRepetitionFilter, qPiiScan,

@@ -270,6 +270,30 @@ class OpsSpec extends SparkSpec {
     assert(out(2L) == "und")
   }
 
+  test("chunkWords: overlap invariants, min-new-words bound, empty docs dropped") {
+    val docs2 = Seq(
+      (1L, (1 to 25).map(i => s"w$i").mkString(" ")), // 25 words
+      (2L, "a b c"),                                   // shorter than chunk
+      (3L, "   ")                                      // whitespace-only
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkWords(docs2, "doc_id", "text",
+        chunkSize = 10, overlap = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(!out.exists(_._1 == 3L)) // empty doc yields no chunks
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, 3, "a b c")))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // stride 7: starts 0,7,14,21 (start+overlap < len) — every chunk has
+    // >= overlap+1 words and contributes >= 1 word no earlier chunk has
+    assert(d1.map(_._2).toSeq == Seq(0, 1, 2, 3))
+    assert(d1.map(_._3).toSeq == Seq(10, 10, 10, 4))
+    // consecutive chunks share exactly `overlap` words
+    val c0 = d1(0)._4.split(" "); val c1 = d1(1)._4.split(" ")
+    assert(c0.takeRight(3).sameElements(c1.take(3)))
+    // every word appears in some chunk (coverage)
+    val covered = d1.flatMap(_._4.split(" ")).toSet
+    assert((1 to 25).forall(i => covered.contains(s"w$i")))
+  }
+
   test("wordShingleTableCached memoizes per (input, n) and stays correct") {
     val first = Dedup.wordShingleTableCached(docs, "doc_id", "text", 3)
     val second = Dedup.wordShingleTableCached(docs, "doc_id", "text", 3)
