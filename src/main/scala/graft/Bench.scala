@@ -28,6 +28,7 @@ object Bench {
     // even on an idle host. The honest external signal: sample
     // /proc/stat while THIS process sleeps — whatever CPU ticks by is
     // someone else's.
+    // -1 sentinel = sample unavailable -> the gate falls back to loadavg
     val busyStart: Double = try {
       def cpu(): (Long, Long) = {
         val f = scala.io.Source.fromFile("/proc/stat")
@@ -37,7 +38,7 @@ object Bench {
       }
       val (t0, i0) = cpu(); Thread.sleep(2000); val (t1, i1) = cpu()
       if (t1 == t0) 0.0 else 1.0 - (i1 - i0).toDouble / (t1 - t0)
-    } catch { case _: Throwable => 0.0 }
+    } catch { case _: Throwable => -1.0 }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -59,11 +60,15 @@ object Bench {
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }
 
+    // a failed query must NOT pass off its time-to-failure as a timing:
+    // it is recorded by name and forces polluted=true in the artifact
+    val failedQueries = scala.collection.mutable.LinkedHashSet[String]()
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch {
         case e: Throwable =>
+          failedQueries += name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       (System.nanoTime() - t0) / 1e9
@@ -91,13 +96,18 @@ object Bench {
       import org.apache.spark.sql.streaming.OutputMode
       implicit val sqlCtx = spark.sqlContext
       import spark.implicits._
-      def timeIt(body: => Unit): Double = {
+      def timeIt(name: String)(body: => Unit): Double = {
         val t0 = System.nanoTime()
         try body catch { case e: Throwable =>
-          System.err.println(s"[bench] streaming failed: ${e.getMessage}") }
+          failedQueries += name
+          System.err.println(s"[bench] $name failed: ${e.getMessage}") }
         (System.nanoTime() - t0) / 1e9
       }
-      val profileSec = timeIt {
+      def deleteRecursively(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(deleteRecursively))
+        f.delete(); ()
+      }
+      val profileSec = timeIt("s01_streaming_profile") {
         val mem = MemoryStream[(java.sql.Timestamp, Double, String)]
         val q = graft.streaming.StreamingProfiler.windowedProfile(
             mem.toDF.toDF("ts", "v", "s"),
@@ -114,7 +124,7 @@ object Bench {
         }
         q.stop()
       }
-      val dedupSec = timeIt {
+      val dedupSec = timeIt("s02_streaming_dedup") {
         val mem = MemoryStream[String]
         val ckpt = java.nio.file.Files
           .createTempDirectory(s"graft-bench-dedup-$tag").toString
@@ -133,6 +143,7 @@ object Bench {
           q.processAllAvailable()
         }
         q.stop()
+        deleteRecursively(new java.io.File(ckpt)) // state-store tmp files
       }
       Map("s01_streaming_profile" -> profileSec,
         "s02_streaming_dedup" -> dedupSec)
@@ -175,10 +186,14 @@ object Bench {
     val suspects = allOrdered.collect { case n
       if math.min(allPass1(n), allPass2(n)) > 0.5 &&
         math.max(allPass1(n), allPass2(n)) > 2.0 * math.min(allPass1(n), allPass2(n)) => n }
-    val polluted = busyStart > 0.08 ||
+    val externalLoad =
+      if (busyStart >= 0) busyStart > 0.08
+      else loadStart > procs / 4.0 // /proc/stat unreadable: loadavg fallback
+    val polluted = externalLoad || failedQueries.nonEmpty ||
       math.max(t1, t2) > 2.0 * math.min(t1, t2) || suspects.size >= 3
     val suspectJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","streaming_total":$streamingTotal%.3f,"queries":$qs,"sf":"$sfDir","procs":$procs,"loadavg":$load%.2f,"loadavg_start":$loadStart%.2f,"cpu_busy_start":$busyStart%.3f,"polluted":$polluted,"suspect_queries":$suspectJson,"pass_totals":[$t1%.3f,$t2%.3f],"queries_passes":$qsBoth}""")
+    val failedJson = failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","streaming_total":$streamingTotal%.3f,"queries":$qs,"sf":"$sfDir","procs":$procs,"loadavg":$load%.2f,"loadavg_start":$loadStart%.2f,"cpu_busy_start":$busyStart%.3f,"polluted":$polluted,"suspect_queries":$suspectJson,"failed_queries":$failedJson,"pass_totals":[$t1%.3f,$t2%.3f],"queries_passes":$qsBoth}""")
     spark.stop()
   }
 }

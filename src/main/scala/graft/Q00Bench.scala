@@ -24,7 +24,11 @@ object Q00Bench {
       .groupBy("l_returnflag").count()
       .write.format("noop").mode("overwrite").save()
     val names = sys.env.getOrElse("SPARK_GRAFT_Q00_QUERIES",
-      "q00_profile_lineitem").split(",").toSeq
+      "q00_profile_lineitem").split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+    // fail fast BEFORE the session/warmup cost on a typo'd name
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    require(names.nonEmpty && unknown.isEmpty,
+      s"unknown queries $unknown; valid: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
     names.foreach { name =>
       val q = SparkEntry.queries(name)
       (1 to runs).foreach { i =>

@@ -358,10 +358,17 @@ object Dedup {
     * the changed-label COUNT — nothing scales with graph size on the
     * driver, so the same loop runs at 100 TB.
     *
+    * Convergence is REQUIRED: if labels are still changing after
+    * `maxIter` rounds (a component with diameter > maxIter — e.g. a long
+    * chain of pairwise near-dups), the method throws rather than return
+    * silently SPLIT components that would leave several "canonical"
+    * survivors in one true cluster. Converged graphs exit early, so a
+    * generous default costs nothing.
+    *
     * Returns (idCol, component): one row per node that appears in
     * `pairs`, component = min id reachable. Ids must be orderable. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 50): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val e0 = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
     val edges = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
@@ -384,6 +391,11 @@ object Dedup {
       iter += 1
     }
     edges.unpersist(false)
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations " +
+          s"($changed labels still changing) — a component's diameter " +
+          "exceeds maxIter; raise it and re-run")
     labels.select(col("n").as(aCol), col("lbl").as("component"))
   }
 

@@ -27,8 +27,14 @@ object Sampling {
     * [0, pct) of 100 buckets. Unlike df.sample's seeded PRNG this is
     * engine-portable, stable under repartitioning, and consistent across
     * runs — the right sampling primitive for reproducible pipelines. */
+  /** The shared percent-bucket: one hash family for every sampler, so a
+    * stratum sampled at p keeps exactly the rows the plain sampler at p
+    * keeps (OpsSpec pins that contract). */
+  private def hashBucket(keyCol: String) =
+    pmod(hash64(col(keyCol).cast("string"), 0), lit(100))
+
   def hashSample(df: DataFrame, keyCol: String, pct: Int): DataFrame =
-    df.where(pmod(hash64(col(keyCol).cast("string"), 0), lit(100)) < pct)
+    df.where(hashBucket(keyCol) < pct)
 
   /** [[hashSample]] additionally capped at an absolute row count. The cap
     * is taken in deterministic hash order of `tieKey` (pseudorandom, so
@@ -61,7 +67,7 @@ object Sampling {
       case (acc, (stratum, pct)) =>
         when(col(stratumCol) === stratum, lit(pct)).otherwise(acc)
     }
-    df.where(pmod(hash64(col(keyCol).cast("string"), 0), lit(100)) < pctCol)
+    df.where(hashBucket(keyCol) < pctCol)
   }
 
   /** Distributed byte-size estimate: fixed widths for fixed-size types +

@@ -284,8 +284,11 @@ object ExtraQueries {
   private def sourceRoundTrip(format: String)(
       s: org.apache.spark.sql.SparkSession, dir: String) = {
     val src = table(s, dir, "lineitem")
+    // PID-scoped: two concurrent runs over the same data dir must not
+    // overwrite each other's round-trip files mid-read
     val path = System.getProperty("java.io.tmpdir") +
-      s"/graft_${format}_${Integer.toHexString(dir.hashCode)}"
+      s"/graft_${format}_${Integer.toHexString(dir.hashCode)}_" +
+      ProcessHandle.current.pid
     val w = src.write.mode("overwrite")
     (if (format == "csv") w.option("header", "true") else w).format(format)
       .save(path)

@@ -380,8 +380,10 @@ object PipelineQueries {
     (s, dir) => {
       val e = table(s, dir, "embeddings")
       val idx = IvfIndex.buildCached(e, "vec_id", "embedding", nlist = 16)
+      // PID-scoped: concurrent runs must not clobber each other's layout
       val path = System.getProperty("java.io.tmpdir") +
-        s"/graft_ivf_${Integer.toHexString(dir.hashCode)}"
+        s"/graft_ivf_${Integer.toHexString(dir.hashCode)}_" +
+        ProcessHandle.current.pid
       IvfIndex.write(idx, path)
       val loaded = IvfIndex.load(s, path)
       IvfIndex.search(loaded, e.where(col("vec_id") < 5),

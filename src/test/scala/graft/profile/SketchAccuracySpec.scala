@@ -24,9 +24,9 @@ class SketchAccuracySpec extends SparkSpec {
   private lazy val sketchP = Profiler.profile(df, cfg(exact = false))
 
   test("HLL++ distinct counts within 3 rsd of exact on every column") {
-    // the profiler requests rsd=0.01 (ProfileConfig.distinctRsd); a
-    // 3-sigma bound on the fixed input is 3% — deterministic for a
-    // given corpus, so this cannot flake
+    // the bound derives from whatever rsd the profiler requests
+    // (ProfileConfig.distinctRsd, 0.02 at the time of writing -> 6%);
+    // deterministic for a given corpus, so this cannot flake
     val exact = exactP.columns.map(c => c.name -> c.common.nDistinct).toMap
     sketchP.columns.foreach { c =>
       val e = exact(c.name)
