@@ -28,6 +28,60 @@ object Dedup {
   def normalizedText(c: Column): Column =
     trim(regexp_replace(lower(c), "\\s+", " "))
 
+  /** CCNet-style line-level boilerplate removal (Wenzek et al.,
+    * arXiv:1911.00359 §4.1; also the Gopher/RefinedWeb "repeated lines
+    * across documents" filter): drop every line that occurs in at least
+    * `minDocs` DISTINCT documents corpus-wide (navigation chrome, cookie
+    * banners, boilerplate headers), then reassemble each document from
+    * its surviving lines in original order.
+    *
+    * Output: one row per input document —
+    * `(idCol, cleaned, n_lines, n_kept, n_removed)` — documents whose
+    * every line was boilerplate survive with `cleaned = ""`.
+    *
+    * Scale design (100 TB): three shuffles, all on uniformly-distributed
+    * keys — (1) the distinct (doc, line) projection and (2) the
+    * document-frequency count both hash-partition by line; Catalyst
+    * plans map-side partial aggregation for both, so only one
+    * (line, partial count) row per partition-local distinct line reaches
+    * the wire. (3) The reassembly groups by document id with a
+    * per-document `collect_list` bounded by document size. The frequent
+    * set joins back as a shuffle join on the SAME line key (no driver
+    * materialization — the boilerplate set can be arbitrarily large). */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Int, sep: String = "\n"): DataFrame = {
+    // limit -1: keep trailing empty lines so n_lines matches the text
+    // (Spark's 2-arg split drops them; DuckDB/python splitters do not).
+    val lines = df
+      .select(col(idCol).as("__id"),
+        posexplode(split(coalesce(col(textCol), lit("")), sep, -1))
+          .as(Seq("__pos", "__line")))
+    val frequent = lines.select("__id", "__line").distinct()
+      .groupBy("__line").agg(count(lit(1)).as("__df"))
+      .where(col("__df") >= minDocs)
+      .select("__line")
+    val kept = lines.join(frequent, Seq("__line"), "left_anti")
+      .groupBy("__id")
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__pos").as("p"),
+              col("__line").as("l")))),
+            x => x.getField("l")),
+          sep).as("cleaned"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol).as("__id"),
+        size(split(coalesce(col(textCol), lit("")), sep, -1)).cast("long")
+          .as("n_lines"))
+      .join(kept, Seq("__id"), "left")
+      .select(
+        col("__id").as(idCol),
+        coalesce(col("cleaned"), lit("")).as("cleaned"),
+        col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Distinct character k-shingles per document: (id, shingle) rows.
     * Documents shorter than k yield no rows. */
   def shingleTable(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =

@@ -760,9 +760,61 @@ object PipelineQueries {
         CAST(doc_id % 640 + 1 AS INT) AS width
       FROM documents ORDER BY id"""))
 
+  /** CCNet-style line-level boilerplate removal
+    * ([[graft.ops.Dedup.lineDedup]]): the documents table is single-line,
+    * so the query plants a deterministic multi-line corpus around each
+    * text — a per-source header, a per-lang line, and (conditionally) a
+    * unique tail line and a corpus-wide footer — then removes every line
+    * occurring in >= 5 distinct documents. Headers (25+ docs/source),
+    * lang lines, and the footer are boilerplate; the text and tail lines
+    * are unique and must survive IN ORDER, so the oracle hash proves
+    * both the document-frequency cut and the positional reassembly. */
+  val qLineDedup = Q(
+    "q54_line_dedup",
+    (s, dir) => {
+      val planted = table(s, dir, "documents").select(
+        col("doc_id"),
+        concat_ws("\n",
+          concat(lit("header "), col("source")),
+          col("text"),
+          concat(lit("lang "), col("lang")),
+          when(col("doc_id") % 3 =!= 0, concat(col("text"), lit(" tail"))),
+          when(col("doc_id") % 2 === 0, lit("footer common"))).as("text"))
+      Dedup.lineDedup(planted, "doc_id", "text", minDocs = 5)
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          col("n_removed"), col("cleaned"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (
+        SELECT doc_id, concat_ws(chr(10),
+          'header ' || source, text, 'lang ' || lang,
+          CASE WHEN doc_id % 3 <> 0 THEN text || ' tail' END,
+          CASE WHEN doc_id % 2 = 0 THEN 'footer common' END) AS text
+        FROM documents),
+      l AS (
+        SELECT doc_id,
+          unnest(string_split(text, chr(10))) AS line,
+          generate_subscripts(string_split(text, chr(10)), 1) AS pos
+        FROM d),
+      freq AS (
+        SELECT line FROM (SELECT DISTINCT doc_id, line FROM l)
+        GROUP BY line HAVING count(*) >= 5),
+      kept AS (
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS cleaned,
+          count(*) AS n_kept
+        FROM l WHERE line NOT IN (SELECT line FROM freq)
+        GROUP BY doc_id)
+      SELECT d.doc_id,
+        CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines,
+        CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+        CAST(len(string_split(d.text, chr(10))) - coalesce(k.n_kept, 0)
+          AS BIGINT) AS n_removed,
+        coalesce(k.cleaned, '') AS cleaned
+      FROM d LEFT JOIN kept k USING (doc_id) ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qNgramJaccard, qDedupClusters, qDedupCanonical,
-    qDecontamination, qChunking, qMinhashSig, qMinhashLsh, qSimhash,
+    qDecontamination, qChunking, qLineDedup, qMinhashSig, qMinhashLsh, qSimhash,
     qEmbedTopK, qEmbedTopKIvf, qEmbedTopKIvfPersisted, qEmbedNearDup,
     qLangId, qTextQuality,
     qTokenCounts, qFingerprint, qRepetitionFilter, qPiiScan,

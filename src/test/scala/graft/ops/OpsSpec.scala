@@ -20,6 +20,39 @@ class OpsSpec extends SparkSpec {
     assert(out.toSeq == Seq(0L, 1L, 2L, 4L))
   }
 
+  test("lineDedup removes corpus-frequent lines, preserves order, keeps empty docs") {
+    // "boiler" appears in 3 distinct docs (doc 3 has it TWICE — document
+    // frequency must count it once); "unique N" lines appear in one doc
+    val corpus = Seq(
+      (0L, "unique a\nboiler\nunique b"),
+      (1L, "boiler\nunique c"),
+      (2L, "unique d"),
+      (3L, "boiler\nboiler"), // every line boilerplate -> cleaned = ""
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(corpus, "doc_id", "text", minDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(0L) == (("unique a\nunique b", 3L, 2L, 1L))) // order kept
+    assert(out(1L) == (("unique c", 2L, 1L, 1L)))
+    assert(out(2L) == (("unique d", 1L, 1L, 0L)))
+    assert(out(3L) == (("", 2L, 0L, 2L))) // fully-boilerplate doc survives
+    assert(out(4L) == (("", 1L, 1L, 0L))) // null text = one empty line, kept
+  }
+
+  test("lineDedup document frequency is distinct-doc based") {
+    // "dup" repeats 5x inside ONE doc: within-doc repeats must not push
+    // it over a minDocs=2 threshold
+    val corpus = Seq(
+      (0L, "dup\ndup\ndup\ndup\ndup"),
+      (1L, "other line")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(corpus, "doc_id", "text", minDocs = 2)
+      .where(col("doc_id") === 0L).head()
+    assert(out.getString(1) == "dup\ndup\ndup\ndup\ndup")
+    assert(out.getLong(4) == 0L)
+  }
+
   test("connectedComponents: chains collapse, clusters labeled by min id") {
     // component {1,2,3,4} only via a CHAIN (diameter 3 — needs multiple
     // propagation iterations), component {10,11}, and 2-3 reversed to
