@@ -70,6 +70,37 @@ object Sampling {
     df.where(hashBucket(keyCol) < pctCol)
   }
 
+  /** Corpus-composition statistics for training-data mixing: per-group
+    * (source / domain / language) document counts, token totals, shares,
+    * and the resampling weight that would equalize every group's token
+    * contribution (the "uniform mix" target; cap at 1.0 for
+    * downsample-only pipelines, or feed into
+    * [[stratifiedHashSample]]'s per-stratum rates). `tokens` is any
+    * per-row token-count expression (e.g.
+    * [[TextAnalysis.nTokensWhitespace]]).
+    *
+    * Scale design (100 TB): ONE map-side-combined groupBy over the
+    * corpus; the per-group table is domain-cardinality-sized, so the
+    * totals join back as a single-row broadcast — no second scan, no
+    * unpartitioned window. */
+  def mixStats(df: DataFrame, groupCol: String,
+      tokens: org.apache.spark.sql.Column): DataFrame = {
+    val per = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokens.cast("long")).as("n_tokens"))
+    val tot = per.agg(
+      sum("n_docs").cast("double").as("__t_docs"),
+      sum("n_tokens").cast("double").as("__t_tokens"),
+      count(lit(1)).cast("double").as("__n_groups"))
+    per.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n_docs"), col("n_tokens"),
+        round(col("n_docs") / col("__t_docs"), 6).as("doc_share"),
+        round(col("n_tokens") / col("__t_tokens"), 6).as("token_share"),
+        when(col("n_tokens") > 0,
+          round((col("__t_tokens") / col("__n_groups")) / col("n_tokens"), 6))
+          .as("uniform_weight"))
+  }
+
   /** Distributed byte-size estimate: fixed widths for fixed-size types +
     * octet_length for strings/binary (replaces the reference's
     * cube-root-sample -> toPandas memory probe with one aggregate). */

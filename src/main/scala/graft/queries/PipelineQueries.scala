@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, IvfIndex, MediaCodec, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, IvfIndex, MediaCodec, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.queries.QueryCatalog.table
 
 /** LLM-data-pipeline operators as oracle-checked queries (north star in
@@ -812,9 +812,38 @@ object PipelineQueries {
         coalesce(k.cleaned, '') AS cleaned
       FROM d LEFT JOIN kept k USING (doc_id) ORDER BY doc_id"""))
 
+  /** Corpus-composition / mixing-weight table
+    * ([[graft.ops.Sampling.mixStats]]): per-source document counts,
+    * whitespace-token totals, corpus shares, and the uniform-mix
+    * resampling weight — the numbers a training-mix builder feeds into
+    * per-stratum sampling rates (q51). */
+  val qMixStats = Q(
+    "q55_mix_stats",
+    (s, dir) =>
+      Sampling.mixStats(table(s, dir, "documents"), "source",
+        TextAnalysis.nTokensWhitespace(col("text")))
+        .orderBy("source"),
+    Some(s"""WITH per AS (
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(len($dkWords)) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source),
+      tot AS (
+        SELECT CAST(sum(n_docs) AS DOUBLE) AS t_docs,
+          CAST(sum(n_tokens) AS DOUBLE) AS t_tokens,
+          CAST(count(*) AS DOUBLE) AS n_groups
+        FROM per)
+      SELECT source, n_docs, n_tokens,
+        round(n_docs / t_docs, 6) AS doc_share,
+        round(n_tokens / t_tokens, 6) AS token_share,
+        CASE WHEN n_tokens > 0
+          THEN round((t_tokens / n_groups) / n_tokens, 6) END
+          AS uniform_weight
+      FROM per, tot ORDER BY source"""))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qNgramJaccard, qDedupClusters, qDedupCanonical,
-    qDecontamination, qChunking, qLineDedup, qMinhashSig, qMinhashLsh, qSimhash,
+    qDecontamination, qChunking, qLineDedup, qMixStats,
+    qMinhashSig, qMinhashLsh, qSimhash,
     qEmbedTopK, qEmbedTopKIvf, qEmbedTopKIvfPersisted, qEmbedNearDup,
     qLangId, qTextQuality,
     qTokenCounts, qFingerprint, qRepetitionFilter, qPiiScan,

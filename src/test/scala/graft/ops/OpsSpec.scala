@@ -53,6 +53,24 @@ class OpsSpec extends SparkSpec {
     assert(out.getLong(4) == 0L)
   }
 
+  test("mixStats: shares sum to 1, uniform weight equalizes token mass") {
+    val corpus = Seq(
+      (0L, "a b c d", "s1"), (1L, "a b", "s1"),   // s1: 6 tokens
+      (2L, "a b c", "s2"),                        // s2: 3 tokens
+      (3L, "", "s3")                              // s3: 0 tokens
+    ).toDF("doc_id", "text", "source")
+    val out = Sampling.mixStats(corpus, "source",
+      TextAnalysis.nTokensWhitespace(col("text")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          Option(r.get(5)).map(_.asInstanceOf[Double])))).toMap
+    assert(out("s1") == ((2L, 6L, 0.5, 0.666667, Some(0.5)))) // 6dp round
+    assert(out("s2") == ((1L, 3L, 0.25, 0.333333, Some(1.0))))
+    assert(out("s3")._5.isEmpty) // zero-token stratum: no defined weight
+    // uniform target: every group at t_tokens/n_groups = 3 tokens
+    assert(out("s1")._5.get * 6 == 3.0 && out("s2")._5.get * 3 == 3.0)
+  }
+
   test("connectedComponents: chains collapse, clusters labeled by min id") {
     // component {1,2,3,4} only via a CHAIN (diameter 3 — needs multiple
     // propagation iterations), component {10,11}, and 2-3 reversed to
