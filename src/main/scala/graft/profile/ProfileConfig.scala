@@ -35,6 +35,15 @@ final case class ProfileConfig(
     /** Top-K values transferred to the driver per column
       * (reference: config_default.yaml:100 `spark.to_pandas_limit: 250`). */
     topK: Int = 250,
+    /** Sketch-mode (exactDistinct=false) top-K: items tracked per column
+      * by the approx_top_k frequent-items sketch (DataSketches
+      * ItemsSketch, mergeable; Spark 4's built-in aggregate). Counts are
+      * EXACT while a column's cardinality stays within the sketch map
+      * (~1.5x this value) and carry a ~3.5n/(2*maxTracked) worst-case
+      * error above it; 4096 tracks every value of low-cardinality
+      * columns exactly and costs ~a few MB per column per partial
+      * buffer. 0 disables sketch-mode top-K. */
+    sketchTopKMaxTracked: Int = 4096,
     /** Histogram max bin count (reference: config_default.yaml:134-141). */
     histogramBins: Int = 50,
     /** Numeric columns with <= this many distinct values are demoted to

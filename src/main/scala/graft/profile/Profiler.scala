@@ -88,6 +88,27 @@ object Profiler {
     // as expensive as the quantile job, and fusing both into one serial
     // aggregation doubled pass A's critical path (measured 11s vs 2x ~5s)
     val distinctAggs = scala.collection.mutable.ArrayBuffer[Column]()
+    // Sketch-mode top-K values: pass B (the exact explode->groupBy value
+    // counts) is skipped entirely when exactDistinct=false, which used
+    // to leave the 100 TB operating mode with NO top values at all.
+    // approx_top_k (DataSketches frequent-items, mergeable, one scan)
+    // fills them; same cast-to-string key as exact mode's pass B. Own
+    // chunk: TypedImperativeAggregate forces ObjectHashAggregate, so
+    // fusing it with codegen'd scalars would de-codegen those.
+    // CATEGORICAL columns only: they are the one type whose report
+    // surfaces topValues (numeric shows histograms, bool its two counts,
+    // datetime its range; sketch mode never demotes numerics) — sketching
+    // all 17 lineitem columns measured +3.4 s wall on q00b vs ~0 for the
+    // 2 categorical ones.
+    val topkAggs = scala.collection.mutable.ArrayBuffer[Column]()
+    val sketchTopK = !cfg.exactDistinct && cfg.topK > 0 &&
+      cfg.sketchTopKMaxTracked > 0
+    def addTopkAgg(p: String): Unit = if (sketchTopK) {
+      val k = math.min(cfg.topK, cfg.sketchTopKMaxTracked)
+      topkAggs += expr(
+        s"approx_top_k(cast(`$p` as string), $k, ${cfg.sketchTopKMaxTracked})")
+        .as(s"$p::topk")
+    }
     supported.foreach { case (f, t) =>
       val c = qcol(f.name)
       val p = f.name
@@ -123,6 +144,7 @@ object Profiler {
           sketchAggs += percentile_approx(len, lit(0.5), lit(10000)).as(s"$p::lenMedian")
           if (!cfg.exactDistinct)
             distinctAggs += approx_count_distinct(c, cfg.distinctRsd).as(s"$p::approxDistinct")
+          addTopkAgg(p)   // Categorical is the ONE type whose report surfaces topValues
         case ProfileType.Bool =>
           scalarAggs += ((count(when(c === true, 1)).as(s"$p::true"), 1))
           scalarAggs += ((count(when(c === false, 1)).as(s"$p::false"), 1))
@@ -156,7 +178,8 @@ object Profiler {
     // launching it before the scalar chunks packs the pool better. The
     // HLL distinct chunk (sketch mode only) runs CONCURRENTLY with it.
     val aJobs: Seq[Future[Row]] =
-      (Seq(sketchAggs.toSeq, distinctAggs.toSeq).filter(_.nonEmpty) ++ scalarChunks)
+      (Seq(sketchAggs.toSeq, distinctAggs.toSeq, topkAggs.toSeq)
+        .filter(_.nonEmpty) ++ scalarChunks)
         .zipWithIndex.map { case (ch, i) =>
           Future {
             timed(s"A:agg-chunk$i")(working.agg(ch.head, ch.tail: _*).head())
@@ -187,6 +210,17 @@ object Profiler {
     case class ValueInfo(
         nDistinct: Long, nUnique: Long, chi2P: Option[Double],
         topK: Seq[(String, Long)])
+    // Sketch-mode top values off the approx_top_k result (array of
+    // (item, count) structs, already count-descending). Null items
+    // dropped for parity with exact mode's `WHERE v IS NOT NULL`.
+    def sketchTopKFor(c: String): Seq[(String, Long)] =
+      aMap.get(s"$c::topk") match {
+        case Some(a: scala.collection.Seq[_]) =>
+          a.collect {
+            case r: Row if !r.isNullAt(0) => (r.getString(0), r.getLong(1))
+          }.toSeq
+        case _ => Seq.empty
+      }
     val preNumeric = supported.collect {
       case (f, ProfileType.Numeric) => f.name }
     val preDatetime = supported.collect {
@@ -233,7 +267,7 @@ object Profiler {
         else { vc.unpersist(); (out, None) }
       } else {
         (catSupported.map { c =>
-          c -> ValueInfo(aLong(s"$c::approxDistinct"), -1L, None, Seq.empty)
+          c -> ValueInfo(aLong(s"$c::approxDistinct"), -1L, None, sketchTopKFor(c))
         }.toMap, None)
       }
     }
@@ -268,7 +302,7 @@ object Profiler {
         (statsFromCounts(nc, preNumeric, "num"), Some(nc))
       } else {
         (preNumeric.map { c =>
-          c -> ValueInfo(aLong(s"$c::approxDistinct"), -1L, None, Seq.empty)
+          c -> ValueInfo(aLong(s"$c::approxDistinct"), -1L, None, sketchTopKFor(c))
         }.toMap, None)
       }
     }

@@ -327,8 +327,41 @@ object ExtraQueries {
     * covers per-line JSON encode/decode and schema'd read. */
   val qJsonlScan = Q("q48_jsonl_scan", sourceRoundTrip("json"), Some(sourceRoundTripSql))
 
+  /** Mergeable frequent-items top-K (Spark 4's built-in approx_top_k,
+    * DataSketches ItemsSketch) — the sketch the 100 TB profile mode uses
+    * for per-column top values (Profiler pass A, sketch branch). The
+    * sketch is EXACT while a column's cardinality fits its map
+    * (~1.5x maxItemsTracked), so running it with k=4096 over columns of
+    * 2-2500 distinct values makes every (value, count) pair
+    * hash-comparable against plain SQL GROUP BY counts — the oracle
+    * proves the sketch's exact regime end-to-end, while
+    * SketchAccuracySpec bounds the above-capacity regime. */
+  val qApproxTopK = Q(
+    "q56_approx_topk",
+    (s, dir) => {
+      val li = table(s, dir, "lineitem")
+      def one(c: String) = li
+        .agg(expr(s"approx_top_k($c, 4096, 4096)").as("t"))
+        .select(explode(col("t")).as("e"))
+        .select(lit(c).as("c"), col("e.item").cast("string").as("v"),
+          col("e.count").as("cnt"))
+      one("l_returnflag").unionAll(one("l_linestatus"))
+        .unionAll(one("l_shipdate"))
+        .orderBy("c", "v")
+    },
+    Some("""SELECT c, v, cnt FROM (
+        SELECT 'l_returnflag' AS c, CAST(l_returnflag AS VARCHAR) AS v,
+          count(*) AS cnt FROM lineitem GROUP BY 2
+        UNION ALL
+        SELECT 'l_linestatus', CAST(l_linestatus AS VARCHAR), count(*)
+        FROM lineitem GROUP BY 2
+        UNION ALL
+        SELECT 'l_shipdate', CAST(l_shipdate AS VARCHAR), count(*)
+        FROM lineitem GROUP BY 2)
+      ORDER BY c, v"""))
+
   val all: Seq[Q] = Seq(
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qMapValueCounts,
-    qSaltedJoin, qCsvScan, qJsonlScan, qStratifiedSample)
+    qSaltedJoin, qCsvScan, qJsonlScan, qStratifiedSample, qApproxTopK)
 }

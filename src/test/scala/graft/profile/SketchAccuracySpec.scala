@@ -92,6 +92,58 @@ class SketchAccuracySpec extends SparkSpec {
     assert(ProfileJson.toJson(exactP).contains("\"n_unique\""))
   }
 
+  test("sketch-mode top-K: exact values+counts while cardinality fits the sketch") {
+    // approx_top_k (DataSketches frequent-items) is EXACT until a
+    // column's cardinality exceeds the sketch map (~1.5x maxTracked).
+    // Every low-cardinality lineitem column must therefore match exact
+    // mode's pass-B top-K bit-for-bit, proving the 100 TB mode now ships
+    // real top values (it used to ship none).
+    def tops(p: TableProfile) = p.columns.collect {
+      case c if c.typed.isInstanceOf[CategoricalStats] =>
+        c.name -> ((c.common.nDistinct,
+          c.typed.asInstanceOf[CategoricalStats].topValues))
+    }.toMap
+    val exact = tops(exactP)
+    var checked = 0
+    tops(sketchP).foreach { case (name, (_, skTop)) =>
+      val (eDistinct, eTop) = exact(name)
+      if (eDistinct <= ProfileConfig.default.sketchTopKMaxTracked) {
+        assert(skTop.nonEmpty, s"$name: sketch top-K empty")
+        val e = eTop.toMap
+        skTop.foreach { case (v, cnt) =>
+          assert(e.get(v).contains(cnt),
+            s"$name: sketch ($v, $cnt) vs exact ${e.get(v)}")
+          checked += 1
+        }
+      }
+    }
+    assert(checked > 0)
+  }
+
+  test("sketch-mode top-K: planted heavy hitter survives above-capacity cardinality") {
+    import spark.implicits._
+    // 60k distinct tail values >> maxTracked=256, one value at ~14% of
+    // the stream: the frequent-items guarantee (error <= 3.5n/mapSize)
+    // must surface it at rank 1 with a count within that bound
+    val n = 70000
+    val planted = (0 until n).map(i =>
+      if (i % 7 == 0) "HEAVY" else s"tail-$i").toDF("v")
+    val p = Profiler.profile(planted, ProfileConfig.default.copy(
+      exactDistinct = false, exactQuantiles = false,
+      sketchTopKMaxTracked = 256,
+      computeCorrelations = false, computeCharStats = false,
+      computeHistograms = false, computeMad = false,
+      computeDuplicates = false))
+    val topK = p.columns.head.typed.asInstanceOf[CategoricalStats].topValues
+    assert(topK.nonEmpty)
+    val (topV, topCnt) = topK.head
+    val trueCnt = n / 7
+    assert(topV == "HEAVY", s"top value was $topV")
+    // mapSize = nextPow2(256/0.75) = 512; bound 3.5*n/512 ~ 479
+    assert(math.abs(topCnt - trueCnt) <= 3.5 * n / 512,
+      s"count $topCnt vs true $trueCnt")
+  }
+
   test("sketch mode: n/count identical to exact (only estimates differ)") {
     val exact = exactP.columns.map(c => c.name -> c.common).toMap
     sketchP.columns.foreach { c =>
