@@ -312,10 +312,75 @@ object Profiler {
     val supportedNames = supported.map(_._1.name)
     val duplicatesF: Future[(Long, Seq[(Map[String, String], Long)])] = Future {
       if (!cfg.computeDuplicates || supportedNames.isEmpty) (0L, Seq.empty[(Map[String, String], Long)])
-      else {
-        // Pandas semantics (n - distinct rows), NOT the reference spark
-        // impl which is identically zero (dataframe_wrappers.py:542-550).
-        // (Maps were already canonicalized to strings at profile() entry.)
+      else if (cfg.duplicatesByHash) {
+        // Pandas semantics (n - distinct rows) via a 128-bit row-hash
+        // pair: groupBy on the full row shuffles every byte of the
+        // table, while groupBy on (h1, h2) shuffles 16 bytes + a count
+        // per row — THE scale difference for pass F at 100 TB. Two
+        // independently-seeded XxHash64s make a false row-merge need a
+        // simultaneous 2^-128 double collision (~1e-15 expected merges
+        // at 1e12 rows). Hash inputs interleave each column with its
+        // null flag: the hash mixer SKIPS null children, so without the
+        // flags ("a", null) and (null, "a") would hash identically in
+        // BOTH family members. Float/double normalize -0.0 -> 0.0 and
+        // NaN -> canonical NaN to match groupBy's key equality.
+        import org.apache.spark.sql.graft.ColumnBridge
+        import org.apache.spark.sql.catalyst.expressions.XxHash64
+        val hashIn: Seq[Column] = supported.flatMap { case (f, _) =>
+          val c = qcol(f.name)
+          val v = f.dataType match {
+            case DoubleType | FloatType =>
+              when(isnan(c), lit(Double.NaN).cast(f.dataType))
+                .when(c === 0.0, lit(0.0).cast(f.dataType))
+                .otherwise(c)
+            case _ => c
+          }
+          Seq(v, isnull(c))
+        }
+        val hashEx = hashIn.map(ColumnBridge.expression)
+        val h1 = ColumnBridge.column(XxHash64(hashEx, 42L))
+        val h2 = ColumnBridge.column(XxHash64(hashEx, -7046029254386353131L))
+        val grouped = working
+          .groupBy(h1.as("__h1"), h2.as("__h2"))
+          .agg(count(lit(1)).as("__cnt"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val distinctRowCount = timed("F:dup-count")(grouped.count())
+        val topHash = timed("F:dup-top")(grouped.where(col("__cnt") > 1)
+          .orderBy(col("__cnt").desc, col("__h1"), col("__h2"))
+          .limit(cfg.duplicatesHead).collect())
+        grouped.unpersist()
+        val topSeq = if (topHash.isEmpty) Seq.empty[(Map[String, String], Long)]
+        else {
+          // One representative row per listed group: a map-only scan
+          // filtered to <= duplicatesHead hash pairs (ties at the cut
+          // resolve by hash, not column order — counts are identical
+          // either way). Driver-side sort restores the cnt-desc,
+          // value-ascending presentation of the exact path.
+          val cntOf = topHash.map(r =>
+            (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+          val cond = topHash.map(r =>
+            h1 === r.getLong(0) && h2 === r.getLong(1)).reduce(_ || _)
+          val reps = timed("F:dup-reps")(working.where(cond)
+            .select((supportedNames.map(qcol) :+ h1.as("__h1") :+
+              h2.as("__h2")): _*)
+            .dropDuplicates("__h1", "__h2").collect())
+          reps.map { r =>
+            val vals = supportedNames.map(n =>
+              n -> Option(r.getAs[Any](n)).map(_.toString).orNull).toMap
+            val cnt = cntOf((r.getAs[Long]("__h1"), r.getAs[Long]("__h2")))
+            (vals, cnt)
+          }.sortBy { case (vals, cnt) =>
+            (-cnt, supportedNames.map(n => Option(vals(n)).getOrElse(""))
+              .mkString(" "))
+          }.toSeq
+        }
+        (nRows - distinctRowCount, topSeq)
+      } else {
+        // Exact fallback: groupBy every column (collision-impossible,
+        // full-row shuffle). Pandas semantics (n - distinct rows), NOT
+        // the reference spark impl which is identically zero
+        // (dataframe_wrappers.py:542-550). (Maps were already
+        // canonicalized to strings at profile() entry.)
         val grouped = working.select(supportedNames.map(qcol): _*)
           .groupBy(supportedNames.map(qcol): _*)
           .agg(count(lit(1)).as("__cnt"))

@@ -134,6 +134,43 @@ class ProfilerSpec extends SparkSpec {
     assert(profile.nDuplicates == 0)
   }
 
+  test("hash-pair duplicates == exact full-row groupBy (count and listing counts)") {
+    val doubled = fixture.union(fixture)
+    def run(byHash: Boolean) = Profiler.profile(doubled,
+      ProfileConfig.default.copy(persist = false, duplicatesByHash = byHash,
+        computeCorrelations = false, computeCramers = false,
+        computeCharStats = false))
+    val h = run(byHash = true)
+    val e = run(byHash = false)
+    assert(h.nDuplicates == e.nDuplicates)
+    // same groups (all counts 2, same row values) — order may differ only
+    // in tie-breaks, so compare as sets
+    assert(h.duplicateRows.toSet == e.duplicateRows.toSet)
+  }
+
+  test("hash-pair duplicates: null position, -0.0/0.0 and NaN match groupBy equality") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("a", StringType), StructField("b", StringType),
+      StructField("d", DoubleType)))
+    // ("a", null, 1.0) vs (null, "a", 1.0): the null-skipping hash mixer
+    // would merge these without the interleaved null flags
+    val swapped = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row("a", null, 1.0), Row(null, "a", 1.0)), 2), schema)
+    val ps = Profiler.profile(swapped, ProfileConfig.minimal.copy(
+      persist = false, computeDuplicates = true))
+    assert(ps.nDuplicates == 0)
+    // -0.0 == 0.0 and NaN == NaN under groupBy/pandas key equality:
+    // each pair must count as one duplicate
+    val zeros = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row("r", "r", 0.0), Row("r", "r", -0.0),
+      Row("n", "n", Double.NaN), Row("n", "n", Double.NaN)), 2), schema)
+    val pz = Profiler.profile(zeros, ProfileConfig.minimal.copy(
+      persist = false, computeDuplicates = true))
+    assert(pz.nDuplicates == 2)
+  }
+
   test("duplicated input doubles rows and flags duplicates") {
     val doubled = Profiler.profile(fixture.union(fixture),
       ProfileConfig.default.copy(persist = false,
