@@ -19,6 +19,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   - `graft_word_ngrams(text[, n[, distinct]])` — codegen'd word
   *     n-gram array ([[WordNgramsExpr]]); n and distinct must be
   *     literals (they parameterize the generated code).
+  *   - `graft_normalize(text[, form])` — codegen'd Unicode NFC/NFD/
+  *     NFKC/NFKD normalization ([[UnicodeNormalizeExpr]]).
   */
 object GraftFunctions {
 
@@ -38,6 +40,14 @@ object GraftFunctions {
       "graft_word_ngrams expects (text[, n literal[, distinct literal]])")
   }
 
+  private def normalizeBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(text) => UnicodeNormalizeExpr(text, "NFC")
+    case Seq(text, Literal(f, _)) =>
+      UnicodeNormalizeExpr(text, String.valueOf(f).toUpperCase)
+    case _ => throw new IllegalArgumentException(
+      "graft_normalize expects (text[, form literal in NFC|NFD|NFKC|NFKD])")
+  }
+
   /** (identifier, info, builder) triples in the shape
     * SparkSessionExtensions.injectFunction consumes. */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
@@ -47,7 +57,10 @@ object GraftFunctions {
         dotBuilder _),
       (FunctionIdentifier("graft_word_ngrams"),
         new ExpressionInfo(classOf[WordNgramsExpr].getName, "graft_word_ngrams"),
-        ngramsBuilder _))
+        ngramsBuilder _),
+      (FunctionIdentifier("graft_normalize"),
+        new ExpressionInfo(classOf[UnicodeNormalizeExpr].getName, "graft_normalize"),
+        normalizeBuilder _))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

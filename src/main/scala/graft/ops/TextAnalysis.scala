@@ -60,6 +60,22 @@ object TextAnalysis {
   def nTokensRegex(c: Column): Column =
     size(regexp_extract_all(c, lit(tokenPattern), lit(0)))
 
+  /** C0/C1-lite control characters stripped by [[cleanText]]: explicit
+    * code-point ranges (NOT \p{Cc}/\p{Cf} categories, whose membership
+    * can drift across engines' Unicode tables) — tab/newline/CR survive.
+    * Identical byte-for-byte semantics in Java regex and RE2. */
+  val controlCharPattern = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+  /** Web-text canonicalization: strip control characters, then Unicode
+    * NFC-compose (codegen'd [[graft.functions.UnicodeNormalizeExpr]]) —
+    * the cleaning stage that makes exact/near-dup hashing and n-gram
+    * stats agree across differently-encoded copies of the same text
+    * (e.g. "e" + U+0301 vs precomposed U+00E9). Map-only, stays inside
+    * whole-stage codegen. */
+  def cleanText(c: Column, form: String = "NFC"): Column =
+    graft.functions.UnicodeNormalizeExpr.normalize(
+      regexp_replace(c, controlCharPattern, ""), form)
+
   /** Quality-signal bundle (length, token stats, character-class ratios).
     * Ratios are over character length; 6-decimal rounded. */
   def qualitySignals(c: Column): Map[String, Column] = {

@@ -840,9 +840,44 @@ object PipelineQueries {
           AS uniform_weight
       FROM per, tot ORDER BY source"""))
 
+  /** Unicode canonicalization ([[graft.ops.TextAnalysis.cleanText]]):
+    * control chars are planted around each text plus a decomposed
+    * accent (e + U+0301) — cleaning must strip the controls and
+    * NFC-compose the accent (to U+00E9) while leaving format chars
+    * like ZWSP alone. Proves the codegen'd UnicodeNormalizeExpr against
+    * DuckDB's independent nfc_normalize implementation. */
+  val qNormalize = Q(
+    "q57_unicode_clean",
+    (s, dir) => {
+      val planted = table(s, dir, "documents").select(
+        col("doc_id"),
+        concat(lit("\u0007"), col("text"), lit(" cafe\u0301"),
+          lit("\u0001tail\u200B")).as("text"))
+      planted.select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_before"),
+          TextAnalysis.cleanText(col("text")).as("cleaned"))
+        .withColumn("n_after", length(col("cleaned")).cast("long"))
+        .select("doc_id", "n_before", "n_after", "cleaned")
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (
+        SELECT doc_id,
+          chr(7) || text || ' cafe' || chr(769) || chr(1) || 'tail' ||
+            chr(8203) AS text
+        FROM documents),
+      c AS (
+        SELECT doc_id, length(text) AS n_before,
+          nfc_normalize(regexp_replace(text,
+            '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) AS cleaned
+        FROM d)
+      SELECT doc_id, CAST(n_before AS BIGINT) AS n_before,
+        CAST(length(cleaned) AS BIGINT) AS n_after, cleaned
+      FROM c ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qNgramJaccard, qDedupClusters, qDedupCanonical,
-    qDecontamination, qChunking, qLineDedup, qMixStats,
+    qDecontamination, qChunking, qLineDedup, qMixStats, qNormalize,
     qMinhashSig, qMinhashLsh, qSimhash,
     qEmbedTopK, qEmbedTopKIvf, qEmbedTopKIvfPersisted, qEmbedNearDup,
     qLangId, qTextQuality,

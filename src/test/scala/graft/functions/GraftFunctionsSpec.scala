@@ -24,6 +24,39 @@ class GraftFunctionsSpec extends SparkSpec {
       .head().isNullAt(0))
   }
 
+  test("graft_normalize: NFC composition, form arg, null safety, codegen parity") {
+    GraftFunctions.register(spark)
+    // decomposed e + U+0301 composes to U+00E9 under NFC
+    val nfc = spark.sql("SELECT graft_normalize('cafe\\u0301') AS s")
+      .head().getString(0)
+    assert(nfc == "caf\u00e9")
+    // NFD decomposes the precomposed form back
+    val nfd = spark.sql("SELECT graft_normalize('caf\\u00e9', 'NFD') AS s")
+      .head().getString(0)
+    assert(nfd == "cafe\u0301")
+    // NFKC folds compatibility chars (U+FB01 LATIN SMALL LIGATURE FI)
+    val nfkc = spark.sql("SELECT graft_normalize('\\ufb01n', 'NFKC') AS s")
+      .head().getString(0)
+    assert(nfkc == "fin")
+    assert(spark.sql("SELECT graft_normalize(cast(null as string)) AS s")
+      .head().isNullAt(0))
+    // column API over a distributed plan (codegen path) agrees
+    import spark.implicits._
+    val viaCol = Seq("cafe\u0301", "plain ascii").toDF("t")
+      .select(UnicodeNormalizeExpr.normalize(org.apache.spark.sql.functions.col("t")))
+      .as[String].collect().toSeq
+    assert(viaCol == Seq("caf\u00e9", "plain ascii"))
+  }
+
+  test("cleanText strips controls, keeps tab/newline/format chars, composes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val out = Seq("a\u0007bc\td\ne\u200Bf cafe\u0301")
+      .toDF("t").select(graft.ops.TextAnalysis.cleanText(col("t")))
+      .as[String].head()
+    assert(out == "abc\td\ne\u200Bf caf\u00e9")
+  }
+
   test("non-literal n is rejected with a clear error") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {
