@@ -394,6 +394,52 @@ object Dedup {
       .select(col("i"), col("j"), round(col("cos"), 6).as("cos"))
   }
 
+  /** SemDeDup-style clustered embedding near-dup (Abbas et al.,
+    * arXiv:2303.09540): assign every vector to its nearest centroid
+    * (broadcast centroid table, argmax cosine, rounded-6dp with
+    * smaller-list-id tie-break so the assignment is reproducible across
+    * engines), then verify pairs ONLY within a cluster. Replaces the
+    * SRP-LSH candidate generator of [[lshNearDupPairs]] with semantic
+    * bucketing — the shape that also yields the per-cluster curation
+    * stats (cluster sizes, densities) mixing pipelines want anyway.
+    *
+    * Scale design (100 TB): centroids are nlist-bounded (broadcast);
+    * assignment is one map-only scan; the within-cluster self-join
+    * shuffles by list_id once — quadratic only inside each cluster,
+    * which nlist is chosen to bound (SemDeDup runs ~100k clusters at
+    * web scale). Misses only pairs whose members split across clusters
+    * (the paper's accepted trade-off; crank nprobe-style multi-assign
+    * if that matters).
+    *
+    * `centroids`: (list_id, centroid array) — from [[IvfIndex.build]]'s
+    * k-means, or any deterministic seed set when reproducibility across
+    * engines is required. */
+  def semDedupPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      l2Norm(col(vecCol)).as("n"))
+    val assigned = v.crossJoin(broadcast(
+        centroids.select(col("list_id"),
+          col("centroid").as("cv"), l2Norm(col("centroid")).as("cn"))))
+      .withColumn("ccos",
+        round(dotProduct(col("v"), col("cv")) / (col("n") * col("cn")), 6))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("ccos").desc, col("list_id"))))
+      .where(col("__rn") === 1)
+      .select(col("id"), col("list_id"), col("v"), col("n"))
+    val a = assigned.select(col("list_id"), col("id").as("i"),
+      col("v").as("va"), col("n").as("na"))
+    val b = assigned.select(col("list_id"), col("id").as("j"),
+      col("v").as("vb"), col("n").as("nb"))
+    a.join(b, Seq("list_id")).where(col("i") < col("j"))
+      .withColumn("cos",
+        dotProduct(col("va"), col("vb")) / (col("na") * col("nb")))
+      .where(col("cos") >= threshold)
+      .select(col("i"), col("j"), col("list_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   /** Connected components over an undirected near-dup pair list — the
     * clustering step BETWEEN "pairs found" and "keep one canonical doc
     * per group": near-dup relations are not transitive, so A~B and B~C

@@ -76,6 +76,23 @@ object TextAnalysis {
     graft.functions.UnicodeNormalizeExpr.normalize(
       regexp_replace(c, controlCharPattern, ""), form)
 
+  /** Per-group (source / domain / language) quality pass-rate table —
+    * the "filter rate by domain" diagnostic of the Gopher/RefinedWeb
+    * pipeline writeups, and the input for deciding which strata to
+    * up/downsample alongside [[Sampling.mixStats]]. One
+    * map-side-combined groupBy; integer counts aggregate associatively
+    * so the result is bit-stable across partitionings (a mean of
+    * per-doc double scores would not be). */
+  def qualityByGroup(df: DataFrame, groupCol: String, textCol: String,
+      threshold: Double): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(qualityScore(col(textCol)) >= threshold, 1L).otherwise(0L))
+          .as("n_pass"))
+      .withColumn("pass_rate",
+        round(col("n_pass").cast("double") / col("n_docs").cast("double"), 6))
+
   /** Quality-signal bundle (length, token stats, character-class ratios).
     * Ratios are over character length; 6-decimal rounded. */
   def qualitySignals(c: Column): Map[String, Column] = {

@@ -875,10 +875,95 @@ object PipelineQueries {
         CAST(length(cleaned) AS BIGINT) AS n_after, cleaned
       FROM c ORDER BY doc_id"""))
 
+  /** DuckDB rendering of TextAnalysis.qualityScore (same expression as
+    * q29's oracle, factored for reuse). */
+  private def dkQualityScore = s"""round(greatest(0.0,
+      least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.4 +
+      (CASE WHEN round(CAST(list_sum(list_transform($dkWords, w -> length(w)))
+         AS DOUBLE) / greatest(len($dkWords), 1), 6)
+         BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.3 +
+      (1.0 - least(round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+         AS DOUBLE) / greatest(length(text), 1), 6) * 2.0, 1.0)) * 0.2 +
+      (1.0 - least(round(CAST(len(regexp_extract_all(text, '[0-9]'))
+         AS DOUBLE) / greatest(length(text), 1), 6) * 2.0, 1.0)) * 0.1), 6)"""
+
+  /** Per-source quality pass-rate ([[graft.ops.TextAnalysis
+    * .qualityByGroup]]): the filter-rate-by-domain diagnostic that
+    * drives stratified mixing decisions (pairs with q55's token
+    * shares and q51's per-stratum sampler). */
+  val qSourceQuality = Q(
+    "q58_source_quality",
+    (s, dir) =>
+      TextAnalysis.qualityByGroup(table(s, dir, "documents"),
+          "source", "text", threshold = 0.85)
+        .orderBy("source"),
+    Some(s"""SELECT source, count(*) AS n_docs,
+        CAST(sum(CASE WHEN $dkQualityScore >= 0.85 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_pass,
+        round(CAST(sum(CASE WHEN $dkQualityScore >= 0.85 THEN 1 ELSE 0 END)
+          AS DOUBLE) / count(*), 6) AS pass_rate
+      FROM documents GROUP BY source ORDER BY source"""))
+
+  /** SemDeDup-style clustered embedding near-dup
+    * ([[graft.ops.Dedup.semDedupPairs]]): nearest-centroid assignment
+    * over a deterministic seed-centroid set (vec_id < 8 — k-means
+    * centroids are not reproducible across engines, seed vectors are),
+    * then exact cosine verify within clusters only. The oracle
+    * recomputes assignment AND verification from scratch in SQL, so
+    * the pruned candidate structure is hash-checked, not just the
+    * final cosines. */
+  val qSemDedup = Q(
+    "q59_semdedup_pairs",
+    (s, dir) => {
+      // the corpus' own pairwise cosines sit below any useful near-dup
+      // threshold (see q27's noise-floor note), so duplicates are
+      // PLANTED: exact copies of vec_id < 20 under shifted ids — each
+      // must co-assign with its original and surface as one pair
+      val e = table(s, dir, "embeddings")
+      val corpus = e.unionAll(e.where(col("vec_id") < 20)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"),
+          col("label")))
+      val cents = e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("list_id"), col("embedding").as("centroid"))
+      Dedup.semDedupPairs(corpus, "vec_id", "embedding", cents, 0.8)
+        .orderBy("i", "j")
+    },
+    Some("""WITH emb AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 20),
+      cent AS (
+        SELECT vec_id AS list_id, embedding AS centroid
+        FROM embeddings WHERE vec_id < 8),
+      scored AS (
+        SELECT e.vec_id AS id, c.list_id,
+          round(list_dot_product(e.embedding::DOUBLE[], c.centroid::DOUBLE[]) /
+            (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+             sqrt(list_dot_product(c.centroid::DOUBLE[], c.centroid::DOUBLE[]))), 6)
+            AS ccos
+        FROM emb e CROSS JOIN cent c),
+      assigned AS (
+        SELECT id, list_id FROM (
+          SELECT *, row_number() OVER
+            (PARTITION BY id ORDER BY ccos DESC, list_id) AS rn
+          FROM scored) WHERE rn = 1),
+      raw AS (
+        SELECT a.id AS i, b.id AS j, a.list_id,
+          list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) /
+            (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[])) *
+             sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[])))
+            AS rawcos
+        FROM assigned a JOIN assigned b
+          ON a.list_id = b.list_id AND a.id < b.id
+        JOIN emb ea ON ea.vec_id = a.id
+        JOIN emb eb ON eb.vec_id = b.id)
+      SELECT i, j, list_id, round(rawcos, 6) AS cos
+      FROM raw WHERE rawcos >= 0.8 ORDER BY i, j"""))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qNgramJaccard, qDedupClusters, qDedupCanonical,
     qDecontamination, qChunking, qLineDedup, qMixStats, qNormalize,
-    qMinhashSig, qMinhashLsh, qSimhash,
+    qSourceQuality, qSemDedup, qMinhashSig, qMinhashLsh, qSimhash,
     qEmbedTopK, qEmbedTopKIvf, qEmbedTopKIvfPersisted, qEmbedNearDup,
     qLangId, qTextQuality,
     qTokenCounts, qFingerprint, qRepetitionFilter, qPiiScan,

@@ -71,6 +71,31 @@ class OpsSpec extends SparkSpec {
     assert(out("s1")._5.get * 6 == 3.0 && out("s2")._5.get * 3 == 3.0)
   }
 
+  test("semDedupPairs: within-cluster pairs found, cross-cluster misses documented") {
+    import org.apache.spark.sql.functions.col
+    // two well-separated directions; ids 0,1 near +x, ids 2,3 near +y,
+    // id 4 sits between x and y but nearer x (cos 0.9 with x-axis)
+    def vec(xs: Double*) = xs.toArray
+    val vs = Seq(
+      (0L, vec(1.0, 0.0, 0.0)), (1L, vec(0.99, 0.05, 0.0)),
+      (2L, vec(0.0, 1.0, 0.0)), (3L, vec(0.05, 0.99, 0.0)),
+      (4L, vec(0.95, 0.31, 0.0)) // cos with +x ~ 0.951, with +y ~ 0.310
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((0L, vec(1.0, 0.0, 0.0)), (1L, vec(0.0, 1.0, 0.0)))
+      .toDF("list_id", "centroid")
+    val pairs = Dedup.semDedupPairs(vs, "vec_id", "embedding", cents, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 0-1 and 2-3 are same-cluster near-dups; 0-4/1-4 are near-dups
+    // (cos > 0.9) in the same x-cluster; 4 vs y-cluster is pruned by
+    // assignment even though its cos with 3 is below threshold anyway
+    assert(pairs.contains((0L, 1L)) && pairs.contains((2L, 3L)))
+    assert(pairs.contains((0L, 4L)) && pairs.contains((1L, 4L)))
+    // no cross-cluster pair reported at all
+    assert(pairs.forall { case (i, j) =>
+      (Set(0L, 1L, 4L)(i) && Set(0L, 1L, 4L)(j)) ||
+        (Set(2L, 3L)(i) && Set(2L, 3L)(j)) })
+  }
+
   test("connectedComponents: chains collapse, clusters labeled by min id") {
     // component {1,2,3,4} only via a CHAIN (diameter 3 — needs multiple
     // propagation iterations), component {10,11}, and 2-3 reversed to
