@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.StatFunctions._
@@ -293,6 +294,32 @@ object TextAnalysis {
     * HOFs): one narrow map-side pass, rows fan out by chunks-per-doc,
     * no shuffle — at 100 TB this is a pure map stage.
     * Output: (idCol, chunk_id, n_words, chunk). */
+  /** Sequence packing: next-fit token-budget binning of an ordered chunk
+    * stream — each document's chunks fill pack 0 until the running total
+    * crosses `budget`, then pack 1, and so on (the streaming next-fit
+    * packing of sequence-packing pipelines; a pack may overflow by at
+    * most one chunk, the standard trade for a single-pass assignment).
+    * `pack_id = floor(tokens-before-this-chunk / budget)`.
+    *
+    * Scale design (100 TB): ONE window partitioned by document id —
+    * per-document state only, never a global order. Cross-document
+    * consolidation (packing small documents together) belongs in a
+    * separate per-partition pass downstream; a corpus-wide ordered
+    * window would serialize on one reducer and is exactly what this
+    * operator refuses to do. */
+  def packChunks(chunks: DataFrame, idCol: String, orderCol: String,
+      tokensCol: String, budget: Int): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(col(idCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    chunks
+      .withColumn("__before",
+        coalesce(sum(col(tokensCol).cast("long")).over(w), lit(0L)))
+      .withColumn("pack_id",
+        floor(col("__before").cast("double") / budget).cast("int"))
+      .drop("__before")
+  }
+
   def chunkWords(df: DataFrame, idCol: String, textCol: String,
       chunkSize: Int, overlap: Int): DataFrame = {
     require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,

@@ -960,10 +960,43 @@ object PipelineQueries {
       SELECT i, j, list_id, round(rawcos, 6) AS cos
       FROM raw WHERE rawcos >= 0.8 ORDER BY i, j"""))
 
+  /** Sequence packing on top of q53's chunk stream
+    * ([[graft.ops.TextAnalysis.packChunks]]): next-fit binning of each
+    * document's 50-word chunks into 128-word packs. The oracle
+    * recomputes the running-total window in SQL, so the per-document
+    * packing boundaries are hash-checked exactly. */
+  val qPackChunks = Q(
+    "q60_pack_chunks",
+    (s, dir) =>
+      TextAnalysis.packChunks(
+          TextAnalysis.chunkWords(table(s, dir, "documents"),
+            "doc_id", "text", chunkSize = 50, overlap = 10),
+          "doc_id", "chunk_id", "n_words", budget = 128)
+        .select(col("doc_id"), col("chunk_id"),
+          col("n_words").cast("long").as("n_words"), col("pack_id"))
+        .orderBy("doc_id", "chunk_id"),
+    Some("""WITH w AS (SELECT doc_id,
+               string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS ws
+             FROM documents WHERE len(trim(text)) > 0),
+      st AS (SELECT doc_id, ws,
+               unnest(generate_series(0, greatest(len(ws) - 10 - 1, 0), 40)) AS start
+             FROM w),
+      ch AS (SELECT doc_id,
+               CAST(start // 40 AS INT) AS chunk_id,
+               CAST(least(50, len(ws) - start) AS BIGINT) AS n_words
+             FROM st)
+      SELECT doc_id, chunk_id, n_words,
+        CAST(floor(coalesce(sum(n_words) OVER
+          (PARTITION BY doc_id ORDER BY chunk_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          / 128.0) AS INT) AS pack_id
+      FROM ch ORDER BY doc_id, chunk_id"""))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qNgramJaccard, qDedupClusters, qDedupCanonical,
     qDecontamination, qChunking, qLineDedup, qMixStats, qNormalize,
-    qSourceQuality, qSemDedup, qMinhashSig, qMinhashLsh, qSimhash,
+    qSourceQuality, qSemDedup, qPackChunks,
+    qMinhashSig, qMinhashLsh, qSimhash,
     qEmbedTopK, qEmbedTopKIvf, qEmbedTopKIvfPersisted, qEmbedNearDup,
     qLangId, qTextQuality,
     qTokenCounts, qFingerprint, qRepetitionFilter, qPiiScan,

@@ -71,6 +71,24 @@ class OpsSpec extends SparkSpec {
     assert(out("s1")._5.get * 6 == 3.0 && out("s2")._5.get * 3 == 3.0)
   }
 
+  test("packChunks: next-fit boundaries, per-doc reset, at-most-one-chunk overflow") {
+    import org.apache.spark.sql.functions.col
+    // doc 0: tokens 50,50,50,30 with budget 100 -> packs 0,0,1,1
+    // (pack 0 overflows to 100+? no: before=0,50,100,150 -> floor/100 = 0,0,1,1)
+    // doc 1 restarts at pack 0
+    val chunks = Seq(
+      (0L, 0, 50L), (0L, 1, 50L), (0L, 2, 50L), (0L, 3, 30L),
+      (1L, 0, 120L), (1L, 1, 10L)
+    ).toDF("doc_id", "chunk_id", "n_words")
+    val out = TextAnalysis.packChunks(chunks, "doc_id", "chunk_id",
+      "n_words", budget = 100)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(3)).toMap
+    assert(out((0L, 0)) == 0 && out((0L, 1)) == 0)
+    assert(out((0L, 2)) == 1 && out((0L, 3)) == 1)
+    assert(out((1L, 0)) == 0) // oversize chunk still gets its own pack 0
+    assert(out((1L, 1)) == 1) // next chunk starts pack 1 (120 >= budget)
+  }
+
   test("semDedupPairs: within-cluster pairs found, cross-cluster misses documented") {
     import org.apache.spark.sql.functions.col
     // two well-separated directions; ids 0,1 near +x, ids 2,3 near +y,
