@@ -520,6 +520,56 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Per-document duplicated n-gram fraction (the exact-substring dedup
+    * signal of Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better", arXiv:2107.06499 — there over 50-token
+    * suffix-array spans; here over word n-gram occurrences, which the
+    * paper's NearDup/ExactSubstr analysis approximates for diagnostics):
+    * the fraction of a document's n-gram OCCURRENCES (multiplicity kept)
+    * whose gram also appears in at least `minDocs` distinct documents.
+    * High fractions flag documents that are mostly corpus-duplicated
+    * text even when no single whole-document match exists.
+    *
+    * Scale design: ONE scan of the corpus. The collapsed (id, gram,
+    * count) table is materialized once (lazy localCheckpoint — the
+    * "shingle state built once per corpus snapshot" pattern of
+    * [[wordShingleTableCached]]); without it Catalyst prunes the count
+    * column out of the document-frequency branch, the two aggregation
+    * exchanges stop being identical, ReuseExchange no longer fires, and
+    * the corpus is scanned + exploded TWICE (verified on the physical
+    * plan). Document frequency then derives from that table via a
+    * map-side-combined groupBy — deliberately NOT a count-over-window
+    * partitioned by gram, which would shuffle every (doc, gram) row to
+    * a single reducer per gram and melt on stopword-frequency grams.
+    * The join back on `g` co-locates with the docFreq shuffle.
+    *
+    * Returns (idCol, n_grams, dup_grams, dup_frac) — one row per
+    * document with >= n words; dup_frac rounded to 6 dp. */
+  def duplicatedNgramStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Int = 2): DataFrame = {
+    // (id, g, cnt): occurrence count of each gram within each document,
+    // collapsed map-side before the shuffle, materialized for dual use.
+    val gramCounts = df
+      .select(col(idCol).as("id"),
+        explode(graft.functions.WordNgramsExpr
+          .ngrams(col(textCol), n, distinct = false)).as("g"))
+      .groupBy("id", "g").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    // Document frequency per gram, from the already-collapsed table.
+    val docFreq = gramCounts.groupBy("g")
+      .agg(count(lit(1)).as("df_g"))
+    gramCounts.join(docFreq, "g")
+      .groupBy("id")
+      .agg(
+        sum(col("cnt")).as("n_grams"),
+        sum(when(col("df_g") >= minDocs, col("cnt")).otherwise(lit(0L)))
+          .as("dup_grams"))
+      .select(col("id").as(idCol),
+        col("n_grams"), col("dup_grams"),
+        round(col("dup_grams").cast("double") / col("n_grams"), 6)
+          .as("dup_frac"))
+  }
+
   /** End-to-end near-dup dedup: collapse `pairs` into clusters
     * ([[connectedComponents]]) and keep ONE canonical row per cluster —
     * the one whose id equals the component label (= min id, deterministic)

@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Term-relevance operators over a document corpus: TF-IDF keyword
+  * extraction and BM25 query scoring — the inverted-index statistics a
+  * training-data pipeline needs for corpus exploration (what is this
+  * cluster about?), quality filtering (keyword-stuffed spam has a
+  * degenerate TF-IDF profile), and retrieval-based decontamination
+  * (BM25 is the standard lexical-search baseline next to the embedding
+  * ANN path in [[Similarity]] / [[IvfIndex]]).
+  *
+  * Scale design (100 TB): everything derives from the word table
+  * (one explode of the codegen'd
+  * [[graft.functions.WordNgramsExpr]] n=1 grams), then a constant
+  * number of shuffles on uniformly-distributing keys (term, doc id).
+  * Corpus-level scalars (N, avgdl) are one-row aggregates joined in by
+  * broadcast; the per-term document-frequency table is vocabulary-sized
+  * (sublinear in corpus size) and also broadcast-joins. BM25 filters to
+  * the query's terms BEFORE any aggregation, so the scored stream is a
+  * vanishing fraction of the corpus and the final top-k is a
+  * TakeOrderedAndProject, never a global sort.
+  *
+  * Tokenization matches the dedup/text-analysis family: lowercase,
+  * split on whitespace runs, empties dropped (WordNgramsExpr n=1,
+  * multiplicity kept).
+  */
+object Relevance {
+
+  /** (id, w) word-occurrence table, multiplicity kept. */
+  private def wordTable(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(graft.functions.WordNgramsExpr
+        .ngrams(col(textCol), 1, distinct = false)).as("w"))
+
+  /** Top-k terms per document by TF-IDF, the plain-log variant:
+    * score = tf * ln(N / df) with N = total documents in `df` (including
+    * wordless ones) and df = number of distinct documents containing the
+    * term. Ties break on the term (ascending) so ranks are total and
+    * deterministic. Returns (idCol, rnk, term, tf, score) with score
+    * rounded to 6 dp; documents with no words yield no rows.
+    *
+    * ONE scan of the corpus: the (id, term, tf) table is materialized
+    * once (lazy localCheckpoint) and both the score stream and the
+    * document-frequency table derive from it — without that, column
+    * pruning makes the two aggregation exchanges differ, ReuseExchange
+    * can't fire, and the corpus is exploded twice (see
+    * [[Dedup.duplicatedNgramStats]], same shape). df comes from a
+    * map-side-combined groupBy, not a count-over-window on the term —
+    * a window partitioned by term puts every document containing a
+    * stopword into one reducer partition. The per-document top-k window
+    * IS safe: work per partition is bounded by a document's vocabulary,
+    * and Spark's WindowGroupLimit prunes to k rows per group before the
+    * final sort. */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val words = wordTable(df, idCol, textCol)
+    val tf = words.groupBy("id", "w").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
+    // Vocabulary-sized: one row per distinct term.
+    val docFreq = tf.groupBy("w").agg(count(lit(1)).as("df_w"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(broadcast(docFreq), "w")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df_w")), 6))
+    val byDoc = Window.partitionBy("id")
+      .orderBy(col("score").desc, col("w").asc)
+    scored
+      .withColumn("rnk", row_number().over(byDoc))
+      .where(col("rnk") <= k)
+      .select(col("id").as(idCol), col("rnk"), col("w").as("term"),
+        col("tf"), col("score"))
+  }
+
+  /** Okapi BM25 scores for a bag of query terms over the corpus:
+    *
+    *   score(d) = sum over query terms t of
+    *     idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    *   idf(t) = ln((N - df + 0.5) / (df + 0.5) + 1)   (Lucene variant,
+    *     always positive)
+    *
+    * with dl = document word count and avgdl its corpus mean. Duplicate
+    * query terms are counted once (bag = set here, the common engine
+    * behavior). Returns the top `k` (idCol, score) rows, score rounded
+    * to 6 dp, ties on doc id ascending; only documents containing at
+    * least one query term appear.
+    *
+    * The term filter lands BEFORE the tf aggregation — on the exploded
+    * word stream, where predicate pushdown keeps everything downstream
+    * proportional to the query's postings, not the corpus. df/N/avgdl
+    * are computed over the FULL corpus (as any real index would have
+    * them) but join in as one-row / |terms|-row broadcasts. The scored
+    * stream and the document frequencies share ONE materialized
+    * (id, term, tf) posting table (tiny: query terms only); dl and
+    * N/avgdl each take a map-only corpus scan — three text scans total,
+    * only the posting one paying an explode. */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "BM25 needs at least one query term")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val words = wordTable(df, idCol, textCol)
+    // Corpus stats: doc lengths (per-doc agg), N + avgdl (one row).
+    // Wordless documents count toward N and avgdl with dl = 0, as an
+    // inverted index built from the full collection would have them.
+    val docLen = df
+      .select(col(idCol).as("id"),
+        size(graft.functions.WordNgramsExpr
+          .ngrams(col(textCol), 1, distinct = false)).cast("long").as("dl"))
+    val corpus = docLen.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = words.where(col("w").isin(terms: _*))
+      .groupBy("id", "w").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
+    // Document frequency of the query terms: tf already holds one row
+    // per (doc, term), so df is a plain count per term — derived from
+    // the SAME materialized postings, not a second corpus pass.
+    val docFreq = tf.groupBy("w").agg(count(lit(1)).as("df_w"))
+    val scored = tf
+      .join(broadcast(docFreq), "w")
+      .join(docLen, "id")
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf",
+        log((col("n_docs") - col("df_w") + 0.5) / (col("df_w") + 0.5) + 1.0))
+      .withColumn("contrib",
+        col("idf") * col("tf") * (k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+    scored.groupBy("id")
+      .agg(round(sum(col("contrib")), 6).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+      .select(col("id").as(idCol), col("score"))
+  }
+}

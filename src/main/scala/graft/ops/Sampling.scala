@@ -101,6 +101,28 @@ object Sampling {
           .as("uniform_weight"))
   }
 
+  /** Per-group cap: keep at most `n` rows per group, the best first by
+    * `rankCol` (descending) with a deterministic ascending tie-break on
+    * `tieCol` — the RefinedWeb-style per-domain cap (Penedo et al. 2023,
+    * arXiv:2306.01116 §3.2 dedup + url-level limits) that stops any one
+    * domain/source from dominating a training mix no matter how much of
+    * the crawl it is.
+    *
+    * Scale design: one shuffle on the group key, then a per-group
+    * window — work per partition is bounded by group size, and with
+    * domain-sized groups AQE's skew split handles a pathological
+    * mega-domain. No global sort, no driver state. */
+  def capPerGroup(df: DataFrame, groupCol: String,
+      rankCol: org.apache.spark.sql.Column, tieCol: String,
+      n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(rankCol.desc, col(tieCol).asc)
+    df.withColumn("__rnk", row_number().over(w))
+      .where(col("__rnk") <= n)
+      .drop("__rnk")
+  }
+
   /** Distributed byte-size estimate: fixed widths for fixed-size types +
     * octet_length for strings/binary (replaces the reference's
     * cube-root-sample -> toPandas memory probe with one aggregate). */

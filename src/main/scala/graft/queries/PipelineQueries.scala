@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, IvfIndex, MediaCodec, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Dedup, IvfIndex, MediaCodec, Multimodal, Relevance, Sampling, Similarity, TextAnalysis}
 import graft.queries.QueryCatalog.table
 
 /** LLM-data-pipeline operators as oracle-checked queries (north star in
@@ -475,16 +475,7 @@ object PipelineQueries {
           AS DOUBLE) / greatest(length(text), 1), 6) AS digit_ratio,
         round(CAST(len(regexp_extract_all(text, '[A-Z]'))
           AS DOUBLE) / greatest(length(text), 1), 6) AS upper_ratio,
-        round(greatest(0.0,
-          least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.4 +
-          (CASE WHEN round(CAST(list_sum(list_transform($dkWords, w -> length(w)))
-             AS DOUBLE) / greatest(len($dkWords), 1), 6)
-             BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.3 +
-          (1.0 - least(round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
-             AS DOUBLE) / greatest(length(text), 1), 6) * 2.0, 1.0)) * 0.2 +
-          (1.0 - least(round(CAST(len(regexp_extract_all(text, '[0-9]'))
-             AS DOUBLE) / greatest(length(text), 1), 6) * 2.0, 1.0)) * 0.1), 6)
-          AS quality_score
+        $dkQualityScore AS quality_score
       FROM documents ORDER BY doc_id"""))
 
   /** Token counting: whitespace + BPE-ish regex tokens. */
@@ -992,10 +983,114 @@ object PipelineQueries {
           / 128.0) AS INT) AS pack_id
       FROM ch ORDER BY doc_id, chunk_id"""))
 
+  /** Duplicated n-gram fraction (Lee et al. 2022 exact-substring dedup
+    * signal, word-5-gram occurrence variant — see
+    * [[Dedup.duplicatedNgramStats]]). The oracle recomputes the
+    * occurrence-level gram counts and document frequencies in SQL, so
+    * the collapsed-before-the-wire Spark plan is hash-checked against a
+    * direct materialization of every occurrence. */
+  val qDupNgramFraction = Q(
+    "q61_dup_ngram_fraction",
+    (s, dir) =>
+      Dedup.duplicatedNgramStats(table(s, dir, "documents"),
+          "doc_id", "text", n = 5)
+        .orderBy("doc_id"),
+    Some(s"""WITH w AS (SELECT doc_id AS id, $dkWords AS ws FROM documents),
+      oc AS (SELECT id, unnest(
+               [array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws) - 3)]) AS g
+             FROM w WHERE len(ws) >= 5),
+      gc AS (SELECT id, g, count(*) AS cnt FROM oc GROUP BY 1, 2),
+      dfq AS (SELECT g, count(*) AS df_g FROM gc GROUP BY 1)
+      SELECT id AS doc_id,
+        CAST(sum(cnt) AS BIGINT) AS n_grams,
+        CAST(sum(CASE WHEN df_g >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS dup_grams,
+        round(CAST(sum(CASE WHEN df_g >= 2 THEN cnt ELSE 0 END) AS DOUBLE)
+              / sum(cnt), 6) AS dup_frac
+      FROM gc JOIN dfq USING (g)
+      GROUP BY id ORDER BY doc_id"""))
+
+  /** TF-IDF top-3 terms per document ([[Relevance.tfIdfTopTerms]]).
+    * Both engines rank by the 6-dp-ROUNDED score (then term asc), so the
+    * row_number cutoff is deterministic and identical despite ln() being
+    * implementation-rounded. */
+  val qTfIdfTerms = Q(
+    "q62_tfidf_terms",
+    (s, dir) =>
+      Relevance.tfIdfTopTerms(table(s, dir, "documents"),
+          "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rnk"),
+    Some(s"""WITH w AS (SELECT doc_id AS id, $dkWords AS ws FROM documents),
+      oc AS (SELECT id, unnest(ws) AS w FROM w),
+      tf AS (SELECT id, w, count(*) AS tf FROM oc GROUP BY 1, 2),
+      dfq AS (SELECT w, count(*) AS df_w FROM tf GROUP BY 1),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      scored AS (SELECT id, w, tf,
+                   round(tf * ln(CAST(n_docs AS DOUBLE) / df_w), 6) AS score
+                 FROM tf JOIN dfq USING (w) CROSS JOIN n),
+      ranked AS (SELECT *, CAST(row_number() OVER
+                   (PARTITION BY id ORDER BY score DESC, w) AS INT) AS rnk
+                 FROM scored)
+      SELECT id AS doc_id, rnk, w AS term, CAST(tf AS BIGINT) AS tf, score
+      FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk"""))
+
+  /** BM25 top-20 for a fixed 3-term query ([[Relevance.bm25TopK]],
+    * Lucene idf variant, k1 = 1.2, b = 0.75). The oracle rebuilds the
+    * full index-side statistics (df over ALL docs containing the terms,
+    * N and avgdl over the whole collection including wordless docs) so
+    * the early term-filter on the Spark side is proven not to change
+    * any statistic it must not. */
+  val qBm25 = Q(
+    "q63_bm25_topk",
+    (s, dir) =>
+      Relevance.bm25TopK(table(s, dir, "documents"), "doc_id", "text",
+          queryTerms = Seq("hash", "join", "merge"), k = 20)
+        // limit() already took rows in this order; re-assert it as the
+        // plan's final op so the result's row order is contractual.
+        .orderBy(col("score").desc, col("doc_id").asc),
+    Some(s"""WITH w AS (SELECT doc_id AS id, $dkWords AS ws FROM documents),
+      dl AS (SELECT id, len(ws) AS dl FROM w),
+      corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      oc AS (SELECT id, unnest(ws) AS w FROM w),
+      q AS (SELECT unnest(['hash', 'join', 'merge']) AS w),
+      dfq AS (SELECT w, count(DISTINCT id) AS df_w
+              FROM oc JOIN q USING (w) GROUP BY 1),
+      tf AS (SELECT id, w, count(*) AS tf
+             FROM oc JOIN q USING (w) GROUP BY 1, 2),
+      scored AS (SELECT id,
+          ln((n_docs - df_w + 0.5) / (df_w + 0.5) + 1.0) * tf * (1.2 + 1.0)
+            / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS contrib
+        FROM tf JOIN dfq USING (w) JOIN dl USING (id) CROSS JOIN corpus)
+      SELECT id AS doc_id, round(sum(contrib), 6) AS score
+      FROM scored GROUP BY id
+      ORDER BY score DESC, doc_id LIMIT 20"""))
+
+  /** RefinedWeb-style per-source cap ([[Sampling.capPerGroup]]): at most
+    * 10 documents per source, best-quality-first (6-dp-rounded
+    * [[TextAnalysis.qualityScore]], ties on doc_id asc — both engines
+    * rank on the ROUNDED score so the window cutoff is deterministic).
+    * The anti-domination selection a training mix applies after dedup. */
+  val qSourceCap = Q(
+    "q64_source_cap",
+    (s, dir) =>
+      Sampling.capPerGroup(table(s, dir, "documents"), "source",
+          TextAnalysis.qualityScore(col("text")), "doc_id", n = 10)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.qualityScore(col("text")).as("quality_score"))
+        .orderBy("doc_id"),
+    Some(s"""WITH scored AS (SELECT doc_id, source,
+               $dkQualityScore AS quality_score FROM documents),
+      ranked AS (SELECT *, row_number() OVER
+                   (PARTITION BY source
+                    ORDER BY quality_score DESC, doc_id) AS rnk
+                 FROM scored)
+      SELECT doc_id, source, quality_score
+      FROM ranked WHERE rnk <= 10 ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qNgramJaccard, qDedupClusters, qDedupCanonical,
     qDecontamination, qChunking, qLineDedup, qMixStats, qNormalize,
     qSourceQuality, qSemDedup, qPackChunks,
+    qDupNgramFraction, qTfIdfTerms, qBm25, qSourceCap,
     qMinhashSig, qMinhashLsh, qSimhash,
     qEmbedTopK, qEmbedTopKIvf, qEmbedTopKIvfPersisted, qEmbedNearDup,
     qLangId, qTextQuality,

@@ -1,0 +1,95 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class RelevanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4 docs; "shared" appears in all, "pair" in two, others unique.
+  private lazy val docs = Seq(
+    (0L, "shared pair alpha alpha"),
+    (1L, "shared pair beta"),
+    (2L, "shared gamma"),
+    (3L, "")
+  ).toDF("doc_id", "text")
+
+  test("tfIdfTopTerms: hand-computed scores, rank ties break on term asc") {
+    val out = Relevance.tfIdfTopTerms(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rnk")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getDouble(4)))
+    // N = 4 docs (the empty one counts). idf: shared ln(4/3), pair
+    // ln(4/2), alpha/beta/gamma ln(4/1).
+    val ln = (x: Double) => math.log(x)
+    val r6 = (x: Double) => BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.filter(_._1 == 0L).toSeq == Seq(
+      (0L, 1, "alpha", 2L, r6(2 * ln(4.0))),  // tf=2 dominates
+      (0L, 2, "pair", 1L, r6(ln(2.0)))))
+    assert(out.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 1, "beta", 1L, r6(ln(4.0))),
+      (1L, 2, "pair", 1L, r6(ln(2.0)))))
+    assert(out.filter(_._1 == 2L).toSeq == Seq(
+      (2L, 1, "gamma", 1L, r6(ln(4.0))),
+      (2L, 2, "shared", 1L, r6(ln(4.0 / 3)))))
+    // doc 3 has no words -> no rows
+    assert(!out.exists(_._1 == 3L))
+  }
+
+  test("tfIdfTopTerms: equal scores order by term ascending") {
+    val tied = Seq((0L, "bb aa")).toDF("doc_id", "text")
+    val out = Relevance.tfIdfTopTerms(tied, "doc_id", "text", k = 2)
+      .orderBy("rnk").select("term").as[String].collect().toSeq
+    assert(out == Seq("aa", "bb")) // same tf, same idf -> term asc
+  }
+
+  test("bm25TopK: hand-computed Lucene-variant scores") {
+    val out = Relevance.bm25TopK(docs, "doc_id", "text",
+        queryTerms = Seq("PAIR", "pair", "alpha"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // N = 4, avgdl = (4 + 3 + 2 + 0) / 4 = 2.25.
+    // df: pair = 2, alpha = 1. Duplicate query terms count once;
+    // case-insensitive ("PAIR" == "pair").
+    val idf = (df: Int) => math.log((4 - df + 0.5) / (df + 0.5) + 1.0)
+    val k1 = 1.2; val b = 0.75
+    def contrib(df: Int, tf: Long, dl: Long): Double =
+      idf(df) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / 2.25))
+    val r6 = (x: Double) => BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.keySet == Set(0L, 1L)) // only docs containing a query term
+    assert(out(0L) == r6(contrib(2, 1, 4) + contrib(1, 2, 4)))
+    assert(out(1L) == r6(contrib(2, 1, 3)))
+  }
+
+  test("capPerGroup keeps best-n per group, rounded-score rank, tie on id asc") {
+    val d = Seq(
+      (0L, "a", 0.9), (1L, "a", 0.5), (2L, "a", 0.9), // tie 0.9: keep 0 then 2
+      (3L, "b", 0.1)
+    ).toDF("doc_id", "source", "q")
+    val out = Sampling.capPerGroup(d, "source",
+        org.apache.spark.sql.functions.col("q"), "doc_id", n = 2)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(0L, 2L, 3L))
+  }
+
+  test("duplicatedNgramStats: occurrence-level fraction, within-doc repeats kept") {
+    // 2-grams: doc 0 and 1 share "a b"; doc 0 repeats "a b" twice via
+    // "a b a b" -> grams [a b, b a, a b]; doc 2 all-unique grams.
+    val d = Seq(
+      (0L, "a b a b"),
+      (1L, "a b c"),
+      (2L, "x y z"),
+      (3L, "w") // fewer than n words -> no row
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedNgramStats(d, "doc_id", "text", n = 2)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // doc 0: grams [a b, b a, a b] -> "a b" df=2 (docs 0,1): 2 of 3 dup
+    assert(out(0L) == ((3L, 2L, 0.666667)))
+    // doc 1: grams [a b, b c] -> 1 of 2 dup
+    assert(out(1L) == ((2L, 1L, 0.5)))
+    assert(out(2L) == ((2L, 0L, 0.0)))
+    assert(!out.contains(3L))
+  }
+}
