@@ -18,7 +18,15 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark) // SQL surface
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Dev aid: SPARK_GRAFT_ONLY=q65,q66 restricts the dump to queries whose
+    // name starts with a listed prefix (driver leaves it unset → full run).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    SparkEntry.queries
+      .filter { case (name, _) =>
+        only.isEmpty || only.exists(name.startsWith) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ordered-sequence funnel analysis (ClickHouse `windowFunnel` shape):
+  * for each key, the first time each step of an event-type sequence is
+  * reached, where step i only counts at-or-after the first completion of
+  * step i-1. The reference has no temporal operators; this extends the
+  * pipeline surface alongside Sessionize/AsofJoin.
+  *
+  * Spark-first design: ONE hash shuffle on the key, then a chain of
+  * running-min window expressions over the same (key, time, stepIdx)
+  * sort — `min(when(step_i qualifies, t))` carries "step i-1 already
+  * seen" forward, so a row knows in O(1) whether it advances the funnel.
+  * All windows share partitioning and ordering, so Catalyst plans them
+  * as consecutive WindowExecs over a single exchange+sort. The final
+  * per-key rollup is a plain partial-aggregated groupBy. No joins, no
+  * per-key iteration, O(1) state per row — the plan is unchanged at
+  * 1000 executors.
+  *
+  * Equal timestamps: rows sort by (time, step index), so an earlier step
+  * at the same instant counts as preceding — i.e. step i matches at
+  * `t >= first(step i-1)` inclusively. Deterministic given distinct
+  * (time, step) pairs per key.
+  */
+object Funnel {
+
+  /** Per-key funnel: one row per key with `t1..tk` (first qualifying time
+    * per step, null once the chain breaks) and `level` = number of steps
+    * completed. `window` (same units as `time`) bounds the whole funnel
+    * to `t_i - t1 <= window` relative to the first step-1 time.
+    */
+  def funnel(
+      df: DataFrame,
+      key: String,
+      time: String,
+      typeCol: String,
+      steps: Seq[String],
+      window: Option[Long] = None): DataFrame = {
+    require(steps.nonEmpty, "steps must be non-empty")
+    require(steps.distinct.size == steps.size, s"duplicate steps: $steps")
+    val clash = df.columns.filter(c =>
+      c == "level" || c.startsWith("__fq") || c.startsWith("__frun"))
+    require(clash.isEmpty, s"reserved column names in input: ${clash.toSeq}")
+
+    // step index orders equal-time rows so earlier steps sort first
+    val stepIdx = steps.zipWithIndex
+      .foldLeft(lit(steps.size)) { case (acc, (s, i)) =>
+        when(col(typeCol) === s, lit(i)).otherwise(acc)
+      }
+    val w = Window
+      .partitionBy(col(key))
+      .orderBy(col(time).asc, stepIdx.asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    // __fq{i}: this row advances step i (its type matches and step i-1's
+    // running first-time is already set — inclusively, per the sort);
+    // __frun{i}: running min qualifying time of step i.
+    var cur = df
+    steps.zipWithIndex.foreach { case (s, i) =>
+      val isStep = col(typeCol) === s
+      val q: Column =
+        if (i == 0) isStep
+        else {
+          val chained = isStep && col(s"__frun${i - 1}").isNotNull
+          window match {
+            case Some(win) => chained && col(time) - col("__frun0") <= win
+            case None => chained
+          }
+        }
+      cur = cur
+        .withColumn(s"__fq$i", q)
+        .withColumn(s"__frun$i", min(when(col(s"__fq$i"), col(time))).over(w))
+    }
+
+    val stepAggs = steps.indices.map { i =>
+      min(when(col(s"__fq$i"), col(time))).as(s"t${i + 1}")
+    }
+    val agg = cur.groupBy(col(key)).agg(stepAggs.head, stepAggs.tail: _*)
+    // level = longest non-null prefix (suffix nulls are structural: step i
+    // can only qualify after step i-1 did)
+    val level = (1 to steps.size).map(i => when(col(s"t$i").isNotNull, 1)
+      .otherwise(0)).reduce(_ + _)
+    agg.withColumn("level", level.cast("long"))
+  }
+}

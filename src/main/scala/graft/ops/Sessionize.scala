@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap-based sessionization over an event stream.
+  *
+  * Assigns a per-key `session_id` (1-based, dense) where a new session
+  * starts whenever the gap to the previous event of the same key strictly
+  * exceeds `gap` (same units as the time column). The classic building
+  * block for clickstream / telemetry pipelines the reference's profiling
+  * surface feeds into; the reference itself has no temporal operators, so
+  * this is part of the pipeline-extension surface (SURVEY §2 extension).
+  *
+  * Scale design: ONE shuffle (hash on the key), then two window functions
+  * over the same (key, time) sort — Spark evaluates both in a single
+  * WindowExec with per-partition streaming state of O(1) per key. No
+  * global window, no driver participation, so the plan is unchanged at
+  * 1000 executors: each key's timeline lands on one task. Skewed keys
+  * (one user with billions of events) are the only hazard — for those,
+  * pre-split by (key, coarse time bucket) upstream and stitch session ids
+  * across bucket boundaries, which this API supports by composing over
+  * bucketed input.
+  */
+object Sessionize {
+
+  /** Adds a `session_id` column. `time` must be numeric (e.g. epoch
+    * nanos — `events.ts` reads as long under parquet nanosAsLong);
+    * `tieBreak` columns make the per-key order total when timestamps can
+    * collide, so session numbering is deterministic.
+    */
+  def sessionize(
+      df: DataFrame,
+      key: String,
+      time: String,
+      gap: Long,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    require(gap >= 0, s"gap must be >= 0, got $gap")
+    val order: Seq[Column] = (col(time) +: tieBreak.map(col)).map(_.asc)
+    val w = Window.partitionBy(col(key)).orderBy(order: _*)
+    val prev = lag(col(time), 1).over(w)
+    val isNew = when(prev.isNull || col(time) - prev > gap, 1L).otherwise(0L)
+    df.withColumn(
+      "session_id",
+      sum(isNew).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Per-session rollup: event count, start/end/duration, exact value sum
+    * (through DECIMAL so the result is order-independent).
+    */
+  def sessionStats(
+      df: DataFrame,
+      key: String,
+      time: String,
+      gap: Long,
+      valueCol: String,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    sessionize(df, key, time, gap, tieBreak)
+      .groupBy(col(key), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col(time)).as("t_start"),
+        max(col(time)).as("t_end"),
+        (max(col(time)) - min(col(time))).as("duration"),
+        sum(col(valueCol).cast(DecimalType(18, 6))).cast("double")
+          .as("sum_value"))
+  }
+}

@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.ops.{AsofJoin, RangeJoin, Sessionize}
+import graft.queries.QueryCatalog.table
+
+/** Temporal operators over the `events` stream table: sessionization,
+  * as-of join, bin-bucketed range join. The reference has no temporal
+  * surface — these are pipeline-extension operators (SURVEY §2 ext).
+  *
+  * `events.ts` is parquet TIMESTAMP(NANOS): Spark reads it as epoch-nanos
+  * longs (spark.sql.legacy.parquet.nanosAsLong) while DuckDB truncates to
+  * its native microsecond TIMESTAMP on read (verified: epoch_us(ts) ==
+  * ns div 1000 on every row, truncation not rounding). Both sides of
+  * every oracle-checked comparison therefore work in integer MICROSECONDS
+  * (`ts div 1000` / `epoch_us(ts)`) so boundary predicates agree exactly.
+  */
+object TemporalQueries {
+
+  private val HourUs = 3600L * 1000 * 1000
+
+  /** Gap-based sessions: 8h inactivity splits a user's timeline. */
+  val qSessionize = Q(
+    "q65_sessionize",
+    (s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("value"),
+          expr("ts div 1000").as("tus"))
+      Sessionize
+        .sessionStats(ev, "user_id", "tus", 8 * HourUs, "value",
+          tieBreak = Seq("event_id"))
+        .orderBy("user_id", "session_id")
+    },
+    Some("""WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events),
+      d AS (SELECT user_id, event_id, tus, value,
+        CASE WHEN lag(tus) OVER w IS NULL
+               OR tus - lag(tus) OVER w > 28800000000
+             THEN 1 ELSE 0 END AS is_new
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+      g AS (SELECT user_id, tus, value,
+        CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM d)
+      SELECT user_id, session_id, count(*) AS n_events,
+        min(tus) AS t_start, max(tus) AS t_end,
+        max(tus) - min(tus) AS duration,
+        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM g GROUP BY user_id, session_id
+      ORDER BY user_id, session_id"""))
+
+  /** As-of join: each click matched to the user's latest prior-or-equal
+    * purchase (union + carry-forward window — one shuffle, no join). */
+  val qAsofJoin = Q(
+    "q66_asof_join",
+    (s, dir) => {
+      val ev = table(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("tus"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"),
+          expr("ts div 1000").as("p_ts"),
+          col("event_id").as("p_event_id"), col("value").as("p_value"))
+      AsofJoin
+        .asof(clicks, purchases, "user_id", "p_user", "tus", "p_ts",
+          rightCols = Seq("p_event_id", "p_ts", "p_value"),
+          rightTieBreak = Some("p_event_id"))
+        .select(col("event_id"), col("user_id"), col("tus"),
+          col("p_event_id"), col("p_value"),
+          (col("tus") - col("p_ts")).as("lag_us"))
+        .orderBy("event_id")
+    },
+    Some("""WITH c AS (
+        SELECT event_id, user_id, epoch_us(ts) AS tus FROM events
+        WHERE event_type = 'click'),
+      p AS (SELECT user_id, epoch_us(ts) AS pus, event_id AS p_event_id,
+          value AS p_value FROM events WHERE event_type = 'purchase'),
+      m AS (SELECT c.event_id, p.p_event_id, p.p_value,
+          c.tus - p.pus AS lag_us,
+          row_number() OVER (PARTITION BY c.event_id
+            ORDER BY p.pus DESC, p.p_event_id DESC) AS rn
+        FROM c JOIN p ON c.user_id = p.user_id AND p.pus <= c.tus)
+      SELECT c.event_id, c.user_id, c.tus, m.p_event_id, m.p_value, m.lag_us
+      FROM c LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
+        ON c.event_id = m.event_id
+      ORDER BY c.event_id"""))
+
+  /** Range join: events falling in the 2h window after each error event
+    * (global intervals, no equi key — the bin-bucketed plan). */
+  val qRangeJoin = Q(
+    "q67_range_join",
+    (s, dir) => {
+      val ev = table(s, dir, "events")
+      val pts = ev.where(col("event_type") =!= "error")
+        .select(expr("ts div 1000").as("pt_ts"), col("value"))
+      val ivs = ev.where(col("event_type") === "error")
+        .select(col("event_id").as("iv_id"),
+          expr("ts div 1000").as("lo"),
+          (expr("ts div 1000") + lit(2 * HourUs)).as("hi"))
+      RangeJoin.pointInInterval(pts, "pt_ts", ivs, "lo", "hi", 2 * HourUs)
+        .groupBy("iv_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 6))).cast("double")
+            .as("sum_value"))
+        .orderBy("iv_id")
+    },
+    Some("""WITH p AS (
+        SELECT epoch_us(ts) AS tus, value FROM events
+        WHERE event_type <> 'error'),
+      i AS (SELECT event_id AS iv_id, epoch_us(ts) AS lo,
+          epoch_us(ts) + 7200000000 AS hi FROM events
+        WHERE event_type = 'error')
+      SELECT i.iv_id, count(*) AS n_events,
+        CAST(sum(CAST(p.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM i JOIN p ON p.tus >= i.lo AND p.tus <= i.hi
+      GROUP BY i.iv_id ORDER BY i.iv_id"""))
+
+  /** Funnel: first signup -> first click at-or-after it -> first purchase
+    * at-or-after that, per user (chained running-min windows, one
+    * shuffle). */
+  val qFunnel = Q(
+    "q68_funnel",
+    (s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 1000").as("tus"))
+      graft.ops.Funnel
+        .funnel(ev, "user_id", "tus", "event_type",
+          steps = Seq("signup", "click", "purchase"))
+        .orderBy("user_id")
+    },
+    Some("""WITH s1 AS (
+        SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id),
+      s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2 FROM events e
+        JOIN s1 USING (user_id)
+        WHERE e.event_type = 'click' AND epoch_us(e.ts) >= s1.t1
+        GROUP BY e.user_id),
+      s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3 FROM events e
+        JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s2.t2
+        GROUP BY e.user_id)
+      SELECT u.user_id, s1.t1, s2.t2, s3.t3,
+        CAST(CASE WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END
+           + CASE WHEN s2.t2 IS NOT NULL THEN 1 ELSE 0 END
+           + CASE WHEN s3.t3 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+          AS level
+      FROM (SELECT DISTINCT user_id FROM events) u
+      LEFT JOIN s1 USING (user_id)
+      LEFT JOIN s2 USING (user_id)
+      LEFT JOIN s3 USING (user_id)
+      ORDER BY u.user_id"""))
+
+  val all: Seq[Q] = Seq(qSessionize, qAsofJoin, qRangeJoin, qFunnel)
+}

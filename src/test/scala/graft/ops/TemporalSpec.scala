@@ -1,0 +1,176 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Sessionize / AsofJoin / RangeJoin: semantics on hand-built timelines
+  * plus the plan shapes that make them scale (no real join in asof, no
+  * cartesian in the range join). */
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- sessionize
+
+  test("sessionize splits on strict gap > threshold, per key") {
+    // key a: gaps 10, 11 (split), 5; key b: single event
+    val df = Seq(
+      ("a", 100L, 1L), ("a", 110L, 2L), ("a", 121L, 3L), ("a", 126L, 4L),
+      ("b", 500L, 5L)).toDF("k", "t", "id")
+    val out = Sessionize.sessionize(df, "k", "t", gap = 10L, Seq("id"))
+      .select("k", "t", "session_id").as[(String, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq == Seq(
+      ("a", 100L, 1L), ("a", 110L, 1L), // gap == 10 is NOT > gap: same session
+      ("a", 121L, 2L), ("a", 126L, 2L),
+      ("b", 500L, 1L)))
+  }
+
+  test("sessionize is deterministic under timestamp ties via tieBreak") {
+    val df = Seq(("a", 100L, 2L), ("a", 100L, 1L), ("a", 200L, 3L))
+      .toDF("k", "t", "id")
+    val out = Sessionize.sessionize(df, "k", "t", gap = 50L, Seq("id"))
+      .select("id", "session_id").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("sessionStats rolls up count/bounds/duration/exact sum") {
+    val df = Seq(
+      ("a", 100L, 1L, 1.5), ("a", 105L, 2L, 2.5), ("a", 300L, 3L, 4.0))
+      .toDF("k", "t", "id", "v")
+    val out = Sessionize.sessionStats(df, "k", "t", gap = 50L, "v", Seq("id"))
+      .orderBy("session_id")
+      .select("session_id", "n_events", "t_start", "t_end", "duration",
+        "sum_value")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 2L, 100L, 105L, 5L, 4.0),
+      (2L, 1L, 300L, 300L, 0L, 4.0)))
+  }
+
+  // ---------------------------------------------------------------- asof join
+
+  private lazy val trades = Seq(
+    (1L, "x", 100L), (2L, "x", 200L), (3L, "x", 205L), (4L, "y", 50L))
+    .toDF("trade_id", "sym", "t")
+  private lazy val quotes = Seq(
+    ("x", 90L, 10L, 1.0), ("x", 200L, 11L, 2.0), ("x", 210L, 12L, 3.0),
+    ("z", 1L, 13L, 9.0))
+    .toDF("q_sym", "q_t", "quote_id", "px")
+
+  test("asof backward: greatest right time <= left time, inclusive") {
+    val out = AsofJoin.asof(trades, quotes, "sym", "q_sym", "t", "q_t",
+      rightCols = Seq("quote_id", "px"), rightTieBreak = Some("quote_id"))
+      .orderBy("trade_id")
+      .select("trade_id", "quote_id", "px")
+      .as[(Long, Option[Long], Option[Double])].collect().toSeq
+    assert(out == Seq(
+      (1L, Some(10L), Some(1.0)),  // 90 <= 100
+      (2L, Some(11L), Some(2.0)),  // equal time matches (inclusive)
+      (3L, Some(11L), Some(2.0)),  // 210 is in the future
+      (4L, None, None)))           // key y has no quotes
+  }
+
+  test("asof forward: least right time >= left time") {
+    val out = AsofJoin.asof(trades, quotes, "sym", "q_sym", "t", "q_t",
+      rightCols = Seq("quote_id"), rightTieBreak = Some("quote_id"),
+      forward = true)
+      .orderBy("trade_id")
+      .select("trade_id", "quote_id")
+      .as[(Long, Option[Long])].collect().toSeq
+    assert(out == Seq(
+      (1L, Some(11L)), (2L, Some(11L)), (3L, Some(12L)), (4L, None)))
+  }
+
+  test("asof tolerance nulls out stale matches") {
+    val out = AsofJoin.asof(trades, quotes, "sym", "q_sym", "t", "q_t",
+      rightCols = Seq("quote_id"), rightTieBreak = Some("quote_id"),
+      tolerance = Some(5L))
+      .orderBy("trade_id")
+      .select("trade_id", "quote_id")
+      .as[(Long, Option[Long])].collect().toSeq
+    // trade1 lag 10 > 5 -> null; trade2 lag 0 ok; trade3 lag 5 ok (<=)
+    assert(out == Seq((1L, None), (2L, Some(11L)), (3L, Some(11L)),
+      (4L, None)))
+  }
+
+  test("asof right-time ties: greatest tiebreak wins, columns from ONE row") {
+    val q2 = Seq(("x", 100L, 1L, 10.0), ("x", 100L, 2L, 20.0))
+      .toDF("q_sym", "q_t", "quote_id", "px")
+    val l = Seq((1L, "x", 150L)).toDF("trade_id", "sym", "t")
+    val out = AsofJoin.asof(l, q2, "sym", "q_sym", "t", "q_t",
+      rightCols = Seq("quote_id", "px"), rightTieBreak = Some("quote_id"))
+      .select("quote_id", "px").as[(Long, Double)].collect().toSeq
+    assert(out == Seq((2L, 20.0)))
+  }
+
+  test("asof matched struct keeps genuine nulls without row mixing") {
+    // newer quote has null px: the match must surface (12, null), not
+    // graft px=2.0 from the older row (the per-column last() bug)
+    val q2 = Seq(("x", 90L, 11L, Some(2.0)), ("x", 95L, 12L, None))
+      .toDF("q_sym", "q_t", "quote_id", "px")
+    val l = Seq((1L, "x", 100L)).toDF("trade_id", "sym", "t")
+    val out = AsofJoin.asof(l, q2, "sym", "q_sym", "t", "q_t",
+      rightCols = Seq("quote_id", "px"), rightTieBreak = Some("quote_id"))
+      .select("quote_id", "px").as[(Option[Long], Option[Double])]
+      .collect().toSeq
+    assert(out == Seq((Some(12L), None)))
+  }
+
+  test("asof plan: no join operator, one shuffle") {
+    val out = AsofJoin.asof(trades, quotes, "sym", "q_sym", "t", "q_t",
+      rightCols = Seq("quote_id"), rightTieBreak = Some("quote_id"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"asof must not plan a join:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n$plan")
+  }
+
+  // ---------------------------------------------------------------- range join
+
+  test("pointInInterval == naive theta join, inclusive bounds") {
+    val pts = (0L to 200L by 7).map(t => (t, s"p$t")).toDF("pt", "tag")
+    val ivs = Seq((1L, 0L, 10L), (2L, 10L, 30L), (3L, 147L, 147L),
+      (4L, 300L, 400L)).toDF("iv_id", "lo", "hi")
+    val got = RangeJoin.pointInInterval(pts, "pt", ivs, "lo", "hi", 16L)
+      .select("iv_id", "pt").as[(Long, Long)].collect().toSet
+    val want = pts.join(ivs, col("pt") >= col("lo") && col("pt") <= col("hi"))
+      .select("iv_id", "pt").as[(Long, Long)].collect().toSet
+    assert(got == want)
+    assert(want.contains((3L, 147L))) // degenerate [147,147] still matches
+    assert(!want.exists(_._1 == 4L))  // empty interval drops out
+  }
+
+  test("pointInInterval exact binning for values beyond 2^53") {
+    // epoch-nanos-scale values: double math would mis-bin these
+    val base = 1704067200000000000L // 2024-01-01 in ns
+    val pts = Seq((base + 1L, "a"), (base + 999L, "b")).toDF("pt", "tag")
+    val ivs = Seq((1L, base, base + 500L)).toDF("iv_id", "lo", "hi")
+    val got = RangeJoin
+      .pointInInterval(pts, "pt", ivs, "lo", "hi", 1000L)
+      .select("tag").as[String].collect().toSet
+    assert(got == Set("a"))
+  }
+
+  test("pointInInterval plan: equi-join on bin, no nested-loop/cartesian") {
+    val pts = (0L to 200L).map(t => (t, t)).toDF("pt", "x")
+    val ivs = (0L to 50L).map(i => (i, i * 4, i * 4 + 6)).toDF("iv", "lo", "hi")
+    val plan = RangeJoin.pointInInterval(pts, "pt", ivs, "lo", "hi", 8L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"range join degenerated to nested loop:\n$plan")
+  }
+
+  test("rejects clashing column names and bad widths") {
+    val a = Seq((1L, 2L)).toDF("t", "x")
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(a, "t", a, "t", "x", 10L)
+    }
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(a, "t", Seq((1L, 2L)).toDF("lo", "hi"),
+        "lo", "hi", 0L)
+    }
+    intercept[IllegalArgumentException] {
+      AsofJoin.asof(a, a, "t", "t", "x", "x", rightCols = Seq("x"))
+    }
+  }
+}
