@@ -145,8 +145,35 @@ object Bench {
         q.stop()
         deleteRecursively(new java.io.File(ckpt)) // state-store tmp files
       }
+      val sessSec = timeIt("s03_streaming_sessionize") {
+        val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+        val ckpt = java.nio.file.Files
+          .createTempDirectory(s"graft-bench-ssess-$tag").toString
+        val q = graft.streaming.StreamingSessionize.sessionStats(
+            mem.toDF.toDF("user", "ts", "v"), "user", "ts",
+            "30 seconds", "v")
+          .writeStream.format("memory").queryName(s"bench_ssess_$tag")
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Append()).start()
+        (0 until 5).foreach { b =>
+          // 1000 users, ~1 event/10s each with periodic >30s gaps so
+          // sessions continually close and evict
+          mem.addData((0 until 10000).map { i =>
+            val n = b * 10000 + i
+            val user = n % 1000L
+            val step = n / 1000
+            val t = 1700000000000L + user * 17 + step * 10000L +
+              (step / 7) * 60000L // every 7th step jumps a minute: new session
+            (user, new java.sql.Timestamp(t), (n % 97).toDouble)
+          })
+          q.processAllAvailable()
+        }
+        q.stop()
+        deleteRecursively(new java.io.File(ckpt))
+      }
       Map("s01_streaming_profile" -> profileSec,
-        "s02_streaming_dedup" -> dedupSec)
+        "s02_streaming_dedup" -> dedupSec,
+        "s03_streaming_sessionize" -> sessSec)
     }
     val sPass1 = streamingOnce("p1")
     val sPass2 = streamingOnce("p2")

@@ -360,8 +360,72 @@ object ExtraQueries {
         FROM lineitem GROUP BY 2)
       ORDER BY c, v"""))
 
+  /** Per-group exact quantiles — grouped percentile buffers (one
+    * ObjectHashAggregate with partial merge), the per-segment flavor of
+    * q05. At 100 TB cardinalities the sketch path (approx_percentile /
+    * GK, same plan shape) is the operating mode; exact here for the
+    * oracle. */
+  val qGroupedQuantiles = Q(
+    "q69_grouped_quantiles",
+    (s, dir) => {
+      table(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          expr("percentile(value, array(0.25,0.5,0.75,0.95))").as("qs"),
+          count(col("value")).as("n"))
+        .select(
+          col("event_type"),
+          round(element_at(col("qs"), 1), 6).as("p25"),
+          round(element_at(col("qs"), 2), 6).as("p50"),
+          round(element_at(col("qs"), 3), 6).as("p75"),
+          round(element_at(col("qs"), 4), 6).as("p95"),
+          col("n"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type,
+      round(quantile_cont(value, 0.25), 6) AS p25,
+      round(quantile_cont(value, 0.5), 6) AS p50,
+      round(quantile_cont(value, 0.75), 6) AS p75,
+      round(quantile_cont(value, 0.95), 6) AS p95,
+      count(value) AS n
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** Embedding covariance via the one-pass mapPartitions Gram
+    * accumulation in [[graft.ops.Pca]] — the PCA/whitening input. The
+    * oracle recomputes each of the 8×8 upper-triangle entries with
+    * covar_samp, so the distributed Gram path (not a per-pair agg) is
+    * what gets hash-checked. */
+  val qEmbedCovariance = {
+    val dims = 0 until 8
+    val pairs = for { i <- dims; j <- dims if j >= i } yield (i, j)
+    Q(
+      "q70_embed_covariance",
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+          .select(slice(col("embedding"), 1, dims.size).as("v"))
+        val (cov, _, _) =
+          graft.ops.Pca.covarianceMatrix(emb, "v", dims.size)
+        val row = org.apache.spark.sql.Row.fromSeq(pairs.map { case (i, j) =>
+          BigDecimal(cov(i)(j)).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble
+        })
+        val schema = org.apache.spark.sql.types.StructType(pairs.map {
+          case (i, j) => org.apache.spark.sql.types.StructField(
+            s"cov_${i}_$j", org.apache.spark.sql.types.DoubleType)
+        }.toSeq)
+        s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            java.util.Arrays.asList(row)), schema)
+      },
+      Some("SELECT " + pairs.map { case (i, j) =>
+        s"round(covar_samp(embedding[${i + 1}], embedding[${j + 1}]), 8)" +
+          s" AS cov_${i}_$j"
+      }.mkString(", ") + " FROM embeddings"))
+  }
+
   val all: Seq[Q] = Seq(
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qMapValueCounts,
-    qSaltedJoin, qCsvScan, qJsonlScan, qStratifiedSample, qApproxTopK)
+    qSaltedJoin, qCsvScan, qJsonlScan, qStratifiedSample, qApproxTopK,
+    qGroupedQuantiles, qEmbedCovariance)
 }
