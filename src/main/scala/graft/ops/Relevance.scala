@@ -135,4 +135,36 @@ object Relevance {
       .limit(k)
       .select(col("id").as(idCol), col("score"))
   }
+
+  /** CCNet-style unigram language-model quality signal: each document's
+    * cross-entropy (nats/token) under the corpus's own MLE unigram
+    * model — low = typical text, high = outlier/noise, the cheap proxy
+    * for the KenLM-perplexity filter used when no external LM is
+    * available (and the in-corpus flavor is exactly how "weird relative
+    * to this crawl" is scored). perplexity = exp(cross_entropy).
+    *
+    * ONE corpus scan: the (id, term, tf) posting table materializes once
+    * (lazy localCheckpoint — same ReuseExchange rationale as
+    * [[tfIdfTopTerms]]) and BOTH the corpus term-frequency table and the
+    * per-document score stream derive from it. Corpus frequencies join
+    * back as a vocabulary-sized broadcast (swap for a hash join on `w`
+    * past broadcastable vocab; term counts come from a map-side-combined
+    * groupBy either way). Documents with no words yield no rows. */
+  def unigramCrossEntropy(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = wordTable(df, idCol, textCol)
+      .groupBy("id", "w").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
+    val corpusFreq = tf.groupBy("w").agg(sum(col("tf")).as("cf"))
+    val total = corpusFreq.agg(sum(col("cf")).as("tot"))
+    tf.join(broadcast(corpusFreq), "w")
+      .crossJoin(broadcast(total))
+      .groupBy("id")
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        round(
+          -sum(col("tf") * log(col("cf") / col("tot").cast("double"))) /
+            sum(col("tf")), 6).as("cross_entropy"))
+      .select(col("id").as(idCol), col("n_tokens"), col("cross_entropy"))
+  }
 }

@@ -1086,11 +1086,32 @@ object PipelineQueries {
       SELECT doc_id, source, quality_score
       FROM ranked WHERE rnk <= 10 ORDER BY doc_id"""))
 
+  /** Unigram-LM cross-entropy quality signal
+    * ([[Relevance.unigramCrossEntropy]]): per-doc nats/token under the
+    * corpus's own MLE unigram model — the in-corpus stand-in for the
+    * CCNet KenLM perplexity filter. */
+  val qUnigramCE = Q(
+    "q71_unigram_ce",
+    (s, dir) =>
+      Relevance.unigramCrossEntropy(table(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy("doc_id"),
+    Some(s"""WITH w AS (SELECT doc_id AS id, $dkWords AS ws FROM documents),
+      oc AS (SELECT id, unnest(ws) AS w FROM w),
+      tf AS (SELECT id, w, count(*) AS tf FROM oc GROUP BY 1, 2),
+      cf AS (SELECT w, sum(tf) AS cf FROM tf GROUP BY 1),
+      tot AS (SELECT sum(cf) AS tot FROM cf)
+      SELECT id AS doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        round(-sum(tf * ln(cf / CAST(tot AS DOUBLE))) / sum(tf), 6)
+          AS cross_entropy
+      FROM tf JOIN cf USING (w) CROSS JOIN tot
+      GROUP BY id ORDER BY id"""))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qNgramJaccard, qDedupClusters, qDedupCanonical,
     qDecontamination, qChunking, qLineDedup, qMixStats, qNormalize,
     qSourceQuality, qSemDedup, qPackChunks,
-    qDupNgramFraction, qTfIdfTerms, qBm25, qSourceCap,
+    qDupNgramFraction, qTfIdfTerms, qBm25, qSourceCap, qUnigramCE,
     qMinhashSig, qMinhashLsh, qSimhash,
     qEmbedTopK, qEmbedTopKIvf, qEmbedTopKIvfPersisted, qEmbedNearDup,
     qLangId, qTextQuality,

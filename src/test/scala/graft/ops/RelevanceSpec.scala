@@ -92,4 +92,28 @@ class RelevanceSpec extends SparkSpec {
     assert(out(2L) == ((2L, 0L, 0.0)))
     assert(!out.contains(3L))
   }
+
+  test("unigramCrossEntropy: MLE model over the corpus itself, per-doc nats") {
+    // corpus tokens: a a a b  -> p(a)=3/4, p(b)=1/4
+    val d = Seq(
+      (0L, "a a a"), // H = -ln(3/4)
+      (1L, "b"),     // H = -ln(1/4)
+      (2L, "  "))    // wordless -> no row
+      .toDF("doc_id", "text")
+    val out = Relevance.unigramCrossEntropy(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+      .toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0L) == ((3L, r6(-math.log(0.75)))))
+    assert(out(1L) == ((1L, r6(-math.log(0.25)))))
+    assert(!out.contains(2L))
+    // a mixed doc averages the per-token information content
+    val mixed = Seq((0L, "a b"), (1L, "a a")).toDF("doc_id", "text")
+    val h = Relevance.unigramCrossEntropy(mixed, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // p(a)=3/4, p(b)=1/4: doc0 H = (ln(4/3)+ln(4))/2
+    assert(h(0L) == r6((math.log(4.0 / 3) + math.log(4.0)) / 2))
+    assert(h(1L) == r6(math.log(4.0 / 3)))
+  }
 }
