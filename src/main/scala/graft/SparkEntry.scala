@@ -75,7 +75,8 @@ object SparkEntry {
 
   private def catalog: Seq[graft.queries.Q] =
     Seq(qProfile, qProfileSketch) ++ QueryCatalog.all ++ PipelineQueries.all ++
-      graft.queries.ExtraQueries.all ++ graft.queries.TemporalQueries.all
+      graft.queries.ExtraQueries.all ++ graft.queries.TemporalQueries.all ++
+      graft.queries.RelationalQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     catalog.map(q => q.name -> q.fn).toMap

@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Trailing time-window (RANGE-frame) rollups: for every event, aggregate
+  * the same key's events inside `[t - span, t]` — the rate-limiting /
+  * burst-detection shape (events per user per trailing hour). The
+  * reference has no temporal surface; pipeline extension alongside
+  * Sessionize.
+  *
+  * Scale design: one hash shuffle on the key, then a single WindowExec
+  * with a RANGE frame — Spark maintains a sliding frame over the per-key
+  * sorted stream, O(frame) state, no self-join (the naive phrasing is a
+  * range self-join, quadratic per key). The value sum rides DECIMAL so
+  * the sliding-frame add/remove order can't drift against any other
+  * engine's segment-tree evaluation — exact arithmetic is
+  * order-independent.
+  */
+object Rolling {
+
+  /** Adds `n_trail` (event count) and `sum_trail` (exact value sum, as
+    * double) over the trailing `span` (same units as the numeric `time`
+    * column), inclusive of the current instant; rows with equal (key,
+    * time) share one frame in every engine's RANGE semantics. */
+  def trailingStats(
+      df: DataFrame,
+      key: String,
+      time: String,
+      span: Long,
+      valueCol: String): DataFrame = {
+    require(span >= 0, s"span must be >= 0, got $span")
+    val w = Window
+      .partitionBy(col(key))
+      .orderBy(col(time))
+      .rangeBetween(-span, 0)
+    df.withColumn("n_trail", count(lit(1)).over(w))
+      .withColumn(
+        "sum_trail",
+        sum(col(valueCol).cast(DecimalType(18, 6))).over(w).cast("double"))
+  }
+}

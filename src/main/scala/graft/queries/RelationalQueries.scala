@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.queries.QueryCatalog.table
+
+/** Multi-table relational surface: the join/rollup shapes the reference
+  * (a single-table profiler) never needed but any engine claiming its
+  * query capabilities at 100 TB must plan well — star-schema join
+  * pipelines and grouping-set aggregations.
+  */
+object RelationalQueries {
+
+  /** Star join: revenue per nation through lineitem ⨝ orders ⨝ customer
+    * ⨝ nation. Plan intent at scale: the fact-fact join
+    * (lineitem⨝orders) shuffles on the order key; customer joins on the
+    * shuffled stream; nation (25 rows) broadcasts — all of which
+    * Catalyst/AQE picks from sizes without hints, which is the point:
+    * declare the join graph, let the optimizer place exchanges. The
+    * per-row revenue product is IEEE-deterministic; the sum rides
+    * DECIMAL so aggregation order can't drift the hash. */
+  val qJoinRevenue = Q(
+    "q73_join_revenue",
+    (s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(18, 4)).as("rev"))
+      val ord = table(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val cust = table(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val nat = table(s, dir, "nation").select("n_nationkey", "n_name")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(nat, col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(col("rev")).cast("double").as("revenue"))
+        .orderBy("n_name")
+    },
+    Some("""SELECT n_name, count(*) AS n_items,
+        CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+          AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name"""))
+
+  /** Rollup (grouping sets) over the corpus: doc counts and exact char
+    * sums at (source, lang), (source), and () granularities in ONE
+    * pass — Spark expands the grouping sets into a single partial-agg
+    * shuffle, not one job per level. grouping() flags disambiguate
+    * rollup-total rows from genuine null keys; sort order pins NULLS
+    * FIRST on both engines (DuckDB defaults NULLS LAST). */
+  val qRollup = Q(
+    "q74_rollup_stats",
+    (s, dir) => {
+      table(s, dir, "documents")
+        .rollup("source", "lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars"),
+          grouping(col("source")).cast("long").as("g_source"),
+          grouping(col("lang")).cast("long").as("g_lang"))
+        .orderBy(asc_nulls_first("source"), asc_nulls_first("lang"))
+    },
+    Some("""SELECT source, lang, count(*) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS chars,
+        CAST(GROUPING(source) AS BIGINT) AS g_source,
+        CAST(GROUPING(lang) AS BIGINT) AS g_lang
+      FROM documents GROUP BY ROLLUP(source, lang)
+      ORDER BY source NULLS FIRST, lang NULLS FIRST"""))
+
+  val all: Seq[Q] = Seq(qJoinRevenue, qRollup)
+}

@@ -155,5 +155,28 @@ object TemporalQueries {
       LEFT JOIN s3 USING (user_id)
       ORDER BY u.user_id"""))
 
-  val all: Seq[Q] = Seq(qSessionize, qAsofJoin, qRangeJoin, qFunnel)
+  /** Trailing 1h per-user activity (RANGE-frame window, one shuffle). */
+  val qRolling = Q(
+    "q72_rolling_window",
+    (s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          expr("ts div 1000").as("tus"))
+      graft.ops.Rolling
+        .trailingStats(ev, "user_id", "tus", HourUs, "value")
+        .select("event_id", "user_id", "tus", "n_trail", "sum_trail")
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, tus,
+        count(*) OVER w AS n_trail,
+        CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+          AS sum_trail
+      FROM (SELECT event_id, user_id, epoch_us(ts) AS tus, value
+            FROM events)
+      WINDOW w AS (PARTITION BY user_id ORDER BY tus
+        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id"""))
+
+  val all: Seq[Q] = Seq(qSessionize, qAsofJoin, qRangeJoin, qFunnel,
+    qRolling)
 }

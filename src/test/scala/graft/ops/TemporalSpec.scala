@@ -160,6 +160,32 @@ class TemporalSpec extends SparkSpec {
       s"range join degenerated to nested loop:\n$plan")
   }
 
+  // ---------------------------------------------------------------- rolling
+
+  test("trailingStats: inclusive range frame, per key, exact sums") {
+    val df = Seq(
+      ("a", 100L, 1.0), ("a", 150L, 2.0), ("a", 200L, 4.0),
+      ("a", 301L, 8.0), // 301 - 100 > 200: first row leaves the frame
+      ("b", 100L, 16.0))
+      .toDF("k", "t", "v")
+    val out = Rolling.trailingStats(df, "k", "t", span = 200L, "v")
+      .select("k", "t", "n_trail", "sum_trail")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out(("a", 100L)) == ((1L, 1.0)))
+    assert(out(("a", 150L)) == ((2L, 3.0)))
+    assert(out(("a", 200L)) == ((3L, 7.0)))  // 100 is included: 200-100 <= 200
+    assert(out(("a", 301L)) == ((3L, 14.0))) // 100 aged out
+    assert(out(("b", 100L)) == ((1L, 16.0))) // keys are independent
+  }
+
+  test("trailingStats: equal timestamps share one frame") {
+    val df = Seq(("a", 10L, 1.0), ("a", 10L, 2.0)).toDF("k", "t", "v")
+    val out = Rolling.trailingStats(df, "k", "t", span = 5L, "v")
+      .select("n_trail", "sum_trail").as[(Long, Double)].collect().toSet
+    assert(out == Set((2L, 3.0))) // both rows see both (RANGE, not ROWS)
+  }
+
   test("rejects clashing column names and bad widths") {
     val a = Seq((1L, 2L)).toDF("t", "x")
     intercept[IllegalArgumentException] {
