@@ -36,9 +36,14 @@ object Rolling {
       .partitionBy(col(key))
       .orderBy(col(time))
       .rangeBetween(-span, 0)
-    df.withColumn("n_trail", count(lit(1)).over(w))
-      .withColumn(
-        "sum_trail",
-        sum(col(valueCol).cast(DecimalType(18, 6))).over(w).cast("double"))
+    // both window expressions in ONE projection level: a chained
+    // withColumn puts the decimal cast in a Project between two Window
+    // operators and CollapseWindow can't merge across it — one select
+    // plans a single WindowExec evaluating both functions in one pass
+    df.select(
+      col("*"),
+      count(lit(1)).over(w).as("n_trail"),
+      sum(col(valueCol).cast(DecimalType(18, 6))).over(w).cast("double")
+        .as("sum_trail"))
   }
 }
