@@ -33,6 +33,35 @@ object Decompose {
   def jsonField(c: Column, field: String): Column =
     get_json_object(c, s"$$.$field")
 
+  /** Canonical URL for dedup (the CommonCrawl-pipeline normalization):
+    * lowercase scheme+host, strip a `www.` prefix, default ports, the
+    * fragment, common tracking params (utm_*, fbclid, gclid, ref), any
+    * then-empty query, and a trailing slash on a non-root path. Pure
+    * engine-portable string expressions (codegen'd, map-only) — at
+    * 100 TB this runs in the scan stage; the dedup after it is one hash
+    * shuffle on the canonical key. Order of surviving query params is
+    * preserved (reordering params changes real-world semantics often
+    * enough that crawl pipelines leave them alone). */
+  def urlCanonical(c: Column): Column = {
+    // scheme+host lowercased via extraction; path/query case preserved
+    val scheme = lower(regexp_extract(c, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostRaw = lower(regexp_extract(c, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host0 = regexp_replace(hostRaw, "^www\\.", "")
+    val host = regexp_replace(host0, ":(80|443)$", "")
+    // trailing slashes: strip ALL, then empty -> "/" (rtrim is portable;
+    // a lookbehind/backreference regex is not — RE2 has neither)
+    val path0 = regexp_extract(c, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path1 = rtrim(path0, "/")
+    val path = when(path1 === "", lit("/")).otherwise(path1)
+    val query0 = regexp_extract(c, "\\?([^#]*)", 1)
+    // drop tracking params anywhere in the list, then tidy separators
+    val query1 = regexp_replace(query0,
+      "(?:^|&)(?:utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=[^&]*", "")
+    val query = regexp_replace(query1, "^&", "")
+    concat(scheme, lit("://"), host, path,
+      when(query === "", lit("")).otherwise(concat(lit("?"), query)))
+  }
+
   /** Canonicalize MapType columns so maps become group-able/comparable:
     * `array_sort(map_entries(m))` cast to string. Spark SQL cannot
     * GROUP BY or compare a map; the reference canonicalizes to

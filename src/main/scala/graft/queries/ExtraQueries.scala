@@ -423,9 +423,69 @@ object ExtraQueries {
       }.mkString(", ") + " FROM embeddings"))
   }
 
+  /** Canonical-URL dedup ([[Decompose.urlCanonical]]): messy URL
+    * variants (www., :443, trailing slash, utm_ and fbclid params,
+    * fragments — planted deterministically from doc fields) collapse to
+    * one canonical key, then dedup-count per key. The CommonCrawl
+    * first-stage dedup: map-only normalize in the scan stage + one hash
+    * shuffle. The DuckDB oracle replicates the normalization with RE2
+    * ('g'-flagged replaces; Spark's regexp_replace is always-global). */
+  val qUrlDedup = Q(
+    "q75_url_dedup",
+    (s, dir) => {
+      val url = concat(
+        lit("https://"),
+        when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
+        col("source"), lit(".example.com"),
+        when(col("doc_id") % 5 === 0, lit(":443")).otherwise(lit("")),
+        lit("/docs/"), (col("doc_id") % 100).cast("string"),
+        when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit("?utm_source=x&utm_campaign=y"))
+          .when(col("doc_id") % 4 === 1, concat(lit("?lang="), col("lang")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit("#frag")).otherwise(lit("")))
+      table(s, dir, "documents")
+        .select(Decompose.urlCanonical(url).as("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("canonical_url")
+    },
+    Some("""WITH u AS (SELECT 'https://'
+          || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+          || source || '.example.com'
+          || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+          || '/docs/' || CAST(doc_id % 100 AS VARCHAR)
+          || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+          || CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x&utm_campaign=y'
+                  WHEN doc_id % 4 = 1 THEN '?lang=' || lang
+                  ELSE '' END
+          || CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END AS url
+        FROM documents),
+      parts AS (SELECT
+          lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+            AS scheme,
+          regexp_replace(regexp_replace(
+            lower(regexp_extract(url,
+              '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+            '^www\.', ''), ':(80|443)$', '') AS host,
+          rtrim(regexp_extract(url,
+            '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/')
+            AS path1,
+          regexp_replace(regexp_replace(
+            regexp_extract(url, '\?([^#]*)', 1),
+            '(?:^|&)(?:utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=[^&]*', '', 'g'),
+            '^&', '') AS query
+        FROM u)
+      SELECT scheme || '://' || host
+          || CASE WHEN path1 = '' THEN '/' ELSE path1 END
+          || CASE WHEN query = '' THEN '' ELSE '?' || query END
+          AS canonical_url,
+        count(*) AS n_docs
+      FROM parts GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qMapValueCounts,
     qSaltedJoin, qCsvScan, qJsonlScan, qStratifiedSample, qApproxTopK,
-    qGroupedQuantiles, qEmbedCovariance)
+    qGroupedQuantiles, qEmbedCovariance, qUrlDedup)
 }

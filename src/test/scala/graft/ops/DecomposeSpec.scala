@@ -51,6 +51,29 @@ class DecomposeSpec extends SparkSpec {
     assert(Decompose.canonicalizeMaps(e).head().getString(0) == "[]")
   }
 
+  test("urlCanonical: scheme/host case, www, ports, slashes, tracking, fragment") {
+    val cases = Seq(
+      // host+scheme lowercased, www and default port stripped
+      ("HTTPS://WWW.Example.COM:443/a", "https://example.com/a"),
+      ("http://example.com:80/", "http://example.com/"),
+      // non-default port kept
+      ("http://example.com:8080/a", "http://example.com:8080/a"),
+      // trailing slashes stripped, root kept as /
+      ("https://example.com", "https://example.com/"),
+      ("https://example.com/a/b//", "https://example.com/a/b"),
+      // tracking params go (all of them), real params stay in order
+      ("https://example.com/a?utm_source=x&lang=en&fbclid=1&b=2",
+        "https://example.com/a?lang=en&b=2"),
+      ("https://example.com/a?utm_source=x&utm_campaign=y",
+        "https://example.com/a"),
+      // fragment dropped; path case preserved
+      ("https://example.com/A/B#sec", "https://example.com/A/B"))
+    val got = cases.map(_._1).toDF("url")
+      .select(Decompose.urlCanonical(col("url")))
+      .as[String].collect().toSeq
+    assert(got == cases.map(_._2))
+  }
+
   test("fileStats over a temp directory via binaryFile source") {
     val dir = java.nio.file.Files.createTempDirectory("graft-files")
     java.nio.file.Files.writeString(dir.resolve("a.txt"), "hello")
