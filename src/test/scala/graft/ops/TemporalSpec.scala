@@ -186,6 +186,82 @@ class TemporalSpec extends SparkSpec {
     assert(out == Set((2L, 3.0))) // both rows see both (RANGE, not ROWS)
   }
 
+  // ------------------------------------------------- randomized differential
+
+  test("asof backward/forward == naive per-row reference on random data") {
+    val rnd = new scala.util.Random(42)
+    val keys = Seq("a", "b", "c")
+    val lrows = (0 until 120).map(i =>
+      (i.toLong, keys(rnd.nextInt(3)), rnd.nextInt(50).toLong))
+    val rrows = (0 until 80).map(i =>
+      (1000L + i, keys(rnd.nextInt(3)), rnd.nextInt(50).toLong,
+        rnd.nextDouble()))
+    val l = lrows.toDF("lid", "k", "t")
+    val r = rrows.toDF("rid", "rk", "rt", "rv")
+
+    for (fwd <- Seq(false, true)) {
+      val got = AsofJoin.asof(l, r, "k", "rk", "t", "rt",
+        rightCols = Seq("rid", "rv"), rightTieBreak = Some("rid"),
+        forward = fwd)
+        .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+      val want = lrows.map { case (lid, k, t) =>
+        val cand = rrows.filter(rr => rr._2 == k &&
+          (if (fwd) rr._3 >= t else rr._3 <= t))
+        // documented tie semantics: greatest tiebreak wins backward,
+        // least wins forward
+        val best =
+          if (cand.isEmpty) None
+          else if (fwd) Some(cand.minBy(rr => (rr._3, rr._1))._1)
+          else Some(cand.maxBy(rr => (rr._3, rr._1))._1)
+        lid -> best
+      }.toMap
+      assert(got == want, s"forward=$fwd")
+    }
+  }
+
+  test("funnel == naive sequential first-match on random data") {
+    val rnd = new scala.util.Random(7)
+    val types = Seq("A", "B", "C", "X")
+    val rows = (0 until 400).map { i =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(100).toLong,
+        types(rnd.nextInt(4)), i)
+    }
+    // make (key, time, type) unique so semantics are unambiguous
+    val uniq = rows.groupBy(r => (r._1, r._2, r._3)).map(_._2.head).toSeq
+    val got = Funnel.funnel(uniq.toDF("k", "t", "typ", "i"), "k", "t",
+      "typ", Seq("A", "B", "C"))
+      .select("k", "t1", "t2", "t3")
+      .as[(Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val want = uniq.groupBy(_._1).map { case (k, rs) =>
+      // equal-time ordering: earlier step sorts first => inclusive >=
+      val t1 = rs.filter(_._3 == "A").map(_._2).minOption
+      val t2 = t1.flatMap(a =>
+        rs.filter(r => r._3 == "B" && r._2 >= a).map(_._2).minOption)
+      val t3 = t2.flatMap(b =>
+        rs.filter(r => r._3 == "C" && r._2 >= b).map(_._2).minOption)
+      k -> ((t1, t2, t3))
+    }
+    assert(got == want)
+  }
+
+  test("pointInInterval == naive theta join on random data, many widths") {
+    val rnd = new scala.util.Random(11)
+    val pts = (0 until 200).map(i => (i.toLong, rnd.nextInt(1000).toLong))
+      .toDF("pid", "pt")
+    val ivs = (0 until 60).map { i =>
+      val lo = rnd.nextInt(1000).toLong
+      (100L + i, lo, lo + rnd.nextInt(120).toLong)
+    }.toDF("iid", "lo", "hi")
+    val want = pts.join(ivs, col("pt") >= col("lo") && col("pt") <= col("hi"))
+      .select("iid", "pid").as[(Long, Long)].collect().toSet
+    for (width <- Seq(1L, 7L, 64L, 1000L, 5000L)) {
+      val got = RangeJoin.pointInInterval(pts, "pt", ivs, "lo", "hi", width)
+        .select("iid", "pid").as[(Long, Long)].collect().toSet
+      assert(got == want, s"width=$width")
+    }
+  }
+
   test("rejects clashing column names and bad widths") {
     val a = Seq((1L, 2L)).toDF("t", "x")
     intercept[IllegalArgumentException] {
