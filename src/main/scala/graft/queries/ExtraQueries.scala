@@ -483,9 +483,45 @@ object ExtraQueries {
         count(*) AS n_docs
       FROM parts GROUP BY 1 ORDER BY 1"""))
 
+  /** Incremental-profile merge, oracle-checked end-to-end: lineitem is
+    * split into two slices, each summarized independently
+    * ([[graft.ops.IncrementalProfile.summarize]]), the summaries merged
+    * (Pébay moment composition), stats derived — and the oracle computes
+    * the same statistics over the UNSPLIT table. Green means
+    * profile(A ∪ B) == merge(profile(A), profile(B)) against an
+    * independent engine, not just against ourselves. */
+  val qIncrementalMerge = {
+    val cols = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+    Q(
+      "q76_incremental_merge",
+      (s, dir) => {
+        import graft.ops.IncrementalProfile._
+        val li = table(s, dir, "lineitem")
+        val merged = merge(
+          summarize(li.where(col("l_orderkey") % 2 === 0), cols)
+            .unionByName(
+              summarize(li.where(col("l_orderkey") % 2 === 1), cols)))
+        stats(merged)
+          .select(
+            col("column").as("c"), col("n"),
+            round(col("mean"), 5).as("mean"),
+            round(col("std"), 5).as("std"),
+            round(col("skewness"), 5).as("skew"),
+            round(col("kurtosis"), 5).as("kurt"),
+            col("min").as("vmin"), col("max").as("vmax"))
+          .orderBy("c")
+      },
+      Some(cols.map { c =>
+        s"""SELECT '$c' AS c, count($c) AS n,
+          round(avg($c), 5) AS mean, round(stddev_samp($c), 5) AS std,
+          round(skewness($c), 5) AS skew, round(kurtosis($c), 5) AS kurt,
+          min($c) AS vmin, max($c) AS vmax FROM lineitem"""
+      }.mkString("", " UNION ALL ", " ORDER BY c")))
+  }
+
   val all: Seq[Q] = Seq(
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qMapValueCounts,
     qSaltedJoin, qCsvScan, qJsonlScan, qStratifiedSample, qApproxTopK,
-    qGroupedQuantiles, qEmbedCovariance, qUrlDedup)
+    qGroupedQuantiles, qEmbedCovariance, qUrlDedup, qIncrementalMerge)
 }
