@@ -14,23 +14,26 @@ import org.apache.spark.sql.functions._
   * REGISTERS equal the whole-stream sketch's, though its estimate can
   * drift within the sketch's rsd because a unioned sketch falls back
   * from the path-dependent HIP estimator to the composite one; exact in
-  * the sparse/coupon regime). Quantiles/top-K are deliberately absent — they need their own
-  * mergeable sketches and the profiler's GK/approx_top_k paths cover the
-  * single-pass case.
+  * the sparse/coupon regime). Quantiles ride a KLL doubles sketch
+  * (DataSketches, same library Spark's own sketch aggregates use and
+  * already on every executor classpath) — mergeable with a proven
+  * ~1.65% rank-error bound at the default k=200.
   *
-  * Scale design: `summarize` is ONE scan (column melt → groupBy(column),
-  * map-side combined; summary size = O(columns), independent of rows).
-  * `merge` reduces summary rows per column — pure JVM arithmetic plus
-  * DataSketches HLL union (the library Spark's own hll_sketch_agg uses,
-  * already on every executor classpath). Nothing in the merge touches
-  * the original data.
+  * Scale design: `summarize` is ONE scan — a codegen'd column melt
+  * (c, vd, vs) feeding a mapPartitions fold that keeps one accumulator
+  * per column (Welford/Pébay one-value moment updates, HLL + KLL sketch
+  * updates); each partition emits O(columns) summary rows and
+  * `merge` reduces them per column with the same pairwise composition.
+  * Bytes shipped per partition are O(columns × sketch size), independent
+  * of row count — the same shape as [[Pca.covarianceMatrix]]. Nothing in
+  * the merge touches the original data.
   */
 object IncrementalProfile {
 
   /** One column's mergeable summary. Central moments are the UNSCALED
     * sums M2 = Σ(x-mean)², M3, M4 over the numeric (castable) values;
-    * `hll` is a DataSketches HLL sketch of the value's string form
-    * (null when the slice had no non-null values). */
+    * `hll` / `kll` are DataSketches sketches of the value's string form
+    * / numeric value (null when the slice had none). */
   final case class ColSummary(
       column: String,
       nRows: Long,
@@ -43,11 +46,69 @@ object IncrementalProfile {
       m2: Double,
       m3: Double,
       m4: Double,
-      hll: Array[Byte])
+      hll: Array[Byte],
+      kll: Array[Byte])
 
-  private val LgK = 12 // Spark's hll_sketch_agg default lgConfigK
+  private val LgK = 12 // HLL lgConfigK (Spark's hll_sketch_agg default)
+  private val KllK = 200 // KLL k: ~1.65% rank error, ~5 KB serialized
 
-  /** One-scan per-column summary of `cols` (all columns when empty). */
+  private final class Acc(val column: String) {
+    var nRows = 0L
+    var n = 0L
+    var nZeros = 0L
+    var nNum = 0L
+    var vMin = Double.NaN
+    var vMax = Double.NaN
+    var mean = 0.0
+    var m2 = 0.0
+    var m3 = 0.0
+    var m4 = 0.0
+    var hll: org.apache.datasketches.hll.HllSketch = null
+    var kll: org.apache.datasketches.kll.KllDoublesSketch = null
+
+    def update(vd: java.lang.Double, vs: String): Unit = {
+      nRows += 1
+      if (vs != null) {
+        n += 1
+        if (hll == null)
+          hll = new org.apache.datasketches.hll.HllSketch(LgK)
+        hll.update(vs)
+      }
+      if (vd != null) {
+        val x = vd.doubleValue()
+        if (x == 0.0) nZeros += 1
+        if (nNum == 0 || x < vMin) vMin = x
+        if (nNum == 0 || x > vMax) vMax = x
+        // one-value Pébay/Welford update; M4 before M3 before M2
+        val n1 = nNum.toDouble
+        nNum += 1
+        val nd = nNum.toDouble
+        val d = x - mean
+        val dn = d / nd
+        val dn2 = dn * dn
+        val t1 = d * dn * n1
+        m4 += t1 * dn2 * (nd * nd - 3 * nd + 3) + 6 * dn2 * m2 - 4 * dn * m3
+        m3 += t1 * dn * (nd - 2) - 3 * dn * m2
+        m2 += t1
+        mean += dn
+        if (kll == null)
+          kll = org.apache.datasketches.kll.KllDoublesSketch
+            .newHeapInstance(KllK)
+        kll.update(x)
+      }
+    }
+
+    def result: ColSummary = ColSummary(
+      column, nRows, n, nZeros, nNum,
+      if (nNum > 0) Some(vMin) else None,
+      if (nNum > 0) Some(vMax) else None,
+      mean, m2, m3, m4,
+      if (hll == null) null else hll.toUpdatableByteArray,
+      if (kll == null) null else kll.toByteArray)
+  }
+
+  /** One-scan per-column summary of `cols` (all columns when empty):
+    * codegen'd melt + per-partition accumulator fold. */
   def summarize(df: DataFrame, cols: Seq[String] = Nil): Dataset[ColSummary] = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -60,35 +121,25 @@ object IncrementalProfile {
         expr(s"try_cast(`$c` AS DOUBLE)").as("vd"),
         col(c).cast("string").as("vs"))
     }
-    df.select(explode(array(structs: _*)).as("x"))
+    val order = use.zipWithIndex.toMap
+    val partials = df
+      .select(explode(array(structs: _*)).as("x"))
       .select("x.*")
-      .groupBy("c")
-      .agg(
-        count(lit(1)).as("nRows"),
-        count(col("vs")).as("n"),
-        count(when(col("vd") === 0.0, 1)).as("nZeros"),
-        count(col("vd")).as("nNum"),
-        min(col("vd")).as("vMin"),
-        max(col("vd")).as("vMax"),
-        coalesce(avg(col("vd")), lit(0.0)).as("mean"),
-        coalesce(var_pop(col("vd")), lit(0.0)).as("varp"),
-        skewness(col("vd")).as("skw"),
-        kurtosis(col("vd")).as("krt"),
-        hll_sketch_agg(col("vs"), lit(LgK)).as("hll"))
-      // invert Spark's population stats into unscaled central moments
-      // (exactly: skewness = (M3/n)/varp^1.5, kurtosis = (M4/n)/varp²-3)
-      .select(
-        col("c").as("column"), col("nRows"), col("n"), col("nZeros"),
-        col("nNum"), col("vMin"), col("vMax"), col("mean"),
-        (col("varp") * col("nNum")).as("m2"),
-        when(col("varp") > 0 && col("skw").isNotNull,
-          col("skw") * col("nNum") * pow(col("varp"), 1.5))
-          .otherwise(0.0).as("m3"),
-        when(col("varp") > 0 && col("krt").isNotNull,
-          (col("krt") + 3.0) * col("nNum") * pow(col("varp"), 2.0))
-          .otherwise(0.0).as("m4"),
-        col("hll"))
-      .as[ColSummary]
+      .as[(String, Option[Double], Option[String])]
+      .mapPartitions { it =>
+        val accs = new java.util.HashMap[String, Acc]()
+        it.foreach { case (c, vd, vs) =>
+          var a = accs.get(c)
+          if (a == null) { a = new Acc(c); accs.put(c, a) }
+          a.update(
+            vd.map(java.lang.Double.valueOf).orNull, vs.orNull)
+        }
+        import scala.jdk.CollectionConverters._
+        accs.values().asScala.iterator.map(_.result)
+      }
+    // reduce the per-partition partials to ONE row per column, in the
+    // original column order (deterministic summary layout)
+    merge(partials).orderBy(element_at(typedLit(order), col("column")))
   }
 
   /** Pébay pairwise composition of two summaries of the same column. */
@@ -124,11 +175,12 @@ object IncrementalProfile {
       (a.vMax.toSeq ++ b.vMax.toSeq)
         .reduceOption((x: Double, y: Double) => math.max(x, y)),
       mean, m2, m3, m4,
-      hllUnion(a.hll, b.hll))
+      hllUnion(a.hll, b.hll),
+      kllMerge(a.kll, b.kll))
   }
 
   /** Merge any number of slice summaries into one summary per column
-    * (distributed reduceGroups — JVM arithmetic + HLL union only). */
+    * (distributed reduceGroups — JVM arithmetic + sketch unions only). */
   def merge(summaries: Dataset[ColSummary]): Dataset[ColSummary] = {
     val spark = summaries.sparkSession
     import spark.implicits._
@@ -138,7 +190,7 @@ object IncrementalProfile {
   /** Derived per-column statistics from a (merged) summary: sample
     * std, bias-corrected G1 skewness / G2 excess kurtosis (the
     * reference's conventions), approximate distinct count from the HLL
-    * sketch. */
+    * sketch, approximate quartiles/median/p95 from the KLL sketch. */
   def stats(summary: Dataset[ColSummary]): DataFrame = {
     val spark = summary.sparkSession
     import spark.implicits._
@@ -157,14 +209,16 @@ object IncrementalProfile {
             val pop = n * s.m4 / (s.m2 * s.m2) - 3.0
             Some(((n + 1) * pop + 6) * (n - 1) / ((n - 2) * (n - 3)))
           } else None
+        val qs = kllQuantiles(s.kll, Array(0.25, 0.5, 0.75, 0.95))
         (s.column, s.nRows, s.n, s.nRows - s.n,
           if (s.nRows > 0) (s.nRows - s.n).toDouble / s.nRows else 0.0,
           s.nZeros, hllEstimate(s.hll), s.vMin, s.vMax,
-          if (s.nNum > 0) Some(s.mean) else None, std, g1, g2)
+          if (s.nNum > 0) Some(s.mean) else None, std, g1, g2,
+          qs.map(_(0)), qs.map(_(1)), qs.map(_(2)), qs.map(_(3)))
       }
       .toDF("column", "n_rows", "n", "n_missing", "p_missing", "n_zeros",
         "n_distinct_approx", "min", "max", "mean", "std", "skewness",
-        "kurtosis")
+        "kurtosis", "p25", "p50", "p75", "p95")
   }
 
   private def hllUnion(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
@@ -179,10 +233,34 @@ object IncrementalProfile {
     }
   }
 
+  private def kllMerge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    if (a == null || a.isEmpty) b
+    else if (b == null || b.isEmpty) a
+    else {
+      val s = KllDoublesSketch.heapify(Memory.wrap(a))
+      s.merge(KllDoublesSketch.heapify(Memory.wrap(b)))
+      s.toByteArray
+    }
+  }
+
   /** Rounded HLL estimate (0 for an absent sketch). */
   def hllEstimate(bytes: Array[Byte]): Long = {
     import org.apache.datasketches.hll.HllSketch
     if (bytes == null || bytes.isEmpty) 0L
     else math.round(HllSketch.heapify(bytes).getEstimate)
+  }
+
+  /** KLL quantiles at the given ranks (None for an absent sketch). */
+  def kllQuantiles(
+      bytes: Array[Byte], ranks: Array[Double]): Option[Array[Double]] = {
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    if (bytes == null || bytes.isEmpty) None
+    else {
+      val s = KllDoublesSketch.heapify(Memory.wrap(bytes))
+      Some(ranks.map(r => s.getQuantile(r)))
+    }
   }
 }

@@ -71,6 +71,23 @@ class IncrementalProfileSpec extends SparkSpec {
     assert(hllEstimate(s.hll) == exact) // 37 distinct << 2^12 registers
   }
 
+  test("merged KLL quantiles sit within the sketch's rank-error of exact") {
+    val merged = merge(
+      summarize(df.where(col("id") % 3 === 0), Seq("x"))
+        .unionByName(summarize(df.where(col("id") % 3 === 1), Seq("x")))
+        .unionByName(summarize(df.where(col("id") % 3 === 2), Seq("x"))))
+    val got = stats(merged)
+      .select("p25", "p50", "p75", "p95")
+      .as[(Double, Double, Double, Double)].head()
+    val xs = rows.flatMap(_._2).sorted
+    // k=200 -> ~1.65% rank error; allow 2x slack, check by RANK distance
+    def rankOf(v: Double) = xs.count(_ <= v).toDouble / xs.size
+    for ((est, r) <- Seq(got._1 -> 0.25, got._2 -> 0.5, got._3 -> 0.75,
+        got._4 -> 0.95))
+      assert(math.abs(rankOf(est) - r) <= 0.035,
+        s"quantile at $r: $est has rank ${rankOf(est)}")
+  }
+
   test("string and all-null columns: zero moments, usable counts") {
     val d = Seq((1L, "a", None: Option[Double]),
       (2L, "b", None), (3L, null.asInstanceOf[String], None))
