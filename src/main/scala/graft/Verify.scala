@@ -46,6 +46,11 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      // keep oracle_sql.json consistent with the dumped subset, so a
+      // filtered dev run doesn't flood check_oracle.py with
+      // output-missing failures for queries that were never dumped
+      .filter { case (name, _) =>
+        only.isEmpty || only.exists(name.startsWith) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -43,23 +43,37 @@ object Decompose {
     * preserved (reordering params changes real-world semantics often
     * enough that crawl pipelines leave them alone). */
   def urlCanonical(c: Column): Column = {
+    // strip the fragment FIRST: a '?' inside a hash-route fragment
+    // ("/app#/r?tab=1") must not be mistaken for the query string
+    val noFrag = regexp_replace(c, "#.*", "")
     // scheme+host lowercased via extraction; path/query case preserved
-    val scheme = lower(regexp_extract(c, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val hostRaw = lower(regexp_extract(c, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val scheme =
+      lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostRaw = lower(
+      regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
     val host0 = regexp_replace(hostRaw, "^www\\.", "")
-    val host = regexp_replace(host0, ":(80|443)$", "")
+    // default ports are scheme-relative: :80 is only default for http,
+    // :443 only for https — 'http://h:443' is a real non-default origin
+    val host = when(scheme === "http", regexp_replace(host0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(host0, ":443$", ""))
+      .otherwise(host0)
     // trailing slashes: strip ALL, then empty -> "/" (rtrim is portable;
     // a lookbehind/backreference regex is not — RE2 has neither)
-    val path0 = regexp_extract(c, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path0 = regexp_extract(
+      noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     val path1 = rtrim(path0, "/")
     val path = when(path1 === "", lit("/")).otherwise(path1)
-    val query0 = regexp_extract(c, "\\?([^#]*)", 1)
+    val query0 = regexp_extract(noFrag, "\\?(.*)$", 1)
     // drop tracking params anywhere in the list, then tidy separators
     val query1 = regexp_replace(query0,
       "(?:^|&)(?:utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=[^&]*", "")
     val query = regexp_replace(query1, "^&", "")
-    concat(scheme, lit("://"), host, path,
-      when(query === "", lit("")).otherwise(concat(lit("?"), query)))
+    // not an absolute URL (no scheme://host)? pass it through unchanged
+    // rather than collapsing every malformed input to the same '://'
+    // key — a keep-one-per-key dedup would silently drop distinct docs
+    when(scheme === "" || host === "", c).otherwise(
+      concat(scheme, lit("://"), host, path,
+        when(query === "", lit("")).otherwise(concat(lit("?"), query))))
   }
 
   /** Canonicalize MapType columns so maps become group-able/comparable:

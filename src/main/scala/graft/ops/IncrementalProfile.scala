@@ -77,8 +77,12 @@ object IncrementalProfile {
       if (vd != null) {
         val x = vd.doubleValue()
         if (x == 0.0) nZeros += 1
-        if (nNum == 0 || x < vMin) vMin = x
-        if (nNum == 0 || x > vMax) vMax = x
+        // total-order compare: '<' is false for NaN on either side, which
+        // would make min/max depend on arrival order and break
+        // merge == whole; Double.compare sorts NaN greatest (Spark's own
+        // min/max ordering), order-independently
+        if (nNum == 0 || java.lang.Double.compare(x, vMin) < 0) vMin = x
+        if (nNum == 0 || java.lang.Double.compare(x, vMax) > 0) vMax = x
         // one-value Pébay/Welford update; M4 before M3 before M2
         val n1 = nNum.toDouble
         nNum += 1
@@ -115,10 +119,25 @@ object IncrementalProfile {
     val use = if (cols.nonEmpty) cols else df.columns.toSeq
     require(use.nonEmpty, "no columns to summarize")
     val structs = use.map { c =>
+      // try_cast only suppresses RUNTIME cast failures (ANSI cast would
+      // throw on non-numeric strings); array/map/struct -> double is an
+      // ANALYSIS-time error, so complex types skip the numeric leg
+      // entirely and contribute counts + HLL only
+      val castable = {
+        import org.apache.spark.sql.types._
+        df.schema(c).dataType match {
+          case _: NumericType => true
+          case StringType | BooleanType | DateType | TimestampType |
+              TimestampNTZType => true
+          case _ => false
+        }
+      }
+      val vd =
+        if (castable) expr(s"try_cast(`$c` AS DOUBLE)")
+        else lit(null).cast("double")
       struct(
         lit(c).as("c"),
-        // try_cast: ANSI mode makes cast() THROW on non-numeric strings
-        expr(s"try_cast(`$c` AS DOUBLE)").as("vd"),
+        vd.as("vd"),
         col(c).cast("string").as("vs"))
     }
     val order = use.zipWithIndex.toMap
@@ -170,10 +189,12 @@ object IncrementalProfile {
       a.n + b.n,
       a.nZeros + b.nZeros,
       a.nNum + b.nNum,
-      (a.vMin.toSeq ++ b.vMin.toSeq)
-        .reduceOption((x: Double, y: Double) => math.min(x, y)),
-      (a.vMax.toSeq ++ b.vMax.toSeq)
-        .reduceOption((x: Double, y: Double) => math.max(x, y)),
+      // Double.compare ordering, same as the accumulator: math.min/max
+      // would propagate NaN and diverge from the single-pass result
+      (a.vMin.toSeq ++ b.vMin.toSeq).reduceOption((x: Double, y: Double) =>
+        if (java.lang.Double.compare(x, y) <= 0) x else y),
+      (a.vMax.toSeq ++ b.vMax.toSeq).reduceOption((x: Double, y: Double) =>
+        if (java.lang.Double.compare(x, y) >= 0) x else y),
       mean, m2, m3, m4,
       hllUnion(a.hll, b.hll),
       kllMerge(a.kll, b.kll))

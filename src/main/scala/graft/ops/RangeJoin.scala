@@ -40,6 +40,10 @@ object RangeJoin {
     require(binWidth > 0, s"binWidth must be > 0, got $binWidth")
     val clash = points.columns.toSet.intersect(intervals.columns.toSet)
     require(clash.isEmpty, s"points/intervals name clash: $clash")
+    val binClash =
+      (points.columns ++ intervals.columns).filter(_ == "__bin")
+    require(binClash.isEmpty,
+      "input already has a __bin column; rename it first")
 
     // Exact floor-division to bin id (correct for negatives too:
     // x - pmod(x, w) is the greatest multiple of w <= x).

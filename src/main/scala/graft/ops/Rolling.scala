@@ -32,6 +32,9 @@ object Rolling {
       span: Long,
       valueCol: String): DataFrame = {
     require(span >= 0, s"span must be >= 0, got $span")
+    val clash = df.columns.toSet.intersect(Set("n_trail", "sum_trail"))
+    require(clash.isEmpty,
+      s"input already has output columns $clash; rename them first")
     val w = Window
       .partitionBy(col(key))
       .orderBy(col(time))

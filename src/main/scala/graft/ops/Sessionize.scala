@@ -37,6 +37,8 @@ object Sessionize {
       gap: Long,
       tieBreak: Seq[String] = Nil): DataFrame = {
     require(gap >= 0, s"gap must be >= 0, got $gap")
+    require(!df.columns.contains("session_id"),
+      "input already has a session_id column; rename it first")
     val order: Seq[Column] = (col(time) +: tieBreak.map(col)).map(_.asc)
     val w = Window.partitionBy(col(key)).orderBy(order: _*)
     val prev = lag(col(time), 1).over(w)

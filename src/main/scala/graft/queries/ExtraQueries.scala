@@ -461,27 +461,34 @@ object ExtraQueries {
                   ELSE '' END
           || CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END AS url
         FROM documents),
-      parts AS (SELECT
-          lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+      nf AS (SELECT url, regexp_replace(url, '#.*', '') AS u0 FROM u),
+      parts AS (SELECT url,
+          lower(regexp_extract(u0, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
             AS scheme,
-          regexp_replace(regexp_replace(
-            lower(regexp_extract(url,
+          regexp_replace(
+            lower(regexp_extract(u0,
               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
-            '^www\.', ''), ':(80|443)$', '') AS host,
-          rtrim(regexp_extract(url,
+            '^www\.', '') AS host0,
+          rtrim(regexp_extract(u0,
             '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/')
             AS path1,
           regexp_replace(regexp_replace(
-            regexp_extract(url, '\?([^#]*)', 1),
+            regexp_extract(u0, '\?(.*)$', 1),
             '(?:^|&)(?:utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=[^&]*', '', 'g'),
             '^&', '') AS query
-        FROM u)
-      SELECT scheme || '://' || host
-          || CASE WHEN path1 = '' THEN '/' ELSE path1 END
-          || CASE WHEN query = '' THEN '' ELSE '?' || query END
-          AS canonical_url,
+        FROM nf),
+      canon AS (SELECT url, scheme, query, path1,
+          CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+               WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+               ELSE host0 END AS host
+        FROM parts)
+      SELECT CASE WHEN scheme = '' OR host = '' THEN url
+          ELSE scheme || '://' || host
+            || CASE WHEN path1 = '' THEN '/' ELSE path1 END
+            || CASE WHEN query = '' THEN '' ELSE '?' || query END
+          END AS canonical_url,
         count(*) AS n_docs
-      FROM parts GROUP BY 1 ORDER BY 1"""))
+      FROM canon GROUP BY 1 ORDER BY 1"""))
 
   /** Incremental-profile merge, oracle-checked end-to-end: lineitem is
     * split into two slices, each summarized independently

@@ -67,7 +67,17 @@ class DecomposeSpec extends SparkSpec {
       ("https://example.com/a?utm_source=x&utm_campaign=y",
         "https://example.com/a"),
       // fragment dropped; path case preserved
-      ("https://example.com/A/B#sec", "https://example.com/A/B"))
+      ("https://example.com/A/B#sec", "https://example.com/A/B"),
+      // a '?' inside the fragment is NOT a query string
+      ("https://site.com/app#/route?tab=1", "https://site.com/app"),
+      // default ports are scheme-relative: these are real origins, keep them
+      ("http://example.com:443/a", "http://example.com:443/a"),
+      ("https://example.com:80/a", "https://example.com:80/a"),
+      // non-absolute / malformed URLs pass through unchanged (no shared
+      // '://' collapse key)
+      ("example.com/a", "example.com/a"),
+      ("mailto:someone@example.com", "mailto:someone@example.com"),
+      ("not a url at all", "not a url at all"))
     val got = cases.map(_._1).toDF("url")
       .select(Decompose.urlCanonical(col("url")))
       .as[String].collect().toSeq

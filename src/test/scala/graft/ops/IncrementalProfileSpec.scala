@@ -88,6 +88,33 @@ class IncrementalProfileSpec extends SparkSpec {
         s"quantile at $r: $est has rank ${rankOf(est)}")
   }
 
+  test("complex-typed columns summarize via counts+HLL (no numeric leg)") {
+    val d = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 4.0f)),
+      (3L, Seq(1.0f, 2.0f)))
+      .toDF("id", "embedding")
+    // default all-columns mode must not throw on the array column
+    val m = summarize(d).collect().map(s => s.column -> s).toMap
+    assert(m("embedding").n == 3 && m("embedding").nNum == 0)
+    assert(hllEstimate(m("embedding").hll) == 2L) // two distinct vectors
+    assert(m("id").nNum == 3)
+  }
+
+  test("NaN values: min/max stay order-independent across slice splits") {
+    // NaN planted mid-stream; split so one slice sees NaN first, the
+    // other last — merge must equal the whole either way
+    val vals = Seq(5.0, Double.NaN, 1.0, 9.0)
+    val d = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "x")
+    val whole = summarize(d, Seq("x")).collect().head
+    val merged = merge(
+      summarize(d.where(col("id") < 2), Seq("x"))
+        .unionByName(summarize(d.where(col("id") >= 2), Seq("x"))))
+      .collect().head
+    // Double.compare ordering: NaN sorts greatest -> min real, max NaN
+    assert(whole.vMin.contains(1.0) && whole.vMax.exists(_.isNaN))
+    assert(merged.vMin.contains(1.0) && merged.vMax.exists(_.isNaN))
+  }
+
   test("string and all-null columns: zero moments, usable counts") {
     val d = Seq((1L, "a", None: Option[Double]),
       (2L, "b", None), (3L, null.asInstanceOf[String], None))
