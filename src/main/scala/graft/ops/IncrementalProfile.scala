@@ -242,6 +242,21 @@ object IncrementalProfile {
         "kurtosis", "p25", "p50", "p75", "p95")
   }
 
+  /** Persist a slice summary (parquet; sketches travel as binary
+    * columns). The intended layout at scale is one summary per slice
+    * under a partitioned root, e.g. `root/dt=2026-08-13/`, loaded back
+    * with [[load]] over any glob of slices and [[merge]]d. */
+  def write(summary: Dataset[ColSummary], path: String): Unit =
+    summary.write.mode("overwrite").parquet(path)
+
+  /** Load previously written summaries (accepts globs spanning many
+    * slices — merge() collapses them per column). */
+  def load(spark: org.apache.spark.sql.SparkSession,
+      path: String): Dataset[ColSummary] = {
+    import spark.implicits._
+    spark.read.parquet(path).as[ColSummary]
+  }
+
   private def hllUnion(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
     import org.apache.datasketches.hll.{HllSketch, Union}
     if (a == null || a.isEmpty) b

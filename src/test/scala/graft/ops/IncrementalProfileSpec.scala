@@ -88,6 +88,28 @@ class IncrementalProfileSpec extends SparkSpec {
         s"quantile at $r: $est has rank ${rankOf(est)}")
   }
 
+  test("summaries round-trip through parquet and merge after reload") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-incr-prof").toString
+    write(summarize(df.where(col("id") < 200), Seq("x", "s")),
+      s"$dir/dt=1")
+    write(summarize(df.where(col("id") >= 200), Seq("x", "s")),
+      s"$dir/dt=2")
+    val reloaded = merge(load(spark, s"$dir/dt=*"))
+      .collect().map(s => s.column -> s).toMap
+    val direct = summarize(df, Seq("x", "s"))
+      .collect().map(s => s.column -> s).toMap
+    for (c <- Seq("x", "s")) {
+      assert(reloaded(c).n == direct(c).n &&
+        reloaded(c).nNum == direct(c).nNum)
+      assert(approx(reloaded(c).mean, direct(c).mean) &&
+        approx(reloaded(c).m2, direct(c).m2))
+      val exact = df.select(countDistinct(col(c))).head().getLong(0)
+      assert(math.abs(hllEstimate(reloaded(c).hll) - exact) <=
+        math.max(2.0, 0.05 * exact))
+    }
+  }
+
   test("complex-typed columns summarize via counts+HLL (no numeric leg)") {
     val d = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 4.0f)),
       (3L, Seq(1.0f, 2.0f)))
