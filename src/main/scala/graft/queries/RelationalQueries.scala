@@ -73,5 +73,27 @@ object RelationalQueries {
       FROM documents GROUP BY ROLLUP(source, lang)
       ORDER BY source NULLS FIRST, lang NULLS FIRST"""))
 
-  val all: Seq[Q] = Seq(qJoinRevenue, qRollup)
+  /** Set operations: INTERSECT / EXCEPT (SQL set semantics — distinct),
+    * which Catalyst plans as hash left-semi / left-anti joins, not
+    * materialized sets: customers with both urgent and high-priority
+    * orders but no low-priority ones. */
+  val qSetOps = Q(
+    "q77_set_ops",
+    (s, dir) => {
+      val ord = table(s, dir, "orders")
+      def byPriority(p: String) =
+        ord.where(col("o_orderpriority") === p).select("o_custkey")
+      byPriority("1-URGENT")
+        .intersect(byPriority("2-HIGH"))
+        .except(byPriority("5-LOW"))
+        .orderBy("o_custkey")
+    },
+    Some("""(SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+       INTERSECT
+       SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+      ORDER BY o_custkey"""))
+
+  val all: Seq[Q] = Seq(qJoinRevenue, qRollup, qSetOps)
 }
