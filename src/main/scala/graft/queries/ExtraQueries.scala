@@ -526,9 +526,31 @@ object ExtraQueries {
       }.mkString("", " UNION ALL ", " ORDER BY c")))
   }
 
+  /** Equi-depth histogram with exact ntile semantics but NO global
+    * window ([[graft.ops.EquiDepth]]): positions assembled from the
+    * distributed prefix-sum rank + a per-value tie window. The oracle
+    * IS `ntile(k) over (order by ...)` — DuckDB can afford the global
+    * sort at sf; we must match it bin-for-bin without one. */
+  val qEquiDepth = Q(
+    "q78_equidepth_hist",
+    (s, dir) =>
+      graft.ops.EquiDepth
+        .equiDepthHistogram(
+          table(s, dir, "lineitem")
+            .select("l_extendedprice", "l_orderkey", "l_linenumber"),
+          "l_extendedprice", 10, Seq("l_orderkey", "l_linenumber"))
+        .orderBy("bin"),
+    Some("""WITH b AS (SELECT l_extendedprice AS v,
+          ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey,
+            l_linenumber) AS bin
+        FROM lineitem)
+      SELECT bin, count(*) AS n, min(v) AS lo, max(v) AS hi
+      FROM b GROUP BY bin ORDER BY bin"""))
+
   val all: Seq[Q] = Seq(
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qMapValueCounts,
     qSaltedJoin, qCsvScan, qJsonlScan, qStratifiedSample, qApproxTopK,
-    qGroupedQuantiles, qEmbedCovariance, qUrlDedup, qIncrementalMerge)
+    qGroupedQuantiles, qEmbedCovariance, qUrlDedup, qIncrementalMerge,
+    qEquiDepth)
 }
