@@ -123,6 +123,48 @@ object Sampling {
       .drop("__rnk")
   }
 
+  /** Deterministic WEIGHTED Bernoulli sample: keep a row iff its key's
+    * uniform hash u in [0,1) is below the row's own acceptance weight —
+    * quality-weighted subsampling (DoReMi-style mix reweighting, keep
+    * good docs at higher rate) that stays reproducible across runs,
+    * repartitioning, and engines (same md5 hash family as
+    * [[hashSample]], seed 2). Map-only; `weight` should be in [0,1]
+    * (values >= 1 always keep, <= 0 always drop). */
+  def weightedHashSample(
+      df: DataFrame, keyCol: String,
+      weight: org.apache.spark.sql.Column): DataFrame = {
+    val u = pmod(
+      graft.functions.StatFunctions.hash64(col(keyCol).cast("string"), 2),
+      lit(1000000)).cast("double") / 1e6
+    df.where(u < weight)
+  }
+
+  /** Top-p (nucleus) selection per group, in EXACT integer arithmetic:
+    * order each group's rows by integer `scoreCol` descending (ties by
+    * `tieCol`), and keep the smallest prefix covering at least
+    * num/den of the group's total score mass — the training-mix
+    * selection that keeps "the best half of each source's bytes"
+    * without a single float (den * cumBefore < num * total, all
+    * bigint, so the boundary row is engine-independent). One hash
+    * shuffle on the group; windows are group-partitioned. */
+  def topMassPerGroup(
+      df: DataFrame, groupCol: String, scoreCol: String, tieCol: String,
+      num: Long, den: Long): DataFrame = {
+    require(num >= 0 && den > 0, s"bad mass fraction $num/$den")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(tieCol).asc)
+    val cumBefore = coalesce(
+      sum(col(scoreCol)).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)), lit(0L))
+    val total = sum(col(scoreCol)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol)))
+    df.withColumn("__cb", cumBefore).withColumn("__tot", total)
+      .where(col("__cb") * den < col("__tot") * num)
+      .drop("__cb", "__tot")
+  }
+
   /** Distributed byte-size estimate: fixed widths for fixed-size types +
     * octet_length for strings/binary (replaces the reference's
     * cube-root-sample -> toPandas memory probe with one aggregate). */

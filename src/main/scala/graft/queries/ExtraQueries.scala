@@ -547,10 +547,52 @@ object ExtraQueries {
       SELECT bin, count(*) AS n, min(v) AS lo, max(v) AS hi
       FROM b GROUP BY bin ORDER BY bin"""))
 
+  /** Quality-weighted deterministic sampling
+    * ([[Sampling.weightedHashSample]]): longer docs kept at higher rate
+    * (weight = min(n_chars/4000, 1)), reproducibly — the same md5 hash
+    * family the oracle can replay. */
+  val qWeightedSample = Q(
+    "q79_weighted_sample",
+    (s, dir) =>
+      Sampling.weightedHashSample(
+          table(s, dir, "documents"),
+          "doc_id",
+          least(col("n_chars").cast("double") / 4000.0, lit(1.0)))
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, n_chars FROM documents
+      WHERE ('0x'||substr(md5('2:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+          % 1000000 / 1e6
+        < least(CAST(n_chars AS DOUBLE) / 4000.0, 1.0)
+      ORDER BY doc_id"""))
+
+  /** Top-p (nucleus) mix selection ([[Sampling.topMassPerGroup]]): per
+    * source keep the best-scoring prefix covering half the source's
+    * char mass — boundary decided in exact bigint arithmetic, so the
+    * kept set is engine-independent. */
+  val qTopMass = Q(
+    "q80_source_topmass",
+    (s, dir) =>
+      Sampling.topMassPerGroup(
+          table(s, dir, "documents"), "source", "n_chars", "doc_id",
+          num = 1, den = 2)
+        .select("source", "doc_id", "n_chars")
+        .orderBy("source", "doc_id"),
+    Some("""WITH t AS (SELECT source, doc_id, n_chars,
+          coalesce(sum(n_chars) OVER (PARTITION BY source
+            ORDER BY n_chars DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS cum_before,
+          sum(n_chars) OVER (PARTITION BY source) AS total
+        FROM documents)
+      SELECT source, doc_id, n_chars FROM t
+      WHERE cum_before * 2 < total * 1
+      ORDER BY source, doc_id"""))
+
   val all: Seq[Q] = Seq(
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qMapValueCounts,
     qSaltedJoin, qCsvScan, qJsonlScan, qStratifiedSample, qApproxTopK,
     qGroupedQuantiles, qEmbedCovariance, qUrlDedup, qIncrementalMerge,
-    qEquiDepth)
+    qEquiDepth, qWeightedSample, qTopMass)
 }

@@ -175,6 +175,40 @@ class OpsSpec extends SparkSpec {
     assert(rows.filter(_._2 == "en").map(_._1).toSet == plain)
   }
 
+  test("weightedHashSample: rates scale with weight, deterministic") {
+    val df = (0L until 3000L).map(i => (i, i % 3)).toDF("id", "g")
+    // weight 0 drops all, 1 keeps all
+    assert(Sampling.weightedHashSample(df, "id", lit(0.0)).count() == 0)
+    assert(Sampling.weightedHashSample(df, "id", lit(1.0)).count() == 3000)
+    // per-row weight: g=0 -> 0.1, g=1 -> 0.5, g=2 -> 0.9
+    val w = when($"g" === 0, 0.1).when($"g" === 1, 0.5).otherwise(0.9)
+    val kept = Sampling.weightedHashSample(df, "id", w)
+      .groupBy("g").count().collect().map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(kept(0L) > 60 && kept(0L) < 140, s"g0 kept ${kept(0L)}/1000 at 10%")
+    assert(kept(1L) > 430 && kept(1L) < 570, s"g1 kept ${kept(1L)}")
+    assert(kept(2L) > 840 && kept(2L) < 960, s"g2 kept ${kept(2L)}")
+    // deterministic re-run
+    val a = Sampling.weightedHashSample(df, "id", w).collect().map(_.getLong(0))
+    val b = Sampling.weightedHashSample(df, "id", w).collect().map(_.getLong(0))
+    assert(a.toSet == b.toSet)
+  }
+
+  test("topMassPerGroup: smallest best-score prefix covering the mass") {
+    val df = Seq(
+      // group a: scores 10,5,3,2 (total 20) -> half-mass 10: keep just the 10
+      ("a", 1L, 10L), ("a", 2L, 5L), ("a", 3L, 3L), ("a", 4L, 2L),
+      // group b: 4,4,4 (total 12) -> cumBefore 0,4,8; keep rows with 2*cb<12
+      ("b", 5L, 4L), ("b", 6L, 4L), ("b", 7L, 4L))
+      .toDF("g", "id", "score")
+    val kept = Sampling.topMassPerGroup(df, "g", "score", "id", 1, 2)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 5L, 6L))
+    // num/den = 1/1 keeps everything
+    assert(Sampling.topMassPerGroup(df, "g", "score", "id", 1, 1)
+      .count() == 7)
+  }
+
   test("dedupByNearDupClusters keeps min-id per cluster + untouched rows") {
     val corpus = (0L to 6L).map(i => (i, s"body$i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (3L, 2L), (5L, 6L)).toDF("i", "j")
