@@ -35,8 +35,10 @@ object Bench {
       finally f.close()
       // total, idle+iowait, steal (field 8: CPU the HYPERVISOR took —
       // on this Firecracker host the dominant mid-run interference;
-      // invisible to any in-guest process listing)
-      (v.sum, v(3) + v(4), if (v.length > 7) v(7) else 0L)
+      // invisible to any in-guest process listing). Total sums only
+      // fields 0-7: guest/guest_nice are already inside user ticks and
+      // would double-count, understating the steal fraction.
+      (v.take(8).sum, v(3) + v(4), if (v.length > 7) v(7) else 0L)
     }
     val startSample: Option[(Long, Long, Long)] =
       try Some(cpuSample()) catch { case _: Throwable => None }

@@ -38,18 +38,30 @@ object EquiDepth {
     require(clash.isEmpty,
       s"input has reserved __-prefixed columns: ${clash.toSeq}")
     val rows = df
-      .where(col(vCol).isNotNull)
-      .select(col(vCol).cast("double").as("__v"), col("*"))
+      // try_cast + post-filter: ANSI cast would crash on non-numeric
+      // strings, and a value that casts to null must not form a null bin
+      .select(expr(s"try_cast(`$vCol` AS DOUBLE)").as("__v"), col("*"))
+      .where(col("__v").isNotNull)
+    // lazy localCheckpoint: the count table feeds the n action, the
+    // prefix-sum ranking, and the smaller-join — materialize the
+    // groupBy once instead of re-running the shuffle per consumer
+    // (the raw input is still scanned twice: counts + the final join —
+    // unavoidable without caching row data)
     val counts = rows
       .groupBy(col("__v")).agg(count(lit(1)).as("cnt"))
-    val n = counts.agg(sum(col("cnt"))).head().getLong(0)
+      .localCheckpoint(false)
+    val n = counts.agg(coalesce(sum(col("cnt")), lit(0L)))
+      .head().getLong(0)
     if (n == 0) return df.sparkSession.emptyDataFrame
       .select(lit(1).as("bin"), lit(0L).as("n"),
         lit(0.0).as("lo"), lit(0.0).as("hi"))
       .where(lit(false))
     // smaller(v) = #rows with value < v, from the tie-averaged rank:
     // avgrank = smaller + (cnt+1)/2  (Ranking's contract; both terms are
-    // exact half-integer doubles, so the difference is an exact integer)
+    // exact half-integer doubles, so the difference is an exact integer
+    // for n < 2^52 — the operator's honest scale bound, since avgrank
+    // itself is a double; per-value multiplicity is further bounded by
+    // Int.MaxValue through the row_number tie index below)
     val smaller = Ranking
       .avgRanksFromCounts(
         counts.select(lit("c").as("k"), col("__v"), col("cnt")),
@@ -62,8 +74,9 @@ object EquiDepth {
       .orderBy(tieBreak.map(c => col(c).asc): _*)
     val base = n / k
     val rem = n % k
-    // ntile's exact integer assignment, in bigint `div` arithmetic
-    // (Column./ is double division — positions can exceed 2^53 at scale)
+    // ntile's exact integer assignment, in bigint `div` arithmetic —
+    // Column./ is double division, which would add a SECOND rounding
+    // layer on top of the 2^52 avgrank bound above
     val binExpr =
       if (base == 0) "__pos + 1" // fewer rows than bins: one row per bin
       else s"""CASE WHEN __pos < ${rem * (base + 1)}L

@@ -129,13 +129,15 @@ object Sampling {
     * good docs at higher rate) that stays reproducible across runs,
     * repartitioning, and engines (same md5 hash family as
     * [[hashSample]], seed 2). Map-only; `weight` should be in [0,1]
-    * (values >= 1 always keep, <= 0 always drop). */
+    * (values >= 1 always keep, <= 0 always drop). u is quantized to
+    * 1e-9 resolution: weights below 1e-9 behave as ~1e-9, the
+    * documented floor of the hash family. */
   def weightedHashSample(
       df: DataFrame, keyCol: String,
       weight: org.apache.spark.sql.Column): DataFrame = {
     val u = pmod(
       graft.functions.StatFunctions.hash64(col(keyCol).cast("string"), 2),
-      lit(1000000)).cast("double") / 1e6
+      lit(1000000000L)).cast("double") / 1e9
     df.where(u < weight)
   }
 
@@ -151,6 +153,9 @@ object Sampling {
       df: DataFrame, groupCol: String, scoreCol: String, tieCol: String,
       num: Long, den: Long): DataFrame = {
     require(num >= 0 && den > 0, s"bad mass fraction $num/$den")
+    val clash = df.columns.toSet.intersect(Set("__cb", "__tot"))
+    require(clash.isEmpty,
+      s"input already has reserved columns $clash; rename them first")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
       .orderBy(col(scoreCol).desc, col(tieCol).asc)

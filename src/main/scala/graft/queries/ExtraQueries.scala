@@ -562,7 +562,7 @@ object ExtraQueries {
         .orderBy("doc_id"),
     Some("""SELECT doc_id, n_chars FROM documents
       WHERE ('0x'||substr(md5('2:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT
-          % 1000000 / 1e6
+          % 1000000000 / 1e9
         < least(CAST(n_chars AS DOUBLE) / 4000.0, 1.0)
       ORDER BY doc_id"""))
 

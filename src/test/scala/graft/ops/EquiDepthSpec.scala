@@ -36,6 +36,23 @@ class EquiDepthSpec extends SparkSpec {
     assert(run(df, 10) == reference(df, 10))
   }
 
+  test("empty input / all-null column yields an empty histogram, no NPE") {
+    val empty = Seq.empty[(Long, Double)].toDF("id", "v")
+    assert(EquiDepth.equiDepthHistogram(empty, "v", 5, Seq("id"))
+      .count() == 0)
+    val allNull = Seq((1L, None: Option[Double]), (2L, None))
+      .toDF("id", "v")
+    assert(EquiDepth.equiDepthHistogram(allNull, "v", 5, Seq("id"))
+      .count() == 0)
+  }
+
+  test("non-numeric string values are dropped, not crashed on (ANSI)") {
+    val df = Seq((1L, "3.5"), (2L, "abc"), (3L, "1.0"), (4L, "2.0"))
+      .toDF("id", "v")
+    val out = EquiDepth.equiDepthHistogram(df, "v", 3, Seq("id"))
+    assert(out.agg(sum("n")).head().getLong(0) == 3) // 'abc' dropped
+  }
+
   test("nulls dropped; plan has no single-partition exchange") {
     val df = (0 until 100).map(i =>
       (i.toLong, if (i % 5 == 0) None else Some(i.toDouble)))
