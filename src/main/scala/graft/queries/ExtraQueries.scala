@@ -589,10 +589,61 @@ object ExtraQueries {
       WHERE cum_before * 2 < total * 1
       ORDER BY source, doc_id"""))
 
+  /** Benford first-significant-digit distribution — the fraud/data-entry
+    * anomaly screen (Deequ-class data-quality check; the reference has
+    * none). Digit extracted from the shortest-round-trip DECIMAL
+    * RENDERING (regexp for the first nonzero digit), NOT from
+    * floor(x/10^floor(log10 x)) — libm log10 at exact powers of ten is
+    * not bit-identical across engines, the rendering is. */
+  val qBenford = Q(
+    "q81_benford_digits",
+    (s, dir) =>
+      table(s, dir, "lineitem")
+        .where(col("l_extendedprice") > 0)
+        .select(regexp_extract(col("l_extendedprice").cast("string"),
+          "[1-9]", 0).as("digit"))
+        .groupBy("digit")
+        .agg(
+          count(lit(1)).as("n"),
+          round(count(lit(1)).cast("double") /
+            sum(count(lit(1))).over(
+              org.apache.spark.sql.expressions.Window.partitionBy()), 8)
+            .as("p"))
+        .orderBy("digit"),
+    Some("""WITH d AS (SELECT regexp_extract(
+          CAST(l_extendedprice AS VARCHAR), '[1-9]', 0) AS digit
+        FROM lineitem WHERE l_extendedprice > 0)
+      SELECT digit, count(*) AS n,
+        round(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (), 8) AS p
+      FROM d GROUP BY digit ORDER BY digit"""))
+
+  /** Shannon entropy of a column's value distribution (nats) — the
+    * information-content profile stat (Deequ's Entropy analyzer shape):
+    * one groupBy for the counts, one tiny agg over the vocabulary. */
+  val qEntropy = Q(
+    "q82_value_entropy",
+    (s, dir) => {
+      val vc = table(s, dir, "lineitem")
+        .where(col("l_quantity").isNotNull)
+        .groupBy("l_quantity").agg(count(lit(1)).as("cnt"))
+      vc.agg(
+        round(
+          log(sum(col("cnt"))) -
+            sum(col("cnt") * log(col("cnt"))) / sum(col("cnt")), 8)
+          .as("entropy"),
+        count(lit(1)).as("n_distinct"))
+    },
+    Some("""WITH vc AS (SELECT l_quantity, count(*) AS cnt FROM lineitem
+        WHERE l_quantity IS NOT NULL GROUP BY l_quantity)
+      SELECT round(ln(sum(cnt)) - sum(cnt * ln(cnt)) / sum(cnt), 8)
+          AS entropy,
+        count(*) AS n_distinct
+      FROM vc"""))
+
   val all: Seq[Q] = Seq(
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qMapValueCounts,
     qSaltedJoin, qCsvScan, qJsonlScan, qStratifiedSample, qApproxTopK,
     qGroupedQuantiles, qEmbedCovariance, qUrlDedup, qIncrementalMerge,
-    qEquiDepth, qWeightedSample, qTopMass)
+    qEquiDepth, qWeightedSample, qTopMass, qBenford, qEntropy)
 }
