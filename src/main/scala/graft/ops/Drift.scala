@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distribution-drift detection between two data slices — the
+  * two-sample Kolmogorov-Smirnov statistic, the standard train/serve or
+  * day-over-day drift screen (Deequ/Evidently class; the reference has
+  * no cross-slice operators).
+  *
+  * KS = max over values v of |F1(v) - F2(v)| where Fi is a slice's
+  * empirical CDF. Both CDFs come from ONE value-count table (union with
+  * side tags → groupBy(v), map-side combined), and the cumulative sums
+  * use the same two-phase range-partitioned prefix-sum shape as
+  * [[Ranking]]: per-partition (c1, c2) subtotals to the driver (bounded
+  * by partitions), prefix offsets broadcast back, one narrow cumulative
+  * pass — no `sum over (order by v)` global window, whose empty
+  * partition spec would funnel the whole vocabulary through one
+  * reducer. The final max is a plain aggregate.
+  *
+  * Exactness: cumulative counts are integers; F = cum/n is one IEEE
+  * division per side, so the statistic is engine-reproducible
+  * bit-for-bit (the oracle replays it with window cumsums).
+  */
+object Drift {
+
+  /** Two-sample KS over `vCol` (nulls/NaNs dropped): returns a one-row
+    * DataFrame (ks_stat, n1, n2). */
+  def ksTwoSample(
+      df1: DataFrame, df2: DataFrame, vCol: String): DataFrame = {
+    val spark = df1.sparkSession
+    import spark.implicits._
+    def side(df: DataFrame, one: Int) = df
+      .select(col(vCol).cast("double").as("v"))
+      .where(col("v").isNotNull && !col("v").isNaN)
+      .select(col("v"), lit(one).as("s"))
+    val counts = side(df1, 0).unionByName(side(df2, 1))
+      .groupBy("v")
+      .agg(
+        count(when(col("s") === 0, 1)).as("c1"),
+        count(when(col("s") === 1, 1)).as("c2"))
+    val p = spark.sessionState.conf.numShufflePartitions
+    val ranged: Dataset[(Double, Long, Long)] = counts
+      .repartitionByRange(p, col("v"))
+      .sortWithinPartitions("v")
+      .as[(Double, Long, Long)]
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // per-partition subtotals -> driver prefix offsets (bounded by p)
+    val subs: Array[(Int, Long, Long)] = ranged
+      .mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        var s1 = 0L; var s2 = 0L
+        it.foreach { case (_, c1, c2) => s1 += c1; s2 += c2 }
+        Iterator.single((pid, s1, s2))
+      }
+      .collect()
+    val n1 = subs.map(_._2).sum
+    val n2 = subs.map(_._3).sum
+    require(n1 > 0 && n2 > 0, s"both slices need rows, got $n1/$n2")
+    val offsets: Map[Int, (Long, Long)] = {
+      var c1 = 0L; var c2 = 0L
+      subs.sortBy(_._1).map { case (pid, s1, s2) =>
+        val e = pid -> ((c1, c2)); c1 += s1; c2 += s2; e
+      }.toMap
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+
+    val stat = ranged
+      .mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        var (cum1, cum2) = bc.value.getOrElse(pid, (0L, 0L))
+        var best = 0.0
+        it.foreach { case (_, c1, c2) =>
+          cum1 += c1; cum2 += c2
+          val d = math.abs(
+            cum1.toDouble / n1 - cum2.toDouble / n2)
+          if (d > best) best = d
+        }
+        Iterator.single(best)
+      }
+      .reduce(math.max)
+    ranged.unpersist(false)
+    bc.destroy()
+    Seq((stat, n1, n2)).toDF("ks_stat", "n1", "n2")
+  }
+}

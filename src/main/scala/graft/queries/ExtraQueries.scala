@@ -640,10 +640,40 @@ object ExtraQueries {
         count(*) AS n_distinct
       FROM vc"""))
 
+  /** Two-sample KS drift statistic ([[graft.ops.Drift.ksTwoSample]])
+    * between the even- and odd-orderkey halves of lineitem — the
+    * cross-slice distribution-drift screen, cumulated via the
+    * range-partitioned prefix sum (no global window). The oracle
+    * replays the empirical-CDF max-gap with window cumsums. */
+  val qKsDrift = Q(
+    "q83_ks_drift",
+    (s, dir) => {
+      val li = table(s, dir, "lineitem")
+      graft.ops.Drift
+        .ksTwoSample(
+          li.where(col("l_orderkey") % 2 === 0),
+          li.where(col("l_orderkey") % 2 === 1),
+          "l_extendedprice")
+        .select(round(col("ks_stat"), 8).as("ks_stat"),
+          col("n1"), col("n2"))
+    },
+    Some("""WITH m AS (SELECT l_extendedprice AS v,
+          count(CASE WHEN l_orderkey % 2 = 0 THEN 1 END) AS c1,
+          count(CASE WHEN l_orderkey % 2 = 1 THEN 1 END) AS c2
+        FROM lineitem GROUP BY 1),
+      t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+          CAST(sum(c2) AS BIGINT) AS n2 FROM m),
+      c AS (SELECT
+          CAST(sum(c1) OVER (ORDER BY v) AS DOUBLE) AS cum1,
+          CAST(sum(c2) OVER (ORDER BY v) AS DOUBLE) AS cum2
+        FROM m)
+      SELECT round(max(abs(cum1 / n1 - cum2 / n2)), 8) AS ks_stat, n1, n2
+      FROM c CROSS JOIN t GROUP BY n1, n2"""))
+
   val all: Seq[Q] = Seq(
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qMapValueCounts,
     qSaltedJoin, qCsvScan, qJsonlScan, qStratifiedSample, qApproxTopK,
     qGroupedQuantiles, qEmbedCovariance, qUrlDedup, qIncrementalMerge,
-    qEquiDepth, qWeightedSample, qTopMass, qBenford, qEntropy)
+    qEquiDepth, qWeightedSample, qTopMass, qBenford, qEntropy, qKsDrift)
 }
