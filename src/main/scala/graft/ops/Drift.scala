@@ -86,4 +86,54 @@ object Drift {
     bc.destroy()
     Seq((stat, n1, n2)).toDF("ks_stat", "n1", "n2")
   }
+
+  /** Population Stability Index between two slices over fixed-width
+    * bins — the ML-monitoring drift score (PSI < 0.1 stable, > 0.25
+    * shifted, by the usual rule of thumb):
+    *
+    *   PSI = Σ bins (p1 - p2) * ln(p1 / p2)
+    *
+    * with Laplace-smoothed bin shares pi = (ci + 0.5) / (ni + 0.5k)
+    * so empty bins stay defined — deterministically, not via an
+    * epsilon clamp. Bins are fixed-width over the COMBINED min/max
+    * (pure-IEEE [[graft.functions.StatFunctions.histogramBin]]
+    * arithmetic, identical in any engine); bins empty in BOTH slices
+    * are dropped rather than smoothed (they carry no evidence of
+    * drift). Two scans (bounds + binned counts), both map-side
+    * combined; the PSI fold runs over k rows. */
+  def psi(
+      df1: DataFrame, df2: DataFrame, vCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    def side(df: DataFrame, one: Int) = df
+      .select(col(vCol).cast("double").as("v"))
+      .where(col("v").isNotNull && !col("v").isNaN)
+      .select(col("v"), lit(one).as("s"))
+    val both = side(df1, 0).unionByName(side(df2, 1))
+    val b = both.agg(min(col("v")), max(col("v"))).head()
+    require(!b.isNullAt(0), "both slices are empty")
+    val (mn, mx) = (b.getDouble(0), b.getDouble(1))
+    val binned = both
+      .select(
+        graft.functions.StatFunctions.histogramBin(col("v"), mn, mx, bins)
+          .as("bin"),
+        col("s"))
+      .groupBy("bin")
+      .agg(
+        count(when(col("s") === 0, 1)).as("c1"),
+        count(when(col("s") === 1, 1)).as("c2"))
+    val n1 = sum(col("c1")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy())
+    val n2 = sum(col("c2")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy())
+    val p1 = (col("c1") + 0.5) / (n1 + 0.5 * bins)
+    val p2 = (col("c2") + 0.5) / (n2 + 0.5 * bins)
+    binned
+      .select(((p1 - p2) * log(p1 / p2)).as("term"),
+        col("c1"), col("c2"))
+      .agg(
+        round(sum(col("term")), 8).as("psi"),
+        sum(col("c1")).as("n1"),
+        sum(col("c2")).as("n2"))
+  }
 }

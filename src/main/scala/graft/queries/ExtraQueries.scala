@@ -675,5 +675,36 @@ object ExtraQueries {
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qMapValueCounts,
     qSaltedJoin, qCsvScan, qJsonlScan, qStratifiedSample, qApproxTopK,
     qGroupedQuantiles, qEmbedCovariance, qUrlDedup, qIncrementalMerge,
-    qEquiDepth, qWeightedSample, qTopMass, qBenford, qEntropy, qKsDrift)
+    qEquiDepth, qWeightedSample, qTopMass, qBenford, qEntropy, qKsDrift,
+    qPsiDrift)
+
+  /** PSI drift score ([[graft.ops.Drift.psi]]) over the same slice
+    * split as q83 — fixed-width bins on pure-IEEE arithmetic, Laplace
+    * smoothing so the score is defined (and deterministic) with empty
+    * bins. */
+  lazy val qPsiDrift = Q(
+    "q84_psi_drift",
+    (s, dir) => {
+      val li = table(s, dir, "lineitem")
+      graft.ops.Drift.psi(
+        li.where(col("l_orderkey") % 2 === 0),
+        li.where(col("l_orderkey") % 2 === 1),
+        "l_quantity", bins = 10)
+    },
+    Some("""WITH u AS (SELECT CAST(l_quantity AS DOUBLE) AS v,
+          l_orderkey % 2 AS s FROM lineitem WHERE l_quantity IS NOT NULL),
+      st AS (SELECT min(v) AS mn, max(v) AS mx FROM u),
+      bb AS (SELECT CAST(least(floor((v - mn) / ((mx - mn) / 10)), 9)
+          AS INT) AS bin, s FROM u, st),
+      m AS (SELECT bin,
+          count(CASE WHEN s = 0 THEN 1 END) AS c1,
+          count(CASE WHEN s = 1 THEN 1 END) AS c2
+        FROM bb GROUP BY bin),
+      t AS (SELECT CAST(sum(c1) AS DOUBLE) AS n1,
+          CAST(sum(c2) AS DOUBLE) AS n2 FROM m)
+      SELECT round(sum(((c1 + 0.5) / (n1 + 5.0) - (c2 + 0.5) / (n2 + 5.0))
+          * ln(((c1 + 0.5) / (n1 + 5.0)) / ((c2 + 0.5) / (n2 + 5.0)))), 8)
+          AS psi,
+        CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
+      FROM m CROSS JOIN t GROUP BY n1, n2"""))
 }

@@ -43,6 +43,30 @@ class DriftSpec extends SparkSpec {
     assert(r.getLong(1) == 2 && r.getLong(2) == 2)
   }
 
+  test("psi: ~0 for identical slices, grows with shift, matches naive") {
+    val rnd = new scala.util.Random(21)
+    val a = Seq.fill(2000)(rnd.nextGaussian())
+    val same = Drift.psi(a.toDF("v"), a.toDF("v"), "v").head().getDouble(0)
+    assert(same == 0.0) // identical bin counts -> every term is 0
+    val b = a.map(_ + 1.0)
+    val shifted = Drift.psi(a.toDF("v"), b.toDF("v"), "v", 10).head()
+    assert(shifted.getDouble(0) > 0.25, s"shift should score: $shifted")
+    // naive replication with the same binning + smoothing
+    val all0 = a ++ b
+    val (mn, mx) = (all0.min, all0.max)
+    val w = (mx - mn) / 10
+    def bin(x: Double) = math.min(math.floor((x - mn) / w), 9).toInt
+    val c1 = a.groupBy(bin).view.mapValues(_.size.toLong).toMap
+    val c2 = b.groupBy(bin).view.mapValues(_.size.toLong).toMap
+    val present = (c1.keySet ++ c2.keySet).toSeq.sorted
+    val naive = present.map { k =>
+      val p1 = (c1.getOrElse(k, 0L) + 0.5) / (a.size + 5.0)
+      val p2 = (c2.getOrElse(k, 0L) + 0.5) / (b.size + 5.0)
+      (p1 - p2) * math.log(p1 / p2)
+    }.sum
+    assert(math.abs(shifted.getDouble(0) - naive) < 1e-7)
+  }
+
   test("plan shape: no global-window single-partition cumsum") {
     // the statistic is computed via mapPartitions over range partitions;
     // assert the value-count plan itself has no SinglePartition exchange
