@@ -76,7 +76,7 @@ object SparkEntry {
   private def catalog: Seq[graft.queries.Q] =
     Seq(qProfile, qProfileSketch) ++ QueryCatalog.all ++ PipelineQueries.all ++
       graft.queries.ExtraQueries.all ++ graft.queries.TemporalQueries.all ++
-      graft.queries.RelationalQueries.all
+      graft.queries.RelationalQueries.all ++ graft.queries.QualityQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     catalog.map(q => q.name -> q.fn).toMap

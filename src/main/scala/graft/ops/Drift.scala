@@ -104,24 +104,7 @@ object Drift {
   def psi(
       df1: DataFrame, df2: DataFrame, vCol: String,
       bins: Int = 10): DataFrame = {
-    require(bins >= 1, s"bins must be >= 1, got $bins")
-    def side(df: DataFrame, one: Int) = df
-      .select(col(vCol).cast("double").as("v"))
-      .where(col("v").isNotNull && !col("v").isNaN)
-      .select(col("v"), lit(one).as("s"))
-    val both = side(df1, 0).unionByName(side(df2, 1))
-    val b = both.agg(min(col("v")), max(col("v"))).head()
-    require(!b.isNullAt(0), "both slices are empty")
-    val (mn, mx) = (b.getDouble(0), b.getDouble(1))
-    val binned = both
-      .select(
-        graft.functions.StatFunctions.histogramBin(col("v"), mn, mx, bins)
-          .as("bin"),
-        col("s"))
-      .groupBy("bin")
-      .agg(
-        count(when(col("s") === 0, 1)).as("c1"),
-        count(when(col("s") === 1, 1)).as("c2"))
+    val binned = binnedCounts(df1, df2, vCol, bins)
     val n1 = sum(col("c1")).over(
       org.apache.spark.sql.expressions.Window.partitionBy())
     val n2 = sum(col("c2")).over(
@@ -135,5 +118,64 @@ object Drift {
         round(sum(col("term")), 8).as("psi"),
         sum(col("c1")).as("n1"),
         sum(col("c2")).as("n2"))
+  }
+
+  /** Jensen-Shannon divergence between two slices over the same
+    * fixed-width binning as [[psi]] — the bounded, symmetric drift
+    * score (0 ≤ JSD ≤ ln 2 in nats):
+    *
+    *   JSD = ½ KL(p1 ‖ m) + ½ KL(p2 ‖ m),   m = (p1 + p2) / 2
+    *
+    * No smoothing is needed: a bin empty on one side contributes a
+    * well-defined `½ p·ln 2` from the other (the zero-count term is 0
+    * by the xlogx convention, guarded explicitly so no ln(0) is ever
+    * evaluated). Same two map-side-combined scans as PSI; the fold
+    * runs over ≤ bins rows. */
+  def jsd(
+      df1: DataFrame, df2: DataFrame, vCol: String,
+      bins: Int = 10): DataFrame = {
+    val binned = binnedCounts(df1, df2, vCol, bins)
+    val n1 = sum(col("c1")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy())
+    val n2 = sum(col("c2")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy())
+    val p1 = col("c1") / n1
+    val p2 = col("c2") / n2
+    val m = (p1 + p2) / 2
+    val term =
+      when(col("c1") > 0, p1 * log(p1 / m) / 2).otherwise(0.0) +
+        when(col("c2") > 0, p2 * log(p2 / m) / 2).otherwise(0.0)
+    binned
+      .select(term.as("term"), col("c1"), col("c2"))
+      .agg(
+        round(sum(col("term")), 8).as("jsd"),
+        sum(col("c1")).as("n1"),
+        sum(col("c2")).as("n2"))
+  }
+
+  /** Shared PSI/JSD prep: side-tagged union → combined min/max →
+    * fixed-width bin counts per side (one groupBy, map-side combined).
+    * Only bins PRESENT in at least one slice come back. */
+  private def binnedCounts(
+      df1: DataFrame, df2: DataFrame, vCol: String,
+      bins: Int): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    def side(df: DataFrame, one: Int) = df
+      .select(col(vCol).cast("double").as("v"))
+      .where(col("v").isNotNull && !col("v").isNaN)
+      .select(col("v"), lit(one).as("s"))
+    val both = side(df1, 0).unionByName(side(df2, 1))
+    val b = both.agg(min(col("v")), max(col("v"))).head()
+    require(!b.isNullAt(0), "both slices are empty")
+    val (mn, mx) = (b.getDouble(0), b.getDouble(1))
+    both
+      .select(
+        graft.functions.StatFunctions.histogramBin(col("v"), mn, mx, bins)
+          .as("bin"),
+        col("s"))
+      .groupBy("bin")
+      .agg(
+        count(when(col("s") === 0, 1)).as("c1"),
+        count(when(col("s") === 1, 1)).as("c2"))
   }
 }

@@ -1,0 +1,83 @@
+package graft.ops
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Tukey-fence outlier screening per numeric column — the classic
+  * box-plot rule (reference surfaces only the raw extreme observations,
+  * `model/summary_algorithms.py` extreme-obs; the fence counts are the
+  * alert-grade rollup a monitoring pipeline wants).
+  *
+  * Two scans, both fully fused and map-side combined:
+  *   1. ONE aggregate computes `percentile(c, array(0.25, 0.75))` for
+  *      every requested column (one sort buffer per column, not one
+  *      per quantile);
+  *   2. ONE aggregate counts values below/above the fences for every
+  *      column simultaneously, then the single result row is melted to
+  *      one row per column with `stack` (no shuffle — the melt runs on
+  *      a one-row frame).
+  *
+  * Determinism: quartiles are rounded to `roundTo` decimals (HALF_UP,
+  * matching both engines' `round`) BEFORE the fences are derived, so
+  * `lo = q1 - k*(q3 - q1)` is the same pure-IEEE arithmetic on the same
+  * inputs in any engine and the fence comparisons are exact. At 100 TB
+  * the exact percentile pass is the bottleneck — swap in the GK sketch
+  * (`approx_percentile`) upstream and keep pass 2 unchanged.
+  */
+object Outliers {
+
+  private def roundHalfUp(x: Double, scale: Int): Double =
+    new JBigDecimal(x).setScale(scale, RoundingMode.HALF_UP).doubleValue()
+
+  /** Per-column Tukey screen: returns one row per column with the
+    * rounded quartiles, derived fences, and below/above counts.
+    * Nulls and NaNs are excluded from both the quartiles and counts. */
+  def tukeyScreen(
+      df: DataFrame, cols: Seq[String], k: Double = 1.5,
+      roundTo: Int = 6): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    // NaN -> null so percentile (which skips nulls) excludes it; NaN
+    // would otherwise sort above +inf and shift the upper quartile
+    val qAggs = cols.map { c =>
+      val v = s"CAST(`$c` AS DOUBLE)"
+      expr(s"percentile(CASE WHEN NOT isnan($v) THEN $v END, " +
+        "array(0.25, 0.75))").as(s"q_$c")
+    }
+    val qRow = df.agg(qAggs.head, qAggs.tail: _*).head()
+
+    val fences = cols.zipWithIndex.map { case (c, i) =>
+      val qs = qRow.getSeq[Double](i)
+      val q1 = roundHalfUp(qs(0), roundTo)
+      val q3 = roundHalfUp(qs(1), roundTo)
+      (c, q1, q3, q1 - k * (q3 - q1), q3 + k * (q3 - q1))
+    }
+
+    val cAggs = fences.flatMap { case (c, _, _, lo, hi) =>
+      val v = col(c).cast("double")
+      val live = v.isNotNull && !v.isNaN
+      Seq(
+        count(when(live && v < lo, 1)).as(s"below_$c"),
+        count(when(live && v > hi, 1)).as(s"above_$c"),
+        count(when(live, 1)).as(s"n_$c"))
+    }
+    val counts = df.agg(cAggs.head, cAggs.tail: _*)
+
+    // melt the single result row: stack wants (col_name, q1, q3, lo, hi,
+    // below, above, n) tuples — quartiles/fences ride in as literals
+    val stackArgs = fences.map { case (c, q1, q3, lo, hi) =>
+      s"'$c', ${d(q1)}, ${d(q3)}, ${d(lo)}, ${d(hi)}, " +
+        s"`below_$c`, `above_$c`, `n_$c`"
+    }.mkString(", ")
+    counts
+      .select(expr(
+        s"stack(${cols.size}, $stackArgs) AS " +
+          "(col_name, q1, q3, lo, hi, n_below, n_above, n)"))
+      .orderBy("col_name")
+  }
+
+  /** Render a double as a SQL literal that parses back bit-identically
+    * (CAST from the shortest round-trip repr). */
+  private def d(x: Double): String = s"CAST('$x' AS DOUBLE)"
+}

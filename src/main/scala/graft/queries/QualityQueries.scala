@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Association, Drift, Outliers, Validate}
+import graft.queries.QueryCatalog.table
+
+/** Data-quality / monitoring operators: Tukey outlier screening,
+  * categorical association (MI + Theil's U), Jensen-Shannon drift, and
+  * declarative validation rules. All single-scan fused aggregates or
+  * tiny re-aggs over a contingency pass — the alert-grade rollups a
+  * production data pipeline runs continuously. */
+object QualityQueries {
+
+  /** Tukey-fence outlier counts over the events stream
+    * ([[graft.ops.Outliers.tukeyScreen]]): `value` is heavy-tailed
+    * (real above-fence mass), `user_id` is uniform (zero — the
+    * contrast case). Fences derive from 6dp-rounded exact quartiles so
+    * both engines compare against bit-identical cutoffs. */
+  val qOutliers = Q(
+    "q85_outlier_screen",
+    (s, dir) => Outliers.tukeyScreen(
+      table(s, dir, "events"), Seq("user_id", "value")),
+    Some("""WITH
+      f1 AS (SELECT q1, q3, q1 - 1.5*(q3 - q1) AS lo, q3 + 1.5*(q3 - q1) AS hi
+        FROM (SELECT round(quantile_cont(user_id, 0.25), 6) AS q1,
+                     round(quantile_cont(user_id, 0.75), 6) AS q3
+              FROM events)),
+      f2 AS (SELECT q1, q3, q1 - 1.5*(q3 - q1) AS lo, q3 + 1.5*(q3 - q1) AS hi
+        FROM (SELECT round(quantile_cont(value, 0.25), 6) AS q1,
+                     round(quantile_cont(value, 0.75), 6) AS q3
+              FROM events))
+      SELECT 'user_id' AS col_name, q1, q3, lo, hi,
+        count(CASE WHEN v < lo THEN 1 END) AS n_below,
+        count(CASE WHEN v > hi THEN 1 END) AS n_above,
+        count(v) AS n
+      FROM (SELECT CAST(user_id AS DOUBLE) AS v FROM events), f1
+      GROUP BY q1, q3, lo, hi
+      UNION ALL
+      SELECT 'value', q1, q3, lo, hi,
+        count(CASE WHEN v < lo THEN 1 END),
+        count(CASE WHEN v > hi THEN 1 END), count(v)
+      FROM (SELECT CAST(value AS DOUBLE) AS v FROM events), f2
+      GROUP BY q1, q3, lo, hi
+      ORDER BY col_name"""))
+
+  /** Mutual information + Theil's U between returnflag and linestatus
+    * ([[graft.ops.Association.categoricalAssociation]]): one
+    * contingency pass, entropies from its marginals,
+    * MI = H(X)+H(Y)−H(X,Y), U = MI/H. The pair is genuinely dependent
+    * (returned lines ship earlier), so MI lands well off zero. */
+  val qAssociation = Q(
+    "q86_categorical_mi",
+    (s, dir) => Association.categoricalAssociation(
+      table(s, dir, "lineitem"), "l_returnflag", "l_linestatus"),
+    Some("""WITH j AS (SELECT l_returnflag AS x, l_linestatus AS y,
+            count(*) AS c FROM lineitem GROUP BY 1, 2),
+      nn AS (SELECT sum(c) AS n FROM j),
+      exy AS (SELECT sum(c * (ln(n) - ln(c))) / n AS hxy
+        FROM j, nn GROUP BY n),
+      ex AS (SELECT sum(cx * (ln(n) - ln(cx))) / n AS hx
+        FROM (SELECT sum(c) AS cx FROM j GROUP BY x), nn GROUP BY n),
+      ey AS (SELECT sum(cy * (ln(n) - ln(cy))) / n AS hy
+        FROM (SELECT sum(c) AS cy FROM j GROUP BY y), nn GROUP BY n)
+      SELECT round(hx + hy - hxy, 8) AS mi,
+        round(CASE WHEN hx <> 0 THEN (hx + hy - hxy) / hx END, 8)
+          AS u_x_given_y,
+        round(CASE WHEN hy <> 0 THEN (hx + hy - hxy) / hy END, 8)
+          AS u_y_given_x,
+        n
+      FROM exy, ex, ey, nn"""))
+
+  /** Jensen-Shannon drift ([[graft.ops.Drift.jsd]]) between the even-
+    * and odd-orderkey halves over l_extendedprice, 16 fixed-width
+    * bins — the bounded symmetric member of the drift family
+    * (q83 KS / q84 PSI / q87 JSD). */
+  val qJsdDrift = Q(
+    "q87_jsd_drift",
+    (s, dir) => {
+      val li = table(s, dir, "lineitem")
+      Drift.jsd(
+        li.where(col("l_orderkey") % 2 === 0),
+        li.where(col("l_orderkey") % 2 === 1),
+        "l_extendedprice", bins = 16)
+    },
+    Some("""WITH u AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+          l_orderkey % 2 AS s FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      st AS (SELECT min(v) AS mn, max(v) AS mx FROM u),
+      bb AS (SELECT CAST(least(floor((v - mn) / ((mx - mn) / 16)), 15)
+          AS INT) AS bin, s FROM u, st),
+      m AS (SELECT bin,
+          count(CASE WHEN s = 0 THEN 1 END) AS c1,
+          count(CASE WHEN s = 1 THEN 1 END) AS c2
+        FROM bb GROUP BY bin),
+      t AS (SELECT CAST(sum(c1) AS DOUBLE) AS n1,
+          CAST(sum(c2) AS DOUBLE) AS n2 FROM m)
+      SELECT round(sum(
+          (CASE WHEN c1 > 0 THEN (c1/n1) * ln((c1/n1) /
+             ((c1/n1 + c2/n2) / 2)) / 2 ELSE 0 END) +
+          (CASE WHEN c2 > 0 THEN (c2/n2) * ln((c2/n2) /
+             ((c1/n1 + c2/n2) / 2)) / 2 ELSE 0 END)), 8) AS jsd,
+        CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
+      FROM m CROSS JOIN t GROUP BY n1, n2"""))
+
+  /** Declarative expectation checks ([[graft.ops.Validate.check]]):
+    * six rules over lineitem in ONE fused aggregate — range, ordering,
+    * non-null, and cross-column predicates, null-predicate = violation
+    * (SQL constraint semantics). */
+  val qValidate = Q(
+    "q88_validation_rules",
+    (s, dir) => Validate.check(
+      table(s, dir, "lineitem"),
+      Seq(
+        Validate.Rule("discount_le_5pct", col("l_discount") <= 0.05),
+        Validate.Rule("linenumber_1_to_7",
+          col("l_linenumber").between(1, 7)),
+        Validate.Rule("price_positive", col("l_extendedprice") > 0),
+        Validate.Rule("quantity_1_to_50",
+          col("l_quantity").between(1, 50)),
+        Validate.Rule("returnflag_known",
+          col("l_returnflag").isin("A", "N", "R")),
+        Validate.Rule("tax_lt_discount",
+          col("l_tax") < col("l_discount")))),
+    Some("""WITH a AS (SELECT count(*) AS n,
+        count(CASE WHEN NOT coalesce(l_discount <= 0.05, false)
+          THEN 1 END) AS v1,
+        count(CASE WHEN NOT coalesce(l_linenumber BETWEEN 1 AND 7, false)
+          THEN 1 END) AS v2,
+        count(CASE WHEN NOT coalesce(l_extendedprice > 0, false)
+          THEN 1 END) AS v3,
+        count(CASE WHEN NOT coalesce(l_quantity BETWEEN 1 AND 50, false)
+          THEN 1 END) AS v4,
+        count(CASE WHEN NOT coalesce(l_returnflag IN ('A','N','R'), false)
+          THEN 1 END) AS v5,
+        count(CASE WHEN NOT coalesce(l_tax < l_discount, false)
+          THEN 1 END) AS v6
+      FROM lineitem)
+      SELECT rule, n_violations, n AS n_rows,
+        round((n - n_violations) / CAST(n AS DOUBLE), 8) AS pass_rate
+      FROM (
+        SELECT 'discount_le_5pct' AS rule, v1 AS n_violations, n FROM a
+        UNION ALL SELECT 'linenumber_1_to_7', v2, n FROM a
+        UNION ALL SELECT 'price_positive', v3, n FROM a
+        UNION ALL SELECT 'quantity_1_to_50', v4, n FROM a
+        UNION ALL SELECT 'returnflag_known', v5, n FROM a
+        UNION ALL SELECT 'tax_lt_discount', v6, n FROM a)
+      ORDER BY rule"""))
+
+  val all: Seq[Q] = Seq(qOutliers, qAssociation, qJsdDrift, qValidate)
+}

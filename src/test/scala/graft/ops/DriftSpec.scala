@@ -67,6 +67,38 @@ class DriftSpec extends SparkSpec {
     assert(math.abs(shifted.getDouble(0) - naive) < 1e-7)
   }
 
+  test("jsd: 0 for identical, ln2 for disjoint, matches naive") {
+    val a = Seq.tabulate(300)(i => (i % 30).toDouble)
+    val same = Drift.jsd(a.toDF("v"), a.toDF("v"), "v").head().getDouble(0)
+    assert(same == 0.0)
+    // fully disjoint supports -> every bin one-sided -> JSD = ln 2
+    val lo = Seq.fill(100)(0.0) ++ Seq.fill(100)(1.0)
+    val hi = Seq.fill(100)(9.0) ++ Seq.fill(100)(10.0)
+    val dis = Drift.jsd(lo.toDF("v"), hi.toDF("v"), "v", 10)
+      .head().getDouble(0)
+    assert(math.abs(dis - math.log(2)) < 1e-8, s"disjoint: $dis")
+    // naive replication on shifted gaussians
+    val rnd = new scala.util.Random(31)
+    val g1 = Seq.fill(1500)(rnd.nextGaussian())
+    val g2 = g1.map(_ * 1.3 + 0.4)
+    val r = Drift.jsd(g1.toDF("v"), g2.toDF("v"), "v", 12).head()
+    val all0 = g1 ++ g2
+    val (mn, mx) = (all0.min, all0.max)
+    val w = (mx - mn) / 12
+    def bin(x: Double) = math.min(math.floor((x - mn) / w), 11).toInt
+    val c1 = g1.groupBy(bin).view.mapValues(_.size.toLong).toMap
+    val c2 = g2.groupBy(bin).view.mapValues(_.size.toLong).toMap
+    val naive = (c1.keySet ++ c2.keySet).toSeq.map { k =>
+      val p1 = c1.getOrElse(k, 0L).toDouble / g1.size
+      val p2 = c2.getOrElse(k, 0L).toDouble / g2.size
+      val m = (p1 + p2) / 2
+      (if (p1 > 0) p1 * math.log(p1 / m) / 2 else 0.0) +
+        (if (p2 > 0) p2 * math.log(p2 / m) / 2 else 0.0)
+    }.sum
+    assert(math.abs(r.getDouble(0) - naive) < 1e-7, s"$r vs $naive")
+    assert(r.getLong(1) == 1500 && r.getLong(2) == 1500)
+  }
+
   test("plan shape: no global-window single-partition cumsum") {
     // the statistic is computed via mapPartitions over range partitions;
     // assert the value-count plan itself has no SinglePartition exchange

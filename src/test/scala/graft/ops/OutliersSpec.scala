@@ -1,0 +1,60 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class OutliersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tukey fences: planted outliers counted, clean column zero") {
+    // clean: uniform 1..100 (q1=25.75, q3=75.25, iqr=49.5 -> fences far
+    // outside the data); dirty: same but with planted extremes
+    val dirty = (1 to 100).map(_.toDouble) ++ Seq(-500.0, -400.0, 900.0)
+    val rows = dirty.zipWithIndex.map { case (v, i) =>
+      (if (i < 100) Some(v) else None, v) // clean = 1..100 + 3 nulls
+    }
+    val df = rows.toDF("clean", "dirty")
+
+    val r = Outliers.tukeyScreen(df, Seq("clean", "dirty")).collect()
+    val byCol = r.map(x => x.getString(0) -> x).toMap
+
+    val c = byCol("clean")
+    assert(c.getLong(5) == 0 && c.getLong(6) == 0) // n_below, n_above
+    assert(c.getDouble(1) == 25.75 && c.getDouble(2) == 75.25) // q1, q3
+    assert(c.getLong(7) == 100) // nulls excluded
+
+    val d = byCol("dirty")
+    assert(d.getLong(5) == 2, s"expected 2 below: $d")
+    assert(d.getLong(6) == 1, s"expected 1 above: $d")
+    assert(d.getLong(7) == 103)
+  }
+
+  test("fence arithmetic matches driver-side replication on skewed data") {
+    val rnd = new scala.util.Random(5)
+    val vs = Seq.fill(500)(math.exp(rnd.nextGaussian()))
+    val r = Outliers.tukeyScreen(vs.toDF("v"), Seq("v")).head()
+    // replicate: exact linear-interp quartiles, rounded, fences, counts
+    val sorted = vs.sorted
+    def pct(p: Double) = {
+      val h = (sorted.size - 1) * p
+      val i = h.toInt
+      sorted(i) + (h - i) * (sorted(math.min(i + 1, sorted.size - 1)) - sorted(i))
+    }
+    def r6(x: Double) =
+      new java.math.BigDecimal(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val (q1, q3) = (r6(pct(0.25)), r6(pct(0.75)))
+    val (lo, hi) = (q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1))
+    assert(r.getDouble(1) == q1 && r.getDouble(2) == q3)
+    assert(r.getDouble(3) == lo && r.getDouble(4) == hi)
+    assert(r.getLong(5) == vs.count(_ < lo))
+    assert(r.getLong(6) == vs.count(_ > hi))
+  }
+
+  test("nulls and NaNs excluded from quartiles and counts") {
+    val df = (Seq.tabulate(50)(i => Some(i.toDouble)) ++
+      Seq(None, None, Some(Double.NaN), Some(1e9))).toDF("v")
+    val r = Outliers.tukeyScreen(df, Seq("v")).head()
+    assert(r.getLong(7) == 51) // 50 live + planted outlier; null/NaN out
+    assert(r.getLong(6) == 1) // the 1e9
+  }
+}
