@@ -153,6 +153,47 @@ object Drift {
         sum(col("c2")).as("n2"))
   }
 
+  /** Two-sample chi-square homogeneity over a CATEGORICAL column —
+    * the drift screen for discrete features (KS/PSI/JSD cover numeric).
+    * Contingency from one side-tagged union groupBy (map-side
+    * combined); expected counts e_ij = n_i·(c1+c2)/N; the statistic
+    *
+    *   χ² = Σ cells (c_ij − e_ij)² / e_ij,   dof = k − 1
+    *
+    * folds over ≤ k vocabulary rows. Null is kept as its own level
+    * (missingness shifting between slices IS drift). Levels empty in
+    * one slice contribute their full expected mass — no smoothing, the
+    * classical statistic. */
+  def chiSquareHomogeneity(
+      df1: DataFrame, df2: DataFrame, cCol: String): DataFrame = {
+    def side(df: DataFrame, one: Int) =
+      df.select(col(cCol).as("v"), lit(one).as("s"))
+    val counts = side(df1, 0).unionByName(side(df2, 1))
+      .groupBy("v")
+      .agg(
+        count(when(col("s") === 0, 1)).as("c1"),
+        count(when(col("s") === 1, 1)).as("c2"))
+    val n1 = sum(col("c1")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy())
+    val n2 = sum(col("c2")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy())
+    // double from the first multiply: long·long would overflow ANSI
+    // once slice sizes pass ~3e9 rows
+    val tot = col("c1") + col("c2")
+    val e1 = n1.cast("double") * tot / (n1 + n2)
+    val e2 = n2.cast("double") * tot / (n1 + n2)
+    val term =
+      (col("c1") - e1) * (col("c1") - e1) / e1 +
+        (col("c2") - e2) * (col("c2") - e2) / e2
+    counts
+      .select(term.as("term"), col("c1"), col("c2"))
+      .agg(
+        round(sum(col("term")), 8).as("chi2"),
+        (count(lit(1)) - 1).as("dof"),
+        sum(col("c1")).as("n1"),
+        sum(col("c2")).as("n2"))
+  }
+
   /** Shared PSI/JSD prep: side-tagged union → combined min/max →
     * fixed-width bin counts per side (one groupBy, map-side combined).
     * Only bins PRESENT in at least one slice come back. */

@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** First-order (Markov) state-transition matrix over per-key event
+  * timelines — "after a click, what happens next?" — the behavioral
+  * profile a clickstream/session pipeline derives before any modeling.
+  *
+  * One window pass per key (`lead` over PARTITION BY key ORDER BY
+  * ts, tieBreak — scale-safe: partitions are per-key, never global),
+  * then a groupBy on the (from, to) pair. Row-normalized transition
+  * probabilities come from a second window over the COUNTS table,
+  * whose size is bounded by the state-vocabulary squared, not the
+  * data. The last event of each key emits no transition. */
+object Transitions {
+
+  /** Returns (from_state, to_state, cnt, p): transition counts and
+    * row-normalized probabilities (Σ p over to_state = 1 for each
+    * from_state), rounded to 8 decimals. Ties in `tsCol` are broken by
+    * `tieBreak` so the sequence — and therefore the matrix — is
+    * deterministic. */
+  def matrix(
+      df: DataFrame, keyCol: String, tsCol: String, stateCol: String,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(keyCol)
+      .orderBy((col(tsCol) +: tieBreak.map(col)): _*)
+    val pairs = df
+      .select(col(stateCol).as("from_state"),
+        lead(col(stateCol), 1).over(w).as("to_state"))
+      .where(col("to_state").isNotNull)
+    val counts = pairs.groupBy("from_state", "to_state")
+      .agg(count(lit(1)).as("cnt"))
+    val rowTotal = Window.partitionBy("from_state")
+    counts.select(
+      col("from_state"), col("to_state"), col("cnt"),
+      round(col("cnt") / sum(col("cnt")).over(rowTotal), 8).as("p"))
+  }
+}

@@ -146,5 +146,97 @@ object QualityQueries {
         UNION ALL SELECT 'tax_lt_discount', v6, n FROM a)
       ORDER BY rule"""))
 
-  val all: Seq[Q] = Seq(qOutliers, qAssociation, qJsdDrift, qValidate)
+  /** Two-sample chi-square homogeneity
+    * ([[graft.ops.Drift.chiSquareHomogeneity]]) on event_type between
+    * even/odd user cohorts — the categorical member of the drift
+    * family (q83 KS / q84 PSI / q87 JSD are numeric-only). */
+  val qChi2Drift = Q(
+    "q90_chi2_homogeneity",
+    (s, dir) => {
+      val ev = table(s, dir, "events")
+      graft.ops.Drift.chiSquareHomogeneity(
+        ev.where(col("user_id") % 2 === 0),
+        ev.where(col("user_id") % 2 === 1),
+        "event_type")
+    },
+    Some("""WITH u AS (SELECT event_type AS v, user_id % 2 AS s FROM events),
+      m AS (SELECT v,
+          count(CASE WHEN s = 0 THEN 1 END) AS c1,
+          count(CASE WHEN s = 1 THEN 1 END) AS c2
+        FROM u GROUP BY v),
+      t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+          CAST(sum(c2) AS BIGINT) AS n2 FROM m)
+      SELECT round(sum(
+          (c1 - CAST(n1 AS DOUBLE) * (c1 + c2) / (n1 + n2))
+            * (c1 - CAST(n1 AS DOUBLE) * (c1 + c2) / (n1 + n2))
+            / (CAST(n1 AS DOUBLE) * (c1 + c2) / (n1 + n2)) +
+          (c2 - CAST(n2 AS DOUBLE) * (c1 + c2) / (n1 + n2))
+            * (c2 - CAST(n2 AS DOUBLE) * (c1 + c2) / (n1 + n2))
+            / (CAST(n2 AS DOUBLE) * (c1 + c2) / (n1 + n2))), 8) AS chi2,
+        count(*) - 1 AS dof, n1, n2
+      FROM m CROSS JOIN t GROUP BY n1, n2"""))
+
+  /** Joint missingness patterns ([[graft.ops.Completeness
+    * .nullPatterns]]): which column COMBINATIONS go missing together.
+    * The testdata has no natural nulls, so they are planted
+    * deterministically via nullif (q37's device) — the pattern-table
+    * machinery is what is under test. */
+  val qNullPatterns = Q(
+    "q91_null_patterns",
+    (s, dir) => {
+      val li = table(s, dir, "lineitem").select(
+        nullif(col("l_discount"), lit(0.0)).as("da"),
+        nullif(col("l_tax"), lit(0.0)).as("ta"),
+        nullif(col("l_returnflag"), lit("N")).as("rf"))
+      graft.ops.Completeness.nullPatterns(li, Seq("da", "ta", "rf"))
+    },
+    Some("""WITH f AS (SELECT
+        nullif(l_discount, 0.0) IS NULL AS da_missing,
+        nullif(l_tax, 0.0) IS NULL AS ta_missing,
+        nullif(l_returnflag, 'N') IS NULL AS rf_missing FROM lineitem),
+      g AS (SELECT da_missing, ta_missing, rf_missing, count(*) AS cnt
+        FROM f GROUP BY 1, 2, 3),
+      t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM g)
+      SELECT da_missing, ta_missing, rf_missing, cnt,
+        round(cnt / CAST(n AS DOUBLE), 8) AS pct
+      FROM g, t
+      ORDER BY cnt DESC, da_missing, ta_missing, rf_missing"""))
+
+  /** Functional-dependency checks ([[graft.ops.Dependency
+    * .fdViolations]]): user_id→event_type (massively violated — users
+    * mix event types) vs doc_id→lang (holds — doc_id is a key). */
+  val qFdCheck = Q(
+    "q92_fd_check",
+    (s, dir) => {
+      def tagged(t: String, lhs: String, rhs: String) =
+        graft.ops.Dependency
+          .fdViolations(table(s, dir, t), Seq(lhs), rhs)
+          .withColumn("fd", lit(s"$lhs->$rhs"))
+      tagged("events", "user_id", "event_type")
+        .unionByName(tagged("documents", "doc_id", "lang"))
+        .select("fd", "n_groups", "n_violating", "p_violating",
+          "max_distinct", "n_rows")
+        .orderBy("fd")
+    },
+    Some("""WITH g1 AS (SELECT user_id, count(DISTINCT event_type) AS nd,
+          count(*) AS sz FROM events GROUP BY user_id),
+      g2 AS (SELECT doc_id, count(DISTINCT lang) AS nd, count(*) AS sz
+        FROM documents GROUP BY doc_id)
+      SELECT 'user_id->event_type' AS fd, count(*) AS n_groups,
+        count(CASE WHEN nd > 1 THEN 1 END) AS n_violating,
+        round(count(CASE WHEN nd > 1 THEN 1 END) /
+          CAST(count(*) AS DOUBLE), 8) AS p_violating,
+        max(nd) AS max_distinct, CAST(sum(sz) AS BIGINT) AS n_rows
+      FROM g1
+      UNION ALL
+      SELECT 'doc_id->lang', count(*),
+        count(CASE WHEN nd > 1 THEN 1 END),
+        round(count(CASE WHEN nd > 1 THEN 1 END) /
+          CAST(count(*) AS DOUBLE), 8),
+        max(nd), CAST(sum(sz) AS BIGINT)
+      FROM g2
+      ORDER BY fd"""))
+
+  val all: Seq[Q] = Seq(qOutliers, qAssociation, qJsdDrift, qValidate,
+    qChi2Drift, qNullPatterns, qFdCheck)
 }

@@ -177,6 +177,35 @@ object TemporalQueries {
         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
       ORDER BY event_id"""))
 
+  /** First-order event-type transition matrix
+    * ([[graft.ops.Transitions.matrix]]) over per-user timelines:
+    * lead() under PARTITION BY user (never a global window), counts
+    * row-normalized over the vocab-bounded pair table. Microsecond
+    * domain + event_id tie-break per the header note. */
+  val qTransitions = Q(
+    "q89_transition_matrix",
+    (s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          expr("ts div 1000").as("tus"))
+      graft.ops.Transitions
+        .matrix(ev, "user_id", "tus", "event_type",
+          tieBreak = Seq("event_id"))
+        .orderBy("from_state", "to_state")
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus,
+          event_id FROM events),
+      p AS (SELECT event_type AS from_state,
+          lead(event_type) OVER (PARTITION BY user_id
+            ORDER BY tus, event_id) AS to_state
+        FROM e),
+      c AS (SELECT from_state, to_state, count(*) AS cnt FROM p
+        WHERE to_state IS NOT NULL GROUP BY 1, 2)
+      SELECT from_state, to_state, cnt,
+        round(cnt / CAST(sum(cnt) OVER (PARTITION BY from_state)
+          AS DOUBLE), 8) AS p
+      FROM c ORDER BY from_state, to_state"""))
+
   val all: Seq[Q] = Seq(qSessionize, qAsofJoin, qRangeJoin, qFunnel,
-    qRolling)
+    qRolling, qTransitions)
 }

@@ -99,6 +99,30 @@ class DriftSpec extends SparkSpec {
     assert(r.getLong(1) == 1500 && r.getLong(2) == 1500)
   }
 
+  test("chi2 homogeneity: 0 for identical shares, matches naive") {
+    val a = Seq.fill(40)("x") ++ Seq.fill(60)("y")
+    val same = Drift
+      .chiSquareHomogeneity(a.toDF("v"), a.toDF("v"), "v").head()
+    assert(same.getDouble(0) == 0.0 && same.getLong(1) == 1)
+
+    val b = Seq.fill(70)("x") ++ Seq.fill(25)("y") ++ Seq.fill(5)("z")
+    val r = Drift.chiSquareHomogeneity(a.toDF("v"), b.toDF("v"), "v")
+      .head()
+    // naive: full contingency incl. the a-side-empty 'z' level
+    val levels = Seq("x", "y", "z")
+    val c1 = Map("x" -> 40.0, "y" -> 60.0, "z" -> 0.0)
+    val c2 = Map("x" -> 70.0, "y" -> 25.0, "z" -> 5.0)
+    val (n1, n2) = (100.0, 100.0)
+    val naive = levels.map { l =>
+      val tot = c1(l) + c2(l)
+      val e1 = n1 * tot / (n1 + n2); val e2 = n2 * tot / (n1 + n2)
+      (c1(l) - e1) * (c1(l) - e1) / e1 + (c2(l) - e2) * (c2(l) - e2) / e2
+    }.sum
+    assert(math.abs(r.getDouble(0) - naive) < 1e-7, s"$r vs $naive")
+    assert(r.getLong(1) == 2) // 3 levels - 1
+    assert(r.getLong(2) == 100 && r.getLong(3) == 100)
+  }
+
   test("plan shape: no global-window single-partition cumsum") {
     // the statistic is computed via mapPartitions over range partitions;
     // assert the value-count plan itself has no SinglePartition exchange

@@ -1,0 +1,47 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class TransitionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("per-key sequences yield exact bigram counts and row-sums of 1") {
+    // user 1: a b a b ; user 2: a a c  -> transitions:
+    //   u1: a->b, b->a, a->b ; u2: a->a, a->c
+    val df = Seq(
+      (1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "a"), (1L, 40L, "b"),
+      (2L, 10L, "a"), (2L, 20L, "a"), (2L, 30L, "c")
+    ).toDF("k", "ts", "st")
+    val m = Transitions.matrix(df, "k", "ts", "st")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(m(("a", "b"))._1 == 2 && m(("b", "a"))._1 == 1)
+    assert(m(("a", "a"))._1 == 1 && m(("a", "c"))._1 == 1)
+    assert(m.size == 4)
+    // from 'a': 4 transitions total -> p(a->b)=0.5, p(a->a)=p(a->c)=0.25
+    assert(m(("a", "b"))._2 == 0.5)
+    assert(m(("a", "a"))._2 == 0.25 && m(("a", "c"))._2 == 0.25)
+    assert(m(("b", "a"))._2 == 1.0)
+  }
+
+  test("no cross-key transitions; last event emits none") {
+    val df = Seq((1L, 1L, "x"), (2L, 2L, "y")).toDF("k", "ts", "st")
+    assert(Transitions.matrix(df, "k", "ts", "st").count() == 0)
+  }
+
+  test("timestamp ties broken deterministically by tieBreak column") {
+    val df = Seq(
+      (1L, 5L, 100L, "a"), (1L, 5L, 200L, "b"), (1L, 5L, 300L, "c")
+    ).toDF("k", "ts", "id", "st")
+    val seq1 = Transitions.matrix(df, "k", "ts", "st", Seq("id"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(seq1 == Set(("a", "b"), ("b", "c")))
+  }
+
+  test("plan: no single-partition exchange (both windows are keyed)") {
+    val df = Seq((1L, 1L, "x")).toDF("k", "ts", "st")
+    val plan = Transitions.matrix(df, "k", "ts", "st")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+}
