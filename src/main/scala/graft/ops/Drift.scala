@@ -153,6 +153,107 @@ object Drift {
         sum(col("c2")).as("n2"))
   }
 
+  /** Exact 1-Wasserstein (earth-mover) distance between two slices —
+    * the drift score that weighs HOW FAR mass moved, not just whether
+    * it did (KS is sup-norm; W1 is the integral):
+    *
+    *   W1 = ∫ |F1(v) − F2(v)| dv
+    *      = Σ over adjacent distinct values |F1(vᵢ) − F2(vᵢ)|·(vᵢ₊₁ − vᵢ)
+    *
+    * Same one-pass value-count + range-partitioned prefix-sum shape as
+    * [[ksTwoSample]] — no global window. The only new mechanics: each
+    * summand needs the NEXT distinct value, and a partition's last row
+    * pairs with the next partition's first, so the per-partition FIRST
+    * values (bounded by the partition count, like the prefix
+    * subtotals) ride to the driver and broadcast back as boundary
+    * hand-offs. Counts are integers and each summand is the same IEEE
+    * expression in any engine; only the final sum's order varies →
+    * rounded to 6 decimals (absolute W1 scales with the value range —
+    * callers on wide ranges should prefer `w1 / (max − min)`, emitted
+    * as `w1_norm` rounded to 8). */
+  def wasserstein(
+      df1: DataFrame, df2: DataFrame, vCol: String): DataFrame = {
+    val spark = df1.sparkSession
+    import spark.implicits._
+    def side(df: DataFrame, one: Int) = df
+      .select(col(vCol).cast("double").as("v"))
+      .where(col("v").isNotNull && !col("v").isNaN)
+      .select(col("v"), lit(one).as("s"))
+    val counts = side(df1, 0).unionByName(side(df2, 1))
+      .groupBy("v")
+      .agg(
+        count(when(col("s") === 0, 1)).as("c1"),
+        count(when(col("s") === 1, 1)).as("c2"))
+    val p = spark.sessionState.conf.numShufflePartitions
+    val ranged: Dataset[(Double, Long, Long)] = counts
+      .repartitionByRange(p, col("v"))
+      .sortWithinPartitions("v")
+      .as[(Double, Long, Long)]
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // per-partition (subtotals, first value) -> driver (bounded by p)
+    val subs: Array[(Int, Long, Long, Option[Double])] = ranged
+      .mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        var s1 = 0L; var s2 = 0L; var first: Option[Double] = None
+        it.foreach { case (v, c1, c2) =>
+          if (first.isEmpty) first = Some(v)
+          s1 += c1; s2 += c2
+        }
+        Iterator.single((pid, s1, s2, first))
+      }
+      .collect()
+    val n1 = subs.map(_._2).sum
+    val n2 = subs.map(_._3).sum
+    require(n1 > 0 && n2 > 0, s"both slices need rows, got $n1/$n2")
+    val offsets: Map[Int, (Long, Long)] = {
+      var c1 = 0L; var c2 = 0L
+      subs.sortBy(_._1).map { case (pid, s1, s2, _) =>
+        val e = pid -> ((c1, c2)); c1 += s1; c2 += s2; e
+      }.toMap
+    }
+    // next non-empty partition's first value, per partition
+    val byPid = subs.sortBy(_._1)
+    val nextFirst: Map[Int, Double] = byPid.map { case (pid, _, _, _) =>
+      pid -> byPid.collectFirst {
+        case (p2, _, _, Some(f)) if p2 > pid => f
+      }
+    }.collect { case (pid, Some(f)) => pid -> f }.toMap
+    val range = counts.agg(min(col("v")), max(col("v"))).head()
+    val (mn, mx) = (range.getDouble(0), range.getDouble(1))
+    val bc = spark.sparkContext.broadcast((offsets, nextFirst))
+
+    val w1 = ranged
+      .mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        var (cum1, cum2) = bc.value._1.getOrElse(pid, (0L, 0L))
+        var acc = 0.0
+        var pendingF = 0.0 // |F1-F2| waiting for the next value's gap
+        var pendingV = 0.0
+        var havePending = false
+        it.foreach { case (v, c1, c2) =>
+          if (havePending) acc += pendingF * (v - pendingV)
+          cum1 += c1; cum2 += c2
+          pendingF = math.abs(cum1.toDouble / n1 - cum2.toDouble / n2)
+          pendingV = v; havePending = true
+        }
+        // close the gap to the next partition's first value
+        if (havePending) bc.value._2.get(pid).foreach { nf =>
+          acc += pendingF * (nf - pendingV)
+        }
+        Iterator.single(acc)
+      }
+      .reduce(_ + _)
+    ranged.unpersist(false)
+    bc.destroy()
+    val norm = if (mx > mn) w1 / (mx - mn) else 0.0
+    Seq((BigDecimal(w1).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble,
+      BigDecimal(norm).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble,
+      n1, n2)).toDF("w1", "w1_norm", "n1", "n2")
+  }
+
   /** Two-sample chi-square homogeneity over a CATEGORICAL column —
     * the drift screen for discrete features (KS/PSI/JSD cover numeric).
     * Contingency from one side-tagged union groupBy (map-side

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Association, Drift, Outliers, Validate}
+import graft.ops.{Association, Drift, JoinHealth, Outliers, Validate}
 import graft.queries.QueryCatalog.table
 
 /** Data-quality / monitoring operators: Tukey outlier screening,
@@ -237,6 +237,113 @@ object QualityQueries {
       FROM g2
       ORDER BY fd"""))
 
+  /** Exact 1-Wasserstein drift ([[graft.ops.Drift.wasserstein]])
+    * between the even/odd-orderkey halves over l_quantity (50 distinct
+    * values → 50 summands, so the order-varying final sum is far
+    * inside the 6dp rounding). The oracle replays the CDF-gap integral
+    * with window cumsum + lead. */
+  val qWassersteinDrift = Q(
+    "q93_wasserstein_drift",
+    (s, dir) => {
+      val li = table(s, dir, "lineitem")
+      Drift.wasserstein(
+        li.where(col("l_orderkey") % 2 === 0),
+        li.where(col("l_orderkey") % 2 === 1),
+        "l_quantity")
+    },
+    Some("""WITH u AS (SELECT CAST(l_quantity AS DOUBLE) AS v,
+          l_orderkey % 2 AS s FROM lineitem WHERE l_quantity IS NOT NULL),
+      vc AS (SELECT v,
+          count(CASE WHEN s = 0 THEN 1 END) AS c1,
+          count(CASE WHEN s = 1 THEN 1 END) AS c2
+        FROM u GROUP BY v),
+      t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+          CAST(sum(c2) AS BIGINT) AS n2,
+          min(v) AS mn, max(v) AS mx FROM vc),
+      c AS (SELECT v,
+          sum(c1) OVER (ORDER BY v) AS cum1,
+          sum(c2) OVER (ORDER BY v) AS cum2,
+          lead(v) OVER (ORDER BY v) AS nxt FROM vc),
+      w AS (SELECT sum(abs(CAST(cum1 AS DOUBLE) / n1 -
+            CAST(cum2 AS DOUBLE) / n2) * (nxt - v)) AS w1
+        FROM c, t WHERE nxt IS NOT NULL GROUP BY n1, n2)
+      SELECT round(w1, 6) AS w1,
+        round(CASE WHEN mx > mn THEN w1 / (mx - mn) ELSE 0 END, 8)
+          AS w1_norm,
+        n1, n2
+      FROM w, t"""))
+
+  /** Referential-integrity screen ([[graft.ops.JoinHealth
+    * .orphanStats]]): events.user_id against customer.c_custkey — a
+    * deliberately imperfect FK (the id spaces only partially overlap),
+    * so both orphan directions are exercised with nonzero counts. */
+  val qOrphans = Q(
+    "q94_fk_orphans",
+    (s, dir) => JoinHealth.orphanStats(
+      table(s, dir, "events"), "user_id",
+      table(s, dir, "customer"), "c_custkey"),
+    Some("""WITH ck AS (SELECT user_id AS k FROM events),
+      pk AS (SELECT c_custkey AS k FROM customer),
+      a AS (SELECT count(*) AS n_child FROM ck),
+      b AS (SELECT count(*) AS n_child_orphan FROM ck
+        WHERE NOT EXISTS (SELECT 1 FROM pk WHERE pk.k = ck.k)),
+      c AS (SELECT count(*) AS n_parent FROM pk),
+      d AS (SELECT count(*) AS n_parent_childless FROM pk
+        WHERE NOT EXISTS (SELECT 1 FROM ck WHERE ck.k = pk.k))
+      SELECT n_child, n_child_orphan,
+        round(CASE WHEN n_child > 0
+          THEN n_child_orphan / CAST(n_child AS DOUBLE) END, 8)
+          AS p_child_orphan,
+        n_parent, n_parent_childless
+      FROM a, b, c, d"""))
+
+  /** Join fan-out distribution ([[graft.ops.JoinHealth.fanout]]):
+    * orders→lineitem — the "will this join explode" shape check
+    * (childless parents count as fan-out 0). */
+  val qFanout = Q(
+    "q95_join_fanout",
+    (s, dir) => JoinHealth.fanout(
+      table(s, dir, "orders"), "o_orderkey",
+      table(s, dir, "lineitem"), "l_orderkey"),
+    Some("""WITH pk AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+      ck AS (SELECT l_orderkey AS k, count(*) AS c FROM lineitem
+        GROUP BY 1),
+      f AS (SELECT coalesce(c, 0) AS c FROM pk LEFT JOIN ck USING (k))
+      SELECT count(*) AS n_parent,
+        count(CASE WHEN c = 0 THEN 1 END) AS n_childless,
+        min(c) AS min_fanout,
+        quantile_cont(c, 0.5) AS p50_fanout,
+        round(avg(c), 8) AS avg_fanout,
+        max(c) AS max_fanout
+      FROM f"""))
+
+  /** Embedding hygiene ([[graft.ops.EmbeddingStats.normStats]]):
+    * nulls, zero vectors, ragged dimensions, norm spread over the
+    * embeddings table. Norms round to 6dp per row in BOTH engines so
+    * min/max are bit-stable regardless of each engine's sum order. */
+  val qEmbedNorms = Q(
+    "q96_embedding_norms",
+    (s, dir) => graft.ops.EmbeddingStats.normStats(
+      table(s, dir, "embeddings"), "embedding"),
+    Some("""WITH b AS (SELECT embedding IS NULL AS is_null,
+        round(sqrt(list_sum(list_transform(embedding,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm,
+        len(embedding) AS dims
+      FROM embeddings),
+      md AS (SELECT dims FROM b WHERE NOT is_null
+        GROUP BY dims ORDER BY count(*) DESC, dims LIMIT 1)
+      SELECT count(*) AS n,
+        count(CASE WHEN is_null THEN 1 END) AS n_null,
+        count(CASE WHEN NOT is_null AND norm = 0.0 THEN 1 END) AS n_zero,
+        CAST((SELECT dims FROM md) AS INT) AS n_dims,
+        count(CASE WHEN NOT is_null
+          AND dims <> (SELECT dims FROM md) THEN 1 END) AS n_ragged,
+        min(norm) AS min_norm,
+        round(avg(norm), 8) AS avg_norm,
+        max(norm) AS max_norm
+      FROM b"""))
+
   val all: Seq[Q] = Seq(qOutliers, qAssociation, qJsdDrift, qValidate,
-    qChi2Drift, qNullPatterns, qFdCheck)
+    qChi2Drift, qNullPatterns, qFdCheck, qWassersteinDrift, qOrphans,
+    qFanout, qEmbedNorms)
 }

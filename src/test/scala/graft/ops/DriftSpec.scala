@@ -99,6 +99,37 @@ class DriftSpec extends SparkSpec {
     assert(r.getLong(1) == 1500 && r.getLong(2) == 1500)
   }
 
+  test("wasserstein: 0 for identical, shift distance for shifted") {
+    val a = Seq.tabulate(200)(i => (i % 20).toDouble)
+    val same = Drift.wasserstein(a.toDF("v"), a.toDF("v"), "v").head()
+    assert(same.getDouble(0) == 0.0)
+    // pure translation by d: W1 = d exactly
+    val b = a.map(_ + 7.0)
+    val shifted = Drift.wasserstein(a.toDF("v"), b.toDF("v"), "v").head()
+    assert(shifted.getDouble(0) == 7.0, s"shifted: $shifted")
+    assert(shifted.getLong(2) == 200 && shifted.getLong(3) == 200)
+    // naive integral on random data
+    val rnd = new scala.util.Random(17)
+    val g1 = Seq.fill(800)(rnd.nextInt(40).toDouble)
+    val g2 = Seq.fill(900)((rnd.nextInt(40) + rnd.nextInt(10)).toDouble)
+    val r = Drift.wasserstein(g1.toDF("v"), g2.toDF("v"), "v").head()
+    val vs = (g1 ++ g2).distinct.sorted
+    val naive = vs.sliding(2).collect { case Seq(v, nxt) =>
+      math.abs(g1.count(_ <= v).toDouble / g1.size -
+        g2.count(_ <= v).toDouble / g2.size) * (nxt - v)
+    }.sum
+    assert(math.abs(r.getDouble(0) - naive) < 1e-6, s"$r vs $naive")
+  }
+
+  test("wasserstein: partition-boundary gaps are not dropped") {
+    // values spread so range partitioning splits them across several
+    // partitions; sum of gap terms must still cover every adjacency
+    val a = (1 to 64).map(_.toDouble * 10)
+    val b = a.map(_ + 130.0) // translation -> W1 = 130 exactly
+    val r = Drift.wasserstein(a.toDF("v"), b.toDF("v"), "v").head()
+    assert(r.getDouble(0) == 130.0, s"boundary handling: $r")
+  }
+
   test("chi2 homogeneity: 0 for identical shares, matches naive") {
     val a = Seq.fill(40)("x") ++ Seq.fill(60)("y")
     val same = Drift
