@@ -50,8 +50,9 @@ object Association {
       .agg(count(lit(1)).as("c"))
       .localCheckpoint(eager = false)
 
-    val n = joint.agg(sum(col("c"))).head().getLong(0)
-    require(n > 0, "input is empty")
+    val nRow = joint.agg(sum(col("c"))).head()
+    require(!nRow.isNullAt(0), "input is empty")
+    val n = nRow.getLong(0)
     val hxy = entropy(joint, "c", n).select(col("h").as("hxy"))
     val hx = entropy(
       joint.groupBy("x").agg(sum(col("c")).as("cx")), "cx", n)

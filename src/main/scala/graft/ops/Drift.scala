@@ -26,21 +26,29 @@ import org.apache.spark.storage.StorageLevel
   */
 object Drift {
 
+  /** Shared numeric-slice prep for every two-sample statistic in this
+    * file: cast to double, drop null/NaN, tag the side, union, and
+    * collapse to per-value counts (one map-side-combined groupBy). */
+  private def sideValueCounts(
+      df1: DataFrame, df2: DataFrame, vCol: String): DataFrame = {
+    def side(df: DataFrame, one: Int) = df
+      .select(col(vCol).cast("double").as("v"))
+      .where(col("v").isNotNull && !col("v").isNaN)
+      .select(col("v"), lit(one).as("s"))
+    side(df1, 0).unionByName(side(df2, 1))
+      .groupBy("v")
+      .agg(
+        count(when(col("s") === 0, 1)).as("c1"),
+        count(when(col("s") === 1, 1)).as("c2"))
+  }
+
   /** Two-sample KS over `vCol` (nulls/NaNs dropped): returns a one-row
     * DataFrame (ks_stat, n1, n2). */
   def ksTwoSample(
       df1: DataFrame, df2: DataFrame, vCol: String): DataFrame = {
     val spark = df1.sparkSession
     import spark.implicits._
-    def side(df: DataFrame, one: Int) = df
-      .select(col(vCol).cast("double").as("v"))
-      .where(col("v").isNotNull && !col("v").isNaN)
-      .select(col("v"), lit(one).as("s"))
-    val counts = side(df1, 0).unionByName(side(df2, 1))
-      .groupBy("v")
-      .agg(
-        count(when(col("s") === 0, 1)).as("c1"),
-        count(when(col("s") === 1, 1)).as("c2"))
+    val counts = sideValueCounts(df1, df2, vCol)
     val p = spark.sessionState.conf.numShufflePartitions
     val ranged: Dataset[(Double, Long, Long)] = counts
       .repartitionByRange(p, col("v"))
@@ -175,15 +183,7 @@ object Drift {
       df1: DataFrame, df2: DataFrame, vCol: String): DataFrame = {
     val spark = df1.sparkSession
     import spark.implicits._
-    def side(df: DataFrame, one: Int) = df
-      .select(col(vCol).cast("double").as("v"))
-      .where(col("v").isNotNull && !col("v").isNaN)
-      .select(col("v"), lit(one).as("s"))
-    val counts = side(df1, 0).unionByName(side(df2, 1))
-      .groupBy("v")
-      .agg(
-        count(when(col("s") === 0, 1)).as("c1"),
-        count(when(col("s") === 1, 1)).as("c2"))
+    val counts = sideValueCounts(df1, df2, vCol)
     val p = spark.sessionState.conf.numShufflePartitions
     val ranged: Dataset[(Double, Long, Long)] = counts
       .repartitionByRange(p, col("v"))
@@ -191,36 +191,42 @@ object Drift {
       .as[(Double, Long, Long)]
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // per-partition (subtotals, first value) -> driver (bounded by p)
-    val subs: Array[(Int, Long, Long, Option[Double])] = ranged
-      .mapPartitions { it =>
-        val pid = TaskContext.getPartitionId()
-        var s1 = 0L; var s2 = 0L; var first: Option[Double] = None
-        it.foreach { case (v, c1, c2) =>
-          if (first.isEmpty) first = Some(v)
-          s1 += c1; s2 += c2
+    // per-partition (subtotals, first+last value) -> driver (bounded
+    // by p); firsts seed the boundary hand-offs, first/last of the
+    // non-empty extremes are the global min/max (partitions are
+    // range-ordered and sorted) — no separate bounds scan
+    val subs: Array[(Int, Long, Long, Option[Double], Option[Double])] =
+      ranged
+        .mapPartitions { it =>
+          val pid = TaskContext.getPartitionId()
+          var s1 = 0L; var s2 = 0L
+          var first: Option[Double] = None; var last: Option[Double] = None
+          it.foreach { case (v, c1, c2) =>
+            if (first.isEmpty) first = Some(v)
+            last = Some(v)
+            s1 += c1; s2 += c2
+          }
+          Iterator.single((pid, s1, s2, first, last))
         }
-        Iterator.single((pid, s1, s2, first))
-      }
-      .collect()
+        .collect()
     val n1 = subs.map(_._2).sum
     val n2 = subs.map(_._3).sum
     require(n1 > 0 && n2 > 0, s"both slices need rows, got $n1/$n2")
     val offsets: Map[Int, (Long, Long)] = {
       var c1 = 0L; var c2 = 0L
-      subs.sortBy(_._1).map { case (pid, s1, s2, _) =>
+      subs.sortBy(_._1).map { case (pid, s1, s2, _, _) =>
         val e = pid -> ((c1, c2)); c1 += s1; c2 += s2; e
       }.toMap
     }
     // next non-empty partition's first value, per partition
     val byPid = subs.sortBy(_._1)
-    val nextFirst: Map[Int, Double] = byPid.map { case (pid, _, _, _) =>
+    val nextFirst: Map[Int, Double] = byPid.map { case (pid, _, _, _, _) =>
       pid -> byPid.collectFirst {
-        case (p2, _, _, Some(f)) if p2 > pid => f
+        case (p2, _, _, Some(f), _) if p2 > pid => f
       }
     }.collect { case (pid, Some(f)) => pid -> f }.toMap
-    val range = counts.agg(min(col("v")), max(col("v"))).head()
-    val (mn, mx) = (range.getDouble(0), range.getDouble(1))
+    val mn = byPid.flatMap(_._4).head
+    val mx = byPid.flatMap(_._5).last
     val bc = spark.sparkContext.broadcast((offsets, nextFirst))
 
     val w1 = ranged
@@ -269,11 +275,20 @@ object Drift {
       df1: DataFrame, df2: DataFrame, cCol: String): DataFrame = {
     def side(df: DataFrame, one: Int) =
       df.select(col(cCol).as("v"), lit(one).as("s"))
+    // vocabulary-bounded, materialized once: the empty-slice guard and
+    // the statistic both read it without recomputing the input scan
     val counts = side(df1, 0).unionByName(side(df2, 1))
       .groupBy("v")
       .agg(
         count(when(col("s") === 0, 1)).as("c1"),
         count(when(col("s") === 1, 1)).as("c2"))
+      .localCheckpoint()
+    val totals = counts.agg(sum(col("c1")), sum(col("c2"))).head()
+    require(!totals.isNullAt(0) && totals.getLong(0) > 0 &&
+      totals.getLong(1) > 0,
+      "both slices need rows — an empty side makes every expected " +
+        s"count 0 and the statistic NaN (got ${totals.get(0)}/" +
+        s"${totals.get(1)})")
     val n1 = sum(col("c1")).over(
       org.apache.spark.sql.expressions.Window.partitionBy())
     val n2 = sum(col("c2")).over(
@@ -307,8 +322,15 @@ object Drift {
       .where(col("v").isNotNull && !col("v").isNaN)
       .select(col("v"), lit(one).as("s"))
     val both = side(df1, 0).unionByName(side(df2, 1))
-    val b = both.agg(min(col("v")), max(col("v"))).head()
+    val b = both.agg(min(col("v")), max(col("v")),
+      count(when(col("s") === 0, 1)), count(when(col("s") === 1, 1)))
+      .head()
     require(!b.isNullAt(0), "both slices are empty")
+    // an empty side would otherwise score the other against an
+    // implicit uniform (PSI) or emit a null row (JSD) — fail loudly,
+    // matching ksTwoSample/wasserstein
+    require(b.getLong(2) > 0 && b.getLong(3) > 0,
+      s"both slices need rows, got ${b.getLong(2)}/${b.getLong(3)}")
     val (mn, mx) = (b.getDouble(0), b.getDouble(1))
     both
       .select(

@@ -25,8 +25,7 @@ object EmbeddingStats {
     * whose length differs from it. */
   def normStats(df: DataFrame, vecCol: String): DataFrame = {
     val v = col(vecCol)
-    val norm = round(
-      sqrt(StatFunctions.dotProduct(v, v)), 6).as("norm")
+    val norm = round(StatFunctions.l2Norm(v), 6).as("norm")
     val base = df.select(norm, size(v).as("dims"), v.isNull.as("isnull"))
     // modal dimension: tiny value-count over distinct lengths
     val dimCounts = base.where(!col("isnull"))

@@ -38,6 +38,11 @@ object Outliers {
       df: DataFrame, cols: Seq[String], k: Double = 1.5,
       roundTo: Int = 6): DataFrame = {
     require(cols.nonEmpty, "need at least one column")
+    // names ride into percentile/stack SQL strings below — reject the
+    // two chars that would break out of the quoting (same posture as
+    // Validate.check)
+    require(cols.forall(c => !c.contains("`") && !c.contains("'")),
+      "column names must not contain backticks or quotes")
     // NaN -> null so percentile (which skips nulls) excludes it; NaN
     // would otherwise sort above +inf and shift the upper quartile
     val qAggs = cols.map { c =>
@@ -48,6 +53,8 @@ object Outliers {
     val qRow = df.agg(qAggs.head, qAggs.tail: _*).head()
 
     val fences = cols.zipWithIndex.map { case (c, i) =>
+      require(!qRow.isNullAt(i),
+        s"column `$c` has no non-null, non-NaN values — no quartiles")
       val qs = qRow.getSeq[Double](i)
       val q1 = roundHalfUp(qs(0), roundTo)
       val q3 = roundHalfUp(qs(1), roundTo)

@@ -20,7 +20,11 @@ object Transitions {
     * row-normalized probabilities (Σ p over to_state = 1 for each
     * from_state), rounded to 8 decimals. Ties in `tsCol` are broken by
     * `tieBreak` so the sequence — and therefore the matrix — is
-    * deterministic. */
+    * deterministic. A null STATE is kept as its own level in both
+    * directions (matching nullPatterns/chiSquareHomogeneity); only
+    * genuine end-of-sequence rows emit no transition — the lead rides
+    * in a struct so "no next row" (null struct) is distinguishable
+    * from "next state is null" (non-null struct, null field). */
   def matrix(
       df: DataFrame, keyCol: String, tsCol: String, stateCol: String,
       tieBreak: Seq[String] = Nil): DataFrame = {
@@ -28,8 +32,9 @@ object Transitions {
       .orderBy((col(tsCol) +: tieBreak.map(col)): _*)
     val pairs = df
       .select(col(stateCol).as("from_state"),
-        lead(col(stateCol), 1).over(w).as("to_state"))
-      .where(col("to_state").isNotNull)
+        lead(struct(col(stateCol).as("st")), 1).over(w).as("nxt"))
+      .where(col("nxt").isNotNull)
+      .select(col("from_state"), col("nxt.st").as("to_state"))
     val counts = pairs.groupBy("from_state", "to_state")
       .agg(count(lit(1)).as("cnt"))
     val rowTotal = Window.partitionBy("from_state")

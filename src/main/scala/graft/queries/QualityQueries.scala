@@ -67,7 +67,7 @@ object QualityQueries {
           AS u_x_given_y,
         round(CASE WHEN hy <> 0 THEN (hx + hy - hxy) / hy END, 8)
           AS u_y_given_x,
-        n
+        CAST(n AS BIGINT) AS n
       FROM exy, ex, ey, nn"""))
 
   /** Jensen-Shannon drift ([[graft.ops.Drift.jsd]]) between the even-

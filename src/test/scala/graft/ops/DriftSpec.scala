@@ -154,6 +154,18 @@ class DriftSpec extends SparkSpec {
     assert(r.getLong(2) == 100 && r.getLong(3) == 100)
   }
 
+  test("empty slice rejected loudly by every statistic") {
+    val a = Seq(1.0, 2.0).toDF("v")
+    val empty = Seq.empty[Double].toDF("v")
+    intercept[IllegalArgumentException](Drift.ksTwoSample(a, empty, "v"))
+    intercept[IllegalArgumentException](Drift.psi(a, empty, "v"))
+    intercept[IllegalArgumentException](Drift.jsd(empty, a, "v"))
+    intercept[IllegalArgumentException](Drift.wasserstein(a, empty, "v"))
+    intercept[IllegalArgumentException](
+      Drift.chiSquareHomogeneity(a.selectExpr("CAST(v AS STRING) v"),
+        empty.selectExpr("CAST(v AS STRING) v"), "v"))
+  }
+
   test("plan shape: no global-window single-partition cumsum") {
     // the statistic is computed via mapPartitions over range partitions;
     // assert the value-count plan itself has no SinglePartition exchange

@@ -50,6 +50,18 @@ class OutliersSpec extends SparkSpec {
     assert(r.getLong(6) == vs.count(_ > hi))
   }
 
+  test("all-null column and unsafe names rejected with clear errors") {
+    val df = Seq((Some(1.0), Option.empty[Double]),
+      (Some(2.0), None)).toDF("ok", "allnull")
+    val e = intercept[IllegalArgumentException] {
+      Outliers.tukeyScreen(df, Seq("ok", "allnull"))
+    }
+    assert(e.getMessage.contains("allnull"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      Outliers.tukeyScreen(df, Seq("bad`name"))
+    }
+  }
+
   test("nulls and NaNs excluded from quartiles and counts") {
     val df = (Seq.tabulate(50)(i => Some(i.toDouble)) ++
       Seq(None, None, Some(Double.NaN), Some(1e9))).toDF("v")

@@ -38,6 +38,17 @@ class TransitionsSpec extends SparkSpec {
     assert(seq1 == Set(("a", "b"), ("b", "c")))
   }
 
+  test("null state is a level both directions; end-of-seq emits none") {
+    val df = Seq((1L, 1L, Some("a")), (1L, 2L, None), (1L, 3L, Some("b")))
+      .toDF("k", "ts", "st")
+    val m = Transitions.matrix(df, "k", "ts", "st").collect()
+    assert(m.length == 2, m.mkString(";")) // a->null, null->b
+    val fromA = m.find(r => !r.isNullAt(0) && r.getString(0) == "a").get
+    assert(fromA.isNullAt(1)) // a -> null counted
+    val toB = m.find(r => r.isNullAt(0)).get
+    assert(toB.getString(1) == "b") // null -> b counted
+  }
+
   test("plan: no single-partition exchange (both windows are keyed)") {
     val df = Seq((1L, 1L, "x")).toDF("k", "ts", "st")
     val plan = Transitions.matrix(df, "k", "ts", "st")
