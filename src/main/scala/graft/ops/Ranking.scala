@@ -118,4 +118,22 @@ object Ranking {
       .where(col("__v").isNotNull && !col("__v").isNaN)
     avgRanks(kv, "__k", "__v", parts).select(col("__v").as(vCol), col("avgrank"))
   }
+
+  /** Percentile-rank ENCODING table: distinct value → tie-averaged
+    * rank / n, exactly pandas `Series.rank(pct=True)` — the monotone,
+    * outlier-proof feature transform. Vocabulary-sized output (join it
+    * back to rows to encode); same range-partitioned prefix-sum
+    * ranking as [[avgRankTable]] plus one count of the live rows — no
+    * global window, no sort of the full data. pct_rank is rounded to
+    * 8 decimals. */
+  def pctRankTable(df: DataFrame, vCol: String, parts: Int = 0): DataFrame = {
+    val live = df
+      .select(col(vCol).cast("double").as("__v"))
+      .where(col("__v").isNotNull && !col("__v").isNaN)
+    val n = live.count()
+    require(n > 0, s"no non-null, non-NaN values in `$vCol`")
+    avgRankTable(df, vCol, parts)
+      .select(col(vCol),
+        round(col("avgrank") / n, 8).as("pct_rank"))
+  }
 }

@@ -95,4 +95,41 @@ object Skew {
       .groupBy(col(s"`$key`"))
       .agg(sum(col(s"`$partialCol`")).as("count"))
   }
+
+  /** The DIAGNOSIS that decides whether salting is worth it: key-share
+    * concentration of a prospective join/groupBy key. One
+    * map-side-combined groupBy collapses to per-key counts; everything
+    * else is a one-row rollup plus a bounded top-K
+    * (TakeOrderedAndProject):
+    *
+    *   - top1_share / topk_share — the straggler bound: a task gets at
+    *     least top1_share of the shuffle if this key is hash-routed;
+    *   - hhi — Herfindahl index Σ shareᵢ² (1/n_keys = uniform, → 1 =
+    *     one key owns everything), the scalar skew alarm;
+    *   - avg_per_key — the fan-in a mean task sees.
+    *
+    * Counts stay exact longs; squared counts go through double at the
+    * first multiply (c² overflows long past c ≈ 3e9). */
+  def keySkewStats(
+      df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    val counts = df.groupBy(col(keyCol).as("k2"))
+      .agg(count(lit(1)).as("c"))
+    val roll = counts.agg(
+      sum(col("c")).as("n"),
+      count(lit(1)).as("n_keys"),
+      max(col("c")).as("cmax"),
+      sum(col("c").cast("double") * col("c")).as("sumsq"))
+    val top = counts
+      .orderBy(col("c").desc, col("k2"))
+      .limit(topK)
+      .agg(sum(col("c")).as("topk"))
+    roll.crossJoin(top).select(
+      col("n").as("n_rows"), col("n_keys"),
+      round(col("cmax") / col("n").cast("double"), 8).as("top1_share"),
+      round(col("topk") / col("n").cast("double"), 8).as("topk_share"),
+      round(col("sumsq") / (col("n").cast("double") * col("n")), 8)
+        .as("hhi"),
+      round(col("n") / col("n_keys").cast("double"), 8).as("avg_per_key"))
+  }
 }

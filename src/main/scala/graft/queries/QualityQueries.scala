@@ -343,7 +343,48 @@ object QualityQueries {
         max(norm) AS max_norm
       FROM b"""))
 
+  /** Join-key skew diagnosis ([[graft.ops.Skew.keySkewStats]]) on
+    * events.user_id — the concentration report (top-1/top-10 share,
+    * Herfindahl index) that decides whether q44's salting is needed
+    * BEFORE the shuffle stalls. */
+  val qKeySkew = Q(
+    "q97_key_skew",
+    (s, dir) => graft.ops.Skew.keySkewStats(
+      table(s, dir, "events"), "user_id", topK = 10),
+    Some("""WITH c AS (SELECT user_id AS k2, count(*) AS c FROM events
+        GROUP BY 1),
+      t AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS n_keys,
+          CAST(max(c) AS BIGINT) AS cmax,
+          sum(CAST(c AS DOUBLE) * c) AS sumsq FROM c),
+      tk AS (SELECT CAST(sum(c) AS BIGINT) AS topk
+        FROM (SELECT c FROM c ORDER BY c DESC, k2 LIMIT 10))
+      SELECT n AS n_rows, n_keys,
+        round(cmax / CAST(n AS DOUBLE), 8) AS top1_share,
+        round(topk / CAST(n AS DOUBLE), 8) AS topk_share,
+        round(sumsq / (CAST(n AS DOUBLE) * n), 8) AS hhi,
+        round(n / CAST(n_keys AS DOUBLE), 8) AS avg_per_key
+      FROM t, tk"""))
+
+  /** Percentile-rank encoding table ([[graft.ops.Ranking
+    * .pctRankTable]]): pandas rank(pct=True) per distinct l_quantity —
+    * tie-averaged prefix-sum ranks over range partitions, never a
+    * global sort. The oracle replays avgrank = cum − (cnt−1)/2. */
+  val qPctRank = Q(
+    "q98_pct_rank",
+    (s, dir) => graft.ops.Ranking
+      .pctRankTable(table(s, dir, "lineitem"), "l_quantity")
+      .orderBy("l_quantity"),
+    Some("""WITH vc AS (SELECT CAST(l_quantity AS DOUBLE) AS v,
+          count(*) AS cnt FROM lineitem WHERE l_quantity IS NOT NULL
+        GROUP BY 1),
+      r AS (SELECT v,
+          sum(cnt) OVER (ORDER BY v) - (cnt - 1) / 2.0 AS avgrank
+        FROM vc),
+      t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM vc)
+      SELECT v AS l_quantity, round(avgrank / n, 8) AS pct_rank
+      FROM r, t ORDER BY l_quantity"""))
+
   val all: Seq[Q] = Seq(qOutliers, qAssociation, qJsdDrift, qValidate,
     qChi2Drift, qNullPatterns, qFdCheck, qWassersteinDrift, qOrphans,
-    qFanout, qEmbedNorms)
+    qFanout, qEmbedNorms, qKeySkew, qPctRank)
 }

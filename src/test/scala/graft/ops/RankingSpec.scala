@@ -80,4 +80,21 @@ class RankingSpec extends SparkSpec {
       .orderBy("x").collect().map(r => (r.getDouble(0), r.getDouble(1)))
     assert(t2.toSeq == Seq((1.0, 1.0), (2.0, 2.0)))
   }
+
+  test("pctRankTable == pandas rank(pct=True) incl. ties") {
+    // values: 10 x1, 20 x2, 30 x1 -> avgranks 1, 2.5 (tie), 4
+    val df = Seq(10.0, 20.0, 20.0, 30.0).toDF("x")
+    val t = Ranking.pctRankTable(df, "x")
+      .orderBy("x").collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(t.toSeq == Seq((10.0, 0.25), (20.0, 0.625), (30.0, 1.0)))
+
+    // nulls/NaNs excluded from both the ranks and the denominator
+    val withNulls = Seq[java.lang.Double](5.0, null, Double.NaN).toDF("x")
+    val t2 = Ranking.pctRankTable(withNulls, "x").collect()
+    assert(t2.length == 1 && t2.head.getDouble(1) == 1.0)
+
+    intercept[IllegalArgumentException] {
+      Ranking.pctRankTable(Seq.empty[Double].toDF("x"), "x")
+    }
+  }
 }

@@ -71,4 +71,23 @@ class SkewSpec extends SparkSpec {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(counts(0) == 500L)
   }
+
+  test("keySkewStats: shares, HHI, and top-K on a planted hot key") {
+    // key 'hot' 60 rows, 'b' 30, 'c' 10 -> n=100, top1 0.6
+    val df = (Seq.fill(60)("hot") ++ Seq.fill(30)("b") ++
+      Seq.fill(10)("c")).toDF("k")
+    val r = Skew.keySkewStats(df, "k", topK = 2).head()
+    assert(r.getLong(0) == 100 && r.getLong(1) == 3)
+    assert(r.getDouble(2) == 0.6) // top1
+    assert(r.getDouble(3) == 0.9) // top2 = (60+30)/100
+    assert(r.getDouble(4) == 0.46) // 0.36+0.09+0.01
+    assert(math.abs(r.getDouble(5) - 100.0 / 3) < 1e-6)
+  }
+
+  test("keySkewStats: uniform keys give hhi = 1/n_keys") {
+    val df = (1 to 80).map(i => s"k${i % 8}").toDF("k")
+    val r = Skew.keySkewStats(df, "k", topK = 3).head()
+    assert(r.getDouble(4) == 0.125)
+    assert(r.getDouble(2) == 0.125 && r.getDouble(3) == 0.375)
+  }
 }
