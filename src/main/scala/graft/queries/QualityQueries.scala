@@ -384,7 +384,31 @@ object QualityQueries {
       SELECT v AS l_quantity, round(avgrank / n, 8) AS pct_rank
       FROM r, t ORDER BY l_quantity"""))
 
+  /** Bloom-accelerated exact decontamination
+    * ([[graft.ops.BloomPrune.antiJoin]]): remove documents whose
+    * doc_id appears in a deny slice (every 7th doc). The result is
+    * bit-identical to a plain anti join — the Bloom filter only
+    * decides which rows pay for exact verification — so the oracle is
+    * the plain NOT EXISTS. */
+  val qBloomPrune = Q(
+    "q99_bloom_decontaminate",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val deny = docs.where(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("deny_id"))
+      graft.ops.BloomPrune
+        .antiJoin(docs.select("doc_id", "source"), "doc_id",
+          deny, "deny_id")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).as("kept_id_sum"))
+    },
+    Some("""SELECT count(*) AS n_kept,
+        CAST(sum(doc_id) AS BIGINT) AS kept_id_sum
+      FROM documents d
+      WHERE NOT EXISTS (SELECT 1 FROM documents x
+        WHERE x.doc_id % 7 = 0 AND x.doc_id = d.doc_id)"""))
+
   val all: Seq[Q] = Seq(qOutliers, qAssociation, qJsdDrift, qValidate,
     qChi2Drift, qNullPatterns, qFdCheck, qWassersteinDrift, qOrphans,
-    qFanout, qEmbedNorms, qKeySkew, qPctRank)
+    qFanout, qEmbedNorms, qKeySkew, qPctRank, qBloomPrune)
 }

@@ -218,8 +218,12 @@ class ProfilerSpec extends SparkSpec {
     val m = p.columns.find(_.name == "m").get
     assert(m.profileType == ProfileType.Categorical)
     assert(m.sparkType.startsWith("map<"))
-    assert(m.common.nDistinct == 1) // all four rows: same map, sorted
     val cat = m.typed.asInstanceOf[CategoricalStats]
+    // all four rows: same map, sorted. On the rare full-suite flake
+    // (NOTES_r5) this came back 2 — topValues in the message shows
+    // WHICH canonical strings existed
+    assert(m.common.nDistinct == 1,
+      s"nDistinct=${m.common.nDistinct}, topValues=${cat.topValues}")
     assert(cat.topValues.head == ("[{a, x}, {b, y}]", 4L))
     // duplicates group on the canonical form too: 4 rows of (m) alone
     // would be 1 distinct; with unique i alongside, zero duplicates
