@@ -310,6 +310,100 @@ object Drift {
         sum(col("c2")).as("n2"))
   }
 
+  /** Multi-column PSI drift report — every numeric column's [[psi]]
+    * in ONE melted pass per side instead of 2 scans per column: the
+    * whole-table drift screen a monitoring job runs per batch.
+    *
+    *   1. one fused aggregate over the side-tagged union → per-column
+    *      combined min/max (+ per-side row counts for the guards);
+    *   2. one melt (explode of a column-name/value struct array) →
+    *      chained per-column fixed-width binning → ONE groupBy
+    *      (col_name, bin), map-side combined;
+    *   3. the PSI fold runs over ≤ cols·bins rows, per-column totals
+    *      from a window PARTITIONed by col_name (vocabulary-bounded).
+    *
+    * Same Laplace smoothing and pure-IEEE bin arithmetic as [[psi]] —
+    * for any single column the sweep's score equals psi()'s. Columns
+    * with no live values (all null/NaN in both slices) are reported
+    * with null psi rather than dropped. */
+  def psiSweep(
+      df1: DataFrame, df2: DataFrame, cols: Seq[String],
+      bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    require(cols.nonEmpty, "need at least one column")
+    def side(df: DataFrame, one: Int) = df.select(
+      (cols.map(c => col(c).cast("double").as(c)) :+ lit(one).as("s")): _*)
+    val both = side(df1, 0).unionByName(side(df2, 1))
+
+    val boundAggs = cols.flatMap { c =>
+      val live = when(!isnan(col(c)), col(c)) // null for NaN, min/max skip
+      Seq(min(live).as(s"mn_$c"), max(live).as(s"mx_$c"))
+    } ++ Seq(
+      count(when(col("s") === 0, 1)).as("n1_rows"),
+      count(when(col("s") === 1, 1)).as("n2_rows"))
+    val b = both.agg(boundAggs.head, boundAggs.tail: _*).head()
+    require(b.getLong(2 * cols.size) > 0 && b.getLong(2 * cols.size + 1) > 0,
+      "both slices need rows")
+    val bounds: Map[String, (Double, Double)] = cols.zipWithIndex.map {
+      case (c, i) =>
+        c -> (if (b.isNullAt(2 * i)) (0.0, 0.0)
+              else (b.getDouble(2 * i), b.getDouble(2 * i + 1)))
+    }.toMap
+
+    val melted = both.select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(c).as("v"))): _*)).as("e"),
+        col("s"))
+      .select(col("e.col_name").as("col_name"), col("e.v").as("v"), col("s"))
+      .where(col("v").isNotNull && !col("v").isNaN)
+    val binExpr = cols.tail.foldLeft(
+      when(col("col_name") === cols.head,
+        graft.functions.StatFunctions.histogramBin(col("v"),
+          bounds(cols.head)._1, bounds(cols.head)._2, bins))) { (acc, c) =>
+      acc.when(col("col_name") === c,
+        graft.functions.StatFunctions.histogramBin(col("v"),
+          bounds(c)._1, bounds(c)._2, bins))
+    }
+    val binned = melted
+      .select(col("col_name"), binExpr.as("bin"), col("s"))
+      .groupBy("col_name", "bin")
+      .agg(
+        count(when(col("s") === 0, 1)).as("c1"),
+        count(when(col("s") === 1, 1)).as("c2"))
+
+    val byCol = org.apache.spark.sql.expressions.Window
+      .partitionBy("col_name")
+    val n1 = sum(col("c1")).over(byCol)
+    val n2 = sum(col("c2")).over(byCol)
+    val p1 = (col("c1") + 0.5) / (n1 + 0.5 * bins)
+    val p2 = (col("c2") + 0.5) / (n2 + 0.5 * bins)
+    // a column empty on ONE side would score against the implicit
+    // smoothed-uniform — the exact garbage psi()'s guard rejects —
+    // so its psi is null (the counts still name the empty side)
+    val scored = binned
+      .select(col("col_name"),
+        ((p1 - p2) * log(p1 / p2)).as("term"), col("c1"), col("c2"))
+      .groupBy("col_name")
+      .agg(
+        round(when(sum(col("c1")) > 0 && sum(col("c2")) > 0,
+          sum(col("term"))), 8).as("psi"),
+        sum(col("c1")).as("n1"),
+        sum(col("c2")).as("n2"))
+    // columns with zero live rows in BOTH slices never reach the melt
+    // (known from the bounds row — no extra action): emit null psi
+    val missing = cols.zipWithIndex
+      .filter { case (_, i) => b.isNullAt(2 * i) }.map(_._1)
+    val out =
+      if (missing.isEmpty) scored
+      else {
+        val spark = df1.sparkSession
+        import spark.implicits._
+        scored.unionByName(missing.toDF("col_name")
+          .select(col("col_name"), lit(null).cast("double").as("psi"),
+            lit(0L).as("n1"), lit(0L).as("n2")))
+      }
+    out.orderBy("col_name")
+  }
+
   /** Shared PSI/JSD prep: side-tagged union → combined min/max →
     * fixed-width bin counts per side (one groupBy, map-side combined).
     * Only bins PRESENT in at least one slice come back. */

@@ -408,7 +408,50 @@ object QualityQueries {
       WHERE NOT EXISTS (SELECT 1 FROM documents x
         WHERE x.doc_id % 7 = 0 AND x.doc_id = d.doc_id)"""))
 
+  /** Whole-table PSI drift report ([[graft.ops.Drift.psiSweep]]):
+    * four lineitem measures in one melted pass per side (2 scans total
+    * vs 2·N for per-column psi calls). Per column the score equals
+    * q84's operator exactly; the oracle replays each column's CTE
+    * chain and unions them. */
+  val qPsiSweep = Q(
+    "q100_psi_sweep",
+    (s, dir) => {
+      val li = table(s, dir, "lineitem")
+      Drift.psiSweep(
+        li.where(col("l_orderkey") % 2 === 0),
+        li.where(col("l_orderkey") % 2 === 1),
+        Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"),
+        bins = 10)
+    },
+    Some {
+      val cs = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+      def block(c: String, i: Int) =
+        s"""u$i AS (SELECT CAST($c AS DOUBLE) AS v, l_orderkey % 2 AS s
+            FROM lineitem WHERE $c IS NOT NULL),
+          st$i AS (SELECT min(v) AS mn, max(v) AS mx FROM u$i),
+          bb$i AS (SELECT CAST(least(floor((v - mn) / ((mx - mn) / 10)), 9)
+              AS INT) AS bin, s FROM u$i, st$i),
+          m$i AS (SELECT bin,
+              count(CASE WHEN s = 0 THEN 1 END) AS c1,
+              count(CASE WHEN s = 1 THEN 1 END) AS c2
+            FROM bb$i GROUP BY bin),
+          t$i AS (SELECT CAST(sum(c1) AS DOUBLE) AS n1,
+              CAST(sum(c2) AS DOUBLE) AS n2 FROM m$i)"""
+      def sel(c: String, i: Int) =
+        s"""SELECT '$c' AS col_name,
+            round(sum(((c1 + 0.5) / (n1 + 5.0) - (c2 + 0.5) / (n2 + 5.0))
+              * ln(((c1 + 0.5) / (n1 + 5.0)) /
+                   ((c2 + 0.5) / (n2 + 5.0)))), 8) AS psi,
+            CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
+          FROM m$i CROSS JOIN t$i GROUP BY n1, n2"""
+      "WITH " + cs.zipWithIndex.map { case (c, i) => block(c, i) }
+        .mkString(", ") + " " +
+        cs.zipWithIndex.map { case (c, i) => sel(c, i) }
+          .mkString(" UNION ALL ") +
+        " ORDER BY col_name"
+    })
+
   val all: Seq[Q] = Seq(qOutliers, qAssociation, qJsdDrift, qValidate,
     qChi2Drift, qNullPatterns, qFdCheck, qWassersteinDrift, qOrphans,
-    qFanout, qEmbedNorms, qKeySkew, qPctRank, qBloomPrune)
+    qFanout, qEmbedNorms, qKeySkew, qPctRank, qBloomPrune, qPsiSweep)
 }

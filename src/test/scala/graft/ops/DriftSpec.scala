@@ -154,6 +154,30 @@ class DriftSpec extends SparkSpec {
     assert(r.getLong(2) == 100 && r.getLong(3) == 100)
   }
 
+  test("psiSweep: per-column scores equal psi(); empty columns null") {
+    val rnd = new scala.util.Random(41)
+    val rows = Seq.fill(600)((rnd.nextGaussian(),
+      rnd.nextDouble() * 10, Option.empty[Double]))
+    val rows2 = Seq.fill(500)((rnd.nextGaussian() + 0.8,
+      rnd.nextDouble() * 10, Option.empty[Double]))
+    val d1 = rows.toDF("a", "b", "dead")
+    val d2 = rows2.toDF("a", "b", "dead")
+    val sweep = Drift.psiSweep(d1, d2, Seq("a", "b", "dead"), bins = 8)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val pa = Drift.psi(d1, d2, "a", 8).head().getDouble(0)
+    val pb = Drift.psi(d1, d2, "b", 8).head().getDouble(0)
+    assert(sweep("a").getDouble(1) == pa, s"a: ${sweep("a")} vs $pa")
+    assert(sweep("b").getDouble(1) == pb)
+    assert(sweep("a").getLong(2) == 600 && sweep("a").getLong(3) == 500)
+    assert(sweep("dead").isNullAt(1) && sweep("dead").getLong(2) == 0)
+
+    // one-side-empty column: psi null, counts name the empty side
+    val d3 = d1.withColumn("c", lit(1.0))
+    val d4 = d2.withColumn("c", lit(null).cast("double"))
+    val s2 = Drift.psiSweep(d3, d4, Seq("c"), bins = 8).head()
+    assert(s2.isNullAt(1) && s2.getLong(2) == 600 && s2.getLong(3) == 0)
+  }
+
   test("empty slice rejected loudly by every statistic") {
     val a = Seq(1.0, 2.0).toDF("v")
     val empty = Seq.empty[Double].toDF("v")
