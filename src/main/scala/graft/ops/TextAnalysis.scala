@@ -320,6 +320,62 @@ object TextAnalysis {
       .drop("__before")
   }
 
+  /** Frequency vocabulary — the tokenizer-prep table (word → id) every
+    * training pipeline builds first. One explode→groupBy (map-side
+    * combined) over the corpus, a bounded TakeOrdered for the top-N,
+    * then ids assigned by (count desc, word) rank — deterministic, so
+    * two runs (or two engines) agree id-for-id. The ranking window runs
+    * on ≤ topN rows (bounded by construction, never the corpus). */
+  def vocabulary(
+      df: DataFrame, textCol: String, topN: Int,
+      minCount: Long = 1L): DataFrame = {
+    require(topN >= 1, "topN must be >= 1")
+    val counts = df
+      .select(explode(words(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(topN)
+    counts
+      .withColumn("id", row_number().over(
+        Window.orderBy(col("cnt").desc, col("word"))).cast("long"))
+      .select("id", "word", "cnt")
+  }
+
+  /** Bigram PMI phrase mining (word2vec-style phrase detection):
+    *
+    *   PMI(w1 w2) = ln( P(w1 w2) / (P(w1)·P(w2)) ),
+    *   P(w1 w2) = c12/N2 (bigram occurrences), P(w) = c/N1 (tokens)
+    *
+    * Two explode→groupBy passes (unigrams, occurrence-level bigrams),
+    * the bigram table joins the unigram counts twice (hash-partitioned
+    * on the word — scale-safe), corpus totals ride in as broadcast
+    * one-row frames. PMI is a per-row expression on exact counts — no
+    * float aggregation — so it is engine-reproducible at 6 decimals. */
+  def bigramPmi(
+      df: DataFrame, textCol: String, minCount: Long = 5L,
+      topK: Int = 25): DataFrame = {
+    val uni = df.select(explode(words(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val bi = df.select(explode(
+        graft.functions.WordNgramsExpr.ngrams(col(textCol), 2,
+          distinct = false)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c12"))
+    val n1 = uni.agg(sum(col("c")).as("n1"))
+    val n2 = bi.agg(sum(col("c12")).as("n2"))
+    val pmi = log((col("c12") / col("n2")) /
+      ((col("c1") / col("n1")) * (col("c2") / col("n1"))))
+    bi.where(col("c12") >= minCount)
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .select(col("bigram"), col("c12"), round(pmi, 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(topK)
+  }
+
   def chunkWords(df: DataFrame, idCol: String, textCol: String,
       chunkSize: Int, overlap: Int): DataFrame = {
     require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,

@@ -1107,7 +1107,53 @@ object PipelineQueries {
       FROM tf JOIN cf USING (w) CROSS JOIN tot
       GROUP BY id ORDER BY id"""))
 
+  /** Frequency vocabulary ([[graft.ops.TextAnalysis.vocabulary]]):
+    * word → deterministic id by (count desc, word), the tokenizer-prep
+    * table. Oracle assigns ids with the same total order. */
+  val qVocabulary = Q(
+    "q101_vocabulary",
+    (s, dir) =>
+      graft.ops.TextAnalysis.vocabulary(
+          table(s, dir, "documents"), "text", topN = 200, minCount = 2)
+        .orderBy("id"),
+    Some(s"""WITH w AS (SELECT unnest($dkWords) AS word
+          FROM documents),
+      c AS (SELECT word, count(*) AS cnt FROM w GROUP BY word
+        HAVING count(*) >= 2),
+      t AS (SELECT word, cnt FROM c ORDER BY cnt DESC, word LIMIT 200)
+      SELECT CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT)
+          AS id, word, cnt
+      FROM t ORDER BY id"""))
+
+  /** Bigram PMI phrase mining ([[graft.ops.TextAnalysis.bigramPmi]]):
+    * pointwise mutual information over occurrence-level bigram and
+    * unigram counts — per-row ln on exact counts, no float sums. */
+  val qBigramPmi = Q(
+    "q102_bigram_pmi",
+    (s, dir) =>
+      graft.ops.TextAnalysis.bigramPmi(
+        table(s, dir, "documents"), "text", minCount = 5, topK = 25),
+    Some(s"""WITH ws AS (SELECT $dkWords AS ws FROM documents),
+      uni AS (SELECT w, count(*) AS c FROM
+        (SELECT unnest(ws) AS w FROM ws) GROUP BY w),
+      bi AS (SELECT g AS bigram, count(*) AS c12 FROM
+        (SELECT unnest([array_to_string(ws[i:i+1], ' ')
+           for i in range(1, len(ws))]) AS g
+         FROM ws WHERE len(ws) >= 2) GROUP BY g),
+      n1 AS (SELECT CAST(sum(c) AS BIGINT) AS n1 FROM uni),
+      n2 AS (SELECT CAST(sum(c12) AS BIGINT) AS n2 FROM bi)
+      SELECT bigram, c12,
+        round(ln((c12 / CAST(n2 AS DOUBLE)) /
+          ((u1.c / CAST(n1 AS DOUBLE)) * (u2.c / CAST(n1 AS DOUBLE)))), 6)
+          AS pmi
+      FROM bi CROSS JOIN n1 CROSS JOIN n2
+      JOIN uni u1 ON u1.w = string_split(bigram, ' ')[1]
+      JOIN uni u2 ON u2.w = string_split(bigram, ' ')[2]
+      WHERE c12 >= 5
+      ORDER BY pmi DESC, bigram LIMIT 25"""))
+
   val all: Seq[Q] = Seq(
+    qVocabulary, qBigramPmi,
     qDedupExact, qNgramJaccard, qDedupClusters, qDedupCanonical,
     qDecontamination, qChunking, qLineDedup, qMixStats, qNormalize,
     qSourceQuality, qSemDedup, qPackChunks,

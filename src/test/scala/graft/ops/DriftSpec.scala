@@ -178,6 +178,26 @@ class DriftSpec extends SparkSpec {
     assert(s2.isNullAt(1) && s2.getLong(2) == 600 && s2.getLong(3) == 0)
   }
 
+  test("symmetry: every two-sample statistic is invariant under swap") {
+    val rnd = new scala.util.Random(53)
+    val a = Seq.fill(400)(rnd.nextGaussian())
+    val b = Seq.fill(300)(rnd.nextGaussian() * 1.4 + 0.3)
+    val (da, db) = (a.toDF("v"), b.toDF("v"))
+    assert(Drift.ksTwoSample(da, db, "v").head().getDouble(0) ==
+      Drift.ksTwoSample(db, da, "v").head().getDouble(0))
+    // PSI term (p-q)ln(p/q) is symmetric under swap
+    assert(Drift.psi(da, db, "v").head().getDouble(0) ==
+      Drift.psi(db, da, "v").head().getDouble(0))
+    assert(Drift.jsd(da, db, "v").head().getDouble(0) ==
+      Drift.jsd(db, da, "v").head().getDouble(0))
+    assert(Drift.wasserstein(da, db, "v").head().getDouble(0) ==
+      Drift.wasserstein(db, da, "v").head().getDouble(0))
+    val (ca, cb) = (a.map(x => (x * 3).toInt.toString).toDF("v"),
+      b.map(x => (x * 3).toInt.toString).toDF("v"))
+    assert(Drift.chiSquareHomogeneity(ca, cb, "v").head().getDouble(0) ==
+      Drift.chiSquareHomogeneity(cb, ca, "v").head().getDouble(0))
+  }
+
   test("empty slice rejected loudly by every statistic") {
     val a = Seq(1.0, 2.0).toDF("v")
     val empty = Seq.empty[Double].toDF("v")

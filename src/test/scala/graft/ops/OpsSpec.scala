@@ -531,4 +531,36 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => r.getAs[Int]("frame_idx")).sorted
     assert(frames.toSeq == Seq(0, 2)) // chunks 0..3, stride 2
   }
+
+  test("vocabulary: deterministic ids by (count desc, word), minCount") {
+    val docs = Seq("b b b a a c", "a b", "d").toDF("text")
+    val v = TextAnalysis.vocabulary(docs, "text", topN = 3, minCount = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // counts: b=4, a=3, c=1, d=1 -> minCount 2 keeps b,a
+    assert(v.toSeq == Seq((1L, "b", 4L), (2L, "a", 3L)))
+    // tie on count -> lexicographic word order decides the id
+    val tied = TextAnalysis.vocabulary(
+      Seq("z y z y").toDF("text"), "text", topN = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(tied.toSeq == Seq((1L, "y"), (2L, "z")))
+  }
+
+  test("bigramPmi: collocation scores high, cross-pair low, counts exact") {
+    // 'new york' always together; 'dog'/'cat' never adjacent to them
+    val docs = (1 to 10).map(_ => "new york is big and new york is old")
+      .toDF("text")
+    val r = TextAnalysis.bigramPmi(docs, "text", minCount = 5, topK = 10)
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getDouble(2)))
+      .toMap
+    assert(r.contains("new york") && r("new york")._1 == 20)
+    // P(new york) = 20/80 bigrams; P(new)=P(york)=20/90 tokens
+    val exp = math.log((20.0 / 80) / ((20.0 / 90) * (20.0 / 90)))
+    assert(math.abs(r("new york")._2 -
+      BigDecimal(exp).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble) < 1e-9, s"${r("new york")} vs $exp")
+    // rarer-unigram pairs legitimately score higher ('big and': both
+    // words 10x -> ln(10.125)); the collocation is still strongly
+    // positive and the closed form above pins its exact value
+    assert(r("new york")._2 > 1.0)
+  }
 }
