@@ -38,17 +38,31 @@ object BloomPrune {
       deny: DataFrame, denyKey: String,
       expectedDenyItems: Long = 0L, fpp: Double = 0.01): DataFrame = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    // xxhash64 hashes the NATIVE type: INT 5 and BIGINT 5 hash
+    // differently even though the verify join's === would up-cast and
+    // match — a silent bloom FALSE NEGATIVE that would let
+    // contaminated rows through the map-only branch. Demand identical
+    // key types so the hash domain and the join's equality agree.
+    val ct = corpus.schema(corpusKey).dataType
+    val dt = deny.schema(denyKey).dataType
+    require(ct == dt,
+      s"key types must match exactly (got ${ct.sql} vs ${dt.sql}) — " +
+        "equal values of different types hash differently, turning " +
+        "bloom false-negatives into silently-kept contaminated rows; " +
+        "cast one side first")
     val items =
       if (expectedDenyItems > 0) expectedDenyItems
       else math.max(deny.count(), 1L)
     val hashed = deny.select(xxhash64(col(denyKey)).as("__h"))
     val bloom = hashed.stat.bloomFilter("__h", items, fpp)
 
+    val dk = Iterator.iterate("__dk")("_" + _)
+      .dropWhile(corpus.columns.contains).next()
     val maybe = BloomMightContain.probe(xxhash64(col(corpusKey)), bloom)
     val clean = corpus.where(!coalesce(maybe, lit(false)))
     val suspects = corpus.where(coalesce(maybe, lit(false)))
-      .join(deny.select(col(denyKey).as("__dk")),
-        col(corpusKey) === col("__dk"), "left_anti")
+      .join(deny.select(col(denyKey).as(dk)),
+        col(corpusKey) === col(dk), "left_anti")
     clean.unionByName(suspects)
   }
 }

@@ -331,16 +331,21 @@ object Drift {
       bins: Int = 10): DataFrame = {
     require(bins >= 1, s"bins must be >= 1, got $bins")
     require(cols.nonEmpty, "need at least one column")
+    // collision-proof side tag: a swept column named "s" must not
+    // shadow it (same posture as Skew.freshName)
+    val sTag = Iterator.iterate("__s")("_" + _)
+      .dropWhile(cols.contains).next()
     def side(df: DataFrame, one: Int) = df.select(
-      (cols.map(c => col(c).cast("double").as(c)) :+ lit(one).as("s")): _*)
+      (cols.map(c => col(c).cast("double").as(c)) :+
+        lit(one).as(sTag)): _*)
     val both = side(df1, 0).unionByName(side(df2, 1))
 
     val boundAggs = cols.flatMap { c =>
       val live = when(!isnan(col(c)), col(c)) // null for NaN, min/max skip
       Seq(min(live).as(s"mn_$c"), max(live).as(s"mx_$c"))
     } ++ Seq(
-      count(when(col("s") === 0, 1)).as("n1_rows"),
-      count(when(col("s") === 1, 1)).as("n2_rows"))
+      count(when(col(sTag) === 0, 1)).as("n1_rows"),
+      count(when(col(sTag) === 1, 1)).as("n2_rows"))
     val b = both.agg(boundAggs.head, boundAggs.tail: _*).head()
     require(b.getLong(2 * cols.size) > 0 && b.getLong(2 * cols.size + 1) > 0,
       "both slices need rows")
@@ -352,8 +357,9 @@ object Drift {
 
     val melted = both.select(explode(array(cols.map(c =>
         struct(lit(c).as("col_name"), col(c).as("v"))): _*)).as("e"),
-        col("s"))
-      .select(col("e.col_name").as("col_name"), col("e.v").as("v"), col("s"))
+        col(sTag))
+      .select(col("e.col_name").as("col_name"), col("e.v").as("v"),
+        col(sTag))
       .where(col("v").isNotNull && !col("v").isNaN)
     val binExpr = cols.tail.foldLeft(
       when(col("col_name") === cols.head,
@@ -364,11 +370,11 @@ object Drift {
           bounds(c)._1, bounds(c)._2, bins))
     }
     val binned = melted
-      .select(col("col_name"), binExpr.as("bin"), col("s"))
+      .select(col("col_name"), binExpr.as("bin"), col(sTag))
       .groupBy("col_name", "bin")
       .agg(
-        count(when(col("s") === 0, 1)).as("c1"),
-        count(when(col("s") === 1, 1)).as("c2"))
+        count(when(col(sTag) === 0, 1)).as("c1"),
+        count(when(col(sTag) === 1, 1)).as("c2"))
 
     val byCol = org.apache.spark.sql.expressions.Window
       .partitionBy("col_name")

@@ -127,13 +127,19 @@ object Ranking {
     * global window, no sort of the full data. pct_rank is rounded to
     * 8 decimals. */
   def pctRankTable(df: DataFrame, vCol: String, parts: Int = 0): DataFrame = {
-    val live = df
-      .select(col(vCol).cast("double").as("__v"))
+    // ONE scan: the per-value count table feeds both the denominator
+    // (vocabulary-sized sum) and the ranking (avgRanksFromCounts —
+    // the API built for skipping the repeat groupBy)
+    val counts = df
+      .select(lit("_").as("__k"), col(vCol).cast("double").as("__v"))
       .where(col("__v").isNotNull && !col("__v").isNaN)
-    val n = live.count()
-    require(n > 0, s"no non-null, non-NaN values in `$vCol`")
-    avgRankTable(df, vCol, parts)
-      .select(col(vCol),
+      .groupBy("__k", "__v").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val nRow = counts.agg(sum(col("cnt"))).head()
+    require(!nRow.isNullAt(0), s"no non-null, non-NaN values in `$vCol`")
+    val n = nRow.getLong(0)
+    avgRanksFromCounts(counts, "__k", "__v", parts)
+      .select(col("__v").as(vCol),
         round(col("avgrank") / n, 8).as("pct_rank"))
   }
 }

@@ -113,13 +113,19 @@ object Skew {
   def keySkewStats(
       df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
     require(topK >= 1, "topK must be >= 1")
+    // materialized once: the rollup (incl. the eager empty guard) and
+    // the top-K both read it without recomputing the input scan
     val counts = df.groupBy(col(keyCol).as("k2"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val roll = counts.agg(
       sum(col("c")).as("n"),
       count(lit(1)).as("n_keys"),
       max(col("c")).as("cmax"),
       sum(col("c").cast("double") * col("c")).as("sumsq"))
+    // an empty input would emit a row of nulls — a monitoring job
+    // comparing hhi > threshold would silently never alarm
+    require(!roll.head().isNullAt(0), "input is empty — no keys to profile")
     val top = counts
       .orderBy(col("c").desc, col("k2"))
       .limit(topK)

@@ -355,12 +355,17 @@ object TextAnalysis {
   def bigramPmi(
       df: DataFrame, textCol: String, minCount: Long = 5L,
       topK: Int = 25): DataFrame = {
+    // both tables are referenced multiple times in one plan (two
+    // unigram joins + the totals) — materialize once instead of
+    // betting on ReuseExchange (same trap as NOTES_r5's TF-IDF scan)
     val uni = df.select(explode(words(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false)
     val bi = df.select(explode(
         graft.functions.WordNgramsExpr.ngrams(col(textCol), 2,
           distinct = false)).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("c12"))
+      .localCheckpoint(eager = false)
     val n1 = uni.agg(sum(col("c")).as("n1"))
     val n2 = bi.agg(sum(col("c12")).as("n2"))
     val pmi = log((col("c12") / col("n2")) /

@@ -196,11 +196,12 @@ object TemporalQueries {
     Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus,
           event_id FROM events),
       p AS (SELECT event_type AS from_state,
-          lead(event_type) OVER (PARTITION BY user_id
-            ORDER BY tus, event_id) AS to_state
-        FROM e),
+          lead(event_type) OVER w AS to_state,
+          lead(1) OVER w AS has_next
+        FROM e WINDOW w AS (PARTITION BY user_id
+          ORDER BY tus, event_id)),
       c AS (SELECT from_state, to_state, count(*) AS cnt FROM p
-        WHERE to_state IS NOT NULL GROUP BY 1, 2)
+        WHERE has_next IS NOT NULL GROUP BY 1, 2)
       SELECT from_state, to_state, cnt,
         round(cnt / CAST(sum(cnt) OVER (PARTITION BY from_state)
           AS DOUBLE), 8) AS p

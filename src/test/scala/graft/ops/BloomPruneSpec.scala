@@ -35,6 +35,18 @@ class BloomPruneSpec extends SparkSpec {
     assert(got.count() == 998)
   }
 
+  test("mismatched key types rejected (hash domain vs join equality)") {
+    val corpus = Seq(1, 2, 3).toDF("id") // INT
+    val deny = Seq(2L).toDF("bad") // BIGINT
+    val e = intercept[IllegalArgumentException] {
+      BloomPrune.antiJoin(corpus, "id", deny, "bad")
+    }
+    assert(e.getMessage.contains("key types"), e.getMessage)
+    // cast-aligned works and is exact
+    assert(BloomPrune.antiJoin(corpus.selectExpr("CAST(id AS BIGINT) id"),
+      "id", deny, "bad").count() == 2)
+  }
+
   test("plan: clean branch carries the codegen'd bloom probe filter") {
     // spark.range (not a foldable LocalRelation — ConvertToLocalRelation
     // would otherwise evaluate the probe at optimization time and erase

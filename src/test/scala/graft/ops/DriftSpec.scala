@@ -176,6 +176,13 @@ class DriftSpec extends SparkSpec {
     val d4 = d2.withColumn("c", lit(null).cast("double"))
     val s2 = Drift.psiSweep(d3, d4, Seq("c"), bins = 8).head()
     assert(s2.isNullAt(1) && s2.getLong(2) == 600 && s2.getLong(3) == 0)
+
+    // a swept column literally named "s" must not shadow the side tag
+    val e1 = d1.withColumnRenamed("a", "s")
+    val e2 = d2.withColumnRenamed("a", "s")
+    val bys = Drift.psiSweep(e1, e2, Seq("s", "b"), bins = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(bys("s") == pa && bys("b") == pb)
   }
 
   test("symmetry: every two-sample statistic is invariant under swap") {
