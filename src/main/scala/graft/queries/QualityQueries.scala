@@ -451,7 +451,36 @@ object QualityQueries {
         " ORDER BY col_name"
     })
 
+  /** Association rules ([[graft.ops.Itemsets.pairRules]]) over user ×
+    * event_type baskets — support/confidence/lift from exact presence
+    * counts; the self-join cost is per-basket vocabulary, never the
+    * corpus. */
+  val qPairRules = Q(
+    "q103_association_rules",
+    (s, dir) => graft.ops.Itemsets.pairRules(
+      table(s, dir, "events"), "user_id", "event_type",
+      minSupportCount = 10),
+    Some("""WITH b AS (SELECT DISTINCT user_id AS bk, event_type AS it
+          FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+      n AS (SELECT count(DISTINCT bk) AS nb FROM b),
+      ic AS (SELECT it, count(*) AS c FROM b GROUP BY it),
+      pc AS (SELECT a.it AS i1, b2.it AS i2, count(*) AS c12
+        FROM b a JOIN b b2 ON a.bk = b2.bk AND a.it < b2.it
+        GROUP BY 1, 2 HAVING count(*) >= 10),
+      d AS (SELECT i1 AS antecedent, i2 AS consequent, c12 FROM pc
+        UNION ALL SELECT i2, i1, c12 FROM pc)
+      SELECT antecedent, consequent, c12 AS support_cnt,
+        round(c12 / CAST(nb AS DOUBLE), 8) AS support,
+        round(c12 / CAST(ca.c AS DOUBLE), 8) AS confidence,
+        round((c12 * CAST(nb AS DOUBLE)) /
+          (ca.c * CAST(cc.c AS DOUBLE)), 8) AS lift
+      FROM d CROSS JOIN n
+      JOIN ic ca ON ca.it = antecedent
+      JOIN ic cc ON cc.it = consequent
+      ORDER BY antecedent, consequent"""))
+
   val all: Seq[Q] = Seq(qOutliers, qAssociation, qJsdDrift, qValidate,
     qChi2Drift, qNullPatterns, qFdCheck, qWassersteinDrift, qOrphans,
-    qFanout, qEmbedNorms, qKeySkew, qPctRank, qBloomPrune, qPsiSweep)
+    qFanout, qEmbedNorms, qKeySkew, qPctRank, qBloomPrune, qPsiSweep,
+    qPairRules)
 }

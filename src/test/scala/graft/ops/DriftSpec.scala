@@ -205,6 +205,27 @@ class DriftSpec extends SparkSpec {
       Drift.chiSquareHomogeneity(cb, ca, "v").head().getDouble(0))
   }
 
+  test("ranges: ks∈[0,1], jsd∈[0,ln2], psi/w1/chi2 ≥ 0 on random data") {
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val a = Seq.fill(200 + rnd.nextInt(100))(
+        rnd.nextGaussian() * (1 + rnd.nextInt(3)))
+      val b = Seq.fill(150 + rnd.nextInt(100))(
+        rnd.nextGaussian() * (1 + rnd.nextInt(3)) + rnd.nextInt(3))
+      val (da, db) = (a.toDF("v"), b.toDF("v"))
+      val ks = Drift.ksTwoSample(da, db, "v").head().getDouble(0)
+      assert(ks >= 0 && ks <= 1, s"seed $seed ks $ks")
+      val jsd = Drift.jsd(da, db, "v").head().getDouble(0)
+      assert(jsd >= 0 && jsd <= math.log(2) + 1e-9, s"seed $seed jsd $jsd")
+      assert(Drift.psi(da, db, "v").head().getDouble(0) >= 0)
+      assert(Drift.wasserstein(da, db, "v").head().getDouble(0) >= 0)
+      val (ca, cb) = (a.map(x => x.toInt.toString).toDF("v"),
+        b.map(x => x.toInt.toString).toDF("v"))
+      assert(Drift.chiSquareHomogeneity(ca, cb, "v")
+        .head().getDouble(0) >= 0)
+    }
+  }
+
   test("empty slice rejected loudly by every statistic") {
     val a = Seq(1.0, 2.0).toDF("v")
     val empty = Seq.empty[Double].toDF("v")
