@@ -36,6 +36,28 @@ object Sampling {
   def hashSample(df: DataFrame, keyCol: String, pct: Int): DataFrame =
     df.where(hashBucket(keyCol) < pct)
 
+  /** Deterministic train/val/test assignment — the split EVERY
+    * training pipeline needs to be reproducible, portable, and stable
+    * under repartitioning (a seeded randomSplit is none of those: it
+    * reshuffles membership whenever partitioning changes). Same
+    * md5-derived percent-bucket as [[hashSample]], so split membership
+    * is a pure function of the key: adding rows later never moves an
+    * existing row between splits (the property that keeps eval sets
+    * uncontaminated across dataset versions). Map-only — adds a
+    * `split` column, no shuffle. */
+  def splitAssign(
+      df: DataFrame, keyCol: String, trainPct: Int = 80,
+      valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"need 0 < trainPct, 0 <= valPct, trainPct+valPct < 100 " +
+        s"(got $trainPct/$valPct)")
+    val b = hashBucket(keyCol)
+    df.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
   /** [[hashSample]] additionally capped at an absolute row count. The cap
     * is taken in deterministic hash order of `tieKey` (pseudorandom, so
     * the capped set is still a uniform sample), which hard-bounds

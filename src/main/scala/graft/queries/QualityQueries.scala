@@ -479,8 +479,28 @@ object QualityQueries {
       JOIN ic cc ON cc.it = consequent
       ORDER BY antecedent, consequent"""))
 
+  /** Deterministic train/val/test split ([[graft.ops.Sampling
+    * .splitAssign]]): per-(lang, split) counts over documents keyed by
+    * doc_id — membership is a pure function of the key (stable across
+    * dataset versions), oracle replays the md5 percent-bucket. */
+  val qSplitAssign = Q(
+    "q104_split_assign",
+    (s, dir) => graft.ops.Sampling
+      .splitAssign(table(s, dir, "documents"), "doc_id", 80, 10)
+      .groupBy("lang", "split").agg(count(lit(1)).as("cnt"))
+      .orderBy("lang", "split"),
+    Some("""WITH b AS (SELECT lang,
+        ('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15))
+          ::BIGINT % 100 AS bk
+      FROM documents)
+      SELECT lang,
+        CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val'
+          ELSE 'test' END AS split,
+        count(*) AS cnt
+      FROM b GROUP BY 1, 2 ORDER BY lang, split"""))
+
   val all: Seq[Q] = Seq(qOutliers, qAssociation, qJsdDrift, qValidate,
     qChi2Drift, qNullPatterns, qFdCheck, qWassersteinDrift, qOrphans,
     qFanout, qEmbedNorms, qKeySkew, qPctRank, qBloomPrune, qPsiSweep,
-    qPairRules)
+    qPairRules, qSplitAssign)
 }

@@ -175,6 +175,29 @@ class OpsSpec extends SparkSpec {
     assert(rows.filter(_._2 == "en").map(_._1).toSet == plain)
   }
 
+  test("splitAssign: partition of rows, near-nominal, hash-consistent") {
+    val df = (0L until 2000L).toDF("id")
+    val s = Sampling.splitAssign(df, "id", 80, 10)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(s.length == 2000) // every row assigned exactly one split
+    val byS = s.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byS("train") > 1500 && byS("train") < 1700, byS.toString)
+    assert(byS("val") > 140 && byS("val") < 260, byS.toString)
+    assert(byS("test") > 140 && byS("test") < 260, byS.toString)
+    // train == exactly hashSample(80)'s rows (same family, same bucket)
+    val plain = Sampling.hashSample(df, "id", 80)
+      .collect().map(_.getLong(0)).toSet
+    assert(s.filter(_._2 == "train").map(_._1).toSet == plain)
+    // stability: membership is a pure function of the key — a subset
+    // of the data assigns identically
+    val sub = Sampling.splitAssign(df.where($"id" < 500), "id", 80, 10)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s.filter(_._1 < 500).forall { case (k, v) => sub(k) == v })
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(df, "id", 95, 10) // 105 > 100
+    }
+  }
+
   test("weightedHashSample: rates scale with weight, deterministic") {
     val df = (0L until 3000L).map(i => (i, i % 3)).toDF("id", "g")
     // weight 0 drops all, 1 keeps all
