@@ -179,9 +179,29 @@ object Bench {
         q.stop()
         deleteRecursively(new java.io.File(ckpt))
       }
+      val driftSec = timeIt("s04_streaming_drift") {
+        val mem = MemoryStream[(java.sql.Timestamp, Double)]
+        val base = graft.streaming.StreamingDrift.Baseline
+          .fromCounts(0.0, 1000.0, Seq.fill(20)(500L))
+        val q = graft.streaming.StreamingDrift.psiVsBaseline(
+            mem.toDF.toDF("ts", "v"), "ts", "v", base,
+            "1 minute", "2 minutes")
+          .writeStream.format("memory").queryName(s"bench_sdrift_$tag")
+          .outputMode(OutputMode.Update()).start()
+        (0 until 10).foreach { b =>
+          mem.addData((0 until 10000).map { i =>
+            val n = b * 10000 + i
+            (new java.sql.Timestamp(1700000000000L + n * 10L),
+              (n % 997).toDouble) // in-range, mildly non-uniform
+          })
+          q.processAllAvailable()
+        }
+        q.stop()
+      }
       Map("s01_streaming_profile" -> profileSec,
         "s02_streaming_dedup" -> dedupSec,
-        "s03_streaming_sessionize" -> sessSec)
+        "s03_streaming_sessionize" -> sessSec,
+        "s04_streaming_drift" -> driftSec)
     }
     val sPass1 = streamingOnce("p1")
     val sPass2 = streamingOnce("p2")
