@@ -310,6 +310,39 @@ object Drift {
         sum(col("c2")).as("n2"))
   }
 
+  /** Q–Q comparison table — the data behind a quantile-quantile plot:
+    * for each requested percentile, both slices' exact quantiles side
+    * by side plus the gap. Two fused percentile aggregates (one
+    * array-probabilities buffer per slice — never one sort per
+    * percentile), melted to one row per p with `stack` on the one-row
+    * result. Quantiles round to 6dp (the q05-proven cross-engine
+    * envelope); the gap derives from the ROUNDED quantiles so it is
+    * bit-stable too. */
+  def qqTable(
+      df1: DataFrame, df2: DataFrame, vCol: String,
+      percentiles: Seq[Double] = Seq(0.01, 0.05, 0.1, 0.25, 0.5,
+        0.75, 0.9, 0.95, 0.99)): DataFrame = {
+    require(percentiles.nonEmpty, "need at least one percentile")
+    require(percentiles.forall(p => p >= 0 && p <= 1),
+      "percentiles must be in [0,1]")
+    val probs = percentiles.mkString(",")
+    def side(df: DataFrame) = df
+      .agg(expr(
+        s"percentile(CASE WHEN NOT isnan(CAST(`$vCol` AS DOUBLE)) " +
+          s"THEN CAST(`$vCol` AS DOUBLE) END, array($probs))").as("qs"))
+    val joined = side(df1).crossJoin(
+      side(df2).withColumnRenamed("qs", "qs2"))
+    val stackArgs = percentiles.zipWithIndex.map { case (p, i) =>
+      s"CAST('$p' AS DOUBLE), round(qs[$i], 6), round(qs2[$i], 6)"
+    }.mkString(", ")
+    joined
+      .select(expr(s"stack(${percentiles.size}, $stackArgs) " +
+        "AS (p, q1, q2)"))
+      .select(col("p"), col("q1"), col("q2"),
+        round(col("q2") - col("q1"), 6).as("gap"))
+      .orderBy("p")
+  }
+
   /** Multi-column PSI drift report — every numeric column's [[psi]]
     * in ONE melted pass per side instead of 2 scans per column: the
     * whole-table drift screen a monitoring job runs per batch.

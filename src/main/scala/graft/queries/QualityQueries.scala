@@ -499,8 +499,33 @@ object QualityQueries {
         count(*) AS cnt
       FROM b GROUP BY 1, 2 ORDER BY lang, split"""))
 
+  /** Q–Q comparison table ([[graft.ops.Drift.qqTable]]): exact
+    * quantiles of both slices side by side per percentile — the
+    * drift-visualization artifact (one fused percentile buffer per
+    * slice, stack-melted). */
+  val qQqTable = Q(
+    "q105_qq_table",
+    (s, dir) => {
+      val li = table(s, dir, "lineitem")
+      Drift.qqTable(
+        li.where(col("l_orderkey") % 2 === 0),
+        li.where(col("l_orderkey") % 2 === 1),
+        "l_extendedprice")
+    },
+    Some("""WITH a AS (SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE),
+          [0.01, 0.05, 0.1, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99]) AS qs
+        FROM lineitem WHERE l_orderkey % 2 = 0),
+      b AS (SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE),
+          [0.01, 0.05, 0.1, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99]) AS qs2
+        FROM lineitem WHERE l_orderkey % 2 = 1),
+      z AS (SELECT CAST(unnest([0.01, 0.05, 0.1, 0.25, 0.5, 0.75, 0.9,
+          0.95, 0.99]) AS DOUBLE) AS p,
+        unnest(qs) AS q1r, unnest(qs2) AS q2r FROM a, b),
+      r AS (SELECT p, round(q1r, 6) AS q1, round(q2r, 6) AS q2 FROM z)
+      SELECT p, q1, q2, round(q2 - q1, 6) AS gap FROM r ORDER BY p"""))
+
   val all: Seq[Q] = Seq(qOutliers, qAssociation, qJsdDrift, qValidate,
     qChi2Drift, qNullPatterns, qFdCheck, qWassersteinDrift, qOrphans,
     qFanout, qEmbedNorms, qKeySkew, qPctRank, qBloomPrune, qPsiSweep,
-    qPairRules, qSplitAssign)
+    qPairRules, qSplitAssign, qQqTable)
 }

@@ -205,6 +205,20 @@ class DriftSpec extends SparkSpec {
       Drift.chiSquareHomogeneity(cb, ca, "v").head().getDouble(0))
   }
 
+  test("qqTable: identical slices gap 0; shift appears in every row") {
+    val a = Seq.tabulate(500)(i => i.toDouble)
+    val same = Drift.qqTable(a.toDF("v"), a.toDF("v"), "v").collect()
+    assert(same.length == 9)
+    assert(same.forall(_.getDouble(3) == 0.0))
+    val b = a.map(_ + 42.0)
+    val sh = Drift.qqTable(a.toDF("v"), b.toDF("v"), "v",
+      Seq(0.25, 0.5, 0.75)).collect()
+    assert(sh.map(_.getDouble(0)).toSeq == Seq(0.25, 0.5, 0.75))
+    assert(sh.forall(_.getDouble(3) == 42.0), sh.mkString(";"))
+    // exact interpolated median of 0..499 on the q1 side
+    assert(sh(1).getDouble(1) == 249.5)
+  }
+
   test("ranges: ks∈[0,1], jsd∈[0,ln2], psi/w1/chi2 ≥ 0 on random data") {
     for (seed <- 1 to 4) {
       val rnd = new scala.util.Random(seed)
