@@ -447,57 +447,18 @@ object Dedup {
     * (keep the row whose id equals its component) or every pipeline
     * keeps conflicting survivors.
     *
-    * Min-label propagation by hash joins: each node starts labeled with
-    * its own id; each iteration every node takes the min of its own and
-    * its neighbors' labels. Converges in O(component diameter)
-    * iterations — near-dup clusters are shallow (most are pairs or
-    * small stars), so a handful in practice, `maxIter` as a safety
-    * bound. Each iteration is two hash-shuffle joins + one groupBy on
-    * uniformly-distributed ids, the label table is localCheckpoint'ed
-    * per step so lineage stays constant, and the only driver value is
-    * the changed-label COUNT — nothing scales with graph size on the
-    * driver, so the same loop runs at 100 TB.
+    * Delegates to [[ConnectedComponents.run]] (alternating large-star /
+    * small-star contraction): O(log² n) rounds regardless of component
+    * DIAMETER — a 10k-link chain of pairwise near-dups converges in a
+    * handful of rounds where plain min-label propagation needs 10k —
+    * and no neighbor-list materialization anywhere.
     *
-    * Convergence is REQUIRED: if labels are still changing after
-    * `maxIter` rounds (a component with diameter > maxIter — e.g. a long
-    * chain of pairwise near-dups), the method throws rather than return
-    * silently SPLIT components that would leave several "canonical"
-    * survivors in one true cluster. Converged graphs exit early, so a
-    * generous default costs nothing.
-    *
-    * Returns (idCol, component): one row per node that appears in
+    * Returns (aCol, component): one row per node that appears in
     * `pairs`, component = min id reachable. Ids must be orderable. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 50): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    val e0 = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
-    val edges = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
-      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("a").as("n")).distinct()
-      .withColumn("lbl", col("n"))
-      .localCheckpoint(true)
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      val nbr = edges
-        .join(labels.select(col("n").as("b"), col("lbl").as("cand")), "b")
-        .select(col("a").as("n"), col("cand"))
-      val next = labels.select(col("n"), col("lbl").as("cand")).union(nbr)
-        .groupBy("n").agg(min("cand").as("newLbl"))
-        .join(labels, "n")
-        .localCheckpoint(true) // cut lineage: constant-depth plan per iter
-      changed = next.where(col("newLbl") < col("lbl")).count()
-      labels = next.select(col("n"), col("newLbl").as("lbl"))
-      iter += 1
-    }
-    edges.unpersist(false)
-    if (changed > 0)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter iterations " +
-          s"($changed labels still changing) — a component's diameter " +
-          "exceeds maxIter; raise it and re-run")
-    labels.select(col("n").as(aCol), col("lbl").as("component"))
-  }
+      maxIter: Int = 50): DataFrame =
+    ConnectedComponents.run(pairs, aCol, bCol, maxIter)
+      .withColumnRenamed("node", aCol)
 
   /** Benchmark decontamination: (corpus doc, benchmark doc) pairs that
     * share at least `minShared` word n-grams — the standard check that
