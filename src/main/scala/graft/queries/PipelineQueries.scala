@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, IvfIndex, MediaCodec, Multimodal, Relevance, Sampling, Similarity, TextAnalysis}
+import graft.ops.{ConnectedComponents, Dedup, IvfIndex, MediaCodec, Multimodal, Relevance, Sampling, Similarity, TextAnalysis}
 import graft.queries.QueryCatalog.table
 
 /** LLM-data-pipeline operators as oracle-checked queries (north star in
@@ -218,25 +218,20 @@ object PipelineQueries {
       SELECT id, $mins FROM sh GROUP BY id ORDER BY id"""
     })
 
-  /** Full MinHash-LSH pipeline: band signatures, bucket-join candidates,
-    * verify with exact Jaccard >= 0.7. */
-  val qMinhashLsh = Q(
-    "q24_minhash_lsh",
-    (s, dir) =>
-      Dedup.minhashNearDupPairsFromShingles(
-          Dedup.wordShingleTableCached(table(s, dir, "documents"),
-            "doc_id", "text", WORD_N), NUM_HASHES, BANDS, 0.7)
-        .orderBy("i", "j"),
-    Some {
-      val r = NUM_HASHES / BANDS
-      val mins = (0 until NUM_HASHES)
-        .map(i => s"min(${dkMinhash(i)}) AS s$i").mkString(", ")
-      val bandSelects = (0 until BANDS).map { b =>
-        val key = (0 until r).map(i => s"s${b * r + i}::VARCHAR")
-          .mkString(" || ',' || ")
-        s"SELECT id, $b AS band, md5($key) AS key FROM sig"
-      }.mkString(" UNION ALL ")
-      s"""WITH sh AS ($dkShingles),
+  /** Shared oracle CTE chain of the MinHash-LSH pipeline: shingles →
+    * signatures → band buckets → candidate pairs → shared-shingle
+    * counts (`cm`) + set sizes (`sz`); consumers apply their own
+    * Jaccard threshold on top. */
+  private def dkLshCtes: String = {
+    val r = NUM_HASHES / BANDS
+    val mins = (0 until NUM_HASHES)
+      .map(i => s"min(${dkMinhash(i)}) AS s$i").mkString(", ")
+    val bandSelects = (0 until BANDS).map { b =>
+      val key = (0 until r).map(i => s"s${b * r + i}::VARCHAR")
+        .mkString(" || ',' || ")
+      s"SELECT id, $b AS band, md5($key) AS key FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""sh AS ($dkShingles),
       sig AS (SELECT id, $mins FROM sh GROUP BY id),
       buckets AS ($bandSelects),
       cand AS (SELECT DISTINCT a.id i, b.id j FROM buckets a
@@ -246,13 +241,103 @@ object PipelineQueries {
       cm AS (SELECT c.i, c.j, count(*) common
              FROM cand c JOIN sh x ON x.id = c.i JOIN sh y ON y.id = c.j
                AND y.g = x.g
-             GROUP BY 1, 2)
+             GROUP BY 1, 2)"""
+  }
+
+  /** Verified-pair CTE on top of [[dkLshCtes]] plus the min-label
+    * recursive component closure over those pairs (near-dup clusters
+    * are tiny, so the reachability set stays bounded in the oracle). */
+  private def dkLshClusterCtes: String =
+    s"""$dkLshCtes,
+      p AS (SELECT i, j
+            FROM cm JOIN sz sa ON sa.id = i JOIN sz sb ON sb.id = j
+            WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.7),
+      edges AS (SELECT i AS a, j AS b FROM p UNION SELECT j, i FROM p),
+      reach(n, m) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
+      ),
+      comp AS (SELECT n, min(m) AS cluster FROM reach GROUP BY n),
+      lab AS (SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster,
+                d.n_chars
+              FROM documents d LEFT JOIN comp c ON c.n = d.doc_id)"""
+
+  /** Full MinHash-LSH pipeline: band signatures, bucket-join candidates,
+    * verify with exact Jaccard >= 0.7. */
+  val qMinhashLsh = Q(
+    "q24_minhash_lsh",
+    (s, dir) =>
+      Dedup.minhashNearDupPairsFromShingles(
+          Dedup.wordShingleTableCached(table(s, dir, "documents"),
+            "doc_id", "text", WORD_N), NUM_HASHES, BANDS, 0.7)
+        .orderBy("i", "j"),
+    Some(s"""WITH $dkLshCtes
       SELECT i, j,
              round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) AS jaccard
       FROM cm JOIN sz sa ON sa.id = i JOIN sz sb ON sb.id = j
       WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.7
-      ORDER BY i, j"""
-    })
+      ORDER BY i, j"""))
+
+  /** Whole-corpus cluster ASSIGNMENT over the q24 LSH pair set:
+    * transitive closure via [[graft.ops.ConnectedComponents]]
+    * (large-star/small-star), every document labeled — singletons keep
+    * their own id — plus the cluster size a downstream mix/sampling
+    * stage weights by. */
+  val qLshClusters = Q(
+    "q106_lsh_clusters",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val pairs = Dedup.minhashNearDupPairsFromShingles(
+        Dedup.wordShingleTableCached(docs, "doc_id", "text", WORD_N),
+        NUM_HASHES, BANDS, 0.7)
+      val labeled = ConnectedComponents.labelAll(
+        docs.select("doc_id"), "doc_id", pairs, "i", "j", "cluster")
+      val sizes = labeled.groupBy("cluster")
+        .agg(count(lit(1)).as("cluster_size"))
+      labeled.join(sizes, "cluster")
+        .select(col("doc_id"), col("cluster"), col("cluster_size"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $dkLshClusterCtes,
+      csz AS (SELECT cluster, count(*) AS cluster_size FROM lab GROUP BY 1)
+      SELECT doc_id, cluster, cluster_size
+      FROM lab JOIN csz USING (cluster) ORDER BY doc_id"""))
+
+  /** Keep-longest canonical selection on the q106 clusters — the drop
+    * list a production near-dup pass actually executes (RefinedWeb /
+    * Gopher keep the longest member, not the min-id one): per cluster
+    * the survivor is argmax(n_chars, tie → min doc_id); emitted rows
+    * are the documents to DELETE, with the survivor alongside for
+    * lineage. max_by on a (n_chars, -doc_id) struct key is a mergeable
+    * partial aggregate — no per-cluster sort, skew-safe at 100 TB. */
+  val qDedupKeepLongest = Q(
+    "q107_dedup_keep_longest",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val pairs = Dedup.minhashNearDupPairsFromShingles(
+        Dedup.wordShingleTableCached(docs, "doc_id", "text", WORD_N),
+        NUM_HASHES, BANDS, 0.7)
+      val labeled = ConnectedComponents.labelAll(
+        docs.select("doc_id", "n_chars"), "doc_id", pairs, "i", "j",
+        "cluster")
+      val kept = labeled.groupBy("cluster").agg(
+        max_by(col("doc_id"),
+          struct(col("n_chars"), (-col("doc_id")).as("nd")))
+          .as("kept_doc_id"))
+      labeled.join(kept, "cluster")
+        .where(col("doc_id") =!= col("kept_doc_id"))
+        .select(col("doc_id"), col("cluster"), col("kept_doc_id"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $dkLshClusterCtes,
+      k AS (SELECT cluster, doc_id AS kept_doc_id FROM (
+              SELECT cluster, doc_id, row_number() OVER (
+                PARTITION BY cluster ORDER BY n_chars DESC, doc_id) AS rn
+              FROM lab) WHERE rn = 1)
+      SELECT doc_id, cluster, kept_doc_id
+      FROM lab JOIN k USING (cluster)
+      WHERE doc_id <> kept_doc_id ORDER BY doc_id"""))
 
   /** 32-bit SimHash over the distinct-word set. */
   val qSimhash = Q(
@@ -1158,7 +1243,7 @@ object PipelineQueries {
     qDecontamination, qChunking, qLineDedup, qMixStats, qNormalize,
     qSourceQuality, qSemDedup, qPackChunks,
     qDupNgramFraction, qTfIdfTerms, qBm25, qSourceCap, qUnigramCE,
-    qMinhashSig, qMinhashLsh, qSimhash,
+    qMinhashSig, qMinhashLsh, qLshClusters, qDedupKeepLongest, qSimhash,
     qEmbedTopK, qEmbedTopKIvf, qEmbedTopKIvfPersisted, qEmbedNearDup,
     qLangId, qTextQuality,
     qTokenCounts, qFingerprint, qRepetitionFilter, qPiiScan,
