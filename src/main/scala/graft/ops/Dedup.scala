@@ -207,6 +207,63 @@ object Dedup {
     verifyJaccard(candidates, sh, threshold)
   }
 
+  /** Edit-distance similarity self-join: all pairs whose strings are
+    * within `maxDist` Levenshtein edits — entity resolution over names
+    * / keys / titles (Gravano et al., "Approximate String Joins in a
+    * Database (Almost) for Free", VLDB'01 — the q-gram filter family).
+    *
+    * Candidates come from a distinct char-q-gram equi-join with a
+    * count lower bound: one edit rewrites at most q gram TYPES, so a
+    * true match shares at least max(ni, nj) − q·maxDist distinct grams;
+    * plus the length filter |len_i − len_j| ≤ maxDist. The exact
+    * `levenshtein` runs on candidates only, never the cross product.
+    * The gram join is complete only for strings of length ≥ q·(maxDist
+    * + 1) (shorter pairs can be within maxDist yet share no gram), so
+    * the SHORT pool — bounded-length strings, assumed a small fraction
+    * of any real corpus — is verified by a direct self-join instead.
+    * Returns `(i, j, dist)` with i < j. */
+  def editDistancePairs(
+      df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int, q: Int = 3): DataFrame = {
+    require(maxDist >= 0, "maxDist must be >= 0")
+    require(q >= 1, "q must be >= 1")
+    val t = ensureCheckpointed(df
+      .select(col(idCol).as("id"), col(strCol).as("s"))
+      .where(col("s").isNotNull)
+      .withColumn("len", length(col("s"))))
+    val shortLen = q * (maxDist + 1)
+    val grams = t.where(col("len") >= q)
+      .select(col("id"),
+        explode(array_distinct(shingles(col("s"), q))).as("g"))
+    val sz = grams.groupBy("id").agg(count(lit(1)).as("ng"))
+    val candLong = grams.select(col("id").as("i"), col("g"))
+      .join(grams.select(col("id").as("j"), col("g")), "g")
+      .where(col("i") < col("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("shared"))
+      .join(sz.select(col("id").as("i"), col("ng").as("ni")), "i")
+      .join(sz.select(col("id").as("j"), col("ng").as("nj")), "j")
+      .where(col("shared") >=
+        greatest(col("ni"), col("nj")) - lit(q * maxDist))
+      .select("i", "j")
+    val short = t.where(col("len") < shortLen)
+      .select(col("id"), col("len"))
+    val candShort = short.select(col("id").as("i"), col("len").as("li"))
+      .crossJoin(short.select(col("id").as("j"), col("len").as("lj")))
+      .where(col("i") < col("j") &&
+        abs(col("li") - col("lj")) <= maxDist)
+      .select("i", "j")
+    val strs = t.select(col("id"), col("s"), col("len"))
+    candLong.union(candShort).distinct()
+      .join(strs.select(col("id").as("i"), col("s").as("si"),
+        col("len").as("li")), "i")
+      .join(strs.select(col("id").as("j"), col("s").as("sj"),
+        col("len").as("lj")), "j")
+      .where(abs(col("li") - col("lj")) <= maxDist)
+      .withColumn("dist", levenshtein(col("si"), col("sj")))
+      .where(col("dist") <= maxDist)
+      .select("i", "j", "dist")
+  }
+
   /** MinHash signatures over any (id, g) shingle table. One shuffle
     * regardless of width, and ONE md5 per shingle regardless of width:
     * the hash family is the double-hashing construction

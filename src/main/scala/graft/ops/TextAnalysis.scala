@@ -342,6 +342,39 @@ object TextAnalysis {
       .select("id", "word", "cnt")
   }
 
+  /** Encode each document against a `(id, word)` [[vocabulary]] table:
+    * the token-id sequences a training job actually consumes, with
+    * out-of-vocabulary tokens mapped to `oovId`. One posexplode, one
+    * equi-join on the word (Catalyst broadcasts a small vocab on its
+    * own; a 1M-entry vocab falls back to a plain hash join — either way
+    * the corpus is scanned once), one per-document reassembly whose
+    * collect_list is bounded by document length (the lineDedup
+    * precedent). Documents with no tokens encode as an empty array.
+    * Returns `(idCol, token_ids, n_tokens, n_oov)`. */
+  def encode(
+      df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, oovId: Long = -1L): DataFrame = {
+    val toks = df.select(col(idCol).as("__id"),
+      posexplode(words(col(textCol))).as(Seq("__pos", "__w")))
+    val v = vocab.select(col("word").as("__w"), col("id").as("__vid"))
+    val enc = toks.join(v, Seq("__w"), "left")
+      .groupBy("__id")
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("__pos").as("p"),
+            coalesce(col("__vid"), lit(oovId)).as("v")))),
+          x => x.getField("v")).as("token_ids"),
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__vid").isNull, 1L).otherwise(0L)).as("n_oov"))
+    df.select(col(idCol).as("__id"))
+      .join(enc, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("token_ids"), array().cast("array<bigint>"))
+          .as("token_ids"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+  }
+
   /** Bigram PMI phrase mining (word2vec-style phrase detection):
     *
     *   PMI(w1 w2) = ln( P(w1 w2) / (P(w1)·P(w2)) ),

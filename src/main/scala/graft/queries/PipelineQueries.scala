@@ -1210,6 +1210,62 @@ object PipelineQueries {
           AS id, word, cnt
       FROM t ORDER BY id"""))
 
+  /** Token-id encoding against the q101 vocabulary
+    * ([[graft.ops.TextAnalysis.encode]]): per-document id sequences
+    * with OOV → -1 — the shape a training job consumes. Oracle
+    * rebuilds the same vocabulary and positions via a struct
+    * comprehension (DuckDB's range() table function cannot laterally
+    * reference a column). */
+  val qVocabEncode = Q(
+    "q108_vocab_encode",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val vocab = graft.ops.TextAnalysis.vocabulary(
+        docs, "text", topN = 200, minCount = 2)
+      graft.ops.TextAnalysis.encode(docs, "doc_id", "text", vocab)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH w AS (SELECT unnest($dkWords) AS word FROM documents),
+      c AS (SELECT word, count(*) AS cnt FROM w GROUP BY word
+        HAVING count(*) >= 2),
+      t AS (SELECT word, cnt FROM c ORDER BY cnt DESC, word LIMIT 200),
+      v AS (SELECT CAST(row_number() OVER (ORDER BY cnt DESC, word)
+              AS BIGINT) AS id, word FROM t),
+      d AS (SELECT doc_id, $dkWords AS ws FROM documents),
+      tok AS (SELECT doc_id, u['i'] AS i, u['w'] AS w FROM (
+        SELECT doc_id, unnest([{'i': i, 'w': ws[i]}
+          for i in range(1, len(ws) + 1)]) AS u FROM d)),
+      j AS (SELECT tok.doc_id, tok.i, coalesce(v.id, -1) AS vid,
+              (v.id IS NULL)::INT AS oov
+            FROM tok LEFT JOIN v ON v.word = tok.w),
+      e AS (SELECT doc_id, list(vid ORDER BY i) AS token_ids,
+              count(*) AS n_tokens, CAST(sum(oov) AS BIGINT) AS n_oov
+            FROM j GROUP BY doc_id)
+      SELECT d2.doc_id,
+        coalesce(e.token_ids, CAST([] AS BIGINT[])) AS token_ids,
+        coalesce(e.n_tokens, 0) AS n_tokens,
+        coalesce(e.n_oov, 0) AS n_oov
+      FROM (SELECT doc_id FROM documents) d2 LEFT JOIN e USING (doc_id)
+      ORDER BY doc_id"""))
+
+  /** Edit-distance entity-resolution join
+    * ([[graft.ops.Dedup.editDistancePairs]]): supplier names within one
+    * Levenshtein edit via q-gram blocking (distance 2 matches ALL
+    * supplier pairs on this synthetic corpus — degenerate); the oracle brute-forces
+    * the (tiny) cross product. */
+  val qFuzzyJoin = Q(
+    "q109_fuzzy_name_join",
+    (s, dir) =>
+      Dedup.editDistancePairs(
+          table(s, dir, "supplier"), "s_suppkey", "s_name", maxDist = 1)
+        .withColumn("dist", col("dist").cast("long"))
+        .orderBy("i", "j"),
+    Some("""SELECT a.s_suppkey AS i, b.s_suppkey AS j,
+        CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+      FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+      WHERE levenshtein(a.s_name, b.s_name) <= 1
+      ORDER BY i, j"""))
+
   /** Bigram PMI phrase mining ([[graft.ops.TextAnalysis.bigramPmi]]):
     * pointwise mutual information over occurrence-level bigram and
     * unigram counts — per-row ln on exact counts, no float sums. */
@@ -1238,8 +1294,8 @@ object PipelineQueries {
       ORDER BY pmi DESC, bigram LIMIT 25"""))
 
   val all: Seq[Q] = Seq(
-    qVocabulary, qBigramPmi,
-    qDedupExact, qNgramJaccard, qDedupClusters, qDedupCanonical,
+    qVocabulary, qVocabEncode, qBigramPmi,
+    qDedupExact, qNgramJaccard, qDedupClusters, qDedupCanonical, qFuzzyJoin,
     qDecontamination, qChunking, qLineDedup, qMixStats, qNormalize,
     qSourceQuality, qSemDedup, qPackChunks,
     qDupNgramFraction, qTfIdfTerms, qBm25, qSourceCap, qUnigramCE,

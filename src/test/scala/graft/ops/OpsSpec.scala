@@ -586,4 +586,46 @@ class OpsSpec extends SparkSpec {
     // positive and the closed form above pins its exact value
     assert(r("new york")._2 > 1.0)
   }
+  test("encode: id sequences in order, OOV -> -1, empty docs empty") {
+    val docs = Seq((1L, "b a b zz"), (2L, ""), (3L, "a")).toDF("doc_id", "text")
+    val vocab = TextAnalysis.vocabulary(docs, "text", topN = 10)
+    // counts: b=2 a=2 zz=1 -> ids: 1=a (tie, lex), 2=b, 3=zz
+    val got = TextAnalysis.encode(
+        docs, "doc_id", "text",
+        vocab.where(col("word") =!= "zz")) // force zz out-of-vocab
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList,
+        r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, List(2L, 1L, 2L, -1L), 4L, 1L),
+      (2L, Nil, 0L, 0L),
+      (3L, List(1L), 1L, 0L)))
+  }
+
+  test("editDistancePairs matches a brute-force reference, incl. short strings") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(11)
+    val alpha = "abc"
+    // mixed lengths: plenty below the q*(maxDist+1) short threshold
+    val strs = (1 to 40).map(i => (i.toLong,
+      (0 until (1 + rnd.nextInt(11)))
+        .map(_ => alpha(rnd.nextInt(alpha.length))).mkString))
+    for (d <- Seq(1, 2)) {
+      val want = (for {
+        (i, si) <- strs; (j, sj) <- strs
+        if i < j && lev(si, sj) <= d
+      } yield (i, j, lev(si, sj))).toSet
+      val got = Dedup.editDistancePairs(
+          strs.toDF("id", "s"), "id", "s", maxDist = d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == want, s"maxDist=$d")
+    }
+  }
 }
