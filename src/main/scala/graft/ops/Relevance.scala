@@ -167,4 +167,58 @@ object Relevance {
             sum(col("tf")), 6).as("cross_entropy"))
       .select(col("id").as(idCol), col("n_tokens"), col("cross_entropy"))
   }
+
+  /** Per-document cross-entropy under an interpolated BIGRAM model of
+    * the corpus itself — the next step up from [[unigramCrossEntropy]]
+    * toward the CCNet KenLM filter:
+    *
+    *   p(w2 | w1) = λ·c(w1 w2)/c(w1 ·) + (1−λ)·c(w2)/N
+    *
+    * with c(w1 ·) the bigram-context count and the unigram term the
+    * backoff that keeps unseen-in-context transitions finite. The
+    * unigram model counts EVERY corpus token, including documents too
+    * short to contribute bigrams. Scored over a document's bigram
+    * OCCURRENCES (n_bigrams = n_tokens − 1); documents with fewer than
+    * two words yield no rows.
+    *
+    * The (id, bigram, tf) table materializes once and feeds both the
+    * corpus counts and the per-doc stream (ReuseExchange never fires
+    * across an aggregation with different keys — the q62 lesson);
+    * corpus bigram counts join back by HASH on the bigram (that table
+    * is vocabulary², never assume broadcastable); context and unigram
+    * tables are vocabulary-sized. All probabilities are per-row IEEE
+    * expressions on exact counts — no float aggregation order issues —
+    * so the 6-decimal round is engine-stable. */
+  def bigramCrossEntropy(
+      df: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.9): DataFrame = {
+    require(lambda > 0 && lambda <= 1, "lambda must be in (0,1]")
+    val bi = df.select(col(idCol).as("id"),
+        explode(graft.functions.WordNgramsExpr
+          .ngrams(col(textCol), 2, distinct = false)).as("b"))
+      .groupBy("id", "b").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
+    val c12 = bi.groupBy("b").agg(sum(col("tf")).as("c12"))
+    // words cannot contain whitespace (whitespace-split), so the
+    // bigram string splits back losslessly
+    val ctx = c12
+      .groupBy(substring_index(col("b"), " ", 1).as("w1"))
+      .agg(sum(col("c12")).as("cw1"))
+    val uni = wordTable(df, idCol, textCol)
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val total = uni.agg(sum(col("cu")).as("tot"))
+    val p =
+      lit(lambda) * (col("c12") / col("cw1").cast("double")) +
+        lit(1.0 - lambda) * (col("cu") / col("tot").cast("double"))
+    bi.join(c12, "b")
+      .join(ctx, substring_index(col("b"), " ", 1) === col("w1"))
+      .join(uni, substring_index(col("b"), " ", -1) === col("w"))
+      .crossJoin(broadcast(total))
+      .groupBy("id")
+      .agg(
+        sum(col("tf")).as("n_bigrams"),
+        round(-sum(col("tf") * log(p)) / sum(col("tf")), 6)
+          .as("cross_entropy"))
+      .select(col("id").as(idCol), col("n_bigrams"), col("cross_entropy"))
+  }
 }

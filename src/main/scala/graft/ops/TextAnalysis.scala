@@ -342,6 +342,44 @@ object TextAnalysis {
       .select("id", "word", "cnt")
   }
 
+  /** One-row corpus lexical statistics — the Heaps/Zipf sanity check a
+    * corpus build runs before tokenizer training: token and type
+    * counts, hapax legomena (types seen once — a high fraction means a
+    * noisy/OCR-damaged crawl), type-token ratio, and head coverage
+    * (share of all token occurrences covered by the `topK` most
+    * frequent types — how much a small vocabulary buys). Everything
+    * derives from ONE map-side-combined word count table; the head is
+    * a bounded TakeOrdered by the deterministic (count desc, word)
+    * order; the only floats are three final one-shot divisions
+    * (6-decimal rounded), so the result is engine-bit-stable. */
+  def lexicalStats(df: DataFrame, textCol: String,
+      topK: Int = 100): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    val counts = df
+      .select(explode(words(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    val totals = counts.agg(
+      coalesce(sum(col("cnt")), lit(0L)).as("n_tokens"),
+      count(lit(1)).as("n_types"),
+      coalesce(sum(when(col("cnt") === 1L, 1L).otherwise(0L)), lit(0L))
+        .as("n_hapax"))
+    val head = counts.orderBy(col("cnt").desc, col("word")).limit(topK)
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("head_tokens"))
+    totals.crossJoin(head)
+      .select(
+        col("n_tokens"), col("n_types"), col("n_hapax"),
+        when(col("n_tokens") > 0,
+          round(col("n_types").cast("double") / col("n_tokens"), 6))
+          .as("ttr"),
+        when(col("n_types") > 0,
+          round(col("n_hapax").cast("double") / col("n_types"), 6))
+          .as("hapax_frac"),
+        when(col("n_tokens") > 0,
+          round(col("head_tokens").cast("double") / col("n_tokens"), 6))
+          .as(s"top${topK}_coverage"))
+  }
+
   /** Encode each document against a `(id, word)` [[vocabulary]] table:
     * the token-id sequences a training job actually consumes, with
     * out-of-vocabulary tokens mapped to `oovId`. One posexplode, one

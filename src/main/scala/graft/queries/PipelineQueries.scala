@@ -1192,6 +1192,65 @@ object PipelineQueries {
       FROM tf JOIN cf USING (w) CROSS JOIN tot
       GROUP BY id ORDER BY id"""))
 
+  /** Interpolated bigram-LM cross-entropy
+    * ([[graft.ops.Relevance.bigramCrossEntropy]]): nats per bigram
+    * under p(w2|w1) = λ·c12/c1· + (1−λ)·c2/N. λ literals are written
+    * as the SAME double expressions in both engines ((1.0 − 0.9) ≠
+    * 0.1 in IEEE — a 0.1 literal here would be a different constant
+    * than Scala's 1.0 - 0.9). */
+  val qBigramCE = Q(
+    "q110_bigram_ce",
+    (s, dir) =>
+      Relevance.bigramCrossEntropy(
+          table(s, dir, "documents"), "doc_id", "text", lambda = 0.9)
+        .orderBy("doc_id"),
+    Some(s"""WITH w AS (SELECT doc_id AS id, $dkWords AS ws FROM documents),
+      bo AS (SELECT id, unnest([ws[i] || ' ' || ws[i+1]
+               for i in range(1, len(ws))]) AS b
+             FROM w WHERE len(ws) >= 2),
+      tf AS (SELECT id, b, count(*) AS tf FROM bo GROUP BY 1, 2),
+      c12 AS (SELECT b, sum(tf) AS c12 FROM tf GROUP BY 1),
+      ctx AS (SELECT string_split(b, ' ')[1] AS w1, sum(c12) AS cw1
+              FROM c12 GROUP BY 1),
+      oc AS (SELECT unnest(ws) AS w FROM w),
+      uni AS (SELECT w, count(*) AS cu FROM oc GROUP BY 1),
+      tot AS (SELECT sum(cu) AS tot FROM uni)
+      SELECT id AS doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+        round(-sum(tf * ln(
+          0.9::DOUBLE * (c12 / CAST(cw1 AS DOUBLE)) +
+          (1.0::DOUBLE - 0.9::DOUBLE) * (cu / CAST(tot AS DOUBLE))))
+          / sum(tf), 6) AS cross_entropy
+      FROM tf
+      JOIN c12 USING (b)
+      JOIN ctx ON ctx.w1 = string_split(b, ' ')[1]
+      JOIN uni ON uni.w = string_split(b, ' ')[2]
+      CROSS JOIN tot
+      GROUP BY id ORDER BY id"""))
+
+  /** Corpus lexical statistics ([[graft.ops.TextAnalysis
+    * .lexicalStats]]): tokens/types/hapax/TTR/head-coverage in one
+    * row — integer counts plus three one-shot divisions. */
+  val qLexicalStats = Q(
+    "q111_lexical_stats",
+    (s, dir) =>
+      graft.ops.TextAnalysis.lexicalStats(
+        table(s, dir, "documents"), "text", topK = 100),
+    Some(s"""WITH w AS (SELECT unnest($dkWords) AS word FROM documents),
+      c AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+      t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tokens,
+              count(*) AS n_types,
+              CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_hapax
+            FROM c),
+      h AS (SELECT CAST(sum(cnt) AS BIGINT) AS head_tokens FROM (
+              SELECT cnt FROM c ORDER BY cnt DESC, word LIMIT 100))
+      SELECT n_tokens, n_types, n_hapax,
+        round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+        round(CAST(n_hapax AS DOUBLE) / n_types, 6) AS hapax_frac,
+        round(CAST(head_tokens AS DOUBLE) / n_tokens, 6)
+          AS top100_coverage
+      FROM t CROSS JOIN h"""))
+
   /** Frequency vocabulary ([[graft.ops.TextAnalysis.vocabulary]]):
     * word → deterministic id by (count desc, word), the tokenizer-prep
     * table. Oracle assigns ids with the same total order. */
@@ -1299,6 +1358,7 @@ object PipelineQueries {
     qDecontamination, qChunking, qLineDedup, qMixStats, qNormalize,
     qSourceQuality, qSemDedup, qPackChunks,
     qDupNgramFraction, qTfIdfTerms, qBm25, qSourceCap, qUnigramCE,
+    qBigramCE, qLexicalStats,
     qMinhashSig, qMinhashLsh, qLshClusters, qDedupKeepLongest, qSimhash,
     qEmbedTopK, qEmbedTopKIvf, qEmbedTopKIvfPersisted, qEmbedNearDup,
     qLangId, qTextQuality,

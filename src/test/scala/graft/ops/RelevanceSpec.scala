@@ -116,4 +116,40 @@ class RelevanceSpec extends SparkSpec {
     assert(h(0L) == r6((math.log(4.0 / 3) + math.log(4.0)) / 2))
     assert(h(1L) == r6(math.log(4.0 / 3)))
   }
+  test("bigramCrossEntropy: interpolated bigram+unigram backoff, hand-checked") {
+    // docs: "a b a b" and "a b c".
+    // bigram occurrences: (a b)x3, (b a)x1, (b c)x1 -> c12: ab=3, ba=1, bc=1
+    // contexts (head word): a·=3, b·=2; unigram model over the WHOLE
+    // corpus (bigram-less docs included): a=3, b=3, c=1, x=1, N=8
+    val d = Seq((0L, "a b a b"), (1L, "a b c"), (2L, "x")).toDF("doc_id", "text")
+    val out = Relevance.bigramCrossEntropy(d, "doc_id", "text", lambda = 0.9)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lam = 0.9; val om = 1.0 - lam
+    val pAB = lam * (3.0 / 3.0) + om * (3.0 / 8.0)
+    val pBA = lam * (1.0 / 2.0) + om * (3.0 / 8.0)
+    val pBC = lam * (1.0 / 2.0) + om * (1.0 / 8.0)
+    // doc0 bigrams: ab, ba, ab; doc1: ab, bc
+    assert(out(0L) == ((3L,
+      r6(-(2 * math.log(pAB) + math.log(pBA)) / 3.0))))
+    assert(out(1L) == ((2L, r6(-(math.log(pAB) + math.log(pBC)) / 2.0))))
+    // single-word doc has no bigrams -> no row
+    assert(!out.contains(2L))
+  }
+
+  test("lexicalStats: exact counts, hapax, ttr, head coverage") {
+    // tokens: a a a b b c -> types a,b,c; hapax c; top-2 head a,b = 5/6
+    val d = Seq("a a a b", "b c", " ").toDF("text")
+    val r = graft.ops.TextAnalysis.lexicalStats(d, "text", topK = 2).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((6L, 3L, 1L)))
+    assert(r.getDouble(3) == 0.5)       // ttr 3/6
+    assert(r.getDouble(4) == 0.333333)  // hapax 1/3
+    assert(r.getDouble(5) == 0.833333)  // head 5/6
+    // empty corpus: zero counts, null ratios
+    val e = graft.ops.TextAnalysis.lexicalStats(
+      Seq("   ").toDF("text"), "text").head()
+    assert((e.getLong(0), e.getLong(1), e.getLong(2)) == ((0L, 0L, 0L)))
+    assert(e.isNullAt(3) && e.isNullAt(4) && e.isNullAt(5))
+  }
 }
