@@ -84,6 +84,67 @@ object Outliers {
       .orderBy("col_name")
   }
 
+  /** Winsorized (clamped-tail) robust moments of a numeric column:
+    * values below the `lo` / above the `hi` percentile are clamped to
+    * the fence, then mean/std are computed over the clamped data — the
+    * outlier-proof location/scale estimate feature pipelines normalize
+    * with (a plain mean moves arbitrarily far under one corrupt row;
+    * the winsorized one is bounded).
+    *
+    * Determinism across engines: the clamped values are quantized to
+    * CENTS (×100, round, long) and summed EXACTLY — Σc as a long, Σc²
+    * through decimal(38,0) so a 100 TB sum cannot overflow — then mean
+    * and std derive from the exact sums with one fixed IEEE expression
+    * shape. An engine summing doubles in a different order cannot
+    * drift; the only float steps are shared by construction. (The 0.01
+    * quantization is exact for money-style data and a negligible bias
+    * elsewhere.)
+    *
+    * Two scans (exact percentile bounds, then one fused clamp+agg);
+    * at 100 TB swap the bounds pass to `approx_percentile` upstream.
+    * Returns one row: (n, lo_bound, hi_bound, n_clamped_lo,
+    * n_clamped_hi, w_mean, w_std). */
+  def winsorizedStats(
+      df: DataFrame, vCol: String, lo: Double = 0.01,
+      hi: Double = 0.99, roundTo: Int = 6): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, "need 0 <= lo < hi <= 1")
+    require(!vCol.contains("`") && !vCol.contains("'"),
+      "column name must not contain backticks or quotes")
+    val v = s"CAST(`$vCol` AS DOUBLE)"
+    val qRow = df.agg(expr(
+      s"percentile(CASE WHEN NOT isnan($v) THEN $v END, " +
+        s"array(${d(lo)}, ${d(hi)}))").as("q")).head()
+    require(!qRow.isNullAt(0),
+      s"column `$vCol` has no non-null, non-NaN values")
+    val qs = qRow.getSeq[Double](0)
+    val (bLo, bHi) = (roundHalfUp(qs(0), roundTo),
+      roundHalfUp(qs(1), roundTo))
+    val live = col(vCol).cast("double").isNotNull &&
+      !col(vCol).cast("double").isNaN
+    val clamped = least(greatest(col(vCol).cast("double"), lit(bLo)),
+      lit(bHi))
+    val cents = round(clamped * 100, 0).cast("long")
+    val centsD = cents.cast("decimal(19,0)")
+    df.where(live).agg(
+        count(lit(1)).as("n"),
+        count(when(col(vCol).cast("double") < bLo, 1))
+          .as("n_clamped_lo"),
+        count(when(col(vCol).cast("double") > bHi, 1))
+          .as("n_clamped_hi"),
+        sum(cents).as("sc"),
+        sum(centsD * centsD).as("sc2"))
+      .select(
+        col("n"), lit(bLo).as("lo_bound"), lit(bHi).as("hi_bound"),
+        col("n_clamped_lo"), col("n_clamped_hi"),
+        round(col("sc").cast("double") / col("n") / 100.0, roundTo)
+          .as("w_mean"),
+        when(col("n") > 1, round(
+          sqrt((col("sc2").cast("double") -
+            col("sc").cast("double") * col("sc").cast("double") /
+              col("n")) / (col("n") - lit(1.0))) / 100.0, roundTo))
+          .as("w_std"))
+  }
+
   /** Render a double as a SQL literal that parses back bit-identically
     * (CAST from the shortest round-trip repr). */
   private def d(x: Double): String = s"CAST('$x' AS DOUBLE)"

@@ -138,4 +138,37 @@ object Skew {
         .as("hhi"),
       round(col("n") / col("n_keys").cast("double"), 8).as("avg_per_key"))
   }
+
+  /** Gini coefficient of a non-negative value column — the Lorenz-curve
+    * concentration summary that complements [[keySkewStats]]' HHI
+    * (HHI asks "how concentrated are the KEYS", Gini asks "how unequal
+    * are the VALUES" — revenue, document lengths, per-domain token
+    * mass). Uses the sorted-multiset identity
+    *
+    *   G = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n
+    *
+    * where Σᵢ i·x₍ᵢ₎ over a tied block is order-invariant, so
+    * tie-averaged ranks give the exact sum: Σ_v v·cnt·avgrank(v).
+    * Ranks come from [[Ranking.avgRanksFromCounts]]' range-partitioned
+    * prefix-sum pass — NO global window, no full sort on one reducer;
+    * everything after the per-value count table is vocabulary-sized.
+    * Returns one row (n, gini); gini is null on an empty input and
+    * meaningful only for non-negative values (not enforced). */
+  def gini(df: DataFrame, vCol: String): DataFrame = {
+    val counts = df
+      .select(lit("_").as("__k"), col(vCol).cast("double").as("__v"))
+      .where(col("__v").isNotNull && !col("__v").isNaN)
+      .groupBy("__k", "__v").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val ranks = graft.ops.Ranking.avgRanksFromCounts(counts, "__k", "__v")
+    counts.join(ranks, Seq("__k", "__v"))
+      .agg(
+        coalesce(sum(col("cnt")), lit(0L)).as("n"),
+        sum(col("__v") * col("cnt")).as("sx"),
+        sum(col("__v") * col("cnt") * col("avgrank")).as("s1"))
+      .select(col("n"),
+        when(col("n") > 0 && col("sx") =!= 0.0,
+          round(lit(2.0) * col("s1") / (col("n") * col("sx")) -
+            (col("n") + lit(1.0)) / col("n"), 6)).as("gini"))
+  }
 }

@@ -524,8 +524,63 @@ object QualityQueries {
       r AS (SELECT p, round(q1r, 6) AS q1, round(q2r, 6) AS q2 FROM z)
       SELECT p, q1, q2, round(q2 - q1, 6) AS gap FROM r ORDER BY p"""))
 
+  /** Winsorized robust moments ([[graft.ops.Outliers
+    * .winsorizedStats]]): p01/p99-clamped mean and std via exact
+    * cents-quantized sums — bit-stable across engines by construction
+    * (no float aggregation order anywhere). */
+  val qWinsorized = Q(
+    "q113_winsorized_stats",
+    (s, dir) =>
+      Outliers.winsorizedStats(
+        table(s, dir, "lineitem"), "l_extendedprice", 0.01, 0.99),
+    Some("""WITH q AS (SELECT
+          round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.01), 6) AS blo,
+          round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99), 6) AS bhi
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL
+          AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+      c AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x,
+              least(greatest(CAST(l_extendedprice AS DOUBLE), blo), bhi) AS cv,
+              blo, bhi
+            FROM lineitem, q
+            WHERE l_extendedprice IS NOT NULL
+              AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+      a AS (SELECT count(*) AS n,
+              CAST(sum(CASE WHEN x < blo THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_clamped_lo,
+              CAST(sum(CASE WHEN x > bhi THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_clamped_hi,
+              sum(CAST(round(cv * 100) AS BIGINT)) AS sc,
+              sum(CAST(round(cv * 100) AS HUGEINT)
+                * CAST(round(cv * 100) AS HUGEINT)) AS sc2,
+              any_value(blo) AS blo, any_value(bhi) AS bhi
+            FROM c)
+      SELECT n, blo AS lo_bound, bhi AS hi_bound, n_clamped_lo,
+        n_clamped_hi,
+        round(CAST(sc AS DOUBLE) / n / 100.0, 6) AS w_mean,
+        round(sqrt((CAST(sc2 AS DOUBLE)
+            - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / n)
+          / (n - 1.0)) / 100.0, 6) AS w_std
+      FROM a"""))
+
+  /** Gini concentration of order value ([[graft.ops.Skew.gini]]):
+    * exact Σ i·x₍ᵢ₎ via tie-averaged prefix-sum ranks on the Spark
+    * side (no global window); the oracle uses the plain sorted
+    * row_number form, which is tie-order-invariant. */
+  val qGini = Q(
+    "q114_value_gini",
+    (s, dir) =>
+      graft.ops.Skew.gini(table(s, dir, "orders"), "o_totalprice"),
+    Some("""WITH v AS (SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+        WHERE o_totalprice IS NOT NULL
+          AND NOT isnan(CAST(o_totalprice AS DOUBLE))),
+      r AS (SELECT x, row_number() OVER (ORDER BY x) AS i FROM v),
+      a AS (SELECT count(*) AS n, sum(x) AS sx, sum(i * x) AS s1 FROM r)
+      SELECT n, round(2.0 * s1 / (n * sx) - (n + 1.0) / n, 6) AS gini
+      FROM a"""))
+
   val all: Seq[Q] = Seq(qOutliers, qAssociation, qJsdDrift, qValidate,
     qChi2Drift, qNullPatterns, qFdCheck, qWassersteinDrift, qOrphans,
     qFanout, qEmbedNorms, qKeySkew, qPctRank, qBloomPrune, qPsiSweep,
-    qPairRules, qSplitAssign, qQqTable)
+    qPairRules, qSplitAssign, qQqTable, qWinsorized, qGini)
 }

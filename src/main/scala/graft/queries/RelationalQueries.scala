@@ -95,5 +95,25 @@ object RelationalQueries {
       SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
       ORDER BY o_custkey"""))
 
-  val all: Seq[Q] = Seq(qJoinRevenue, qRollup, qSetOps)
+  /** Pivot (long → wide crosstab) with EXPLICIT pivot values — the
+    * form that stays scale-safe: `pivot(col, values)` with the value
+    * list given plans one pass with no driver-side distinct-collect
+    * (the values-less overload must first collect the pivot domain).
+    * Counts are integers, so the wide cells are bit-stable. */
+  val qPivot = Q(
+    "q112_status_pivot",
+    (s, dir) =>
+      table(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("F", "O", "P"))
+        .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority,
+        CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
+        CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
+        CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  val all: Seq[Q] = Seq(qJoinRevenue, qRollup, qSetOps, qPivot)
 }

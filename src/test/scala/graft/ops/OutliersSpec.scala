@@ -69,4 +69,22 @@ class OutliersSpec extends SparkSpec {
     assert(r.getLong(7) == 51) // 50 live + planted outlier; null/NaN out
     assert(r.getLong(6) == 1) // the 1e9
   }
+  test("winsorizedStats: clamps tails, exact cents sums, hand-checked") {
+    // 0..99 with one wild outlier; p01/p99 of 0..100-ish clamp it
+    val df = (Seq.tabulate(100)(i => i.toDouble) :+ 1e9).toDF("v")
+    val r = Outliers.winsorizedStats(df, "v", 0.1, 0.9).head()
+    assert(r.getLong(0) == 101)
+    val bLo = r.getDouble(1); val bHi = r.getDouble(2)
+    assert(bLo == 10.0 && bHi == 90.0)
+    assert(r.getLong(3) == 10 && r.getLong(4) == 10) // 0..9 and 91..99,1e9
+    // winsorized mean: (10*10 + (10+...+90) + 10*90) / 101
+    val wm = (10 * 10.0 + (10 to 90).sum + 10 * 90.0) / 101
+    assert(math.abs(r.getDouble(5) - wm) < 1e-6)
+    assert(r.getDouble(6) > 0 && r.getDouble(6) < 40)
+    // all-null column rejected loudly
+    intercept[IllegalArgumentException] {
+      Outliers.winsorizedStats(
+        Seq[Option[Double]](None, None).toDF("v"), "v")
+    }
+  }
 }

@@ -90,4 +90,19 @@ class SkewSpec extends SparkSpec {
     assert(r.getDouble(4) == 0.125)
     assert(r.getDouble(2) == 0.125 && r.getDouble(3) == 0.375)
   }
+  test("gini: 0 for equal values, (n-1)/n for total concentration, hand case") {
+    import spark.implicits._
+    val eq = Skew.gini(Seq.fill(40)(5.0).toDF("v"), "v").head()
+    assert(eq.getLong(0) == 40 && eq.getDouble(1) == 0.0)
+    // one owner holds everything: G = (n-1)/n = 0.75 for n=4
+    val tot = Skew.gini(Seq(0.0, 0.0, 0.0, 8.0).toDF("v"), "v").head()
+    assert(tot.getDouble(1) == 0.75)
+    // hand case with ties: x = 1,1,2 sorted; S1 = 1*1+2*1+3*2 = 9
+    // G = 2*9/(3*4) - 4/3 = 1.5 - 1.3333... = 0.166667
+    val h = Skew.gini(Seq(2.0, 1.0, 1.0).toDF("v"), "v").head()
+    assert(h.getDouble(1) == 0.166667)
+    // empty input: n = 0, null gini
+    val e = Skew.gini(Seq.empty[Double].toDF("v"), "v").head()
+    assert(e.getLong(0) == 0 && e.isNullAt(1))
+  }
 }
