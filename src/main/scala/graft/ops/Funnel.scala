@@ -85,4 +85,27 @@ object Funnel {
       .otherwise(0)).reduce(_ + _)
     agg.withColumn("level", level.cast("long"))
   }
+
+  /** Last-touch conversion attribution: for every `conversion`-typed
+    * event, credit the immediately-preceding event's type on the same
+    * key ("(none)" when the conversion opens the key's history), rolled
+    * up to attributed-conversion counts per touch type. A preceding
+    * conversion credits `conversion` itself — the standard last-touch
+    * convention (repeat purchases attribute to the previous purchase).
+    *
+    * ONE hash shuffle on the key, one lag window ordered by
+    * (time, idCol) — the id tiebreak makes equal-timestamp histories
+    * deterministic across engines/runs — then a partial-aggregated
+    * rollup bounded by the type vocabulary. */
+  def lastTouchAttribution(
+      df: DataFrame, key: String, time: String, idCol: String,
+      typeCol: String, conversion: String): DataFrame = {
+    require(!df.columns.contains("__prev"),
+      "reserved column name `__prev` in input")
+    val w = Window.partitionBy(col(key)).orderBy(col(time), col(idCol))
+    df.withColumn("__prev", lag(col(typeCol), 1).over(w))
+      .where(col(typeCol) === conversion)
+      .groupBy(coalesce(col("__prev"), lit("(none)")).as("touch"))
+      .agg(count(lit(1)).as("conversions"))
+  }
 }

@@ -579,8 +579,57 @@ object QualityQueries {
       SELECT n, round(2.0 * s1 / (n * sx) - (n + 1.0) / n, 6) AS gini
       FROM a"""))
 
+  /** Weight-of-Evidence / Information-Value bin scoring
+    * ([[graft.ops.FeatureEng.woeTable]]): event value vs the purchase
+    * target over 8 fixed-width bins, Laplace-smoothed — exact counts,
+    * per-row ln. */
+  val qWoe = Q(
+    "q115_woe_iv",
+    (s, dir) =>
+      graft.ops.FeatureEng.woeTable(
+        table(s, dir, "events"), "value",
+        col("event_type") === "purchase", bins = 8),
+    Some("""WITH u AS (SELECT CAST(value AS DOUBLE) AS v,
+          (event_type = 'purchase') AS t FROM events
+        WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+          AND event_type IS NOT NULL),
+      st AS (SELECT min(v) AS mn, max(v) AS mx FROM u),
+      b AS (SELECT CAST(least(floor((v - mn) / ((mx - mn) / 8)), 7)
+              AS INT) AS bin, t FROM u, st),
+      m AS (SELECT bin, count(CASE WHEN t THEN 1 END) AS n_pos,
+              count(CASE WHEN NOT t THEN 1 END) AS n_neg
+            FROM b GROUP BY bin),
+      tt AS (SELECT sum(n_pos) AS tp, sum(n_neg) AS tn FROM m)
+      SELECT bin, n_pos, n_neg,
+        round(ln(((n_pos + 0.5) / (tp + 4.0))
+          / ((n_neg + 0.5) / (tn + 4.0))), 6) AS woe,
+        round((((n_pos + 0.5) / (tp + 4.0)) - ((n_neg + 0.5) / (tn + 4.0)))
+          * ln(((n_pos + 0.5) / (tp + 4.0))
+            / ((n_neg + 0.5) / (tn + 4.0))), 6) AS iv_term
+      FROM m CROSS JOIN tt ORDER BY bin"""))
+
+  /** Smoothed target encoding ([[graft.ops.FeatureEng.targetEncode]]):
+    * order priority vs the F-status target, shrunk toward the global
+    * prior with m = 10 pseudo-counts. */
+  val qTargetEnc = Q(
+    "q116_target_encoding",
+    (s, dir) =>
+      graft.ops.FeatureEng.targetEncode(
+          table(s, dir, "orders"), "o_orderpriority",
+          col("o_orderstatus") === "F", m = 10.0)
+        .orderBy("o_orderpriority"),
+    Some("""WITH c AS (SELECT o_orderpriority AS p, count(*) AS n,
+          count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_pos
+        FROM orders WHERE o_orderstatus IS NOT NULL GROUP BY 1),
+      t AS (SELECT sum(n) AS tot, sum(n_pos) AS totpos FROM c)
+      SELECT p AS o_orderpriority, n, n_pos,
+        round((n_pos + 10.0 * (totpos / CAST(tot AS DOUBLE)))
+          / (n + 10.0), 6) AS enc
+      FROM c CROSS JOIN t ORDER BY o_orderpriority"""))
+
   val all: Seq[Q] = Seq(qOutliers, qAssociation, qJsdDrift, qValidate,
     qChi2Drift, qNullPatterns, qFdCheck, qWassersteinDrift, qOrphans,
     qFanout, qEmbedNorms, qKeySkew, qPctRank, qBloomPrune, qPsiSweep,
-    qPairRules, qSplitAssign, qQqTable, qWinsorized, qGini)
+    qPairRules, qSplitAssign, qQqTable, qWinsorized, qGini, qWoe,
+    qTargetEnc)
 }

@@ -207,6 +207,26 @@ object TemporalQueries {
           AS DOUBLE), 8) AS p
       FROM c ORDER BY from_state, to_state"""))
 
+  /** Last-touch attribution ([[graft.ops.Funnel
+    * .lastTouchAttribution]]): which event type immediately precedes a
+    * purchase, per user history. Ordering ties break on event_id in
+    * BOTH engines (ts is ns in Spark, µs in DuckDB — same order, but
+    * only the id tiebreak makes equal-instant histories agree). */
+  val qAttribution = Q(
+    "q117_last_touch",
+    (s, dir) =>
+      graft.ops.Funnel.lastTouchAttribution(
+          table(s, dir, "events"), "user_id", "ts", "event_id",
+          "event_type", conversion = "purchase")
+        .orderBy("touch"),
+    Some("""WITH l AS (SELECT user_id, event_type,
+          lag(event_type) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events)
+      SELECT coalesce(prev, '(none)') AS touch, count(*) AS conversions
+      FROM l WHERE event_type = 'purchase'
+      GROUP BY 1 ORDER BY touch"""))
+
   val all: Seq[Q] = Seq(qSessionize, qAsofJoin, qRangeJoin, qFunnel,
-    qRolling, qTransitions)
+    qRolling, qTransitions, qAttribution)
 }

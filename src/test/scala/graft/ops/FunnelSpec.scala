@@ -74,4 +74,57 @@ class FunnelSpec extends SparkSpec {
         org.apache.spark.sql.functions.lit(1)), "k", "t", "typ", Seq("A"))
     }
   }
+  test("lastTouchAttribution: predecessor per key, (none) for openers, id tiebreak") {
+    import org.apache.spark.sql.functions.col
+    // user 1: view(t1) -> buy(t2) -> buy(t3); user 2: buy first event;
+    // user 3: equal timestamps — event_id orders click before buy
+    val ev = Seq(
+      (1L, 1L, 101L, "view"), (1L, 2L, 102L, "buy"), (1L, 3L, 103L, "buy"),
+      (2L, 1L, 201L, "buy"), (2L, 2L, 202L, "view"),
+      (3L, 5L, 301L, "click"), (3L, 5L, 302L, "buy"))
+      .toDF("k", "t", "id", "typ")
+    val got = Funnel.lastTouchAttribution(ev, "k", "t", "id", "typ", "buy")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("view" -> 1L, "buy" -> 1L, "(none)" -> 1L,
+      "click" -> 1L))
+    intercept[IllegalArgumentException] {
+      Funnel.lastTouchAttribution(
+        ev.withColumn("__prev", col("typ")), "k", "t", "id", "typ", "buy")
+    }
+  }
+
+  test("woeTable: hand-computed smoothed woe/iv, constant column one bin") {
+    import org.apache.spark.sql.functions.col
+    // 2 bins: v<5 -> bin0 (3 pos, 1 neg), v>=5 -> bin1 (1 pos, 3 neg)
+    val df = Seq((1.0, true), (2.0, true), (3.0, true), (4.0, false),
+      (6.0, true), (7.0, false), (8.0, false), (9.0, false))
+      .toDF("v", "y")
+    val r = graft.ops.FeatureEng.woeTable(df, "v", col("y"), bins = 2)
+      .collect().map(x => (x.getInt(0), x.getLong(1), x.getLong(2),
+        x.getDouble(3)))
+    def woe(p: Long, q: Long) =
+      math.log(((p + 0.5) / 5.0) / ((q + 0.5) / 5.0))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.toSeq == Seq((0, 3L, 1L, r6(woe(3, 1))),
+      (1, 1L, 3L, r6(woe(1, 3)))))
+    val const = graft.ops.FeatureEng.woeTable(
+      Seq((5.0, true), (5.0, false)).toDF("v", "y"), "v", col("y"))
+    assert(const.count() == 1)
+  }
+
+  test("targetEncode: shrinkage toward prior, null category kept") {
+    import org.apache.spark.sql.functions.col
+    // prior = 4/8 = 0.5; cat a: 3/4 pos, cat null: 1/4 pos
+    val df = Seq((Some("a"), true), (Some("a"), true), (Some("a"), true),
+      (Some("a"), false), (None, true), (None, false), (None, false),
+      (None, false)).toDF("c", "y")
+    val rows = graft.ops.FeatureEng.targetEncode(df, "c", col("y"), m = 4.0)
+      .collect()
+    val byCat = rows.map(r => (if (r.isNullAt(0)) "NULL" else r.getString(0))
+      -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // enc_a = (3 + 4*0.5)/(4+4) = 0.625 ; enc_null = (1+2)/8 = 0.375
+    assert(byCat("a") == ((4L, 3L, 0.625)))
+    assert(byCat("NULL") == ((4L, 1L, 0.375)))
+  }
 }
