@@ -145,6 +145,43 @@ object Outliers {
           .as("w_std"))
   }
 
+  /** Modified-z-score anomaly screen (Iglewicz & Hoaglin 1993): flag
+    * values with |0.6745·(x − median)/MAD| > `cutoff` (3.5 classic) —
+    * the robust alternative to ±3σ that one corrupt row cannot move.
+    * Three passes (median; MAD = median of |x − median|; fused count),
+    * each a single exact-percentile or count aggregate; median and MAD
+    * are 6dp-rounded before use so both engines compare against
+    * bit-identical cutoffs (the tukeyScreen convention). At 100 TB
+    * swap the percentile passes to GK sketches upstream. Returns one
+    * row: (n, median, mad, n_anomalies, anomaly_rate). A zero MAD
+    * (> 50% of values identical) yields null anomaly fields rather
+    * than dividing by zero. */
+  def robustZScreen(
+      df: DataFrame, vCol: String, cutoff: Double = 3.5): DataFrame = {
+    require(!vCol.contains("`") && !vCol.contains("'"),
+      "column name must not contain backticks or quotes")
+    val v = s"CAST(`$vCol` AS DOUBLE)"
+    val liveExpr = s"CASE WHEN NOT isnan($v) THEN $v END"
+    val medRow = df.agg(expr(s"percentile($liveExpr, 0.5)")).head()
+    require(!medRow.isNullAt(0),
+      s"column `$vCol` has no non-null, non-NaN values")
+    val med = roundHalfUp(medRow.getDouble(0), 6)
+    val mad = roundHalfUp(df.agg(expr(
+      s"percentile(abs(($liveExpr) - ${d(med)}), 0.5)")).head()
+      .getDouble(0), 6)
+    val live = col(vCol).cast("double").isNotNull &&
+      !col(vCol).cast("double").isNaN
+    val z = lit(0.6745) * (col(vCol).cast("double") - lit(med)) / lit(mad)
+    df.where(live).agg(
+        count(lit(1)).as("n"),
+        count(when(abs(z) > cutoff, 1)).as("n_anomalies"))
+      .select(col("n"), lit(med).as("median"), lit(mad).as("mad"),
+        when(lit(mad) =!= 0.0, col("n_anomalies")).as("n_anomalies"),
+        when(lit(mad) =!= 0.0,
+          round(col("n_anomalies").cast("double") / col("n"), 8))
+          .as("anomaly_rate"))
+  }
+
   /** Render a double as a SQL literal that parses back bit-identically
     * (CAST from the shortest round-trip repr). */
   private def d(x: Double): String = s"CAST('$x' AS DOUBLE)"

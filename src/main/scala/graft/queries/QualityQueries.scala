@@ -627,9 +627,38 @@ object QualityQueries {
           / (n + 10.0), 6) AS enc
       FROM c CROSS JOIN t ORDER BY o_orderpriority"""))
 
+  /** Modified-z-score anomaly screen ([[graft.ops.Outliers
+    * .robustZScreen]]): median/MAD-based outlier counting with the
+    * 3.5 cutoff — fences from 6dp-rounded exact medians, so both
+    * engines compare bit-identical cutoffs. */
+  val qRobustZ = Q(
+    "q118_robust_z",
+    (s, dir) => Outliers.robustZScreen(
+      table(s, dir, "events"), "value", cutoff = 3.5),
+    Some("""WITH m AS (SELECT
+          round(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS med
+        FROM events WHERE value IS NOT NULL
+          AND NOT isnan(CAST(value AS DOUBLE))),
+      m2 AS (SELECT
+          round(quantile_cont(abs(CAST(value AS DOUBLE) - med), 0.5), 6)
+            AS mad
+        FROM events, m WHERE value IS NOT NULL
+          AND NOT isnan(CAST(value AS DOUBLE))),
+      a AS (SELECT count(*) AS n,
+          count(CASE WHEN abs(0.6745::DOUBLE
+            * (CAST(value AS DOUBLE) - med) / mad) > 3.5::DOUBLE
+            THEN 1 END) AS na
+        FROM events, m, m2
+        WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE)))
+      SELECT n, med AS median, mad,
+        CASE WHEN mad <> 0 THEN na END AS n_anomalies,
+        CASE WHEN mad <> 0 THEN round(CAST(na AS DOUBLE) / n, 8) END
+          AS anomaly_rate
+      FROM a, m, m2"""))
+
   val all: Seq[Q] = Seq(qOutliers, qAssociation, qJsdDrift, qValidate,
     qChi2Drift, qNullPatterns, qFdCheck, qWassersteinDrift, qOrphans,
     qFanout, qEmbedNorms, qKeySkew, qPctRank, qBloomPrune, qPsiSweep,
     qPairRules, qSplitAssign, qQqTable, qWinsorized, qGini, qWoe,
-    qTargetEnc)
+    qTargetEnc, qRobustZ)
 }

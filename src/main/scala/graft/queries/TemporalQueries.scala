@@ -227,6 +227,28 @@ object TemporalQueries {
       FROM l WHERE event_type = 'purchase'
       GROUP BY 1 ORDER BY touch"""))
 
+  /** Weekly cohort retention ([[graft.ops.Retention
+    * .cohortRetention]]): users bucketed by first-activity week,
+    * counted per week offset. Periods index by exact integer division
+    * of the µs epoch (`div` / `//`) — no float boundary drift. */
+  val qRetention = Q(
+    "q119_cohort_retention",
+    (s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("tus"))
+      graft.ops.Retention
+        .cohortRetention(ev, "user_id", "tus", 604800000000L)
+        .orderBy("cohort_period", "period_offset")
+    },
+    Some("""WITH uw AS (SELECT DISTINCT user_id AS u,
+          epoch_us(ts) // 604800000000 AS wk FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      c AS (SELECT u, min(wk) AS cohort FROM uw GROUP BY u)
+      SELECT cohort AS cohort_period, wk - cohort AS period_offset,
+        count(*) AS n_users
+      FROM uw JOIN c USING (u)
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[Q] = Seq(qSessionize, qAsofJoin, qRangeJoin, qFunnel,
-    qRolling, qTransitions, qAttribution)
+    qRolling, qTransitions, qAttribution, qRetention)
 }

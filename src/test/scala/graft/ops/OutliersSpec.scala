@@ -87,4 +87,17 @@ class OutliersSpec extends SparkSpec {
         Seq[Option[Double]](None, None).toDF("v"), "v")
     }
   }
+  test("robustZScreen: MAD-based flags, zero-MAD guarded") {
+    // 22 values: 0..20 + 1e9 -> median interpolates to 10.5,
+    // MAD = median of distances = 5.5; 1e9 is the only |z|>3.5
+    val df = (Seq.tabulate(21)(i => i.toDouble) :+ 1e9).toDF("v")
+    val r = Outliers.robustZScreen(df, "v").head()
+    assert(r.getLong(0) == 22)
+    assert(r.getDouble(1) == 10.5 && r.getDouble(2) == 5.5)
+    assert(r.getLong(3) == 1 && r.getDouble(4) > 0)
+    // majority-constant column: MAD 0 -> null anomaly fields, no crash
+    val z = Outliers.robustZScreen(
+      (Seq.fill(10)(7.0) :+ 9.0).toDF("v"), "v").head()
+    assert(z.getDouble(2) == 0.0 && z.isNullAt(3) && z.isNullAt(4))
+  }
 }

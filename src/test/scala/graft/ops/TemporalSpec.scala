@@ -275,4 +275,19 @@ class TemporalSpec extends SparkSpec {
       AsofJoin.asof(a, a, "t", "t", "x", "x", rightCols = Seq("x"))
     }
   }
+  test("cohortRetention: first-period cohorts, exact integer bucketing") {
+    import org.apache.spark.sql.functions.col
+    // period 10: u1 active periods 0,1,2; u2 periods 1,1 (dedup), u3 period 2
+    val ev = Seq((1L, 3L), (1L, 12L), (1L, 25L), (2L, 11L), (2L, 19L),
+      (3L, 21L)).toDF("u", "t")
+    val got = graft.ops.Retention.cohortRetention(ev, "u", "t", 10L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((0L, 0L) -> 1L, (0L, 1L) -> 1L, (0L, 2L) -> 1L,
+      (1L, 0L) -> 1L, (2L, 0L) -> 1L))
+    // boundary: t=10 lands in period 1, not 0 (exact div, no float)
+    val b = graft.ops.Retention.cohortRetention(
+      Seq((1L, 10L)).toDF("u", "t"), "u", "t", 10L).head()
+    assert(b.getLong(0) == 1L && b.getLong(1) == 0L)
+  }
 }
