@@ -119,6 +119,47 @@ object Ranking {
     avgRanks(kv, "__k", "__v", parts).select(col("__v").as(vCol), col("avgrank"))
   }
 
+  /** Exact WEIGHTED quantiles — the token-mass/row-weight flavor every
+    * mix-planning step needs ("the median document BY TOKEN COUNT", not
+    * by row): the lower weighted quantile, smallest v whose cumulative
+    * weight reaches q·W. Integer weights and exact integer cumulative
+    * sums mean every boundary comparison is bit-stable across engines.
+    *
+    * Reuses [[avgRanksFromCounts]] with per-value WEIGHT sums as the
+    * counts: avgrank = cumw_prev + (w+1)/2, so cumw_hi = avgrank +
+    * (w−1)/2 exactly (half-integers are exact doubles until 2^52) —
+    * the same range-partitioned prefix pass, no global window. Rows
+    * with null/NaN values or non-positive weights are dropped (a
+    * zero-weight value must not be selectable as a quantile). Returns
+    * one row per requested q: (q, value), ordered by q. */
+  def weightedQuantiles(
+      df: DataFrame, vCol: String, wCol: String,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty, "need at least one quantile")
+    require(qs.forall(q => q >= 0 && q <= 1), "quantiles must be in [0,1]")
+    val v = col(vCol).cast("double")
+    val w = col(wCol).cast("long")
+    val counts = df
+      .where(v.isNotNull && !v.isNaN && w.isNotNull && w > 0)
+      .select(lit("_").as("__k"), v.as("__v"), w.as("__w"))
+      .groupBy("__k", "__v").agg(sum(col("__w")).as("cnt"))
+      .localCheckpoint()
+    val totRow = counts.agg(sum(col("cnt"))).head()
+    require(!totRow.isNullAt(0),
+      s"no rows with live `$vCol` and positive `$wCol`")
+    val total = totRow.getLong(0)
+    val cum = counts.join(avgRanksFromCounts(counts, "__k", "__v"),
+        Seq("__k", "__v"))
+      .withColumn("__cumhi",
+        col("avgrank") + (col("cnt") - lit(1L)) / lit(2.0))
+    val qFrame = counts.sparkSession.range(1)
+      .select(explode(array(qs.map(lit): _*)).as("q"))
+    cum.crossJoin(broadcast(qFrame))
+      .where(col("__cumhi") >= col("q") * lit(total.toDouble))
+      .groupBy("q").agg(min(col("__v")).as("value"))
+      .orderBy("q")
+  }
+
   /** Percentile-rank ENCODING table: distinct value → tie-averaged
     * rank / n, exactly pandas `Series.rank(pct=True)` — the monotone,
     * outlier-proof feature transform. Vocabulary-sized output (join it

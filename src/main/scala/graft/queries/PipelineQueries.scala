@@ -1325,6 +1325,46 @@ object PipelineQueries {
       WHERE levenshtein(a.s_name, b.s_name) <= 1
       ORDER BY i, j"""))
 
+  /** Entity resolution end-to-end: fuzzy-name pairs
+    * ([[graft.ops.Dedup.editDistancePairs]]) BLOCKED on the nation key
+    * (pairs must agree on it — the standard ER blocking that keeps
+    * candidate graphs sparse; unblocked, this synthetic corpus's
+    * digit-chained names collapse into one giant component), fed
+    * through star-contraction components
+    * ([[graft.ops.ConnectedComponents]]). Singletons keep their own
+    * key. The q106/q107 shape over the STRING-similarity graph instead
+    * of the shingle one. */
+  val qNameEntities = Q(
+    "q121_name_entities",
+    (s, dir) => {
+      val sup = table(s, dir, "supplier")
+      val pairs = Dedup.editDistancePairs(
+          sup, "s_suppkey", "s_name", maxDist = 1)
+        .join(sup.select(col("s_suppkey").as("i"),
+          col("s_nationkey").as("__ni")), "i")
+        .join(sup.select(col("s_suppkey").as("j"),
+          col("s_nationkey").as("__nj")), "j")
+        .where(col("__ni") === col("__nj"))
+        .select("i", "j")
+      ConnectedComponents.labelAll(
+          sup.select("s_suppkey"), "s_suppkey", pairs, "i", "j", "entity")
+        .groupBy("entity").agg(count(lit(1)).as("n_members"))
+        .orderBy("entity")
+    },
+    Some("""WITH RECURSIVE p AS (SELECT a.s_suppkey AS i, b.s_suppkey AS j
+          FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+            AND a.s_nationkey = b.s_nationkey
+          WHERE levenshtein(a.s_name, b.s_name) <= 1),
+      edges AS (SELECT i AS a, j AS b FROM p UNION SELECT j, i FROM p),
+      reach(n, m) AS (SELECT a, a FROM edges UNION
+        SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m),
+      comp AS (SELECT n, min(m) AS entity FROM reach GROUP BY n),
+      lab AS (SELECT s.s_suppkey,
+          coalesce(c.entity, s.s_suppkey) AS entity
+        FROM supplier s LEFT JOIN comp c ON c.n = s.s_suppkey)
+      SELECT entity, count(*) AS n_members FROM lab
+      GROUP BY 1 ORDER BY entity"""))
+
   /** Bigram PMI phrase mining ([[graft.ops.TextAnalysis.bigramPmi]]):
     * pointwise mutual information over occurrence-level bigram and
     * unigram counts — per-row ln on exact counts, no float sums. */
@@ -1355,6 +1395,7 @@ object PipelineQueries {
   val all: Seq[Q] = Seq(
     qVocabulary, qVocabEncode, qBigramPmi,
     qDedupExact, qNgramJaccard, qDedupClusters, qDedupCanonical, qFuzzyJoin,
+    qNameEntities,
     qDecontamination, qChunking, qLineDedup, qMixStats, qNormalize,
     qSourceQuality, qSemDedup, qPackChunks,
     qDupNgramFraction, qTfIdfTerms, qBm25, qSourceCap, qUnigramCE,

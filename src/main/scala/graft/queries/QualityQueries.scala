@@ -656,9 +656,35 @@ object QualityQueries {
           AS anomaly_rate
       FROM a, m, m2"""))
 
+  /** Exact weighted quantiles ([[graft.ops.Ranking
+    * .weightedQuantiles]]): price percentiles weighted by quantity —
+    * integer cumulative weights via the distributed prefix-sum rank
+    * pass, no global window. */
+  val qWeightedQuantiles = Q(
+    "q120_weighted_quantiles",
+    (s, dir) =>
+      graft.ops.Ranking.weightedQuantiles(
+        table(s, dir, "lineitem"), "l_extendedprice", "l_quantity",
+        Seq(0.1, 0.25, 0.5, 0.75, 0.9)),
+    Some("""WITH base AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+          CAST(l_quantity AS BIGINT) AS w FROM lineitem
+        WHERE l_extendedprice IS NOT NULL
+          AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+          AND l_quantity IS NOT NULL AND CAST(l_quantity AS BIGINT) > 0),
+      c AS (SELECT v, sum(w) AS w FROM base GROUP BY v),
+      r AS (SELECT v, w, coalesce(sum(w) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + w
+              AS cumhi
+            FROM c),
+      t AS (SELECT sum(w) AS tw FROM c),
+      qs AS (SELECT CAST(unnest([0.1, 0.25, 0.5, 0.75, 0.9]) AS DOUBLE)
+               AS q)
+      SELECT q, min(v) AS value FROM r, t, qs WHERE cumhi >= q * tw
+      GROUP BY q ORDER BY q"""))
+
   val all: Seq[Q] = Seq(qOutliers, qAssociation, qJsdDrift, qValidate,
     qChi2Drift, qNullPatterns, qFdCheck, qWassersteinDrift, qOrphans,
     qFanout, qEmbedNorms, qKeySkew, qPctRank, qBloomPrune, qPsiSweep,
     qPairRules, qSplitAssign, qQqTable, qWinsorized, qGini, qWoe,
-    qTargetEnc, qRobustZ)
+    qTargetEnc, qRobustZ, qWeightedQuantiles)
 }

@@ -97,4 +97,27 @@ class RankingSpec extends SparkSpec {
       Ranking.pctRankTable(Seq.empty[Double].toDF("x"), "x")
     }
   }
+  test("weightedQuantiles: lower weighted quantile, boundaries exact") {
+    import spark.implicits._
+    // values 1,2,3 with weights 1,2,1 -> W=4; cum: 1->1, 2->3, 3->4
+    val df = Seq((1.0, 1L), (2.0, 2L), (3.0, 1L)).toDF("v", "w")
+    val got = graft.ops.Ranking
+      .weightedQuantiles(df, "v", "w", Seq(0.0, 0.25, 0.5, 0.75, 1.0))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    // q=0.25: qW=1, first v with cum>=1 is 1; q=0.5: qW=2 -> 2;
+    // q=0.75: qW=3 -> 2 (cum hits exactly 3); q=1 -> 3
+    assert(got == Map(0.0 -> 1.0, 0.25 -> 1.0, 0.5 -> 2.0,
+      0.75 -> 2.0, 1.0 -> 3.0))
+    // zero/negative weights must not be selectable
+    val z = graft.ops.Ranking.weightedQuantiles(
+      Seq((0.5, 0L), (1.0, 3L), (9.0, -2L)).toDF("v", "w"),
+      "v", "w", Seq(0.5)).head()
+    assert(z.getDouble(1) == 1.0)
+    // weighted median equals plain median when weights are all 1
+    val rnd = new scala.util.Random(5)
+    val xs = Seq.fill(101)(rnd.nextInt(50).toDouble)
+    val wq = graft.ops.Ranking.weightedQuantiles(
+      xs.map((_, 1L)).toDF("v", "w"), "v", "w", Seq(0.5)).head().getDouble(1)
+    assert(wq == xs.sorted.apply(50))
+  }
 }
