@@ -221,23 +221,36 @@ object Dedup {
     * + 1) (shorter pairs can be within maxDist yet share no gram), so
     * the SHORT pool — bounded-length strings, assumed a small fraction
     * of any real corpus — is verified by a direct self-join instead.
-    * Returns `(i, j, dist)` with i < j. */
+    *
+    * `blockCols`: optional ER blocking — only pairs agreeing on every
+    * blocking column are candidates, enforced IN the gram join key
+    * (and the short-pool join), so candidates shrink by the block
+    * fanout before any pair materializes. On template-heavy corpora
+    * (near-identical strings everywhere) blocking is what keeps the
+    * candidate set from going quadratic. Returns `(i, j, dist)` with
+    * i < j. */
   def editDistancePairs(
       df: DataFrame, idCol: String, strCol: String,
-      maxDist: Int, q: Int = 3): DataFrame = {
+      maxDist: Int, q: Int = 3,
+      blockCols: Seq[String] = Nil): DataFrame = {
     require(maxDist >= 0, "maxDist must be >= 0")
     require(q >= 1, "q must be >= 1")
+    val bcols = blockCols.map(col)
     val t = ensureCheckpointed(df
-      .select(col(idCol).as("id"), col(strCol).as("s"))
-      .where(col("s").isNotNull)
+      .select(col(idCol).as("id") +: col(strCol).as("s") +: bcols: _*)
+      .where(col("s").isNotNull &&
+        blockCols.map(col(_).isNotNull).foldLeft(lit(true))(_ && _))
       .withColumn("len", length(col("s"))))
     val shortLen = q * (maxDist + 1)
+    // the blocking key rides in the join key itself: grams join on
+    // (g, blocks), shorts equi-join on (blocks)
     val grams = t.where(col("len") >= q)
-      .select(col("id"),
-        explode(array_distinct(shingles(col("s"), q))).as("g"))
+      .select(col("id") +: explode(array_distinct(
+        shingles(col("s"), q))).as("g") +: bcols: _*)
     val sz = grams.groupBy("id").agg(count(lit(1)).as("ng"))
-    val candLong = grams.select(col("id").as("i"), col("g"))
-      .join(grams.select(col("id").as("j"), col("g")), "g")
+    val gKeys = "g" +: blockCols
+    val candLong = grams.withColumnRenamed("id", "i")
+      .join(grams.withColumnRenamed("id", "j"), gKeys.toSeq)
       .where(col("i") < col("j"))
       .groupBy("i", "j").agg(count(lit(1)).as("shared"))
       .join(sz.select(col("id").as("i"), col("ng").as("ni")), "i")
@@ -246,9 +259,13 @@ object Dedup {
         greatest(col("ni"), col("nj")) - lit(q * maxDist))
       .select("i", "j")
     val short = t.where(col("len") < shortLen)
-      .select(col("id"), col("len"))
-    val candShort = short.select(col("id").as("i"), col("len").as("li"))
-      .crossJoin(short.select(col("id").as("j"), col("len").as("lj")))
+      .select(col("id") +: col("len") +: bcols: _*)
+    val shortI = short.select(col("id").as("i") +: col("len").as("li")
+      +: bcols: _*)
+    val shortJ = short.select(col("id").as("j") +: col("len").as("lj")
+      +: bcols: _*)
+    val candShort = (if (blockCols.isEmpty) shortI.crossJoin(shortJ)
+      else shortI.join(shortJ, blockCols.toSeq))
       .where(col("i") < col("j") &&
         abs(col("li") - col("lj")) <= maxDist)
       .select("i", "j")

@@ -1339,13 +1339,8 @@ object PipelineQueries {
     (s, dir) => {
       val sup = table(s, dir, "supplier")
       val pairs = Dedup.editDistancePairs(
-          sup, "s_suppkey", "s_name", maxDist = 1)
-        .join(sup.select(col("s_suppkey").as("i"),
-          col("s_nationkey").as("__ni")), "i")
-        .join(sup.select(col("s_suppkey").as("j"),
-          col("s_nationkey").as("__nj")), "j")
-        .where(col("__ni") === col("__nj"))
-        .select("i", "j")
+        sup, "s_suppkey", "s_name", maxDist = 1,
+        blockCols = Seq("s_nationkey"))
       ConnectedComponents.labelAll(
           sup.select("s_suppkey"), "s_suppkey", pairs, "i", "j", "entity")
         .groupBy("entity").agg(count(lit(1)).as("n_members"))

@@ -627,5 +627,16 @@ class OpsSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
       assert(got == want, s"maxDist=$d")
     }
+    // blocking: only same-block pairs survive, including the short pool
+    val blocked = strs.map { case (i, s0) => (i, s0, i % 3) }
+    val wantB = (for {
+      (i, si, bi) <- blocked; (j, sj, bj) <- blocked
+      if i < j && bi == bj && lev(si, sj) <= 2
+    } yield (i, j)).toSet
+    val gotB = Dedup.editDistancePairs(
+        blocked.toDF("id", "s", "blk"), "id", "s", maxDist = 2,
+        blockCols = Seq("blk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotB == wantB)
   }
 }
