@@ -555,6 +555,33 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Per-document NOVELTY against a reference corpus: the fraction of
+    * a document's distinct word n-grams NOT present anywhere in the
+    * reference — the per-doc score behind benchmark-decontamination
+    * thresholds ([[contaminationPairs]] gives the pair evidence; this
+    * gives the rankable signal) and memorization screens. One hash
+    * LEFT join on the shingle (the reference gram SET can be
+    * arbitrarily large — never assume broadcastable; Catalyst
+    * broadcasts on its own when it is small), one per-doc rollup.
+    * Documents with fewer than n words yield no rows. Returns
+    * (idCol, n_grams, n_overlap, novelty 6dp). */
+  def noveltyScores(
+      corpus: DataFrame, corpusIdCol: String,
+      reference: DataFrame, textCol: String, n: Int): DataFrame = {
+    val cs = wordShingleTable(corpus, corpusIdCol, textCol, n)
+    val rg = wordShingleTable(
+        reference.select(lit(0L).as("__rid"), col(textCol)),
+        "__rid", textCol, n)
+      .select("g").distinct().withColumn("__hit", lit(1L))
+    cs.join(rg, Seq("g"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_overlap"))
+      .select(col("id").as(corpusIdCol), col("n_grams"), col("n_overlap"),
+        round(lit(1.0) - col("n_overlap") / col("n_grams").cast("double"),
+          6).as("novelty"))
+  }
+
   /** Per-document duplicated n-gram fraction (the exact-substring dedup
     * signal of Lee et al. 2022, "Deduplicating Training Data Makes
     * Language Models Better", arXiv:2107.06499 — there over 50-token

@@ -168,6 +168,41 @@ object Relevance {
       .select(col("id").as(idCol), col("n_tokens"), col("cross_entropy"))
   }
 
+  /** Inverted-index head: per term, its document frequency and the
+    * top-`k` postings by (tf desc, doc asc) — the search-index prep
+    * table. Terms below `minDf` are dropped (they'd dominate the
+    * output and a real index stores them without ranking anyway).
+    *
+    * Skew design: a single `row_number over (partition by term)` puts
+    * a stopword's ENTIRE posting list (up to every document) on one
+    * reducer — the classic inverted-index hot key. Two-phase
+    * hierarchical top-k instead: phase 1 ranks within (term,
+    * hash-salt) — every partition bounded by 1/`salts` of the hottest
+    * term — and keeps k; phase 2 ranks the survivors (≤ salts·k rows
+    * per term). Both phases produce the same result as the direct
+    * window because (tf desc, doc asc) is a total order. Returns
+    * (term, df, pos, doc_id, tf). */
+  def invertedIndexTopK(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int, minDf: Long = 1L, salts: Int = 16): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(salts >= 1, "salts must be >= 1")
+    val tf = wordTable(df, idCol, textCol)
+      .groupBy("w", "id").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf)
+    val w1 = Window.partitionBy(col("w"), pmod(xxhash64(col("id")),
+      lit(salts.toLong))).orderBy(col("tf").desc, col("id"))
+    val w2 = Window.partitionBy("w").orderBy(col("tf").desc, col("id"))
+    tf.withColumn("__rn", row_number().over(w1)).where(col("__rn") <= k)
+      .withColumn("__pos", row_number().over(w2)).where(col("__pos") <= k)
+      .join(dfreq, "w")
+      .select(col("w").as("term"), col("df"),
+        col("__pos").cast("long").as("pos"), col("id").as("doc_id"),
+        col("tf"))
+  }
+
   /** Per-document cross-entropy under an interpolated BIGRAM model of
     * the corpus itself — the next step up from [[unigramCrossEntropy]]
     * toward the CCNet KenLM filter:

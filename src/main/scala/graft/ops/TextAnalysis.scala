@@ -342,6 +342,31 @@ object TextAnalysis {
       .select("id", "word", "cnt")
   }
 
+  /** Per-document character-level Shannon entropy (nats) — the
+    * cheapest repetitiveness/noise screen: low entropy flags repeated-
+    * character runs and template junk, high entropy flags random-bytes
+    * noise; natural text sits in a stable band. One explode→groupBy
+    * over (doc, char) — count rows bounded by n_docs × alphabet — then
+    * a per-doc rollup. Entropy uses the per-term `Σ c·(ln n − ln c)/n`
+    * shape (exactly 0 for a constant document in ANY engine — the q82
+    * lesson); 6dp-rounded. Empty/null docs yield no rows. Returns
+    * (idCol, n_chars, entropy). */
+  def charEntropyTable(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = df
+      .select(col(idCol).as("id"),
+        explode(split(col(textCol), "")).as("ch"))
+      .where(length(col("ch")) > 0)
+      .groupBy("id", "ch").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("id").agg(sum(col("c")).as("n"))
+    counts.join(totals, "id")
+      .groupBy("id")
+      .agg(max(col("n")).as("n_chars"),
+        round(sum(col("c") * (log(col("n")) - log(col("c")))) /
+          max(col("n")), 6).as("entropy"))
+      .select(col("id").as(idCol), col("n_chars"), col("entropy"))
+  }
+
   /** One-row corpus lexical statistics — the Heaps/Zipf sanity check a
     * corpus build runs before tokenizer training: token and type
     * counts, hapax legomena (types seen once — a high fraction means a

@@ -1325,6 +1325,77 @@ object PipelineQueries {
       WHERE levenshtein(a.s_name, b.s_name) <= 1
       ORDER BY i, j"""))
 
+  /** Per-document novelty vs a reference subset
+    * ([[graft.ops.Dedup.noveltyScores]]): fraction of each doc's
+    * distinct word trigrams absent from the doc_id<50 reference —
+    * the rankable decontamination signal. */
+  val qNovelty = Q(
+    "q122_novelty_scores",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      Dedup.noveltyScores(
+          docs.where(col("doc_id") >= 50), "doc_id",
+          docs.where(col("doc_id") < 50), "text", WORD_N)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH cw AS (SELECT doc_id AS id, $dkWords AS ws
+          FROM documents WHERE doc_id >= 50),
+      cs AS (SELECT id, unnest(list_distinct(
+               [array_to_string(ws[i:i+2], ' ')
+                for i in range(1, len(ws) - 1)])) AS g
+             FROM cw WHERE len(ws) >= 3),
+      rw AS (SELECT $dkWords AS ws FROM documents WHERE doc_id < 50),
+      rg AS (SELECT DISTINCT unnest(list_distinct(
+               [array_to_string(ws[i:i+2], ' ')
+                for i in range(1, len(ws) - 1)])) AS g
+             FROM rw WHERE len(ws) >= 3)
+      SELECT cs.id AS doc_id, count(*) AS n_grams,
+        CAST(sum(CASE WHEN rg.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_overlap,
+        round(1.0 - CAST(sum(CASE WHEN rg.g IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) / CAST(count(*) AS DOUBLE), 6) AS novelty
+      FROM cs LEFT JOIN rg ON rg.g = cs.g
+      GROUP BY cs.id ORDER BY doc_id"""))
+
+  /** Inverted-index head ([[graft.ops.Relevance.invertedIndexTopK]]):
+    * per frequent term (df ≥ 100), top-3 postings by (tf desc, doc) —
+    * two-phase salted top-k, no stopword hot-key reducer. */
+  val qInvertedIndex = Q(
+    "q123_inverted_index",
+    (s, dir) =>
+      Relevance.invertedIndexTopK(
+          table(s, dir, "documents"), "doc_id", "text",
+          k = 3, minDf = 100L)
+        .orderBy("term", "pos"),
+    Some(s"""WITH oc AS (SELECT doc_id AS id, unnest($dkWords) AS w
+          FROM documents),
+      tf AS (SELECT w, id, count(*) AS tf FROM oc GROUP BY 1, 2),
+      d AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+      r AS (SELECT w, id, tf, row_number() OVER (
+              PARTITION BY w ORDER BY tf DESC, id) AS pos FROM tf)
+      SELECT r.w AS term, d.df, CAST(r.pos AS BIGINT) AS pos,
+        r.id AS doc_id, r.tf
+      FROM r JOIN d USING (w) WHERE pos <= 3 AND df >= 100
+      ORDER BY term, pos"""))
+
+  /** Per-document char-level Shannon entropy
+    * ([[graft.ops.TextAnalysis.charEntropyTable]]): the cheap
+    * repetitiveness/noise screen, exact-zero entropy shape. */
+  val qCharEntropy = Q(
+    "q124_char_entropy",
+    (s, dir) =>
+      graft.ops.TextAnalysis.charEntropyTable(
+          table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+    Some("""WITH ch AS (SELECT doc_id AS id,
+          unnest([text[i] for i in range(1, len(text) + 1)]) AS ch
+        FROM documents WHERE text IS NOT NULL AND len(text) > 0),
+      c AS (SELECT id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+      t AS (SELECT id, sum(c) AS n FROM c GROUP BY 1)
+      SELECT c.id AS doc_id, CAST(any_value(n) AS BIGINT) AS n_chars,
+        round(sum(c * (ln(n) - ln(c))) / any_value(n), 6) AS entropy
+      FROM c JOIN t USING (id) GROUP BY c.id ORDER BY doc_id"""))
+
   /** Entity resolution end-to-end: fuzzy-name pairs
     * ([[graft.ops.Dedup.editDistancePairs]]) BLOCKED on the nation key
     * (pairs must agree on it — the standard ER blocking that keeps
@@ -1390,7 +1461,7 @@ object PipelineQueries {
   val all: Seq[Q] = Seq(
     qVocabulary, qVocabEncode, qBigramPmi,
     qDedupExact, qNgramJaccard, qDedupClusters, qDedupCanonical, qFuzzyJoin,
-    qNameEntities,
+    qNameEntities, qNovelty, qInvertedIndex, qCharEntropy,
     qDecontamination, qChunking, qLineDedup, qMixStats, qNormalize,
     qSourceQuality, qSemDedup, qPackChunks,
     qDupNgramFraction, qTfIdfTerms, qBm25, qSourceCap, qUnigramCE,

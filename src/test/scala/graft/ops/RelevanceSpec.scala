@@ -152,4 +152,48 @@ class RelevanceSpec extends SparkSpec {
     assert((e.getLong(0), e.getLong(1), e.getLong(2)) == ((0L, 0L, 0L)))
     assert(e.isNullAt(3) && e.isNullAt(4) && e.isNullAt(5))
   }
+  test("invertedIndexTopK: salted two-phase equals the direct window") {
+    val rnd = new scala.util.Random(3)
+    val docs = (1 to 60).map(i => (i.toLong,
+      Seq.fill(30)("w" + rnd.nextInt(12)).mkString(" ")))
+      .toDF("doc_id", "text")
+    for (salts <- Seq(1, 4, 16)) {
+      val got = Relevance.invertedIndexTopK(
+          docs, "doc_id", "text", k = 3, minDf = 5L, salts = salts)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      val direct = Relevance.invertedIndexTopK(
+          docs, "doc_id", "text", k = 3, minDf = 5L, salts = 1)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(got == direct, s"salts=$salts")
+      assert(got.nonEmpty && got.forall(_._3 <= 3))
+    }
+  }
+
+  test("noveltyScores: overlap fraction against a reference set") {
+    // corpus doc 1: grams {a b c, b c d}; reference contains 'a b c x'
+    // whose grams include 'a b c' -> overlap 1 of 2
+    val corpus = Seq((1L, "a b c d"), (2L, "z z z")).toDF("doc_id", "text")
+    val ref = Seq(Tuple1("a b c x")).toDF("text")
+    val got = graft.ops.Dedup.noveltyScores(corpus, "doc_id", ref, "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((2L, 1L, 0.5)))
+    assert(got(2L) == ((1L, 0L, 1.0))) // 'z z z' gram unseen
+  }
+
+  test("charEntropyTable: constant doc exactly 0, uniform pair ln 2") {
+    val d = Seq((1L, "aaaa"), (2L, "abab"), (3L, "")).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.charEntropyTable(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L) == ((4L, 0.0)))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(2L) == ((4L, r6(math.log(2.0)))))
+    assert(!got.contains(3L))
+  }
 }
