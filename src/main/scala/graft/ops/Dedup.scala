@@ -235,6 +235,10 @@ object Dedup {
       blockCols: Seq[String] = Nil): DataFrame = {
     require(maxDist >= 0, "maxDist must be >= 0")
     require(q >= 1, "q must be >= 1")
+    val reserved = Set("id", "s", "len", "g", "i", "j", "ng", "ni",
+      "nj", "li", "lj", "shared", "dist")
+    require(blockCols.forall(c => !reserved.contains(c)),
+      s"blocking columns may not use the reserved names $reserved")
     val bcols = blockCols.map(col)
     val t = ensureCheckpointed(df
       .select(col(idCol).as("id") +: col(strCol).as("s") +: bcols: _*)

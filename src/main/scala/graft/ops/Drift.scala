@@ -128,6 +128,53 @@ object Drift {
         sum(col("c2")).as("n2"))
   }
 
+  /** Per-SEGMENT PSI: each segment's value distribution vs its
+    * complement (everyone else), all segments in ONE binned pass — the
+    * "which cohort is the drift coming from" screen that follows a
+    * whole-table [[psi]] alarm. Same fixed-width global binning and
+    * Laplace smoothing as [[psi]] (pi = (ci + 0.5)/(ni + 0.5·bins)),
+    * complement counts derived by subtraction from the global bin
+    * counts — no second scan per segment. The per-segment fold runs on
+    * a segments × bins grid (vocabulary-sized; zero-count cells kept —
+    * they carry drift evidence through the smoothing). Returns
+    * (segCol, n_seg, psi 8dp) — one row per segment. */
+  def segmentPsi(
+      df: DataFrame, segCol: String, vCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, "bins must be >= 2")
+    val v = col(vCol).cast("double")
+    val live = df
+      .where(v.isNotNull && !v.isNaN && col(segCol).isNotNull)
+      .select(col(segCol).as("__s"), v.as("__v"))
+      .localCheckpoint(false)
+    val mm = live.agg(min(col("__v")).as("mn"), max(col("__v")).as("mx"))
+      .head()
+    require(!mm.isNullAt(0), s"no live ($segCol, $vCol) rows")
+    val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
+    val bin =
+      if (mx == mn) lit(0)
+      else least(floor((col("__v") - lit(mn)) /
+        ((lit(mx) - lit(mn)) / lit(bins))), lit(bins - 1)).cast("int")
+    val counts = live.groupBy(col("__s"), bin.as("bin"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val binTot = counts.groupBy("bin").agg(sum(col("c")).as("ct"))
+    val segTot = counts.groupBy("__s").agg(sum(col("c")).as("ns"))
+    val grand = counts.agg(sum(col("c")).as("n"))
+    val grid = segTot.crossJoin(binTot)
+      .join(counts, Seq("__s", "bin"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .crossJoin(broadcast(grand))
+    val p1 = (col("c") + lit(0.5)) / (col("ns") + lit(0.5 * bins))
+    val p2 = (col("ct") - col("c") + lit(0.5)) /
+      (col("n") - col("ns") + lit(0.5 * bins))
+    grid
+      .groupBy(col("__s"))
+      .agg(max(col("ns")).as("n_seg"),
+        round(sum((p1 - p2) * log(p1 / p2)), 8).as("psi"))
+      .select(col("__s").as(segCol), col("n_seg"), col("psi"))
+  }
+
   /** Jensen-Shannon divergence between two slices over the same
     * fixed-width binning as [[psi]] — the bounded, symmetric drift
     * score (0 ≤ JSD ≤ ln 2 in nats):

@@ -682,9 +682,43 @@ object QualityQueries {
       SELECT q, min(v) AS value FROM r, t, qs WHERE cumhi >= q * tw
       GROUP BY q ORDER BY q"""))
 
+  /** Per-segment PSI screen ([[graft.ops.Drift.segmentPsi]]): each
+    * event type's value distribution vs its complement, one binned
+    * pass — "which cohort is the drift coming from". All counts cast
+    * to DOUBLE before the smoothing arithmetic on the oracle side
+    * (DuckDB decimal literals would otherwise keep the math in
+    * DECIMAL). */
+  val qSegmentPsi = Q(
+    "q125_segment_psi",
+    (s, dir) => Drift.segmentPsi(
+        table(s, dir, "events"), "event_type", "value", bins = 10)
+      .orderBy("event_type"),
+    Some("""WITH u AS (SELECT event_type AS s, CAST(value AS DOUBLE) AS v
+          FROM events WHERE value IS NOT NULL
+            AND NOT isnan(CAST(value AS DOUBLE))
+            AND event_type IS NOT NULL),
+      st AS (SELECT min(v) AS mn, max(v) AS mx FROM u),
+      b AS (SELECT s, CAST(least(floor((v - mn) / ((mx - mn) / 10)), 9)
+              AS INT) AS bin FROM u, st),
+      m AS (SELECT s, bin, count(*) AS c FROM b GROUP BY 1, 2),
+      bt AS (SELECT bin, sum(c) AS ct FROM m GROUP BY 1),
+      stt AS (SELECT s, sum(c) AS ns FROM m GROUP BY 1),
+      g AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM m),
+      grid AS (SELECT stt.s, stt.ns,
+          CAST(stt.ns AS DOUBLE) AS nsd, CAST(bt.ct AS DOUBLE) AS ct,
+          CAST(coalesce(m.c, 0) AS DOUBLE) AS c
+        FROM stt CROSS JOIN bt
+        LEFT JOIN m ON m.s = stt.s AND m.bin = bt.bin)
+      SELECT s AS event_type, CAST(any_value(ns) AS BIGINT) AS n_seg,
+        round(sum(
+          ((c + 0.5) / (nsd + 5.0) - (ct - c + 0.5) / (n - nsd + 5.0))
+          * ln(((c + 0.5) / (nsd + 5.0))
+            / ((ct - c + 0.5) / (n - nsd + 5.0)))), 8) AS psi
+      FROM grid CROSS JOIN g GROUP BY s ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(qOutliers, qAssociation, qJsdDrift, qValidate,
     qChi2Drift, qNullPatterns, qFdCheck, qWassersteinDrift, qOrphans,
     qFanout, qEmbedNorms, qKeySkew, qPctRank, qBloomPrune, qPsiSweep,
     qPairRules, qSplitAssign, qQqTable, qWinsorized, qGini, qWoe,
-    qTargetEnc, qRobustZ, qWeightedQuantiles)
+    qTargetEnc, qRobustZ, qWeightedQuantiles, qSegmentPsi)
 }

@@ -261,4 +261,20 @@ class DriftSpec extends SparkSpec {
     assert(!counts.queryExecution.executedPlan.toString
       .contains("SinglePartition"))
   }
+  test("segmentPsi: equal-size identical segments exactly 0; shifted flagged") {
+    // two segments, same distribution, same size -> every term cancels
+    val vals = Seq.tabulate(200)(i => (i % 100).toDouble)
+    val even = vals.map(("a", _)) ++ vals.map(("b", _))
+    val zero = Drift.segmentPsi(even.toDF("s", "v"), "s", "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(zero("a") == 0.0 && zero("b") == 0.0)
+    // one shifted segment dominates the scores; all psi >= 0
+    val mixed = vals.map(("a", _)) ++ vals.map(("b", _)) ++
+      vals.map { case v => ("c", v + 500.0) }
+    val got = Drift.segmentPsi(mixed.toDF("s", "v"), "s", "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got.values.forall(_ >= 0.0))
+    assert(got("c") > got("a") && got("c") > got("b"))
+    assert(got("c") > 1.0, got.toString)
+  }
 }
