@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Time-series diagnostics over an event stream — seasonality and
+  * burstiness checks a monitoring pipeline runs on arrival counts.
+  * The reference has no temporal surface; this extends the
+  * events-analytics family (Sessionize/Funnel/Retention).
+  */
+object Timeseries {
+
+  /** Autocorrelation of per-period event COUNTS at the requested lags:
+    * corr(x_t, x_{t+L}) over the densified series (periods with no
+    * events count as ZERO — skipping gaps would bias every lag toward
+    * busy stretches). Period indexing is exact integer division of the
+    * numeric epoch `timeCol`; the dense axis comes from one bounded
+    * `spark.range` join (series length = time span / period, tiny next
+    * to the input); each lag is one equi-join of that small series
+    * with itself shifted — integer keys, hash join, no window over the
+    * raw events.
+    *
+    * Determinism: all five sufficient statistics (Σx, Σy, Σxy, Σx²,
+    * Σy²) are EXACT — counts ride through decimal(38,0) so no float
+    * aggregation order exists — and the Pearson fold is one fixed IEEE
+    * expression on the exact sums. Degenerate lags (constant series →
+    * zero variance) return null acf. Returns (lag, n_pairs, acf 6dp),
+    * one row per lag, ordered by lag. */
+  def countAcf(
+      df: DataFrame, timeCol: String, period: Long,
+      lags: Seq[Int]): DataFrame = {
+    require(period > 0, "period must be positive")
+    require(lags.nonEmpty && lags.forall(_ >= 1),
+      "lags must be non-empty and >= 1")
+    require(!timeCol.contains("`") && !timeCol.contains("'"),
+      "column name must not contain backticks or quotes")
+    val spark = df.sparkSession
+    val b = df.where(col(timeCol).isNotNull)
+      .select(expr(s"`$timeCol` div $period").as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val mm = b.agg(min(col("t")), max(col("t"))).head()
+    require(!mm.isNullAt(0), "no non-null time values")
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val dense = spark.range(lo, hi + 1).toDF("t")
+      .join(b, Seq("t"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .localCheckpoint(false)
+    val perLag = lags.map { l =>
+      val xd = col("x").cast("decimal(19,0)")
+      val yd = col("y").cast("decimal(19,0)")
+      dense.select(col("t"), col("c").as("x"))
+        .join(dense.select((col("t") - lit(l.toLong)).as("t"),
+          col("c").as("y")), "t")
+        .agg(
+          count(lit(1)).as("k"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(xd * yd).as("sxy"),
+          sum(xd * xd).as("sxx"), sum(yd * yd).as("syy"))
+        .select(lit(l.toLong).as("lag"), col("k").as("n_pairs"),
+          {
+            val kd = col("k").cast("double")
+            val sx = col("sx").cast("double")
+            val sy = col("sy").cast("double")
+            val num = kd * col("sxy").cast("double") - sx * sy
+            val vx = kd * col("sxx").cast("double") - sx * sx
+            val vy = kd * col("syy").cast("double") - sy * sy
+            when(vx > 0 && vy > 0,
+              round(num / sqrt(vx * vy), 6)).as("acf")
+          })
+    }
+    perLag.reduce(_ union _).orderBy("lag")
+  }
+}

@@ -249,6 +249,45 @@ object TemporalQueries {
       FROM uw JOIN c USING (u)
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Hourly arrival-count autocorrelation ([[graft.ops.Timeseries
+    * .countAcf]]): seasonality check at lags 1/3/6/12/24 over the
+    * zero-filled hourly series — exact integer sufficient statistics,
+    * one fixed IEEE Pearson fold. */
+  val qCountAcf = Q(
+    "q126_count_acf",
+    (s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(expr("ts div 1000").as("tus"))
+      graft.ops.Timeseries.countAcf(
+        ev, "tus", 3600000000L, Seq(1, 3, 6, 12, 24))
+    },
+    Some("""WITH b AS (SELECT epoch_us(ts) // 3600000000 AS t,
+          count(*) AS c FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      mm AS (SELECT min(t) AS lo, max(t) AS hi FROM b),
+      ax AS (SELECT unnest(generate_series(lo, hi)) AS t FROM mm),
+      d AS (SELECT ax.t, coalesce(b.c, 0) AS c
+            FROM ax LEFT JOIN b ON b.t = ax.t),
+      ls AS (SELECT unnest([1, 3, 6, 12, 24]) AS lag),
+      p AS (SELECT ls.lag, a.c AS x, b2.c AS y
+            FROM ls CROSS JOIN d a
+            JOIN d b2 ON b2.t = a.t + ls.lag),
+      agg AS (SELECT lag, count(*) AS k, sum(x) AS sx, sum(y) AS sy,
+              sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+            FROM p GROUP BY lag)
+      SELECT CAST(lag AS BIGINT) AS lag, k AS n_pairs,
+        CASE WHEN (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+          AND (CAST(k AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+        THEN round((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / sqrt((CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * (CAST(k AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        END AS acf
+      FROM agg ORDER BY lag"""))
+
   val all: Seq[Q] = Seq(qSessionize, qAsofJoin, qRangeJoin, qFunnel,
-    qRolling, qTransitions, qAttribution, qRetention)
+    qRolling, qTransitions, qAttribution, qRetention, qCountAcf)
 }

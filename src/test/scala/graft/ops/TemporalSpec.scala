@@ -290,4 +290,23 @@ class TemporalSpec extends SparkSpec {
       Seq((1L, 10L)).toDF("u", "t"), "u", "t", 10L).head()
     assert(b.getLong(0) == 1L && b.getLong(1) == 0L)
   }
+  test("countAcf: perfect periodicity 1.0, gaps zero-filled, constant null") {
+    import org.apache.spark.sql.functions.col
+    // periods 0..11 alternate 2,0,2,0... events only in even periods:
+    // lag 2 is a perfect match (acf 1), lag 1 perfectly anti-phase
+    val ev = (0 until 12 by 2).flatMap(p => Seq(p * 10L, p * 10L + 1))
+      .toDF("t")
+    val got = graft.ops.Timeseries.countAcf(ev, "t", 10L, Seq(1, 2))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+      .toMap
+    // dense series 0..10 (last event period 10): [2,0,2,0,2,0,2,0,2,0,2]
+    assert(got(1L)._1 == 10 && got(2L)._1 == 9)
+    assert(got(2L)._2.contains(1.0))
+    assert(got(1L)._2.exists(_ < -0.9))
+    // constant series -> zero variance -> null acf
+    val const = Seq(5L, 15L, 25L, 35L).toDF("t")
+    val c = graft.ops.Timeseries.countAcf(const, "t", 10L, Seq(1)).head()
+    assert(c.isNullAt(2))
+  }
 }
