@@ -92,11 +92,19 @@ object ConnectedComponents {
     }
     require(converged,
       s"connected components did not converge in $maxIter rounds")
-    // fixpoint is the star graph: edges ARE the member→root mapping;
-    // roots map to themselves.
-    e.select(col("u").as("node"), col("v").as("component"))
-      .union(e.select(col("v").as("node"), col("v").as("component"))
-        .distinct())
+    // fixpoint is the star graph: edges ARE the member→root mapping.
+    // Joining back to the ORIGINAL node set keeps roots and nodes that
+    // only ever appeared in self-loop pairs (filtered from e above) —
+    // the "one row per node that appears in pairs" contract.
+    val nodes = edges.select(col(srcCol).as("node"))
+      .union(edges.select(col(dstCol).as("node")))
+      .where(col("node").isNotNull)
+      .distinct()
+    nodes
+      .join(e.select(col("u").as("node"), col("v").as("__comp")),
+        Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("__comp"), col("node")).as("component"))
   }
 
   /** Label EVERY row of `df` with its component: nodes absent from the

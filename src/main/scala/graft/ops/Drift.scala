@@ -151,10 +151,8 @@ object Drift {
       .head()
     require(!mm.isNullAt(0), s"no live ($segCol, $vCol) rows")
     val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
-    val bin =
-      if (mx == mn) lit(0)
-      else least(floor((col("__v") - lit(mn)) /
-        ((lit(mx) - lit(mn)) / lit(bins))), lit(bins - 1)).cast("int")
+    val bin = graft.functions.StatFunctions
+      .histogramBin(col("__v"), mn, mx, bins)
     val counts = live.groupBy(col("__s"), bin.as("bin"))
       .agg(count(lit(1)).as("c"))
       .localCheckpoint(false)
@@ -170,9 +168,12 @@ object Drift {
       (col("n") - col("ns") + lit(0.5 * bins))
     grid
       .groupBy(col("__s"))
-      .agg(max(col("ns")).as("n_seg"),
-        round(sum((p1 - p2) * log(p1 / p2)), 8).as("psi"))
-      .select(col("__s").as(segCol), col("n_seg"), col("psi"))
+      .agg(max(col("ns")).as("n_seg"), max(col("n")).as("__n"),
+        round(sum((p1 - p2) * log(p1 / p2)), 8).as("__psi"))
+      // a segment that IS the whole table has an empty complement —
+      // its "drift" would be pure smoothing artifact; report null
+      .select(col("__s").as(segCol), col("n_seg"),
+        when(col("n_seg") < col("__n"), col("__psi")).as("psi"))
   }
 
   /** Jensen-Shannon divergence between two slices over the same
@@ -372,6 +373,8 @@ object Drift {
     require(percentiles.nonEmpty, "need at least one percentile")
     require(percentiles.forall(p => p >= 0 && p <= 1),
       "percentiles must be in [0,1]")
+    require(!vCol.contains("`") && !vCol.contains("'"),
+      "column name must not contain backticks or quotes")
     val probs = percentiles.mkString(",")
     def side(df: DataFrame) = df
       .agg(expr(

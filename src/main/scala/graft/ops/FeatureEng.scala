@@ -27,8 +27,9 @@ object FeatureEng {
     *
     * with Laplace `smooth` s keeping empty cells finite. Null/NaN
     * feature rows and null targets are excluded. Returns one row per
-    * OCCUPIED bin: (bin, n_pos, n_neg, woe, iv_term), 6dp-rounded;
-    * total IV is `sum(iv_term)`. */
+    * bin — EMPTY bins included, with their nonzero smoothed terms, so
+    * `sum(iv_term)` equals the formula's full-sum IV —
+    * (bin, n_pos, n_neg, woe, iv_term), 6dp-rounded. */
   def woeTable(
       df: DataFrame, vCol: String, target: Column,
       bins: Int = 10, smooth: Double = 0.5): DataFrame = {
@@ -42,14 +43,17 @@ object FeatureEng {
       .head()
     require(!mm.isNullAt(0), s"no live (value, target) rows in `$vCol`")
     val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
-    // degenerate constant column: everything lands in bin 0
-    val bin =
-      if (mx == mn) lit(0)
-      else least(floor((col("__v") - lit(mn)) / ((lit(mx) - lit(mn)) /
-        lit(bins))), lit(bins - 1)).cast("int")
-    val counts = live.groupBy(bin.as("bin")).agg(
+    val bin = graft.functions.StatFunctions
+      .histogramBin(col("__v"), mn, mx, bins)
+    val occupied = live.groupBy(bin.as("bin")).agg(
       count(when(col("__t"), 1)).as("n_pos"),
       count(when(!col("__t"), 1)).as("n_neg"))
+    // densify: EMPTY bins still carry nonzero smoothed shares — the
+    // header formula sums over all B bins, so sum(iv_term) must too
+    val counts = live.sparkSession.range(bins.toLong)
+      .select(col("id").cast("int").as("bin"))
+      .join(occupied, Seq("bin"), "left")
+      .na.fill(0L, Seq("n_pos", "n_neg"))
     val totals = counts.agg(sum(col("n_pos")).as("tp"),
       sum(col("n_neg")).as("tn"))
     val pPos = (col("n_pos") + lit(smooth)) /

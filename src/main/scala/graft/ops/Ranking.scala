@@ -129,8 +129,10 @@ object Ranking {
     * counts: avgrank = cumw_prev + (w+1)/2, so cumw_hi = avgrank +
     * (w−1)/2 exactly (half-integers are exact doubles until 2^52) —
     * the same range-partitioned prefix pass, no global window. Rows
-    * with null/NaN values or non-positive weights are dropped (a
-    * zero-weight value must not be selectable as a quantile). Returns
+    * with null/NaN values or weights that ROUND to a non-positive
+    * integer are dropped (a zero-weight value must not be selectable
+    * as a quantile; fractional weights quantize to nearest-integer —
+    * pre-scale them if sub-unit resolution matters). Returns
     * one row per requested q: (q, value), ordered by q. */
   def weightedQuantiles(
       df: DataFrame, vCol: String, wCol: String,
@@ -138,7 +140,9 @@ object Ranking {
     require(qs.nonEmpty, "need at least one quantile")
     require(qs.forall(q => q >= 0 && q <= 1), "quantiles must be in [0,1]")
     val v = col(vCol).cast("double")
-    val w = col(wCol).cast("long")
+    // round, don't truncate: a 0.9 weight must not silently vanish
+    // (fractional weights are quantized to the nearest integer)
+    val w = round(col(wCol).cast("double"), 0).cast("long")
     val counts = df
       .where(v.isNotNull && !v.isNaN && w.isNotNull && w > 0)
       .select(lit("_").as("__k"), v.as("__v"), w.as("__w"))

@@ -34,7 +34,12 @@ object Retention {
     val uw = df
       .where(col(userCol).isNotNull && col(timeCol).isNotNull)
       .select(col(userCol).as("u"),
-        expr(s"`$timeCol` div $period").as("wk"))
+        // FLOOR division ((a - pmod) div b): Spark's `div` truncates
+        // toward zero, which would merge periods -(p-1)..(p-1) into
+        // one double-width bucket for pre-epoch times and disagree
+        // with floor-semantics `//` oracles
+        expr(s"(`$timeCol` - pmod(`$timeCol`, $period)) div $period")
+          .as("wk"))
       .distinct()
       .localCheckpoint(false)
     val cohorts = uw.groupBy("u").agg(min(col("wk")).as("cohort"))

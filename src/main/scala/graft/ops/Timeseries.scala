@@ -28,7 +28,7 @@ object Timeseries {
     * one row per lag, ordered by lag. */
   def countAcf(
       df: DataFrame, timeCol: String, period: Long,
-      lags: Seq[Int]): DataFrame = {
+      lags: Seq[Int], maxPeriods: Long = 10000000L): DataFrame = {
     require(period > 0, "period must be positive")
     require(lags.nonEmpty && lags.forall(_ >= 1),
       "lags must be non-empty and >= 1")
@@ -36,11 +36,19 @@ object Timeseries {
       "column name must not contain backticks or quotes")
     val spark = df.sparkSession
     val b = df.where(col(timeCol).isNotNull)
-      .select(expr(s"`$timeCol` div $period").as("t"))
+      // floor division (pmod form): `div` truncates toward zero and
+      // would misbucket pre-epoch times vs the floor-semantics oracle
+      .select(expr(s"(`$timeCol` - pmod(`$timeCol`, $period)) " +
+        s"div $period").as("t"))
       .groupBy("t").agg(count(lit(1)).as("c"))
     val mm = b.agg(min(col("t")), max(col("t"))).head()
     require(!mm.isNullAt(0), "no non-null time values")
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    // one corrupt timestamp must fail loudly, not inflate the dense
+    // axis to billions of zero rows
+    require(hi - lo < maxPeriods,
+      s"time span ${hi - lo} periods exceeds maxPeriods=$maxPeriods — " +
+        "corrupt timestamps? filter the input or raise maxPeriods")
     val dense = spark.range(lo, hi + 1).toDF("t")
       .join(b, Seq("t"), "left")
       .withColumn("c", coalesce(col("c"), lit(0L)))

@@ -596,9 +596,13 @@ object QualityQueries {
       st AS (SELECT min(v) AS mn, max(v) AS mx FROM u),
       b AS (SELECT CAST(least(floor((v - mn) / ((mx - mn) / 8)), 7)
               AS INT) AS bin, t FROM u, st),
-      m AS (SELECT bin, count(CASE WHEN t THEN 1 END) AS n_pos,
+      m0 AS (SELECT bin, count(CASE WHEN t THEN 1 END) AS n_pos,
               count(CASE WHEN NOT t THEN 1 END) AS n_neg
             FROM b GROUP BY bin),
+      ax AS (SELECT unnest(generate_series(0, 7)) AS bin),
+      m AS (SELECT ax.bin, coalesce(m0.n_pos, 0) AS n_pos,
+              coalesce(m0.n_neg, 0) AS n_neg
+            FROM ax LEFT JOIN m0 ON m0.bin = ax.bin),
       tt AS (SELECT sum(n_pos) AS tp, sum(n_neg) AS tn FROM m)
       SELECT bin, n_pos, n_neg,
         round(ln(((n_pos + 0.5) / (tp + 4.0))

@@ -17,10 +17,9 @@ class ConnectedComponentsSpec extends SparkSpec {
       if (p == x) x else { val r = find(p); parent(x) = r; r }
     }
     edges.foreach { case (a, b) =>
-      if (a != b) {
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
+      // register both endpoints — self-loop-only nodes get a row too
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
     parent.keys.map(k => k -> find(k)).toMap
   }
@@ -37,6 +36,8 @@ class ConnectedComponentsSpec extends SparkSpec {
       (20L, 21L), (21L, 20L)))
     assert(got == Map(3L -> 3L, 5L -> 3L, 9L -> 3L,
       20L -> 20L, 21L -> 20L))
+    // a node appearing ONLY in self-loop pairs still gets a row
+    assert(cc(Seq((7L, 7L))) == Map(7L -> 7L))
   }
 
   test("random graphs match a union-find reference") {

@@ -276,5 +276,10 @@ class DriftSpec extends SparkSpec {
     assert(got.values.forall(_ >= 0.0))
     assert(got("c") > got("a") && got("c") > got("b"))
     assert(got("c") > 1.0, got.toString)
+    // a lone segment has no complement: psi must be null, not a
+    // smoothing artifact
+    val lone = Drift.segmentPsi(
+      vals.map(("only", _)).toDF("s", "v"), "s", "v").head()
+    assert(lone.getLong(1) == 200 && lone.isNullAt(2))
   }
 }

@@ -108,9 +108,13 @@ class FunnelSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(r.toSeq == Seq((0, 3L, 1L, r6(woe(3, 1))),
       (1, 1L, 3L, r6(woe(1, 3)))))
+    // constant column: data in bin 0, but ALL bins emitted (empty ones
+    // carry nonzero smoothed iv_terms, so sum(iv_term) is the full IV)
     val const = graft.ops.FeatureEng.woeTable(
       Seq((5.0, true), (5.0, false)).toDF("v", "y"), "v", col("y"))
-    assert(const.count() == 1)
+    assert(const.count() == 10)
+    val c0 = const.orderBy("bin").head()
+    assert(c0.getLong(1) == 1L && c0.getLong(2) == 1L)
   }
 
   test("targetEncode: shrinkage toward prior, null category kept") {

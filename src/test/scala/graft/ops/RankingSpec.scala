@@ -113,6 +113,12 @@ class RankingSpec extends SparkSpec {
       Seq((0.5, 0L), (1.0, 3L), (9.0, -2L)).toDF("v", "w"),
       "v", "w", Seq(0.5)).head()
     assert(z.getDouble(1) == 1.0)
+    // fractional weights round to nearest (0.4 drops, 0.6 counts as 1)
+    val fr = graft.ops.Ranking.weightedQuantiles(
+      Seq((1.0, 0.4), (2.0, 0.6), (3.0, 2.4)).toDF("v", "w"),
+      "v", "w", Seq(0.0, 1.0)).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(fr == Map(0.0 -> 2.0, 1.0 -> 3.0))
     // weighted median equals plain median when weights are all 1
     val rnd = new scala.util.Random(5)
     val xs = Seq.fill(101)(rnd.nextInt(50).toDouble)

@@ -289,6 +289,13 @@ class TemporalSpec extends SparkSpec {
     val b = graft.ops.Retention.cohortRetention(
       Seq((1L, 10L)).toDF("u", "t"), "u", "t", 10L).head()
     assert(b.getLong(0) == 1L && b.getLong(1) == 0L)
+    // pre-epoch times floor (not truncate toward zero): -5 -> period -1,
+    // +5 -> period 0 — two DISTINCT periods, offset 1
+    val neg = graft.ops.Retention.cohortRetention(
+      Seq((1L, -5L), (1L, 5L)).toDF("u", "t"), "u", "t", 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(neg == Map((-1L, 0L) -> 1L, (-1L, 1L) -> 1L))
   }
   test("countAcf: perfect periodicity 1.0, gaps zero-filled, constant null") {
     import org.apache.spark.sql.functions.col
@@ -308,5 +315,11 @@ class TemporalSpec extends SparkSpec {
     val const = Seq(5L, 15L, 25L, 35L).toDF("t")
     val c = graft.ops.Timeseries.countAcf(const, "t", 10L, Seq(1)).head()
     assert(c.isNullAt(2))
+    // a corrupt far-future timestamp fails loudly instead of exploding
+    // the dense axis
+    intercept[IllegalArgumentException] {
+      graft.ops.Timeseries.countAcf(
+        Seq(0L, Long.MaxValue / 2).toDF("t"), "t", 10L, Seq(1))
+    }
   }
 }
