@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Association, Drift, JoinHealth, Outliers, Validate}
+import graft.ops.{Association, Drift, Hypothesis, JoinHealth, Outliers, Validate}
 import graft.queries.QueryCatalog.table
 
 /** Data-quality / monitoring operators: Tukey outlier screening,
@@ -720,9 +720,93 @@ object QualityQueries {
             / ((ct - c + 0.5) / (n - nsd + 5.0)))), 8) AS psi
       FROM grid CROSS JOIN g GROUP BY s ORDER BY event_type"""))
 
+  /** Mann-Whitney U drift significance ([[graft.ops.Hypothesis
+    * .mannWhitneyU]]): are purchase values stochastically larger than
+    * the rest? Rank sums ride the distributed prefix-sum ranking; the
+    * oracle rebuilds the identical avgrank/decimal accumulation with a
+    * window over the per-value count table. */
+  val qMannWhitney = Q(
+    "q130_mann_whitney",
+    (s, dir) => Hypothesis.mannWhitneyU(
+      table(s, dir, "events"), "value", col("event_type") === "purchase"),
+    Some("""WITH u AS (SELECT CAST(value AS DOUBLE) AS v,
+          event_type = 'purchase' AS a FROM events
+        WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+          AND event_type IS NOT NULL),
+      c AS (SELECT v, count(*) AS cnt,
+              count(CASE WHEN a THEN 1 END) AS ca
+            FROM u GROUP BY v),
+      r AS (SELECT cnt, ca,
+              sum(cnt) OVER (ORDER BY v) - cnt + (cnt + 1) / 2.0
+                AS avgrank
+            FROM c),
+      s AS (SELECT CAST(sum(ca) AS BIGINT) AS n1,
+              CAST(sum(cnt) AS BIGINT) AS n,
+              sum(CAST(avgrank * 2 * ca AS DECIMAL(38,0))) AS r2,
+              sum(CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt) AS tt
+            FROM r),
+      t AS (SELECT n1, n - n1 AS n2,
+              CAST(n1 AS DOUBLE) AS n1d, CAST(n - n1 AS DOUBLE) AS n2d,
+              CAST(n AS DOUBLE) AS nd, CAST(tt AS DOUBLE) AS ttd,
+              CAST(r2 AS DOUBLE) / 2.0
+                - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) / 2.0
+                AS u1
+            FROM s),
+      g AS (SELECT *, n1d * n2d / 12.0
+              * ((nd + 1.0) - ttd / (nd * (nd - 1.0))) AS sig2
+            FROM t)
+      SELECT n1, n2, u1,
+        CASE WHEN n1 > 0 AND n2 > 0 AND sig2 > 0.0
+          THEN round((u1 - n1d * n2d / 2.0) / sqrt(sig2), 6) END AS z
+      FROM g"""))
+
+  /** Welch's t segment comparison ([[graft.ops.Hypothesis.welchT]]):
+    * returned lineitems vs the rest on extended price. Both engines
+    * accumulate cents in DECIMAL(38,0) — the summation-order-proof
+    * exact layer — and derive t / Welch–Satterthwaite df through the
+    * same double expression. */
+  val qWelchT = Q(
+    "q133_welch_ttest",
+    (s, dir) => Hypothesis.welchT(
+      table(s, dir, "lineitem"), "l_extendedprice",
+      col("l_returnflag") === "R"),
+    Some("""WITH u AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+          l_returnflag = 'R' AS a FROM lineitem
+        WHERE l_extendedprice IS NOT NULL
+          AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+          AND l_returnflag IS NOT NULL),
+      q AS (SELECT CAST(round(v * 100) AS DECIMAL(38,0)) AS c, a FROM u),
+      s AS (SELECT count(CASE WHEN a THEN 1 END) AS n1,
+              count(CASE WHEN NOT a THEN 1 END) AS n2,
+              sum(CASE WHEN a THEN c END) AS s1,
+              sum(CASE WHEN NOT a THEN c END) AS s2,
+              sum(CASE WHEN a THEN c * c END) AS q1,
+              sum(CASE WHEN NOT a THEN c * c END) AS q2
+            FROM q),
+      d AS (SELECT n1, n2,
+              CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+              CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+              CAST(q1 AS DOUBLE) AS q1d, CAST(q2 AS DOUBLE) AS q2d
+            FROM s),
+      m AS (SELECT *,
+              s1d / n1d / 100.0 AS m1, s2d / n2d / 100.0 AS m2,
+              (q1d - s1d * s1d / n1d) / (n1d - 1.0) / 10000.0 AS v1,
+              (q2d - s2d * s2d / n2d) / (n2d - 1.0) / 10000.0 AS v2
+            FROM d),
+      g AS (SELECT *, v1 / n1d + v2 / n2d AS se2 FROM m)
+      SELECT n1, n2, round(m1, 6) AS mean1, round(m2, 6) AS mean2,
+        CASE WHEN n1 > 1 AND n2 > 1 AND se2 > 0.0
+          THEN round((m1 - m2) / sqrt(se2), 6) END AS t,
+        CASE WHEN n1 > 1 AND n2 > 1 AND se2 > 0.0
+          THEN round(se2 * se2
+            / ((v1 / n1d) * (v1 / n1d) / (n1d - 1.0)
+              + (v2 / n2d) * (v2 / n2d) / (n2d - 1.0)), 4) END AS df
+      FROM g"""))
+
   val all: Seq[Q] = Seq(qOutliers, qAssociation, qJsdDrift, qValidate,
     qChi2Drift, qNullPatterns, qFdCheck, qWassersteinDrift, qOrphans,
     qFanout, qEmbedNorms, qKeySkew, qPctRank, qBloomPrune, qPsiSweep,
     qPairRules, qSplitAssign, qQqTable, qWinsorized, qGini, qWoe,
-    qTargetEnc, qRobustZ, qWeightedQuantiles, qSegmentPsi)
+    qTargetEnc, qRobustZ, qWeightedQuantiles, qSegmentPsi,
+    qMannWhitney, qWelchT)
 }

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+
+class HypothesisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mannWhitneyU: hand-computed small case, no ties") {
+    // A = {1, 2}, B = {3}: ranks 1,2,3 -> R1 = 3, U1 = 0,
+    // mu = 1, sig2 = (2*1/12)*4 = 2/3, z = -1/sqrt(2/3)
+    val df = Seq((1.0, "a"), (2.0, "a"), (3.0, "b")).toDF("v", "g")
+    val r = Hypothesis.mannWhitneyU(df, "v", col("g") === "a").head()
+    assert(r.getLong(0) == 2 && r.getLong(1) == 1)
+    assert(r.getDouble(2) == 0.0)
+    assert(r.getDouble(3) == BigDecimal(-1.0 / math.sqrt(2.0 / 3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("mannWhitneyU: all values tied -> degenerate variance, z null") {
+    val df = Seq((1.0, "a"), (1.0, "a"), (1.0, "b")).toDF("v", "g")
+    val r = Hypothesis.mannWhitneyU(df, "v", col("g") === "a").head()
+    // avgrank = 2 for everyone: R1 = 4, U1 = 4 - 3 = 1
+    assert(r.getDouble(2) == 1.0)
+    assert(r.isNullAt(3))
+  }
+
+  test("mannWhitneyU: tie correction matches closed form") {
+    // A = {1, 2, 2}, B = {2, 3}: ranks 1, 3, 3, 3, 5
+    // R1 = 7, U1 = 7 - 6 = 1, mu = 3,
+    // T = 3^3 - 3 = 24, sig2 = (6/12) * (6 - 24/20) = 2.4
+    val df = Seq((1.0, true), (2.0, true), (2.0, true),
+      (2.0, false), (3.0, false)).toDF("v", "a")
+    val r = Hypothesis.mannWhitneyU(df, "v", col("a")).head()
+    assert(r.getDouble(2) == 1.0)
+    assert(r.getDouble(3) == BigDecimal(-2.0 / math.sqrt(2.4))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // null values / null groups dropped
+    val withNulls = df.union(Seq((Double.NaN, true)).toDF("v", "a"))
+      .union(Seq((None: Option[Double], Some(true))).toDF("v", "a"))
+    val r2 = Hypothesis.mannWhitneyU(withNulls, "v", col("a")).head()
+    assert(r2.getLong(0) == 3 && r2.getLong(1) == 2)
+    assert(r2.getDouble(2) == r.getDouble(2))
+  }
+
+  test("welchT: hand-computed two-group case") {
+    // A = {1,2,3}: m=2, v=1; B = {2,4}: m=3, v=2
+    // se2 = 1/3 + 1 = 4/3, t = -1/sqrt(4/3), df = (4/3)^2 / (1/18 + 1)
+    val df = Seq((1.0, true), (2.0, true), (3.0, true),
+      (2.0, false), (4.0, false)).toDF("v", "a")
+    val r = Hypothesis.welchT(df, "v", col("a")).head()
+    assert(r.getLong(0) == 3 && r.getLong(1) == 2)
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 3.0)
+    val se2 = 1.0 / 3.0 / 3.0 * 3.0 + 2.0 / 2.0 // v1/n1 + v2/n2
+    assert(r.getDouble(4) == BigDecimal(-1.0 / math.sqrt(se2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val dfExp = se2 * se2 /
+      ((1.0 / 3.0) * (1.0 / 3.0) / 2.0 + 1.0 * 1.0 / 1.0)
+    assert(r.getDouble(5) == BigDecimal(dfExp)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("welchT: singleton group or zero variance -> t/df null") {
+    val single = Seq((1.0, true), (2.0, false), (3.0, false))
+      .toDF("v", "a")
+    val r1 = Hypothesis.welchT(single, "v", col("a")).head()
+    assert(r1.isNullAt(4) && r1.isNullAt(5))
+    val flat = Seq((1.0, true), (1.0, true), (1.0, false), (1.0, false))
+      .toDF("v", "a")
+    val r2 = Hypothesis.welchT(flat, "v", col("a")).head()
+    assert(r2.isNullAt(4) && r2.isNullAt(5))
+    assert(r2.getDouble(2) == 1.0 && r2.getDouble(3) == 1.0)
+  }
+}
