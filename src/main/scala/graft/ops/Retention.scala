@@ -48,4 +48,54 @@ object Retention {
         (col("wk") - col("cohort")).as("period_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Kaplan-Meier survival curve from per-subject (duration, observed)
+    * rows — durations with `observed` true are churn/death events,
+    * false are right-censored (still active at last sight). `durCol`
+    * must be QUANTIZED time units (days, weeks): the curve has one row
+    * per distinct death time, and the cumulative-product windows run
+    * on the aggregated per-duration table, which is bounded by the
+    * duration grid, never the subject count (the same bounded-window
+    * contract as the vocabulary ranking).
+    *
+    * At each death time t_i: n_risk = subjects with duration ≥ t_i
+    * (censored-at-t_i counted at risk, the standard convention),
+    * d = deaths at t_i, and S(t_i) = Π_{j≤i} (1 − d_j/n_j), computed
+    * as exp(Σ ln) — both factors accumulate in duration order, so the
+    * float sequence is identical in any engine; a d = n_risk final
+    * step short-circuits to exactly 0 rather than ln(0). One
+    * groupBy(duration) shuffle; everything after runs on the bounded
+    * grid. Returns (t, n_risk, d, surv) for death times, ordered by
+    * t, surv 6dp-rounded. */
+  def kaplanMeier(
+      df: DataFrame, durCol: String, obsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dur = col(durCol).cast("long")
+    val obs = col(obsCol).cast("boolean")
+    val c = df
+      .where(dur.isNotNull && obs.isNotNull)
+      .select(dur.as("__t"), obs.as("__o"))
+      .groupBy("__t")
+      .agg(count(lit(1)).as("cnt"), count(when(col("__o"), 1)).as("d"))
+    val totals = c.agg(sum(col("cnt")).as("total"))
+    // prior = subjects with strictly smaller duration (exclusive
+    // prefix over the bounded duration grid)
+    val wPrior = Window.orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dd = col("d").cast("double")
+    val nd = col("n_risk").cast("double")
+    c.crossJoin(totals)
+      .withColumn("n_risk",
+        col("total") - coalesce(sum(col("cnt")).over(wPrior), lit(0L)))
+      .where(col("d") > 0)
+      .withColumn("__cum",
+        sum(when(col("d") < col("n_risk"), log(lit(1.0) - dd / nd)))
+          .over(wCum))
+      .select(col("__t").as("t"), col("n_risk"), col("d"),
+        when(col("d") === col("n_risk"), lit(0.0))
+          .otherwise(round(exp(col("__cum")), 6)).as("surv"))
+      .orderBy("t")
+  }
 }

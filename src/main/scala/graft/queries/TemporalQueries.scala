@@ -288,6 +288,59 @@ object TemporalQueries {
         END AS acf
       FROM agg ORDER BY lag"""))
 
+  /** Kaplan-Meier user-lifetime curve ([[graft.ops.Retention
+    * .kaplanMeier]]): per-user lifetime = last − first activity in
+    * whole days; churn observed when the user's last event precedes
+    * the stream's end by > 1 day, censored otherwise. Both engines
+    * accumulate the survival product as exp(Σ ln) in duration order,
+    * so the float sequence is identical; d = n_risk short-circuits to
+    * exact 0. */
+  val qKaplanMeier = Q(
+    "q131_km_retention",
+    (s, dir) => {
+      val dayUs = 86400000000L
+      val ev = table(s, dir, "events")
+        .where(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id").as("u"), expr("ts div 1000").as("tus"))
+      val per = ev.groupBy("u")
+        .agg(min(col("tus")).as("f"), max(col("tus")).as("l"))
+      val glob = ev.agg(max(col("tus")).as("gm"))
+      val rows = per.crossJoin(glob).select(
+        expr(s"(l - f) div $dayUs").as("dur"),
+        (col("l") < col("gm") - lit(dayUs)).as("obs"))
+      graft.ops.Retention.kaplanMeier(rows, "dur", "obs")
+    },
+    Some("""WITH ev AS (SELECT user_id AS u, epoch_us(ts) AS tus
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      per AS (SELECT u, min(tus) AS f, max(tus) AS l
+              FROM ev GROUP BY u),
+      g AS (SELECT max(tus) AS gm FROM ev),
+      rows_ AS (SELECT (l - f) // 86400000000 AS dur,
+                  l < gm - 86400000000 AS obs FROM per, g),
+      c AS (SELECT dur, count(*) AS cnt,
+              count(CASE WHEN obs THEN 1 END) AS d
+            FROM rows_ GROUP BY dur),
+      tt AS (SELECT sum(cnt) AS total FROM c),
+      r AS (SELECT dur, cnt, d,
+              CAST(total - coalesce(sum(cnt) OVER (ORDER BY dur
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS n_risk
+            FROM c, tt),
+      e AS (SELECT dur, n_risk, CAST(d AS BIGINT) AS d FROM r
+            WHERE d > 0),
+      sv AS (SELECT dur, n_risk, d,
+              sum(CASE WHEN d < n_risk THEN ln(1.0
+                - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)) END)
+                OVER (ORDER BY dur
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS cum
+            FROM e)
+      SELECT dur AS t, n_risk, d,
+        CASE WHEN d = n_risk THEN 0.0 ELSE round(exp(cum), 6) END
+          AS surv
+      FROM sv ORDER BY t"""))
+
   val all: Seq[Q] = Seq(qSessionize, qAsofJoin, qRangeJoin, qFunnel,
-    qRolling, qTransitions, qAttribution, qRetention, qCountAcf)
+    qRolling, qTransitions, qAttribution, qRetention, qCountAcf,
+    qKaplanMeier)
 }

@@ -297,6 +297,21 @@ class TemporalSpec extends SparkSpec {
       .toMap
     assert(neg == Map((-1L, 0L) -> 1L, (-1L, 1L) -> 1L))
   }
+  test("kaplanMeier: hand-computed curve, censoring, exhausted risk set") {
+    val rows = Seq((1L, true), (1L, true), (2L, false), (3L, true),
+      (3L, false), (5L, true)).toDF("dur", "obs")
+    val got = graft.ops.Retention.kaplanMeier(rows, "dur", "obs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // S(1) = 4/6, S(3) = 4/6 * 2/3, S(5): d = n_risk -> exact 0
+    assert(got.toSeq == Seq((1L, 6L, 2L, 0.666667),
+      (3L, 3L, 1L, 0.444444), (5L, 1L, 1L, 0.0)))
+    // all censored: no death times, empty curve
+    assert(graft.ops.Retention.kaplanMeier(
+      Seq((1L, false), (2L, false)).toDF("dur", "obs"), "dur", "obs")
+      .count() == 0)
+  }
+
   test("countAcf: perfect periodicity 1.0, gaps zero-filled, constant null") {
     import org.apache.spark.sql.functions.col
     // periods 0..11 alternate 2,0,2,0... events only in even periods:
