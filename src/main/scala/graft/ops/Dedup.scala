@@ -636,6 +636,68 @@ object Dedup {
           .as("dup_frac"))
   }
 
+  /** Pairwise corpus-overlap matrix: exact shingle-set Jaccard between
+    * GROUPS of documents (sources, snapshots, shards) — the "how much
+    * does crawl A overlap crawl B" diagnostic run before mixing
+    * corpora. Collapses to distinct (group, shingle) first (the group
+    * is the set-union of its documents' shingles), sizes each group,
+    * then counts intersections through a shingle-keyed self-join whose
+    * fanout per shingle is bounded by the GROUP count squared — never
+    * by documents — so the plan survives any corpus size with a
+    * bounded group set. Groups with zero shared shingles are omitted.
+    * At a group count large enough that the pair matrix itself is the
+    * problem, switch to [[minhashSignatures]] per group and estimate.
+    * Returns (grp_a, grp_b, sz_a, sz_b, common, jaccard) with
+    * grp_a < grp_b, jaccard 6dp-rounded. */
+  def groupShingleOverlap(
+      df: DataFrame, groupCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val sh = df
+      .where(col(groupCol).isNotNull && col(textCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        explode(graft.functions.WordNgramsExpr
+          .ngrams(col(textCol), n, distinct = true)).as("g"))
+      .distinct()
+    val sz = sh.groupBy("grp").agg(count(lit(1)).as("sz"))
+    val common = sh.select(col("grp").as("grp_a"), col("g"))
+      .join(sh.select(col("grp").as("grp_b"), col("g")), "g")
+      .where(col("grp_a") < col("grp_b"))
+      .groupBy("grp_a", "grp_b")
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sz.select(col("grp").as("grp_a"), col("sz").as("sz_a")),
+        "grp_a")
+      .join(sz.select(col("grp").as("grp_b"), col("sz").as("sz_b")),
+        "grp_b")
+      .select(col("grp_a"), col("grp_b"), col("sz_a"), col("sz_b"),
+        col("common"),
+        round(col("common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("common")), 6).as("jaccard"))
+  }
+
+  /** Per-document n-gram contamination rate against a benchmark
+    * corpus — the eval-leakage screen (WMT/GPT-style n-gram overlap):
+    * for each document, the fraction of its DISTINCT word n-grams
+    * that appear anywhere in the benchmark. The benchmark gram set is
+    * explicitly broadcast — eval suites are tiny next to a training
+    * corpus; for a benchmark too large to broadcast, pre-filter with
+    * the Bloom path ([[BloomPrune]], the q99 pattern) and exact-join
+    * the survivors. Documents with fewer than n words yield no rows.
+    * Returns (idCol, n_grams, n_hit, contamination), 6dp-rounded. */
+  def ngramContamination(
+      docs: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val dg = wordShingleTable(docs, idCol, textCol, n)
+    val bg = wordShingleTable(bench, idCol, textCol, n)
+      .select(col("g"), lit(1).as("__hit")).distinct()
+    dg.join(broadcast(bg), Seq("g"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_hit"))
+      .select(col("id").as(idCol), col("n_grams"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_grams"), 6)
+          .as("contamination"))
+  }
+
   /** End-to-end near-dup dedup: collapse `pairs` into clusters
     * ([[connectedComponents]]) and keep ONE canonical row per cluster —
     * the one whose id equals the component label (= min id, deterministic)

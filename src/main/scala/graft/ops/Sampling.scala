@@ -209,4 +209,30 @@ object Sampling {
     }.reduce(_ + _)
     df.agg(sum(perRow).as("est_bytes"), count(lit(1)).as("n_rows"))
   }
+
+  /** Temperature-weighted source mixing: sampling probability per
+    * source ∝ n_tokens^alpha — alpha = 1 is proportional (big sources
+    * dominate), alpha = 0 uniform, the 0.2–0.7 band is the standard
+    * up-weighting of small high-quality sources when composing a
+    * training mix. One groupBy(source) over codegen'd token counts
+    * plus a single-row total — the weight table is source-sized,
+    * never corpus-sized. Returns (groupCol, n_docs, n_tokens,
+    * weight), weight 6dp-rounded, ordered by group. */
+  def sourceMixWeights(
+      df: DataFrame, groupCol: String, textCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha >= 0, "alpha must be >= 0")
+    val toks = size(graft.ops.TextAnalysis.words(col(textCol)))
+      .cast("long")
+    val agg = df
+      .where(col(groupCol).isNotNull && col(textCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n_docs"), sum(toks).as("n_tokens"))
+      .withColumn("__w", pow(col("n_tokens").cast("double"), lit(alpha)))
+    val tot = agg.agg(sum(col("__w")).as("__tw"))
+    agg.crossJoin(tot)
+      .select(col("grp").as(groupCol), col("n_docs"), col("n_tokens"),
+        round(col("__w") / col("__tw"), 6).as("weight"))
+      .orderBy(groupCol)
+  }
 }

@@ -495,4 +495,27 @@ object TextAnalysis {
         array_join(slice(col("ws"), col("start") + 1, lit(chunkSize)), " ")
           .as("chunk"))
   }
+
+  /** Corpus-level most-repeated word n-grams — the memorization /
+    * boilerplate diagnostic (the corpus-wide complement of the per-doc
+    * [[dup n-gram fraction|repetitionTable]]): every occurrence counts
+    * (NOT per-doc distinct), alongside the document frequency. One
+    * explode→groupBy with map-side combine, then a bounded
+    * TakeOrdered — counts desc with the gram as deterministic
+    * tie-break, so the top-k edge is reproducible across engines.
+    * Returns (gram, n_occurrences, n_docs), ordered. */
+  def topRepeatedNgrams(
+      df: DataFrame, idCol: String, textCol: String, n: Int,
+      k: Int): DataFrame = {
+    require(n >= 1 && k >= 1, "n and k must be >= 1")
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        explode(graft.functions.WordNgramsExpr
+          .ngrams(col(textCol), n, distinct = false)).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("__id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("gram"))
+      .limit(k)
+  }
 }

@@ -1458,8 +1458,94 @@ object PipelineQueries {
       WHERE c12 >= 5
       ORDER BY pmi DESC, bigram LIMIT 25"""))
 
+  /** Source-overlap matrix ([[Dedup.groupShingleOverlap]]): exact
+    * 3-gram-shingle Jaccard between source crawls — the mix-planning
+    * diagnostic. The shingle self-join's fanout is bounded by the
+    * source count squared per shingle. */
+  val qSourceOverlap = Q(
+    "q127_source_overlap",
+    (s, dir) => Dedup.groupShingleOverlap(
+        table(s, dir, "documents"), "source", "text", 3)
+      .orderBy("grp_a", "grp_b"),
+    Some(s"""WITH w AS (SELECT source, $dkWords AS ws FROM documents
+        WHERE source IS NOT NULL AND text IS NOT NULL),
+      sh AS (SELECT DISTINCT source AS grp, unnest(list_distinct(
+               [array_to_string(ws[i:i+2], ' ')
+                for i in range(1, len(ws) - 1)])) AS g
+             FROM w WHERE len(ws) >= 3),
+      sz AS (SELECT grp, count(*) AS sz FROM sh GROUP BY grp),
+      cm AS (SELECT a.grp AS grp_a, b.grp AS grp_b, count(*) AS common
+             FROM sh a JOIN sh b ON a.g = b.g AND a.grp < b.grp
+             GROUP BY 1, 2)
+      SELECT grp_a, grp_b, sa.sz AS sz_a, sb.sz AS sz_b, common,
+        round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6)
+          AS jaccard
+      FROM cm JOIN sz sa ON sa.grp = grp_a JOIN sz sb ON sb.grp = grp_b
+      ORDER BY grp_a, grp_b"""))
+
+  /** Temperature-weighted source mix ([[Sampling.sourceMixWeights]])
+    * at alpha = 0.5 — the up-weight-small-sources sampling table. */
+  val qSourceMix = Q(
+    "q128_source_mix",
+    (s, dir) => Sampling.sourceMixWeights(
+      table(s, dir, "documents"), "source", "text", 0.5),
+    Some(s"""WITH a AS (SELECT source, count(*) AS n_docs,
+          CAST(sum(len($dkWords)) AS BIGINT) AS n_tokens
+        FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
+        GROUP BY source),
+      w AS (SELECT *, power(CAST(n_tokens AS DOUBLE), 0.5) AS pw FROM a),
+      t AS (SELECT sum(pw) AS tw FROM w)
+      SELECT source, n_docs, n_tokens, round(pw / tw, 6) AS weight
+      FROM w, t ORDER BY source"""))
+
+  /** Benchmark-contamination screen ([[Dedup.ngramContamination]]):
+    * per-doc fraction of distinct 5-grams present in the held-out
+    * benchmark slice (doc_id ≡ 0 mod 17) — the eval-leakage check. */
+  val qContamination = Q(
+    "q129_contamination",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      Dedup.ngramContamination(
+          docs.where(col("doc_id") % 17 =!= 0),
+          docs.where(col("doc_id") % 17 === 0),
+          "doc_id", "text", 5)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH w AS (SELECT doc_id, $dkWords AS ws FROM documents),
+      dg AS (SELECT doc_id, unnest(list_distinct(
+               [array_to_string(ws[i:i+4], ' ')
+                for i in range(1, len(ws) - 3)])) AS g
+             FROM w WHERE len(ws) >= 5 AND doc_id % 17 <> 0),
+      bg AS (SELECT DISTINCT unnest(list_distinct(
+               [array_to_string(ws[i:i+4], ' ')
+                for i in range(1, len(ws) - 3)])) AS g
+             FROM w WHERE len(ws) >= 5 AND doc_id % 17 = 0)
+      SELECT doc_id, count(*) AS n_grams, count(bg.g) AS n_hit,
+        round(CAST(count(bg.g) AS DOUBLE) / count(*), 6)
+          AS contamination
+      FROM dg LEFT JOIN bg ON dg.g = bg.g
+      GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Corpus-wide most-repeated 6-grams
+    * ([[TextAnalysis.topRepeatedNgrams]]): every occurrence counted,
+    * deterministic (count desc, gram) top-k edge. */
+  val qTopNgrams = Q(
+    "q132_top_ngrams",
+    (s, dir) => TextAnalysis.topRepeatedNgrams(
+      table(s, dir, "documents"), "doc_id", "text", 6, 25),
+    Some(s"""WITH w AS (SELECT doc_id, $dkWords AS ws FROM documents
+        WHERE text IS NOT NULL),
+      g AS (SELECT doc_id, unnest([array_to_string(ws[i:i+5], ' ')
+              for i in range(1, len(ws) - 4)]) AS gram
+            FROM w WHERE len(ws) >= 6)
+      SELECT gram, count(*) AS n_occurrences,
+        count(DISTINCT doc_id) AS n_docs
+      FROM g GROUP BY gram
+      ORDER BY n_occurrences DESC, gram LIMIT 25"""))
+
   val all: Seq[Q] = Seq(
     qVocabulary, qVocabEncode, qBigramPmi,
+    qSourceOverlap, qSourceMix, qContamination, qTopNgrams,
     qDedupExact, qNgramJaccard, qDedupClusters, qDedupCanonical, qFuzzyJoin,
     qNameEntities, qNovelty, qInvertedIndex, qCharEntropy,
     qDecontamination, qChunking, qLineDedup, qMixStats, qNormalize,

@@ -639,4 +639,62 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(gotB == wantB)
   }
+
+  test("groupShingleOverlap: exact Jaccard between group shingle unions") {
+    // A: {"a b c","b c d"}; B: {"a b c","b c x"}; C: disjoint
+    val docs = Seq(("A", "a b c d"), ("B", "a b c x"), ("C", "p q r s"))
+      .toDF("src", "text")
+    val got = Dedup.groupShingleOverlap(docs, "src", "text", 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(("A", "B", 2L, 2L, 1L, 0.333333)))
+    // union semantics: two docs in one group pool their shingles
+    val pooled = Seq(("A", "a b c"), ("A", "b c d"), ("B", "a b c d"))
+      .toDF("src", "text")
+    val g2 = Dedup.groupShingleOverlap(pooled, "src", "text", 3).head()
+    assert((g2.getLong(2), g2.getLong(3), g2.getLong(4)) == (2L, 2L, 2L)
+      && g2.getDouble(5) == 1.0)
+  }
+
+  test("ngramContamination: hit fraction against a benchmark slice") {
+    val bench = Seq((100L, "a b c d e f")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b c d e x"), // "a b c d e" hits, "b c d e x" misses
+      (2L, "p q r s t u"), // nothing hits
+      (3L, "a b")          // < n words: no row
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramContamination(docs, bench, "doc_id", "text", 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 2L, 1L, 0.5), (2L, 2L, 0L, 0.0)))
+  }
+
+  test("topRepeatedNgrams: occurrence counts, doc freq, tie order") {
+    val docs = Seq(
+      (1L, "x y z x y z"),   // "x y z" twice (+ bridges "y z x","z x y")
+      (2L, "x y z w"),       // "x y z" once, "y z w" once
+      (3L, "q r s")).toDF("doc_id", "text")
+    val got = TextAnalysis.topRepeatedNgrams(docs, "doc_id", "text", 3, 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.head == ("x y z", 3L, 2L))
+    // count-1 grams tie: lexicographic gram order breaks them
+    assert(got.drop(1).map(_._1).toSeq ==
+      got.drop(1).map(_._1).toSeq.sorted)
+    assert(got.forall(_._2 <= 3L))
+  }
+
+  test("sourceMixWeights: alpha=0.5 up-weights small sources") {
+    val docs = Seq(
+      ("big", "w1 w2 w3 w4 w5 w6 w7 w8 w9"), // 9 tokens
+      ("small", "w1 w2 w3 w4")).toDF("src", "text") // 4 tokens
+    val got = Sampling.sourceMixWeights(docs, "src", "text", 0.5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // sqrt(9)/(sqrt(9)+sqrt(4)) = 0.6 — vs 9/13 = 0.69 proportional
+    assert(got.toSeq == Seq(("big", 1L, 9L, 0.6), ("small", 1L, 4L, 0.4)))
+    // alpha=0 is uniform
+    val uni = Sampling.sourceMixWeights(docs, "src", "text", 0.0)
+      .collect().map(_.getDouble(3))
+    assert(uni.toSeq == Seq(0.5, 0.5))
+  }
 }
