@@ -70,4 +70,36 @@ object Sessionize {
         sum(col(valueCol).cast(DecimalType(18, 6))).cast("double")
           .as("sum_value"))
   }
+
+  /** Top within-session event paths: the k most frequent runs of
+    * `len` CONSECUTIVE `typeCol` values inside a session (same key,
+    * same gap-session) — the "what do users actually do" sequence
+    * mining pass. Consecutive means adjacent in the (time, tieBreak)
+    * order; a path never crosses a session boundary (leads are
+    * partitioned by (key, session_id)). One sessionize window + len−1
+    * leads over the same partitioning (single shuffle), a
+    * groupBy(path) with map-side combine, then a bounded TakeOrdered
+    * with (count desc, path) as the deterministic edge. Returns
+    * (path, n) — path is " > "-joined — ordered. */
+  def topPaths(
+      df: DataFrame, key: String, time: String, typeCol: String,
+      gap: Long, len: Int, k: Int,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    require(len >= 2, "len must be >= 2")
+    require(k >= 1, "k must be >= 1")
+    val order: Seq[Column] = (col(time) +: tieBreak.map(col)).map(_.asc)
+    val w = Window.partitionBy(col(key), col("session_id"))
+      .orderBy(order: _*)
+    val steps: Seq[Column] = col(typeCol) +:
+      (1 until len).map(i => lead(col(typeCol), i).over(w))
+    sessionize(df.where(col(key).isNotNull && col(time).isNotNull &&
+        col(typeCol).isNotNull), key, time, gap, tieBreak)
+      .withColumn("path", concat_ws(" > ", steps: _*))
+      // a lead that ran off the session end leaves a short path —
+      // exactly len joined parts means all steps were present
+      .where(size(split(col("path"), " > ")) === len)
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+  }
 }

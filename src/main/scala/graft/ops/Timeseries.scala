@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Time-series diagnostics over an event stream — seasonality and
@@ -74,6 +74,69 @@ object Timeseries {
             val vy = kd * col("syy").cast("double") - sy * sy
             when(vx > 0 && vy > 0,
               round(num / sqrt(vx * vy), 6)).as("acf")
+          })
+    }
+    perLag.reduce(_ union _).orderBy("lag")
+  }
+
+  /** Lead-lag cross-correlation between two event streams' arrival
+    * counts — "does series A lead series B?": Pearson between A's
+    * zero-filled per-period count at t and B's at t+lag, for each
+    * requested lag (negative = A trails). Same exactness discipline as
+    * [[countAcf]]: integer counts, decimal(19,0) cross-moments (no
+    * float-order hazard), one fixed IEEE fold per lag; the dense axis
+    * is bounded by `maxPeriods` so one corrupt timestamp fails loudly.
+    * Rows matching neither mark are ignored. Returns (lag, n_pairs,
+    * xcorr) ordered by lag; xcorr null when either side is constant
+    * over the overlap. */
+  def crossCountCorr(
+      df: DataFrame, timeCol: String, period: Long,
+      markA: Column, markB: Column, lags: Seq[Int],
+      maxPeriods: Long = 10000000L): DataFrame = {
+    require(period > 0, "period must be positive")
+    require(lags.nonEmpty, "lags must be non-empty")
+    require(!timeCol.contains("`") && !timeCol.contains("'"),
+      "column name must not contain backticks or quotes")
+    val spark = df.sparkSession
+    val b = df
+      .where(col(timeCol).isNotNull && (markA || markB))
+      .select(expr(s"(`$timeCol` - pmod(`$timeCol`, $period)) " +
+        s"div $period").as("t"), markA.as("__a"), markB.as("__b"))
+      .groupBy("t").agg(
+        count(when(col("__a"), 1)).as("ca"),
+        count(when(col("__b"), 1)).as("cb"))
+    val mm = b.agg(min(col("t")), max(col("t"))).head()
+    require(!mm.isNullAt(0), "no rows match either mark")
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    require(hi - lo < maxPeriods,
+      s"time span ${hi - lo} periods exceeds maxPeriods=$maxPeriods — " +
+        "corrupt timestamps? filter the input or raise maxPeriods")
+    val dense = spark.range(lo, hi + 1).toDF("t")
+      .join(b, Seq("t"), "left")
+      .withColumn("ca", coalesce(col("ca"), lit(0L)))
+      .withColumn("cb", coalesce(col("cb"), lit(0L)))
+      .localCheckpoint(false)
+    val perLag = lags.map { l =>
+      val xd = col("x").cast("decimal(19,0)")
+      val yd = col("y").cast("decimal(19,0)")
+      dense.select(col("t"), col("ca").as("x"))
+        .join(dense.select((col("t") - lit(l.toLong)).as("t"),
+          col("cb").as("y")), "t")
+        .agg(
+          count(lit(1)).as("k"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(xd * yd).as("sxy"),
+          sum(xd * xd).as("sxx"), sum(yd * yd).as("syy"))
+        .select(lit(l.toLong).as("lag"), col("k").as("n_pairs"),
+          {
+            val kd = col("k").cast("double")
+            val sx = col("sx").cast("double")
+            val sy = col("sy").cast("double")
+            val num = kd * col("sxy").cast("double") - sx * sy
+            val vx = kd * col("sxx").cast("double") - sx * sx
+            val vy = kd * col("syy").cast("double") - sy * sy
+            when(vx > 0 && vy > 0,
+              round(num / sqrt(vx * vy), 6)).as("xcorr")
           })
     }
     perLag.reduce(_ union _).orderBy("lag")

@@ -340,7 +340,84 @@ object TemporalQueries {
           AS surv
       FROM sv ORDER BY t"""))
 
+  /** Lead-lag cross-correlation ([[graft.ops.Timeseries
+    * .crossCountCorr]]): hourly error arrivals vs purchase arrivals at
+    * ±hour offsets — "does one stream lead the other". Integer counts
+    * and decimal cross-moments as in q126. */
+  val qXcorr = Q(
+    "q134_xcorr",
+    (s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(expr("ts div 1000").as("tus"), col("event_type"))
+      graft.ops.Timeseries.crossCountCorr(
+        ev, "tus", 3600000000L,
+        col("event_type") === "error", col("event_type") === "purchase",
+        Seq(-12, -6, -3, -1, 0, 1, 3, 6, 12))
+    },
+    Some("""WITH b AS (SELECT epoch_us(ts) // 3600000000 AS t,
+          count(CASE WHEN event_type = 'error' THEN 1 END) AS ca,
+          count(CASE WHEN event_type = 'purchase' THEN 1 END) AS cb
+        FROM events WHERE ts IS NOT NULL
+          AND event_type IN ('error', 'purchase') GROUP BY 1),
+      mm AS (SELECT min(t) AS lo, max(t) AS hi FROM b),
+      ax AS (SELECT unnest(generate_series(lo, hi)) AS t FROM mm),
+      d AS (SELECT ax.t, coalesce(b.ca, 0) AS ca, coalesce(b.cb, 0) AS cb
+            FROM ax LEFT JOIN b ON b.t = ax.t),
+      ls AS (SELECT unnest([-12, -6, -3, -1, 0, 1, 3, 6, 12]) AS lag),
+      p AS (SELECT ls.lag, a.ca AS x, b2.cb AS y
+            FROM ls CROSS JOIN d a
+            JOIN d b2 ON b2.t = a.t + ls.lag),
+      agg AS (SELECT lag, count(*) AS k, sum(x) AS sx, sum(y) AS sy,
+              sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+            FROM p GROUP BY lag)
+      SELECT CAST(lag AS BIGINT) AS lag, k AS n_pairs,
+        CASE WHEN (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+          AND (CAST(k AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+        THEN round((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / sqrt((CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * (CAST(k AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        END AS xcorr
+      FROM agg ORDER BY lag"""))
+
+  /** Top within-session event paths ([[graft.ops.Sessionize
+    * .topPaths]]): most frequent 3-step consecutive event-type runs
+    * inside 8h-gap sessions, deterministic (count desc, path) edge. */
+  val qTopPaths = Q(
+    "q135_top_paths",
+    (s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts div 1000").as("tus"))
+      graft.ops.Sessionize.topPaths(
+        ev, "user_id", "tus", "event_type", 8 * HourUs, 3, 25,
+        tieBreak = Seq("event_id"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+          event_type FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND event_type IS NOT NULL),
+      d AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+               OR tus - lag(tus) OVER w > 28800000000
+             THEN 1 ELSE 0 END AS is_new
+            FROM e WINDOW w AS (PARTITION BY user_id
+              ORDER BY tus, event_id)),
+      g AS (SELECT user_id, tus, event_id, event_type,
+              sum(is_new) OVER (PARTITION BY user_id
+                ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS sid
+            FROM d),
+      p AS (SELECT event_type || ' > ' || lead(event_type, 1) OVER w2
+              || ' > ' || lead(event_type, 2) OVER w2 AS path
+            FROM g WINDOW w2 AS (PARTITION BY user_id, sid
+              ORDER BY tus, event_id))
+      SELECT path, count(*) AS n FROM p WHERE path IS NOT NULL
+      GROUP BY path ORDER BY n DESC, path LIMIT 25"""))
+
   val all: Seq[Q] = Seq(qSessionize, qAsofJoin, qRangeJoin, qFunnel,
     qRolling, qTransitions, qAttribution, qRetention, qCountAcf,
-    qKaplanMeier)
+    qKaplanMeier, qXcorr, qTopPaths)
 }

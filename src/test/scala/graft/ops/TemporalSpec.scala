@@ -297,6 +297,47 @@ class TemporalSpec extends SparkSpec {
       .toMap
     assert(neg == Map((-1L, 0L) -> 1L, (-1L, 1L) -> 1L))
   }
+  test("crossCountCorr: shifted copy peaks at the shift lag") {
+    import org.apache.spark.sql.functions.col
+    // A fires at periods 0,2,4; B at 2,4,6 (A shifted +2)
+    val rows = (Seq(0L, 2L, 4L).map(p => (p * 10L, "a")) ++
+      Seq(2L, 4L, 6L).map(p => (p * 10L, "b"))).toDF("t", "k")
+    val got = graft.ops.Timeseries.crossCountCorr(
+        rows, "t", 10L, col("k") === "a", col("k") === "b",
+        Seq(0, 2))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(2)) None
+        else Some(r.getDouble(2)))).toMap
+    // at lag 2 the overlap [0..4] aligns perfectly: corr = 1.0
+    assert(got(2L) == Some(1.0))
+    assert(got(0L).get < 1.0)
+    // degenerate: B constant over the overlap -> null
+    val const = (Seq(0L, 1L, 2L).map(p => (p * 10L, "a")) ++
+      Seq(0L, 1L, 2L).map(p => (p * 10L, "b"))).toDF("t", "k")
+    val c = graft.ops.Timeseries.crossCountCorr(
+      const, "t", 10L, col("k") === "a", col("k") === "b", Seq(1))
+      .head()
+    assert(c.isNullAt(2))
+  }
+
+  test("topPaths: counts consecutive runs, never crosses sessions") {
+    // user 1: a,b,c,a,b,c within one session -> "a>b>c" x2 plus bridges
+    val gap = 100L
+    val e1 = Seq("a", "b", "c", "a", "b", "c").zipWithIndex.map {
+      case (t, i) => (1L, i.toLong, t, i.toLong * 10) }
+    // user 2: a,b then a SESSION BREAK then c — no a>b>c path
+    val e2 = Seq((2L, 10L, "a", 0L), (2L, 11L, "b", 10L),
+      (2L, 12L, "c", 500L))
+    val df = (e1 ++ e2).toDF("u", "eid", "et", "t")
+    val got = graft.ops.Sessionize.topPaths(
+        df, "u", "t", "et", gap, 3, 10, tieBreak = Seq("eid"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("a > b > c") == 2L)
+    assert(got.get("b > c > a").contains(1L))
+    assert(!got.keys.exists(_.contains("b > c > c")))
+    // user 2 contributed nothing (its triple spans the break)
+    assert(got.values.sum == 4L) // abc, bca, cab, abc
+  }
+
   test("kaplanMeier: hand-computed curve, censoring, exhausted risk set") {
     val rows = Seq((1L, true), (1L, true), (2L, false), (3L, true),
       (3L, false), (5L, true)).toDF("dur", "obs")
