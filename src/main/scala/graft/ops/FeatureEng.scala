@@ -94,4 +94,95 @@ object FeatureEng {
             lit(m) * (col("totPos") / col("tot").cast("double"))) /
           (col("n") + lit(m)), 6).as("enc"))
   }
+
+  /** Calibration / reliability table: equal-WIDTH score bins vs the
+    * observed positive rate — "does a score of 0.8 mean 80%?". Same
+    * shape as [[woeTable]]: one min/max pre-pass, one fused
+    * map-side-combined count aggregation, ALL bins emitted (empty
+    * ones with n = 0 and a null rate) so the table is a fixed-k
+    * artifact a dashboard can diff across runs. Counts only — no
+    * float accumulation anywhere, so the result is engine- and
+    * partition-order-exact. Returns (bin, n, n_pos, pos_rate)
+    * ordered by bin, rate 6dp. */
+  def calibrationTable(
+      df: DataFrame, scoreCol: String, target: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 1, "bins must be >= 1")
+    val v = col(scoreCol).cast("double")
+    val live = df
+      .where(v.isNotNull && !v.isNaN && target.isNotNull)
+      .select(v.as("__v"), target.as("__t"))
+    val mm = live.agg(min(col("__v")), max(col("__v"))).head()
+    require(!mm.isNullAt(0), s"no live (score, target) rows in `$scoreCol`")
+    val bin = graft.functions.StatFunctions
+      .histogramBin(col("__v"), mm.getDouble(0), mm.getDouble(1), bins)
+    val occupied = live.groupBy(bin.as("bin")).agg(
+      count(lit(1)).as("n"), count(when(col("__t"), 1)).as("n_pos"))
+    live.sparkSession.range(bins.toLong)
+      .select(col("id").cast("int").as("bin"))
+      .join(occupied, Seq("bin"), "left")
+      .na.fill(0L, Seq("n", "n_pos"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        when(col("n") > 0,
+          round(col("n_pos").cast("double") / col("n"), 6)).as("pos_rate"))
+      .orderBy("bin")
+  }
+
+  /** Cumulative gains / lift by descending score decile: bucket 1 is
+    * the top 1/k of scores, lift is that prefix's positive rate over
+    * the base rate — the targeting-efficiency curve. Buckets come
+    * from exact score percentiles (6dp-rounded thresholds, so both
+    * engines cut at bit-identical boundaries; ties share a bucket and
+    * a bucket can be empty under heavy ties — documented, exact).
+    * One percentile pre-pass + one fused count aggregation + a
+    * cumulative window over the k-row bucket table. Returns (bucket,
+    * n, n_pos, cum_n, cum_pos, cum_rate, lift) ordered by bucket,
+    * rates 6dp. */
+  def liftTable(
+      df: DataFrame, scoreCol: String, target: Column,
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, "k must be >= 2")
+    val v = col(scoreCol).cast("double")
+    val live = df
+      .where(v.isNotNull && !v.isNaN && target.isNotNull)
+      .select(v.as("__v"), target.as("__t"))
+    // descending cut points: bucket b = scores in (q_{1-b/k}, q_{1-(b-1)/k}]
+    val probs = (1 until k).map(i => 1.0 - i.toDouble / k)
+    val qRow = live.agg(expr(
+      s"percentile(__v, array(${probs.mkString(",")}))").as("q")).head()
+    require(!qRow.isNullAt(0), s"no live (score, target) rows in `$scoreCol`")
+    val cuts = qRow.getSeq[Double](0).map(x =>
+      new java.math.BigDecimal(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+    // outermost test must be the HIGHEST cut: v above several cuts
+    // belongs to the smallest bucket index (top decile)
+    val bucket = cuts.zipWithIndex.foldRight(lit(k)) {
+      case ((c, i), acc) => when(col("__v") > lit(c), lit(i + 1)).otherwise(acc)
+    }
+    val perBucket = live.groupBy(bucket.as("bucket")).agg(
+      count(lit(1)).as("n"), count(when(col("__t"), 1)).as("n_pos"))
+    val wCum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    live.sparkSession.range(1, k + 1L)
+      .select(col("id").cast("int").as("bucket"))
+      .join(perBucket, Seq("bucket"), "left")
+      .na.fill(0L, Seq("n", "n_pos"))
+      .withColumn("cum_n", sum(col("n")).over(wCum))
+      .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+      .withColumn("__tot_n", max(col("cum_n")).over(Window.orderBy(lit(1))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("__tot_pos", max(col("cum_pos"))
+        .over(Window.orderBy(lit(1))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("bucket"), col("n"), col("n_pos"), col("cum_n"),
+        col("cum_pos"),
+        when(col("cum_n") > 0, round(
+          col("cum_pos").cast("double") / col("cum_n"), 6)).as("cum_rate"),
+        when(col("cum_n") > 0 && col("__tot_pos") > 0, round(
+          (col("cum_pos").cast("double") / col("cum_n")) /
+            (col("__tot_pos").cast("double") / col("__tot_n")), 6))
+          .as("lift"))
+      .orderBy("bucket")
+  }
 }

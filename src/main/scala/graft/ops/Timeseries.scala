@@ -79,6 +79,44 @@ object Timeseries {
     perLag.reduce(_ union _).orderBy("lag")
   }
 
+  /** Global inter-arrival-gap statistics: per-key consecutive time
+    * gaps (one hash-partitioned window — the sessionize shuffle) then
+    * ONE fused corpus aggregate: count, mean, exact p50/p90, and the
+    * coefficient of variation — CV >> 1 is the burstiness signature,
+    * CV ≈ 1 Poisson. Gap sums and squared sums accumulate in
+    * decimal(38,0) (a 30-day micro gap squared is ~7e24, far past
+    * LongType), so mean/std are partition-order-exact; percentiles
+    * use linear interpolation (identical in any engine). Returns one
+    * row: (n_gaps, mean_gap, p50_gap, p90_gap, cv), 6dp-rounded. */
+  def interarrivalStats(
+      df: DataFrame, keyCol: String, timeCol: String,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val order: Seq[Column] = (col(timeCol) +: tieBreak.map(col)).map(_.asc)
+    val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+    val gaps = df
+      .where(col(keyCol).isNotNull && col(timeCol).isNotNull)
+      .withColumn("__g", col(timeCol) - lag(col(timeCol), 1).over(w))
+      .where(col("__g").isNotNull)
+      .select(col("__g").cast("long").as("__g"))
+    val gd = col("__g").cast("decimal(38,0)")
+    val agg = gaps.agg(
+      count(lit(1)).as("n"),
+      sum(gd).as("sg"), sum(gd * col("__g")).as("sg2"),
+      expr("percentile(__g, array(0.5, 0.9))").as("ps"))
+    val nd = col("n").cast("double")
+    val mean = col("sg").cast("double") / nd
+    val std = sqrt((col("sg2").cast("double") -
+      col("sg").cast("double") * col("sg").cast("double") / nd) /
+      (nd - 1.0))
+    agg.select(
+      col("n").as("n_gaps"),
+      round(mean, 6).as("mean_gap"),
+      round(col("ps").getItem(0), 6).as("p50_gap"),
+      round(col("ps").getItem(1), 6).as("p90_gap"),
+      when(col("n") > 1 && mean > 0.0, round(std / mean, 6)).as("cv"))
+  }
+
   /** Lead-lag cross-correlation between two event streams' arrival
     * counts — "does series A lead series B?": Pearson between A's
     * zero-filled per-period count at t and B's at t+lag, for each

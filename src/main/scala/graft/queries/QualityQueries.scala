@@ -803,10 +803,82 @@ object QualityQueries {
               + (v2 / n2d) * (v2 / n2d) / (n2d - 1.0)), 4) END AS df
       FROM g"""))
 
+  /** Calibration table ([[graft.ops.FeatureEng.calibrationTable]]):
+    * equal-width value bins vs observed purchase rate, all bins
+    * emitted — pure counts, engine-exact. */
+  val qCalibration = Q(
+    "q136_calibration",
+    (s, dir) => graft.ops.FeatureEng.calibrationTable(
+      table(s, dir, "events"), "value", col("event_type") === "purchase",
+      bins = 10),
+    Some("""WITH u AS (SELECT CAST(value AS DOUBLE) AS v,
+          event_type = 'purchase' AS t FROM events
+        WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+          AND event_type IS NOT NULL),
+      st AS (SELECT min(v) AS mn, max(v) AS mx FROM u),
+      b AS (SELECT CAST(least(floor((v - mn) / ((mx - mn) / 10)), 9)
+              AS INT) AS bin, t FROM u, st),
+      m0 AS (SELECT bin, count(*) AS n,
+              count(CASE WHEN t THEN 1 END) AS n_pos
+            FROM b GROUP BY bin),
+      ax AS (SELECT unnest(generate_series(0, 9)) AS bin),
+      m AS (SELECT ax.bin, coalesce(m0.n, 0) AS n,
+              coalesce(m0.n_pos, 0) AS n_pos
+            FROM ax LEFT JOIN m0 ON m0.bin = ax.bin)
+      SELECT bin, n, n_pos,
+        CASE WHEN n > 0 THEN round(CAST(n_pos AS DOUBLE) / n, 6) END
+          AS pos_rate
+      FROM m ORDER BY bin"""))
+
+  /** Cumulative gains / lift ([[graft.ops.FeatureEng.liftTable]]):
+    * descending value deciles vs purchase rate. Cut points are exact
+    * percentiles 6dp-rounded on BOTH sides, and the probe
+    * probabilities are embedded from the same Scala doubles the Spark
+    * side computes with (the 1.0 − i/10 ulp trap). */
+  val qLift = Q(
+    "q137_lift",
+    (s, dir) => graft.ops.FeatureEng.liftTable(
+      table(s, dir, "events"), "value", col("event_type") === "purchase",
+      k = 10),
+    Some {
+      val probs = (1 until 10).map(i => 1.0 - i.toDouble / 10)
+      val cases = (1 to 9)
+        .map(i => s"WHEN v > cs[$i] THEN $i").mkString(" ")
+      s"""WITH u AS (SELECT CAST(value AS DOUBLE) AS v,
+          event_type = 'purchase' AS t FROM events
+        WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+          AND event_type IS NOT NULL),
+      cuts AS (SELECT [round(x, 6) for x in
+          quantile_cont(v, [${probs.mkString(", ")}])] AS cs FROM u),
+      b AS (SELECT CASE $cases ELSE 10 END AS bucket, t FROM u, cuts),
+      m0 AS (SELECT bucket, count(*) AS n,
+              count(CASE WHEN t THEN 1 END) AS n_pos
+            FROM b GROUP BY bucket),
+      ax AS (SELECT unnest(generate_series(1, 10)) AS bucket),
+      m AS (SELECT ax.bucket, coalesce(m0.n, 0) AS n,
+              coalesce(m0.n_pos, 0) AS n_pos
+            FROM ax LEFT JOIN m0 ON m0.bucket = ax.bucket),
+      c AS (SELECT bucket, n, n_pos,
+              CAST(sum(n) OVER (ORDER BY bucket
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+              CAST(sum(n_pos) OVER (ORDER BY bucket
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos
+            FROM m),
+      tt AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+              CAST(sum(n_pos) AS BIGINT) AS tp FROM m)
+      SELECT bucket, n, n_pos, cum_n, cum_pos,
+        CASE WHEN cum_n > 0
+          THEN round(CAST(cum_pos AS DOUBLE) / cum_n, 6) END AS cum_rate,
+        CASE WHEN cum_n > 0 AND tp > 0
+          THEN round((CAST(cum_pos AS DOUBLE) / cum_n)
+            / (CAST(tp AS DOUBLE) / tn), 6) END AS lift
+      FROM c, tt ORDER BY bucket"""
+    })
+
   val all: Seq[Q] = Seq(qOutliers, qAssociation, qJsdDrift, qValidate,
     qChi2Drift, qNullPatterns, qFdCheck, qWassersteinDrift, qOrphans,
     qFanout, qEmbedNorms, qKeySkew, qPctRank, qBloomPrune, qPsiSweep,
     qPairRules, qSplitAssign, qQqTable, qWinsorized, qGini, qWoe,
     qTargetEnc, qRobustZ, qWeightedQuantiles, qSegmentPsi,
-    qMannWhitney, qWelchT)
+    qMannWhitney, qWelchT, qCalibration, qLift)
 }

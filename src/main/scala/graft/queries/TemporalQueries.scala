@@ -417,7 +417,41 @@ object TemporalQueries {
       SELECT path, count(*) AS n FROM p WHERE path IS NOT NULL
       GROUP BY path ORDER BY n DESC, path LIMIT 25"""))
 
+  /** Inter-arrival burstiness ([[graft.ops.Timeseries
+    * .interarrivalStats]]): per-user consecutive gaps, one fused
+    * corpus aggregate — decimal-exact mean/CV, interpolated
+    * percentiles. */
+  val qInterarrival = Q(
+    "q138_interarrival",
+    (s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("tus"))
+      graft.ops.Timeseries.interarrivalStats(
+        ev, "user_id", "tus", tieBreak = Seq("event_id"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      g0 AS (SELECT tus - lag(tus) OVER (PARTITION BY user_id
+               ORDER BY tus, event_id) AS g FROM e),
+      l AS (SELECT g FROM g0 WHERE g IS NOT NULL),
+      s AS (SELECT count(*) AS n,
+              sum(CAST(g AS DECIMAL(38,0))) AS sg,
+              sum(CAST(g AS DECIMAL(38,0)) * g) AS sg2,
+              quantile_cont(g, 0.5) AS p50,
+              quantile_cont(g, 0.9) AS p90
+            FROM l),
+      d AS (SELECT CAST(n AS BIGINT) AS n, CAST(n AS DOUBLE) AS nd,
+              CAST(sg AS DOUBLE) AS sgd, CAST(sg2 AS DOUBLE) AS sg2d,
+              p50, p90 FROM s)
+      SELECT n AS n_gaps, round(sgd / nd, 6) AS mean_gap,
+        round(p50, 6) AS p50_gap, round(p90, 6) AS p90_gap,
+        CASE WHEN n > 1 AND sgd / nd > 0.0
+          THEN round(sqrt((sg2d - sgd * sgd / nd) / (nd - 1.0))
+            / (sgd / nd), 6) END AS cv
+      FROM d"""))
+
   val all: Seq[Q] = Seq(qSessionize, qAsofJoin, qRangeJoin, qFunnel,
     qRolling, qTransitions, qAttribution, qRetention, qCountAcf,
-    qKaplanMeier, qXcorr, qTopPaths)
+    qKaplanMeier, qXcorr, qTopPaths, qInterarrival)
 }

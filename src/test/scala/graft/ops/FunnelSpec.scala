@@ -117,6 +117,44 @@ class FunnelSpec extends SparkSpec {
     assert(c0.getLong(1) == 1L && c0.getLong(2) == 1L)
   }
 
+  test("calibrationTable: rates per bin, empty bins null-rated") {
+    import org.apache.spark.sql.functions.col
+    // scores 0..9 (bins are width 0.9); outcome true for score >= 5
+    val df = (0 until 10).map(i => (i.toDouble, i >= 5)).toDF("s", "y")
+    val got = graft.ops.FeatureEng.calibrationTable(df, "s", col("y"))
+      .collect()
+    assert(got.length == 10)
+    assert(got.head.getLong(1) == 1L && got.head.getDouble(3) == 0.0)
+    assert(got.last.getLong(1) == 1L && got.last.getDouble(3) == 1.0)
+    assert(got.map(_.getLong(1)).sum == 10L)
+    // constant score: all mass in bin 0, bins 1..9 empty with null rate
+    val const = Seq((1.0, true), (1.0, false)).toDF("s", "y")
+    val c = graft.ops.FeatureEng.calibrationTable(const, "s", col("y"))
+      .collect()
+    assert(c.head.getLong(1) == 2L && c.head.getDouble(3) == 0.5)
+    assert(c.drop(1).forall(r => r.getLong(1) == 0L && r.isNullAt(3)))
+  }
+
+  test("liftTable: top decile concentrates positives, monotone cum") {
+    import org.apache.spark.sql.functions.col
+    // 100 rows, score = i, positives are the top 10 scores
+    val df = (0 until 100).map(i => (i.toDouble, i >= 90)).toDF("s", "y")
+    val got = graft.ops.FeatureEng.liftTable(df, "s", col("y"))
+      .collect()
+    assert(got.length == 10)
+    val b1 = got.head
+    // bucket 1 = scores > q90: all 10 positives, lift = 1.0/0.1 = 10
+    assert(b1.getInt(0) == 1 && b1.getLong(1) == 10L &&
+      b1.getLong(2) == 10L)
+    assert(b1.getDouble(5) == 1.0 && b1.getDouble(6) == 10.0)
+    val last = got.last
+    assert(last.getLong(3) == 100L && last.getLong(4) == 10L)
+    assert(last.getDouble(6) == 1.0) // full-population lift is 1
+    // cum counts are monotone non-decreasing
+    assert(got.map(_.getLong(3)).toSeq ==
+      got.map(_.getLong(3)).sorted.toSeq)
+  }
+
   test("targetEncode: shrinkage toward prior, null category kept") {
     import org.apache.spark.sql.functions.col
     // prior = 4/8 = 0.5; cat a: 3/4 pos, cat null: 1/4 pos

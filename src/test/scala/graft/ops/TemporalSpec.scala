@@ -297,6 +297,23 @@ class TemporalSpec extends SparkSpec {
       .toMap
     assert(neg == Map((-1L, 0L) -> 1L, (-1L, 1L) -> 1L))
   }
+  test("interarrivalStats: gaps per key, exact mean/percentiles/cv") {
+    // user 1 at t = 0,10,20,40 -> gaps 10,10,20; user 2 at 0,5 -> gap 5
+    val df = Seq((1L, 0L), (1L, 10L), (1L, 20L), (1L, 40L),
+      (2L, 0L), (2L, 5L)).toDF("u", "t")
+    val r = graft.ops.Timeseries.interarrivalStats(df, "u", "t").head()
+    assert(r.getLong(0) == 4L)
+    assert(r.getDouble(1) == 11.25) // (10+10+20+5)/4
+    assert(r.getDouble(2) == 10.0)  // median of 5,10,10,20
+    // p90 of [5,10,10,20]: rank 0.9*3 = 2.7 -> 10 + 0.7*(20-10) = 17
+    assert(r.getDouble(3) == 17.0)
+    val mean = 11.25
+    val varS = (Seq(10.0, 10.0, 20.0, 5.0).map(g => (g - mean) * (g - mean))
+      .sum) / 3.0
+    assert(r.getDouble(4) == BigDecimal(math.sqrt(varS) / mean)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("crossCountCorr: shifted copy peaks at the shift lag") {
     import org.apache.spark.sql.functions.col
     // A fires at periods 0,2,4; B at 2,4,6 (A shifted +2)
