@@ -652,12 +652,15 @@ object Dedup {
   def groupShingleOverlap(
       df: DataFrame, groupCol: String, textCol: String,
       n: Int): DataFrame = {
-    val sh = df
+    // materialized ONCE: sh feeds both self-join sides and the size
+    // table — without the checkpoint the plan re-derives it (corpus
+    // scan + explode + distinct) four times
+    val sh = ensureCheckpointed(df
       .where(col(groupCol).isNotNull && col(textCol).isNotNull)
       .select(col(groupCol).as("grp"),
         explode(graft.functions.WordNgramsExpr
           .ngrams(col(textCol), n, distinct = true)).as("g"))
-      .distinct()
+      .distinct())
     val sz = sh.groupBy("grp").agg(count(lit(1)).as("sz"))
     val common = sh.select(col("grp").as("grp_a"), col("g"))
       .join(sh.select(col("grp").as("grp_b"), col("g")), "g")
