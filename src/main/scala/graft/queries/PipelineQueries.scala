@@ -1543,9 +1543,86 @@ object PipelineQueries {
       FROM g GROUP BY gram
       ORDER BY n_occurrences DESC, gram LIMIT 25"""))
 
+  /** Zipf-law fit over the frequency vocabulary: OLS of ln(count) on
+    * ln(rank) for the top 1000 words — natural corpora slope ≈ −1;
+    * template/synthetic junk bends it. The regression runs on the
+    * BOUNDED vocabulary table (the corpus work is q101's one
+    * explode→groupBy), with the closed-form normal-equation fold both
+    * engines write identically; 6dp rounding absorbs the ~1e−13
+    * summation-order noise of a 1000-term double sum. */
+  val qZipf = Q(
+    "q139_zipf",
+    (s, dir) => {
+      val vocab = TextAnalysis.vocabulary(
+        table(s, dir, "documents"), "text", topN = 1000)
+      val x = log(col("id").cast("double"))
+      val y = log(col("cnt").cast("double"))
+      val agg = vocab.agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"), sum(x * y).as("sxy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      val nd = col("n").cast("double")
+      val num = nd * col("sxy") - col("sx") * col("sy")
+      val vx = nd * col("sxx") - col("sx") * col("sx")
+      val vy = nd * col("syy") - col("sy") * col("sy")
+      agg.select(col("n").as("n_words"),
+        when(vx > 0, round(num / vx, 6)).as("slope"),
+        when(vx > 0, round((col("sy") - (num / vx) * col("sx")) / nd, 6))
+          .as("intercept"),
+        when(vx > 0 && vy > 0, round(num * num / (vx * vy), 6)).as("r2"))
+    },
+    Some(s"""WITH w AS (SELECT unnest($dkWords) AS word FROM documents),
+      c AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+      t AS (SELECT word, cnt FROM c ORDER BY cnt DESC, word LIMIT 1000),
+      v AS (SELECT CAST(row_number() OVER (ORDER BY cnt DESC, word)
+              AS BIGINT) AS id, cnt FROM t),
+      p AS (SELECT ln(CAST(id AS DOUBLE)) AS x,
+              ln(CAST(cnt AS DOUBLE)) AS y FROM v),
+      s AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+              sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx,
+              sum(y * y) AS syy FROM p),
+      d AS (SELECT n, CAST(n AS DOUBLE) AS nd, sx, sy, sxy, sxx, syy,
+              CAST(n AS DOUBLE) * sxy - sx * sy AS num,
+              CAST(n AS DOUBLE) * sxx - sx * sx AS vx,
+              CAST(n AS DOUBLE) * syy - sy * sy AS vy FROM s)
+      SELECT n AS n_words,
+        CASE WHEN vx > 0 THEN round(num / vx, 6) END AS slope,
+        CASE WHEN vx > 0
+          THEN round((sy - (num / vx) * sx) / nd, 6) END AS intercept,
+        CASE WHEN vx > 0 AND vy > 0
+          THEN round(num * num / (vx * vy), 6) END AS r2
+      FROM d"""))
+
+  /** Per-source duplicate rate: exact normalized-text dedup (the q21
+    * key) segmented by source — "which crawl is feeding me copies".
+    * One groupBy(source, normalized) then a source rollup; counts
+    * only. */
+  val qSourceDupRate = Q(
+    "q140_source_dup_rate",
+    (s, dir) => table(s, dir, "documents")
+      .where(col("source").isNotNull)
+      .groupBy(col("source"), Dedup.normalizedText(col("text")).as("t"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum(col("c")).cast("long").as("n_docs"),
+        count(lit(1)).as("n_unique"),
+        (sum(col("c")) - count(lit(1))).cast("long").as("n_dup"))
+      .withColumn("dup_rate",
+        round(col("n_dup").cast("double") / col("n_docs"), 6))
+      .orderBy("source"),
+    Some("""SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+        count(*) AS n_unique,
+        CAST(sum(c) - count(*) AS BIGINT) AS n_dup,
+        round(CAST(sum(c) - count(*) AS DOUBLE) / sum(c), 6) AS dup_rate
+      FROM (SELECT source, count(*) AS c FROM documents
+            WHERE source IS NOT NULL
+            GROUP BY source,
+              trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+      GROUP BY source ORDER BY source"""))
+
   val all: Seq[Q] = Seq(
     qVocabulary, qVocabEncode, qBigramPmi,
     qSourceOverlap, qSourceMix, qContamination, qTopNgrams,
+    qZipf, qSourceDupRate,
     qDedupExact, qNgramJaccard, qDedupClusters, qDedupCanonical, qFuzzyJoin,
     qNameEntities, qNovelty, qInvertedIndex, qCharEntropy,
     qDecontamination, qChunking, qLineDedup, qMixStats, qNormalize,
