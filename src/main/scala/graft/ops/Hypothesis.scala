@@ -41,7 +41,11 @@ object Hypothesis {
     * statistic (exact, possibly half-integer) and z its tie-corrected
     * normal score, 6dp-rounded; z is null when either group is empty
     * or the variance degenerates (all values tied). */
-  def mannWhitneyU(df: DataFrame, vCol: String, groupA: Column): DataFrame = {
+  /** Shared two-sample rank machinery: one row with (n1, n, r2, tt)
+    * where r2 is TWICE group A's rank sum (exact integer in
+    * decimal(38,0)) and tt the tie term Σ(t³−t). */
+  private def rankSumAgg(
+      df: DataFrame, vCol: String, groupA: Column): DataFrame = {
     val v = col(vCol).cast("double")
     val live = df
       .where(v.isNotNull && !v.isNaN && groupA.isNotNull)
@@ -54,7 +58,7 @@ object Hypothesis {
       "__k", "__v")
     val joined = counts.join(ranks.select(col("__v"), col("avgrank")), "__v")
     val dec = "decimal(38,0)"
-    val agg = joined.agg(
+    joined.agg(
       sum(col("ca")).as("n1"),
       sum(col("cnt")).as("n"),
       // 2·avgrank·ca is an exact integer (avgrank is a half-integer);
@@ -62,6 +66,10 @@ object Hypothesis {
       sum((col("avgrank") * 2 * col("ca")).cast(dec)).as("r2"),
       sum(col("cnt").cast(dec) * col("cnt") * col("cnt") - col("cnt"))
         .as("tt"))
+  }
+
+  def mannWhitneyU(df: DataFrame, vCol: String, groupA: Column): DataFrame = {
+    val agg = rankSumAgg(df, vCol, groupA)
     val n1 = col("n1").cast("double")
     val n2 = (col("n") - col("n1")).cast("double")
     val nd = col("n").cast("double")
@@ -74,6 +82,111 @@ object Hypothesis {
       u1.as("u1"),
       when(col("n1") > 0 && col("n") > col("n1") && sig2 > 0.0,
         round((u1 - n1 * n2 / 2.0) / sqrt(sig2), 6)).as("z"))
+  }
+
+  /** Area under the ROC curve, exactly, via the rank-sum identity
+    * AUC = U₁/(n₁·n₂) — ties contribute ½ through the averaged ranks,
+    * no threshold sweep, no curve discretization. Same single
+    * groupBy(score) + prefix-sum ranking as [[mannWhitneyU]]; the
+    * numerator is exact to any scale. Returns one row:
+    * (n_pos, n_neg, auc 6dp); auc null when either class is empty. */
+  def auc(df: DataFrame, scoreCol: String, positive: Column): DataFrame = {
+    val agg = rankSumAgg(df, scoreCol, positive)
+    val n1 = col("n1").cast("double")
+    val n2 = (col("n") - col("n1")).cast("double")
+    val u1 = col("r2").cast("double") / 2.0 - n1 * (n1 + 1.0) / 2.0
+    agg.select(
+      col("n1").as("n_pos"),
+      (col("n") - col("n1")).as("n_neg"),
+      when(col("n1") > 0 && col("n") > col("n1"),
+        round(u1 / (n1 * n2), 6)).as("auc"))
+  }
+
+  /** Kruskal-Wallis H (k-sample rank test, tie-corrected): do any of
+    * the `groupCol` populations stochastically dominate? H =
+    * 12/(n(n+1)) · Σ R_g²/n_g − 3(n+1), divided by the tie factor
+    * 1 − Σ(t³−t)/(n³−n). Per-(value, group) counts join the global
+    * prefix-sum ranks, so each group's rank sum R_g accumulates as an
+    * exact doubled integer in decimal(38,0) — the k-sample
+    * generalization of [[mannWhitneyU]]'s discipline. Null group rows
+    * are dropped. Returns one row: (n_groups, n, h 6dp); h null when
+    * everything is tied (tie factor 0) or fewer than 2 groups. */
+  def kruskalWallis(
+      df: DataFrame, vCol: String, groupCol: String): DataFrame = {
+    val v = col(vCol).cast("double")
+    val live = df
+      .where(v.isNotNull && !v.isNaN && col(groupCol).isNotNull)
+      .select(v.as("__v"), col(groupCol).as("__g"))
+    val counts = live.groupBy("__v", "__g").agg(count(lit(1)).as("cg"))
+    val vCounts = counts.groupBy("__v").agg(sum(col("cg")).as("cnt"))
+    val ranks = Ranking.avgRanksFromCounts(
+      vCounts.select(lit("_").as("__k"), col("__v"), col("cnt")),
+      "__k", "__v")
+    val dec = "decimal(38,0)"
+    val perGroup = counts
+      .join(ranks.select(col("__v"), col("avgrank")), "__v")
+      .groupBy("__g")
+      .agg(sum(col("cg")).as("ng"),
+        sum((col("avgrank") * 2 * col("cg")).cast(dec)).as("rg2"))
+    val ties = vCounts.agg(
+      sum(col("cnt").cast(dec) * col("cnt") * col("cnt") - col("cnt"))
+        .as("tt"))
+    val agg = perGroup
+      .select(col("ng"), col("rg2"))
+      .agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+        // R_g²/n_g: R_g exact from the doubled decimal, per-group
+        // division deterministic; the k-term sum rounds at 6dp
+        sum((col("rg2").cast("double") / 2.0) *
+          (col("rg2").cast("double") / 2.0) / col("ng")).as("s"))
+      .crossJoin(ties)
+    val nd = col("n").cast("double")
+    val h = lit(12.0) / (nd * (nd + 1.0)) * col("s") -
+      lit(3.0) * (nd + 1.0)
+    val tieFactor =
+      lit(1.0) - col("tt").cast("double") / (nd * nd * nd - nd)
+    agg.select(col("k").as("n_groups"), col("n"),
+      when(col("k") > 1 && tieFactor > 0.0,
+        round(h / tieFactor, 6)).as("h"))
+  }
+
+  /** One-way ANOVA F on 10^-scale-quantized values: between-group over
+    * within-group variance across ALL `groupCol` levels, from per-group
+    * exact decimal(38,0) Σc and Σc² — the k-sample [[welchT]] (equal
+    * variances assumed; for k = 2 prefer Welch). Also reports η²
+    * (SSB/SST), the effect size. Returns one row: (n_groups, n, f 6dp,
+    * eta2 6dp); f null when n ≤ k, k < 2, or SSW degenerates to 0. */
+  def anovaF(
+      df: DataFrame, vCol: String, groupCol: String,
+      scale: Int = 2): DataFrame = {
+    require(scale >= 0 && scale <= 9, "scale must be in [0,9]")
+    val unit = math.pow(10.0, scale)
+    val v = col(vCol).cast("double")
+    val live = df
+      .where(v.isNotNull && !v.isNaN && col(groupCol).isNotNull)
+      .select(v.as("__v"), col(groupCol).as("__g"))
+    val c = round(col("__v") * unit, 0).cast("long").cast("decimal(38,0)")
+    val perGroup = live.groupBy("__g").agg(
+      count(lit(1)).as("ng"), sum(c).as("sg"), sum(c * c).as("qg"))
+    // group terms are exact rationals evaluated deterministically;
+    // the k-term cross-group sums round at 6dp
+    val agg = perGroup.agg(
+      count(lit(1)).as("k"), sum(col("ng")).as("n"),
+      sum(col("sg")).as("st"), sum(col("qg")).as("qt"),
+      sum(col("sg").cast("double") * col("sg").cast("double") /
+        col("ng")).as("sb"))
+    val nd = col("n").cast("double")
+    val kd = col("k").cast("double")
+    val ssb = (col("sb") -
+      col("st").cast("double") * col("st").cast("double") / nd) /
+      (unit * unit)
+    val sst = (col("qt").cast("double") -
+      col("st").cast("double") * col("st").cast("double") / nd) /
+      (unit * unit)
+    val ssw = sst - ssb
+    val ok = col("k") > 1 && col("n") > col("k") && ssw > 0.0
+    agg.select(col("k").as("n_groups"), col("n"),
+      when(ok, round((ssb / (kd - 1.0)) / (ssw / (nd - kd)), 6)).as("f"),
+      when(ok && sst > 0.0, round(ssb / sst, 6)).as("eta2"))
   }
 
   /** Welch's unequal-variance t-test comparing `vCol` between rows

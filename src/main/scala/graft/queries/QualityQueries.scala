@@ -875,10 +875,109 @@ object QualityQueries {
       FROM c, tt ORDER BY bucket"""
     })
 
+  /** Exact AUC ([[graft.ops.Hypothesis.auc]]) via the rank-sum
+    * identity — no threshold sweep, ties at ½ through averaged
+    * ranks. */
+  val qAuc = Q(
+    "q141_auc",
+    (s, dir) => Hypothesis.auc(
+      table(s, dir, "events"), "value", col("event_type") === "purchase"),
+    Some("""WITH u AS (SELECT CAST(value AS DOUBLE) AS v,
+          event_type = 'purchase' AS a FROM events
+        WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+          AND event_type IS NOT NULL),
+      c AS (SELECT v, count(*) AS cnt,
+              count(CASE WHEN a THEN 1 END) AS ca
+            FROM u GROUP BY v),
+      r AS (SELECT cnt, ca,
+              sum(cnt) OVER (ORDER BY v) - cnt + (cnt + 1) / 2.0
+                AS avgrank
+            FROM c),
+      s AS (SELECT CAST(sum(ca) AS BIGINT) AS n1,
+              CAST(sum(cnt) AS BIGINT) AS n,
+              sum(CAST(avgrank * 2 * ca AS DECIMAL(38,0))) AS r2
+            FROM r),
+      t AS (SELECT n1, n - n1 AS n2,
+              CAST(n1 AS DOUBLE) AS n1d, CAST(n - n1 AS DOUBLE) AS n2d,
+              CAST(r2 AS DOUBLE) / 2.0
+                - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) / 2.0
+                AS u1
+            FROM s)
+      SELECT n1 AS n_pos, n2 AS n_neg,
+        CASE WHEN n1 > 0 AND n2 > 0
+          THEN round(u1 / (n1d * n2d), 6) END AS auc
+      FROM t"""))
+
+  /** Kruskal-Wallis H ([[graft.ops.Hypothesis.kruskalWallis]]) across
+    * all event types — the k-sample rank test with decimal-exact
+    * per-group rank sums. */
+  val qKruskal = Q(
+    "q142_kruskal",
+    (s, dir) => Hypothesis.kruskalWallis(
+      table(s, dir, "events"), "value", "event_type"),
+    Some("""WITH u AS (SELECT CAST(value AS DOUBLE) AS v,
+          event_type AS g FROM events
+        WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+          AND event_type IS NOT NULL),
+      cg AS (SELECT v, g, count(*) AS c FROM u GROUP BY v, g),
+      cv AS (SELECT v, CAST(sum(c) AS BIGINT) AS cnt FROM cg GROUP BY v),
+      r AS (SELECT v, cnt,
+              sum(cnt) OVER (ORDER BY v) - cnt + (cnt + 1) / 2.0
+                AS avgrank
+            FROM cv),
+      pg AS (SELECT g, CAST(sum(c) AS BIGINT) AS ng,
+              sum(CAST(avgrank * 2 * c AS DECIMAL(38,0))) AS rg2
+            FROM cg JOIN r USING (v) GROUP BY g),
+      tt AS (SELECT sum(CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt)
+               AS tt FROM cv),
+      s AS (SELECT CAST(count(*) AS BIGINT) AS k,
+              CAST(sum(ng) AS BIGINT) AS n,
+              sum((CAST(rg2 AS DOUBLE) / 2.0)
+                * (CAST(rg2 AS DOUBLE) / 2.0) / ng) AS s
+            FROM pg),
+      d AS (SELECT k, n, s, CAST(n AS DOUBLE) AS nd,
+              CAST(tt AS DOUBLE) AS ttd FROM s, tt)
+      SELECT k AS n_groups, n,
+        CASE WHEN k > 1 AND (1.0 - ttd / (nd * nd * nd - nd)) > 0.0
+          THEN round((12.0 / (nd * (nd + 1.0)) * s - 3.0 * (nd + 1.0))
+            / (1.0 - ttd / (nd * nd * nd - nd)), 6) END AS h
+      FROM d"""))
+
+  /** One-way ANOVA F + η² ([[graft.ops.Hypothesis.anovaF]]) on
+    * cents-exact price sums across return flags. */
+  val qAnova = Q(
+    "q143_anova",
+    (s, dir) => Hypothesis.anovaF(
+      table(s, dir, "lineitem"), "l_extendedprice", "l_returnflag"),
+    Some("""WITH u AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+          l_returnflag AS g FROM lineitem
+        WHERE l_extendedprice IS NOT NULL
+          AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+          AND l_returnflag IS NOT NULL),
+      q AS (SELECT CAST(round(v * 100) AS DECIMAL(38,0)) AS c, g FROM u),
+      pg AS (SELECT g, count(*) AS ng, sum(c) AS sg, sum(c * c) AS qg
+            FROM q GROUP BY g),
+      s AS (SELECT CAST(count(*) AS BIGINT) AS k,
+              CAST(sum(ng) AS BIGINT) AS n, sum(sg) AS st, sum(qg) AS qt,
+              sum(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng) AS sb
+            FROM pg),
+      d AS (SELECT k, n, sb, CAST(k AS DOUBLE) AS kd,
+              CAST(n AS DOUBLE) AS nd, CAST(st AS DOUBLE) AS std,
+              CAST(qt AS DOUBLE) AS qtd FROM s),
+      e AS (SELECT *, (sb - std * std / nd) / 10000.0 AS ssb,
+              (qtd - std * std / nd) / 10000.0 AS sst FROM d)
+      SELECT k AS n_groups, n,
+        CASE WHEN k > 1 AND n > k AND (sst - ssb) > 0.0
+          THEN round((ssb / (kd - 1.0)) / ((sst - ssb) / (nd - kd)), 6)
+          END AS f,
+        CASE WHEN k > 1 AND n > k AND (sst - ssb) > 0.0 AND sst > 0.0
+          THEN round(ssb / sst, 6) END AS eta2
+      FROM e"""))
+
   val all: Seq[Q] = Seq(qOutliers, qAssociation, qJsdDrift, qValidate,
     qChi2Drift, qNullPatterns, qFdCheck, qWassersteinDrift, qOrphans,
     qFanout, qEmbedNorms, qKeySkew, qPctRank, qBloomPrune, qPsiSweep,
     qPairRules, qSplitAssign, qQqTable, qWinsorized, qGini, qWoe,
     qTargetEnc, qRobustZ, qWeightedQuantiles, qSegmentPsi,
-    qMannWhitney, qWelchT, qCalibration, qLift)
+    qMannWhitney, qWelchT, qCalibration, qLift, qAuc, qKruskal, qAnova)
 }

@@ -44,6 +44,49 @@ class HypothesisSpec extends SparkSpec {
     assert(r2.getDouble(2) == r.getDouble(2))
   }
 
+  test("auc: perfect separation 1.0, full tie 0.5, mixed hand case") {
+    val perfect = Seq((2.0, true), (3.0, true), (1.0, false))
+      .toDF("s", "y")
+    assert(Hypothesis.auc(perfect, "s", col("y")).head().getDouble(2)
+      == 1.0)
+    val tied = Seq((1.0, true), (1.0, false)).toDF("s", "y")
+    assert(Hypothesis.auc(tied, "s", col("y")).head().getDouble(2)
+      == 0.5)
+    // pos {1, 3}, neg {2}: pairs (1<2), (3>2) -> AUC = 1/2
+    val mixed = Seq((1.0, true), (3.0, true), (2.0, false))
+      .toDF("s", "y")
+    val r = Hypothesis.auc(mixed, "s", col("y")).head()
+    assert(r.getLong(0) == 2 && r.getLong(1) == 1)
+    assert(r.getDouble(2) == 0.5)
+  }
+
+  test("kruskalWallis: textbook no-tie case and degenerate ties") {
+    // groups {1,2,3}, {4,5,6}, {7,8,9}: H = 12/90 * 279 - 30 = 7.2
+    val df = (1 to 9).map(i => (i.toDouble, s"g${(i - 1) / 3}"))
+      .toDF("v", "g")
+    val r = Hypothesis.kruskalWallis(df, "v", "g").head()
+    assert(r.getLong(0) == 3 && r.getLong(1) == 9)
+    assert(r.getDouble(2) == 7.2)
+    // all values identical: tie factor 0 -> h null
+    val flat = Seq((1.0, "a"), (1.0, "b"), (1.0, "c")).toDF("v", "g")
+    assert(Hypothesis.kruskalWallis(flat, "v", "g").head().isNullAt(2))
+  }
+
+  test("anovaF: hand-computed F and eta2") {
+    // A = {1,2,3}, B = {2,4}: SSB = 1.2, SSW = 4.0, F = 1.2/(4/3) = 0.9
+    val df = Seq((1.0, "a"), (2.0, "a"), (3.0, "a"),
+      (2.0, "b"), (4.0, "b")).toDF("v", "g")
+    val r = Hypothesis.anovaF(df, "v", "g").head()
+    assert(r.getLong(0) == 2 && r.getLong(1) == 5)
+    assert(r.getDouble(2) == 0.9)
+    assert(r.getDouble(3) == BigDecimal(1.2 / 5.2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // zero within-group variance: F null
+    val flat = Seq((1.0, "a"), (1.0, "a"), (2.0, "b"), (2.0, "b"))
+      .toDF("v", "g")
+    assert(Hypothesis.anovaF(flat, "v", "g").head().isNullAt(2))
+  }
+
   test("welchT: hand-computed two-group case") {
     // A = {1,2,3}: m=2, v=1; B = {2,4}: m=3, v=2
     // se2 = 1/3 + 1 = 4/3, t = -1/sqrt(4/3), df = (4/3)^2 / (1/18 + 1)
