@@ -189,6 +189,76 @@ object Hypothesis {
       when(ok && sst > 0.0, round(ssb / sst, 6)).as("eta2"))
   }
 
+  /** Two-proportion z-test (pooled): success rate between group A and
+    * group B rows. Pure counts — one fused single-row aggregate, no
+    * float accumulation anywhere — then the pooled-variance z in one
+    * deterministic double expression. Rows with a null group flag or
+    * null outcome are dropped. Returns one row: (n1, n2, p1, p2, z) —
+    * rates 6dp, z 6dp, null when a group is empty or the pooled rate
+    * degenerates (0 or 1). */
+  def propZTest(
+      df: DataFrame, outcome: Column, groupA: Column): DataFrame = {
+    val live = df
+      .where(outcome.isNotNull && groupA.isNotNull)
+      .select(outcome.as("__y"), groupA.as("__a"))
+    val agg = live.agg(
+      count(when(col("__a"), 1)).as("n1"),
+      count(when(!col("__a"), 1)).as("n2"),
+      count(when(col("__a") && col("__y"), 1)).as("s1"),
+      count(when(!col("__a") && col("__y"), 1)).as("s2"))
+    val (n1, n2) = (col("n1").cast("double"), col("n2").cast("double"))
+    val (s1, s2) = (col("s1").cast("double"), col("s2").cast("double"))
+    val p1 = s1 / n1
+    val p2 = s2 / n2
+    val p = (s1 + s2) / (n1 + n2)
+    val se2 = p * (lit(1.0) - p) * (lit(1.0) / n1 + lit(1.0) / n2)
+    val ok = col("n1") > 0 && col("n2") > 0 && se2 > 0.0
+    agg.select(col("n1"), col("n2"),
+      when(col("n1") > 0, round(p1, 6)).as("p1"),
+      when(col("n2") > 0, round(p2, 6)).as("p2"),
+      when(ok, round((p1 - p2) / sqrt(se2), 6)).as("z"))
+  }
+
+  /** Simple OLS regression y ~ x with BOTH variables quantized to
+    * integer units (10^-scale) and every moment accumulated in
+    * decimal(38,0) — the normal equations then evaluate from exact
+    * integers, so slope/intercept/R² are bit-reproducible at any data
+    * scale and partition order (stronger than float-sum OLS, which
+    * drifts with aggregation order). One fused single-row aggregate.
+    * Returns (n, slope, intercept, r2), 6dp; null when x is constant.
+    * Slope/intercept are in ORIGINAL units (the quantization scales
+    * cancel through the ratio). */
+  def olsFit(
+      df: DataFrame, xCol: String, yCol: String,
+      xScale: Int = 2, yScale: Int = 2): DataFrame = {
+    require(xScale >= 0 && xScale <= 9 && yScale >= 0 && yScale <= 9,
+      "scales must be in [0,9]")
+    val (ux, uy) = (math.pow(10.0, xScale), math.pow(10.0, yScale))
+    val xv = col(xCol).cast("double")
+    val yv = col(yCol).cast("double")
+    val live = df
+      .where(xv.isNotNull && !xv.isNaN && yv.isNotNull && !yv.isNaN)
+      .select(round(xv * ux, 0).cast("long").cast("decimal(38,0)").as("x"),
+        round(yv * uy, 0).cast("long").cast("decimal(38,0)").as("y"))
+    val agg = live.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val nd = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val num = nd * d("sxy") - d("sx") * d("sy")
+    val vx = nd * d("sxx") - d("sx") * d("sx")
+    val vy = nd * d("syy") - d("sy") * d("sy")
+    // quantized-unit slope is num/vx; original units multiply by ux/uy
+    val slope = num / vx * lit(ux / uy)
+    val intercept = (d("sy") / uy - slope * (d("sx") / ux)) / nd
+    agg.select(col("n"),
+      when(vx > 0, round(slope, 6)).as("slope"),
+      when(vx > 0, round(intercept, 6)).as("intercept"),
+      when(vx > 0 && vy > 0, round(num * num / (vx * vy), 6)).as("r2"))
+  }
+
   /** Welch's unequal-variance t-test comparing `vCol` between rows
     * where `groupA` is true vs false, with values quantized to
     * 10^-scale units (scale=2 ⇒ cents — exact for currency columns).

@@ -974,10 +974,76 @@ object QualityQueries {
           THEN round(ssb / sst, 6) END AS eta2
       FROM e"""))
 
+  /** Two-proportion z-test ([[graft.ops.Hypothesis.propZTest]]):
+    * error rate between even/odd user cohorts — pure counts, pooled
+    * variance. */
+  val qPropZ = Q(
+    "q144_prop_ztest",
+    (s, dir) => Hypothesis.propZTest(
+      table(s, dir, "events"),
+      col("event_type") === "error", col("user_id") % 2 === 0),
+    Some("""WITH u AS (SELECT event_type = 'error' AS y,
+          user_id % 2 = 0 AS a FROM events
+        WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+      s AS (SELECT count(CASE WHEN a THEN 1 END) AS n1,
+              count(CASE WHEN NOT a THEN 1 END) AS n2,
+              count(CASE WHEN a AND y THEN 1 END) AS s1,
+              count(CASE WHEN NOT a AND y THEN 1 END) AS s2
+            FROM u),
+      d AS (SELECT n1, n2,
+              CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+              CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d
+            FROM s),
+      e AS (SELECT *, s1d / n1d AS p1, s2d / n2d AS p2,
+              (s1d + s2d) / (n1d + n2d) AS p FROM d),
+      f AS (SELECT *, p * (1.0 - p) * (1.0 / n1d + 1.0 / n2d) AS se2
+            FROM e)
+      SELECT n1, n2,
+        CASE WHEN n1 > 0 THEN round(p1, 6) END AS p1,
+        CASE WHEN n2 > 0 THEN round(p2, 6) END AS p2,
+        CASE WHEN n1 > 0 AND n2 > 0 AND se2 > 0.0
+          THEN round((p1 - p2) / sqrt(se2), 6) END AS z
+      FROM f"""))
+
+  /** Exact-sum OLS ([[graft.ops.Hypothesis.olsFit]]): price ~
+    * quantity with every moment in decimal(38,0) from quantized
+    * integers — bit-reproducible normal equations (the slope is the
+    * effective unit price). */
+  val qOls = Q(
+    "q145_ols",
+    (s, dir) => Hypothesis.olsFit(
+      table(s, dir, "lineitem"), "l_quantity", "l_extendedprice"),
+    Some("""WITH u AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+          CAST(l_extendedprice AS DOUBLE) AS y FROM lineitem
+        WHERE l_quantity IS NOT NULL
+          AND NOT isnan(CAST(l_quantity AS DOUBLE))
+          AND l_extendedprice IS NOT NULL
+          AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+      q AS (SELECT CAST(round(x * 100) AS DECIMAL(38,0)) AS x,
+              CAST(round(y * 100) AS DECIMAL(38,0)) AS y FROM u),
+      s AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+              sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx,
+              sum(y * y) AS syy FROM q),
+      d AS (SELECT n, CAST(n AS DOUBLE) AS nd,
+              CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+              CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd,
+              CAST(syy AS DOUBLE) AS syyd FROM s),
+      e AS (SELECT *, nd * sxyd - sxd * syd AS num,
+              nd * sxxd - sxd * sxd AS vx,
+              nd * syyd - syd * syd AS vy FROM d)
+      SELECT n,
+        CASE WHEN vx > 0 THEN round(num / vx * 1.0, 6) END AS slope,
+        CASE WHEN vx > 0 THEN round((syd / 100.0
+          - num / vx * 1.0 * (sxd / 100.0)) / nd, 6) END AS intercept,
+        CASE WHEN vx > 0 AND vy > 0
+          THEN round(num * num / (vx * vy), 6) END AS r2
+      FROM e"""))
+
   val all: Seq[Q] = Seq(qOutliers, qAssociation, qJsdDrift, qValidate,
     qChi2Drift, qNullPatterns, qFdCheck, qWassersteinDrift, qOrphans,
     qFanout, qEmbedNorms, qKeySkew, qPctRank, qBloomPrune, qPsiSweep,
     qPairRules, qSplitAssign, qQqTable, qWinsorized, qGini, qWoe,
     qTargetEnc, qRobustZ, qWeightedQuantiles, qSegmentPsi,
-    qMannWhitney, qWelchT, qCalibration, qLift, qAuc, qKruskal, qAnova)
+    qMannWhitney, qWelchT, qCalibration, qLift, qAuc, qKruskal, qAnova,
+    qPropZ, qOls)
 }

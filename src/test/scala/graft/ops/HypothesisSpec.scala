@@ -87,6 +87,40 @@ class HypothesisSpec extends SparkSpec {
     assert(Hypothesis.anovaF(flat, "v", "g").head().isNullAt(2))
   }
 
+  test("propZTest: hand-computed pooled z, degenerate cases") {
+    // A: 3 of 4 succeed; B: 1 of 4: p=0.5, se2=0.25*0.5=0.125
+    val df = (Seq.fill(3)((true, true)) ++ Seq((false, true)) ++
+      Seq((true, false)) ++ Seq.fill(3)((false, false)))
+      .toDF("y", "a")
+    val r = Hypothesis.propZTest(df, col("y"), col("a")).head()
+    assert(r.getLong(0) == 4 && r.getLong(1) == 4)
+    assert(r.getDouble(2) == 0.75 && r.getDouble(3) == 0.25)
+    assert(r.getDouble(4) == BigDecimal(0.5 / math.sqrt(0.125))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // all success: pooled p = 1 -> z null
+    val allPos = Seq((true, true), (true, false)).toDF("y", "a")
+    assert(Hypothesis.propZTest(allPos, col("y"), col("a"))
+      .head().isNullAt(4))
+  }
+
+  test("olsFit: exact slope/intercept/r2 on a known line plus noise") {
+    // y = 2x + 1 exactly: slope 2, intercept 1, r2 = 1
+    val exact = Seq((1.0, 3.0), (2.0, 5.0), (3.0, 7.0)).toDF("x", "y")
+    val r = Hypothesis.olsFit(exact, "x", "y").head()
+    assert(r.getLong(0) == 3)
+    assert(r.getDouble(1) == 2.0 && r.getDouble(2) == 1.0 &&
+      r.getDouble(3) == 1.0)
+    // textbook: x=1..4, y={2,1,4,3}: slope 0.6, intercept 1.0, r2 0.36
+    val noisy = Seq((1.0, 2.0), (2.0, 1.0), (3.0, 4.0), (4.0, 3.0))
+      .toDF("x", "y")
+    val r2 = Hypothesis.olsFit(noisy, "x", "y").head()
+    assert(r2.getDouble(1) == 0.6 && r2.getDouble(2) == 1.0 &&
+      r2.getDouble(3) == 0.36)
+    // constant x: undefined fit
+    val flat = Seq((1.0, 2.0), (1.0, 3.0)).toDF("x", "y")
+    assert(Hypothesis.olsFit(flat, "x", "y").head().isNullAt(1))
+  }
+
   test("welchT: hand-computed two-group case") {
     // A = {1,2,3}: m=2, v=1; B = {2,4}: m=3, v=2
     // se2 = 1/3 + 1 = 4/3, t = -1/sqrt(4/3), df = (4/3)^2 / (1/18 + 1)
