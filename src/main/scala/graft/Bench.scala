@@ -198,10 +198,40 @@ object Bench {
         }
         q.stop()
       }
+      val joinSec = timeIt("s05_streaming_interval_join") {
+        val lmem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+        val rmem = MemoryStream[(Long, java.sql.Timestamp)]
+        val ckpt = java.nio.file.Files
+          .createTempDirectory(s"graft-bench-sjoin-$tag").toString
+        val q = graft.streaming.StreamingIntervalJoin.intervalJoin(
+            lmem.toDF.toDF("user", "ts", "v"),
+            rmem.toDF.toDF("r_user", "r_ts"),
+            "user", "r_user", "ts", "r_ts", 60L, "30 seconds")
+          .writeStream.format("memory").queryName(s"bench_sjoin_$tag")
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Append()).start()
+        (0 until 5).foreach { b =>
+          // one marker per user per batch, then 10k events spread over
+          // the next ~100 s: ~60% land inside a marker's 60 s span,
+          // watermarks advance each batch so old right state evicts
+          val t0 = 1700000000000L + b * 100000L
+          rmem.addData((0 until 500).map(u =>
+            (u.toLong, new java.sql.Timestamp(t0))))
+          lmem.addData((0 until 5000).map { i =>
+            val n = b * 5000 + i
+            (n % 500L, new java.sql.Timestamp(t0 + (i / 50) * 1000L),
+              (n % 97).toDouble)
+          })
+          q.processAllAvailable()
+        }
+        q.stop()
+        deleteRecursively(new java.io.File(ckpt))
+      }
       Map("s01_streaming_profile" -> profileSec,
         "s02_streaming_dedup" -> dedupSec,
         "s03_streaming_sessionize" -> sessSec,
-        "s04_streaming_drift" -> driftSec)
+        "s04_streaming_drift" -> driftSec,
+        "s05_streaming_interval_join" -> joinSec)
     }
     val sPass1 = streamingOnce("p1")
     val sPass2 = streamingOnce("p2")
