@@ -372,4 +372,128 @@ object MediaCodec {
     out.put(0xff.toByte).put(0xd9.toByte) // EOI
     out.array()
   }
+
+  // ------------------------------------------------------------------
+  // Audio headers (WAV RIFF fmt/data walk; FLAC STREAMINFO, RFC 9639)
+  // ------------------------------------------------------------------
+
+  /** Audio header metadata — the audio analogue of [[ImageMeta]].
+    * Absent/unparseable fields are 0; `truncated` means the magic
+    * matched a known format but the header ended before the fields. */
+  final case class AudioMeta(
+      format: String, sampleRate: Int, channels: Int,
+      bitsPerSample: Int, nFrames: Long, truncated: Boolean)
+
+  /** Magic sniff for audio containers: RIFF/WAVE or fLaC. */
+  def sniffAudioFormat(bytes: Array[Byte]): String =
+    if (bytes == null || bytes.isEmpty) "empty"
+    else if (bytes.length >= 12 &&
+      startsWith(bytes, "RIFF".getBytes("US-ASCII")) &&
+      new String(bytes, 8, 4, "US-ASCII") == "WAVE") "wav"
+    else if (startsWith(bytes, "fLaC".getBytes("US-ASCII"))) "flac"
+    else "unknown"
+
+  /** Parse sample rate / channels / bit depth / frame count from real
+    * audio headers — hostile-bytes-safe (all offset arithmetic in
+    * Long, never throws). WAV walks RIFF chunks to `fmt ` and `data`
+    * (frame count = data size / block align); FLAC unpacks the
+    * STREAMINFO bit fields (sample rate 20 bits, channels 3+1, bits
+    * 5+1, total samples 36). */
+  def parseAudioMeta(bytes: Array[Byte]): AudioMeta = {
+    val b = if (bytes == null) Array.empty[Byte] else bytes
+    sniffAudioFormat(b) match {
+      case "wav"  => parseWav(b)
+      case "flac" => parseFlac(b)
+      case f      => AudioMeta(f, 0, 0, 0, 0L, truncated = false)
+    }
+  }
+
+  private def parseWav(b: Array[Byte]): AudioMeta = {
+    var off = 12L
+    var sr = 0; var ch = 0; var bits = 0; var blockAlign = 0
+    var dataSize = -1L; var gotFmt = false
+    while (off + 8 <= b.length) {
+      val id = new String(b, off.toInt, 4, "US-ASCII")
+      val size = le32(b, off.toInt + 4) & 0xffffffffL
+      val body = off + 8
+      if (id == "fmt " && size >= 16 && body + 16 <= b.length) {
+        ch = le16(b, body.toInt + 2)
+        sr = le32(b, body.toInt + 4)
+        blockAlign = le16(b, body.toInt + 12)
+        bits = le16(b, body.toInt + 14)
+        gotFmt = true
+      } else if (id == "data") {
+        // size field is authoritative even if the payload is cut
+        dataSize = size
+      }
+      off = body + size + (size & 1L) // chunks are word-aligned
+    }
+    val frames =
+      if (dataSize >= 0 && blockAlign > 0) dataSize / blockAlign else 0L
+    AudioMeta("wav", sr, ch, bits, frames,
+      truncated = !gotFmt || dataSize < 0 || sr <= 0)
+  }
+
+  private def parseFlac(b: Array[Byte]): AudioMeta = {
+    // first metadata block header at 4: (last|type) byte + 24-bit length
+    if (b.length < 8) return AudioMeta("flac", 0, 0, 0, 0L, truncated = true)
+    val btype = u8(b, 4) & 0x7f
+    val blen = (u8(b, 5) << 16) | (u8(b, 6) << 8) | u8(b, 7)
+    // STREAMINFO must be first (type 0, 34 bytes) and fully present
+    if (btype != 0 || blen < 34 || 8L + 34 > b.length)
+      return AudioMeta("flac", 0, 0, 0, 0L, truncated = true)
+    val s = 8 // STREAMINFO body start
+    val sr = (u8(b, s + 10) << 12) | (u8(b, s + 11) << 4) |
+      (u8(b, s + 12) >> 4)
+    val ch = ((u8(b, s + 12) >> 1) & 0x7) + 1
+    val bits = (((u8(b, s + 12) & 0x1) << 4) | (u8(b, s + 13) >> 4)) + 1
+    val total = ((u8(b, s + 13) & 0xf).toLong << 32) |
+      (u8(b, s + 14).toLong << 24) | (u8(b, s + 15).toLong << 16) |
+      (u8(b, s + 16).toLong << 8) | u8(b, s + 17).toLong
+    AudioMeta("flac", sr, ch, bits, total, truncated = sr <= 0)
+  }
+
+  /** Minimal canonical WAV: RIFF/WAVE + PCM `fmt ` + `data` with a
+    * real zero payload of `nFrames` frames. */
+  def encodeWav(sampleRate: Int, channels: Int, bits: Int,
+      nFrames: Int): Array[Byte] = {
+    val blockAlign = channels * bits / 8
+    val dataSize = nFrames * blockAlign
+    val out = java.nio.ByteBuffer.allocate(12 + 24 + 8 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * blockAlign).putShort(blockAlign.toShort)
+      .putShort(bits.toShort)
+    out.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    out.array() // zero payload already in place
+  }
+
+  /** Metadata-only FLAC: fLaC magic + a last-block STREAMINFO with the
+    * packed rate/channels/bits/total fields (no audio frames — the
+    * header parse contract, like the image encoders). */
+  def encodeFlac(sampleRate: Int, channels: Int, bits: Int,
+      totalSamples: Long): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(4 + 4 + 34)
+    out.put("fLaC".getBytes("US-ASCII"))
+    out.put(0x80.toByte).put(0.toByte).put(0.toByte).put(34.toByte)
+    out.putShort(4096).putShort(4096) // min/max block size
+    out.put(0.toByte).put(0.toByte).put(0.toByte) // min frame size
+    out.put(0.toByte).put(0.toByte).put(0.toByte) // max frame size
+    out.put(((sampleRate >> 12) & 0xff).toByte)
+    out.put(((sampleRate >> 4) & 0xff).toByte)
+    out.put((((sampleRate & 0xf) << 4) | (((channels - 1) & 0x7) << 1) |
+      (((bits - 1) >> 4) & 0x1)).toByte)
+    out.put(((((bits - 1) & 0xf) << 4) |
+      ((totalSamples >> 32) & 0xf).toInt).toByte)
+    out.put(((totalSamples >> 24) & 0xff).toByte)
+    out.put(((totalSamples >> 16) & 0xff).toByte)
+    out.put(((totalSamples >> 8) & 0xff).toByte)
+    out.put((totalSamples & 0xff).toByte)
+    (0 until 16).foreach(_ => out.put(0.toByte)) // MD5 of zero frames
+    out.array()
+  }
 }

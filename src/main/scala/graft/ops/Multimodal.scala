@@ -85,6 +85,31 @@ object Multimodal {
       }
   }
 
+  /** Per-blob audio header fields ([[decodeAudio]]). */
+  final case class AudioRow(
+      id: Long, format: String, sample_rate: Int, channels: Int,
+      bits_per_sample: Int, n_frames: Long, truncated: Boolean)
+
+  /** Audio header decode over a binary column — WAV RIFF walk + FLAC
+    * STREAMINFO ([[MediaCodec.parseAudioMeta]]): map-only, per-blob
+    * pure byte walk, hostile-bytes-safe. Duration derives downstream
+    * as n_frames / sample_rate (kept out of the row so the division
+    * happens once, in SQL, engine-deterministically). */
+  def decodeAudio(df: DataFrame, idCol: String, binCol: String): Dataset[AudioRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val m = MediaCodec.parseAudioMeta(
+            Option(bytes).getOrElse(Array.empty[Byte]))
+          AudioRow(id, m.format, m.sampleRate, m.channels,
+            m.bitsPerSample, m.nFrames, m.truncated)
+        }
+      }
+  }
+
   /** Frame sampling: every `stride`-th 256-byte chunk as a "frame"
     * (stand-in for video keyframe extraction). Pure plumbing: explode to
     * (id, frame_idx, frame_bytes) preserving partition-local order. */

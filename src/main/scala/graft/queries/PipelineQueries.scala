@@ -1619,10 +1619,63 @@ object PipelineQueries {
               trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
       GROUP BY source ORDER BY source"""))
 
+  /** Audio header decode ([[Multimodal.decodeAudio]]): WAV/FLAC blobs
+    * planted deterministically from doc_id through the REAL encoders
+    * ([[MediaCodec.encodeWav]]/[[MediaCodec.encodeFlac]]), parsed back
+    * by the real RIFF/STREAMINFO walks — truncation prefixes keep the
+    * magic sniffable but cut the fields, as with the image corpus. The
+    * oracle predicts every field closed-form; duration is one SQL
+    * division on both sides. */
+  val qAudioDecode = Q(
+    "q146_audio_decode",
+    (s, dir) => {
+      import s.implicits._
+      val srs = Seq(8000, 16000, 22050, 44100, 48000)
+      val blobs = table(s, dir, "documents").select(col("doc_id"))
+        .as[Long]
+        .map { id =>
+          val sr = srs((id % 5).toInt)
+          val ch = (id % 2 + 1).toInt
+          val bits = if (id % 3 == 0) 8 else 16
+          val frames = (id % 1000 + 1).toInt
+          val full =
+            if (id % 2 == 0) MediaCodec.encodeWav(sr, ch, bits, frames)
+            else MediaCodec.encodeFlac(sr, ch, bits, frames.toLong)
+          val cut = if (id % 2 == 0) 16 else 6
+          (id, if (id % 11 == 0) full.take(cut) else full)
+        }
+        .toDF("doc_id", "blob")
+      Multimodal.decodeAudio(blobs, "doc_id", "blob")
+        .toDF()
+        .withColumn("duration_s",
+          when(col("sample_rate") > 0, round(
+            col("n_frames").cast("double") / col("sample_rate"), 6)))
+        .orderBy("id")
+    },
+    Some("""WITH p AS (SELECT doc_id AS id,
+        CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'flac' END AS format,
+        CASE WHEN doc_id % 11 = 0 THEN 0 ELSE
+          CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 8000 WHEN 1 THEN 16000
+            WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END
+          END AS sample_rate,
+        CASE WHEN doc_id % 11 = 0 THEN 0
+          ELSE CAST(doc_id % 2 + 1 AS INT) END AS channels,
+        CASE WHEN doc_id % 11 = 0 THEN 0
+          WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS bits_per_sample,
+        CASE WHEN doc_id % 11 = 0 THEN 0
+          ELSE doc_id % 1000 + 1 END AS n_frames,
+        doc_id % 11 = 0 AS truncated
+      FROM documents)
+      SELECT id, format, sample_rate, channels, bits_per_sample,
+        n_frames, truncated,
+        CASE WHEN sample_rate > 0 THEN round(
+          CAST(n_frames AS DOUBLE) / sample_rate, 6) END AS duration_s
+      FROM p ORDER BY id"""))
+
   val all: Seq[Q] = Seq(
     qVocabulary, qVocabEncode, qBigramPmi,
     qSourceOverlap, qSourceMix, qContamination, qTopNgrams,
-    qZipf, qSourceDupRate,
+    qZipf, qSourceDupRate, qAudioDecode,
     qDedupExact, qNgramJaccard, qDedupClusters, qDedupCanonical, qFuzzyJoin,
     qNameEntities, qNovelty, qInvertedIndex, qCharEntropy,
     qDecontamination, qChunking, qLineDedup, qMixStats, qNormalize,

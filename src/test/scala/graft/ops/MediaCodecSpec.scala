@@ -152,4 +152,52 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MediaCodec.parseImageMeta(null) ==
       MediaCodec.ImageMeta("empty", 0, 0, truncated = false))
   }
+
+  test("wav round-trips rate/channels/bits/frames; truncation flagged") {
+    val m = MediaCodec.parseAudioMeta(
+      MediaCodec.encodeWav(44100, 2, 16, 777))
+    assert(m == MediaCodec.AudioMeta("wav", 44100, 2, 16, 777L,
+      truncated = false))
+    // cut past the RIFF/WAVE magic but before fmt: sniffed, truncated
+    val cut = MediaCodec.parseAudioMeta(
+      MediaCodec.encodeWav(8000, 1, 8, 10).take(16))
+    assert(cut.format == "wav" && cut.truncated && cut.sampleRate == 0)
+    // mono 8-bit: blockAlign 1, frames = data size
+    val mono = MediaCodec.parseAudioMeta(MediaCodec.encodeWav(8000, 1, 8, 3))
+    assert(mono.nFrames == 3L && mono.channels == 1)
+  }
+
+  test("flac STREAMINFO bit fields round-trip, incl. 36-bit totals") {
+    val m = MediaCodec.parseAudioMeta(
+      MediaCodec.encodeFlac(48000, 2, 24, 0x123456789L))
+    assert(m == MediaCodec.AudioMeta("flac", 48000, 2, 24, 0x123456789L,
+      truncated = false))
+    val cut = MediaCodec.parseAudioMeta(
+      MediaCodec.encodeFlac(22050, 1, 16, 5L).take(6))
+    assert(cut.format == "flac" && cut.truncated)
+  }
+
+  test("audio parse is hostile-bytes safe") {
+    assert(MediaCodec.parseAudioMeta("not audio".getBytes).format
+      == "unknown")
+    assert(MediaCodec.parseAudioMeta(null).format == "empty")
+    // RIFF/WAVE with a chunk whose size field overflows past the end
+    val evil = java.nio.ByteBuffer.allocate(24)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    evil.put("RIFF".getBytes).putInt(0x7fffffff).put("WAVE".getBytes)
+    evil.put("fmt ".getBytes).putInt(0x7fffffff)
+    val e = MediaCodec.parseAudioMeta(evil.array()) // must not throw
+    assert(e.format == "wav" && e.truncated)
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 200) {
+      val junk = "RIFF".getBytes ++
+        Array.fill(30)(rnd.nextInt(256).toByte)
+      MediaCodec.parseAudioMeta(junk) // no exception = pass
+    }
+    for (_ <- 1 to 200) {
+      val junk = "fLaC".getBytes ++
+        Array.fill(rnd.nextInt(40))(rnd.nextInt(256).toByte)
+      MediaCodec.parseAudioMeta(junk) // no exception = pass
+    }
+  }
 }
