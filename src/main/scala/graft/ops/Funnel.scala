@@ -108,4 +108,53 @@ object Funnel {
       .groupBy(coalesce(col("__prev"), lit("(none)")).as("touch"))
       .agg(count(lit(1)).as("conversions"))
   }
+
+  /** Linear multi-touch attribution: each conversion's credit splits
+    * EQUALLY over the touches in its journey (the events since the
+    * key's previous conversion), the standard counterweight to
+    * [[lastTouchAttribution]]'s recency bias. A journey with no
+    * touches credits `(none)` in full.
+    *
+    * Journey ids are the running count of PRIOR conversions per key —
+    * one lag-free window on the same (time, idCol)-deterministic
+    * ordering — so each conversion closes journey j and the touches
+    * with the same j fund it. Per-(key, journey, touch) counts roll
+    * up through a journey-size window (partitioned — never global),
+    * and the per-type credit Σ ct/n rounds at 6dp. Returns
+    * (touch, credit), ordered by touch. */
+  def linearAttribution(
+      df: DataFrame, key: String, time: String, idCol: String,
+      typeCol: String, conversion: String): DataFrame = {
+    require(!df.columns.contains("__j"),
+      "reserved column name `__j` in input")
+    val w = Window.partitionBy(col(key)).orderBy(col(time), col(idCol))
+    val withJ = df
+      .where(col(key).isNotNull && col(time).isNotNull &&
+        col(typeCol).isNotNull)
+      .withColumn("__j", coalesce(
+        sum(when(col(typeCol) === conversion, 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .localCheckpoint(false)
+    val touches = withJ.where(col(typeCol) =!= conversion)
+      .select(col(key).as("k"), col("__j"), col(typeCol).as("touch"))
+    // journey ids count only PRIOR conversions, so each conversion's
+    // (key, journey) is unique by construction
+    val convs = withJ.where(col(typeCol) === conversion)
+      .select(col(key).as("k"), col("__j"))
+    val perTouch = touches.join(convs, Seq("k", "__j"))
+      .groupBy("k", "__j", "touch").agg(count(lit(1)).as("ct"))
+    val wj = Window.partitionBy(col("k"), col("__j"))
+    val credited = perTouch
+      .withColumn("__n", sum(col("ct")).over(wj))
+      .groupBy("touch")
+      .agg(sum(col("ct").cast("double") / col("__n")).as("credit"))
+    val empties = convs.join(touches.select("k", "__j").distinct(),
+        Seq("k", "__j"), "left_anti")
+      .agg(count(lit(1)).cast("double").as("credit"))
+      .select(lit("(none)").as("touch"), col("credit"))
+      .where(col("credit") > 0)
+    credited.union(empties)
+      .select(col("touch"), round(col("credit"), 6).as("credit"))
+      .orderBy("touch")
+  }
 }

@@ -117,6 +117,37 @@ object Timeseries {
       when(col("n") > 1 && mean > 0.0, round(std / mean, 6)).as("cv"))
   }
 
+  /** Per-key time-weighted average (TWAP): each observation's value
+    * holds until the key's next observation, so the average weights
+    * values by their holding time — the fair summary for irregular
+    * sampling, where the plain mean over-counts bursts. The weighted
+    * sum Σ v·Δt accumulates in DECIMAL (value at 6dp × long micro
+    * gaps), so it is partition-order-exact; the final division is one
+    * deterministic double op. One hash-partitioned lead window.
+    * Returns (keyCol, n_obs, span, twap 6dp); twap null for
+    * single-observation keys (zero span). */
+  def twap(
+      df: DataFrame, keyCol: String, timeCol: String, vCol: String,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val order: Seq[Column] = (col(timeCol) +: tieBreak.map(col)).map(_.asc)
+    val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+    df.where(col(keyCol).isNotNull && col(timeCol).isNotNull &&
+        col(vCol).isNotNull)
+      .withColumn("__next", lead(col(timeCol), 1).over(w))
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_obs"),
+        (max(col(timeCol)) - min(col(timeCol))).cast("long").as("span"),
+        sum(col(vCol).cast(DecimalType(18, 6)) *
+          (col("__next") - col(timeCol))).as("__ws"))
+      .select(col(keyCol), col("n_obs"), col("span"),
+        when(col("span") > 0, round(
+          col("__ws").cast("double") / col("span").cast("double"), 6))
+          .as("twap"))
+  }
+
   /** Lead-lag cross-correlation between two event streams' arrival
     * counts — "does series A lead series B?": Pearson between A's
     * zero-filled per-period count at t and B's at t+lag, for each

@@ -451,7 +451,76 @@ object TemporalQueries {
             / (sgd / nd), 6) END AS cv
       FROM d"""))
 
+  /** Per-user TWAP ([[graft.ops.Timeseries.twap]]): time-weighted
+    * value average with the weighted sum in decimal — exact at any
+    * partition order. */
+  val qTwap = Q(
+    "q147_twap",
+    (s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("value"),
+          expr("ts div 1000").as("tus"))
+      graft.ops.Timeseries.twap(
+          ev, "user_id", "tus", "value", tieBreak = Seq("event_id"))
+        .orderBy("user_id")
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+          value FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND value IS NOT NULL),
+      l AS (SELECT user_id, tus, value,
+              lead(tus) OVER (PARTITION BY user_id
+                ORDER BY tus, event_id) AS nxt FROM e),
+      g AS (SELECT user_id, count(*) AS n_obs,
+              max(tus) - min(tus) AS span,
+              sum(CAST(value AS DECIMAL(18,6)) * (nxt - tus)) AS ws
+            FROM l GROUP BY user_id)
+      SELECT user_id, n_obs, CAST(span AS BIGINT) AS span,
+        CASE WHEN span > 0 THEN round(
+          CAST(ws AS DOUBLE) / CAST(span AS DOUBLE), 6) END AS twap
+      FROM g ORDER BY user_id"""))
+
+  /** Linear multi-touch attribution ([[graft.ops.Funnel
+    * .linearAttribution]]): purchase credit split equally across the
+    * journey's touches — the counterweight to q117's last-touch. */
+  val qLinearAttribution = Q(
+    "q148_linear_attribution",
+    (s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts div 1000").as("tus"))
+      graft.ops.Funnel.linearAttribution(
+        ev, "user_id", "tus", "event_id", "event_type", "purchase")
+    },
+    Some("""WITH e AS (SELECT user_id AS k, event_id,
+          epoch_us(ts) AS tus, event_type AS t FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND event_type IS NOT NULL),
+      j AS (SELECT k, t, coalesce(
+              sum(CASE WHEN t = 'purchase' THEN 1 ELSE 0 END)
+                OVER (PARTITION BY k ORDER BY tus, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS jid FROM e),
+      tch AS (SELECT k, jid, t AS touch FROM j WHERE t <> 'purchase'),
+      cv AS (SELECT k, jid FROM j WHERE t = 'purchase'),
+      pt AS (SELECT tch.k, tch.jid, touch, count(*) AS ct
+             FROM tch JOIN cv ON tch.k = cv.k AND tch.jid = cv.jid
+             GROUP BY 1, 2, 3),
+      cr AS (SELECT touch, sum(CAST(ct AS DOUBLE) / n) AS credit
+             FROM (SELECT *, sum(ct) OVER (PARTITION BY k, jid) AS n
+                   FROM pt)
+             GROUP BY touch),
+      emp AS (SELECT '(none)' AS touch, CAST(count(*) AS DOUBLE)
+                AS credit
+              FROM cv WHERE NOT EXISTS (SELECT 1 FROM tch
+                WHERE tch.k = cv.k AND tch.jid = cv.jid))
+      SELECT touch, round(credit, 6) AS credit
+      FROM (SELECT * FROM cr
+            UNION ALL SELECT * FROM emp WHERE credit > 0)
+      ORDER BY touch"""))
+
   val all: Seq[Q] = Seq(qSessionize, qAsofJoin, qRangeJoin, qFunnel,
     qRolling, qTransitions, qAttribution, qRetention, qCountAcf,
-    qKaplanMeier, qXcorr, qTopPaths, qInterarrival)
+    qKaplanMeier, qXcorr, qTopPaths, qInterarrival, qTwap,
+    qLinearAttribution)
 }

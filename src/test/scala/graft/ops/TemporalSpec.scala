@@ -297,6 +297,36 @@ class TemporalSpec extends SparkSpec {
       .toMap
     assert(neg == Map((-1L, 0L) -> 1L, (-1L, 1L) -> 1L))
   }
+  test("twap: holding-time weights, single-obs null, plain-mean contrast") {
+    // values 10 (held 2), 20 (held 1), 30 (held 0): twap = 40/3
+    val df = Seq((1L, 0L, 10.0), (1L, 2L, 20.0), (1L, 3L, 30.0),
+      (2L, 5L, 99.0)).toDF("u", "t", "v")
+    val got = graft.ops.Timeseries.twap(df, "u", "t", "v")
+      .orderBy("u").collect()
+    val r1 = got(0)
+    assert(r1.getLong(1) == 3 && r1.getLong(2) == 3L)
+    assert(r1.getDouble(3) == BigDecimal(40.0 / 3.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got(1).isNullAt(3)) // single observation: zero span
+  }
+
+  test("linearAttribution: equal journey split, empty journeys to (none)") {
+    // user 1: a,b -> conv (a .5, b .5); then c -> conv (c 1.0)
+    // user 2: conv with no touches -> (none) 1.0
+    // user 3: touches, never converts -> no credit
+    val df = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "conv"),
+      (1L, 4L, "c"), (1L, 5L, "conv"),
+      (2L, 6L, "conv"),
+      (3L, 7L, "a"), (3L, 8L, "b")
+    ).map { case (u, t, ty) => (u, t, t, ty) }.toDF("u", "t", "eid", "ty")
+    val got = graft.ops.Funnel.linearAttribution(
+        df, "u", "t", "eid", "ty", "conv")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("(none)" -> 1.0, "a" -> 0.5, "b" -> 0.5,
+      "c" -> 1.0))
+  }
+
   test("interarrivalStats: gaps per key, exact mean/percentiles/cv") {
     // user 1 at t = 0,10,20,40 -> gaps 10,10,20; user 2 at 0,5 -> gap 5
     val df = Seq((1L, 0L), (1L, 10L), (1L, 20L), (1L, 40L),
