@@ -117,6 +117,48 @@ object Timeseries {
       when(col("n") > 1 && mean > 0.0, round(std / mean, 6)).as("cv"))
   }
 
+  /** CUSUM changepoint scan over the arrival-count series: the period
+    * t* maximizing |Σ_{j≤t}(c_j − mean)| on the zero-filled axis — the
+    * level-shift locator (a mean change makes the cumulative deviation
+    * peak at the shift). Deviations from the rational mean accumulate
+    * in t-order through a window over the BOUNDED dense axis, so both
+    * engines execute the identical float sequence and the argmax needs
+    * no rounding tolerance; ties break to the earliest period. Returns
+    * one row: (t_star, cusum_abs 6dp, mean 6dp, n_periods). */
+  def countChangepoint(
+      df: DataFrame, timeCol: String, period: Long,
+      maxPeriods: Long = 10000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(period > 0, "period must be positive")
+    require(!timeCol.contains("`") && !timeCol.contains("'"),
+      "column name must not contain backticks or quotes")
+    val spark = df.sparkSession
+    val b = df.where(col(timeCol).isNotNull)
+      .select(expr(s"(`$timeCol` - pmod(`$timeCol`, $period)) " +
+        s"div $period").as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val mm = b.agg(min(col("t")), max(col("t")), sum(col("c"))).head()
+    require(!mm.isNullAt(0), "no non-null time values")
+    val (lo, hi, total) = (mm.getLong(0), mm.getLong(1), mm.getLong(2))
+    require(hi - lo < maxPeriods,
+      s"time span ${hi - lo} periods exceeds maxPeriods=$maxPeriods — " +
+        "corrupt timestamps? filter the input or raise maxPeriods")
+    val np = hi - lo + 1
+    val mean = total.toDouble / np
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spark.range(lo, hi + 1).toDF("t")
+      .join(b, Seq("t"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("__s",
+        sum(col("c").cast("double") - lit(mean)).over(wCum))
+      .orderBy(abs(col("__s")).desc, col("t"))
+      .limit(1)
+      .select(col("t").as("t_star"), round(abs(col("__s")), 6)
+          .as("cusum_abs"),
+        round(lit(mean), 6).as("mean"), lit(np).as("n_periods"))
+  }
+
   /** Per-key time-weighted average (TWAP): each observation's value
     * holds until the key's next observation, so the average weights
     * values by their holding time — the fair summary for irregular

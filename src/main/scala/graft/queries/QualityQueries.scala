@@ -1039,11 +1039,48 @@ object QualityQueries {
           THEN round(num * num / (vx * vy), 6) END AS r2
       FROM e"""))
 
+  /** Binned numeric MI ([[graft.ops.Association.binnedMutualInfo]]):
+    * quantity × price on the 10×10 equal-width grid — the
+    * nonlinear-dependence screen Pearson misses. */
+  val qNumericMi = Q(
+    "q150_numeric_mi",
+    (s, dir) => Association.binnedMutualInfo(
+      table(s, dir, "lineitem"), "l_quantity", "l_extendedprice"),
+    Some("""WITH u AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+          CAST(l_extendedprice AS DOUBLE) AS y FROM lineitem
+        WHERE l_quantity IS NOT NULL
+          AND NOT isnan(CAST(l_quantity AS DOUBLE))
+          AND l_extendedprice IS NOT NULL
+          AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+      st AS (SELECT min(x) AS mnx, max(x) AS mxx,
+              min(y) AS mny, max(y) AS mxy FROM u),
+      bb AS (SELECT
+          CAST(least(floor((x - mnx) / ((mxx - mnx) / 10)), 9) AS INT)
+            AS b_x,
+          CAST(least(floor((y - mny) / ((mxy - mny) / 10)), 9) AS INT)
+            AS b_y
+        FROM u, st),
+      j AS (SELECT b_x, b_y, count(*) AS c FROM bb GROUP BY 1, 2),
+      nn AS (SELECT sum(c) AS n FROM j),
+      exy AS (SELECT sum(c * (ln(n) - ln(c))) / n AS hxy
+        FROM j, nn GROUP BY n),
+      ex AS (SELECT sum(cx * (ln(n) - ln(cx))) / n AS hx
+        FROM (SELECT sum(c) AS cx FROM j GROUP BY b_x), nn GROUP BY n),
+      ey AS (SELECT sum(cy * (ln(n) - ln(cy))) / n AS hy
+        FROM (SELECT sum(c) AS cy FROM j GROUP BY b_y), nn GROUP BY n)
+      SELECT round(hx + hy - hxy, 8) AS mi,
+        round(CASE WHEN hx <> 0 THEN (hx + hy - hxy) / hx END, 8)
+          AS u_x_given_y,
+        round(CASE WHEN hy <> 0 THEN (hx + hy - hxy) / hy END, 8)
+          AS u_y_given_x,
+        CAST(n AS BIGINT) AS n
+      FROM exy, ex, ey, nn"""))
+
   val all: Seq[Q] = Seq(qOutliers, qAssociation, qJsdDrift, qValidate,
     qChi2Drift, qNullPatterns, qFdCheck, qWassersteinDrift, qOrphans,
     qFanout, qEmbedNorms, qKeySkew, qPctRank, qBloomPrune, qPsiSweep,
     qPairRules, qSplitAssign, qQqTable, qWinsorized, qGini, qWoe,
     qTargetEnc, qRobustZ, qWeightedQuantiles, qSegmentPsi,
     qMannWhitney, qWelchT, qCalibration, qLift, qAuc, qKruskal, qAnova,
-    qPropZ, qOls)
+    qPropZ, qOls, qNumericMi)
 }

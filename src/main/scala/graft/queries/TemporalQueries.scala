@@ -519,8 +519,34 @@ object TemporalQueries {
             UNION ALL SELECT * FROM emp WHERE credit > 0)
       ORDER BY touch"""))
 
+  /** CUSUM changepoint ([[graft.ops.Timeseries.countChangepoint]]):
+    * where the hourly arrival level shifts — identical cumulative
+    * float sequence in both engines, so the argmax needs no
+    * tolerance. */
+  val qChangepoint = Q(
+    "q149_changepoint",
+    (s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(expr("ts div 1000").as("tus"))
+      graft.ops.Timeseries.countChangepoint(ev, "tus", 3600000000L)
+    },
+    Some("""WITH b AS (SELECT epoch_us(ts) // 3600000000 AS t,
+          count(*) AS c FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      mm AS (SELECT min(t) AS lo, max(t) AS hi, sum(c) AS total FROM b),
+      ax AS (SELECT unnest(generate_series(lo, hi)) AS t FROM mm),
+      d AS (SELECT ax.t, coalesce(b.c, 0) AS c
+            FROM ax LEFT JOIN b ON b.t = ax.t),
+      m AS (SELECT CAST(total AS DOUBLE) / (hi - lo + 1) AS mean,
+              hi - lo + 1 AS np FROM mm),
+      sc AS (SELECT t, sum(CAST(c AS DOUBLE) - mean)
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS s
+             FROM d, m)
+      SELECT t AS t_star, round(abs(s), 6) AS cusum_abs,
+        round(mean, 6) AS mean, CAST(np AS BIGINT) AS n_periods
+      FROM sc, m ORDER BY abs(s) DESC, t LIMIT 1"""))
+
   val all: Seq[Q] = Seq(qSessionize, qAsofJoin, qRangeJoin, qFunnel,
     qRolling, qTransitions, qAttribution, qRetention, qCountAcf,
     qKaplanMeier, qXcorr, qTopPaths, qInterarrival, qTwap,
-    qLinearAttribution)
+    qLinearAttribution, qChangepoint)
 }

@@ -58,4 +58,23 @@ class AssociationSpec extends SparkSpec {
     assert(r.getLong(3) == 3) // all rows counted
     assert(r.getDouble(1) == 1.0) // null-x perfectly predicts y=v
   }
+
+  test("binnedMutualInfo: V-shape scores high MI where Pearson is 0") {
+    // y = |x|: perfectly dependent, but correlation ~0
+    val xs = (-50 to 50).map(_.toDouble)
+    val df = xs.map(x => (x, math.abs(x))).toDF("x", "y")
+    val r = Association.binnedMutualInfo(df, "x", "y", bins = 10).head()
+    assert(r.getDouble(0) > 0.5, s"V-shape MI should be high: $r")
+    assert(r.getLong(3) == 101)
+    // independent uniform grid: MI exactly 0 (every cell uniform)
+    val grid = (for (a <- 0 until 10; b <- 0 until 10)
+      yield (a.toDouble, b.toDouble)).toDF("x", "y")
+    val r2 = Association.binnedMutualInfo(grid, "x", "y", bins = 10)
+      .head()
+    assert(math.abs(r2.getDouble(0)) < 1e-9)
+    // NaN / null rows dropped
+    val withBad = df.union(Seq((Double.NaN, 1.0)).toDF("x", "y"))
+    assert(Association.binnedMutualInfo(withBad, "x", "y", 10)
+      .head().getLong(3) == 101)
+  }
 }

@@ -297,6 +297,18 @@ class TemporalSpec extends SparkSpec {
       .toMap
     assert(neg == Map((-1L, 0L) -> 1L, (-1L, 1L) -> 1L))
   }
+  test("countChangepoint: level shift located at the step") {
+    // periods 0-4 one event each, periods 5-9 three each: the cumsum
+    // of deviations (mean 2) troughs at period 4 with |S| = 5
+    val times = (0 to 4).map(_.toLong * 10) ++
+      (5 to 9).flatMap(p => Seq.fill(3)(p.toLong * 10))
+    val r = graft.ops.Timeseries.countChangepoint(
+      times.toDF("t"), "t", 10L).head()
+    assert(r.getLong(0) == 4L)
+    assert(r.getDouble(1) == 5.0)
+    assert(r.getDouble(2) == 2.0 && r.getLong(3) == 10L)
+  }
+
   test("twap: holding-time weights, single-obs null, plain-mean contrast") {
     // values 10 (held 2), 20 (held 1), 30 (held 0): twap = 40/3
     val df = Seq((1L, 0L, 10.0), (1L, 2L, 20.0), (1L, 3L, 30.0),
