@@ -1672,10 +1672,84 @@ object PipelineQueries {
           CAST(n_frames AS DOUBLE) / sample_rate, 6) END AS duration_s
       FROM p ORDER BY id"""))
 
+  /** Classifier evaluation: per-class precision/recall/F1 of the q28
+    * language-ID against the ground-truth `lang` column — the engine
+    * evaluating its own heuristic, confusion-matrix style. Labels are
+    * the union of actual and predicted (so `zh`, which the stopword
+    * model cannot predict, shows recall 0 with null precision, and
+    * `und` appears as predicted-only). Pure counts; divisions rounded
+    * at 6dp from unrounded ratios. */
+  val qLangidEval = Q(
+    "q151_langid_eval",
+    (s, dir) => {
+      val df = table(s, dir, "documents")
+        .where(col("lang").isNotNull)
+        .select(col("lang").as("actual"),
+          TextAnalysis.langId(col("text")).as("pred"))
+        .localCheckpoint(false)
+      val labels = df.select(col("actual").as("label"))
+        .union(df.select(col("pred").as("label"))).distinct()
+      val na = df.groupBy(col("actual").as("label"))
+        .agg(count(lit(1)).as("n_actual"))
+      val np = df.groupBy(col("pred").as("label"))
+        .agg(count(lit(1)).as("n_pred"))
+      val tp = df.where(col("actual") === col("pred"))
+        .groupBy(col("actual").as("label")).agg(count(lit(1)).as("tp"))
+      val pr = col("tp").cast("double") / col("n_pred")
+      val rc = col("tp").cast("double") / col("n_actual")
+      labels
+        .join(na, Seq("label"), "left").join(np, Seq("label"), "left")
+        .join(tp, Seq("label"), "left")
+        .na.fill(0L, Seq("n_actual", "n_pred", "tp"))
+        .select(col("label"), col("n_actual"), col("n_pred"), col("tp"),
+          when(col("n_pred") > 0, round(pr, 6)).as("precision"),
+          when(col("n_actual") > 0, round(rc, 6)).as("recall"),
+          when(col("n_pred") > 0 && col("n_actual") > 0 &&
+            (pr + rc) > 0.0,
+            round(lit(2.0) * pr * rc / (pr + rc), 6)).as("f1"))
+        .orderBy("label")
+    },
+    Some {
+      val pred = s"""CASE WHEN greatest(${dkStopFrac("de")},
+            ${dkStopFrac("en")}, ${dkStopFrac("es")},
+            ${dkStopFrac("fr")}) = 0 THEN 'und'
+          WHEN ${dkStopFrac("fr")} >= ${dkStopFrac("es")}
+           AND ${dkStopFrac("fr")} >= ${dkStopFrac("en")}
+           AND ${dkStopFrac("fr")} >= ${dkStopFrac("de")} THEN 'fr'
+          WHEN ${dkStopFrac("es")} >= ${dkStopFrac("en")}
+           AND ${dkStopFrac("es")} >= ${dkStopFrac("de")} THEN 'es'
+          WHEN ${dkStopFrac("en")} >= ${dkStopFrac("de")} THEN 'en'
+          ELSE 'de' END"""
+      s"""WITH p AS (SELECT lang AS actual, $pred AS pred
+          FROM documents WHERE lang IS NOT NULL),
+        lab AS (SELECT actual AS label FROM p
+                UNION SELECT pred FROM p),
+        na AS (SELECT actual AS label, count(*) AS n_actual
+               FROM p GROUP BY 1),
+        np AS (SELECT pred AS label, count(*) AS n_pred
+               FROM p GROUP BY 1),
+        tp AS (SELECT actual AS label, count(*) AS tp FROM p
+               WHERE actual = pred GROUP BY 1),
+        m AS (SELECT lab.label,
+                coalesce(na.n_actual, 0) AS n_actual,
+                coalesce(np.n_pred, 0) AS n_pred,
+                coalesce(tp.tp, 0) AS tp
+              FROM lab LEFT JOIN na USING (label)
+              LEFT JOIN np USING (label) LEFT JOIN tp USING (label)),
+        r AS (SELECT *, CAST(tp AS DOUBLE) / n_pred AS pr,
+                CAST(tp AS DOUBLE) / n_actual AS rc FROM m)
+        SELECT label, n_actual, n_pred, tp,
+          CASE WHEN n_pred > 0 THEN round(pr, 6) END AS precision,
+          CASE WHEN n_actual > 0 THEN round(rc, 6) END AS recall,
+          CASE WHEN n_pred > 0 AND n_actual > 0 AND (pr + rc) > 0.0
+            THEN round(2.0 * pr * rc / (pr + rc), 6) END AS f1
+        FROM r ORDER BY label"""
+    })
+
   val all: Seq[Q] = Seq(
     qVocabulary, qVocabEncode, qBigramPmi,
     qSourceOverlap, qSourceMix, qContamination, qTopNgrams,
-    qZipf, qSourceDupRate, qAudioDecode,
+    qZipf, qSourceDupRate, qAudioDecode, qLangidEval,
     qDedupExact, qNgramJaccard, qDedupClusters, qDedupCanonical, qFuzzyJoin,
     qNameEntities, qNovelty, qInvertedIndex, qCharEntropy,
     qDecontamination, qChunking, qLineDedup, qMixStats, qNormalize,
