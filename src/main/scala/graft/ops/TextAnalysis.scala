@@ -496,6 +496,44 @@ object TextAnalysis {
           .as("chunk"))
   }
 
+  /** Emerging terms between two corpus snapshots: smoothed log-odds
+    * ratio of each word's rate in `after` vs `before` (the
+    * "Fightin' Words" style monitoring diagnostic — what vocabulary
+    * is a new crawl injecting). delta = ln((c_b+½)/(n_b−c_b+½)) −
+    * ln((c_a+½)/(n_a−c_a+½)); top-k risers ordered by the 6dp-ROUNDED
+    * delta (ln differs in the last ulp across engines; the rounded
+    * key plus the word tie-break makes the top-k edge reproducible),
+    * min total count filters hapax noise. Two explode→groupBy passes
+    * + one hash join on the word. Returns (word, c_before, c_after,
+    * delta 6dp), ordered. */
+  def emergingTerms(
+      before: DataFrame, after: DataFrame, textCol: String,
+      topK: Int, minCount: Long = 5L): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    def counts(df: DataFrame, cName: String) = df
+      .where(col(textCol).isNotNull)
+      .select(explode(words(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as(cName))
+    val ca = counts(before, "c_before").localCheckpoint(false)
+    val cb = counts(after, "c_after").localCheckpoint(false)
+    val na = ca.agg(sum(col("c_before")).as("na"))
+    val nb = cb.agg(sum(col("c_after")).as("nb"))
+    val joined = ca.join(cb, Seq("w"), "full_outer")
+      .na.fill(0L, Seq("c_before", "c_after"))
+      .crossJoin(na).crossJoin(nb)
+    val caD = col("c_before").cast("double")
+    val cbD = col("c_after").cast("double")
+    val delta =
+      log((cbD + 0.5) / (col("nb").cast("double") - cbD + 0.5)) -
+        log((caD + 0.5) / (col("na").cast("double") - caD + 0.5))
+    joined
+      .where(col("c_before") + col("c_after") >= minCount)
+      .select(col("w").as("word"), col("c_before"), col("c_after"),
+        round(delta, 6).as("delta"))
+      .orderBy(col("delta").desc, col("word"))
+      .limit(topK)
+  }
+
   /** Corpus-level most-repeated word n-grams — the memorization /
     * boilerplate diagnostic (the corpus-wide complement of the per-doc
     * [[dup n-gram fraction|repetitionTable]]): every occurrence counts

@@ -1746,10 +1746,45 @@ object PipelineQueries {
         FROM r ORDER BY label"""
     })
 
+  /** Emerging terms ([[TextAnalysis.emergingTerms]]): smoothed
+    * log-odds of word rates between the doc_id%3 corpus split — what
+    * the "new" slice injects. Ordered by the rounded delta so the
+    * top-k edge survives ln's last-ulp engine skew. */
+  val qEmergingTerms = Q(
+    "q152_emerging_terms",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      TextAnalysis.emergingTerms(
+        docs.where(col("doc_id") % 3 =!= 0),
+        docs.where(col("doc_id") % 3 === 0),
+        "text", topK = 25, minCount = 5L)
+    },
+    Some(s"""WITH wa AS (SELECT unnest($dkWords) AS w FROM documents
+          WHERE text IS NOT NULL AND doc_id % 3 <> 0),
+      wb AS (SELECT unnest($dkWords) AS w FROM documents
+          WHERE text IS NOT NULL AND doc_id % 3 = 0),
+      ca AS (SELECT w, count(*) AS c_before FROM wa GROUP BY w),
+      cb AS (SELECT w, count(*) AS c_after FROM wb GROUP BY w),
+      na AS (SELECT CAST(sum(c_before) AS DOUBLE) AS na FROM ca),
+      nb AS (SELECT CAST(sum(c_after) AS DOUBLE) AS nb FROM cb),
+      j AS (SELECT coalesce(ca.w, cb.w) AS word,
+              coalesce(c_before, 0) AS c_before,
+              coalesce(c_after, 0) AS c_after
+            FROM ca FULL OUTER JOIN cb ON ca.w = cb.w),
+      d AS (SELECT word, c_before, c_after,
+              round(ln((CAST(c_after AS DOUBLE) + 0.5)
+                  / (nb - CAST(c_after AS DOUBLE) + 0.5))
+                - ln((CAST(c_before AS DOUBLE) + 0.5)
+                  / (na - CAST(c_before AS DOUBLE) + 0.5)), 6) AS delta
+            FROM j, na, nb
+            WHERE c_before + c_after >= 5)
+      SELECT word, c_before, c_after, delta FROM d
+      ORDER BY delta DESC, word LIMIT 25"""))
+
   val all: Seq[Q] = Seq(
     qVocabulary, qVocabEncode, qBigramPmi,
     qSourceOverlap, qSourceMix, qContamination, qTopNgrams,
-    qZipf, qSourceDupRate, qAudioDecode, qLangidEval,
+    qZipf, qSourceDupRate, qAudioDecode, qLangidEval, qEmergingTerms,
     qDedupExact, qNgramJaccard, qDedupClusters, qDedupCanonical, qFuzzyJoin,
     qNameEntities, qNovelty, qInvertedIndex, qCharEntropy,
     qDecontamination, qChunking, qLineDedup, qMixStats, qNormalize,

@@ -683,6 +683,25 @@ class OpsSpec extends SparkSpec {
     assert(got.forall(_._2 <= 3L))
   }
 
+  test("emergingTerms: risers rank by smoothed log-odds, counts exact") {
+    val before = Seq((1L, "x x x y")).toDF("id", "text")
+    val after = Seq((2L, "y y z z z")).toDF("id", "text")
+    val got = TextAnalysis.emergingTerms(before, after, "text",
+        topK = 10, minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.map(_._1).toSeq == Seq("z", "y", "x"))
+    assert(got.head == ("z", 0L, 3L,
+      BigDecimal(math.log(3.5 / 2.5) - math.log(0.5 / 4.5))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(got.last._4 < 0) // x vanished: negative log-odds
+    // minCount filters below-threshold totals (all totals are 3 here)
+    assert(TextAnalysis.emergingTerms(before, after, "text", 10, 4L)
+      .count() == 0)
+    assert(TextAnalysis.emergingTerms(before, after, "text", 10, 3L)
+      .count() == 3)
+  }
+
   test("sourceMixWeights: alpha=0.5 up-weights small sources") {
     val docs = Seq(
       ("big", "w1 w2 w3 w4 w5 w6 w7 w8 w9"), // 9 tokens
