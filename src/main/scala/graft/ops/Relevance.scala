@@ -203,6 +203,47 @@ object Relevance {
         col("tf"))
   }
 
+  /** Reciprocal-rank fusion of several ranked retrieval lists — the
+    * standard way to combine a lexical ranking ([[bm25TopK]]) with a
+    * vector ranking ([[Similarity.bruteForceTopK]] / [[IvfIndex]])
+    * into one hybrid result, robust to the two scorers living on
+    * incomparable scales:
+    *
+    *   rrf(d) = sum over lists L containing d of 1 / (k0 + rank_L(d))
+    *
+    * (Cormack et al., SIGIR 2009; k0 = 60 the conventional damping).
+    * Each input is a DataFrame with an `idCol` and a 1-based `rankCol`;
+    * items absent from a list simply contribute nothing for it.
+    * Returns the top `k` (idCol, n_lists, best_rank, rrf_score) rows,
+    * score rounded to 6 dp, ties broken on the id ascending.
+    *
+    * Scale design (100 TB): the inputs are already top-N lists — tiny
+    * relative to the corpus — so the union + groupBy shuffles only
+    * lists.length * N rows, and the final top-k is a
+    * TakeOrderedAndProject. The fused score is a sum of at most
+    * lists.length IEEE terms whose addition order is fixed by the
+    * sort below, so the 6-dp round is engine-stable. */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String, rankCol: String,
+      k: Int, k0: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "RRF needs at least one ranked list")
+    require(k0 >= 0, "k0 must be >= 0")
+    val tagged = lists.zipWithIndex.map { case (l, i) =>
+      l.select(col(idCol).as("id"),
+        col(rankCol).cast("long").as("rnk"), lit(i).as("list_id"))
+    }.reduce(_ unionAll _)
+    // sum over sort_array(collect_list(...)): a per-id list of <=
+    // lists.length doubles folded in a deterministic order, so the
+    // float sum is bit-identical across engines and partitionings
+    tagged
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_lists"), min(col("rnk")).as("best_rank"),
+        round(aggregate(
+          sort_array(collect_list(lit(1.0) / (lit(k0.toDouble) + col("rnk")))),
+          lit(0.0), (acc, x) => acc + x), 6).as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Per-document cross-entropy under an interpolated BIGRAM model of
     * the corpus itself — the next step up from [[unigramCrossEntropy]]
     * toward the CCNet KenLM filter:

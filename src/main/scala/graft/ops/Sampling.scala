@@ -92,6 +92,35 @@ object Sampling {
     df.where(hashBucket(keyCol) < pctCol)
   }
 
+  /** Class-balanced downsampling: every class keeps exactly
+    * min-class-count rows (the classic majority-downsample for a
+    * skewed training label), chosen deterministically by the shared
+    * md5 hash family — so the balanced subset is reproducible across
+    * runs, engines, and repartitionings, and stable under dataset
+    * growth ORDER (a row's within-class hash rank only moves if new
+    * rows hash below it). `keyCol` must be unique per row so the
+    * rank order is total and the cut deterministic.
+    *
+    * Scale design (100 TB): class counts are ONE map-side-combined
+    * groupBy (class-cardinality rows, broadcast back); the per-class
+    * rank is a window partitioned by class — work per partition
+    * bounded by the largest class. For a pathological single-majority
+    * class, pre-filter with [[hashSample]] at ~(minCount/majority)
+    * before ranking; the hash family is shared, so the composition
+    * keeps exactly the same rows. */
+  def balancedSample(df: DataFrame, classCol: String,
+      keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(classCol)).agg(count(lit(1)).as("__n"))
+    val minN = counts.agg(min(col("__n")).as("__min_n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(classCol))
+      .orderBy(hash64(col(keyCol).cast("string"), 0), col(keyCol))
+    df.withColumn("__rnk", row_number().over(w))
+      .crossJoin(broadcast(minN))
+      .where(col("__rnk") <= col("__min_n"))
+      .drop("__rnk", "__min_n")
+  }
+
   /** Corpus-composition statistics for training-data mixing: per-group
     * (source / domain / language) document counts, token totals, shares,
     * and the resampling weight that would equalize every group's token

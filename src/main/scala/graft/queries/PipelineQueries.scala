@@ -1781,7 +1781,81 @@ object PipelineQueries {
       SELECT word, c_before, c_after, delta FROM d
       ORDER BY delta DESC, word LIMIT 25"""))
 
+  /** Hybrid retrieval ([[Relevance.rrfFuse]]): BM25 lexical top-50 for
+    * a query-term bag fused with brute-force cosine top-50 around a
+    * probe embedding by reciprocal-rank fusion (k0=60), top-20 fused.
+    * Both legs rank on 6-dp-rounded scores with id tie-breaks, so the
+    * rank vectors — and hence the fused scores — are engine-exact. */
+  val qHybridRrf = Q(
+    "q153_hybrid_rrf",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = table(s, dir, "documents")
+      val emb = table(s, dir, "embeddings")
+      val lex = Relevance.bm25TopK(docs, "doc_id", "text",
+          queryTerms = Seq("hash", "join", "merge"), k = 50)
+        // 50 rows post-limit: the rank window re-states the list order
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)))
+        .select("doc_id", "rnk")
+      val vec = Similarity.bruteForceTopK(
+          emb.where(col("vec_id") === 0), emb, "vec_id", "embedding", 50)
+        .select(col("neighbor_id").as("doc_id"), col("rnk"))
+      Relevance.rrfFuse(Seq(lex, vec), "doc_id", "rnk", k = 20)
+        .orderBy(col("rrf_score").desc, col("doc_id").asc)
+    },
+    Some(s"""WITH w AS (SELECT doc_id AS id, $dkWords AS ws FROM documents),
+      dl AS (SELECT id, len(ws) AS dl FROM w),
+      corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      oc AS (SELECT id, unnest(ws) AS w FROM w),
+      qt AS (SELECT unnest(['hash', 'join', 'merge']) AS w),
+      dfq AS (SELECT w, count(DISTINCT id) AS df_w
+              FROM oc JOIN qt USING (w) GROUP BY 1),
+      tf AS (SELECT id, w, count(*) AS tf
+             FROM oc JOIN qt USING (w) GROUP BY 1, 2),
+      bscored AS (SELECT id,
+          ln((n_docs - df_w + 0.5) / (df_w + 0.5) + 1.0) * tf * (1.2 + 1.0)
+            / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS contrib
+        FROM tf JOIN dfq USING (w) JOIN dl USING (id) CROSS JOIN corpus),
+      btop AS (SELECT id AS doc_id, round(sum(contrib), 6) AS score
+        FROM bscored GROUP BY id
+        ORDER BY score DESC, doc_id LIMIT 50),
+      lex AS (SELECT doc_id, row_number() OVER
+                (ORDER BY score DESC, doc_id) AS rnk FROM btop),
+      p AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      vscored AS (SELECT e.vec_id AS doc_id, $dkCos AS cos
+        FROM p CROSS JOIN embeddings e WHERE e.vec_id != 0),
+      vranked AS (SELECT doc_id, row_number() OVER
+                    (ORDER BY cos DESC, doc_id) AS rnk FROM vscored),
+      vec AS (SELECT doc_id, rnk FROM vranked WHERE rnk <= 50),
+      u AS (SELECT * FROM lex UNION ALL SELECT * FROM vec)
+      SELECT doc_id, count(*) AS n_lists, min(rnk) AS best_rank,
+        round(sum(1.0 / (60.0 + rnk)), 6) AS rrf_score
+      FROM u GROUP BY doc_id
+      ORDER BY rrf_score DESC, doc_id LIMIT 20"""))
+
+  /** Class-balanced downsample ([[Sampling.balancedSample]]): every
+    * embedding label keeps exactly min-class-count rows, membership a
+    * pure function of the shared md5 hash family — the reproducible
+    * majority-downsample for a skewed training label. */
+  val qClassBalance = Q(
+    "q156_class_balance",
+    (s, dir) =>
+      Sampling.balancedSample(table(s, dir, "embeddings"), "label", "vec_id")
+        .select(col("vec_id"), col("label"))
+        .orderBy("vec_id"),
+    Some(s"""WITH c AS (SELECT label, count(*) AS n
+               FROM embeddings GROUP BY 1),
+      m AS (SELECT min(n) AS min_n FROM c),
+      r AS (SELECT vec_id, label, row_number() OVER
+              (PARTITION BY label ORDER BY
+                 ${dkHash("CAST(vec_id AS VARCHAR)", 0)}, vec_id) AS rnk
+            FROM embeddings)
+      SELECT vec_id, label FROM r, m WHERE rnk <= min_n
+      ORDER BY vec_id"""))
+
   val all: Seq[Q] = Seq(
+    qHybridRrf, qClassBalance,
     qVocabulary, qVocabEncode, qBigramPmi,
     qSourceOverlap, qSourceMix, qContamination, qTopNgrams,
     qZipf, qSourceDupRate, qAudioDecode, qLangidEval, qEmergingTerms,

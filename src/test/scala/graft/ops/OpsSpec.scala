@@ -716,4 +716,20 @@ class OpsSpec extends SparkSpec {
       .collect().map(_.getDouble(3))
     assert(uni.toSeq == Seq(0.5, 0.5))
   }
+
+  test("balancedSample: every class capped to min class count, subset") {
+    val df = ((0L until 100L).map((_, "big")) ++
+      (100L until 112L).map((_, "small")) ++
+      (200L until 230L).map((_, "mid"))).toDF("id", "cls")
+    val got = Sampling.balancedSample(df, "cls", "id")
+    val counts = got.groupBy("cls").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("big" -> 12L, "small" -> 12L, "mid" -> 12L))
+    // subset of the input, schema unchanged
+    assert(got.columns.toSeq == df.columns.toSeq)
+    assert(got.except(df).count() == 0)
+    // deterministic: repartitioned input selects the SAME rows
+    val again = Sampling.balancedSample(df.repartition(7), "cls", "id")
+    assert(got.except(again).count() == 0 && again.except(got).count() == 0)
+  }
 }

@@ -196,4 +196,29 @@ class RelevanceSpec extends SparkSpec {
     assert(got(2L) == ((4L, r6(math.log(2.0)))))
     assert(!got.contains(3L))
   }
+
+  test("rrfFuse: hand-computed fused scores, absence contributes nothing") {
+    val r6 = (x: Double) => BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val l1 = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rnk")
+    val l2 = Seq((20L, 1L), (40L, 2L)).toDF("id", "rnk")
+    val got = Relevance.rrfFuse(Seq(l1, l2), "id", "rnk", k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    // 20 is in both lists (ranks 2 and 1) and must fuse on top
+    assert(got == Seq(
+      (20L, 2L, 1L, r6(1.0 / 62 + 1.0 / 61)),
+      (10L, 1L, 1L, r6(1.0 / 61)),
+      (40L, 1L, 2L, r6(1.0 / 62)),
+      (30L, 1L, 3L, r6(1.0 / 63))))
+  }
+
+  test("rrfFuse: k caps the fused list, ties break on id ascending") {
+    val l1 = Seq((5L, 1L), (3L, 1L)).toDF("id", "rnk")
+    val l2 = Seq((3L, 1L), (5L, 1L)).toDF("id", "rnk")
+    val got = Relevance.rrfFuse(Seq(l1, l2), "id", "rnk", k = 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(3L)) // equal scores -> lower id wins the cap
+  }
 }
