@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dataset-version diffing: row-level added/removed/changed/unchanged
+  * classification between two snapshots of a keyed table — the audit a
+  * training-data pipeline runs when a corpus is re-crawled, re-filtered,
+  * or re-scored, before deciding whether a downstream rebuild is needed
+  * (and the primitive under incremental re-processing: ship only the
+  * `added`+`changed` slice).
+  *
+  * Scale design (100 TB): ONE hash-partitioned full outer join on the
+  * key columns; every per-column comparison is a codegen'd null-safe
+  * equality on the joined row — no driver state, no second scan. The
+  * output is row-level; aggregate it for a summary (the q154 shape) or
+  * filter `status != 'unchanged'` for an incremental feed, and Catalyst
+  * prunes the unused comparison columns either way.
+  */
+object Delta {
+
+  /** Diff `newDf` against `oldDf` by `keyCols`. Both frames must share
+    * the exact schema (names and order). Returns the key columns plus:
+    *
+    *   - `status`: 'added' (key only in new), 'removed' (only in old),
+    *     'changed' (both, some non-key column differs null-safely),
+    *     'unchanged' (both, all equal);
+    *   - `changed_cols`: comma-joined names of the differing non-key
+    *     columns in schema order; empty string unless status='changed'.
+    *
+    * Null-safe semantics: a null column equals null (so a row of nulls
+    * is 'unchanged', not 'changed'), matching SQL IS NOT DISTINCT FROM.
+    * Keys must be unique per snapshot — duplicates would fan out in the
+    * join exactly as they would in any keyed diff. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "snapshotDiff needs at least one key column")
+    require(oldDf.columns.sameElements(newDf.columns),
+      s"snapshot schemas must match: ${oldDf.columns.toSeq} vs " +
+        s"${newDf.columns.toSeq}")
+    val valCols = oldDf.columns.filterNot(keyCols.contains).toSeq
+    require(valCols.nonEmpty, "no non-key columns to diff")
+    val o = oldDf.select(
+      keyCols.map(col) :+ struct(valCols.map(col): _*).as("__ov"): _*)
+    val n = newDf.select(
+      keyCols.map(col) :+ struct(valCols.map(col): _*).as("__nv"): _*)
+    val inOld = col("__ov").isNotNull
+    val inNew = col("__nv").isNotNull
+    val allEq = col("__ov") <=> col("__nv")
+    val changedCols = concat_ws(",", valCols.map(c =>
+      when(!(col("__ov").getField(c) <=> col("__nv").getField(c)),
+        lit(c))): _*)
+    o.join(n, keyCols, "full_outer")
+      .select(keyCols.map(col) ++ Seq(
+        when(!inOld, "added").when(!inNew, "removed")
+          .when(allEq, "unchanged").otherwise("changed").as("status"),
+        when(inOld && inNew && !allEq, changedCols)
+          .otherwise("").as("changed_cols")): _*)
+  }
+}

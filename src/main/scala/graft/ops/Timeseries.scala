@@ -252,4 +252,60 @@ object Timeseries {
     }
     perLag.reduce(_ union _).orderBy("lag")
   }
+
+  /** Mann-Kendall trend test + Sen's slope per series key — the
+    * nonparametric "is this metric drifting?" check a monitoring
+    * pipeline runs on per-period rollups (robust to outliers and to
+    * any monotone transform, unlike an OLS slope):
+    *
+    *   S    = Σ_{i<j} sgn(v_j − v_i)          (by `orderCol`)
+    *   varS = (n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)) / 18   (tie-corrected)
+    *   z    = (S−1)/√varS  if S>0,  (S+1)/√varS  if S<0,  else 0
+    *   sen  = median over pairs of (v_j − v_i)/(t_j − t_i)
+    *
+    * Input is an already-aggregated series table (one row per key and
+    * order value — e.g. daily counts); `orderCol` must be unique per
+    * key so slope denominators are nonzero. The pairwise self-join is
+    * O(n²) per key ON THE ROLLUP, whose length is bounded by the time
+    * span — at 100 TB the rollup is still days × keys, so the join is
+    * tiny; the raw stream never self-joins. S and the tie terms are
+    * integer-exact (no float aggregation order); varS/z/sen are fixed
+    * per-row IEEE expressions on exact sums, engine-stable at 6 dp —
+    * the sen median interpolates exactly like SQL quantile_cont.
+    *
+    * Returns (keyCol, n, s, var_s, z, sen_slope); z is null when
+    * varS = 0 (all-tied series), single-point keys report s=0 with
+    * null z and sen_slope. */
+  def mannKendall(df: DataFrame, keyCol: String, orderCol: String,
+      valueCol: String): DataFrame = {
+    val s0 = df
+      .select(col(keyCol).as("k"), col(orderCol).cast("double").as("t"),
+        col(valueCol).cast("double").as("v"))
+      .where(col("t").isNotNull && col("v").isNotNull)
+      .localCheckpoint(false) // pairs, ties, and counts share one scan
+    val a = s0.select(col("k"), col("t").as("ta"), col("v").as("va"))
+    val b = s0.select(col("k"), col("t").as("tb"), col("v").as("vb"))
+    val pairAgg = a.join(b, Seq("k")).where(col("ta") < col("tb"))
+      .groupBy("k")
+      .agg(
+        sum(signum(col("vb") - col("va")).cast("long")).as("s"),
+        round(expr("percentile((vb - va) / (tb - ta), 0.5)"), 6)
+          .as("sen_slope"))
+    val ties = s0.groupBy("k", "v").agg(count(lit(1)).as("tj"))
+      .groupBy("k")
+      .agg(sum(col("tj")).as("n"),
+        sum(col("tj") * (col("tj") - 1) * (lit(2L) * col("tj") + 5))
+          .as("tie_term"))
+    val varS = (col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5) -
+      col("tie_term")).cast("double") / 18.0
+    ties.join(pairAgg, Seq("k"), "left")
+      .withColumn("s", coalesce(col("s"), lit(0L)))
+      .select(col("k").as(keyCol), col("n"), col("s"),
+        round(varS, 6).as("var_s"),
+        when(varS > 0.0, round(
+          when(col("s") > 0, (col("s") - 1).cast("double") / sqrt(varS))
+            .when(col("s") < 0, (col("s") + 1).cast("double") / sqrt(varS))
+            .otherwise(0.0), 6)).as("z"),
+        col("sen_slope"))
+  }
 }

@@ -1076,11 +1076,67 @@ object QualityQueries {
         CAST(n AS BIGINT) AS n
       FROM exy, ex, ey, nn"""))
 
+  /** Dataset snapshot diff ([[graft.ops.Delta.snapshotDiff]]): v1 =
+    * documents minus every 7th id, v2 = documents minus every 5th id
+    * with text revised on %11 ids and n_chars bumped on %13 ids —
+    * added/removed/changed/unchanged classification summarized per
+    * (status, changed-column set). Pure null-safe equality on one full
+    * outer join; all counts exact. */
+  val qSnapshotDiff = Q(
+    "q154_snapshot_diff",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val v1 = docs.where(col("doc_id") % 7 =!= 0)
+      val v2 = docs.where(col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+        .withColumn("n_chars", when(col("doc_id") % 13 === 0,
+          col("n_chars") + 1).otherwise(col("n_chars")))
+      graft.ops.Delta.snapshotDiff(v1, v2, Seq("doc_id"))
+        .groupBy("status", "changed_cols")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("min_key"),
+          max("doc_id").as("max_key"))
+        .orderBy("status", "changed_cols")
+    },
+    Some("""WITH v1 AS (SELECT * FROM documents WHERE doc_id % 7 <> 0),
+      v2 AS (SELECT doc_id,
+          CASE WHEN doc_id % 11 = 0 THEN text || ' [rev2]'
+               ELSE text END AS text,
+          lang, source,
+          CASE WHEN doc_id % 13 = 0 THEN n_chars + 1
+               ELSE n_chars END AS n_chars
+        FROM documents WHERE doc_id % 5 <> 0),
+      j AS (SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+          v1.doc_id IS NOT NULL AS in_old,
+          v2.doc_id IS NOT NULL AS in_new,
+          v1.text IS NOT DISTINCT FROM v2.text AS eq_text,
+          v1.lang IS NOT DISTINCT FROM v2.lang AS eq_lang,
+          v1.source IS NOT DISTINCT FROM v2.source AS eq_source,
+          v1.n_chars IS NOT DISTINCT FROM v2.n_chars AS eq_nchars
+        FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id),
+      d AS (SELECT doc_id,
+          CASE WHEN NOT in_old THEN 'added'
+               WHEN NOT in_new THEN 'removed'
+               WHEN eq_text AND eq_lang AND eq_source AND eq_nchars
+                 THEN 'unchanged' ELSE 'changed' END AS status,
+          CASE WHEN in_old AND in_new AND
+                 NOT (eq_text AND eq_lang AND eq_source AND eq_nchars)
+            THEN concat_ws(',',
+              CASE WHEN NOT eq_text THEN 'text' END,
+              CASE WHEN NOT eq_lang THEN 'lang' END,
+              CASE WHEN NOT eq_source THEN 'source' END,
+              CASE WHEN NOT eq_nchars THEN 'n_chars' END)
+            ELSE '' END AS changed_cols
+        FROM j)
+      SELECT status, changed_cols, count(*) AS n,
+        min(doc_id) AS min_key, max(doc_id) AS max_key
+      FROM d GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[Q] = Seq(qOutliers, qAssociation, qJsdDrift, qValidate,
     qChi2Drift, qNullPatterns, qFdCheck, qWassersteinDrift, qOrphans,
     qFanout, qEmbedNorms, qKeySkew, qPctRank, qBloomPrune, qPsiSweep,
     qPairRules, qSplitAssign, qQqTable, qWinsorized, qGini, qWoe,
     qTargetEnc, qRobustZ, qWeightedQuantiles, qSegmentPsi,
     qMannWhitney, qWelchT, qCalibration, qLift, qAuc, qKruskal, qAnova,
-    qPropZ, qOls, qNumericMi)
+    qPropZ, qOls, qNumericMi, qSnapshotDiff)
 }

@@ -545,8 +545,51 @@ object TemporalQueries {
         round(mean, 6) AS mean, CAST(np AS BIGINT) AS n_periods
       FROM sc, m ORDER BY abs(s) DESC, t LIMIT 1"""))
 
+  /** Mann-Kendall trend + Sen's slope ([[Timeseries.mannKendall]]) per
+    * event type over its daily arrival counts — the nonparametric
+    * drift test on a monitoring rollup. S and the tie terms are
+    * integer-exact; z and the sen median are fixed IEEE folds over
+    * exact sums, so 6-dp rounds are engine-stable. */
+  val qMannKendall = Q(
+    "q155_mann_kendall",
+    (s, dir) => {
+      val daily = table(s, dir, "events")
+        .where(col("ts").isNotNull)
+        .select(col("event_type"),
+          expr("(ts div 1000) div 86400000000").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+      graft.ops.Timeseries
+        .mannKendall(daily, "event_type", "day", "cnt")
+        .orderBy("event_type")
+    },
+    Some("""WITH d AS (SELECT event_type AS k,
+          CAST(epoch_us(ts) // 86400000000 AS DOUBLE) AS t,
+          CAST(count(*) AS DOUBLE) AS v
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+      p AS (SELECT a.k, a.v AS va, b.v AS vb, a.t AS ta, b.t AS tb
+            FROM d a JOIN d b ON a.k = b.k AND a.t < b.t),
+      pa AS (SELECT k, CAST(sum(sign(vb - va)) AS BIGINT) AS s,
+               round(quantile_cont((vb - va) / (tb - ta), 0.5), 6)
+                 AS sen_slope
+             FROM p GROUP BY k),
+      tt AS (SELECT k, v, count(*) AS tj FROM d GROUP BY 1, 2),
+      tk AS (SELECT k, CAST(sum(tj) AS BIGINT) AS n,
+               CAST(sum(tj*(tj-1)*(2*tj+5)) AS BIGINT) AS tie_term
+             FROM tt GROUP BY k),
+      j AS (SELECT tk.k, n, coalesce(s, 0) AS s,
+              CAST(n*(n-1)*(2*n+5) - tie_term AS DOUBLE) / 18.0 AS vs,
+              sen_slope
+            FROM tk LEFT JOIN pa USING (k))
+      SELECT k AS event_type, n, s, round(vs, 6) AS var_s,
+        CASE WHEN vs > 0.0 THEN round(CASE
+          WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt(vs)
+          WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt(vs)
+          ELSE 0.0 END, 6) END AS z,
+        sen_slope
+      FROM j ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(qSessionize, qAsofJoin, qRangeJoin, qFunnel,
     qRolling, qTransitions, qAttribution, qRetention, qCountAcf,
     qKaplanMeier, qXcorr, qTopPaths, qInterarrival, qTwap,
-    qLinearAttribution, qChangepoint)
+    qLinearAttribution, qChangepoint, qMannKendall)
 }

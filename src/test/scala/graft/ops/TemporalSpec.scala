@@ -412,6 +412,34 @@ class TemporalSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("mannKendall: hand-computed S/varS/z/sen on a known series") {
+    // key "up": strictly increasing 1..5 at t=0..4 -> S = 10 (all +1),
+    // no ties: varS = 5*4*15/18. sen = median slope = 1.0.
+    // key "tied": [2,2,2] -> S = 0, tie term 3*2*11 = 66,
+    // varS = (3*2*11 - 66)/18 = 0 -> z null, sen 0.
+    val df = ((0 to 4).map(i => ("up", i.toLong, (i + 1).toDouble)) ++
+      Seq(("tied", 0L, 2.0), ("tied", 1L, 2.0), ("tied", 2L, 2.0)) ++
+      Seq(("lone", 7L, 3.0)))
+      .toDF("k", "t", "v")
+    val got = Timeseries.mannKendall(df, "k", "t", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val up = got("up")
+    assert(up.getLong(1) == 5 && up.getLong(2) == 10)
+    val varS = 5.0 * 4 * 15 / 18
+    assert(up.getDouble(3) == math.rint(varS * 1e6) / 1e6)
+    assert(up.getDouble(4) ==
+      BigDecimal(9.0 / math.sqrt(varS))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(up.getDouble(5) == 1.0)
+    val tied = got("tied")
+    assert(tied.getLong(2) == 0 && tied.getDouble(3) == 0.0)
+    assert(tied.isNullAt(4) && tied.getDouble(5) == 0.0)
+    // single observation: no pairs -> s=0, null z and sen
+    val lone = got("lone")
+    assert(lone.getLong(1) == 1 && lone.getLong(2) == 0)
+    assert(lone.isNullAt(4) && lone.isNullAt(5))
+  }
+
   test("countAcf: perfect periodicity 1.0, gaps zero-filled, constant null") {
     import org.apache.spark.sql.functions.col
     // periods 0..11 alternate 2,0,2,0... events only in even periods:
