@@ -203,6 +203,76 @@ object Relevance {
         col("tf"))
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
+    * weighted PageRank over the word co-occurrence graph — adjacent
+    * word pairs form undirected edges weighted by adjacency count —
+    * surfacing the corpus's central vocabulary without any training.
+    *
+    *   r(v) = (1−d)/N + d · Σ_{u ~ v} w_uv / W_u · r(u)
+    *
+    * run for a FIXED `iterations` (the scores stabilize to ranking
+    * purposes in a handful of rounds; a fixed count keeps the result
+    * deterministic and the plan statically unrolled). Every node has
+    * degree >= 1 by construction, so there is no dangling-mass term.
+    *
+    * Scale design (100 TB): the corpus is exploded ONCE into the edge
+    * table (lazy localCheckpoint); everything after — degree sums,
+    * transition probabilities, each rank round — is a join/groupBy on
+    * VOCABULARY-sized tables (sublinear in corpus size), hash-keyed on
+    * the term, a constant number of shuffles total. No driver-side
+    * iteration state: each round is one more stage in the same plan.
+    *
+    * Determinism: each round's in-flow sum is a float aggregation, so
+    * its partition order varies — every round therefore re-quantizes
+    * to 9 dp, absorbing the last-ulp skew and making the score
+    * sequence engine-exact (the same device as the profiler's
+    * iterative stats). Returns the top `topK` (term, score) rows,
+    * score rounded to 6 dp, ties on term ascending. */
+  def textRank(df: DataFrame, textCol: String, iterations: Int = 3,
+      damping: Double = 0.85, topK: Int = 25,
+      minEdgeCount: Long = 2L): DataFrame = {
+    require(iterations >= 1 && iterations <= 10,
+      "iterations must be in [1,10] — the plan unrolls per round")
+    require(damping > 0.0 && damping < 1.0, "damping must be in (0,1)")
+    val undirected = df
+      .select(explode(graft.functions.WordNgramsExpr
+        .ngrams(col(textCol), 2, distinct = false)).as("b"))
+      .select(substring_index(col("b"), " ", 1).as("wa"),
+        substring_index(col("b"), " ", -1).as("wb"))
+      .where(col("wa") =!= col("wb")) // self-loops carry no signal
+      .select(least(col("wa"), col("wb")).as("u"),
+        greatest(col("wa"), col("wb")).as("w"))
+      .groupBy("u", "w").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minEdgeCount)
+    val edges = undirected
+      .select(col("u").as("src"), col("w").as("dst"), col("cnt"))
+      .unionAll(undirected
+        .select(col("w").as("src"), col("u").as("dst"), col("cnt")))
+      .localCheckpoint(false) // one corpus explode, rounds reuse it
+    val outW = edges.groupBy("src").agg(sum("cnt").as("wout"))
+    val nodes = outW.select(col("src").as("term")).localCheckpoint(false)
+    val nN = nodes.agg(count(lit(1)).as("n_nodes"))
+    val norm = edges.join(outW, "src")
+      .select(col("src"), col("dst"),
+        (col("cnt").cast("double") / col("wout")).as("p"))
+      .localCheckpoint(false)
+    var ranks = nodes.crossJoin(broadcast(nN))
+      .select(col("term"), (lit(1.0) / col("n_nodes")).as("r"))
+    for (_ <- 1 to iterations) {
+      val inflow = norm.join(ranks, norm("src") === ranks("term"))
+        .groupBy(col("dst").as("term"))
+        .agg(sum(col("p") * col("r")).as("inflow"))
+      ranks = nodes.join(inflow, Seq("term"), "left")
+        .crossJoin(broadcast(nN))
+        .select(col("term"), round(
+          lit(1.0 - damping) / col("n_nodes") +
+            lit(damping) * coalesce(col("inflow"), lit(0.0)), 9).as("r"))
+    }
+    ranks.select(col("term"), round(col("r"), 6).as("score"))
+      .orderBy(col("score").desc, col("term").asc)
+      .limit(topK)
+  }
+
   /** Reciprocal-rank fusion of several ranked retrieval lists — the
     * standard way to combine a lexical ranking ([[bm25TopK]]) with a
     * vector ranking ([[Similarity.bruteForceTopK]] / [[IvfIndex]])

@@ -1854,8 +1854,56 @@ object PipelineQueries {
       SELECT vec_id, label FROM r, m WHERE rnk <= min_n
       ORDER BY vec_id"""))
 
+  /** TextRank keywords ([[Relevance.textRank]]): weighted PageRank
+    * over the adjacent-word co-occurrence graph, 3 fixed rounds at
+    * damping 0.85, top-25 terms. Both engines re-quantize each round
+    * to 9 dp, so the iterative float sequence is engine-exact; the
+    * damping constants interpolate from the SAME Scala doubles into
+    * the SQL (the `1.0 - 0.9` lesson). */
+  val qTextRank = Q(
+    "q157_textrank",
+    (s, dir) => Relevance.textRank(
+      table(s, dir, "documents"), "text",
+      iterations = 3, damping = 0.85, topK = 25, minEdgeCount = 2L),
+    Some {
+      val d = 0.85
+      val omd = 1.0 - d
+      def rnd(prev: String, cur: String) =
+        s"""$cur AS (SELECT n.term, round(($omd)::DOUBLE / nn.n_nodes +
+             ($d)::DOUBLE * coalesce(c.s, 0.0::DOUBLE), 9) AS r
+           FROM nodes n CROSS JOIN nn LEFT JOIN
+             (SELECT dst AS term, sum(p * r) AS s
+              FROM nrm JOIN $prev ON nrm.src = $prev.term
+              GROUP BY dst) c ON c.term = n.term)"""
+      s"""WITH w AS (SELECT $dkWords AS ws FROM documents),
+        bg AS (SELECT unnest([array_to_string(ws[i:i+1], ' ')
+                 for i in range(1, len(ws))]) AS b
+               FROM w WHERE len(ws) >= 2),
+        pr AS (SELECT string_split(b, ' ')[1] AS wa,
+                 string_split(b, ' ')[2] AS wb FROM bg),
+        e0 AS (SELECT least(wa, wb) AS u, greatest(wa, wb) AS w2,
+                 count(*) AS cnt
+               FROM pr WHERE wa <> wb GROUP BY 1, 2
+               HAVING count(*) >= 2),
+        ed AS (SELECT u AS src, w2 AS dst, cnt FROM e0
+               UNION ALL SELECT w2, u, cnt FROM e0),
+        ow AS (SELECT src, CAST(sum(cnt) AS DOUBLE) AS wout
+               FROM ed GROUP BY src),
+        nodes AS (SELECT src AS term FROM ow),
+        nn AS (SELECT count(*) AS n_nodes FROM nodes),
+        nrm AS (SELECT src, dst, cnt / wout AS p
+                FROM ed JOIN ow USING (src)),
+        r0 AS (SELECT term, (1.0::DOUBLE) / n_nodes AS r
+               FROM nodes, nn),
+        ${rnd("r0", "r1")},
+        ${rnd("r1", "r2")},
+        ${rnd("r2", "r3")}
+        SELECT term, round(r, 6) AS score FROM r3
+        ORDER BY score DESC, term LIMIT 25"""
+    })
+
   val all: Seq[Q] = Seq(
-    qHybridRrf, qClassBalance,
+    qHybridRrf, qClassBalance, qTextRank,
     qVocabulary, qVocabEncode, qBigramPmi,
     qSourceOverlap, qSourceMix, qContamination, qTopNgrams,
     qZipf, qSourceDupRate, qAudioDecode, qLangidEval, qEmergingTerms,

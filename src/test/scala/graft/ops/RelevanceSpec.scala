@@ -214,6 +214,60 @@ class RelevanceSpec extends SparkSpec {
       (30L, 1L, 3L, r6(1.0 / 63))))
   }
 
+  test("textRank: symmetric two-node graph stays at 1/2, self-loops dropped") {
+    // "x y x y x": edge (x,y) weight 4; "z z z" only self-loops -> no node
+    val df = Seq("x y x y x", "z z z").toDF("text")
+    val got = Relevance.textRank(df, "text", iterations = 3,
+        topK = 10, minEdgeCount = 1L)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    // symmetric 2-node graph is a fixed point: r = 0.15/2 + 0.85*r_other
+    assert(got == Seq(("x", 0.5), ("y", 0.5)))
+  }
+
+  test("textRank: matches a driver-side reference PageRank with per-round 9dp") {
+    val texts = Seq(
+      "spark shuffles data across the cluster",
+      "spark caches data in memory",
+      "the cluster schedules spark tasks",
+      "tasks read data from memory")
+    val df = texts.toDF("text")
+    // reference implementation on plain Scala maps, same quantization
+    val pairs = texts.flatMap(_.split("\\s+").toSeq.sliding(2).collect {
+      case Seq(a, b) if a != b =>
+        (Seq(a, b).min, Seq(a, b).max)
+    })
+    val und = pairs.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 1).toMap
+    val directed = und.toSeq.flatMap { case ((u, w), c) =>
+      Seq((u, w, c), (w, u, c)) }
+    val wout = directed.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val nodes = wout.keySet.toSeq.sorted
+    val n = nodes.size
+    def q(x: Double, dp: Int) = BigDecimal(x)
+      .setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 3) {
+      val inflow = directed.groupBy(_._2).view.mapValues(_.map {
+        case (u, _, c) => c.toDouble / wout(u) * r(u) }.sum).toMap
+      r = nodes.map(v =>
+        v -> q(0.15 / n + 0.85 * inflow.getOrElse(v, 0.0), 9)).toMap
+    }
+    val expected = r.toSeq.map { case (t, s) => (t, q(s, 6)) }
+      .sortBy { case (t, s) => (-s, t) }.take(25)
+    val got = Relevance.textRank(df, "text", iterations = 3,
+        topK = 25, minEdgeCount = 1L)
+      .collect().map(x => (x.getString(0), x.getDouble(1))).toSeq
+    assert(got == expected)
+  }
+
+  test("textRank: minEdgeCount prunes weak edges") {
+    // (a,b) appears twice, (b,c) once -> with minEdgeCount=2 only a,b stay
+    val df = Seq("a b", "a b", "b c").toDF("text")
+    val got = Relevance.textRank(df, "text", topK = 10, minEdgeCount = 2L)
+      .collect().map(_.getString(0)).toSeq
+    assert(got.sorted == Seq("a", "b"))
+  }
+
   test("rrfFuse: k caps the fused list, ties break on id ascending") {
     val l1 = Seq((5L, 1L), (3L, 1L)).toDF("id", "rnk")
     val l2 = Seq((3L, 1L), (5L, 1L)).toDF("id", "rnk")
