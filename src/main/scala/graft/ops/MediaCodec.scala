@@ -496,4 +496,157 @@ object MediaCodec {
     (0 until 16).foreach(_ => out.put(0.toByte)) // MD5 of zero frames
     out.array()
   }
+
+  // ---------------------------------------------------------------- video
+
+  final case class VideoMeta(
+      format: String, timescale: Int, duration: Long, nTracks: Int,
+      width: Int, height: Int, truncated: Boolean)
+
+  /** Magic sniff for ISO BMFF (MP4/MOV family): a top-level `ftyp`
+    * box in the first 12 bytes. */
+  def sniffVideoFormat(bytes: Array[Byte]): String =
+    if (bytes == null || bytes.isEmpty) "empty"
+    else if (bytes.length >= 12 &&
+      new String(bytes, 4, 4, "US-ASCII") == "ftyp") "mp4"
+    else "unknown"
+
+  /** Parse movie timescale/duration, track count, and the first video
+    * track's pixel dimensions from an ISO BMFF (ISO/IEC 14496-12)
+    * container: top-level box walk to `moov`, then its `mvhd`
+    * (version 0 u32 times / version 1 u64), `trak` count, and each
+    * trak's `tkhd` width/height (16.16 fixed point). Header-only —
+    * never decodes media data — and hostile-bytes-safe: every offset
+    * is Long arithmetic, malformed sizes end the walk instead of
+    * looping or throwing. */
+  def parseVideoMeta(bytes: Array[Byte]): VideoMeta = {
+    val b = if (bytes == null) Array.empty[Byte] else bytes
+    sniffVideoFormat(b) match {
+      case "mp4" => parseMp4(b)
+      case f     => VideoMeta(f, 0, 0L, 0, 0, 0, truncated = false)
+    }
+  }
+
+  private def be32L(b: Array[Byte], off: Long): Long =
+    (u8(b, off.toInt).toLong << 24) | (u8(b, off.toInt + 1) << 16) |
+      (u8(b, off.toInt + 2) << 8) | u8(b, off.toInt + 3)
+
+  private def be64L(b: Array[Byte], off: Long): Long =
+    (be32L(b, off) << 32) | be32L(b, off + 4)
+
+  /** Walk boxes in [start, end); returns (type, bodyStart, bodyEnd)
+    * triples via callback until exhausted or a malformed size stops
+    * the walk. Size 1 = 64-bit largesize; size 0 = to end. */
+  private def walkBoxes(b: Array[Byte], start: Long, end: Long)(
+      f: (String, Long, Long) => Unit): Unit = {
+    var off = start
+    var steps = 0
+    while (off + 8 <= end && steps < 10000) {
+      steps += 1
+      val size32 = be32L(b, off)
+      val tpe = new String(b, off.toInt + 4, 4, "US-ASCII")
+      val (body, boxEnd) =
+        if (size32 == 1L) {
+          if (off + 16 > end) return
+          val sz = be64L(b, off + 8)
+          if (sz < 16) return
+          (off + 16, off + sz)
+        } else if (size32 == 0L) (off + 8, end)
+        else {
+          if (size32 < 8) return
+          (off + 8, off + size32)
+        }
+      if (boxEnd > end || boxEnd <= off) { f(tpe, body, end); return }
+      f(tpe, body, boxEnd)
+      off = boxEnd
+    }
+  }
+
+  private def parseMp4(b: Array[Byte]): VideoMeta = {
+    val end = b.length.toLong
+    var timescale = 0; var duration = 0L; var gotMvhd = false
+    var nTracks = 0; var width = 0; var height = 0
+    walkBoxes(b, 0L, end) { (tpe, body, boxEnd) =>
+      if (tpe == "moov") {
+        walkBoxes(b, body, boxEnd) { (ct, cb, ce) =>
+          if (ct == "mvhd" && cb + 4 <= ce) {
+            val version = u8(b, cb.toInt)
+            if (version == 1 && cb + 32 <= ce) {
+              timescale = be32L(b, cb + 20).toInt
+              duration = be64L(b, cb + 24)
+              gotMvhd = true
+            } else if (version == 0 && cb + 20 <= ce) {
+              timescale = be32L(b, cb + 12).toInt
+              duration = be32L(b, cb + 16)
+              gotMvhd = true
+            }
+          } else if (ct == "trak") {
+            nTracks += 1
+            walkBoxes(b, cb, ce) { (tt, tb, te) =>
+              if (tt == "tkhd" && tb + 4 <= te && width == 0) {
+                val tv = u8(b, tb.toInt)
+                // width sits after ver/flags + times/ids + layer block
+                // + matrix: v0 4+20+16+36, v1 4+32+16+36 (16.16 fixed)
+                val wOff = tb + (if (tv == 1) 88L else 76L)
+                if (wOff + 8 <= te) {
+                  width = (be32L(b, wOff) >>> 16).toInt
+                  height = (be32L(b, wOff + 4) >>> 16).toInt
+                }
+              }
+            }
+          }
+        }
+      }
+    }
+    VideoMeta("mp4", timescale, duration, nTracks, width, height,
+      truncated = !gotMvhd || timescale <= 0)
+  }
+
+  /** Metadata-only ISO BMFF fixture: `ftyp` + `moov` holding an mvhd
+    * (version 0 or 1) and `tracks` trak/tkhd boxes with 16.16 fixed
+    * dimensions — the header-parse contract, like the image and audio
+    * encoders. */
+  def encodeMp4(timescale: Int, duration: Long,
+      tracks: Seq[(Int, Int)], mvhdVersion: Int = 0): Array[Byte] = {
+    require(mvhdVersion == 0 || mvhdVersion == 1, "mvhd version 0 or 1")
+    val mvhdSize = if (mvhdVersion == 0) 108 else 120
+    val tkhdSize = 92 // version 0
+    val trakSize = 8 + tkhdSize
+    val moovSize = 8 + mvhdSize + tracks.size * trakSize
+    val out = java.nio.ByteBuffer.allocate(16 + moovSize) // big-endian
+    out.putInt(16).put("ftyp".getBytes("US-ASCII"))
+      .put("isom".getBytes("US-ASCII")).putInt(0)
+    out.putInt(moovSize).put("moov".getBytes("US-ASCII"))
+    out.putInt(mvhdSize).put("mvhd".getBytes("US-ASCII"))
+    if (mvhdVersion == 0) {
+      out.putInt(0) // version 0 + flags
+        .putInt(0).putInt(0) // creation, modification
+        .putInt(timescale).putInt(duration.toInt)
+    } else {
+      out.putInt(0x01000000) // version 1 + flags
+        .putLong(0L).putLong(0L)
+        .putInt(timescale).putLong(duration)
+    }
+    out.putInt(0x00010000).putShort(0x0100.toShort).putShort(0) // rate, vol
+      .putLong(0L) // reserved
+    // identity matrix
+    out.putInt(0x00010000).putInt(0).putInt(0)
+      .putInt(0).putInt(0x00010000).putInt(0)
+      .putInt(0).putInt(0).putInt(0x40000000)
+    (0 until 6).foreach(_ => out.putInt(0)) // pre_defined
+    out.putInt(tracks.size + 1) // next_track_ID
+    tracks.zipWithIndex.foreach { case ((w, h), i) =>
+      out.putInt(trakSize).put("trak".getBytes("US-ASCII"))
+      out.putInt(tkhdSize).put("tkhd".getBytes("US-ASCII"))
+      out.putInt(0) // version 0 + flags
+        .putInt(0).putInt(0).putInt(i + 1).putInt(0) // times, id, res
+        .putInt(duration.toInt).putLong(0L) // duration, reserved
+        .putShort(0).putShort(0).putShort(0).putShort(0) // layer..res
+      out.putInt(0x00010000).putInt(0).putInt(0)
+        .putInt(0).putInt(0x00010000).putInt(0)
+        .putInt(0).putInt(0).putInt(0x40000000)
+      out.putInt(w << 16).putInt(h << 16)
+    }
+    out.array()
+  }
 }

@@ -110,6 +110,31 @@ object Multimodal {
       }
   }
 
+  /** Per-blob video container fields ([[decodeVideo]]). */
+  final case class VideoRow(
+      id: Long, format: String, timescale: Int, duration: Long,
+      n_tracks: Int, width: Int, height: Int, truncated: Boolean)
+
+  /** Video container decode over a binary column — ISO BMFF box walk
+    * ([[MediaCodec.parseVideoMeta]]): movie timescale/duration, track
+    * count, first track's pixel dimensions. Map-only, per-blob pure
+    * byte walk, hostile-bytes-safe; duration_s derives downstream as
+    * duration / timescale (one SQL division, engine-deterministic). */
+  def decodeVideo(df: DataFrame, idCol: String, binCol: String): Dataset[VideoRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val m = MediaCodec.parseVideoMeta(
+            Option(bytes).getOrElse(Array.empty[Byte]))
+          VideoRow(id, m.format, m.timescale, m.duration, m.nTracks,
+            m.width, m.height, m.truncated)
+        }
+      }
+  }
+
   /** Frame sampling: every `stride`-th 256-byte chunk as a "frame"
     * (stand-in for video keyframe extraction). Pure plumbing: explode to
     * (id, frame_idx, frame_bytes) preserving partition-local order. */

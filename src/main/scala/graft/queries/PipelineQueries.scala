@@ -1902,8 +1902,55 @@ object PipelineQueries {
         ORDER BY score DESC, term LIMIT 25"""
     })
 
+  /** Video container decode ([[Multimodal.decodeVideo]]): ISO BMFF box
+    * walk over a planted MP4 corpus — mvhd version 0 AND 1 layouts,
+    * multi-trak tkhd dimensions, truncation prefixes — with the
+    * closed-form oracle recomputing every field from doc_id. The video
+    * leg of the image/audio/video metadata triad. */
+  val qVideoDecode = Q(
+    "q158_video_decode",
+    (s, dir) => {
+      import s.implicits._
+      val tss = Seq(600, 1000, 90000, 48000)
+      val blobs = table(s, dir, "documents").select(col("doc_id"))
+        .as[Long]
+        .map { id =>
+          val ts = tss((id % 4).toInt)
+          val dur = (id % 1000 + 1) * 600L
+          val k = (id % 3 + 1).toInt
+          val tracks = (1 to k).map(i => (320 * i, 240 * i))
+          val full = MediaCodec.encodeMp4(ts, dur, tracks,
+            mvhdVersion = (id % 2).toInt)
+          (id, if (id % 11 == 0) full.take(20) else full)
+        }
+        .toDF("doc_id", "blob")
+      Multimodal.decodeVideo(blobs, "doc_id", "blob")
+        .toDF()
+        .withColumn("duration_s",
+          when(col("timescale") > 0, round(
+            col("duration").cast("double") / col("timescale"), 6)))
+        .orderBy("id")
+    },
+    Some("""WITH p AS (SELECT doc_id AS id, 'mp4' AS format,
+        CASE WHEN doc_id % 11 = 0 THEN 0 ELSE
+          CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 600 WHEN 1 THEN 1000
+            WHEN 2 THEN 90000 ELSE 48000 END END AS timescale,
+        CASE WHEN doc_id % 11 = 0 THEN 0
+          ELSE (doc_id % 1000 + 1) * 600 END AS duration,
+        CASE WHEN doc_id % 11 = 0 THEN 0
+          ELSE CAST(doc_id % 3 + 1 AS INT) END AS n_tracks,
+        CASE WHEN doc_id % 11 = 0 THEN 0 ELSE 320 END AS width,
+        CASE WHEN doc_id % 11 = 0 THEN 0 ELSE 240 END AS height,
+        doc_id % 11 = 0 AS truncated
+      FROM documents)
+      SELECT id, format, timescale, duration, n_tracks, width, height,
+        truncated,
+        CASE WHEN timescale > 0 THEN round(
+          CAST(duration AS DOUBLE) / timescale, 6) END AS duration_s
+      FROM p ORDER BY id"""))
+
   val all: Seq[Q] = Seq(
-    qHybridRrf, qClassBalance, qTextRank,
+    qHybridRrf, qClassBalance, qTextRank, qVideoDecode,
     qVocabulary, qVocabEncode, qBigramPmi,
     qSourceOverlap, qSourceMix, qContamination, qTopNgrams,
     qZipf, qSourceDupRate, qAudioDecode, qLangidEval, qEmergingTerms,

@@ -200,4 +200,41 @@ class MediaCodecSpec extends AnyFunSuite {
       MediaCodec.parseAudioMeta(junk) // no exception = pass
     }
   }
+
+  test("mp4 round-trips timescale/duration/tracks/dims, mvhd v0 and v1") {
+    val v0 = MediaCodec.encodeMp4(90000, 270000L, Seq((1920, 1080)))
+    assert(MediaCodec.parseVideoMeta(v0) ==
+      MediaCodec.VideoMeta("mp4", 90000, 270000L, 1, 1920, 1080,
+        truncated = false))
+    // version 1 carries 64-bit duration; dims come from the FIRST trak
+    val v1 = MediaCodec.encodeMp4(600, 0x1_0000_0000L,
+      Seq((640, 480), (320, 240)), mvhdVersion = 1)
+    assert(MediaCodec.parseVideoMeta(v1) ==
+      MediaCodec.VideoMeta("mp4", 600, 0x1_0000_0000L, 2, 640, 480,
+        truncated = false))
+  }
+
+  test("mp4 truncation: cut before moov keeps format, sets truncated") {
+    val cut = MediaCodec.encodeMp4(600, 1200L, Seq((320, 240))).take(20)
+    val m = MediaCodec.parseVideoMeta(cut)
+    assert(m.format == "mp4" && m.truncated)
+    assert(m.timescale == 0 && m.duration == 0L && m.nTracks == 0)
+  }
+
+  test("mp4 parse is hostile-bytes safe, incl. malformed box sizes") {
+    val rnd = new scala.util.Random(13)
+    (0 until 300).foreach { _ =>
+      val junk = Array.fill(8)(0.toByte).patch(4,
+        "ftyp".getBytes("US-ASCII"), 4) ++
+        Array.fill(rnd.nextInt(60))(rnd.nextInt(256).toByte)
+      MediaCodec.parseVideoMeta(junk) // no exception = pass
+    }
+    // size-0 (to-EOF) and size-1 (64-bit largesize) box paths
+    val base = MediaCodec.encodeMp4(600, 1200L, Seq((320, 240)))
+    val zeroSize = base.clone()
+    zeroSize(16) = 0; zeroSize(17) = 0; zeroSize(18) = 0; zeroSize(19) = 0
+    assert(!MediaCodec.parseVideoMeta(zeroSize).truncated) // moov to EOF
+    assert(MediaCodec.parseVideoMeta("1234ftyp".getBytes ++
+      Array[Byte](0, 0, 0, 1)).format == "mp4") // largesize cut, no throw
+  }
 }
