@@ -253,6 +253,88 @@ object Timeseries {
     perLag.reduce(_ union _).orderBy("lag")
   }
 
+  /** EWMA control chart over per-period event counts: for every series
+    * key and period, the exponentially-weighted moving average of the
+    * TRAILING `window` periods (exclusive of the current one — a
+    * forecast, not a smoother), the deviation of the observed count
+    * from it, and a spike flag when |deviation| exceeds `threshold` ×
+    * √ewma (the Poisson-scale control limit) — the standard cheap
+    * anomaly monitor on arrival rollups.
+    *
+    *   ewma_t = Σ_{j=1..K} α(1−α)^{j−1} · x_{t−j}  /  Σ α(1−α)^{j−1}
+    *
+    * normalized over the lags actually inside the axis, so early
+    * periods use what history exists (the first period has none →
+    * null ewma). Gaps count as ZERO, like [[countAcf]].
+    *
+    * Determinism: the K weights are Scala-computed constants folded in
+    * as literals (no engine `pow` in the plan — libm vs JDK pow can
+    * differ in the last ulp); each weighted term is quantized to 9 dp
+    * and summed in DECIMAL(38,9), so the accumulation is
+    * partition-order-exact, and the final ratio is one IEEE division.
+    *
+    * Scale design (100 TB): one map-side-combined groupBy rolls the
+    * stream up to (key, period); the dense axis is a bounded
+    * spark.range broadcast-joined per key; the lag expansion is a
+    * K-way explode of the ROLLUP (K·periods·keys rows, sublinear in
+    * the input) hash-aggregated back — no window over raw events, no
+    * self-join. Returns (keyCol, t, cnt, ewma, dev, is_spike) ordered
+    * by (key, t). */
+  def ewmaChart(
+      df: DataFrame, keyCol: String, timeCol: String, period: Long,
+      alpha: Double = 0.3, window: Int = 7, threshold: Double = 3.0,
+      maxPeriods: Long = 10000000L): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(period > 0, "period must be positive")
+    require(alpha > 0 && alpha < 1, "alpha must be in (0,1)")
+    require(window >= 1 && window <= 64, "window must be in [1,64]")
+    require(!timeCol.contains("`") && !timeCol.contains("'"),
+      "column name must not contain backticks or quotes")
+    val spark = df.sparkSession
+    val b = df.where(col(timeCol).isNotNull)
+      .select(col(keyCol).as("k"),
+        expr(s"(`$timeCol` - pmod(`$timeCol`, $period)) div $period")
+          .as("t"))
+      .groupBy("k", "t").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // axis bounds + dense + lags share it
+    val mm = b.agg(min(col("t")), max(col("t"))).head()
+    require(!mm.isNullAt(0), "no non-null time values")
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    require(hi - lo < maxPeriods,
+      s"time span ${hi - lo} periods exceeds maxPeriods=$maxPeriods")
+    val axis = spark.range(lo, hi + 1).toDF("t")
+    val dense = b.select("k").distinct()
+      .crossJoin(broadcast(axis))
+      .join(b, Seq("k", "t"), "left")
+      .na.fill(0L, Seq("c"))
+      .localCheckpoint(false)
+    val weights = (1 to window).map(l =>
+      alpha * math.pow(1.0 - alpha, (l - 1).toDouble))
+    val wCol = weights.zipWithIndex.foldLeft(lit(Double.NaN)) {
+      case (acc, (w, i)) => when(col("lag") === i + 1, lit(w)).otherwise(acc)
+    }
+    val contrib = dense
+      .select(col("k"), col("t").as("tj"), col("c").as("cj"),
+        explode(array((1 to window).map(lit(_)): _*)).as("lag"))
+      .withColumn("t", col("tj") + col("lag"))
+      .where(col("t") <= hi)
+      .withColumn("w", wCol)
+      .groupBy("k", "t")
+      .agg(
+        sum(round(col("w") * col("cj"), 9).cast(DecimalType(38, 9)))
+          .as("num"),
+        sum(round(col("w"), 9).cast(DecimalType(38, 9))).as("den"))
+    val raw = col("num").cast("double") / col("den").cast("double")
+    val haveHist = col("den").isNotNull && col("den") > 0
+    dense.join(contrib, Seq("k", "t"), "left")
+      .select(col("k").as(keyCol), col("t"), col("c").as("cnt"),
+        when(haveHist, round(raw, 6)).as("ewma"),
+        when(haveHist, round(col("c") - raw, 6)).as("dev"),
+        when(haveHist,
+          abs(col("c") - raw) > lit(threshold) * sqrt(raw)).as("is_spike"))
+      .orderBy(keyCol, "t")
+  }
+
   /** Mann-Kendall trend test + Sen's slope per series key — the
     * nonparametric "is this metric drifting?" check a monitoring
     * pipeline runs on per-period rollups (robust to outliers and to

@@ -588,8 +588,57 @@ object TemporalQueries {
         sen_slope
       FROM j ORDER BY event_type"""))
 
+  /** EWMA control chart ([[Timeseries.ewmaChart]]) over daily arrival
+    * counts per event type: trailing-7-day forecast, deviation, and
+    * Poisson-scale spike flag. The K weights interpolate from the SAME
+    * Scala doubles into the SQL (no engine pow in either plan), each
+    * weighted term quantizes to 9 dp and sums in DECIMAL — the
+    * accumulation is order-exact on both sides. */
+  val qEwmaChart = Q(
+    "q159_ewma_chart",
+    (s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("event_type"), expr("ts div 1000").as("tus"))
+      graft.ops.Timeseries.ewmaChart(
+        ev, "event_type", "tus", 86400000000L,
+        alpha = 0.3, window = 7, threshold = 3.0)
+    },
+    Some {
+      val weights = (1 to 7).map(l =>
+        0.3 * math.pow(0.7, (l - 1).toDouble))
+      val wCase = weights.zipWithIndex.map { case (w, i) =>
+        s"WHEN ${i + 1} THEN ($w)::DOUBLE" }.mkString(" ")
+      s"""WITH b AS (SELECT event_type AS k,
+            epoch_us(ts) // 86400000000 AS t, count(*) AS c
+          FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        mm AS (SELECT min(t) AS lo, max(t) AS hi FROM b),
+        ax AS (SELECT unnest(generate_series(lo, hi)) AS t FROM mm),
+        ks AS (SELECT DISTINCT k FROM b),
+        dense AS (SELECT ks.k, ax.t, coalesce(b.c, 0) AS c
+          FROM ks CROSS JOIN ax
+          LEFT JOIN b ON b.k = ks.k AND b.t = ax.t),
+        lags AS (SELECT unnest(generate_series(1, 7)) AS lag),
+        contrib AS (SELECT d.k, d.t + lag AS t,
+            CASE lag $wCase END AS w, d.c AS cj
+          FROM dense d CROSS JOIN lags),
+        agg AS (SELECT k, t,
+            sum(CAST(round(w * cj, 9) AS DECIMAL(38,9))) AS num,
+            sum(CAST(round(w, 9) AS DECIMAL(38,9))) AS den
+          FROM contrib WHERE t <= (SELECT hi FROM mm) GROUP BY 1, 2),
+        j AS (SELECT dense.k, dense.t, dense.c,
+            CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS raw,
+            den IS NOT NULL AND den > 0 AS hist
+          FROM dense LEFT JOIN agg ON agg.k = dense.k AND agg.t = dense.t)
+        SELECT k AS event_type, t, c AS cnt,
+          CASE WHEN hist THEN round(raw, 6) END AS ewma,
+          CASE WHEN hist THEN round(c - raw, 6) END AS dev,
+          CASE WHEN hist
+            THEN abs(c - raw) > (3.0)::DOUBLE * sqrt(raw) END AS is_spike
+        FROM j ORDER BY event_type, t"""
+    })
+
   val all: Seq[Q] = Seq(qSessionize, qAsofJoin, qRangeJoin, qFunnel,
     qRolling, qTransitions, qAttribution, qRetention, qCountAcf,
     qKaplanMeier, qXcorr, qTopPaths, qInterarrival, qTwap,
-    qLinearAttribution, qChangepoint, qMannKendall)
+    qLinearAttribution, qChangepoint, qMannKendall, qEwmaChart)
 }

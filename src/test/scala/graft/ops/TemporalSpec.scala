@@ -412,6 +412,24 @@ class TemporalSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("ewmaChart: hand-computed trailing forecast, gap=0, spike flag") {
+    // key "a": 3 events at t=0, none at t=1 (gap), 6 at t=2; period 1
+    val df = (Seq.fill(3)(("a", 0L)) ++ Seq.fill(6)(("a", 2L)))
+      .toDF("k", "tt")
+    val got = Timeseries.ewmaChart(df, "k", "tt", period = 1L,
+        alpha = 0.5, window = 2, threshold = 3.0)
+      .collect().map(r => r.getLong(1) -> r).toMap
+    // t=0: no history
+    assert(got(0L).getLong(2) == 3 && got(0L).isNullAt(3) &&
+      got(0L).isNullAt(4) && got(0L).isNullAt(5))
+    // t=1: ewma = (0.5*3)/0.5 = 3, cnt 0, dev -3, |−3| < 3·√3 -> calm
+    assert(got(1L).getLong(2) == 0 && got(1L).getDouble(3) == 3.0 &&
+      got(1L).getDouble(4) == -3.0 && !got(1L).getBoolean(5))
+    // t=2: ewma = (0.5*0 + 0.25*3)/0.75 = 1, dev 5, 5 > 3·√1 -> spike
+    assert(got(2L).getLong(2) == 6 && got(2L).getDouble(3) == 1.0 &&
+      got(2L).getDouble(4) == 5.0 && got(2L).getBoolean(5))
+  }
+
   test("mannKendall: hand-computed S/varS/z/sen on a known series") {
     // key "up": strictly increasing 1..5 at t=0..4 -> S = 10 (all +1),
     // no ties: varS = 5*4*15/18. sen = median slope = 1.0.
