@@ -227,11 +227,33 @@ object Bench {
         q.stop()
         deleteRecursively(new java.io.File(ckpt))
       }
+      val hhSec = timeIt("s06_streaming_heavy_hitters") {
+        val mem = MemoryStream[String]
+        val ckpt = java.nio.file.Files
+          .createTempDirectory(s"graft-bench-shh-$tag").toString
+        val q = graft.streaming.StreamingHeavyHitters.heavyHitters(
+            mem.toDF.toDF("k"), "k", capacity = 64, buckets = 32)
+          .writeStream.format("memory").queryName(s"bench_shh_$tag")
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Update()).start()
+        (0 until 5).foreach { b =>
+          // zipf-ish mix: 20% of traffic on 10 hot keys, the rest over
+          // an unbounded cold domain (state must stay capacity-bounded)
+          mem.addData((0 until 20000).map { i =>
+            val n = b * 20000 + i
+            if (n % 5 == 0) s"hot-${n % 10}" else s"cold-$n"
+          })
+          q.processAllAvailable()
+        }
+        q.stop()
+        deleteRecursively(new java.io.File(ckpt))
+      }
       Map("s01_streaming_profile" -> profileSec,
         "s02_streaming_dedup" -> dedupSec,
         "s03_streaming_sessionize" -> sessSec,
         "s04_streaming_drift" -> driftSec,
-        "s05_streaming_interval_join" -> joinSec)
+        "s05_streaming_interval_join" -> joinSec,
+        "s06_streaming_heavy_hitters" -> hhSec)
     }
     val sPass1 = streamingOnce("p1")
     val sPass2 = streamingOnce("p2")
