@@ -1949,8 +1949,54 @@ object PipelineQueries {
           CAST(duration AS DOUBLE) / timescale, 6) END AS duration_s
       FROM p ORDER BY id"""))
 
+  /** Triangle census ([[graft.ops.GraphStats.triangleStats]]) of the
+    * word co-occurrence graph (same edge construction as q157):
+    * node/edge/wedge/triangle counts and the global clustering
+    * coefficient. Spark counts via the degree-ordered orientation
+    * (O(m^1.5) wedge bound); the oracle uses the lexicographic
+    * 3-join — the triangle COUNT is orientation-invariant, so both
+    * agree exactly. */
+  val qTriangles = Q(
+    "q160_triangle_census",
+    (s, dir) => {
+      val edges = table(s, dir, "documents")
+        .select(explode(graft.functions.WordNgramsExpr
+          .ngrams(col("text"), 2, distinct = false)).as("b"))
+        .select(substring_index(col("b"), " ", 1).as("wa"),
+          substring_index(col("b"), " ", -1).as("wb"))
+        .where(col("wa") =!= col("wb"))
+        .select(least(col("wa"), col("wb")).as("u"),
+          greatest(col("wa"), col("wb")).as("w"))
+        .groupBy("u", "w").agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") >= 2)
+      graft.ops.GraphStats.triangleStats(edges, "u", "w")
+    },
+    Some(s"""WITH w AS (SELECT $dkWords AS ws FROM documents),
+      bg AS (SELECT unnest([array_to_string(ws[i:i+1], ' ')
+               for i in range(1, len(ws))]) AS b
+             FROM w WHERE len(ws) >= 2),
+      pr AS (SELECT string_split(b, ' ')[1] AS wa,
+               string_split(b, ' ')[2] AS wb FROM bg),
+      e AS (SELECT least(wa, wb) AS u, greatest(wa, wb) AS v
+            FROM pr WHERE wa <> wb GROUP BY 1, 2
+            HAVING count(*) >= 2),
+      deg AS (SELECT n, count(*) AS deg FROM
+        (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
+      ds AS (SELECT count(*) AS n_nodes,
+               CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+             FROM deg),
+      ec AS (SELECT count(*) AS n_edges FROM e),
+      tr AS (SELECT count(*) AS n_triangles
+             FROM e e1 JOIN e e2 ON e1.v = e2.u
+             JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+      SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        CASE WHEN n_wedges > 0 THEN round(
+          (3.0)::DOUBLE * n_triangles / n_wedges, 6) END
+          AS clustering_coeff
+      FROM ds, ec, tr"""))
+
   val all: Seq[Q] = Seq(
-    qHybridRrf, qClassBalance, qTextRank, qVideoDecode,
+    qHybridRrf, qClassBalance, qTextRank, qVideoDecode, qTriangles,
     qVocabulary, qVocabEncode, qBigramPmi,
     qSourceOverlap, qSourceMix, qContamination, qTopNgrams,
     qZipf, qSourceDupRate, qAudioDecode, qLangidEval, qEmergingTerms,
