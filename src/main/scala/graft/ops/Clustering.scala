@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.StatFunctions.dotProduct
+
+/** Spherical k-means (cosine Lloyd iterations) over an embedding
+  * column — the clustering step a corpus-curation pipeline runs for
+  * topic bucketing, diversity-aware sampling, or training the coarse
+  * quantizer an IVF index consumes ([[IvfIndex]] takes exactly this
+  * centroid shape).
+  *
+  * Determinism and scale design:
+  *   - init is the k lowest-id corpus vectors — no RNG, reproducible;
+  *   - each Lloyd round is ONE codegen'd corpus scan: the k centroids
+  *     ride into the assignment expression as array literals (no join,
+  *     no shuffle except the bounded k*d centroid-update groupBy);
+  *   - assignment argmax runs on 6-dp-rounded cosines with centroid-id
+  *     tie-break, so it is reproducible across engines and runs;
+  *   - centroid means come from exact integer sums of
+  *     floor(x*1e6+0.5)-quantized components (order-invariant; the
+  *     long sum holds to ~9e12 rows at |x| <= 1), re-quantized to
+  *     9 dp in-engine — the iterative float sequence is engine-exact;
+  *   - a cluster that empties carries its previous centroid forward.
+  *
+  * Driver state is k*d doubles per round (the standard broadcast-Lloyd
+  * layout) — bounded regardless of corpus size, so the loop holds at
+  * 100 TB; per-round cost is the unavoidable O(n*k*d) scan.
+  */
+object Clustering {
+
+  /** One Lloyd assignment pass: adds `cid` = argmax_i cos(vec, c_i)
+    * (rounded 6 dp, ties to the lowest centroid id). Pure projection —
+    * no shuffle, stays inside whole-stage codegen. */
+  def assign(corpus: DataFrame, vecCol: String,
+      centroids: Seq[(Int, Array[Double])]): DataFrame = {
+    val xd = col(vecCol).cast("array<double>")
+    val xn = sqrt(dotProduct(xd, xd))
+    val scored = centroids.map { case (cid, c) =>
+      // centroid norm on the driver: Array.sum folds left-to-right in
+      // index order, the same sequence as an in-engine dot product
+      val cn = math.sqrt(c.map(v => v * v).sum)
+      struct(
+        (lit(-1.0) * round(
+          dotProduct(xd, typedLit(c.toSeq)) / (xn * lit(cn)), 6)).as("nc"),
+        lit(cid).as("cid"))
+    }
+    corpus.withColumn("cid",
+      array_sort(array(scored: _*)).getItem(0).getField("cid"))
+  }
+
+  /** `rounds` Lloyd iterations from the deterministic lowest-id init;
+    * returns the final centroids in long format: (cid, n, pos, val) —
+    * n = final-assignment cluster size, val = 9-dp component mean. */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k > 0 && rounds > 0, "k and rounds must be positive")
+    val spark = corpus.sparkSession
+    val clean = corpus.where(col(vecCol).isNotNull)
+    val xd = col(vecCol).cast("array<double>")
+
+    // deterministic init: the k lowest-id vectors (TakeOrdered, bounded)
+    var cents: Seq[(Int, Array[Double])] = clean
+      .select(col(idCol), xd.as("v")).orderBy(col(idCol)).limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Double](1).toArray }.toSeq
+    var counts: Map[Int, Long] = Map.empty
+
+    for (_ <- 1 to rounds) {
+      val upd = assign(clean, vecCol, cents)
+        .select(col("cid"), posexplode(xd).as(Seq("pos", "xv")))
+        .groupBy("cid", "pos")
+        .agg(
+          // floor(x*1e6+0.5): half-up quantization both engines agree
+          // on bit-for-bit (round() half-rule differs across engines)
+          round(
+            sum(floor(col("xv") * lit(1e6) + lit(0.5)).cast("long"))
+              .cast("double") / lit(1e6) / count(lit(1)), 9).as("val"),
+          count(lit(1)).as("n"))
+        .collect() // bounded: k*d rows
+      val byCid = upd.groupBy(_.getInt(0))
+      counts = byCid.map { case (cid, rs) => cid -> rs.head.getLong(3) }
+      cents = cents.map { case (cid, prev) =>
+        byCid.get(cid) match {
+          case Some(rs) =>
+            val next = prev.clone()
+            rs.foreach(r => next(r.getInt(1)) = r.getDouble(2))
+            cid -> next
+          case None => cid -> prev // emptied cluster: carry forward
+        }
+      }
+    }
+
+    import spark.implicits._
+    cents.flatMap { case (cid, c) =>
+      c.iterator.zipWithIndex.map { case (v, pos) =>
+        (cid, counts.getOrElse(cid, 0L), pos, v)
+      }
+    }.toDF("cid", "n", "pos", "val").orderBy("cid", "pos")
+  }
+}

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dataset-version diffing: row-level added/removed/changed/unchanged
@@ -56,5 +57,45 @@ object Delta {
           .when(allEq, "unchanged").otherwise("changed").as("status"),
         when(inOld && inNew && !allEq, changedCols)
           .otherwise("").as("changed_cols")): _*)
+  }
+
+  /** Slowly-changing-dimension (type 2) compaction: collapse a keyed
+    * event timeline into effective-dated state runs — the history table
+    * a warehouse keeps per entity, built from raw change events.
+    *
+    * Consecutive rows of one key with the SAME `stateCol` value fold
+    * into one run; output per run: (key, state, effective_from,
+    * effective_to, n_events), where effective_to is the next run's
+    * effective_from and null for the currently-open run. Null states
+    * are kept as their own level: the lag rides in a struct so
+    * "first row of the key" (null struct) is distinguishable from
+    * "previous state is null" (non-null struct, null field) — the
+    * [[Transitions]] lesson.
+    *
+    * Scale: two windows and one groupBy, ALL partitioned by the key —
+    * no global ordering anywhere, so the plan is one hash shuffle on
+    * the key reused by every step. Ties in `orderCol` are broken by
+    * `tieBreak` for a deterministic sequence. */
+  def scd2(df: DataFrame, keyCol: String, orderCol: String,
+      stateCol: String, tieBreak: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(keyCol)
+      .orderBy((col(orderCol) +: tieBreak.map(col)): _*)
+    val chg = df
+      .select(Seq(col(keyCol), col(orderCol)) ++ tieBreak.map(col) :+
+        col(stateCol).as("state"): _*)
+      .withColumn("__prev", lag(struct(col("state").as("st")), 1).over(w))
+      .withColumn("__chg",
+        when(col("__prev").isNotNull &&
+          (col("__prev.st") <=> col("state")), lit(0L)).otherwise(lit(1L)))
+      .withColumn("__run", sum(col("__chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val runs = chg.groupBy(col(keyCol), col("__run"), col("state"))
+      .agg(min(col(orderCol)).as("effective_from"),
+        count(lit(1)).as("n_events"))
+    val wr = Window.partitionBy(keyCol).orderBy(col("__run"))
+    runs
+      .withColumn("effective_to", lead(col("effective_from"), 1).over(wr))
+      .select(col(keyCol), col("state"), col("effective_from"),
+        col("effective_to"), col("n_events"))
   }
 }

@@ -310,4 +310,110 @@ object Hypothesis {
         se2 * se2 / ((v1 / n1) * (v1 / n1) / (n1 - 1.0) +
           (v2 / n2) * (v2 / n2) / (n2 - 1.0)), 4)).as("df"))
   }
+
+  /** CUPED variance-reduced A/B comparison (Deng et al., WSDM 2013):
+    * adjust each unit's experiment-period metric by its pre-period
+    * metric, Y' = Y − θ·(X − X̄), θ = cov(X,Y)/var(X), then compare
+    * group means of Y'. The pre-period covariate absorbs persistent
+    * per-unit variance, shrinking the interval a drift/AB monitor
+    * needs — the standard trick for metric sensitivity at scale.
+    *
+    * `units` must carry one row per experiment unit with `preCol` /
+    * `postCol` metric columns (build it with a groupBy upstream;
+    * missing pre-period activity should arrive as 0, not null).
+    *
+    * Exactness: both metrics are quantized to 10^-scale units and
+    * accumulated as decimal(38,0) (n, Σx, Σy, Σxy, Σx², per-group Σx,
+    * Σy, n) in ONE fused single-row aggregate; θ and every mean derive
+    * from those exact integers in deterministic double arithmetic.
+    * θ is pooled across groups (the standard formulation: under
+    * randomization X ⊥ assignment, so pooling is unbiased).
+    *
+    * Returns one row: (n1, n2, theta, diff_raw, diff_cuped,
+    * var_reduction) — 6dp; var_reduction = corr(X,Y)² = the fraction
+    * of metric variance the covariate removed; null stats when either
+    * group is empty or var(X) = 0. */
+  def cuped(units: DataFrame, preCol: String, postCol: String,
+      groupA: Column, scale: Int = 2): DataFrame = {
+    require(scale >= 0 && scale <= 9, "scale must be in [0,9]")
+    val unit = math.pow(10.0, scale)
+    val xv = col(preCol).cast("double")
+    val yv = col(postCol).cast("double")
+    val live = units
+      .where(xv.isNotNull && !xv.isNaN && yv.isNotNull && !yv.isNaN &&
+        groupA.isNotNull)
+      .select(
+        round(xv * unit, 0).cast("long").cast("decimal(38,0)").as("x"),
+        round(yv * unit, 0).cast("long").cast("decimal(38,0)").as("y"),
+        groupA.as("__a"))
+    def side(a: Boolean, e: Column) = when(col("__a") === a, e)
+    val agg = live.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      count(side(true, lit(1))).as("n1"),
+      count(side(false, lit(1))).as("n2"),
+      sum(side(true, col("x"))).as("sx1"),
+      sum(side(false, col("x"))).as("sx2"),
+      sum(side(true, col("y"))).as("sy1"),
+      sum(side(false, col("y"))).as("sy2"))
+    def d(c: String) = col(c).cast("double")
+    val nd = col("n").cast("double")
+    val cxy = nd * d("sxy") - d("sx") * d("sy")
+    val vx = nd * d("sxx") - d("sx") * d("sx")
+    val vy = nd * d("syy") - d("sy") * d("sy")
+    val theta = cxy / vx // quantization units cancel (same scale)
+    val (n1, n2) = (col("n1").cast("double"), col("n2").cast("double"))
+    val diffRaw = (d("sy1") / n1 - d("sy2") / n2) / unit
+    // Y' group-mean difference: the −θX̄ re-centering term cancels
+    val diffAdj = diffRaw - theta * ((d("sx1") / n1 - d("sx2") / n2) / unit)
+    val ok = col("n1") > 0 && col("n2") > 0 && vx > 0.0
+    agg.select(
+      col("n1"), col("n2"),
+      when(ok, round(theta, 6)).as("theta"),
+      when(ok, round(diffRaw, 6)).as("diff_raw"),
+      when(ok, round(diffAdj, 6)).as("diff_cuped"),
+      when(ok && vy > 0.0, round(cxy * cxy / (vx * vy), 6))
+        .as("var_reduction"))
+  }
+
+  /** Per-group OLS trend: [[olsFit]]'s exact-integer-sum normal
+    * equations, one row PER GROUP — "is this segment's metric drifting
+    * over time, and how fast?" across every segment in one pass.
+    * One groupBy shuffle on the group key; the decimal(38,0) sums keep
+    * each group's fit bit-reproducible at any scale/partition order.
+    * Returns (group, n, slope, intercept, r2), 6dp; slope/intercept in
+    * original units per unit of x; null when x is constant in-group. */
+  def olsTrendBy(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String, xScale: Int = 2, yScale: Int = 2): DataFrame = {
+    require(xScale >= 0 && xScale <= 9 && yScale >= 0 && yScale <= 9,
+      "scales must be in [0,9]")
+    val (ux, uy) = (math.pow(10.0, xScale), math.pow(10.0, yScale))
+    val xv = col(xCol).cast("double")
+    val yv = col(yCol).cast("double")
+    val live = df
+      .where(xv.isNotNull && !xv.isNaN && yv.isNotNull && !yv.isNaN)
+      .select(col(groupCol),
+        round(xv * ux, 0).cast("long").cast("decimal(38,0)").as("x"),
+        round(yv * uy, 0).cast("long").cast("decimal(38,0)").as("y"))
+    val agg = live.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val nd = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val num = nd * d("sxy") - d("sx") * d("sy")
+    val vx = nd * d("sxx") - d("sx") * d("sx")
+    val vy = nd * d("syy") - d("sy") * d("sy")
+    val slope = num / vx * lit(ux / uy)
+    val intercept = (d("sy") / uy - slope * (d("sx") / ux)) / nd
+    agg.select(col(groupCol), col("n"),
+      when(vx > 0, round(slope, 6)).as("slope"),
+      when(vx > 0, round(intercept, 6)).as("intercept"),
+      when(vx > 0 && vy > 0, round(num * num / (vx * vy), 6)).as("r2"))
+  }
 }

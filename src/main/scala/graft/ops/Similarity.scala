@@ -135,4 +135,52 @@ object Similarity {
       .where(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos"))
   }
+
+  /** Exact directed k-nearest-neighbor graph over the corpus: for every
+    * vector, its top-k cosine neighbors — the substrate of diversity
+    * sampling, semantic-dedup clustering, and UMAP/HDBSCAN-style
+    * pipelines. O(n²) pairwise by construction: correct as the
+    * small/medium-corpus tool and as the ORACLE for the approximate
+    * path; at 100 TB build the graph from [[lshTopK]]'s banded
+    * candidates instead (same output shape, bounded recall loss).
+    * Ranks on 6-dp-rounded cosine with id tie-break (engine-exact). */
+  def knnGraph(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val a = corpus.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      l2Norm(col(vecCol)).as("qn"))
+    val b = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      l2Norm(col(vecCol)).as("cn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    a.crossJoin(b)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(
+        dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Mutual (reciprocal) k-NN pairs: (i, j) with i < j where each is in
+    * the other's top-k — the high-precision edge set semantic-dedup and
+    * diversity clustering actually act on, since one-directional kNN
+    * edges in dense regions are mostly hub noise. Output carries both
+    * directed ranks. One self-equi-join of the bounded kNN edge table
+    * (n*k rows) on the reversed pair — hash join, no new scan of the
+    * vectors. */
+  def mutualKnnPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val knn = knnGraph(corpus, idCol, vecCol, k)
+      // two references below — without the pin the O(n²) scoring plan
+      // would execute twice
+      .localCheckpoint(false)
+    val fwd = knn.select(col("query_id").as("i"),
+      col("neighbor_id").as("j"), col("rnk").as("rank_ij"),
+      col("cos"))
+    val rev = knn.select(col("query_id").as("j"),
+      col("neighbor_id").as("i"), col("rnk").as("rank_ji"))
+    fwd.join(rev, Seq("i", "j"))
+      .where(col("i") < col("j"))
+      .select(col("i"), col("j"), col("rank_ij"), col("rank_ji"), col("cos"))
+  }
 }

@@ -390,4 +390,56 @@ object Timeseries {
             .otherwise(0.0), 6)).as("z"),
         col("sen_slope"))
   }
+
+  /** Weekly seasonal profile of event arrivals: count per
+    * (iso-dow, hour-of-day) bucket, each bucket's share of traffic,
+    * its lift vs a uniform week, and a Poisson-scale spike flag — the
+    * baseline a monitoring pipeline subtracts before calling anything
+    * an anomaly (q159's EWMA chart handles the trend axis; this is
+    * the calendar axis).
+    *
+    * `tsUsCol` is integer epoch-MICROSECONDS (UTC). Both bucket
+    * coordinates are pure integer arithmetic on it — iso-dow from the
+    * epoch day number (1970-01-01 was a Thursday, isodow 4), hour from
+    * us-per-hour division — so no calendar/timezone library is in the
+    * loop and any engine reproduces the bucketing exactly. All 168
+    * buckets are emitted (empty ones as zero) via one bounded axis
+    * join; counts are exact integers, share/lift/z one fixed IEEE
+    * expression each. ONE groupBy over the events, nothing global.
+    *
+    * Returns (isodow 1-7 Mon-Sun, hour 0-23, n, share, lift, z, spike)
+    * — share/lift/z 6dp, z = (n-μ)/√μ against the uniform-week mean,
+    * spike = z > 3. */
+  def seasonalProfile(df: DataFrame, tsUsCol: String): DataFrame = {
+    require(!tsUsCol.contains("`") && !tsUsCol.contains("'"),
+      "column name must not contain backticks or quotes")
+    val spark = df.sparkSession
+    val us = col(tsUsCol).cast("long")
+    val DayUs = 86400000000L
+    // floor-division day number + non-negative in-day remainder (the
+    // pmod form — `div` alone truncates toward zero pre-epoch)
+    val day = expr(s"(`$tsUsCol` - pmod(`$tsUsCol`, $DayUs)) div $DayUs")
+    val isodow = pmod(day + lit(3L), lit(7L)) + lit(1L) // epoch day 0 = Thu
+    val hour = expr(s"pmod(`$tsUsCol`, $DayUs) div ${3600000000L}")
+    val counts = df.where(us.isNotNull)
+      .groupBy(isodow.cast("int").as("isodow"), hour.cast("int").as("hour"))
+      .agg(count(lit(1)).as("n"))
+      // referenced twice (densify + total) — pin the <=168-row table
+      // so the event scan runs once
+      .localCheckpoint(false)
+    val axis = spark.range(168).select(
+      (col("id") / 24 + 1).cast("int").as("isodow"),
+      (col("id") % 24).cast("int").as("hour"))
+    val dense = axis.join(counts, Seq("isodow", "hour"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .crossJoin(broadcast(counts.agg(sum(col("n")).as("tot"))))
+    val total = col("tot").cast("double")
+    val mu = total / lit(168.0)
+    dense.select(col("isodow"), col("hour"), col("n"),
+      round(col("n").cast("double") / total, 6).as("share"),
+      round(col("n").cast("double") * lit(168.0) / total, 6).as("lift"),
+      when(mu > 0.0, round((col("n").cast("double") - mu) / sqrt(mu), 6))
+        .as("z"))
+      .withColumn("spike", coalesce(col("z") > 3.0, lit(false)))
+  }
 }
