@@ -1995,7 +1995,93 @@ object PipelineQueries {
           AS clustering_coeff
       FROM ds, ec, tr"""))
 
+  /** Spherical k-means ([[graft.ops.Clustering.kmeansCentroids]]):
+    * k=4 cosine Lloyd rounds from the deterministic lowest-id init,
+    * final centroids in long format (cid, n, pos, val). The oracle
+    * replays both rounds as chained CTEs — assignment on 6-dp cosines
+    * with cid tie-break, centroid means from exact integer sums of
+    * floor-quantized components re-rounded to 9 dp — so the iterative
+    * float sequence is engine-exact (the TextRank/q157 recipe applied
+    * to vectors). */
+  val qKmeans = Q(
+    "q161_kmeans",
+    (s, dir) => graft.ops.Clustering.kmeansCentroids(
+      table(s, dir, "embeddings"), "vec_id", "embedding", k = 4, rounds = 2),
+    Some {
+      // one Lloyd round: assignment vs `cl` (cid, cv list), update into
+      // `cout` long format with carry-forward from `cbase`
+      def rnd(cl: String, cbase: String, a: String, u: String,
+          cout: String, coutL: String) =
+        s"""$a AS (SELECT vec_id, cid, embedding FROM (
+             SELECT e.vec_id, c.cid, e.embedding,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_dot_product(e.embedding::DOUBLE[], c.cv) /
+                   (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                 c.cid) AS rn
+             FROM embeddings e CROSS JOIN $cl c
+             WHERE e.embedding IS NOT NULL) WHERE rn = 1),
+           $u AS (SELECT cid, u['pos'] AS pos,
+               round(CAST(sum(CAST(floor(u['val'] * 1000000.0 + 0.5)
+                 AS BIGINT)) AS DOUBLE) / 1000000.0 / count(*), 9) AS val,
+               count(*) AS n
+             FROM (SELECT cid, unnest([{'pos': i - 1,
+                      'val': embedding[i]::DOUBLE}
+                    for i in range(1, len(embedding) + 1)]) AS u FROM $a)
+             GROUP BY cid, u['pos']),
+           $cout AS (SELECT b.cid, b.pos, coalesce(u.val, b.val) AS val,
+               coalesce(u.n, 0) AS n
+             FROM $cbase b LEFT JOIN $u u
+               ON u.cid = b.cid AND u.pos = b.pos),
+           $coutL AS (SELECT cid, list(val ORDER BY pos) AS cv
+             FROM $cout GROUP BY cid)"""
+      s"""WITH init AS (SELECT vec_id, embedding FROM embeddings
+           WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 4),
+        c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                 AS INT) AS cid, embedding::DOUBLE[] AS cv FROM init),
+        c0e AS (SELECT cid, u['pos'] AS pos, u['val'] AS val FROM (
+          SELECT cid, unnest([{'pos': i - 1, 'val': cv[i]}
+            for i in range(1, len(cv) + 1)]) AS u FROM c0)),
+        ${rnd("c0", "c0e", "a1", "u1", "c1", "c1l")},
+        ${rnd("c1l", "c1", "a2", "u2", "c2", "c2l")}
+        SELECT CAST(cid AS INT) AS cid, CAST(n AS BIGINT) AS n,
+          CAST(pos AS INT) AS pos, val
+        FROM c2 ORDER BY cid, pos"""
+    })
+
+  /** Mutual k-NN pairs ([[Similarity.mutualKnnPairs]]): reciprocal
+    * top-5 cosine edges over the embedding corpus — the exact kNN-graph
+    * primitive (the oracle recomputes both directed rank tables from
+    * the full pairwise cross product). */
+  val qMutualKnn = Q(
+    "q165_mutual_knn",
+    (s, dir) => Similarity.mutualKnnPairs(
+        table(s, dir, "embeddings"), "vec_id", "embedding", k = 5)
+      .orderBy("i", "j"),
+    Some("""WITH scored AS (SELECT a.vec_id AS query_id,
+          b.vec_id AS neighbor_id,
+          round(list_dot_product(a.embedding::DOUBLE[],
+                                 b.embedding::DOUBLE[]) /
+            (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                   a.embedding::DOUBLE[])) *
+             sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]))), 6) AS cos
+        FROM embeddings a CROSS JOIN embeddings b
+        WHERE a.vec_id != b.vec_id),
+      knn AS (SELECT query_id, neighbor_id, cos, row_number() OVER
+                (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+                AS rnk
+              FROM scored QUALIFY rnk <= 5)
+      SELECT f.query_id AS i, f.neighbor_id AS j, f.rnk AS rank_ij,
+        r.rnk AS rank_ji, f.cos
+      FROM knn f JOIN knn r
+        ON r.query_id = f.neighbor_id AND r.neighbor_id = f.query_id
+      WHERE f.query_id < f.neighbor_id
+      ORDER BY i, j"""))
+
   val all: Seq[Q] = Seq(
+    qKmeans, qMutualKnn,
     qHybridRrf, qClassBalance, qTextRank, qVideoDecode, qTriangles,
     qVocabulary, qVocabEncode, qBigramPmi,
     qSourceOverlap, qSourceMix, qContamination, qTopNgrams,

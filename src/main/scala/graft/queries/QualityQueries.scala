@@ -1132,7 +1132,117 @@ object QualityQueries {
         min(doc_id) AS min_key, max(doc_id) AS max_key
       FROM d GROUP BY 1, 2 ORDER BY 1, 2"""))
 
-  val all: Seq[Q] = Seq(qOutliers, qAssociation, qJsdDrift, qValidate,
+  /** CUPED variance-reduced A/B readout ([[Hypothesis.cuped]]): users
+    * split by id parity, per-user spend summed over a pre period
+    * (before Jan 16) and an experiment period (after), the experiment
+    * metric adjusted by the pooled pre-period covariate. Unit metrics
+    * are exact cent sums; every moment is a decimal(38,0) integer, so
+    * θ and both diffs are engine-exact doubles. */
+  val qCuped = Q(
+    "q163_cuped",
+    (s, dir) => {
+      val cut = 1705363200000000L // 2024-01-16T00:00:00Z in epoch-us
+      val cents = round(col("value") * 100, 0).cast("long")
+      val units = QueryCatalog.eventsUs(s, dir)
+        .select(col("user_id"), col("value"),
+          col("ts").as("tus"))
+        .groupBy("user_id")
+        .agg(
+          (coalesce(sum(when(col("tus") < cut, cents)), lit(0L))
+            .cast("double") / 100.0).as("pre"),
+          (coalesce(sum(when(col("tus") >= cut, cents)), lit(0L))
+            .cast("double") / 100.0).as("post"))
+      Hypothesis.cuped(units, "pre", "post",
+        groupA = pmod(col("user_id"), lit(2)) === 0)
+    },
+    Some("""WITH e AS (SELECT user_id, value, epoch_us(ts) AS tus
+          FROM events),
+      u AS (SELECT user_id % 2 = 0 AS a,
+          CAST(coalesce(sum(CASE WHEN tus < 1705363200000000 THEN
+            CAST(round(value * 100) AS BIGINT) END), 0) AS DOUBLE)
+            / 100.0 AS pre,
+          CAST(coalesce(sum(CASE WHEN tus >= 1705363200000000 THEN
+            CAST(round(value * 100) AS BIGINT) END), 0) AS DOUBLE)
+            / 100.0 AS post
+        FROM e GROUP BY user_id),
+      q AS (SELECT a, CAST(round(pre * 100) AS DECIMAL(38,0)) AS x,
+              CAST(round(post * 100) AS DECIMAL(38,0)) AS y FROM u),
+      s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+          sum(x * x) AS sxx, sum(y * y) AS syy,
+          CAST(count(CASE WHEN a THEN 1 END) AS BIGINT) AS n1,
+          CAST(count(CASE WHEN NOT a THEN 1 END) AS BIGINT) AS n2,
+          sum(CASE WHEN a THEN x END) AS sx1,
+          sum(CASE WHEN NOT a THEN x END) AS sx2,
+          sum(CASE WHEN a THEN y END) AS sy1,
+          sum(CASE WHEN NOT a THEN y END) AS sy2
+        FROM q),
+      d AS (SELECT n1, n2, CAST(n AS DOUBLE) AS nd,
+          CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+          CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+          CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd,
+          CAST(syy AS DOUBLE) AS syyd,
+          CAST(sx1 AS DOUBLE) AS sx1d, CAST(sx2 AS DOUBLE) AS sx2d,
+          CAST(sy1 AS DOUBLE) AS sy1d, CAST(sy2 AS DOUBLE) AS sy2d
+        FROM s),
+      f AS (SELECT *, nd * sxyd - sxd * syd AS cxy,
+          nd * sxxd - sxd * sxd AS vx, nd * syyd - syd * syd AS vy,
+          n1 > 0 AND n2 > 0 AS nz
+        FROM d)
+      SELECT n1, n2,
+        CASE WHEN nz AND vx > 0 THEN round(cxy / vx, 6) END AS theta,
+        CASE WHEN nz AND vx > 0 THEN
+          round((sy1d / n1d - sy2d / n2d) / 100.0, 6) END AS diff_raw,
+        CASE WHEN nz AND vx > 0 THEN
+          round((sy1d / n1d - sy2d / n2d) / 100.0 - cxy / vx *
+            ((sx1d / n1d - sx2d / n2d) / 100.0), 6) END AS diff_cuped,
+        CASE WHEN nz AND vx > 0 AND vy > 0 THEN
+          round(cxy * cxy / (vx * vy), 6) END AS var_reduction
+      FROM f"""))
+
+  /** Per-segment OLS trend ([[Hypothesis.olsTrendBy]]): each event
+    * type's daily spend-per-event drift over the month — grouped
+    * exact-integer-sum normal equations, one shuffle. */
+  val qOlsTrend = Q(
+    "q166_ols_trend_by",
+    (s, dir) => Hypothesis.olsTrendBy(
+        QueryCatalog.eventsUs(s, dir)
+          .select(col("event_type"),
+            expr("ts div 86400000000").as("day"),
+            col("value")),
+        "event_type", "day", "value", xScale = 0, yScale = 2)
+      .orderBy("event_type"),
+    Some("""WITH u AS (SELECT event_type,
+          CAST(epoch_us(ts) // 86400000000 AS DOUBLE) AS x,
+          CAST(value AS DOUBLE) AS y
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+          AND NOT isnan(CAST(value AS DOUBLE))),
+      q AS (SELECT event_type, CAST(round(x) AS DECIMAL(38,0)) AS x,
+              CAST(round(y * 100) AS DECIMAL(38,0)) AS y FROM u),
+      s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+          sum(x * x) AS sxx, sum(y * y) AS syy
+        FROM q GROUP BY event_type),
+      d AS (SELECT event_type, n, CAST(n AS DOUBLE) AS nd,
+          CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+          CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd,
+          CAST(syy AS DOUBLE) AS syyd FROM s),
+      f AS (SELECT *, nd * sxyd - sxd * syd AS num,
+          nd * sxxd - sxd * sxd AS vx, nd * syyd - syd * syd AS vy
+        FROM d)
+      SELECT event_type, n,
+        CASE WHEN vx > 0 THEN
+          round(num / vx * (0.01)::DOUBLE, 6) END AS slope,
+        CASE WHEN vx > 0 THEN round((syd / 100.0
+          - num / vx * (0.01)::DOUBLE * (sxd / 1.0)) / nd, 6)
+          END AS intercept,
+        CASE WHEN vx > 0 AND vy > 0
+          THEN round(num * num / (vx * vy), 6) END AS r2
+      FROM f ORDER BY event_type"""))
+
+  val all: Seq[Q] = Seq(qCuped, qOlsTrend,
+    qOutliers, qAssociation, qJsdDrift, qValidate,
     qChi2Drift, qNullPatterns, qFdCheck, qWassersteinDrift, qOrphans,
     qFanout, qEmbedNorms, qKeySkew, qPctRank, qBloomPrune, qPsiSweep,
     qPairRules, qSplitAssign, qQqTable, qWinsorized, qGini, qWoe,

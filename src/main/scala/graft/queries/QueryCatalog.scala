@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 import graft.functions.StatFunctions._
 
@@ -27,6 +27,25 @@ object QueryCatalog {
 
   def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** `events` with `ts` normalized to an integer epoch-MICROSECONDS
+    * long, whatever physical type the generated parquet carries:
+    * TIMESTAMP(NANOS) data arrives as an epoch-nanos long (every
+    * entrypoint sets spark.sql.legacy.parquet.nanosAsLong), while
+    * TIMESTAMP(MICROS) data arrives as TIMESTAMP or TIMESTAMP_NTZ.
+    * The session timezone is pinned to UTC by every entrypoint, so the
+    * NTZ→TIMESTAMP cast is the identity on the stored value and
+    * unix_micros returns exactly the integer the file stores — the
+    * same integer DuckDB's epoch_us(ts) sees, so oracle boundary
+    * predicates agree exactly in every case. */
+  def eventsUs(s: SparkSession, dir: String): DataFrame = {
+    val df = table(s, dir, "events")
+    val us = df.schema("ts").dataType match {
+      case LongType => expr("ts div 1000") // epoch-nanos long
+      case _        => unix_micros(col("ts").cast("timestamp"))
+    }
+    df.withColumn("ts", us)
+  }
 
   // ------------------------------------------------------------------
   // §2.2/2.3 counts, missing, distinct/unique

@@ -4,18 +4,17 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.ops.{AsofJoin, RangeJoin, Sessionize}
-import graft.queries.QueryCatalog.table
+import graft.queries.QueryCatalog.eventsUs
 
 /** Temporal operators over the `events` stream table: sessionization,
   * as-of join, bin-bucketed range join. The reference has no temporal
   * surface — these are pipeline-extension operators (SURVEY §2 ext).
   *
-  * `events.ts` is parquet TIMESTAMP(NANOS): Spark reads it as epoch-nanos
-  * longs (spark.sql.legacy.parquet.nanosAsLong) while DuckDB truncates to
-  * its native microsecond TIMESTAMP on read (verified: epoch_us(ts) ==
-  * ns div 1000 on every row, truncation not rounding). Both sides of
-  * every oracle-checked comparison therefore work in integer MICROSECONDS
-  * (`ts div 1000` / `epoch_us(ts)`) so boundary predicates agree exactly.
+  * Every events load goes through [[QueryCatalog.eventsUs]], which
+  * normalizes `ts` to an integer epoch-MICROSECONDS long regardless of
+  * the parquet physical type (nanos-long legacy read or TIMESTAMP /
+  * TIMESTAMP_NTZ) — the same integer DuckDB's epoch_us(ts) yields — so
+  * boundary predicates agree exactly on both sides of every oracle.
   */
 object TemporalQueries {
 
@@ -25,9 +24,9 @@ object TemporalQueries {
   val qSessionize = Q(
     "q65_sessionize",
     (s, dir) => {
-      val ev = table(s, dir, "events")
+      val ev = eventsUs(s, dir)
         .select(col("user_id"), col("event_id"), col("value"),
-          expr("ts div 1000").as("tus"))
+          col("ts").as("tus"))
       Sessionize
         .sessionStats(ev, "user_id", "tus", 8 * HourUs, "value",
           tieBreak = Seq("event_id"))
@@ -56,13 +55,13 @@ object TemporalQueries {
   val qAsofJoin = Q(
     "q66_asof_join",
     (s, dir) => {
-      val ev = table(s, dir, "events")
+      val ev = eventsUs(s, dir)
       val clicks = ev.where(col("event_type") === "click")
         .select(col("event_id"), col("user_id"),
-          expr("ts div 1000").as("tus"))
+          col("ts").as("tus"))
       val purchases = ev.where(col("event_type") === "purchase")
         .select(col("user_id").as("p_user"),
-          expr("ts div 1000").as("p_ts"),
+          col("ts").as("p_ts"),
           col("event_id").as("p_event_id"), col("value").as("p_value"))
       AsofJoin
         .asof(clicks, purchases, "user_id", "p_user", "tus", "p_ts",
@@ -93,13 +92,13 @@ object TemporalQueries {
   val qRangeJoin = Q(
     "q67_range_join",
     (s, dir) => {
-      val ev = table(s, dir, "events")
+      val ev = eventsUs(s, dir)
       val pts = ev.where(col("event_type") =!= "error")
-        .select(expr("ts div 1000").as("pt_ts"), col("value"))
+        .select(col("ts").as("pt_ts"), col("value"))
       val ivs = ev.where(col("event_type") === "error")
         .select(col("event_id").as("iv_id"),
-          expr("ts div 1000").as("lo"),
-          (expr("ts div 1000") + lit(2 * HourUs)).as("hi"))
+          col("ts").as("lo"),
+          (col("ts") + lit(2 * HourUs)).as("hi"))
       RangeJoin.pointInInterval(pts, "pt_ts", ivs, "lo", "hi", 2 * HourUs)
         .groupBy("iv_id")
         .agg(
@@ -125,9 +124,9 @@ object TemporalQueries {
   val qFunnel = Q(
     "q68_funnel",
     (s, dir) => {
-      val ev = table(s, dir, "events")
+      val ev = eventsUs(s, dir)
         .select(col("user_id"), col("event_type"),
-          expr("ts div 1000").as("tus"))
+          col("ts").as("tus"))
       graft.ops.Funnel
         .funnel(ev, "user_id", "tus", "event_type",
           steps = Seq("signup", "click", "purchase"))
@@ -159,9 +158,9 @@ object TemporalQueries {
   val qRolling = Q(
     "q72_rolling_window",
     (s, dir) => {
-      val ev = table(s, dir, "events")
+      val ev = eventsUs(s, dir)
         .select(col("event_id"), col("user_id"), col("value"),
-          expr("ts div 1000").as("tus"))
+          col("ts").as("tus"))
       graft.ops.Rolling
         .trailingStats(ev, "user_id", "tus", HourUs, "value")
         .select("event_id", "user_id", "tus", "n_trail", "sum_trail")
@@ -185,9 +184,9 @@ object TemporalQueries {
   val qTransitions = Q(
     "q89_transition_matrix",
     (s, dir) => {
-      val ev = table(s, dir, "events")
+      val ev = eventsUs(s, dir)
         .select(col("user_id"), col("event_type"), col("event_id"),
-          expr("ts div 1000").as("tus"))
+          col("ts").as("tus"))
       graft.ops.Transitions
         .matrix(ev, "user_id", "tus", "event_type",
           tieBreak = Seq("event_id"))
@@ -216,7 +215,7 @@ object TemporalQueries {
     "q117_last_touch",
     (s, dir) =>
       graft.ops.Funnel.lastTouchAttribution(
-          table(s, dir, "events"), "user_id", "ts", "event_id",
+          eventsUs(s, dir), "user_id", "ts", "event_id",
           "event_type", conversion = "purchase")
         .orderBy("touch"),
     Some("""WITH l AS (SELECT user_id, event_type,
@@ -234,8 +233,8 @@ object TemporalQueries {
   val qRetention = Q(
     "q119_cohort_retention",
     (s, dir) => {
-      val ev = table(s, dir, "events")
-        .select(col("user_id"), expr("ts div 1000").as("tus"))
+      val ev = eventsUs(s, dir)
+        .select(col("user_id"), col("ts").as("tus"))
       graft.ops.Retention
         .cohortRetention(ev, "user_id", "tus", 604800000000L)
         .orderBy("cohort_period", "period_offset")
@@ -256,8 +255,8 @@ object TemporalQueries {
   val qCountAcf = Q(
     "q126_count_acf",
     (s, dir) => {
-      val ev = table(s, dir, "events")
-        .select(expr("ts div 1000").as("tus"))
+      val ev = eventsUs(s, dir)
+        .select(col("ts").as("tus"))
       graft.ops.Timeseries.countAcf(
         ev, "tus", 3600000000L, Seq(1, 3, 6, 12, 24))
     },
@@ -299,9 +298,9 @@ object TemporalQueries {
     "q131_km_retention",
     (s, dir) => {
       val dayUs = 86400000000L
-      val ev = table(s, dir, "events")
+      val ev = eventsUs(s, dir)
         .where(col("user_id").isNotNull && col("ts").isNotNull)
-        .select(col("user_id").as("u"), expr("ts div 1000").as("tus"))
+        .select(col("user_id").as("u"), col("ts").as("tus"))
       val per = ev.groupBy("u")
         .agg(min(col("tus")).as("f"), max(col("tus")).as("l"))
       val glob = ev.agg(max(col("tus")).as("gm"))
@@ -347,8 +346,8 @@ object TemporalQueries {
   val qXcorr = Q(
     "q134_xcorr",
     (s, dir) => {
-      val ev = table(s, dir, "events")
-        .select(expr("ts div 1000").as("tus"), col("event_type"))
+      val ev = eventsUs(s, dir)
+        .select(col("ts").as("tus"), col("event_type"))
       graft.ops.Timeseries.crossCountCorr(
         ev, "tus", 3600000000L,
         col("event_type") === "error", col("event_type") === "purchase",
@@ -390,9 +389,9 @@ object TemporalQueries {
   val qTopPaths = Q(
     "q135_top_paths",
     (s, dir) => {
-      val ev = table(s, dir, "events")
+      val ev = eventsUs(s, dir)
         .select(col("user_id"), col("event_id"), col("event_type"),
-          expr("ts div 1000").as("tus"))
+          col("ts").as("tus"))
       graft.ops.Sessionize.topPaths(
         ev, "user_id", "tus", "event_type", 8 * HourUs, 3, 25,
         tieBreak = Seq("event_id"))
@@ -424,9 +423,9 @@ object TemporalQueries {
   val qInterarrival = Q(
     "q138_interarrival",
     (s, dir) => {
-      val ev = table(s, dir, "events")
+      val ev = eventsUs(s, dir)
         .select(col("user_id"), col("event_id"),
-          expr("ts div 1000").as("tus"))
+          col("ts").as("tus"))
       graft.ops.Timeseries.interarrivalStats(
         ev, "user_id", "tus", tieBreak = Seq("event_id"))
     },
@@ -457,9 +456,9 @@ object TemporalQueries {
   val qTwap = Q(
     "q147_twap",
     (s, dir) => {
-      val ev = table(s, dir, "events")
+      val ev = eventsUs(s, dir)
         .select(col("user_id"), col("event_id"), col("value"),
-          expr("ts div 1000").as("tus"))
+          col("ts").as("tus"))
       graft.ops.Timeseries.twap(
           ev, "user_id", "tus", "value", tieBreak = Seq("event_id"))
         .orderBy("user_id")
@@ -486,9 +485,9 @@ object TemporalQueries {
   val qLinearAttribution = Q(
     "q148_linear_attribution",
     (s, dir) => {
-      val ev = table(s, dir, "events")
+      val ev = eventsUs(s, dir)
         .select(col("user_id"), col("event_id"), col("event_type"),
-          expr("ts div 1000").as("tus"))
+          col("ts").as("tus"))
       graft.ops.Funnel.linearAttribution(
         ev, "user_id", "tus", "event_id", "event_type", "purchase")
     },
@@ -526,8 +525,8 @@ object TemporalQueries {
   val qChangepoint = Q(
     "q149_changepoint",
     (s, dir) => {
-      val ev = table(s, dir, "events")
-        .select(expr("ts div 1000").as("tus"))
+      val ev = eventsUs(s, dir)
+        .select(col("ts").as("tus"))
       graft.ops.Timeseries.countChangepoint(ev, "tus", 3600000000L)
     },
     Some("""WITH b AS (SELECT epoch_us(ts) // 3600000000 AS t,
@@ -553,10 +552,10 @@ object TemporalQueries {
   val qMannKendall = Q(
     "q155_mann_kendall",
     (s, dir) => {
-      val daily = table(s, dir, "events")
+      val daily = eventsUs(s, dir)
         .where(col("ts").isNotNull)
         .select(col("event_type"),
-          expr("(ts div 1000) div 86400000000").as("day"))
+          expr("ts div 86400000000").as("day"))
         .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
       graft.ops.Timeseries
         .mannKendall(daily, "event_type", "day", "cnt")
@@ -597,8 +596,8 @@ object TemporalQueries {
   val qEwmaChart = Q(
     "q159_ewma_chart",
     (s, dir) => {
-      val ev = table(s, dir, "events")
-        .select(col("event_type"), expr("ts div 1000").as("tus"))
+      val ev = eventsUs(s, dir)
+        .select(col("event_type"), col("ts").as("tus"))
       graft.ops.Timeseries.ewmaChart(
         ev, "event_type", "tus", 86400000000L,
         alpha = 0.3, window = 7, threshold = 3.0)
@@ -637,8 +636,80 @@ object TemporalQueries {
         FROM j ORDER BY event_type, t"""
     })
 
+  /** SCD2 history build ([[graft.ops.Delta.scd2]]): each user's
+    * event-type timeline compacted into effective-dated state runs —
+    * (state, effective_from, effective_to] ranges with the open run's
+    * effective_to null. The oracle mirrors the struct-lag change flag
+    * with an explicit first-row case so a null state is a level, not
+    * an end-of-sequence marker. */
+  val qScd2 = Q(
+    "q162_scd2_history",
+    (s, dir) => {
+      val ev = eventsUs(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts").as("tus"))
+      graft.ops.Delta.scd2(ev, "user_id", "tus", "event_type",
+          tieBreak = Seq("event_id"))
+        .orderBy("user_id", "effective_from")
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+          event_type FROM events),
+      m AS (SELECT user_id, tus, event_id, event_type,
+          CASE WHEN row_number() OVER w = 1 THEN 1
+               WHEN lag(event_type) OVER w IS NOT DISTINCT FROM event_type
+                 THEN 0
+               ELSE 1 END AS chg
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+      r AS (SELECT user_id, tus, event_type,
+          sum(chg) OVER (PARTITION BY user_id ORDER BY tus, event_id
+            ROWS UNBOUNDED PRECEDING) AS run
+        FROM m),
+      g AS (SELECT user_id, run, event_type AS state,
+          min(tus) AS effective_from, count(*) AS n_events
+        FROM r GROUP BY 1, 2, 3)
+      SELECT user_id, state, effective_from,
+        lead(effective_from) OVER
+          (PARTITION BY user_id ORDER BY run) AS effective_to,
+        n_events
+      FROM g ORDER BY user_id, effective_from"""))
+
+  /** Weekly seasonal profile ([[Timeseries.seasonalProfile]]): event
+    * arrivals per (iso-dow, hour) bucket with share/lift/Poisson-z and
+    * spike flags — all 168 buckets densified, bucket coordinates pure
+    * integer arithmetic on epoch-us so both engines agree exactly. */
+  val qSeasonal = Q(
+    "q164_seasonal_profile",
+    (s, dir) => graft.ops.Timeseries.seasonalProfile(
+        eventsUs(s, dir).select(col("ts").as("tus")),
+        "tus")
+      .orderBy("isodow", "hour"),
+    Some("""WITH e AS (SELECT epoch_us(ts) AS tus FROM events
+          WHERE ts IS NOT NULL),
+      c AS (SELECT CAST((tus // 86400000000 + 3) % 7 + 1 AS INT)
+              AS isodow,
+            CAST((tus % 86400000000) // 3600000000 AS INT) AS hour,
+            count(*) AS n
+          FROM e GROUP BY 1, 2),
+      ax AS (SELECT CAST(i // 24 + 1 AS INT) AS isodow,
+               CAST(i % 24 AS INT) AS hour FROM range(168) t(i)),
+      t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM c),
+      d AS (SELECT ax.isodow, ax.hour, coalesce(c.n, 0) AS n, tot
+            FROM ax LEFT JOIN c ON c.isodow = ax.isodow
+              AND c.hour = ax.hour CROSS JOIN t),
+      z AS (SELECT isodow, hour, n,
+          round(CAST(n AS DOUBLE) / tot, 6) AS share,
+          round(CAST(n AS DOUBLE) * 168.0 / tot, 6) AS lift,
+          CASE WHEN tot / 168.0 > 0 THEN
+            round((CAST(n AS DOUBLE) - tot / 168.0)
+              / sqrt(tot / 168.0), 6) END AS z
+        FROM d)
+      SELECT isodow, hour, n, share, lift, z,
+        coalesce(z > 3.0, false) AS spike
+      FROM z ORDER BY isodow, hour"""))
+
   val all: Seq[Q] = Seq(qSessionize, qAsofJoin, qRangeJoin, qFunnel,
     qRolling, qTransitions, qAttribution, qRetention, qCountAcf,
     qKaplanMeier, qXcorr, qTopPaths, qInterarrival, qTwap,
-    qLinearAttribution, qChangepoint, qMannKendall, qEwmaChart)
+    qLinearAttribution, qChangepoint, qMannKendall, qEwmaChart,
+    qScd2, qSeasonal)
 }
