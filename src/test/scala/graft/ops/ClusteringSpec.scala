@@ -1,0 +1,48 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Spherical k-means: deterministic init, Lloyd convergence on planted
+  * clusters, exact quantized centroid means, empty-cluster carry-forward. */
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kmeansCentroids: planted clusters converge, exact quantized means") {
+    // ids 1/3 point along x, ids 2/4 along y; init = two lowest ids,
+    // one from each planted cluster
+    val pts = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.9f, 0.1f)), (4L, Array(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val out = Clustering.kmeansCentroids(pts, "vec_id", "embedding",
+      k = 2, rounds = 2)
+      .collect().map(r =>
+        (r.getInt(0), r.getInt(2)) -> (r.getLong(1), r.getDouble(3))).toMap
+    // cluster 0 <- {1, 3}: component means (0.95, 0.05); cluster 1 <- {2, 4}
+    assert(out((0, 0)) == (2L, 0.95) && out((0, 1)) == (2L, 0.05))
+    assert(out((1, 0)) == (2L, 0.05) && out((1, 1)) == (2L, 0.95))
+  }
+
+  test("kmeansCentroids: identical vectors tie to cid 0, empty carries") {
+    val pts = (1L to 4L).map(i => (i, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Clustering.kmeansCentroids(pts, "vec_id", "embedding",
+      k = 2, rounds = 2)
+      .collect().map(r =>
+        (r.getInt(0), r.getInt(2)) -> (r.getLong(1), r.getDouble(3))).toMap
+    // every vector ties on cosine to both centroids -> lowest cid wins;
+    // cluster 1 empties and keeps its init vector verbatim
+    assert(out((0, 0))._1 == 4L && out((1, 0)) == (0L, 1.0))
+    assert(out((1, 1)) == (0L, 0.0))
+  }
+
+  test("kmeansCentroids: rejects non-positive k or rounds") {
+    val pts = Seq((1L, Array(1.0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Clustering.kmeansCentroids(pts, "vec_id", "embedding", 0, 1)
+    }
+    intercept[IllegalArgumentException] {
+      Clustering.kmeansCentroids(pts, "vec_id", "embedding", 2, 0)
+    }
+  }
+}

@@ -50,4 +50,45 @@ class DeltaSpec extends SparkSpec {
       Delta.snapshotDiff(oldDf.select("id"), newDf.select("id"), Seq("id"))
     }
   }
+
+  // ---------------------------------------------------------------- scd2
+
+  test("scd2: same-state runs fold, effective_to chains, open run null") {
+    val ev = Seq(
+      ("u1", 1L, 1L, Option("a")), ("u1", 2L, 2L, Option("a")),
+      ("u1", 3L, 3L, Option("b")), ("u1", 4L, 4L, None),
+      ("u1", 5L, 5L, None), ("u1", 6L, 6L, Option("a")))
+      .toDF("k", "t", "id", "st")
+    val out = Delta.scd2(ev, "k", "t", "st", tieBreak = Seq("id"))
+      .orderBy("effective_from")
+      .as[(String, Option[String], Long, Option[Long], Long)].collect().toSeq
+    assert(out == Seq(
+      ("u1", Some("a"), 1L, Some(3L), 2L),
+      ("u1", Some("b"), 3L, Some(4L), 1L),
+      ("u1", None, 4L, Some(6L), 2L), // null state is a level, not an end
+      ("u1", Some("a"), 6L, None, 1L))) // open run
+  }
+
+  test("scd2: leading null state distinct from no-previous-row") {
+    val ev = Seq(("u", 1L, 1L, None: Option[String]),
+      ("u", 2L, 2L, None: Option[String]), ("u", 3L, 3L, Option("x")))
+      .toDF("k", "t", "id", "st")
+    val out = Delta.scd2(ev, "k", "t", "st", Seq("id"))
+      .orderBy("effective_from")
+      .as[(String, Option[String], Long, Option[Long], Long)].collect().toSeq
+    // the two leading nulls are ONE run (first row opens it, second matches)
+    assert(out == Seq(
+      ("u", None, 1L, Some(3L), 2L), ("u", Some("x"), 3L, None, 1L)))
+  }
+
+  test("scd2: equal timestamps sequence deterministically via tieBreak") {
+    val ev = Seq(("u", 1L, 2L, "x"), ("u", 1L, 1L, "y"))
+      .toDF("k", "t", "id", "st")
+    val out = Delta.scd2(ev, "k", "t", "st", Seq("id"))
+      .orderBy("n_events", "state") // both runs share effective_from = 1
+      .as[(String, String, Long, Option[Long], Long)].collect().toSeq
+    // id 1 ('y') sorts first, so 'y' opens and 'x' is the open run
+    assert(out.map(r => (r._2, r._4)).toSet ==
+      Set(("y", Some(1L)), ("x", None)))
+  }
 }

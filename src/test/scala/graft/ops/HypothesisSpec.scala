@@ -149,4 +149,45 @@ class HypothesisSpec extends SparkSpec {
     assert(r2.isNullAt(4) && r2.isNullAt(5))
     assert(r2.getDouble(2) == 1.0 && r2.getDouble(3) == 1.0)
   }
+
+  // ---------------------------------------------------------------- cuped
+
+  test("cuped: Y == X gives theta 1, zero adjusted diff, full reduction") {
+    val units = Seq((1.0, 1.0, true), (3.0, 3.0, true),
+      (2.0, 2.0, false), (6.0, 6.0, false)).toDF("pre", "post", "g")
+    val r = Hypothesis.cuped(units, "pre", "post", col("g")).head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 1.0)   // theta = cov/var = 1
+    assert(r.getDouble(3) == -2.0)  // raw: mean 2 - mean 4
+    assert(r.getDouble(4) == 0.0)   // covariate explains the whole gap
+    assert(r.getDouble(5) == 1.0)   // var_reduction = corr² = 1
+  }
+
+  test("cuped: empty group or constant covariate -> null stats") {
+    val oneSided = Seq((1.0, 2.0, true), (3.0, 4.0, true))
+      .toDF("pre", "post", "g")
+    val r1 = Hypothesis.cuped(oneSided, "pre", "post", col("g")).head()
+    assert(r1.getLong(1) == 0L && r1.isNullAt(2) && r1.isNullAt(4))
+    val constX = Seq((5.0, 2.0, true), (5.0, 4.0, false))
+      .toDF("pre", "post", "g")
+    val r2 = Hypothesis.cuped(constX, "pre", "post", col("g")).head()
+    assert(r2.isNullAt(2) && r2.isNullAt(3) && r2.isNullAt(4))
+  }
+
+  // ---------------------------------------------------------- olsTrendBy
+
+  test("olsTrendBy: exact line per group; constant x group -> nulls") {
+    val df = Seq(
+      ("a", 0.0, 1.0), ("a", 1.0, 3.0), ("a", 2.0, 5.0), // y = 2x + 1
+      ("b", 4.0, 9.0), ("b", 4.0, 7.0)) // constant x
+      .toDF("g", "x", "y")
+    val rows = Hypothesis.olsTrendBy(df, "g", "x", "y",
+      xScale = 0, yScale = 2).orderBy("g").collect()
+    val a = rows(0)
+    assert(a.getLong(1) == 3L && a.getDouble(2) == 2.0 &&
+      a.getDouble(3) == 1.0 && a.getDouble(4) == 1.0)
+    val b = rows(1)
+    assert(b.getLong(1) == 2L && b.isNullAt(2) && b.isNullAt(3) &&
+      b.isNullAt(4))
+  }
 }

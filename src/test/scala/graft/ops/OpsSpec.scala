@@ -407,6 +407,29 @@ class OpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
   }
 
+  test("knnGraph: exact directed top-k by cosine, id tie-break") {
+    val pts = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val g = Similarity.knnGraph(pts, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // node 1's neighbors by cosine: 2 (.994), 4 (.110), 3 (0)
+    assert(g((1L, 1)) == 2L && g((1L, 2)) == 4L && g((1L, 3)) == 3L)
+    assert(g.size == 12) // 4 nodes x k=3, no self edges
+  }
+
+  test("mutualKnnPairs: only reciprocal edges survive, i < j once") {
+    val pts = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.mutualKnnPairs(pts, "vec_id", "embedding", k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // each planted pair is mutually nearest; cross-pair edges are not
+    assert(pairs.sorted == Seq((1L, 2L), (3L, 4L)))
+  }
+
   test("text analysis: langId picks stopword language, counts deterministic") {
     val df = Seq(
       (0L, "the cat and the dog in the house"),

@@ -483,4 +483,21 @@ class TemporalSpec extends SparkSpec {
         Seq(0L, Long.MaxValue / 2).toDF("t"), "t", 10L, Seq(1))
     }
   }
+
+  // ------------------------------------------------------ seasonalProfile
+
+  test("seasonalProfile: 168 dense buckets, integer calendar, pre-epoch") {
+    val HourUs = 3600L * 1000 * 1000
+    // three events Thu 00h (epoch 0 was a Thursday), one Wed 23h 1969
+    val df = Seq(0L, 1000L, HourUs - 1, -HourUs).toDF("t")
+    val out = graft.ops.Timeseries.seasonalProfile(df, "t")
+    val rows = out.collect().map(r =>
+      (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getBoolean(6))).toMap
+    assert(rows.size == 168) // every (isodow, hour) emitted, zeros included
+    assert(rows((4, 0))._1 == 3L) // 1970-01-01 00:xx = Thursday hour 0
+    assert(rows((3, 23))._1 == 1L) // 1969-12-31 23:00 = Wednesday (floor div)
+    assert(rows.values.map(_._1).sum == 4L)
+    // z for the 3-count bucket: (3 - 4/168)/sqrt(4/168) >> 3 -> spike
+    assert(rows((4, 0))._2 && !rows((1, 0))._2)
+  }
 }
