@@ -98,4 +98,18 @@ object Delta {
       .select(col(keyCol), col("state"), col("effective_from"),
         col("effective_to"), col("n_events"))
   }
+
+  /** Point-in-time state lookup over the [[scd2]] history: each key's
+    * active run at instant `at` — the "reconstruct the world as of T"
+    * query a warehouse answers from its SCD2 table. A run is active
+    * when effective_from ≤ at < effective_to (the open run has no
+    * upper bound); keys whose timeline starts after `at` emit no row.
+    * Same single key-hash shuffle as [[scd2]] plus one filter. */
+  def stateAsOf(df: DataFrame, keyCol: String, orderCol: String,
+      stateCol: String, tieBreak: Seq[String], at: Long): DataFrame =
+    scd2(df, keyCol, orderCol, stateCol, tieBreak)
+      .where(col("effective_from") <= at &&
+        (col("effective_to").isNull || col("effective_to") > at))
+      .select(col(keyCol), col("state"), col("effective_from"),
+        col("n_events"))
 }

@@ -416,4 +416,62 @@ object Hypothesis {
       when(vx > 0, round(intercept, 6)).as("intercept"),
       when(vx > 0 && vy > 0, round(num * num / (vx * vy), 6)).as("r2"))
   }
+
+  /** Two-sample effect sizes — the "is it big?" companion to
+    * [[mannWhitneyU]]/[[welchT]]'s "is it real?": Cliff's delta
+    * (2·U₁/(n₁n₂) − 1, the rank-dominance effect, exact through the
+    * doubled-rank-sum integers) and Cohen's d (standardized mean
+    * difference on the pooled SD, from 10^-scale-quantized
+    * decimal(38,0) moment sums — [[welchT]]'s exactness recipe).
+    *
+    * ONE pass: the per-value counts table feeds both the prefix-sum
+    * ranking and the quantized moments, so the rank statistic and the
+    * moment statistic come from the same single value-grid shuffle.
+    * Returns one row: (n1, n2, cliffs_delta, cohens_d) — 6dp; delta
+    * null when either group is empty, d additionally null when n ≤ 2
+    * or the pooled variance is 0. */
+  def effectSizes(df: DataFrame, vCol: String, groupA: Column,
+      scale: Int = 2): DataFrame = {
+    require(scale >= 0 && scale <= 9, "scale must be in [0,9]")
+    val unit = math.pow(10.0, scale)
+    val v = col(vCol).cast("double")
+    val live = df
+      .where(v.isNotNull && !v.isNaN && groupA.isNotNull)
+      .select(v.as("__v"), groupA.as("__a"))
+    val counts = live.groupBy("__v").agg(
+      count(lit(1)).as("cnt"),
+      count(when(col("__a"), 1)).as("ca"))
+    val ranks = Ranking.avgRanksFromCounts(
+      counts.select(lit("_").as("__k"), col("__v"), col("cnt")),
+      "__k", "__v")
+    val joined = counts.join(ranks.select(col("__v"), col("avgrank")), "__v")
+    val dec = "decimal(38,0)"
+    val q = round(col("__v") * unit, 0).cast("long").cast(dec)
+    val agg = joined.agg(
+      sum(col("ca")).as("n1"),
+      sum(col("cnt")).as("n"),
+      sum((col("avgrank") * 2 * col("ca")).cast(dec)).as("r2"),
+      sum(q * col("ca")).as("sxa"),
+      sum(q * q * col("ca")).as("qqa"),
+      sum(q * col("cnt")).as("sx"),
+      sum(q * q * col("cnt")).as("qq"))
+    def d(c: String) = col(c).cast("double")
+    val n1 = d("n1")
+    val n2 = (col("n") - col("n1")).cast("double")
+    val u1 = d("r2") / 2.0 - n1 * (n1 + 1.0) / 2.0
+    val sxb = d("sx") - d("sxa")
+    val qqb = d("qq") - d("qqa")
+    // pooled SS = Σ(x−m₁)² over A + Σ(x−m₂)² over B, in quantized units
+    val ss = (d("qqa") - d("sxa") * d("sxa") / n1) +
+      (qqb - sxb * sxb / n2)
+    val sp = sqrt(ss / (d("n") - 2.0))
+    val meanDiff = d("sxa") / n1 - sxb / n2 // unit cancels against sp
+    val both = col("n1") > 0 && col("n") > col("n1")
+    agg.select(
+      col("n1"), (col("n") - col("n1")).as("n2"),
+      when(both, round(lit(2.0) * u1 / (n1 * n2) - 1.0, 6))
+        .as("cliffs_delta"),
+      when(both && d("n") > 2.0 && ss > 0.0,
+        round(meanDiff / sp, 6)).as("cohens_d"))
+  }
 }

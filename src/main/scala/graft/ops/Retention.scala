@@ -98,4 +98,42 @@ object Retention {
           .otherwise(round(exp(col("__cum")), 6)).as("surv"))
       .orderBy("t")
   }
+
+  /** Nelson-Aalen cumulative hazard from the same per-subject
+    * (duration, observed) rows as [[kaplanMeier]]: H(t_i) =
+    * Σ_{j≤i} d_j/n_j over the death times — the estimator survival
+    * analysis prefers when the hazard itself (churn intensity over
+    * tenure) is the readout, and the numerically gentler route to
+    * S(t) ≈ exp(−H) under heavy censoring. Identical plan shape to
+    * the KM curve: one groupBy(duration) shuffle, then exclusive
+    * prefix sums over the bounded duration grid; each d/n term is one
+    * double division and the cumulative sum runs in duration order,
+    * so the float sequence is engine-exact. Returns (t, n_risk, d,
+    * cumhaz) for death times, ordered by t, cumhaz 6dp-rounded. */
+  def nelsonAalen(
+      df: DataFrame, durCol: String, obsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dur = col(durCol).cast("long")
+    val obs = col(obsCol).cast("boolean")
+    val c = df
+      .where(dur.isNotNull && obs.isNotNull)
+      .select(dur.as("__t"), obs.as("__o"))
+      .groupBy("__t")
+      .agg(count(lit(1)).as("cnt"), count(when(col("__o"), 1)).as("d"))
+    val totals = c.agg(sum(col("cnt")).as("total"))
+    val wPrior = Window.orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c.crossJoin(totals)
+      .withColumn("n_risk",
+        col("total") - coalesce(sum(col("cnt")).over(wPrior), lit(0L)))
+      .where(col("d") > 0)
+      .withColumn("__cum",
+        sum(col("d").cast("double") / col("n_risk").cast("double"))
+          .over(wCum))
+      .select(col("__t").as("t"), col("n_risk"), col("d"),
+        round(col("__cum"), 6).as("cumhaz"))
+      .orderBy("t")
+  }
 }

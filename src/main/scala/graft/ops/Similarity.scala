@@ -146,10 +146,15 @@ object Similarity {
     * Ranks on 6-dp-rounded cosine with id tie-break (engine-exact). */
   def knnGraph(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
+    // The scoring loop's parallelism is the LEFT side's partitioning
+    // (the right side rides in broadcast), and a small parquet corpus
+    // arrives as one input split — spread it first or the whole n²·d
+    // work runs in a single task (measured 11.8 s → 1.7 s at sf0.1).
     val a = corpus.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       l2Norm(col(vecCol)).as("qn"))
-    val b = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      l2Norm(col(vecCol)).as("cn"))
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    val b = broadcast(corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), l2Norm(col(vecCol)).as("cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     a.crossJoin(b)

@@ -1241,7 +1241,54 @@ object QualityQueries {
           THEN round(num * num / (vx * vy), 6) END AS r2
       FROM f ORDER BY event_type"""))
 
-  val all: Seq[Q] = Seq(qCuped, qOlsTrend,
+  /** Two-sample effect sizes ([[Hypothesis.effectSizes]]): purchase
+    * events vs the rest on value — Cliff's delta through the exact
+    * doubled-rank-sum integers (q130's machinery) and Cohen's d
+    * through cents-quantized decimal moment sums (q133's), both read
+    * off ONE per-value counts shuffle. */
+  val qEffectSizes = Q(
+    "q167_effect_sizes",
+    (s, dir) => Hypothesis.effectSizes(
+      table(s, dir, "events"), "value", col("event_type") === "purchase"),
+    Some("""WITH u AS (SELECT CAST(value AS DOUBLE) AS v,
+          event_type = 'purchase' AS a FROM events
+        WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+          AND event_type IS NOT NULL),
+      c AS (SELECT v, count(*) AS cnt,
+              count(CASE WHEN a THEN 1 END) AS ca
+            FROM u GROUP BY v),
+      r AS (SELECT v, cnt, ca,
+              sum(cnt) OVER (ORDER BY v) - cnt + (cnt + 1) / 2.0
+                AS avgrank
+            FROM c),
+      q AS (SELECT CAST(round(v * 100) AS DECIMAL(38,0)) AS x,
+              cnt, ca, avgrank FROM r),
+      s AS (SELECT CAST(sum(ca) AS BIGINT) AS n1,
+              CAST(sum(cnt) AS BIGINT) AS n,
+              sum(CAST(avgrank * 2 * ca AS DECIMAL(38,0))) AS r2,
+              sum(x * ca) AS sxa, sum(x * x * ca) AS qqa,
+              sum(x * cnt) AS sx, sum(x * x * cnt) AS qq
+            FROM q),
+      t AS (SELECT n1, n - n1 AS n2, CAST(n1 AS DOUBLE) AS n1d,
+              CAST(n - n1 AS DOUBLE) AS n2d, CAST(n AS DOUBLE) AS nd,
+              CAST(r2 AS DOUBLE) / 2.0 - CAST(n1 AS DOUBLE)
+                * (CAST(n1 AS DOUBLE) + 1.0) / 2.0 AS u1,
+              CAST(sxa AS DOUBLE) AS sxad, CAST(qqa AS DOUBLE) AS qqad,
+              CAST(sx AS DOUBLE) - CAST(sxa AS DOUBLE) AS sxbd,
+              CAST(qq AS DOUBLE) - CAST(qqa AS DOUBLE) AS qqbd
+            FROM s),
+      g AS (SELECT *, (qqad - sxad * sxad / n1d)
+              + (qqbd - sxbd * sxbd / n2d) AS ss FROM t)
+      SELECT n1, n2,
+        CASE WHEN n1 > 0 AND n2 > 0
+          THEN round(2.0 * u1 / (n1d * n2d) - 1.0, 6) END
+          AS cliffs_delta,
+        CASE WHEN n1 > 0 AND n2 > 0 AND nd > 2.0 AND ss > 0.0
+          THEN round((sxad / n1d - sxbd / n2d)
+            / sqrt(ss / (nd - 2.0)), 6) END AS cohens_d
+      FROM g"""))
+
+  val all: Seq[Q] = Seq(qCuped, qOlsTrend, qEffectSizes,
     qOutliers, qAssociation, qJsdDrift, qValidate,
     qChi2Drift, qNullPatterns, qFdCheck, qWassersteinDrift, qOrphans,
     qFanout, qEmbedNorms, qKeySkew, qPctRank, qBloomPrune, qPsiSweep,

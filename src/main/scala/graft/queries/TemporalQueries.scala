@@ -707,9 +707,97 @@ object TemporalQueries {
         coalesce(z > 3.0, false) AS spike
       FROM z ORDER BY isodow, hour"""))
 
+  /** Nelson-Aalen cumulative hazard ([[graft.ops.Retention
+    * .nelsonAalen]]) over the same per-user (tenure-days, churned)
+    * rows as q131's KM curve: H(t) = Σ d/n_risk in duration order —
+    * the churn-intensity readout; one groupBy(duration) shuffle,
+    * prefix sums on the bounded grid. */
+  val qNelsonAalen = Q(
+    "q168_nelson_aalen",
+    (s, dir) => {
+      val dayUs = 86400000000L
+      val ev = eventsUs(s, dir)
+        .where(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id").as("u"), col("ts").as("tus"))
+      val per = ev.groupBy("u")
+        .agg(min(col("tus")).as("f"), max(col("tus")).as("l"))
+      val glob = ev.agg(max(col("tus")).as("gm"))
+      val rows = per.crossJoin(glob).select(
+        expr(s"(l - f) div $dayUs").as("dur"),
+        (col("l") < col("gm") - lit(dayUs)).as("obs"))
+      graft.ops.Retention.nelsonAalen(rows, "dur", "obs")
+    },
+    Some("""WITH ev AS (SELECT user_id AS u, epoch_us(ts) AS tus
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      per AS (SELECT u, min(tus) AS f, max(tus) AS l
+              FROM ev GROUP BY u),
+      g AS (SELECT max(tus) AS gm FROM ev),
+      rows_ AS (SELECT (l - f) // 86400000000 AS dur,
+                  l < gm - 86400000000 AS obs FROM per, g),
+      c AS (SELECT dur, count(*) AS cnt,
+              count(CASE WHEN obs THEN 1 END) AS d
+            FROM rows_ GROUP BY dur),
+      tt AS (SELECT sum(cnt) AS total FROM c),
+      r AS (SELECT dur, cnt, d,
+              CAST(total - coalesce(sum(cnt) OVER (ORDER BY dur
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS n_risk
+            FROM c, tt),
+      e AS (SELECT dur, n_risk, CAST(d AS BIGINT) AS d FROM r
+            WHERE d > 0),
+      sv AS (SELECT dur, n_risk, d,
+              sum(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+                OVER (ORDER BY dur
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS cum
+            FROM e)
+      SELECT dur AS t, n_risk, d, round(cum, 6) AS cumhaz
+      FROM sv ORDER BY t"""))
+
+  /** Point-in-time SCD2 lookup ([[graft.ops.Delta.stateAsOf]]): every
+    * user's active event-type run as of 2024-01-16T00:00:00Z —
+    * reconstructing past state from the compacted history rather than
+    * replaying the raw timeline. */
+  val qStateAsOf = Q(
+    "q169_state_asof",
+    (s, dir) => {
+      val at = 1705363200000000L // 2024-01-16T00:00:00Z epoch-us
+      val ev = eventsUs(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts").as("tus"))
+      graft.ops.Delta.stateAsOf(ev, "user_id", "tus", "event_type",
+          tieBreak = Seq("event_id"), at = at)
+        .orderBy("user_id")
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+          event_type FROM events),
+      m AS (SELECT user_id, tus, event_id, event_type,
+          CASE WHEN row_number() OVER w = 1 THEN 1
+               WHEN lag(event_type) OVER w IS NOT DISTINCT FROM event_type
+                 THEN 0
+               ELSE 1 END AS chg
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+      r AS (SELECT user_id, tus, event_type,
+          sum(chg) OVER (PARTITION BY user_id ORDER BY tus, event_id
+            ROWS UNBOUNDED PRECEDING) AS run
+        FROM m),
+      g AS (SELECT user_id, run, event_type AS state,
+          min(tus) AS effective_from, count(*) AS n_events
+        FROM r GROUP BY 1, 2, 3),
+      h AS (SELECT user_id, state, effective_from,
+          lead(effective_from) OVER
+            (PARTITION BY user_id ORDER BY run) AS effective_to,
+          n_events
+        FROM g)
+      SELECT user_id, state, effective_from, n_events
+      FROM h
+      WHERE effective_from <= 1705363200000000
+        AND (effective_to IS NULL OR effective_to > 1705363200000000)
+      ORDER BY user_id"""))
+
   val all: Seq[Q] = Seq(qSessionize, qAsofJoin, qRangeJoin, qFunnel,
     qRolling, qTransitions, qAttribution, qRetention, qCountAcf,
     qKaplanMeier, qXcorr, qTopPaths, qInterarrival, qTwap,
     qLinearAttribution, qChangepoint, qMannKendall, qEwmaChart,
-    qScd2, qSeasonal)
+    qScd2, qSeasonal, qNelsonAalen, qStateAsOf)
 }

@@ -174,6 +174,29 @@ class HypothesisSpec extends SparkSpec {
     assert(r2.isNullAt(2) && r2.isNullAt(3) && r2.isNullAt(4))
   }
 
+  // --------------------------------------------------------- effectSizes
+
+  test("effectSizes: hand-computed Cliff's delta and Cohen's d") {
+    // A = {1, 2}, B = {3, 4}: every A < every B -> delta = -1.
+    // means 1.5 vs 3.5; pooled SS = 0.5 + 0.5, sp = sqrt(1/2)
+    val df = Seq((1.0, true), (2.0, true), (3.0, false), (4.0, false))
+      .toDF("v", "a")
+    val r = Hypothesis.effectSizes(df, "v", col("a")).head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == -1.0)
+    assert(r.getDouble(3) == math.rint(-2.0 / math.sqrt(0.5) * 1e6) / 1e6)
+  }
+
+  test("effectSizes: empty group or zero variance -> nulls") {
+    val oneSided = Seq((1.0, true), (2.0, true)).toDF("v", "a")
+    val r1 = Hypothesis.effectSizes(oneSided, "v", col("a")).head()
+    assert(r1.getLong(1) == 0L && r1.isNullAt(2) && r1.isNullAt(3))
+    val const = Seq((5.0, true), (5.0, false), (5.0, false)).toDF("v", "a")
+    val r2 = Hypothesis.effectSizes(const, "v", col("a")).head()
+    assert(r2.getDouble(2) == 0.0) // full tie: U1 = n1*n2/2 -> delta 0
+    assert(r2.isNullAt(3)) // pooled variance 0
+  }
+
   // ---------------------------------------------------------- olsTrendBy
 
   test("olsTrendBy: exact line per group; constant x group -> nulls") {

@@ -412,6 +412,33 @@ class TemporalSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("nelsonAalen: hand-computed cumulative hazard on the KM fixture") {
+    val rows = Seq((1L, true), (1L, true), (2L, false), (3L, true),
+      (3L, false), (5L, true)).toDF("dur", "obs")
+    val got = graft.ops.Retention.nelsonAalen(rows, "dur", "obs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // H(1) = 2/6, H(3) = 2/6 + 1/3, H(5) = + 1/1 (d = n_risk is fine
+    // here — the hazard has no ln(0) singularity)
+    assert(got.toSeq == Seq((1L, 6L, 2L, 0.333333),
+      (3L, 3L, 1L, 0.666667), (5L, 1L, 1L, 1.666667)))
+  }
+
+  test("stateAsOf: picks each key's active run at T, skips late keys") {
+    val ev = Seq(
+      ("u1", 1L, 1L, "a"), ("u1", 5L, 2L, "b"), ("u1", 9L, 3L, "c"),
+      ("u2", 8L, 4L, "x"), // timeline starts after T = 6
+      ("u3", 2L, 5L, "y")) // open run active at T
+      .toDF("k", "t", "id", "st")
+    val got = graft.ops.Delta.stateAsOf(ev, "k", "t", "st",
+        tieBreak = Seq("id"), at = 6L)
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(got == Map(
+      "u1" -> (("b", 5L, 1L)), // run [5, 9) covers T = 6
+      "u3" -> (("y", 2L, 1L)))) // open run
+  }
+
   test("ewmaChart: hand-computed trailing forecast, gap=0, spike flag") {
     // key "a": 3 events at t=0, none at t=1 (gap), 6 at t=2; period 1
     val df = (Seq.fill(3)(("a", 0L)) ++ Seq.fill(6)(("a", 2L)))
