@@ -497,6 +497,110 @@ object MediaCodec {
     out.array()
   }
 
+  // ----------------------------------------------------------------- mp3
+
+  final case class Mp3Meta(
+      version: String, layer: Int, bitrateKbps: Int, sampleRate: Int,
+      channels: Int, nFrames: Long, truncated: Boolean)
+
+  // Layer III bitrate (kbps) and sample-rate tables, ISO/IEC 11172-3
+  // table B.2 (MPEG1) and ISO/IEC 13818-3 (MPEG2; 2.5 shares its
+  // bitrate rows at half the 2.5 sample rates). Index 0 = "free", 15 =
+  // reserved — both rejected as unparseable.
+  private val Mp3BitrateV1 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112,
+    128, 160, 192, 224, 256, 320, 0)
+  private val Mp3BitrateV2 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64,
+    80, 96, 112, 128, 144, 160, 0)
+  private val Mp3SrV1 = Array(44100, 48000, 32000, 0)
+  private val Mp3SrV2 = Array(22050, 24000, 16000, 0)
+  private val Mp3SrV25 = Array(11025, 12000, 8000, 0)
+
+  /** Magic sniff for MPEG audio: an ID3v2 tag or a raw frame sync in
+    * the first bytes. */
+  def sniffMp3(bytes: Array[Byte]): Boolean =
+    bytes != null && ((bytes.length >= 3 && bytes(0) == 'I' &&
+      bytes(1) == 'D' && bytes(2) == '3') ||
+      (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff &&
+        (bytes(1) & 0xe0) == 0xe0))
+
+  /** Parse the first MPEG-audio (Layer III) frame header: version /
+    * bitrate / sample rate / channel mode, skipping a leading ID3v2
+    * tag (10-byte header + syncsafe 28-bit size). The frame count is
+    * the CBR estimate `(container bytes after the tag) / frame
+    * length` with frame length = 144000·kbps/sr (MPEG1) or
+    * 72000·kbps/sr (MPEG2/2.5) plus padding — the standard
+    * Layer III arithmetic; VBR streams would need a Xing walk, out
+    * of header-only scope. Hostile-bytes-safe: all offsets in Long,
+    * reserved/free table indices and non-Layer-III frames report
+    * truncated instead of guessing. */
+  def parseMp3(bytes: Array[Byte]): Mp3Meta = {
+    val b = if (bytes == null) Array.empty[Byte] else bytes
+    val bad = Mp3Meta("", 0, 0, 0, 0, 0L, truncated = true)
+    var off = 0L
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val size = ((u8(b, 6) & 0x7f) << 21) | ((u8(b, 7) & 0x7f) << 14) |
+        ((u8(b, 8) & 0x7f) << 7) | (u8(b, 9) & 0x7f)
+      off = 10L + size
+    }
+    if (off + 4 > b.length) return bad
+    val h1 = u8(b, off.toInt + 1); val h2 = u8(b, off.toInt + 2)
+    val h3 = u8(b, off.toInt + 3)
+    if (u8(b, off.toInt) != 0xff || (h1 & 0xe0) != 0xe0) return bad
+    val verBits = (h1 >> 3) & 0x3 // 0 = 2.5, 2 = 2, 3 = 1 (1 reserved)
+    val layerBits = (h1 >> 1) & 0x3 // 1 = III
+    if (verBits == 1 || layerBits != 1) return bad
+    val version = verBits match {
+      case 3 => "1"; case 2 => "2"; case _ => "2.5"
+    }
+    val brIdx = (h2 >> 4) & 0xf
+    val srIdx = (h2 >> 2) & 0x3
+    val padding = (h2 >> 1) & 0x1
+    if (brIdx == 0 || brIdx == 15 || srIdx == 3) return bad
+    val kbps =
+      if (verBits == 3) Mp3BitrateV1(brIdx) else Mp3BitrateV2(brIdx)
+    val sr = verBits match {
+      case 3 => Mp3SrV1(srIdx); case 2 => Mp3SrV2(srIdx)
+      case _ => Mp3SrV25(srIdx)
+    }
+    val ch = if (((h3 >> 6) & 0x3) == 3) 1 else 2
+    val frameLen =
+      (if (verBits == 3) 144000L else 72000L) * kbps / sr + padding
+    val nFrames = if (frameLen > 0) (b.length - off) / frameLen else 0L
+    Mp3Meta(version, 3, kbps, sr, ch, nFrames, truncated = false)
+  }
+
+  /** Minimal CBR Layer III stream: optional ID3v2 tag (zero body of
+    * `id3Body` bytes) + `nFrames` full frames (header + zero payload,
+    * no padding, no CRC). `verBits` 3 = MPEG1, 2 = MPEG2, 0 = 2.5. */
+  def encodeMp3(verBits: Int, brIdx: Int, srIdx: Int, mono: Boolean,
+      nFrames: Int, id3Body: Int = -1): Array[Byte] = {
+    val kbps =
+      if (verBits == 3) Mp3BitrateV1(brIdx) else Mp3BitrateV2(brIdx)
+    val sr = verBits match {
+      case 3 => Mp3SrV1(srIdx); case 2 => Mp3SrV2(srIdx)
+      case _ => Mp3SrV25(srIdx)
+    }
+    val frameLen =
+      ((if (verBits == 3) 144000L else 72000L) * kbps / sr).toInt
+    val tagLen = if (id3Body < 0) 0 else 10 + id3Body
+    val out = new Array[Byte](tagLen + nFrames * frameLen)
+    if (id3Body >= 0) {
+      out(0) = 'I'; out(1) = 'D'; out(2) = '3'; out(3) = 4
+      out(6) = ((id3Body >> 21) & 0x7f).toByte
+      out(7) = ((id3Body >> 14) & 0x7f).toByte
+      out(8) = ((id3Body >> 7) & 0x7f).toByte
+      out(9) = (id3Body & 0x7f).toByte
+    }
+    (0 until nFrames).foreach { i =>
+      val o = tagLen + i * frameLen
+      out(o) = 0xff.toByte
+      out(o + 1) = (0xe0 | (verBits << 3) | (1 << 1) | 1).toByte
+      out(o + 2) = ((brIdx << 4) | (srIdx << 2)).toByte
+      out(o + 3) = (if (mono) 0xc0 else 0x00).toByte
+    }
+    out
+  }
+
   // ---------------------------------------------------------------- video
 
   final case class VideoMeta(

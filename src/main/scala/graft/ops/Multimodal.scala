@@ -110,6 +110,31 @@ object Multimodal {
       }
   }
 
+  /** Per-blob MPEG-audio frame header fields ([[decodeMp3]]). */
+  final case class Mp3Row(
+      id: Long, version: String, layer: Int, bitrate_kbps: Int,
+      sample_rate: Int, channels: Int, n_frames: Long, truncated: Boolean)
+
+  /** MPEG-audio (Layer III) header decode over a binary column —
+    * ID3v2 skip + first frame header + CBR frame-count estimate
+    * ([[MediaCodec.parseMp3]]): map-only, per-blob pure byte walk,
+    * hostile-bytes-safe. Duration derives downstream as
+    * n_frames · samples_per_frame / sample_rate. */
+  def decodeMp3(df: DataFrame, idCol: String, binCol: String): Dataset[Mp3Row] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val m = MediaCodec.parseMp3(
+            Option(bytes).getOrElse(Array.empty[Byte]))
+          Mp3Row(id, m.version, m.layer, m.bitrateKbps, m.sampleRate,
+            m.channels, m.nFrames, m.truncated)
+        }
+      }
+  }
+
   /** Per-blob video container fields ([[decodeVideo]]). */
   final case class VideoRow(
       id: Long, format: String, timescale: Int, duration: Long,

@@ -1902,6 +1902,70 @@ object PipelineQueries {
         ORDER BY score DESC, term LIMIT 25"""
     })
 
+  /** MPEG-audio header decode ([[Multimodal.decodeMp3]]): ID3v2 skip +
+    * Layer III frame header + CBR frame count over a planted corpus
+    * spanning all three MPEG versions, both sample-rate rows, mono and
+    * stereo, tagged and bare streams, truncation prefixes — the
+    * closed-form oracle recomputes every field from doc_id (the q146
+    * WAV/FLAC recipe for the lossy-audio leg). */
+  val qMp3Decode = Q(
+    "q170_mp3_decode",
+    (s, dir) => {
+      import s.implicits._
+      val blobs = table(s, dir, "documents").select(col("doc_id"))
+        .as[Long]
+        .map { id =>
+          val verBits = (id % 3) match {
+            case 0 => 3; case 1 => 2; case _ => 0
+          }
+          val full = MediaCodec.encodeMp3(verBits, (id % 4).toInt + 9,
+            (id % 2).toInt, mono = id % 2 == 0,
+            nFrames = (id % 40 + 1).toInt,
+            id3Body = if (id % 5 == 0) (id % 13).toInt else -1)
+          (id, if (id % 11 == 0) full.take(3) else full)
+        }
+        .toDF("doc_id", "blob")
+      Multimodal.decodeMp3(blobs, "doc_id", "blob")
+        .toDF()
+        .withColumn("duration_s",
+          when(col("sample_rate") > 0, round(
+            col("n_frames").cast("double") *
+              when(col("version") === "1", 1152).otherwise(576) /
+              col("sample_rate"), 6)))
+        .orderBy("id")
+    },
+    Some("""WITH p AS (SELECT doc_id AS id,
+          doc_id % 11 = 0 AS tr,
+          CAST(doc_id % 3 AS INT) AS vs,
+          CAST(doc_id % 4 AS INT) + 9 AS bi,
+          CAST(doc_id % 2 AS INT) AS si
+        FROM documents),
+      q AS (SELECT id,
+          CASE WHEN tr THEN '' WHEN vs = 0 THEN '1'
+            WHEN vs = 1 THEN '2' ELSE '2.5' END AS version,
+          CASE WHEN tr THEN 0 ELSE 3 END AS layer,
+          CASE WHEN tr THEN 0
+            WHEN vs = 0 THEN CASE bi WHEN 9 THEN 128 WHEN 10 THEN 160
+              WHEN 11 THEN 192 ELSE 224 END
+            ELSE CASE bi WHEN 9 THEN 80 WHEN 10 THEN 96
+              WHEN 11 THEN 112 ELSE 128 END END AS bitrate_kbps,
+          CASE WHEN tr THEN 0
+            WHEN vs = 0 THEN CASE si WHEN 0 THEN 44100 ELSE 48000 END
+            WHEN vs = 1 THEN CASE si WHEN 0 THEN 22050 ELSE 24000 END
+            ELSE CASE si WHEN 0 THEN 11025 ELSE 12000 END
+            END AS sample_rate,
+          CASE WHEN tr THEN 0 WHEN id % 2 = 0 THEN 1 ELSE 2 END
+            AS channels,
+          CASE WHEN tr THEN 0 ELSE id % 40 + 1 END AS n_frames,
+          tr AS truncated
+        FROM p)
+      SELECT id, version, layer, bitrate_kbps, sample_rate, channels,
+        CAST(n_frames AS BIGINT) AS n_frames, truncated,
+        CASE WHEN sample_rate > 0 THEN round(CAST(n_frames AS DOUBLE)
+          * (CASE WHEN version = '1' THEN 1152 ELSE 576 END)
+          / sample_rate, 6) END AS duration_s
+      FROM q ORDER BY id"""))
+
   /** Video container decode ([[Multimodal.decodeVideo]]): ISO BMFF box
     * walk over a planted MP4 corpus — mvhd version 0 AND 1 layouts,
     * multi-trak tkhd dimensions, truncation prefixes — with the
@@ -2081,7 +2145,7 @@ object PipelineQueries {
       ORDER BY i, j"""))
 
   val all: Seq[Q] = Seq(
-    qKmeans, qMutualKnn,
+    qKmeans, qMutualKnn, qMp3Decode,
     qHybridRrf, qClassBalance, qTextRank, qVideoDecode, qTriangles,
     qVocabulary, qVocabEncode, qBigramPmi,
     qSourceOverlap, qSourceMix, qContamination, qTopNgrams,

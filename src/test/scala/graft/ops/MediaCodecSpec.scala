@@ -237,4 +237,39 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MediaCodec.parseVideoMeta("1234ftyp".getBytes ++
       Array[Byte](0, 0, 0, 1)).format == "mp4") // largesize cut, no throw
   }
+
+  test("mp3 round-trip: all versions, tag skip, CBR frame count") {
+    // MPEG1 stereo, no tag: 128 kbps @ 44100, 7 frames
+    val v1 = MediaCodec.encodeMp3(3, 9, 0, mono = false, 7)
+    assert(MediaCodec.parseMp3(v1) ==
+      MediaCodec.Mp3Meta("1", 3, 128, 44100, 2, 7L, truncated = false))
+    // MPEG2 mono behind an ID3v2 tag with a 100-byte body
+    val v2 = MediaCodec.encodeMp3(2, 10, 1, mono = true, 3, id3Body = 100)
+    assert(MediaCodec.parseMp3(v2) ==
+      MediaCodec.Mp3Meta("2", 3, 96, 24000, 1, 3L, truncated = false))
+    // MPEG2.5 low-rate row
+    val v25 = MediaCodec.encodeMp3(0, 12, 0, mono = false, 1)
+    assert(MediaCodec.parseMp3(v25) ==
+      MediaCodec.Mp3Meta("2.5", 3, 128, 11025, 2, 1L, truncated = false))
+  }
+
+  test("mp3 truncation and hostility: short cuts and junk never throw") {
+    val full = MediaCodec.encodeMp3(3, 9, 0, mono = false, 2, id3Body = 4)
+    assert(MediaCodec.parseMp3(full.take(3)).truncated) // "ID3" only
+    assert(MediaCodec.parseMp3(full.take(12)).truncated) // cut inside tag
+    assert(MediaCodec.parseMp3(Array[Byte](0xff.toByte, 0xfb.toByte))
+      .truncated) // sync but no full header
+    // reserved version bits / free bitrate / reserved sample rate
+    assert(MediaCodec.parseMp3(
+      Array(0xff, 0xeb, 0x92, 0x00).map(_.toByte)).truncated) // ver=01
+    assert(MediaCodec.parseMp3(
+      Array(0xff, 0xfb, 0x02, 0x00).map(_.toByte)).truncated) // br free
+    assert(MediaCodec.parseMp3(
+      Array(0xff, 0xfb, 0x9e, 0x00).map(_.toByte)).truncated) // sr=3
+    val rnd = new scala.util.Random(29)
+    (0 until 300).foreach { _ =>
+      val junk = Array.fill(2 + rnd.nextInt(40))(rnd.nextInt(256).toByte)
+      MediaCodec.parseMp3(junk) // no exception = pass
+    }
+  }
 }

@@ -419,6 +419,19 @@ class OpsSpec extends SparkSpec {
     assert(g.size == 12) // 4 nodes x k=3, no self edges
   }
 
+  test("knnGraph plan: scoring side spread wide, candidates broadcast") {
+    // the n²·d scoring loop's parallelism = left-side partitions; a
+    // one-split parquet corpus must NOT run it in a single task
+    val pts = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding").coalesce(1)
+    val g = Similarity.knnGraph(pts, "vec_id", "embedding", k = 1)
+    val plan = g.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"candidates not broadcast:\n$plan")
+    assert(plan.contains("RoundRobinPartitioning"),
+      s"scoring side not repartitioned:\n$plan")
+  }
+
   test("mutualKnnPairs: only reciprocal edges survive, i < j once") {
     val pts = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
