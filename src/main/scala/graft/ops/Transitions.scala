@@ -42,4 +42,35 @@ object Transitions {
       col("from_state"), col("to_state"), col("cnt"),
       round(col("cnt") / sum(col("cnt")).over(rowTotal), 8).as("p"))
   }
+
+  /** Skip-gram transition counts: (from, to) pairs at every gap
+    * 1..maxGap down each key's ordered timeline — the loosened
+    * first-order matrix ("what happens within the next g events, and
+    * how far ahead"), the substrate of co-occurrence statistics and
+    * funnel-leak analysis where immediate-next is too strict.
+    *
+    * ONE window pass emits all maxGap leads per row (same per-key
+    * sort reused for every gap — not maxGap passes), then one
+    * groupBy over (from, to, gap). Null states are levels via the
+    * struct-lead trick; rows past the end of a timeline emit nothing.
+    * Output is bounded by states² · maxGap. Returns (from_state,
+    * to_state, gap, cnt), exact integers. */
+  def skipGram(
+      df: DataFrame, keyCol: String, tsCol: String, stateCol: String,
+      maxGap: Int, tieBreak: Seq[String] = Nil): DataFrame = {
+    require(maxGap >= 1, "maxGap must be >= 1")
+    val w = Window.partitionBy(keyCol)
+      .orderBy((col(tsCol) +: tieBreak.map(col)): _*)
+    val leads = (1 to maxGap).map { g =>
+      lead(struct(col(stateCol).as("st")), g).over(w).as(s"__n$g") }
+    val pairs = df
+      .select(col(stateCol).as("from_state") +: leads: _*)
+      .select(col("from_state"), explode(array((1 to maxGap).map { g =>
+        struct(lit(g).as("gap"), col(s"__n$g").as("nxt")) }: _*)).as("e"))
+      .where(col("e.nxt").isNotNull)
+      .select(col("from_state"), col("e.nxt.st").as("to_state"),
+        col("e.gap").as("gap"))
+    pairs.groupBy("from_state", "to_state", "gap")
+      .agg(count(lit(1)).as("cnt"))
+  }
 }

@@ -795,9 +795,68 @@ object TemporalQueries {
         AND (effective_to IS NULL OR effective_to > 1705363200000000)
       ORDER BY user_id"""))
 
+  /** Behavioral-diversity histogram ([[graft.ops.Diversity
+    * .keyEntropyHistogram]]): per-user Shannon entropy of the
+    * event-type mix, bucketed into 0.25-nat bins — "how many users do
+    * one thing vs sample everything". Exact integer bucket counts;
+    * the entropy expression is IEEE-identical on both engines. */
+  val qUserEntropy = Q(
+    "q171_user_entropy",
+    (s, dir) => graft.ops.Diversity.keyEntropyHistogram(
+      QueryCatalog.table(s, dir, "events"), "user_id", "event_type"),
+    Some("""WITH e AS (SELECT user_id, event_type FROM events
+          WHERE user_id IS NOT NULL),
+      c AS (SELECT user_id, event_type, count(*) AS c
+            FROM e GROUP BY 1, 2),
+      p AS (SELECT user_id, sum(c) AS n,
+          sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clnc
+        FROM c GROUP BY user_id),
+      h AS (SELECT CAST(least(greatest(floor((ln(CAST(n AS DOUBLE))
+          - clnc / CAST(n AS DOUBLE)) / (0.25)::DOUBLE),
+          (0)::DOUBLE), (11)::DOUBLE) AS INT) AS bin
+        FROM p)
+      SELECT bin, bin * (0.25)::DOUBLE AS lo,
+        (bin + 1) * (0.25)::DOUBLE AS hi, count(*) AS n_keys
+      FROM h GROUP BY bin ORDER BY bin"""))
+
+  /** Skip-gram transitions ([[graft.ops.Transitions.skipGram]]):
+    * (from, to) event-type pairs at gaps 1-3 down each user's
+    * timeline — one window pass emits all three leads, counts exact. */
+  val qSkipGram = Q(
+    "q172_skipgram",
+    (s, dir) => {
+      val ev = eventsUs(s, dir)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("ts").as("tus"))
+      graft.ops.Transitions
+        .skipGram(ev, "user_id", "tus", "event_type", maxGap = 3,
+          tieBreak = Seq("event_id"))
+        .orderBy("from_state", "to_state", "gap")
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus,
+          event_id FROM events),
+      p AS (
+        SELECT event_type AS from_state,
+          lead(event_type, 1) OVER w1 AS to_state, 1 AS gap,
+          lead(1, 1) OVER w1 AS hn
+        FROM e WINDOW w1 AS (PARTITION BY user_id ORDER BY tus, event_id)
+        UNION ALL
+        SELECT event_type, lead(event_type, 2) OVER w2, 2,
+          lead(1, 2) OVER w2
+        FROM e WINDOW w2 AS (PARTITION BY user_id ORDER BY tus, event_id)
+        UNION ALL
+        SELECT event_type, lead(event_type, 3) OVER w3, 3,
+          lead(1, 3) OVER w3
+        FROM e WINDOW w3 AS (PARTITION BY user_id ORDER BY tus, event_id)),
+      c AS (SELECT from_state, to_state, gap, count(*) AS cnt FROM p
+        WHERE hn IS NOT NULL GROUP BY 1, 2, 3)
+      SELECT from_state, to_state, CAST(gap AS INT) AS gap, cnt
+      FROM c ORDER BY from_state, to_state, gap"""))
+
   val all: Seq[Q] = Seq(qSessionize, qAsofJoin, qRangeJoin, qFunnel,
     qRolling, qTransitions, qAttribution, qRetention, qCountAcf,
     qKaplanMeier, qXcorr, qTopPaths, qInterarrival, qTwap,
     qLinearAttribution, qChangepoint, qMannKendall, qEwmaChart,
-    qScd2, qSeasonal, qNelsonAalen, qStateAsOf)
+    qScd2, qSeasonal, qNelsonAalen, qStateAsOf, qUserEntropy,
+    qSkipGram)
 }

@@ -55,4 +55,29 @@ class TransitionsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("SinglePartition"), plan)
   }
+
+  test("skipGram: all gaps from one pass, ends emit nothing") {
+    // u1: a b c d -> gap1: ab bc cd; gap2: ac bd; gap3: ad
+    val df = Seq(("u1", 1L, "a"), ("u1", 2L, "b"), ("u1", 3L, "c"),
+      ("u1", 4L, "d")).toDF("k", "ts", "st")
+    val got = Transitions.skipGram(df, "k", "ts", "st", maxGap = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)) ->
+        r.getLong(3)).toMap
+    assert(got == Map(
+      ("a", "b", 1) -> 1L, ("b", "c", 1) -> 1L, ("c", "d", 1) -> 1L,
+      ("a", "c", 2) -> 1L, ("b", "d", 2) -> 1L, ("a", "d", 3) -> 1L))
+  }
+
+  test("skipGram: null state is a level, not an end marker") {
+    val df = Seq(("u", 1L, Option("a")), ("u", 2L, None: Option[String]),
+      ("u", 3L, Option("b"))).toDF("k", "ts", "st")
+    val got = Transitions.skipGram(df, "k", "ts", "st", maxGap = 2)
+      .collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getInt(2)) -> r.getLong(3)).toMap
+    assert(got == Map(
+      (Some("a"), None, 1) -> 1L, (None, Some("b"), 1) -> 1L,
+      (Some("a"), Some("b"), 2) -> 1L))
+  }
 }
