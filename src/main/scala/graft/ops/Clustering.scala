@@ -99,4 +99,41 @@ object Clustering {
       }
     }.toDF("cid", "n", "pos", "val").orderBy("cid", "pos")
   }
+
+  /** Nearest-class-mean classifier evaluation: class centroids from
+    * the labeled vectors (same exact floor-quantized means as the
+    * Lloyd update), every vector assigned to its max-cosine centroid,
+    * confusion counts out — the fastest "are these embeddings
+    * linearly class-separable, and which classes bleed into which"
+    * readout a labeling pipeline runs before training anything.
+    *
+    * Two corpus scans: one bounded (labels·d) centroid aggregate
+    * collected to the driver, one [[assign]] projection pass; counts
+    * are exact integers. Returns (label, pred, cnt) ordered. */
+  def nearestCentroidEval(corpus: DataFrame, idCol: String,
+      vecCol: String, labelCol: String): DataFrame = {
+    val clean = corpus
+      .where(col(vecCol).isNotNull && col(labelCol).isNotNull)
+    val xd = col(vecCol).cast("array<double>")
+    val cent = clean
+      .select(col(labelCol).cast("int").as("lab"),
+        posexplode(xd).as(Seq("pos", "xv")))
+      .groupBy("lab", "pos")
+      .agg(round(
+        sum(floor(col("xv") * lit(1e6) + lit(0.5)).cast("long"))
+          .cast("double") / lit(1e6) / count(lit(1)), 9).as("val"))
+      .collect() // bounded: labels * d rows
+    val centroids = cent.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (lab, rs) =>
+        val d = rs.map(_.getInt(1)).max + 1
+        val c = new Array[Double](d)
+        rs.foreach(r => c(r.getInt(1)) = r.getDouble(2))
+        lab -> c
+      }
+    assign(clean, vecCol, centroids)
+      .groupBy(col(labelCol).cast("int").as("label"),
+        col("cid").as("pred"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("label", "pred")
+  }
 }

@@ -173,6 +173,34 @@ object Similarity {
     * directed ranks. One self-equi-join of the bounded kNN edge table
     * (n*k rows) on the reversed pair — hash join, no new scan of the
     * vectors. */
+  /** 1-NN label-agreement screen: for every labeled vector, does its
+    * nearest neighbor (cosine, self excluded) carry the same label?
+    * Per-label agreement rates are the standard cheap label-noise /
+    * class-overlap detector a curation pipeline runs over annotated
+    * embeddings — a label whose vectors' neighbors mostly disagree is
+    * either noisy or not separable. Exact counts from [[knnGraph]]'s
+    * k = 1 edges; one hash join against the label table; rate is one
+    * rounded double division. Returns (label, n, n_agree,
+    * agree_rate 6dp) ordered by label. */
+  def oneNnLabelAgreement(corpus: DataFrame, idCol: String,
+      vecCol: String, labelCol: String): DataFrame = {
+    val labeled = corpus
+      .where(col(vecCol).isNotNull && col(labelCol).isNotNull)
+    val knn = knnGraph(labeled, idCol, vecCol, k = 1)
+    val lab = labeled.select(col(idCol).as("query_id"),
+      col(labelCol).cast("int").as("label"))
+    val nlab = labeled.select(col(idCol).as("neighbor_id"),
+      col(labelCol).cast("int").as("n_label"))
+    knn.join(lab, "query_id").join(nlab, "neighbor_id")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        count(when(col("label") === col("n_label"), 1)).as("n_agree"))
+      .select(col("label"), col("n"), col("n_agree"),
+        round(col("n_agree").cast("double") / col("n"), 6)
+          .as("agree_rate"))
+      .orderBy("label")
+  }
+
   def mutualKnnPairs(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
     val knn = knnGraph(corpus, idCol, vecCol, k)

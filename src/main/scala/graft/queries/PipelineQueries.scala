@@ -1902,6 +1902,70 @@ object PipelineQueries {
         ORDER BY score DESC, term LIMIT 25"""
     })
 
+  /** Nearest-class-mean classifier eval ([[graft.ops.Clustering
+    * .nearestCentroidEval]]): confusion counts of max-cosine
+    * class-centroid assignment over the labeled embeddings — "are the
+    * classes separable, which bleed into which". Exact quantized
+    * centroid means + 6-dp assignment, the q161 recipe with labels as
+    * the cluster ids. */
+  val qCentroidEval = Q(
+    "q173_centroid_eval",
+    (s, dir) => graft.ops.Clustering.nearestCentroidEval(
+      table(s, dir, "embeddings"), "vec_id", "embedding", "label"),
+    Some("""WITH e AS (SELECT vec_id, label, embedding FROM embeddings
+          WHERE embedding IS NOT NULL AND label IS NOT NULL),
+      c AS (SELECT label AS lab, u['pos'] AS pos,
+          round(CAST(sum(CAST(floor(u['val'] * 1000000.0 + 0.5)
+            AS BIGINT)) AS DOUBLE) / 1000000.0 / count(*), 9) AS val
+        FROM (SELECT label, unnest([{'pos': i - 1,
+               'val': embedding[i]::DOUBLE}
+             for i in range(1, len(embedding) + 1)]) AS u FROM e)
+        GROUP BY 1, 2),
+      cl AS (SELECT lab, list(val ORDER BY pos) AS cv FROM c
+             GROUP BY lab),
+      a AS (SELECT label, lab AS pred FROM (
+          SELECT e.label, c.lab,
+            row_number() OVER (PARTITION BY e.vec_id ORDER BY
+              round(list_dot_product(e.embedding::DOUBLE[], c.cv) /
+                (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                       e.embedding::DOUBLE[])) *
+                 sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+              c.lab) AS rn
+          FROM e CROSS JOIN cl c) WHERE rn = 1)
+      SELECT CAST(label AS INT) AS label, CAST(pred AS INT) AS pred,
+        count(*) AS cnt
+      FROM a GROUP BY 1, 2 ORDER BY label, pred"""))
+
+  /** 1-NN label-agreement screen ([[Similarity.oneNnLabelAgreement]]):
+    * per-label rate of nearest-neighbor label agreement over the
+    * embedding corpus — the cheap label-noise / class-overlap
+    * detector. Exact counts off the k = 1 kNN edges. */
+  val qLabelAgreement = Q(
+    "q174_label_agreement",
+    (s, dir) => Similarity.oneNnLabelAgreement(
+      table(s, dir, "embeddings"), "vec_id", "embedding", "label"),
+    Some("""WITH e AS (SELECT vec_id, label, embedding FROM embeddings
+          WHERE embedding IS NOT NULL AND label IS NOT NULL),
+      s AS (SELECT a.vec_id AS query_id, a.label AS label,
+          b.label AS n_label,
+          round(list_dot_product(a.embedding::DOUBLE[],
+                                 b.embedding::DOUBLE[]) /
+            (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                   a.embedding::DOUBLE[])) *
+             sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]))), 6) AS cos,
+          b.vec_id AS neighbor_id
+        FROM e a CROSS JOIN e b WHERE a.vec_id != b.vec_id),
+      k AS (SELECT label, n_label FROM (SELECT *, row_number() OVER
+            (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+            AS rn FROM s)
+        WHERE rn = 1)
+      SELECT CAST(label AS INT) AS label, count(*) AS n,
+        count(CASE WHEN label = n_label THEN 1 END) AS n_agree,
+        round(CAST(count(CASE WHEN label = n_label THEN 1 END)
+          AS DOUBLE) / count(*), 6) AS agree_rate
+      FROM k GROUP BY 1 ORDER BY label"""))
+
   /** MPEG-audio header decode ([[Multimodal.decodeMp3]]): ID3v2 skip +
     * Layer III frame header + CBR frame count over a planted corpus
     * spanning all three MPEG versions, both sample-rate rows, mono and
@@ -2145,7 +2209,7 @@ object PipelineQueries {
       ORDER BY i, j"""))
 
   val all: Seq[Q] = Seq(
-    qKmeans, qMutualKnn, qMp3Decode,
+    qKmeans, qMutualKnn, qMp3Decode, qCentroidEval, qLabelAgreement,
     qHybridRrf, qClassBalance, qTextRank, qVideoDecode, qTriangles,
     qVocabulary, qVocabEncode, qBigramPmi,
     qSourceOverlap, qSourceMix, qContamination, qTopNgrams,

@@ -36,6 +36,21 @@ class ClusteringSpec extends SparkSpec {
     assert(out((1, 1)) == (0L, 0.0))
   }
 
+  test("nearestCentroidEval: separable classes give a diagonal matrix") {
+    val pts = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(0.0f, 1.0f), 1), (4L, Array(0.1f, 0.9f), 1),
+      (5L, Array(0.95f, 0.05f), 1)) // mislabeled point -> off-diagonal
+      .toDF("vec_id", "embedding", "label")
+    val got = Clustering.nearestCentroidEval(
+        pts, "vec_id", "embedding", "label")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // centroid 1 is dragged toward x by the bad point, but stays
+    // y-dominant; the bad point itself lands in class 0's cell
+    assert(got((0, 0)) == 2L && got((1, 1)) == 2L && got((1, 0)) == 1L)
+    assert(got.values.sum == 5L)
+  }
+
   test("kmeansCentroids: rejects non-positive k or rounds") {
     val pts = Seq((1L, Array(1.0f))).toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {

@@ -443,6 +443,23 @@ class OpsSpec extends SparkSpec {
     assert(pairs.sorted == Seq((1L, 2L), (3L, 4L)))
   }
 
+  test("oneNnLabelAgreement: noisy label shows as disagreement") {
+    val pts = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(0.0f, 1.0f), 1), (4L, Array(0.1f, 0.9f), 1),
+      (5L, Array(0.95f, 0.05f), 1)) // sits inside class 0's cluster
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.oneNnLabelAgreement(
+        pts, "vec_id", "embedding", "label")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // label 0's two vectors both have 1-NN = the planted noisy point
+    // (label 1) -> 0 agreement; label 1: v3<->v4 agree, v5's NN is
+    // class 0 -> 2/3
+    assert(got(0) == ((2L, 0L, 0.0)))
+    assert(got(1) == ((3L, 2L, 0.666667)))
+  }
+
   test("text analysis: langId picks stopword language, counts deterministic") {
     val df = Seq(
       (0L, "the cat and the dog in the house"),
