@@ -136,4 +136,56 @@ object Clustering {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("label", "pred")
   }
+
+  /** Exact per-label mean silhouette over cosine distance — "how
+    * cleanly does this labeling partition the embedding space": for
+    * each point, a = mean distance to its own label (self excluded),
+    * b = min over other labels of the mean distance, s = (b−a)/max.
+    * O(n²) pairwise like [[Similarity.knnGraph]] — the small/medium
+    * corpus diagnostic and the oracle for sampled variants at scale.
+    *
+    * Exactness discipline: per-pair distance quantizes to 10⁻⁶ units
+    * (round((1−cos)·10⁶) as long) so every mean is an exact-integer
+    * sum divided once; per-point silhouettes re-quantize the same way
+    * before the per-label mean — no order-dependent double summation
+    * anywhere. Singleton labels take s = 0 by convention. Returns
+    * (label, n, mean_sil 6dp) ordered by label. */
+  def silhouetteByLabel(corpus: DataFrame, idCol: String,
+      vecCol: String, labelCol: String): DataFrame = {
+    import graft.functions.StatFunctions.{dotProduct, l2Norm}
+    val labeled = corpus
+      .where(col(vecCol).isNotNull && col(labelCol).isNotNull)
+    val a = labeled.select(col(idCol).as("i"),
+        col(labelCol).cast("int").as("li"), col(vecCol).as("qv"),
+        l2Norm(col(vecCol)).as("qn"))
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    val b = broadcast(labeled.select(col(idCol).as("j"),
+      col(labelCol).cast("int").as("lj"), col(vecCol).as("cv"),
+      l2Norm(col(vecCol)).as("cn")))
+    val byLab = a.crossJoin(b).where(col("i") =!= col("j"))
+      .select(col("i"), col("li"), col("lj"),
+        round((lit(1.0) - dotProduct(col("qv"), col("cv")) /
+          (col("qn") * col("cn"))) * 1e6, 0).cast("long").as("du"))
+      .groupBy("i", "li", "lj")
+      .agg(sum(col("du")).as("su"), count(lit(1)).as("c"))
+    val mean = col("su").cast("double") / col("c") / 1e6
+    val per = byLab
+      .groupBy("i", "li")
+      .agg(
+        max(when(col("li") === col("lj"), mean)).as("aa"),
+        min(when(col("li") =!= col("lj"), mean)).as("bb"))
+    // degenerate max(a,b) = 0 (all-identical points) takes s = 0 too —
+    // 0/0 would be NaN and engines disagree on NaN propagation
+    val s = when(col("aa").isNull || col("bb").isNull ||
+        greatest(col("aa"), col("bb")) === 0.0, lit(0.0))
+      .otherwise((col("bb") - col("aa")) /
+        greatest(col("aa"), col("bb")))
+    per.select(col("li").as("label"),
+        round(s * 1e6, 0).cast("long").as("sq"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("sq")).cast("double") / count(lit(1)) / 1e6, 6)
+          .as("mean_sil"))
+      .orderBy("label")
+  }
 }

@@ -1966,6 +1966,43 @@ object PipelineQueries {
           AS DOUBLE) / count(*), 6) AS agree_rate
       FROM k GROUP BY 1 ORDER BY label"""))
 
+  /** Per-label mean silhouette ([[graft.ops.Clustering
+    * .silhouetteByLabel]]): cosine-distance silhouette of the label
+    * partition over the embeddings — integer-quantized distance sums
+    * make every mean exact, so the per-label score hashes across
+    * engines. */
+  val qSilhouette = Q(
+    "q175_silhouette",
+    (s, dir) => graft.ops.Clustering.silhouetteByLabel(
+      table(s, dir, "embeddings"), "vec_id", "embedding", "label"),
+    Some("""WITH e AS (SELECT vec_id, label, embedding FROM embeddings
+          WHERE embedding IS NOT NULL AND label IS NOT NULL),
+      d AS (SELECT a.vec_id AS i, a.label AS li, b.label AS lj,
+          CAST(round((1.0 - list_dot_product(a.embedding::DOUBLE[],
+                                             b.embedding::DOUBLE[]) /
+            (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                   a.embedding::DOUBLE[])) *
+             sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]))))
+            * 1000000.0) AS BIGINT) AS du
+        FROM e a CROSS JOIN e b WHERE a.vec_id != b.vec_id),
+      g AS (SELECT i, li, lj, CAST(sum(du) AS DOUBLE) / count(*)
+              / 1000000.0 AS m
+            FROM d GROUP BY 1, 2, 3),
+      p AS (SELECT i, li,
+          max(CASE WHEN li = lj THEN m END) AS aa,
+          min(CASE WHEN li != lj THEN m END) AS bb
+        FROM g GROUP BY 1, 2),
+      sv AS (SELECT li, CASE WHEN aa IS NULL OR bb IS NULL
+            OR greatest(aa, bb) = 0.0 THEN CAST(0 AS BIGINT)
+          ELSE CAST(round((bb - aa) / greatest(aa, bb) * 1000000.0)
+            AS BIGINT) END AS sq
+        FROM p)
+      SELECT CAST(li AS INT) AS label, count(*) AS n,
+        round(CAST(sum(sq) AS DOUBLE) / count(*) / 1000000.0, 6)
+          AS mean_sil
+      FROM sv GROUP BY 1 ORDER BY label"""))
+
   /** MPEG-audio header decode ([[Multimodal.decodeMp3]]): ID3v2 skip +
     * Layer III frame header + CBR frame count over a planted corpus
     * spanning all three MPEG versions, both sample-rate rows, mono and
@@ -2210,6 +2247,7 @@ object PipelineQueries {
 
   val all: Seq[Q] = Seq(
     qKmeans, qMutualKnn, qMp3Decode, qCentroidEval, qLabelAgreement,
+    qSilhouette,
     qHybridRrf, qClassBalance, qTextRank, qVideoDecode, qTriangles,
     qVocabulary, qVocabEncode, qBigramPmi,
     qSourceOverlap, qSourceMix, qContamination, qTopNgrams,

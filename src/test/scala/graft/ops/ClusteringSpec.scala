@@ -51,6 +51,30 @@ class ClusteringSpec extends SparkSpec {
     assert(got.values.sum == 5L)
   }
 
+  test("silhouetteByLabel: tight separated clusters near 1, singleton 0") {
+    val pts = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f), 1), (4L, Array(0.0f, 1.0f), 1),
+      (5L, Array(0.7f, 0.7f), 2)) // singleton label
+      .toDF("vec_id", "embedding", "label")
+    val got = Clustering.silhouetteByLabel(
+        pts, "vec_id", "embedding", "label")
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // labels 0/1: a = 0 (identical twins), b = min mean dist > 0 -> s = 1
+    assert(got(0) == ((2L, 1.0)) && got(1) == ((2L, 1.0)))
+    assert(got(2) == ((1L, 0.0))) // singleton: s = 0 by convention
+  }
+
+  test("silhouetteByLabel: all-identical corpus degenerates to 0, not NaN") {
+    val pts = Seq((1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),
+      (3L, Array(1.0f, 0.0f), 1)).toDF("vec_id", "embedding", "label")
+    val got = Clustering.silhouetteByLabel(
+        pts, "vec_id", "embedding", "label")
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(got == Map(0 -> 0.0, 1 -> 0.0))
+  }
+
   test("kmeansCentroids: rejects non-positive k or rounds") {
     val pts = Seq((1L, Array(1.0f))).toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {
