@@ -370,6 +370,51 @@ object Dedup {
       .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Directed containment join over any (id, g) shingle table:
+    * pairs (i, j) with C(i→j) = |Sᵢ∩Sⱼ|/|Sᵢ| ≥ t — the asymmetric
+    * near-dup relation Jaccard misses: a paragraph quoted inside a
+    * larger document, boilerplate wrapped around copied content,
+    * subset/extension pairs. The partial-copy detector a curation
+    * pipeline runs NEXT TO q22's symmetric join.
+    *
+    * Prefix filter, containment form: if |Sᵢ∩Sⱼ| ≥ t|Sᵢ|, then Sᵢ's
+    * first ⌊(1−t)|Sᵢ|⌋+1 shingles under any global order must hit Sⱼ
+    * (missing all of them leaves < t|Sᵢ| shared) — so candidates come
+    * from joining the PROBE side's rarest-first prefix against the
+    * candidate side's FULL table; no length-ratio filter applies (j
+    * may be arbitrarily larger). Exact verification on candidates
+    * only, with the threshold compared in division form — the same
+    * IEEE expression the oracle uses, so the boundary decision
+    * (inter/szi vs t) is bit-identical across engines. Returns
+    * directed (i, j, containment 6dp). */
+  def containmentPairs(shRaw: DataFrame, threshold: Double): DataFrame = {
+    val sh = ensureCheckpointed(shRaw)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val docFreq = sh.groupBy("g").agg(count(lit(1)).as("df"))
+    val prefix = sh.join(docFreq, "g")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("df"), col("g"))))
+      .join(sizes, "id")
+      .where(col("rn") <=
+        floor((lit(1.0) - threshold) * col("sz")).cast("int") + 1)
+      .select(col("id").as("i"), col("g"))
+    val candidates = prefix
+      .join(sh.select(col("id").as("j"), col("g")), "g")
+      .where(col("i") =!= col("j"))
+      .select("i", "j").distinct()
+    val shi = sh.select(col("id").as("i"), col("g"))
+    val shj = sh.select(col("id").as("j"), col("g"))
+    val common = candidates.join(shi, "i").join(shj, Seq("j", "g"))
+      .groupBy("i", "j").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("id").as("i"), col("sz").as("szi")), "i")
+      .withColumn("containment",
+        col("common").cast("double") / col("szi"))
+      .where(col("containment") >= threshold)
+      .select(col("i"), col("j"),
+        round(col("containment"), 6).as("containment"))
+  }
+
   /** SimHash (Charikar) over the distinct-word set with 60-bit word
     * hashes folded to `bits` sign-sums. Near-dups then reduce to Hamming
     * distance on the signature — O(n) bucketing instead of O(n^2). */

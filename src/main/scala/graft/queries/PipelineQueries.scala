@@ -1966,6 +1966,32 @@ object PipelineQueries {
           AS DOUBLE) / count(*), 6) AS agree_rate
       FROM k GROUP BY 1 ORDER BY label"""))
 
+  /** Directed containment near-dup join ([[Dedup.containmentPairs]]):
+    * pairs where ≥ 80% of doc i's 5-gram shingles appear in doc j —
+    * the partial-copy / subset relation the symmetric q22 Jaccard
+    * join misses. Shares q22's cached shingle table; oracle is the
+    * brute-force directional count with the identical division-form
+    * threshold compare. */
+  val qContainment = Q(
+    "q176_containment_pairs",
+    (s, dir) =>
+      Dedup.containmentPairs(
+          Dedup.wordShingleTableCached(table(s, dir, "documents"),
+            "doc_id", "text", 5), 0.8)
+        .orderBy("i", "j"),
+    Some(s"""WITH w AS (SELECT doc_id AS id, $dkWords AS ws FROM documents),
+      sh AS (SELECT id, unnest(list_distinct(
+               [array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws) - 3)])) AS g
+             FROM w WHERE len(ws) >= 5),
+      sz AS (SELECT id, count(*) sz FROM sh GROUP BY id),
+      cm AS (SELECT a.id i, b.id j, count(*) common
+             FROM sh a JOIN sh b ON a.g = b.g AND a.id != b.id
+             GROUP BY 1, 2)
+      SELECT i, j, round(CAST(common AS DOUBLE) / sa.sz, 6) AS containment
+      FROM cm JOIN sz sa ON sa.id = i
+      WHERE CAST(common AS DOUBLE) / sa.sz >= 0.8
+      ORDER BY i, j"""))
+
   /** Per-label mean silhouette ([[graft.ops.Clustering
     * .silhouetteByLabel]]): cosine-distance silhouette of the label
     * partition over the embeddings — integer-quantized distance sums
@@ -2247,7 +2273,7 @@ object PipelineQueries {
 
   val all: Seq[Q] = Seq(
     qKmeans, qMutualKnn, qMp3Decode, qCentroidEval, qLabelAgreement,
-    qSilhouette,
+    qSilhouette, qContainment,
     qHybridRrf, qClassBalance, qTextRank, qVideoDecode, qTriangles,
     qVocabulary, qVocabEncode, qBigramPmi,
     qSourceOverlap, qSourceMix, qContamination, qTopNgrams,

@@ -516,6 +516,24 @@ class OpsSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 3L)))
   }
 
+  test("containmentPairs: subset detected one-way, Jaccard would miss it") {
+    // doc 0's shingles all appear inside doc 1; doc 1 is much larger,
+    // so J(0,1) is small but C(0->1) = 1
+    val d = Seq(
+      (0L, "a b c d e"), // 5-word doc: three 3-gram shingles
+      (1L, "a b c d e f g h i j k l m n o p"),
+      (2L, "z y x w v u t")) // unrelated
+      .toDF("doc_id", "text")
+    val sh = Dedup.wordShingleTable(d, "doc_id", "text", 3)
+    val got = Dedup.containmentPairs(sh, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(got.keySet == Set((0L, 1L))) // directed: only 0 into 1
+    assert(got((0L, 1L)) == 1.0)
+    // the symmetric Jaccard join at the same threshold finds nothing
+    assert(Dedup.jaccardPairs(sh, 0.8).count() == 0)
+  }
+
   test("repetition signals: duplicate-bigram fraction and gopher filter") {
     val df = Seq(
       (0L, "spam spam spam spam spam"),          // all bigrams identical
