@@ -264,4 +264,50 @@ object Sampling {
         round(col("__w") / col("__tw"), 6).as("weight"))
       .orderBy(groupCol)
   }
+
+  /** Water-filling token-budget allocation across groups: given
+    * per-row token counts and a global budget B = ⌊budgetFrac · Σt⌋,
+    * find the unique cap c with Σ min(t_g, c) = B and report each
+    * group's allocation — the planning step behind corpus mixing when
+    * a head-heavy source distribution must shrink to a budget without
+    * starving the tail (small sources keep everything, the cap bites
+    * only the giants).
+    *
+    * The capped set is a suffix of the tokens-ascending order, so one
+    * bounded-table window pass decides it with EXACT integer
+    * arithmetic: group g (rank rn, prefix-below pb) is capped iff
+    * t_g·(S−rn+1) > B−pb — no float in the decision; only the final
+    * cap value is one double division. Per-group totals are one
+    * shuffle; everything after runs on the one-row-per-group table
+    * (the bounded-window contract). Returns (group, n_tokens, capped,
+    * alloc 6dp) ordered by group. */
+  def waterfillAllocation(df: DataFrame, groupCol: String,
+      tokens: org.apache.spark.sql.Column,
+      budgetFrac: Double): DataFrame = {
+    require(budgetFrac > 0.0 && budgetFrac <= 1.0,
+      "budgetFrac must be in (0, 1]")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("t"), col("grp"))
+    val per = df.groupBy(col(groupCol).as("grp"))
+      .agg(sum(tokens.cast("long")).as("t"))
+    val tot = per.agg(sum(col("t")).as("tot"), count(lit(1)).as("ns"))
+    val rows = per.crossJoin(broadcast(tot))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("pb", coalesce(sum(col("t")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)), lit(0L)))
+      .withColumn("b",
+        floor(col("tot").cast("double") * lit(budgetFrac)).cast("long"))
+      .withColumn("capped",
+        col("t") * (col("ns") - col("rn") + 1) > col("b") - col("pb"))
+    val capRow = rows.where(col("capped")).orderBy("rn").limit(1)
+      .select(((col("b") - col("pb")).cast("double") /
+        (col("ns") - col("rn") + 1)).as("cap"))
+    rows.join(capRow, lit(true), "left")
+      .select(col("grp").as(groupCol), col("t").as("n_tokens"),
+        col("capped"),
+        round(when(col("capped"), col("cap"))
+          .otherwise(col("t").cast("double")), 6).as("alloc"))
+      .orderBy(groupCol)
+  }
 }

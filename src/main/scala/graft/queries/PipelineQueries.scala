@@ -1992,6 +1992,41 @@ object PipelineQueries {
       WHERE CAST(common AS DOUBLE) / sa.sz >= 0.8
       ORDER BY i, j"""))
 
+  /** Water-filling budget allocation ([[Sampling
+    * .waterfillAllocation]]): shrink the corpus to half its tokens
+    * with the unique cap c where Σ min(tokens_src, c) = B — tail
+    * sources keep everything, the cap bites the giants. The capped-set
+    * decision is exact integer arithmetic; only the cap itself is one
+    * double division. */
+  val qWaterfill = Q(
+    "q177_waterfill_mix",
+    (s, dir) => Sampling.waterfillAllocation(
+      table(s, dir, "documents"), "source",
+      size(graft.functions.WordNgramsExpr
+        .ngrams(col("text"), 1, distinct = false)),
+      budgetFrac = 0.5),
+    Some(s"""WITH w AS (SELECT source, len($dkWords) AS tk
+          FROM documents),
+      per AS (SELECT source, CAST(sum(tk) AS BIGINT) AS t
+              FROM w GROUP BY source),
+      tt AS (SELECT CAST(sum(t) AS BIGINT) AS tot,
+               CAST(count(*) AS BIGINT) AS ns FROM per),
+      r AS (SELECT source, t, ns,
+          row_number() OVER (ORDER BY t, source) AS rn,
+          coalesce(sum(t) OVER (ORDER BY t, source
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pb,
+          CAST(floor(CAST(tot AS DOUBLE) * (0.5)::DOUBLE) AS BIGINT)
+            AS b
+        FROM per, tt),
+      f AS (SELECT *, t * (ns - rn + 1) > (b - pb) AS capped FROM r),
+      cp AS (SELECT CAST(b - pb AS DOUBLE) / (ns - rn + 1) AS cap
+        FROM f WHERE capped ORDER BY rn LIMIT 1)
+      SELECT source, t AS n_tokens, capped,
+        round(CASE WHEN capped THEN cap
+          ELSE CAST(t AS DOUBLE) END, 6) AS alloc
+      FROM f LEFT JOIN cp ON TRUE
+      ORDER BY source"""))
+
   /** Per-label mean silhouette ([[graft.ops.Clustering
     * .silhouetteByLabel]]): cosine-distance silhouette of the label
     * partition over the embeddings — integer-quantized distance sums
@@ -2273,7 +2308,7 @@ object PipelineQueries {
 
   val all: Seq[Q] = Seq(
     qKmeans, qMutualKnn, qMp3Decode, qCentroidEval, qLabelAgreement,
-    qSilhouette, qContainment,
+    qSilhouette, qContainment, qWaterfill,
     qHybridRrf, qClassBalance, qTextRank, qVideoDecode, qTriangles,
     qVocabulary, qVocabEncode, qBigramPmi,
     qSourceOverlap, qSourceMix, qContamination, qTopNgrams,

@@ -516,6 +516,27 @@ class OpsSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 3L)))
   }
 
+  test("waterfillAllocation: cap bites only the giants, budget is met") {
+    // tokens per source: a=10, b=20, c=70; budget = 0.5 * 100 = 50.
+    // keep a (10) and b (20) whole; cap c at 50 - 30 = 20.
+    val rows = (1 to 10).map(i => ("a", 1)) ++
+      (1 to 10).map(i => ("b", 2)) ++ (1 to 10).map(i => ("c", 7))
+    val df = rows.toDF("source", "tk")
+    val got = Sampling.waterfillAllocation(df, "source", col("tk"), 0.5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getBoolean(2), r.getDouble(3)))).toMap
+    assert(got("a") == ((10L, false, 10.0)))
+    assert(got("b") == ((20L, false, 20.0)))
+    assert(got("c") == ((70L, true, 20.0)))
+  }
+
+  test("waterfillAllocation: budget >= total leaves everything uncapped") {
+    val df = Seq(("a", 5), ("b", 7)).toDF("source", "tk")
+    val got = Sampling.waterfillAllocation(df, "source", col("tk"), 1.0)
+      .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(got == Map("a" -> false, "b" -> false))
+  }
+
   test("containmentPairs: subset detected one-way, Jaccard would miss it") {
     // doc 0's shingles all appear inside doc 1; doc 1 is much larger,
     // so J(0,1) is small but C(0->1) = 1
