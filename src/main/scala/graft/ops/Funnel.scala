@@ -157,4 +157,56 @@ object Funnel {
       .select(col("touch"), round(col("credit"), 6).as("credit"))
       .orderBy("touch")
   }
+
+  /** Time-decay multi-touch attribution: [[linearAttribution]]'s
+    * journey construction, but each touch's share of its conversion's
+    * credit is exponentially weighted by recency — w = 2^(−Δt/halfLife)
+    * with Δt the touch-to-conversion time — so a touch minutes before
+    * purchase outweighs one from last week, the standard middle ground
+    * between last-touch (q117) and uniform linear (q148).
+    *
+    * Every touch ROW carries its own weight (two clicks of the same
+    * type at different times weigh differently); shares normalize per
+    * conversion via one (key, journey) window; the per-type rollup is
+    * a float sum rounded at 6dp — q148's accepted tolerance
+    * discipline. Conversions with no prior touches credit "(none)".
+    * Same plan shape as linear: per-key windows + one journey join,
+    * nothing global. */
+  def timeDecayAttribution(
+      df: DataFrame, key: String, time: String, idCol: String,
+      typeCol: String, conversion: String,
+      halfLifeUs: Long): DataFrame = {
+    require(halfLifeUs > 0, "halfLifeUs must be positive")
+    require(!df.columns.contains("__j"),
+      "reserved column name `__j` in input")
+    val w = Window.partitionBy(col(key)).orderBy(col(time), col(idCol))
+    val withJ = df
+      .where(col(key).isNotNull && col(time).isNotNull &&
+        col(typeCol).isNotNull)
+      .withColumn("__j", coalesce(
+        sum(when(col(typeCol) === conversion, 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .localCheckpoint(false)
+    val touches = withJ.where(col(typeCol) =!= conversion)
+      .select(col(key).as("k"), col("__j"), col(typeCol).as("touch"),
+        col(time).as("tu"))
+    val convs = withJ.where(col(typeCol) === conversion)
+      .select(col(key).as("k"), col("__j"), col(time).as("tc"))
+    val weighted = touches.join(convs, Seq("k", "__j"))
+      .withColumn("w", pow(lit(0.5),
+        (col("tc") - col("tu")).cast("double") / lit(halfLifeUs.toDouble)))
+    val wj = Window.partitionBy(col("k"), col("__j"))
+    val credited = weighted
+      .withColumn("__sw", sum(col("w")).over(wj))
+      .groupBy("touch")
+      .agg(sum(col("w") / col("__sw")).as("credit"))
+    val empties = convs.join(touches.select("k", "__j").distinct(),
+        Seq("k", "__j"), "left_anti")
+      .agg(count(lit(1)).cast("double").as("credit"))
+      .select(lit("(none)").as("touch"), col("credit"))
+      .where(col("credit") > 0)
+    credited.union(empties)
+      .select(col("touch"), round(col("credit"), 6).as("credit"))
+      .orderBy("touch")
+  }
 }

@@ -518,6 +518,49 @@ object TemporalQueries {
             UNION ALL SELECT * FROM emp WHERE credit > 0)
       ORDER BY touch"""))
 
+  /** Time-decay multi-touch attribution ([[graft.ops.Funnel
+    * .timeDecayAttribution]]): per-touch credit weighted by
+    * 2^(−Δt / 7 days) to the conversion — recency-weighted journeys,
+    * the middle ground between q117 last-touch and q148 linear. */
+  val qTimeDecayAttribution = Q(
+    "q178_time_decay_attribution",
+    (s, dir) => {
+      val ev = eventsUs(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts").as("tus"))
+      graft.ops.Funnel.timeDecayAttribution(
+        ev, "user_id", "tus", "event_id", "event_type", "purchase",
+        halfLifeUs = 604800000000L)
+    },
+    Some("""WITH e AS (SELECT user_id AS k, event_id,
+          epoch_us(ts) AS tus, event_type AS t FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND event_type IS NOT NULL),
+      j AS (SELECT k, t, tus, coalesce(
+              sum(CASE WHEN t = 'purchase' THEN 1 ELSE 0 END)
+                OVER (PARTITION BY k ORDER BY tus, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS jid FROM e),
+      tch AS (SELECT k, jid, t AS touch, tus AS tu FROM j
+              WHERE t <> 'purchase'),
+      cv AS (SELECT k, jid, tus AS tc FROM j WHERE t = 'purchase'),
+      pw AS (SELECT tch.k, tch.jid, touch,
+              pow(0.5, CAST(tc - tu AS DOUBLE)
+                / (604800000000.0)::DOUBLE) AS w
+             FROM tch JOIN cv ON tch.k = cv.k AND tch.jid = cv.jid),
+      cr AS (SELECT touch, sum(w / sw) AS credit
+             FROM (SELECT *, sum(w) OVER (PARTITION BY k, jid) AS sw
+                   FROM pw)
+             GROUP BY touch),
+      emp AS (SELECT '(none)' AS touch, CAST(count(*) AS DOUBLE)
+                AS credit
+              FROM cv WHERE NOT EXISTS (SELECT 1 FROM tch
+                WHERE tch.k = cv.k AND tch.jid = cv.jid))
+      SELECT touch, round(credit, 6) AS credit
+      FROM (SELECT * FROM cr
+            UNION ALL SELECT * FROM emp WHERE credit > 0)
+      ORDER BY touch"""))
+
   /** CUSUM changepoint ([[graft.ops.Timeseries.countChangepoint]]):
     * where the hourly arrival level shifts — identical cumulative
     * float sequence in both engines, so the argmax needs no
@@ -858,5 +901,5 @@ object TemporalQueries {
     qKaplanMeier, qXcorr, qTopPaths, qInterarrival, qTwap,
     qLinearAttribution, qChangepoint, qMannKendall, qEwmaChart,
     qScd2, qSeasonal, qNelsonAalen, qStateAsOf, qUserEntropy,
-    qSkipGram)
+    qSkipGram, qTimeDecayAttribution)
 }

@@ -93,6 +93,20 @@ class FunnelSpec extends SparkSpec {
     }
   }
 
+  test("timeDecayAttribution: recent touches outweigh old, (none) kept") {
+    // user 1: A at t=0, B at t=10, buy at t=20, halfLife 10:
+    //   w_A = 2^-2 = 0.25, w_B = 2^-1 = 0.5 -> shares 1/3, 2/3.
+    // user 2: bare buy -> (none) credit 1.
+    val ev = Seq(
+      (1L, 0L, 1L, "A"), (1L, 10L, 2L, "B"), (1L, 20L, 3L, "buy"),
+      (2L, 5L, 4L, "buy"))
+      .toDF("k", "t", "id", "typ")
+    val got = Funnel.timeDecayAttribution(ev, "k", "t", "id", "typ",
+        "buy", halfLifeUs = 10L)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("A" -> 0.333333, "B" -> 0.666667, "(none)" -> 1.0))
+  }
+
   test("woeTable: hand-computed smoothed woe/iv, constant column one bin") {
     import org.apache.spark.sql.functions.col
     // 2 bins: v<5 -> bin0 (3 pos, 1 neg), v>=5 -> bin1 (1 pos, 3 neg)
