@@ -137,6 +137,55 @@ object Clustering {
       .orderBy("label", "pred")
   }
 
+  /** Pairwise cosine similarity between per-group embedding centroids
+    * — "which corpus domains are semantically close": the source-level
+    * map a mixing/curation pipeline reads to spot near-duplicate
+    * domains and isolated outliers before setting mix weights.
+    *
+    * One corpus scan builds the exact floor-quantized per-(group, pos)
+    * means ([[kmeansCentroids]]' recipe); the bounded groups·d table
+    * collects to the driver and the groups² similarity matrix is
+    * computed there — dot products fold left-to-right in index order
+    * (the same sequence an in-engine dot product runs) and round
+    * HALF_UP at 6 dp, so any engine reproduces the values. Returns
+    * (src_i, src_j, cos) for i < j by group name. */
+  def groupCentroidSimilarity(corpus: DataFrame, groupCol: String,
+      vecCol: String): DataFrame = {
+    val spark = corpus.sparkSession
+    val clean = corpus
+      .where(col(vecCol).isNotNull && col(groupCol).isNotNull)
+    val xd = col(vecCol).cast("array<double>")
+    val rows = clean
+      .select(col(groupCol).cast("string").as("grp"),
+        posexplode(xd).as(Seq("pos", "xv")))
+      .groupBy("grp", "pos")
+      .agg(round(
+        sum(floor(col("xv") * lit(1e6) + lit(0.5)).cast("long"))
+          .cast("double") / lit(1e6) / count(lit(1)), 9).as("val"))
+      .collect() // bounded: groups * d
+    val cents = rows.groupBy(_.getString(0)).toSeq.sortBy(_._1)
+      .map { case (g, rs) =>
+        val c = new Array[Double](rs.map(_.getInt(1)).max + 1)
+        rs.foreach(r => c(r.getInt(1)) = r.getDouble(2))
+        g -> c
+      }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = for {
+      i <- cents.indices; j <- (i + 1) until cents.size
+    } yield {
+      val (gi, ci) = cents(i); val (gj, cj) = cents(j)
+      (gi, gj,
+        r6(dot(ci, cj) / (math.sqrt(dot(ci, ci)) * math.sqrt(dot(cj, cj)))))
+    }
+    import spark.implicits._
+    out.toDF("src_i", "src_j", "cos").orderBy("src_i", "src_j")
+  }
+
   /** Exact per-label mean silhouette over cosine distance — "how
     * cleanly does this labeling partition the embedding space": for
     * each point, a = mean distance to its own label (self excluded),

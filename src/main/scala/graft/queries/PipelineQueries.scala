@@ -1992,6 +1992,40 @@ object PipelineQueries {
       WHERE CAST(common AS DOUBLE) / sa.sz >= 0.8
       ORDER BY i, j"""))
 
+  /** Source-centroid similarity map ([[graft.ops.Clustering
+    * .groupCentroidSimilarity]]): pairwise cosine between per-source
+    * embedding centroids (docs joined to their vectors) — which
+    * domains sit close in embedding space. Exact quantized means; the
+    * driver-side matrix folds dots in index order, matching
+    * list_dot_product. */
+  val qSourceCentroids = Q(
+    "q179_source_centroid_sim",
+    (s, dir) => {
+      val joined = table(s, dir, "embeddings")
+        .join(table(s, dir, "documents")
+          .select(col("doc_id"), col("source")),
+          col("vec_id") === col("doc_id"))
+      graft.ops.Clustering.groupCentroidSimilarity(
+        joined, "source", "embedding")
+    },
+    Some("""WITH e AS (SELECT d.source AS src, e.embedding AS v
+          FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+          WHERE e.embedding IS NOT NULL AND d.source IS NOT NULL),
+      c AS (SELECT src, u['pos'] AS pos,
+          round(CAST(sum(CAST(floor(u['val'] * 1000000.0 + 0.5)
+            AS BIGINT)) AS DOUBLE) / 1000000.0 / count(*), 9) AS val
+        FROM (SELECT src, unnest([{'pos': i - 1, 'val': v[i]::DOUBLE}
+               for i in range(1, len(v) + 1)]) AS u FROM e)
+        GROUP BY 1, 2),
+      cl AS (SELECT src, list(val ORDER BY pos) AS cv FROM c
+             GROUP BY src)
+      SELECT a.src AS src_i, b.src AS src_j,
+        round(list_dot_product(a.cv, b.cv) /
+          (sqrt(list_dot_product(a.cv, a.cv)) *
+           sqrt(list_dot_product(b.cv, b.cv))), 6) AS cos
+      FROM cl a JOIN cl b ON a.src < b.src
+      ORDER BY src_i, src_j"""))
+
   /** Water-filling budget allocation ([[Sampling
     * .waterfillAllocation]]): shrink the corpus to half its tokens
     * with the unique cap c where Σ min(tokens_src, c) = B — tail
@@ -2308,7 +2342,7 @@ object PipelineQueries {
 
   val all: Seq[Q] = Seq(
     qKmeans, qMutualKnn, qMp3Decode, qCentroidEval, qLabelAgreement,
-    qSilhouette, qContainment, qWaterfill,
+    qSilhouette, qContainment, qWaterfill, qSourceCentroids,
     qHybridRrf, qClassBalance, qTextRank, qVideoDecode, qTriangles,
     qVocabulary, qVocabEncode, qBigramPmi,
     qSourceOverlap, qSourceMix, qContamination, qTopNgrams,

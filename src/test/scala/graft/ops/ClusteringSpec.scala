@@ -51,6 +51,21 @@ class ClusteringSpec extends SparkSpec {
     assert(got.values.sum == 5L)
   }
 
+  test("groupCentroidSimilarity: hand-computed centroid cosines, i < j") {
+    val pts = Seq(
+      ("a", Array(1.0f, 0.0f)), ("a", Array(0.0f, 1.0f)), // centroid (.5,.5)
+      ("b", Array(1.0f, 0.0f)),                           // centroid (1,0)
+      ("c", Array(0.0f, 1.0f)))                           // centroid (0,1)
+      .toDF("src", "embedding")
+    val got = Clustering.groupCentroidSimilarity(pts, "src", "embedding")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    // cos((.5,.5),(1,0)) = .5/(sqrt(.5)*1) = 0.707107; b vs c orthogonal
+    assert(got((("a", "b"))) == 0.707107 && got((("a", "c"))) == 0.707107)
+    assert(got((("b", "c"))) == 0.0)
+    assert(got.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+  }
+
   test("silhouetteByLabel: tight separated clusters near 1, singleton 0") {
     val pts = Seq(
       (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),
