@@ -248,12 +248,36 @@ object Bench {
         q.stop()
         deleteRecursively(new java.io.File(ckpt))
       }
+      val adSec = timeIt("s07_streaming_approx_distinct") {
+        val mem = MemoryStream[(java.sql.Timestamp, String)]
+        val ckpt = java.nio.file.Files
+          .createTempDirectory(s"graft-bench-sad-$tag").toString
+        val q = graft.streaming.StreamingDistinct.windowedApproxDistinct(
+            mem.toDF.toDF("ts", "k"), "ts", "k",
+            "1 minute", "2 minutes")
+          .writeStream.format("memory").queryName(s"bench_sad_$tag")
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Update()).start()
+        val base = java.sql.Timestamp.valueOf("2024-01-01 09:00:00")
+          .getTime
+        (0 until 5).foreach { b =>
+          // 20k events/batch, ~3 windows in flight, high-card keys
+          mem.addData((0 until 20000).map { i =>
+            val n = b * 20000 + i
+            (new java.sql.Timestamp(base + n * 10L), s"u${n % 15000}")
+          })
+          q.processAllAvailable()
+        }
+        q.stop()
+        deleteRecursively(new java.io.File(ckpt))
+      }
       Map("s01_streaming_profile" -> profileSec,
         "s02_streaming_dedup" -> dedupSec,
         "s03_streaming_sessionize" -> sessSec,
         "s04_streaming_drift" -> driftSec,
         "s05_streaming_interval_join" -> joinSec,
-        "s06_streaming_heavy_hitters" -> hhSec)
+        "s06_streaming_heavy_hitters" -> hhSec,
+        "s07_streaming_approx_distinct" -> adSec)
     }
     val sPass1 = streamingOnce("p1")
     val sPass2 = streamingOnce("p2")
