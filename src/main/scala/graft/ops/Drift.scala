@@ -176,6 +176,57 @@ object Drift {
         when(col("n_seg") < col("__n"), col("__psi")).as("psi"))
   }
 
+  /** Sequential (period-over-period) PSI: each period's value
+    * distribution scored against the PREVIOUS period — the drift
+    * SERIES a monitoring pipeline charts, where [[psi]] is one point
+    * and [[segmentPsi]] is the cross-sectional cut. Global fixed-width
+    * bins (one min/max pass), per-(period, bin) counts densified over
+    * the full grid, the same Laplace smoothing as [[psi]], and one
+    * lag window per bin column over the bounded periods × bins table
+    * — no per-period rescan, scale-safe at any period count. Periods
+    * compare to the previous period PRESENT IN THE DATA (an empty
+    * period does not produce a zero-vs-zero row). Returns
+    * (period, prev_period, n, psi 8dp) for every period with a
+    * predecessor, ordered by period. */
+  def sequentialPsi(
+      df: DataFrame, periodCol: String, vCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, "bins must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val v = col(vCol).cast("double")
+    val live = df
+      .where(v.isNotNull && !v.isNaN && col(periodCol).isNotNull)
+      .select(col(periodCol).cast("long").as("__p"), v.as("__v"))
+      .localCheckpoint(false)
+    val mm = live.agg(min(col("__v")).as("mn"), max(col("__v")).as("mx"))
+      .head()
+    require(!mm.isNullAt(0), s"no live ($periodCol, $vCol) rows")
+    val bin = graft.functions.StatFunctions
+      .histogramBin(col("__v"), mm.getDouble(0), mm.getDouble(1), bins)
+    val counts = live.groupBy(col("__p"), bin.as("bin"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // grid + totals reuse, bounded table
+    val axis = counts.sparkSession.range(bins)
+      .select(col("id").cast("int").as("bin"))
+    val grid = counts.select("__p").distinct().crossJoin(axis)
+      .join(counts, Seq("__p", "bin"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .join(counts.groupBy("__p").agg(sum(col("c")).as("n")), "__p")
+    val wb = Window.partitionBy("bin").orderBy("__p")
+    val p = (col("c") + lit(0.5)) / (col("n") + lit(0.5 * bins))
+    val scored = grid
+      .withColumn("p", p)
+      .withColumn("pp", lag(col("p"), 1).over(wb))
+      .withColumn("prev", lag(col("__p"), 1).over(wb))
+      .where(col("pp").isNotNull)
+    scored
+      .groupBy(col("__p").as("period"), col("prev").as("prev_period"))
+      .agg(max(col("n")).as("n"),
+        round(sum((col("p") - col("pp")) *
+          log(col("p") / col("pp"))), 8).as("psi"))
+      .orderBy("period")
+  }
+
   /** Jensen-Shannon divergence between two slices over the same
     * fixed-width binning as [[psi]] — the bounded, symmetric drift
     * score (0 ≤ JSD ≤ ln 2 in nats):

@@ -1288,7 +1288,42 @@ object QualityQueries {
             / sqrt(ss / (nd - 2.0)), 6) END AS cohens_d
       FROM g"""))
 
-  val all: Seq[Q] = Seq(qCuped, qOlsTrend, qEffectSizes,
+  /** Day-over-day PSI drift series ([[Drift.sequentialPsi]]): each
+    * day's value distribution scored against the previous day — the
+    * monitoring chart behind a drift alarm; q84 is one point of this
+    * series, q125 its cross-sectional cut. */
+  val qSequentialPsi = Q(
+    "q180_psi_series",
+    (s, dir) => Drift.sequentialPsi(
+      QueryCatalog.eventsUs(s, dir)
+        .select(expr("ts div 86400000000").as("day"), col("value")),
+      "day", "value", bins = 10),
+    Some("""WITH u AS (SELECT epoch_us(ts) // 86400000000 AS p,
+          CAST(value AS DOUBLE) AS v
+        FROM events WHERE value IS NOT NULL
+          AND NOT isnan(CAST(value AS DOUBLE)) AND ts IS NOT NULL),
+      st AS (SELECT min(v) AS mn, max(v) AS mx FROM u),
+      bb AS (SELECT p, CAST(least(floor((v - mn) / ((mx - mn) / 10)), 9)
+          AS INT) AS bin FROM u, st),
+      c AS (SELECT p, bin, count(*) AS c FROM bb GROUP BY 1, 2),
+      ax AS (SELECT CAST(i AS INT) AS bin FROM range(10) t(i)),
+      pd AS (SELECT DISTINCT p FROM c),
+      nn AS (SELECT p, CAST(sum(c) AS DOUBLE) AS n FROM c GROUP BY p),
+      g AS (SELECT pd.p, ax.bin, coalesce(c.c, 0) AS c, nn.n
+        FROM pd CROSS JOIN ax
+        LEFT JOIN c ON c.p = pd.p AND c.bin = ax.bin
+        JOIN nn ON nn.p = pd.p),
+      sc AS (SELECT p, bin, n, (c + 0.5) / (n + 5.0) AS pr,
+          lag((c + 0.5) / (n + 5.0)) OVER w AS pp,
+          lag(p) OVER w AS prev
+        FROM g WINDOW w AS (PARTITION BY bin ORDER BY p))
+      SELECT p AS period, prev AS prev_period,
+        CAST(max(n) AS BIGINT) AS n,
+        round(sum((pr - pp) * ln(pr / pp)), 8) AS psi
+      FROM sc WHERE pp IS NOT NULL
+      GROUP BY 1, 2 ORDER BY period"""))
+
+  val all: Seq[Q] = Seq(qCuped, qOlsTrend, qEffectSizes, qSequentialPsi,
     qOutliers, qAssociation, qJsdDrift, qValidate,
     qChi2Drift, qNullPatterns, qFdCheck, qWassersteinDrift, qOrphans,
     qFanout, qEmbedNorms, qKeySkew, qPctRank, qBloomPrune, qPsiSweep,

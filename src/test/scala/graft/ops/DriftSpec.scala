@@ -282,4 +282,21 @@ class DriftSpec extends SparkSpec {
       vals.map(("only", _)).toDF("s", "v"), "s", "v").head()
     assert(lone.getLong(1) == 200 && lone.isNullAt(2))
   }
+
+  test("sequentialPsi: stable days ~0, shifted day alarms, gaps skip") {
+    // days 1 and 2 identical uniform; day 4 (gap at 3) all top-bin
+    val d1 = (0 until 10).map(i => (1L, i + 0.5))
+    val d2 = (0 until 10).map(i => (2L, i + 0.5))
+    val d4 = Seq.fill(10)((4L, 9.5))
+    val df = (d1 ++ d2 ++ d4).toDF("day", "v")
+    val got = Drift.sequentialPsi(df, "day", "v", bins = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set(2L, 4L)) // day 1 has no predecessor
+    val (p2prev, n2, psi2) = got(2L)
+    assert(p2prev == 1L && n2 == 10L && psi2 == 0.0) // identical dists
+    val (p4prev, _, psi4) = got(4L)
+    assert(p4prev == 2L) // gap day 3 skipped, compares to day 2
+    assert(psi4 > 1.0, s"shifted day should alarm: $psi4")
+  }
 }
