@@ -87,6 +87,49 @@ object TemporalQueries {
         ON c.event_id = m.event_id
       ORDER BY c.event_id"""))
 
+  /** FORWARD as-of join with tolerance: each click matched to the
+    * user's next purchase within 48 h — the conversion-latency readout,
+    * and the oracle row that puts [[AsofJoin.asof]]'s `forward` and
+    * `tolerance` parameters (backward/unbounded is q66) on the
+    * correctness gate. Same union + carry-forward plan, time-reversed. */
+  val qAsofForward = Q(
+    "q181_asof_forward",
+    (s, dir) => {
+      val ev = eventsUs(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          col("ts").as("tus"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"),
+          col("ts").as("p_ts"),
+          col("event_id").as("p_event_id"), col("value").as("p_value"))
+      AsofJoin
+        .asof(clicks, purchases, "user_id", "p_user", "tus", "p_ts",
+          rightCols = Seq("p_event_id", "p_ts", "p_value"),
+          rightTieBreak = Some("p_event_id"),
+          tolerance = Some(172800000000L), forward = true)
+        .select(col("event_id"), col("user_id"), col("tus"),
+          col("p_event_id"), col("p_value"),
+          (col("p_ts") - col("tus")).as("lead_us"))
+        .orderBy("event_id")
+    },
+    Some("""WITH c AS (
+        SELECT event_id, user_id, epoch_us(ts) AS tus FROM events
+        WHERE event_type = 'click'),
+      p AS (SELECT user_id, epoch_us(ts) AS pus, event_id AS p_event_id,
+          value AS p_value FROM events WHERE event_type = 'purchase'),
+      m AS (SELECT c.event_id, p.p_event_id, p.p_value,
+          p.pus - c.tus AS lead_us,
+          row_number() OVER (PARTITION BY c.event_id
+            ORDER BY p.pus ASC, p.p_event_id ASC) AS rn
+        FROM c JOIN p ON c.user_id = p.user_id AND p.pus >= c.tus
+          AND p.pus - c.tus <= 172800000000)
+      SELECT c.event_id, c.user_id, c.tus, m.p_event_id, m.p_value,
+        m.lead_us
+      FROM c LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
+        ON c.event_id = m.event_id
+      ORDER BY c.event_id"""))
+
   /** Range join: events falling in the 2h window after each error event
     * (global intervals, no equi key — the bin-bucketed plan). */
   val qRangeJoin = Q(
@@ -896,7 +939,8 @@ object TemporalQueries {
       SELECT from_state, to_state, CAST(gap AS INT) AS gap, cnt
       FROM c ORDER BY from_state, to_state, gap"""))
 
-  val all: Seq[Q] = Seq(qSessionize, qAsofJoin, qRangeJoin, qFunnel,
+  val all: Seq[Q] = Seq(qSessionize, qAsofJoin, qAsofForward,
+    qRangeJoin, qFunnel,
     qRolling, qTransitions, qAttribution, qRetention, qCountAcf,
     qKaplanMeier, qXcorr, qTopPaths, qInterarrival, qTwap,
     qLinearAttribution, qChangepoint, qMannKendall, qEwmaChart,
