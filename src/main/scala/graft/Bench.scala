@@ -346,6 +346,14 @@ object Bench {
     val coldJson = coldStarts.map("\"" + _ + "\"").mkString("[", ",", "]")
     val failedJson = failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","streaming_total":$streamingTotal%.3f,"queries":$qs,"sf":"$sfDir","procs":$procs,"loadavg":$load%.2f,"loadavg_start":$loadStart%.2f,"cpu_busy_start":$busyStart%.3f,"cpu_steal_frac":$stealFrac%.4f,"polluted":$polluted,"suspect_queries":$suspectJson,"coldstart_queries":$coldJson,"failed_queries":$failedJson,"pass_totals":[$t1%.3f,$t2%.3f],"queries_passes":$qsBoth}""")
+    // The harness that archives this output keeps only the last ~2 KB;
+    // the big line above front-loads its verdict fields, so a truncated
+    // artifact loses its own pollution flag (round-5 lesson). Repeat the
+    // gate verdict in a compact SECOND line so the retained tail always
+    // carries it.
+    val q00Sec = results.toMap.getOrElse("q00_profile_lineitem", -1.0)
+    val q00bSec = results.toMap.getOrElse("q00b_profile_sketch", -1.0)
+    println(f"""{"bench_summary":{"total":$total%.3f,"streaming_total":$streamingTotal%.3f,"polluted":$polluted,"cpu_steal_frac":$stealFrac%.4f,"cpu_busy_start":$busyStart%.3f,"suspect_queries":$suspectJson,"coldstart_queries":$coldJson,"failed_queries":$failedJson,"pass_totals":[$t1%.3f,$t2%.3f],"q00":$q00Sec%.3f,"q00b":$q00bSec%.3f,"n_queries":${results.size}}}""")
     spark.stop()
   }
 }

@@ -119,12 +119,57 @@ object Dedup {
         : Boolean = size() > 4
   }
 
-  /** Drop every memoized shingle table. Bench/test hook: a min-of-two
-    * benchmark must clear this between passes, or the second pass times
-    * a pure cache hit and the reported min never includes the shingle
-    * build that a cold run pays. */
-  def clearShingleCache(): Unit =
+  /** Drop every memoized shingle AND derived-pairs table. Bench/test
+    * hook: a min-of-two benchmark must clear this between passes, or the
+    * second pass times a pure cache hit and the reported min never
+    * includes the shingle/verify build that a cold run pays. */
+  def clearShingleCache(): Unit = {
     shingleCache.synchronized { shingleCache.clear() }
+    pairsCache.synchronized { pairsCache.clear() }
+  }
+
+  /** Session-scoped cache of checkpointed VERIFIED-PAIR tables derived
+    * from a shingle table. The exact-Jaccard family (q22-style pairs →
+    * clusters → canonical selection) and the MinHash-LSH family
+    * (pairs → labelAll → keep-longest) each consume the SAME pair list
+    * in several downstream queries; candidate generation + exact verify
+    * is the expensive half of the pipeline, so memoize it per
+    * (session, shingle-table semantic hash, parameters) exactly like
+    * [[shingleCache]] — bounded LRU(4), cleared together with it. */
+  private val pairsCache = new java.util.LinkedHashMap[
+      (Int, Int, String), DataFrame](8, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[(Int, Int, String), DataFrame])
+        : Boolean = size() > 4
+  }
+
+  private def cachedPairs(sh: DataFrame, tag: String)(
+      build: => DataFrame): DataFrame = pairsCache.synchronized {
+    val key = (System.identityHashCode(sh.sparkSession),
+      sh.queryExecution.analyzed.semanticHash(), tag)
+    val hit = pairsCache.get(key)
+    if (hit != null) hit
+    else {
+      val v = build.localCheckpoint(false)
+      pairsCache.put(key, v)
+      v
+    }
+  }
+
+  /** [[jaccardPairs]], memoized+checkpointed per (shingle table,
+    * threshold) — share one prefix-filter join + verify across the
+    * pairs/clusters/canonical query family. */
+  def jaccardPairsCached(sh: DataFrame, threshold: Double): DataFrame =
+    cachedPairs(sh, s"jacc:$threshold")(jaccardPairs(sh, threshold))
+
+  /** [[minhashNearDupPairsFromShingles]], memoized+checkpointed per
+    * (shingle table, numHashes, bands, threshold) — share one
+    * sign→band→bucket→verify build across the LSH query family. */
+  def minhashNearDupPairsFromShinglesCached(
+      sh: DataFrame, numHashes: Int, bands: Int,
+      threshold: Double): DataFrame =
+    cachedPairs(sh, s"mh:$numHashes:$bands:$threshold")(
+      minhashNearDupPairsFromShingles(sh, numHashes, bands, threshold))
 
   /** [[wordShingleTable]], lazily checkpointed and memoized: repeated
     * calls on a semantically-equal source in one session return the SAME

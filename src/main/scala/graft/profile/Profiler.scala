@@ -371,7 +371,7 @@ object Profiler {
             (vals, cnt)
           }.sortBy { case (vals, cnt) =>
             (-cnt, supportedNames.map(n => Option(vals(n)).getOrElse(""))
-              .mkString(" "))
+              .mkString("\u0000"))
           }.toSeq
         }
         (nRows - distinctRowCount, topSeq)

@@ -67,7 +67,7 @@ object PipelineQueries {
   val qNgramJaccard = Q(
     "q22_ngram_jaccard",
     (s, dir) =>
-      Dedup.jaccardPairs(
+      Dedup.jaccardPairsCached(
           Dedup.wordShingleTableCached(table(s, dir, "documents"),
             "doc_id", "text", 5), 0.8)
         .orderBy("i", "j"),
@@ -94,7 +94,7 @@ object PipelineQueries {
   val qDedupClusters = Q(
     "q49_dedup_clusters",
     (s, dir) => {
-      val pairs = Dedup.jaccardPairs(
+      val pairs = Dedup.jaccardPairsCached(
         Dedup.wordShingleTableCached(table(s, dir, "documents"),
           "doc_id", "text", 5), 0.8)
       Dedup.connectedComponents(pairs, "i", "j")
@@ -128,7 +128,7 @@ object PipelineQueries {
     "q50_dedup_canonical",
     (s, dir) => {
       val docs = table(s, dir, "documents")
-      val pairs = Dedup.jaccardPairs(
+      val pairs = Dedup.jaccardPairsCached(
         Dedup.wordShingleTableCached(docs, "doc_id", "text", 5), 0.8)
       Dedup.dedupByNearDupClusters(docs, "doc_id", pairs, "i", "j")
         .select(col("doc_id"), col("source"), col("lang"))
@@ -268,7 +268,7 @@ object PipelineQueries {
   val qMinhashLsh = Q(
     "q24_minhash_lsh",
     (s, dir) =>
-      Dedup.minhashNearDupPairsFromShingles(
+      Dedup.minhashNearDupPairsFromShinglesCached(
           Dedup.wordShingleTableCached(table(s, dir, "documents"),
             "doc_id", "text", WORD_N), NUM_HASHES, BANDS, 0.7)
         .orderBy("i", "j"),
@@ -288,7 +288,7 @@ object PipelineQueries {
     "q106_lsh_clusters",
     (s, dir) => {
       val docs = table(s, dir, "documents")
-      val pairs = Dedup.minhashNearDupPairsFromShingles(
+      val pairs = Dedup.minhashNearDupPairsFromShinglesCached(
         Dedup.wordShingleTableCached(docs, "doc_id", "text", WORD_N),
         NUM_HASHES, BANDS, 0.7)
       val labeled = ConnectedComponents.labelAll(
@@ -315,7 +315,7 @@ object PipelineQueries {
     "q107_dedup_keep_longest",
     (s, dir) => {
       val docs = table(s, dir, "documents")
-      val pairs = Dedup.minhashNearDupPairsFromShingles(
+      val pairs = Dedup.minhashNearDupPairsFromShinglesCached(
         Dedup.wordShingleTableCached(docs, "doc_id", "text", WORD_N),
         NUM_HASHES, BANDS, 0.7)
       val labeled = ConnectedComponents.labelAll(
@@ -1271,10 +1271,14 @@ object PipelineQueries {
 
   /** Token-id encoding against the q101 vocabulary
     * ([[graft.ops.TextAnalysis.encode]]): per-document id sequences
-    * with OOV → -1 — the shape a training job consumes. Oracle
+    * with OOV → -1 — the shape a training job consumes. The declared
+    * gate query serializes the id array to a JSON string
+    * (`to_json(token_ids)`) so every output column is a sortable
+    * scalar; the `encode` API itself keeps the typed array. Oracle
     * rebuilds the same vocabulary and positions via a struct
     * comprehension (DuckDB's range() table function cannot laterally
-    * reference a column). */
+    * reference a column) and string-aggregates the ids in position
+    * order into the same `[1,2,3]` JSON shape. */
   val qVocabEncode = Q(
     "q108_vocab_encode",
     (s, dir) => {
@@ -1282,6 +1286,9 @@ object PipelineQueries {
       val vocab = graft.ops.TextAnalysis.vocabulary(
         docs, "text", topN = 200, minCount = 2)
       graft.ops.TextAnalysis.encode(docs, "doc_id", "text", vocab)
+        .select(col("doc_id"),
+          to_json(col("token_ids")).as("token_ids_json"),
+          col("n_tokens"), col("n_oov"))
         .orderBy("doc_id")
     },
     Some(s"""WITH w AS (SELECT unnest($dkWords) AS word FROM documents),
@@ -1297,11 +1304,13 @@ object PipelineQueries {
       j AS (SELECT tok.doc_id, tok.i, coalesce(v.id, -1) AS vid,
               (v.id IS NULL)::INT AS oov
             FROM tok LEFT JOIN v ON v.word = tok.w),
-      e AS (SELECT doc_id, list(vid ORDER BY i) AS token_ids,
+      e AS (SELECT doc_id,
+              '[' || string_agg(CAST(vid AS VARCHAR), ',' ORDER BY i)
+                || ']' AS token_ids_json,
               count(*) AS n_tokens, CAST(sum(oov) AS BIGINT) AS n_oov
             FROM j GROUP BY doc_id)
       SELECT d2.doc_id,
-        coalesce(e.token_ids, CAST([] AS BIGINT[])) AS token_ids,
+        coalesce(e.token_ids_json, '[]') AS token_ids_json,
         coalesce(e.n_tokens, 0) AS n_tokens,
         coalesce(e.n_oov, 0) AS n_oov
       FROM (SELECT doc_id FROM documents) d2 LEFT JOIN e USING (doc_id)

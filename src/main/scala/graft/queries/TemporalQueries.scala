@@ -939,11 +939,97 @@ object TemporalQueries {
       SELECT from_state, to_state, CAST(gap AS INT) AS gap, cnt
       FROM c ORDER BY from_state, to_state, gap"""))
 
+  /** STREAMING sessionization on the correctness gate: drives a bounded
+    * slice of `events` (user_id < 30) through a real Structured
+    * Streaming query — MemoryStream source → `session_window` streaming
+    * aggregation with a watermark → Append-mode memory sink — and
+    * returns the FINAL emitted session table, which the oracle
+    * recomputes as a batch gap-sessionization in DuckDB. This puts
+    * streaming *answers* (not just throughput) on the same three-way
+    * row/schema/hash gate as the batch operators.
+    *
+    * Protocol: all real rows arrive in one batch (so in-file disorder
+    * cannot be dropped as late — the watermark only advances between
+    * batches), then two far-future sentinel batches on a sentinel key
+    * (user_id = -1) push the watermark past every real session's end so
+    * Append mode emits them all; the sentinel's own sessions are
+    * filtered out of the result. Boundary semantics are session_window's
+    * (split at gap >= 8h — strictly-before extends), which the oracle's
+    * `>=` lag predicate mirrors exactly in the shared epoch-micros
+    * integer domain. */
+  val qStreamingSessionize = Q(
+    "q182_streaming_sessionize",
+    (s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.OutputMode
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val gapUs = 8L * HourUs
+      // bounded slice: 30 of the generator's users (~2k rows at sf0.01)
+      val slice = eventsUs(s, dir)
+        .where(col("user_id") < 30)
+        .select(col("user_id"), col("ts"), col("value"))
+        .as[(Long, Long, Double)].collect()
+      val maxTs = slice.iterator.map(_._2).max
+      val mem = MemoryStream[(Long, Long, Double)]
+      val src = mem.toDF.toDF("user_id", "tus", "value")
+        .select(col("user_id"),
+          timestamp_micros(col("tus")).as("ts"),
+          col("value").cast(DecimalType(18, 6)).as("v"))
+      val sessions = graft.streaming.StreamingSessionize
+        .sessionStats(src, "user_id", "ts", "8 hours", "v")
+      val sink = "graft_ssess_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-ssess-gate").toString
+      val query = sessions.writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        mem.addData(slice.toIndexedSeq)
+        query.processAllAvailable()
+        // two sentinel batches: watermark updates at END of a batch, so
+        // emission of sessions closed by sentinel #1's watermark happens
+        // while processing sentinel #2
+        mem.addData((-1L, maxTs + 40L * 24 * HourUs, 0.0))
+        query.processAllAvailable()
+        mem.addData((-1L, maxTs + 80L * 24 * HourUs, 0.0))
+        query.processAllAvailable()
+      } finally query.stop()
+      s.table(sink)
+        .where(col("user_id") >= 0)
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("session_start_us"),
+          unix_micros(col("session_end")).as("session_end_us"),
+          col("n_events"),
+          col("sum_value").cast("double").as("sum_value"))
+        .orderBy("user_id", "session_start_us")
+    },
+    Some("""WITH e AS (
+        SELECT user_id, epoch_us(ts) AS tus, value FROM events
+        WHERE user_id < 30),
+      d AS (SELECT user_id, tus, value,
+        CASE WHEN lag(tus) OVER w IS NULL
+               OR tus - lag(tus) OVER w >= 28800000000
+             THEN 1 ELSE 0 END AS is_new
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+      g AS (SELECT user_id, tus, value,
+        sum(is_new) OVER (PARTITION BY user_id ORDER BY tus
+          ROWS UNBOUNDED PRECEDING) AS sid
+        FROM d)
+      SELECT user_id,
+        min(tus) AS session_start_us,
+        max(tus) + 28800000000 AS session_end_us,
+        count(*) AS n_events,
+        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM g GROUP BY user_id, sid
+      ORDER BY user_id, session_start_us"""))
+
   val all: Seq[Q] = Seq(qSessionize, qAsofJoin, qAsofForward,
     qRangeJoin, qFunnel,
     qRolling, qTransitions, qAttribution, qRetention, qCountAcf,
     qKaplanMeier, qXcorr, qTopPaths, qInterarrival, qTwap,
     qLinearAttribution, qChangepoint, qMannKendall, qEwmaChart,
     qScd2, qSeasonal, qNelsonAalen, qStateAsOf, qUserEntropy,
-    qSkipGram, qTimeDecayAttribution)
+    qSkipGram, qTimeDecayAttribution, qStreamingSessionize)
 }
