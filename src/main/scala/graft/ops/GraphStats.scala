@@ -81,4 +81,67 @@ object GraphStats {
           lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
           .as("clustering_coeff"))
   }
+
+  /** Fixed-iteration PageRank over a directed edge list, computed
+    * ENTIRELY in integer "rank quanta" (the unit mass `scale` split
+    * across nodes) so the result is bit-exact and engine-reproducible —
+    * no float accumulation order to disagree about. Per iteration, with
+    * d = dampNum/dampDen and N = |nodes|:
+    *
+    *   q'(v) = (scale - scale*dampNum div dampDen) div N
+    *           + dampNum * (danglingSum div N + Σ_{u→v} q(u) div outdeg(u))
+    *             div dampDen
+    *
+    * where every division is integer floor division (truncation loses a
+    * few quanta of mass per iteration — a deterministic, documented
+    * variant; the ordering it induces is the standard PageRank one).
+    *
+    * Scale design (100 TB): each iteration is one hash join of the rank
+    * table with the edge list plus a map-side-combined groupBy on the
+    * destination — the canonical iterative-join PageRank plan. The
+    * dangling mass is a single-row aggregate collected to the driver
+    * (bounded: one long per iteration), and each iteration's rank table
+    * is lazily localCheckpointed so the loop's lineage stays flat.
+    * Duplicate edges are collapsed; nodes absent from the edge list are
+    * dangling and still ranked. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      nodes: DataFrame, idCol: String, iterations: Int = 5,
+      scale: Long = 1000000000000L, dampNum: Long = 85,
+      dampDen: Long = 100): DataFrame = {
+    require(iterations >= 1 && dampNum > 0 && dampNum < dampDen)
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint(false)
+    val nd = nodes.select(col(idCol).cast("long").as("id")).distinct()
+      .localCheckpoint(false)
+    val n = nd.count()
+    require(n > 0, "empty node set")
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(false)
+    val base = (scale - scale * dampNum / dampDen) / n
+    var q = nd.select(col("id"), lit(scale / n).as("q"))
+      .localCheckpoint(false)
+    for (_ <- 1 to iterations) {
+      val withDeg = q.join(outdeg, q("id") === outdeg("src"), "left")
+        .select(col("id"), col("q"), col("outdeg"))
+      val danglingSum = withDeg.where(col("outdeg").isNull)
+        .agg(coalesce(sum(col("q")), lit(0L)).as("s"))
+        .head().getLong(0)
+      val dShare = danglingSum / n
+      val inSums = withDeg.where(col("outdeg").isNotNull)
+        .select(col("id"), expr("q div outdeg").as("c"))
+        .join(e, col("id") === e("src"))
+        .groupBy("dst").agg(sum(col("c")).as("in_sum"))
+      q = nd.join(inSums, nd("id") === inSums("dst"), "left")
+        .select(nd("id"),
+          (lit(base) + expr(
+            s"(${dampNum}L * (${dShare}L + coalesce(in_sum, 0L))) div ${dampDen}L"))
+            .as("q"))
+        .localCheckpoint(false)
+    }
+    q.select(col("id").as(idCol), col("q").as("rank_q"))
+  }
 }

@@ -320,6 +320,67 @@ object TextAnalysis {
       .drop("__before")
   }
 
+  /** Corpus-wide concat-and-slice sequence packing — the GPT-style
+    * "concatenate every document in a fixed order, cut the token stream
+    * into length-`seqLen` training sequences" layout, as per-document
+    * placement metadata: each document's absolute token offset in the
+    * concatenated stream and the first/last training sequence it lands
+    * in.
+    *
+    * This is the corpus-wide ordered computation [[packChunks]] refuses
+    * to do with a window — done scalably instead with the repo's
+    * two-phase distributed prefix sum (same shape as
+    * [[Ranking.avgRanks]]): range-partition by the id, per-partition
+    * token subtotals to the driver (<= #partitions rows), prefix-sum +
+    * broadcast the partition start offsets, then one narrow pass emits
+    * each document's exclusive running offset. No global window, no
+    * single-reducer sort; every stage is range/hash partitioned.
+    *
+    * Zero-token documents are excluded (they occupy no stream
+    * positions). Output: (idCol, n_tokens, tok_start, first_seq,
+    * last_seq, n_seqs) where first/last_seq = floor division of the
+    * stream offsets by `seqLen`. */
+  def globalSequencePack(df: DataFrame, idCol: String, textCol: String,
+      seqLen: Long): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p = spark.sessionState.conf.numShufflePartitions
+    val counts = df
+      .select(col(idCol).cast("long").as("id"),
+        size(words(col(textCol))).cast("long").as("n"))
+      .where(col("n") > 0)
+      .repartitionByRange(p, col("id"))
+      .sortWithinPartitions("id")
+      .as[(Long, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val subtotals: Array[(Int, Long)] = counts.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var s = 0L
+      it.foreach(s += _._2)
+      Iterator.single((pid, s))
+    }.collect()
+    val offsets: Map[Int, Long] = {
+      var cum = 0L
+      subtotals.sortBy(_._1).map { case (pid, s) =>
+        val e = (pid, cum); cum += s; e
+      }.toMap
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+    counts.mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var cum = bc.value(pid)
+        it.map { case (id, n) =>
+          val st = cum; cum += n; (id, n, st)
+        }
+      }
+      .toDF("id", "n_tokens", "tok_start")
+      .select(col("id").as(idCol), col("n_tokens"), col("tok_start"),
+        expr(s"tok_start div ${seqLen}L").as("first_seq"),
+        expr(s"(tok_start + n_tokens - 1) div ${seqLen}L").as("last_seq"))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
+  }
+
   /** Frequency vocabulary — the tokenizer-prep table (word → id) every
     * training pipeline builds first. One explode→groupBy (map-side
     * combined) over the corpus, a bounded TakeOrdered for the top-N,

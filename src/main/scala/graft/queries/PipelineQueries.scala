@@ -2349,7 +2349,70 @@ object PipelineQueries {
       WHERE f.query_id < f.neighbor_id
       ORDER BY i, j"""))
 
+  /** Corpus-wide concat-and-slice sequence packing
+    * ([[graft.ops.TextAnalysis.globalSequencePack]]): every document's
+    * absolute token offset in the doc_id-ordered concatenated stream
+    * and the 256-token training sequences it spans — the GPT-style
+    * packing layout, computed with the two-phase distributed prefix sum
+    * (range partition → bounded per-partition subtotals → narrow
+    * cumulative pass), never a global window. The oracle recomputes the
+    * stream offsets with a plain window prefix sum, hash-checking every
+    * offset and boundary exactly (all-integer output). */
+  val qGlobalPacking = Q(
+    "q183_global_packing",
+    (s, dir) =>
+      graft.ops.TextAnalysis.globalSequencePack(
+          table(s, dir, "documents"), "doc_id", "text", seqLen = 256)
+        .orderBy("doc_id"),
+    Some(s"""WITH w AS (SELECT doc_id, CAST(len($dkWords) AS BIGINT) AS n
+               FROM documents),
+      nz AS (SELECT doc_id, n FROM w WHERE n > 0),
+      p AS (SELECT doc_id, n,
+              CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS st
+            FROM nz)
+      SELECT doc_id, n AS n_tokens, st AS tok_start,
+        st // 256 AS first_seq,
+        (st + n - 1) // 256 AS last_seq,
+        (st + n - 1) // 256 - st // 256 + 1 AS n_seqs
+      FROM p ORDER BY doc_id"""))
+
+  /** UNVERIFIED MinHash-LSH clusters — the sketch-mode fast path of
+    * q106: cluster assignment straight off the band-bucket candidate
+    * pairs with NO exact-Jaccard verification, the trade production
+    * pipelines actually take at 100 TB when the verify join is the
+    * bottleneck (candidates only over-merge, never under-merge, so the
+    * result is a coarser partition of the same corpus). Oracle
+    * recomputes the identical md5 band keys and closes the candidate
+    * graph with a recursive CTE. */
+  val qLshCandClusters = Q(
+    "q185_lsh_cand_clusters",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val sh = Dedup.wordShingleTableCached(docs, "doc_id", "text", WORD_N)
+      val cand = Dedup.minhashLshPairs(
+        Dedup.minhashSignaturesFromShingles(sh, NUM_HASHES),
+        BANDS, NUM_HASHES / BANDS)
+      ConnectedComponents.labelAll(
+          docs.select("doc_id"), "doc_id", cand, "i", "j", "cluster")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $dkLshCtes,
+      edges AS (SELECT i AS a, j AS b FROM cand
+                UNION SELECT j, i FROM cand),
+      reach(n, m) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
+      ),
+      comp AS (SELECT n, min(m) AS cluster FROM reach GROUP BY n)
+      SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
+      FROM documents d LEFT JOIN comp c ON c.n = d.doc_id
+      ORDER BY d.doc_id"""))
+
   val all: Seq[Q] = Seq(
+    qGlobalPacking, qLshCandClusters,
     qKmeans, qMutualKnn, qMp3Decode, qCentroidEval, qLabelAgreement,
     qSilhouette, qContainment, qWaterfill, qSourceCentroids,
     qHybridRrf, qClassBalance, qTextRank, qVideoDecode, qTriangles,

@@ -165,27 +165,37 @@ object QueryCatalog {
       round(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
       round(quantile_cont(l_quantity, 0.5), 6) AS qty_p50 FROM lineitem"""))
 
-  /** Median absolute deviation, the profiler's 2-pass construction
-    * (reference: summary_algorithms.py:584-591) as a standalone
-    * oracle-checked query: pass 1 collects the exact medians (bounded:
-    * one row), pass 2 takes the median of |x - median| around the
-    * frozen literals. DuckDB's mad() is quantile_cont-consistent, so
-    * the values match to rounding. */
+  /** Median absolute deviation (reference: summary_algorithms.py:584-591)
+    * in ONE table scan: explode the four columns to (ordinal, value)
+    * pairs, aggregate distinct-value COUNTS once, then derive both the
+    * median and the median of |x - median| from that counts table via
+    * `percentile(v, 0.5, cnt)` — Spark's exact percentile over a
+    * frequency column is semantically the percentile of the expanded
+    * multiset, so this equals the profiler's 2-pass construction while
+    * reading the parquet once and re-aggregating only the (much
+    * smaller) counts. The counts table is lazily localCheckpointed
+    * because both stages consume it. DuckDB's mad() is
+    * quantile_cont-consistent, so values match to rounding. */
   val qMad = Q(
     "q46_mad",
     (s, dir) => {
       val df = table(s, dir, "lineitem")
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-      val medAggs = cols.map(c => expr(s"percentile($c, 0.5)").as(c))
-      val medRow = df.agg(medAggs.head, medAggs.tail: _*).head()
-      val madAggs = cols.zipWithIndex.map { case (c, i) =>
-        // Double.toString round-trips exactly; CAST keeps the literal
-        // out of Spark's decimal-literal parsing
-        val m = java.lang.Double.toString(medRow.getDouble(i))
-        round(expr(s"percentile(abs($c - CAST('$m' AS DOUBLE)), 0.5)"), 6)
-          .as(s"mad_$c")
-      }
-      df.agg(madAggs.head, madAggs.tail: _*)
+      val counts = df
+        .select(posexplode(
+          array(cols.map(c => col(c).cast("double")): _*))
+          .as(Seq("cid", "v")))
+        .where(col("v").isNotNull)
+        .groupBy("cid", "v").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(false)
+      val med = counts.groupBy("cid")
+        .agg(expr("percentile(v, 0.5d, cnt)").as("med"))
+      val mad = counts.join(broadcast(med), "cid")
+        .groupBy("cid")
+        .agg(expr("percentile(abs(v - med), 0.5d, cnt)").as("mad"))
+      val aggs = cols.zipWithIndex.map { case (c, i) =>
+        round(max(when(col("cid") === i, col("mad"))), 6).as(s"mad_$c") }
+      mad.agg(aggs.head, aggs.tail: _*)
     },
     Some("""SELECT
       round(mad(l_quantity), 6) AS mad_l_quantity,

@@ -115,5 +115,60 @@ object RelationalQueries {
         CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
-  val all: Seq[Q] = Seq(qJoinRevenue, qRollup, qSetOps, qPivot)
+  /** Fixed-iteration PageRank over the customer→supplier transaction
+    * graph ([[graft.ops.GraphStats.pageRank]]): nodes are customers
+    * (even ids) and suppliers (odd ids), a directed edge per distinct
+    * (customer, supplier) trade through orders ⨝ lineitem. All rank
+    * arithmetic is INTEGER quanta (unit mass 1e12 split across nodes,
+    * floor division everywhere), so 5 iterations of the iterative-join
+    * plan are bit-exact against the oracle's unrolled recursive SQL —
+    * no float accumulation order in play. Customers with no orders and
+    * every supplier are dangling; their mass redistributes through the
+    * damping term each round. */
+  val qPageRank = Q(
+    "q184_pagerank",
+    (s, dir) => {
+      val orders = table(s, dir, "orders")
+      val li = table(s, dir, "lineitem")
+      val edges = orders
+        .join(li, orders("o_orderkey") === li("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      val nodes = table(s, dir, "customer")
+        .select((col("c_custkey") * 2).as("id"))
+        .unionAll(table(s, dir, "supplier")
+          .select((col("s_suppkey") * 2 + 1).as("id")))
+      graft.ops.GraphStats.pageRank(edges, "src", "dst", nodes, "id",
+          iterations = 5)
+        .orderBy("id")
+    },
+    Some {
+      val iterCtes = (1 to 5).map { i =>
+        val prev = s"r${i - 1}"
+        s"""d$i AS (SELECT coalesce(sum(q), 0) AS ds FROM $prev
+            LEFT JOIN odeg ON odeg.src = $prev.id WHERE odeg.src IS NULL),
+          c$i AS (SELECT e.dst AS id, sum(r.q // o.outdeg) AS insum
+                  FROM $prev r JOIN odeg o ON o.src = r.id
+                  JOIN e ON e.src = r.id GROUP BY 1),
+          r$i AS (SELECT nd.id,
+              (1000000000000 - (1000000000000 * 85) // 100)
+                // (SELECT n FROM nn)
+              + (85 * ((SELECT ds FROM d$i) // (SELECT n FROM nn)
+                       + coalesce(c.insum, 0))) // 100 AS q
+            FROM nd LEFT JOIN c$i c ON c.id = nd.id)"""
+      }.mkString(",\n          ")
+      s"""WITH e AS (SELECT DISTINCT o_custkey * 2 AS src,
+              l_suppkey * 2 + 1 AS dst
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+          nd AS (SELECT c_custkey * 2 AS id FROM customer
+                 UNION SELECT s_suppkey * 2 + 1 FROM supplier),
+          odeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+          nn AS (SELECT count(*) AS n FROM nd),
+          r0 AS (SELECT id, 1000000000000 // (SELECT n FROM nn) AS q
+                 FROM nd),
+          $iterCtes
+        SELECT id, CAST(q AS BIGINT) AS rank_q FROM r5 ORDER BY id"""
+    })
+
+  val all: Seq[Q] = Seq(qJoinRevenue, qRollup, qSetOps, qPivot, qPageRank)
 }

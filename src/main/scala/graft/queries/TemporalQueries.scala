@@ -1025,11 +1025,59 @@ object TemporalQueries {
       FROM g GROUP BY user_id, sid
       ORDER BY user_id, session_start_us"""))
 
+  /** STREAMING Misra-Gries heavy hitters on the correctness gate, in
+    * the summary's EXACT regime: a bounded `events` slice's event_type
+    * stream flows through the real `flatMapGroupsWithState` operator
+    * (s06's) in three micro-batches; with far fewer distinct keys than
+    * `capacity`, no decrement ever fires, so every MG counter equals
+    * the exact count and the final snapshot is hash-checkable against a
+    * plain DuckDB GROUP BY. Update-mode snapshots re-emit a bucket's
+    * table each batch, and counters are monotone in the exact regime,
+    * so max(est) per key is the final count; buckets are collapsed
+    * because the bucket id (a Spark xxhash64 partition) is
+    * engine-specific while each key lives in exactly one bucket. */
+  val qStreamingHeavyHitters = Q(
+    "q186_streaming_heavy_hitters",
+    (s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val keys = QueryCatalog.table(s, dir, "events")
+        .where(col("user_id") < 50 && col("event_type").isNotNull)
+        .select(col("event_type")).as[String].collect()
+      val mem = MemoryStream[String]
+      val hh = graft.streaming.StreamingHeavyHitters.heavyHitters(
+        mem.toDF.toDF("k"), "k", capacity = 64, buckets = 8)
+      val sink = "graft_shh_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-shh-gate").toString
+      val query = hh.writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+        .start()
+      try {
+        val chunk = math.max(1, (keys.length + 2) / 3)
+        keys.grouped(chunk).foreach { batch =>
+          mem.addData(batch.toIndexedSeq)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      s.table(sink).groupBy(col("key"))
+        .agg(max(col("est")).as("cnt"))
+        .orderBy("key")
+    },
+    Some("""SELECT event_type AS key, count(*) AS cnt
+      FROM events
+      WHERE user_id < 50 AND event_type IS NOT NULL
+      GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(qSessionize, qAsofJoin, qAsofForward,
     qRangeJoin, qFunnel,
     qRolling, qTransitions, qAttribution, qRetention, qCountAcf,
     qKaplanMeier, qXcorr, qTopPaths, qInterarrival, qTwap,
     qLinearAttribution, qChangepoint, qMannKendall, qEwmaChart,
     qScd2, qSeasonal, qNelsonAalen, qStateAsOf, qUserEntropy,
-    qSkipGram, qTimeDecayAttribution, qStreamingSessionize)
+    qSkipGram, qTimeDecayAttribution, qStreamingSessionize,
+    qStreamingHeavyHitters)
 }
