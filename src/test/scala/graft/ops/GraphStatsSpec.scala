@@ -54,4 +54,51 @@ class GraphStatsSpec extends SparkSpec {
     val iso = stats(Seq(("a", "b"), ("c", "d")))
     assert(iso.getLong(2) == 0L && iso.isNullAt(4))
   }
+
+  private def ranks(edges: Seq[(Long, Long)], nodes: Seq[Long],
+      iters: Int = 5): Map[Long, Long] =
+    GraphStats.pageRank(edges.toDF("s", "d"), "s", "d",
+        nodes.toDF("id"), "id", iterations = iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("pageRank: hub of a star in-graph outranks its spokes") {
+    // 1,2,3 all point at 0; 0 is dangling
+    val r = ranks(Seq((1L, 0L), (2L, 0L), (3L, 0L)), Seq(0L, 1L, 2L, 3L))
+    assert(r(0L) > r(1L))
+    assert(r(1L) == r(2L) && r(2L) == r(3L))
+  }
+
+  test("pageRank: integer quanta match the hand-rolled recurrence") {
+    // two nodes, 0 -> 1, node 1 dangling; replicate the exact integer
+    // arithmetic: base + 85*(dangling/N + incoming q div outdeg) div 100
+    val scale = 1000000000000L
+    val n = 2L
+    val base = (scale - scale * 85 / 100) / n
+    var q0 = scale / n; var q1 = scale / n
+    for (_ <- 1 to 5) {
+      val dShare = q1 / n // node 1 is dangling
+      val n0 = base + (85L * (dShare + 0L)) / 100
+      val n1 = base + (85L * (dShare + q0 / 1L)) / 100
+      q0 = n0; q1 = n1
+    }
+    val r = ranks(Seq((0L, 1L)), Seq(0L, 1L))
+    assert(r == Map(0L -> q0, 1L -> q1))
+  }
+
+  test("pageRank: total mass stays within truncation loss of scale") {
+    val r = ranks(Seq((1L, 0L), (2L, 0L), (0L, 2L), (3L, 1L)),
+      Seq(0L, 1L, 2L, 3L, 4L))
+    val total = r.values.sum
+    // every division truncates, so mass only leaks DOWN, and by less
+    // than a few quanta per node per iteration
+    assert(total <= 1000000000000L)
+    assert(total > 999999990000L)
+    assert(r.keySet == Set(0L, 1L, 2L, 3L, 4L))
+  }
+
+  test("pageRank: duplicate and reversed edges are collapsed, not double-counted") {
+    val once = ranks(Seq((0L, 1L)), Seq(0L, 1L))
+    val dup = ranks(Seq((0L, 1L), (0L, 1L)), Seq(0L, 1L))
+    assert(once == dup)
+  }
 }

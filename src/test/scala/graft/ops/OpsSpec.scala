@@ -824,4 +824,61 @@ class OpsSpec extends SparkSpec {
     val again = Sampling.balancedSample(df.repartition(7), "cls", "id")
     assert(got.except(again).count() == 0 && again.except(got).count() == 0)
   }
+
+  test("globalSequencePack: offsets match a window prefix sum, boundaries exact") {
+    // docs with 3, 5, 4, 2 tokens; seqLen 4 ->
+    // offsets 0,3,8,12; first/last seq: [0,0],[0,1],[2,2],[3,3]
+    val docs = Seq(
+      (10L, "a b c"), (20L, "d e f g h"), (30L, "i j k l"),
+      (40L, "m n"), (50L, "   ") // zero tokens: excluded
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.globalSequencePack(docs, "doc_id", "text", 4L)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(out(10L) == ((3L, 0L, 0L, 0L, 1L)))
+    assert(out(20L) == ((5L, 3L, 0L, 1L, 2L)))
+    assert(out(30L) == ((4L, 8L, 2L, 2L, 1L)))
+    assert(out(40L) == ((2L, 12L, 3L, 3L, 1L)))
+    assert(!out.contains(50L))
+  }
+
+  test("globalSequencePack: partition-invariant and gap-free on a bigger corpus") {
+    import org.apache.spark.sql.functions.col
+    val docs = (0L until 200L).map { i =>
+      (i, Seq.fill((i % 7 + 1).toInt)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val a = TextAnalysis.globalSequencePack(docs, "doc_id", "text", 16L)
+    val b = TextAnalysis.globalSequencePack(
+      docs.repartition(13), "doc_id", "text", 16L)
+    assert(a.orderBy("doc_id").collect().toSeq ==
+      b.orderBy("doc_id").collect().toSeq)
+    // the stream is gap-free: each doc starts where the previous ended
+    val rows = a.orderBy("doc_id").collect()
+    var expect = 0L
+    rows.foreach { r =>
+      assert(r.getLong(2) == expect)
+      expect += r.getLong(1)
+    }
+    assert(expect == (0L until 200L).map(_ % 7 + 1).sum)
+  }
+
+  test("cached pair builders return the verified pairs and reuse the build") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "completely different text with no overlap at all here")
+    ).toDF("doc_id", "text")
+    val sh = Dedup.wordShingleTableCached(docs, "doc_id", "text", 3)
+    val direct = Dedup.jaccardPairs(sh, 0.5).collect().toSet
+    val cached1 = Dedup.jaccardPairsCached(sh, 0.5)
+    val cached2 = Dedup.jaccardPairsCached(sh, 0.5)
+    assert(cached1 eq cached2) // same memoized DataFrame instance
+    assert(cached1.collect().toSet == direct)
+    Dedup.clearShingleCache()
+    val cached3 = Dedup.jaccardPairsCached(
+      Dedup.wordShingleTableCached(docs, "doc_id", "text", 3), 0.5)
+    assert(!(cached1 eq cached3)) // clear really drops the memo
+    assert(cached3.collect().toSet == direct)
+  }
 }
