@@ -136,4 +136,35 @@ object Retention {
         round(col("__cum"), 6).as("cumhaz"))
       .orderBy("t")
   }
+
+  /** Daily active/new/returning rollup — the DAU decomposition every
+    * product dashboard leads with: per period, total events, distinct
+    * active keys, keys whose FIRST-ever activity falls in that period
+    * (new), and the rest (returning).
+    *
+    * Scale design: events collapse to (period, key) counts first
+    * (map-side combined), first-seen is a groupBy-min on the key, and
+    * the final rollup joins those two key-partitioned tables — three
+    * hash shuffles on uniform keys, no window, no distinct-over-window.
+    * Period indexing is exact integer division of the epoch column. */
+  def dailyActivity(
+      df: DataFrame, keyCol: String, timeCol: String,
+      period: Long): DataFrame = {
+    require(period > 0, "period must be positive")
+    val ev = df
+      .where(col(keyCol).isNotNull && col(timeCol).isNotNull)
+      .select(col(keyCol).as("__k"),
+        expr(s"${timeCol} div ${period}L").as("day"))
+    val firstDay = ev.groupBy("__k").agg(min(col("day")).as("__first"))
+    val daily = ev.groupBy("day", "__k").agg(count(lit(1)).as("__n"))
+    daily.join(firstDay, "__k")
+      .groupBy("day")
+      .agg(
+        sum(col("__n")).as("n_events"),
+        count(lit(1)).as("active_users"),
+        sum(when(col("day") === col("__first"), 1L).otherwise(0L))
+          .as("new_users"))
+      .withColumn("returning_users",
+        col("active_users") - col("new_users"))
+  }
 }

@@ -216,4 +216,57 @@ object Similarity {
       .where(col("i") < col("j"))
       .select(col("i"), col("j"), col("rank_ij"), col("rank_ji"), col("cos"))
   }
+
+  /** Label-relevance retrieval eval over an embedding index: for each
+    * probe, rank the corpus by exact cosine ([[bruteForceTopK]]'s
+    * rounded-cos + id tie-break, deterministic across engines), score
+    * the top-k with rel = "neighbor shares the probe's label", and emit
+    * the standard eval triple per probe — precision@k, hit@k, NDCG@k.
+    *
+    * The IDCG denominator (best possible DCG given the probe's total
+    * relevant-neighbor count) comes from a k+1-row broadcast lookup
+    * computed once on the driver — no interpreted higher-order
+    * aggregate in the per-row path. DCG sums at most k doubles per
+    * probe; the final 6-dp round absorbs last-ulp engine skew in
+    * log2. */
+  def ndcgLabelRetrieval(
+      probes: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = probes.sparkSession
+    import spark.implicits._
+    val top = bruteForceTopK(probes, corpus, idCol, vecCol, k)
+    val ql = probes.select(col(idCol).as("query_id"),
+      col(labelCol).as("__qlab"))
+    val nl = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("__nlab"))
+    val rel = top
+      .join(broadcast(ql), "query_id")
+      .join(nl, "neighbor_id")
+      .withColumn("__rel",
+        when(col("__qlab") === col("__nlab"), 1.0).otherwise(0.0))
+    val dcg = rel.groupBy("query_id")
+      .agg(
+        sum(col("__rel") / log2(col("rnk") + 1)).as("__dcg"),
+        sum(col("__rel")).as("__hits"))
+    // total relevant per probe = corpus rows sharing the label, minus
+    // self; capped at k for the ideal ranking
+    val labCounts = corpus.groupBy(col(labelCol).as("__qlab"))
+      .agg(count(lit(1)).as("__labn"))
+    val idcgLookup = broadcast((0 to k).map { m =>
+      (m.toLong, (1 to m).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0))).sum)
+    }.toDF("__m", "__idcg"))
+    ql.join(broadcast(labCounts), Seq("__qlab"), "left")
+      .withColumn("__m", least(lit(k.toLong),
+        greatest(coalesce(col("__labn"), lit(1L)) - 1L, lit(0L))))
+      .join(idcgLookup, "__m")
+      .join(dcg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        col("__m").as("n_rel_capped"),
+        round(coalesce(col("__hits"), lit(0.0)) / k, 6).as("precision_at_k"),
+        (coalesce(col("__hits"), lit(0.0)) > 0.0).cast("int").as("hit_at_k"),
+        round(when(col("__idcg") > 0.0,
+            coalesce(col("__dcg"), lit(0.0)) / col("__idcg"))
+          .otherwise(0.0), 6).as("ndcg_at_k"))
+  }
 }

@@ -2411,8 +2411,59 @@ object PipelineQueries {
       FROM documents d LEFT JOIN comp c ON c.n = d.doc_id
       ORDER BY d.doc_id"""))
 
+  /** Retrieval-eval triple over the embedding index
+    * ([[graft.ops.Similarity.ndcgLabelRetrieval]]): precision@5,
+    * hit@5, NDCG@5 per probe with rel = "neighbor shares the probe's
+    * label" — the standard eval a vector-search deployment runs on
+    * labeled holdout probes. Ranking is the q26 rounded-cos + id
+    * tie-break (deterministic across engines); IDCG caps at the
+    * probe's true relevant count. */
+  val qNdcgEval = Q(
+    "q189_ndcg_eval",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      graft.ops.Similarity.ndcgLabelRetrieval(
+          emb.where(col("vec_id") < 50), emb,
+          "vec_id", "embedding", "label", k = 5)
+        .orderBy("query_id")
+    },
+    Some("""WITH q AS (SELECT vec_id, embedding, label FROM embeddings
+          WHERE vec_id < 50),
+      scored AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+          round(list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
+            / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+               * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
+            6) AS cos,
+          q.label AS qlab, e.label AS nlab
+        FROM q JOIN embeddings e ON e.vec_id != q.vec_id),
+      knn AS (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id) AS rnk
+          FROM scored QUALIFY rnk <= 5),
+      labn AS (SELECT label, count(*) AS labn FROM embeddings GROUP BY 1),
+      d AS (SELECT query_id,
+          sum(CASE WHEN qlab = nlab THEN 1.0 ELSE 0.0 END / log2(rnk + 1))
+            AS dcg,
+          sum(CASE WHEN qlab = nlab THEN 1.0 ELSE 0.0 END) AS hits
+        FROM knn GROUP BY 1),
+      m AS (SELECT q.vec_id AS query_id,
+          least(5, greatest(l.labn - 1, 0)) AS mrel
+        FROM q JOIN labn l ON l.label = q.label),
+      i AS (SELECT query_id, mrel,
+          CASE WHEN mrel <= 0 THEN 0.0
+            ELSE list_sum([1.0 / log2(x + 1) FOR x IN range(1, mrel + 1)])
+          END AS idcg
+        FROM m)
+      SELECT i.query_id,
+        CAST(i.mrel AS BIGINT) AS n_rel_capped,
+        round(coalesce(d.hits, 0.0) / 5, 6) AS precision_at_k,
+        CAST(coalesce(d.hits, 0.0) > 0.0 AS INT) AS hit_at_k,
+        round(CASE WHEN i.idcg > 0 THEN coalesce(d.dcg, 0.0) / i.idcg
+          ELSE 0.0 END, 6) AS ndcg_at_k
+      FROM i LEFT JOIN d ON d.query_id = i.query_id
+      ORDER BY i.query_id"""))
+
   val all: Seq[Q] = Seq(
-    qGlobalPacking, qLshCandClusters,
+    qGlobalPacking, qLshCandClusters, qNdcgEval,
     qKmeans, qMutualKnn, qMp3Decode, qCentroidEval, qLabelAgreement,
     qSilhouette, qContainment, qWaterfill, qSourceCentroids,
     qHybridRrf, qClassBalance, qTextRank, qVideoDecode, qTriangles,

@@ -170,5 +170,51 @@ object RelationalQueries {
         SELECT id, CAST(q AS BIGINT) AS rank_q FROM r5 ORDER BY id"""
     })
 
-  val all: Seq[Q] = Seq(qJoinRevenue, qRollup, qSetOps, qPivot, qPageRank)
+  /** Bucketed-layout co-located join on the oracle gate
+    * ([[graft.sources.Bucketing]]): lineitem and orders are WRITTEN as
+    * bucketed+sorted parquet tables on the order key, then joined —
+    * the scan's HashPartitioning satisfies the join's distribution, so
+    * the sort-merge join runs with no Exchange on either side
+    * (BucketingSpec asserts the exchange-free plan; this query
+    * hash-checks the ANSWER of that layout against a plain SQL join).
+    * The write+read round-trip is the point: it proves the persisted
+    * bucket files carry the co-location, not just the in-session
+    * partitioning. */
+  val qBucketedJoin = Q(
+    "q188_bucketed_join",
+    (s, dir) => {
+      val tag = java.util.UUID.randomUUID.toString.replace("-", "")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-bucketed").toString
+      val li = s"graft_li_$tag"; val ord = s"graft_ord_$tag"
+      graft.sources.Bucketing.writeBucketed(
+        table(s, dir, "lineitem").select(
+          col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(18, 4)).as("rev")),
+        li, s"$base/lineitem", "l_orderkey", buckets = 8)
+      graft.sources.Bucketing.writeBucketed(
+        table(s, dir, "orders").select(
+          col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+        ord, s"$base/orders", "l_orderkey", buckets = 8)
+      try {
+        graft.sources.Bucketing.bucketedJoin(s, li, ord, "l_orderkey")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("rev")).cast("double").as("revenue"))
+          .orderBy("o_orderpriority")
+          .localCheckpoint(true) // materialize before the tables drop
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $li")
+        s.sql(s"DROP TABLE IF EXISTS $ord")
+      }
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n_items,
+        CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+          AS DOUBLE) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  val all: Seq[Q] = Seq(qJoinRevenue, qRollup, qSetOps, qPivot, qPageRank,
+    qBucketedJoin)
 }

@@ -1072,6 +1072,33 @@ object TemporalQueries {
       WHERE user_id < 50 AND event_type IS NOT NULL
       GROUP BY 1 ORDER BY 1"""))
 
+  /** Daily active/new/returning decomposition
+    * ([[graft.ops.Retention.dailyActivity]]): per UTC day, total
+    * events, distinct active users, first-ever-seen users, and the
+    * returning remainder — the DAU rollup a product dashboard leads
+    * with. Exact integer day bucketing; three hash shuffles, no
+    * windows. */
+  val qDailyActivity = Q(
+    "q187_daily_activity",
+    (s, dir) =>
+      graft.ops.Retention.dailyActivity(
+          eventsUs(s, dir), "user_id", "ts", 86400000000L)
+        .orderBy("day"),
+    Some("""WITH e AS (SELECT user_id,
+          epoch_us(ts) // 86400000000 AS day
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      f AS (SELECT user_id, min(day) AS first_day FROM e GROUP BY 1),
+      d AS (SELECT day, user_id, count(*) AS n_ev FROM e GROUP BY 1, 2)
+      SELECT day,
+        CAST(sum(n_ev) AS BIGINT) AS n_events,
+        count(*) AS active_users,
+        CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+          AS new_users,
+        count(*) - CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+          AS BIGINT) AS returning_users
+      FROM d JOIN f USING (user_id)
+      GROUP BY day ORDER BY day"""))
+
   val all: Seq[Q] = Seq(qSessionize, qAsofJoin, qAsofForward,
     qRangeJoin, qFunnel,
     qRolling, qTransitions, qAttribution, qRetention, qCountAcf,
@@ -1079,5 +1106,5 @@ object TemporalQueries {
     qLinearAttribution, qChangepoint, qMannKendall, qEwmaChart,
     qScd2, qSeasonal, qNelsonAalen, qStateAsOf, qUserEntropy,
     qSkipGram, qTimeDecayAttribution, qStreamingSessionize,
-    qStreamingHeavyHitters)
+    qStreamingHeavyHitters, qDailyActivity)
 }

@@ -527,4 +527,42 @@ class TemporalSpec extends SparkSpec {
     // z for the 3-count bucket: (3 - 4/168)/sqrt(4/168) >> 3 -> spike
     assert(rows((4, 0))._2 && !rows((1, 0))._2)
   }
+
+  test("dailyActivity: new vs returning split, multi-event days, null keys dropped") {
+    import spark.implicits._
+    // period 10: user 1 active in periods 0 (2 events) and 1; user 2
+    // first appears in period 1; a null user is ignored
+    val ev = Seq(
+      (Option(1L), 1L), (Option(1L), 7L), (Option(1L), 12L),
+      (Option(2L), 15L), (None: Option[Long], 3L)
+    ).toDF("u", "t")
+    val out = Retention.dailyActivity(ev, "u", "t", 10L)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(out(0L) == ((2L, 1L, 1L, 0L))) // 2 events, 1 active, 1 new
+    assert(out(1L) == ((2L, 2L, 1L, 1L))) // user 2 new, user 1 returning
+    assert(out.size == 2)
+  }
+
+  test("ndcgLabelRetrieval: perfect, partial, and zero-relevance probes") {
+    import spark.implicits._
+    // 1-d embeddings: ranking by cosine of same-sign vectors is by
+    // nothing (all cos=1) -> tie-break by id; labels decide relevance
+    def v(x: Double) = Array(x)
+    val emb = Seq(
+      (0L, v(1.0), 7), (1L, v(1.0), 7), (2L, v(1.0), 7),
+      (3L, v(1.0), 8), (4L, v(1.0), 9)
+    ).toDF("id", "vec", "lab")
+    val out = graft.ops.Similarity.ndcgLabelRetrieval(
+        emb.where($"id" === 0 || $"id" === 4), emb, "id", "vec", "lab", 2)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getInt(3),
+        r.getDouble(4))).toMap
+    // probe 0 (label 7): neighbors by id tie-break = 1, 2 -> both
+    // relevant; n_rel = 2 -> ndcg = 1, precision = 1
+    assert(out(0L) == ((2L, 1.0, 1, 1.0)))
+    // probe 4 (label 9): no other label-9 vector -> n_rel 0, all zero
+    assert(out(4L) == ((0L, 0.0, 0, 0.0)))
+  }
 }
