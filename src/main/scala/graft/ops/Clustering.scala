@@ -237,4 +237,57 @@ object Clustering {
           .as("mean_sil"))
       .orderBy("label")
   }
+
+  /** Synchronous semi-supervised label propagation over an undirected
+    * edge list: seeds keep their label forever; every other node takes,
+    * each round, the majority label among its CURRENTLY-labeled
+    * neighbors (tie → smallest label), or keeps its previous label if
+    * no neighbor is labeled yet. `iterations` fixed rounds — all
+    * arithmetic is integer counts with a deterministic tie-break, so
+    * the result is engine-reproducible (same family as the
+    * integer-quanta PageRank).
+    *
+    * Scale design: each round is one hash join of the label table with
+    * the (doubled) edge list plus a map-side-combined groupBy on
+    * (node, label) and a bounded max-struct argmax — no windows over
+    * raw data, no driver transfer at all; per-round localCheckpoint
+    * keeps the loop's lineage flat.
+    *
+    * `nodes` must carry (idCol, seedCol) where seedCol is the seed
+    * label or null. Labels must be non-negative ints (the argmax rides
+    * a (count, -label) struct max). Returns (idCol, label) with label
+    * null where propagation never reached. */
+  def labelPropagation(
+      nodes: DataFrame, idCol: String, seedCol: String,
+      edges: DataFrame, aCol: String, bCol: String,
+      iterations: Int = 5): DataFrame = {
+    require(iterations >= 1)
+    val nd = nodes.select(col(idCol).cast("long").as("id"),
+      col(seedCol).cast("int").as("seed")).localCheckpoint(false)
+    val und = edges
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .unionAll(edges.select(col(bCol).cast("long").as("a"),
+        col(aCol).cast("long").as("b")))
+      .distinct()
+      .localCheckpoint(false)
+    var cur = nd.select(col("id"), col("seed").as("lab"))
+      .localCheckpoint(false)
+    for (_ <- 1 to iterations) {
+      val nbr = und
+        .join(cur.where(col("lab").isNotNull)
+          .select(col("id").as("b"), col("lab")), "b")
+        .groupBy(col("a"), col("lab"))
+        .agg(count(lit(1)).as("cnt"))
+      val best = nbr.groupBy("a")
+        .agg(max(struct(col("cnt"), (-col("lab")).as("nl"))).as("m"))
+        .select(col("a").as("id"), (-col("m.nl")).as("best"))
+      cur = nd.join(best, Seq("id"), "left")
+        .join(cur.select(col("id"), col("lab").as("prev")), "id")
+        .select(col("id"),
+          when(col("seed").isNotNull, col("seed"))
+            .otherwise(coalesce(col("best"), col("prev"))).as("lab"))
+        .localCheckpoint(false)
+    }
+    cur.select(col("id").as(idCol), col("lab").as("label"))
+  }
 }

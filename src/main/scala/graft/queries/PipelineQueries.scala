@@ -2462,8 +2462,73 @@ object PipelineQueries {
       FROM i LEFT JOIN d ON d.query_id = i.query_id
       ORDER BY i.query_id"""))
 
+  /** Semi-supervised label propagation
+    * ([[graft.ops.Clustering.labelPropagation]]): seeds = the labels of
+    * vec_id < 100, propagated 5 synchronous majority-vote rounds over
+    * the q165 mutual-kNN graph — the "label the rest of the corpus
+    * from a labeled sliver" primitive. Deterministic integer votes with
+    * a (count desc, label asc) tie-break; the oracle unrolls the same
+    * five rounds in SQL over the same mutual-kNN edges. */
+  val qLabelProp = Q(
+    "q190_label_propagation",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val edges = Similarity.mutualKnnPairs(emb, "vec_id", "embedding",
+        k = 5)
+      val nodes = emb.select(col("vec_id"),
+        when(col("vec_id") < 100, col("label")).as("seed"))
+      graft.ops.Clustering.labelPropagation(
+          nodes, "vec_id", "seed", edges, "i", "j", iterations = 5)
+        .withColumn("label", col("label").cast("int"))
+        .orderBy("vec_id")
+    },
+    Some {
+      val iterCtes = (1 to 5).map { i =>
+        val prev = s"l${i - 1}"
+        s"""b$i AS (SELECT a AS id, lab FROM (
+            SELECT e.a, p.lab, count(*) AS cnt,
+              row_number() OVER (PARTITION BY e.a
+                ORDER BY count(*) DESC, p.lab ASC) AS rn
+            FROM und e JOIN $prev p ON p.id = e.b AND p.lab IS NOT NULL
+            GROUP BY e.a, p.lab) WHERE rn = 1),
+          l$i AS (SELECT n.id,
+              CASE WHEN n.seed IS NOT NULL THEN n.seed
+                ELSE coalesce(b.lab, p.lab) END AS lab
+            FROM nd n LEFT JOIN b$i b ON b.id = n.id
+            LEFT JOIN $prev p ON p.id = n.id)"""
+      }.mkString(",\n          ")
+      s"""WITH scored AS (SELECT a.vec_id AS query_id,
+              b.vec_id AS neighbor_id,
+              round(list_dot_product(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]) /
+                (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                       a.embedding::DOUBLE[])) *
+                 sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                       b.embedding::DOUBLE[]))), 6) AS cos
+            FROM embeddings a CROSS JOIN embeddings b
+            WHERE a.vec_id != b.vec_id),
+          knn AS (SELECT query_id, neighbor_id, row_number() OVER
+                    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+                    AS rnk
+                  FROM scored QUALIFY rnk <= 5),
+          mut AS (SELECT f.query_id AS i, f.neighbor_id AS j
+                  FROM knn f JOIN knn r
+                    ON r.query_id = f.neighbor_id
+                   AND r.neighbor_id = f.query_id
+                  WHERE f.query_id < f.neighbor_id),
+          und AS (SELECT i AS a, j AS b FROM mut
+                  UNION SELECT j, i FROM mut),
+          nd AS (SELECT vec_id AS id,
+                   CASE WHEN vec_id < 100 THEN label END AS seed
+                 FROM embeddings),
+          l0 AS (SELECT id, seed AS lab FROM nd),
+          $iterCtes
+        SELECT id AS vec_id, CAST(lab AS INT) AS label
+        FROM l5 ORDER BY vec_id"""
+    })
+
   val all: Seq[Q] = Seq(
-    qGlobalPacking, qLshCandClusters, qNdcgEval,
+    qGlobalPacking, qLshCandClusters, qNdcgEval, qLabelProp,
     qKmeans, qMutualKnn, qMp3Decode, qCentroidEval, qLabelAgreement,
     qSilhouette, qContainment, qWaterfill, qSourceCentroids,
     qHybridRrf, qClassBalance, qTextRank, qVideoDecode, qTriangles,

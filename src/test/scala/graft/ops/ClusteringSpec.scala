@@ -99,4 +99,38 @@ class ClusteringSpec extends SparkSpec {
       Clustering.kmeansCentroids(pts, "vec_id", "embedding", 2, 0)
     }
   }
+
+  test("labelPropagation: chain reach, majority vote, tie to smaller label, seeds immutable") {
+    import spark.implicits._
+    // path 0-1-2-3 with seed 0 labeled 7: labels walk down the chain
+    val chain = Seq((0L, Option(7)), (1L, None: Option[Int]),
+      (2L, None: Option[Int]), (3L, None: Option[Int]))
+      .toDF("id", "seed")
+    val chainE = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("a", "b")
+    val out1 = Clustering.labelPropagation(
+        chain, "id", "seed", chainE, "a", "b", iterations = 3)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    assert(out1 == Map(0L -> 7, 1L -> 7, 2L -> 7, 3L -> 7))
+    // node 4 hears labels {5, 5, 9} -> majority 5; node 5 hears {3, 9}
+    // (tie) -> smaller label 3; seed never changes even when outvoted
+    val votes = Seq((0L, Option(5)), (1L, Option(5)), (2L, Option(9)),
+      (3L, Option(3)), (4L, None: Option[Int]), (5L, None: Option[Int]),
+      (6L, Option(1)))
+      .toDF("id", "seed")
+    val votesE = Seq((0L, 4L), (1L, 4L), (2L, 4L), (3L, 5L), (2L, 5L),
+      (0L, 6L), (1L, 6L)).toDF("a", "b")
+    val out2 = Clustering.labelPropagation(
+        votes, "id", "seed", votesE, "a", "b", iterations = 1)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    assert(out2(4L) == 5 && out2(5L) == 3)
+    assert(out2(6L) == 1) // seed outvoted by two 5s, stays 1
+    // isolated unlabeled node stays null
+    val iso = Clustering.labelPropagation(
+        Seq((0L, Option(2)), (9L, None: Option[Int])).toDF("id", "seed"),
+        "id", "seed", Seq((0L, 0L)).toDF("a", "b"), "a", "b", 2)
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!iso(0L) && iso(9L))
+  }
 }
