@@ -310,4 +310,65 @@ object Sampling {
           .otherwise(col("t").cast("double")), 6).as("alloc"))
       .orderBy(groupCol)
   }
+
+  /** EXACT stratified k-fold assignment: within every class, rows are
+    * ranked by the deterministic shuffle key (md5 of the id, ties by
+    * id) and dealt round-robin into `k` folds — so per-class fold
+    * sizes differ by at most one, which a thresholded hash split
+    * ([[splitAssign]]) cannot guarantee.
+    *
+    * The within-class rank uses the repo's two-phase distributed prefix
+    * sum (same shape as [[Ranking.avgRanks]], here at ROW granularity):
+    * range-partition by (class, md5, id), collect per-(partition,
+    * class) row counts (bounded by partitions × classes), prefix-sum on
+    * the driver, broadcast, then a narrow pass deals the folds — no
+    * per-class window, no single-reducer sort. The md5-hex order is
+    * plain ASCII byte order, identical in any engine. */
+  def stratifiedFolds(df: DataFrame, idCol: String, classCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p = spark.sessionState.conf.numShufflePartitions
+    val rows = df.select(
+        col(classCol).cast("string").as("cls"),
+        md5(col(idCol).cast("string").cast("binary")).as("hk"),
+        col(idCol).cast("long").as("id"))
+      .repartitionByRange(p, col("cls"), col("hk"), col("id"))
+      .sortWithinPartitions("cls", "hk", "id")
+      .as[(String, String, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val subtotals: Array[(Int, String, Long)] = rows.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val counts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      it.foreach { case (c, _, _) =>
+        counts.update(c, counts.getOrElse(c, 0L) + 1L) }
+      counts.iterator.map { case (c, n) => (pid, c, n) }
+    }.collect()
+    val offsets: Map[(Int, String), Long] = subtotals
+      .groupBy(_._2)
+      .flatMap { case (c, arr) =>
+        var cum = 0L
+        arr.sortBy(_._1).map { case (pid, _, n) =>
+          val e = ((pid, c), cum); cum += n; e
+        }
+      }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val kk = k.toLong
+    rows.mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var curCls: String = null
+        var pos = 0L
+        it.map { case (c, _, id) =>
+          if (c != curCls) {
+            curCls = c
+            pos = bc.value.getOrElse((pid, c), 0L)
+          }
+          val fold = pos % kk
+          pos += 1
+          (id, c, fold)
+        }
+      }
+      .toDF(idCol, classCol, "fold")
+  }
 }

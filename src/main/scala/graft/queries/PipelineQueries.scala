@@ -2527,8 +2527,27 @@ object PipelineQueries {
         FROM l5 ORDER BY vec_id"""
     })
 
+  /** Exact stratified k-fold assignment
+    * ([[graft.ops.Sampling.stratifiedFolds]]): round-robin deal over
+    * the md5-shuffled within-class rank, so per-class fold sizes differ
+    * by at most one — the cross-validation split a thresholded hash
+    * cannot make exact. Rank comes from the two-phase distributed
+    * prefix sum; the oracle recomputes it as a per-class window over
+    * the same md5 order. */
+  val qStratifiedFolds = Q(
+    "q191_stratified_folds",
+    (s, dir) =>
+      graft.ops.Sampling.stratifiedFolds(
+          table(s, dir, "documents"), "doc_id", "lang", k = 5)
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, lang,
+        (row_number() OVER (PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1) % 5 AS fold
+      FROM documents ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     qGlobalPacking, qLshCandClusters, qNdcgEval, qLabelProp,
+    qStratifiedFolds,
     qKmeans, qMutualKnn, qMp3Decode, qCentroidEval, qLabelAgreement,
     qSilhouette, qContainment, qWaterfill, qSourceCentroids,
     qHybridRrf, qClassBalance, qTextRank, qVideoDecode, qTriangles,

@@ -863,6 +863,27 @@ class OpsSpec extends SparkSpec {
     assert(expect == (0L until 200L).map(_ % 7 + 1).sum)
   }
 
+  test("stratifiedFolds: exact per-class balance, deterministic, partition-invariant") {
+    import org.apache.spark.sql.functions.col
+    val df = (0L until 103L).map(i => (i, s"c${i % 3}")).toDF("id", "cls")
+    val folds = Sampling.stratifiedFolds(df, "id", "cls", 4)
+    val sizes = folds.groupBy("cls", "fold").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // per class, fold sizes differ by at most one and cover all rows
+    Seq("c0", "c1", "c2").foreach { c =>
+      val s = (0L until 4L).map(f => sizes.getOrElse((c, f), 0L))
+      assert(s.max - s.min <= 1, s"$c: $s")
+    }
+    assert(sizes.values.sum == 103L)
+    // each id appears exactly once, and a repartitioned input deals
+    // identically (the md5 order is partition-independent)
+    val again = Sampling.stratifiedFolds(df.repartition(11), "id", "cls", 4)
+    assert(folds.orderBy("id").collect().toSeq ==
+      again.orderBy("id").collect().toSeq)
+    assert(folds.select("id").distinct().count() == 103L)
+  }
+
   test("cached pair builders return the verified pairs and reuse the build") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),
