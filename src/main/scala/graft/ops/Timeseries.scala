@@ -442,4 +442,34 @@ object Timeseries {
         .as("z"))
       .withColumn("spike", coalesce(col("z") > 3.0, lit(false)))
   }
+
+  /** M4 visualization downsampling (Jugel et al., "M4: A
+    * Visualization-Oriented Time Series Data Aggregation", VLDB 2014 —
+    * public algorithm): per time bucket, the first/last/min/max values
+    * — the four points that make a line chart of the bucket
+    * pixel-exact at that resolution, reducing any series to 4 rows per
+    * pixel column no matter the input density.
+    *
+    * One map-side-combined groupBy on the bucket; first/last are
+    * `min_by`/`max_by` over the (ts, tieCol) struct — pure SELECTION,
+    * no float arithmetic, so outputs are bit-exact. At 100 TB this is
+    * the operator a dashboard layer runs instead of shipping raw
+    * points. */
+  def m4Downsample(
+      df: DataFrame, tsUsCol: String, valCol: String, tieCol: String,
+      bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    val e = df
+      .where(col(tsUsCol).isNotNull && col(valCol).isNotNull)
+      .select(expr(s"$tsUsCol div ${bucketUs}L").as("bucket"),
+        col(valCol).as("__v"),
+        struct(col(tsUsCol), col(tieCol)).as("__ord"))
+    e.groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("__v")).as("v_min"),
+        max(col("__v")).as("v_max"),
+        min_by(col("__v"), col("__ord")).as("v_first"),
+        max_by(col("__v"), col("__ord")).as("v_last"))
+  }
 }

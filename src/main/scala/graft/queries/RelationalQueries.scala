@@ -215,6 +215,57 @@ object RelationalQueries {
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  /** TPC-H Q5-shaped six-table star join (local-supplier revenue):
+    * revenue per ASIA nation from 1996-1997 orders where the customer's
+    * and supplier's nations coincide. The deepest join pipeline in the
+    * catalog — region/nation broadcast, the customer⨝orders⨝lineitem
+    * spine shuffles on its keys, and the supplier join carries the
+    * extra n_nationkey equality that makes the plan a genuine
+    * optimizer workout (Catalyst must push both filters below the
+    * joins and pick broadcast vs shuffle per side from sizes). Money
+    * sums ride DECIMAL. */
+  val qStarJoinDeep = Q(
+    "q192_star_join_deep",
+    (s, dir) => {
+      val region = table(s, dir, "region")
+        .where(col("r_name") === "ASIA").select("r_regionkey")
+      val nation = table(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      val cust = table(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val ord = table(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(18, 4)).as("rev"))
+      val supp = table(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      nation.join(region, col("n_regionkey") === col("r_regionkey"))
+        .join(cust, col("c_nationkey") === col("n_nationkey"))
+        .join(ord, col("o_custkey") === col("c_custkey"))
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .join(supp, col("s_suppkey") === col("l_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("rev")).cast("double").as("revenue"))
+        .orderBy("n_name")
+    },
+    Some("""SELECT n_name, count(*) AS n_items,
+        CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+          AS DOUBLE) AS revenue
+      FROM region
+      JOIN nation ON n_regionkey = r_regionkey
+      JOIN customer ON c_nationkey = n_nationkey
+      JOIN orders ON o_custkey = c_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY n_name ORDER BY n_name"""))
+
   val all: Seq[Q] = Seq(qJoinRevenue, qRollup, qSetOps, qPivot, qPageRank,
-    qBucketedJoin)
+    qBucketedJoin, qStarJoinDeep)
 }

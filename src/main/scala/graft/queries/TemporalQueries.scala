@@ -1099,6 +1099,32 @@ object TemporalQueries {
       FROM d JOIN f USING (user_id)
       GROUP BY day ORDER BY day"""))
 
+  /** M4 per-hour downsampling of the event value series
+    * ([[graft.ops.Timeseries.m4Downsample]]): first/last/min/max value
+    * per hour bucket — the pixel-exact line-chart reduction (Jugel et
+    * al. VLDB'14). All four outputs are selections, never arithmetic,
+    * so the hash comparison is bit-exact with no rounding. */
+  val qM4Downsample = Q(
+    "q193_m4_downsample",
+    (s, dir) =>
+      graft.ops.Timeseries.m4Downsample(
+          eventsUs(s, dir), "ts", "value", "event_id", HourUs)
+        .orderBy("bucket"),
+    Some("""WITH e AS (SELECT epoch_us(ts) // 3600000000 AS bucket,
+          value, epoch_us(ts) AS tus, event_id
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+      f AS (SELECT bucket, value,
+          row_number() OVER (PARTITION BY bucket
+            ORDER BY tus, event_id) AS rn_a,
+          row_number() OVER (PARTITION BY bucket
+            ORDER BY tus DESC, event_id DESC) AS rn_d
+        FROM e)
+      SELECT bucket, count(*) AS n,
+        min(value) AS v_min, max(value) AS v_max,
+        max(CASE WHEN rn_a = 1 THEN value END) AS v_first,
+        max(CASE WHEN rn_d = 1 THEN value END) AS v_last
+      FROM f GROUP BY bucket ORDER BY bucket"""))
+
   val all: Seq[Q] = Seq(qSessionize, qAsofJoin, qAsofForward,
     qRangeJoin, qFunnel,
     qRolling, qTransitions, qAttribution, qRetention, qCountAcf,
@@ -1106,5 +1132,5 @@ object TemporalQueries {
     qLinearAttribution, qChangepoint, qMannKendall, qEwmaChart,
     qScd2, qSeasonal, qNelsonAalen, qStateAsOf, qUserEntropy,
     qSkipGram, qTimeDecayAttribution, qStreamingSessionize,
-    qStreamingHeavyHitters, qDailyActivity)
+    qStreamingHeavyHitters, qDailyActivity, qM4Downsample)
 }

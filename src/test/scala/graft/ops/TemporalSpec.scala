@@ -545,6 +545,23 @@ class TemporalSpec extends SparkSpec {
     assert(out.size == 2)
   }
 
+  test("m4Downsample: first/last by time, min/max by value, per-bucket") {
+    import spark.implicits._
+    // bucket 0 (ts 0-9): values 5 (t=1), 9 (t=3), 2 (t=7) ->
+    // first=5, last=2, min=2, max=9; bucket 1: single value
+    val ev = Seq((1L, 10L, 5.0), (3L, 11L, 9.0), (7L, 12L, 2.0),
+      (13L, 14L, 4.0)).toDF("t", "eid", "v")
+    val out = Timeseries.m4Downsample(ev, "t", "v", "eid", 10L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(out(0L) == ((3L, 2.0, 9.0, 5.0, 2.0)))
+    assert(out(1L) == ((1L, 4.0, 4.0, 4.0, 4.0)))
+    // tie on ts: event_id breaks it deterministically
+    val tie = Seq((0L, 1L, 10.0), (0L, 2L, 20.0)).toDF("t", "eid", "v")
+    val t = Timeseries.m4Downsample(tie, "t", "v", "eid", 10L).collect()(0)
+    assert(t.getDouble(4) == 10.0 && t.getDouble(5) == 20.0)
+  }
+
   test("ndcgLabelRetrieval: perfect, partial, and zero-relevance probes") {
     import spark.implicits._
     // 1-d embeddings: ranking by cosine of same-sign vectors is by
