@@ -185,4 +185,32 @@ object FeatureEng {
           .as("lift"))
       .orderBy("bucket")
   }
+
+  /** Hashing-trick text vectorization (Weinberger et al., "Feature
+    * Hashing for Large Scale Multitask Learning", ICML 2009 — public
+    * algorithm): each token maps to index md5₄₈(w) mod `dim` with a
+    * ±1 sign from the next md5 hex digit's parity, and a document's
+    * feature value is the signed token-count sum — collisions cancel
+    * in expectation instead of biasing upward. The whole transform is
+    * explode → groupBy, map-side combined, with a deterministic
+    * md5-derived hash family (no RNG, engine-reproducible: DuckDB
+    * computes the identical indices from the same hex). Zero-valued
+    * features (exact sign cancellations) are kept, so the output is
+    * the true sparse vector. */
+  def hashingTrickFeatures(
+      df: DataFrame, idCol: String, textCol: String,
+      dim: Int): DataFrame = {
+    require(dim >= 2, "dim must be >= 2")
+    val w = df.select(col(idCol).as("id"),
+        explode(TextAnalysis.words(col(textCol))).as("w"))
+      .withColumn("__h", md5(col("w").cast("binary")))
+      .withColumn("feat_idx",
+        expr(s"cast(conv(substring(__h, 1, 12), 16, 10) as bigint) % $dim"))
+      .withColumn("__sign",
+        when(expr("cast(conv(substring(__h, 13, 1), 16, 10) as int)") % 2
+          === 0, 1L).otherwise(-1L))
+    w.groupBy(col("id").as(idCol), col("feat_idx"))
+      .agg(sum(col("__sign")).as("weight"),
+        count(lit(1)).as("n_tokens"))
+  }
 }

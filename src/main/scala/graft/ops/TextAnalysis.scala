@@ -381,6 +381,52 @@ object TextAnalysis {
       .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
   }
 
+  /** Count-min sketch estimates with a DETERMINISTIC md5 hash family
+    * (Cormode & Muthukrishnan 2005 — public algorithm): build `depth`
+    * counter rows of `width` buckets over the corpus's token
+    * occurrences, then answer each probe word with the min counter
+    * across rows. Because the hash family is md5-derived (row r, word
+    * w → md5₄₈("r:w") mod width), the sketch is bit-reproducible in
+    * any engine — which is what lets an ORACLE hash-check a sketch:
+    * est >= true count always, and the overestimate column quantifies
+    * the collision error the width buys.
+    *
+    * Build is one explode → groupBy((row, bucket)) over depth copies of
+    * the token stream (map-side combined, bounded depth×width result);
+    * probes join the bounded counter table. The 100 TB posture of CMS:
+    * counters merge by addition across any partitioning of the
+    * corpus. */
+  def countMinEstimates(
+      df: DataFrame, textCol: String, probes: DataFrame,
+      wordCol: String, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 2)
+    val occ = df.select(explode(words(col(textCol))).as("w"))
+    val rows = (0 until depth).map { r =>
+      occ.select(lit(r).as("r"),
+        expr(s"cast(conv(substring(md5(cast(concat('$r:', w) as binary)), 1, 12), 16, 10) as bigint) % $width")
+          .as("bucket"))
+    }.reduce(_ unionAll _)
+    val counters = rows.groupBy("r", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+    val p = probes.select(col(wordCol).as("word"))
+    val probed = (0 until depth).map { r =>
+      p.select(col("word"), lit(r).as("r"),
+        expr(s"cast(conv(substring(md5(cast(concat('$r:', word) as binary)), 1, 12), 16, 10) as bigint) % $width")
+          .as("bucket"))
+    }.reduce(_ unionAll _)
+    val trueCounts = occ.groupBy(col("w").as("word"))
+      .agg(count(lit(1)).as("true_cnt"))
+    probed
+      .join(counters, Seq("r", "bucket"), "left")
+      .groupBy("word")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+      .join(trueCounts, Seq("word"), "left")
+      .select(col("word"),
+        coalesce(col("true_cnt"), lit(0L)).as("true_cnt"),
+        col("est"),
+        (col("est") - coalesce(col("true_cnt"), lit(0L))).as("overestimate"))
+  }
+
   /** Frequency vocabulary — the tokenizer-prep table (word → id) every
     * training pipeline builds first. One explode→groupBy (map-side
     * combined) over the corpus, a bounded TakeOrdered for the top-N,

@@ -2545,9 +2545,68 @@ object PipelineQueries {
            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1) % 5 AS fold
       FROM documents ORDER BY doc_id"""))
 
+  /** Hashing-trick vectorization
+    * ([[graft.ops.FeatureEng.hashingTrickFeatures]]): every document's
+    * signed 64-dim sparse feature vector from md5-derived indices and
+    * signs — the fixed-width representation a streaming trainer
+    * consumes without a vocabulary pass. Deterministic hash family, so
+    * the oracle rebuilds identical indices from the same hex. */
+  val qFeatureHashing = Q(
+    "q194_feature_hashing",
+    (s, dir) =>
+      graft.ops.FeatureEng.hashingTrickFeatures(
+          table(s, dir, "documents"), "doc_id", "text", dim = 64)
+        .orderBy("doc_id", "feat_idx"),
+    Some(s"""WITH w AS (SELECT doc_id AS id, unnest($dkWords) AS w
+               FROM documents),
+      h AS (SELECT id, md5(w) AS hx FROM w),
+      f AS (SELECT id,
+          ('0x' || substr(hx, 1, 12))::BIGINT % 64 AS feat_idx,
+          CASE WHEN ('0x' || substr(hx, 13, 1))::BIGINT % 2 = 0
+            THEN 1 ELSE -1 END AS sgn
+        FROM h)
+      SELECT id AS doc_id, feat_idx,
+        CAST(sum(sgn) AS BIGINT) AS weight,
+        count(*) AS n_tokens
+      FROM f GROUP BY 1, 2 ORDER BY doc_id, feat_idx"""))
+
+  /** Count-min sketch on the EXACT gate
+    * ([[graft.ops.TextAnalysis.countMinEstimates]]): a 4×512 CMS with
+    * an md5 hash family is bit-reproducible, so DuckDB rebuilds the
+    * same counters and the min-estimate for each top-50 vocabulary
+    * word hash-matches exactly — overestimate >= 0 quantifies the
+    * collision error. The sketch that usually only gets error-bound
+    * tests gets a value-equality oracle. */
+  val qCountMin = Q(
+    "q195_countmin_est",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val probes = graft.ops.TextAnalysis.vocabulary(docs, "text", topN = 50)
+      graft.ops.TextAnalysis.countMinEstimates(
+          docs, "text", probes, "word", depth = 4, width = 512)
+        .orderBy("word")
+    },
+    Some(s"""WITH occ AS (SELECT unnest($dkWords) AS w FROM documents),
+      cnt AS (SELECT w, count(*) AS c FROM occ GROUP BY 1),
+      probe AS (SELECT w AS word, c FROM cnt ORDER BY c DESC, w LIMIT 50),
+      rws AS (SELECT r,
+          ('0x' || substr(md5(r::VARCHAR || ':' || w), 1, 12))::BIGINT
+            % 512 AS bucket
+        FROM occ CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r)),
+      counters AS (SELECT r, bucket, count(*) AS cc FROM rws GROUP BY 1, 2),
+      pb AS (SELECT word, c, r,
+          ('0x' || substr(md5(r::VARCHAR || ':' || word), 1, 12))::BIGINT
+            % 512 AS bucket
+        FROM probe CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r)),
+      e AS (SELECT word, c, min(coalesce(cc, 0)) AS est
+        FROM pb LEFT JOIN counters USING (r, bucket) GROUP BY 1, 2)
+      SELECT word, CAST(c AS BIGINT) AS true_cnt, CAST(est AS BIGINT) AS est,
+        CAST(est - c AS BIGINT) AS overestimate
+      FROM e ORDER BY word"""))
+
   val all: Seq[Q] = Seq(
     qGlobalPacking, qLshCandClusters, qNdcgEval, qLabelProp,
-    qStratifiedFolds,
+    qStratifiedFolds, qFeatureHashing, qCountMin,
     qKmeans, qMutualKnn, qMp3Decode, qCentroidEval, qLabelAgreement,
     qSilhouette, qContainment, qWaterfill, qSourceCentroids,
     qHybridRrf, qClassBalance, qTextRank, qVideoDecode, qTriangles,

@@ -884,6 +884,49 @@ class OpsSpec extends SparkSpec {
     assert(folds.select("id").distinct().count() == 103L)
   }
 
+  test("hashingTrickFeatures: counts ride signs, collisions merge, deterministic") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((1L, "alpha alpha beta"), (2L, "alpha")).toDF("doc_id", "text")
+    val out = FeatureEng.hashingTrickFeatures(docs, "doc_id", "text", 64)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // doc 2's single-token feature has |weight| 1 and n_tokens 1
+    val d2 = rows.filter(_._1._1 == 2L)
+    assert(d2.size == 1 && math.abs(d2.head._2._1) == 1L && d2.head._2._2 == 1L)
+    // doc 1: alpha's feature carries weight ±2 (two tokens, same sign)
+    val d1 = rows.filter(_._1._1 == 1L)
+    assert(d1.values.map(v => math.abs(v._1)).toSeq.sorted == Seq(1L, 2L))
+    // same feature index for the same word across docs
+    val alphaIdx1 = d1.find(_._2._2 == 2L).get._1._2
+    assert(d2.head._1._2 == alphaIdx1)
+    // deterministic under repartition
+    val again = FeatureEng.hashingTrickFeatures(
+      docs.repartition(5), "doc_id", "text", 64)
+    assert(out.orderBy("doc_id", "feat_idx").collect().toSeq ==
+      again.orderBy("doc_id", "feat_idx").collect().toSeq)
+  }
+
+  test("countMinEstimates: est >= true always, exact at generous width") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((1L, "a a a b b c"), (2L, "a b d")).toDF("id", "text")
+    val probes = Seq("a", "b", "c", "d", "zz").toDF("word")
+    // wide sketch: no collisions plausible at width 4096 over 4 words
+    val wide = TextAnalysis.countMinEstimates(docs, "text", probes,
+        "word", depth = 4, width = 4096)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(wide("a") == ((4L, 4L, 0L)))
+    assert(wide("b") == ((3L, 3L, 0L)))
+    assert(wide("c") == ((1L, 1L, 0L)))
+    assert(wide("zz")._1 == 0L) // absent word: true 0, est >= 0
+    // narrow sketch: estimates never undercount
+    val narrow = TextAnalysis.countMinEstimates(docs, "text", probes,
+        "word", depth = 2, width = 2)
+      .collect().map(r => (r.getLong(2), r.getLong(1)))
+    narrow.foreach { case (est, tru) => assert(est >= tru) }
+  }
+
   test("cached pair builders return the verified pairs and reuse the build") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),
