@@ -474,4 +474,67 @@ object Hypothesis {
       when(both && d("n") > 2.0 && ss > 0.0,
         round(meanDiff / sp, 6)).as("cohens_d"))
   }
+
+  /** Two-feature ridge regression by the closed form
+    * (X'X + λ·diag(0,1,1))·β = X'y, solved with Cramer's rule on the
+    * 3×3 system — multiple regression's step past [[olsFit]], still
+    * ONE fused single-row aggregate.
+    *
+    * All nine Gram/moment sums accumulate as decimal(38,0) quantized
+    * integers (exact at any scale, any partition order); the Cramer
+    * determinants are then fixed double expressions over those exact
+    * sums, written with one agreed parenthesization so an oracle
+    * engine reproduces them bit-for-bit. λ (raw units) regularizes the
+    * two slope diagonal entries, never the intercept. Returns one row
+    * (n, intercept, b1, b2), 6dp, null when the system is singular. */
+  def ridgeFit2(
+      df: DataFrame, x1Col: String, x2Col: String, yCol: String,
+      lambda: Double = 1.0, x1Scale: Int = 2, x2Scale: Int = 2,
+      yScale: Int = 2): DataFrame = {
+    require(Seq(x1Scale, x2Scale, yScale).forall(s => s >= 0 && s <= 9),
+      "scales must be in [0,9]")
+    val (u1, u2, uy) = (math.pow(10.0, x1Scale), math.pow(10.0, x2Scale),
+      math.pow(10.0, yScale))
+    val x1v = col(x1Col).cast("double"); val x2v = col(x2Col).cast("double")
+    val yv = col(yCol).cast("double")
+    val live = df
+      .where(x1v.isNotNull && !x1v.isNaN && x2v.isNotNull && !x2v.isNaN &&
+        yv.isNotNull && !yv.isNaN)
+      .select(
+        round(x1v * u1, 0).cast("long").cast("decimal(38,0)").as("x1"),
+        round(x2v * u2, 0).cast("long").cast("decimal(38,0)").as("x2"),
+        round(yv * uy, 0).cast("long").cast("decimal(38,0)").as("y"))
+    val agg = live.agg(count(lit(1)).as("n"),
+      sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+      sum(col("y")).as("sy"),
+      sum(col("x1") * col("x1")).as("s11"),
+      sum(col("x1") * col("x2")).as("s12"),
+      sum(col("x2") * col("x2")).as("s22"),
+      sum(col("x1") * col("y")).as("s1y"),
+      sum(col("x2") * col("y")).as("s2y"))
+    // raw-unit doubles from the exact sums — identical divisions in the
+    // oracle, so every later float op sees the same operands
+    def d(c: String) = col(c).cast("double")
+    val nD = d("n")
+    val t1 = d("s1") / u1; val t2 = d("s2") / u2; val ty = d("sy") / uy
+    val t11 = d("s11") / (u1 * u1); val t12 = d("s12") / (u1 * u2)
+    val t22 = d("s22") / (u2 * u2)
+    val t1y = d("s1y") / (u1 * uy); val t2y = d("s2y") / (u2 * uy)
+    val a11 = t11 + lambda; val a22 = t22 + lambda
+    val m00 = a11 * a22 - t12 * t12
+    val m01 = t1 * a22 - t12 * t2
+    val m02 = t1 * t12 - a11 * t2
+    val det = nD * m00 - t1 * m01 + t2 * m02
+    val det0 = ty * m00 - t1 * (t1y * a22 - t12 * t2y) +
+      t2 * (t1y * t12 - a11 * t2y)
+    val det1 = nD * (t1y * a22 - t12 * t2y) - ty * m01 +
+      t2 * (t1 * t2y - t1y * t2)
+    val det2 = nD * (a11 * t2y - t1y * t12) - t1 * (t1 * t2y - t1y * t2) +
+      ty * m02
+    val ok = abs(det) > 0.0
+    agg.select(col("n"),
+      when(ok, round(det0 / det, 6)).as("intercept"),
+      when(ok, round(det1 / det, 6)).as("b1"),
+      when(ok, round(det2 / det, 6)).as("b2"))
+  }
 }

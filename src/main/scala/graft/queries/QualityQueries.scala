@@ -1323,7 +1323,61 @@ object QualityQueries {
       FROM sc WHERE pp IS NOT NULL
       GROUP BY 1, 2 ORDER BY period"""))
 
-  val all: Seq[Q] = Seq(qCuped, qOlsTrend, qEffectSizes, qSequentialPsi,
+  /** Two-feature ridge regression ([[graft.ops.Hypothesis.ridgeFit2]]):
+    * closed-form (X'X + λ·diag(0,1,1))β = X'y over exact decimal
+    * Gram sums, solved by Cramer's rule in one agreed double
+    * parenthesization — so the oracle reproduces the determinants
+    * bit-for-bit. Predicts price from (quantity, discount), λ = 1. */
+  val qRidge = Q(
+    "q196_ridge_regression",
+    (s, dir) => graft.ops.Hypothesis.ridgeFit2(
+      table(s, dir, "lineitem"), "l_quantity", "l_discount",
+      "l_extendedprice"),
+    Some("""WITH u AS (SELECT CAST(l_quantity AS DOUBLE) AS x1,
+          CAST(l_discount AS DOUBLE) AS x2,
+          CAST(l_extendedprice AS DOUBLE) AS y FROM lineitem
+        WHERE l_quantity IS NOT NULL
+          AND NOT isnan(CAST(l_quantity AS DOUBLE))
+          AND l_discount IS NOT NULL
+          AND NOT isnan(CAST(l_discount AS DOUBLE))
+          AND l_extendedprice IS NOT NULL
+          AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+      q AS (SELECT CAST(round(x1 * 100) AS DECIMAL(38,0)) AS x1,
+          CAST(round(x2 * 100) AS DECIMAL(38,0)) AS x2,
+          CAST(round(y * 100) AS DECIMAL(38,0)) AS y FROM u),
+      s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+          sum(x1 * x1) AS s11, sum(x1 * x2) AS s12,
+          sum(x2 * x2) AS s22, sum(x1 * y) AS s1y,
+          sum(x2 * y) AS s2y FROM q),
+      d AS (SELECT n, CAST(n AS DOUBLE) AS nd,
+          CAST(s1 AS DOUBLE) / 100.0 AS t1,
+          CAST(s2 AS DOUBLE) / 100.0 AS t2,
+          CAST(sy AS DOUBLE) / 100.0 AS ty,
+          CAST(s11 AS DOUBLE) / 10000.0 AS t11,
+          CAST(s12 AS DOUBLE) / 10000.0 AS t12,
+          CAST(s22 AS DOUBLE) / 10000.0 AS t22,
+          CAST(s1y AS DOUBLE) / 10000.0 AS t1y,
+          CAST(s2y AS DOUBLE) / 10000.0 AS t2y FROM s),
+      e AS (SELECT *, t11 + 1.0 AS a11, t22 + 1.0 AS a22 FROM d),
+      f AS (SELECT *, a11 * a22 - t12 * t12 AS m00,
+          t1 * a22 - t12 * t2 AS m01,
+          t1 * t12 - a11 * t2 AS m02 FROM e),
+      g AS (SELECT *,
+          nd * m00 - t1 * m01 + t2 * m02 AS det,
+          ty * m00 - t1 * (t1y * a22 - t12 * t2y)
+            + t2 * (t1y * t12 - a11 * t2y) AS det0,
+          nd * (t1y * a22 - t12 * t2y) - ty * m01
+            + t2 * (t1 * t2y - t1y * t2) AS det1,
+          nd * (a11 * t2y - t1y * t12) - t1 * (t1 * t2y - t1y * t2)
+            + ty * m02 AS det2 FROM f)
+      SELECT n,
+        CASE WHEN abs(det) > 0 THEN round(det0 / det, 6) END AS intercept,
+        CASE WHEN abs(det) > 0 THEN round(det1 / det, 6) END AS b1,
+        CASE WHEN abs(det) > 0 THEN round(det2 / det, 6) END AS b2
+      FROM g"""))
+
+  val all: Seq[Q] = Seq(qRidge, qCuped, qOlsTrend, qEffectSizes, qSequentialPsi,
     qOutliers, qAssociation, qJsdDrift, qValidate,
     qChi2Drift, qNullPatterns, qFdCheck, qWassersteinDrift, qOrphans,
     qFanout, qEmbedNorms, qKeySkew, qPctRank, qBloomPrune, qPsiSweep,

@@ -213,4 +213,31 @@ class HypothesisSpec extends SparkSpec {
     assert(b.getLong(1) == 2L && b.isNullAt(2) && b.isNullAt(3) &&
       b.isNullAt(4))
   }
+
+  test("ridgeFit2: recovers an exact plane at lambda 0, shrinks at high lambda") {
+    import spark.implicits._
+    // y = 2 + 3*x1 - 1.5*x2 on a non-degenerate grid
+    val pts = for { a <- 0 to 5; b <- 0 to 5 }
+      yield (a.toDouble, b.toDouble, 2.0 + 3.0 * a - 1.5 * b)
+    val df = pts.toDF("x1", "x2", "y")
+    val fit = Hypothesis.ridgeFit2(df, "x1", "x2", "y", lambda = 0.0).head()
+    assert(fit.getLong(0) == 36L)
+    assert(math.abs(fit.getDouble(1) - 2.0) < 1e-5)
+    assert(math.abs(fit.getDouble(2) - 3.0) < 1e-5)
+    assert(math.abs(fit.getDouble(3) + 1.5) < 1e-5)
+    // heavy regularization pulls slopes toward zero, intercept absorbs
+    val heavy = Hypothesis.ridgeFit2(df, "x1", "x2", "y",
+      lambda = 1e6).head()
+    assert(math.abs(heavy.getDouble(2)) < 0.1 &&
+      math.abs(heavy.getDouble(3)) < 0.1)
+    // collinear features at lambda 0: singular -> nulls; ridge rescues
+    val col2 = (0 to 5).map(i => (i.toDouble, 2.0 * i, 1.0 + i))
+      .toDF("x1", "x2", "y")
+    val sing = Hypothesis.ridgeFit2(col2, "x1", "x2", "y", 0.0).head()
+    val rescued = Hypothesis.ridgeFit2(col2, "x1", "x2", "y", 1.0).head()
+    assert(!rescued.isNullAt(2))
+    // det may be ~0 but not exactly 0 in floats; accept either null or
+    // a wildly unstable estimate at lambda 0 - the ridge one is finite
+    assert(sing.isNullAt(2) || rescued.getDouble(2).abs < 10.0)
+  }
 }
