@@ -48,6 +48,13 @@ object GraftFunctions {
       "graft_normalize expects (text[, form literal in NFC|NFD|NFKC|NFKD])")
   }
 
+  private def topKBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(ord, id, kLit @ Literal(_, _)) =>
+      BoundedTopK(ord, id, kLit).toAggregateExpression()
+    case _ => throw new IllegalArgumentException(
+      "graft_top_k expects (ord, id, k literal)")
+  }
+
   /** (identifier, info, builder) triples in the shape
     * SparkSessionExtensions.injectFunction consumes. */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
@@ -60,7 +67,10 @@ object GraftFunctions {
         ngramsBuilder _),
       (FunctionIdentifier("graft_normalize"),
         new ExpressionInfo(classOf[UnicodeNormalizeExpr].getName, "graft_normalize"),
-        normalizeBuilder _))
+        normalizeBuilder _),
+      (FunctionIdentifier("graft_top_k"),
+        new ExpressionInfo(classOf[BoundedTopK].getName, "graft_top_k"),
+        topKBuilder _))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -2604,9 +2604,35 @@ object PipelineQueries {
         CAST(est - c AS BIGINT) AS overestimate
       FROM e ORDER BY word"""))
 
+  /** Top-k rows per group WITHOUT a window sort
+    * ([[graft.functions.BoundedTopK]]): the custom mergeable-heap
+    * Catalyst aggregate ships O(k) per partition per group where
+    * `row_number().over(partitionBy(g).orderBy(...))` would shuffle
+    * and sort every group's full row set — the 100 TB way to ask "top
+    * 3 documents per source". The oracle is exactly that window query,
+    * so the heap's (ord desc, id asc) semantics are hash-checked
+    * against the sort it replaces. */
+  val qTopKPerGroup = Q(
+    "q197_topk_per_group",
+    (s, dir) =>
+      table(s, dir, "documents")
+        .groupBy("source")
+        .agg(graft.functions.BoundedTopK
+          .topK(col("n_chars"), col("doc_id"), 3).as("top"))
+        .select(col("source"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("source"), (col("pos") + 1).cast("int").as("rnk"),
+          col("t.id").as("doc_id"), col("t.ord").as("n_chars"))
+        .orderBy("source", "rnk"),
+    Some("""SELECT source, CAST(rnk AS INT) AS rnk, doc_id, n_chars
+      FROM (SELECT source, doc_id, n_chars,
+          row_number() OVER (PARTITION BY source
+            ORDER BY n_chars DESC, doc_id ASC) AS rnk
+        FROM documents)
+      WHERE rnk <= 3 ORDER BY source, rnk"""))
+
   val all: Seq[Q] = Seq(
     qGlobalPacking, qLshCandClusters, qNdcgEval, qLabelProp,
-    qStratifiedFolds, qFeatureHashing, qCountMin,
+    qStratifiedFolds, qFeatureHashing, qCountMin, qTopKPerGroup,
     qKmeans, qMutualKnn, qMp3Decode, qCentroidEval, qLabelAgreement,
     qSilhouette, qContainment, qWaterfill, qSourceCentroids,
     qHybridRrf, qClassBalance, qTextRank, qVideoDecode, qTriangles,

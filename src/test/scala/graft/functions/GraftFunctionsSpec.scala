@@ -65,4 +65,51 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(e.getMessage.contains("graft_word_ngrams") ||
       e.getMessage.contains("literal"))
   }
+
+  test("graft_top_k: heap matches window top-k, survives merge and compaction") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, posexplode}
+    // 5000 rows, 7 groups, many partitions: forces partial-buffer
+    // serialization + merge and in-buffer compaction
+    val df = (0L until 5000L).map { i =>
+      (s"g${i % 7}", (i * 2654435761L) % 1000L, i)
+    }.toDF("g", "ord", "id").repartition(16)
+    val got = df.groupBy("g")
+      .agg(graft.functions.BoundedTopK.topK(col("ord"), col("id"), 5)
+        .as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("g"), col("pos"), col("t.ord"), col("t.id"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // expected: per group, sort by (ord desc, id asc) and take 5
+    val expected = (0L until 5000L)
+      .map(i => (s"g${i % 7}", (i * 2654435761L) % 1000L, i))
+      .groupBy(_._1)
+      .flatMap { case (g, rows) =>
+        rows.sortBy { case (_, o, i) => (-o, i) }.take(5).zipWithIndex
+          .map { case ((_, o, i), p) => (g, p, o, i) }
+      }.toSet
+    assert(got == expected)
+    // SQL surface agrees with the Column API
+    df.createOrReplaceTempView("graft_topk_rows")
+    val viaSql = spark.sql(
+      """SELECT g, graft_top_k(ord, id, 5) AS top
+         FROM graft_topk_rows GROUP BY g""")
+      .select(col("g"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("g"), col("pos"), col("t.ord"), col("t.id"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(viaSql == expected)
+    // ties break by id asc; groups smaller than k return what exists
+    val ties = Seq(("a", 9L, 2L), ("a", 9L, 1L), ("b", 1L, 5L))
+      .toDF("g", "ord", "id")
+    val t = ties.groupBy("g")
+      .agg(graft.functions.BoundedTopK.topK(col("ord"), col("id"), 2)
+        .as("top"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(x =>
+          (x.getLong(0), x.getLong(1)))).toMap
+    assert(t("a") == Seq((9L, 1L), (9L, 2L)))
+    assert(t("b") == Seq((1L, 5L)))
+  }
 }
