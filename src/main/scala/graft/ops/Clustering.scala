@@ -47,7 +47,7 @@ object Clustering {
         lit(cid).as("cid"))
     }
     corpus.withColumn("cid",
-      array_sort(array(scored: _*)).getItem(0).getField("cid"))
+      sort_array(array(scored: _*)).getItem(0).getField("cid"))
   }
 
   /** `rounds` Lloyd iterations from the deterministic lowest-id init;

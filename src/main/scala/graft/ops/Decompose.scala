@@ -77,7 +77,7 @@ object Decompose {
   }
 
   /** Canonicalize MapType columns so maps become group-able/comparable:
-    * `array_sort(map_entries(m))` cast to string. Spark SQL cannot
+    * `sort_array(map_entries(m))` cast to string. Spark SQL cannot
     * GROUP BY or compare a map; the reference canonicalizes to
     * `array(map_keys, map_values)` for the same reason
     * (model/series_wrappers.py:64-66, dataframe_wrappers.py:520-531) but
@@ -92,7 +92,7 @@ object Decompose {
       val c = col("`" + f.name.replace("`", "``") + "`")
       f.dataType match {
         case _: MapType =>
-          array_sort(map_entries(c)).cast("string").as(f.name)
+          sort_array(map_entries(c)).cast("string").as(f.name)
         case _ => c
       }
     }: _*)

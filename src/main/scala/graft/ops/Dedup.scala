@@ -65,7 +65,7 @@ object Dedup {
       .agg(
         array_join(
           transform(
-            array_sort(collect_list(struct(col("__pos").as("p"),
+            sort_array(collect_list(struct(col("__pos").as("p"),
               col("__line").as("l")))),
             x => x.getField("l")),
           sep).as("cleaned"),

@@ -49,7 +49,7 @@ object Skew {
         // canonicalize each entry FIRST (values may nest further maps,
         // and struct ordering over a map-bearing value is unsupported),
         // then sort on the resulting string pairs
-        array_sort(transform(map_entries(c), e => struct(
+        sort_array(transform(map_entries(c), e => struct(
           canon(e.getField("key"), kt).cast("string").as("key"),
           canon(e.getField("value"), vt).cast("string").as("value"))))
           .cast("string")

@@ -531,7 +531,7 @@ object TextAnalysis {
       .groupBy("__id")
       .agg(
         transform(
-          array_sort(collect_list(struct(col("__pos").as("p"),
+          sort_array(collect_list(struct(col("__pos").as("p"),
             coalesce(col("__vid"), lit(oovId)).as("v")))),
           x => x.getField("v")).as("token_ids"),
         count(lit(1)).as("n_tokens"),
