@@ -266,6 +266,39 @@ object RelationalQueries {
         AND o_orderdate < TIMESTAMP '1998-01-01'
       GROUP BY n_name ORDER BY n_name"""))
 
+  /** File-level zone-map audit ([[graft.sources.ZoneMaps.fileZoneMap]]):
+    * per physical lineitem file, the ship-date envelope (epoch micros)
+    * and whether a 1998-only or pre-1996 predicate would skip the file
+    * outright — the data-skipping readout a layout review runs. The
+    * oracle names the single canonical file literally (the synthetic
+    * tables are one file each); the Spark side genuinely groups on
+    * `input_file_name()` and generalizes to many files. */
+  val qZoneMap = Q(
+    "q198_zone_map",
+    (s, dir) => {
+      val shipUs = unix_micros(col("l_shipdate").cast("timestamp"))
+      graft.sources.ZoneMaps.fileZoneMap(
+          table(s, dir, "lineitem").select(shipUs.as("ship_us")),
+          "ship_us",
+          Map(
+            // [1998-01-01, 1999-01-01) and (-inf, 1996-01-01)
+            "prunes_1998" -> (883612800000000L, 915148800000000L),
+            "prunes_pre1996" -> (Long.MinValue, 820454400000000L)))
+        .orderBy("file")
+    },
+    Some("""SELECT 'lineitem.parquet' AS file,
+        count(*) AS n_rows,
+        min(epoch_us(l_shipdate)) AS v_min,
+        max(epoch_us(l_shipdate)) AS v_max,
+        (max(epoch_us(l_shipdate)) < epoch_us(TIMESTAMP '1998-01-01')
+         OR min(epoch_us(l_shipdate)) >= epoch_us(TIMESTAMP '1999-01-01'))
+          AS prunes_1998,
+        (max(epoch_us(l_shipdate)) < -9223372036854775808
+         OR min(epoch_us(l_shipdate)) >= epoch_us(TIMESTAMP '1996-01-01'))
+          AS prunes_pre1996
+      FROM lineitem WHERE l_shipdate IS NOT NULL
+      GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(qJoinRevenue, qRollup, qSetOps, qPivot, qPageRank,
-    qBucketedJoin, qStarJoinDeep)
+    qBucketedJoin, qStarJoinDeep, qZoneMap)
 }
