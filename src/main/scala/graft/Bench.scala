@@ -271,13 +271,46 @@ object Bench {
         q.stop()
         deleteRecursively(new java.io.File(ckpt))
       }
+      val rtSec = timeIt("s08_streaming_running_totals") {
+        val prev = spark.conf.getOption(
+          "spark.sql.streaming.stateStore.providerClass")
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val mem = MemoryStream[(String, Double)]
+          val ckpt = java.nio.file.Files
+            .createTempDirectory(s"graft-bench-srt-$tag").toString
+          val q = graft.streaming.StreamingRunningTotals.runningTotals(
+              mem.toDF.toDF("k", "v"), "k", "v")
+            .writeStream.format("memory").queryName(s"bench_srt_$tag")
+            .option("checkpointLocation", ckpt)
+            .outputMode(OutputMode.Update()).start()
+          (0 until 5).foreach { b =>
+            // 20k updates/batch over 2k live keys (RocksDB-backed
+            // transformWithState state: one (count, sum) pair per key)
+            mem.addData((0 until 20000).map { i =>
+              val n = b * 20000 + i
+              (s"k${n % 2000}", (n % 97).toDouble)
+            })
+            q.processAllAvailable()
+          }
+          q.stop()
+          deleteRecursively(new java.io.File(ckpt))
+        } finally prev match {
+          case Some(v) => spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", v)
+          case None => spark.conf.unset(
+            "spark.sql.streaming.stateStore.providerClass")
+        }
+      }
       Map("s01_streaming_profile" -> profileSec,
         "s02_streaming_dedup" -> dedupSec,
         "s03_streaming_sessionize" -> sessSec,
         "s04_streaming_drift" -> driftSec,
         "s05_streaming_interval_join" -> joinSec,
         "s06_streaming_heavy_hitters" -> hhSec,
-        "s07_streaming_approx_distinct" -> adSec)
+        "s07_streaming_approx_distinct" -> adSec,
+        "s08_streaming_running_totals" -> rtSec)
     }
     val sPass1 = streamingOnce("p1")
     val sPass2 = streamingOnce("p2")

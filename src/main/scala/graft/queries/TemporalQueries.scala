@@ -1125,6 +1125,68 @@ object TemporalQueries {
         max(CASE WHEN rn_d = 1 THEN value END) AS v_last
       FROM f GROUP BY bucket ORDER BY bucket"""))
 
+  /** STREAMING running totals on the correctness gate — Spark 4's
+    * `transformWithState` (arbitrary-state v2, RocksDB state store)
+    * driving per-key live counters over three micro-batches
+    * ([[graft.streaming.StreamingRunningTotals]]). Values are
+    * pre-quantized with floor(v·1e6 + 0.5) so the processor's
+    * sequential double accumulation is integer-exact and
+    * order-independent; the final snapshot per key (max_by on the
+    * monotone count) must equal a plain GROUP BY over the same slice,
+    * de-quantized at 6 dp. */
+  val qStreamingRunningTotals = Q(
+    "q199_streaming_running_totals",
+    (s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val rows = QueryCatalog.table(s, dir, "events")
+        .where(col("user_id") < 40 && col("event_type").isNotNull &&
+          col("value").isNotNull)
+        .select(col("event_type"),
+          floor(col("value") * 1e6 + 0.5).cast("double"))
+        .as[(String, Double)].collect()
+      val prev = s.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val mem = MemoryStream[(String, Double)]
+        val out = graft.streaming.StreamingRunningTotals.runningTotals(
+          mem.toDF.toDF("k", "v"), "k", "v")
+        val sink = "graft_srt_" +
+          java.util.UUID.randomUUID.toString.replace("-", "")
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft-srt-gate").toString
+        val query = out.writeStream.format("memory").queryName(sink)
+          .option("checkpointLocation", ckpt)
+          .outputMode("update").start()
+        try {
+          val chunk = math.max(1, (rows.length + 2) / 3)
+          rows.grouped(chunk).foreach { batch =>
+            mem.addData(batch.toIndexedSeq)
+            query.processAllAvailable()
+          }
+        } finally query.stop()
+        s.table(sink).groupBy(col("key"))
+          .agg(max(col("n")).as("n_events"),
+            round(expr("max_by(sum, n)") / 1e6, 6).as("sum_value"))
+          .orderBy("key")
+      } finally prev match {
+        case Some(v) => s.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => s.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    },
+    Some("""SELECT event_type AS key,
+        count(*) AS n_events,
+        round(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) / 1e6, 6)
+          AS sum_value
+      FROM events
+      WHERE user_id < 40 AND event_type IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(qSessionize, qAsofJoin, qAsofForward,
     qRangeJoin, qFunnel,
     qRolling, qTransitions, qAttribution, qRetention, qCountAcf,
@@ -1132,5 +1194,6 @@ object TemporalQueries {
     qLinearAttribution, qChangepoint, qMannKendall, qEwmaChart,
     qScd2, qSeasonal, qNelsonAalen, qStateAsOf, qUserEntropy,
     qSkipGram, qTimeDecayAttribution, qStreamingSessionize,
-    qStreamingHeavyHitters, qDailyActivity, qM4Downsample)
+    qStreamingHeavyHitters, qDailyActivity, qM4Downsample,
+    qStreamingRunningTotals)
 }
