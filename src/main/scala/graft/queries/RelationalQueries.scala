@@ -299,6 +299,87 @@ object RelationalQueries {
       FROM lineitem WHERE l_shipdate IS NOT NULL
       GROUP BY 1 ORDER BY 1"""))
 
+  /** TPC-H Q3-shaped shipping-priority query: top-10 unshipped-window
+    * orders by revenue for one customer segment — filter pushdown into
+    * three scans, a two-fact join spine, and a bounded TakeOrdered
+    * instead of a global sort. Revenue ranks on the EXACT decimal sum
+    * (order-deterministic), cast to double only for output. */
+  val qTpchQ3 = Q(
+    "q200_tpch_q3",
+    (s, dir) => {
+      val cust = table(s, dir, "customer")
+        .where(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val ord = table(s, dir, "orders")
+        .where(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val li = table(s, dir, "lineitem")
+        .where(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(18, 4)).as("rev"))
+      cust.join(ord, col("o_custkey") === col("c_custkey"))
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(sum(col("rev")).as("rev_exact"))
+        .orderBy(col("rev_exact").desc, col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"),
+          col("rev_exact").cast("double").as("revenue"),
+          unix_micros(col("o_orderdate").cast("timestamp"))
+            .as("o_orderdate_us"),
+          col("o_orderpriority"))
+    },
+    Some("""SELECT l_orderkey,
+        CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+          AS DOUBLE) AS revenue,
+        epoch_us(o_orderdate) AS o_orderdate_us, o_orderpriority
+      FROM customer JOIN orders ON o_custkey = c_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+        AND l_shipdate > TIMESTAMP '1997-01-01'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY sum(CAST(l_extendedprice * (1 - l_discount)
+        AS DECIMAL(18,4))) DESC, l_orderkey
+      LIMIT 10"""))
+
+  /** TPC-H Q18-shaped large-volume-customer query: orders whose total
+    * quantity exceeds a threshold (HAVING on an exact decimal sum — a
+    * semi-join-reducible aggregate), joined back to the customer, top
+    * 100 by (o_totalprice desc, o_orderkey). All ranking keys exact
+    * (decimal/bigint), so the cutoff is engine-deterministic. */
+  val qTpchQ18 = Q(
+    "q201_tpch_q18",
+    (s, dir) => {
+      val bigOrders = table(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("qty"))
+        .where(col("qty") > 300)
+      val ord = table(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val cust = table(s, dir, "customer").select("c_custkey", "c_name")
+      bigOrders
+        .join(ord, col("o_orderkey") === col("l_orderkey"))
+        .join(cust, col("c_custkey") === col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select(col("c_name"), col("o_orderkey"),
+          col("o_totalprice").cast("double").as("o_totalprice"),
+          col("qty").cast("double").as("total_qty"))
+    },
+    Some("""WITH big AS (SELECT l_orderkey,
+          sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        FROM lineitem GROUP BY 1
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+      SELECT c_name, o_orderkey, CAST(o_totalprice AS DOUBLE)
+          AS o_totalprice,
+        CAST(qty AS DOUBLE) AS total_qty
+      FROM big JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 100"""))
+
   val all: Seq[Q] = Seq(qJoinRevenue, qRollup, qSetOps, qPivot, qPageRank,
-    qBucketedJoin, qStarJoinDeep, qZoneMap)
+    qBucketedJoin, qStarJoinDeep, qZoneMap, qTpchQ3, qTpchQ18)
 }
