@@ -44,4 +44,93 @@ object EmbeddingStats {
       round(avg(col("norm")), 8).as("avg_norm"),
       max(col("norm")).as("max_norm"))
   }
+
+  /** Per-vector symmetric int8 quantization error — the fidelity audit
+    * run before shipping an embedding corpus to a quantized ANN index
+    * (the scalar-quantization scheme of Faiss' SQ8 / the int8 path
+    * every serving stack offers): scale = amax/127 per vector,
+    * code = floor(v/scale + 0.5) in [-127, 127], error = v - code·scale.
+    *
+    * Exactness discipline: elements are widened float→double (exact),
+    * amax comes from codegen'd `array_max`/`array_min` (no lambda HOF),
+    * and the per-element squared errors are floor(e²·10¹⁵ + 0.5)
+    * -quantized to longs before summing, so the per-vector SSE is
+    * order-invariant and bit-reproducible cross-engine (the
+    * [[Clustering]] quantized-sum pattern; at |e| ≤ amax/254 the long
+    * sum is nowhere near overflow for any real dimension count).
+    * One explode + one map-side-combined groupBy on the vector id —
+    * embarrassingly parallel at any corpus size.
+    *
+    * Returns (idCol, n_dims, amax, sse, max_abs_err, rel_err):
+    * amax/max_abs_err/rel_err rounded to 6 dp, sse an exact multiple
+    * of 10⁻¹⁵. Zero vectors (amax = 0) are excluded — int8 encodes
+    * them losslessly and their relative error is undefined. */
+  def int8QuantizationError(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val amax = greatest(array_max(v), -array_min(v))
+    val base = df
+      .where(v.isNotNull)
+      .select(col(idCol).as("id"), v.as("v"), amax.as("amax"),
+        round(StatFunctions.l2Norm(v), 9).as("norm"))
+      .where(col("amax") > 0.0)
+    val scale = col("amax") / lit(127.0)
+    val err = col("val") - floor(col("val") / scale + lit(0.5)) * scale
+    base
+      .select(col("id"), col("amax"), col("norm"),
+        explode(col("v")).as("val"))
+      .select(col("id"), col("amax"), col("norm"),
+        floor(err * err * lit(1e15) + lit(0.5)).cast("long").as("se_q"),
+        floor(abs(err) * lit(1e9) + lit(0.5)).cast("long").as("ae_q"))
+      .groupBy("id", "amax", "norm")
+      .agg(count(lit(1)).as("n_dims"),
+        sum(col("se_q")).as("sse_q"),
+        max(col("ae_q")).as("maxe_q"))
+      .select(col("id").as(idCol),
+        col("n_dims"),
+        round(col("amax"), 6).as("amax"),
+        (col("sse_q").cast("double") / lit(1e15)).as("sse"),
+        (col("maxe_q").cast("double") / lit(1e9)).as("max_abs_err"),
+        round(sqrt(col("sse_q").cast("double") / lit(1e15)) / col("norm"),
+          6).as("rel_err"))
+  }
+
+  /** Matryoshka-style truncation fidelity per label group: how much of
+    * each vector's energy the first d/2 and d/4 coordinates retain
+    * (Kusupati et al., "Matryoshka Representation Learning", NeurIPS
+    * 2022 — truncating a nested embedding trades recall for index
+    * size). For a truncation-vs-full cosine this IS the number:
+    * cos(v, v[1..k] zero-padded) = ‖v[1..k]‖ / ‖v‖.
+    *
+    * Per-vector ratios are 6 dp-rounded (exact multiples of 10⁻⁶),
+    * then group means ride exact integer sums of those units — no
+    * order-dependent double accumulation anywhere. One map-only
+    * projection (slice + the codegen'd [[graft.functions.ArrayDot]]
+    * self-products) + one tiny groupBy on the label. Zero vectors are
+    * excluded (ratio undefined). Returns
+    * (labelCol, n, avg_keep_half, avg_keep_quarter, min_keep_half). */
+  def truncationFidelity(df: DataFrame, labelCol: String,
+      vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val full = StatFunctions.l2Norm(v)
+    def keep(frac: Int): org.apache.spark.sql.Column = round(
+      StatFunctions.l2Norm(
+        slice(v, lit(1), (size(v) / frac).cast("int"))) / full,
+      6)
+    df.where(v.isNotNull && full > 0.0)
+      .select(col(labelCol).as("label"),
+        floor(keep(2) * lit(1e6) + lit(0.5)).cast("long").as("kh_q"),
+        floor(keep(4) * lit(1e6) + lit(0.5)).cast("long").as("kq_q"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sum(col("kh_q")).as("sh"),
+        sum(col("kq_q")).as("sq"),
+        min(col("kh_q")).as("mh"))
+      .select(col("label").as(labelCol), col("n"),
+        round(col("sh").cast("double") / col("n") / lit(1e6), 8)
+          .as("avg_keep_half"),
+        round(col("sq").cast("double") / col("n") / lit(1e6), 8)
+          .as("avg_keep_quarter"),
+        (col("mh").cast("double") / lit(1e6)).as("min_keep_half"))
+  }
 }

@@ -66,4 +66,32 @@ object JoinHealth {
       round(avg(col("c")), 8).as("avg_fanout"),
       max(col("c")).as("max_fanout"))
   }
+
+  /** Exact equi-join output size WITHOUT executing the join:
+    * |A ⋈ B| = Σ_k d_A(k)·d_B(k) over matching keys — the first-order
+    * statistic every cost-based optimizer wants before committing to
+    * a join order, and the skew tripwire (`max_key_rows / join_rows`)
+    * that says whether the 100 TB shuffle needs salting BEFORE the
+    * straggler appears. Two map-side-combined degree aggregations +
+    * one join on the (far smaller) distinct-key tables: the cost
+    * scales with key cardinality, never with the fact-table fanout
+    * the real join would materialize — which is the point of
+    * estimating. Returns one row: (join_rows, n_matched_keys,
+    * max_key_rows, skew_frac 6dp). */
+  def joinSizeEstimate(a: DataFrame, aKey: String,
+      b: DataFrame, bKey: String): DataFrame = {
+    val da = a.where(col(aKey).isNotNull)
+      .groupBy(col(aKey).as("k")).agg(count(lit(1)).as("da"))
+    val db = b.where(col(bKey).isNotNull)
+      .groupBy(col(bKey).as("k")).agg(count(lit(1)).as("db"))
+    da.join(db, "k")
+      .select((col("da") * col("db")).as("prod"))
+      .agg(sum(col("prod")).as("join_rows"),
+        count(lit(1)).as("n_matched_keys"),
+        max(col("prod")).as("max_key_rows"))
+      .select(col("join_rows"), col("n_matched_keys"),
+        col("max_key_rows"),
+        round(col("max_key_rows").cast("double") / col("join_rows"), 6)
+          .as("skew_frac"))
+  }
 }

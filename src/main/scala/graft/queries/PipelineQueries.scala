@@ -2630,6 +2630,103 @@ object PipelineQueries {
         FROM documents)
       WHERE rnk <= 3 ORDER BY source, rnk"""))
 
+  /** Deterministic per-group uniform sample WITHOUT a window: bottom-5
+    * documents per source by portable md5 hash, via the mergeable
+    * [[graft.functions.BoundedTopK]] aggregate over the NEGATED hash
+    * ordinal — the second production use of the custom aggregate
+    * (q197 ranks by size; this one hash-samples), shipping O(k) bytes
+    * per partition per group where the window formulation shuffles
+    * every row of the group to one reducer. The md5 ordinal makes the
+    * "random" sample exactly reproducible in any engine — the
+    * ORDER-BY-rand() sample that can sit on a value-equality gate. */
+  val qGroupSample = Q(
+    "q211_group_sample",
+    (s, dir) => {
+      val hk = expr("cast(conv(substring(md5(cast(cast(doc_id as string)" +
+        " as binary)), 1, 12), 16, 10) as bigint)")
+      table(s, dir, "documents")
+        .groupBy("source")
+        .agg(graft.functions.BoundedTopK
+          .topK(-hk, col("doc_id"), 5).as("top"))
+        .select(col("source"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("source"), (col("pos") + 1).cast("int").as("rnk"),
+          col("t.id").as("doc_id"))
+        .orderBy("source", "rnk")
+    },
+    Some("""SELECT source, CAST(rnk AS INT) AS rnk, doc_id
+      FROM (SELECT source, doc_id,
+          row_number() OVER (PARTITION BY source
+            ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+              ::BIGINT ASC, doc_id ASC) AS rnk
+        FROM documents)
+      WHERE rnk <= 5 ORDER BY source, rnk"""))
+
+  /** Per-vector int8 scalar-quantization fidelity
+    * ([[graft.ops.EmbeddingStats.int8QuantizationError]]): the SQ8
+    * compression audit (scale = amax/127, code = floor(v/scale+0.5))
+    * with order-invariant quantized-long error sums, so the SSE and
+    * max-error of a lossy compression scheme sit on the exact gate.
+    * One explode + one groupBy — map-side combined, any scale. */
+  val qInt8Quant = Q(
+    "q203_embed_int8_quant",
+    (s, dir) => graft.ops.EmbeddingStats.int8QuantizationError(
+        table(s, dir, "embeddings"), "vec_id", "embedding")
+      .orderBy("vec_id"),
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        FROM embeddings WHERE embedding IS NOT NULL),
+      m AS (SELECT vec_id, v,
+          greatest(list_max(v), -list_min(v)) AS amax,
+          round(sqrt(list_dot_product(v, v)), 9) AS norm
+        FROM e),
+      x AS (SELECT vec_id, amax, norm, unnest(v) AS val
+        FROM m WHERE amax > 0.0),
+      q AS (SELECT vec_id, amax, norm,
+          val - floor(val / (amax / 127.0) + 0.5) * (amax / 127.0)
+            AS err
+        FROM x),
+      a AS (SELECT vec_id, amax, norm, count(*) AS n_dims,
+          CAST(sum(CAST(floor(err * err * 1e15 + 0.5) AS BIGINT))
+            AS BIGINT) AS sse_q,
+          max(CAST(floor(abs(err) * 1e9 + 0.5) AS BIGINT)) AS maxe_q
+        FROM q GROUP BY 1, 2, 3)
+      SELECT vec_id, n_dims, round(amax, 6) AS amax,
+        CAST(sse_q AS DOUBLE) / 1e15 AS sse,
+        CAST(maxe_q AS DOUBLE) / 1e9 AS max_abs_err,
+        round(sqrt(CAST(sse_q AS DOUBLE) / 1e15) / norm, 6) AS rel_err
+      FROM a ORDER BY vec_id"""))
+
+  /** Matryoshka truncation fidelity per label
+    * ([[graft.ops.EmbeddingStats.truncationFidelity]]): retained
+    * energy — equivalently cos(full, prefix) — at d/2 and d/4
+    * truncations, group means over exact 10⁻⁶-unit integer sums. The
+    * "how many dims can the index drop" capacity-planning number. */
+  val qTruncFidelity = Q(
+    "q204_embed_truncation",
+    (s, dir) => graft.ops.EmbeddingStats.truncationFidelity(
+        table(s, dir, "embeddings"), "label", "embedding")
+      .orderBy("label"),
+    Some("""WITH e AS (SELECT label, embedding::DOUBLE[] AS v
+        FROM embeddings WHERE embedding IS NOT NULL),
+      n AS (SELECT label, sqrt(list_dot_product(v, v)) AS fn,
+          sqrt(list_dot_product(v[1:CAST(len(v) // 2 AS INT)],
+                                v[1:CAST(len(v) // 2 AS INT)])) AS half,
+          sqrt(list_dot_product(v[1:CAST(len(v) // 4 AS INT)],
+                                v[1:CAST(len(v) // 4 AS INT)])) AS quart
+        FROM e),
+      k AS (SELECT label,
+          CAST(floor(round(half / fn, 6) * 1e6 + 0.5) AS BIGINT)
+            AS kh_q,
+          CAST(floor(round(quart / fn, 6) * 1e6 + 0.5) AS BIGINT)
+            AS kq_q
+        FROM n WHERE fn > 0.0)
+      SELECT label, count(*) AS n,
+        round(CAST(sum(kh_q) AS DOUBLE) / count(*) / 1e6, 8)
+          AS avg_keep_half,
+        round(CAST(sum(kq_q) AS DOUBLE) / count(*) / 1e6, 8)
+          AS avg_keep_quarter,
+        CAST(min(kh_q) AS DOUBLE) / 1e6 AS min_keep_half
+      FROM k GROUP BY label ORDER BY label"""))
+
   val all: Seq[Q] = Seq(
     qGlobalPacking, qLshCandClusters, qNdcgEval, qLabelProp,
     qStratifiedFolds, qFeatureHashing, qCountMin, qTopKPerGroup,
@@ -2649,5 +2746,6 @@ object PipelineQueries {
     qEmbedTopK, qEmbedTopKIvf, qEmbedTopKIvfPersisted, qEmbedNearDup,
     qLangId, qTextQuality,
     qTokenCounts, qFingerprint, qRepetitionFilter, qPiiScan,
-    qMultimodalMeta, qMultimodalDecode, qImageDecode, qExifDecode)
+    qMultimodalMeta, qMultimodalDecode, qImageDecode, qExifDecode,
+    qInt8Quant, qTruncFidelity, qGroupSample)
 }

@@ -1377,7 +1377,31 @@ object QualityQueries {
         CASE WHEN abs(det) > 0 THEN round(det2 / det, 6) END AS b2
       FROM g"""))
 
+  /** Exact join-size estimation from degree tables
+    * ([[graft.ops.JoinHealth.joinSizeEstimate]]): the CBO statistic
+    * |orders ⋈ lineitem| = Σ_k d_o(k)·d_l(k) plus the single-key skew
+    * share, computed from two degree aggregations without
+    * materializing the join — cost follows key cardinality, not join
+    * output. The pre-flight check before a 100 TB shuffle. */
+  val qJoinSize = Q(
+    "q210_join_size_estimate",
+    (s, dir) => JoinHealth.joinSizeEstimate(
+      table(s, dir, "orders"), "o_orderkey",
+      table(s, dir, "lineitem"), "l_orderkey"),
+    Some("""WITH da AS (SELECT o_orderkey AS k, count(*) AS da
+        FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1),
+      db AS (SELECT l_orderkey AS k, count(*) AS db
+        FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
+      p AS (SELECT da.da * db.db AS prod FROM da JOIN db USING (k))
+      SELECT CAST(sum(prod) AS BIGINT) AS join_rows,
+        count(*) AS n_matched_keys,
+        CAST(max(prod) AS BIGINT) AS max_key_rows,
+        round(CAST(max(prod) AS DOUBLE) / CAST(sum(prod) AS DOUBLE), 6)
+          AS skew_frac
+      FROM p"""))
+
   val all: Seq[Q] = Seq(qRidge, qCuped, qOlsTrend, qEffectSizes, qSequentialPsi,
+    qJoinSize,
     qOutliers, qAssociation, qJsdDrift, qValidate,
     qChi2Drift, qNullPatterns, qFdCheck, qWassersteinDrift, qOrphans,
     qFanout, qEmbedNorms, qKeySkew, qPctRank, qBloomPrune, qPsiSweep,

@@ -380,6 +380,202 @@ object RelationalQueries {
       ORDER BY o_totalprice DESC, o_orderkey
       LIMIT 100"""))
 
+  /** Z-order (Morton) clustering audit ([[graft.ops.ZOrder]]): every
+    * lineitem row's (l_extendedprice, l_quantity) pair is mapped to a
+    * 20-bit z-value by bit-interleaving 10-bit scaled bucket ordinals,
+    * and the z-domain's 64 contiguous ranges — the "files" a
+    * z-ordered table write would produce — report count + per-dim
+    * bounding boxes. Tight boxes on BOTH dims are what makes the
+    * layout prunable for range predicates on EITHER column (the
+    * Delta/Iceberg Z-ORDER argument; q198 audits the single-column
+    * layout this one generalizes). The entire computation is
+    * closed-form codegen'd arithmetic (floor/least/shift/and), so the
+    * physical-layout decision sits on a value-equality oracle. */
+  val qZOrderLayout = Q(
+    "q202_zorder_layout",
+    (s, dir) => graft.ops.ZOrder.zBucketStats(
+      table(s, dir, "lineitem"), "l_extendedprice", "l_quantity",
+      bits = 10, buckets = 64),
+    Some("""WITH src AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x,
+          CAST(l_quantity AS DOUBLE) AS y
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+      b AS (SELECT min(x) AS mnx, max(x) AS mxx,
+          min(y) AS mny, max(y) AS mxy FROM src),
+      s AS (SELECT x, y,
+          CAST(least(floor((x - b.mnx) / ((b.mxx - b.mnx) / 1024.0)),
+            1023.0) AS BIGINT) AS xb,
+          CAST(least(floor((y - b.mny) / ((b.mxy - b.mny) / 1024.0)),
+            1023.0) AS BIGINT) AS yb
+        FROM src, b),
+      z AS (SELECT x, y,
+          CAST(list_sum([(((xb >> k) & 1) << (2 * k)) +
+            (((yb >> k) & 1) << (2 * k + 1)) FOR k IN range(0, 10)])
+            AS BIGINT) AS z
+        FROM s)
+      SELECT z >> 14 AS zbucket, count(*) AS n,
+        min(x) AS mn_x, max(x) AS mx_x,
+        min(y) AS mn_y, max(y) AS mx_y
+      FROM z GROUP BY 1 ORDER BY 1"""))
+
+  /** Data-skipping effectiveness of three physical layouts for the
+    * SAME probe box ([[graft.ops.ZOrder.skipEffectiveness]]): carve
+    * lineitem into 64 "files" by z-range, by x-range, and by a
+    * portable md5 hash (the unclustered baseline), then count files
+    * whose min/max zone maps let an x-predicate, a y-predicate, and
+    * the conjunctive box skip them. Map-only file assignment + three
+    * 64-group rollups — the audit itself is shuffle-light at any
+    * scale. The z layout is the only one that skips on both dims. */
+  val qSkipEffect = Q(
+    "q208_skip_effectiveness",
+    (s, dir) => graft.ops.ZOrder.skipEffectiveness(
+      table(s, dir, "lineitem")
+        .withColumn("rid",
+          (col("l_orderkey") * 10 + col("l_linenumber")).cast("string")),
+      "rid", "l_extendedprice", "l_quantity",
+      xLo = 20000.0, xHi = 30000.0, yLo = 10.0, yHi = 20.0,
+      bits = 10, buckets = 64),
+    Some("""WITH src AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x,
+          CAST(l_quantity AS DOUBLE) AS y,
+          CAST(l_orderkey * 10 + l_linenumber AS VARCHAR) AS rid
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+      b AS (SELECT min(x) AS mnx, max(x) AS mxx,
+          min(y) AS mny, max(y) AS mxy FROM src),
+      s AS (SELECT x, y, rid,
+          CAST(least(floor((x - b.mnx) / ((b.mxx - b.mnx) / 1024.0)),
+            1023.0) AS BIGINT) AS xb,
+          CAST(least(floor((y - b.mny) / ((b.mxy - b.mny) / 1024.0)),
+            1023.0) AS BIGINT) AS yb,
+          CAST(least(floor((x - b.mnx) / ((b.mxx - b.mnx) / 64.0)),
+            63.0) AS BIGINT) AS f_x,
+          ('0x' || substr(md5(rid), 1, 12))::BIGINT % 64 AS f_h
+        FROM src, b),
+      z AS (SELECT x, y, f_x, f_h,
+          CAST(list_sum([(((xb >> k) & 1) << (2 * k)) +
+            (((yb >> k) & 1) << (2 * k + 1)) FOR k IN range(0, 10)])
+            AS BIGINT) >> 14 AS f_z
+        FROM s),
+      l AS (
+        SELECT 'zorder' AS layout, f_z AS f, x, y FROM z
+        UNION ALL SELECT 'xsort', f_x, x, y FROM z
+        UNION ALL SELECT 'arrival', f_h, x, y FROM z),
+      fb AS (SELECT layout, f, min(x) AS fmnx, max(x) AS fmxx,
+          min(y) AS fmny, max(y) AS fmxy
+        FROM l GROUP BY 1, 2)
+      SELECT layout, count(*) AS n_files,
+        count(*) FILTER (fmxx < 20000.0 OR fmnx > 30000.0)
+          AS x_skip_files,
+        count(*) FILTER (fmxy < 10.0 OR fmny > 20.0) AS y_skip_files,
+        count(*) FILTER (fmxx < 20000.0 OR fmnx > 30000.0
+          OR fmxy < 10.0 OR fmny > 20.0) AS box_skip_files
+      FROM fb GROUP BY layout ORDER BY layout"""))
+
+  /** TPC-H Q4-shaped correlated EXISTS: order-priority counts over a
+    * date window where a correlated lineitem subquery references the
+    * OUTER row's o_orderdate in its predicate (shipped > 60 days
+    * after order). Declared through `spark.sql` so Catalyst's
+    * subquery DECORRELATION runs — the rewrite into a left-semi join
+    * on (key, inequality) is the planner surface this row pins;
+    * hand-building the semi join would bypass it. */
+  val qCorrelatedExists = Q(
+    "q205_correlated_exists",
+    (s, dir) => {
+      val tag = java.util.UUID.randomUUID.toString.replace("-", "")
+        .take(8)
+      table(s, dir, "orders").createOrReplaceTempView(s"ord_$tag")
+      table(s, dir, "lineitem").createOrReplaceTempView(s"li_$tag")
+      s.sql(s"""SELECT o_orderpriority, count(*) AS n_orders
+        FROM ord_$tag
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-07-01'
+          AND EXISTS (SELECT 1 FROM li_$tag
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n_orders
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1996-07-01'
+        AND EXISTS (SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** TPC-H Q22-shaped anti join with scalar subqueries: customers
+    * whose balance exceeds the positive-balance mean AND who placed no
+    * order on/after 2001-01-01, rolled up by market segment. The mean
+    * comparison is exact integer cross-multiplication on cent-
+    * quantized balances (bal·n > Σbal — no decimal division whose
+    * result type differs across engines), and the NOT EXISTS
+    * decorrelates into a left-anti hash join. */
+  val qAntiJoinQ22 = Q(
+    "q206_anti_join_balance",
+    (s, dir) => {
+      val tag = java.util.UUID.randomUUID.toString.replace("-", "")
+        .take(8)
+      table(s, dir, "customer").createOrReplaceTempView(s"cust_$tag")
+      table(s, dir, "orders").createOrReplaceTempView(s"ord2_$tag")
+      s.sql(s"""SELECT c_mktsegment, count(*) AS n_cust,
+          CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+            AS DOUBLE) / 100 AS total_bal
+        FROM cust_$tag c
+        WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+            * (SELECT count(*) FROM cust_$tag WHERE c_acctbal > 0.0)
+          > (SELECT sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+             FROM cust_$tag WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM ord2_$tag o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n_cust,
+        CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+          AS DOUBLE) / 100 AS total_bal
+      FROM customer c
+      WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+          * (SELECT count(*) FROM customer WHERE c_acctbal > 0.0)
+        > (SELECT sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+           FROM customer WHERE c_acctbal > 0.0)
+        AND NOT EXISTS (SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** CUBE over (event_type, ISO weekday): all four grouping-set
+    * granularities of the activity matrix in ONE partial-agg shuffle
+    * (q74 pins ROLLUP's three levels; CUBE adds the cross slices).
+    * Weekday is ISO (1=Mon) on both engines — Spark's weekday()+1
+    * equals DuckDB's isodow() — and sums ride decimal. */
+  val qCubeEvents = Q(
+    "q207_cube_events",
+    (s, dir) => {
+      val ev = QueryCatalog.eventsUs(s, dir)
+        .where(col("event_type").isNotNull)
+        .select(col("event_type"),
+          (expr("weekday(timestamp_micros(ts))") + 1).cast("int").as("dw"),
+          col("value"))
+      ev.cube("event_type", "dw")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 6))).cast("double")
+            .as("sum_value"),
+          grouping(col("event_type")).cast("long").as("g_type"),
+          grouping(col("dw")).cast("long").as("g_dow"))
+        .orderBy(asc_nulls_first("event_type"), asc_nulls_first("dw"))
+    },
+    Some("""WITH e AS (SELECT event_type, CAST(isodow(ts) AS INT) AS dw,
+          value
+        FROM events WHERE event_type IS NOT NULL)
+      SELECT event_type, dw, count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+        CAST(GROUPING(dw) AS BIGINT) AS g_dow
+      FROM e GROUP BY CUBE(event_type, dw)
+      ORDER BY event_type NULLS FIRST, dw NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(qJoinRevenue, qRollup, qSetOps, qPivot, qPageRank,
-    qBucketedJoin, qStarJoinDeep, qZoneMap, qTpchQ3, qTpchQ18)
+    qBucketedJoin, qStarJoinDeep, qZoneMap, qTpchQ3, qTpchQ18,
+    qZOrderLayout, qCorrelatedExists, qAntiJoinQ22, qCubeEvents,
+    qSkipEffect)
 }

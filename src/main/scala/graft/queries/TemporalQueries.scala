@@ -1187,6 +1187,73 @@ object TemporalQueries {
       WHERE user_id < 40 AND event_type IS NOT NULL AND value IS NOT NULL
       GROUP BY 1 ORDER BY 1"""))
 
+  /** STREAMING stream–static enrichment on the correctness gate
+    * ([[graft.streaming.StreamingEnrich.enrichedWindowStats]]): a
+    * bounded events slice flows through a real MemoryStream, is
+    * inner-joined per micro-batch to the STATIC customer dimension
+    * (broadcast, stateless — the enrichment join holds no state, only
+    * the windowed aggregation does), and aggregates per (UTC day,
+    * market segment). The q182 watermark-flush protocol applies: all
+    * real rows in one batch, then two far-future sentinel batches
+    * advance the watermark so Append mode emits every window. The
+    * sentinel key (-1) has no dimension row, so the join drops it
+    * before the aggregation — but the watermark operator sits
+    * UPSTREAM of the join, so the sentinel still advances event time:
+    * the protocol works precisely because watermark tracking is
+    * per-source, not per-surviving-row. Oracle = the same join + day
+    * bucketing in DuckDB batch SQL. */
+  val qStreamingEnrich = Q(
+    "q209_streaming_enrich",
+    (s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.OutputMode
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val slice = eventsUs(s, dir)
+        .where(col("user_id") < 30)
+        .select(col("user_id"), col("ts"), col("value"))
+        .as[(Long, Long, Double)].collect()
+      val maxTs = slice.iterator.map(_._2).max
+      val mem = MemoryStream[(Long, Long, Double)]
+      val src = mem.toDF.toDF("user_id", "tus", "value")
+        .select(col("user_id"),
+          timestamp_micros(col("tus")).as("ts"), col("value"))
+      val dim = QueryCatalog.table(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      val enriched = graft.streaming.StreamingEnrich.enrichedWindowStats(
+        src, dim, "user_id", "ts", "value", "c_mktsegment",
+        windowDuration = "1 day", watermark = "0 seconds")
+      val sink = "graft_senr_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-senr-gate").toString
+      val query = enriched.writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        mem.addData(slice.toIndexedSeq)
+        query.processAllAvailable()
+        mem.addData((-1L, maxTs + 40L * 24 * HourUs, 0.0))
+        query.processAllAvailable()
+        mem.addData((-1L, maxTs + 80L * 24 * HourUs, 0.0))
+        query.processAllAvailable()
+      } finally query.stop()
+      s.table(sink)
+        .select(unix_micros(col("window.start")).as("day_start_us"),
+          col("attr").as("segment"),
+          col("n_events"),
+          col("sum_value").cast("double").as("sum_value"))
+        .orderBy("day_start_us", "segment")
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS tus, value
+        FROM events WHERE user_id < 30),
+      j AS (SELECT (e.tus // 86400000000) * 86400000000 AS day_start_us,
+          c.c_mktsegment AS segment, e.value
+        FROM e JOIN customer c ON c.c_custkey = e.user_id)
+      SELECT day_start_us, segment, count(*) AS n_events,
+        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM j GROUP BY 1, 2 ORDER BY day_start_us, segment"""))
+
   val all: Seq[Q] = Seq(qSessionize, qAsofJoin, qAsofForward,
     qRangeJoin, qFunnel,
     qRolling, qTransitions, qAttribution, qRetention, qCountAcf,
@@ -1195,5 +1262,5 @@ object TemporalQueries {
     qScd2, qSeasonal, qNelsonAalen, qStateAsOf, qUserEntropy,
     qSkipGram, qTimeDecayAttribution, qStreamingSessionize,
     qStreamingHeavyHitters, qDailyActivity, qM4Downsample,
-    qStreamingRunningTotals)
+    qStreamingRunningTotals, qStreamingEnrich)
 }
