@@ -142,22 +142,28 @@ object ZOrder {
         // hash scatter: portable md5-derived file ordinal
         (conv(substring(md5(col("id").cast("binary")), 1, 12), 16, 10)
           .cast("long") % buckets).as("f_h"))
-    val layouts = Seq(("zorder", "f_z"), ("xsort", "f_x"),
-      ("arrival", "f_h"))
-    layouts.map { case (name, fcol) =>
-      keyed.groupBy(col(fcol).as("file"))
-        .agg(min(col("x")).as("fmnx"), max(col("x")).as("fmxx"),
-          min(col("y")).as("fmny"), max(col("y")).as("fmxy"))
-        .agg(
-          lit(name).as("layout"),
-          count(lit(1)).as("n_files"),
-          count(when(col("fmxx") < xLo || col("fmnx") > xHi, 1))
-            .as("x_skip_files"),
-          count(when(col("fmxy") < yLo || col("fmny") > yHi, 1))
-            .as("y_skip_files"),
-          count(when(col("fmxx") < xLo || col("fmnx") > xHi ||
-            col("fmxy") < yLo || col("fmny") > yHi, 1))
-            .as("box_skip_files"))
-    }.reduce(_ unionAll _).orderBy("layout")
+    // melt the three layout assignments so the audit is ONE input scan
+    // (bounded 3x fanout) + one (3*buckets)-group rollup, instead of
+    // one scan per layout
+    keyed
+      .select(col("x"), col("y"), explode(array(
+        struct(lit("zorder").as("layout"), col("f_z").as("file")),
+        struct(lit("xsort").as("layout"), col("f_x").as("file")),
+        struct(lit("arrival").as("layout"), col("f_h").as("file"))))
+        .as("lf"))
+      .groupBy(col("lf.layout").as("layout"), col("lf.file").as("file"))
+      .agg(min(col("x")).as("fmnx"), max(col("x")).as("fmxx"),
+        min(col("y")).as("fmny"), max(col("y")).as("fmxy"))
+      .groupBy("layout")
+      .agg(
+        count(lit(1)).as("n_files"),
+        count(when(col("fmxx") < xLo || col("fmnx") > xHi, 1))
+          .as("x_skip_files"),
+        count(when(col("fmxy") < yLo || col("fmny") > yHi, 1))
+          .as("y_skip_files"),
+        count(when(col("fmxx") < xLo || col("fmnx") > xHi ||
+          col("fmxy") < yLo || col("fmny") > yHi, 1))
+          .as("box_skip_files"))
+      .orderBy("layout")
   }
 }
