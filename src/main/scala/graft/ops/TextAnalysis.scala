@@ -663,4 +663,71 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("gram"))
       .limit(k)
   }
+
+  /** Distributed BPE merge learning (Sennrich et al., "Neural Machine
+    * Translation of Rare Words with Subword Units", ACL 2016 — the
+    * byte-pair-encoding loop behind GPT/SentencePiece vocabularies):
+    * learn the first `rounds` merge rules over the corpus. Per round:
+    * count adjacent symbol pairs weighted by word frequency, pick the
+    * most frequent pair ((count desc, pair asc) — fully
+    * deterministic), fuse every occurrence, repeat.
+    *
+    * The distributed shape is the textbook one: BPE operates on the
+    * WORD-FREQUENCY table, not the corpus — one corpus scan builds
+    * (word, cnt) (vocabulary-sized, millions of rows at 100 TB, not
+    * trillions), localCheckpointed once; each round is then a pair
+    * explode + map-side-combined groupBy + bounded top-1 + broadcast
+    * of the single winning rule into a map-only fuse projection. No
+    * per-round corpus rescan, no window, driver transfer = 1 row per
+    * round.
+    *
+    * Fuse semantics: symbols live space-joined with sentinel spaces
+    * (`' a b c '`), and a merge applies via
+    * `replace(s, ' a b ', ' ab ')` — left-to-right, non-overlapping,
+    * scan resuming AFTER each replacement. Both engines' `replace`
+    * share that exact contract, which makes the learned rules
+    * value-comparable cross-engine; it deviates from textbook BPE
+    * only on runs of the same overlapping pair (`a a a a` fuses once,
+    * not twice, per pass), a tie the reference tokenizers themselves
+    * break inconsistently.
+    *
+    * Returns one row per learned rule: (rnd, a, b, pair_count). */
+  def bpeMerges(df: DataFrame, textCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val spark = df.sparkSession
+    // vocabulary pass: (word, cnt), symbols pre-split char-wise with
+    // sentinel spaces: "abc" -> " a b c "
+    var seqs = df.where(col(textCol).isNotNull)
+      .select(explode(words(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(
+        concat(lit(" "),
+          regexp_replace(col("word"), "(.)", "$1 ")).as("s"),
+        col("cnt"))
+      .localCheckpoint(false)
+    val rules = (1 to rounds).map { r =>
+      val pairs = seqs
+        .select(split(trim(col("s")), " ").as("ws"), col("cnt"))
+        .where(size(col("ws")) >= 2)
+        .select(
+          slice(col("ws"), lit(1), size(col("ws")) - 1).as("la"),
+          slice(col("ws"), lit(2), size(col("ws")) - 1).as("lb"),
+          col("cnt"))
+        .select(explode(arrays_zip(col("la"), col("lb"))).as("p"),
+          col("cnt"))
+        .select(col("p.la").as("a"), col("p.lb").as("b"), col("cnt"))
+        .groupBy("a", "b").agg(sum(col("cnt")).as("pair_count"))
+      val top = pairs
+        .orderBy(col("pair_count").desc, col("a"), col("b"))
+        .limit(1)
+        .localCheckpoint(false)
+      seqs = seqs.crossJoin(broadcast(top))
+        .select(expr("replace(s, concat(' ', a, ' ', b, ' '), " +
+          "concat(' ', a, b, ' '))").as("s"), col("cnt"))
+        .localCheckpoint(false)
+      top.select(lit(r).as("rnd"), col("a"), col("b"), col("pair_count"))
+    }
+    rules.reduce(_ unionAll _).orderBy("rnd")
+  }
 }

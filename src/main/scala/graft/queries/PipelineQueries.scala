@@ -2630,6 +2630,47 @@ object PipelineQueries {
         FROM documents)
       WHERE rnk <= 3 ORDER BY source, rnk"""))
 
+  /** Distributed BPE merge learning on the exact gate
+    * ([[graft.ops.TextAnalysis.bpeMerges]]): the first three
+    * byte-pair-encoding merge rules learned from the corpus'
+    * word-frequency table — pair counting, deterministic top-pair
+    * selection, and the fuse step all value-match a DuckDB unroll of
+    * the same three rounds. Tokenizer TRAINING (not just encoding,
+    * q108's job) as a gate-checked distributed operator. */
+  val qBpeMerges = Q(
+    "q212_bpe_merges",
+    (s, dir) => graft.ops.TextAnalysis.bpeMerges(
+      table(s, dir, "documents"), "text", rounds = 3),
+    Some {
+      val rounds = (1 to 3).map { r =>
+        val prev = s"s${r - 1}"
+        s"""p$r AS (SELECT u['a'] AS a, u['b'] AS b,
+            CAST(sum(cnt) AS BIGINT) AS pair_count FROM (
+          SELECT unnest([{'a': ws[i], 'b': ws[i + 1]}
+              for i in range(1, len(ws))]) AS u, cnt
+          FROM (SELECT string_split(trim(s), ' ') AS ws, cnt
+                FROM $prev)
+          WHERE len(ws) >= 2)
+        GROUP BY 1, 2),
+      m$r AS (SELECT a, b, pair_count FROM p$r
+        ORDER BY pair_count DESC, a, b LIMIT 1),
+      s$r AS (SELECT replace(s, ' ' || m$r.a || ' ' || m$r.b || ' ',
+          ' ' || m$r.a || m$r.b || ' ') AS s, cnt
+        FROM $prev, m$r)"""
+      }.mkString(",\n      ")
+      s"""WITH w AS (SELECT word, count(*) AS cnt FROM (
+          SELECT unnest(list_filter(string_split_regex(lower(text),
+            '\\s+'), x -> length(x) > 0)) AS word FROM documents)
+        GROUP BY word),
+      s0 AS (SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g')
+          AS s, cnt FROM w),
+      $rounds
+      SELECT CAST(1 AS INT) AS rnd, a, b, pair_count FROM m1
+      UNION ALL SELECT 2, a, b, pair_count FROM m2
+      UNION ALL SELECT 3, a, b, pair_count FROM m3
+      ORDER BY rnd"""
+    })
+
   /** Deterministic per-group uniform sample WITHOUT a window: bottom-5
     * documents per source by portable md5 hash, via the mergeable
     * [[graft.functions.BoundedTopK]] aggregate over the NEGATED hash
@@ -2747,5 +2788,5 @@ object PipelineQueries {
     qLangId, qTextQuality,
     qTokenCounts, qFingerprint, qRepetitionFilter, qPiiScan,
     qMultimodalMeta, qMultimodalDecode, qImageDecode, qExifDecode,
-    qInt8Quant, qTruncFidelity, qGroupSample)
+    qInt8Quant, qTruncFidelity, qGroupSample, qBpeMerges)
 }

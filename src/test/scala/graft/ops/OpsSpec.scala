@@ -945,4 +945,17 @@ class OpsSpec extends SparkSpec {
     assert(!(cached1 eq cached3)) // clear really drops the memo
     assert(cached3.collect().toSet == direct)
   }
+
+  test("bpeMerges learns the hand-traced rules in order") {
+    // words: aaab x2, ab x1
+    // r1: (a,a)=4 beats (a,b)=3 -> fuse: 'a a a b'->'aa a b'
+    // r2: (a,b)=3 beats (aa,a)=2 -> 'aa a b'->'aa ab', 'a b'->'ab'
+    // r3: (aa,ab)=2
+    val docs = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMerges(docs, "text", rounds = 3)
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1, "a", "a", 4L), (2, "a", "b", 3L), (3, "aa", "ab", 2L)))
+  }
 }
