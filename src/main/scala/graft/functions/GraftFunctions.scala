@@ -48,6 +48,13 @@ object GraftFunctions {
       "graft_normalize expects (text[, form literal in NFC|NFD|NFKC|NFKD])")
   }
 
+  private def jaroWinklerBuilder(args: Seq[Expression]): Expression =
+    args match {
+      case Seq(a, b) => JaroWinkler(a, b)
+      case _ => throw new IllegalArgumentException(
+        "graft_jaro_winkler expects (string, string)")
+    }
+
   private def topKBuilder(args: Seq[Expression]): Expression = args match {
     case Seq(ord, id, kLit @ Literal(_, _)) =>
       BoundedTopK(ord, id, kLit).toAggregateExpression()
@@ -70,7 +77,11 @@ object GraftFunctions {
         normalizeBuilder _),
       (FunctionIdentifier("graft_top_k"),
         new ExpressionInfo(classOf[BoundedTopK].getName, "graft_top_k"),
-        topKBuilder _))
+        topKBuilder _),
+      (FunctionIdentifier("graft_jaro_winkler"),
+        new ExpressionInfo(classOf[JaroWinkler].getName,
+          "graft_jaro_winkler"),
+        jaroWinklerBuilder _))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -2630,6 +2630,39 @@ object PipelineQueries {
         FROM documents)
       WHERE rnk <= 3 ORDER BY source, rnk"""))
 
+  /** Fuzzy name matching through the codegen'd
+    * [[graft.functions.JaroWinkler]] expression: all distinct part-name
+    * pairs scoring >= 0.7 — the record-linkage comparator (Winkler
+    * 1990) value-matched against DuckDB's jaro_winkler_similarity to
+    * 6 dp (spot-verified bit-exact at full precision on every pair of
+    * this corpus). The distinct-collapse IS the blocking: the
+    * self-join runs over the name DOMAIN (bounded by the catalog, not
+    * the fact-table row count), which is how a scorer this expensive
+    * survives scale; row-level ER rides the q-gram blocked join
+    * (q109/q121) and uses this scorer on candidates only. */
+  val qJaroWinklerNames = Q(
+    "q213_jaro_winkler_names",
+    (s, dir) => {
+      val names = table(s, dir, "part")
+        .where(col("p_name").isNotNull)
+        .select(col("p_name")).distinct()
+      names.select(col("p_name").as("name_a"))
+        .crossJoin(names.select(col("p_name").as("name_b")))
+        .where(col("name_a") < col("name_b"))
+        .select(col("name_a"), col("name_b"),
+          round(graft.functions.JaroWinkler
+            .jw(col("name_a"), col("name_b")), 6).as("jw"))
+        .where(col("jw") >= 0.7)
+        .orderBy("name_a", "name_b")
+    },
+    Some("""WITH n AS (SELECT DISTINCT p_name FROM part
+          WHERE p_name IS NOT NULL)
+      SELECT a.p_name AS name_a, b.p_name AS name_b,
+        round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+      FROM n a JOIN n b ON a.p_name < b.p_name
+      WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.7
+      ORDER BY name_a, name_b"""))
+
   /** Distributed BPE merge learning on the exact gate
     * ([[graft.ops.TextAnalysis.bpeMerges]]): the first three
     * byte-pair-encoding merge rules learned from the corpus'
@@ -2788,5 +2821,6 @@ object PipelineQueries {
     qLangId, qTextQuality,
     qTokenCounts, qFingerprint, qRepetitionFilter, qPiiScan,
     qMultimodalMeta, qMultimodalDecode, qImageDecode, qExifDecode,
-    qInt8Quant, qTruncFidelity, qGroupSample, qBpeMerges)
+    qInt8Quant, qTruncFidelity, qGroupSample, qBpeMerges,
+    qJaroWinklerNames)
 }
