@@ -1254,6 +1254,66 @@ object TemporalQueries {
         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       FROM j GROUP BY 1, 2 ORDER BY day_start_us, segment"""))
 
+  /** STREAMING TTL-dedup on the correctness gate
+    * ([[graft.streaming.StreamingDedup.dedupByFingerprintEventTime]]):
+    * the documents corpus flows through the real
+    * flatMapGroupsWithState first-seen dedup in three event-time-
+    * ordered micro-batches (synthetic event time = doc_id seconds, TTL
+    * far beyond the stream so no state expires), and the emitted
+    * first-seen set must equal the batch DISTINCT of the same portable
+    * md5 fingerprint (q31's) in DuckDB. Emission is immediate in
+    * flatMapGroupsWithState Append mode, so no watermark-flush
+    * sentinels are needed; cross-batch suppression is exactly the
+    * state the oracle's DISTINCT checks. Payloads are not emitted —
+    * when duplicate fingerprints share a batch the surviving payload
+    * depends on shuffle order, so the DETERMINISTIC surface is the key
+    * set, and that is what the gate pins. */
+  val qStreamingDedup = Q(
+    "q214_streaming_dedup",
+    (s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.OutputMode
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val docs = QueryCatalog.table(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect().sortBy(_._1)
+      val mem = MemoryStream[(Long, String)]
+      // synthetic event time must start ABOVE epoch 0: the initial
+      // watermark is 0 and the stateful operator's late filter drops a
+      // row AT the watermark, which would silently eat doc_id = 0
+      val src = mem.toDF.toDF("doc_id", "text")
+        .select(col("text"),
+          timestamp_micros((col("doc_id") + 1) * 1000000L).as("ts"))
+      val deduped = graft.streaming.StreamingDedup
+        .dedupByFingerprintEventTime(
+          src, "text", "ts", ttlMs = Long.MaxValue / 4)
+      val sink = "graft_sdd_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-sdd-gate").toString
+      val query = deduped.toDF.writeStream.format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        val third = (docs.length + 2) / 3
+        docs.grouped(math.max(1, third)).foreach { chunk =>
+          mem.addData(chunk.toIndexedSeq)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      s.table(sink)
+        .select(col("fingerprint")).distinct()
+        .orderBy("fingerprint")
+    },
+    Some("""SELECT DISTINCT
+        ('0x'||substr(md5('0:'||trim(regexp_replace(lower(text),
+          '\s+', ' ', 'g'))),1,15))::BIGINT AS fingerprint
+      FROM documents WHERE text IS NOT NULL
+      ORDER BY fingerprint"""))
+
   val all: Seq[Q] = Seq(qSessionize, qAsofJoin, qAsofForward,
     qRangeJoin, qFunnel,
     qRolling, qTransitions, qAttribution, qRetention, qCountAcf,
@@ -1262,5 +1322,5 @@ object TemporalQueries {
     qScd2, qSeasonal, qNelsonAalen, qStateAsOf, qUserEntropy,
     qSkipGram, qTimeDecayAttribution, qStreamingSessionize,
     qStreamingHeavyHitters, qDailyActivity, qM4Downsample,
-    qStreamingRunningTotals, qStreamingEnrich)
+    qStreamingRunningTotals, qStreamingEnrich, qStreamingDedup)
 }
