@@ -90,8 +90,11 @@ object GraftFunctions {
     }
 }
 
-/** `spark.sql.extensions` entry point. */
+/** `spark.sql.extensions` entry point: the SQL function surface plus
+  * the range-join bin rewrite ([[graft.plans.RangeJoinBinRule]]). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinBinRule)
+  }
 }

@@ -1314,6 +1314,50 @@ object TemporalQueries {
       FROM documents WHERE text IS NOT NULL
       ORDER BY fingerprint"""))
 
+  /** The NAIVE point-in-interval join, healed by the optimizer
+    * ([[graft.plans.RangeJoinBinRule]]): the query declares the plain
+    * `t BETWEEN lo AND hi` inner join — the shape Spark would plan as
+    * BroadcastNestedLoopJoin — and the injected rule rewrites it into
+    * the binned equi-join (bin = the 2 h interval length), which the
+    * oracle checks for exact row parity against DuckDB's own range
+    * join. q67 runs the same class of join through the MANUAL
+    * [[graft.ops.RangeJoin]] operator; this row proves a user needs
+    * neither to know nor to call it. The bin-size conf stays set for
+    * the session — every other join in the catalog either carries an
+    * equality key or pre-binned state, so the rule stands down
+    * everywhere else by construction (RangeJoinBinRuleSpec pins
+    * that). */
+  val qRangeJoinRule = Q(
+    "q215_range_join_rule",
+    (s, dir) => {
+      graft.plans.RangeJoinBinRule.register(s)
+      s.conf.set(graft.plans.RangeJoinBinRule.BinSizeKey,
+        (2 * HourUs).toString)
+      val ev = eventsUs(s, dir)
+      val pts = ev.where(col("event_type") === "click")
+        .select(col("ts").as("t"), col("value"))
+      val ivs = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("iv_id"),
+          (col("ts") - lit(HourUs)).as("lo"),
+          (col("ts") + lit(HourUs)).as("hi"))
+      pts.join(ivs, col("t") >= col("lo") && col("t") <= col("hi"))
+        .groupBy("iv_id")
+        .agg(count(lit(1)).as("n_clicks"),
+          sum(col("value").cast(DecimalType(18, 6))).cast("double")
+            .as("sum_value"))
+        .orderBy("iv_id")
+    },
+    Some("""WITH p AS (SELECT epoch_us(ts) AS t, value FROM events
+        WHERE event_type = 'click'),
+      i AS (SELECT event_id AS iv_id,
+          epoch_us(ts) - 3600000000 AS lo,
+          epoch_us(ts) + 3600000000 AS hi FROM events
+        WHERE event_type = 'purchase')
+      SELECT i.iv_id, count(*) AS n_clicks,
+        CAST(sum(CAST(p.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM i JOIN p ON p.t >= i.lo AND p.t <= i.hi
+      GROUP BY i.iv_id ORDER BY i.iv_id"""))
+
   val all: Seq[Q] = Seq(qSessionize, qAsofJoin, qAsofForward,
     qRangeJoin, qFunnel,
     qRolling, qTransitions, qAttribution, qRetention, qCountAcf,
@@ -1322,5 +1366,6 @@ object TemporalQueries {
     qScd2, qSeasonal, qNelsonAalen, qStateAsOf, qUserEntropy,
     qSkipGram, qTimeDecayAttribution, qStreamingSessionize,
     qStreamingHeavyHitters, qDailyActivity, qM4Downsample,
-    qStreamingRunningTotals, qStreamingEnrich, qStreamingDedup)
+    qStreamingRunningTotals, qStreamingEnrich, qStreamingDedup,
+    qRangeJoinRule)
 }
