@@ -537,4 +537,39 @@ object Hypothesis {
       when(ok, round(det1 / det, 6)).as("b1"),
       when(ok, round(det2 / det, 6)).as("b2"))
   }
+
+  /** Benford first-significant-digit screen (Benford 1938; the fraud /
+    * fabricated-data tripwire auditors run on financial columns): the
+    * observed first-digit distribution of a positive amount column
+    * against Benford's log10(1 + 1/d) expectation, with the per-digit
+    * χ² contribution. First digits are extracted EXACTLY: the amount
+    * is cent-quantized to a BIGINT (floor(x·100 + 0.5) — half-up, the
+    * engines agree) and the leading digit read off its decimal string
+    * — never via log10/pow, whose libm boundary behavior at exact
+    * powers of ten differs across engines. Expected shares are
+    * driver-side constants, identical literals in the oracle. One
+    * 9-group aggregate + a broadcast total. Returns one row per
+    * observed digit: (digit, n, share, benford, chi2_term), 6 dp. */
+  def benfordFirstDigit(df: DataFrame, vCol: String): DataFrame = {
+    val x = col(vCol).cast("double")
+    val cents = floor(x * 100 + lit(0.5)).cast("long")
+    val digit = substring(cents.cast("string"), 1, 1).cast("int")
+    val counts = df.where(x.isNotNull && x > 0.0)
+      .select(digit.as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    val benford = (1 to 9).map(d =>
+      (d, math.log10(1.0 + 1.0 / d))).toMap
+    val bCol = (1 to 9).foldLeft(lit(0.0)) { (acc, d) =>
+      when(col("digit") === d, lit(benford(d))).otherwise(acc)
+    }
+    counts.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("total"), 6).as("share"),
+        round(bCol, 6).as("benford"),
+        round(((col("n").cast("double") - col("total") * bCol) *
+          (col("n").cast("double") - col("total") * bCol))
+          / (col("total") * bCol), 6).as("chi2_term"))
+      .orderBy("digit")
+  }
 }

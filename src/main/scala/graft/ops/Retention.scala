@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Cohort retention analysis — the activation/stickiness matrix every
   * product-analytics stack derives from an event stream: users grouped
@@ -47,6 +48,57 @@ object Retention {
       .groupBy(col("cohort").as("cohort_period"),
         (col("wk") - col("cohort")).as("period_offset"))
       .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Cohort lifetime-value curves — the revenue companion to
+    * [[cohortRetention]]: users are cohorted by their FIRST activity
+    * period (any event type), revenue accrues from `revenueFilter`
+    * rows only, and each (cohort, age) cell reports the cohort's
+    * per-user cumulative revenue — the LTV curve a growth team reads
+    * against acquisition cost.
+    *
+    * Shuffle shape: one distinct-user-period pass for cohorts, one
+    * groupBy for per-(cohort, age) revenue (decimal-exact), then the
+    * cumulative sum runs on the AGGREGATED grid — the window partition
+    * is one cohort's age axis, bounded by the calendar, never by
+    * users (the [[kaplanMeier]] bounded-window contract). Returns
+    * (cohort_period, period_offset, n_users, rev, cum_rev,
+    * ltv_per_user): rev/cum_rev exact decimal→double, ltv 6 dp. */
+  def cohortLtv(
+      df: DataFrame, userCol: String, timeCol: String,
+      valueCol: String, revenueFilter: Column,
+      period: Long): DataFrame = {
+    require(period > 0, "period must be positive")
+    require(!timeCol.contains("`") && !timeCol.contains("'"),
+      "column name must not contain backticks or quotes")
+    val per =
+      expr(s"(`$timeCol` - pmod(`$timeCol`, $period)) div $period")
+    val base = df
+      .where(col(userCol).isNotNull && col(timeCol).isNotNull)
+      .select(col(userCol).as("u"), per.as("per"),
+        col(valueCol).cast(DecimalType(18, 6)).as("v"),
+        revenueFilter.as("is_rev"))
+      .localCheckpoint(false)
+    val cohorts = base.groupBy("u").agg(min(col("per")).as("cohort"))
+    val sizes = cohorts.groupBy("cohort")
+      .agg(countDistinct(col("u")).as("n_users"))
+    val cells = base.where(col("is_rev"))
+      .join(cohorts, "u")
+      .groupBy(col("cohort"), (col("per") - col("cohort")).as("age"))
+      .agg(sum(col("v")).as("rev"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cohort").orderBy("age")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    cells.join(sizes, "cohort")
+      .select(col("cohort").as("cohort_period"),
+        col("age").as("period_offset"),
+        col("n_users"),
+        col("rev").cast("double").as("rev"),
+        sum(col("rev")).over(w).cast("double").as("cum_rev"),
+        round(sum(col("rev")).over(w).cast("double") /
+          col("n_users"), 6).as("ltv_per_user"))
+      .orderBy("cohort_period", "period_offset")
   }
 
   /** Kaplan-Meier survival curve from per-subject (duration, observed)

@@ -269,4 +269,52 @@ object Similarity {
             coalesce(col("__dcg"), lit(0.0)) / col("__idcg"))
           .otherwise(0.0), 6).as("ndcg_at_k"))
   }
+
+  /** Top-k by SQ8-QUANTIZED inner product — ranking on the int8 codes
+    * an SQ8 index would actually store (symmetric scale amax/127, the
+    * [[EmbeddingStats.int8QuantizationError]] scheme), so recall
+    * against the exact ranking measures what the compressed index
+    * loses. The quantized dot Σ q_a·q_b is EXACT INTEGER arithmetic
+    * (≤ 127²·dim per pair — nowhere near a long), descaled by the two
+    * scalar factors and 6 dp-rounded, so the ranking is engine-
+    * reproducible with no float-sum order sensitivity at all.
+    *
+    * Distributed shape: the probe code table broadcasts (probes are
+    * few); the corpus side melts to (id, pos, code) rows and the dot
+    * is a map-side-combined groupBy over (probe, candidate) — matrix
+    * multiply as aggregation, no window; the per-probe ranking rides
+    * the mergeable [[graft.functions.BoundedTopK]] heap on the
+    * 10⁻⁶-quantized score. Returns (query_id, rnk, neighbor_id,
+    * score_q — the quantized-score long, an exact gate surface). */
+  def sq8TopK(probes: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    def codes(df: DataFrame, outId: String, outScale: String,
+        outQ: String): DataFrame = {
+      val v = col(vecCol).cast("array<double>")
+      df.where(v.isNotNull)
+        .select(col(idCol).as(outId), v.as("v"),
+          (greatest(array_max(v), -array_min(v)) / 127.0).as(outScale))
+        .where(col(outScale) > 0.0)
+        .select(col(outId), col(outScale),
+          posexplode(col("v")).as(Seq("pos", "val")))
+        .select(col(outId), col(outScale), col("pos"),
+          floor(col("val") / col(outScale) + 0.5).cast("long")
+            .as(outQ))
+    }
+    val pc = codes(probes, "query_id", "sq", "qp")
+    val cc = codes(corpus, "neighbor_id", "sn", "qc")
+    cc.join(broadcast(pc), "pos")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id", "sq", "neighbor_id", "sn")
+      .agg(sum(col("qp") * col("qc")).as("dotq"))
+      .select(col("query_id"), col("neighbor_id"),
+        floor(round(col("dotq").cast("double") * col("sq") * col("sn"),
+          6) * 1e6 + 0.5).cast("long").as("score_q"))
+      .groupBy("query_id")
+      .agg(graft.functions.BoundedTopK
+        .topK(col("score_q"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rnk"),
+        col("t.id").as("neighbor_id"), col("t.ord").as("score_q"))
+  }
 }

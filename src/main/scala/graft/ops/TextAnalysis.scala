@@ -664,6 +664,35 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Flesch reading-ease per document (Flesch 1948; the readability
+    * band quality-filter pipelines bucket corpora by): 206.835 −
+    * 1.015·(words/sentences) − 84.6·(syllables/words), with the
+    * standard cheap proxies — sentences = runs of [.!?] (min 1),
+    * syllables = vowel-group runs [aeiouy]+ in the lowercased text.
+    * Pure per-row regex counts + one arithmetic projection: map-only,
+    * codegen'd, and every count is an integer so the score is
+    * bit-reproducible cross-engine (rounded 4 dp). Returns
+    * (idCol, n_words, n_sentences, n_syllables, flesch). */
+  def fleschReadingEase(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nWords = size(words(t)).cast("long")
+    val nSent = greatest(lit(1L),
+      size(regexp_extract_all(t, lit("[.!?]+"), lit(0))).cast("long"))
+    val nSyll = size(regexp_extract_all(lower(t), lit("[aeiouy]+"),
+      lit(0))).cast("long")
+    df.where(t.isNotNull)
+      .select(col(idCol), nWords.as("n_words"), nSent.as("n_sentences"),
+        nSyll.as("n_syllables"))
+      .where(col("n_words") > 0)
+      .withColumn("flesch", round(
+        lit(206.835) -
+          lit(1.015) * (col("n_words").cast("double") /
+            col("n_sentences")) -
+          lit(84.6) * (col("n_syllables").cast("double") /
+            col("n_words")), 4))
+  }
+
   /** Distributed BPE merge learning (Sennrich et al., "Neural Machine
     * Translation of Rare Words with Subword Units", ACL 2016 — the
     * byte-pair-encoding loop behind GPT/SentencePiece vocabularies):

@@ -2630,6 +2630,87 @@ object PipelineQueries {
         FROM documents)
       WHERE rnk <= 3 ORDER BY source, rnk"""))
 
+  /** Flesch reading-ease per document
+    * ([[graft.ops.TextAnalysis.fleschReadingEase]]): integer regex
+    * counts (words, sentence runs, vowel-group syllables) into the
+    * classic readability formula — the quality-band score corpus
+    * curricula bucket by, map-only and bit-reproducible. */
+  val qFlesch = Q(
+    "q218_flesch_readability",
+    (s, dir) => graft.ops.TextAnalysis.fleschReadingEase(
+        table(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some("""WITH c AS (SELECT doc_id,
+          CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+            x -> length(x) > 0)) AS BIGINT) AS n_words,
+          greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+'))
+            AS BIGINT)) AS n_sentences,
+          CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+            AS BIGINT) AS n_syllables
+        FROM documents WHERE text IS NOT NULL)
+      SELECT doc_id, n_words, n_sentences, n_syllables,
+        round(206.835
+          - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+          - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4)
+          AS flesch
+      FROM c WHERE n_words > 0 ORDER BY doc_id"""))
+
+  /** SQ8 recall@5 ([[graft.ops.Similarity.sq8TopK]] vs the exact
+    * [[graft.ops.Similarity.bruteForceTopK]]): for 20 probes, how many
+    * of the exact cosine top-5 the int8-quantized inner-product
+    * ranking retains — the eval that decides whether a 4× smaller
+    * index is acceptable, computed on the exact gate because the
+    * quantized dot is pure integer arithmetic. */
+  val qSq8Recall = Q(
+    "q219_sq8_recall",
+    (s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val probes = e.where(col("vec_id") < 20)
+      val exact = Similarity
+        .bruteForceTopK(probes, e, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val sq8 = Similarity.sq8TopK(probes, e, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"))
+      exact.join(sq8, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(col("query_id"), col("n_overlap"),
+          round(col("n_overlap").cast("double") / 5.0, 6)
+            .as("recall_at_5"))
+        .orderBy("query_id")
+    },
+    Some(s"""WITH p AS (SELECT vec_id AS qid, embedding AS qv
+          FROM embeddings WHERE vec_id < 20),
+      exact_s AS (SELECT p.qid AS query_id, e.vec_id AS neighbor_id,
+          $dkCos AS cos
+        FROM p CROSS JOIN embeddings e WHERE e.vec_id != p.qid),
+      exact_t AS (SELECT query_id, neighbor_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id) AS rnk FROM exact_s)
+        WHERE rnk <= 5),
+      cd AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+          greatest(list_max(embedding::DOUBLE[]),
+            -list_min(embedding::DOUBLE[])) / 127.0 AS s
+        FROM embeddings
+        WHERE embedding IS NOT NULL),
+      codes AS (SELECT vec_id, s,
+          [CAST(floor(x / s + 0.5) AS BIGINT) FOR x IN v] AS q
+        FROM cd WHERE s > 0.0),
+      sq8_s AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+          CAST(floor(round(CAST(list_dot_product(a.q, b.q) AS DOUBLE)
+            * a.s * b.s, 6) * 1e6 + 0.5) AS BIGINT) AS score_q
+        FROM codes a JOIN codes b ON b.vec_id != a.vec_id
+        WHERE a.vec_id < 20),
+      sq8_t AS (SELECT query_id, neighbor_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY score_q DESC, neighbor_id) AS rnk FROM sq8_s)
+        WHERE rnk <= 5)
+      SELECT e.query_id, count(*) AS n_overlap,
+        round(CAST(count(*) AS DOUBLE) / 5.0, 6) AS recall_at_5
+      FROM exact_t e JOIN sq8_t s2
+        ON s2.query_id = e.query_id AND s2.neighbor_id = e.neighbor_id
+      GROUP BY e.query_id ORDER BY e.query_id"""))
+
   /** Fuzzy name matching through the codegen'd
     * [[graft.functions.JaroWinkler]] expression: all distinct part-name
     * pairs scoring >= 0.7 — the record-linkage comparator (Winkler
@@ -2822,5 +2903,5 @@ object PipelineQueries {
     qTokenCounts, qFingerprint, qRepetitionFilter, qPiiScan,
     qMultimodalMeta, qMultimodalDecode, qImageDecode, qExifDecode,
     qInt8Quant, qTruncFidelity, qGroupSample, qBpeMerges,
-    qJaroWinklerNames)
+    qJaroWinklerNames, qFlesch, qSq8Recall)
 }

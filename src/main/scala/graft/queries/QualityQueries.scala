@@ -1400,8 +1400,41 @@ object QualityQueries {
           AS skew_frac
       FROM p"""))
 
+  /** Benford first-digit screen
+    * ([[graft.ops.Hypothesis.benfordFirstDigit]]) over order totals:
+    * exact string-of-cents digit extraction (no log10 at powers of
+    * ten), driver-constant expected shares mirrored as identical
+    * literals in the oracle, per-digit χ² contributions. */
+  val qBenford = Q(
+    "q216_benford_digits",
+    (s, dir) => graft.ops.Hypothesis.benfordFirstDigit(
+      table(s, dir, "orders"), "o_totalprice"),
+    Some {
+      val cases = (1 to 9).map(d =>
+        s"WHEN digit = $d THEN ${math.log10(1.0 + 1.0 / d)}")
+        .mkString(" ")
+      s"""WITH c AS (SELECT CAST(substr(CAST(CAST(floor(
+            CAST(o_totalprice AS DOUBLE) * 100 + 0.5) AS BIGINT)
+            AS VARCHAR), 1, 1) AS INT) AS digit, count(*) AS n
+          FROM orders
+          WHERE o_totalprice IS NOT NULL
+            AND CAST(o_totalprice AS DOUBLE) > 0.0
+          GROUP BY 1),
+        t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+        b AS (SELECT digit, n,
+            CAST(CASE $cases ELSE 0.0 END AS DOUBLE) AS bexp
+          FROM c)
+        SELECT digit, n,
+          round(CAST(n AS DOUBLE) / total, 6) AS share,
+          round(bexp, 6) AS benford,
+          round(((CAST(n AS DOUBLE) - total * bexp) *
+            (CAST(n AS DOUBLE) - total * bexp)) / (total * bexp), 6)
+            AS chi2_term
+        FROM b, t ORDER BY digit"""
+    })
+
   val all: Seq[Q] = Seq(qRidge, qCuped, qOlsTrend, qEffectSizes, qSequentialPsi,
-    qJoinSize,
+    qJoinSize, qBenford,
     qOutliers, qAssociation, qJsdDrift, qValidate,
     qChi2Drift, qNullPatterns, qFdCheck, qWassersteinDrift, qOrphans,
     qFanout, qEmbedNorms, qKeySkew, qPctRank, qBloomPrune, qPsiSweep,

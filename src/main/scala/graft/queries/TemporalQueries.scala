@@ -1358,6 +1358,38 @@ object TemporalQueries {
       FROM i JOIN p ON p.t >= i.lo AND p.t <= i.hi
       GROUP BY i.iv_id ORDER BY i.iv_id"""))
 
+  /** Cohort lifetime-value curves ([[graft.ops.Retention.cohortLtv]]):
+    * weekly cohorts by first activity of ANY type, revenue from
+    * purchase events only, decimal-exact cumulative per-user LTV over
+    * the cohort's bounded age grid. */
+  val qCohortLtv = Q(
+    "q217_cohort_ltv",
+    (s, dir) => graft.ops.Retention.cohortLtv(
+      eventsUs(s, dir), "user_id", "ts", "value",
+      col("event_type") === "purchase", period = 7 * 24 * HourUs),
+    Some("""WITH e AS (SELECT user_id AS u, epoch_us(ts) AS tus,
+          value, event_type FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      p AS (SELECT u, tus // 604800000000 AS per, value, event_type
+        FROM e),
+      c AS (SELECT u, min(per) AS cohort FROM p GROUP BY u),
+      s AS (SELECT cohort, count(DISTINCT u) AS n_users FROM c
+        GROUP BY 1),
+      cells AS (SELECT c.cohort, p.per - c.cohort AS age,
+          sum(CAST(p.value AS DECIMAL(18,6))) AS rev
+        FROM p JOIN c USING (u)
+        WHERE p.event_type = 'purchase' GROUP BY 1, 2),
+      w AS (SELECT cohort, age, rev,
+          sum(rev) OVER (PARTITION BY cohort ORDER BY age
+            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM cells)
+      SELECT w.cohort AS cohort_period,
+        CAST(w.age AS BIGINT) AS period_offset, s.n_users,
+        CAST(rev AS DOUBLE) AS rev, CAST(cum AS DOUBLE) AS cum_rev,
+        round(CAST(cum AS DOUBLE) / s.n_users, 6) AS ltv_per_user
+      FROM w JOIN s USING (cohort)
+      ORDER BY cohort_period, period_offset"""))
+
   val all: Seq[Q] = Seq(qSessionize, qAsofJoin, qAsofForward,
     qRangeJoin, qFunnel,
     qRolling, qTransitions, qAttribution, qRetention, qCountAcf,
@@ -1367,5 +1399,5 @@ object TemporalQueries {
     qSkipGram, qTimeDecayAttribution, qStreamingSessionize,
     qStreamingHeavyHitters, qDailyActivity, qM4Downsample,
     qStreamingRunningTotals, qStreamingEnrich, qStreamingDedup,
-    qRangeJoinRule)
+    qRangeJoinRule, qCohortLtv)
 }

@@ -240,4 +240,20 @@ class HypothesisSpec extends SparkSpec {
     // a wildly unstable estimate at lambda 0 - the ridge one is finite
     assert(sing.isNullAt(2) || rescued.getDouble(2).abs < 10.0)
   }
+
+  test("benfordFirstDigit: exact digit extraction, shares sum to 1") {
+    import spark.implicits._
+    // first digits by cents string: 1.23->123->1, 0.05->5->5,
+    // 999.994->99999->9, 12.0->1200->1, negative/zero/null dropped
+    val df = Seq(Some(1.23), Some(0.05), Some(999.994), Some(12.0),
+      Some(-4.0), Some(0.0), None).toDF("x")
+    val rows = Hypothesis.benfordFirstDigit(df, "x").collect()
+    val byDigit = rows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byDigit === Map(1 -> 2L, 5 -> 1L, 9 -> 1L))
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-5)
+    // digit-1 Benford expectation is log10(2)
+    val d1 = rows.find(_.getInt(0) == 1).get
+    assert(math.abs(d1.getAs[Double]("benford") - 0.30103) < 1e-5)
+    assert(rows.forall(_.getAs[Double]("chi2_term") >= 0.0))
+  }
 }

@@ -582,4 +582,51 @@ class TemporalSpec extends SparkSpec {
     // probe 4 (label 9): no other label-9 vector -> n_rel 0, all zero
     assert(out(4L) == ((0L, 0.0, 0, 0.0)))
   }
+
+  test("cohortLtv: cumulative per-user revenue over the cohort age grid") {
+    import spark.implicits._
+    // user 1 & 2 start period 0, user 3 starts period 1; revenue only
+    // from 'buy' rows
+    val df = Seq(
+      (1L, 0L, 10.0, "buy"), (1L, 25L, 5.0, "buy"), (2L, 3L, 0.0, "view"),
+      (2L, 27L, 20.0, "buy"), (3L, 12L, 7.0, "buy"), (3L, 22L, 1.0, "buy")
+    ).toDF("u", "t", "v", "et")
+    val got = Retention.cohortLtv(df, "u", "t", "v",
+        org.apache.spark.sql.functions.col("et") === "buy", period = 10L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    // cohort 0 (users 1,2): age 0 rev 10, age 2 rev 25 -> cum 35/2
+    assert(got((0L, 0L)) == ((2L, 10.0, 10.0, 5.0)))
+    assert(got((0L, 2L)) == ((2L, 25.0, 35.0, 17.5)))
+    // cohort 1 (user 3): age 0 rev 7, age 1 rev 1
+    assert(got((1L, 0L)) == ((1L, 7.0, 7.0, 7.0)))
+    assert(got((1L, 1L)) == ((1L, 1.0, 8.0, 8.0)))
+    assert(got.size == 4)
+  }
+
+  test("fleschReadingEase: exact counts on a hand sentence") {
+    import spark.implicits._
+    // "the cat sat. it ran!" -> 5 words, 2 sentences, 5 vowel groups
+    val df = Seq((1L, "the cat sat. it ran!")).toDF("id", "text")
+    val r = TextAnalysis.fleschReadingEase(df, "id", "text").head()
+    assert(r.getLong(1) == 5L && r.getLong(2) == 2L && r.getLong(3) == 5L)
+    val want = BigDecimal(206.835 - 1.015 * (5.0 / 2) - 84.6 * (5.0 / 5))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("flesch") == want)
+  }
+
+  test("sq8TopK: identical ranking to exact on well-separated vectors") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)), (3L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "emb")
+    val probes = vecs.where(org.apache.spark.sql.functions.col("vec_id") === 0L)
+    val got = Similarity.sq8TopK(probes, vecs, "vec_id", "emb", 3)
+      .orderBy("rnk").collect().map(_.getLong(2)).toSeq
+    // nearest by inner product: 1 (aligned), then 2/3 tie broken by id
+    assert(got == Seq(1L, 2L, 3L))
+  }
 }
