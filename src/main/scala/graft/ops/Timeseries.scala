@@ -472,4 +472,37 @@ object Timeseries {
         min_by(col("__v"), col("__ord")).as("v_first"),
         max_by(col("__v"), col("__ord")).as("v_last"))
   }
+
+  /** Rolling distinct actives — WAU-by-day and its cousins: for every
+    * period `d` in the data's range, the EXACT count of distinct keys
+    * active in the trailing window `[d - (span-1), d]`. Spark's window
+    * frames cannot express COUNT(DISTINCT) over a RANGE frame, and
+    * streaming sketches only approximate it; the exact scalable plan
+    * is: collapse to distinct (key, period) once, fan each activity
+    * out to the ≤ `span` periods whose trailing window it enters
+    * (bounded explode — a calendar fanout, not a data fanout), then
+    * distinct-count per period, semi-joined to the tiny observed-
+    * period set so the tail never reports windows past the data.
+    * Shuffles on (period[, key]) only; per-period work is bounded by
+    * actives × span. Returns (period, n_active), ordered. */
+  def rollingDistinct(df: DataFrame, keyCol: String, tsUsCol: String,
+      periodUs: Long, span: Int): DataFrame = {
+    require(periodUs > 0 && span >= 1, "need periodUs > 0, span >= 1")
+    val per = expr(
+      s"(`$tsUsCol` - pmod(`$tsUsCol`, $periodUs)) div $periodUs")
+    val base = df.where(col(keyCol).isNotNull && col(tsUsCol).isNotNull)
+      .select(col(keyCol).as("k"), per.as("p"))
+      .distinct()
+      .localCheckpoint(false)
+    // restrict to periods that occur in the data: the calendar fanout
+    // otherwise reports trailing windows past the observed range
+    val observed = base.select(col("p").as("period")).distinct()
+    base
+      .select(col("k"),
+        explode(sequence(col("p"), col("p") + (span - 1))).as("period"))
+      .join(observed, Seq("period"), "left_semi")
+      .groupBy("period")
+      .agg(countDistinct(col("k")).as("n_active"))
+      .orderBy("period")
+  }
 }

@@ -1390,6 +1390,24 @@ object TemporalQueries {
       FROM w JOIN s USING (cohort)
       ORDER BY cohort_period, period_offset"""))
 
+  /** Rolling 7-day distinct actives (WAU by day,
+    * [[graft.ops.Timeseries.rollingDistinct]]): the exact
+    * distinct-over-sliding-window Spark's frames cannot express,
+    * via the bounded calendar fanout + per-period distinct count. */
+  val qRollingDistinct = Q(
+    "q220_rolling_wau",
+    (s, dir) => graft.ops.Timeseries.rollingDistinct(
+      eventsUs(s, dir), "user_id", "ts",
+      periodUs = 24 * HourUs, span = 7),
+    Some("""WITH a AS (SELECT DISTINCT user_id AS k,
+          epoch_us(ts) // 86400000000 AS p
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      f AS (SELECT k, unnest(range(p, p + 7)) AS period FROM a),
+      o AS (SELECT DISTINCT p AS period FROM a)
+      SELECT f.period, count(DISTINCT f.k) AS n_active
+      FROM f JOIN o USING (period)
+      GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(qSessionize, qAsofJoin, qAsofForward,
     qRangeJoin, qFunnel,
     qRolling, qTransitions, qAttribution, qRetention, qCountAcf,
@@ -1399,5 +1417,5 @@ object TemporalQueries {
     qSkipGram, qTimeDecayAttribution, qStreamingSessionize,
     qStreamingHeavyHitters, qDailyActivity, qM4Downsample,
     qStreamingRunningTotals, qStreamingEnrich, qStreamingDedup,
-    qRangeJoinRule, qCohortLtv)
+    qRangeJoinRule, qCohortLtv, qRollingDistinct)
 }

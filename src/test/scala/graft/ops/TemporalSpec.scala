@@ -617,6 +617,19 @@ class TemporalSpec extends SparkSpec {
     assert(r.getAs[Double]("flesch") == want)
   }
 
+  test("rollingDistinct: trailing-window actives, observed periods only") {
+    import spark.implicits._
+    // periods: u1 active p0, u2 active p0 and p2, u3 active p5
+    val df = Seq((1L, 0L), (2L, 5L), (2L, 25L), (3L, 55L))
+      .toDF("u", "t")
+    val got = Timeseries.rollingDistinct(df, "u", "t",
+        periodUs = 10L, span = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // p0: {1,2}; p2: window p0..p2 -> {1,2}; p5: {3} (p3/p4 absent
+    // from data -> no rows even though u2's fanout reaches p3/p4)
+    assert(got === Map(0L -> 2L, 2L -> 2L, 5L -> 1L))
+  }
+
   test("sq8TopK: identical ranking to exact on well-separated vectors") {
     import spark.implicits._
     val vecs = Seq(
