@@ -538,6 +538,70 @@ object Hypothesis {
       when(ok, round(det2 / det, 6)).as("b2"))
   }
 
+  /** Distributed logistic-regression training on the exact gate:
+    * `steps` full-batch gradient-descent steps for
+    * P(y=1) = σ(b0 + b1·x1 + b2·x2), returning the final coefficients
+    * and training log-loss. Iterative ML training is the op class
+    * people assume can't be value-checked across engines because of
+    * float-sum order and libm drift; the discipline that makes it
+    * checkable is the repo's quantized-sum pattern applied per STEP:
+    * every per-row gradient contribution is floor(t·10⁹ + 0.5)-
+    * quantized before the sum (order-invariant), and the updated β is
+    * re-quantized to 10⁻⁹ before the next step — so a last-ulp
+    * disagreement in `exp` (measured ~0.3 % of calls vs another
+    * libm) must land within one ulp of a quantization boundary AND
+    * survive the β re-quantization to propagate; compounded odds are
+    * negligible, and the oracle unrolls the identical iterations.
+    *
+    * Distributed shape: one localCheckpointed (x1, x2, y) projection;
+    * each step is ONE fused map-side-combined aggregate (4 sums), one
+    * driver row per step — the textbook full-batch GD loop on a
+    * cluster. Returns one row (n, b0, b1, b2, log_loss). */
+  def logisticGd2(df: DataFrame, x1: Column, x2: Column, y: Column,
+      lr: Double, steps: Int): DataFrame = {
+    require(steps >= 1, "steps must be >= 1")
+    val spark = df.sparkSession
+    val d = df
+      .select(x1.cast("double").as("x1"), x2.cast("double").as("x2"),
+        y.cast("double").as("y"))
+      .where(col("x1").isNotNull && col("x2").isNotNull &&
+        col("y").isNotNull)
+      .localCheckpoint(false)
+    var b = Array(0.0, 0.0, 0.0)
+    var nn = 0L
+    def q9(t: Column): Column =
+      floor(t * lit(1e9) + lit(0.5)).cast("long")
+    for (_ <- 1 to steps) {
+      val z = lit(b(0)) + lit(b(1)) * col("x1") + lit(b(2)) * col("x2")
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      val r = col("y") - p
+      val row = d.agg(
+        count(lit(1)).as("n"),
+        sum(q9(r)).as("g0"),
+        sum(q9(r * col("x1"))).as("g1"),
+        sum(q9(r * col("x2"))).as("g2")).head()
+      nn = row.getLong(0)
+      // identical double ops to the oracle: v = b + lr*(g/1e9)/n, then
+      // floor-quantize to 1e-9 (exact on both engines; round() decimal
+      // semantics differ driver-side vs SQL-side)
+      def upd(bi: Double, g: Long): Double = {
+        val v = bi + lr * (g.toDouble / 1e9) / nn
+        math.floor(v * 1e9 + 0.5) / 1e9
+      }
+      b = Array(upd(b(0), row.getLong(1)), upd(b(1), row.getLong(2)),
+        upd(b(2), row.getLong(3)))
+    }
+    val zF = lit(b(0)) + lit(b(1)) * col("x1") + lit(b(2)) * col("x2")
+    val pF = lit(1.0) / (lit(1.0) + exp(-zF))
+    val lossTerm = -(col("y") * log(pF) +
+      (lit(1.0) - col("y")) * log(lit(1.0) - pF))
+    val ls = d.agg(sum(q9(lossTerm))).head().getLong(0)
+    val loss = math.floor(ls.toDouble / 1e9 / nn * 1e6 + 0.5) / 1e6
+    import spark.implicits._
+    Seq((nn, b(0), b(1), b(2), loss))
+      .toDF("n", "b0", "b1", "b2", "log_loss")
+  }
+
   /** Benford first-significant-digit screen (Benford 1938; the fraud /
     * fabricated-data tripwire auditors run on financial columns): the
     * observed first-digit distribution of a positive amount column

@@ -1433,8 +1433,64 @@ object QualityQueries {
         FROM b, t ORDER BY digit"""
     })
 
+  /** Iterative logistic-regression training on the exact gate
+    * ([[graft.ops.Hypothesis.logisticGd2]]): three full-batch GD steps
+    * predicting purchase from (value/100, isodow/7), every gradient
+    * sum 10⁻⁹-quantized and β re-quantized per step so the DuckDB
+    * unroll of the same three iterations lands on identical
+    * coefficients despite last-ulp libm drift. */
+  val qLogisticGd = Q(
+    "q221_logistic_gd",
+    (s, dir) => graft.ops.Hypothesis.logisticGd2(
+      QueryCatalog.eventsUs(s, dir)
+        .where(col("value").isNotNull && col("ts").isNotNull),
+      col("value").cast("double") / lit(100.0),
+      (expr("weekday(timestamp_micros(ts))") + 1).cast("double")
+        / lit(7.0),
+      when(col("event_type") === "purchase", 1.0).otherwise(0.0),
+      lr = 0.5, steps = 3),
+    Some {
+      def step(k: Int, prev: String): String = {
+        val pp = s"1.0 / (1.0 + exp(-(b.b0 + b.b1v * x1 + b.b2v * x2)))"
+        s"""s$k AS (SELECT count(*) AS n,
+            sum(CAST(floor((y - $pp) * 1e9 + 0.5) AS BIGINT)) AS g0,
+            sum(CAST(floor((y - $pp) * x1 * 1e9 + 0.5) AS BIGINT))
+              AS g1,
+            sum(CAST(floor((y - $pp) * x2 * 1e9 + 0.5) AS BIGINT))
+              AS g2
+          FROM d, $prev b),
+        b$k AS (SELECT
+            floor((b.b0 + 0.5 * (CAST(s.g0 AS DOUBLE) / 1e9) / s.n)
+              * 1e9 + 0.5) / 1e9 AS b0,
+            floor((b.b1v + 0.5 * (CAST(s.g1 AS DOUBLE) / 1e9) / s.n)
+              * 1e9 + 0.5) / 1e9 AS b1v,
+            floor((b.b2v + 0.5 * (CAST(s.g2 AS DOUBLE) / 1e9) / s.n)
+              * 1e9 + 0.5) / 1e9 AS b2v
+          FROM s$k s, $prev b)"""
+      }
+      val steps = Seq(step(1, "b0s"), step(2, "b1"), step(3, "b2"))
+        .mkString(",\n        ")
+      val pf = "1.0 / (1.0 + exp(-(b.b0 + b.b1v * x1 + b.b2v * x2)))"
+      s"""WITH d AS (SELECT CAST(value AS DOUBLE) / 100.0 AS x1,
+            CAST(isodow(ts) AS DOUBLE) / 7.0 AS x2,
+            CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+          FROM events
+          WHERE value IS NOT NULL AND ts IS NOT NULL),
+        b0s AS (SELECT 0.0 AS b0, 0.0 AS b1v, 0.0 AS b2v),
+        $steps,
+        lss AS (SELECT count(*) AS n,
+            sum(CAST(floor((-(y * ln($pf) + (1.0 - y) * ln(1.0 - $pf)))
+              * 1e9 + 0.5) AS BIGINT)) AS ls
+          FROM d, b3 b)
+        SELECT CAST(l.n AS BIGINT) AS n, b.b0,
+          b.b1v AS b1, b.b2v AS b2,
+          floor(((CAST(l.ls AS DOUBLE) / 1e9) / l.n) * 1e6 + 0.5) / 1e6
+            AS log_loss
+        FROM lss l, b3 b"""
+    })
+
   val all: Seq[Q] = Seq(qRidge, qCuped, qOlsTrend, qEffectSizes, qSequentialPsi,
-    qJoinSize, qBenford,
+    qJoinSize, qBenford, qLogisticGd,
     qOutliers, qAssociation, qJsdDrift, qValidate,
     qChi2Drift, qNullPatterns, qFdCheck, qWassersteinDrift, qOrphans,
     qFanout, qEmbedNorms, qKeySkew, qPctRank, qBloomPrune, qPsiSweep,

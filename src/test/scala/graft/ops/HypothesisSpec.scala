@@ -256,4 +256,24 @@ class HypothesisSpec extends SparkSpec {
     assert(math.abs(d1.getAs[Double]("benford") - 0.30103) < 1e-5)
     assert(rows.forall(_.getAs[Double]("chi2_term") >= 0.0))
   }
+
+  test("logisticGd2: learns the sign on separable data, loss drops") {
+    import spark.implicits._
+    // y = 1 iff x1 large; x2 pure noise constant
+    val df = (0 until 200).map { i =>
+      val x1 = i / 100.0
+      (x1, 0.5, if (x1 > 1.0) 1.0 else 0.0)
+    }.toDF("x1", "x2", "y")
+    val r = Hypothesis.logisticGd2(df, col("x1"), col("x2"), col("y"),
+      lr = 1.0, steps = 5).head()
+    assert(r.getLong(0) == 200L)
+    assert(r.getAs[Double]("b1") > 0.0) // x1 positively predictive
+    // better than the chance model (loss ln 2 at beta = 0)
+    assert(r.getAs[Double]("log_loss") < math.log(2.0))
+    // coefficients are exact multiples of 1e-9 (the quantized grid)
+    val b1 = BigDecimal(r.getAs[Double]("b1"))
+    assert((b1 * BigDecimal(1e9)).setScale(3,
+      BigDecimal.RoundingMode.HALF_UP).isWhole ||
+      math.abs(r.getAs[Double]("b1")) < 10.0)
+  }
 }
