@@ -2711,6 +2711,53 @@ object PipelineQueries {
         ON s2.query_id = e.query_id AND s2.neighbor_id = e.neighbor_id
       GROUP BY e.query_id ORDER BY e.query_id"""))
 
+  /** Multinomial Naive Bayes train + classify on the exact gate
+    * ([[graft.ops.NaiveBayes.confusionSelfTrain]]): Laplace-smoothed
+    * log-likelihoods quantized once per (word, class) so scoring and
+    * argmax are pure integer arithmetic; the oracle re-trains the
+    * identical model in DuckDB and the confusion matrices must
+    * hash-match. */
+  val qNaiveBayes = Q(
+    "q222_naive_bayes",
+    (s, dir) => graft.ops.NaiveBayes.confusionSelfTrain(
+      table(s, dir, "documents"), "doc_id", "lang", "text"),
+    Some(s"""WITH base AS (SELECT doc_id AS id, lang AS lab, text
+          FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL),
+      occ AS (SELECT id, lab, w, count(*) AS cnt FROM (
+          SELECT id, lab, unnest(list_filter(
+            string_split_regex(lower(text), '\\s+'),
+            x -> length(x) > 0)) AS w
+          FROM base)
+        GROUP BY 1, 2, 3),
+      v AS (SELECT count(DISTINCT w) AS v FROM occ),
+      t AS (SELECT count(*) AS total FROM base),
+      cls AS (SELECT b.lab, count(DISTINCT b.id) AS n_docs,
+          (SELECT sum(cnt) FROM occ o WHERE o.lab = b.lab) AS n_tokens
+        FROM base b GROUP BY b.lab),
+      cl AS (SELECT lab, n_tokens,
+          CAST(floor(ln(CAST(n_docs AS DOUBLE) / t.total) * 1e9 + 0.5)
+            AS BIGINT) AS prior_q
+        FROM cls, t),
+      wc AS (SELECT w, lab, sum(cnt) AS n_wc FROM occ GROUP BY 1, 2),
+      theta AS (SELECT vo.w, c.lab AS c,
+          CAST(floor(ln(CAST((coalesce(wc.n_wc, 0) + 1) AS DOUBLE) /
+            CAST((c.n_tokens + v.v) AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+            AS theta_q
+        FROM (SELECT DISTINCT w FROM occ) vo
+        CROSS JOIN cl c CROSS JOIN v
+        LEFT JOIN wc ON wc.w = vo.w AND wc.lab = c.lab),
+      sc AS (SELECT o.id, o.lab,
+          th.c, cl.prior_q + sum(o.cnt * th.theta_q) AS score_q
+        FROM occ o JOIN theta th ON th.w = o.w
+        JOIN cl ON cl.lab = th.c
+        GROUP BY o.id, o.lab, th.c, cl.prior_q),
+      pred AS (SELECT id, lab, c FROM (
+          SELECT *, row_number() OVER (PARTITION BY id
+            ORDER BY score_q DESC, c ASC) AS rnk FROM sc)
+        WHERE rnk = 1)
+      SELECT lab AS label_true, c AS label_pred, count(*) AS n
+      FROM pred GROUP BY 1, 2 ORDER BY label_true, label_pred"""))
+
   /** Fuzzy name matching through the codegen'd
     * [[graft.functions.JaroWinkler]] expression: all distinct part-name
     * pairs scoring >= 0.7 — the record-linkage comparator (Winkler
@@ -2903,5 +2950,5 @@ object PipelineQueries {
     qTokenCounts, qFingerprint, qRepetitionFilter, qPiiScan,
     qMultimodalMeta, qMultimodalDecode, qImageDecode, qExifDecode,
     qInt8Quant, qTruncFidelity, qGroupSample, qBpeMerges,
-    qJaroWinklerNames, qFlesch, qSq8Recall)
+    qJaroWinklerNames, qFlesch, qSq8Recall, qNaiveBayes)
 }
