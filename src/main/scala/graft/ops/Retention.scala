@@ -151,6 +151,68 @@ object Retention {
       .orderBy("t")
   }
 
+  /** Log-rank test (Mantel 1966; Peto & Peto 1972) between TWO
+    * survival curves from per-subject (duration, observed, group)
+    * rows — the standard "did cohort A churn differently from cohort
+    * B" hypothesis test that pairs with [[kaplanMeier]]. At each
+    * death time: hypergeometric expectation E_A = d·n_A/n and
+    * variance d·(n_A/n)·(n_B/n)·(n−d)/(n−1); the statistic is
+    * (Σ(d_A − E_A))² / ΣV ~ χ²(1).
+    *
+    * Same plan contract as the KM curve: one groupBy(duration)
+    * shuffle, exclusive prefix sums for the at-risk counts over the
+    * BOUNDED duration grid, then per-time E/V terms
+    * floor(t·10⁹ + 0.5)-quantized before the final sums so the
+    * statistic is order-invariant and engine-exact. Returns one row:
+    * (n_times, d_a, e_a, var_sum, chi2), 6 dp. */
+  def logRank(df: DataFrame, durCol: String, obsCol: String,
+      groupA: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dur = col(durCol).cast("long")
+    val obs = col(obsCol).cast("boolean")
+    val c = df
+      .where(dur.isNotNull && obs.isNotNull)
+      .select(dur.as("__t"), obs.as("__o"), groupA.as("__a"))
+      .groupBy("__t")
+      .agg(count(lit(1)).as("cnt"),
+        count(when(col("__a"), 1)).as("cnt_a"),
+        count(when(col("__o"), 1)).as("d"),
+        count(when(col("__o") && col("__a"), 1)).as("d_a"))
+    val totals = c.agg(sum(col("cnt")).as("total"),
+      sum(col("cnt_a")).as("total_a"))
+    val wPrior = Window.orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val terms = c.crossJoin(broadcast(totals))
+      .withColumn("n_risk",
+        col("total") - coalesce(sum(col("cnt")).over(wPrior), lit(0L)))
+      .withColumn("n_risk_a", col("total_a") -
+        coalesce(sum(col("cnt_a")).over(wPrior), lit(0L)))
+      .where(col("d") > 0)
+    val n = col("n_risk").cast("double")
+    val na = col("n_risk_a").cast("double")
+    val dd = col("d").cast("double")
+    val eA = dd * na / n
+    val vA = when(col("n_risk") > 1,
+      dd * (na / n) * ((n - na) / n) *
+        ((n - dd) / (n - lit(1.0)))).otherwise(lit(0.0))
+    terms
+      .select(col("d_a"),
+        floor(eA * lit(1e9) + lit(0.5)).cast("long").as("e_q"),
+        floor(vA * lit(1e9) + lit(0.5)).cast("long").as("v_q"))
+      .agg(count(lit(1)).as("n_times"),
+        sum(col("d_a")).as("d_a"),
+        sum(col("e_q")).as("e_qs"),
+        sum(col("v_q")).as("v_qs"))
+      .select(col("n_times"), col("d_a"),
+        round(col("e_qs").cast("double") / lit(1e9), 6).as("e_a"),
+        round(col("v_qs").cast("double") / lit(1e9), 6).as("var_sum"),
+        round(((col("d_a").cast("double") -
+            col("e_qs").cast("double") / lit(1e9)) *
+          (col("d_a").cast("double") -
+            col("e_qs").cast("double") / lit(1e9))) /
+          (col("v_qs").cast("double") / lit(1e9)), 6).as("chi2"))
+  }
+
   /** Nelson-Aalen cumulative hazard from the same per-subject
     * (duration, observed) rows as [[kaplanMeier]]: H(t_i) =
     * Σ_{j≤i} d_j/n_j over the death times — the estimator survival

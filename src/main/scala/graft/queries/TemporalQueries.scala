@@ -1408,6 +1408,68 @@ object TemporalQueries {
       FROM f JOIN o USING (period)
       GROUP BY 1 ORDER BY 1"""))
 
+  /** Log-rank test ([[graft.ops.Retention.logRank]]): tenure-days
+    * survival comparison between even and odd user cohorts, death =
+    * the user ever erroring, over the bounded duration grid with
+    * quantized hypergeometric E/V terms. */
+  val qLogRank = Q(
+    "q223_logrank",
+    (s, dir) => {
+      val subj = eventsUs(s, dir)
+        .where(col("user_id").isNotNull)
+        .groupBy("user_id")
+        .agg(
+          ((max(col("ts")) - min(col("ts"))).cast("long") /
+            lit(24 * HourUs)).cast("long").as("dur"),
+          (count(when(col("event_type") === "error", 1)) > 0)
+            .as("observed"))
+      graft.ops.Retention.logRank(subj, "dur", "observed",
+        col("user_id") % 2 === 0)
+    },
+    Some("""WITH subj AS (SELECT user_id,
+          CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 86400000000
+            AS BIGINT) AS dur,
+          count(*) FILTER (event_type = 'error') > 0 AS observed,
+          user_id % 2 = 0 AS grp_a
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+      c AS (SELECT dur AS t, count(*) AS cnt,
+          count(*) FILTER (grp_a) AS cnt_a,
+          count(*) FILTER (observed) AS d,
+          count(*) FILTER (observed AND grp_a) AS d_a
+        FROM subj GROUP BY 1),
+      w AS (SELECT *,
+          (SELECT sum(cnt) FROM c) - coalesce(sum(cnt) OVER
+            (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND
+             1 PRECEDING), 0) AS n_risk,
+          (SELECT sum(cnt_a) FROM c) - coalesce(sum(cnt_a) OVER
+            (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND
+             1 PRECEDING), 0) AS n_risk_a
+        FROM c),
+      terms AS (SELECT d_a,
+          CAST(floor(CAST(d AS DOUBLE) * CAST(n_risk_a AS DOUBLE)
+            / CAST(n_risk AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS e_q,
+          CAST(floor(CASE WHEN n_risk > 1 THEN
+              CAST(d AS DOUBLE) *
+              (CAST(n_risk_a AS DOUBLE) / CAST(n_risk AS DOUBLE)) *
+              ((CAST(n_risk AS DOUBLE) - CAST(n_risk_a AS DOUBLE))
+                / CAST(n_risk AS DOUBLE)) *
+              ((CAST(n_risk AS DOUBLE) - CAST(d AS DOUBLE))
+                / (CAST(n_risk AS DOUBLE) - 1.0))
+            ELSE 0.0 END * 1e9 + 0.5) AS BIGINT) AS v_q
+        FROM w WHERE d > 0),
+      s AS (SELECT count(*) AS n_times,
+          CAST(sum(d_a) AS BIGINT) AS d_a,
+          CAST(sum(e_q) AS BIGINT) AS e_qs,
+          CAST(sum(v_q) AS BIGINT) AS v_qs
+        FROM terms)
+      SELECT n_times, d_a,
+        round(CAST(e_qs AS DOUBLE) / 1e9, 6) AS e_a,
+        round(CAST(v_qs AS DOUBLE) / 1e9, 6) AS var_sum,
+        round(((CAST(d_a AS DOUBLE) - CAST(e_qs AS DOUBLE) / 1e9) *
+          (CAST(d_a AS DOUBLE) - CAST(e_qs AS DOUBLE) / 1e9)) /
+          (CAST(v_qs AS DOUBLE) / 1e9), 6) AS chi2
+      FROM s"""))
+
   val all: Seq[Q] = Seq(qSessionize, qAsofJoin, qAsofForward,
     qRangeJoin, qFunnel,
     qRolling, qTransitions, qAttribution, qRetention, qCountAcf,
@@ -1417,5 +1479,5 @@ object TemporalQueries {
     qSkipGram, qTimeDecayAttribution, qStreamingSessionize,
     qStreamingHeavyHitters, qDailyActivity, qM4Downsample,
     qStreamingRunningTotals, qStreamingEnrich, qStreamingDedup,
-    qRangeJoinRule, qCohortLtv, qRollingDistinct)
+    qRangeJoinRule, qCohortLtv, qRollingDistinct, qLogRank)
 }

@@ -617,6 +617,20 @@ class TemporalSpec extends SparkSpec {
     assert(r.getAs[Double]("flesch") == want)
   }
 
+  test("logRank: identical curves score zero, separated curves do not") {
+    import spark.implicits._
+    val same = Seq((1L, true, true), (2L, true, true),
+      (1L, true, false), (2L, true, false)).toDF("dur", "obs", "a")
+    val r0 = Retention.logRank(same, "dur", "obs", col("a")).head()
+    assert(r0.getAs[Double]("chi2") == 0.0)
+    assert(r0.getAs[Double]("e_a") == r0.getLong(1).toDouble)
+    // group A dies early, group B late -> positive statistic
+    val sep = Seq((1L, true, true), (1L, true, true),
+      (5L, true, false), (5L, true, false)).toDF("dur", "obs", "a")
+    val r1 = Retention.logRank(sep, "dur", "obs", col("a")).head()
+    assert(r1.getAs[Double]("chi2") > 0.0)
+  }
+
   test("rollingDistinct: trailing-window actives, observed periods only") {
     import spark.implicits._
     // periods: u1 active p0, u2 active p0 and p2, u3 active p5
