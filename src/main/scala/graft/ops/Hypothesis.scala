@@ -602,6 +602,27 @@ object Hypothesis {
       .toDF("n", "b0", "b1", "b2", "log_loss")
   }
 
+  /** Levene's test, Brown-Forsythe variant (Brown & Forsythe 1974):
+    * variance-homogeneity across groups via a one-way ANOVA on the
+    * absolute deviations from each group's MEDIAN — the robust
+    * pre-check before trusting [[anovaF]]/[[welchT]] pooled-variance
+    * assumptions. One exact per-group percentile pass (broadcast
+    * medians), one map-only |v − med| projection, then the existing
+    * decimal-quantized [[anovaF]] machinery. Returns
+    * (n_groups, n, f, eta2). */
+  def leveneBrownForsythe(df: DataFrame, vCol: String,
+      groupCol: String, scale: Int = 2): DataFrame = {
+    val v = col(vCol).cast("double")
+    val in = df.where(v.isNotNull && !isnan(v) &&
+        col(groupCol).isNotNull)
+      .select(v.as("__v"), col(groupCol).as("__g"))
+    val meds = in.groupBy("__g")
+      .agg(expr("percentile(__v, 0.5)").as("__med"))
+    in.join(broadcast(meds), "__g")
+      .select(abs(col("__v") - col("__med")).as("__z"), col("__g"))
+      .transform(anovaF(_, "__z", "__g", scale))
+  }
+
   /** Benford first-significant-digit screen (Benford 1938; the fraud /
     * fabricated-data tripwire auditors run on financial columns): the
     * observed first-digit distribution of a positive amount column

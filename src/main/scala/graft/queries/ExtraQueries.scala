@@ -327,6 +327,12 @@ object ExtraQueries {
     * covers per-line JSON encode/decode and schema'd read. */
   val qJsonlScan = Q("q48_jsonl_scan", sourceRoundTrip("json"), Some(sourceRoundTripSql))
 
+  /** ORC source round-trip: the third columnar format of the warehouse
+    * world through the same write→read→aggregate gate as csv/jsonl —
+    * covers Spark's native ORC writer/reader (type mapping, timestamp
+    * fidelity) end-to-end. */
+  val qOrcScan = Q("q224b_orc_scan", sourceRoundTrip("orc"), Some(sourceRoundTripSql))
+
   /** Mergeable frequent-items top-K (Spark 4's built-in approx_top_k,
     * DataSketches ItemsSketch) — the sketch the 100 TB profile mode uses
     * for per-column top values (Profiler pass A, sketch branch). The
@@ -673,7 +679,8 @@ object ExtraQueries {
   val all: Seq[Q] = Seq(
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qMapValueCounts,
-    qSaltedJoin, qCsvScan, qJsonlScan, qStratifiedSample, qApproxTopK,
+    qSaltedJoin, qCsvScan, qJsonlScan, qOrcScan, qStratifiedSample,
+    qApproxTopK,
     qGroupedQuantiles, qEmbedCovariance, qUrlDedup, qIncrementalMerge,
     qEquiDepth, qWeightedSample, qTopMass, qBenford, qEntropy, qKsDrift,
     qPsiDrift)

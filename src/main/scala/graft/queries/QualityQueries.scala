@@ -1400,11 +1400,13 @@ object QualityQueries {
           AS skew_frac
       FROM p"""))
 
-  /** Benford first-digit screen
+  /** Benford first-digit TEST
     * ([[graft.ops.Hypothesis.benfordFirstDigit]]) over order totals:
-    * exact string-of-cents digit extraction (no log10 at powers of
-    * ten), driver-constant expected shares mirrored as identical
-    * literals in the oracle, per-digit χ² contributions. */
+    * where q81 profiles the observed digit distribution, this row
+    * carries the hypothesis test — expected log10(1+1/d) shares as
+    * driver-constant literals and the per-digit χ² contributions —
+    * with exact string-of-cents digit extraction (no libm log10 at
+    * powers of ten). */
   val qBenford = Q(
     "q216_benford_digits",
     (s, dir) => graft.ops.Hypothesis.benfordFirstDigit(
@@ -1489,8 +1491,45 @@ object QualityQueries {
         FROM lss l, b3 b"""
     })
 
+  /** Levene / Brown-Forsythe variance-homogeneity test
+    * ([[graft.ops.Hypothesis.leveneBrownForsythe]]): ANOVA on absolute
+    * deviations from group medians — the robust gatekeeper for the
+    * pooled-variance tests (q143/q142 run on the same grouping). */
+  val qLevene = Q(
+    "q224_levene",
+    (s, dir) => graft.ops.Hypothesis.leveneBrownForsythe(
+      table(s, dir, "lineitem"), "l_extendedprice", "l_returnflag"),
+    Some("""WITH u AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+          l_returnflag AS g FROM lineitem
+        WHERE l_extendedprice IS NOT NULL
+          AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+          AND l_returnflag IS NOT NULL),
+      m AS (SELECT g, quantile_cont(v, 0.5) AS med FROM u GROUP BY g),
+      zt AS (SELECT abs(u.v - m.med) AS v, u.g
+        FROM u JOIN m ON m.g = u.g),
+      q AS (SELECT CAST(round(v * 100) AS DECIMAL(38,0)) AS c, g
+        FROM zt),
+      pg AS (SELECT g, count(*) AS ng, sum(c) AS sg, sum(c * c) AS qg
+            FROM q GROUP BY g),
+      s AS (SELECT CAST(count(*) AS BIGINT) AS k,
+              CAST(sum(ng) AS BIGINT) AS n, sum(sg) AS st, sum(qg) AS qt,
+              sum(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng) AS sb
+            FROM pg),
+      d AS (SELECT k, n, sb, CAST(k AS DOUBLE) AS kd,
+              CAST(n AS DOUBLE) AS nd, CAST(st AS DOUBLE) AS std,
+              CAST(qt AS DOUBLE) AS qtd FROM s),
+      e AS (SELECT *, (sb - std * std / nd) / 10000.0 AS ssb,
+              (qtd - std * std / nd) / 10000.0 AS sst FROM d)
+      SELECT k AS n_groups, n,
+        CASE WHEN k > 1 AND n > k AND (sst - ssb) > 0.0
+          THEN round((ssb / (kd - 1.0)) / ((sst - ssb) / (nd - kd)), 6)
+          END AS f,
+        CASE WHEN k > 1 AND n > k AND (sst - ssb) > 0.0 AND sst > 0.0
+          THEN round(ssb / sst, 6) END AS eta2
+      FROM e"""))
+
   val all: Seq[Q] = Seq(qRidge, qCuped, qOlsTrend, qEffectSizes, qSequentialPsi,
-    qJoinSize, qBenford, qLogisticGd,
+    qJoinSize, qBenford, qLogisticGd, qLevene,
     qOutliers, qAssociation, qJsdDrift, qValidate,
     qChi2Drift, qNullPatterns, qFdCheck, qWassersteinDrift, qOrphans,
     qFanout, qEmbedNorms, qKeySkew, qPctRank, qBloomPrune, qPsiSweep,

@@ -257,6 +257,20 @@ class HypothesisSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Double]("chi2_term") >= 0.0))
   }
 
+  test("leveneBrownForsythe: unequal spreads flagged, equal not") {
+    import spark.implicits._
+    // group a tight around 10, group b spread wide around 10
+    val uneq = ((1 to 50).map(i => (10.0 + (i % 3 - 1) * 0.1, "a")) ++
+      (1 to 50).map(i => (10.0 + (i % 11 - 5) * 3.0, "b"))).toDF("v", "g")
+    val f1 = Hypothesis.leveneBrownForsythe(uneq, "v", "g").head()
+    assert(f1.getAs[Double]("f") > 10.0)
+    // identical distributions -> tiny F (or null if deviations vanish)
+    val eq = ((1 to 50).map(i => ((i % 5).toDouble, "a")) ++
+      (1 to 50).map(i => ((i % 5).toDouble, "b"))).toDF("v", "g")
+    val f2 = Hypothesis.leveneBrownForsythe(eq, "v", "g").head()
+    assert(f2.isNullAt(2) || f2.getAs[Double]("f") < 1e-6)
+  }
+
   test("logisticGd2: learns the sign on separable data, loss drops") {
     import spark.implicits._
     // y = 1 iff x1 large; x2 pure noise constant
