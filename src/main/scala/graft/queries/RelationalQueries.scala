@@ -574,8 +574,126 @@ object RelationalQueries {
       FROM e GROUP BY CUBE(event_type, dw)
       ORDER BY event_type NULLS FIRST, dw NULLS FIRST"""))
 
+  /** TPC-H Q1-shaped pricing summary — THE scan-heavy reference query
+    * of analytic benchmarking: one pass over lineitem, grouped
+    * multi-aggregate with derived expressions (disc price, charge),
+    * exact decimal sums, averages derived from decimal sum/count
+    * pairs so no float accumulation order leaks into the hash. */
+  val qTpchQ1 = Q(
+    "q225_tpch_q1",
+    (s, dir) => {
+      val dec = DecimalType(18, 4)
+      table(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(dec)).cast("double")
+            .as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(dec)).cast("double").as("sum_disc_price"),
+          // three-factor product: the double->decimal cast rounds
+          // differently across engines on boundary rows; the floor
+          // quantization is arithmetic both engines share bit-for-bit
+          (sum(floor(col("l_extendedprice")
+              * (lit(1.0) - col("l_discount"))
+              * (lit(1.0) + col("l_tax")) * lit(1e4) + lit(0.5))
+            .cast(DecimalType(38, 0))).cast("double") / lit(1e4))
+            .as("sum_charge"),
+          round(sum(col("l_quantity").cast(dec)).cast("double")
+            / count(lit(1)), 6).as("avg_qty"),
+          round(sum(col("l_discount").cast(dec)).cast("double")
+            / count(lit(1)), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+          AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+          AS sum_base_price,
+        CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+          AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+          * (1.0 + l_tax) * 1e4 + 0.5) AS DECIMAL(38,0))) AS DOUBLE)
+          / 1e4 AS sum_charge,
+        round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+          / count(*), 6) AS avg_qty,
+        round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+          / count(*), 6) AS avg_disc,
+        count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  /** TPC-H Q6-shaped forecasting-revenue filter: the pure
+    * predicate-pushdown showcase — a tight three-way range filter
+    * straight into the parquet scan (PushedFilters carries all of it)
+    * and ONE decimal aggregate, no shuffle beyond the 1-row final. */
+  val qTpchQ6 = Q(
+    "q226_tpch_q6",
+    (s, dir) =>
+      table(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+          && col("l_discount") >= 0.02 && col("l_discount") <= 0.04
+          && col("l_quantity") < 24)
+        .agg(
+          sum((col("l_extendedprice") * col("l_discount"))
+            .cast(DecimalType(18, 4))).cast("double").as("revenue"),
+          count(lit(1)).as("n_rows")),
+    Some("""SELECT CAST(sum(CAST(l_extendedprice * l_discount
+          AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        count(*) AS n_rows
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount >= 0.02 AND l_discount <= 0.04
+        AND l_quantity < 24"""))
+
+  /** TPC-H Q14-shaped promo revenue share: fact⨝dim join with a
+    * conditional aggregate over the joined stream — the
+    * case-when-inside-sum pattern, on exact decimals with one final
+    * division. */
+  val qTpchQ14 = Q(
+    "q227_tpch_q14",
+    (s, dir) => {
+      val dec = DecimalType(18, 4)
+      val li = table(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-03-01").cast("timestamp")
+          && col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .select(col("l_partkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(dec).as("rev"))
+      val pt = table(s, dir, "part").select(col("p_partkey"),
+        col("p_type"))
+      li.join(pt, col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", col("rev"))
+            .otherwise(lit(0).cast(dec))).cast("double")
+            .as("promo_revenue"),
+          sum(col("rev")).cast("double").as("total_revenue"))
+        .select(col("promo_revenue"), col("total_revenue"),
+          round(lit(100.0) * col("promo_revenue")
+            / col("total_revenue"), 6).as("promo_share_pct"))
+    },
+    Some("""SELECT promo_revenue, total_revenue,
+        round(100.0 * promo_revenue / total_revenue, 6)
+          AS promo_share_pct
+      FROM (SELECT
+          CAST(sum(CASE WHEN p_type = 'PROMO' THEN
+            CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+            ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+            AS promo_revenue,
+          CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+            AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01')"""))
+
   val all: Seq[Q] = Seq(qJoinRevenue, qRollup, qSetOps, qPivot, qPageRank,
     qBucketedJoin, qStarJoinDeep, qZoneMap, qTpchQ3, qTpchQ18,
     qZOrderLayout, qCorrelatedExists, qAntiJoinQ22, qCubeEvents,
-    qSkipEffect)
+    qSkipEffect, qTpchQ1, qTpchQ6, qTpchQ14)
 }
