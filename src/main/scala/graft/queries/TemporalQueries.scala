@@ -1470,6 +1470,50 @@ object TemporalQueries {
           (CAST(v_qs AS DOUBLE) / 1e9), 6) AS chi2
       FROM s"""))
 
+  /** Window-function breadth over properly PARTITIONED frames: per
+    * user ordered by (ts, event_id) — lag gap, lead type, ntile
+    * quartile, running decimal max, and a RANGE-frame trailing-hour
+    * count, all in one WindowExec pass per spec. Every window
+    * partitions on user_id (bounded per-user history — the only
+    * window contract this repo allows); the deterministic (ts,
+    * event_id) order makes lag/lead/ntile engine-exact. */
+  val qWindowSuite = Q(
+    "q228_window_suite",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = eventsUs(s, dir)
+        .where(col("user_id") < 40 && col("event_type").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value"))
+      val wo = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val wRange = Window.partitionBy("user_id").orderBy(col("ts"))
+        .rangeBetween(-HourUs, 0)
+      ev.select(col("user_id"), col("event_id"),
+          (col("ts") - lag(col("ts"), 1).over(wo)).as("gap_us"),
+          lead(col("event_type"), 1).over(wo).as("next_type"),
+          ntile(4).over(wo).as("quartile"),
+          max(col("value").cast(DecimalType(18, 6))).over(
+            wo.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double").as("running_max"),
+          count(lit(1)).over(wRange).as("n_last_hour"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""SELECT user_id, event_id,
+        epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us,
+        lead(event_type, 1) OVER w AS next_type,
+        CAST(ntile(4) OVER w AS INT) AS quartile,
+        CAST(max(CAST(value AS DECIMAL(18,6))) OVER
+          (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+           ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_max,
+        count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+          AS n_last_hour
+      FROM events
+      WHERE user_id < 40 AND event_type IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      ORDER BY user_id, event_id"""))
+
   val all: Seq[Q] = Seq(qSessionize, qAsofJoin, qAsofForward,
     qRangeJoin, qFunnel,
     qRolling, qTransitions, qAttribution, qRetention, qCountAcf,
@@ -1479,5 +1523,6 @@ object TemporalQueries {
     qSkipGram, qTimeDecayAttribution, qStreamingSessionize,
     qStreamingHeavyHitters, qDailyActivity, qM4Downsample,
     qStreamingRunningTotals, qStreamingEnrich, qStreamingDedup,
-    qRangeJoinRule, qCohortLtv, qRollingDistinct, qLogRank)
+    qRangeJoinRule, qCohortLtv, qRollingDistinct, qLogRank,
+    qWindowSuite)
 }
