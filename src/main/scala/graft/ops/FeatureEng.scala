@@ -213,4 +213,73 @@ object FeatureEng {
       .agg(sum(col("__sign")).as("weight"),
         count(lit(1)).as("n_tokens"))
   }
+
+  /** Exact depth-1 decision-tree (stump) training by Gini gain — the
+    * first split CART would make, and the unit every boosted-tree
+    * trainer repeats: histogram the feature into `bins` equal-width
+    * buckets (the histogram-split strategy of LightGBM/XGBoost's hist
+    * mode), scan the bounded bucket grid for the split with maximal
+    * impurity reduction. All split statistics are INTEGER (bucket
+    * positive/total counts via cumulative sums over the `bins`-row
+    * grid — a bounded window, never over rows), so the chosen split
+    * is engine-exact; the Gini values are one agreed double formula
+    * over those integers, 6 dp. ONE pass over the data (the bucket
+    * groupBy) + grid arithmetic. Ties break to the smallest bucket.
+    * Returns one row: (split_bucket, threshold, n_left, pos_left,
+    * n_right, pos_right, gini_parent, gain). */
+  def decisionStump(df: DataFrame, xCol: String, yCol: Column,
+      bins: Int = 64): DataFrame = {
+    require(bins >= 2, "bins must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val x = col(xCol).cast("double")
+    val in = df.where(x.isNotNull && !isnan(x))
+      .select(x.as("x"), yCol.cast("int").as("y"))
+    val bounds = in.agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val cells = bins.toDouble
+    val counts = in.crossJoin(broadcast(bounds))
+      .select(
+        least(floor((col("x") - col("mn")) /
+          ((col("mx") - col("mn")) / lit(cells))), lit(cells - 1))
+          .cast("long").as("b"),
+        col("y"), col("mn"), col("mx"))
+      .groupBy("b", "mn", "mx")
+      .agg(count(lit(1)).as("nb"), sum(col("y")).cast("long").as("pb"))
+      // the bounded grid feeds both the cumulative scan and the totals
+      // agg - materialize once or the corpus is scanned twice
+      .localCheckpoint(false)
+    val wCum = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val grid = counts
+      .withColumn("nl", sum(col("nb")).over(wCum))
+      .withColumn("pl", sum(col("pb")).over(wCum))
+      .crossJoin(broadcast(counts.agg(
+        sum(col("nb")).as("n"), sum(col("pb")).as("p"))))
+      .where(col("b") < bins - 1 && col("nl") > 0 &&
+        (col("n") - col("nl")) > 0)
+    def gini(pos: org.apache.spark.sql.Column,
+        tot: org.apache.spark.sql.Column) = {
+      val r = pos.cast("double") / tot
+      lit(1.0) - r * r - (lit(1.0) - r) * (lit(1.0) - r)
+    }
+    val gParent = gini(col("p"), col("n"))
+    val gain = gParent -
+      (col("nl").cast("double") / col("n")) * gini(col("pl"), col("nl")) -
+      ((col("n") - col("nl")).cast("double") / col("n")) *
+        gini(col("p") - col("pl"), col("n") - col("nl"))
+    grid
+      .select(col("b").cast("int").as("split_bucket"),
+        round(col("mn") + (col("b") + 1).cast("double") *
+          ((col("mx") - col("mn")) / lit(cells)), 6).as("threshold"),
+        col("nl").as("n_left"), col("pl").as("pos_left"),
+        (col("n") - col("nl")).as("n_right"),
+        (col("p") - col("pl")).as("pos_right"),
+        round(gParent, 6).as("gini_parent"),
+        floor(gain * lit(1e6) + lit(0.5)).cast("long").as("gain_q"))
+      .orderBy(col("gain_q").desc, col("split_bucket"))
+      .limit(1)
+      .select(col("split_bucket"), col("threshold"), col("n_left"),
+        col("pos_left"), col("n_right"), col("pos_right"),
+        col("gini_parent"),
+        (col("gain_q").cast("double") / lit(1e6)).as("gain"))
+  }
 }

@@ -4,6 +4,7 @@ import java.math.{BigDecimal => JBigDecimal, RoundingMode}
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Tukey-fence outlier screening per numeric column — the classic
   * box-plot rule (reference surfaces only the raw extreme observations,
@@ -185,4 +186,59 @@ object Outliers {
   /** Render a double as a SQL literal that parses back bit-identically
     * (CAST from the shortest round-trip repr). */
   private def d(x: Double): String = s"CAST('$x' AS DOUBLE)"
+
+  /** Top-k multivariate (2-feature) Mahalanobis outliers — the
+    * correlation-aware distance that catches points no per-column
+    * fence can (far in the joint distribution, unremarkable in every
+    * marginal). Mean and covariance come from ONE decimal-quantized
+    * Gram aggregate (exact integer cent sums — the [[Hypothesis]]
+    * discipline, so both engines derive bit-identical μ/Σ), the 2×2
+    * inverse is closed-form, and per-row d² = Δᵀ Σ⁻¹ Δ is a map-only
+    * projection ranked through the mergeable
+    * [[graft.functions.BoundedTopK]] heap on the 10⁻⁶-quantized
+    * distance — no window over the data. Returns
+    * (rnk, idCol, d2) for the top `k`, d² 6 dp. */
+  def mahalanobisTopK(df: DataFrame, idCol: String,
+      x1Col: String, x2Col: String, k: Int,
+      scale: Int = 2): DataFrame = {
+    val f = math.pow(10, scale)
+    val x1 = col(x1Col).cast("double")
+    val x2 = col(x2Col).cast("double")
+    val base = df.where(x1.isNotNull && x2.isNotNull &&
+        !isnan(x1) && !isnan(x2) && col(idCol).isNotNull)
+      .select(col(idCol).as("rid"), x1.as("x1"), x2.as("x2"))
+      .localCheckpoint(false)
+    def q(c: org.apache.spark.sql.Column) =
+      round(c * f).cast(DecimalType(38, 0))
+    val g = base.agg(
+      count(lit(1)).as("n"),
+      sum(q(col("x1"))).as("s1"), sum(q(col("x2"))).as("s2"),
+      sum(q(col("x1")) * q(col("x1"))).as("q11"),
+      sum(q(col("x1")) * q(col("x2"))).as("q12"),
+      sum(q(col("x2")) * q(col("x2"))).as("q22")).head()
+    val n = g.getLong(0).toDouble
+    def bd(i: Int) = g.getDecimal(i).toBigInteger.doubleValue
+    val (s1, s2, q11, q12, q22) = (bd(1), bd(2), bd(3), bd(4), bd(5))
+    val m1 = s1 / n / f
+    val m2 = s2 / n / f
+    val c11 = (q11 - s1 * s1 / n) / (n - 1.0) / (f * f)
+    val c12 = (q12 - s1 * s2 / n) / (n - 1.0) / (f * f)
+    val c22 = (q22 - s2 * s2 / n) / (n - 1.0) / (f * f)
+    val det = c11 * c22 - c12 * c12
+    require(det != 0.0, "degenerate covariance (collinear features)")
+    val d1 = col("x1") - lit(m1)
+    val d2c = col("x2") - lit(m2)
+    val dist2 = round(
+      (d1 * (lit(c22) * d1 - lit(c12) * d2c) +
+        d2c * (lit(c11) * d2c - lit(c12) * d1)) / lit(det), 6)
+    base
+      .select(col("rid"), floor(dist2 * lit(1e6) + lit(0.5)).cast("long")
+        .as("d2_q"))
+      .agg(graft.functions.BoundedTopK
+        .topK(col("d2_q"), col("rid"), k).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "t")))
+      .select((col("pos") + 1).cast("int").as("rnk"),
+        col("t.id").as(idCol),
+        (col("t.ord").cast("double") / lit(1e6)).as("d2"))
+  }
 }

@@ -1528,8 +1528,118 @@ object QualityQueries {
           THEN round(ssb / sst, 6) END AS eta2
       FROM e"""))
 
+  /** Exact decision-stump training
+    * ([[graft.ops.FeatureEng.decisionStump]]): the best histogram
+    * Gini split of purchase-vs-value over a 64-bucket grid — integer
+    * split statistics from one pass, grid arithmetic after, the CART/
+    * boosted-tree unit step on the exact gate. */
+  val qDecisionStump = Q(
+    "q229_decision_stump",
+    (s, dir) => graft.ops.FeatureEng.decisionStump(
+      QueryCatalog.eventsUs(s, dir),
+      "value", when(col("event_type") === "purchase", 1).otherwise(0),
+      bins = 64),
+    Some("""WITH i AS (SELECT CAST(value AS DOUBLE) AS x,
+          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+        WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+      bo AS (SELECT min(x) AS mn, max(x) AS mx FROM i),
+      c AS (SELECT CAST(least(floor((x - bo.mn) /
+            ((bo.mx - bo.mn) / 64.0)), 63.0) AS BIGINT) AS bk,
+          bo.mn AS mn, bo.mx AS mx, y
+        FROM i, bo),
+      g AS (SELECT bk, mn, mx, count(*) AS nb,
+          CAST(sum(y) AS BIGINT) AS pb
+        FROM c GROUP BY 1, 2, 3),
+      cum AS (SELECT *, CAST(sum(nb) OVER (ORDER BY bk
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS nl,
+          CAST(sum(pb) OVER (ORDER BY bk
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pl
+        FROM g),
+      t AS (SELECT CAST(sum(nb) AS BIGINT) AS n,
+          CAST(sum(pb) AS BIGINT) AS p FROM g),
+      e AS (SELECT bk, mn, mx, nl, pl, n, p,
+          1.0 - (CAST(p AS DOUBLE) / n) * (CAST(p AS DOUBLE) / n)
+            - (1.0 - CAST(p AS DOUBLE) / n)
+              * (1.0 - CAST(p AS DOUBLE) / n) AS gp,
+          (1.0 - (CAST(p AS DOUBLE) / n) * (CAST(p AS DOUBLE) / n)
+            - (1.0 - CAST(p AS DOUBLE) / n)
+              * (1.0 - CAST(p AS DOUBLE) / n))
+          - (CAST(nl AS DOUBLE) / n) *
+            (1.0 - (CAST(pl AS DOUBLE) / nl) * (CAST(pl AS DOUBLE) / nl)
+              - (1.0 - CAST(pl AS DOUBLE) / nl)
+                * (1.0 - CAST(pl AS DOUBLE) / nl))
+          - (CAST(n - nl AS DOUBLE) / n) *
+            (1.0 - (CAST(p - pl AS DOUBLE) / (n - nl))
+                * (CAST(p - pl AS DOUBLE) / (n - nl))
+              - (1.0 - CAST(p - pl AS DOUBLE) / (n - nl))
+                * (1.0 - CAST(p - pl AS DOUBLE) / (n - nl))) AS gain
+        FROM cum, t
+        WHERE bk < 63 AND nl > 0 AND (n - nl) > 0),
+      r AS (SELECT CAST(bk AS INT) AS split_bucket,
+          round(mn + CAST(bk + 1 AS DOUBLE) * ((mx - mn) / 64.0), 6)
+            AS threshold,
+          nl AS n_left, pl AS pos_left,
+          n - nl AS n_right, p - pl AS pos_right,
+          round(gp, 6) AS gini_parent,
+          CAST(floor(gain * 1e6 + 0.5) AS BIGINT) AS gain_q
+        FROM e)
+      SELECT split_bucket, threshold, n_left, pos_left, n_right,
+        pos_right, gini_parent, CAST(gain_q AS DOUBLE) / 1e6 AS gain
+      FROM r ORDER BY gain_q DESC, split_bucket LIMIT 1"""))
+
+  /** Top-20 multivariate Mahalanobis outliers
+    * ([[graft.ops.Outliers.mahalanobisTopK]]) over
+    * (l_quantity, l_extendedprice): correlation-aware joint-distance
+    * screening with exact decimal Gram statistics and a BoundedTopK
+    * ranking — no window over the fact table. */
+  val qMahalanobis = Q(
+    "q230_mahalanobis",
+    (s, dir) => graft.ops.Outliers.mahalanobisTopK(
+      table(s, dir, "lineitem")
+        .withColumn("rid",
+          col("l_orderkey") * 10 + col("l_linenumber")),
+      "rid", "l_quantity", "l_extendedprice", k = 20),
+    Some("""WITH i AS (SELECT l_orderkey * 10 + l_linenumber AS rid,
+          CAST(l_quantity AS DOUBLE) AS x1,
+          CAST(l_extendedprice AS DOUBLE) AS x2
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+          AND NOT isnan(CAST(l_quantity AS DOUBLE))
+          AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+      g AS (SELECT count(*) AS n,
+          sum(CAST(round(x1 * 100) AS DECIMAL(38,0))) AS s1,
+          sum(CAST(round(x2 * 100) AS DECIMAL(38,0))) AS s2,
+          sum(CAST(round(x1 * 100) AS DECIMAL(38,0))
+            * CAST(round(x1 * 100) AS DECIMAL(38,0))) AS q11,
+          sum(CAST(round(x1 * 100) AS DECIMAL(38,0))
+            * CAST(round(x2 * 100) AS DECIMAL(38,0))) AS q12,
+          sum(CAST(round(x2 * 100) AS DECIMAL(38,0))
+            * CAST(round(x2 * 100) AS DECIMAL(38,0))) AS q22
+        FROM i),
+      st AS (SELECT CAST(n AS DOUBLE) AS nd,
+          CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+          CAST(q11 AS DOUBLE) AS q11d, CAST(q12 AS DOUBLE) AS q12d,
+          CAST(q22 AS DOUBLE) AS q22d FROM g),
+      p AS (SELECT s1d / nd / 100.0 AS m1, s2d / nd / 100.0 AS m2,
+          (q11d - s1d * s1d / nd) / (nd - 1.0) / 10000.0 AS c11,
+          (q12d - s1d * s2d / nd) / (nd - 1.0) / 10000.0 AS c12,
+          (q22d - s2d * s2d / nd) / (nd - 1.0) / 10000.0 AS c22
+        FROM st),
+      d AS (SELECT rid, CAST(floor(round(
+          ((x1 - m1) * (c22 * (x1 - m1) - c12 * (x2 - m2)) +
+           (x2 - m2) * (c11 * (x2 - m2) - c12 * (x1 - m1)))
+          / (c11 * c22 - c12 * c12), 6) * 1e6 + 0.5) AS BIGINT) AS d2q
+        FROM i, p)
+      SELECT CAST(rnk AS INT) AS rnk, rid,
+        CAST(d2q AS DOUBLE) / 1e6 AS d2
+      FROM (SELECT rid, d2q, row_number() OVER
+          (ORDER BY d2q DESC, rid) AS rnk FROM d)
+      WHERE rnk <= 20 ORDER BY rnk"""))
+
   val all: Seq[Q] = Seq(qRidge, qCuped, qOlsTrend, qEffectSizes, qSequentialPsi,
-    qJoinSize, qBenford, qLogisticGd, qLevene,
+    qJoinSize, qBenford, qLogisticGd, qLevene, qDecisionStump,
+    qMahalanobis,
     qOutliers, qAssociation, qJsdDrift, qValidate,
     qChi2Drift, qNullPatterns, qFdCheck, qWassersteinDrift, qOrphans,
     qFanout, qEmbedNorms, qKeySkew, qPctRank, qBloomPrune, qPsiSweep,

@@ -100,4 +100,32 @@ class OutliersSpec extends SparkSpec {
       (Seq.fill(10)(7.0) :+ 9.0).toDF("v"), "v").head()
     assert(z.getDouble(2) == 0.0 && z.isNullAt(3) && z.isNullAt(4))
   }
+
+  test("mahalanobisTopK: the joint outlier ranks first") {
+    import org.apache.spark.sql.functions.col
+    // tight correlated cloud along y = x, plus one point far OFF the
+    // correlation axis but inside both marginal ranges
+    val pts = (1 to 60).map(i => (i.toLong, i % 20 + 1.0,
+      (i % 20 + 1.0) * 10)) :+ (99L, 3.0, 180.0)
+    val df = pts.toDF("rid", "x1", "x2")
+    val top = Outliers.mahalanobisTopK(df, "rid", "x1", "x2", k = 3)
+      .orderBy("rnk").collect()
+    assert(top.head.getLong(1) == 99L)
+    assert(top.head.getAs[Double]("d2") >
+      top(1).getAs[Double]("d2"))
+  }
+
+  test("decisionStump: recovers the planted perfect split") {
+    import org.apache.spark.sql.functions.col
+    // y = 1 exactly when x > 32 over x in 1..64, 64 bins on [1, 64]
+    val df = (1 to 64).map(i => (i.toDouble, i)).toDF("x", "i")
+    val r = FeatureEng.decisionStump(df, "x",
+      (col("i") > 32).cast("int"), bins = 64).head()
+    // the best split separates buckets 0..31 from 32..63
+    assert(r.getAs[Long]("n_left") == 32L)
+    assert(r.getAs[Long]("pos_left") == 0L)
+    assert(r.getAs[Long]("pos_right") == 32L)
+    assert(math.abs(r.getAs[Double]("gain") - 0.5) < 1e-6)
+    assert(math.abs(r.getAs[Double]("gini_parent") - 0.5) < 1e-9)
+  }
 }
