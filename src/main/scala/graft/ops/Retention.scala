@@ -213,6 +213,78 @@ object Retention {
           (col("v_qs").cast("double") / lit(1e9)), 6).as("chi2"))
   }
 
+  /** Cox proportional-hazards regression (Cox 1972, Breslow ties), one
+    * covariate, `steps` Newton-Raphson steps on the partial
+    * likelihood — the model behind every "which factor drives churn"
+    * analysis, completing the survival suite ([[kaplanMeier]] /
+    * [[nelsonAalen]] / [[logRank]] describe; this one ATTRIBUTES.
+    *
+    * The whole iteration runs on the BOUNDED duration grid: with β
+    * fixed, each subject contributes exp(β·x)-weighted terms
+    * (quantized to 10⁻⁹ longs at birth), per-duration sums aggregate
+    * map-side, the risk-set sums S₀/S₁/S₂ are reverse-cumulative
+    * INTEGER sums over the grid, and the per-death-time score/
+    * information terms are re-quantized before the final reduction —
+    * so, exactly as for the GD/NB trainers, last-ulp libm exp drift
+    * cannot propagate and the oracle unrolls identical iterations
+    * (step 1 is even all-integer: exp(0) = 1). β re-quantizes to
+    * 10⁻⁹ between steps. Returns one row:
+    * (n_subjects, n_deaths, beta, hazard_ratio 6dp). */
+  def coxPh(df: DataFrame, durCol: String, obsCol: String,
+      xCol: String, steps: Int = 2): DataFrame = {
+    require(steps >= 1, "steps must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val base = df
+      .where(col(durCol).isNotNull && col(obsCol).isNotNull &&
+        col(xCol).isNotNull)
+      .select(col(durCol).cast("long").as("t"),
+        col(obsCol).cast("boolean").cast("int").as("e"),
+        col(xCol).cast("double").as("x"))
+      .localCheckpoint(false)
+    val counts = base.agg(count(lit(1)), sum(col("e"))).head()
+    val (nSubj, nDeath) = (counts.getLong(0), counts.getLong(1))
+    var beta = 0.0
+    val wRev = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    for (_ <- 1 to steps) {
+      val w = exp(lit(beta) * col("x"))
+      def q9(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e9) + lit(0.5)).cast("long")
+      val grid = base.select(col("t"), col("e"), col("x"),
+          q9(w).as("w_q"), q9(col("x") * w).as("xw_q"),
+          q9(col("x") * col("x") * w).as("xxw_q"),
+          q9(col("x")).as("x_q"))
+        .groupBy("t")
+        .agg(sum(col("w_q")).as("sw"), sum(col("xw_q")).as("sxw"),
+          sum(col("xxw_q")).as("sxxw"),
+          sum(col("e")).as("d"),
+          sum(col("e") * col("x_q")).as("sxd_q"))
+        .withColumn("s0q", sum(col("sw")).over(wRev))
+        .withColumn("s1q", sum(col("sxw")).over(wRev))
+        .withColumn("s2q", sum(col("sxxw")).over(wRev))
+        .where(col("d") > 0)
+      val s0 = col("s0q").cast("double") / lit(1e9)
+      val s1 = col("s1q").cast("double") / lit(1e9)
+      val s2 = col("s2q").cast("double") / lit(1e9)
+      val dd = col("d").cast("double")
+      val gT = col("sxd_q").cast("double") / lit(1e9) - dd * (s1 / s0)
+      val hT = dd * (s2 / s0 - (s1 / s0) * (s1 / s0))
+      val sums = grid.agg(
+        sum(floor(gT * lit(1e9) + lit(0.5)).cast("long")).as("gq"),
+        sum(floor(hT * lit(1e9) + lit(0.5)).cast("long")).as("hq"))
+        .head()
+      val g = sums.getLong(0).toDouble / 1e9
+      val h = sums.getLong(1).toDouble / 1e9
+      require(h > 0.0, "degenerate information (constant covariate?)")
+      beta = math.floor((beta + g / h) * 1e9 + 0.5) / 1e9
+    }
+    import spark.implicits._
+    Seq((nSubj, nDeath, beta,
+        math.floor(math.exp(beta) * 1e6 + 0.5) / 1e6))
+      .toDF("n_subjects", "n_deaths", "beta", "hazard_ratio")
+  }
+
   /** Nelson-Aalen cumulative hazard from the same per-subject
     * (duration, observed) rows as [[kaplanMeier]]: H(t_i) =
     * Σ_{j≤i} d_j/n_j over the death times — the estimator survival

@@ -1514,6 +1514,85 @@ object TemporalQueries {
       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
       ORDER BY user_id, event_id"""))
 
+  /** Cox proportional hazards on the exact gate
+    * ([[graft.ops.Retention.coxPh]]): two Newton steps attributing
+    * churn hazard (death = user ever erroring) to activity volume
+    * (x = n_events/100) over the bounded duration grid, every
+    * exp-weighted term quantized so the DuckDB unroll of the same two
+    * iterations lands on the identical coefficient. */
+  val qCoxPh = Q(
+    "q231_cox_ph",
+    (s, dir) => {
+      val subj = eventsUs(s, dir)
+        .where(col("user_id").isNotNull)
+        .groupBy("user_id")
+        .agg(
+          ((max(col("ts")) - min(col("ts"))).cast("long") /
+            lit(24 * HourUs)).cast("long").as("dur"),
+          (count(when(col("event_type") === "error", 1)) > 0)
+            .as("observed"),
+          (count(lit(1)).cast("double") / lit(100.0)).as("xv"))
+      graft.ops.Retention.coxPh(subj, "dur", "observed", "xv",
+        steps = 2)
+    },
+    Some {
+      def step(k: Int, prev: String): String =
+        s"""gr$k AS (SELECT t,
+            CAST(sum(CAST(floor(exp(b.beta * x) * 1e9 + 0.5)
+              AS BIGINT)) AS BIGINT) AS sw,
+            CAST(sum(CAST(floor(x * exp(b.beta * x) * 1e9 + 0.5)
+              AS BIGINT)) AS BIGINT) AS sxw,
+            CAST(sum(CAST(floor(x * x * exp(b.beta * x) * 1e9 + 0.5)
+              AS BIGINT)) AS BIGINT) AS sxxw,
+            CAST(sum(e) AS BIGINT) AS d,
+            CAST(sum(e * CAST(floor(x * 1e9 + 0.5) AS BIGINT))
+              AS BIGINT) AS sxd_q
+          FROM subj, $prev b GROUP BY t),
+        cum$k AS (SELECT *,
+            CAST(sum(sw) OVER (ORDER BY t DESC
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s0q,
+            CAST(sum(sxw) OVER (ORDER BY t DESC
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s1q,
+            CAST(sum(sxxw) OVER (ORDER BY t DESC
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s2q
+          FROM gr$k),
+        st$k AS (SELECT
+            CAST(sum(CAST(floor((CAST(sxd_q AS DOUBLE) / 1e9
+              - CAST(d AS DOUBLE) * ((CAST(s1q AS DOUBLE) / 1e9)
+                / (CAST(s0q AS DOUBLE) / 1e9))) * 1e9 + 0.5)
+              AS BIGINT)) AS BIGINT) AS gq,
+            CAST(sum(CAST(floor((CAST(d AS DOUBLE)
+              * ((CAST(s2q AS DOUBLE) / 1e9)
+                  / (CAST(s0q AS DOUBLE) / 1e9)
+                - ((CAST(s1q AS DOUBLE) / 1e9)
+                    / (CAST(s0q AS DOUBLE) / 1e9))
+                  * ((CAST(s1q AS DOUBLE) / 1e9)
+                    / (CAST(s0q AS DOUBLE) / 1e9)))) * 1e9 + 0.5)
+              AS BIGINT)) AS BIGINT) AS hq
+          FROM cum$k WHERE d > 0),
+        bt$k AS (SELECT floor((b.beta
+            + (CAST(s.gq AS DOUBLE) / 1e9)
+              / (CAST(s.hq AS DOUBLE) / 1e9)) * 1e9 + 0.5) / 1e9
+            AS beta
+          FROM st$k s, $prev b)"""
+      val steps = Seq(step(1, "bt0"), step(2, "bt1"))
+        .mkString(",\n        ")
+      s"""WITH subj AS (SELECT
+            CAST((epoch_us(max(ts)) - epoch_us(min(ts)))
+              // 86400000000 AS BIGINT) AS t,
+            CASE WHEN count(*) FILTER (event_type = 'error') > 0
+              THEN 1 ELSE 0 END AS e,
+            CAST(count(*) AS DOUBLE) / 100.0 AS x
+          FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+        tot AS (SELECT count(*) AS n_subjects,
+            CAST(sum(e) AS BIGINT) AS n_deaths FROM subj),
+        bt0 AS (SELECT 0.0 AS beta),
+        $steps
+        SELECT tot.n_subjects, tot.n_deaths, b.beta,
+          floor(exp(b.beta) * 1e6 + 0.5) / 1e6 AS hazard_ratio
+        FROM tot, bt2 b"""
+    })
+
   val all: Seq[Q] = Seq(qSessionize, qAsofJoin, qAsofForward,
     qRangeJoin, qFunnel,
     qRolling, qTransitions, qAttribution, qRetention, qCountAcf,
@@ -1524,5 +1603,5 @@ object TemporalQueries {
     qStreamingHeavyHitters, qDailyActivity, qM4Downsample,
     qStreamingRunningTotals, qStreamingEnrich, qStreamingDedup,
     qRangeJoinRule, qCohortLtv, qRollingDistinct, qLogRank,
-    qWindowSuite)
+    qWindowSuite, qCoxPh)
 }

@@ -631,6 +631,23 @@ class TemporalSpec extends SparkSpec {
     assert(r1.getAs[Double]("chi2") > 0.0)
   }
 
+  test("coxPh: risk direction recovered; balanced data stays at zero") {
+    import spark.implicits._
+    // x=1 subjects die early (t=1), x=0 survive to t=10 censored
+    val risky = (Seq.fill(20)((1L, true, 1.0)) ++
+      Seq.fill(20)((10L, false, 0.0))).toDF("dur", "obs", "x")
+    val b1 = Retention.coxPh(risky, "dur", "obs", "x").head()
+    assert(b1.getAs[Long]("n_subjects") == 40L)
+    assert(b1.getAs[Long]("n_deaths") == 20L)
+    assert(b1.getAs[Double]("beta") > 0.5)
+    assert(b1.getAs[Double]("hazard_ratio") > 1.0)
+    // every subject dies at t=1, covariate balanced -> score is zero
+    val flat = (Seq.fill(10)((1L, true, 1.0)) ++
+      Seq.fill(10)((1L, true, 0.0))).toDF("dur", "obs", "x")
+    val b0 = Retention.coxPh(flat, "dur", "obs", "x").head()
+    assert(b0.getAs[Double]("beta") == 0.0)
+  }
+
   test("rollingDistinct: trailing-window actives, observed periods only") {
     import spark.implicits._
     // periods: u1 active p0, u2 active p0 and p2, u3 active p5
