@@ -372,8 +372,14 @@ object Bench {
         case _: Throwable => None })
       if st1 > st0
     } yield (s1 - s0).toDouble / (st1 - st0)).getOrElse(-1.0)
+    // the suspect-count trigger scales with the catalog: 3 pass-
+    // disagreement rows meant contention at 50 queries but are routine
+    // cache/JIT warm-up at 200+; the suspects stay listed by name
+    // either way, the boolean just summarizes
+    val suspectTrip = math.max(3, results.size / 40)
     val polluted = externalLoad || failedQueries.nonEmpty ||
-      math.max(t1, t2) > 2.0 * math.min(t1, t2) || suspects.size >= 3 ||
+      math.max(t1, t2) > 2.0 * math.min(t1, t2) ||
+      suspects.size >= suspectTrip ||
       stealFrac > 0.01
     val suspectJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     val coldJson = coldStarts.map("\"" + _ + "\"").mkString("[", ",", "]")
