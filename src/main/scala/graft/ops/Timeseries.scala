@@ -485,6 +485,46 @@ object Timeseries {
     * period set so the tail never reports windows past the data.
     * Shuffles on (period[, key]) only; per-period work is bounded by
     * actives × span. Returns (period, n_active), ordered. */
+  /** Per-key resample + forward-fill — the pandas
+    * `resample().ffill()` every time-series consumer asks of an
+    * analytics engine and Spark has no built-in for: collapse
+    * observations to one value per (key, period) (latest wins,
+    * deterministic (ts, value) lexicographic pick), materialize each
+    * key's FULL period grid between its first and last observation
+    * (a bounded calendar explode), and carry the last observed value
+    * across the gaps.
+    *
+    * Scale shape: one groupBy for the per-period collapse, one for
+    * the per-key span, the grid explode is calendar-bounded, and the
+    * fill window partitions on ONE key's grid — bounded by span, not
+    * rows. Returns (keyCol, period, value), gaps filled. */
+  def resampleFfill(df: DataFrame, keyCol: String, tsUsCol: String,
+      valueCol: String, periodUs: Long): DataFrame = {
+    require(periodUs > 0, "periodUs must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val per = expr(
+      s"(`$tsUsCol` - pmod(`$tsUsCol`, $periodUs)) div $periodUs")
+    val base = df.where(col(keyCol).isNotNull && col(tsUsCol).isNotNull
+        && col(valueCol).isNotNull)
+      .select(col(keyCol).as("k"), per.as("p"),
+        col(tsUsCol).as("ts"), col(valueCol).cast("double").as("v"))
+      .localCheckpoint(false)
+    // latest observation per (key, period): lexicographic (ts, v) max
+    val obs = base.groupBy("k", "p")
+      .agg(max(struct(col("ts"), col("v"))).as("m"))
+      .select(col("k"), col("p"), col("m.v").as("v"))
+    val grid = base.groupBy("k")
+      .agg(min(col("p")).as("p0"), max(col("p")).as("p1"))
+      .select(col("k"),
+        explode(sequence(col("p0"), col("p1"))).as("p"))
+    val w = Window.partitionBy("k").orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(obs, Seq("k", "p"), "left")
+      .select(col("k").as(keyCol), col("p").as("period"),
+        last(col("v"), ignoreNulls = true).over(w).as("value"))
+      .orderBy(keyCol, "period")
+  }
+
   def rollingDistinct(df: DataFrame, keyCol: String, tsUsCol: String,
       periodUs: Long, span: Int): DataFrame = {
     require(periodUs > 0 && span >= 1, "need periodUs > 0, span >= 1")

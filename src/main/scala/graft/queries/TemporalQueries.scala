@@ -1593,6 +1593,33 @@ object TemporalQueries {
         FROM tot, bt2 b"""
     })
 
+  /** Per-user daily resample + forward-fill
+    * ([[graft.ops.Timeseries.resampleFfill]]): pandas
+    * `resample('D').ffill()` semantics over a bounded slice — gaps in
+    * each user's daily value series carry the last observation. */
+  val qResampleFfill = Q(
+    "q232_resample_ffill",
+    (s, dir) => graft.ops.Timeseries.resampleFfill(
+      eventsUs(s, dir).where(col("user_id") < 25),
+      "user_id", "ts", "value", periodUs = 24 * HourUs),
+    Some("""WITH b AS (SELECT user_id AS k,
+          epoch_us(ts) // 86400000000 AS p,
+          epoch_us(ts) AS tus, CAST(value AS DOUBLE) AS v
+        FROM events
+        WHERE user_id IS NOT NULL AND user_id < 25
+          AND ts IS NOT NULL AND value IS NOT NULL),
+      obs AS (SELECT k, p, v FROM (
+          SELECT k, p, v, row_number() OVER (PARTITION BY k, p
+            ORDER BY tus DESC, v DESC) AS rn FROM b)
+        WHERE rn = 1),
+      span AS (SELECT k, min(p) AS p0, max(p) AS p1 FROM b GROUP BY k),
+      grid AS (SELECT k, unnest(range(p0, p1 + 1)) AS p FROM span)
+      SELECT g.k AS user_id, g.p AS period,
+        last_value(obs.v IGNORE NULLS) OVER (PARTITION BY g.k
+          ORDER BY g.p ROWS UNBOUNDED PRECEDING) AS value
+      FROM grid g LEFT JOIN obs ON obs.k = g.k AND obs.p = g.p
+      ORDER BY user_id, period"""))
+
   val all: Seq[Q] = Seq(qSessionize, qAsofJoin, qAsofForward,
     qRangeJoin, qFunnel,
     qRolling, qTransitions, qAttribution, qRetention, qCountAcf,
@@ -1603,5 +1630,5 @@ object TemporalQueries {
     qStreamingHeavyHitters, qDailyActivity, qM4Downsample,
     qStreamingRunningTotals, qStreamingEnrich, qStreamingDedup,
     qRangeJoinRule, qCohortLtv, qRollingDistinct, qLogRank,
-    qWindowSuite, qCoxPh)
+    qWindowSuite, qCoxPh, qResampleFfill)
 }

@@ -631,6 +631,19 @@ class TemporalSpec extends SparkSpec {
     assert(r1.getAs[Double]("chi2") > 0.0)
   }
 
+  test("resampleFfill: gaps carry the last observation, latest wins") {
+    import spark.implicits._
+    // key 1: obs at p0 (two rows - later ts wins) and p3; p1/p2 filled
+    val df = Seq((1L, 5L, 10.0), (1L, 7L, 20.0), (1L, 35L, 99.0),
+      (2L, 12L, 7.0)).toDF("k", "t", "v")
+    val got = Timeseries.resampleFfill(df, "k", "t", "v", periodUs = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(got === Map(
+      (1L, 0L) -> 20.0, (1L, 1L) -> 20.0, (1L, 2L) -> 20.0,
+      (1L, 3L) -> 99.0, (2L, 1L) -> 7.0))
+  }
+
   test("coxPh: risk direction recovered; balanced data stays at zero") {
     import spark.implicits._
     // x=1 subjects die early (t=1), x=0 survive to t=10 censored
