@@ -73,8 +73,201 @@ object SparkEntry {
     },
     None)
 
+  /** The COMPOSED flagship on the VALUE gate. q00/q00b keep timing the
+    * profiler; this row hash-checks the assembled `TableProfile` — the
+    * multi-pass fusion in `Profiler.profile` (pass A scalars, pass B
+    * value counts, pass D MAD, pass F duplicates, the alert rules, the
+    * demotion decision) re-emitted as one wide per-column table — against
+    * a DuckDB oracle that recomputes every stat independently per column.
+    * A wiring bug (wrong column↔stat pairing, a dropped alert rule, a
+    * broken demotion) that q01–q46's per-stat queries cannot see fails
+    * here. Reference lifecycle: `model/describe.py:103-190`,
+    * `model/summary.py:263-310`.
+    *
+    * Exactness contract: integers (counts, distinct, unique, zeros,
+    * lengths, mode freq, epochs, duplicates, alert counts) compare raw;
+    * min/max are order-independent doubles (raw); mean/std round at 4
+    * (cross-engine avg-of-60k-doubles divergence is ~1e-9 on the mean —
+    * see q04's convention); median/MAD round at 6 (exact interpolated
+    * percentiles, q05/q46's convention; q00c sets exactQuantiles=true).
+    * n_alerts_basic counts the integer-threshold column alerts
+    * (MISSING/CONSTANT/REJECTED/UNIQUE/HIGH_CARDINALITY/ZEROS/INFINITE/
+    * CONSTANT_LENGTH/TYPE_DATE) — the float-threshold rules (SKEWED,
+    * UNIFORM) and pair rules (HIGH_CORRELATION) stay spec-covered
+    * (AlertsSpec). */
+  private val qProfileGate: graft.queries.Q = {
+    val numerics = Seq("l_orderkey", "l_partkey", "l_suppkey",
+      "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val strings = Seq("l_returnflag", "l_linestatus")
+    val dates = Seq("l_shipdate")
+    val lowCat = ProfileConfig.default.lowCategoricalThreshold
+    val highCard = ProfileConfig.default.highCardinalityThreshold
+
+    def uniqueSub(c: String) =
+      s"""(SELECT count(*) FROM (SELECT $c FROM lineitem
+         WHERE $c IS NOT NULL GROUP BY $c HAVING count(*) = 1))"""
+    // shared alert terms over the per-column aggregate row `s`
+    val baseAlerts =
+      s"""CASE WHEN t.n - s.cnt > 0 THEN 1 ELSE 0 END
+        + CASE WHEN s.cnt > 0 AND s.n_distinct = 1 THEN 2 ELSE 0 END
+        + CASE WHEN s.cnt > 0 AND s.n_unique = s.cnt THEN 1 ELSE 0 END"""
+    val nullTail =
+      """CAST(NULL AS BIGINT) AS len_min, CAST(NULL AS BIGINT) AS len_max,
+         CAST(NULL AS DOUBLE) AS len_mean_r, CAST(NULL AS VARCHAR) AS mode_v,
+         CAST(NULL AS BIGINT) AS mode_freq"""
+    val nullNum =
+      """CAST(NULL AS BIGINT) AS n_zeros, CAST(NULL AS DOUBLE) AS mean_r,
+         CAST(NULL AS DOUBLE) AS std_r, CAST(NULL AS DOUBLE) AS min_v,
+         CAST(NULL AS DOUBLE) AS max_v, CAST(NULL AS DOUBLE) AS median_r,
+         CAST(NULL AS DOUBLE) AS mad_r"""
+
+    def numBlock(c: String) = {
+      def gated(e: String, as: String) =
+        s"CASE WHEN s.n_distinct <= $lowCat THEN NULL ELSE $e END AS $as"
+      s"""SELECT '$c' AS col_name,
+        CASE WHEN s.n_distinct <= $lowCat THEN 'Categorical' ELSE 'Numeric' END AS ptype,
+        t.n AS n, s.cnt AS n_count, t.n - s.cnt AS n_missing,
+        s.n_distinct AS n_distinct, s.n_unique AS n_unique,
+        ${gated("s.n_zeros", "n_zeros")}, ${gated("s.mean_r", "mean_r")},
+        ${gated("s.std_r", "std_r")}, ${gated("s.min_v", "min_v")},
+        ${gated("s.max_v", "max_v")}, ${gated("s.median_r", "median_r")},
+        ${gated("s.mad_r", "mad_r")}, $nullTail,
+        CAST(NULL AS BIGINT) AS epoch_min, CAST(NULL AS BIGINT) AS epoch_max,
+        t.ndup AS n_duplicates,
+        CAST($baseAlerts
+          + CASE WHEN s.n_distinct <= $lowCat AND s.n_distinct > $highCard THEN 1 ELSE 0 END
+          + CASE WHEN s.n_distinct > $lowCat AND s.n_zeros > 0 THEN 1 ELSE 0 END
+          + CASE WHEN s.n_distinct > $lowCat AND s.n_inf > 0 THEN 1 ELSE 0 END
+          AS BIGINT) AS n_alerts_basic
+      FROM tot t CROSS JOIN (SELECT
+          count($c) AS cnt, count(DISTINCT $c) AS n_distinct,
+          ${uniqueSub(c)} AS n_unique,
+          count(CASE WHEN $c = 0 THEN 1 END) AS n_zeros,
+          count(CASE WHEN isinf(CAST($c AS DOUBLE)) THEN 1 END) AS n_inf,
+          round(avg(CAST($c AS DOUBLE)), 4) AS mean_r,
+          round(stddev_samp(CAST($c AS DOUBLE)), 4) AS std_r,
+          CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v,
+          round(quantile_cont(CAST($c AS DOUBLE), 0.5), 6) AS median_r,
+          round((SELECT quantile_cont(abs(CAST(l2.$c AS DOUBLE) - m.med), 0.5)
+                 FROM lineitem l2 CROSS JOIN
+                   (SELECT quantile_cont(CAST($c AS DOUBLE), 0.5) AS med
+                    FROM lineitem) m), 6) AS mad_r
+        FROM lineitem) s"""
+    }
+    def strBlock(c: String) =
+      s"""SELECT '$c' AS col_name, 'Categorical' AS ptype,
+        t.n AS n, s.cnt AS n_count, t.n - s.cnt AS n_missing,
+        s.n_distinct AS n_distinct, s.n_unique AS n_unique,
+        $nullNum,
+        s.len_min AS len_min, s.len_max AS len_max, s.len_mean_r AS len_mean_r,
+        s.mode_v AS mode_v, s.mode_freq AS mode_freq,
+        CAST(NULL AS BIGINT) AS epoch_min, CAST(NULL AS BIGINT) AS epoch_max,
+        t.ndup AS n_duplicates,
+        CAST($baseAlerts
+          + CASE WHEN s.n_distinct > $highCard THEN 1 ELSE 0 END
+          + CASE WHEN s.cnt > 0 AND s.len_min = s.len_max AND s.n_distinct > 1 THEN 1 ELSE 0 END
+          AS BIGINT) AS n_alerts_basic
+      FROM tot t CROSS JOIN (SELECT
+          count($c) AS cnt, count(DISTINCT $c) AS n_distinct,
+          ${uniqueSub(c)} AS n_unique,
+          min(length($c)) AS len_min, max(length($c)) AS len_max,
+          round(avg(CAST(length($c) AS DOUBLE)), 4) AS len_mean_r,
+          (SELECT $c FROM lineitem WHERE $c IS NOT NULL
+           GROUP BY $c ORDER BY count(*) DESC, $c LIMIT 1) AS mode_v,
+          (SELECT count(*) FROM lineitem WHERE $c IS NOT NULL
+           GROUP BY $c ORDER BY count(*) DESC, $c LIMIT 1) AS mode_freq
+        FROM lineitem) s"""
+    def dateBlock(c: String) =
+      s"""SELECT '$c' AS col_name, 'DateTime' AS ptype,
+        t.n AS n, s.cnt AS n_count, t.n - s.cnt AS n_missing,
+        s.n_distinct AS n_distinct, s.n_unique AS n_unique,
+        $nullNum, $nullTail,
+        s.epoch_min AS epoch_min, s.epoch_max AS epoch_max,
+        t.ndup AS n_duplicates,
+        CAST($baseAlerts + 1 AS BIGINT) AS n_alerts_basic
+      FROM tot t CROSS JOIN (SELECT
+          count($c) AS cnt, count(DISTINCT $c) AS n_distinct,
+          ${uniqueSub(c)} AS n_unique,
+          epoch_us(min($c)) // 1000000 AS epoch_min,
+          epoch_us(max($c)) // 1000000 AS epoch_max
+        FROM lineitem) s"""
+    val sql =
+      s"""WITH tot AS (SELECT count(*) AS n,
+           count(*) - (SELECT count(*) FROM (SELECT DISTINCT * FROM lineitem)) AS ndup
+           FROM lineitem)
+         ${(numerics.map(numBlock) ++ strings.map(strBlock) ++
+            dates.map(dateBlock)).mkString("\nUNION ALL\n")}
+         ORDER BY col_name"""
+
+    val basicKinds = Set("MISSING", "CONSTANT", "REJECTED", "UNIQUE",
+      "HIGH_CARDINALITY", "ZEROS", "INFINITE", "CONSTANT_LENGTH", "TYPE_DATE")
+    graft.queries.Q(
+      "q00c_profile_gate",
+      (s, dir) => {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types._
+        val profile = Profiler.profile(
+          s.read.parquet(s"$dir/lineitem.parquet"),
+          ProfileConfig.default.copy(exactQuantiles = true))
+        def rnd(x: Double, scale: Int): java.lang.Double =
+          if (x.isNaN || x.isInfinite) null
+          else java.math.BigDecimal.valueOf(x)
+            .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue
+        def jl(x: Long): java.lang.Long = java.lang.Long.valueOf(x)
+        val rows: Seq[Row] = profile.columns.sortBy(_.name).map { c =>
+          val alerts = jl(profile.alerts.count(a =>
+            a.column.contains(c.name) && basicKinds(a.kind)))
+          val common = Seq[Any](c.name, c.profileType.name,
+            jl(c.common.n), jl(c.common.count), jl(c.common.nMissing),
+            jl(c.common.nDistinct), jl(c.common.nUnique))
+          val typedCells: Seq[Any] = c.typed match {
+            case nst: graft.profile.NumericStats =>
+              Seq(jl(nst.nZeros), rnd(nst.mean, 4), rnd(nst.std, 4),
+                java.lang.Double.valueOf(nst.min), java.lang.Double.valueOf(nst.max),
+                rnd(nst.median, 6), rnd(nst.mad, 6),
+                null, null, null, null, null, null, null)
+            case cat: graft.profile.CategoricalStats =>
+              val lmin: Any = cat.lengths.map(l => jl(l.minLength)).orNull
+              val lmax: Any = cat.lengths.map(l => jl(l.maxLength)).orNull
+              val lmean: Any = cat.lengths.map(l => rnd(l.meanLength, 4)).orNull
+              Seq(null, null, null, null, null, null, null,
+                lmin, lmax, lmean,
+                cat.topValues.headOption.map(_._1).orNull,
+                cat.topValues.headOption.map(t => jl(t._2)).orNull,
+                null, null)
+            case dt: graft.profile.DateTimeStats =>
+              Seq(null, null, null, null, null, null, null,
+                null, null, null, null, null,
+                jl(dt.minEpochSec), jl(dt.maxEpochSec))
+            case _ =>
+              Seq(null, null, null, null, null, null, null,
+                null, null, null, null, null, null, null)
+          }
+          Row.fromSeq(common ++ typedCells ++
+            Seq(jl(profile.nDuplicates), alerts))
+        }
+        val schema = StructType(Seq(
+          StructField("col_name", StringType), StructField("ptype", StringType),
+          StructField("n", LongType), StructField("n_count", LongType),
+          StructField("n_missing", LongType), StructField("n_distinct", LongType),
+          StructField("n_unique", LongType), StructField("n_zeros", LongType),
+          StructField("mean_r", DoubleType), StructField("std_r", DoubleType),
+          StructField("min_v", DoubleType), StructField("max_v", DoubleType),
+          StructField("median_r", DoubleType), StructField("mad_r", DoubleType),
+          StructField("len_min", LongType), StructField("len_max", LongType),
+          StructField("len_mean_r", DoubleType), StructField("mode_v", StringType),
+          StructField("mode_freq", LongType), StructField("epoch_min", LongType),
+          StructField("epoch_max", LongType), StructField("n_duplicates", LongType),
+          StructField("n_alerts_basic", LongType)))
+        s.createDataFrame(
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
+          .orderBy("col_name")
+      },
+      Some(sql))
+  }
+
   private def catalog: Seq[graft.queries.Q] =
-    Seq(qProfile, qProfileSketch) ++ QueryCatalog.all ++ PipelineQueries.all ++
+    Seq(qProfile, qProfileSketch, qProfileGate) ++ QueryCatalog.all ++ PipelineQueries.all ++
       graft.queries.ExtraQueries.all ++ graft.queries.TemporalQueries.all ++
       graft.queries.RelationalQueries.all ++ graft.queries.QualityQueries.all
 

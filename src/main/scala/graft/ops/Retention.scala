@@ -117,10 +117,15 @@ object Retention {
     * float sequence is identical in any engine; a d = n_risk final
     * step short-circuits to exactly 0 rather than ln(0). One
     * groupBy(duration) shuffle; everything after runs on the bounded
-    * grid. Returns (t, n_risk, d, surv) for death times, ordered by
-    * t, surv 6dp-rounded. */
+    * grid — and that contract is now ENFORCED, not just documented:
+    * the aggregated grid is checkpointed and counted, and a duration
+    * domain wider than `maxGrid` fails loudly (the countAcf contract,
+    * Timeseries.countAcf) instead of funneling an unbounded axis into
+    * the one-task cumulative window. Returns (t, n_risk, d, surv) for
+    * death times, ordered by t, surv 6dp-rounded. */
   def kaplanMeier(
-      df: DataFrame, durCol: String, obsCol: String): DataFrame = {
+      df: DataFrame, durCol: String, obsCol: String,
+      maxGrid: Long = 10000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dur = col(durCol).cast("long")
     val obs = col(obsCol).cast("boolean")
@@ -129,6 +134,8 @@ object Retention {
       .select(dur.as("__t"), obs.as("__o"))
       .groupBy("__t")
       .agg(count(lit(1)).as("cnt"), count(when(col("__o"), 1)).as("d"))
+      .localCheckpoint(false)
+    requireBoundedGrid(c, maxGrid, "kaplanMeier")
     val totals = c.agg(sum(col("cnt")).as("total"))
     // prior = subjects with strictly smaller duration (exclusive
     // prefix over the bounded duration grid)
@@ -163,10 +170,13 @@ object Retention {
     * shuffle, exclusive prefix sums for the at-risk counts over the
     * BOUNDED duration grid, then per-time E/V terms
     * floor(t·10⁹ + 0.5)-quantized before the final sums so the
-    * statistic is order-invariant and engine-exact. Returns one row:
+    * statistic is order-invariant and engine-exact. The duration grid
+    * is checkpointed, counted, and `maxGrid`-guarded like
+    * [[kaplanMeier]]'s. Returns one row:
     * (n_times, d_a, e_a, var_sum, chi2), 6 dp. */
   def logRank(df: DataFrame, durCol: String, obsCol: String,
-      groupA: org.apache.spark.sql.Column): DataFrame = {
+      groupA: org.apache.spark.sql.Column,
+      maxGrid: Long = 10000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dur = col(durCol).cast("long")
     val obs = col(obsCol).cast("boolean")
@@ -178,6 +188,8 @@ object Retention {
         count(when(col("__a"), 1)).as("cnt_a"),
         count(when(col("__o"), 1)).as("d"),
         count(when(col("__o") && col("__a"), 1)).as("d_a"))
+      .localCheckpoint(false)
+    requireBoundedGrid(c, maxGrid, "logRank")
     val totals = c.agg(sum(col("cnt")).as("total"),
       sum(col("cnt_a")).as("total_a"))
     val wPrior = Window.orderBy(col("__t"))
@@ -231,7 +243,8 @@ object Retention {
     * 10⁻⁹ between steps. Returns one row:
     * (n_subjects, n_deaths, beta, hazard_ratio 6dp). */
   def coxPh(df: DataFrame, durCol: String, obsCol: String,
-      xCol: String, steps: Int = 2): DataFrame = {
+      xCol: String, steps: Int = 2,
+      maxGrid: Long = 10000000L): DataFrame = {
     require(steps >= 1, "steps must be >= 1")
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
@@ -242,8 +255,14 @@ object Retention {
         col(obsCol).cast("boolean").cast("int").as("e"),
         col(xCol).cast("double").as("x"))
       .localCheckpoint(false)
-    val counts = base.agg(count(lit(1)), sum(col("e"))).head()
+    // grid guard rides the existing counts aggregate — zero extra jobs
+    val counts = base
+      .agg(count(lit(1)), sum(col("e")), countDistinct(col("t"))).head()
     val (nSubj, nDeath) = (counts.getLong(0), counts.getLong(1))
+    require(counts.getLong(2) <= maxGrid,
+      s"coxPh: ${counts.getLong(2)} distinct durations exceed " +
+        s"maxGrid=$maxGrid — the per-iteration cumulative windows run " +
+        "single-task over this grid; quantize durations or raise maxGrid")
     var beta = 0.0
     val wRev = Window.orderBy(col("t").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -294,10 +313,13 @@ object Retention {
     * the KM curve: one groupBy(duration) shuffle, then exclusive
     * prefix sums over the bounded duration grid; each d/n term is one
     * double division and the cumulative sum runs in duration order,
-    * so the float sequence is engine-exact. Returns (t, n_risk, d,
-    * cumhaz) for death times, ordered by t, cumhaz 6dp-rounded. */
+    * so the float sequence is engine-exact. The grid is checkpointed,
+    * counted, and `maxGrid`-guarded like [[kaplanMeier]]'s. Returns
+    * (t, n_risk, d, cumhaz) for death times, ordered by t, cumhaz
+    * 6dp-rounded. */
   def nelsonAalen(
-      df: DataFrame, durCol: String, obsCol: String): DataFrame = {
+      df: DataFrame, durCol: String, obsCol: String,
+      maxGrid: Long = 10000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dur = col(durCol).cast("long")
     val obs = col(obsCol).cast("boolean")
@@ -306,6 +328,8 @@ object Retention {
       .select(dur.as("__t"), obs.as("__o"))
       .groupBy("__t")
       .agg(count(lit(1)).as("cnt"), count(when(col("__o"), 1)).as("d"))
+      .localCheckpoint(false)
+    requireBoundedGrid(c, maxGrid, "nelsonAalen")
     val totals = c.agg(sum(col("cnt")).as("total"))
     val wPrior = Window.orderBy(col("__t"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -333,6 +357,23 @@ object Retention {
     * the final rollup joins those two key-partitioned tables — three
     * hash shuffles on uniform keys, no window, no distinct-over-window.
     * Period indexing is exact integer division of the epoch column. */
+  /** Enforce the survival ops' bounded-grid window contract: the
+    * cumulative windows downstream run in ONE task over the aggregated
+    * duration grid, so an unbounded duration domain (raw-microsecond
+    * durations, a corrupt column) must fail loudly here — the same
+    * posture as `Timeseries.countAcf`'s maxPeriods guard. The grid is
+    * already checkpointed, so the count is a cheap local scan and the
+    * main query reuses the materialized grid (no second pass over the
+    * raw data). */
+  private def requireBoundedGrid(
+      grid: DataFrame, maxGrid: Long, op: String): Unit = {
+    val n = grid.count()
+    require(n <= maxGrid,
+      s"$op: $n distinct durations exceed maxGrid=$maxGrid — the " +
+        "cumulative windows run single-task over this grid; quantize " +
+        "durations (days/weeks) or raise maxGrid")
+  }
+
   def dailyActivity(
       df: DataFrame, keyCol: String, timeCol: String,
       period: Long): DataFrame = {

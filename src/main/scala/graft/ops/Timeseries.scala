@@ -473,18 +473,6 @@ object Timeseries {
         max_by(col("__v"), col("__ord")).as("v_last"))
   }
 
-  /** Rolling distinct actives — WAU-by-day and its cousins: for every
-    * period `d` in the data's range, the EXACT count of distinct keys
-    * active in the trailing window `[d - (span-1), d]`. Spark's window
-    * frames cannot express COUNT(DISTINCT) over a RANGE frame, and
-    * streaming sketches only approximate it; the exact scalable plan
-    * is: collapse to distinct (key, period) once, fan each activity
-    * out to the ≤ `span` periods whose trailing window it enters
-    * (bounded explode — a calendar fanout, not a data fanout), then
-    * distinct-count per period, semi-joined to the tiny observed-
-    * period set so the tail never reports windows past the data.
-    * Shuffles on (period[, key]) only; per-period work is bounded by
-    * actives × span. Returns (period, n_active), ordered. */
   /** Per-key resample + forward-fill — the pandas
     * `resample().ffill()` every time-series consumer asks of an
     * analytics engine and Spark has no built-in for: collapse
@@ -525,6 +513,18 @@ object Timeseries {
       .orderBy(keyCol, "period")
   }
 
+  /** Rolling distinct actives — WAU-by-day and its cousins: for every
+    * period `d` in the data's range, the EXACT count of distinct keys
+    * active in the trailing window `[d - (span-1), d]`. Spark's window
+    * frames cannot express COUNT(DISTINCT) over a RANGE frame, and
+    * streaming sketches only approximate it; the exact scalable plan
+    * is: collapse to distinct (key, period) once, fan each activity
+    * out to the ≤ `span` periods whose trailing window it enters
+    * (bounded explode — a calendar fanout, not a data fanout), then
+    * distinct-count per period, semi-joined to the tiny observed-
+    * period set so the tail never reports windows past the data.
+    * Shuffles on (period[, key]) only; per-period work is bounded by
+    * actives × span. Returns (period, n_active), ordered. */
   def rollingDistinct(df: DataFrame, keyCol: String, tsUsCol: String,
       periodUs: Long, span: Int): DataFrame = {
     require(periodUs > 0 && span >= 1, "need periodUs > 0, span >= 1")
@@ -545,4 +545,63 @@ object Timeseries {
       .agg(countDistinct(col("k")).as("n_active"))
       .orderBy("period")
   }
+
+  /** Per-key resample + LINEAR INTERPOLATION — the pandas
+    * `resample().interpolate()` sibling of [[resampleFfill]] (the pair
+    * real consumers reach for together): same latest-wins collapse and
+    * bounded calendar grid, but each interior gap takes the straight
+    * line between its surrounding observations instead of carrying the
+    * last one forward. The grid spans each key's first..last observed
+    * period, so every gap has BOTH neighbors (pandas' default linear
+    * interpolate has no leading/trailing fill either).
+    *
+    * Same scale shape as ffill: per-(key,period) groupBy, per-key span
+    * groupBy, calendar-bounded explode, and the neighbor windows
+    * partition on one key's grid. Interpolated cells are 6dp-rounded
+    * with one fixed parenthesization — v_prev + (v_next − v_prev) ·
+    * ((p − p_prev)/(p_next − p_prev)) — so any engine reproduces them;
+    * observed cells pass through raw. Returns (keyCol, period, value). */
+  def resampleInterpolate(df: DataFrame, keyCol: String, tsUsCol: String,
+      valueCol: String, periodUs: Long): DataFrame = {
+    require(periodUs > 0, "periodUs must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val per = expr(
+      s"(`$tsUsCol` - pmod(`$tsUsCol`, $periodUs)) div $periodUs")
+    val base = df.where(col(keyCol).isNotNull && col(tsUsCol).isNotNull
+        && col(valueCol).isNotNull)
+      .select(col(keyCol).as("k"), per.as("p"),
+        col(tsUsCol).as("ts"), col(valueCol).cast("double").as("v"))
+      .localCheckpoint(false)
+    val obs = base.groupBy("k", "p")
+      .agg(max(struct(col("ts"), col("v"))).as("m"))
+      .select(col("k"), col("p"), col("m.v").as("v"))
+    val grid = base.groupBy("k")
+      .agg(min(col("p")).as("p0"), max(col("p")).as("p1"))
+      .select(col("k"),
+        explode(sequence(col("p0"), col("p1"))).as("p"))
+    val wPrev = Window.partitionBy("k").orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = Window.partitionBy("k").orderBy("p")
+      .rowsBetween(0, Window.unboundedFollowing)
+    val joined = grid.join(obs, Seq("k", "p"), "left")
+      .withColumn("v_prev", last(col("v"), ignoreNulls = true).over(wPrev))
+      .withColumn("p_prev",
+        last(when(col("v").isNotNull, col("p")), ignoreNulls = true)
+          .over(wPrev))
+      .withColumn("v_next", first(col("v"), ignoreNulls = true).over(wNext))
+      .withColumn("p_next",
+        first(when(col("v").isNotNull, col("p")), ignoreNulls = true)
+          .over(wNext))
+    // double division: a gap row always has p_next > p_prev, and the
+    // observed-row branch never reads the (0/0 = NaN) fraction
+    val frac = (col("p") - col("p_prev")).cast("double") /
+      (col("p_next") - col("p_prev")).cast("double")
+    joined.select(col("k").as(keyCol), col("p").as("period"),
+      when(col("v").isNotNull, col("v"))
+        .otherwise(round(
+          col("v_prev") + (col("v_next") - col("v_prev")) * frac, 6))
+        .as("value"))
+      .orderBy(keyCol, "period")
+  }
+
 }

@@ -1620,6 +1620,48 @@ object TemporalQueries {
       FROM grid g LEFT JOIN obs ON obs.k = g.k AND obs.p = g.p
       ORDER BY user_id, period"""))
 
+  /** Per-user daily resample + linear interpolation
+    * ([[graft.ops.Timeseries.resampleInterpolate]]): pandas
+    * `resample('D').interpolate()` semantics — interior gaps take the
+    * straight line between the surrounding observations. Same slice,
+    * grid, and latest-wins collapse as q232; the oracle mirrors the
+    * fixed interpolation parenthesization and 6dp rounding. */
+  val qResampleInterpolate = Q(
+    "q233_resample_interpolate",
+    (s, dir) => graft.ops.Timeseries.resampleInterpolate(
+      eventsUs(s, dir).where(col("user_id") < 25),
+      "user_id", "ts", "value", periodUs = 24 * HourUs),
+    Some("""WITH b AS (SELECT user_id AS k,
+          epoch_us(ts) // 86400000000 AS p,
+          epoch_us(ts) AS tus, CAST(value AS DOUBLE) AS v
+        FROM events
+        WHERE user_id IS NOT NULL AND user_id < 25
+          AND ts IS NOT NULL AND value IS NOT NULL),
+      obs AS (SELECT k, p, v FROM (
+          SELECT k, p, v, row_number() OVER (PARTITION BY k, p
+            ORDER BY tus DESC, v DESC) AS rn FROM b)
+        WHERE rn = 1),
+      span AS (SELECT k, min(p) AS p0, max(p) AS p1 FROM b GROUP BY k),
+      grid AS (SELECT k, unnest(range(p0, p1 + 1)) AS p FROM span),
+      j AS (SELECT g.k, g.p, obs.v,
+          last_value(obs.v IGNORE NULLS) OVER wp AS v_prev,
+          last_value(CASE WHEN obs.v IS NOT NULL THEN g.p END
+            IGNORE NULLS) OVER wp AS p_prev,
+          first_value(obs.v IGNORE NULLS) OVER wn AS v_next,
+          first_value(CASE WHEN obs.v IS NOT NULL THEN g.p END
+            IGNORE NULLS) OVER wn AS p_next
+        FROM grid g LEFT JOIN obs ON obs.k = g.k AND obs.p = g.p
+        WINDOW wp AS (PARTITION BY g.k ORDER BY g.p
+            ROWS UNBOUNDED PRECEDING),
+          wn AS (PARTITION BY g.k ORDER BY g.p
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      SELECT k AS user_id, p AS period,
+        CASE WHEN v IS NOT NULL THEN v
+          ELSE round(v_prev + (v_next - v_prev) *
+            (CAST(p - p_prev AS DOUBLE) /
+             CAST(p_next - p_prev AS DOUBLE)), 6) END AS value
+      FROM j ORDER BY user_id, period"""))
+
   val all: Seq[Q] = Seq(qSessionize, qAsofJoin, qAsofForward,
     qRangeJoin, qFunnel,
     qRolling, qTransitions, qAttribution, qRetention, qCountAcf,
@@ -1630,5 +1672,5 @@ object TemporalQueries {
     qStreamingHeavyHitters, qDailyActivity, qM4Downsample,
     qStreamingRunningTotals, qStreamingEnrich, qStreamingDedup,
     qRangeJoinRule, qCohortLtv, qRollingDistinct, qLogRank,
-    qWindowSuite, qCoxPh, qResampleFfill)
+    qWindowSuite, qCoxPh, qResampleFfill, qResampleInterpolate)
 }

@@ -424,6 +424,31 @@ class TemporalSpec extends SparkSpec {
       (3L, 3L, 1L, 0.666667), (5L, 1L, 1L, 1.666667)))
   }
 
+  test("survival ops: unbounded duration grids fail loudly (maxGrid)") {
+    // 4 distinct durations vs maxGrid = 3: every survival op must
+    // refuse to funnel the grid into its single-task window
+    val rows = Seq((1L, true), (2L, true), (3L, true), (4L, true))
+      .toDF("dur", "obs")
+    val exKm = intercept[IllegalArgumentException](
+      graft.ops.Retention.kaplanMeier(rows, "dur", "obs", maxGrid = 3))
+    assert(exKm.getMessage.contains("maxGrid"))
+    val exNa = intercept[IllegalArgumentException](
+      graft.ops.Retention.nelsonAalen(rows, "dur", "obs", maxGrid = 3))
+    assert(exNa.getMessage.contains("maxGrid"))
+    val exLr = intercept[IllegalArgumentException](
+      graft.ops.Retention.logRank(rows, "dur", "obs",
+        col("dur") <= 2, maxGrid = 3))
+    assert(exLr.getMessage.contains("maxGrid"))
+    val withX = rows.withColumn("x", col("dur").cast("double"))
+    val exCox = intercept[IllegalArgumentException](
+      graft.ops.Retention.coxPh(withX, "dur", "obs", "x", maxGrid = 3)
+        .collect())
+    assert(exCox.getMessage.contains("maxGrid"))
+    // at the boundary (grid size == maxGrid) everything still runs
+    assert(graft.ops.Retention.kaplanMeier(
+      rows, "dur", "obs", maxGrid = 4).count() == 4)
+  }
+
   test("stateAsOf: picks each key's active run at T, skips late keys") {
     val ev = Seq(
       ("u1", 1L, 1L, "a"), ("u1", 5L, 2L, "b"), ("u1", 9L, 3L, "c"),
@@ -642,6 +667,21 @@ class TemporalSpec extends SparkSpec {
     assert(got === Map(
       (1L, 0L) -> 20.0, (1L, 1L) -> 20.0, (1L, 2L) -> 20.0,
       (1L, 3L) -> 99.0, (2L, 1L) -> 7.0))
+  }
+
+  test("resampleInterpolate: interior gaps take the straight line") {
+    import spark.implicits._
+    // key 1: obs 20.0 at p0 (latest-wins over 10.0) and 80.0 at p3:
+    // gap p1 = 20 + 60*(1/3) = 40, p2 = 20 + 60*(2/3) = 60
+    val df = Seq((1L, 5L, 10.0), (1L, 7L, 20.0), (1L, 35L, 80.0),
+      (2L, 12L, 7.0)).toDF("k", "t", "v")
+    val got = Timeseries.resampleInterpolate(df, "k", "t", "v",
+        periodUs = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(got === Map(
+      (1L, 0L) -> 20.0, (1L, 1L) -> 40.0, (1L, 2L) -> 60.0,
+      (1L, 3L) -> 80.0, (2L, 1L) -> 7.0))
   }
 
   test("coxPh: risk direction recovered; balanced data stays at zero") {
