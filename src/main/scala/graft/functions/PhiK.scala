@@ -93,11 +93,16 @@ object PhiK {
     n * chi2
   }
 
-  /** phik from an observed contingency table given as (rowIdx, colIdx,
-    * count) triples. */
-  def phikFromCounts(cells: Seq[(Int, Int, Long)], nRows: Int, nCols: Int): Double = {
+  /** The PORTABLE stages of phik — observed chi-square, the sample-noise
+    * pedestal E[chi2 | independence] = (r−1)(k−1), and their clamped
+    * difference (the BVN-inversion target) — factored out so they can
+    * sit on the value-equality oracle gate (the inversion itself has no
+    * second engine and stays spec-covered by PhiKSpec identities).
+    * Returns (n, chi2Obs, pedestal, target). */
+  def chi2Stages(cells: Seq[(Int, Int, Long)], nRows: Int,
+      nCols: Int): (Double, Double, Double, Double) = {
     val n = cells.map(_._3).sum.toDouble
-    if (n <= 0 || nRows < 2 || nCols < 2) return 0.0
+    if (n <= 0) return (0.0, 0.0, 0.0, 0.0)
     val rowTot = new Array[Double](nRows)
     val colTot = new Array[Double](nCols)
     cells.foreach { case (i, j, c) => rowTot(i) += c; colTot(j) += c }
@@ -116,8 +121,19 @@ object PhiK {
     }
     // noise pedestal: E[chi2] under independence
     val pedestal = (nRows - 1.0) * (nCols - 1.0)
-    val target = math.max(0.0, chi2Obs - pedestal)
+    (n, chi2Obs, pedestal, math.max(0.0, chi2Obs - pedestal))
+  }
+
+  /** phik from an observed contingency table given as (rowIdx, colIdx,
+    * count) triples. */
+  def phikFromCounts(cells: Seq[(Int, Int, Long)], nRows: Int, nCols: Int): Double = {
+    if (nRows < 2 || nCols < 2) return 0.0
+    val (n, _, _, target) = chi2Stages(cells, nRows, nCols)
+    if (n <= 0) return 0.0
     if (target <= 0.0) return 0.0
+    val rowTot = new Array[Double](nRows)
+    val colTot = new Array[Double](nCols)
+    cells.foreach { case (i, j, c) => rowTot(i) += c; colTot(j) += c }
     val pRow = rowTot.map(_ / n); val pCol = colTot.map(_ / n)
     val maxChi2 = chi2FromRho(0.9999, pRow, pCol, n)
     if (target >= maxChi2) return 1.0

@@ -1637,7 +1637,74 @@ object QualityQueries {
           (ORDER BY d2q DESC, rid) AS rnk FROM d)
       WHERE rnk <= 20 ORDER BY rnk"""))
 
-  val all: Seq[Q] = Seq(qRidge, qCuped, qOlsTrend, qEffectSizes, qSequentialPsi,
+  /** The PORTABLE stages of phi-k ([[graft.ops.PhiKOp.phikStages]] →
+    * `graft.functions.PhiK.chi2Stages`) on the value gate, for three
+    * categorical pairs: the distributed contingency table's observed
+    * chi-square, the (r−1)(k−1) sample-noise pedestal, and the clamped
+    * BVN-inversion target. Everything BEFORE the bivariate-normal
+    * inversion is now hash-checked against an independent engine; only
+    * the inversion (which no second engine computes) remains covered
+    * by PhiKSpec's identity tests. Reference: correlations.py:416-521.
+    * Sum order over the r×k grid differs between engines → chi2/target
+    * round at 6 (cells themselves are identical doubles). */
+  val qPhikStages = Q(
+    "q234_phik_stages",
+    (s, dir) => {
+      val pairs = Seq(
+        ("lineitem", "l_returnflag", "l_linestatus"),
+        ("orders", "o_orderstatus", "o_orderpriority"),
+        ("documents", "lang", "source"))
+      def rnd6(x: Double) = java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+      import s.implicits._
+      pairs.map { case (t, a, b) =>
+        val (n, r, k, chi2, pedestal, target) =
+          graft.ops.PhiKOp.phikStages(table(s, dir, t), a, b)
+        (s"$t.$a|$b", n, r, k, rnd6(chi2), pedestal, rnd6(target))
+      }.toDF("pair", "n", "r_bins", "k_bins", "chi2_r", "pedestal",
+        "target_r").orderBy("pair")
+    },
+    Some {
+      def block(t: String, a: String, b: String) =
+        s"""SELECT '$t.$a|$b' AS pair, nn.n AS n,
+          (SELECT count(*) FROM rt_$t) AS r_bins,
+          (SELECT count(*) FROM ct_$t) AS k_bins,
+          round((SELECT sum(pow(coalesce(cc.cnt, 0)
+                - rt.ra * ct.cb / nn2.n, 2) / (rt.ra * ct.cb / nn2.n))
+             FROM rt_$t rt CROSS JOIN ct_$t ct CROSS JOIN nn_$t nn2
+             LEFT JOIN c_$t cc ON cc.a = rt.a AND cc.b = ct.b), 6)
+            AS chi2_r,
+          CAST(((SELECT count(*) FROM rt_$t) - 1)
+            * ((SELECT count(*) FROM ct_$t) - 1) AS DOUBLE) AS pedestal,
+          round(greatest(0.0,
+            (SELECT sum(pow(coalesce(cc.cnt, 0)
+                - rt.ra * ct.cb / nn2.n, 2) / (rt.ra * ct.cb / nn2.n))
+             FROM rt_$t rt CROSS JOIN ct_$t ct CROSS JOIN nn_$t nn2
+             LEFT JOIN c_$t cc ON cc.a = rt.a AND cc.b = ct.b)
+            - CAST(((SELECT count(*) FROM rt_$t) - 1)
+              * ((SELECT count(*) FROM ct_$t) - 1) AS DOUBLE)), 6)
+            AS target_r
+        FROM nn_$t nn"""
+      def ctes(t: String, a: String, b: String) =
+        s"""c_$t AS (SELECT CAST($a AS VARCHAR) AS a,
+            CAST($b AS VARCHAR) AS b, count(*) AS cnt
+          FROM $t WHERE $a IS NOT NULL AND $b IS NOT NULL GROUP BY 1, 2),
+        rt_$t AS (SELECT a, CAST(sum(cnt) AS DOUBLE) AS ra
+          FROM c_$t GROUP BY 1),
+        ct_$t AS (SELECT b, CAST(sum(cnt) AS DOUBLE) AS cb
+          FROM c_$t GROUP BY 1),
+        nn_$t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c_$t)"""
+      val ps = Seq(
+        ("lineitem", "l_returnflag", "l_linestatus"),
+        ("orders", "o_orderstatus", "o_orderpriority"),
+        ("documents", "lang", "source"))
+      s"""WITH ${ps.map(p => ctes(p._1, p._2, p._3)).mkString(",\n")}
+        ${ps.map(p => block(p._1, p._2, p._3)).mkString("\nUNION ALL\n")}
+        ORDER BY pair"""
+    })
+
+  val all: Seq[Q] = Seq(qPhikStages,
+    qRidge, qCuped, qOlsTrend, qEffectSizes, qSequentialPsi,
     qJoinSize, qBenford, qLogisticGd, qLevene, qDecisionStump,
     qMahalanobis,
     qOutliers, qAssociation, qJsdDrift, qValidate,
