@@ -203,6 +203,61 @@ class ProfilerSpec extends SparkSpec {
     assert(json.contains("bin_edges"))
   }
 
+  test("JSON sink GOLDEN contract: exact reference key set + structure") {
+    // the reference's asserted output contract
+    // (tests/unit/test_output.py:14-29): this is EXACTLY the top-level
+    // key set, no more, no fewer
+    import org.json4s._
+    val root = ProfileJson.toJValue(profile).asInstanceOf[JObject]
+    val topKeys = root.obj.map(_._1).toSet
+    assert(topKeys === Set("analysis", "table", "variables", "scatter",
+      "correlations", "missing", "messages", "package", "sample",
+      "duplicates"), s"top-level keys drifted: $topKeys")
+    def obj(k: String): JObject =
+      root.obj.find(_._1 == k).get._2.asInstanceOf[JObject]
+    // variables: one entry per input column, keyed by column name
+    val vars = obj("variables")
+    assert(vars.obj.map(_._1).toSet === profile.columns.map(_.name).toSet)
+    // numeric variable: histogram encodes as {counts, bin_edges} with
+    // len(bin_edges) == len(counts) + 1 (model/summarizer.py:148-153)
+    // and the counts sum to the binnable observations
+    val x = vars.obj.find(_._1 == "x").get._2.asInstanceOf[JObject].obj.toMap
+    val hist = x("histogram").asInstanceOf[JObject].obj.toMap
+    assert(hist.keySet === Set("counts", "bin_edges"))
+    val counts = hist("counts").asInstanceOf[JArray].arr
+      .map(_.asInstanceOf[JInt].num.toLong)
+    val edges = hist("bin_edges").asInstanceOf[JArray].arr
+    assert(edges.size == counts.size + 1,
+      s"${edges.size} edges for ${counts.size} counts")
+    val xCol = profile.columns.find(_.name == "x").get
+    val xStats = xCol.typed.asInstanceOf[NumericStats]
+    assert(counts.sum == xCol.common.count - xStats.nInfinite)
+    // quantile keys use the reference's percent style
+    val qKeys = x("quantiles").asInstanceOf[JObject].obj.map(_._1).toSet
+    assert(qKeys === Set("5%", "25%", "50%", "75%", "95%"))
+    // messages: one "[KIND] column: detail" line per alert
+    val msgArr = root.obj.find(_._1 == "messages").get._2
+      .asInstanceOf[JArray].arr
+    assert(msgArr.size == profile.alerts.size)
+    assert(msgArr.forall(m =>
+      m.asInstanceOf[JString].s.matches("\\[[A-Z_]+\\] .+")))
+    // package self-identifies
+    assert(obj("package").obj.map(_._1).toSet === Set("name", "version"))
+    // duplicates carries the count and the head listing
+    assert(obj("duplicates").obj.map(_._1).toSet ===
+      Set("n_duplicates", "head"))
+  }
+
+  test("HTML sink renders every variable section + overview/sample") {
+    val html = ProfileHtml.toHtml(profile)
+    assert(html.startsWith("<!DOCTYPE html>"))
+    for (sec <- Seq("Overview", "Alerts", "Variables", "Correlations",
+        "Sample"))
+      assert(html.contains(s"<h2>$sec</h2>"), s"missing section $sec")
+    for (c <- profile.columns)
+      assert(html.contains(s"<h3>${c.name} "), s"missing variable ${c.name}")
+  }
+
   test("MapType column profiles as Categorical via canonicalization") {
     import org.apache.spark.sql.functions.{col, map, lit}
     import spark.implicits._
