@@ -194,7 +194,10 @@ object Bench {
             (new java.sql.Timestamp(1700000000000L + n * 10L),
               (n % 997).toDouble) // in-range, mildly non-uniform
           })
-          q.processAllAvailable()
+          // barriers every 5 generations (the s05 lesson): the PSI
+          // answers are gated elsewhere; five extra barrier rounds here
+          // bought nothing but micro-batch overhead
+          if (b == 4 || b == 9) q.processAllAvailable()
         }
         q.stop()
       }

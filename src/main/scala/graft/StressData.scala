@@ -72,30 +72,37 @@ object StressData {
     val ev = read("events")
     val evIsLong = ev.schema("ts").dataType ==
       org.apache.spark.sql.types.LongType
-    val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
-    val strideUs: Long =
-      if (evIsLong) (mm.getLong(1) - mm.getLong(0)) / 1000L + 86400000000L
-      else java.time.Duration.between(
-        mm.getTimestamp(0).toInstant, mm.getTimestamp(1).toInstant)
-        .toMillis * 1000L + 86400000000L
+    // span in MICROS whatever the physical type (nanos-long vs
+    // timestamp[_ntz]); epoch math stays in the query so the driver
+    // never touches a timestamp object
+    val tsUs =
+      if (evIsLong) col("ts") / 1000L
+      else unix_micros(col("ts").cast("timestamp"))
+    val mm = ev.agg(min(tsUs).cast("long"), max(tsUs).cast("long")).head()
+    val strideUs: Long = mm.getLong(1) - mm.getLong(0) + 86400000000L
     val evShift =
       if (evIsLong)
         ev.crossJoin(rep)
           .withColumn("ts", col("ts") + col("__r") * strideUs * 1000L)
       else
         ev.crossJoin(rep).withColumn("ts",
-          timestamp_micros(unix_micros(col("ts")) + col("__r") * strideUs))
+          timestamp_micros(unix_micros(col("ts").cast("timestamp")) +
+            col("__r") * strideUs))
     write(evShift
       .withColumn("event_id", col("event_id") + col("__r") * 100000000L)
       .drop("__r"), "events")
 
     // documents: replica 0 verbatim; replicas > 0 word-shuffled
     val doc = read("documents")
+    // per-OCCURRENCE sort keys (position included): a per-word key
+    // sorts repeated words into adjacent runs, giving every shuffled
+    // doc "w w w" shingles and degenerate LSH buckets (found the hard
+    // way: a 4860-doc bucket in the first 10x run)
     val shuffled = concat_ws(" ",
       transform(
-        sort_array(transform(split(col("text"), " "), w =>
-          struct(md5(concat_ws("", w, col("doc_id"), col("__r")))
-            .as("h"), w.as("w")))),
+        sort_array(transform(split(col("text"), " "), (w, i) =>
+          struct(md5(concat_ws("#", w, i.cast("string"),
+            col("doc_id"), col("__r"))).as("h"), w.as("w")))),
         s => s.getField("w")))
     write(doc.crossJoin(rep)
       .withColumn("text",

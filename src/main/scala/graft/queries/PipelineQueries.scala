@@ -234,8 +234,11 @@ object PipelineQueries {
     s"""sh AS ($dkShingles),
       sig AS (SELECT id, $mins FROM sh GROUP BY id),
       buckets AS ($bandSelects),
-      cand AS (SELECT DISTINCT a.id i, b.id j FROM buckets a
-               JOIN buckets b ON a.band = b.band AND a.key = b.key
+      okb AS (SELECT band, key FROM buckets
+              GROUP BY band, key HAVING count(*) <= 4096),
+      bb AS (SELECT buckets.* FROM buckets JOIN okb USING (band, key)),
+      cand AS (SELECT DISTINCT a.id i, b.id j FROM bb a
+               JOIN bb b ON a.band = b.band AND a.key = b.key
                  AND a.id < b.id),
       sz AS (SELECT id, count(*) sz FROM sh GROUP BY id),
       cm AS (SELECT c.i, c.j, count(*) common

@@ -692,8 +692,97 @@ object RelationalQueries {
         WHERE l_shipdate >= TIMESTAMP '1996-03-01'
           AND l_shipdate < TIMESTAMP '1996-04-01')"""))
 
+  /** Explicit GROUPING SETS (the general form q74's ROLLUP and q207's
+    * CUBE specialize): per-status, per-priority, the full cross, and
+    * the grand total in ONE aggregation pass — Spark expands the sets
+    * with a single Expand node feeding one hash aggregate (one scan,
+    * one shuffle), exactly the plan a 100 TB rollup wants instead of
+    * four separate scans UNION ALLed. Membership flags come from
+    * `grouping()` per column (both engines' GROUPING() bit semantics
+    * agree); sums ride DECIMAL so aggregation order can't drift the
+    * hash. */
+  val qGroupingSets = Q(
+    "q236_grouping_sets",
+    (s, dir) => {
+      table(s, dir, "orders").createOrReplaceTempView("graft_orders_gs")
+      s.sql("""SELECT
+          CAST(grouping(o_orderstatus) AS INT) AS g_status,
+          CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+          coalesce(o_orderstatus, 'ALL') AS status,
+          coalesce(o_orderpriority, 'ALL') AS priority,
+          count(*) AS n,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_price
+        FROM graft_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+          (o_orderstatus, o_orderpriority), ())
+        ORDER BY g_status, g_prio, status, priority""")
+    },
+    Some("""SELECT
+        CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+        coalesce(o_orderstatus, 'ALL') AS status,
+        coalesce(o_orderpriority, 'ALL') AS priority,
+        count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+        (o_orderstatus, o_orderpriority), ())
+      ORDER BY g_status, g_prio, status, priority"""))
+
+  /** Hilbert-curve layout audit ([[graft.ops.ZOrder.hilbertBucketStats]]
+    * over the new codegen'd [[graft.functions.HilbertIndexExpr]]): the
+    * same (l_extendedprice, l_quantity) grid as q202's Morton audit,
+    * indexed by the Hilbert curve instead — consecutive indices are
+    * always adjacent cells, so the 64 contiguous "files" have tighter
+    * boxes (HilbertSpec asserts the superiority; this row puts the
+    * INDEX ARITHMETIC on the value gate). The oracle unrolls the
+    * 10-step rotate-and-accumulate xy→d iteration as a chain of CTEs —
+    * pure integer arithmetic, bit-exact in both engines. */
+  val qHilbertLayout = Q(
+    "q239_hilbert_layout",
+    (s, dir) => graft.ops.ZOrder.hilbertBucketStats(
+      table(s, dir, "lineitem"), "l_extendedprice", "l_quantity",
+      bits = 10, buckets = 64),
+    Some {
+      val bits = 10
+      val n = 1L << bits
+      val steps = (0 until bits).map { k =>
+        val s = 1L << (bits - 1 - k)
+        s"""h${k + 1} AS (SELECT x0, y0,
+             d + ${s * s} * xor(3 * rx, ry) AS d,
+             CASE WHEN ry = 1 THEN x
+               WHEN rx = 1 THEN ${n - 1} - y ELSE y END AS x,
+             CASE WHEN ry = 1 THEN y
+               WHEN rx = 1 THEN ${n - 1} - x ELSE x END AS y
+           FROM (SELECT x0, y0, d, x, y,
+               CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx,
+               CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry
+             FROM h$k))"""
+      }.mkString(",\n")
+      s"""WITH src AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x0,
+            CAST(l_quantity AS DOUBLE) AS y0
+          FROM lineitem
+          WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+        b AS (SELECT min(x0) AS mnx, max(x0) AS mxx,
+            min(y0) AS mny, max(y0) AS mxy FROM src),
+        h0 AS (SELECT x0, y0, CAST(0 AS BIGINT) AS d,
+            CAST(least(floor((x0 - b.mnx) / ((b.mxx - b.mnx) / 1024.0)),
+              1023.0) AS BIGINT) AS x,
+            CAST(least(floor((y0 - b.mny) / ((b.mxy - b.mny) / 1024.0)),
+              1023.0) AS BIGINT) AS y
+          FROM src, b),
+        $steps
+        SELECT CAST(d >> 14 AS BIGINT) AS hbucket, count(*) AS n,
+          min(x0) AS mn_x, max(x0) AS mx_x,
+          min(y0) AS mn_y, max(y0) AS mx_y
+        FROM h$bits GROUP BY 1 ORDER BY 1"""
+    })
+
   val all: Seq[Q] = Seq(qJoinRevenue, qRollup, qSetOps, qPivot, qPageRank,
     qBucketedJoin, qStarJoinDeep, qZoneMap, qTpchQ3, qTpchQ18,
     qZOrderLayout, qCorrelatedExists, qAntiJoinQ22, qCubeEvents,
-    qSkipEffect, qTpchQ1, qTpchQ6, qTpchQ14)
+    qSkipEffect, qTpchQ1, qTpchQ6, qTpchQ14, qGroupingSets,
+    qHilbertLayout)
 }

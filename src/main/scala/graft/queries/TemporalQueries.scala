@@ -1662,6 +1662,158 @@ object TemporalQueries {
              CAST(p_next - p_prev AS DOUBLE)), 6) END AS value
       FROM j ORDER BY user_id, period"""))
 
+  /** Per-user interval-union activity time
+    * ([[graft.ops.Sessionize.intervalUnionLength]]): each event covers
+    * [ts, ts+120 s); overlapping coverage counts ONCE (the measure of
+    * the union — gaps-and-islands with key-partitioned windows, exact
+    * integer micros). sum_len − union_len is the overlap a naive
+    * per-event sum would double-count. */
+  val qIntervalUnion = Q(
+    "q237_interval_union",
+    (s, dir) => {
+      val ev = eventsUs(s, dir)
+        .select(col("user_id"), col("ts").as("s_us"),
+          (col("ts") + lit(120000000L)).as("e_us"))
+      graft.ops.Sessionize.intervalUnionLength(
+        ev, "user_id", "s_us", "e_us")
+    },
+    Some("""WITH b AS (SELECT user_id AS k, epoch_us(ts) AS s,
+          epoch_us(ts) + 120000000 AS e
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      i AS (SELECT k, s, e,
+          max(e) OVER (PARTITION BY k ORDER BY s, e
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mep
+        FROM b),
+      j AS (SELECT k, s, e,
+          sum(CASE WHEN mep IS NULL OR s > mep THEN 1 ELSE 0 END)
+            OVER (PARTITION BY k ORDER BY s, e
+              ROWS UNBOUNDED PRECEDING) AS island
+        FROM i),
+      g AS (SELECT k, island, min(s) AS is_s, max(e) AS is_e,
+          count(*) AS cnt, sum(e - s) AS len_sum
+        FROM j GROUP BY 1, 2)
+      SELECT k AS user_id, CAST(sum(cnt) AS BIGINT) AS n_intervals,
+        count(*) AS n_islands,
+        CAST(sum(is_e - is_s) AS BIGINT) AS union_len,
+        CAST(sum(len_sum) AS BIGINT) AS sum_len
+      FROM g GROUP BY 1 ORDER BY user_id"""))
+
+  /** Spark's NATIVE `session_window` aggregate in BATCH mode — the
+    * built-in Catalyst session operator (one SessionWindow node, no
+    * window functions) computing the same gap-sessionization q65
+    * hand-rolls with lag/sum windows and q182 runs streaming. Sessions
+    * split at gap >= 30 min (strictly-before extends); window end =
+    * last event + gap; value sums ride DECIMAL. The oracle is the
+    * gaps-and-islands rewrite in the shared epoch-micros domain. */
+  val qBatchSessionWindow = Q(
+    "q235_batch_session_window",
+    (s, dir) => {
+      val ev = eventsUs(s, dir)
+        .where(col("user_id") < 100 && col("ts").isNotNull)
+        .select(col("user_id"), timestamp_micros(col("ts")).as("t"),
+          col("value"))
+      ev.groupBy(col("user_id"),
+          session_window(col("t"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(coalesce(col("value"), lit(0.0)).cast(DecimalType(18, 6)))
+            .cast("double").as("sum_value"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("start_us"),
+          unix_micros(col("sw.end")).as("end_us"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "start_us")
+    },
+    Some("""WITH b AS (SELECT user_id AS u, epoch_us(ts) AS t, value
+        FROM events
+        WHERE user_id IS NOT NULL AND user_id < 100 AND ts IS NOT NULL),
+      i AS (SELECT u, t, value,
+          CASE WHEN lag(t) OVER w IS NULL
+                 OR t - lag(t) OVER w >= 1800000000
+               THEN 1 ELSE 0 END AS brk
+        FROM b WINDOW w AS (PARTITION BY u ORDER BY t)),
+      j AS (SELECT u, t, value,
+          sum(brk) OVER (PARTITION BY u ORDER BY t
+            ROWS UNBOUNDED PRECEDING) AS sid
+        FROM i)
+      SELECT u AS user_id, min(t) AS start_us,
+        max(t) + 1800000000 AS end_us, count(*) AS n_events,
+        CAST(sum(CAST(coalesce(value, 0.0) AS DECIMAL(18,6)))
+          AS DOUBLE) AS sum_value
+      FROM j GROUP BY u, sid ORDER BY user_id, start_us"""))
+
+  /** STREAM-STREAM interval join on the correctness gate — the last
+    * streaming join shape whose ANSWERS weren't hash-checked (s05
+    * benches it; q209 gates the stream-STATIC case): a bounded events
+    * slice joins its own signup markers within a trailing 7-day span
+    * through the real two-watermark stream-stream join operator.
+    * Inner joins emit matches eagerly (the watermark only bounds
+    * state), so one real batch + one sentinel batch per side (state
+    * eviction exercised) yields the complete match set, which the
+    * oracle recomputes as a plain interval join. */
+  val qStreamingIntervalJoin = Q(
+    "q238_streaming_interval_join",
+    (s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.OutputMode
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val ev = eventsUs(s, dir).where(col("user_id") < 20 &&
+        col("ts").isNotNull && col("event_id").isNotNull)
+      val left = ev.where(col("event_type") =!= "signup")
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .as[(Long, Long, Long)].collect()
+      val right = ev.where(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .as[(Long, Long, Long)].collect()
+      val maxTs = (left.iterator ++ right.iterator).map(_._2).max
+      val lmem = MemoryStream[(Long, Long, Long)]
+      val rmem = MemoryStream[(Long, Long, Long)]
+      val lsrc = lmem.toDF.toDF("user_id", "tus", "event_id")
+        .select(col("user_id"), timestamp_micros(col("tus")).as("ts"),
+          col("event_id"))
+      val rsrc = rmem.toDF.toDF("r_user", "r_tus", "r_event_id")
+        .select(col("r_user"), timestamp_micros(col("r_tus")).as("r_ts"),
+          col("r_event_id"))
+      val joined = graft.streaming.StreamingIntervalJoin.intervalJoin(
+        lsrc, rsrc, "user_id", "r_user", "ts", "r_ts",
+        spanSeconds = 7L * 86400L, watermarkDelay = "0 seconds")
+      val sink = "graft_sij_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-sij-gate").toString
+      val query = joined.writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        lmem.addData(left.toIndexedSeq)
+        rmem.addData(right.toIndexedSeq)
+        query.processAllAvailable()
+        // sentinel pair: advances BOTH watermarks so interval state
+        // evicts; inner-join output is already complete (eager emit)
+        lmem.addData((-1L, maxTs + 40L * 24 * HourUs, -1L))
+        rmem.addData((-1L, maxTs + 40L * 24 * HourUs, -1L))
+        query.processAllAvailable()
+      } finally query.stop()
+      s.table(sink)
+        .where(col("user_id") >= 0)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("e_ts_us"),
+          col("r_event_id").as("marker_event_id"),
+          unix_micros(col("r_ts")).as("m_ts_us"))
+        .orderBy("user_id", "event_id", "marker_event_id")
+    },
+    Some("""SELECT e.user_id, e.event_id, epoch_us(e.ts) AS e_ts_us,
+        m.event_id AS marker_event_id, epoch_us(m.ts) AS m_ts_us
+      FROM events e JOIN events m
+        ON e.user_id = m.user_id
+        AND m.event_type = 'signup'
+        AND epoch_us(e.ts) >= epoch_us(m.ts)
+        AND epoch_us(e.ts) <= epoch_us(m.ts) + 604800000000
+      WHERE e.user_id < 20 AND e.event_type != 'signup'
+        AND e.ts IS NOT NULL AND e.event_id IS NOT NULL
+        AND m.ts IS NOT NULL AND m.event_id IS NOT NULL
+      ORDER BY 1, 2, 4"""))
+
   val all: Seq[Q] = Seq(qSessionize, qAsofJoin, qAsofForward,
     qRangeJoin, qFunnel,
     qRolling, qTransitions, qAttribution, qRetention, qCountAcf,
@@ -1672,5 +1824,6 @@ object TemporalQueries {
     qStreamingHeavyHitters, qDailyActivity, qM4Downsample,
     qStreamingRunningTotals, qStreamingEnrich, qStreamingDedup,
     qRangeJoinRule, qCohortLtv, qRollingDistinct, qLogRank,
-    qWindowSuite, qCoxPh, qResampleFfill, qResampleInterpolate)
+    qWindowSuite, qCoxPh, qResampleFfill, qResampleInterpolate,
+    qIntervalUnion, qBatchSessionWindow, qStreamingIntervalJoin)
 }

@@ -265,6 +265,20 @@ class OpsSpec extends SparkSpec {
     assert(pairs.contains((0L, 3L)))
   }
 
+  test("minhash LSH degenerate-bucket cap skips pathological buckets") {
+    import spark.implicits._
+    // 12 identical docs -> every band bucket holds all 12: uncapped
+    // that's 66 candidate pairs; a cap below 12 must skip them all
+    val clones = (0L until 12L).map(i => (i, "the same boilerplate text "
+      + "repeated over and over for every single document"))
+      .toDF("doc_id", "text")
+    val sig = Dedup.minhashSignatures(clones, "doc_id", "text", 3, 16)
+    assert(Dedup.minhashLshPairs(sig, 4, 4).count() == 66)
+    assert(Dedup.minhashLshPairs(sig, 4, 4, maxBucket = 11).count() == 0)
+    // cap at exactly the bucket size keeps them (boundary inclusive)
+    assert(Dedup.minhashLshPairs(sig, 4, 4, maxBucket = 12).count() == 66)
+  }
+
   test("simhash: exact dups equal, near-dups close in hamming distance") {
     val sh = Dedup.simhash(docs, "doc_id", "text", 32)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -669,6 +669,22 @@ class TemporalSpec extends SparkSpec {
       (1L, 3L) -> 99.0, (2L, 1L) -> 7.0))
   }
 
+  test("intervalUnionLength: overlaps count once, islands split on gaps") {
+    import spark.implicits._
+    // key 1: [0,10) ∪ [5,15) ∪ [15,20) merge to [0,20) (touching
+    // intervals merge: start == max-end-so-far is NOT a break);
+    // [30,35) is its own island. key 2: nested [0,100) ⊃ [10,20).
+    val df = Seq(
+      (1L, 0L, 10L), (1L, 5L, 15L), (1L, 15L, 20L), (1L, 30L, 35L),
+      (2L, 0L, 100L), (2L, 10L, 20L)).toDF("k", "s", "e")
+    val got = graft.ops.Sessionize
+      .intervalUnionLength(df, "k", "s", "e")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) == ((4L, 2L, 25L, 30L))) // sum counts overlap twice
+    assert(got(2L) == ((2L, 1L, 100L, 110L))) // 10 double-covered
+  }
+
   test("resampleInterpolate: interior gaps take the straight line") {
     import spark.implicits._
     // key 1: obs 20.0 at p0 (latest-wins over 10.0) and 80.0 at p3:
