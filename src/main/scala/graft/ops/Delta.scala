@@ -112,4 +112,33 @@ object Delta {
         (col("effective_to").isNull || col("effective_to") > at))
       .select(col(keyCol), col("state"), col("effective_from"),
         col("n_events"))
+
+  /** CDC apply / SCD1 MERGE — fold a changelog into a keyed snapshot,
+    * the `MERGE INTO` every lakehouse sync job runs, as plain
+    * relational algebra (no table format needed): per key the LATEST
+    * change wins (one mergeable max-of-struct aggregate over
+    * `orderCols` — no per-key window sort), a terminal op = "D"
+    * deletes the key, any other op upserts `valueCols`, and keys the
+    * log never touched pass through. One map-side-combined groupBy on
+    * the log + one full outer join on the key — both hash-partitioned
+    * on the same key, so at 100 TB this is two co-partitionable
+    * shuffles regardless of log skew (the aggregate collapses hot keys
+    * before the join). `base` must carry `keyCol` and `valueCols`. */
+  def cdcUpsert(base: DataFrame, changes: DataFrame, keyCol: String,
+      orderCols: Seq[String], opCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one order column")
+    val latest = changes
+      .where(col(keyCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(max(struct((orderCols.map(col) :+ col(opCol)) ++
+        valueCols.map(col): _*)).as("__m"))
+      .select(col(keyCol) +: (col(s"__m.$opCol").as("__op") +:
+        valueCols.map(c => col(s"__m.`$c`").as(s"__new_$c"))): _*)
+    base.join(latest, Seq(keyCol), "full_outer")
+      .where(col("__op").isNull || col("__op") =!= "D")
+      .select(col(keyCol) +: valueCols.map(c =>
+        when(col("__op").isNotNull, col(s"`__new_$c`"))
+          .otherwise(col(s"`$c`")).as(c)): _*)
+  }
 }

@@ -92,6 +92,45 @@ object Pca {
     (cov, mean, n)
   }
 
+  /** Dominant principal component by QUANTIZED power iteration — the
+    * oracle-exact sibling of [[fit]]'s Jacobi solve (which no second
+    * engine reproduces): quantize the covariance to 10⁻⁸ (exactly the
+    * rounding q70's gate already pins cross-engine), then run `steps`
+    * power iterations where every step is u = C·v with LEFT-ASSOCIATIVE
+    * accumulation, n2 = Σu² left-associative, v' = floor(u/√n2 ·10⁹ +
+    * 0.5)/10⁹ — all IEEE operations on identical inputs, and the
+    * re-quantization between steps stops last-ulp drift from ever
+    * compounding (the q221/q231 trainer contract). Deterministic start
+    * v₀ = 1⃗ fixes the eigenvector sign. Returns (v, λ) with v the
+    * quantized unit-ish vector after the last step and λ its Rayleigh
+    * quotient vᵀCv / vᵀv (left-associative). */
+  def topComponentQuantized(cov: Array[Array[Double]], steps: Int = 3)
+      : (Array[Double], Double) = {
+    require(steps >= 1, "steps must be >= 1")
+    val d = cov.length
+    // decimal HALF_UP, NOT floor(x·1e8+0.5): the oracle quantizes the
+    // covariance with SQL round(·, 8), and q70 pins this exact pairing
+    def q8(x: Double) = BigDecimal(x)
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val c = Array.tabulate(d, d)((i, j) => q8(cov(i)(j)))
+    var v = Array.fill(d)(1.0)
+    // reduceLeft (not foldLeft-from-zero) so the float sequence is the
+    // SAME tree the generated oracle SQL spells out: ((t0 + t1) + t2)…
+    def matvec(x: Array[Double]): Array[Double] =
+      Array.tabulate(d)(i =>
+        (0 until d).map(j => c(i)(j) * x(j)).reduceLeft(_ + _))
+    for (_ <- 1 to steps) {
+      val u = matvec(v)
+      val n2 = u.map(x => x * x).reduceLeft(_ + _)
+      val nm = math.sqrt(n2)
+      v = u.map(x => math.floor(x / nm * 1e9 + 0.5) / 1e9)
+    }
+    val cv = matvec(v)
+    val num = (0 until d).map(i => v(i) * cv(i)).reduceLeft(_ + _)
+    val den = v.map(x => x * x).reduceLeft(_ + _)
+    (v, num / den)
+  }
+
   /** Full PCA: covariance pass + driver-side cyclic Jacobi eigen-solve.
     * `k` keeps the top-k components (default: all). */
   def fit(df: DataFrame, vecCol: String, dim: Int, k: Int = -1): PcaModel = {

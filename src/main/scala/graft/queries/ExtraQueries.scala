@@ -676,6 +676,71 @@ object ExtraQueries {
       SELECT round(max(abs(cum1 / n1 - cum2 / n2)), 8) AS ks_stat, n1, n2
       FROM c CROSS JOIN t GROUP BY n1, n2"""))
 
+  /** Dominant principal component on the EXACT gate
+    * ([[graft.ops.Pca.topComponentQuantized]]): the q70 covariance
+    * (10⁻⁸-quantized — the rounding that gate already pins) feeds
+    * three power iterations whose every float op — left-associative
+    * C·v accumulation, Σu², √, ÷, and the 10⁻⁹ re-quantization between
+    * steps — the oracle spells out verbatim as chained CTEs, so the
+    * eigenvector and its Rayleigh quotient are bit-identical in both
+    * engines (the q221/q231 quantized-trainer contract applied to
+    * spectral iteration; the full Jacobi solve stays spec-covered by
+    * PcaSpec). */
+  val qPcaPower: Q = {
+    val d = 8
+    val steps = 3
+    def cvar(i: Int, j: Int) = if (i <= j) s"c_${i}_$j" else s"c_${j}_$i"
+    def dot(row: Int, vname: Int => String): String =
+      (0 until d).map(j => s"${cvar(row, j)} * ${vname(j)}")
+        .reduceLeft((a, b) => s"($a + $b)")
+    val covSelects = (for (i <- 0 until d; j <- i until d) yield
+      s"round(covar_samp(embedding[${i + 1}], embedding[${j + 1}]), 8)" +
+        s" AS c_${i}_$j").mkString(", ")
+    val stepCtes = (1 to steps).map { k =>
+      val u = (0 until d).map(i =>
+        s"${dot(i, j => s"v${k - 1}_$j")} AS u${k}_$i").mkString(", ")
+      val n2 = (0 until d).map(i => s"(u${k}_$i * u${k}_$i)")
+        .reduceLeft((a, b) => s"($a + $b)")
+      s"""u$k AS (SELECT * , $u FROM v${k - 1}),
+        n$k AS (SELECT *, sqrt($n2) AS nm$k FROM u$k),
+        v$k AS (SELECT *, ${(0 until d).map(i =>
+          s"floor(u${k}_$i / nm$k * 1e9 + 0.5) / 1e9 AS v${k}_$i")
+          .mkString(", ")} FROM n$k)"""
+    }.mkString(",\n")
+    val num = (0 until d).map(i => s"(v${steps}_$i * cv_$i)")
+      .reduceLeft((a, b) => s"($a + $b)")
+    val den = (0 until d).map(i => s"(v${steps}_$i * v${steps}_$i)")
+      .reduceLeft((a, b) => s"($a + $b)")
+    Q(
+      "q240_pca_power",
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+          .select(slice(col("embedding"), 1, d).as("v"))
+        val (cov, _, _) = graft.ops.Pca.covarianceMatrix(emb, "v", d)
+        val (vec, lambda) = graft.ops.Pca.topComponentQuantized(cov, steps)
+        val row = org.apache.spark.sql.Row.fromSeq(vec.toSeq :+ lambda)
+        val schema = org.apache.spark.sql.types.StructType(
+          (0 until d).map(i => org.apache.spark.sql.types.StructField(
+            s"comp_$i", org.apache.spark.sql.types.DoubleType)) :+
+            org.apache.spark.sql.types.StructField("lambda",
+              org.apache.spark.sql.types.DoubleType))
+        s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            java.util.Arrays.asList(row)), schema)
+      },
+      Some(s"""WITH c AS (SELECT $covSelects FROM embeddings),
+        v0 AS (SELECT *, ${(0 until d).map(i => s"1.0 AS v0_$i")
+          .mkString(", ")} FROM c),
+        $stepCtes,
+        cv AS (SELECT *, ${(0 until d).map(i =>
+          s"${dot(i, j => s"v${steps}_$j")} AS cv_$i").mkString(", ")}
+          FROM v$steps)
+        SELECT ${(0 until d).map(i => s"v${steps}_$i AS comp_$i")
+          .mkString(", ")},
+          ($num) / ($den) AS lambda
+        FROM cv"""))
+  }
+
   val all: Seq[Q] = Seq(
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qMapValueCounts,
@@ -683,7 +748,7 @@ object ExtraQueries {
     qApproxTopK,
     qGroupedQuantiles, qEmbedCovariance, qUrlDedup, qIncrementalMerge,
     qEquiDepth, qWeightedSample, qTopMass, qBenford, qEntropy, qKsDrift,
-    qPsiDrift)
+    qPsiDrift, qPcaPower)
 
   /** PSI drift score ([[graft.ops.Drift.psi]]) over the same slice
     * split as q83 — fixed-width bins on pure-IEEE arithmetic, Laplace

@@ -1814,6 +1814,52 @@ object TemporalQueries {
         AND m.ts IS NOT NULL AND m.event_id IS NOT NULL
       ORDER BY 1, 2, 4"""))
 
+  /** CDC apply / SCD1 MERGE ([[graft.ops.Delta.cdcUpsert]]): a
+    * pre-1997 per-customer snapshot (latest order's totalprice) gets
+    * the 1997+ changelog applied — latest change wins, status 'F'
+    * means delete, untouched keys pass through. The MERGE INTO shape
+    * on the value gate, as one mergeable max-of-struct aggregate +
+    * one full outer join. */
+  val qCdcUpsert = Q(
+    "q241_cdc_upsert",
+    (s, dir) => {
+      val cut = 852076800000000L // 1997-01-01 UTC, epoch micros
+      val ord = QueryCatalog.table(s, dir, "orders")
+        .select(col("o_custkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("od_us"),
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val base = ord.where(col("od_us") < cut)
+        .groupBy("o_custkey")
+        .agg(max(struct(col("od_us"), col("o_orderkey"),
+          col("o_totalprice"))).as("m"))
+        .select(col("o_custkey"), col("m.o_totalprice").as("o_totalprice"))
+      val changes = ord.where(col("od_us") >= cut)
+        .withColumn("op",
+          when(col("o_orderstatus") === "F", lit("D")).otherwise(lit("U")))
+        .select(col("o_custkey"), col("od_us"), col("o_orderkey"),
+          col("op"), col("o_totalprice"))
+      graft.ops.Delta.cdcUpsert(base, changes, "o_custkey",
+          Seq("od_us", "o_orderkey"), "op", Seq("o_totalprice"))
+        .orderBy("o_custkey")
+    },
+    Some("""WITH o AS (SELECT o_custkey AS k, epoch_us(o_orderdate) AS od,
+          o_orderkey AS ok, o_orderstatus AS st, o_totalprice AS v
+        FROM orders),
+      base AS (SELECT k, v FROM (
+          SELECT k, v, row_number() OVER (PARTITION BY k
+            ORDER BY od DESC, ok DESC) AS rn
+          FROM o WHERE od < 852076800000000) WHERE rn = 1),
+      latest AS (SELECT k,
+          CASE WHEN st = 'F' THEN 'D' ELSE 'U' END AS op, v FROM (
+          SELECT k, st, v, row_number() OVER (PARTITION BY k
+            ORDER BY od DESC, ok DESC) AS rn
+          FROM o WHERE od >= 852076800000000) WHERE rn = 1),
+      m AS (SELECT coalesce(b.k, l.k) AS o_custkey, l.op,
+          CASE WHEN l.k IS NOT NULL THEN l.v ELSE b.v END AS o_totalprice
+        FROM base b FULL OUTER JOIN latest l ON b.k = l.k)
+      SELECT o_custkey, o_totalprice FROM m
+      WHERE op IS NULL OR op != 'D' ORDER BY o_custkey"""))
+
   val all: Seq[Q] = Seq(qSessionize, qAsofJoin, qAsofForward,
     qRangeJoin, qFunnel,
     qRolling, qTransitions, qAttribution, qRetention, qCountAcf,
@@ -1825,5 +1871,6 @@ object TemporalQueries {
     qStreamingRunningTotals, qStreamingEnrich, qStreamingDedup,
     qRangeJoinRule, qCohortLtv, qRollingDistinct, qLogRank,
     qWindowSuite, qCoxPh, qResampleFfill, qResampleInterpolate,
-    qIntervalUnion, qBatchSessionWindow, qStreamingIntervalJoin)
+    qIntervalUnion, qBatchSessionWindow, qStreamingIntervalJoin,
+    qCdcUpsert)
 }
