@@ -1860,6 +1860,74 @@ object TemporalQueries {
       SELECT o_custkey, o_totalprice FROM m
       WHERE op IS NULL OR op != 'D' ORDER BY o_custkey"""))
 
+  /** STREAMING tumbling-window aggregation on the gate — the one
+    * windowed-aggregation mode q182 (session_window) and q199
+    * (transformWithState) didn't cover: a bounded events slice flows
+    * through `window(ts, 1 day)` + watermark in Append mode; the q182
+    * sentinel protocol flushes every real window, and the oracle is
+    * the plain batch day-bucket GROUP BY. Counts and DECIMAL sums are
+    * order-exact, so the emitted finals hash-match. */
+  val qStreamingTumbling = Q(
+    "q242_streaming_tumbling",
+    (s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.OutputMode
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val slice = eventsUs(s, dir)
+        .where(col("user_id") < 40 && col("ts").isNotNull)
+        .select(col("user_id"), col("ts"), col("value"))
+        .as[(Long, Long, Option[Double])].collect()
+      val maxTs = slice.iterator.map(_._2).max
+      val mem = MemoryStream[(Long, Long, Option[Double])]
+      val src = mem.toDF.toDF("user_id", "tus", "value")
+        .select(col("user_id"), timestamp_micros(col("tus")).as("ts"),
+          col("value"))
+        .withWatermark("ts", "0 seconds")
+      val agg = src
+        .groupBy(window(col("ts"), "1 day").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          count(col("value")).as("n_valued"),
+          approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+          sum(coalesce(col("value"), lit(0.0)).cast(DecimalType(18, 6)))
+            .as("sum_v"))
+      val sink = "graft_stw_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-stw-gate").toString
+      val query = agg.writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        mem.addData(slice.toIndexedSeq)
+        query.processAllAvailable()
+        mem.addData((-1L, maxTs + 40L * 24 * HourUs, None))
+        query.processAllAvailable()
+        mem.addData((-1L, maxTs + 80L * 24 * HourUs, None))
+        query.processAllAvailable()
+      } finally query.stop()
+      // approx_users is a streaming-side HLL (not oracle-portable) —
+      // assert it's sane here, emit only the exact columns to the gate
+      val out = s.table(sink)
+        .where(unix_micros(col("w.start")) <= maxTs)
+        .select(unix_micros(col("w.start")).as("day_start_us"),
+          col("n_events"), col("n_valued"),
+          col("sum_v").cast("double").as("sum_v"),
+          col("approx_users"))
+      require(out.where(col("approx_users") <= 0 ||
+        col("approx_users") > 40).isEmpty,
+        "streaming HLL user estimate out of range")
+      out.drop("approx_users").orderBy("day_start_us")
+    },
+    Some("""SELECT
+        (epoch_us(ts) // 86400000000) * 86400000000 AS day_start_us,
+        count(*) AS n_events, count(value) AS n_valued,
+        CAST(sum(CAST(coalesce(value, 0.0) AS DECIMAL(18,6)))
+          AS DOUBLE) AS sum_v
+      FROM events
+      WHERE user_id IS NOT NULL AND user_id < 40 AND ts IS NOT NULL
+      GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(qSessionize, qAsofJoin, qAsofForward,
     qRangeJoin, qFunnel,
     qRolling, qTransitions, qAttribution, qRetention, qCountAcf,
@@ -1872,5 +1940,5 @@ object TemporalQueries {
     qRangeJoinRule, qCohortLtv, qRollingDistinct, qLogRank,
     qWindowSuite, qCoxPh, qResampleFfill, qResampleInterpolate,
     qIntervalUnion, qBatchSessionWindow, qStreamingIntervalJoin,
-    qCdcUpsert)
+    qCdcUpsert, qStreamingTumbling)
 }
