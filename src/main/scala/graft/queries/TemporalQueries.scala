@@ -1928,6 +1928,46 @@ object TemporalQueries {
       WHERE user_id IS NOT NULL AND user_id < 40 AND ts IS NOT NULL
       GROUP BY 1 ORDER BY 1"""))
 
+  /** The as-of join through the CUSTOM PHYSICAL OPERATOR
+    * ([[graft.plans.AsOfJoinExec]] — logical node + planner Strategy +
+    * SparkPlan with declared distribution/ordering requirements): the
+    * identical click→preceding-purchase join as q66, so the two
+    * formulations (union+window vs whole-operator merge) share one
+    * oracle and must agree bit-for-bit. AsOfJoinPlanSpec pins the
+    * physical plan (AsOfJoinExec node, both sides hash-partitioned on
+    * their keys, no BNLJ/window). */
+  val qAsofExec = Q(
+    "q243_asof_exec",
+    (s, dir) => {
+      val ev = eventsUs(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts").as("tus"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("p_event_id"), col("value").as("p_value"))
+      graft.plans.AsOfJoinPhysical.asofBackward(
+          clicks, purchases, "user_id", "p_user", "tus", "p_ts",
+          rightTie = "p_event_id")
+        .select(col("event_id"), col("user_id"), col("tus"),
+          col("p_event_id"), col("p_value"),
+          (col("tus") - col("p_ts")).as("lag_us"))
+        .orderBy("event_id")
+    },
+    Some("""WITH c AS (
+        SELECT event_id, user_id, epoch_us(ts) AS tus FROM events
+        WHERE event_type = 'click'),
+      p AS (SELECT user_id, epoch_us(ts) AS pus, event_id AS p_event_id,
+          value AS p_value FROM events WHERE event_type = 'purchase'),
+      m AS (SELECT c.event_id, p.p_event_id, p.p_value,
+          c.tus - p.pus AS lag_us,
+          row_number() OVER (PARTITION BY c.event_id
+            ORDER BY p.pus DESC, p.p_event_id DESC) AS rn
+        FROM c JOIN p ON c.user_id = p.user_id AND p.pus <= c.tus)
+      SELECT c.event_id, c.user_id, c.tus, m.p_event_id, m.p_value, m.lag_us
+      FROM c LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
+        ON m.event_id = c.event_id
+      ORDER BY c.event_id"""))
+
   val all: Seq[Q] = Seq(qSessionize, qAsofJoin, qAsofForward,
     qRangeJoin, qFunnel,
     qRolling, qTransitions, qAttribution, qRetention, qCountAcf,
@@ -1940,5 +1980,5 @@ object TemporalQueries {
     qRangeJoinRule, qCohortLtv, qRollingDistinct, qLogRank,
     qWindowSuite, qCoxPh, qResampleFfill, qResampleInterpolate,
     qIntervalUnion, qBatchSessionWindow, qStreamingIntervalJoin,
-    qCdcUpsert, qStreamingTumbling)
+    qCdcUpsert, qStreamingTumbling, qAsofExec)
 }
