@@ -43,6 +43,48 @@ object Transitions {
       round(col("cnt") / sum(col("cnt")).over(rowTotal), 8).as("p"))
   }
 
+  /** Stationary distribution of the first-order chain — "where does
+    * the user population settle": quantized power iteration over the
+    * [[matrix]] contingency, driver-side on the ≤ states² collected
+    * cells (the phik/PCA-power contract — the distributed part is the
+    * pair-count shuffle; the iteration is constant-size). P_ij =
+    * cnt/rowTotal is ONE double division (engine-identical); π₀ is
+    * uniform; each step is π'_j = Σ_i π_i·P_ij with LEFT-ASSOCIATIVE
+    * accumulation over states in sorted order, re-quantized to 10⁻⁹
+    * between steps so last-ulp drift cannot compound — an oracle can
+    * unroll the identical iteration. States without outgoing
+    * transitions self-loop (mass conserved). Returns (state, pi)
+    * ordered by state. */
+  def stationary(
+      df: DataFrame, keyCol: String, tsCol: String, stateCol: String,
+      tieBreak: Seq[String] = Nil, steps: Int = 3): DataFrame = {
+    require(steps >= 1, "steps must be >= 1")
+    val spark = df.sparkSession
+    val cells = matrix(df, keyCol, tsCol, stateCol, tieBreak)
+      .select(col("from_state").cast("string"),
+        col("to_state").cast("string"), col("cnt"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val states = (cells.map(_._1) ++ cells.map(_._2)).distinct.sorted
+    val s = states.length
+    require(s >= 1, "no transitions")
+    val idx = states.zipWithIndex.toMap
+    val totals = new Array[Double](s)
+    cells.foreach { case (f, _, c) => totals(idx(f)) += c }
+    val p = Array.ofDim[Double](s, s)
+    cells.foreach { case (f, t, c) =>
+      p(idx(f))(idx(t)) = c.toDouble / totals(idx(f)) }
+    for (i <- 0 until s if totals(i) == 0.0) p(i)(i) = 1.0 // absorbing
+    var v = Array.fill(s)(1.0 / s)
+    for (_ <- 1 to steps) {
+      val u = Array.tabulate(s)(j =>
+        (0 until s).map(i => v(i) * p(i)(j)).reduceLeft(_ + _))
+      v = u.map(x => math.floor(x * 1e9 + 0.5) / 1e9)
+    }
+    import spark.implicits._
+    states.zip(v).toSeq.toDF("state", "pi").orderBy("state")
+  }
+
   /** Skip-gram transition counts: (from, to) pairs at every gap
     * 1..maxGap down each key's ordered timeline — the loosened
     * first-order matrix ("what happens within the next g events, and

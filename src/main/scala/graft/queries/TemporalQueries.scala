@@ -1968,6 +1968,62 @@ object TemporalQueries {
         ON m.event_id = c.event_id
       ORDER BY c.event_id"""))
 
+  /** Markov stationary distribution of the event-type chain
+    * ([[graft.ops.Transitions.stationary]]): where the user population
+    * settles under q89's transition matrix — 3 quantized power steps
+    * whose float sequence the oracle unrolls verbatim (the q240
+    * spectral-iteration contract over a row-stochastic matrix). */
+  val qMarkovStationary: Q = {
+    val states = Seq("click", "error", "purchase", "signup", "view")
+    val s = states.length
+    def pij(i: Int, j: Int) =
+      s"""(coalesce((SELECT CAST(cnt AS DOUBLE) FROM c
+           WHERE from_state = '${states(i)}' AND to_state = '${states(j)}'),
+           0.0) /
+          (SELECT CAST(sum(cnt) AS DOUBLE) FROM c
+           WHERE from_state = '${states(i)}'))"""
+    val steps = 3
+    val mSel = (for (i <- 0 until s; j <- 0 until s)
+      yield s"${pij(i, j)} AS p_${i}_$j").mkString(", ")
+    val stepCtes = (1 to steps).map { k =>
+      val u = (0 until s).map { j =>
+        (0 until s).map(i => s"(v${k - 1}_$i * p_${i}_$j)")
+          .reduceLeft((a, b) => s"($a + $b)") + s" AS u${k}_$j"
+      }.mkString(", ")
+      s"""u$k AS (SELECT *, $u FROM v${k - 1}),
+        v$k AS (SELECT *, ${(0 until s).map(j =>
+          s"floor(u${k}_$j * 1e9 + 0.5) / 1e9 AS v${k}_$j")
+          .mkString(", ")} FROM u$k)"""
+    }.mkString(",\n")
+    Q(
+      "q244_markov_stationary",
+      (s2, dir) => {
+        val ev = eventsUs(s2, dir)
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            col("ts").as("tus"))
+        graft.ops.Transitions.stationary(
+          ev, "user_id", "tus", "event_type",
+          tieBreak = Seq("event_id"), steps = steps)
+      },
+      Some(s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus,
+            event_id FROM events),
+        pr AS (SELECT event_type AS from_state,
+            lead(event_type) OVER w AS to_state,
+            lead(1) OVER w AS has_next
+          FROM e WINDOW w AS (PARTITION BY user_id
+            ORDER BY tus, event_id)),
+        c AS (SELECT from_state, to_state, count(*) AS cnt FROM pr
+          WHERE has_next IS NOT NULL GROUP BY 1, 2),
+        m AS (SELECT $mSel),
+        v0 AS (SELECT *, ${(0 until s).map(i =>
+          s"1.0 / $s AS v0_$i").mkString(", ")} FROM m),
+        $stepCtes
+        ${states.zipWithIndex.map { case (st, i) =>
+          s"SELECT '$st' AS state, v${steps}_$i AS pi FROM v$steps"
+        }.mkString("\nUNION ALL\n")}
+        ORDER BY state"""))
+  }
+
   val all: Seq[Q] = Seq(qSessionize, qAsofJoin, qAsofForward,
     qRangeJoin, qFunnel,
     qRolling, qTransitions, qAttribution, qRetention, qCountAcf,
@@ -1980,5 +2036,5 @@ object TemporalQueries {
     qRangeJoinRule, qCohortLtv, qRollingDistinct, qLogRank,
     qWindowSuite, qCoxPh, qResampleFfill, qResampleInterpolate,
     qIntervalUnion, qBatchSessionWindow, qStreamingIntervalJoin,
-    qCdcUpsert, qStreamingTumbling, qAsofExec)
+    qCdcUpsert, qStreamingTumbling, qAsofExec, qMarkovStationary)
 }

@@ -91,4 +91,38 @@ class DeltaSpec extends SparkSpec {
     assert(out.map(r => (r._2, r._4)).toSet ==
       Set(("y", Some(1L)), ("x", None)))
   }
+
+  test("cdcUpsert: latest wins, D deletes, inserts land, untouched pass") {
+    import spark.implicits._
+    val base = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+    val changes = Seq(
+      (1L, 5L, 100L, "U", 11.0),  // update key 1 ...
+      (1L, 6L, 101L, "U", 12.0),  // ... latest (t=6) wins
+      (2L, 9L, 102L, "U", 21.0),  // update then ...
+      (2L, 9L, 103L, "D", 0.0),   // ... same t: greater id wins -> delete
+      (4L, 7L, 104L, "U", 40.0),  // insert (no base row)
+      (5L, 8L, 105L, "D", 0.0))   // delete of an absent key: no row
+      .toDF("k", "t", "id", "op", "v")
+    val got = Delta.cdcUpsert(base, changes, "k",
+        Seq("t", "id"), "op", Seq("v"))
+      .as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 12.0, 3L -> 30.0, 4L -> 40.0))
+  }
+
+  test("Transitions.stationary: two-state chain settles; absorbing self-loops") {
+    import spark.implicits._
+    // a -> b always, b -> a always: uniform stationary 0.5/0.5 at any
+    // even step count; quantization must not disturb exact halves
+    val ev = Seq(("u", 1L, "a"), ("u", 2L, "b"), ("u", 3L, "a"),
+      ("u", 4L, "b"), ("u", 5L, "a")).toDF("k", "t", "st")
+    val pi = graft.ops.Transitions.stationary(ev, "k", "t", "st",
+      steps = 4).as[(String, Double)].collect().toMap
+    assert(pi == Map("a" -> 0.5, "b" -> 0.5))
+    // c appears only as a TARGET (absorbing): self-loop keeps its mass
+    val ev2 = Seq(("u", 1L, "a"), ("u", 2L, "c")).toDF("k", "t", "st")
+    val pi2 = graft.ops.Transitions.stationary(ev2, "k", "t", "st",
+      steps = 3).as[(String, Double)].collect().toMap
+    // pi0 = (0.5, 0.5); all of a's mass flows to c and stays
+    assert(pi2("c") == 1.0 && pi2("a") == 0.0)
+  }
 }
