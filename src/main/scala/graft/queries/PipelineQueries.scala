@@ -2932,7 +2932,45 @@ object PipelineQueries {
         CAST(min(kh_q) AS DOUBLE) / 1e6 AS min_keep_half
       FROM k GROUP BY label ORDER BY label"""))
 
-  val all: Seq[Q] = Seq(
+  /** EXACT-size weighted sampling per group (Efraimidis-Spirakis A-ES,
+    * IPL 2006): each row draws a deterministic md5-uniform u ∈ (0,1]
+    * and ranks by ln(u)/w — the top-k per group is a weighted random
+    * sample WITHOUT replacement of exactly k rows (q79's Bernoulli
+    * rates give only expected sizes). The rank key is quantized to
+    * 10⁻⁶ longs (libm ln 1-ulp drift can't flip a rank; ~ties break by
+    * doc_id in both engines) and the per-group top-k rides the custom
+    * `BoundedTopK` aggregate — third production use, no window sort.
+    * Weights = n_chars (longer docs proportionally likelier). */
+  val qWeightedReservoir = Q(
+    "q245_weighted_reservoir",
+    (s, dir) => {
+      val u = (expr("cast(conv(substring(md5(cast(concat('aes:', " +
+        "cast(doc_id as string)) as binary)), 1, 13), 16, 10) as double)")
+        + lit(1.0)) / lit(4503599627370496.0) // 2^52
+      val key = floor(log(u) / col("n_chars").cast("double") * lit(1e6)
+        + lit(0.5)).cast("long")
+      table(s, dir, "documents")
+        .where(col("n_chars") > 0)
+        .groupBy("lang")
+        .agg(graft.functions.BoundedTopK
+          .topK(key, col("doc_id"), 5).as("top"))
+        .select(col("lang"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("lang"), (col("pos") + 1).cast("int").as("rnk"),
+          col("t.id").as("doc_id"))
+        .orderBy("lang", "rnk")
+    },
+    Some("""SELECT lang, CAST(rnk AS INT) AS rnk, doc_id
+      FROM (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+          ORDER BY q DESC, doc_id ASC) AS rnk
+        FROM (SELECT lang, doc_id,
+            CAST(floor(ln((('0x' || substr(md5('aes:' ||
+                CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 1)
+                / 4503599627370496.0)
+              / CAST(n_chars AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS q
+          FROM documents WHERE n_chars > 0))
+      WHERE rnk <= 5 ORDER BY lang, rnk"""))
+
+  val all: Seq[Q] = Seq(qWeightedReservoir,
     qGlobalPacking, qLshCandClusters, qNdcgEval, qLabelProp,
     qStratifiedFolds, qFeatureHashing, qCountMin, qTopKPerGroup,
     qKmeans, qMutualKnn, qMp3Decode, qCentroidEval, qLabelAgreement,
