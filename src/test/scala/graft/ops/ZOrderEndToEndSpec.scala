@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** PHYSICAL end-to-end check of the z-order layout claim: actually
+  * write parquet files under three layouts (z-sorted, x-sorted,
+  * hash-scattered) and count the files a selective predicate TOUCHES
+  * (distinct `input_file_name()` over matching rows — exactly the
+  * zone-map skipping model q198/q202/q208 audit arithmetically). The
+  * z layout must beat hash on BOTH single-dimension predicates and
+  * x-sort must beat z on x (its one specialty) while failing on y. */
+class ZOrderEndToEndSpec extends SparkSpec {
+
+  test("z-ordered files: fewer touched by either-dimension predicates") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder-e2e")
+    try {
+      val n = 100000
+      // deterministic scatter over a 1024x1024 value grid
+      val base = spark.range(0, n).select(
+        pmod(col("id") * 2654435761L, lit(1024L)).as("x"),
+        pmod(col("id") * 40503L + 7L, lit(1024L)).as("y"),
+        col("id"))
+      val withZ = base.withColumn("z",
+        ZOrder.zValue(col("x"), col("y"),
+          lit(0.0), lit(1023.0), lit(0.0), lit(1023.0), bits = 10))
+      val files = 16
+      withZ.repartitionByRange(files, col("z"))
+        .sortWithinPartitions("z")
+        .drop("z").write.parquet(s"$dir/zsort")
+      base.repartitionByRange(files, col("x"))
+        .sortWithinPartitions("x")
+        .write.parquet(s"$dir/xsort")
+      base.repartition(files, col("id")).write.parquet(s"$dir/hash")
+      base.withColumn("h",
+          ZOrder.hilbertValue(col("x"), col("y"),
+            lit(0.0), lit(1023.0), lit(0.0), lit(1023.0), bits = 10))
+        .repartitionByRange(files, col("h"))
+        .sortWithinPartitions("h")
+        .drop("h").write.parquet(s"$dir/hsort")
+
+      def touched(layout: String, pred: org.apache.spark.sql.Column): Long =
+        spark.read.parquet(s"$dir/$layout").where(pred)
+          .select(input_file_name()).distinct().count()
+
+      val xBand = col("x").between(100, 160)   // ~6% of the x domain
+      val yBand = col("y").between(800, 860)
+      val zx = touched("zsort", xBand); val zy = touched("zsort", yBand)
+      val xx = touched("xsort", xBand); val xy = touched("xsort", yBand)
+      val hx = touched("hash", xBand); val hy = touched("hash", yBand)
+      // hash scatters matches everywhere: every file touched
+      assert(hx == files && hy == files, s"hash: $hx/$hy")
+      // x-sort is perfect on x, useless on y
+      assert(xx <= 3, s"xsort on x touched $xx")
+      assert(xy == files, s"xsort on y touched $xy")
+      // z-order prunes meaningfully on BOTH dims — the whole point
+      assert(zx < files / 2 && zy < files / 2, s"zsort: $zx/$zy")
+      assert(zx < hx && zy < hy)
+      // the Hilbert layout (equal-count range files over graft_hilbert)
+      // prunes on both dims too, at least as tightly in total
+      val hbx = touched("hsort", xBand); val hby = touched("hsort", yBand)
+      assert(hbx < files / 2 && hby < files / 2, s"hsort: $hbx/$hby")
+      assert(hbx + hby <= zx + zy + 1, s"hilbert $hbx+$hby vs z $zx+$zy")
+      // and the answers are identical across layouts
+      val want = spark.read.parquet(s"$dir/hash").where(xBand).count()
+      assert(spark.read.parquet(s"$dir/zsort").where(xBand).count() == want)
+      assert(spark.read.parquet(s"$dir/xsort").where(xBand).count() == want)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir.toFile)
+    }
+  }
+}
