@@ -266,8 +266,120 @@ object SparkEntry {
       Some(sql))
   }
 
+  /** The assembled profile over the STRING-HEAVY table: q00c gates the
+    * numeric/temporal assembly on lineitem; this row gates what that
+    * one cannot reach — the pass-E character rollups (total/distinct
+    * characters per string column, exact while a column has ≤ 1000
+    * distinct chars), string length stats, and mode selection — wired
+    * through the same multi-pass fusion, against per-column DuckDB
+    * recomputation over `documents`. */
+  private val qProfileDocsGate: graft.queries.Q = {
+    val sql = {
+      def strBlock(c: String) =
+        s"""SELECT '$c' AS col_name, t.n AS n, s.cnt AS n_count,
+          s.n_distinct AS n_distinct, s.n_unique AS n_unique,
+          s.len_min AS len_min, s.len_max AS len_max,
+          s.len_mean_r AS len_mean_r, s.mode_v AS mode_v,
+          s.mode_freq AS mode_freq,
+          s.n_chars AS n_chars, s.n_chars_distinct AS n_chars_distinct,
+          CAST(NULL AS DOUBLE) AS mean_r, CAST(NULL AS DOUBLE) AS min_v,
+          CAST(NULL AS DOUBLE) AS max_v
+        FROM (SELECT count(*) AS n FROM documents) t CROSS JOIN (SELECT
+            count($c) AS cnt, count(DISTINCT $c) AS n_distinct,
+            (SELECT count(*) FROM (SELECT $c FROM documents
+              WHERE $c IS NOT NULL GROUP BY $c
+              HAVING count(*) = 1)) AS n_unique,
+            min(length($c)) AS len_min, max(length($c)) AS len_max,
+            round(avg(CAST(length($c) AS DOUBLE)), 4) AS len_mean_r,
+            (SELECT $c FROM documents WHERE $c IS NOT NULL
+             GROUP BY $c ORDER BY count(*) DESC, $c LIMIT 1) AS mode_v,
+            (SELECT count(*) FROM documents WHERE $c IS NOT NULL
+             GROUP BY $c ORDER BY count(*) DESC, $c LIMIT 1) AS mode_freq,
+            CAST(sum(length($c)) AS BIGINT) AS n_chars,
+            (SELECT count(DISTINCT ch) FROM (SELECT
+              unnest(string_split($c, '')) AS ch FROM documents)
+              WHERE length(ch) > 0) AS n_chars_distinct
+          FROM documents) s"""
+      def numBlock(c: String) =
+        s"""SELECT '$c' AS col_name, t.n AS n, s.cnt AS n_count,
+          s.n_distinct AS n_distinct, s.n_unique AS n_unique,
+          CAST(NULL AS BIGINT) AS len_min, CAST(NULL AS BIGINT) AS len_max,
+          CAST(NULL AS DOUBLE) AS len_mean_r,
+          CAST(NULL AS VARCHAR) AS mode_v, CAST(NULL AS BIGINT) AS mode_freq,
+          CAST(NULL AS BIGINT) AS n_chars,
+          CAST(NULL AS BIGINT) AS n_chars_distinct,
+          s.mean_r AS mean_r, s.min_v AS min_v, s.max_v AS max_v
+        FROM (SELECT count(*) AS n FROM documents) t CROSS JOIN (SELECT
+            count($c) AS cnt, count(DISTINCT $c) AS n_distinct,
+            (SELECT count(*) FROM (SELECT $c FROM documents
+              WHERE $c IS NOT NULL GROUP BY $c
+              HAVING count(*) = 1)) AS n_unique,
+            round(avg(CAST($c AS DOUBLE)), 4) AS mean_r,
+            CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v
+          FROM documents) s"""
+      (Seq("lang", "source", "text").map(strBlock) ++
+        Seq("doc_id", "n_chars").map(numBlock))
+        .mkString("\nUNION ALL\n") + "\nORDER BY col_name"
+    }
+    graft.queries.Q(
+      "q00d_profile_docs_gate",
+      (s, dir) => {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types._
+        val profile = Profiler.profile(
+          s.read.parquet(s"$dir/documents.parquet"),
+          ProfileConfig.default.copy(
+            computeCorrelations = false, computeCramers = false))
+        def rnd4(x: Double): java.lang.Double =
+          if (x.isNaN || x.isInfinite) null
+          else java.math.BigDecimal.valueOf(x)
+            .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+        def jl(x: Long): java.lang.Long = java.lang.Long.valueOf(x)
+        val rows: Seq[Row] = profile.columns.sortBy(_.name).map { c =>
+          val common = Seq[Any](c.name, jl(c.common.n), jl(c.common.count),
+            jl(c.common.nDistinct), jl(c.common.nUnique))
+          val cells: Seq[Any] = c.typed match {
+            case cat: graft.profile.CategoricalStats =>
+              Seq(
+                cat.lengths.map(l => jl(l.minLength)).orNull,
+                cat.lengths.map(l => jl(l.maxLength)).orNull,
+                cat.lengths.map(l => rnd4(l.meanLength)).orNull,
+                cat.topValues.headOption.map(_._1).orNull,
+                cat.topValues.headOption.map(t => jl(t._2)).orNull,
+                cat.chars.map(ch => jl(ch.nCharacters)).orNull,
+                cat.chars.map(ch => jl(ch.nCharactersDistinct)).orNull,
+                null, null, null)
+            case nst: graft.profile.NumericStats =>
+              Seq(null, null, null, null, null, null, null,
+                rnd4(nst.mean), java.lang.Double.valueOf(nst.min),
+                java.lang.Double.valueOf(nst.max))
+            case _ => Seq.fill(10)(null)
+          }
+          Row.fromSeq(common ++ cells)
+        }
+        val schema = StructType(Seq(
+          StructField("col_name", StringType), StructField("n", LongType),
+          StructField("n_count", LongType),
+          StructField("n_distinct", LongType),
+          StructField("n_unique", LongType),
+          StructField("len_min", LongType), StructField("len_max", LongType),
+          StructField("len_mean_r", DoubleType),
+          StructField("mode_v", StringType),
+          StructField("mode_freq", LongType),
+          StructField("n_chars", LongType),
+          StructField("n_chars_distinct", LongType),
+          StructField("mean_r", DoubleType), StructField("min_v", DoubleType),
+          StructField("max_v", DoubleType)))
+        s.createDataFrame(
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
+          .orderBy("col_name")
+      },
+      Some(sql))
+  }
+
   private def catalog: Seq[graft.queries.Q] =
-    Seq(qProfile, qProfileSketch, qProfileGate) ++ QueryCatalog.all ++ PipelineQueries.all ++
+    Seq(qProfile, qProfileSketch, qProfileGate, qProfileDocsGate) ++
+      QueryCatalog.all ++ PipelineQueries.all ++
       graft.queries.ExtraQueries.all ++ graft.queries.TemporalQueries.all ++
       graft.queries.RelationalQueries.all ++ graft.queries.QualityQueries.all
 
