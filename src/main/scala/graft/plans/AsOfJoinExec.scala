@@ -195,4 +195,35 @@ object AsOfJoinPhysical {
     org.apache.spark.sql.graft.ColumnBridge.ofRows(spark,
       AsOfJoinPlan(lp, rp, lk, rk, lt, rt, tie))
   }
+
+  /** Left FORWARD as-of join (least rightTime >= leftTime; ties to the
+    * LEAST `rightTie`), with optional `toleranceUs` on
+    * rightTime − leftTime — through the SAME physical operator on
+    * NEGATED times: backward's greatest −rt <= −lt is forward's least
+    * rt >= lt, and backward's greatest −tie is forward's least tie.
+    * No second exec implementation to keep correct. Out-of-tolerance
+    * matches null out every right column, like pandas merge_asof. */
+  def asofForward(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightTie: String, toleranceUs: Option[Long] = None): DataFrame = {
+    val taken = (left.columns ++ right.columns).toSet
+    require(!taken.contains("__negt") && !taken.contains("__negrt") &&
+      !taken.contains("__negtie"), "reserved __neg* column names in input")
+    val ln = left.withColumn("__negt", -col(leftTime))
+    val rn = right.withColumn("__negrt", -col(rightTime))
+      .withColumn("__negtie", -col(rightTie))
+    val joined = asofBackward(ln, rn, leftKey, rightKey,
+      "__negt", "__negrt", "__negtie")
+    val matched = toleranceUs match {
+      case Some(tol) => col(rightTime).isNotNull &&
+        (col(rightTime) - col(leftTime)) <= tol
+      case None => col(rightTime).isNotNull
+    }
+    joined.select(
+      left.columns.toSeq.map(c => col(s"`$c`")) ++
+        right.columns.toSeq.map(c =>
+          org.apache.spark.sql.functions.when(matched, col(s"`$c`"))
+            .as(c)): _*)
+  }
 }

@@ -2024,6 +2024,45 @@ object TemporalQueries {
         ORDER BY state"""))
   }
 
+  /** q181's forward-with-tolerance as-of THROUGH the custom physical
+    * operator ([[graft.plans.AsOfJoinPhysical.asofForward]] — the same
+    * AsOfJoinExec on negated times, no second exec implementation):
+    * identical semantics, shared oracle, so the operator's forward
+    * mapping is hash-checked too. */
+  val qAsofExecForward = Q(
+    "q246_asof_exec_forward",
+    (s, dir) => {
+      val ev = eventsUs(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts").as("tus"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("p_event_id"), col("value").as("p_value"))
+      graft.plans.AsOfJoinPhysical.asofForward(
+          clicks, purchases, "user_id", "p_user", "tus", "p_ts",
+          rightTie = "p_event_id", toleranceUs = Some(172800000000L))
+        .select(col("event_id"), col("user_id"), col("tus"),
+          col("p_event_id"), col("p_value"),
+          (col("p_ts") - col("tus")).as("lead_us"))
+        .orderBy("event_id")
+    },
+    Some("""WITH c AS (
+        SELECT event_id, user_id, epoch_us(ts) AS tus FROM events
+        WHERE event_type = 'click'),
+      p AS (SELECT user_id, epoch_us(ts) AS pus, event_id AS p_event_id,
+          value AS p_value FROM events WHERE event_type = 'purchase'),
+      m AS (SELECT c.event_id, p.p_event_id, p.p_value,
+          p.pus - c.tus AS lead_us,
+          row_number() OVER (PARTITION BY c.event_id
+            ORDER BY p.pus ASC, p.p_event_id ASC) AS rn
+        FROM c JOIN p ON c.user_id = p.user_id AND p.pus >= c.tus
+          AND p.pus - c.tus <= 172800000000)
+      SELECT c.event_id, c.user_id, c.tus, m.p_event_id, m.p_value,
+        m.lead_us
+      FROM c LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
+        ON c.event_id = m.event_id
+      ORDER BY c.event_id"""))
+
   val all: Seq[Q] = Seq(qSessionize, qAsofJoin, qAsofForward,
     qRangeJoin, qFunnel,
     qRolling, qTransitions, qAttribution, qRetention, qCountAcf,
@@ -2036,5 +2075,6 @@ object TemporalQueries {
     qRangeJoinRule, qCohortLtv, qRollingDistinct, qLogRank,
     qWindowSuite, qCoxPh, qResampleFfill, qResampleInterpolate,
     qIntervalUnion, qBatchSessionWindow, qStreamingIntervalJoin,
-    qCdcUpsert, qStreamingTumbling, qAsofExec, qMarkovStationary)
+    qCdcUpsert, qStreamingTumbling, qAsofExec, qMarkovStationary,
+    qAsofExecForward)
 }

@@ -48,6 +48,22 @@ class AsOfJoinExecSpec extends SparkSpec {
     assert("hashpartitioning\\(rk#".r.findFirstIn(plan).isDefined, plan)
   }
 
+  test("forward via negated times: least rt >= t, least id tie, tolerance nulls") {
+    val left = Seq((1L, 10L), (1L, 16L), (2L, 5L)).toDF("k", "t")
+    val right = Seq(
+      (1L, 12L, 100L, "a"), (1L, 12L, 101L, "b"), // tie -> LEAST id
+      (1L, 40L, 102L, "far"),
+      (2L, 3L, 200L, "past")).toDF("rk", "rt", "rid", "rv")
+    val got = AsOfJoinPhysical.asofForward(left, right,
+        "k", "rk", "t", "rt", rightTie = "rid", toleranceUs = Some(10L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    assert(got === Map(
+      (1L, 10L) -> 100L, // forward match at 12, tie to least id
+      (1L, 16L) -> -1L,  // nearest forward is 40: beyond tolerance 10
+      (2L, 5L) -> -1L))  // only a PAST right row: no forward match
+  }
+
   test("agrees with the union+window AsofJoin formulation on a fuzz slice") {
     val n = 2000
     val left = spark.range(0, n).select(
