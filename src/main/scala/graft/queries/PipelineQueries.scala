@@ -2970,7 +2970,54 @@ object PipelineQueries {
           FROM documents WHERE n_chars > 0))
       WHERE rnk <= 5 ORDER BY lang, rnk"""))
 
-  val all: Seq[Q] = Seq(qWeightedReservoir,
+  /** MinHash ESTIMATE calibration on the exact gate: for every q24
+    * verified pair, the signature-agreement fraction (matching
+    * positions / 16 — the estimator LSH actually acts on; exact
+    * sixteenths, so bit-comparable) beside the true shingle Jaccard
+    * and the absolute error. Quantifies the sketch against ground
+    * truth as a first-class gated artifact instead of a prose error
+    * bound; reuses the session-cached shingle/signature/pair builds. */
+  val qMinhashEstimate: Q = {
+    val matchSum = (0 until NUM_HASHES)
+      .map(k => s"CASE WHEN a.s$k = b.s$k THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    Q(
+      "q247_minhash_estimate",
+      (s, dir) => {
+        val sh = Dedup.wordShingleTableCached(
+          table(s, dir, "documents"), "doc_id", "text", WORD_N)
+        val sigs = Dedup.minhashSignaturesFromShingles(sh, NUM_HASHES)
+        val pairs = Dedup.minhashNearDupPairsFromShinglesCached(
+          sh, NUM_HASHES, BANDS, 0.7)
+        val a = sigs.toDF(sigs.columns.map(c => s"a_$c"): _*)
+        val b = sigs.toDF(sigs.columns.map(c => s"b_$c"): _*)
+        val agree = (0 until NUM_HASHES)
+          .map(k => when(col(s"a_s$k") === col(s"b_s$k"), 1).otherwise(0))
+          .reduce(_ + _)
+        pairs
+          .join(a, col("i") === col("a_id"))
+          .join(b, col("j") === col("b_id"))
+          .select(col("i"), col("j"), col("jaccard"),
+            (agree.cast("double") / NUM_HASHES).as("est"),
+            round(abs(agree.cast("double") / NUM_HASHES -
+              col("jaccard")), 6).as("abs_err"))
+          .orderBy("i", "j")
+      },
+      Some(s"""WITH $dkLshCtes,
+        p AS (SELECT i, j, round(CAST(common AS DOUBLE)
+              / (sa.sz + sb.sz - common), 6) AS jaccard
+            FROM cm JOIN sz sa ON sa.id = i JOIN sz sb ON sb.id = j
+            WHERE CAST(common AS DOUBLE)
+              / (sa.sz + sb.sz - common) >= 0.7),
+        e AS (SELECT p.i, p.j, p.jaccard,
+            CAST($matchSum AS DOUBLE) / $NUM_HASHES AS est
+          FROM p JOIN sig a ON a.id = p.i JOIN sig b ON b.id = p.j)
+        SELECT i, j, jaccard, est,
+          round(abs(est - jaccard), 6) AS abs_err
+        FROM e ORDER BY i, j"""))
+  }
+
+  val all: Seq[Q] = Seq(qWeightedReservoir, qMinhashEstimate,
     qGlobalPacking, qLshCandClusters, qNdcgEval, qLabelProp,
     qStratifiedFolds, qFeatureHashing, qCountMin, qTopKPerGroup,
     qKmeans, qMutualKnn, qMp3Decode, qCentroidEval, qLabelAgreement,
