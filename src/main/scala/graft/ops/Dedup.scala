@@ -501,6 +501,51 @@ object Dedup {
     sums.select(col("id"), sig.as("simhash"))
   }
 
+  /** SimHash near-dup pairs via BLOCK bucketing — the pigeonhole
+    * scheme Manku/Jain/Sarma's web-dedup paper (WWW'07) made standard:
+    * split the `bits`-wide signature into `blocks` equal slices; any
+    * pair within Hamming distance < `blocks` must agree EXACTLY on at
+    * least one slice (d differing bits can dirty at most d blocks), so
+    * bucketing each slice and self-joining buckets finds every such
+    * pair without an all-pairs scan. Candidates verify with
+    * bit_count(xor) <= maxHamming. Same degenerate-bucket guard as
+    * [[minhashLshPairs]]. Requires maxHamming < blocks (the pigeonhole
+    * guarantee — a larger radius needs more blocks or multi-block
+    * probing). Returns (i, j, hamming), i < j. */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 32, blocks: Int = 4, maxHamming: Int = 3,
+      maxBucket: Int = 4096): DataFrame = {
+    require(bits % blocks == 0, "blocks must divide bits")
+    require(maxHamming < blocks,
+      s"pigeonhole needs maxHamming < blocks, got $maxHamming/$blocks")
+    val w = bits / blocks
+    val mask = (1L << w) - 1L
+    val sigs = simhash(df, idCol, textCol, bits).localCheckpoint(false)
+    val keyed = sigs.select(col("id"), col("simhash"),
+        explode(array((0 until blocks).map(b =>
+          struct(lit(b).as("blk"),
+            shiftright(col("simhash"), b * w).bitwiseAND(lit(mask))
+              .as("key"))): _*)).as("bk"))
+      .select(col("id"), col("simhash"),
+        col("bk.blk").as("blk"), col("bk.key").as("key"))
+      .localCheckpoint(false)
+    val ok = keyed.groupBy("blk", "key")
+      .agg(count(lit(1)).as("__bsz")).where(col("__bsz") <= maxBucket)
+      .select("blk", "key")
+    // explicit select: a USING semi join reorders the join columns to
+    // the front, so a positional toDF rename would mislabel the fields
+    val bounded = keyed.join(ok, Seq("blk", "key"), "left_semi")
+      .select("id", "simhash", "blk", "key")
+    val a = bounded.toDF("i", "sig_i", "blk", "key")
+    val b = bounded.toDF("j", "sig_j", "blk", "key")
+    a.join(b, Seq("blk", "key"))
+      .where(col("i") < col("j"))
+      .select(col("i"), col("j"),
+        expr("bit_count(sig_i ^ sig_j)").cast("int").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** SRP-LSH candidate pairs for [[lshNearDupPairs]]: a hash-partitioned
     * self-join on (band, bucket). Exposed separately so selectivity —
     * candidate count as a fraction of n(n-1)/2 — is directly measurable

@@ -363,6 +363,51 @@ object PipelineQueries {
       SELECT id, CAST($sig AS BIGINT) AS simhash FROM bits ORDER BY id"""
     })
 
+  /** SimHash near-dup PAIRS via the Manku WWW'07 block-pigeonhole
+    * scheme ([[Dedup.simhashNearDupPairs]]): 64-bit signature, 4
+    * 16-bit blocks, Hamming radius 3 — any qualifying pair must agree
+    * on one whole block, so candidates come from 4 bucket self-joins,
+    * never all pairs (16-bit blocks keep buckets selective at corpus
+    * scale; 8-bit blocks measured ~20M candidates at 50k docs). The
+    * oracle rebuilds the identical signatures (q25's portable
+    * construction widened to 64 bits — the sign term is exact
+    * two's-complement in both engines), blocks, cap, and
+    * bit_count(xor) verify. */
+  val qSimhashPairs = Q(
+    "q248_simhash_pairs",
+    (s, dir) => Dedup.simhashNearDupPairs(
+        table(s, dir, "documents"), "doc_id", "text",
+        bits = 64, blocks = 4, maxHamming = 3)
+      .orderBy("i", "j"),
+    Some {
+      val bitSums = (0 until 64).map(b =>
+        s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
+        .mkString(", ")
+      val sig = (0 until 64).map(b =>
+        s"CASE WHEN b$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH w AS (SELECT doc_id AS id,
+             unnest(list_distinct(list_filter(
+               string_split_regex(lower(text), '\\s+'),
+               x -> length(x) > 0))) AS w
+           FROM documents),
+      h AS (SELECT id, ${dkHash("w", 0)} AS h FROM w),
+      bits AS (SELECT id, $bitSums FROM h GROUP BY id),
+      sg AS (SELECT id, CAST($sig AS BIGINT) AS simhash FROM bits),
+      keyed AS (${(0 until 4).map(b =>
+        s"SELECT id, simhash, $b AS blk, (simhash >> ${b * 16}) & 65535 AS key FROM sg")
+        .mkString(" UNION ALL ")}),
+      ok AS (SELECT blk, key FROM keyed GROUP BY blk, key
+             HAVING count(*) <= 4096),
+      kk AS (SELECT keyed.* FROM keyed JOIN ok USING (blk, key))
+      SELECT DISTINCT a.id AS i, b.id AS j,
+        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      FROM kk a JOIN kk b ON a.blk = b.blk AND a.key = b.key
+        AND a.id < b.id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      ORDER BY i, j"""
+    })
+
   // ------------------------------------------------------------------
   // Similarity search
   // ------------------------------------------------------------------
@@ -3017,7 +3062,7 @@ object PipelineQueries {
         FROM e ORDER BY i, j"""))
   }
 
-  val all: Seq[Q] = Seq(qWeightedReservoir, qMinhashEstimate,
+  val all: Seq[Q] = Seq(qWeightedReservoir, qMinhashEstimate, qSimhashPairs,
     qGlobalPacking, qLshCandClusters, qNdcgEval, qLabelProp,
     qStratifiedFolds, qFeatureHashing, qCountMin, qTopKPerGroup,
     qKmeans, qMutualKnn, qMp3Decode, qCentroidEval, qLabelAgreement,
