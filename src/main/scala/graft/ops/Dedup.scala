@@ -371,19 +371,15 @@ object Dedup {
     * that verify would reject anyway. The filter is one extra
     * (band, key) aggregate + semi join BEFORE the pair explosion —
     * the aggregate is map-side combined, so the guard costs one small
-    * shuffle, not a scan of the would-be pairs. */
+    * shuffle, not a scan of the would-be pairs. The drop is silent in
+    * this method's OUTPUT by design (a pair stream stays a pair
+    * stream); callers that need to see the recall loss read the
+    * skipped-bucket ledger from [[minhashLshSkippedBuckets]]. */
   def minhashLshPairs(
       signatures: DataFrame, bands: Int, rowsPerBand: Int,
       maxBucket: Int = 4096): DataFrame = {
     require(maxBucket >= 2, "maxBucket must be >= 2")
-    val bandCols = (0 until bands).map { b =>
-      val slice = (0 until rowsPerBand).map(r => col(s"s${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"),
-        md5(concat_ws(",", slice: _*)).as("key"))
-    }
-    val buckets = signatures
-      .select(col("id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val buckets = lshBandBuckets(signatures, bands, rowsPerBand)
       .localCheckpoint(false)
     val okBuckets = buckets.groupBy("band", "key")
       .agg(count(lit(1)).as("__bsz"))
@@ -396,6 +392,39 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"))
       .distinct()
+  }
+
+  /** The exploded (id, band, key) LSH bucket table [[minhashLshPairs]]
+    * self-joins — factored out so the pairs path and the skipped-bucket
+    * ledger below band identically. */
+  private def lshBandBuckets(
+      signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      val slice = (0 until rowsPerBand).map(r => col(s"s${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"),
+        md5(concat_ws(",", slice: _*)).as("key"))
+    }
+    signatures
+      .select(col("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** The recall-loss ledger for [[minhashLshPairs]]'s degenerate-bucket
+    * guard: the (band, key) buckets a `maxBucket` cap SKIPS, with their
+    * sizes — so the drop is observable (is it one giant exact-dup
+    * family, or many degenerate boilerplate signatures?) instead of
+    * invisible. Same banding as the pairs path, one map-side-combined
+    * aggregate, no pair explosion. Returns (band, key, bucket_size)
+    * with bucket_size > maxBucket, empty when the guard dropped
+    * nothing. */
+  def minhashLshSkippedBuckets(
+      signatures: DataFrame, bands: Int, rowsPerBand: Int,
+      maxBucket: Int = 4096): DataFrame = {
+    require(maxBucket >= 2, "maxBucket must be >= 2")
+    lshBandBuckets(signatures, bands, rowsPerBand)
+      .groupBy("band", "key")
+      .agg(count(lit(1)).as("bucket_size"))
+      .where(col("bucket_size") > maxBucket)
   }
 
   /** End-to-end MinHash near-dup detection over any shingle table: LSH

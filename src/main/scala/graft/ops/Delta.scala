@@ -123,7 +123,16 @@ object Delta {
     * the log + one full outer join on the key — both hash-partitioned
     * on the same key, so at 100 TB this is two co-partitionable
     * shuffles regardless of log skew (the aggregate collapses hot keys
-    * before the join). `base` must carry `keyCol` and `valueCols`. */
+    * before the join). `base` must carry `keyCol` and `valueCols`.
+    *
+    * Ordering contract: `orderCols` must UNIQUELY order the changes
+    * within a key (a changelog sequence number, an LSN, or a
+    * (timestamp, change_id) pair — q241 passes o_orderkey). The
+    * max-of-struct packs opCol and valueCols after orderCols only to
+    * carry them; if two changes tie on every orderCol the winner is
+    * decided by lexicographic (op, values) bytes, which is arbitrary
+    * CDC semantics — supply a tie-breaking order column instead of
+    * relying on it. */
   def cdcUpsert(base: DataFrame, changes: DataFrame, keyCol: String,
       orderCols: Seq[String], opCol: String,
       valueCols: Seq[String]): DataFrame = {

@@ -54,15 +54,32 @@ object Transitions {
     * between steps so last-ulp drift cannot compound — an oracle can
     * unroll the identical iteration. States without outgoing
     * transitions self-loop (mass conserved). Returns (state, pi)
-    * ordered by state. */
+    * ordered by state.
+    *
+    * `maxStates` bounds the driver-side fold (the `requireBoundedGrid`
+    * posture of the survival ops): the iteration builds an s×s double
+    * matrix on the driver, so a high-cardinality `stateCol` (a raw id
+    * column passed by mistake) must fail loudly BEFORE the collect —
+    * the distinct-state count is one cheap job over the already-
+    * aggregated (and checkpointed, hence not recomputed) cells table. */
   def stationary(
       df: DataFrame, keyCol: String, tsCol: String, stateCol: String,
-      tieBreak: Seq[String] = Nil, steps: Int = 3): DataFrame = {
+      tieBreak: Seq[String] = Nil, steps: Int = 3,
+      maxStates: Int = 10000): DataFrame = {
     require(steps >= 1, "steps must be >= 1")
     val spark = df.sparkSession
-    val cells = matrix(df, keyCol, tsCol, stateCol, tieBreak)
+    val cellsDf = matrix(df, keyCol, tsCol, stateCol, tieBreak)
       .select(col("from_state").cast("string"),
         col("to_state").cast("string"), col("cnt"))
+      .localCheckpoint(false)
+    val nStates = cellsDf
+      .select(explode(array(col("from_state"), col("to_state"))).as("s"))
+      .distinct().count()
+    require(nStates <= maxStates,
+      s"stationary: $nStates distinct states exceed maxStates=$maxStates " +
+        "— the power iteration builds an s×s driver-side matrix; " +
+        "coarsen the state column or raise maxStates")
+    val cells = cellsDf
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val states = (cells.map(_._1) ++ cells.map(_._2)).distinct.sorted

@@ -162,10 +162,17 @@ case class AsOfJoinExec(
   * the custom logical node back into the DataFrame API. */
 object AsOfJoinPhysical {
 
+  // extraStrategies is shared mutable session state: the check-then-
+  // append below must be atomic or two concurrent callers (parallel
+  // test suites share one session) register the strategy twice
+  private val registerLock = new Object
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    registerLock.synchronized {
+      if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
 
   /** Left backward as-of join through [[AsOfJoinExec]]. Output = every
     * left column, then every right column (null when unmatched). Keys,
@@ -176,6 +183,12 @@ object AsOfJoinPhysical {
       rightTie: String): DataFrame = {
     val spark = left.sparkSession
     register(spark)
+    // the output is left.columns ++ right.columns; a shared name would
+    // make every by-name select on the result (including asofForward's
+    // final projection) ambiguous — fail at build time, not at use time
+    val shared = left.columns.toSet.intersect(right.columns.toSet)
+    require(shared.isEmpty,
+      s"as-of left/right column names must be disjoint, shared: $shared")
     // re-alias the right side so its attribute ids are fresh — both
     // sides often derive from the SAME source table (q66: clicks and
     // purchases are both `events` slices), and a custom node gets no

@@ -1976,12 +1976,19 @@ object TemporalQueries {
   val qMarkovStationary: Q = {
     val states = Seq("click", "error", "purchase", "signup", "view")
     val s = states.length
+    // absorbing states mirror the engine: a state with NO outgoing
+    // transitions has a NULL row-total denominator here, which the
+    // outer coalesce replaces with the identity row (self-loop, mass
+    // conserved) exactly as Transitions.stationary does — so the gate
+    // does not depend on every hardcoded state having outgoing
+    // transitions in the fixture
     def pij(i: Int, j: Int) =
-      s"""(coalesce((SELECT CAST(cnt AS DOUBLE) FROM c
+      s"""coalesce((coalesce((SELECT CAST(cnt AS DOUBLE) FROM c
            WHERE from_state = '${states(i)}' AND to_state = '${states(j)}'),
            0.0) /
           (SELECT CAST(sum(cnt) AS DOUBLE) FROM c
-           WHERE from_state = '${states(i)}'))"""
+           WHERE from_state = '${states(i)}')),
+          ${if (i == j) "1.0" else "0.0"})"""
     val steps = 3
     val mSel = (for (i <- 0 until s; j <- 0 until s)
       yield s"${pij(i, j)} AS p_${i}_$j").mkString(", ")

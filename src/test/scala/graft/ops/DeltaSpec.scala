@@ -125,4 +125,19 @@ class DeltaSpec extends SparkSpec {
     // pi0 = (0.5, 0.5); all of a's mass flows to c and stays
     assert(pi2("c") == 1.0 && pi2("a") == 0.0)
   }
+
+  test("Transitions.stationary: unbounded state vocabularies fail loudly") {
+    import spark.implicits._
+    // a high-cardinality state column (an id passed by mistake) would
+    // build an s x s driver matrix — the guard fires BEFORE the collect
+    val ev = (0L until 40L).map(i => ("u", i, s"state_$i"))
+      .toDF("k", "t", "st")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Transitions.stationary(ev, "k", "t", "st", maxStates = 10)
+    }
+    assert(e.getMessage.contains("maxStates"))
+    // the same vocabulary under a sufficient bound still works
+    assert(graft.ops.Transitions.stationary(ev, "k", "t", "st",
+      maxStates = 40).count() == 40)
+  }
 }

@@ -277,6 +277,14 @@ class OpsSpec extends SparkSpec {
     assert(Dedup.minhashLshPairs(sig, 4, 4, maxBucket = 11).count() == 0)
     // cap at exactly the bucket size keeps them (boundary inclusive)
     assert(Dedup.minhashLshPairs(sig, 4, 4, maxBucket = 12).count() == 66)
+    // the skipped-bucket ledger makes the drop observable: all 4 band
+    // buckets (size 12) are reported under the cap that skipped them,
+    // and none under the cap that kept them
+    val skipped = Dedup.minhashLshSkippedBuckets(sig, 4, 4, maxBucket = 11)
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toSeq
+    assert(skipped.length == 4 && skipped.forall(_._2 == 12L))
+    assert(Dedup.minhashLshSkippedBuckets(sig, 4, 4, maxBucket = 12)
+      .count() == 0)
   }
 
   test("simhash: exact dups equal, near-dups close in hamming distance") {
