@@ -40,6 +40,17 @@ object AsofJoin {
     *
     * Requirements: time columns numeric (e.g. epoch nanos); left and
     * `rightCols` names disjoint.
+    *
+    * Dispatch: when the key/time/tie columns are all LongType (the
+    * catalog's as-of domain — epoch micros and bigint ids), a tiebreak
+    * is given, and the needed right columns don't clash with the left,
+    * the join runs through the CUSTOM PHYSICAL OPERATOR
+    * ([[graft.plans.AsOfJoinExec]] — declared distributions/orderings,
+    * O(1)-state per-partition merge); the union+window formulation
+    * below is the general-type fallback. Same cost class (one hash
+    * shuffle + per-partition sort each) and identical answers
+    * (AsOfJoinExecSpec fuzz-agrees the two paths; q66/q243 share one
+    * oracle), so routing changes the PLAN, not the result.
     */
   def asof(
       left: DataFrame,
@@ -55,6 +66,71 @@ object AsofJoin {
     require(rightCols.nonEmpty, "rightCols must be non-empty")
     val clash = left.columns.toSet.intersect(rightCols.toSet)
     require(clash.isEmpty, s"left/rightCols name clash: $clash")
+
+    val routed = execEligible(left, right, leftKey, rightKey, leftTime,
+      rightTime, rightCols, rightTieBreak).map { tb =>
+      val rightNeed = (Seq(rightKey, rightTime, tb) ++ rightCols).distinct
+      val rightProj = right.select(rightNeed.map(col): _*)
+      val joined =
+        if (forward)
+          graft.plans.AsOfJoinPhysical.asofForward(left, rightProj,
+            leftKey, rightKey, leftTime, rightTime, tb, tolerance)
+        else {
+          val j = graft.plans.AsOfJoinPhysical.asofBackward(left, rightProj,
+            leftKey, rightKey, leftTime, rightTime, tb)
+          tolerance match {
+            case Some(tol) =>
+              // out-of-tolerance matches null out every right column,
+              // same contract as the window path below
+              val ok = col(rightTime).isNotNull &&
+                (col(leftTime) - col(rightTime)) <= tol
+              j.select(left.columns.toSeq.map(c => col(s"`$c`")) ++
+                rightNeed.map(c => when(ok, col(s"`$c`")).as(c)): _*)
+            case None => j
+          }
+        }
+      joined.select((left.columns.toSeq ++ rightCols).map(c => col(s"`$c`")): _*)
+    }
+    routed.getOrElse(asofViaWindow(left, right, leftKey, rightKey,
+      leftTime, rightTime, rightCols, rightTieBreak, tolerance, forward))
+  }
+
+  /** The exec route's eligibility: Some(tieBreak) when every key/time/
+    * tie column is LongType, a tiebreak exists, and the right columns
+    * the exec must carry are name-disjoint from the left (the exec
+    * emits left ++ right by name). Anything else → window fallback. */
+  private def execEligible(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightCols: Seq[String], rightTieBreak: Option[String]): Option[String] =
+    rightTieBreak.filter { tb =>
+      import org.apache.spark.sql.types.LongType
+      def isLong(df: DataFrame, c: String) =
+        df.schema.fields.exists(f => f.name == c && f.dataType == LongType)
+      val rightNeed = (Seq(rightKey, rightTime, tb) ++ rightCols).distinct
+      isLong(left, leftKey) && isLong(left, leftTime) &&
+        isLong(right, rightKey) && isLong(right, rightTime) &&
+        isLong(right, tb) &&
+        rightNeed.toSet.intersect(left.columns.toSet).isEmpty &&
+        !(left.columns ++ rightNeed).exists(_.startsWith("__neg"))
+    }
+
+  /** The union + carry-forward-window formulation (see the object
+    * scaladoc) — the general-type path every non-Long as-of takes.
+    * Package-visible so AsOfJoinExecSpec can fuzz-compare the two
+    * formulations even for Long-typed inputs `asof` would route. */
+  private[graft] def asofViaWindow(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      rightCols: Seq[String],
+      rightTieBreak: Option[String],
+      tolerance: Option[Long],
+      forward: Boolean): DataFrame = {
 
     val rrowType = right.select(rightCols.map(col): _*).schema
     val lrowType = left.schema

@@ -174,10 +174,70 @@ object AsOfJoinPhysical {
           spark.experimental.extraStrategies :+ AsOfJoinStrategy
     }
 
+  /** Map an orderable column to an equivalent LongType ordering — the
+    * v2 type-widening ladder: integral types cast, DateType becomes
+    * epoch days, timestamps become epoch MICROS (so `asofForward`'s
+    * tolerance is in micros for timestamps, days for dates). Every
+    * mapping is strictly monotone and injective, so as-of match
+    * semantics (greatest-time-<=, tie order) are preserved exactly. */
+  private def toLongOrder(c: org.apache.spark.sql.Column,
+      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => c
+      case ByteType | ShortType | IntegerType => c.cast(LongType)
+      case DateType => org.apache.spark.sql.functions.unix_date(c).cast(LongType)
+      case TimestampType => org.apache.spark.sql.functions.unix_micros(c)
+      // NTZ reads as session-local; sessions here pin UTC
+      case TimestampNTZType =>
+        org.apache.spark.sql.functions.unix_micros(c.cast(TimestampType))
+      case other => throw new IllegalArgumentException(
+        s"as-of exec cannot order type $other (need integral/date/timestamp)")
+    }
+  }
+
+  private val widenNames =
+    Seq("__asof_lk", "__asof_lt", "__asof_rk", "__asof_rt", "__asof_tie")
+
   /** Left backward as-of join through [[AsOfJoinExec]]. Output = every
     * left column, then every right column (null when unmatched). Keys,
-    * times, and the tie-break column must be LongType. */
+    * times, and the tie-break column may be any integral, date, or
+    * timestamp type — non-Long columns are widened to an equivalent
+    * LongType ordering in shadow columns the final projection drops
+    * (cast-insertion, not a second exec implementation). */
   def asofBackward(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightTie: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    def dt(df: DataFrame, c: String) = df.schema(c).dataType
+    val allLong =
+      Seq(dt(left, leftKey) == LongType, dt(left, leftTime) == LongType,
+        dt(right, rightKey) == LongType, dt(right, rightTime) == LongType,
+        dt(right, rightTie) == LongType).forall(identity)
+    if (allLong)
+      asofBackwardLong(left, right, leftKey, rightKey,
+        leftTime, rightTime, rightTie)
+    else {
+      val taken = (left.columns ++ right.columns).toSet
+      require(!widenNames.exists(taken),
+        "reserved __asof_* column names in input")
+      val lw = left
+        .withColumn("__asof_lk", toLongOrder(col(leftKey), dt(left, leftKey)))
+        .withColumn("__asof_lt", toLongOrder(col(leftTime), dt(left, leftTime)))
+      val rw = right
+        .withColumn("__asof_rk", toLongOrder(col(rightKey), dt(right, rightKey)))
+        .withColumn("__asof_rt", toLongOrder(col(rightTime), dt(right, rightTime)))
+        .withColumn("__asof_tie", toLongOrder(col(rightTie), dt(right, rightTie)))
+      asofBackwardLong(lw, rw, "__asof_lk", "__asof_rk",
+          "__asof_lt", "__asof_rt", "__asof_tie")
+        .select((left.columns ++ right.columns).toSeq
+          .map(c => col(s"`$c`")): _*)
+    }
+  }
+
+  /** The LongType core: builds the custom logical node directly. */
+  private def asofBackwardLong(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
       rightTie: String): DataFrame = {
@@ -215,7 +275,10 @@ object AsOfJoinPhysical {
     * NEGATED times: backward's greatest −rt <= −lt is forward's least
     * rt >= lt, and backward's greatest −tie is forward's least tie.
     * No second exec implementation to keep correct. Out-of-tolerance
-    * matches null out every right column, like pandas merge_asof. */
+    * matches null out every right column, like pandas merge_asof.
+    * Times/tie widen through [[toLongOrder]] before negation, so the
+    * tolerance unit is the WIDENED unit: raw longs as-is, micros for
+    * timestamps, days for dates. */
   def asofForward(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
@@ -223,14 +286,16 @@ object AsOfJoinPhysical {
     val taken = (left.columns ++ right.columns).toSet
     require(!taken.contains("__negt") && !taken.contains("__negrt") &&
       !taken.contains("__negtie"), "reserved __neg* column names in input")
-    val ln = left.withColumn("__negt", -col(leftTime))
-    val rn = right.withColumn("__negrt", -col(rightTime))
-      .withColumn("__negtie", -col(rightTie))
+    def dt(df: DataFrame, c: String) = df.schema(c).dataType
+    val ltL = toLongOrder(col(leftTime), dt(left, leftTime))
+    val rtL = toLongOrder(col(rightTime), dt(right, rightTime))
+    val ln = left.withColumn("__negt", -ltL)
+    val rn = right.withColumn("__negrt", -rtL)
+      .withColumn("__negtie", -toLongOrder(col(rightTie), dt(right, rightTie)))
     val joined = asofBackward(ln, rn, leftKey, rightKey,
       "__negt", "__negrt", "__negtie")
     val matched = toleranceUs match {
-      case Some(tol) => col(rightTime).isNotNull &&
-        (col(rightTime) - col(leftTime)) <= tol
+      case Some(tol) => col(rightTime).isNotNull && (rtL - ltL) <= tol
       case None => col(rightTime).isNotNull
     }
     joined.select(

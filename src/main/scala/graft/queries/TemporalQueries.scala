@@ -2070,6 +2070,53 @@ object TemporalQueries {
         ON c.event_id = m.event_id
       ORDER BY c.event_id"""))
 
+  /** The exec's TYPE-WIDENING path on the gate: a TIMESTAMP-typed as-of
+    * (o_orderdate is timestamp[us] in the fixture) through
+    * [[graft.plans.AsOfJoinPhysical.asofBackward]] — each urgent order
+    * matched to the customer's latest prior-or-same-day LOW-priority
+    * order. The time column widens to epoch micros inside the builder
+    * (cast-insertion, v2), so this row proves the widened ordering is
+    * exactly DuckDB's native timestamp ordering. */
+  val qAsofTimestampExec = Q(
+    "q249_asof_timestamp_exec",
+    (s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val l = orders.where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val r = orders.where(col("o_orderpriority") === "5-LOW")
+        .select(col("o_custkey").as("r_custkey"),
+          col("o_orderdate").as("r_date"),
+          col("o_orderkey").as("r_orderkey"),
+          col("o_totalprice").as("r_totalprice"))
+      // the parquet type is TIMESTAMP_NTZ; the session pins UTC, so the
+      // cast preserves wall-clock micros (same integers as epoch_us)
+      def us(c: org.apache.spark.sql.Column) = unix_micros(c.cast("timestamp"))
+      graft.plans.AsOfJoinPhysical.asofBackward(
+          l, r, "o_custkey", "r_custkey", "o_orderdate", "r_date",
+          rightTie = "r_orderkey")
+        .select(col("o_orderkey"), col("o_custkey"),
+          us(col("o_orderdate")).as("o_date_us"),
+          col("r_orderkey"), col("r_totalprice"),
+          (us(col("o_orderdate")) - us(col("r_date"))).as("gap_us"))
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH l AS (SELECT o_orderkey, o_custkey, o_orderdate
+          FROM orders WHERE o_orderpriority = '1-URGENT'),
+        r AS (SELECT o_custkey AS r_custkey, o_orderdate AS r_date,
+            o_orderkey AS r_orderkey, o_totalprice AS r_totalprice
+          FROM orders WHERE o_orderpriority = '5-LOW'),
+        m AS (SELECT l.o_orderkey, r.r_orderkey, r.r_totalprice,
+            epoch_us(l.o_orderdate) - epoch_us(r.r_date) AS gap_us,
+            row_number() OVER (PARTITION BY l.o_orderkey
+              ORDER BY r.r_date DESC, r.r_orderkey DESC) AS rn
+          FROM l JOIN r ON l.o_custkey = r.r_custkey
+            AND r.r_date <= l.o_orderdate)
+      SELECT l.o_orderkey, l.o_custkey, epoch_us(l.o_orderdate) AS o_date_us,
+        m.r_orderkey, m.r_totalprice, m.gap_us
+      FROM l LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
+        ON m.o_orderkey = l.o_orderkey
+      ORDER BY l.o_orderkey"""))
+
   val all: Seq[Q] = Seq(qSessionize, qAsofJoin, qAsofForward,
     qRangeJoin, qFunnel,
     qRolling, qTransitions, qAttribution, qRetention, qCountAcf,
@@ -2083,5 +2130,5 @@ object TemporalQueries {
     qWindowSuite, qCoxPh, qResampleFfill, qResampleInterpolate,
     qIntervalUnion, qBatchSessionWindow, qStreamingIntervalJoin,
     qCdcUpsert, qStreamingTumbling, qAsofExec, qMarkovStationary,
-    qAsofExecForward)
+    qAsofExecForward, qAsofTimestampExec)
 }

@@ -78,12 +78,68 @@ class AsOfJoinExecSpec extends SparkSpec {
       .select(col("lid"), col("rid")).collect()
       .map(r => r.getLong(0) ->
         (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
-    val viaWindow = graft.ops.AsofJoin.asof(
+    // the WINDOW formulation explicitly — asof() would route Long-typed
+    // inputs to the exec, which would compare the exec with itself
+    val viaWindow = graft.ops.AsofJoin.asofViaWindow(
         left, right, "k", "rk", "t", "rt",
-        rightCols = Seq("rt", "rid"), rightTieBreak = Some("rid"))
+        rightCols = Seq("rt", "rid"), rightTieBreak = Some("rid"),
+        tolerance = None, forward = false)
       .select(col("lid"), col("rid")).collect()
       .map(r => r.getLong(0) ->
         (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
     assert(viaExec === viaWindow)
+  }
+
+  test("asof() routes Long-typed joins through the exec, falls back otherwise") {
+    val left = Seq((1L, 10L, "x"), (2L, 20L, "y")).toDF("k", "t", "tag")
+    val right = Seq((1L, 5L, 100L, 1.5)).toDF("rk", "rt", "rid", "rv")
+    val routed = graft.ops.AsofJoin.asof(left, right, "k", "rk", "t", "rt",
+      rightCols = Seq("rid", "rv"), rightTieBreak = Some("rid"))
+    assert(routed.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    assert(routed.columns.toSeq == Seq("k", "t", "tag", "rid", "rv"))
+    // a STRING key is not exec-eligible: window fallback, same answers
+    val lS = Seq(("a", 10L)).toDF("k", "t")
+    val rS = Seq(("a", 5L, 100L)).toDF("rk", "rt", "rid")
+    val fb = graft.ops.AsofJoin.asof(lS, rS, "k", "rk", "t", "rt",
+      rightCols = Seq("rid"), rightTieBreak = Some("rid"))
+    assert(!fb.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    assert(fb.select("rid").as[Long].collect().toSeq == Seq(100L))
+    // no tiebreak is not exec-eligible either (merge needs a total order)
+    val nt = graft.ops.AsofJoin.asof(left, right, "k", "rk", "t", "rt",
+      rightCols = Seq("rid", "rv"))
+    assert(!nt.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+  }
+
+  test("type widening: timestamp and date key/time through the exec") {
+    import java.sql.{Date, Timestamp}
+    // TIMESTAMP time column (epoch-micros widening), Int key
+    val lT = Seq((1, Timestamp.valueOf("2024-01-01 10:00:00.000123"), "l1"),
+        (1, Timestamp.valueOf("2024-01-01 09:00:00"), "l0"))
+      .toDF("k", "t", "tag")
+    val rT = Seq(
+        (1, Timestamp.valueOf("2024-01-01 10:00:00.000123"), 10L),
+        (1, Timestamp.valueOf("2024-01-01 10:00:00.000124"), 11L),
+        (1, Timestamp.valueOf("2024-01-01 08:00:00"), 9L))
+      .toDF("rk", "rt", "rid")
+    val gotT = AsOfJoinPhysical.asofBackward(lT, rT, "k", "rk", "t", "rt",
+        rightTie = "rid")
+      .select("tag", "rid").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // sub-second resolution must survive the widening: l1 matches the
+    // exactly-equal micros row (10), NOT the 1us-later row (11)
+    assert(gotT === Map("l1" -> 10L, "l0" -> 9L))
+    val planT = AsOfJoinPhysical.asofBackward(lT, rT, "k", "rk", "t", "rt",
+      rightTie = "rid").queryExecution.executedPlan.toString
+    assert(planT.contains("AsOfJoin"), planT)
+    // DATE time column (epoch-days widening) + forward with tolerance
+    // in DAYS
+    val lD = Seq((1L, Date.valueOf("2024-03-10"))).toDF("k", "d")
+    val rD = Seq((1L, Date.valueOf("2024-03-12"), 7L),
+        (1L, Date.valueOf("2024-03-25"), 8L)).toDF("rk", "rd", "rid")
+    val gotD = AsOfJoinPhysical.asofForward(lD, rD, "k", "rk", "d", "rd",
+        rightTie = "rid", toleranceUs = Some(5L))
+      .select("rid").collect().map(r =>
+        if (r.isNullAt(0)) -1L else r.getLong(0)).toSeq
+    assert(gotD == Seq(7L)) // +2 days within tolerance 5; the 15-day row is not the nearest
   }
 }

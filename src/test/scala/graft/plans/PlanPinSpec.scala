@@ -83,6 +83,18 @@ class PlanPinSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
   }
 
+  test("q66/q181: asof() routes the production as-of through AsOfJoinExec") {
+    // the custom operator IS the production path now (round-8): both
+    // directions' catalog queries must plan the AsOfJoin node, not the
+    // union+window formulation (and certainly not a theta join)
+    for (q <- Seq("q66_asof_join", "q181_asof_forward")) {
+      val plan = planOf(q)
+      assert(plan.contains("AsOfJoin"), s"$q lost the exec route:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), s"$q:\n$plan")
+    }
+  }
+
   test("q26b IVF search at partial nprobe: postings filtered to probed lists") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val idx = graft.ops.IvfIndex.build(e, "vec_id", "embedding", nlist = 8)
