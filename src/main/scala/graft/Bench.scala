@@ -71,16 +71,19 @@ object Bench {
     // a failed query must NOT pass off its time-to-failure as a timing:
     // it is recorded by name and forces polluted=true in the artifact
     val failedQueries = scala.collection.mutable.LinkedHashSet[String]()
-    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def timeOnceAt(name: String, dir: String, failures: scala.collection.mutable.Set[String],
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      try fn(spark, dir).write.format("noop").mode("overwrite").save()
       catch {
         case e: Throwable =>
-          failedQueries += name
+          failures += name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       (System.nanoTime() - t0) / 1e9
     }
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
+      timeOnceAt(name, sfDir, failedQueries, fn)
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     // two full passes, min per query: a transient host stall pollutes one
@@ -326,6 +329,66 @@ object Bench {
     val sPass1 = streamingOnce("p1")
     val sPass2 = streamingOnce("p2")
 
+    // ---- 10x stress section: the scaling table as a per-round artifact
+    // (round-7 ran it by hand into NOTES prose; this regenerates it every
+    // round). SPARK_GRAFT_STRESS_DIR names a graft.StressData tiling of
+    // sfDir (default: /tmp/graft_sf1 when present — the pre-generated 10x
+    // of sf0.1); absent -> the section is skipped and stress_ran=false.
+    // One pass per scale on the now-warm JVM, session caches cleared
+    // before each scale so ratios measure operator cost, not cache hits
+    // (WITHIN a scale the family caches amortize by design, as in the
+    // main passes). Verdict metric: norm_ratio = (t_stress/t_base)/reps —
+    // 1.0 is exactly linear scaling; > 3.0 (3x worse than linear) with no
+    // documented waiver marks a stress suspect. Stress failures are
+    // tracked separately and do NOT flip the main artifact's polluted
+    // flag (they are named in the stress JSON instead).
+    val stressDirOpt = sys.env.get("SPARK_GRAFT_STRESS_DIR")
+      .filter(_.nonEmpty)
+      .orElse(Some("/tmp/graft_sf1")
+        .filter(d => new java.io.File(d).isDirectory))
+    val stressReps = sys.env.getOrElse("SPARK_GRAFT_STRESS_REPS", "10").toDouble
+    val stressNames = Seq(
+      "q00c_profile_gate", "q22_ngram_jaccard", "q26b_embed_topk_ivf",
+      "q26c_embed_topk_ivf_persisted", "q46_mad", "q67_range_join",
+      "q78_equidepth_hist", "q106_lsh_clusters", "q165_mutual_knn",
+      "q184_pagerank", "q185_lsh_cand_clusters", "q192_star_join_deep",
+      "q212_bpe_merges", "q222_naive_bayes", "q230_mahalanobis",
+      "q231_cox_ph", "q235_batch_session_window", "q241_cdc_upsert",
+      "q243_asof_exec", "q244_markov_stationary", "q248_simhash_pairs",
+      "q249_asof_timestamp_exec")
+    val stressWaivers = Map(
+      "q165_mutual_knn" -> ("documented O(n^2) exact-kNN oracle tool; " +
+        "q26b/q26c/q27 are the approximate scale path"))
+    val stressFailed = scala.collection.mutable.LinkedHashSet[String]()
+    val stressSection: Option[(String, Seq[String])] = stressDirOpt.map { sdir =>
+      def passOver(d: String): Map[String, Double] = {
+        graft.ops.Dedup.clearShingleCache()
+        graft.ops.IvfIndex.clearIndexCache()
+        stressNames.map(n =>
+          n -> timeOnceAt(n, d, stressFailed, SparkEntry.queries(n))).toMap
+      }
+      val base = passOver(sfDir)
+      val scaled = passOver(sdir)
+      val rows = stressNames.map { n =>
+        val (tb, ts) = (base(n), scaled(n))
+        val ratio = if (tb > 0) ts / tb else -1.0
+        (n, tb, ts, ratio)
+      }
+      val suspects = rows.collect {
+        case (n, _, _, r)
+          if r / stressReps > 3.0 && !stressWaivers.contains(n) &&
+            !stressFailed.contains(n) => n }
+      val qJson = rows.map { case (n, tb, ts, r) =>
+        "\"" + n + f"""\":[$tb%.3f,$ts%.3f,$r%.2f]""" }
+        .mkString("{", ",", "}")
+      val wJson = stressWaivers.map { case (k, v) =>
+        "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
+      val susJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val sfJson = stressFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      (s"""{"stress":{"base_dir":"$sfDir","stress_dir":"$sdir","reps":$stressReps,"norm_trip_threshold":3.0,"queries":$qJson,"suspects":$susJson,"waived":$wJson,"failed":$sfJson}}""",
+        suspects)
+    }
+
     val allPass1 = pass1 ++ sPass1
     val allPass2 = pass2 ++ sPass2
     val allOrdered = ordered.map(_._1) ++ sPass1.keys.toSeq.sorted
@@ -395,6 +458,7 @@ object Bench {
     val suspectJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     val coldJson = coldStarts.map("\"" + _ + "\"").mkString("[", ",", "]")
     val failedJson = failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
+    stressSection.foreach { case (json, _) => println(json) }
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","streaming_total":$streamingTotal%.3f,"queries":$qs,"sf":"$sfDir","procs":$procs,"loadavg":$load%.2f,"loadavg_start":$loadStart%.2f,"cpu_busy_start":$busyStart%.3f,"cpu_steal_frac":$stealFrac%.4f,"polluted":$polluted,"suspect_queries":$suspectJson,"coldstart_queries":$coldJson,"failed_queries":$failedJson,"pass_totals":[$t1%.3f,$t2%.3f],"queries_passes":$qsBoth}""")
     // The harness that archives this output keeps only the last ~2 KB;
     // the big line above front-loads its verdict fields, so a truncated
@@ -403,7 +467,10 @@ object Bench {
     // carries it.
     val q00Sec = results.toMap.getOrElse("q00_profile_lineitem", -1.0)
     val q00bSec = results.toMap.getOrElse("q00b_profile_sketch", -1.0)
-    println(f"""{"bench_summary":{"total":$total%.3f,"streaming_total":$streamingTotal%.3f,"polluted":$polluted,"cpu_steal_frac":$stealFrac%.4f,"cpu_busy_start":$busyStart%.3f,"suspect_queries":$suspectJson,"coldstart_queries":$coldJson,"failed_queries":$failedJson,"pass_totals":[$t1%.3f,$t2%.3f],"q00":$q00Sec%.3f,"q00b":$q00bSec%.3f,"n_queries":${results.size}}}""")
+    val stressRan = stressSection.isDefined
+    val stressSusJson = stressSection.map(_._2).getOrElse(Nil)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(f"""{"bench_summary":{"total":$total%.3f,"streaming_total":$streamingTotal%.3f,"polluted":$polluted,"cpu_steal_frac":$stealFrac%.4f,"cpu_busy_start":$busyStart%.3f,"suspect_queries":$suspectJson,"coldstart_queries":$coldJson,"failed_queries":$failedJson,"pass_totals":[$t1%.3f,$t2%.3f],"q00":$q00Sec%.3f,"q00b":$q00bSec%.3f,"n_queries":${results.size},"stress_ran":$stressRan,"stress_suspects":$stressSusJson}}""")
     spark.stop()
   }
 }

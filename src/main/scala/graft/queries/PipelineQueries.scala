@@ -282,6 +282,28 @@ object PipelineQueries {
       WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.7
       ORDER BY i, j"""))
 
+  /** The degenerate-bucket guard's RECALL-LOSS LEDGER on the gate
+    * ([[graft.ops.Dedup.minhashLshSkippedBuckets]]): the (band, key)
+    * buckets a maxBucket cap skips, with sizes — what q24's silent
+    * pruning drops, made observable (is it one giant exact-dup family
+    * or many degenerate boilerplate signatures?). The cap here is 2 —
+    * far below production's 4096 — purely so fixture-scale data (max
+    * bucket ≈ 7 at sf0.01) exercises non-empty ledger rows; the
+    * banding and md5 bucket keys are byte-identical to q24's. */
+  val qLshSkippedBuckets = Q(
+    "q250_lsh_skipped_buckets",
+    (s, dir) =>
+      Dedup.minhashLshSkippedBuckets(
+          Dedup.minhashSignaturesFromShingles(
+            Dedup.wordShingleTableCached(table(s, dir, "documents"),
+              "doc_id", "text", WORD_N), NUM_HASHES),
+          BANDS, NUM_HASHES / BANDS, maxBucket = 2)
+        .orderBy("band", "key"),
+    Some(s"""WITH $dkLshCtes
+      SELECT band, key, count(*) AS bucket_size FROM buckets
+      GROUP BY band, key HAVING count(*) > 2
+      ORDER BY band, key"""))
+
   /** Whole-corpus cluster ASSIGNMENT over the q24 LSH pair set:
     * transitive closure via [[graft.ops.ConnectedComponents]]
     * (large-star/small-star), every document labeled — singletons keep
@@ -3077,7 +3099,8 @@ object PipelineQueries {
     qSourceQuality, qSemDedup, qPackChunks,
     qDupNgramFraction, qTfIdfTerms, qBm25, qSourceCap, qUnigramCE,
     qBigramCE, qLexicalStats,
-    qMinhashSig, qMinhashLsh, qLshClusters, qDedupKeepLongest, qSimhash,
+    qMinhashSig, qMinhashLsh, qLshSkippedBuckets, qLshClusters,
+    qDedupKeepLongest, qSimhash,
     qEmbedTopK, qEmbedTopKIvf, qEmbedTopKIvfPersisted, qEmbedNearDup,
     qLangId, qTextQuality,
     qTokenCounts, qFingerprint, qRepetitionFilter, qPiiScan,

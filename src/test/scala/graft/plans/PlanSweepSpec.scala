@@ -1,0 +1,149 @@
+package graft.plans
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+
+import graft.SparkSpec
+
+/** Catalog-WIDE scale-safety sweep: every declared query's EXECUTED
+  * physical plan at sf0.001 must be free of the two operators that
+  * cannot survive a 100× scale-up — `CartesianProductExec` (never
+  * acceptable) and `BroadcastNestedLoopJoinExec` against an UNBOUNDED
+  * build side. PlanPinSpec pins six queries' load-bearing plan
+  * properties; this suite turns "no unbounded join explosion" into a
+  * GLOBAL invariant over the whole catalog.
+  *
+  * A BNLJ is judged bounded two ways:
+  *   1. STRUCTURALLY — its broadcast side contains a global (no
+  *      grouping keys) aggregate, which emits at most one row. This is
+  *      the catalog's dominant `crossJoin(broadcast(scalarAgg))`
+  *      pattern (totals, bounds, entropies joined onto every row), and
+  *      it must be recognized structurally because AQE flips these
+  *      tiny-side joins between BNLJ and single-partition shuffle join
+  *      run to run — a name list would flap.
+  *   2. BY NAME — `bnljAllowed` lists the queries whose bounded side is
+  *      a constant-size TABLE rather than a 1-row aggregate (centroids,
+  *      query vectors, category marginals, a quantile frame); each
+  *      entry names why the side is bounded. A k-row query that starts
+  *      planning an unexplained BNLJ fails the sweep until allowlisted
+  *      with a reason.
+  *
+  * The full sweep executes all ~260 queries (several minutes, and the
+  * streaming entries drive real MemoryStream queries), so it runs only
+  * under `SPARK_GRAFT_PLAN_SWEEP=1`; the seeded negative tests — proof
+  * both detectors actually fire — run always.
+  *
+  * Known blind spot: a `localCheckpoint` truncates lineage, so plan
+  * fragments UPSTREAM of a checkpoint (the dedup family's bucket
+  * builds, the survival grids) are not visible in the final plan this
+  * sweep inspects — those operators carry their own plan/guard specs
+  * (OpsSpec bucket caps, requireBoundedGrid negatives, PlanPinSpec).
+  */
+class PlanSweepSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Queries whose BNLJ build side is a constant-size table (not a
+    * 1-row aggregate, so not auto-recognized structurally). */
+  private val bnljAllowed: Map[String, String] = Map(
+    "q14_cramers" -> "r-row x k-row category-marginal tables, bounded by the category domain (QueryCatalog.scala:380)",
+    "q26_embed_topk" -> "corpus x broadcast k-row query-vector set (Similarity.scala:30)",
+    "q59_semdedup_pairs" -> "vectors x broadcast nlist-bounded centroid table (Dedup.scala:686)",
+    "q41_kendall" -> "self-join over the hard-capped (1e4) checkpointed pair sample — the bound is invisible structurally because localCheckpoint truncates lineage (Kendall.scala:27,74)",
+    "q105_qq_table" -> "broadcast constant-size quantile frame (Ranking.scala:161)",
+    "q174_label_agreement" -> "exact 1-NN over the full embedding table — documented O(n^2) oracle tool of the q165/q175 family (Similarity.oneNnLabelAgreement)",
+    "q189_ndcg_eval" -> "corpus x broadcast 50-row query slice, vec_id < 50 pushed to the scan (PipelineQueries q189)",
+    "q109_fuzzy_name_join" -> "bounded distinct-name vocabulary pairs",
+    "q120_weighted_quantiles" -> "broadcast constant-size quantile frame (Ranking.scala:161)",
+    "q125_segment_psi" -> "bounded segment x bin grid (Drift.scala:162)",
+    "q153_hybrid_rrf" -> "bounded per-query rank frames",
+    "q164_seasonal_profile" -> "broadcast 168-row hour x dow axis (Timeseries.scala:307)",
+    "q175_silhouette" -> "k x k cluster-pair grid, k = cluster count (Clustering.scala:214)",
+    "q180_psi_series" -> "bounded bin x period grid (Drift.scala:162)",
+    "q213_jaro_winkler_names" -> "bounded distinct-name vocabulary self-pairs (PipelineQueries)",
+    "q219_sq8_recall" -> "broadcast k-row query set + quantization bounds",
+    "q222_naive_bayes" -> "bounded vocab x bounded class table (NaiveBayes.scala:62)")
+
+  /** Expand through AQE wrapper nodes so the traversal sees inside
+    * finalized query stages and reused exchanges. */
+  private def collectAll(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case _ => p.children
+    }
+    p +: kids.flatMap(collectAll)
+  }
+
+  /** ≤1-row build side: the broadcast subtree ends in a global
+    * aggregate (no grouping keys). */
+  private def buildSideBounded(b: BroadcastNestedLoopJoinExec): Boolean = {
+    val build = b.buildSide match {
+      case BuildLeft => b.left
+      case BuildRight => b.right
+    }
+    collectAll(build).exists {
+      case ag: BaseAggregateExec => ag.groupingExpressions.isEmpty
+      case _ => false
+    }
+  }
+
+  /** (cartesian?, unexplainedBnlj?) for one executed plan. */
+  private def violations(root: SparkPlan): (Boolean, Boolean) = {
+    val all = collectAll(root)
+    val cartesian = all.exists(
+      _.getClass.getSimpleName.startsWith("CartesianProduct"))
+    val badBnlj = all.exists {
+      case b: BroadcastNestedLoopJoinExec => !buildSideBounded(b)
+      case _ => false
+    }
+    (cartesian, badBnlj)
+  }
+
+  test("seeded negative: an unbounded cross join is detected") {
+    // both sides are raw ranges (no aggregate anywhere): whether Spark
+    // plans CartesianProduct or auto-broadcasts into a BNLJ, one of the
+    // two detectors must fire
+    val df = spark.range(0, 100).toDF("x")
+      .crossJoin(spark.range(0, 100).toDF("y"))
+    df.collect()
+    val (cart, bnlj) = violations(df.queryExecution.executedPlan)
+    assert(cart || bnlj, df.queryExecution.executedPlan.toString)
+  }
+
+  test("seeded positive: a broadcast 1-row aggregate cross join is bounded") {
+    import org.apache.spark.sql.functions._
+    val base = spark.range(0, 100).toDF("x")
+    val df = base.crossJoin(broadcast(base.agg(sum(col("x")).as("tot"))))
+    df.collect()
+    val (cart, bnlj) = violations(df.queryExecution.executedPlan)
+    assert(!cart && !bnlj, df.queryExecution.executedPlan.toString)
+  }
+
+  test("catalog sweep: no CartesianProduct/unbounded BNLJ anywhere") {
+    assume(sys.env.get("SPARK_GRAFT_PLAN_SWEEP").contains("1"),
+      "set SPARK_GRAFT_PLAN_SWEEP=1 to run the full catalog sweep")
+    val bad = scala.collection.mutable.ArrayBuffer[String]()
+    val names = graft.SparkEntry.queries.keys.toSeq.sorted
+    for (name <- names) {
+      try {
+        val df = graft.SparkEntry.queries(name)(spark, dir)
+        df.collect()
+        val (cart, bnlj) = violations(df.queryExecution.executedPlan)
+        if (cart) bad += s"$name: CartesianProduct (never allowed)"
+        if (bnlj && !bnljAllowed.contains(name))
+          bad += s"$name: BNLJ with non-aggregate build side, not allowlisted"
+      } catch {
+        case e: Throwable =>
+          bad += s"$name: failed to execute at sf0.001 (${e.getMessage})"
+      }
+    }
+    assert(bad.isEmpty,
+      s"${bad.size} plan-sweep violations:\n${bad.mkString("\n")}")
+  }
+}

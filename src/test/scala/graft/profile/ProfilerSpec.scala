@@ -258,6 +258,37 @@ class ProfilerSpec extends SparkSpec {
       assert(html.contains(s"<h3>${c.name} "), s"missing variable ${c.name}")
   }
 
+  test("HTML sink byte-stable snapshot (committed golden)") {
+    // The renderer embeds NO volatile fields (no generation timestamp,
+    // no durations, no hostnames), and the fixture + profile config are
+    // fully deterministic, so the rendered report is byte-stable and a
+    // committed snapshot closes the last sink gap (the structural test
+    // below checks shape; this one pins every byte of the rendering —
+    // number formatting, SVG geometry, escaping, section order).
+    // Regenerate intentionally with SPARK_GRAFT_WRITE_SNAPSHOT=1 after
+    // a deliberate renderer change; the diff then reviews as a diff of
+    // this file.
+    val html = ProfileHtml.toHtml(profile)
+    val path = java.nio.file.Paths.get(
+      "src/test/resources/profile_snapshot.html")
+    if (sys.env.get("SPARK_GRAFT_WRITE_SNAPSHOT").contains("1")) {
+      java.nio.file.Files.createDirectories(path.getParent)
+      java.nio.file.Files.writeString(path, html)
+    }
+    assert(java.nio.file.Files.exists(path),
+      s"snapshot missing — run once with SPARK_GRAFT_WRITE_SNAPSHOT=1")
+    val want = java.nio.file.Files.readString(path)
+    if (html != want) {
+      val i = html.zip(want).indexWhere { case (a, b) => a != b }
+      val at = if (i < 0) math.min(html.length, want.length) else i
+      val ctx = 60
+      fail(s"HTML snapshot drifted at byte $at:\n  got  ...${
+        html.slice(at - ctx, at + ctx)}...\n  want ...${
+        want.slice(at - ctx, at + ctx)}...\n(lengths ${html.length} vs ${
+        want.length}; regenerate deliberately with SPARK_GRAFT_WRITE_SNAPSHOT=1)")
+    }
+  }
+
   test("MapType column profiles as Categorical via canonicalization") {
     import org.apache.spark.sql.functions.{col, map, lit}
     import spark.implicits._
