@@ -575,6 +575,67 @@ object Dedup {
       .distinct()
   }
 
+  /** SimHash near-dup pairs via MULTI-BLOCK combination keys — the
+    * table-combination generalization from the same Manku WWW'07
+    * construction [[simhashNearDupPairs]] uses: split the signature
+    * into `blocks` slices and bucket on every COMBINATION of
+    * m = blocks − maxHamming slices. A pair within Hamming distance
+    * maxHamming dirties at most maxHamming blocks, leaving ≥ m clean
+    * ones, so it shares at least one m-combination key — exact recall,
+    * like the one-block scheme (which is the m = 1 special case at
+    * blocks = maxHamming + 1). What m > 1 buys is PRECISION: keys are
+    * m·w bits wide instead of w, so random bucket collisions (false
+    * candidates) drop geometrically — the knob that keeps candidate
+    * volume flat as corpora grow — at the cost of C(blocks, m) bucket
+    * tables instead of `blocks` (e.g. 56 at blocks=8, radius 3). Same
+    * degenerate-bucket cap, same bit_count(xor) verify.
+    *
+    * Returns (i, j, hamming), i < j — the same answer set as
+    * [[simhashNearDupPairs]] at equal (bits, maxHamming) whenever no
+    * bucket overflows the cap in either scheme. */
+  def simhashNearDupPairsCombos(df: DataFrame, idCol: String,
+      textCol: String, bits: Int = 64, blocks: Int = 8,
+      maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {
+    require(bits % blocks == 0, "blocks must divide bits")
+    require(maxHamming >= 1 && maxHamming < blocks,
+      s"pigeonhole needs 1 <= maxHamming < blocks, got $maxHamming/$blocks")
+    val m = blocks - maxHamming
+    val combos = simhashCombos(blocks, m)
+    val w = bits / blocks
+    val mask = (1L << w) - 1L
+    val sigs = simhash(df, idCol, textCol, bits).localCheckpoint(false)
+    val comboCols = combos.zipWithIndex.map { case (c, ci) =>
+      struct(lit(ci).as("blk"),
+        md5(concat_ws(",", c.map(b =>
+          shiftright(col("simhash"), b * w).bitwiseAND(lit(mask))
+            .cast("string")): _*)).as("key"))
+    }
+    val keyed = sigs.select(col("id"), col("simhash"),
+        explode(array(comboCols: _*)).as("bk"))
+      .select(col("id"), col("simhash"),
+        col("bk.blk").as("blk"), col("bk.key").as("key"))
+      .localCheckpoint(false)
+    val ok = keyed.groupBy("blk", "key")
+      .agg(count(lit(1)).as("__bsz")).where(col("__bsz") <= maxBucket)
+      .select("blk", "key")
+    val bounded = keyed.join(ok, Seq("blk", "key"), "left_semi")
+      .select("id", "simhash", "blk", "key")
+    val a = bounded.toDF("i", "sig_i", "blk", "key")
+    val b = bounded.toDF("j", "sig_j", "blk", "key")
+    a.join(b, Seq("blk", "key"))
+      .where(col("i") < col("j"))
+      .select(col("i"), col("j"),
+        expr("bit_count(sig_i ^ sig_j)").cast("int").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** The deterministic m-of-blocks combination list both the operator
+    * and its oracle SQL must share (lexicographic, like
+    * `Seq.combinations`). */
+  def simhashCombos(blocks: Int, m: Int): Seq[Seq[Int]] =
+    (0 until blocks).combinations(m).map(_.toSeq).toSeq
+
   /** SRP-LSH candidate pairs for [[lshNearDupPairs]]: a hash-partitioned
     * self-join on (band, bucket). Exposed separately so selectivity —
     * candidate count as a fraction of n(n-1)/2 — is directly measurable

@@ -430,6 +430,54 @@ object PipelineQueries {
       ORDER BY i, j"""
     })
 
+  /** The MULTI-BLOCK combination generalization of q248
+    * ([[graft.ops.Dedup.simhashNearDupPairsCombos]] — the round-7
+    * verdict's stretch item): same 64-bit signatures and radius 3, but
+    * 8 blocks bucketed on every 5-of-8 block combination (C(8,5) = 56
+    * tables, 40-bit keys) instead of 4 blocks on single 16-bit slices.
+    * Exact recall by the same pigeonhole; geometrically fewer false
+    * candidates. The oracle rebuilds the identical combination list
+    * (shared through [[graft.ops.Dedup.simhashCombos]]) and md5 keys,
+    * and the answer set must equal q248's. */
+  val qSimhashCombos = Q(
+    "q251_simhash_combo_pairs",
+    (s, dir) => Dedup.simhashNearDupPairsCombos(
+        table(s, dir, "documents"), "doc_id", "text",
+        bits = 64, blocks = 8, maxHamming = 3)
+      .orderBy("i", "j"),
+    Some {
+      val bitSums = (0 until 64).map(b =>
+        s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
+        .mkString(", ")
+      val sig = (0 until 64).map(b =>
+        s"CASE WHEN b$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END")
+        .mkString(" + ")
+      val keyedArms = Dedup.simhashCombos(8, 5).zipWithIndex.map {
+        case (c, ci) =>
+          val key = c.map(b => s"((simhash >> ${b * 8}) & 255)::VARCHAR")
+            .mkString(" || ',' || ")
+          s"SELECT id, simhash, $ci AS blk, md5($key) AS key FROM sg"
+      }.mkString(" UNION ALL ")
+      s"""WITH w AS (SELECT doc_id AS id,
+             unnest(list_distinct(list_filter(
+               string_split_regex(lower(text), '\\s+'),
+               x -> length(x) > 0))) AS w
+           FROM documents),
+      h AS (SELECT id, ${dkHash("w", 0)} AS h FROM w),
+      bits AS (SELECT id, $bitSums FROM h GROUP BY id),
+      sg AS (SELECT id, CAST($sig AS BIGINT) AS simhash FROM bits),
+      keyed AS ($keyedArms),
+      ok AS (SELECT blk, key FROM keyed GROUP BY blk, key
+             HAVING count(*) <= 4096),
+      kk AS (SELECT keyed.* FROM keyed JOIN ok USING (blk, key))
+      SELECT DISTINCT a.id AS i, b.id AS j,
+        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      FROM kk a JOIN kk b ON a.blk = b.blk AND a.key = b.key
+        AND a.id < b.id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      ORDER BY i, j"""
+    })
+
   // ------------------------------------------------------------------
   // Similarity search
   // ------------------------------------------------------------------
@@ -3085,6 +3133,7 @@ object PipelineQueries {
   }
 
   val all: Seq[Q] = Seq(qWeightedReservoir, qMinhashEstimate, qSimhashPairs,
+    qSimhashCombos,
     qGlobalPacking, qLshCandClusters, qNdcgEval, qLabelProp,
     qStratifiedFolds, qFeatureHashing, qCountMin, qTopKPerGroup,
     qKmeans, qMutualKnn, qMp3Decode, qCentroidEval, qLabelAgreement,

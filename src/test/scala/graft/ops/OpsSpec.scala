@@ -287,6 +287,28 @@ class OpsSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("simhash combo keys: same verified pairs as one-block, m=1 degenerate case") {
+    // exact recall from both pigeonhole schemes at the same radius:
+    // the verified (i, j, hamming) sets must be identical
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val one = pairSet(Dedup.simhashNearDupPairs(
+      docs, "doc_id", "text", bits = 64, blocks = 4, maxHamming = 3))
+    val multi = pairSet(Dedup.simhashNearDupPairsCombos(
+      docs, "doc_id", "text", bits = 64, blocks = 8, maxHamming = 3))
+    assert(multi === one)
+    // blocks = maxHamming + 1 makes m = 1: the combo scheme IS the
+    // one-block scheme (same block count and width)
+    val degenerate = pairSet(Dedup.simhashNearDupPairsCombos(
+      docs, "doc_id", "text", bits = 64, blocks = 4, maxHamming = 3))
+    assert(degenerate === one)
+    // radius >= blocks is rejected (pigeonhole has no guarantee there)
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupPairsCombos(docs, "doc_id", "text",
+        bits = 64, blocks = 4, maxHamming = 4)
+    }
+  }
+
   test("simhash: exact dups equal, near-dups close in hamming distance") {
     val sh = Dedup.simhash(docs, "doc_id", "text", 32)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
