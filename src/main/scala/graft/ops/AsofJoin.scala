@@ -145,13 +145,21 @@ object AsofJoin {
       lit(null).cast(tieType).as("__tie"),
       struct(left.columns.map(col): _*).as("__lrow"),
       lit(null).cast(rrowType).as("__rrow"))
-    val rU = right.select(
-      col(rightKey).as("__k"),
-      col(rightTime).as("__t"),
-      lit(0).as("__side"),
-      rightTieBreak.map(col).getOrElse(lit(null).cast(tieType)).as("__tie"),
-      lit(null).cast(lrowType).as("__lrow"),
-      struct(rightCols.map(col): _*).as("__rrow"))
+    // null right keys/times never PROVIDE matches (SQL-join / pandas
+    // merge_asof semantics, and exactly what AsOfJoinExec does — the
+    // two dispatch paths must agree on the null contract, since which
+    // one runs depends only on column types). Unfiltered, a window
+    // PARTITION BY would group null keys together and let null-key
+    // left rows match null-key right rows.
+    val rU = right
+      .where(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(
+        col(rightKey).as("__k"),
+        col(rightTime).as("__t"),
+        lit(0).as("__side"),
+        rightTieBreak.map(col).getOrElse(lit(null).cast(tieType)).as("__tie"),
+        lit(null).cast(lrowType).as("__lrow"),
+        struct(rightCols.map(col): _*).as("__rrow"))
 
     // Sort so that, scanning the frame up to each left row, the LAST
     // right row seen is exactly the as-of match: time asc (desc for
@@ -172,12 +180,16 @@ object AsofJoin {
         last(when(col("__side") === 0, col("__t")), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
 
+    // a null LEFT key/time never matches either (in forward/desc order
+    // a null left time would otherwise sort last and "see" every right
+    // row); same contract as the exec's null pad
+    val leftValid = col("__k").isNotNull && col("__t").isNotNull
     val inTol: Column = tolerance match {
-      case None => col("__mt").isNotNull
+      case None => leftValid && col("__mt").isNotNull
       case Some(tol) =>
         val lagT =
           if (forward) col("__mt") - col("__t") else col("__t") - col("__mt")
-        col("__mt").isNotNull && lagT <= tol
+        leftValid && col("__mt").isNotNull && lagT <= tol
     }
 
     val outCols =

@@ -115,6 +115,37 @@ class TemporalSpec extends SparkSpec {
     assert(out == Seq((Some(12L), None)))
   }
 
+  test("asof null contract: null keys/times never match, both paths agree") {
+    // which dispatch path runs depends only on column types, so the
+    // null contract must be identical: window path (string key) and
+    // exec path (long key) both give null-key/time rows NO match
+    val lS = Seq((1L, Option("x"), Option(100L)), (2L, None, Option(100L)),
+        (3L, Option("x"), None))
+      .toDF("lid", "k", "t")
+    val rS = Seq((Option("x"), Option(50L), 500L),
+        (None, Option(60L), 501L), (Option("x"), None, 502L))
+      .toDF("rk", "rt", "rid")
+    val viaWindow = AsofJoin.asof(lS, rS, "k", "rk", "t", "rt",
+        rightCols = Seq("rid"), rightTieBreak = Some("rid"))
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+    assert(viaWindow == Map(1L -> Some(500L), 2L -> None, 3L -> None))
+    val lL = Seq((1L, Option(7L), Option(100L)), (2L, None, Option(100L)),
+        (3L, Option(7L), None))
+      .toDF("lid", "k", "t")
+    val rL = Seq((Option(7L), Option(50L), 500L),
+        (None, Option(60L), 501L), (Option(7L), None, 502L))
+      .toDF("rk", "rt", "rid")
+    val viaExec = AsofJoin.asof(lL, rL, "k", "rk", "t", "rt",
+        rightCols = Seq("rid"), rightTieBreak = Some("rid"))
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+    assert(viaExec == viaWindow)
+    // forward direction: a null left time must not "see" the timeline
+    val fwdWindow = AsofJoin.asof(lS, rS, "k", "rk", "t", "rt",
+        rightCols = Seq("rid"), rightTieBreak = Some("rid"), forward = true)
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+    assert(fwdWindow(3L).isEmpty && fwdWindow(2L).isEmpty)
+  }
+
   test("asof plan: no join operator, one shuffle") {
     val out = AsofJoin.asof(trades, quotes, "sym", "q_sym", "t", "q_t",
       rightCols = Seq("quote_id"), rightTieBreak = Some("quote_id"))
