@@ -18,15 +18,6 @@ import graft.profile.{ProfileConfig, ProfileHtml, ProfileJson, Profiler, TypeInf
   */
 object ProfileApp {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2,
-      "usage: ProfileApp <input.(parquet|csv|json|orc)> <output.json> [--minimal] [--sketch] [--infer]")
-    val input = args(0)
-    val output = args(1)
-    val minimal = args.contains("--minimal")
-    val sketch = args.contains("--sketch")
-    val infer = args.contains("--infer")
-    val spearman = args.contains("--spearman")
-
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft-profile")
@@ -39,6 +30,23 @@ object ProfileApp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args) finally spark.stop()
+  }
+
+  /** The whole console flow on a CALLER-OWNED session — split from
+    * `main` so ProfileAppSpec can drive the entry point end-to-end
+    * (scan dispatch, config flags, sink selection, summary lines)
+    * against the suite's shared session without `main`'s
+    * `spark.stop()` killing it. */
+  def run(spark: SparkSession, args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: ProfileApp <input.(parquet|csv|json|orc)> <output.json> [--minimal] [--sketch] [--infer]")
+    val input = args(0)
+    val output = args(1)
+    val minimal = args.contains("--minimal")
+    val sketch = args.contains("--sketch")
+    val infer = args.contains("--infer")
+    val spearman = args.contains("--spearman")
     graft.functions.GraftFunctions.register(spark) // SQL surface
 
     // Extension-dispatched scan (reference: utils/dataframe.py:24-67);
@@ -71,6 +79,5 @@ object ProfileApp {
     println(s"[graft] alerts: ${profile.alerts.size} " +
       profile.alerts.groupBy(_.kind).map { case (k, v) => s"$k=${v.size}" }
         .toSeq.sorted.mkString(", "))
-    spark.stop()
   }
 }
