@@ -1814,6 +1814,80 @@ object TemporalQueries {
         AND m.ts IS NOT NULL AND m.event_id IS NOT NULL
       ORDER BY 1, 2, 4"""))
 
+  /** LEFT OUTER stream-stream interval join on the gate — the one
+    * streaming join shape q238 (inner) does not cover: unmatched left
+    * rows emit with null right columns only when the WATERMARK proves
+    * no future match can arrive (that is when the engine evicts them
+    * from join state), so the sentinel batch that advances both
+    * watermarks 40 days past the data is what flushes them. The oracle
+    * is the plain LEFT JOIN — proving the watermark-delayed outer
+    * protocol loses nothing and invents nothing. */
+  val qStreamingIntervalLeftOuter = Q(
+    "q252_streaming_interval_left_outer",
+    (s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.OutputMode
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val ev = eventsUs(s, dir).where(col("user_id") < 20 &&
+        col("ts").isNotNull && col("event_id").isNotNull)
+      val left = ev.where(col("event_type") =!= "signup")
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .as[(Long, Long, Long)].collect()
+      val right = ev.where(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .as[(Long, Long, Long)].collect()
+      val maxTs = (left.iterator ++ right.iterator).map(_._2).max
+      val lmem = MemoryStream[(Long, Long, Long)]
+      val rmem = MemoryStream[(Long, Long, Long)]
+      val lsrc = lmem.toDF.toDF("user_id", "tus", "event_id")
+        .select(col("user_id"), timestamp_micros(col("tus")).as("ts"),
+          col("event_id"))
+      val rsrc = rmem.toDF.toDF("r_user", "r_tus", "r_event_id")
+        .select(col("r_user"), timestamp_micros(col("r_tus")).as("r_ts"),
+          col("r_event_id"))
+      val joined = graft.streaming.StreamingIntervalJoin.intervalJoinLeftOuter(
+        lsrc, rsrc, "user_id", "r_user", "ts", "r_ts",
+        spanSeconds = 7L * 86400L, watermarkDelay = "0 seconds")
+      val sink = "graft_sijo_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-sijo-gate").toString
+      val query = joined.writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        lmem.addData(left.toIndexedSeq)
+        rmem.addData(right.toIndexedSeq)
+        query.processAllAvailable()
+        // sentinel pair 40 days past the data: watermark passes every
+        // real left row's eviction bound, so the null-padded outer
+        // rows flush (the sentinels themselves stay in state and are
+        // filtered below)
+        lmem.addData((-1L, maxTs + 40L * 24 * HourUs, -1L))
+        rmem.addData((-1L, maxTs + 40L * 24 * HourUs, -1L))
+        query.processAllAvailable()
+      } finally query.stop()
+      s.table(sink)
+        .where(col("user_id") >= 0)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("e_ts_us"),
+          col("r_event_id").as("marker_event_id"),
+          unix_micros(col("r_ts")).as("m_ts_us"))
+        .orderBy("user_id", "event_id", "marker_event_id")
+    },
+    Some("""SELECT e.user_id, e.event_id, epoch_us(e.ts) AS e_ts_us,
+        m.event_id AS marker_event_id, epoch_us(m.ts) AS m_ts_us
+      FROM events e LEFT JOIN events m
+        ON e.user_id = m.user_id
+        AND m.event_type = 'signup'
+        AND epoch_us(e.ts) >= epoch_us(m.ts)
+        AND epoch_us(e.ts) <= epoch_us(m.ts) + 604800000000
+        AND m.ts IS NOT NULL AND m.event_id IS NOT NULL
+      WHERE e.user_id < 20 AND e.event_type != 'signup'
+        AND e.ts IS NOT NULL AND e.event_id IS NOT NULL
+      ORDER BY 1, 2, 4"""))
+
   /** CDC apply / SCD1 MERGE ([[graft.ops.Delta.cdcUpsert]]): a
     * pre-1997 per-customer snapshot (latest order's totalprice) gets
     * the 1997+ changelog applied — latest change wins, status 'F'
@@ -2130,5 +2204,5 @@ object TemporalQueries {
     qWindowSuite, qCoxPh, qResampleFfill, qResampleInterpolate,
     qIntervalUnion, qBatchSessionWindow, qStreamingIntervalJoin,
     qCdcUpsert, qStreamingTumbling, qAsofExec, qMarkovStationary,
-    qAsofExecForward, qAsofTimestampExec)
+    qAsofExecForward, qAsofTimestampExec, qStreamingIntervalLeftOuter)
 }

@@ -31,7 +31,40 @@ object StreamingIntervalJoin {
       leftTs: String,
       rightTs: String,
       spanSeconds: Long,
-      watermarkDelay: String = "0 seconds"): DataFrame = {
+      watermarkDelay: String = "0 seconds"): DataFrame =
+    build(left, right, leftKey, rightKey, leftTs, rightTs, spanSeconds,
+      watermarkDelay, "inner")
+
+  /** LEFT OUTER stream-stream interval join: every left event emits —
+    * matched rows eagerly like the inner join, UNMATCHED rows with
+    * null right columns only once the watermark proves no future right
+    * row can still match (leftTs + delay passed on both sides), which
+    * is when the engine evicts the left row from the join state. The
+    * shape that keeps "events with no preceding signup" observable on
+    * an unbounded stream — and the reason outer results are
+    * watermark-DELAYED, not wrong, on a live pipeline. */
+  def intervalJoinLeftOuter(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      spanSeconds: Long,
+      watermarkDelay: String = "0 seconds"): DataFrame =
+    build(left, right, leftKey, rightKey, leftTs, rightTs, spanSeconds,
+      watermarkDelay, "left_outer")
+
+  private def build(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      spanSeconds: Long,
+      watermarkDelay: String,
+      joinType: String): DataFrame = {
     require(spanSeconds >= 0, s"spanSeconds must be >= 0, got $spanSeconds")
     val clash = left.columns.toSet.intersect(right.columns.toSet)
     require(clash.isEmpty, s"left/right name clash: $clash")
@@ -45,6 +78,7 @@ object StreamingIntervalJoin {
       r,
       col(leftKey) === col(rightKey) &&
         col(leftTs) >= col(rightTs) &&
-        col(leftTs) <= col(rightTs) + expr(s"INTERVAL $spanSeconds SECONDS"))
+        col(leftTs) <= col(rightTs) + expr(s"INTERVAL $spanSeconds SECONDS"),
+      joinType)
   }
 }
