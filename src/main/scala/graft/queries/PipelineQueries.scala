@@ -304,6 +304,57 @@ object PipelineQueries {
       GROUP BY band, key HAVING count(*) > 2
       ORDER BY band, key"""))
 
+  /** STREAMING near-dup candidate detection on the gate
+    * ([[graft.streaming.StreamingNearDup.lshCandidatePairs]]): the
+    * corpus arrives as TWO micro-batches (split at the median doc id,
+    * so cross-batch bucket state is exercised — a batch-2 doc must
+    * pair against batch-1 members it never co-batched with), signatures
+    * computed row-locally (no shuffle), per-(band, bucket) membership
+    * as flatMapGroupsWithState state capped at 4 — far below
+    * production's 4096 so fixture-scale buckets (≤ 7 docs) exercise
+    * the cap. The oracle ranks each bucket's members by id (= arrival
+    * order here) and emits pairs where BOTH ranks ≤ cap — the
+    * first-k-members-pair semantics of the streaming cap, distinct
+    * from q24's retroactive whole-bucket skip. */
+  val qStreamingLshCandidates = Q(
+    "q253_streaming_lsh_candidates",
+    (s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.OutputMode
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect().sortBy(_._1)
+      val mid = docs(docs.length / 2)._1
+      val mem = MemoryStream[(Long, String)]
+      val src = mem.toDF.toDF("doc_id", "text")
+      val pairs = graft.streaming.StreamingNearDup.lshCandidatePairs(
+        src, "doc_id", "text", WORD_N, NUM_HASHES, BANDS, maxBucket = 4)
+      val sink = "graft_slsh_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-slsh-gate").toString
+      val query = pairs.toDF.writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        mem.addData(docs.filter(_._1 < mid).toIndexedSeq)
+        query.processAllAvailable()
+        mem.addData(docs.filter(_._1 >= mid).toIndexedSeq)
+        query.processAllAvailable()
+      } finally query.stop()
+      s.table(sink).orderBy("band", "i", "j")
+    },
+    Some(s"""WITH $dkLshCtes,
+      rk AS (SELECT id, band, key, row_number() OVER (
+               PARTITION BY band, key ORDER BY id) AS rn FROM buckets)
+      SELECT a.band AS band, a.id AS i, b.id AS j
+      FROM rk a JOIN rk b ON a.band = b.band AND a.key = b.key
+        AND a.id < b.id
+      WHERE a.rn <= 4 AND b.rn <= 4
+      ORDER BY 1, 2, 3"""))
+
   /** Whole-corpus cluster ASSIGNMENT over the q24 LSH pair set:
     * transitive closure via [[graft.ops.ConnectedComponents]]
     * (large-star/small-star), every document labeled — singletons keep
@@ -3148,8 +3199,8 @@ object PipelineQueries {
     qSourceQuality, qSemDedup, qPackChunks,
     qDupNgramFraction, qTfIdfTerms, qBm25, qSourceCap, qUnigramCE,
     qBigramCE, qLexicalStats,
-    qMinhashSig, qMinhashLsh, qLshSkippedBuckets, qLshClusters,
-    qDedupKeepLongest, qSimhash,
+    qMinhashSig, qMinhashLsh, qLshSkippedBuckets, qStreamingLshCandidates,
+    qLshClusters, qDedupKeepLongest, qSimhash,
     qEmbedTopK, qEmbedTopKIvf, qEmbedTopKIvfPersisted, qEmbedNearDup,
     qLangId, qTextQuality,
     qTokenCounts, qFingerprint, qRepetitionFilter, qPiiScan,

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** Streaming MinHash-LSH near-duplicate CANDIDATE detection — the
+  * unbounded-stream counterpart of `Dedup.minhashLshPairs`' candidate
+  * stage: as documents arrive, each one is checked against every
+  * earlier member of each of its LSH band buckets, so a near-duplicate
+  * of anything already ingested surfaces immediately instead of at the
+  * next batch dedup run (the "is this crawl page a copy of something
+  * we already have" gate of a continuous ingest pipeline).
+  *
+  * Spark-first shape: the signature is computed ROW-LOCALLY — a
+  * document's shingles live inside its own row, so banding needs no
+  * shuffle at all (one md5 per distinct shingle via the
+  * Kirsch-Mitzenmacher double-hash family, identical to the batch
+  * operator) — and the only stateful step is a
+  * `flatMapGroupsWithState` keyed by (band, bucket key) whose state is
+  * the bucket's member ids, CAPPED at `maxBucket` exactly like the
+  * batch guard: the first `maxBucket` members pair among themselves,
+  * later arrivals to a degenerate bucket are dropped (and the state
+  * stops growing), so state and output stay bounded no matter how much
+  * boilerplate the stream carries. Candidates still need the exact
+  * Jaccard verify downstream, same as batch.
+  */
+object StreamingNearDup {
+
+  final case class CandidatePair(band: Int, i: Long, j: Long)
+
+  /** (band, i, j) candidate pairs, i < j, emitted when the LATER
+    * member arrives. Arrival order within a micro-batch is normalized
+    * to id order so replays are deterministic. `shingleN`-word
+    * n-grams, `numHashes` minhashes in `bands` bands — the same
+    * construction (and so the same buckets) as
+    * [[graft.ops.Dedup.minhashLshPairs]]. */
+  def lshCandidatePairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, bands: Int,
+      maxBucket: Int = 4096): Dataset[CandidatePair] = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    require(maxBucket >= 2, "maxBucket must be >= 2")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // one md5 per shingle, both 28-bit halves kept: h_i = h1 + i*h2
+    val grams = graft.functions.WordNgramsExpr
+      .ngrams(col(textCol), shingleN, distinct = true)
+    val hashed = df.select(col(idCol).cast("long").as("id"),
+        transform(grams, g => struct(
+          conv(substring(md5(g), 1, 7), 16, 10).cast("long").as("h1"),
+          (conv(substring(md5(g), 8, 7), 16, 10).cast("long") * 2 + 1)
+            .as("h2"))).as("hs"))
+      .where(size(col("hs")) > 0) // < n words: no signature (batch parity)
+    val sigCols = (0 until numHashes).map(i =>
+      array_min(transform(col("hs"), h =>
+        h.getField("h1") + lit(i.toLong) * h.getField("h2"))).as(s"s$i"))
+    val sigs = hashed.select(col("id") +: sigCols: _*)
+    val r = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws(",",
+          (0 until r).map(i => col(s"s${b * r + i}")): _*)).as("key"))
+    }
+    val keyed = sigs
+      .select(col("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.key").as("key"), col("id"))
+      .as[(Int, String, Long)]
+      .groupByKey(t => (t._1, t._2))
+    keyed.flatMapGroupsWithState[List[Long], CandidatePair](
+      OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      case ((band, _), rows, state) =>
+        val members =
+          scala.collection.mutable.LinkedHashSet.from(
+            state.getOption.getOrElse(Nil))
+        val out = List.newBuilder[CandidatePair]
+        rows.map(_._3).toSeq.sorted.foreach { id =>
+          if (members.size < maxBucket && !members.contains(id)) {
+            members.foreach(m =>
+              out += CandidatePair(band, math.min(m, id), math.max(m, id)))
+            members += id
+          }
+        }
+        state.update(members.toList)
+        out.result().iterator
+    }
+  }
+}
