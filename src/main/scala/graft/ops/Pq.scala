@@ -1,0 +1,187 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.StatFunctions.dotProduct
+
+/** Product Quantization (Jégou, Douze, Schmid, "Product Quantization
+  * for Nearest Neighbor Search", TPAMI 2011 — public algorithm): split
+  * each d-dim vector into `m` subvectors, learn a small L2 k-means
+  * codebook PER SUBSPACE, store each vector as m byte-sized codes, and
+  * answer queries by Asymmetric Distance Computation (ADC): the query
+  * precomputes its distance to every codebook centroid (m·k values),
+  * and a vector's approximate distance is the SUM of m table lookups —
+  * the memory rung between SQ8 (4× compression, q203/q219) and IVF
+  * partition pruning (q26b/q26c): m·log2(k) bits per vector instead of
+  * d floats, which is what makes billion-vector ANN fit in RAM.
+  *
+  * Spark-first scale shape: codebooks are tiny (m·k·(d/m) values) and
+  * live broadcast; training assignment, encoding, and ADC scoring are
+  * all map-side joins against that broadcast — one corpus scan each,
+  * no shuffle wider than the final bounded top-k. At 100 TB the
+  * codes table is ~d/(m·log2 k)× smaller than the corpus, and the ADC
+  * scan reads ONLY codes.
+  *
+  * Determinism contract (the q161/q240 quantized-trainer discipline,
+  * so a DuckDB oracle can replay every step bit-for-bit): init = the
+  * k lowest-id vectors' subvectors; assignment distance =
+  * round(x·x − 2·x·c + c·c, 6) from SEQUENTIAL dot products with ties
+  * to the lower cid; Lloyd means floor-quantized at 1e-6 then rounded
+  * to 9 dp; emptied codes carry the previous centroid; ADC/exact
+  * distances quantized to exact integer MICROS (floor(d·1e6 + 0.5))
+  * and summed as longs, ranked by (distance, id). */
+object Pq {
+
+  /** Codebooks after `rounds` Lloyd iterations, long format:
+    * (s, cid, pos, val) — subspace s ∈ [0, m), code cid ∈ [0, k),
+    * pos ∈ [0, d/m), val = 9-dp component mean. */
+  def trainCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, k: Int, rounds: Int): DataFrame = {
+    val (spark, subDim) = (corpus.sparkSession, dim / m)
+    require(dim % m == 0, "m must divide dim")
+    require(k > 0 && rounds > 0, "k and rounds must be positive")
+    val clean = corpus.where(col(vecCol).isNotNull)
+    val xd = col(vecCol).cast("array<double>")
+    // init: subvectors of the k lowest-id vectors (bounded TakeOrdered)
+    var cents: Map[(Int, Int), Array[Double]] = clean
+      .select(col(idCol), xd.as("v")).orderBy(col(idCol)).limit(k)
+      .collect().zipWithIndex.flatMap { case (r, cid) =>
+        val v = r.getSeq[Double](1).toArray
+        (0 until m).map(s => (s, cid) -> v.slice(s * subDim, (s + 1) * subDim))
+      }.toMap
+
+    for (_ <- 1 to rounds) {
+      val upd = assignCodes(clean, vecCol, m, subDim, cents)
+        .select(col("s"), col("code"),
+          posexplode(slice(xd, col("s") * subDim + 1, lit(subDim)))
+            .as(Seq("pos", "xv")))
+        .groupBy("s", "code", "pos")
+        .agg(round(
+          sum(floor(col("xv") * lit(1e6) + lit(0.5)).cast("long"))
+            .cast("double") / lit(1e6) / count(lit(1)), 9).as("val"))
+        .collect() // bounded: m*k*subDim rows
+      val next: Map[(Int, Int), Array[(Int, Double)]] = upd
+        .map(r => ((r.getInt(0), r.getInt(1)), (r.getInt(2), r.getDouble(3))))
+        .groupBy(_._1)
+        .map { case (key, rs) => key -> rs.map(_._2) }
+      cents = cents.map { case (key, prev) =>
+        next.get(key) match {
+          case Some(rs) =>
+            val c = prev.clone()
+            rs.foreach { case (pos, v) => c(pos) = v }
+            key -> c
+          case None => key -> prev // emptied code: carry forward
+        }
+      }
+    }
+    import spark.implicits._
+    cents.toSeq.flatMap { case ((s, cid), c) =>
+      c.iterator.zipWithIndex.map { case (v, pos) => (s, cid, pos, v) }
+    }.toDF("s", "cid", "pos", "val").orderBy("s", "cid", "pos")
+  }
+
+  /** Per-subspace nearest-code assignment: (id cols ++ (s, code)).
+    * One row per (vector, subspace); map-side (codebooks broadcast as
+    * literals inside the expression tree). */
+  private def assignCodes(df: DataFrame, vecCol: String, m: Int,
+      subDim: Int, cents: Map[(Int, Int), Array[Double]]): DataFrame = {
+    val xd = col(vecCol).cast("array<double>")
+    val perSub = (0 until m).map { s =>
+      val sv = slice(xd, s * subDim + 1, subDim)
+      val xx = dotProduct(sv, sv)
+      val scored = cents.collect { case ((`s`, cid), c) =>
+        val cc = c.map(v => v * v).sum // driver: left-to-right, same order
+        struct(
+          round(xx - lit(2.0) * dotProduct(sv, typedLit(c.toSeq)) + lit(cc),
+            6).as("d"),
+          lit(cid).as("cid"))
+      }.toSeq
+      struct(lit(s).as("s"),
+        sort_array(array(scored: _*)).getItem(0).getField("cid").as("code"))
+    }
+    df.select(col("*"), explode(array(perSub: _*)).as("sc"))
+      .select(col("*"), col("sc.s").as("s"), col("sc.code").as("code"))
+      .drop("sc")
+  }
+
+  /** Encode the corpus: (id, s, code) — m rows per vector. */
+  def encode(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, cents: DataFrame): DataFrame = {
+    val cmap = centMap(cents)
+    val subDim = dim / m
+    assignCodes(corpus.where(col(vecCol).isNotNull), vecCol, m, subDim, cmap)
+      .select(col(idCol).as("id"), col("s"), col("code"))
+  }
+
+  /** Recall@`k` of PQ-ADC against exact L2 over the same corpus, for
+    * each query vector (self excluded on both sides): one row
+    * (query_id, n_overlap, recall_at_k) per query. `cents` is
+    * [[trainCodebooks]]' output. */
+  def adcRecall(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, m: Int, cents: DataFrame,
+      k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val subDim = dim / m
+    val cmap = centMap(cents)
+    val codes = encode(corpus, idCol, vecCol, dim, m, cents)
+    val q = queries.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
+    // ADC distance table: query x (s, cid) -> integer-micros distance
+    import spark.implicits._
+    val centRows = cmap.toSeq.map { case ((s, cid), c) => (s, cid, c.toSeq) }
+      .toDF("s", "cid", "cv")
+    val qs = slice(col("qv"), col("s") * subDim + 1, lit(subDim))
+    val cvd = col("cv").cast("array<double>")
+    val dtab = q.crossJoin(broadcast(centRows))
+      .select(col("qid"), col("s"), col("cid"),
+        floor((dotProduct(qs, qs) - lit(2.0) * dotProduct(qs, cvd) +
+          dotProduct(cvd, cvd)) * lit(1e6) + lit(0.5)).cast("long")
+          .as("dmic"))
+    val adc = codes.join(broadcast(dtab),
+        codes("s") === dtab("s") && codes("code") === dtab("cid"))
+      .where(col("id") =!= col("qid"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("dmic")).as("dist"))
+    val adcTop = rankTop(adc, k)
+    // exact L2 over the full vectors, same integer-micros quantization
+    val c = corpus.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    // corpus scans, probes broadcast (the q26 brute-force shape)
+    val exact = c.crossJoin(broadcast(q)).where(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        floor((dotProduct(col("v"), col("v")) -
+          lit(2.0) * dotProduct(col("v"), col("qv")) +
+          dotProduct(col("qv"), col("qv"))) * lit(1e6) + lit(0.5))
+          .cast("long").as("dist"))
+    val exactTop = rankTop(exact, k)
+    val hits = exactTop.join(adcTop, Seq("qid", "id"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("__n"))
+    // zero-recall queries stay visible (a dropped row would hide
+    // exactly the queries where PQ failed hardest)
+    q.select("qid").distinct()
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid").as("query_id"),
+        coalesce(col("__n"), lit(0L)).as("n_overlap"),
+        round(coalesce(col("__n"), lit(0L)).cast("double") / k, 6)
+          .as(s"recall_at_$k"))
+      .orderBy("query_id")
+  }
+
+  private def rankTop(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    scored.withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("dist"), col("id"))))
+      .where(col("rnk") <= k).select("qid", "id")
+  }
+
+  private def centMap(cents: DataFrame): Map[(Int, Int), Array[Double]] =
+    cents.collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), (r.getInt(2), r.getDouble(3))))
+      .groupBy(_._1)
+      .map { case (key, rs) =>
+        val arr = new Array[Double](rs.length)
+        rs.foreach { case (_, (pos, v)) => arr(pos) = v }
+        key -> arr
+      }
+}

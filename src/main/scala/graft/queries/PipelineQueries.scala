@@ -3183,8 +3183,95 @@ object PipelineQueries {
         FROM e ORDER BY i, j"""))
   }
 
+  /** Product Quantization end-to-end on the gate
+    * ([[graft.ops.Pq]] — Jégou et al. TPAMI 2011): 64-dim embeddings
+    * split into 4 subspaces, one quantized-Lloyd round trains an 8-code
+    * L2 codebook per subspace (init = the 8 lowest-id vectors'
+    * subvectors), the corpus encodes to 4 codes/vector, and ADC
+    * (sum of 4 integer-micros table lookups) answers 10 queries whose
+    * recall@10 vs exact L2 is the emitted row. The oracle replays the
+    * ENTIRE pipeline — init, round-1 assignment, floor-quantized
+    * means, carry-forward, encode, distance tables, both rankings —
+    * with list slices and sequential list_dot_product, bit-for-bit.
+    * The memory rung between SQ8 (q203/q219) and IVF (q26b/q26c). */
+  val qPqAdcRecall = Q(
+    "q254_pq_adc_recall",
+    (s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val cents = graft.ops.Pq.trainCodebooks(
+        e, "vec_id", "embedding", dim = 64, m = 4, k = 8, rounds = 1)
+      graft.ops.Pq.adcRecall(e, e.where(col("vec_id") < 10),
+        "vec_id", "embedding", dim = 64, m = 4, cents, k = 10)
+    },
+    Some {
+      def d6(x: String, c: String) =
+        s"""round(list_dot_product($x, $x) - 2*list_dot_product($x, $c)
+           + list_dot_product($c, $c), 6)"""
+      val sv = "e.v[c.s*16+1 : c.s*16+16]"
+      val qs = "q.v[c.s*16+1 : c.s*16+16]"
+      s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v
+            FROM embeddings WHERE embedding IS NOT NULL),
+        subs AS (SELECT unnest(range(4)) AS s),
+        init AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+              AS cid, v
+            FROM (SELECT * FROM emb ORDER BY vec_id LIMIT 8)),
+        c0 AS (SELECT s.s, i.cid, i.v[s.s*16+1 : s.s*16+16] AS cv
+            FROM init i CROSS JOIN subs s),
+        a1d AS (SELECT e.vec_id, c.s, c.cid, ${d6(sv, "c.cv")} AS d
+            FROM emb e CROSS JOIN c0 c),
+        a1 AS (SELECT vec_id, s, cid FROM (SELECT *, row_number() OVER (
+              PARTITION BY vec_id, s ORDER BY d, cid) AS rn FROM a1d)
+            WHERE rn = 1),
+        ex AS (SELECT e.vec_id, s.s, p.pos, e.v[s.s*16 + p.pos + 1] AS xv
+            FROM emb e CROSS JOIN subs s
+            CROSS JOIN (SELECT unnest(range(16)) AS pos) p),
+        u AS (SELECT a.s, a.cid, x.pos,
+              round(CAST(sum(CAST(floor(x.xv*1e6 + 0.5) AS BIGINT))
+                AS DOUBLE)/1e6/count(*), 9) AS val
+            FROM a1 a JOIN ex x ON x.vec_id = a.vec_id AND x.s = a.s
+            GROUP BY 1, 2, 3),
+        c1 AS (SELECT c0.s, c0.cid, coalesce(un.cvl, c0.cv) AS cv
+            FROM c0 LEFT JOIN (SELECT s, cid, list(val ORDER BY pos) AS cvl
+              FROM u GROUP BY 1, 2) un
+              ON un.s = c0.s AND un.cid = c0.cid),
+        cdd AS (SELECT e.vec_id, c.s, c.cid, ${d6(sv, "c.cv")} AS d
+            FROM emb e CROSS JOIN c1 c),
+        codes AS (SELECT vec_id, s, cid AS code FROM (SELECT *,
+              row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cid)
+              AS rn FROM cdd) WHERE rn = 1),
+        qv AS (SELECT vec_id AS qid, v FROM emb WHERE vec_id < 10),
+        dtab AS (SELECT q.qid, c.s, c.cid,
+              CAST(floor((list_dot_product($qs, $qs)
+                - 2*list_dot_product($qs, c.cv)
+                + list_dot_product(c.cv, c.cv))*1e6 + 0.5) AS BIGINT)
+                AS dmic
+            FROM qv q CROSS JOIN c1 c),
+        adc AS (SELECT d.qid, k.vec_id AS id, sum(d.dmic) AS dist
+            FROM codes k JOIN dtab d ON d.s = k.s AND d.cid = k.code
+            WHERE k.vec_id != d.qid GROUP BY 1, 2),
+        adct AS (SELECT qid, id FROM (SELECT *, row_number() OVER (
+              PARTITION BY qid ORDER BY dist, id) AS rn FROM adc)
+            WHERE rn <= 10),
+        exd AS (SELECT q.qid, e.vec_id AS id,
+              CAST(floor((list_dot_product(e.v, e.v)
+                - 2*list_dot_product(e.v, q.v)
+                + list_dot_product(q.v, q.v))*1e6 + 0.5) AS BIGINT) AS dist
+            FROM emb e CROSS JOIN qv q WHERE e.vec_id != q.qid),
+        ext AS (SELECT qid, id FROM (SELECT *, row_number() OVER (
+              PARTITION BY qid ORDER BY dist, id) AS rn FROM exd)
+            WHERE rn <= 10)
+      SELECT q.qid AS query_id,
+        coalesce(o.n, 0) AS n_overlap,
+        round(coalesce(o.n, 0)/10.0, 6) AS recall_at_10
+      FROM (SELECT DISTINCT qid FROM qv) q
+      LEFT JOIN (SELECT x.qid, count(*) AS n
+        FROM ext x JOIN adct a ON a.qid = x.qid AND a.id = x.id
+        GROUP BY 1) o ON o.qid = q.qid
+      ORDER BY 1"""
+    })
+
   val all: Seq[Q] = Seq(qWeightedReservoir, qMinhashEstimate, qSimhashPairs,
-    qSimhashCombos,
+    qSimhashCombos, qPqAdcRecall,
     qGlobalPacking, qLshCandClusters, qNdcgEval, qLabelProp,
     qStratifiedFolds, qFeatureHashing, qCountMin, qTopKPerGroup,
     qKmeans, qMutualKnn, qMp3Decode, qCentroidEval, qLabelAgreement,

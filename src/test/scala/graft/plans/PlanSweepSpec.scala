@@ -66,6 +66,7 @@ class PlanSweepSpec extends SparkSpec {
     "q180_psi_series" -> "bounded bin x period grid (Drift.scala:162)",
     "q213_jaro_winkler_names" -> "bounded distinct-name vocabulary self-pairs (PipelineQueries)",
     "q219_sq8_recall" -> "broadcast k-row query set + quantization bounds",
+    "q254_pq_adc_recall" -> "exact-recall side: corpus x broadcast 10-row probe set (Pq.adcRecall, the q26 brute-force shape); ADC side is all equi hash joins",
     "q222_naive_bayes" -> "bounded vocab x bounded class table (NaiveBayes.scala:62)")
 
   /** Expand through AQE wrapper nodes so the traversal sees inside
