@@ -95,6 +95,45 @@ class PlanPinSpec extends SparkSpec {
     }
   }
 
+  test("AQE skew join: a hot-key sort-merge join splits the skewed partition") {
+    // the runtime half of the skew story (q44's salting is the
+    // declarative half): with skew-join thresholds scaled to fixture
+    // size, AQE must re-plan the hot partition into splits — the plan
+    // prints the join with skew=true. Broadcast disabled so a
+    // sort-merge join exists to split.
+    val keep = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.shuffle.partitions")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      // half the fact rows land on ONE key; dim covers 1..1000
+      val fact = spark.range(0, 60000).select(
+        when(col("id") % 2 === 0, 1L).otherwise(col("id") % 1000 + 1)
+          .as("k"), col("id").as("v"))
+      val dim = spark.range(1, 1001).select(col("id").as("k"),
+        (col("id") * 7).as("w"))
+      val joined = fact.join(dim, "k")
+      // collect() (not count()) so THIS QueryExecution's adaptive plan
+      // finalizes — count() would plan and execute its own
+      assert(joined.collect().length == 60000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$plan")
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q26b IVF search at partial nprobe: postings filtered to probed lists") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val idx = graft.ops.IvfIndex.build(e, "vec_id", "embedding", nlist = 8)
