@@ -590,6 +590,17 @@ object Dedup {
     * tables instead of `blocks` (e.g. 56 at blocks=8, radius 3). Same
     * degenerate-bucket cap, same bit_count(xor) verify.
     *
+    * OPERATING CONTRACT — run AFTER exact dedup: SimHash is a
+    * word-SET signature, so exact and word-permuted duplicates carry
+    * IDENTICAL signatures and collide in ALL C(blocks, m) tables — a
+    * family of r copies emits C(r,2)·C(blocks,m) candidate rows here
+    * vs C(r,2)·blocks in the one-block scheme (measured: the 10×
+    * stress corpus, whose replicas are word-shuffles, drove this
+    * operator to heap exhaustion while q248's 4-table scheme ran at
+    * 2.9×). The precision win applies to near-dups and random
+    * collisions; collapse exact families first (q21/q31's pass — the
+    * ordering the maxBucket guard's rationale already assumes).
+    *
     * Returns (i, j, hamming), i < j — the same answer set as
     * [[simhashNearDupPairs]] at equal (bits, maxHamming) whenever no
     * bucket overflows the cap in either scheme. */
@@ -604,30 +615,38 @@ object Dedup {
     val w = bits / blocks
     val mask = (1L << w) - 1L
     val sigs = simhash(df, idCol, textCol, bits).localCheckpoint(false)
+    // LONG bucket keys (top 60 md5 bits) and no signature carried
+    // through the C(b,m)-wide exploded table — the verify joins the
+    // signatures back per DISTINCT candidate pair instead, so the big
+    // intermediate holds (id, blk, key-long) only
     val comboCols = combos.zipWithIndex.map { case (c, ci) =>
       struct(lit(ci).as("blk"),
-        md5(concat_ws(",", c.map(b =>
+        conv(substring(md5(concat_ws(",", c.map(b =>
           shiftright(col("simhash"), b * w).bitwiseAND(lit(mask))
-            .cast("string")): _*)).as("key"))
+            .cast("string")): _*)), 1, 15), 16, 10).cast("long").as("key"))
     }
-    val keyed = sigs.select(col("id"), col("simhash"),
+    val keyed = sigs.select(col("id"),
         explode(array(comboCols: _*)).as("bk"))
-      .select(col("id"), col("simhash"),
-        col("bk.blk").as("blk"), col("bk.key").as("key"))
+      .select(col("id"), col("bk.blk").as("blk"), col("bk.key").as("key"))
       .localCheckpoint(false)
     val ok = keyed.groupBy("blk", "key")
       .agg(count(lit(1)).as("__bsz")).where(col("__bsz") <= maxBucket)
       .select("blk", "key")
+    // explicit select: a USING semi join reorders the join columns to
+    // the front, so a positional toDF rename would mislabel the fields
     val bounded = keyed.join(ok, Seq("blk", "key"), "left_semi")
-      .select("id", "simhash", "blk", "key")
-    val a = bounded.toDF("i", "sig_i", "blk", "key")
-    val b = bounded.toDF("j", "sig_j", "blk", "key")
-    a.join(b, Seq("blk", "key"))
+      .select("id", "blk", "key")
+    val a = bounded.toDF("i", "blk", "key")
+    val b = bounded.toDF("j", "blk", "key")
+    val cand = a.join(b, Seq("blk", "key"))
       .where(col("i") < col("j"))
+      .select("i", "j").distinct()
+    cand
+      .join(sigs.select(col("id").as("i"), col("simhash").as("sig_i")), "i")
+      .join(sigs.select(col("id").as("j"), col("simhash").as("sig_j")), "j")
       .select(col("i"), col("j"),
         expr("bit_count(sig_i ^ sig_j)").cast("int").as("hamming"))
       .where(col("hamming") <= maxHamming)
-      .distinct()
   }
 
   /** The deterministic m-of-blocks combination list both the operator

@@ -121,33 +121,110 @@ object Pq {
   def adcRecall(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, dim: Int, m: Int, cents: DataFrame,
       k: Int): DataFrame = {
-    val spark = corpus.sparkSession
-    val subDim = dim / m
-    val cmap = centMap(cents)
     val codes = encode(corpus, idCol, vecCol, dim, m, cents)
     val q = queries.where(col(vecCol).isNotNull)
       .select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
-    // ADC distance table: query x (s, cid) -> integer-micros distance
-    import spark.implicits._
-    val centRows = cmap.toSeq.map { case ((s, cid), c) => (s, cid, c.toSeq) }
-      .toDF("s", "cid", "cv")
-    val qs = slice(col("qv"), col("s") * subDim + 1, lit(subDim))
-    val cvd = col("cv").cast("array<double>")
-    val dtab = q.crossJoin(broadcast(centRows))
-      .select(col("qid"), col("s"), col("cid"),
-        floor((dotProduct(qs, qs) - lit(2.0) * dotProduct(qs, cvd) +
-          dotProduct(cvd, cvd)) * lit(1e6) + lit(0.5)).cast("long")
-          .as("dmic"))
+    val dtab = adcDistanceTable(q, dim, m, cents)
     val adc = codes.join(broadcast(dtab),
         codes("s") === dtab("s") && codes("code") === dtab("cid"))
       .where(col("id") =!= col("qid"))
       .groupBy(col("qid"), col("id"))
       .agg(sum(col("dmic")).as("dist"))
     val adcTop = rankTop(adc, k)
-    // exact L2 over the full vectors, same integer-micros quantization
+    recallVsExact(corpus, idCol, vecCol, q, adcTop, k)
+  }
+
+  /** IVF-PQ: coarse posting-list pruning + PQ-ADC scoring inside the
+    * probed lists — the FAISS-IVFPQ composition, which is what a
+    * billion-vector deployment actually runs: the coarse quantizer
+    * bounds WHICH vectors are scored (nprobe/nlist of the corpus, and
+    * over a q26c-style persisted layout that is parquet partition
+    * pruning), PQ bounds WHAT is read per vector (m codes, not d
+    * floats). `ivfCents` is [[Clustering.kmeansCentroids]]' long-format
+    * output — the deterministic cosine trainer, so an oracle can
+    * replay the lists (q161's contract); [[graft.ops.IvfIndex]] stays
+    * the MLlib-backed production builder. Recall is measured against
+    * exact L2 over the FULL corpus, so it prices pruning loss and
+    * quantization loss together. */
+  def ivfAdcRecall(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, m: Int, pqCents: DataFrame,
+      ivfCents: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
+    val lists: Seq[(Int, Array[Double])] = ivfCents
+      .select(col("cid"), col("pos"), col("val")).collect()
+      .map(r => (r.getInt(0), (r.getInt(1), r.getDouble(2))))
+      .groupBy(_._1).toSeq
+      .map { case (cid, rs) =>
+        val arr = new Array[Double](rs.map(_._2._1).max + 1)
+        rs.foreach { case (_, (pos, v)) => arr(pos) = v }
+        (cid, arr)
+      }.sortBy(_._1)
+    // corpus -> posting list (cosine argmax, Clustering.assign's exact
+    // rounding/tie contract)
+    val assigned = Clustering
+      .assign(corpus.where(col(vecCol).isNotNull), vecCol, lists)
+      .select(col(idCol).as("id"), col("cid").as("list_id"))
+    // query -> top-nprobe lists by the same centroid scoring
+    val xd = col(vecCol).cast("array<double>")
+    val xn = sqrt(dotProduct(xd, xd))
+    val scoredLists = lists.map { case (cid, c) =>
+      val cn = math.sqrt(c.map(v => v * v).sum)
+      struct(
+        (lit(-1.0) * round(dotProduct(xd, typedLit(c.toSeq)) /
+          (xn * lit(cn)), 6)).as("nc"),
+        lit(cid).as("cid"))
+    }
+    val qLists = queries.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("qid"),
+        explode(slice(sort_array(array(scoredLists: _*)), 1, nprobe))
+          .as("pr"))
+      .select(col("qid"), col("pr.cid").as("list_id"))
+    // candidate set FIRST (bounded by the probed lists — at scale this
+    // is the partition-pruned codes scan), then the ADC lookup-sum
+    val q = queries.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
+    val cand = qLists.join(assigned, "list_id")
+      .where(col("id") =!= col("qid"))
+      .select("qid", "id")
+    val codes = encode(corpus, idCol, vecCol, dim, m, pqCents)
+    val dtab = adcDistanceTable(q, dim, m, pqCents)
+    val adc = cand.join(codes, "id")
+      .join(broadcast(dtab), Seq("qid", "s"))
+      .where(col("code") === col("cid"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("dmic")).as("dist"))
+    recallVsExact(corpus, idCol, vecCol, q, rankTop(adc, k), k)
+  }
+
+  /** Per-query distance table: (qid, s, cid, dmic) — the query's
+    * integer-micros L2 distance to every PQ centroid. m·k rows per
+    * query; broadcast at every use site. */
+  private def adcDistanceTable(q: DataFrame, dim: Int, m: Int,
+      cents: DataFrame): DataFrame = {
+    val spark = q.sparkSession
+    import spark.implicits._
+    val subDim = dim / m
+    val centRows = centMap(cents).toSeq
+      .map { case ((s, cid), c) => (s, cid, c.toSeq) }
+      .toDF("s", "cid", "cv")
+    val qs = slice(col("qv"), col("s") * subDim + 1, lit(subDim))
+    val cvd = col("cv").cast("array<double>")
+    q.crossJoin(broadcast(centRows))
+      .select(col("qid"), col("s"), col("cid"),
+        floor((dotProduct(qs, qs) - lit(2.0) * dotProduct(qs, cvd) +
+          dotProduct(cvd, cvd)) * lit(1e6) + lit(0.5)).cast("long")
+          .as("dmic"))
+  }
+
+  /** Exact-L2 top-k over the full corpus (probes broadcast, the q26
+    * brute-force shape) and the per-query overlap with `approxTop`;
+    * zero-recall queries stay visible (a dropped row would hide
+    * exactly the queries where the approximation failed hardest). */
+  private def recallVsExact(corpus: DataFrame, idCol: String,
+      vecCol: String, q: DataFrame, approxTop: DataFrame,
+      k: Int): DataFrame = {
     val c = corpus.where(col(vecCol).isNotNull)
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-    // corpus scans, probes broadcast (the q26 brute-force shape)
     val exact = c.crossJoin(broadcast(q)).where(col("id") =!= col("qid"))
       .select(col("qid"), col("id"),
         floor((dotProduct(col("v"), col("v")) -
@@ -155,10 +232,8 @@ object Pq {
           dotProduct(col("qv"), col("qv"))) * lit(1e6) + lit(0.5))
           .cast("long").as("dist"))
     val exactTop = rankTop(exact, k)
-    val hits = exactTop.join(adcTop, Seq("qid", "id"), "left_semi")
+    val hits = exactTop.join(approxTop, Seq("qid", "id"), "left_semi")
       .groupBy("qid").agg(count(lit(1)).as("__n"))
-    // zero-recall queries stay visible (a dropped row would hide
-    // exactly the queries where PQ failed hardest)
     q.select("qid").distinct()
       .join(hits, Seq("qid"), "left")
       .select(col("qid").as("query_id"),

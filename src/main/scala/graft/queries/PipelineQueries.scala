@@ -507,7 +507,8 @@ object PipelineQueries {
         case (c, ci) =>
           val key = c.map(b => s"((simhash >> ${b * 8}) & 255)::VARCHAR")
             .mkString(" || ',' || ")
-          s"SELECT id, simhash, $ci AS blk, md5($key) AS key FROM sg"
+          s"""SELECT id, simhash, $ci AS blk,
+            ('0x'||substr(md5($key),1,15))::BIGINT AS key FROM sg"""
       }.mkString(" UNION ALL ")
       s"""WITH w AS (SELECT doc_id AS id,
              unnest(list_distinct(list_filter(
@@ -3270,8 +3271,155 @@ object PipelineQueries {
       ORDER BY 1"""
     })
 
+  /** IVF-PQ on the gate ([[graft.ops.Pq.ivfAdcRecall]]): the
+    * FAISS-IVFPQ composition at PARTIAL nprobe — 16 deterministic
+    * cosine-k-means posting lists (q161's exact trainer, 2 rounds),
+    * each query probes its 4 nearest lists, and ONLY vectors in those
+    * lists are scored, by PQ-ADC (q254's codebooks and integer-micros
+    * lookup sums). Recall@10 vs exact L2 over the FULL corpus prices
+    * pruning loss + quantization loss together. The oracle replays
+    * BOTH trainers: the q161 Lloyd chain at k=16 for the lists, the
+    * q254 per-subspace chain for the codebooks, then the probe
+    * ranking, candidate restriction, ADC, and both top-k rankings.
+    * q26b/q26c gate IVF-Flat in its exact regime (nprobe = nlist);
+    * this row is the first gate on the PARTIAL-nprobe path. */
+  val qIvfPqRecall = Q(
+    "q255_ivfpq_recall",
+    (s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val ivf = graft.ops.Clustering.kmeansCentroids(
+        e, "vec_id", "embedding", k = 16, rounds = 2)
+      val pq = graft.ops.Pq.trainCodebooks(
+        e, "vec_id", "embedding", dim = 64, m = 4, k = 8, rounds = 1)
+      graft.ops.Pq.ivfAdcRecall(e, e.where(col("vec_id") < 10),
+        "vec_id", "embedding", dim = 64, m = 4, pq, ivf,
+        nprobe = 4, k = 10)
+    },
+    Some {
+      // ---- IVF: q161's Lloyd-round CTE chain at k = 16 ----
+      def rnd(cl: String, cbase: String, a: String, u: String,
+          cout: String, coutL: String) =
+        s"""$a AS (SELECT vec_id, cid, embedding FROM (
+             SELECT e.vec_id, c.cid, e.embedding,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_dot_product(e.embedding::DOUBLE[], c.cv) /
+                   (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                 c.cid) AS rn
+             FROM embeddings e CROSS JOIN $cl c
+             WHERE e.embedding IS NOT NULL) WHERE rn = 1),
+           $u AS (SELECT cid, u['pos'] AS pos,
+               round(CAST(sum(CAST(floor(u['val'] * 1000000.0 + 0.5)
+                 AS BIGINT)) AS DOUBLE) / 1000000.0 / count(*), 9) AS val
+             FROM (SELECT cid, unnest([{'pos': i - 1,
+                      'val': embedding[i]::DOUBLE}
+                    for i in range(1, len(embedding) + 1)]) AS u FROM $a)
+             GROUP BY cid, u['pos']),
+           $cout AS (SELECT b.cid, b.pos, coalesce(u.val, b.val) AS val
+             FROM $cbase b LEFT JOIN $u u
+               ON u.cid = b.cid AND u.pos = b.pos),
+           $coutL AS (SELECT cid, list(val ORDER BY pos) AS cv
+             FROM $cout GROUP BY cid)"""
+      // ---- PQ: q254's per-subspace chain (p-prefixed names) ----
+      def d6(x: String, c: String) =
+        s"""round(list_dot_product($x, $x) - 2*list_dot_product($x, $c)
+           + list_dot_product($c, $c), 6)"""
+      val sv = "e.v[c.s*16+1 : c.s*16+16]"
+      val qs = "q.v[c.s*16+1 : c.s*16+16]"
+      s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v
+            FROM embeddings WHERE embedding IS NOT NULL),
+        ivfinit AS (SELECT vec_id, embedding FROM embeddings
+           WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 16),
+        ic0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                 AS INT) AS cid, embedding::DOUBLE[] AS cv FROM ivfinit),
+        ic0e AS (SELECT cid, u['pos'] AS pos, u['val'] AS val FROM (
+          SELECT cid, unnest([{'pos': i - 1, 'val': cv[i]}
+            for i in range(1, len(cv) + 1)]) AS u FROM ic0)),
+        ${rnd("ic0", "ic0e", "ia1", "iu1", "ic1", "ic1l")},
+        ${rnd("ic1l", "ic1", "ia2", "iu2", "ic2", "ic2l")},
+        lst AS (SELECT vec_id, cid AS list_id FROM (
+             SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_dot_product(e.embedding::DOUBLE[], c.cv) /
+                   (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                 c.cid) AS rn
+             FROM embeddings e CROSS JOIN ic2l c
+             WHERE e.embedding IS NOT NULL) WHERE rn = 1),
+        qv AS (SELECT vec_id AS qid, v FROM emb WHERE vec_id < 10),
+        pl AS (SELECT qid, cid AS list_id FROM (
+             SELECT q.qid, c.cid,
+               row_number() OVER (PARTITION BY q.qid ORDER BY
+                 round(list_dot_product(q.v, c.cv) /
+                   (sqrt(list_dot_product(q.v, q.v)) *
+                    sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                 c.cid) AS rn
+             FROM qv q CROSS JOIN ic2l c) WHERE rn <= 4),
+        pinit AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+              AS INT) AS cid, v
+            FROM (SELECT * FROM emb ORDER BY vec_id LIMIT 8)),
+        psubs AS (SELECT unnest(range(4)) AS s),
+        pc0 AS (SELECT s.s, i.cid, i.v[s.s*16+1 : s.s*16+16] AS cv
+            FROM pinit i CROSS JOIN psubs s),
+        pa1d AS (SELECT e.vec_id, c.s, c.cid, ${d6(sv, "c.cv")} AS d
+            FROM emb e CROSS JOIN pc0 c),
+        pa1 AS (SELECT vec_id, s, cid FROM (SELECT *, row_number() OVER (
+              PARTITION BY vec_id, s ORDER BY d, cid) AS rn FROM pa1d)
+            WHERE rn = 1),
+        pex AS (SELECT e.vec_id, s.s, p.pos, e.v[s.s*16 + p.pos + 1] AS xv
+            FROM emb e CROSS JOIN psubs s
+            CROSS JOIN (SELECT unnest(range(16)) AS pos) p),
+        pu AS (SELECT a.s, a.cid, x.pos,
+              round(CAST(sum(CAST(floor(x.xv*1e6 + 0.5) AS BIGINT))
+                AS DOUBLE)/1e6/count(*), 9) AS val
+            FROM pa1 a JOIN pex x ON x.vec_id = a.vec_id AND x.s = a.s
+            GROUP BY 1, 2, 3),
+        pc1 AS (SELECT pc0.s, pc0.cid, coalesce(un.cvl, pc0.cv) AS cv
+            FROM pc0 LEFT JOIN (SELECT s, cid, list(val ORDER BY pos)
+              AS cvl FROM pu GROUP BY 1, 2) un
+              ON un.s = pc0.s AND un.cid = pc0.cid),
+        pcdd AS (SELECT e.vec_id, c.s, c.cid, ${d6(sv, "c.cv")} AS d
+            FROM emb e CROSS JOIN pc1 c),
+        pcodes AS (SELECT vec_id, s, cid AS code FROM (SELECT *,
+              row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cid)
+              AS rn FROM pcdd) WHERE rn = 1),
+        dtab AS (SELECT q.qid, c.s, c.cid,
+              CAST(floor((list_dot_product($qs, $qs)
+                - 2*list_dot_product($qs, c.cv)
+                + list_dot_product(c.cv, c.cv))*1e6 + 0.5) AS BIGINT)
+                AS dmic
+            FROM qv q CROSS JOIN pc1 c),
+        adc AS (SELECT d.qid, k.vec_id AS id, sum(d.dmic) AS dist
+            FROM pcodes k
+            JOIN lst ON lst.vec_id = k.vec_id
+            JOIN pl ON pl.list_id = lst.list_id
+            JOIN dtab d ON d.qid = pl.qid AND d.s = k.s AND d.cid = k.code
+            WHERE k.vec_id != pl.qid GROUP BY 1, 2),
+        adct AS (SELECT qid, id FROM (SELECT *, row_number() OVER (
+              PARTITION BY qid ORDER BY dist, id) AS rn FROM adc)
+            WHERE rn <= 10),
+        exd AS (SELECT q.qid, e.vec_id AS id,
+              CAST(floor((list_dot_product(e.v, e.v)
+                - 2*list_dot_product(e.v, q.v)
+                + list_dot_product(q.v, q.v))*1e6 + 0.5) AS BIGINT) AS dist
+            FROM emb e CROSS JOIN qv q WHERE e.vec_id != q.qid),
+        ext AS (SELECT qid, id FROM (SELECT *, row_number() OVER (
+              PARTITION BY qid ORDER BY dist, id) AS rn FROM exd)
+            WHERE rn <= 10)
+      SELECT q.qid AS query_id,
+        coalesce(o.n, 0) AS n_overlap,
+        round(coalesce(o.n, 0)/10.0, 6) AS recall_at_10
+      FROM (SELECT DISTINCT qid FROM qv) q
+      LEFT JOIN (SELECT x.qid, count(*) AS n
+        FROM ext x JOIN adct a ON a.qid = x.qid AND a.id = x.id
+        GROUP BY 1) o ON o.qid = q.qid
+      ORDER BY 1"""
+    })
+
   val all: Seq[Q] = Seq(qWeightedReservoir, qMinhashEstimate, qSimhashPairs,
-    qSimhashCombos, qPqAdcRecall,
+    qSimhashCombos, qPqAdcRecall, qIvfPqRecall,
     qGlobalPacking, qLshCandClusters, qNdcgEval, qLabelProp,
     qStratifiedFolds, qFeatureHashing, qCountMin, qTopKPerGroup,
     qKmeans, qMutualKnn, qMp3Decode, qCentroidEval, qLabelAgreement,
