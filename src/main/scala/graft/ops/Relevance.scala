@@ -293,6 +293,54 @@ object Relevance {
     * TakeOrderedAndProject. The fused score is a sum of at most
     * lists.length IEEE terms whose addition order is fixed by the
     * sort below, so the 6-dp round is engine-stable. */
+  /** Rank-Biased Overlap at fixed depth (Webber, Moffat, Zobel, "A
+    * Similarity Measure for Indefinite Rankings", TOIS 2010 — public
+    * algorithm): RBO@D(p) = Σ_{d=1..D} (1−p)·p^(d−1)·|A_:d ∩ B_:d|/d,
+    * the top-weighted agreement between two rankings — the standard
+    * "did the cheap ranker change what the user actually sees" eval a
+    * retrieval pipeline runs when swapping scorers (exact vs ADC,
+    * BM25 vs embedding, normalized vs not).
+    *
+    * Distributed form — no per-depth pass: a shared item at ranks
+    * (ra, rb) is inside A_:d ∩ B_:d for every d ≥ max(ra, rb), so its
+    * total contribution is w(max(ra, rb)) with
+    * w(m) = Σ_{d=m..D} (1−p)·p^(d−1)/d — D constants computed ONCE on
+    * the driver (exact repeated multiplication, no pow) and looked up
+    * per joined row; RBO(q) = Σ w over the rank-join. One equi join +
+    * one aggregate, depth never scans the data. The same constants can
+    * be spliced into an oracle so both engines sum identical doubles.
+    *
+    * `a`/`b`: (qid, id, rnk) with rnk ≤ depth (e.g. from a top-k
+    * ranking). Queries present in `a` emit a row even with zero
+    * overlap. Returns (qid, rbo) with rbo rounded to 6 dp. */
+  def rankBiasedOverlap(a: DataFrame, b: DataFrame,
+      depth: Int, p: Double): DataFrame = {
+    val w = rboWeights(depth, p)
+    val wCol = (1 to depth).foldLeft(lit(0.0)) { (acc, m) =>
+      when(greatest(col("ra"), col("rb")) === m, lit(w(m - 1))).otherwise(acc)
+    }
+    val joined = a.select(col("qid"), col("id"), col("rnk").as("ra"))
+      .join(b.select(col("qid"), col("id"), col("rnk").as("rb")),
+        Seq("qid", "id"))
+      .groupBy("qid").agg(sum(wCol).as("__s"))
+    a.select("qid").distinct()
+      .join(joined, Seq("qid"), "left")
+      .select(col("qid"), round(coalesce(col("__s"), lit(0.0)), 6).as("rbo"))
+  }
+
+  /** w(m) = Σ_{d=m..D} (1−p)·p^(d−1)/d, m = 1..D — the per-item RBO
+    * contribution table. Exact repeated multiplication for p^(d−1)
+    * (no libm pow), summed high-d-first per m so the weights are a
+    * deterministic double sequence any oracle can splice verbatim. */
+  def rboWeights(depth: Int, p: Double): IndexedSeq[Double] = {
+    require(depth >= 1 && p > 0.0 && p < 1.0, "need depth >= 1, 0 < p < 1")
+    val pow = new Array[Double](depth)
+    pow(0) = 1.0
+    for (d <- 1 until depth) pow(d) = pow(d - 1) * p
+    val terms = Array.tabulate(depth)(d => (1.0 - p) * pow(d) / (d + 1))
+    (1 to depth).map(m => (depth to m by -1).map(d => terms(d - 1)).sum)
+  }
+
   def rrfFuse(lists: Seq[DataFrame], idCol: String, rankCol: String,
       k: Int, k0: Int = 60): DataFrame = {
     require(lists.nonEmpty, "RRF needs at least one ranked list")

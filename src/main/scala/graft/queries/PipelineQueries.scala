@@ -3418,8 +3418,85 @@ object PipelineQueries {
       ORDER BY 1"""
     })
 
+  /** Rank-Biased Overlap between two retrieval rankings
+    * ([[graft.ops.Relevance.rankBiasedOverlap]], Webber et al. TOIS
+    * 2010): RBO@10 (p = 0.9) between each query's FULL-dimension
+    * cosine top-10 and its HALF-dimension (Matryoshka-truncated,
+    * first 32 of 64 dims) cosine top-10 — "how much of what the user
+    * sees survives halving the embedding", the ranking-agreement
+    * companion to q204's score-fidelity row. (The corpus is
+    * unit-normalized, so L2/cosine/dot all tie — truncation is the
+    * scorer change that actually reorders.) The w(m) contribution
+    * constants are computed once on the driver (repeated
+    * multiplication, no libm pow) and spliced VERBATIM into the
+    * oracle's CASE — cast to DOUBLE there, since bare SQL literals
+    * parse as DECIMAL — so both engines sum identical doubles. */
+  val qRboRankings: Q = {
+    val w = graft.ops.Relevance.rboWeights(10, 0.9)
+    val wCase = (1 to 10)
+      .map(m => s"WHEN $m THEN CAST(${w(m - 1)} AS DOUBLE)")
+      .mkString(" ")
+    Q(
+      "q256_rbo_rankings",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val q = e.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"),
+            col("embedding").cast("array<double>").as("qv"))
+        val c = e.select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("v"))
+        import graft.functions.StatFunctions.dotProduct
+        import org.apache.spark.sql.expressions.Window
+        def cosOf(a: org.apache.spark.sql.Column,
+            b: org.apache.spark.sql.Column) =
+          round(dotProduct(a, b) /
+            (sqrt(dotProduct(a, a)) * sqrt(dotProduct(b, b))), 6)
+        val joined = c.crossJoin(broadcast(q))
+          .where(col("id") =!= col("qid"))
+          .select(col("qid"), col("id"),
+            cosOf(col("v"), col("qv")).as("cos_full"),
+            cosOf(slice(col("v"), 1, 32), slice(col("qv"), 1, 32))
+              .as("cos_half"))
+          .localCheckpoint(false)
+        def top(c: String) = joined
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("qid").orderBy(col(c).desc, col("id").asc)))
+          .where(col("rnk") <= 10).select("qid", "id", "rnk")
+        graft.ops.Relevance
+          .rankBiasedOverlap(top("cos_full"), top("cos_half"), 10, 0.9)
+          .orderBy("qid")
+      },
+      Some(s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v
+            FROM embeddings WHERE embedding IS NOT NULL),
+        qv AS (SELECT vec_id AS qid, v FROM emb WHERE vec_id < 10),
+        sc AS (SELECT q.qid, e.vec_id AS id,
+            round(list_dot_product(e.v, q.v) /
+              (sqrt(list_dot_product(e.v, e.v)) *
+               sqrt(list_dot_product(q.v, q.v))), 6) AS cos_full,
+            round(list_dot_product(e.v[1:32], q.v[1:32]) /
+              (sqrt(list_dot_product(e.v[1:32], e.v[1:32])) *
+               sqrt(list_dot_product(q.v[1:32], q.v[1:32]))), 6) AS cos_half
+          FROM emb e CROSS JOIN qv q WHERE e.vec_id != q.qid),
+        ft AS (SELECT qid, id, rnk FROM (SELECT qid, id,
+              row_number() OVER (PARTITION BY qid
+                ORDER BY cos_full DESC, id) AS rnk FROM sc)
+            WHERE rnk <= 10),
+        ht AS (SELECT qid, id, rnk FROM (SELECT qid, id,
+              row_number() OVER (PARTITION BY qid
+                ORDER BY cos_half DESC, id) AS rnk FROM sc)
+            WHERE rnk <= 10),
+        ov AS (SELECT f.qid,
+            sum(CASE greatest(f.rnk, h.rnk) $wCase END) AS s
+          FROM ft f JOIN ht h ON h.qid = f.qid AND h.id = f.id
+          GROUP BY 1)
+      SELECT q.qid, round(coalesce(ov.s, CAST(0.0 AS DOUBLE)), 6) AS rbo
+      FROM (SELECT DISTINCT qid FROM ft) q
+      LEFT JOIN ov ON ov.qid = q.qid
+      ORDER BY q.qid"""))
+  }
+
   val all: Seq[Q] = Seq(qWeightedReservoir, qMinhashEstimate, qSimhashPairs,
-    qSimhashCombos, qPqAdcRecall, qIvfPqRecall,
+    qSimhashCombos, qPqAdcRecall, qIvfPqRecall, qRboRankings,
     qGlobalPacking, qLshCandClusters, qNdcgEval, qLabelProp,
     qStratifiedFolds, qFeatureHashing, qCountMin, qTopKPerGroup,
     qKmeans, qMutualKnn, qMp3Decode, qCentroidEval, qLabelAgreement,

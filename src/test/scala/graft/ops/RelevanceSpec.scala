@@ -268,6 +268,31 @@ class RelevanceSpec extends SparkSpec {
     assert(got.sorted == Seq("a", "b"))
   }
 
+  test("rankBiasedOverlap: identity = 1-p^D, disjoint = 0, hand value") {
+    import spark.implicits._
+    val d = 10; val p = 0.9
+    val a = (1 to d).flatMap(r => Seq((0L, r.toLong, r), (1L, r.toLong, r)))
+      .toDF("qid", "id", "rnk")
+    // identical lists: every item contributes w(rnk); total = 1 - p^D
+    val same = Relevance.rankBiasedOverlap(a, a, d, p)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expected = BigDecimal(1.0 - math.pow(p, d))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(same.values.forall(v => math.abs(v - expected) < 1e-6), same)
+    // disjoint lists: zero overlap still emits the query with rbo 0
+    val b = (1 to d).map(r => (0L, 100L + r, r)).toDF("qid", "id", "rnk")
+    val none = Relevance.rankBiasedOverlap(
+      a.where(org.apache.spark.sql.functions.col("qid") === 0), b, d, p)
+      .collect()
+    assert(none.map(_.getDouble(1)).toSeq == Seq(0.0))
+    // hand case, D=2 p=0.5: A=(x,y) B=(y,x) -> X_1=0, X_2=2
+    // rbo = (1-p)(p^0*0/1 + p^1*2/2) = 0.25
+    val a2 = Seq((0L, 1L, 1), (0L, 2L, 2)).toDF("qid", "id", "rnk")
+    val b2 = Seq((0L, 2L, 1), (0L, 1L, 2)).toDF("qid", "id", "rnk")
+    val h = Relevance.rankBiasedOverlap(a2, b2, 2, 0.5).collect()
+    assert(h.head.getDouble(1) == 0.25, h.toSeq)
+  }
+
   test("rrfFuse: k caps the fused list, ties break on id ascending") {
     val l1 = Seq((5L, 1L), (3L, 1L)).toDF("id", "rnk")
     val l2 = Seq((3L, 1L), (5L, 1L)).toDF("id", "rnk")

@@ -68,6 +68,7 @@ class PlanSweepSpec extends SparkSpec {
     "q219_sq8_recall" -> "broadcast k-row query set + quantization bounds",
     "q254_pq_adc_recall" -> "exact-recall side: corpus x broadcast 10-row probe set (Pq.adcRecall, the q26 brute-force shape); ADC side is all equi hash joins",
     "q255_ivfpq_recall" -> "exact-recall side: corpus x broadcast 10-row probe set (Pq.recallVsExact); IVF/ADC sides are map-side assigns + equi hash joins",
+    "q256_rbo_rankings" -> "corpus x broadcast 10-row probe set for the two exact rankings (q26 brute-force shape); the RBO join itself is equi",
     "q222_naive_bayes" -> "bounded vocab x bounded class table (NaiveBayes.scala:62)")
 
   /** Expand through AQE wrapper nodes so the traversal sees inside
