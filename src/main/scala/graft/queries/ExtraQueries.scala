@@ -333,6 +333,90 @@ object ExtraQueries {
     * fidelity) end-to-end. */
   val qOrcScan = Q("q224b_orc_scan", sourceRoundTrip("orc"), Some(sourceRoundTripSql))
 
+  /** Spark 4 VARIANT end-to-end (`parse_json` → binary variant →
+    * `variant_get` typed extraction): the OPEN-type column a
+    * semi-structured ingest keeps when schemas drift — unlike q35's
+    * string-path `get_json_object`, the variant parses ONCE into a
+    * typed binary encoding and every extraction is a cheap typed read
+    * (the Parquet VARIANT story at 100 TB: shred once, read many).
+    * Gate: parse events.props, extract $.k as long, per-type stats +
+    * a try-variant malformed-row count, vs DuckDB's JSON reader. */
+  val qVariantExtract = Q(
+    "q258_variant_extract",
+    (s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_type"),
+          variant_get(parse_json(col("props")), "$.k", "long").as("k"),
+          // missing path -> NULL (not an error): the schema-drift case
+          variant_get(parse_json(col("props")), "$.absent", "long")
+            .as("absent"),
+          // try_parse_json: malformed input -> NULL variant, no job kill
+          when(try_parse_json(lit("{not json")).isNull, 1).otherwise(0)
+            .as("malformed_is_null"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n"),
+          sum(col("k")).cast("long").as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+          count(col("absent")).as("n_absent"),
+          min(col("malformed_is_null")).as("malformed_null"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type, count(k) AS n,
+        CAST(sum(k) AS BIGINT) AS sum_k,
+        min(k) AS min_k, max(k) AS max_k,
+        count(absent) AS n_absent,
+        1 AS malformed_null
+      FROM (SELECT event_type,
+              CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+              CAST(json_extract(props, '$.absent') AS BIGINT) AS absent
+            FROM events)
+      GROUP BY event_type ORDER BY event_type"""))
+
+  /** Observed scan-side metrics (`Dataset.observe` / the Observation
+    * API): a pipeline's data-quality COUNTERS — rows scanned, nulls,
+    * filter pass-rate numerators — ride the MAIN query's single scan
+    * as AggregatingAccumulators instead of costing a second pass, the
+    * Spark-native answer to "instrument the job, don't re-run it".
+    * The query computes a real result (revenue by returnflag over the
+    * shipped slice) while observing totals over the UNFILTERED scan;
+    * the emitted row fuses both, and the oracle recomputes each side
+    * independently — so a metrics/result mix-up (observing after the
+    * filter, double-counting under AQE retries) fails the gate. */
+  val qObserveMetrics = Q(
+    "q257_observe_metrics",
+    (s, dir) => {
+      val obs = new org.apache.spark.sql.Observation()
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .observe(obs,
+          count(lit(1)).as("rows_scanned"),
+          count(when(col("l_shipdate").isNull, 1)).as("null_shipdates"),
+          count(when(col("l_returnflag") === "R", 1)).as("returned_rows"))
+      val result = li.where(col("l_returnflag") === "R")
+        .agg(count(lit(1)).as("n_returned"),
+          sum(col("l_quantity")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .cast("double").as("qty_returned"))
+        .collect()(0)
+      // the action above finalized the observation; get() cannot block
+      val m = obs.get
+      import s.implicits._
+      Seq((m("rows_scanned").asInstanceOf[Long],
+        m("null_shipdates").asInstanceOf[Long],
+        m("returned_rows").asInstanceOf[Long],
+        result.getLong(0), result.getDouble(1)))
+        .toDF("rows_scanned", "null_shipdates", "returned_rows",
+          "n_returned", "qty_returned")
+    },
+    Some("""SELECT
+        (SELECT count(*) FROM lineitem) AS rows_scanned,
+        (SELECT count(*) FROM lineitem WHERE l_shipdate IS NULL)
+          AS null_shipdates,
+        (SELECT count(*) FROM lineitem WHERE l_returnflag = 'R')
+          AS returned_rows,
+        (SELECT count(*) FROM lineitem WHERE l_returnflag = 'R')
+          AS n_returned,
+        (SELECT CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+          FROM lineitem WHERE l_returnflag = 'R') AS qty_returned"""))
+
   /** Mergeable frequent-items top-K (Spark 4's built-in approx_top_k,
     * DataSketches ItemsSketch) — the sketch the 100 TB profile mode uses
     * for per-column top values (Profiler pass A, sketch branch). The
@@ -744,7 +828,8 @@ object ExtraQueries {
   val all: Seq[Q] = Seq(
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qMapValueCounts,
-    qSaltedJoin, qCsvScan, qJsonlScan, qOrcScan, qStratifiedSample,
+    qSaltedJoin, qCsvScan, qJsonlScan, qOrcScan, qObserveMetrics,
+    qVariantExtract, qStratifiedSample,
     qApproxTopK,
     qGroupedQuantiles, qEmbedCovariance, qUrlDedup, qIncrementalMerge,
     qEquiDepth, qWeightedSample, qTopMass, qBenford, qEntropy, qKsDrift,
