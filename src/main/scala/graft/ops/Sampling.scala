@@ -36,6 +36,45 @@ object Sampling {
   def hashSample(df: DataFrame, keyCol: String, pct: Int): DataFrame =
     df.where(hashBucket(keyCol) < pct)
 
+  /** Deterministic per-EPOCH global shuffle + shard assignment — the
+    * training-loader step between curation and consumption: every row
+    * gets a (shard, pos) so that reading shards in pos order is a
+    * reproducible uniform permutation that CHANGES each epoch (epoch
+    * seeds the hash) but never depends on partitioning, cluster size,
+    * or a PRNG stream. shard = hash64(id, epoch) mod nShards (map-only
+    * and balanced); pos = rank of the hash within the shard — one hash
+    * shuffle on the shard key + a per-shard sort, exactly the work of
+    * writing the shard files themselves, and every shard sorts in
+    * parallel (no global order). */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1, "nShards must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", hash64(col(idCol).cast("string"), epoch))
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .drop("__h")
+  }
+
+  /** Greedy per-group token-budget trim — EXECUTES a mix plan: within
+    * each group take rows in (orderCol desc, tieCol) priority order
+    * until the cumulative `tokensCol` passes `budget` (the last row
+    * that fits inclusively is kept). One per-key window — the same
+    * single hash shuffle as any keyed cumulative — so groups trim in
+    * parallel and no group's size affects another's cost. Emits the
+    * kept rows with their running `cum_tokens`. */
+  def budgetTrim(df: DataFrame, groupCol: String, orderCol: String,
+      tieCol: String, tokensCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col(orderCol).desc, col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tokens", sum(col(tokensCol)).over(w))
+      .where(col("cum_tokens") <= budget)
+  }
+
   /** Deterministic train/val/test assignment — the split EVERY
     * training pipeline needs to be reproducible, portable, and stable
     * under repartitioning (a seeded randomSplit is none of those: it

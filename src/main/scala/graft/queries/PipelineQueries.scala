@@ -3495,8 +3495,55 @@ object PipelineQueries {
       ORDER BY q.qid"""))
   }
 
+  /** Deterministic per-epoch shuffle + shard assignment
+    * ([[graft.ops.Sampling.epochShuffle]]): the training-loader step —
+    * each doc gets (shard, pos) from an epoch-seeded hash, so shard
+    * files read in pos order are a reproducible permutation that
+    * changes per epoch and never depends on partitioning or a PRNG
+    * stream. Epoch 7, 8 shards. */
+  val qEpochShuffle = Q(
+    "q259_epoch_shuffle",
+    (s, dir) => graft.ops.Sampling.epochShuffle(
+        table(s, dir, "documents").select("doc_id"),
+        "doc_id", epoch = 7, nShards = 8)
+      .orderBy("shard", "pos"),
+    Some("""WITH h AS (SELECT doc_id,
+          ('0x'||substr(md5('7:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+            AS hv FROM documents)
+      SELECT doc_id, CAST(hv % 8 AS INT) AS shard,
+        CAST(row_number() OVER (PARTITION BY hv % 8
+          ORDER BY hv, doc_id) AS INT) AS pos
+      FROM h ORDER BY shard, pos"""))
+
+  /** Greedy per-source token-budget trim
+    * ([[graft.ops.Sampling.budgetTrim]]): EXECUTE a mix plan — within
+    * each source keep the longest documents (n_chars priority,
+    * doc_id tiebreak) until 20k whitespace tokens are spent; emitted
+    * with running totals, so q128/q177's planned budgets have their
+    * materialization step on the gate too. */
+  val qBudgetTrim = Q(
+    "q260_budget_trim",
+    (s, dir) => graft.ops.Sampling.budgetTrim(
+        table(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            TextAnalysis.nTokensWhitespace(col("text")).cast("long")
+              .as("n_tokens")),
+        "source", "n_chars", "doc_id", "n_tokens", budget = 20000L)
+      .orderBy("source", "cum_tokens"),
+    Some(s"""WITH t AS (SELECT doc_id, source, n_chars,
+          CAST(len($dkWords) AS BIGINT) AS n_tokens FROM documents),
+      c AS (SELECT doc_id, source, n_chars, n_tokens,
+          sum(n_tokens) OVER (PARTITION BY source
+            ORDER BY n_chars DESC, doc_id
+            ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM t)
+      SELECT doc_id, source, n_chars, n_tokens, cum_tokens
+      FROM c WHERE cum_tokens <= 20000
+      ORDER BY source, cum_tokens"""))
+
   val all: Seq[Q] = Seq(qWeightedReservoir, qMinhashEstimate, qSimhashPairs,
     qSimhashCombos, qPqAdcRecall, qIvfPqRecall, qRboRankings,
+    qEpochShuffle, qBudgetTrim,
     qGlobalPacking, qLshCandClusters, qNdcgEval, qLabelProp,
     qStratifiedFolds, qFeatureHashing, qCountMin, qTopKPerGroup,
     qKmeans, qMutualKnn, qMp3Decode, qCentroidEval, qLabelAgreement,
