@@ -95,6 +95,7 @@ object Bench {
     val pass1 = ordered.map { case (n, f) => n -> timeOnce(n, f) }.toMap
     graft.ops.Dedup.clearShingleCache()
     graft.ops.IvfIndex.clearIndexCache()
+    graft.queries.TemporalQueries.clearIntervalDriveCache()
     val pass2 = ordered.map { case (n, f) => n -> timeOnce(n, f) }.toMap
 
     // Streaming subsystem micro-bench: MemoryStream-driven (deterministic
@@ -370,6 +371,7 @@ object Bench {
       def passOver(d: String): Map[String, Double] = {
         graft.ops.Dedup.clearShingleCache()
         graft.ops.IvfIndex.clearIndexCache()
+        graft.queries.TemporalQueries.clearIntervalDriveCache()
         stressNames.map(n =>
           n -> timeOnceAt(n, d, stressFailed, SparkEntry.queries(n))).toMap
       }
@@ -464,7 +466,23 @@ object Bench {
     val suspectJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     val coldJson = coldStarts.map("\"" + _ + "\"").mkString("[", ",", "]")
     val failedJson = failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
-    stressSection.foreach { case (json, _) => println(json) }
+    stressSection.foreach { case (json, _) =>
+      println(json)
+      // tracked per-round series (verdict r8 task #8): super-linear
+      // CREEP is only visible as a trend, so every stress run appends
+      // its full table to STRESS_HISTORY.jsonl (committed; r7/r8 rows
+      // backfilled from round notes in STRESS_HISTORY.md)
+      try {
+        val tag = sys.env.getOrElse("SPARK_GRAFT_ROUND", "adhoc")
+        val line = s"""{"round":"$tag","epoch_ms":${System.currentTimeMillis},"stress":${json.stripPrefix("{\"stress\":").stripSuffix("}")}}"""
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("STRESS_HISTORY.jsonl"), line + "\n",
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] stress-history append failed: ${e.getMessage}")
+      }
+    }
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","streaming_total":$streamingTotal%.3f,"queries":$qs,"sf":"$sfDir","procs":$procs,"loadavg":$load%.2f,"loadavg_start":$loadStart%.2f,"cpu_busy_start":$busyStart%.3f,"cpu_steal_frac":$stealFrac%.4f,"polluted":$polluted,"suspect_queries":$suspectJson,"coldstart_queries":$coldJson,"failed_queries":$failedJson,"pass_totals":[$t1%.3f,$t2%.3f],"queries_passes":$qsBoth}""")
     // The harness that archives this output keeps only the last ~2 KB;
     // the big line above front-loads its verdict fields, so a truncated

@@ -41,16 +41,20 @@ object AsofJoin {
     * Requirements: time columns numeric (e.g. epoch nanos); left and
     * `rightCols` names disjoint.
     *
-    * Dispatch: when the key/time/tie columns are all LongType (the
-    * catalog's as-of domain — epoch micros and bigint ids), a tiebreak
-    * is given, and the needed right columns don't clash with the left,
-    * the join runs through the CUSTOM PHYSICAL OPERATOR
-    * ([[graft.plans.AsOfJoinExec]] — declared distributions/orderings,
-    * O(1)-state per-partition merge); the union+window formulation
-    * below is the general-type fallback. Same cost class (one hash
-    * shuffle + per-partition sort each) and identical answers
-    * (AsOfJoinExecSpec fuzz-agrees the two paths; q66/q243 share one
-    * oracle), so routing changes the PLAN, not the result.
+    * Dispatch: when the key/time/tie columns are all on the exec's
+    * type-widening ladder (integral, date, timestamp — the v2 ladder
+    * of [[graft.plans.AsOfJoinPhysical.toLongOrder]]; Long is the
+    * identity rung), a tiebreak is given, and the needed right columns
+    * don't clash with the left, the join runs through the CUSTOM
+    * PHYSICAL OPERATOR ([[graft.plans.AsOfJoinExec]] — declared
+    * distributions/orderings, O(1)-state per-partition merge); the
+    * union+window formulation below is the general-type fallback.
+    * Same cost class (one hash shuffle + per-partition sort each) and
+    * identical answers (AsOfJoinExecSpec fuzz-agrees the two paths;
+    * q66/q243 share one oracle), so routing changes the PLAN, not the
+    * result. For widened types, `tolerance` is in the WIDENED unit —
+    * micros for timestamps, days for dates, the raw value for
+    * integrals (same contract as asofForward's toleranceWidened).
     */
   def asof(
       left: DataFrame,
@@ -81,9 +85,15 @@ object AsofJoin {
           tolerance match {
             case Some(tol) =>
               // out-of-tolerance matches null out every right column,
-              // same contract as the window path below
+              // same contract as the window path below; the difference
+              // is computed in the exec's widened Long ordering so
+              // timestamp/date-typed times subtract as micros/days
+              // instead of producing an interval
+              def wide(df: DataFrame, c: String) =
+                graft.plans.AsOfJoinPhysical.toLongOrder(
+                  col(c), df.schema(c).dataType)
               val ok = col(rightTime).isNotNull &&
-                (col(leftTime) - col(rightTime)) <= tol
+                (wide(left, leftTime) - wide(right, rightTime)) <= tol
               j.select(left.columns.toSeq.map(c => col(s"`$c`")) ++
                 rightNeed.map(c => when(ok, col(s"`$c`")).as(c)): _*)
             case None => j
@@ -96,24 +106,32 @@ object AsofJoin {
   }
 
   /** The exec route's eligibility: Some(tieBreak) when every key/time/
-    * tie column is LongType, a tiebreak exists, and the right columns
-    * the exec must carry are name-disjoint from the left (the exec
-    * emits left ++ right by name). Anything else → window fallback. */
+    * tie column is on the exec's widening ladder (integral, date,
+    * timestamp — anything [[graft.plans.AsOfJoinPhysical.toLongOrder]]
+    * maps to an equivalent Long ordering), a tiebreak exists, and the
+    * right columns the exec must carry are name-disjoint from the left
+    * (the exec emits left ++ right by name). Anything else → window
+    * fallback. */
   private def execEligible(
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
       rightCols: Seq[String], rightTieBreak: Option[String]): Option[String] =
     rightTieBreak.filter { tb =>
-      import org.apache.spark.sql.types.LongType
-      def isLong(df: DataFrame, c: String) =
-        df.schema.fields.exists(f => f.name == c && f.dataType == LongType)
+      import org.apache.spark.sql.types._
+      def widenable(df: DataFrame, c: String) =
+        df.schema.fields.find(_.name == c).map(_.dataType).exists {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case DateType | TimestampType | TimestampNTZType => true
+          case _ => false
+        }
       val rightNeed = (Seq(rightKey, rightTime, tb) ++ rightCols).distinct
-      isLong(left, leftKey) && isLong(left, leftTime) &&
-        isLong(right, rightKey) && isLong(right, rightTime) &&
-        isLong(right, tb) &&
+      widenable(left, leftKey) && widenable(left, leftTime) &&
+        widenable(right, rightKey) && widenable(right, rightTime) &&
+        widenable(right, tb) &&
         rightNeed.toSet.intersect(left.columns.toSet).isEmpty &&
-        !(left.columns ++ rightNeed).exists(_.startsWith("__neg"))
+        !(left.columns ++ rightNeed).exists(n =>
+          n.startsWith("__neg") || n.startsWith("__asof_"))
     }
 
   /** The union + carry-forward-window formulation (see the object

@@ -81,11 +81,26 @@ object Pq {
     }.toDF("s", "cid", "pos", "val").orderBy("s", "cid", "pos")
   }
 
+  /** [[trainCodebooks]], memoized per (corpus, params) via
+    * [[EvalCache]]: q254 pays the Lloyd rounds, q255 (same corpus,
+    * same params) reuses the trained codebooks. */
+  def trainCodebooksCached(corpus: DataFrame, idCol: String,
+      vecCol: String, dim: Int, m: Int, k: Int, rounds: Int): DataFrame =
+    EvalCache.cached(corpus.sparkSession,
+      s"pqcb:${EvalCache.semKey(corpus)}:$idCol:$vecCol:$dim:$m:$k:$rounds")(
+      trainCodebooks(corpus, idCol, vecCol, dim, m, k, rounds))
+
   /** Per-subspace nearest-code assignment: (id cols ++ (s, code)).
     * One row per (vector, subspace); map-side (codebooks broadcast as
     * literals inside the expression tree). */
   private def assignCodes(df: DataFrame, vecCol: String, m: Int,
       subDim: Int, cents: Map[(Int, Int), Array[Double]]): DataFrame = {
+    // encode/adcRecall run on arbitrary caller frames: a corpus already
+    // carrying the working/output names would silently mislabel or fail
+    // ambiguous — fail loud instead (AsOfJoinPhysical's contract)
+    require(!df.columns.exists(Set("s", "code", "__pq_sc")),
+      "PQ input must not carry columns named s, code, or __pq_sc " +
+        "(reserved working/output names); rename them first")
     val xd = col(vecCol).cast("array<double>")
     val perSub = (0 until m).map { s =>
       val sv = slice(xd, s * subDim + 1, subDim)
@@ -100,9 +115,10 @@ object Pq {
       struct(lit(s).as("s"),
         sort_array(array(scored: _*)).getItem(0).getField("cid").as("code"))
     }
-    df.select(col("*"), explode(array(perSub: _*)).as("sc"))
-      .select(col("*"), col("sc.s").as("s"), col("sc.code").as("code"))
-      .drop("sc")
+    df.select(col("*"), explode(array(perSub: _*)).as("__pq_sc"))
+      .select(col("*"), col("__pq_sc.s").as("s"),
+        col("__pq_sc.code").as("code"))
+      .drop("__pq_sc")
   }
 
   /** Encode the corpus: (id, s, code) — m rows per vector. */
@@ -114,6 +130,17 @@ object Pq {
       .select(col(idCol).as("id"), col("s"), col("code"))
   }
 
+  /** [[encode]], memoized per (corpus, codebooks, params): the codes
+    * table is the PQ-compressed corpus — materializing it once and
+    * letting every ADC consumer read codes (not vectors) is exactly
+    * the deployment layout, and q254/q255 share one encode scan. */
+  def encodeCached(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, cents: DataFrame): DataFrame =
+    EvalCache.cached(corpus.sparkSession,
+      s"pqcodes:${EvalCache.semKey(corpus)}:${EvalCache.semKey(cents)}:" +
+        s"$idCol:$vecCol:$dim:$m")(
+      encode(corpus, idCol, vecCol, dim, m, cents))
+
   /** Recall@`k` of PQ-ADC against exact L2 over the same corpus, for
     * each query vector (self excluded on both sides): one row
     * (query_id, n_overlap, recall_at_k) per query. `cents` is
@@ -121,7 +148,7 @@ object Pq {
   def adcRecall(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, dim: Int, m: Int, cents: DataFrame,
       k: Int): DataFrame = {
-    val codes = encode(corpus, idCol, vecCol, dim, m, cents)
+    val codes = encodeCached(corpus, idCol, vecCol, dim, m, cents)
     val q = queries.where(col(vecCol).isNotNull)
       .select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
     val dtab = adcDistanceTable(q, dim, m, cents)
@@ -186,7 +213,7 @@ object Pq {
     val cand = qLists.join(assigned, "list_id")
       .where(col("id") =!= col("qid"))
       .select("qid", "id")
-    val codes = encode(corpus, idCol, vecCol, dim, m, pqCents)
+    val codes = encodeCached(corpus, idCol, vecCol, dim, m, pqCents)
     val dtab = adcDistanceTable(q, dim, m, pqCents)
     val adc = cand.join(codes, "id")
       .join(broadcast(dtab), Seq("qid", "s"))
@@ -225,13 +252,18 @@ object Pq {
       k: Int): DataFrame = {
     val c = corpus.where(col(vecCol).isNotNull)
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-    val exact = c.crossJoin(broadcast(q)).where(col("id") =!= col("qid"))
-      .select(col("qid"), col("id"),
-        floor((dotProduct(col("v"), col("v")) -
-          lit(2.0) * dotProduct(col("v"), col("qv")) +
-          dotProduct(col("qv"), col("qv"))) * lit(1e6) + lit(0.5))
-          .cast("long").as("dist"))
-    val exactTop = rankTop(exact, k)
+    // the exact rank table is metric state shared by every recall row
+    // over the same (corpus, queries, k) — q254 builds it, q255 reuses
+    val exactTop = EvalCache.cached(corpus.sparkSession,
+      s"exacttop:${EvalCache.semKey(c)}:${EvalCache.semKey(q)}:$k") {
+      val exact = c.crossJoin(broadcast(q)).where(col("id") =!= col("qid"))
+        .select(col("qid"), col("id"),
+          floor((dotProduct(col("v"), col("v")) -
+            lit(2.0) * dotProduct(col("v"), col("qv")) +
+            dotProduct(col("qv"), col("qv"))) * lit(1e6) + lit(0.5))
+            .cast("long").as("dist"))
+      rankTop(exact, k)
+    }
     val hits = exactTop.join(approxTop, Seq("qid", "id"), "left_semi")
       .groupBy("qid").agg(count(lit(1)).as("__n"))
     q.select("qid").distinct()

@@ -180,7 +180,7 @@ object AsOfJoinPhysical {
     * tolerance is in micros for timestamps, days for dates). Every
     * mapping is strictly monotone and injective, so as-of match
     * semantics (greatest-time-<=, tie order) are preserved exactly. */
-  private def toLongOrder(c: org.apache.spark.sql.Column,
+  private[graft] def toLongOrder(c: org.apache.spark.sql.Column,
       dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.types._
     dt match {
@@ -270,7 +270,7 @@ object AsOfJoinPhysical {
   }
 
   /** Left FORWARD as-of join (least rightTime >= leftTime; ties to the
-    * LEAST `rightTie`), with optional `toleranceUs` on
+    * LEAST `rightTie`), with optional `toleranceWidened` on
     * rightTime − leftTime — through the SAME physical operator on
     * NEGATED times: backward's greatest −rt <= −lt is forward's least
     * rt >= lt, and backward's greatest −tie is forward's least tie.
@@ -282,7 +282,7 @@ object AsOfJoinPhysical {
   def asofForward(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
-      rightTie: String, toleranceUs: Option[Long] = None): DataFrame = {
+      rightTie: String, toleranceWidened: Option[Long] = None): DataFrame = {
     val taken = (left.columns ++ right.columns).toSet
     require(!taken.contains("__negt") && !taken.contains("__negrt") &&
       !taken.contains("__negtie"), "reserved __neg* column names in input")
@@ -294,7 +294,7 @@ object AsOfJoinPhysical {
       .withColumn("__negtie", -toLongOrder(col(rightTie), dt(right, rightTie)))
     val joined = asofBackward(ln, rn, leftKey, rightKey,
       "__negt", "__negrt", "__negtie")
-    val matched = toleranceUs match {
+    val matched = toleranceWidened match {
       case Some(tol) => col(rightTime).isNotNull && (rtL - ltL) <= tol
       case None => col(rightTime).isNotNull
     }
