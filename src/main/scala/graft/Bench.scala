@@ -362,7 +362,9 @@ object Bench {
       // tables, which is the operator's documented run-after-exact-dedup
       // exclusion, not a plan regression (measured: heap exhaustion at
       // 10x, while q248's 4-table scheme scales at 2.9x)
-      "q249_asof_timestamp_exec", "q254_pq_adc_recall")
+      "q249_asof_timestamp_exec", "q254_pq_adc_recall",
+      // the round-9 O(n log n) exact-Kendall claim, measured at 10x
+      "q261_kendall_exact")
     val stressWaivers = Map(
       "q165_mutual_knn" -> ("documented O(n^2) exact-kNN oracle tool; " +
         "q26b/q26c/q27 are the approximate scale path"))

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Kendall rank correlation (tau-b, tie-corrected).
@@ -137,6 +137,134 @@ object Kendall {
       inv
     }
     sort(0, a.length)
+  }
+
+  /** EXACT distributed tau-b in O(n log n) total work — the SURVEY
+    * §2.5 stretch the capped-sample path deferred: Knight's algorithm
+    * distributed by GRID DECOMPOSITION instead of the O(n²) pair join
+    * (the reference's own Spark path collects the whole table to one
+    * node, `correlations.py:140-216`).
+    *
+    * Decomposition: bucket x and y independently into ≤`buckets`
+    * VALUE-RESPECTING ranges (equal values always share a bucket, so
+    * bucket order implies strict value order). Every pair then falls
+    * in exactly one of four classes:
+    *   - different x-bucket AND different y-bucket → concordance is
+    *     decided by the bucket pair alone, so the whole class is
+    *     counted on the driver from the B×B contingency matrix with
+    *     2-D suffix/prefix sums (O(B²), no data movement);
+    *   - same x-bucket → discordant pairs counted exactly per x-bucket
+    *     group by [[graft.functions.DiscordantPairs]] (Knight's
+    *     O(m log m) merge count);
+    *   - same y-bucket → same, per y-bucket group;
+    *   - same x-bucket AND same y-bucket → counted in BOTH group
+    *     passes, subtracted once via the per-cell groups.
+    * Q = Q_cross + Σ_bx Q − Σ_cell Q + Σ_by Q; ties (T_x, T_y, T_xy)
+    * come from three linear map-side-combinable groupBy counts; then
+    * Knight's identity
+    *   τ_b = (n0 − T_x − T_y + T_xy − 2Q) / √((n0 − T_x)(n0 − T_y)).
+    *
+    * Scale shape: per-group work is O((n/B) log(n/B)) and per-group
+    * MEMORY is 16·n/B bytes (the aggregate holds its group), so B is
+    * chosen so a group fits a task — `maxGroup` is require-guarded
+    * BEFORE any aggregate runs (the Transitions.stationary
+    * discipline), from the same cheap cell-count pass that feeds the
+    * driver matrix. Boundaries come from approxQuantile; the RESULT is
+    * exact for ANY value-respecting boundaries (the decomposition is
+    * an identity, not an approximation), so quantile error only skews
+    * group sizes, never the answer. Output: one row
+    * (n, n_pairs, t_x, t_y, t_xy, discordant, tau_b). */
+  def tauBExactDistributed(df: DataFrame, xCol: String, yCol: String,
+      buckets: Int = 64, maxGroup: Long = 20000000L): DataFrame = {
+    require(buckets >= 1 && buckets <= 1024, "buckets must be in [1, 1024]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df
+      .select(col(xCol).cast("double").as("x"),
+        col(yCol).cast("double").as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull &&
+        !isnan(col("x")) && !isnan(col("y")))
+      .localCheckpoint(false) // one materialization feeds all passes
+    val n = base.count()
+    def out(tx: Long, ty: Long, txy: Long, q: Long, tau: Any) =
+      Seq((n, n * (n - 1) / 2, tx, ty, txy, q,
+        tau.asInstanceOf[java.lang.Double]))
+        .toDF("n", "n_pairs", "t_x", "t_y", "t_xy", "discordant", "tau_b")
+    if (n < 2) return out(0L, 0L, 0L, 0L, null)
+
+    // value-respecting bucket boundaries (distinct quantile cuts); a
+    // bucket index is a monotone function of the VALUE, so equal
+    // values share a bucket and bucket order implies strict value order
+    val probes = (1 until buckets).map(_.toDouble / buckets).toArray
+    def cuts(c: String): Array[Double] =
+      if (buckets == 1) Array.empty
+      else base.stat.approxQuantile(c, probes, 0.001).distinct.sorted
+    val (xCuts, yCuts) = (cuts("x"), cuts("y"))
+    def bucketOf(c: Column, bnds: Array[Double]): Column =
+      bnds.foldLeft(lit(0))((acc, b) =>
+        acc + when(c > lit(b), 1).otherwise(0))
+    val grid = base
+      .withColumn("bx", bucketOf(col("x"), xCuts))
+      .withColumn("by", bucketOf(col("y"), yCuts))
+
+    // contingency matrix: bounded (≤ buckets²); also the maxGroup guard
+    val cells = grid.groupBy("bx", "by").count()
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2)))
+    val xSizes = cells.groupBy(_._1._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val ySizes = cells.groupBy(_._1._2).map { case (k, v) => k -> v.map(_._2).sum }
+    val biggest = (xSizes.values ++ ySizes.values).max
+    require(biggest <= maxGroup,
+      s"largest bucket group has $biggest rows > maxGroup=$maxGroup; " +
+        "raise `buckets` (value skew: one value's tie group cannot split)")
+
+    // cross-cell discordant pairs on the driver: for each cell (i, j),
+    // partners in a STRICTLY GREATER x-bucket and STRICTLY SMALLER
+    // y-bucket; O(B²) via a 2-D suffix(x)/prefix(y) sum
+    val bxMax = cells.map(_._1._1).max
+    val byMax = cells.map(_._1._2).max
+    val m = Array.ofDim[Long](bxMax + 2, byMax + 2)
+    cells.foreach { case ((i, j), c) => m(i)(j) = c }
+    // s(i)(j) = Σ_{i' >= i} Σ_{j' <= j} m(i')(j')
+    val s = Array.ofDim[Long](bxMax + 2, byMax + 2)
+    for (i <- bxMax to 0 by -1; j <- 0 to byMax)
+      s(i)(j) = m(i)(j) + s(i + 1)(j) +
+        (if (j > 0) s(i)(j - 1) - s(i + 1)(j - 1) else 0L)
+    var qCross = 0L
+    cells.foreach { case ((i, j), c) =>
+      if (i + 1 <= bxMax && j > 0) qCross += c * s(i + 1)(j - 1)
+    }
+
+    // per-group exact discordant counts (Knight kernel per group)
+    import graft.functions.DiscordantPairs.discordant
+    def sumQ(groups: Column*): Long = grid.groupBy(groups: _*)
+      .agg(discordant(col("x"), col("y")).as("q"))
+      .agg(sum(col("q"))).head().getLong(0)
+    val qX = sumQ(col("bx"))
+    val qY = sumQ(col("by"))
+    val qCell = sumQ(col("bx"), col("by"))
+    val q = qCross + qX + qY - qCell
+
+    // tie terms: three linear map-side-combinable counts
+    // c*(c-1) is even: shiftright halves it exactly in Long arithmetic
+    // (the `/` operator is DOUBLE division and would lose precision on
+    // big tie groups)
+    def tiePairs(groups: Column*): Long = grid.groupBy(groups: _*)
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(shiftright(col("c") * (col("c") - 1), 1)))
+      .head().getLong(0)
+    val tX = tiePairs(col("x"))
+    val tY = tiePairs(col("y"))
+    val tXY = tiePairs(col("x"), col("y"))
+
+    val n0 = n * (n - 1) / 2
+    val num = (n0 - tX - tY + tXY - 2 * q).toDouble
+    val den = math.sqrt((n0 - tX).toDouble * (n0 - tY).toDouble)
+    val tau: java.lang.Double =
+      if (den > 0.0)
+        BigDecimal(num / den)
+          .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+      else null
+    out(tX, tY, tXY, q, tau)
   }
 
   /** Exact tau-b between two numeric columns of `df` (pair-count join).

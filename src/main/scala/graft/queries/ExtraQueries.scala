@@ -207,6 +207,47 @@ object ExtraQueries {
                    8) AS tau_b
       FROM agg"""))
 
+  /** EXACT distributed Kendall tau-b on the gate
+    * ([[graft.ops.Kendall.tauBExactDistributed]] — the SURVEY §2.5
+    * stretch q41's capped sample deferred): Knight's O(n log n) count
+    * distributed by grid decomposition — cross-bucket discordance from
+    * a bounded B×B contingency matrix on the driver, within-bucket
+    * discordance from the [[graft.functions.DiscordantPairs]]
+    * TypedImperativeAggregate per grid group, tie terms from three
+    * linear groupBy counts. No O(n²) pair join anywhere on the Spark
+    * side; the ORACLE is the O(n²) pair self-join over the same slice
+    * (oracle-feasible at fixture scale), so every emitted term — both
+    * tie totals, the joint-tie total, the exact discordant count, and
+    * the 8-dp tau — is hash-checked against the direct definition. */
+  val qKendallExact = Q(
+    "q261_kendall_exact",
+    (s, dir) =>
+      graft.ops.Kendall.tauBExactDistributed(
+        table(s, dir, "lineitem").where(col("l_orderkey") % 16 === 0),
+        "l_quantity", "l_extendedprice", buckets = 16),
+    Some("""WITH base AS (
+        SELECT l_quantity AS x, l_extendedprice AS y,
+               row_number() OVER () AS rid
+        FROM lineitem WHERE l_orderkey % 16 = 0),
+      p AS (SELECT a.x - b.x AS dx, a.y - b.y AS dy
+            FROM base a JOIN base b ON a.rid < b.rid),
+      agg AS (SELECT count(*) AS n_pairs,
+          CAST(sum(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS BIGINT) q,
+          CAST(sum(CASE WHEN dx = 0 AND dy != 0 THEN 1 ELSE 0 END) AS BIGINT) txo,
+          CAST(sum(CASE WHEN dy = 0 AND dx != 0 THEN 1 ELSE 0 END) AS BIGINT) tyo,
+          CAST(sum(CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END) AS BIGINT) txy
+        FROM p),
+      nn AS (SELECT count(*) AS n FROM base)
+      SELECT nn.n AS n, agg.n_pairs AS n_pairs,
+        (txo + txy) AS t_x, (tyo + txy) AS t_y, txy AS t_xy,
+        q AS discordant,
+        round(CAST(agg.n_pairs - (txo+txy) - (tyo+txy) + txy - 2*q
+                AS DOUBLE)
+              / sqrt(CAST(agg.n_pairs - (txo+txy) AS DOUBLE)
+                   * CAST(agg.n_pairs - (tyo+txy) AS DOUBLE)),
+              8) AS tau_b
+      FROM agg, nn"""))
+
   /** MapType canonicalization (Decompose.canonicalizeMaps — the same
     * code path the Profiler runs on map columns): a map column derived
     * from orders becomes a sorted-entries string, so value_counts is an
@@ -827,7 +868,8 @@ object ExtraQueries {
 
   val all: Seq[Q] = Seq(
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
-    qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qMapValueCounts,
+    qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qKendallExact,
+    qMapValueCounts,
     qSaltedJoin, qCsvScan, qJsonlScan, qOrcScan, qObserveMetrics,
     qVariantExtract, qStratifiedSample,
     qApproxTopK,

@@ -73,6 +73,53 @@ class KendallSpec extends SparkSpec {
     assert(Kendall.tauBLocal(Array(1.0, 1.0, 1.0), Array(1.0, 2.0, 3.0)).isNaN)
   }
 
+  test("tauBExactDistributed (grid Knight) matches tauB across bucket counts and ties") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 4) {
+      val n = 80 + trial * 53
+      val xs = Array.fill(n)(rnd.nextInt(9).toDouble) // heavy x-ties
+      val ys = Array.fill(n)(
+        if (trial % 2 == 0) rnd.nextInt(6).toDouble // heavy y-ties
+        else xs(rnd.nextInt(n)) * 2 + rnd.nextGaussian())
+      val df = xs.zip(ys).toSeq.toDF("x", "y")
+      val expected = Option(
+        Kendall.tauB(df, "x", "y").head().getAs[Any]("tau_b"))
+        .map(_.asInstanceOf[Double]).getOrElse(Double.NaN)
+      // the decomposition is an identity: ANY bucket count (1 = the
+      // whole table in one Knight group; more = real grid splits)
+      // yields the identical exact tau
+      for (b <- Seq(1, 4, 16)) {
+        val r = Kendall.tauBExactDistributed(df, "x", "y", buckets = b)
+          .head()
+        val got = Option(r.getAs[Any]("tau_b"))
+          .map(_.asInstanceOf[Double]).getOrElse(Double.NaN)
+        assert(
+          (expected.isNaN && got.isNaN) || math.abs(expected - got) < 1e-12,
+          s"trial $trial buckets $b: grid=$got pairjoin=$expected")
+        // the tie terms are exact too, so check the discordant count
+        // against the O(n^2) join's direct count
+        val d = Kendall.tauB(df, "x", "y").head().getAs[Long]("discordant")
+        assert(r.getAs[Long]("discordant") == d,
+          s"trial $trial buckets $b: Q mismatch")
+      }
+    }
+    // constant x: every pair x-tied, tau undefined (null, not NaN div)
+    val const = Seq((1.0, 1.0), (1.0, 2.0), (1.0, 3.0)).toDF("x", "y")
+    assert(Kendall.tauBExactDistributed(const, "x", "y", buckets = 4)
+      .head().isNullAt(6))
+  }
+
+  test("tauBExactDistributed guards oversized groups before aggregating") {
+    // one value = one un-splittable tie group: with maxGroup below the
+    // table size and buckets=1 the require must fire BEFORE any
+    // DiscordantPairs buffer is built
+    val df = (1 to 100).map(i => (1.0, i.toDouble)).toDF("x", "y")
+    val e = intercept[IllegalArgumentException] {
+      Kendall.tauBExactDistributed(df, "x", "y", buckets = 1, maxGroup = 10L)
+    }
+    assert(e.getMessage.contains("maxGroup"))
+  }
+
   test("hashSampleCapped hard-bounds the pair join at any rowcount") {
     import org.apache.spark.sql.functions._
     // 200k rows where the 50% rate alone would keep ~100k rows (5e9
