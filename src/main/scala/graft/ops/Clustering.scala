@@ -290,4 +290,82 @@ object Clustering {
     }
     cur.select(col("id").as(idCol), col("lab").as("label"))
   }
+
+  /** Greedy k-center (farthest-first traversal) coreset selection —
+    * the diversity-selection step of data-pruning pipelines (the
+    * Gonzalez 1985 2-approximation to the k-center objective; the
+    * selection primitive behind D4-style "dedup then diversify"
+    * curation): seed with the minimum id, then repeatedly pick the
+    * point FARTHEST (squared L2) from the already-selected set. Each
+    * selected row reports the distance that made it the pick — the
+    * running coverage radius, which is non-increasing and tells you
+    * when the corpus is "covered" and selection can stop.
+    *
+    * Determinism / oracle contract: distances are
+    * round(x·x − 2 x·c + c·c, 6) on double-cast vectors (the q26
+    * family's rounding discipline), the argmax tie-breaks on minimum
+    * id, and points at rounded distance 0 from the selected set
+    * (exact duplicates) are never picked — if every remaining point
+    * is a duplicate of a center, selection STOPS early with fewer
+    * than k rows rather than re-picking.
+    *
+    * Scale design (100 TB): the selected set is a bounded driver list
+    * (k ≤ 64 — require-guarded) broadcast into each pass as literal
+    * center vectors; each of the k rounds is ONE corpus scan ending
+    * in a 1-row TakeOrdered (argmax — never a global sort), and the
+    * corpus is localCheckpoint'ed once so the k scans re-read
+    * materialized partitions. Greedy k-center is inherently k passes;
+    * at web scale you run it on the post-dedup sampled pool (the D4
+    * shape), not the raw crawl. Returns (rnk, idCol, min_dist) with
+    * min_dist NULL on the seed row. */
+  def kCenterGreedy(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 64,
+      s"k must be in [1, 64] (bounded driver state); got $k")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val v = df.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("xx", dotProduct(col("v"), col("v")))
+      .localCheckpoint(false)
+    val seedRow = v.orderBy("id").limit(1)
+      .select(col("id"), col("v")).collect()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+    if (seedRow.nonEmpty) {
+      var centers = List(
+        (seedRow(0).getLong(0),
+          seedRow(0).getSeq[Double](1).toArray))
+      out += Row(1, centers.head._1, null)
+      var exhausted = false
+      while (centers.size < k && !exhausted) {
+        // rounded min squared-L2 distance to the selected set
+        val dists = centers.map { case (_, c) =>
+          val cc = c.map(x => x * x).sum
+          val litC = array(c.map(lit(_)): _*)
+          round(col("xx") - lit(2.0) * dotProduct(col("v"), litC) +
+            lit(cc), 6)
+        }
+        val minD =
+          if (dists.size == 1) dists.head else least(dists: _*)
+        val pick = v.withColumn("d", minD)
+          .where(col("d") > 0)
+          .orderBy(col("d").desc, col("id"))
+          .limit(1).select(col("id"), col("v"), col("d")).collect()
+        if (pick.isEmpty) exhausted = true
+        else {
+          val r = pick(0)
+          centers = (r.getLong(0),
+            r.getSeq[Double](1).toArray) :: centers
+          out += Row(centers.size, r.getLong(0), r.getDouble(2))
+        }
+      }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toSeq, 1),
+      StructType(Seq(
+        StructField("rnk", IntegerType, nullable = false),
+        StructField(idCol, LongType, nullable = false),
+        StructField("min_dist", DoubleType, nullable = true))))
+  }
 }

@@ -902,6 +902,70 @@ object Dedup {
           .as("dup_frac"))
   }
 
+  /** Maximal duplicated-span detection — the span-level unit of
+    * "exact substring" dedup (Lee et al., ACL 2022 "Deduplicating
+    * Training Data Makes Language Models Better" build a suffix array
+    * and remove any 50-token span occurring twice; this is the
+    * distributed k-gram-window formulation of the same predicate): a
+    * token position is duplicated when some `k`-word window covering
+    * it occurs >= `minOccurrences` times in the whole corpus
+    * (within-document repeats count — repeated boilerplate inside one
+    * page is still duplicated text), and overlapping duplicated
+    * windows merge into MAXIMAL spans, so a verbatim 200-token quote
+    * reports as one span of ~200 tokens, not 193 overlapping
+    * windows.
+    *
+    * Unlike [[duplicatedNgramStats]] (gram-level duplicated fraction),
+    * this returns the spans a removal pass would actually cut:
+    * per document (idCol, n_tokens, n_spans, dup_tokens, max_span,
+    * dup_frac) — dup_tokens = tokens covered by some duplicated
+    * window, max_span the longest merged run, zeros for clean or
+    * short (< k words) documents.
+    *
+    * Scale design (100 TB): the window-occurrence count and the
+    * join-back are both key-partitioned on the gram string (map-side
+    * combine collapses each document's repeats before the shuffle;
+    * nothing is collected or broadcast — a web corpus's k-gram table
+    * is unbounded). The gaps-and-islands merge runs in per-DOCUMENT
+    * windows ordered by position — bounded by document length, the
+    * same posture as the sessionize/interval-union family, never a
+    * global window. */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minOccurrences: Int = 2): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    require(minOccurrences >= 2, "minOccurrences must be >= 2")
+    val pos = df.select(col(idCol).as("id"),
+        posexplode(graft.functions.WordNgramsExpr
+          .ngrams(col(textCol), k, distinct = false)).as(Seq("p", "g")))
+    val occ = pos.groupBy("g").agg(count(lit(1)).as("occ"))
+      .where(col("occ") >= minOccurrences)
+    val dup = pos.join(occ, "g").select(col("id"), col("p"))
+    val byPos = Window.partitionBy("id").orderBy("p")
+    val prevMaxEnd = max(col("p") + lit(k))
+      .over(byPos.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = dup
+      .withColumn("brk",
+        when(prevMaxEnd.isNull || col("p") > prevMaxEnd, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(byPos))
+    val spans = islands.groupBy("id", "island")
+      .agg(min(col("p")).as("s"), (max(col("p")) + lit(k)).as("e"))
+    val perDoc = spans.groupBy("id").agg(
+      count(lit(1)).as("n_spans"),
+      sum(col("e") - col("s")).as("dup_tokens"),
+      max(col("e") - col("s")).as("max_span"))
+    df.select(col(idCol).as("id"),
+        TextAnalysis.nTokensWhitespace(col(textCol)).cast("long")
+          .as("n_tokens"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("max_span"), lit(0L)).as("max_span"),
+        round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          greatest(col("n_tokens"), lit(1L)), 6).as("dup_frac"))
+  }
+
   /** Pairwise corpus-overlap matrix: exact shingle-set Jaccard between
     * GROUPS of documents (sources, snapshots, shards) — the "how much
     * does crawl A overlap crawl B" diagnostic run before mixing

@@ -415,4 +415,96 @@ object Relevance {
           .as("cross_entropy"))
       .select(col("id").as(idCol), col("n_bigrams"), col("cross_entropy"))
   }
+
+  /** Stupid Backoff trigram LM scoring (Brants et al., EMNLP 2007
+    * "Large Language Models in Machine Translation" §4) — the
+    * held-out-corpus perplexity filter of CCNet-style pipelines
+    * (Wenzek et al., LREC 2020 train a KenLM on Wikipedia and score
+    * the crawl with it): train n-gram counts (n=1..3) on the rows
+    * matching `trainFilter`, score EVERY document's trigram positions
+    * under
+    *
+    * {{{
+    * S(w3|w1 w2) = c123/c12                    if c123 > 0
+    *             = alpha * S(w3|w2)            otherwise
+    * S(w3|w2)    = c23/c2                      if c23 > 0
+    *             = alpha * (c3 + 1)/(N + V)    otherwise
+    * }}}
+    *
+    * (the unigram floor is add-one over the training vocabulary so
+    * out-of-vocabulary words score a finite penalty instead of -inf —
+    * Stupid Backoff leaves the floor implementation-defined; c123 > 0
+    * implies c12 > 0 and c23 > 0 implies c2 > 0, so no other zero
+    * denominators exist). Returns one row per document with >= 1
+    * trigram: (idCol, n_trigrams, backoff_frac = fraction of positions
+    * that left the trigram order, sb_logscore = mean -ln S per trigram
+    * position, 6 dp — lower is more fluent under the training corpus).
+    *
+    * Scale design (100 TB): the count tables are corpus-derived but
+    * key-partitioned — every lookup is an equi-join ON the n-gram
+    * string, so Spark hash-partitions both sides and no count table is
+    * ever collected or broadcast (the trigram table of a web-scale
+    * corpus is far past broadcast size; only the one-row (N, V) totals
+    * broadcast). Scoring groups positions to (id, trigram) with a
+    * multiplicity count first, so repeated trigrams within a document
+    * pay one join row, and map-side partial aggregation compacts the
+    * explode before any shuffle. */
+  def stupidBackoffScore(
+      df: DataFrame, idCol: String, textCol: String,
+      trainFilter: Column, alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha must be in (0,1)")
+    val train = df.filter(trainFilter)
+    val uni = wordTable(train, idCol, textCol)
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+      .localCheckpoint(false)
+    val totals = uni.agg(sum(col("c1")).as("n_tok"),
+      count(lit(1)).as("v_sz"))
+    val bi = train.select(
+        explode(graft.functions.WordNgramsExpr
+          .ngrams(col(textCol), 2, distinct = false)).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c2"))
+      .localCheckpoint(false)
+    val tri = train.select(
+        explode(graft.functions.WordNgramsExpr
+          .ngrams(col(textCol), 3, distinct = false)).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c3"))
+    // whitespace-split words contain no whitespace, so the n-gram
+    // strings decompose losslessly into their context/suffix parts
+    val pos = df.select(col(idCol).as("id"),
+        explode(graft.functions.WordNgramsExpr
+          .ngrams(col(textCol), 3, distinct = false)).as("t"))
+      .groupBy("id", "t").agg(count(lit(1)).as("tf"))
+    val scored = pos
+      .join(tri, Seq("t"), "left")
+      .join(bi.select(col("b"), col("c2").as("c12")),
+        substring_index(col("t"), " ", 2) === col("b"), "left")
+      .drop("b")
+      .join(bi.select(col("b"), col("c2").as("c23")),
+        substring_index(col("t"), " ", -2) === col("b"), "left")
+      .drop("b")
+      .join(uni.select(col("w"), col("c1").as("cCtx")),
+        element_at(split(col("t"), " "), 2) === col("w"), "left")
+      .drop("w")
+      .join(uni.select(col("w"), col("c1").as("cLast")),
+        substring_index(col("t"), " ", -1) === col("w"), "left")
+      .drop("w")
+      .crossJoin(broadcast(totals))
+    val s =
+      when(col("c3").isNotNull,
+        col("c3") / col("c12").cast("double"))
+      .when(col("c23").isNotNull,
+        lit(alpha) * (col("c23") / col("cCtx").cast("double")))
+      .otherwise(lit(alpha) * lit(alpha) *
+        ((coalesce(col("cLast"), lit(0L)) + lit(1L)) /
+          (col("n_tok") + col("v_sz")).cast("double")))
+    scored.groupBy("id")
+      .agg(
+        sum(col("tf")).as("n_trigrams"),
+        round(sum(when(col("c3").isNull, col("tf")).otherwise(lit(0L)))
+          / sum(col("tf")).cast("double"), 6).as("backoff_frac"),
+        round(-sum(col("tf") * log(s)) / sum(col("tf")), 6)
+          .as("sb_logscore"))
+      .select(col("id").as(idCol), col("n_trigrams"),
+        col("backoff_frac"), col("sb_logscore"))
+  }
 }

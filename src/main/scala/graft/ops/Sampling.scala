@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.StatFunctions._
@@ -73,6 +73,112 @@ object Sampling {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("cum_tokens", sum(col(tokensCol)).over(w))
       .where(col("cum_tokens") <= budget)
+  }
+
+  /** DSIR importance weights (Xie et al., NeurIPS 2023 "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how much more likely its hashed-n-gram features are
+    * under a TARGET corpus (the rows matching `targetFilter` — the
+    * high-quality exemplar set) than under the RAW corpus (the rest),
+    * the log-ratio the paper then resamples by. Features are the
+    * paper's: unigrams + bigrams hashed into `buckets` counts (the
+    * md5 bucket convention of [[graft.ops.FeatureEng
+    * .hashingTrickFeatures]], so the oracle rebuilds bit-identical
+    * buckets); both bucket distributions are add-one smoothed over the
+    * `buckets` universe, so a feature unseen in either corpus
+    * contributes a finite log-ratio. Returns one row per document
+    * with >= 1 token: (idCol, is_target, n_feats, log_weight) with
+    * log_weight = sum over feature occurrences of
+    * ln pT(b) - ln pR(b), 6 dp.
+    *
+    * Scale design (100 TB): the two bucket tables are <= `buckets`
+    * rows REGARDLESS of corpus size (that is the point of the hashing
+    * trick) and join back by broadcast; per-document features collapse
+    * to (id, bucket, n) map-side before that join, so the whole scorer
+    * is one explode + one keyed combine + two broadcast lookups —
+    * no corpus-sized shuffle beyond the per-document combine. */
+  def dsirLogWeights(df: DataFrame, idCol: String, textCol: String,
+      targetFilter: Column, buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2, "buckets must be >= 2")
+    def bucketOf(c: Column): Column =
+      conv(substring(md5(c.cast("binary")), 1, 12), 16, 10)
+        .cast("long") % lit(buckets.toLong)
+    def feats(d: DataFrame): DataFrame = {
+      val grams = d.select(col(idCol).as("id"), explode(concat(
+          graft.functions.WordNgramsExpr
+            .ngrams(col(textCol), 1, distinct = false),
+          graft.functions.WordNgramsExpr
+            .ngrams(col(textCol), 2, distinct = false))).as("__g"))
+      grams.select(col("id"), bucketOf(col("__g")).as("b"))
+        .groupBy("id", "b").agg(count(lit(1)).as("n"))
+    }
+    val all = df.withColumn("is_target",
+      coalesce(targetFilter, lit(false)))
+    val byDoc = feats(all).localCheckpoint(false)
+    val isTarget = all.select(col(idCol).as("id"), col("is_target"))
+    val withFlag = byDoc.join(isTarget, "id")
+    val cT = withFlag.where(col("is_target"))
+      .groupBy("b").agg(sum(col("n")).as("ct"))
+    val cR = withFlag.where(!col("is_target"))
+      .groupBy("b").agg(sum(col("n")).as("cr"))
+    val totals = withFlag.groupBy()
+      .agg(sum(when(col("is_target"), col("n")).otherwise(lit(0L)))
+          .as("tt"),
+        sum(when(col("is_target"), lit(0L)).otherwise(col("n"))).as("tr"))
+    val logRatio =
+      log((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double") /
+          (col("tt") + lit(buckets.toLong))) -
+      log((coalesce(col("cr"), lit(0L)) + lit(1L)).cast("double") /
+          (col("tr") + lit(buckets.toLong)))
+    withFlag
+      .join(broadcast(cT), Seq("b"), "left")
+      .join(broadcast(cR), Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .groupBy("id", "is_target")
+      .agg(sum(col("n")).as("n_feats"),
+        round(sum(col("n") * logRatio), 6).as("log_weight"))
+      .select(col("id").as(idCol), col("is_target"),
+        col("n_feats"), col("log_weight"))
+  }
+
+  /** Quality-threshold filtering sweep — the calibration table a
+    * pipeline reads BEFORE committing to a per-source quality cutoff
+    * (the FineWeb/RefinedWeb-style filtering ablation: "at cutoff τ,
+    * how many documents and tokens survive per source?"): for every
+    * group and every candidate threshold, the kept-document count,
+    * kept-token count, and kept-token fraction of the group.
+    *
+    * One aggregation pass: the thresholds are a bounded config list,
+    * so each becomes two conditional sums inside a single groupBy —
+    * the corpus is scanned ONCE however many thresholds are swept —
+    * and the per-threshold rows explode out of the already-aggregated
+    * (|groups| rows) table, never out of the corpus. */
+  def qualityThresholdSweep(df: DataFrame, groupCol: String,
+      scoreCol: Column, tokensCol: Column,
+      thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "thresholds must be non-empty")
+    require(thresholds.size <= 64, "thresholds is a bounded config list")
+    val base = df.select(col(groupCol).as("g"), scoreCol.as("sc"),
+      tokensCol.cast("long").as("tk"))
+    val condAggs = thresholds.zipWithIndex.flatMap { case (t, i) => Seq(
+      sum(when(col("sc") >= t, lit(1L)).otherwise(lit(0L))).as(s"__d$i"),
+      sum(when(col("sc") >= t, col("tk")).otherwise(lit(0L))).as(s"__t$i"))
+    }
+    val wide = base.groupBy("g").agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("tk")).as("n_tokens") +: condAggs): _*)
+    wide.select(col("g"), col("n_docs"), col("n_tokens"),
+        explode(array(thresholds.zipWithIndex.map { case (t, i) =>
+          struct(lit(t).as("threshold"),
+            col(s"__d$i").as("n_docs_kept"),
+            col(s"__t$i").as("tokens_kept"))
+        }: _*)).as("x"))
+      .select(col("g").as(groupCol), col("x.threshold").as("threshold"),
+        col("n_docs"), col("n_tokens"),
+        col("x.n_docs_kept").as("n_docs_kept"),
+        col("x.tokens_kept").as("tokens_kept"),
+        round(col("x.tokens_kept").cast("double") /
+          greatest(col("n_tokens"), lit(1L)), 6).as("token_frac"))
   }
 
   /** Deterministic train/val/test assignment — the split EVERY

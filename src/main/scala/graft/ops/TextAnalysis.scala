@@ -512,6 +512,44 @@ object TextAnalysis {
           .as(s"top${topK}_coverage"))
   }
 
+  /** Per-group unigram KL divergence from the corpus mix:
+    * KL(p_group || p_corpus) over the word distribution — the
+    * "how lexically atypical is this source?" diagnostic read next to
+    * the set-overlap matrix (groupShingleOverlap) and the embedding
+    * centroid map when deciding corpus mixing weights: a source with
+    * near-zero KL adds no lexical diversity; a high-KL source shifts
+    * the mix. Every group word has corpus support (the corpus IS the
+    * union of the groups), so no smoothing is needed and the sum is
+    * finite. Returns (groupCol, n_tokens, n_types, kl_nats 6 dp).
+    *
+    * Scale design: one word explode collapsed map-side to
+    * (group, word) counts; corpus counts derive from THAT table (no
+    * second scan), join back on the word key (hash-partitioned,
+    * vocabulary-sized — never collected), then a bounded per-group
+    * rollup. */
+  def sourceUnigramKL(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val gw = df.select(col(groupCol).as("g"),
+        explode(words(col(textCol))).as("w"))
+      .groupBy("g", "w").agg(count(lit(1)).as("cgw"))
+      .localCheckpoint(false)
+    val gTot = gw.groupBy("g").agg(sum(col("cgw")).as("tg"))
+    val cw = gw.groupBy("w").agg(sum(col("cgw")).as("cw"))
+    val tot = cw.agg(sum(col("cw")).as("tot"))
+    val pG = col("cgw") / col("tg").cast("double")
+    val pC = col("cw") / col("tot").cast("double")
+    gw.join(cw, "w")
+      .join(broadcast(gTot), "g")
+      .crossJoin(broadcast(tot))
+      .groupBy("g")
+      .agg(
+        sum(col("cgw")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        round(sum(pG * log(pG / pC)), 6).as("kl_nats"))
+      .select(col("g").as(groupCol), col("n_tokens"),
+        col("n_types"), col("kl_nats"))
+  }
+
   /** Encode each document against a `(id, word)` [[vocabulary]] table:
     * the token-id sequences a training job actually consumes, with
     * out-of-vocabulary tokens mapped to `oovId`. One posexplode, one

@@ -3546,7 +3546,249 @@ object PipelineQueries {
       FROM c WHERE cum_tokens <= 20000
       ORDER BY source, cum_tokens"""))
 
+  /** Stupid Backoff trigram LM scoring ([[graft.ops.Relevance
+    * .stupidBackoffScore]]; Brants et al., EMNLP 2007 §4): counts
+    * trained on sources src0-src4 (the held-out-model shape of the
+    * CCNet perplexity filter — Wenzek et al., LREC 2020), every
+    * document's trigram positions scored under
+    * S = c123/c12 | 0.4·c23/c2 | 0.4²·(c3+1)/(N+V). The oracle
+    * rebuilds all three count tables and replays the backoff cascade;
+    * backoff_frac pins which branch each position took, so a MATCH
+    * certifies the cascade itself, not just the blended number. */
+  val qStupidBackoff = Q(
+    "q262_stupid_backoff",
+    (s, dir) =>
+      graft.ops.Relevance.stupidBackoffScore(
+          table(s, dir, "documents"), "doc_id", "text",
+          trainFilter = col("source")
+            .isin("src0", "src1", "src2", "src3", "src4"),
+          alpha = 0.4)
+        .orderBy("doc_id"),
+    Some(s"""WITH w AS (SELECT doc_id, source, $dkWords AS ws
+               FROM documents),
+      tr AS (SELECT ws FROM w
+             WHERE source IN ('src0','src1','src2','src3','src4')),
+      u AS (SELECT unnest(ws) AS wd FROM tr),
+      uni AS (SELECT wd, count(*) AS c1 FROM u GROUP BY 1),
+      tot AS (SELECT sum(c1) AS n_tok, count(*) AS v_sz FROM uni),
+      bg AS (SELECT unnest([ws[i] || ' ' || ws[i+1]
+               for i in range(1, len(ws))]) AS b
+             FROM tr WHERE len(ws) >= 2),
+      bi AS (SELECT b, count(*) AS c2 FROM bg GROUP BY 1),
+      tg AS (SELECT unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+               for i in range(1, len(ws)-1)]) AS t
+             FROM tr WHERE len(ws) >= 3),
+      tri AS (SELECT t, count(*) AS c3 FROM tg GROUP BY 1),
+      pos AS (SELECT doc_id,
+               unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                 for i in range(1, len(ws)-1)]) AS t
+             FROM w WHERE len(ws) >= 3),
+      tf AS (SELECT doc_id, t, count(*) AS tf FROM pos GROUP BY 1, 2),
+      j AS (SELECT tf.doc_id, tf.tf, tri.c3, b12.c2 AS c12,
+              b23.c2 AS c23, u2.c1 AS cctx, u3.c1 AS clast
+            FROM tf
+            LEFT JOIN tri ON tri.t = tf.t
+            LEFT JOIN bi b12 ON b12.b = string_split(tf.t, ' ')[1]
+              || ' ' || string_split(tf.t, ' ')[2]
+            LEFT JOIN bi b23 ON b23.b = string_split(tf.t, ' ')[2]
+              || ' ' || string_split(tf.t, ' ')[3]
+            LEFT JOIN uni u2 ON u2.wd = string_split(tf.t, ' ')[2]
+            LEFT JOIN uni u3 ON u3.wd = string_split(tf.t, ' ')[3]),
+      sv AS (SELECT doc_id, tf, c3,
+              CASE WHEN c3 IS NOT NULL THEN c3 / CAST(c12 AS DOUBLE)
+                   WHEN c23 IS NOT NULL
+                     THEN 0.4::DOUBLE * (c23 / CAST(cctx AS DOUBLE))
+                   ELSE 0.4::DOUBLE * 0.4::DOUBLE *
+                     ((coalesce(clast, 0) + 1) /
+                       CAST(n_tok + v_sz AS DOUBLE)) END AS s
+            FROM j CROSS JOIN tot)
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_trigrams,
+        round(CAST(sum(CASE WHEN c3 IS NULL THEN tf ELSE 0 END)
+          AS DOUBLE) / sum(tf), 6) AS backoff_frac,
+        round(-sum(tf * ln(s)) / sum(tf), 6) AS sb_logscore
+      FROM sv GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Maximal duplicated-span detection ([[graft.ops.Dedup
+    * .duplicatedSpans]]; the distributed k-gram-window form of Lee et
+    * al., ACL 2022 exact-substring dedup): positions covered by an
+    * 8-word window occurring >= 2 times corpus-wide, merged into
+    * maximal spans by per-document gaps-and-islands. The oracle
+    * replays the window counts AND the island merge, so span
+    * boundaries — not just coverage totals — are certified. */
+  val qDupSpans = Q(
+    "q263_dup_spans",
+    (s, dir) =>
+      graft.ops.Dedup.duplicatedSpans(
+          table(s, dir, "documents"), "doc_id", "text",
+          k = 8, minOccurrences = 2)
+        .orderBy("doc_id"),
+    Some(s"""WITH w AS (SELECT doc_id, $dkWords AS ws FROM documents),
+      tok AS (SELECT doc_id, len(ws) AS n_tokens FROM w),
+      gp0 AS (SELECT doc_id, unnest([{'p': i,
+                 'g': list_aggregate(ws[i:i+7], 'string_agg', ' ')}
+                 for i in range(1, len(ws)-6)]) AS st
+             FROM w WHERE len(ws) >= 8),
+      gp AS (SELECT doc_id, st.p AS p, st.g AS g FROM gp0),
+      oc AS (SELECT g, count(*) AS occ FROM gp GROUP BY 1),
+      d AS (SELECT doc_id, p FROM gp JOIN oc USING (g) WHERE occ >= 2),
+      pm AS (SELECT doc_id, p, max(p + 8) OVER (PARTITION BY doc_id
+               ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING) AS pme FROM d),
+      br AS (SELECT doc_id, p, CASE WHEN pme IS NULL OR p > pme
+               THEN 1 ELSE 0 END AS brk FROM pm),
+      isl AS (SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id
+               ORDER BY p ROWS UNBOUNDED PRECEDING) AS island FROM br),
+      sp AS (SELECT doc_id, island, min(p) AS s, max(p) + 8 AS e
+             FROM isl GROUP BY 1, 2),
+      ag AS (SELECT doc_id, count(*) AS n_spans,
+               sum(e - s) AS dup_tokens, max(e - s) AS max_span
+             FROM sp GROUP BY 1)
+      SELECT t.doc_id, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+        CAST(coalesce(ag.n_spans, 0) AS BIGINT) AS n_spans,
+        CAST(coalesce(ag.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        CAST(coalesce(ag.max_span, 0) AS BIGINT) AS max_span,
+        round(CAST(coalesce(ag.dup_tokens, 0) AS DOUBLE) /
+          greatest(t.n_tokens, 1), 6) AS dup_frac
+      FROM tok t LEFT JOIN ag USING (doc_id) ORDER BY t.doc_id"""))
+
+  /** DSIR importance weights ([[graft.ops.Sampling.dsirLogWeights]];
+    * Xie et al., NeurIPS 2023): hashed unigram+bigram bucket
+    * distributions fitted on target (src0-src2) vs raw, every document
+    * scored by its add-one-smoothed log likelihood ratio — the weight
+    * the paper resamples by. The md5 bucket convention matches
+    * q194's, so the oracle rebuilds bit-identical buckets. */
+  val qDsirWeights = Q(
+    "q264_dsir_weights",
+    (s, dir) =>
+      graft.ops.Sampling.dsirLogWeights(
+          table(s, dir, "documents"), "doc_id", "text",
+          targetFilter = col("source").isin("src0", "src1", "src2"),
+          buckets = 256)
+        .orderBy("doc_id"),
+    Some(s"""WITH w AS (SELECT doc_id,
+               source IN ('src0','src1','src2') AS is_target,
+               $dkWords AS ws FROM documents),
+      f AS (SELECT doc_id, is_target,
+              unnest(ws || [ws[i] || ' ' || ws[i+1]
+                for i in range(1, len(ws))]) AS g
+            FROM w),
+      h AS (SELECT doc_id, is_target,
+              ('0x' || substr(md5(g), 1, 12))::BIGINT % 256 AS b
+            FROM f),
+      bf AS (SELECT doc_id, is_target, b, count(*) AS n
+             FROM h GROUP BY 1, 2, 3),
+      ct AS (SELECT b, sum(n) AS ct FROM bf WHERE is_target GROUP BY 1),
+      cr AS (SELECT b, sum(n) AS cr FROM bf WHERE NOT is_target
+             GROUP BY 1),
+      tot AS (SELECT sum(CASE WHEN is_target THEN n ELSE 0 END) AS tt,
+                sum(CASE WHEN is_target THEN 0 ELSE n END) AS tr
+              FROM bf)
+      SELECT doc_id, is_target, CAST(sum(n) AS BIGINT) AS n_feats,
+        round(sum(n * (ln((coalesce(ct, 0) + 1) /
+            CAST(tt + 256 AS DOUBLE)) -
+          ln((coalesce(cr, 0) + 1) / CAST(tr + 256 AS DOUBLE)))), 6)
+          AS log_weight
+      FROM bf LEFT JOIN ct USING (b) LEFT JOIN cr USING (b)
+      CROSS JOIN tot
+      GROUP BY 1, 2 ORDER BY doc_id"""))
+
+  /** Quality-threshold filtering sweep ([[graft.ops.Sampling
+    * .qualityThresholdSweep]]): per (source, cutoff) kept docs /
+    * kept tokens / kept-token fraction over five candidate cutoffs of
+    * the q29 quality score — the filtering-ablation table read before
+    * committing to a per-source cutoff. One corpus scan regardless of
+    * how many thresholds are swept. */
+  val qQualitySweep = Q(
+    "q265_quality_sweep",
+    (s, dir) =>
+      graft.ops.Sampling.qualityThresholdSweep(
+          table(s, dir, "documents"), "source",
+          scoreCol = TextAnalysis.qualityScore(col("text")),
+          tokensCol = TextAnalysis.nTokensWhitespace(col("text")),
+          thresholds = Seq(0.2, 0.35, 0.5, 0.65, 0.8))
+        .orderBy("source", "threshold"),
+    Some(s"""WITH sc AS (SELECT source, $dkQualityScore AS sc,
+               len($dkWords) AS tk FROM documents),
+      th AS (SELECT unnest([0.2::DOUBLE, 0.35::DOUBLE, 0.5::DOUBLE,
+               0.65::DOUBLE, 0.8::DOUBLE]) AS threshold),
+      j AS (SELECT source, threshold, sc, tk FROM sc CROSS JOIN th)
+      SELECT source, threshold, count(*) AS n_docs,
+        CAST(sum(tk) AS BIGINT) AS n_tokens,
+        CAST(sum(CASE WHEN sc >= threshold THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_docs_kept,
+        CAST(sum(CASE WHEN sc >= threshold THEN tk ELSE 0 END)
+          AS BIGINT) AS tokens_kept,
+        round(CAST(sum(CASE WHEN sc >= threshold THEN tk ELSE 0 END)
+          AS DOUBLE) / greatest(sum(tk), 1), 6) AS token_frac
+      FROM j GROUP BY 1, 2 ORDER BY source, threshold"""))
+
+  /** Per-source unigram KL divergence from the corpus mix
+    * ([[graft.ops.TextAnalysis.sourceUnigramKL]]): the lexical
+    * atypicality diagnostic next to q127's set overlap and q179's
+    * centroid map when weighing sources. No smoothing needed — every
+    * group word has corpus support by construction. */
+  val qSourceKl = Q(
+    "q266_source_kl",
+    (s, dir) =>
+      TextAnalysis.sourceUnigramKL(
+          table(s, dir, "documents"), "source", "text")
+        .orderBy("source"),
+    Some(s"""WITH gw AS (SELECT source, unnest($dkWords) AS w
+               FROM documents),
+      c AS (SELECT source, w, count(*) AS cgw FROM gw GROUP BY 1, 2),
+      g AS (SELECT source, sum(cgw) AS tg FROM c GROUP BY 1),
+      cw AS (SELECT w, sum(cgw) AS cw FROM c GROUP BY 1),
+      tot AS (SELECT sum(cw) AS tot FROM cw)
+      SELECT source, CAST(sum(cgw) AS BIGINT) AS n_tokens,
+        count(*) AS n_types,
+        round(sum((cgw / CAST(tg AS DOUBLE)) *
+          ln((cgw / CAST(tg AS DOUBLE)) / (cw / CAST(tot AS DOUBLE)))),
+          6) AS kl_nats
+      FROM c JOIN cw USING (w) JOIN g USING (source) CROSS JOIN tot
+      GROUP BY source ORDER BY source"""))
+
+  /** Greedy k-center coreset selection ([[graft.ops.Clustering
+    * .kCenterGreedy]]; Gonzalez 1985 farthest-first): six centers over
+    * the embeddings table, each reporting the coverage-radius distance
+    * that made it the pick. The oracle unrolls all six greedy rounds
+    * as chained CTEs — seed, then five argmax-over-least stages on the
+    * same rounded squared-L2 — so the SELECTION SEQUENCE is certified,
+    * not just the final set. */
+  val qKCenter = Q(
+    "q267_kcenter_coreset",
+    (s, dir) =>
+      graft.ops.Clustering.kCenterGreedy(
+          table(s, dir, "embeddings"), "vec_id", "embedding", k = 6)
+        .orderBy("rnk"),
+    Some {
+      def d2(vt: String, ct: String) =
+        s"""round(list_dot_product($vt.v, $vt.v) -
+             2*list_dot_product($vt.v, $ct.v) +
+             list_dot_product($ct.v, $ct.v), 6)"""
+      val stages = (2 to 6).map { t =>
+        s"""p$t AS (SELECT id, v, d FROM d${t - 1}
+              WHERE d > 0 ORDER BY d DESC, id LIMIT 1),
+           d$t AS (SELECT a.id, a.v,
+               least(a.d, ${d2("a", "p")}) AS d
+             FROM d${t - 1} a CROSS JOIN p$t p)"""
+      }.mkString(",\n")
+      val unions = (2 to 6).map(t =>
+        s"SELECT $t AS rnk, id AS vec_id, d AS min_dist FROM p$t")
+        .mkString("\n UNION ALL ")
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+               FROM embeddings),
+        c1 AS (SELECT id, v FROM e ORDER BY id LIMIT 1),
+        d1 AS (SELECT e.id, e.v, ${d2("e", "c")} AS d
+               FROM e CROSS JOIN c1 c),
+        $stages
+        SELECT 1 AS rnk, id AS vec_id, NULL::DOUBLE AS min_dist FROM c1
+         UNION ALL $unions
+        ORDER BY rnk"""
+    })
+
   val all: Seq[Q] = Seq(qWeightedReservoir, qMinhashEstimate, qSimhashPairs,
+    qStupidBackoff, qDupSpans, qDsirWeights, qQualitySweep, qSourceKl,
+    qKCenter,
     qSimhashCombos, qPqAdcRecall, qIvfPqRecall, qRboRankings,
     qEpochShuffle, qBudgetTrim,
     qGlobalPacking, qLshCandClusters, qNdcgEval, qLabelProp,

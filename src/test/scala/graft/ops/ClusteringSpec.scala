@@ -133,4 +133,40 @@ class ClusteringSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
     assert(!iso(0L) && iso(9L))
   }
+
+  test("kCenterGreedy: hand-traced farthest-first sequence") {
+    import spark.implicits._
+    // seed = min id (0,0); then (10,0) at d=100; then (5,5) at
+    // min(50, 50) = 50; then (0,1) at min(1, 101, 41) = 1.
+    val d = Seq(
+      (0L, Seq(0.0, 0.0)), (1L, Seq(10.0, 0.0)),
+      (2L, Seq(0.0, 1.0)), (3L, Seq(5.0, 5.0))
+    ).toDF("vec_id", "embedding")
+    val out = Clustering.kCenterGreedy(d, "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toSeq
+    assert(out == Seq((1, 0L, -1.0), (2, 1L, 100.0),
+      (3, 3L, 50.0), (4, 2L, 1.0)))
+  }
+
+  test("kCenterGreedy: equidistant tie picks min id; duplicates stop early") {
+    import spark.implicits._
+    val tie = Seq(
+      (0L, Seq(0.0, 0.0)), (2L, Seq(0.0, 2.0)), (1L, Seq(2.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val t = Clustering.kCenterGreedy(tie, "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(t == Seq((1, 0L), (2, 1L))) // d=4.0 both; id 1 wins
+    // all-duplicate corpus: no point is ever at distance > 0 -> just
+    // the seed, even though k asked for 3
+    val dup = Seq(
+      (7L, Seq(1.0, 1.0)), (8L, Seq(1.0, 1.0)), (9L, Seq(1.0, 1.0))
+    ).toDF("vec_id", "embedding")
+    val s = Clustering.kCenterGreedy(dup, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(s == Seq((1, 7L)))
+    intercept[IllegalArgumentException] {
+      Clustering.kCenterGreedy(dup, "vec_id", "embedding", k = 65)
+    }
+  }
 }

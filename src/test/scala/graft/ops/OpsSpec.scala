@@ -1002,4 +1002,63 @@ class OpsSpec extends SparkSpec {
     assert(got.toSeq === Seq(
       (1, "a", "a", 4L), (2, "a", "b", 3L), (3, "aa", "ab", 2L)))
   }
+
+  test("dsirLogWeights: identical target/raw corpora weigh exactly zero") {
+    // Target and raw are the same multiset of texts -> every bucket has
+    // ct == cr and tt == tr, so the smoothed log-ratio is identically 0
+    // for every document regardless of hash collisions.
+    val d = Seq(
+      (0L, 1, "alpha beta gamma"), (1L, 1, "delta epsilon"),
+      (2L, 0, "alpha beta gamma"), (3L, 0, "delta epsilon")
+    ).toDF("doc_id", "t", "text")
+    val out = Sampling.dsirLogWeights(d, "doc_id", "text",
+        targetFilter = col("t") === 1, buckets = 64)
+      .collect().map(r => (r.getLong(0),
+        (r.getBoolean(1), r.getLong(2), r.getDouble(3)))).toMap
+    // n_feats: 3 words + 2 bigrams = 5, or 2 + 1 = 3
+    assert(out(0L) == ((true, 5L, 0.0)))
+    assert(out(1L) == ((true, 3L, 0.0)))
+    assert(out(2L) == ((false, 5L, 0.0)))
+    assert(out(3L) == ((false, 3L, 0.0)))
+  }
+
+  test("dsirLogWeights: target-exclusive vocabulary scores positive, " +
+      "raw-exclusive negative; null filter reads as raw") {
+    val d = Seq(
+      (0L, Some(1), "tx ty tz tx ty"),
+      (1L, Some(0), "rx ry rz rx ry"),
+      (2L, None: Option[Int], "rx ry")
+    ).toDF("doc_id", "t", "text")
+    val out = Sampling.dsirLogWeights(d, "doc_id", "text",
+        targetFilter = col("t") === 1, buckets = 4096)
+      .collect().map(r => (r.getLong(0),
+        (r.getBoolean(1), r.getDouble(3)))).toMap
+    assert(out(0L)._1 && out(0L)._2 > 0, out(0L))
+    assert(!out(1L)._1 && out(1L)._2 < 0, out(1L))
+    // null predicate coalesces to raw membership
+    assert(!out(2L)._1 && out(2L)._2 < 0, out(2L))
+  }
+
+  test("qualityThresholdSweep: one row per (group, threshold), exact " +
+      "conditional counts") {
+    val d = Seq(
+      ("a", 0.9, 10L), ("a", 0.4, 20L), ("a", 0.1, 40L),
+      ("b", 0.5, 8L)
+    ).toDF("source", "score", "tk")
+    val out = Sampling.qualityThresholdSweep(d, "source",
+        scoreCol = col("score"), tokensCol = col("tk"),
+        thresholds = Seq(0.25, 0.5))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6)))).toMap
+    assert(out(("a", 0.25)) == ((3L, 70L, 2L, 30L, 0.428571)))
+    assert(out(("a", 0.5)) == ((3L, 70L, 1L, 10L, 0.142857)))
+    assert(out(("b", 0.25)) == ((1L, 8L, 1L, 8L, 1.0)))
+    assert(out(("b", 0.5)) == ((1L, 8L, 1L, 8L, 1.0)))
+    assert(out.size == 4)
+    intercept[IllegalArgumentException] {
+      Sampling.qualityThresholdSweep(d, "source", col("score"),
+        col("tk"), thresholds = Nil)
+    }
+  }
 }

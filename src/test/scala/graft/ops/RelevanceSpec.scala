@@ -300,4 +300,111 @@ class RelevanceSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(got == Seq(3L)) // equal scores -> lower id wins the cap
   }
+
+  private def r6(x: Double): Double = BigDecimal(x)
+    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("stupidBackoffScore: all three cascade branches, hand-computed") {
+    import org.apache.spark.sql.functions.col
+    // Train corpus (t=1): "a b c a b d".
+    //   uni: a2 b2 c1 d1 (N=6, V=4); bi: "a b"2 "b c"1 "c a"1 "b d"1;
+    //   tri: "a b c" "b c a" "c a b" "a b d" each 1.
+    val d = Seq(
+      (0L, 1, "a b c a b d"),  // the training doc
+      (1L, 0, "a b c"),        // tri hit: S = c3/c12 = 1/2
+      (2L, 0, "c a b d"),      // tri hits: 1/1 and 1/2
+      (3L, 0, "b c x"),        // double miss -> 0.4^2*(0+1)/10
+      (4L, 0, "x b c"),        // tri miss, bi "b c" hit -> 0.4*(1/2)
+      (5L, 0, "a b")           // < 3 words -> no row
+    ).toDF("doc_id", "t", "text")
+    val out = Relevance.stupidBackoffScore(d, "doc_id", "text",
+        trainFilter = col("t") === 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((1L, 0.0, r6(-math.log(0.5)))))
+    assert(out(2L) == ((2L, 0.0,
+      r6(-(math.log(1.0) + math.log(0.5)) / 2))))
+    assert(out(3L) == ((1L, 1.0, r6(-math.log(0.4 * 0.4 * (1.0 / 10))))))
+    assert(out(4L) == ((1L, 1.0, r6(-math.log(0.4 * (1.0 / 2))))))
+    assert(!out.contains(5L))
+    // the training doc scores too (its own trigrams all hit):
+    // S = [1/2, 1/1, 1/1, 1/2] -> mean -ln = ln(2)/2
+    assert(out(0L) == ((4L, 0.0, r6(math.log(2.0) / 2))))
+  }
+
+  test("stupidBackoffScore: OOV words take the add-one unigram floor") {
+    import org.apache.spark.sql.functions.col
+    val d = Seq(
+      (0L, 1, "a b c"),     // N=3, V=3
+      (1L, 0, "z z z")      // fully OOV: 0.4^2 * (0+1)/(3+3)
+    ).toDF("doc_id", "t", "text")
+    val out = Relevance.stupidBackoffScore(d, "doc_id", "text",
+        trainFilter = col("t") === 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((1.0, r6(-math.log(0.4 * 0.4 * (1.0 / 6))))))
+  }
+
+  test("duplicatedSpans: overlapping windows merge to maximal spans") {
+    // k=3. Docs 0/1 share the verbatim run "q r s t u" (5 tokens ->
+    // three overlapping windows -> ONE span of 5). Doc 2 is clean.
+    val d = Seq(
+      (0L, "q r s t u a1 a2 a3"),
+      (1L, "b1 b2 q r s t u"),
+      (2L, "c1 c2 c3 c4"),
+      (3L, "w1 w2") // < k words
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(d, "doc_id", "text",
+        k = 3, minOccurrences = 2)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    assert(out(0L) == ((8L, 1L, 5L, 5L, 0.625)))
+    assert(out(1L) == ((7L, 1L, 5L, 5L, r6(5.0 / 7))))
+    assert(out(2L) == ((4L, 0L, 0L, 0L, 0.0)))
+    // short doc still reported, with zero spans
+    assert(out(3L) == ((2L, 0L, 0L, 0L, 0.0)))
+  }
+
+  test("duplicatedSpans: within-doc repeats count; disjoint spans split") {
+    // Doc 0 repeats its own trigram "p q r" at positions 0 and 3:
+    // window ends 0+3=3 and start 3 -> 3 > 3 is false -> ONE merged
+    // span covering all 6 tokens (adjacent runs coalesce).
+    val rep = Seq((0L, "p q r p q r")).toDF("doc_id", "text")
+    val o1 = Dedup.duplicatedSpans(rep, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).head
+    assert(o1 == ((1L, 6L)))
+    // Docs sharing two runs separated by a gap > k -> two spans.
+    val d = Seq(
+      (0L, "s1 s2 s3 g1 g2 g3 g4 e1 e2 e3"),
+      (1L, "s1 s2 s3 h1 h2 h3 h4 e1 e2 e3")
+    ).toDF("doc_id", "text")
+    val o2 = Dedup.duplicatedSpans(d, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(o2(0L) == ((2L, 6L, 3L))) // two 3-token spans
+    assert(o2(1L) == ((2L, 6L, 3L)))
+  }
+
+  test("sourceUnigramKL: hand-computed divergence; uniform mix is zero") {
+    // src A tokens: x x y (pA = 2/3, 1/3); src B: x y y y (pB = 1/4,
+    // 3/4). Corpus: x3 y4 of 7.
+    val d = Seq(
+      ("A", "x x y"), ("B", "x y y y")
+    ).toDF("source", "text")
+    val out = TextAnalysis.sourceUnigramKL(d, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val klA = (2.0 / 3) * math.log((2.0 / 3) / (3.0 / 7)) +
+      (1.0 / 3) * math.log((1.0 / 3) / (4.0 / 7))
+    val klB = (1.0 / 4) * math.log((1.0 / 4) / (3.0 / 7)) +
+      (3.0 / 4) * math.log((3.0 / 4) / (4.0 / 7))
+    assert(out("A") == ((3L, 2L, r6(klA))))
+    assert(out("B") == ((4L, 2L, r6(klB))))
+    // identical sources -> group dist == corpus dist -> KL exactly 0
+    val same = Seq(("A", "x y"), ("B", "x y")).toDF("source", "text")
+    val z = TextAnalysis.sourceUnigramKL(same, "source", "text")
+      .collect().map(_.getDouble(3)).toSeq
+    assert(z == Seq(0.0, 0.0))
+  }
 }
