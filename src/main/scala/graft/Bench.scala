@@ -364,7 +364,13 @@ object Bench {
       // 10x, while q248's 4-table scheme scales at 2.9x)
       "q249_asof_timestamp_exec", "q254_pq_adc_recall",
       // the round-9 O(n log n) exact-Kendall claim, measured at 10x
-      "q261_kendall_exact")
+      "q261_kendall_exact",
+      // round-9 curation ops whose cost is corpus-scan + keyed joins:
+      // the LM-count join ladder and the dup-span window/island pass
+      // (word-shuffled replicas keep 8-gram collisions honest: shuffles
+      // break long spans, exact-tile pairs within a replica family
+      // still share windows)
+      "q262_stupid_backoff", "q263_dup_spans")
     val stressWaivers = Map(
       "q165_mutual_knn" -> ("documented O(n^2) exact-kNN oracle tool; " +
         "q26b/q26c/q27 are the approximate scale path"))
