@@ -1045,4 +1045,161 @@ object Dedup {
       .where(col("__component").isNull || col("__component") === docs(idCol))
       .drop("__ccid", "__component")
   }
+
+  /** First-`n`-words fingerprint: the cheap document key behind
+    * prefix dedup — news/crawl pipelines key on the leading words
+    * because boilerplate-free article bodies start identically in a
+    * re-publication even when trailing content (bylines, related-link
+    * blocks) diverges. Lowercased whitespace words, space-joined;
+    * shorter documents fingerprint on all their words. */
+  def prefixFingerprint(textCol: Column, n: Int): Column =
+    array_join(slice(TextAnalysis.words(textCol), 1, n), " ")
+
+  /** Cross-source PRIORITY dedup loss matrix: group documents by a
+    * prefix fingerprint, declare the winner of each group by a source
+    * priority ladder (listed sources outrank unlisted ones, earlier
+    * beats later, doc id breaks ties), and report what every source
+    * LOSES to every winner — the "how much of crawl B is already in
+    * curated A" table read before paying to process B. This is the
+    * keep-highest-quality-copy flavor of exact dedup that multi-source
+    * corpus assembly runs (licensed/curated sources outrank crawls).
+    *
+    * Scale design: one map-only fingerprint pass, then ONE shuffle on
+    * the fingerprint where a whole-partition `min(struct)` window
+    * picks the winner (state bounded by a group's multiplicity — no
+    * join back, no second shuffle), then a map-side-combined groupBy
+    * on the (loser, winner) source pair (|sources|² rows at most).
+    * Documents with no words are excluded (an empty fingerprint would
+    * glue all empty docs into one bogus group).
+    *
+    * Returns (loser_source, winner_source, n_docs_lost, tokens_lost)
+    * — only groups with >1 member contribute; winner rows themselves
+    * are never counted as lost. */
+  def prefixPriorityDedup(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, prefixWords: Int,
+      priority: Seq[String]): DataFrame = {
+    require(prefixWords >= 1, s"prefixWords must be >= 1, got $prefixWords")
+    val prio = priority.zipWithIndex.foldLeft(lit(priority.size)) {
+      case (acc, (s, i)) => when(col("src") === s, lit(i)).otherwise(acc)
+    }
+    val base = df
+      .select(col(idCol).cast("long").as("id"),
+        col(sourceCol).cast("string").as("src"),
+        TextAnalysis.words(col(textCol)).as("__ws"))
+      .where(size(col("__ws")) > 0)
+      .select(col("id"), col("src"),
+        array_join(slice(col("__ws"), 1, prefixWords), " ").as("fp"),
+        size(col("__ws")).cast("long").as("tk"), prio.as("prio"))
+    val grp = Window.partitionBy("fp")
+    base
+      .withColumn("w",
+        min(struct(col("prio"), col("id"), col("src"))).over(grp))
+      .where(col("id") =!= col("w.id"))
+      .groupBy(col("src").as("loser_source"),
+        col("w.src").as("winner_source"))
+      .agg(count(lit(1)).as("n_docs_lost"), sum(col("tk")).as("tokens_lost"))
+  }
+
+  /** Dedup saturation curve: bucket the corpus into `buckets`
+    * equal-size slices by arrival order (ascending id — crawl order)
+    * and report, per slice, how many documents were NOVEL (their
+    * prefix fingerprint unseen in any earlier document) vs duplicates
+    * of something already collected. A rising dup_frac tail is the
+    * "more crawl stops yielding new data" signal that caps collection
+    * budgets; a flat one says the corpus is far from saturated.
+    *
+    * Novelty is first-occurrence by GLOBAL minimum id per fingerprint
+    * (one map-side-combined groupBy + one hash join back — order-free,
+    * so it holds under any partitioning), and the arrival deciles come
+    * from [[Sampling.groupNtile]]'s distributed exact ntile, never a
+    * single-reducer `ntile() OVER (ORDER BY id)`.
+    *
+    * Returns (decile, n_docs, n_novel, dup_frac) for deciles 1..k. */
+  def dedupSaturation(df: DataFrame, idCol: String, textCol: String,
+      prefixWords: Int, buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val base = df
+      .select(col(idCol).cast("long").as("id"),
+        TextAnalysis.words(col(textCol)).as("__ws"))
+      .where(size(col("__ws")) > 0)
+      .select(col("id"),
+        array_join(slice(col("__ws"), 1, prefixWords), " ").as("fp"))
+    val first = base.groupBy("fp").agg(min(col("id")).as("first_id"))
+    val flagged = base.join(first, "fp")
+      .select(col("id"), (col("id") === col("first_id")).as("novel"),
+        lit("all").as("grp"))
+    Sampling.groupNtile(flagged, "grp", "id", buckets, Seq("id"))
+      .groupBy(col("bucket").as("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("novel"), 1L).otherwise(0L)).as("n_novel"),
+        round(lit(1.0) -
+          sum(when(col("novel"), 1L).otherwise(0L)).cast("double") /
+            count(lit(1)), 6).as("dup_frac"))
+  }
+
+  /** SemDeDup PRUNE decision per point (Abbas et al., arXiv:2303.09540
+    * §3): k-means-cluster the embedding corpus
+    * ([[Clustering.kmeansCentroids]]' engine-exact Lloyd — so an
+    * external oracle can replay the trainer), verify cosine pairs only
+    * WITHIN a cluster, and inside every duplicate relation keep the
+    * point LEAST similar to its cluster centroid — the paper's rule:
+    * the most centroid-typical copies are the redundant ones; the
+    * outlying copy carries the information. Pairwise form (no
+    * connected components, exactly as the paper implements it): drop x
+    * iff some same-cluster y has round-6dp cos(x, y) >= threshold and
+    * (ccos_y, id_y) < (ccos_x, id_x) — a strict total order, so every
+    * duplicate relation keeps at least one member, deterministically.
+    *
+    * Scale design: the trainer's driver state is k·d doubles; the
+    * assignment + centroid-cosine pass is one map-only scan (centroids
+    * ride as literals); the within-cluster self-join shuffles on the
+    * cluster id once and is quadratic only inside a cluster — which
+    * nlist is chosen to bound (the paper runs ~100k clusters at web
+    * scale). Returns one row per vector: (idCol, list_id, ccos, kept).
+    */
+  def semDedupPrune(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, rounds: Int, threshold: Double): DataFrame = {
+    require(threshold > 0.0, s"threshold must be > 0, got $threshold")
+    val clean = df.where(col(vecCol).isNotNull)
+    val centsLong =
+      Clustering.kmeansCentroids(clean, idCol, vecCol, k, rounds)
+    val cents = centsLong.select("cid", "pos", "val").collect() // k*d rows
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (cid, rs) =>
+        val c = new Array[Double](rs.map(_.getInt(1)).max + 1)
+        rs.foreach(r => c(r.getInt(1)) = r.getDouble(2))
+        cid -> c
+      }
+    val xd = col(vecCol).cast("array<double>")
+    val xn = sqrt(dotProduct(xd, xd))
+    val scored = cents.map { case (cid, c) =>
+      val cn = math.sqrt(c.map(v => v * v).sum)
+      struct(
+        (lit(-1.0) * round(
+          dotProduct(xd, typedLit(c.toSeq)) / (xn * lit(cn)), 6)).as("nc"),
+        lit(cid).as("cid"))
+    }
+    // argmax cosine with lowest-cid tie-break (Clustering.assign's
+    // rule), keeping the winning rounded cosine: ccos = -nc exactly
+    val best = sort_array(array(scored: _*)).getItem(0)
+    val assigned = clean
+      .select(col(idCol).cast("long").as("id"), xd.as("v"), xn.as("n"),
+        best.getField("cid").as("list_id"),
+        (lit(-1.0) * best.getField("nc")).as("ccos"))
+      .localCheckpoint(false)
+    val a = assigned.select(col("list_id"), col("id").as("i"),
+      col("v").as("vi"), col("n").as("ni"), col("ccos").as("si"))
+    val b = assigned.select(col("list_id"), col("id").as("j"),
+      col("v").as("vj"), col("n").as("nj"), col("ccos").as("sj"))
+    val dropped = a.join(b, Seq("list_id"))
+      .where(col("i") =!= col("j"))
+      .where(round(dotProduct(col("vi"), col("vj")) /
+        (col("ni") * col("nj")), 6) >= threshold)
+      .where(struct(col("sj"), col("j")) < struct(col("si"), col("i")))
+      .select(col("i").as("id")).distinct()
+    assigned
+      .join(dropped.withColumn("__drop", lit(true)), Seq("id"), "left")
+      .select(col("id").as(idCol), col("list_id"), col("ccos"),
+        col("__drop").isNull.as("kept"))
+  }
 }

@@ -507,4 +507,64 @@ object Relevance {
       .select(col("id").as(idCol), col("n_trigrams"),
         col("backoff_frac"), col("sb_logscore"))
   }
+
+  /** Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty,
+    * SIGIR 2001 — the language-modeling counterpart to [[bm25TopK]]):
+    *
+    *   score(q, d) = sum over query terms t of
+    *     ln((tf(t,d) + mu * p(t|C)) / (dl(d) + mu))
+    *
+    * with p(t|C) the term's collection-frequency share and dl the
+    * document word count. Every document scores against every query
+    * term — absent terms contribute ln(mu·p(t|C) / (dl+mu)), so long
+    * documents are penalized even on their misses (the property BM25
+    * approximates with its dl/avgdl term). Computed in the standard
+    * matched-terms decomposition: a constant Σt ln(mu·p(t|C)), plus
+    * Σmatched ln(1 + tf/(mu·p(t|C))), minus |q|·ln(dl + mu) — so only
+    * MATCHING postings are ever aggregated.
+    *
+    * Scale: one filtered-explode corpus scan builds the (doc, term,
+    * tf) postings (predicate on the exploded stream, downstream
+    * proportional to the query's postings); collection frequencies
+    * derive from those same postings; dl is a map-only scan; the
+    * |q|-row term table and 1-row constants broadcast. Query terms
+    * must occur in the corpus (p=0 would send every score to -inf) —
+    * require()d against the bounded cf table. Returns the top `k`
+    * (idCol, score 6dp), ties on id ascending. */
+  def queryLikelihoodTopK(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int, mu: Double = 100.0): DataFrame = {
+    require(queryTerms.nonEmpty, "query-likelihood needs >= 1 query term")
+    require(mu > 0, s"Dirichlet mu must be > 0, got $mu")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val docLen = df.select(col(idCol).as("id"),
+      size(graft.functions.WordNgramsExpr
+        .ngrams(col(textCol), 1, distinct = false)).cast("long").as("dl"))
+    val coll = docLen.agg(sum(col("dl")).cast("double").as("ctok"))
+    val tf = wordTable(df, idCol, textCol)
+      .where(col("w").isin(terms: _*))
+      .groupBy("id", "w").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
+    val cf = tf.groupBy("w").agg(sum(col("tf")).as("cf"))
+    val found = cf.count() // bounded: <= |terms| rows
+    require(found == terms.size,
+      s"query terms absent from corpus: ${terms.size - found} of $terms " +
+        "(collection probability 0 makes every score -infinity)")
+    val pt = cf.crossJoin(coll)
+      .select(col("w"), (col("cf") / col("ctok")).as("pt"))
+    val base = pt.agg(sum(log(lit(mu) * col("pt"))).as("base_sum"),
+      count(lit(1)).as("nq"))
+    val m = tf.join(broadcast(pt), "w")
+      .groupBy("id")
+      .agg(sum(log((col("tf") + lit(mu) * col("pt")) /
+        (lit(mu) * col("pt")))).as("m"))
+    docLen
+      .join(m, Seq("id"), "left")
+      .crossJoin(broadcast(base))
+      .withColumn("score",
+        round(col("base_sum") + coalesce(col("m"), lit(0.0)) -
+          col("nq") * log(col("dl") + lit(mu)), 6))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+      .select(col("id").as(idCol), col("score"))
+  }
 }

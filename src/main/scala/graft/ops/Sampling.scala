@@ -516,4 +516,73 @@ object Sampling {
       }
       .toDF(idCol, classCol, "fold")
   }
+
+  /** Exact PER-GROUP `ntile(k)` — the grouped generalization of
+    * [[EquiDepth.equiDepthHistogram]]'s distributed rank recipe, for
+    * the "split every source/language into equal-frequency score
+    * buckets" step (CCNet's head/middle/tail perplexity split, Wenzek
+    * et al., LREC 2020 §4.3, cuts each language's corpus into thirds
+    * exactly like this).
+    *
+    * `ntile(k) OVER (PARTITION BY group ORDER BY v, tieBreak)` would
+    * sort each ENTIRE group in one reducer task — a 10 TB source on a
+    * 100 TB corpus cannot afford that. Instead the global position is
+    * assembled from bounded pieces: [[Ranking.avgRanksFromCounts]]'s
+    * two-phase keyed prefix sum yields, per (group, distinct value),
+    * the count of strictly-smaller rows IN THAT GROUP; a window
+    * partitioned by (group, value) — state bounded by one value's
+    * multiplicity — disambiguates ties via `tieBreak`; ntile's exact
+    * integer formula (first n%k bins get one extra row) then assigns
+    * buckets with per-group row counts joined in as columns, never
+    * driver literals. One value-count shuffle, one range-partitioned
+    * prefix pass, one per-(group, value) window, one hash join back.
+    *
+    * Nulls and NaNs in `vCol` are dropped (SQL ntile would rank them;
+    * callers bucketing scores never want that). `tieBreak` must make
+    * (groupCol, vCol, tieBreak) a total order for determinism. Returns
+    * the input rows (minus dropped ones) plus an INT `bucket` column
+    * in 1..min(k, group size). */
+  def groupNtile(df: DataFrame, groupCol: String, vCol: String, k: Int,
+      tieBreak: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(tieBreak.nonEmpty, "tieBreak columns required for determinism")
+    val clash = df.columns.filter(_.startsWith("__"))
+    require(clash.isEmpty,
+      s"input has reserved __-prefixed columns: ${clash.toSeq}")
+    val rows = df
+      .withColumn("__g", col(groupCol).cast("string"))
+      .withColumn("__v", col(vCol).cast("double"))
+      .where(col("__v").isNotNull && !col("__v").isNaN)
+    val counts = rows
+      .groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    // smaller(g, v) = #rows of group g with value < v, recovered from
+    // the tie-averaged rank exactly as EquiDepth does (exact integers
+    // for group sizes < 2^52)
+    val smaller = Ranking
+      .avgRanksFromCounts(counts, "__g", "__v")
+      .join(counts, Seq("__g", "__v"))
+      .select(col("__g"), col("__v"),
+        (col("avgrank") - (col("cnt") + 1.0) / 2.0).cast("long")
+          .as("__smaller"))
+    val nPer = counts.groupBy("__g").agg(sum(col("cnt")).as("__n"))
+    val wv = Window.partitionBy(col("__g"), col("__v"))
+      .orderBy(tieBreak.map(c => col(c).asc): _*)
+    // ntile's exact integer assignment with PER-GROUP n: bigint `div`
+    // arithmetic (Column./ is double division — a second rounding layer)
+    val binExpr = s"""CASE WHEN __n div ${k}L = 0L THEN __pos + 1L
+      WHEN __pos < (__n % ${k}L) * (__n div ${k}L + 1L)
+        THEN __pos div (__n div ${k}L + 1L) + 1L
+      ELSE __n % ${k}L
+        + (__pos - (__n % ${k}L) * (__n div ${k}L + 1L)) div (__n div ${k}L)
+        + 1L END"""
+    rows
+      .join(smaller, Seq("__g", "__v"))
+      .join(nPer, Seq("__g"))
+      .withColumn("__pos",
+        (col("__smaller") + row_number().over(wv) - 1).cast("long"))
+      .withColumn("bucket", expr(binExpr).cast("int"))
+      .drop("__g", "__v", "__smaller", "__n", "__pos")
+  }
 }

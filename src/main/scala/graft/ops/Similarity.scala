@@ -317,4 +317,37 @@ object Similarity {
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rnk"),
         col("t.id").as("neighbor_id"), col("t.ord").as("score_q"))
   }
+
+  /** Hard-negative mining for contrastive/retrieval training: for each
+    * probe, the top-k most-cosine-similar corpus vectors whose LABEL
+    * differs — the near-boundary negatives that carry the training
+    * signal random negatives don't (the standard dense-retrieval
+    * mining step, e.g. Karpukhin et al., EMNLP 2020 §4.2's hardest-
+    * negatives variant). Same plan shape as [[bruteForceTopK]]: probes
+    * broadcast into one corpus scan, the label filter applied BEFORE
+    * ranking so excluded positives never enter the window, ranks on
+    * 6-dp-rounded cosine with id tie-break. Swap the scan for the IVF/
+    * PQ candidate path past brute-force scale; this exact form is the
+    * oracle those share. Returns (query_id, rnk, neg_id, neg_label,
+    * cos) with rnk <= k per probe. */
+  def hardNegativeTopK(probes: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, labelCol: String,
+      k: Int): DataFrame = {
+    val p = probes.select(col(idCol).as("query_id"),
+      col(labelCol).as("qlab"), col(vecCol).as("qv"),
+      l2Norm(col(vecCol)).as("qn"))
+    val c = corpus.where(col(vecCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(idCol).as("neg_id"), col(labelCol).as("neg_label"),
+        col(vecCol).as("cv"), l2Norm(col(vecCol)).as("cn"))
+    val scored = c.crossJoin(broadcast(p))
+      .where(col("neg_label") =!= col("qlab"))
+      .withColumn("cos", round(
+        dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neg_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neg_id"),
+        col("neg_label"), col("cos"))
+  }
 }

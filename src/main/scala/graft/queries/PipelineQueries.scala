@@ -3786,9 +3786,303 @@ object PipelineQueries {
         ORDER BY rnk"""
     })
 
+  /** Cross-source priority dedup ([[graft.ops.Dedup
+    * .prefixPriorityDedup]]): documents grouped by their first-8-words
+    * fingerprint, each group's winner decided by the priority ladder
+    * src17 > src5 > src0 > everything else (doc id breaks ties), and
+    * the per-(loser, winner) loss matrix reported — the
+    * keep-highest-quality-copy dedup multi-source assembly runs. The
+    * oracle replays the fingerprint, the ladder, and the window-winner
+    * selection, so the whole decision procedure is certified. */
+  val qPriorityDedup = Q(
+    "q268_priority_dedup",
+    (s, dir) =>
+      graft.ops.Dedup.prefixPriorityDedup(
+          table(s, dir, "documents"), "doc_id", "text", "source",
+          prefixWords = 8, priority = Seq("src17", "src5", "src0"))
+        .orderBy("loser_source", "winner_source"),
+    Some(s"""WITH b AS (SELECT doc_id, source, len(ws) AS tk,
+               array_to_string(ws[1:8], ' ') AS fp,
+               CASE source WHEN 'src17' THEN 0 WHEN 'src5' THEN 1
+                 WHEN 'src0' THEN 2 ELSE 3 END AS prio
+             FROM (SELECT doc_id, source, $dkWords AS ws FROM documents)
+             WHERE len(ws) > 0),
+      w AS (SELECT *, first_value(doc_id) OVER win AS wid,
+              first_value(source) OVER win AS wsrc
+            FROM b WINDOW win AS (PARTITION BY fp ORDER BY prio, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+      SELECT source AS loser_source, wsrc AS winner_source,
+        count(*) AS n_docs_lost, CAST(sum(tk) AS BIGINT) AS tokens_lost
+      FROM w WHERE doc_id <> wid GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** CCNet-style head/middle/tail perplexity split (Wenzek et al.,
+    * LREC 2020 §4.3; scores from [[graft.ops.Relevance
+    * .stupidBackoffScore]], buckets from [[graft.ops.Sampling
+    * .groupNtile]]'s DISTRIBUTED exact per-group ntile — never an
+    * `ntile() OVER (PARTITION BY source ORDER BY ...)` that sorts a
+    * whole source in one reducer): every scored document lands in its
+    * source's tercile by (score, doc_id), and the per-(source, bucket)
+    * doc/token mass plus score bounds come out. The oracle replays the
+    * full LM-scoring chain AND the ntile assignment, so the bucket
+    * boundaries are certified, not just the counts. */
+  val qPplBuckets = Q(
+    "q269_ppl_buckets",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val scores = graft.ops.Relevance.stupidBackoffScore(
+        docs, "doc_id", "text",
+        trainFilter = col("source")
+          .isin("src0", "src1", "src2", "src3", "src4"),
+        alpha = 0.4)
+      val joined = docs
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.nTokensWhitespace(col("text")).cast("long").as("tk"))
+        .join(scores.select(col("doc_id"), col("sb_logscore")), "doc_id")
+      graft.ops.Sampling
+        .groupNtile(joined, "source", "sb_logscore", 3, Seq("doc_id"))
+        .groupBy(col("source"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tk")).as("n_tokens"),
+          min(col("sb_logscore")).as("lo_score"),
+          max(col("sb_logscore")).as("hi_score"))
+        .orderBy("source", "bucket")
+    },
+    Some(s"""WITH w AS (SELECT doc_id, source, $dkWords AS ws
+               FROM documents),
+      tr AS (SELECT ws FROM w
+             WHERE source IN ('src0','src1','src2','src3','src4')),
+      u AS (SELECT unnest(ws) AS wd FROM tr),
+      uni AS (SELECT wd, count(*) AS c1 FROM u GROUP BY 1),
+      tot AS (SELECT sum(c1) AS n_tok, count(*) AS v_sz FROM uni),
+      bg AS (SELECT unnest([ws[i] || ' ' || ws[i+1]
+               for i in range(1, len(ws))]) AS b
+             FROM tr WHERE len(ws) >= 2),
+      bi AS (SELECT b, count(*) AS c2 FROM bg GROUP BY 1),
+      tg AS (SELECT unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+               for i in range(1, len(ws)-1)]) AS t
+             FROM tr WHERE len(ws) >= 3),
+      tri AS (SELECT t, count(*) AS c3 FROM tg GROUP BY 1),
+      pos AS (SELECT doc_id,
+               unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                 for i in range(1, len(ws)-1)]) AS t
+             FROM w WHERE len(ws) >= 3),
+      tf AS (SELECT doc_id, t, count(*) AS tf FROM pos GROUP BY 1, 2),
+      j AS (SELECT tf.doc_id, tf.tf, tri.c3, b12.c2 AS c12,
+              b23.c2 AS c23, u2.c1 AS cctx, u3.c1 AS clast
+            FROM tf
+            LEFT JOIN tri ON tri.t = tf.t
+            LEFT JOIN bi b12 ON b12.b = string_split(tf.t, ' ')[1]
+              || ' ' || string_split(tf.t, ' ')[2]
+            LEFT JOIN bi b23 ON b23.b = string_split(tf.t, ' ')[2]
+              || ' ' || string_split(tf.t, ' ')[3]
+            LEFT JOIN uni u2 ON u2.wd = string_split(tf.t, ' ')[2]
+            LEFT JOIN uni u3 ON u3.wd = string_split(tf.t, ' ')[3]),
+      sv AS (SELECT doc_id, tf, c3,
+              CASE WHEN c3 IS NOT NULL THEN c3 / CAST(c12 AS DOUBLE)
+                   WHEN c23 IS NOT NULL
+                     THEN 0.4::DOUBLE * (c23 / CAST(cctx AS DOUBLE))
+                   ELSE 0.4::DOUBLE * 0.4::DOUBLE *
+                     ((coalesce(clast, 0) + 1) /
+                       CAST(n_tok + v_sz AS DOUBLE)) END AS s
+            FROM j CROSS JOIN tot),
+      sc AS (SELECT doc_id, round(-sum(tf * ln(s)) / sum(tf), 6)
+               AS sb_logscore
+             FROM sv GROUP BY doc_id),
+      d AS (SELECT doc_id, source, len(ws) AS tk FROM w),
+      bkt AS (SELECT d.source, d.doc_id, d.tk, sc.sb_logscore,
+               ntile(3) OVER (PARTITION BY d.source
+                 ORDER BY sc.sb_logscore, d.doc_id) AS bucket
+              FROM d JOIN sc USING (doc_id))
+      SELECT source, CAST(bucket AS INT) AS bucket, count(*) AS n_docs,
+        CAST(sum(tk) AS BIGINT) AS n_tokens,
+        min(sb_logscore) AS lo_score, max(sb_logscore) AS hi_score
+      FROM bkt GROUP BY 1, 2 ORDER BY source, bucket"""))
+
+  /** Dirichlet query-likelihood retrieval ([[graft.ops.Relevance
+    * .queryLikelihoodTopK]]; Zhai & Lafferty, SIGIR 2001): the
+    * language-modeling ranking next to q63's BM25 — absent query terms
+    * penalize long documents through the ln(mu·p/(dl+mu)) miss term.
+    * The oracle recomputes collection probabilities, the matched-term
+    * decomposition, and the length penalty. */
+  val qQueryLikelihood = Q(
+    "q270_query_likelihood",
+    (s, dir) =>
+      graft.ops.Relevance.queryLikelihoodTopK(
+          table(s, dir, "documents"), "doc_id", "text",
+          queryTerms = Seq("query", "stream", "scan"), k = 20, mu = 100.0)
+        .orderBy(col("score").desc, col("doc_id").asc),
+    Some(s"""WITH w AS (SELECT doc_id AS id, $dkWords AS ws
+               FROM documents),
+      dl AS (SELECT id, len(ws) AS dl FROM w),
+      coll AS (SELECT CAST(sum(dl) AS DOUBLE) AS ctok FROM dl),
+      oc AS (SELECT id, unnest(ws) AS w FROM w),
+      q AS (SELECT unnest(['query', 'stream', 'scan']) AS w),
+      tf AS (SELECT id, oc.w, count(*) AS tf FROM oc JOIN q USING (w)
+             GROUP BY 1, 2),
+      cf AS (SELECT w, sum(tf) AS cf FROM tf GROUP BY 1),
+      p AS (SELECT w, cf / ctok AS pt FROM cf CROSS JOIN coll),
+      base AS (SELECT sum(ln(100.0 * pt)) AS base_sum, count(*) AS nq
+               FROM p),
+      m AS (SELECT tf.id,
+              sum(ln((tf.tf + 100.0 * p.pt) / (100.0 * p.pt))) AS m
+            FROM tf JOIN p ON p.w = tf.w GROUP BY tf.id),
+      s AS (SELECT dl.id, round(base.base_sum + coalesce(m.m, 0)
+              - base.nq * ln(dl.dl + 100.0), 6) AS score
+            FROM dl CROSS JOIN base LEFT JOIN m ON m.id = dl.id)
+      SELECT id AS doc_id, score FROM s
+      ORDER BY score DESC, id LIMIT 20"""))
+
+  /** Hard-negative mining ([[graft.ops.Similarity.hardNegativeTopK]]):
+    * for the ten lowest-id probe vectors, the five most-similar
+    * corpus vectors of a DIFFERENT label — the near-boundary negatives
+    * contrastive retrieval training mines. Oracle recomputes the
+    * filtered ranking from the full cross product. */
+  val qHardNegatives = Q(
+    "q271_hard_negatives",
+    (s, dir) => {
+      val e = table(s, dir, "embeddings")
+      Similarity.hardNegativeTopK(
+          e.orderBy("vec_id").limit(10), e,
+          "vec_id", "embedding", "label", k = 5)
+        .orderBy("query_id", "rnk")
+    },
+    Some("""WITH p AS (SELECT vec_id, embedding, label FROM embeddings
+               ORDER BY vec_id LIMIT 10),
+      sc AS (SELECT p.vec_id AS query_id, e.vec_id AS neg_id,
+               e.label AS neg_label,
+               round(list_dot_product(p.embedding::DOUBLE[],
+                                      e.embedding::DOUBLE[]) /
+                 (sqrt(list_dot_product(p.embedding::DOUBLE[],
+                                        p.embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                        e.embedding::DOUBLE[]))), 6) AS cos
+             FROM p CROSS JOIN embeddings e WHERE e.label <> p.label),
+      rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neg_id) AS INT) AS rnk FROM sc)
+      SELECT query_id, rnk, neg_id, neg_label, cos FROM rk
+      WHERE rnk <= 5 ORDER BY query_id, rnk"""))
+
+  /** SemDeDup prune decisions ([[graft.ops.Dedup.semDedupPrune]];
+    * Abbas et al., arXiv:2303.09540): k-means (q161's engine-exact
+    * Lloyd, k=4, 2 rounds) over the corpus with planted exact copies
+    * of vec_id < 20, within-cluster cosine >= 0.8 duplicate relations,
+    * and the paper's keep-LEAST-centroid-similar rule per relation.
+    * The oracle replays the trainer (the q161 CTE chain over the
+    * planted corpus), the assignment, the winning centroid cosine,
+    * and the pairwise drop rule — one row per vector, so all 520
+    * keep/drop decisions are hash-certified. The 20 planted copies
+    * are exactly the drops (tie on centroid cosine → higher id
+    * dropped, originals kept). */
+  val qSemDedupPrune = Q(
+    "q272_semdedup_prune",
+    (s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val corpus = e.unionAll(e.where(col("vec_id") < 20)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"),
+          col("label")))
+      graft.ops.Dedup.semDedupPrune(corpus, "vec_id", "embedding",
+          k = 4, rounds = 2, threshold = 0.8)
+        .orderBy("vec_id")
+    },
+    Some {
+      def rnd(cl: String, cbase: String, a: String, u: String,
+          cout: String, coutL: String) =
+        s"""$a AS (SELECT vec_id, cid, embedding FROM (
+             SELECT e.vec_id, c.cid, e.embedding,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_dot_product(e.embedding::DOUBLE[], c.cv) /
+                   (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                 c.cid) AS rn
+             FROM emb e CROSS JOIN $cl c
+             WHERE e.embedding IS NOT NULL) WHERE rn = 1),
+           $u AS (SELECT cid, u['pos'] AS pos,
+               round(CAST(sum(CAST(floor(u['val'] * 1000000.0 + 0.5)
+                 AS BIGINT)) AS DOUBLE) / 1000000.0 / count(*), 9) AS val,
+               count(*) AS n
+             FROM (SELECT cid, unnest([{'pos': i - 1,
+                      'val': embedding[i]::DOUBLE}
+                    for i in range(1, len(embedding) + 1)]) AS u FROM $a)
+             GROUP BY cid, u['pos']),
+           $cout AS (SELECT b.cid, b.pos, coalesce(u.val, b.val) AS val,
+               coalesce(u.n, 0) AS n
+             FROM $cbase b LEFT JOIN $u u
+               ON u.cid = b.cid AND u.pos = b.pos),
+           $coutL AS (SELECT cid, list(val ORDER BY pos) AS cv
+             FROM $cout GROUP BY cid)"""
+      s"""WITH emb AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 100000, embedding FROM embeddings
+          WHERE vec_id < 20),
+        init AS (SELECT vec_id, embedding FROM emb
+                 WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 4),
+        c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                 AS INT) AS cid, embedding::DOUBLE[] AS cv FROM init),
+        c0e AS (SELECT cid, u['pos'] AS pos, u['val'] AS val FROM (
+          SELECT cid, unnest([{'pos': i - 1, 'val': cv[i]}
+            for i in range(1, len(cv) + 1)]) AS u FROM c0)),
+        ${rnd("c0", "c0e", "a1", "u1", "c1", "c1l")},
+        ${rnd("c1l", "c1", "a2", "u2", "c2", "c2l")},
+        asg AS (SELECT vec_id AS id, cid, embedding, ccos FROM (
+            SELECT e.vec_id, c.cid, e.embedding,
+              round(list_dot_product(e.embedding::DOUBLE[], c.cv) /
+                (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                       e.embedding::DOUBLE[])) *
+                 sqrt(list_dot_product(c.cv, c.cv))), 6) AS ccos,
+              row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                round(list_dot_product(e.embedding::DOUBLE[], c.cv) /
+                  (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                         e.embedding::DOUBLE[])) *
+                   sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                c.cid) AS rn
+            FROM emb e CROSS JOIN c2l c
+            WHERE e.embedding IS NOT NULL) WHERE rn = 1),
+        drp AS (SELECT DISTINCT x.id FROM asg x JOIN asg y
+            ON x.cid = y.cid AND x.id <> y.id
+            WHERE round(list_dot_product(x.embedding::DOUBLE[],
+                                         y.embedding::DOUBLE[]) /
+              (sqrt(list_dot_product(x.embedding::DOUBLE[],
+                                     x.embedding::DOUBLE[])) *
+               sqrt(list_dot_product(y.embedding::DOUBLE[],
+                                     y.embedding::DOUBLE[]))), 6) >= 0.8
+            AND (y.ccos < x.ccos OR (y.ccos = x.ccos AND y.id < x.id)))
+        SELECT asg.id AS vec_id, asg.cid AS list_id, asg.ccos,
+          (drp.id IS NULL) AS kept
+        FROM asg LEFT JOIN drp ON drp.id = asg.id ORDER BY vec_id"""
+    })
+
+  /** Dedup saturation curve ([[graft.ops.Dedup.dedupSaturation]]):
+    * per arrival-decile novel-vs-duplicate document counts on the
+    * first-8-words fingerprint — the "is more crawl still yielding new
+    * data" diagnostic. Deciles come from the distributed exact ntile
+    * ([[graft.ops.Sampling.groupNtile]]), novelty from global
+    * min-id-per-fingerprint; the oracle replays both with a plain
+    * window ntile. */
+  val qDedupSaturation = Q(
+    "q273_dedup_saturation",
+    (s, dir) =>
+      graft.ops.Dedup.dedupSaturation(
+          table(s, dir, "documents"), "doc_id", "text",
+          prefixWords = 8, buckets = 10)
+        .orderBy("decile"),
+    Some(s"""WITH b AS (SELECT doc_id, array_to_string(ws[1:8], ' ') AS fp
+             FROM (SELECT doc_id, $dkWords AS ws FROM documents)
+             WHERE len(ws) > 0),
+      fs AS (SELECT fp, min(doc_id) AS first_id FROM b GROUP BY fp),
+      n AS (SELECT b.doc_id, (b.doc_id = fs.first_id) AS novel,
+              CAST(ntile(10) OVER (ORDER BY b.doc_id) AS INT) AS decile
+            FROM b JOIN fs USING (fp))
+      SELECT decile, count(*) AS n_docs,
+        CAST(sum(CASE WHEN novel THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        round(1.0 - CAST(sum(CASE WHEN novel THEN 1 ELSE 0 END)
+          AS DOUBLE) / count(*), 6) AS dup_frac
+      FROM n GROUP BY decile ORDER BY decile"""))
+
   val all: Seq[Q] = Seq(qWeightedReservoir, qMinhashEstimate, qSimhashPairs,
     qStupidBackoff, qDupSpans, qDsirWeights, qQualitySweep, qSourceKl,
-    qKCenter,
+    qKCenter, qPriorityDedup, qPplBuckets, qQueryLikelihood,
+    qHardNegatives, qSemDedupPrune, qDedupSaturation,
     qSimhashCombos, qPqAdcRecall, qIvfPqRecall, qRboRankings,
     qEpochShuffle, qBudgetTrim,
     qGlobalPacking, qLshCandClusters, qNdcgEval, qLabelProp,

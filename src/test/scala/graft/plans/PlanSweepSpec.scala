@@ -69,7 +69,9 @@ class PlanSweepSpec extends SparkSpec {
     "q254_pq_adc_recall" -> "exact-recall side: corpus x broadcast 10-row probe set (Pq.adcRecall, the q26 brute-force shape); ADC side is all equi hash joins",
     "q255_ivfpq_recall" -> "exact-recall side: corpus x broadcast 10-row probe set (Pq.recallVsExact); IVF/ADC sides are map-side assigns + equi hash joins",
     "q256_rbo_rankings" -> "corpus x broadcast 10-row probe set for the two exact rankings (q26 brute-force shape); the RBO join itself is equi",
-    "q222_naive_bayes" -> "bounded vocab x bounded class table (NaiveBayes.scala:62)")
+    "q222_naive_bayes" -> "bounded vocab x bounded class table (NaiveBayes.scala:62)",
+    "q271_hard_negatives" -> "corpus x broadcast 10-row probe set (Similarity.hardNegativeTopK, the q26 brute-force shape)",
+    "q273_dedup_saturation" -> "groupNtile's per-group-count join: the literal single-group key folds out of the equi-join keys, leaving a BNLJ whose build side is the GROUPED count aggregate — one row per group, exactly 1 here (verified: the corpus-sized smaller/rank joins in the same plan are BroadcastHashJoin on __v)")
 
   /** Expand through AQE wrapper nodes so the traversal sees inside
     * finalized query stages and reused exchanges. */
