@@ -585,4 +585,98 @@ object Sampling {
       .withColumn("bucket", expr(binExpr).cast("int"))
       .drop("__g", "__v", "__smaller", "__n", "__pos")
   }
+
+  /** Deterministic weighted-interleave schedule — the data-loader
+    * order a multi-source training mix actually consumes: document k
+    * of source s (1-based arrival rank within source, ascending id)
+    * is served at virtual time k / w_s, and the global schedule is the
+    * ascending sort of those keys (source name, then id, break ties).
+    * This is the low-discrepancy stride schedule (each source's share
+    * of any schedule prefix tracks its weight within one document —
+    * the Beatty/Bresenham interleave), the deterministic counterpart
+    * of sampling sources by weight.
+    *
+    * Scale design: per-source ranks come from [[Ranking
+    * .avgRanksFromCounts]]'s keyed two-phase prefix sum (ids are
+    * unique, so the tie-averaged rank IS the 1-based rank — exact
+    * integers as doubles) — never a whole-source window sort; keys are
+    * one map stage; the schedule prefix is a bounded TakeOrdered
+    * (`steps` rows), and only that bounded result gets the row_number
+    * window that stamps the step index.
+    *
+    * Returns the first `steps` rows: (step, source, idCol, rk, key)
+    * with key rounded to 6 dp. */
+  def mixInterleave(df: DataFrame, idCol: String, sourceCol: String,
+      weights: Seq[(String, Double)], steps: Int): DataFrame = {
+    require(weights.nonEmpty, "mixInterleave needs >= 1 weighted source")
+    require(weights.forall(_._2 > 0), s"weights must be > 0: $weights")
+    require(steps >= 1, s"steps must be >= 1, got $steps")
+    import org.apache.spark.sql.expressions.Window
+    val srcs = weights.map(_._1)
+    val d = df
+      .select(col(sourceCol).cast("string").as("source"),
+        col(idCol).cast("long").as("__id"))
+      .where(col("source").isin(srcs: _*))
+    val counts = d.select(col("source"),
+      col("__id").cast("double").as("__v"), lit(1L).as("cnt"))
+    val ranks = Ranking.avgRanksFromCounts(counts, "source", "__v")
+      .select(col("source"), col("__v").cast("long").as("__id"),
+        col("avgrank").cast("long").as("rk"))
+    val w = weights.tail.foldLeft(
+      when(col("source") === weights.head._1, weights.head._2)) {
+      case (acc, (s, wt)) => acc.when(col("source") === s, wt)
+    }
+    val keyed = ranks.withColumn("key", col("rk") / w)
+    val stepW = Window.orderBy(col("key"), col("source"), col("__id"))
+    keyed
+      .orderBy(col("key"), col("source"), col("__id")).limit(steps)
+      // window over the already-bounded `steps`-row prefix only
+      .withColumn("step", row_number().over(stepW).cast("long"))
+      .select(col("step"), col("source"), col("__id").as(idCol),
+        col("rk"), round(col("key"), 6).as("key"))
+  }
+
+  /** Token-balanced shard assignment by boustrophedon ("snake") rank
+    * dealing: rank every document by (weight, id), walk shards
+    * 0,1,…,S−1,S−1,…,1,0,0,1,… and deal ranks in order — consecutive
+    * near-equal-weight documents land on different shards and each
+    * 2S-block contributes exactly one pair of adjacent ranks per
+    * shard, so shard token totals differ by at most a few documents'
+    * spread (the deterministic, shuffle-light cousin of LPT bin
+    * packing that sequence-length-balanced training shards use).
+    *
+    * The global rank position is assembled from bounded pieces exactly
+    * like [[groupNtile]] — a distributed prefix sum over the weight
+    * value counts plus a per-value id window — never
+    * `row_number() OVER (ORDER BY …)` on the full corpus. Returns the
+    * per-shard ledger (shard, n_docs, tokens). */
+  def balancedShards(df: DataFrame, idCol: String, weightCol: Column,
+      shards: Int): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.select(col(idCol).cast("long").as("__id"),
+        weightCol.cast("long").as("__tk"))
+      .where(col("__tk").isNotNull)
+      .withColumn("__v", col("__tk").cast("double"))
+    val counts = rows.groupBy(col("__v")).agg(count(lit(1)).as("cnt"))
+      .select(lit("_").as("__k"), col("__v"), col("cnt"))
+      .localCheckpoint(false)
+    val smaller = Ranking.avgRanksFromCounts(counts, "__k", "__v")
+      .join(counts, Seq("__k", "__v"))
+      .select(col("__v"),
+        (col("avgrank") - (col("cnt") + 1.0) / 2.0).cast("long")
+          .as("__smaller"))
+    val wv = Window.partitionBy(col("__v")).orderBy(col("__id"))
+    val cycle = 2L * shards
+    rows
+      .join(smaller, Seq("__v"))
+      .withColumn("__pos",
+        (col("__smaller") + row_number().over(wv) - 1).cast("long"))
+      .withColumn("__r", pmod(col("__pos"), lit(cycle)))
+      .withColumn("shard",
+        when(col("__r") < shards, col("__r"))
+          .otherwise(lit(cycle - 1) - col("__r")).cast("int"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__tk")).as("tokens"))
+  }
 }

@@ -797,4 +797,62 @@ object TextAnalysis {
     }
     rules.reduce(_ unionAll _).orderBy("rnd")
   }
+
+  /** Vocabulary coverage curve: for each candidate vocabulary size V
+    * in `cutoffs`, the fraction of all corpus tokens covered by the
+    * top-V words (count-desc, word tie-break — the q101 vocabulary
+    * order) — the table a tokenizer design reads to pick V before
+    * training anything. One corpus scan builds the word counts; only
+    * the top-max(cutoffs) slice (a bounded TakeOrdered) is ranked —
+    * the corpus-sized count table never meets a window — and each
+    * cutoff's rollup comes from a map-side explode of the cutoff list
+    * over that bounded slice (no non-equi join). Returns (vocab_size,
+    * n_types, covered_tokens, coverage 6dp). */
+  def vocabCoverageCurve(df: DataFrame, textCol: String,
+      cutoffs: Seq[Int]): DataFrame = {
+    require(cutoffs.nonEmpty && cutoffs.forall(_ >= 1),
+      s"cutoffs must be >= 1: $cutoffs")
+    val counts = df
+      .select(explode(words(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    val tot = counts.agg(sum(col("cnt")).cast("double").as("tot"))
+    val top = counts
+      .orderBy(col("cnt").desc, col("word")).limit(cutoffs.max)
+      // window over the bounded max(cutoffs)-row slice only
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("word"))))
+    top
+      .withColumn("vocab_size",
+        explode(array(cutoffs.sorted.map(lit(_)): _*)))
+      .where(col("rk") <= col("vocab_size"))
+      .groupBy("vocab_size")
+      .agg(count(lit(1)).as("n_types"), sum(col("cnt")).as("covered_tokens"))
+      .crossJoin(broadcast(tot))
+      .select(col("vocab_size"), col("n_types"), col("covered_tokens"),
+        round(col("covered_tokens") / col("tot"), 6).as("coverage"))
+  }
+
+  /** Church–Gale word burstiness: tf / df per word — how many times a
+    * word repeats within the documents it appears in at all. High
+    * burstiness separates topical/content words (which cluster in few
+    * documents) from function words at the same total frequency — the
+    * classic term-weighting diagnostic (Church & Gale 1995) and a
+    * boilerplate detector (template phrases burst hard). One exploded
+    * scan, one map-side-combined groupBy (df = two-phase distinct
+    * count per word), bounded TakeOrdered output. Returns the top
+    * `topN` words by (burstiness desc, word): (word, tf, df,
+    * burstiness 6dp). */
+  def wordBurstiness(df: DataFrame, idCol: String, textCol: String,
+      topN: Int): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    df.select(col(idCol).as("id"),
+        explode(words(col(textCol))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("id")).as("df"))
+      .select(col("word"), col("tf"), col("df"),
+        round(col("tf").cast("double") / col("df"), 6).as("burstiness"))
+      .orderBy(col("burstiness").desc, col("word"))
+      .limit(topN)
+  }
 }

@@ -4079,10 +4079,103 @@ object PipelineQueries {
           AS DOUBLE) / count(*), 6) AS dup_frac
       FROM n GROUP BY decile ORDER BY decile"""))
 
+  /** Deterministic weighted-interleave schedule ([[graft.ops.Sampling
+    * .mixInterleave]]): document k of source s serves at virtual time
+    * k / w_s, schedule = ascending key sort — the low-discrepancy
+    * data-loader order of a weighted mix. Per-source ranks ride the
+    * keyed distributed prefix sum (never a whole-source window); the
+    * oracle replays ranks, keys, and the 60-step prefix. */
+  val qMixInterleave = Q(
+    "q274_mix_interleave",
+    (s, dir) =>
+      graft.ops.Sampling.mixInterleave(
+          table(s, dir, "documents"), "doc_id", "source",
+          weights = Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
+          steps = 60)
+        .orderBy("step"),
+    Some("""WITH d AS (SELECT doc_id, source FROM documents
+               WHERE source IN ('src0','src1','src2')),
+      r AS (SELECT doc_id, source,
+              row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                AS rk FROM d),
+      k AS (SELECT doc_id, source, rk,
+              rk / CASE source WHEN 'src0' THEN 0.5
+                WHEN 'src1' THEN 0.3 ELSE 0.2 END AS key FROM r),
+      s AS (SELECT *, CAST(row_number() OVER
+              (ORDER BY key, source, doc_id) AS BIGINT) AS step FROM k)
+      SELECT step, source, doc_id, CAST(rk AS BIGINT) AS rk,
+        round(key, 6) AS key
+      FROM s WHERE step <= 60 ORDER BY step"""))
+
+  /** Token-balanced snake sharding ([[graft.ops.Sampling
+    * .balancedShards]]): rank by (tokens, id), deal ranks
+    * boustrophedon over 8 shards — the deterministic LPT-style layout
+    * sequence-length-balanced training shards use. The oracle replays
+    * the global rank and the snake formula; the per-shard token
+    * totals differing by <0.3% on this corpus is the point. */
+  val qBalancedShards = Q(
+    "q275_balanced_shards",
+    (s, dir) =>
+      graft.ops.Sampling.balancedShards(
+          table(s, dir, "documents"), "doc_id",
+          TextAnalysis.nTokensWhitespace(col("text")), shards = 8)
+        .orderBy("shard"),
+    Some(s"""WITH t AS (SELECT doc_id, len($dkWords) AS tk
+               FROM documents),
+      p AS (SELECT doc_id, tk,
+              row_number() OVER (ORDER BY tk, doc_id) - 1 AS pos FROM t),
+      s AS (SELECT *, CASE WHEN pos % 16 < 8 THEN pos % 16
+              ELSE 15 - pos % 16 END AS shard FROM p)
+      SELECT CAST(shard AS INT) AS shard, count(*) AS n_docs,
+        CAST(sum(tk) AS BIGINT) AS tokens
+      FROM s GROUP BY shard ORDER BY shard"""))
+
+  /** Vocabulary coverage curve ([[graft.ops.TextAnalysis
+    * .vocabCoverageCurve]]): token coverage of the top-V vocabulary at
+    * four candidate sizes, from one corpus scan + a bounded top slice
+    * — the pick-V table of tokenizer design. Oracle replays the
+    * ranking and every cutoff rollup. */
+  val qVocabCoverage = Q(
+    "q276_vocab_coverage",
+    (s, dir) =>
+      TextAnalysis.vocabCoverageCurve(
+          table(s, dir, "documents"), "text", cutoffs = Seq(5, 10, 20, 30))
+        .orderBy("vocab_size"),
+    Some(s"""WITH w AS (SELECT unnest($dkWords) AS word FROM documents),
+      c AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+      tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM c),
+      top AS (SELECT word, cnt,
+                row_number() OVER (ORDER BY cnt DESC, word) AS rk
+              FROM c ORDER BY cnt DESC, word LIMIT 30),
+      cut AS (SELECT unnest([5, 10, 20, 30]) AS vocab_size)
+      SELECT CAST(vocab_size AS INT) AS vocab_size, count(*) AS n_types,
+        CAST(sum(cnt) AS BIGINT) AS covered_tokens,
+        round(sum(cnt) / tot, 6) AS coverage
+      FROM cut JOIN top ON top.rk <= cut.vocab_size CROSS JOIN tot
+      GROUP BY vocab_size, tot ORDER BY vocab_size"""))
+
+  /** Church–Gale burstiness ([[graft.ops.TextAnalysis
+    * .wordBurstiness]]): tf/df per word, top-20 — content words and
+    * template phrases burst, function words don't. */
+  val qBurstiness = Q(
+    "q277_burstiness",
+    (s, dir) =>
+      TextAnalysis.wordBurstiness(
+          table(s, dir, "documents"), "doc_id", "text", topN = 20)
+        .orderBy(col("burstiness").desc, col("word")),
+    Some(s"""WITH oc AS (SELECT doc_id, unnest($dkWords) AS w
+               FROM documents),
+      a AS (SELECT w AS word, count(*) AS tf,
+              count(DISTINCT doc_id) AS df FROM oc GROUP BY w)
+      SELECT word, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        round(CAST(tf AS DOUBLE) / df, 6) AS burstiness
+      FROM a ORDER BY burstiness DESC, word LIMIT 20"""))
+
   val all: Seq[Q] = Seq(qWeightedReservoir, qMinhashEstimate, qSimhashPairs,
     qStupidBackoff, qDupSpans, qDsirWeights, qQualitySweep, qSourceKl,
     qKCenter, qPriorityDedup, qPplBuckets, qQueryLikelihood,
     qHardNegatives, qSemDedupPrune, qDedupSaturation,
+    qMixInterleave, qBalancedShards, qVocabCoverage, qBurstiness,
     qSimhashCombos, qPqAdcRecall, qIvfPqRecall, qRboRankings,
     qEpochShuffle, qBudgetTrim,
     qGlobalPacking, qLshCandClusters, qNdcgEval, qLabelProp,

@@ -151,6 +151,54 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(3L)._2 > out(1L)._2)
   }
 
+  // ---------------------------------------------------------------
+  // Sampling.mixInterleave / Sampling.balancedShards
+  // ---------------------------------------------------------------
+
+  test("mixInterleave: keys are rank/weight, ties break on source name") {
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "a"), (10L, "b"), (20L, "b"),
+      (99L, "ignored")).toDF("doc_id", "source")
+    // a: keys 2, 4, 6; b: keys 4, 8 -> key-4 tie serves a before b
+    val out = Sampling.mixInterleave(docs, "doc_id", "source",
+        Seq("a" -> 0.5, "b" -> 0.25), steps = 4)
+      .select("step", "source", "doc_id", "key")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, "a", 1L, 2.0), (2L, "a", 2L, 4.0),
+      (3L, "b", 10L, 4.0), (4L, "a", 3L, 6.0)))
+    intercept[IllegalArgumentException] {
+      Sampling.mixInterleave(docs, "doc_id", "source",
+        Seq("a" -> 0.0), steps = 1)
+    }
+  }
+
+  test("balancedShards: snake dealing balances token mass") {
+    val docs = (1L to 6L).map(i => (i, i)).toDF("doc_id", "tk")
+    // ranks 1..6 = weights 1..6; snake over 2 shards: 0,1,1,0,0,1
+    val out = Sampling.balancedShards(docs, "doc_id", col("tk"), shards = 2)
+      .orderBy("shard").as[(Int, Long, Long)].collect().toSeq
+    assert(out == Seq((0, 3L, 10L), (1, 3L, 11L))) // 1+4+5 vs 2+3+6
+  }
+
+  // ---------------------------------------------------------------
+  // TextAnalysis.vocabCoverageCurve / TextAnalysis.wordBurstiness
+  // ---------------------------------------------------------------
+
+  test("vocabCoverageCurve: exact coverage at each cutoff, cap at |V|") {
+    val docs = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabCoverageCurve(docs, "text", Seq(1, 2, 5))
+      .orderBy("vocab_size")
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1, 1L, 3L, 0.5), (2, 2L, 5L, 0.833333),
+      (5, 3L, 6L, 1.0)))
+  }
+
+  test("wordBurstiness: tf/df ranks repeats-within-docs first") {
+    val docs = Seq((1L, "x x y"), (2L, "y z")).toDF("doc_id", "text")
+    val out = TextAnalysis.wordBurstiness(docs, "doc_id", "text", topN = 2)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(("x", 2L, 1L, 2.0), ("y", 2L, 2L, 1.0)))
+  }
+
   test("semDedupPrune: exact planted copy drops, original kept on the id tie") {
     val base = (0 until 8).map { i =>
       val a = i * 0.7853
