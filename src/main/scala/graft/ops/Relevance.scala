@@ -508,6 +508,22 @@ object Relevance {
         col("backoff_frac"), col("sb_logscore"))
   }
 
+  /** [[stupidBackoffScore]] through the session [[EvalCache]]: the
+    * count tables + per-doc scoring are re-derived identically by the
+    * LM-score gate (q262) and the perplexity-bucket gate (q269) — one
+    * builds, the other replays materialized partitions. Key covers
+    * every determining input (corpus plan, columns, train filter,
+    * alpha); cache cleared between Bench passes like the shingle/IVF/
+    * PQ caches. */
+  def stupidBackoffScoreCached(
+      df: DataFrame, idCol: String, textCol: String,
+      trainFilter: Column, alpha: Double = 0.4): DataFrame =
+    EvalCache.cached(df.sparkSession,
+      s"sbscore:${EvalCache.semKey(df)}:$idCol:$textCol:" +
+        s"${trainFilter.toString}:$alpha") {
+      stupidBackoffScore(df, idCol, textCol, trainFilter, alpha)
+    }
+
   /** Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty,
     * SIGIR 2001 — the language-modeling counterpart to [[bm25TopK]]):
     *

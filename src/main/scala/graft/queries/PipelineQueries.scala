@@ -3558,7 +3558,7 @@ object PipelineQueries {
   val qStupidBackoff = Q(
     "q262_stupid_backoff",
     (s, dir) =>
-      graft.ops.Relevance.stupidBackoffScore(
+      graft.ops.Relevance.stupidBackoffScoreCached(
           table(s, dir, "documents"), "doc_id", "text",
           trainFilter = col("source")
             .isin("src0", "src1", "src2", "src3", "src4"),
@@ -3829,7 +3829,7 @@ object PipelineQueries {
     "q269_ppl_buckets",
     (s, dir) => {
       val docs = table(s, dir, "documents")
-      val scores = graft.ops.Relevance.stupidBackoffScore(
+      val scores = graft.ops.Relevance.stupidBackoffScoreCached(
         docs, "doc_id", "text",
         trainFilter = col("source")
           .isin("src0", "src1", "src2", "src3", "src4"),
