@@ -679,4 +679,55 @@ object Sampling {
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum(col("__tk")).as("tokens"))
   }
+
+  /** End-to-end curation funnel audit: per source, document and token
+    * mass surviving each stage of the standard filter chain —
+    * raw → quality threshold → prefix-fingerprint dedup (keep the
+    * first quality-passing doc per fingerprint) → per-source cap
+    * (first `capPerSource` survivors by id). The table every curation
+    * run reads before committing: which stage costs which source how
+    * much. Stages deliberately COMPOSE the gate-checked primitives
+    * (q29 quality, q268's fingerprint, q64's cap) so the funnel's
+    * semantics are the pipeline's, not a parallel reimplementation.
+    *
+    * One corpus scan + two windows: fingerprint groups (state bounded
+    * by a fingerprint's multiplicity) and the q260-style per-source
+    * cumulative count (one per-key window — the budget-trim shape).
+    * Wordless documents get a unique sentinel fingerprint so they
+    * never glue into one bogus dedup group. Returns per source:
+    * (n_raw, t_raw, n_quality, t_quality, n_dedup, t_dedup, n_cap,
+    * t_cap). */
+  def curationFunnel(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, qualityThreshold: Double, prefixWords: Int,
+      capPerSource: Int): DataFrame = {
+    require(prefixWords >= 1 && capPerSource >= 1,
+      s"prefixWords/capPerSource must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val ws = TextAnalysis.words(col(textCol))
+    val base = df.select(
+      col(idCol).cast("long").as("id"),
+      col(sourceCol).cast("string").as("source"),
+      TextAnalysis.qualityScore(col(textCol)).as("q"),
+      size(ws).cast("long").as("tk"),
+      when(size(ws) > 0, array_join(slice(ws, 1, prefixWords), " "))
+        .otherwise(concat(lit("__empty__"),
+          col(idCol).cast("string"))).as("fp"))
+    val wFp = Window.partitionBy("fp")
+    val wSrc = Window.partitionBy("source").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def tok(flag: Column) = sum(when(flag, col("tk")).otherwise(0L))
+    def cnt(flag: Column) = sum(when(flag, 1L).otherwise(0L))
+    base
+      .withColumn("pass_q", col("q") >= qualityThreshold)
+      .withColumn("pass_d", col("pass_q") &&
+        col("id") === min(when(col("pass_q"), col("id"))).over(wFp))
+      .withColumn("pass_c", col("pass_d") &&
+        sum(when(col("pass_d"), 1L).otherwise(0L)).over(wSrc)
+          <= capPerSource)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_raw"), sum(col("tk")).as("t_raw"),
+        cnt(col("pass_q")).as("n_quality"), tok(col("pass_q")).as("t_quality"),
+        cnt(col("pass_d")).as("n_dedup"), tok(col("pass_d")).as("t_dedup"),
+        cnt(col("pass_c")).as("n_cap"), tok(col("pass_c")).as("t_cap"))
+  }
 }

@@ -4171,11 +4171,105 @@ object PipelineQueries {
         round(CAST(tf AS DOUBLE) / df, 6) AS burstiness
       FROM a ORDER BY burstiness DESC, word LIMIT 20"""))
 
+  /** End-to-end curation funnel ([[graft.ops.Sampling
+    * .curationFunnel]]): per-source doc/token mass through
+    * raw → quality ≥ 0.8 → prefix-dedup keep-first → cap 10 — the
+    * composed pipeline audit, every stage the gate-checked primitive
+    * (q29 quality, q268 fingerprint, q64 cap). The oracle replays the
+    * whole chain including both windows, so the stage interactions —
+    * not just each stage alone — are hash-certified. */
+  val qCurationFunnel = Q(
+    "q278_curation_funnel",
+    (s, dir) =>
+      graft.ops.Sampling.curationFunnel(
+          table(s, dir, "documents"), "doc_id", "text", "source",
+          qualityThreshold = 0.8, prefixWords = 8, capPerSource = 10)
+        .orderBy("source"),
+    Some(s"""WITH b AS (SELECT doc_id, source, $dkQualityScore AS q,
+               len(ws) AS tk,
+               CASE WHEN len(ws) > 0 THEN array_to_string(ws[1:8], ' ')
+                 ELSE '__empty__' || doc_id END AS fp
+             FROM (SELECT doc_id, source, text, $dkWords AS ws
+                   FROM documents)),
+      f1 AS (SELECT *, (q >= 0.8) AS pass_q FROM b),
+      f2 AS (SELECT *, pass_q AND doc_id =
+               min(CASE WHEN pass_q THEN doc_id END)
+                 OVER (PARTITION BY fp) AS pass_d FROM f1),
+      f3 AS (SELECT *, pass_d AND
+               sum(CASE WHEN pass_d THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) <= 10 AS pass_c FROM f2)
+      SELECT source, count(*) AS n_raw,
+        CAST(sum(tk) AS BIGINT) AS t_raw,
+        CAST(sum(pass_q::INT) AS BIGINT) AS n_quality,
+        CAST(sum(CASE WHEN pass_q THEN tk ELSE 0 END) AS BIGINT)
+          AS t_quality,
+        CAST(sum(pass_d::INT) AS BIGINT) AS n_dedup,
+        CAST(sum(CASE WHEN pass_d THEN tk ELSE 0 END) AS BIGINT)
+          AS t_dedup,
+        CAST(sum(pass_c::INT) AS BIGINT) AS n_cap,
+        CAST(sum(CASE WHEN pass_c THEN tk ELSE 0 END) AS BIGINT)
+          AS t_cap
+      FROM f3 GROUP BY source ORDER BY source"""))
+
+  /** Streaming per-source token-budget admission
+    * ([[graft.streaming.StreamingBudget.admitByBudget]]): a real
+    * two-batch MemoryStream drive (ascending-id batches = arrival
+    * order) admits each source's prefix under a 1500-token budget;
+    * the admitted set + running totals gate against the BATCH window
+    * contract (q260's greedy prefix) in DuckDB. State is one Long per
+    * source — the rate-limiter whose state is bounded by the mix
+    * plan's own dimension. */
+  val qStreamingBudget = Q(
+    "q279_streaming_budget",
+    (s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.OutputMode
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val docs = table(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          TextAnalysis.nTokensWhitespace(col("text")).cast("long").as("tk"))
+        .as[(String, Long, Long)].collect().sortBy(_._2)
+      val mem = MemoryStream[(String, Long, Long)]
+      val src = mem.toDF.toDF("source", "doc_id", "tk")
+      val admitted = graft.streaming.StreamingBudget
+        .admitByBudget(src, "source", "doc_id", "tk", budget = 1500L)
+      val sink = "graft_sbg_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-sbg-gate").toString
+      val query = admitted.toDF.writeStream.format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        val half = (docs.length + 1) / 2
+        docs.grouped(math.max(1, half)).foreach { chunk =>
+          mem.addData(chunk.toIndexedSeq)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      StreamGate.finish(s, sink, ckpt, s.table(sink))
+        .select(col("source"), col("docId").as("doc_id"),
+          col("tokens"), col("cumTokens").as("cum_tokens"))
+        .orderBy("source", "doc_id")
+    },
+    Some(s"""WITH t AS (SELECT source, doc_id, len($dkWords) AS tk
+               FROM documents),
+      c AS (SELECT source, doc_id, tk,
+              sum(tk) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+      SELECT source, doc_id, CAST(tk AS BIGINT) AS tokens,
+        CAST(cum AS BIGINT) AS cum_tokens
+      FROM c WHERE cum <= 1500 ORDER BY source, doc_id"""))
+
   val all: Seq[Q] = Seq(qWeightedReservoir, qMinhashEstimate, qSimhashPairs,
     qStupidBackoff, qDupSpans, qDsirWeights, qQualitySweep, qSourceKl,
     qKCenter, qPriorityDedup, qPplBuckets, qQueryLikelihood,
     qHardNegatives, qSemDedupPrune, qDedupSaturation,
     qMixInterleave, qBalancedShards, qVocabCoverage, qBurstiness,
+    qCurationFunnel, qStreamingBudget,
     qSimhashCombos, qPqAdcRecall, qIvfPqRecall, qRboRankings,
     qEpochShuffle, qBudgetTrim,
     qGlobalPacking, qLshCandClusters, qNdcgEval, qLabelProp,

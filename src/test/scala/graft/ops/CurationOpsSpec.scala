@@ -199,6 +199,29 @@ class CurationOpsSpec extends SparkSpec {
     assert(out == Seq(("x", 2L, 1L, 2.0), ("y", 2L, 2L, 1.0)))
   }
 
+  // ---------------------------------------------------------------
+  // Sampling.curationFunnel
+  // ---------------------------------------------------------------
+
+  test("curationFunnel: each stage cuts, dedup keeps first QUALITY doc") {
+    // long-enough text passes quality (threshold 0.5); "##" noise fails
+    val good = "alpha beta gamma delta epsilon zeta " * 5
+    val docs = Seq(
+      (1L, "## ## ## ## ## ## ## ## ## ##", "s1"), // fails quality
+      (2L, good, "s1"),                   // passes; fp group winner
+      (3L, good + "tail", "s1"),          // same 6-word prefix -> dedup'd
+      (4L, good + "more", "s2"),          // same prefix, other source -> dedup'd
+      (5L, "unique " + good, "s2"),       // survives all stages
+      (6L, "second unique " + good, "s2") // cut by cap = 1
+    ).toDF("doc_id", "text", "source")
+    val out = Sampling.curationFunnel(docs, "doc_id", "text", "source",
+        qualityThreshold = 0.5, prefixWords = 6, capPerSource = 1)
+      .orderBy("source")
+      .select("source", "n_raw", "n_quality", "n_dedup", "n_cap")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(("s1", 3L, 2L, 1L, 1L), ("s2", 3L, 3L, 2L, 1L)))
+  }
+
   test("semDedupPrune: exact planted copy drops, original kept on the id tie") {
     val base = (0 until 8).map { i =>
       val a = i * 0.7853
