@@ -543,6 +543,84 @@ object RelationalQueries {
             AND o.o_orderdate >= TIMESTAMP '2001-01-01')
       GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
+  /** TPC-H Q21-shaped sole-blame scan: suppliers whose RETURNED item
+    * sat in a finalized multi-supplier order where no OTHER supplier's
+    * item was returned — the classic EXISTS + NOT EXISTS DOUBLE
+    * correlation against the same fact table. Catalyst decorrelates
+    * the pair into a left-semi and a left-anti hash join on
+    * l_orderkey (q205/q206 each exercise ONE of those; this row
+    * proves the combination composes in one plan). The blame
+    * condition adapts Q21's receipt/commit-date lag — columns this
+    * schema lacks — to returnflag with identical join structure. */
+  val qBlameSupplier = Q(
+    "q280_blame_supplier",
+    (s, dir) => {
+      val tag = java.util.UUID.randomUUID.toString.replace("-", "")
+        .take(8)
+      table(s, dir, "supplier").createOrReplaceTempView(s"sup_$tag")
+      table(s, dir, "orders").createOrReplaceTempView(s"ord3_$tag")
+      table(s, dir, "lineitem").createOrReplaceTempView(s"li3_$tag")
+      s.sql(s"""SELECT s_name, count(*) AS numwait
+        FROM sup_$tag, li3_$tag l1, ord3_$tag
+        WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM li3_$tag l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM li3_$tag l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_returnflag = 'R')
+        GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""")
+    },
+    Some("""SELECT s_name, count(*) AS numwait
+      FROM supplier, lineitem l1, orders
+      WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        AND EXISTS (SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_returnflag = 'R')
+      GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"""))
+
+  /** TPC-H Q17-shaped small-quantity revenue: lineitems of one brand
+    * whose quantity sits below 20% of that part's mean — a CORRELATED
+    * SCALAR AGGREGATE in WHERE, the decorrelation showcase (Catalyst
+    * rewrites it into a per-part aggregate + join; a naive engine
+    * re-scans lineitem per probe row). The mean is written as
+    * sum/count on exact integer quantities so both engines produce
+    * the identical double before the 0.2 scale; revenue rides the
+    * catalog's cent-quantized money discipline. */
+  val qSmallQtyRevenue = Q(
+    "q281_small_qty_revenue",
+    (s, dir) => {
+      val tag = java.util.UUID.randomUUID.toString.replace("-", "")
+        .take(8)
+      table(s, dir, "part").createOrReplaceTempView(s"part_$tag")
+      table(s, dir, "lineitem").createOrReplaceTempView(s"li4_$tag")
+      s.sql(s"""SELECT count(*) AS n_small,
+          CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS DOUBLE) / 100 AS revenue
+        FROM li4_$tag JOIN part_$tag ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#1'
+          AND l_quantity < (SELECT
+              0.2 * (CAST(sum(CAST(l2.l_quantity AS BIGINT)) AS DOUBLE)
+                / count(*))
+            FROM li4_$tag l2 WHERE l2.l_partkey = p_partkey)""")
+    },
+    Some("""SELECT count(*) AS n_small,
+        CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+          AS DOUBLE) / 100 AS revenue
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#1'
+        AND l_quantity < (SELECT
+            0.2 * (CAST(sum(CAST(l2.l_quantity AS BIGINT)) AS DOUBLE)
+              / count(*))
+          FROM lineitem l2 WHERE l2.l_partkey = p_partkey)"""))
+
   /** CUBE over (event_type, ISO weekday): all four grouping-set
     * granularities of the activity matrix in ONE partial-agg shuffle
     * (q74 pins ROLLUP's three levels; CUBE adds the cross slices).
@@ -784,5 +862,5 @@ object RelationalQueries {
     qBucketedJoin, qStarJoinDeep, qZoneMap, qTpchQ3, qTpchQ18,
     qZOrderLayout, qCorrelatedExists, qAntiJoinQ22, qCubeEvents,
     qSkipEffect, qTpchQ1, qTpchQ6, qTpchQ14, qGroupingSets,
-    qHilbertLayout)
+    qHilbertLayout, qBlameSupplier, qSmallQtyRevenue)
 }
