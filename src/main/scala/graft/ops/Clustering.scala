@@ -368,4 +368,87 @@ object Clustering {
         StructField(idCol, LongType, nullable = false),
         StructField("min_dist", DoubleType, nullable = true))))
   }
+
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein,
+    * SIGIR 1998) — the relevance-AND-diversity greedy that RAG
+    * retrieval re-ranking runs where [[kCenterGreedy]] optimizes
+    * diversity alone: seed with the most query-similar vector, then
+    * repeatedly pick
+    *
+    *   argmax  λ·cos(x, q) − (1−λ)·max over selected s of cos(x, s)
+    *
+    * (6-dp-rounded cosines and score, min-id tie-break — the catalog's
+    * reproducible-argmax discipline). The query vector is the corpus
+    * row with id `queryId` (seed VECTORS, not trained centroids, so
+    * any engine replays the sequence), which never selects itself.
+    *
+    * Scale design mirrors [[kCenterGreedy]]: the selected set is a
+    * bounded driver list (k ≤ 64) whose vectors ride each pass as
+    * literals; each of the k rounds is ONE scan over the
+    * localCheckpoint'ed (id, v, norm, rel) table ending in a 1-row
+    * TakeOrdered argmax. Returns (rnk, idCol, rel, max_sim) with
+    * max_sim NULL on the seed row. */
+  def mmrSelect(df: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, lambda: Double): DataFrame = {
+    require(k >= 1 && k <= 64,
+      s"k must be in [1, 64] (bounded driver state); got $k")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"lambda must be in [0, 1], got $lambda")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val e = df.where(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+    val qRow = e.where(col("id") === queryId).limit(1).collect()
+    require(qRow.nonEmpty, s"query id $queryId not found / null vector")
+    val qv = qRow(0).getSeq[Double](1).toArray
+    val qn = math.sqrt(qv.map(x => x * x).sum)
+    val base = e.where(col("id") =!= queryId)
+      .withColumn("n", sqrt(dotProduct(col("v"), col("v"))))
+      .withColumn("rel", round(
+        dotProduct(col("v"), typedLit(qv.toSeq)) / (col("n") * lit(qn)), 6))
+      .localCheckpoint(false)
+    var selected = List.empty[(Long, Array[Double], Double)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val seed = base.orderBy(col("rel").desc, col("id")).limit(1)
+      .select(col("id"), col("v"), col("n"), col("rel")).collect()
+    if (seed.nonEmpty) {
+      val s0 = seed(0)
+      selected = (s0.getLong(0), s0.getSeq[Double](1).toArray,
+        s0.getDouble(2)) :: selected
+      out += Row(1, s0.getLong(0), s0.getDouble(3), null)
+      var exhausted = false
+      while (selected.size < k && !exhausted) {
+        val sims = selected.map { case (_, sv, sn) =>
+          round(dotProduct(col("v"), typedLit(sv.toSeq)) /
+            (col("n") * lit(sn)), 6)
+        }
+        val ms = if (sims.size == 1) sims.head else greatest(sims: _*)
+        val pick = base
+          .where(!col("id").isin(selected.map(_._1): _*))
+          .withColumn("ms", ms)
+          .withColumn("score",
+            round(lit(lambda) * col("rel") - lit(1.0 - lambda) * col("ms"), 6))
+          .orderBy(col("score").desc, col("id"))
+          .limit(1).select(col("id"), col("v"), col("n"), col("rel"),
+            col("ms")).collect()
+        if (pick.isEmpty) exhausted = true
+        else {
+          val r = pick(0)
+          selected = (r.getLong(0), r.getSeq[Double](1).toArray,
+            r.getDouble(2)) :: selected
+          out += Row(selected.size, r.getLong(0), r.getDouble(3),
+            r.getDouble(4))
+        }
+      }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toSeq, 1),
+      StructType(Seq(
+        StructField("rnk", IntegerType, nullable = false),
+        StructField(idCol, LongType, nullable = false),
+        StructField("rel", DoubleType, nullable = false),
+        StructField("max_sim", DoubleType, nullable = true))))
+  }
 }

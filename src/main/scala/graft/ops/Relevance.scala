@@ -524,6 +524,76 @@ object Relevance {
       stupidBackoffScore(df, idCol, textCol, trainFilter, alpha)
     }
 
+  /** Interpolated bigram Kneser–Ney document scoring (Kneser & Ney,
+    * ICASSP 1995; the Chen & Goodman 1998 interpolated form with a
+    * fixed absolute discount D) — the step up from [[
+    * stupidBackoffScore]]'s count cascade: the backoff distribution is
+    * the CONTINUATION probability P_cont(w) = N1+(·w) / N1+(··) (in
+    * how many distinct contexts does w complete a bigram), the fix for
+    * "Francisco is frequent but only ever follows San":
+    *
+    *   P(w|v) = (max(c(vw) − D, 0) + D · N1+(v·) · P_cont(w)) / c(v)
+    *
+    * for seen contexts; P_cont(w) alone for unseen contexts; and an
+    * ε = D / (n_bigrams + N1+(··)) floor whenever the formula returns
+    * 0 (unseen w — P_cont is 0), keeping every document's score
+    * finite and the operator total. Counts train on `trainFilter`
+    * rows; EVERY document scores.
+    *
+    * Same scale discipline as the Stupid Backoff trainer: all four
+    * count tables stay key-partitioned (a web corpus's bigram table is
+    * unbounded — never broadcast/collected), scoring collapses each
+    * document to (doc, bigram, tf) before any join, and only the
+    * 1-row totals broadcast. Returns (idCol, n_bigrams, unseen_frac,
+    * kn_logscore) — cross-entropy in nats/bigram, 6 dp. */
+  def knBigramScore(df: DataFrame, idCol: String, textCol: String,
+      trainFilter: Column, discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, "discount must be in (0,1)")
+    val train = df.filter(trainFilter)
+    val cvw = train
+      .select(explode(graft.functions.WordNgramsExpr
+        .ngrams(col(textCol), 2, distinct = false)).as("b"))
+      .select(substring_index(col("b"), " ", 1).as("v"),
+        substring_index(col("b"), " ", -1).as("u"))
+      .groupBy("v", "u").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val cv = cvw.groupBy("v")
+      .agg(sum(col("c")).as("cv"), count(lit(1)).as("n1pv"))
+    val cwt = cvw.groupBy("u").agg(count(lit(1)).as("n1pw"))
+    val tot = cvw.agg(count(lit(1)).as("n1pp"), sum(col("c")).as("nbg"))
+    val tf = df
+      .select(col(idCol).as("id"),
+        explode(graft.functions.WordNgramsExpr
+          .ngrams(col(textCol), 2, distinct = false)).as("b"))
+      .select(col("id"), substring_index(col("b"), " ", 1).as("v"),
+        substring_index(col("b"), " ", -1).as("u"))
+      .groupBy("id", "v", "u").agg(count(lit(1)).as("tf"))
+    val joined = tf
+      .join(cvw, Seq("v", "u"), "left")
+      .join(cv, Seq("v"), "left")
+      .join(cwt, Seq("u"), "left")
+      .crossJoin(broadcast(tot))
+    val d = lit(discount)
+    val pcont = coalesce(col("n1pw"), lit(0L)) / col("n1pp").cast("double")
+    val pr0 =
+      when(col("cv").isNotNull,
+        (greatest(coalesce(col("c"), lit(0L)) - d, lit(0.0)) +
+          d * col("n1pv") * pcont) / col("cv"))
+      .when(col("n1pw").isNotNull, pcont)
+    val pr = when(pr0.isNull || pr0 === 0.0,
+      d / (col("nbg") + col("n1pp")).cast("double")).otherwise(pr0)
+    val oov = col("c").isNull && col("n1pw").isNull
+    joined
+      .groupBy("id")
+      .agg(sum(col("tf")).as("n_bigrams"),
+        round(sum(when(oov, col("tf")).otherwise(lit(0L)))
+          .cast("double") / sum(col("tf")), 6).as("unseen_frac"),
+        round(-sum(col("tf") * log(pr)) / sum(col("tf")), 6)
+          .as("kn_logscore"))
+      .select(col("id").as(idCol), col("n_bigrams"),
+        col("unseen_frac"), col("kn_logscore"))
+  }
+
   /** Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty,
     * SIGIR 2001 — the language-modeling counterpart to [[bm25TopK]]):
     *

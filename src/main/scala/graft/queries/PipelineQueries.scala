@@ -4264,12 +4264,127 @@ object PipelineQueries {
         CAST(cum AS BIGINT) AS cum_tokens
       FROM c WHERE cum <= 1500 ORDER BY source, doc_id"""))
 
+  /** Interpolated bigram Kneser–Ney scoring ([[graft.ops.Relevance
+    * .knBigramScore]]; Kneser & Ney 1995, Chen & Goodman 1998): the
+    * continuation-probability backoff next to q262's count cascade —
+    * counts trained on src0-src4, every document's bigrams scored
+    * through max(c−D,0)/c(v) + D·N1+(v·)/c(v)·P_cont, with P_cont
+    * from distinct-context counts and an ε floor keeping the score
+    * total. The oracle rebuilds all four count tables and replays the
+    * interpolation; unseen_frac pins which branch fired. */
+  val qKneserNey = Q(
+    "q282_kneser_ney",
+    (s, dir) =>
+      graft.ops.Relevance.knBigramScore(
+          table(s, dir, "documents"), "doc_id", "text",
+          trainFilter = col("source")
+            .isin("src0", "src1", "src2", "src3", "src4"),
+          discount = 0.75)
+        .orderBy("doc_id"),
+    Some(s"""WITH w AS (SELECT doc_id, source, $dkWords AS ws
+               FROM documents),
+      tr AS (SELECT ws FROM w
+             WHERE source IN ('src0','src1','src2','src3','src4')),
+      bg AS (SELECT string_split(b, ' ')[1] AS v,
+               string_split(b, ' ')[2] AS u
+             FROM (SELECT unnest([ws[i] || ' ' || ws[i+1]
+                     for i in range(1, len(ws))]) AS b
+                   FROM tr WHERE len(ws) >= 2)),
+      cvw AS (SELECT v, u, count(*) AS c FROM bg GROUP BY 1, 2),
+      cv AS (SELECT v, sum(c) AS cv, count(*) AS n1pv FROM cvw
+             GROUP BY 1),
+      cw AS (SELECT u, count(*) AS n1pw FROM cvw GROUP BY 1),
+      tot AS (SELECT count(*) AS n1pp, sum(c) AS nbg FROM cvw),
+      pos AS (SELECT doc_id, string_split(b, ' ')[1] AS v,
+               string_split(b, ' ')[2] AS u
+             FROM (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1]
+                     for i in range(1, len(ws))]) AS b
+                   FROM w WHERE len(ws) >= 2)),
+      tf AS (SELECT doc_id, v, u, count(*) AS tf FROM pos
+             GROUP BY 1, 2, 3),
+      j AS (SELECT tf.doc_id, tf.tf, cvw.c, cv.cv, cv.n1pv, cw.n1pw,
+              tot.n1pp, tot.nbg
+            FROM tf
+            LEFT JOIN cvw ON cvw.v = tf.v AND cvw.u = tf.u
+            LEFT JOIN cv ON cv.v = tf.v
+            LEFT JOIN cw ON cw.u = tf.u
+            CROSS JOIN tot),
+      p AS (SELECT doc_id, tf, n1pp, nbg,
+              (c IS NULL AND n1pw IS NULL) AS oov,
+              CASE WHEN cv IS NOT NULL THEN
+                  (greatest(coalesce(c, 0) - 0.75, 0.0) +
+                   0.75 * n1pv *
+                     (coalesce(n1pw, 0) / CAST(n1pp AS DOUBLE))) / cv
+                WHEN n1pw IS NOT NULL
+                  THEN n1pw / CAST(n1pp AS DOUBLE)
+                ELSE NULL END AS pr0
+            FROM j),
+      p2 AS (SELECT doc_id, tf, oov,
+              CASE WHEN pr0 IS NULL OR pr0 = 0
+                THEN 0.75 / CAST(nbg + n1pp AS DOUBLE)
+                ELSE pr0 END AS pr
+             FROM p)
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+        round(CAST(sum(CASE WHEN oov THEN tf ELSE 0 END) AS DOUBLE)
+          / sum(tf), 6) AS unseen_frac,
+        round(-sum(tf * ln(pr)) / sum(tf), 6) AS kn_logscore
+      FROM p2 GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Maximal Marginal Relevance selection ([[graft.ops.Clustering
+    * .mmrSelect]]; Carbonell & Goldstein, SIGIR 1998): six rounds of
+    * λ·relevance − (1−λ)·max-similarity-to-selected greedy over the
+    * embeddings with vec_id 0's vector as the query — the RAG
+    * re-ranking counterpart of q267's pure-diversity k-center. The
+    * oracle unrolls all six rounds as chained CTEs, so the SELECTION
+    * SEQUENCE (and each pick's rel/max_sim readout) is certified. */
+  val qMmrSelect = Q(
+    "q283_mmr_select",
+    (s, dir) =>
+      graft.ops.Clustering.mmrSelect(
+          table(s, dir, "embeddings"), "vec_id", "embedding",
+          queryId = 0L, k = 6, lambda = 0.7)
+        .orderBy("rnk"),
+    Some {
+      def stage(t: Int) =
+        s"""p$t AS (SELECT id, v, rel, ms FROM (
+            SELECT d.id, d.v, d.rel,
+              max(round(list_dot_product(d.v, s.v) /
+                (sqrt(list_dot_product(d.v, d.v)) *
+                 sqrt(list_dot_product(s.v, s.v))), 6)) AS ms
+            FROM d0 d CROSS JOIN sel${t - 1} s
+            WHERE d.id NOT IN (SELECT id FROM sel${t - 1})
+            GROUP BY d.id, d.v, d.rel)
+          ORDER BY round(0.7 * rel - 0.3 * ms, 6) DESC, id LIMIT 1),
+        sel$t AS (SELECT id, v FROM sel${t - 1}
+          UNION ALL SELECT id, v FROM p$t)"""
+      val stages = (2 to 6).map(stage).mkString(",\n")
+      val unions = (2 to 6)
+        .map(t => s"UNION ALL SELECT $t, id, rel, ms FROM p$t")
+        .mkString(" ")
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+             FROM embeddings),
+        q AS (SELECT v FROM e WHERE id = 0),
+        d0 AS (SELECT e.id, e.v,
+                 round(list_dot_product(e.v, q.v) /
+                   (sqrt(list_dot_product(e.v, e.v)) *
+                    sqrt(list_dot_product(q.v, q.v))), 6) AS rel
+               FROM e CROSS JOIN q WHERE e.id <> 0),
+        p1 AS (SELECT id, v, rel, NULL::DOUBLE AS ms FROM d0
+               ORDER BY rel DESC, id LIMIT 1),
+        sel1 AS (SELECT id, v FROM p1),
+        $stages
+        SELECT * FROM (
+          SELECT 1 AS rnk, id AS vec_id, rel, ms AS max_sim FROM p1
+          ${unions.replace("ms FROM", "ms AS max_sim FROM")})
+        ORDER BY rnk"""
+    })
+
   val all: Seq[Q] = Seq(qWeightedReservoir, qMinhashEstimate, qSimhashPairs,
     qStupidBackoff, qDupSpans, qDsirWeights, qQualitySweep, qSourceKl,
     qKCenter, qPriorityDedup, qPplBuckets, qQueryLikelihood,
     qHardNegatives, qSemDedupPrune, qDedupSaturation,
     qMixInterleave, qBalancedShards, qVocabCoverage, qBurstiness,
-    qCurationFunnel, qStreamingBudget,
+    qCurationFunnel, qStreamingBudget, qKneserNey, qMmrSelect,
     qSimhashCombos, qPqAdcRecall, qIvfPqRecall, qRboRankings,
     qEpochShuffle, qBudgetTrim,
     qGlobalPacking, qLshCandClusters, qNdcgEval, qLabelProp,

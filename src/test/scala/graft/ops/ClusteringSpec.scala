@@ -169,4 +169,51 @@ class ClusteringSpec extends SparkSpec {
       Clustering.kCenterGreedy(dup, "vec_id", "embedding", k = 65)
     }
   }
+
+  test("mmrSelect: lambda trades relevance against diversity") {
+    import spark.implicits._
+    // query = id 0 = (1,0). 1:(1,0) rel=1; 2:(.8,.6) rel=.8;
+    // 3:(0,1) rel=0. Seed always 1 (max rel).
+    val d = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(1.0, 0.0)),
+      (2L, Seq(0.8, 0.6)), (3L, Seq(0.0, 1.0))
+    ).toDF("vec_id", "embedding")
+    // lambda=.7: round 2 scores 2 -> .7*.8-.3*.8=.32, 3 -> 0 => pick 2
+    val hi = Clustering.mmrSelect(d, "vec_id", "embedding",
+        queryId = 0L, k = 3, lambda = 0.7)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(hi == Seq((1, 1L), (2, 2L), (3, 3L)))
+    // lambda=0 (pure diversity after the seed): 2 -> -.8, 3 -> 0 => 3
+    val lo = Clustering.mmrSelect(d, "vec_id", "embedding",
+        queryId = 0L, k = 2, lambda = 0.0)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(lo == Seq((1, 1L), (2, 3L)))
+    // rel / max_sim readouts ride the rows (6 dp)
+    val rows = Clustering.mmrSelect(d, "vec_id", "embedding",
+        queryId = 0L, k = 2, lambda = 0.7).collect()
+    assert(rows(0).getDouble(2) == 1.0 && rows(0).isNullAt(3))
+    assert(rows(1).getLong(1) == 2L &&
+      rows(1).getDouble(2) == 0.8 && rows(1).getDouble(3) == 0.8)
+  }
+
+  test("mmrSelect: exhaustion, self-exclusion, and guards") {
+    import spark.implicits._
+    val d = Seq((0L, Seq(1.0, 0.0)), (4L, Seq(0.5, 0.5)))
+      .toDF("vec_id", "embedding")
+    // only one candidate besides the query: k=5 stops at 1 row, and
+    // the query row itself is never selected
+    val out = Clustering.mmrSelect(d, "vec_id", "embedding",
+        queryId = 0L, k = 5, lambda = 0.5)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(out == Seq((1, 4L)))
+    intercept[IllegalArgumentException] {
+      Clustering.mmrSelect(d, "vec_id", "embedding", 0L, 65, 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      Clustering.mmrSelect(d, "vec_id", "embedding", 0L, 2, 1.5)
+    }
+    intercept[IllegalArgumentException] { // missing query id
+      Clustering.mmrSelect(d, "vec_id", "embedding", 99L, 2, 0.5)
+    }
+  }
 }

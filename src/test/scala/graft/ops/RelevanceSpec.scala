@@ -407,4 +407,46 @@ class RelevanceSpec extends SparkSpec {
       .collect().map(_.getDouble(3)).toSeq
     assert(z == Seq(0.0, 0.0))
   }
+
+  test("knBigramScore: all four probability branches, hand-computed") {
+    import org.apache.spark.sql.functions.col
+    // Train doc "a b a c": bigrams (a,b)1 (b,a)1 (a,c)1.
+    //   cv: a->(2,2) b->(1,1); n1pw: a1 b1 c1; n1pp=3, nbg=3; D=0.75.
+    // Sanity: P(.|a) sums to 1 over {a,b,c}: .375+.375+.25.
+    val d = Seq(
+      (0L, 1, "a b a c"), // seen/seen/seen: .375, .5, .375
+      (1L, 0, "a b"),     // seen bigram: (1-.75 + .75*2*(1/3))/2 = .375
+      (2L, 0, "a x"),     // seen ctx, unseen w: pr0=0 -> eps, oov
+      (3L, 0, "x b"),     // unseen ctx, seen w: P_cont(b) = 1/3
+      (4L, 0, "x y"),     // both unseen: eps = .75/(3+3), oov
+      (5L, 0, "a")        // < 2 words -> no row
+    ).toDF("doc_id", "t", "text")
+    val out = Relevance.knBigramScore(d, "doc_id", "text",
+        trainFilter = col("t") === 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val eps = 0.75 / 6.0
+    assert(out(1L) == ((1L, 0.0, r6(-math.log(0.375)))))
+    assert(out(2L) == ((1L, 1.0, r6(-math.log(eps)))))
+    assert(out(3L) == ((1L, 0.0, r6(-math.log(1.0 / 3)))))
+    assert(out(4L) == ((1L, 1.0, r6(-math.log(eps)))))
+    assert(!out.contains(5L))
+    assert(out(0L) == ((3L, 0.0,
+      r6(-(math.log(0.375) + math.log(0.5) + math.log(0.375)) / 3))))
+  }
+
+  test("knBigramScore: seen-context distribution sums to 1 over vocab") {
+    import org.apache.spark.sql.functions.col
+    // Probe every vocab word after context "a"; total mass must be 1
+    // (the interpolated-KN invariant: discount mass redistributed via
+    // P_cont exactly covers the continuation).
+    val d = Seq(
+      (0L, 1, "a b a c"),
+      (1L, 0, "a a"), (2L, 0, "a b"), (3L, 0, "a c")
+    ).toDF("doc_id", "t", "text")
+    val pr = Relevance.knBigramScore(d, "doc_id", "text", col("t") === 1)
+      .collect().collect { case r if r.getLong(0) > 0 =>
+        math.exp(-r.getDouble(3)) }.sum
+    assert(math.abs(pr - 1.0) < 1e-6, s"mass $pr")
+  }
 }
