@@ -855,4 +855,57 @@ object TextAnalysis {
       .orderBy(col("burstiness").desc, col("word"))
       .limit(topN)
   }
+
+  /** Tokenizer APPLY + fertility audit: learn `rounds` BPE rules with
+    * [[bpeMerges]]' exact contract, encode the corpus under them, and
+    * report per-group fertility — BPE tokens emitted per whitespace
+    * word, the number a tokenizer design reads to compare vocabularies
+    * across languages/sources (fertility ~1 = words survive whole;
+    * high fertility = the vocabulary fragments that group's text).
+    * q212 gates the TRAINER; this operator is the missing second half
+    * of the tokenizer lifecycle: the trained rules actually applied.
+    *
+    * Encoding never touches the corpus row-wise: the merge table
+    * (`rounds` rows — the one bounded collect) folds into a chain of
+    * `replace(s, ' a b ', ' ab ')` projections over the DISTINCT-word
+    * table, in rank order. Rank-order application is exact for
+    * BPE-trained rules: a later merge's token cannot recreate an
+    * earlier merge's pair, because that pair's right/left symbol would
+    * have to BE the later merge's output, which did not exist when the
+    * earlier rule was learned. Per-(group, word) counts then weight
+    * the per-word token counts back in one vocabulary-sized equi-join
+    * — corpus text is scanned once, encoded never.
+    *
+    * Returns one row per group: (groupCol, n_words, n_tokens,
+    * fertility, chars_per_token), ratios 6 dp. */
+  def bpeFertility(df: DataFrame, textCol: String, groupCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 64,
+      s"rounds must be in [1, 64] (bounded merge-table collect): $rounds")
+    val merges = bpeMerges(df, textCol, rounds)
+      .orderBy("rnd").select("a", "b").collect()
+    val wc = df.where(col(textCol).isNotNull)
+      .select(col(groupCol).as("g"), explode(words(col(textCol))).as("word"))
+      .groupBy("g", "word").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    val spaced = concat(lit(" "),
+      regexp_replace(col("word"), "(.)", "$1 "))
+    val enc = merges.foldLeft(spaced) { (s, r) =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      replace(s, lit(s" $a $b "), lit(s" $a$b "))
+    }
+    val perWord = wc.select("word").distinct()
+      .select(col("word"),
+        size(split(trim(enc), " ")).cast("long").as("n_tok"))
+    wc.join(perWord, "word")
+      .groupBy("g")
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("n_tok")).as("n_tokens"),
+        sum(col("cnt") * length(col("word"))).as("n_chars"))
+      .select(col("g").as(groupCol), col("n_words"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("n_words"), 6)
+          .as("fertility"),
+        round(col("n_chars").cast("double") / col("n_tokens"), 6)
+          .as("chars_per_token"))
+  }
 }

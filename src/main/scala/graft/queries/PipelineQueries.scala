@@ -4171,6 +4171,57 @@ object PipelineQueries {
         round(CAST(tf AS DOUBLE) / df, 6) AS burstiness
       FROM a ORDER BY burstiness DESC, word LIMIT 20"""))
 
+  /** Tokenizer APPLY: 12 BPE rules learned with q212's trainer
+    * contract, the corpus encoded under them, per-source fertility
+    * ([[graft.ops.TextAnalysis.bpeFertility]]). The oracle re-learns
+    * all 12 rules (q212's unroll, deeper) AND replays the rank-order
+    * encode over the vocabulary, so trainer + encoder + the
+    * vocabulary-join rollup are certified as one chain. */
+  val qBpeFertility = Q(
+    "q286_bpe_fertility",
+    (s, dir) =>
+      TextAnalysis.bpeFertility(
+          table(s, dir, "documents"), "text", "source", rounds = 12)
+        .orderBy("source"),
+    Some {
+      val rounds = (1 to 12).map { r =>
+        val prev = s"s${r - 1}"
+        s"""p$r AS (SELECT u['a'] AS a, u['b'] AS b,
+            CAST(sum(cnt) AS BIGINT) AS pc FROM (
+          SELECT unnest([{'a': ws[i], 'b': ws[i + 1]}
+              for i in range(1, len(ws))]) AS u, cnt
+          FROM (SELECT string_split(trim(s), ' ') AS ws, cnt
+                FROM $prev)
+          WHERE len(ws) >= 2)
+        GROUP BY 1, 2),
+      m$r AS (SELECT a, b FROM p$r ORDER BY pc DESC, a, b LIMIT 1),
+      s$r AS (SELECT word,
+          replace(s, ' ' || m$r.a || ' ' || m$r.b || ' ',
+            ' ' || m$r.a || m$r.b || ' ') AS s, cnt
+        FROM $prev, m$r)"""
+      }.mkString(",\n      ")
+      s"""WITH w AS (SELECT word, count(*) AS cnt FROM (
+          SELECT unnest($dkWords) AS word FROM documents)
+        GROUP BY word),
+      s0 AS (SELECT word,
+          ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s, cnt
+        FROM w),
+      $rounds,
+      t AS (SELECT word, len(string_split(trim(s), ' ')) AS n_tok
+            FROM s12),
+      g AS (SELECT source, word, count(*) AS cnt FROM (
+          SELECT source, unnest($dkWords) AS word FROM documents)
+        GROUP BY 1, 2)
+      SELECT source, CAST(sum(cnt) AS BIGINT) AS n_words,
+        CAST(sum(cnt * n_tok) AS BIGINT) AS n_tokens,
+        round(CAST(sum(cnt * n_tok) AS DOUBLE) / sum(cnt), 6)
+          AS fertility,
+        round(CAST(sum(cnt * length(word)) AS DOUBLE)
+          / sum(cnt * n_tok), 6) AS chars_per_token
+      FROM g JOIN t USING (word)
+      GROUP BY source ORDER BY source"""
+    })
+
   /** End-to-end curation funnel ([[graft.ops.Sampling
     * .curationFunnel]]): per-source doc/token mass through
     * raw → quality ≥ 0.8 → prefix-dedup keep-first → cap 10 — the
@@ -4385,6 +4436,7 @@ object PipelineQueries {
     qHardNegatives, qSemDedupPrune, qDedupSaturation,
     qMixInterleave, qBalancedShards, qVocabCoverage, qBurstiness,
     qCurationFunnel, qStreamingBudget, qKneserNey, qMmrSelect,
+    qBpeFertility,
     qSimhashCombos, qPqAdcRecall, qIvfPqRecall, qRboRankings,
     qEpochShuffle, qBudgetTrim,
     qGlobalPacking, qLshCandClusters, qNdcgEval, qLabelProp,

@@ -858,9 +858,77 @@ object RelationalQueries {
         FROM h$bits GROUP BY 1 ORDER BY 1"""
     })
 
+  /** TPC-H Q13-shaped order-count distribution: LEFT OUTER join with
+    * a predicate ON THE JOIN CONDITION (orders below URGENT priority)
+    * — the filter must not drop order-less customers, so it cannot
+    * move to WHERE; Catalyst keeps it on the outer join's streamed
+    * side — then a two-level aggregate: per-customer order counts
+    * (count(o_custkey) so NULL padding counts 0), then the histogram
+    * of those counts. Both shuffles key on different columns, so the
+    * plan is the canonical re-shuffle-after-agg shape; neither engine
+    * can prune the zero bucket. */
+  val qOrderCountHist = Q(
+    "q284_order_count_hist",
+    (s, dir) => {
+      val c = table(s, dir, "customer").select("c_custkey")
+      val o = table(s, dir, "orders").select("o_custkey", "o_orderpriority")
+      c.join(o, c("c_custkey") === o("o_custkey") &&
+          o("o_orderpriority") =!= lit("1-URGENT"), "left_outer")
+        .groupBy(c("c_custkey")).agg(count(col("o_custkey")).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    Some("""SELECT c_count, count(*) AS custdist FROM (
+        SELECT c_custkey, count(o_custkey) AS c_count
+        FROM customer LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey)
+      GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""))
+
+  /** TPC-H Q15-shaped top supplier: quarterly revenue per supplier,
+    * then the supplier(s) achieving the MAX — the argmax-over-an-
+    * aggregated-view shape (Q15's CREATE VIEW + scalar max). The
+    * revenue view is computed ONCE and self-referenced for the max
+    * (Catalyst plans an aggregate + broadcast scalar + filter, no
+    * re-scan of lineitem); the max comparison happens on the EXACT
+    * decimal sums — only the emitted column degrades to double — so
+    * no float tie ambiguity exists, and ties would all be kept as Q15
+    * specifies. */
+  val qTopSupplier = Q(
+    "q285_top_supplier",
+    (s, dir) => {
+      val rev = table(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .select(col("l_suppkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(18, 4)).as("rev"))
+        .groupBy("l_suppkey").agg(sum(col("rev")).as("total_exact"))
+      val mx = rev.agg(max(col("total_exact")).as("mx"))
+      rev.join(broadcast(mx), col("total_exact") === col("mx"))
+        .join(table(s, dir, "supplier"),
+          col("s_suppkey") === col("l_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_exact").cast("double").as("total_revenue"))
+        .orderBy("s_suppkey")
+    },
+    Some("""WITH rev AS (SELECT l_suppkey,
+          sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+            AS total_exact
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name,
+        CAST(total_exact AS DOUBLE) AS total_revenue
+      FROM rev JOIN supplier ON s_suppkey = l_suppkey
+      WHERE total_exact = (SELECT max(total_exact) FROM rev)
+      ORDER BY s_suppkey"""))
+
   val all: Seq[Q] = Seq(qJoinRevenue, qRollup, qSetOps, qPivot, qPageRank,
     qBucketedJoin, qStarJoinDeep, qZoneMap, qTpchQ3, qTpchQ18,
     qZOrderLayout, qCorrelatedExists, qAntiJoinQ22, qCubeEvents,
     qSkipEffect, qTpchQ1, qTpchQ6, qTpchQ14, qGroupingSets,
-    qHilbertLayout, qBlameSupplier, qSmallQtyRevenue)
+    qHilbertLayout, qBlameSupplier, qSmallQtyRevenue,
+    qOrderCountHist, qTopSupplier)
 }

@@ -1003,6 +1003,25 @@ class OpsSpec extends SparkSpec {
       (1, "a", "a", 4L), (2, "a", "b", 3L), (3, "aa", "ab", 2L)))
   }
 
+  test("bpeFertility: hand-traced encode and per-group rollup") {
+    // corpus words: aaab x2 (srcA), ab x1 (srcA) + ab x2 (srcB).
+    // r1: (a,b)=5 beats (a,a)=4 -> aaab=' a a ab ', ab=' ab '
+    // r2: (a,a)=2 ties (a,ab)=2, lexicographic b-tiebreak picks (a,a)
+    //     -> aaab=' aa ab ' (2 tokens); ab stays 1 token.
+    val docs = Seq(
+      (1L, "A", "aaab aaab ab"), (2L, "B", "ab ab")
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.bpeFertility(docs, "text", "source", rounds = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(out("A") == ((3L, 5L, 1.666667, 2.0)))
+    assert(out("B") == ((2L, 2L, 1.0, 2.0)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bpeFertility(docs, "text", "source", rounds = 0)
+    }
+  }
+
   test("dsirLogWeights: identical target/raw corpora weigh exactly zero") {
     // Target and raw are the same multiset of texts -> every bucket has
     // ct == cr and tt == tr, so the smoothed log-ratio is identically 0
