@@ -1993,6 +1993,112 @@ object TemporalQueries {
       WHERE user_id IS NOT NULL AND user_id < 40 AND ts IS NOT NULL
       GROUP BY 1 ORDER BY 1"""))
 
+  /** Online drift monitoring on the gate ([[graft.streaming
+    * .StreamingDrift.psiVsBaseline]]): per-day PSI of a streamed event
+    * slice against a baseline histogram profiled OFFLINE from a
+    * disjoint user slice — the serve-time "did today's traffic drift
+    * from training?" monitor, last streaming operator family without
+    * an answer gate. The baseline (8 bin edges + Laplace-smoothed
+    * shares) rides the plan as literals, so each day is one
+    * fixed-arity conditional-count aggregate; the PSI fold is a
+    * stateless projection. Driven as a REAL two-batch Append run
+    * (split at a day boundary so the 0-second watermark cannot
+    * late-drop the second batch), flushed by the q242 sentinel
+    * protocol; the oracle replays baseline profiling, binning,
+    * smoothing, and the left-to-right PSI fold in one batch query. */
+  val qStreamingDrift = Q(
+    "q287_streaming_drift",
+    (s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.OutputMode
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val DayUs = 24L * HourUs
+      val k = 8
+      val ev = eventsUs(s, dir)
+        .where(col("value").isNotNull && !isnan(col("value")) &&
+          col("ts").isNotNull)
+        .select(col("user_id"), col("ts").as("tus"),
+          col("value").cast("double").as("v"))
+      val base = ev.where(col("user_id") < 20)
+      val mm = base.agg(min(col("v")), max(col("v"))).head()
+      val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
+      val binned = base.select(greatest(lit(0), least(
+          graft.functions.StatFunctions.histogramBin(col("v"), mn, mx, k),
+          lit(k - 1))).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val baseline = graft.streaming.StreamingDrift.Baseline.fromCounts(
+        mn, mx, (0 until k).map(i => binned.getOrElse(i, 0L)))
+      val slice = ev.where(col("user_id") >= 20 && col("user_id") < 60)
+        .select(col("tus"), col("v")).as[(Long, Double)].collect()
+      val maxTs = slice.iterator.map(_._1).max
+      val minTs = slice.iterator.map(_._1).min
+      val splitDay = ((minTs + maxTs) / 2 / DayUs) * DayUs
+      val mem = MemoryStream[(Long, Double)]
+      val src = mem.toDF.toDF("tus", "value")
+        .select(timestamp_micros(col("tus")).as("ts"), col("value"))
+      val agg = graft.streaming.StreamingDrift.psiVsBaseline(
+        src, "ts", "value", baseline, "1 day", "0 seconds")
+      val sink = "graft_sdrift_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-sdrift-gate").toString
+      val query = agg.writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        mem.addData(slice.filter(_._1 < splitDay).toIndexedSeq)
+        query.processAllAvailable()
+        mem.addData(slice.filter(_._1 >= splitDay).toIndexedSeq)
+        query.processAllAvailable()
+        mem.addData((maxTs + 40L * DayUs, 0.0))
+        query.processAllAvailable()
+        mem.addData((maxTs + 80L * DayUs, 0.0))
+        query.processAllAvailable()
+      } finally query.stop()
+      StreamGate.finish(s, sink, ckpt, s.table(sink)
+          .where(unix_micros(col("w.start")) <= maxTs)
+          .select(unix_micros(col("w.start")).as("day_start_us"),
+            col("psi"), col("n")))
+        .orderBy("day_start_us")
+    },
+    Some {
+      val k = 8
+      val q = (0 until k).map(i =>
+        s"(b$i + 0.5) / (nb + ${0.5 * k})").mkString(",\n          ")
+      val terms = (0 until k).map { i =>
+        val p = s"((c$i + 0.5) / (n + ${0.5 * k}))"
+        val qq = s"((b$i + 0.5) / (nb + ${0.5 * k}))"
+        s"($p - $qq) * ln($p / $qq)"
+      }.mkString("\n          + ")
+      def condCounts(pfx: String) = (0 until k).map(i =>
+        s"sum(CASE WHEN bin = $i THEN 1 ELSE 0 END) AS $pfx$i")
+        .mkString(", ")
+      s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS tus,
+            CAST(value AS DOUBLE) AS v
+          FROM events
+          WHERE value IS NOT NULL AND NOT isnan(value)
+            AND ts IS NOT NULL),
+        st AS (SELECT min(v) AS mn, max(v) AS mx FROM ev
+               WHERE user_id < 20),
+        bb AS (SELECT GREATEST(LEAST(floor((v - st.mn)
+              / ((st.mx - st.mn) / $k)), ${k - 1}), 0) AS bin
+            FROM ev, st WHERE user_id < 20),
+        bc AS (SELECT count(*) AS nb, ${condCounts("b")} FROM bb),
+        sv AS (SELECT (tus // 86400000000) * 86400000000
+              AS day_start_us,
+            GREATEST(LEAST(floor((v - st.mn)
+              / ((st.mx - st.mn) / $k)), ${k - 1}), 0) AS bin
+          FROM ev, st WHERE user_id >= 20 AND user_id < 60),
+        dc AS (SELECT day_start_us, count(*) AS n, ${condCounts("c")}
+            FROM sv GROUP BY 1)
+      SELECT day_start_us,
+        round($terms, 8) AS psi,
+        CAST(n AS BIGINT) AS n
+      FROM dc, bc ORDER BY day_start_us"""
+    })
+
   /** The as-of join through the CUSTOM PHYSICAL OPERATOR
     * ([[graft.plans.AsOfJoinExec]] — logical node + planner Strategy +
     * SparkPlan with declared distribution/ordering requirements): the
@@ -2195,5 +2301,6 @@ object TemporalQueries {
     qWindowSuite, qCoxPh, qResampleFfill, qResampleInterpolate,
     qIntervalUnion, qBatchSessionWindow, qStreamingIntervalJoin,
     qCdcUpsert, qStreamingTumbling, qAsofExec, qMarkovStationary,
-    qAsofExecForward, qAsofTimestampExec, qStreamingIntervalLeftOuter)
+    qAsofExecForward, qAsofTimestampExec, qStreamingIntervalLeftOuter,
+    qStreamingDrift)
 }
