@@ -49,4 +49,40 @@ object Rolling {
       sum(col(valueCol).cast(DecimalType(18, 6))).over(w).cast("double")
         .as("sum_trail"))
   }
+
+  /** Rolling MEDIAN over the trailing `frameRows`-row frame per key —
+    * the robust centerline [[trailingStats]]' mean-family can't give
+    * (one outlier saturates a sum; the median shrugs), the standard
+    * monitoring/despiking smoother. Exact, not sketched: the frame is
+    * ROWS-bounded, so collecting it per row is O(frameRows) state in
+    * the single WindowExec — same shuffle/sort shape as trailingStats,
+    * no self-join — and `sort_array` + middle pick (mean of the two
+    * middles on even counts, the interpolated convention) is
+    * deterministic for any executor order. Null values are excluded
+    * from the frame (count may be < frameRows); an all-null frame
+    * yields a null median. `tieCol` fixes the within-timestamp order
+    * so frame CONTENTS are engine-reproducible — a bare time ordering
+    * would leave ties to partitioning luck. Adds (n_frame, median). */
+  def rollingMedian(df: DataFrame, key: String, time: String,
+      tieCol: String, valueCol: String, frameRows: Int): DataFrame = {
+    require(frameRows >= 1 && frameRows <= 10000,
+      s"frameRows must be in [1, 10000] (bounded frame state): $frameRows")
+    val clash = df.columns.toSet.intersect(Set("n_frame", "median"))
+    require(clash.isEmpty,
+      s"input already has output columns $clash; rename them first")
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(time), col(tieCol))
+      .rowsBetween(-(frameRows - 1), 0)
+    val arr = sort_array(collect_list(col(valueCol).cast("double")).over(w))
+    df.select(col("*"), arr.as("__mf"))
+      .withColumn("n_frame", size(col("__mf")).cast("long"))
+      .withColumn("median", when(col("n_frame") === 0, lit(null))
+        .when(col("n_frame") % 2 === 1,
+          element_at(col("__mf"), ((col("n_frame") + 1) / 2).cast("int")))
+        .otherwise((
+          element_at(col("__mf"), (col("n_frame") / 2).cast("int")) +
+          element_at(col("__mf"), (col("n_frame") / 2 + 1).cast("int")))
+          / 2.0))
+      .drop("__mf")
+  }
 }

@@ -925,10 +925,81 @@ object RelationalQueries {
       WHERE total_exact = (SELECT max(total_exact) FROM rev)
       ORDER BY s_suppkey"""))
 
+  /** TPC-H Q8-shaped national market share: over two years of PROMO-
+    * part orders shipped to AMERICA customers, the fraction of revenue
+    * supplied by NATION_3 — the conditional-sum-over-sum RATIO
+    * aggregate at the end of an EIGHT-table join (lineitem–part–
+    * supplier–orders–customer–nation×2–region; nation joins twice
+    * under different roles, so the plan proves alias-correct dim
+    * reuse). All dims broadcast except orders/customer (they scale
+    * with the fact); the ratio divides the exact decimal sums only
+    * after both are fixed, in double on both engines. */
+  val qTpchQ8 = Q(
+    "q289_tpch_q8",
+    (s, dir) => {
+      val li = table(s, dir, "lineitem").select(
+        col("l_partkey"), col("l_suppkey"), col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 4)).as("vol"))
+      val p = table(s, dir, "part").where(col("p_type") === "PROMO")
+        .select("p_partkey")
+      val sup = table(s, dir, "supplier").select(
+        col("s_suppkey"), col("s_nationkey"))
+      val ord = table(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).as("o_year"))
+      val cust = table(s, dir, "customer").select(
+        col("c_custkey"), col("c_nationkey"))
+      val custNation = table(s, dir, "nation").as("n1")
+        .join(table(s, dir, "region")
+          .where(col("r_name") === "AMERICA"),
+          col("n1.n_regionkey") === col("r_regionkey"))
+        .select(col("n1.n_nationkey").as("cn_key"))
+      val supNation = table(s, dir, "nation").as("n2")
+        .select(col("n2.n_nationkey").as("sn_key"),
+          col("n2.n_name").as("sn_name"))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(custNation), col("c_nationkey") === col("cn_key"))
+        .join(broadcast(supNation), col("s_nationkey") === col("sn_key"))
+        .groupBy("o_year")
+        .agg(
+          sum(when(col("sn_name") === "NATION_3", col("vol"))
+            .otherwise(lit(0).cast(DecimalType(18, 4)))).as("num"),
+          sum(col("vol")).as("den"))
+        .select(col("o_year"),
+          round(col("num").cast("double") / col("den").cast("double"), 6)
+            .as("mkt_share"),
+          col("den").cast("double").as("volume"))
+        .orderBy("o_year")
+    },
+    Some("""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        round(CAST(sum(CASE WHEN n2.n_name = 'NATION_3' THEN v
+            ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+          / CAST(sum(v) AS DOUBLE), 6) AS mkt_share,
+        CAST(sum(v) AS DOUBLE) AS volume
+      FROM (SELECT l_partkey, l_suppkey, l_orderkey,
+          CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS v
+        FROM lineitem) li
+      JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO'
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c_nationkey
+      JOIN region ON r_regionkey = n1.n_regionkey AND r_name = 'AMERICA'
+      JOIN nation n2 ON n2.n_nationkey = s_nationkey
+      GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(qJoinRevenue, qRollup, qSetOps, qPivot, qPageRank,
     qBucketedJoin, qStarJoinDeep, qZoneMap, qTpchQ3, qTpchQ18,
     qZOrderLayout, qCorrelatedExists, qAntiJoinQ22, qCubeEvents,
     qSkipEffect, qTpchQ1, qTpchQ6, qTpchQ14, qGroupingSets,
     qHilbertLayout, qBlameSupplier, qSmallQtyRevenue,
-    qOrderCountHist, qTopSupplier)
+    qOrderCountHist, qTopSupplier, qTpchQ8)
 }

@@ -2099,6 +2099,41 @@ object TemporalQueries {
       FROM dc, bc ORDER BY day_start_us"""
     })
 
+  /** Rolling 10-row median per user ([[graft.ops.Rolling
+    * .rollingMedian]]): the robust centerline q72's sum-family can't
+    * give — one WindowExec with a bounded ROWS frame, sort_array +
+    * middle pick, event_id tie-break so frame CONTENTS are
+    * engine-reproducible. The oracle replays the same sorted-frame
+    * indexing (list window agg + the identical (a+b)/2 even-count
+    * form — NOT DuckDB's quantile interpolation, whose a+(b-a)·0.5
+    * rounds differently), so the doubles agree bit-for-bit unrounded. */
+  val qRollingMedian = Q(
+    "q288_rolling_median",
+    (s, dir) => {
+      val ev = eventsUs(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("ts").as("tus"))
+      graft.ops.Rolling
+        .rollingMedian(ev, "user_id", "tus", "event_id", "value",
+          frameRows = 10)
+        .select("event_id", "user_id", "tus", "n_frame", "median")
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, tus,
+        CAST(len(arr) AS BIGINT) AS n_frame,
+        CASE WHEN len(arr) = 0 THEN NULL
+          WHEN len(arr) % 2 = 1 THEN arr[(len(arr) + 1) // 2]
+          ELSE (arr[len(arr) // 2] + arr[len(arr) // 2 + 1]) / 2.0
+        END AS median
+      FROM (SELECT event_id, user_id, tus,
+          list_sort(list_filter(list(value) OVER w,
+            x -> x IS NOT NULL)) AS arr
+        FROM (SELECT event_id, user_id, epoch_us(ts) AS tus,
+              CAST(value AS DOUBLE) AS value FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id
+          ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+      ORDER BY event_id"""))
+
   /** The as-of join through the CUSTOM PHYSICAL OPERATOR
     * ([[graft.plans.AsOfJoinExec]] — logical node + planner Strategy +
     * SparkPlan with declared distribution/ordering requirements): the
@@ -2302,5 +2337,5 @@ object TemporalQueries {
     qIntervalUnion, qBatchSessionWindow, qStreamingIntervalJoin,
     qCdcUpsert, qStreamingTumbling, qAsofExec, qMarkovStationary,
     qAsofExecForward, qAsofTimestampExec, qStreamingIntervalLeftOuter,
-    qStreamingDrift)
+    qStreamingDrift, qRollingMedian)
 }

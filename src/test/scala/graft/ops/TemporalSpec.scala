@@ -217,6 +217,35 @@ class TemporalSpec extends SparkSpec {
     assert(out == Set((2L, 3.0))) // both rows see both (RANGE, not ROWS)
   }
 
+  test("rollingMedian: odd/even frames, null exclusion, tie order") {
+    val df = Seq(
+      ("a", 1L, 0L, Some(5.0)), ("a", 2L, 1L, Some(1.0)),
+      ("a", 3L, 2L, None: Option[Double]), ("a", 4L, 3L, Some(9.0)),
+      ("a", 5L, 4L, Some(3.0)),
+      ("b", 1L, 5L, None: Option[Double])) // all-null frame
+      .toDF("k", "t", "id", "v")
+    val out = Rolling.rollingMedian(df, "k", "t", "id", "v", frameRows = 3)
+      .select("id", "n_frame", "median")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))).toMap
+    assert(out(0L) == ((1L, 5.0)))
+    assert(out(1L) == ((2L, 3.0)))  // even: (1+5)/2
+    assert(out(2L) == ((2L, 3.0)))  // null dropped; frame {5,1}
+    assert(out(3L) == ((2L, 5.0)))  // frame {1,null,9} -> (1+9)/2
+    assert(out(4L) == ((2L, 6.0)))  // frame {null,9,3} -> (3+9)/2
+    assert(out(5L)._1 == 0L && out(5L)._2.isNaN) // all-null -> null
+    // within-timestamp tie order comes from tieCol: two rows at t=9
+    val tie = Seq(("c", 9L, 0L, Some(10.0)), ("c", 9L, 1L, Some(20.0)))
+      .toDF("k", "t", "id", "v")
+    val got = Rolling.rollingMedian(tie, "k", "t", "id", "v", 2)
+      .select("id", "median").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(0L) == 10.0 && got(1L) == 15.0)
+    intercept[IllegalArgumentException] {
+      Rolling.rollingMedian(df, "k", "t", "id", "v", 0)
+    }
+  }
+
   // ------------------------------------------------- randomized differential
 
   test("asof backward/forward == naive per-row reference on random data") {
