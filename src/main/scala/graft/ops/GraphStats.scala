@@ -144,4 +144,50 @@ object GraphStats {
     }
     q.select(col("id").as(idCol), col("q").as("rank_q"))
   }
+
+  /** k-core extraction (Seidman 1983): iteratively peel every vertex
+    * of degree < k until the fixpoint — the densest-backbone filter a
+    * graph-curation pass runs before trusting co-occurrence edges
+    * (low-core vertices are the long noisy tail; spam/link-farm
+    * pruning on web graphs). Returns the surviving vertices with their
+    * WITHIN-CORE degree: (node `n`, core_deg ≥ k), empty when the
+    * whole graph peels away.
+    *
+    * Distributed loop, no driver data: each round is one
+    * map-side-combined degree groupBy + two anti joins removing edges
+    * with a sub-k endpoint, the round's edge table localCheckpointed
+    * so lineage stays flat (the pageRank discipline). Peeling is
+    * MONOTONE — the edge set only shrinks, every round's work is
+    * bounded by the previous round's edges — and the early exit fires
+    * the first round nothing peels, so `maxIter` is a safety valve,
+    * not a tuning knob: the fixpoint reached within it is THE k-core
+    * (rounds beyond convergence are no-ops, which is also what lets a
+    * fixed-depth oracle unroll over-provision safely). Throws if the
+    * fixpoint is not reached in `maxIter` rounds. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, maxIter: Int = 30): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    var e = canonical(edges, srcCol, dstCol).localCheckpoint(false)
+    def degrees(ed: DataFrame): DataFrame =
+      ed.select(col("u").as("n"))
+        .unionAll(ed.select(col("w").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("core_deg"))
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      it += 1
+      val bad = degrees(e).where(col("core_deg") < k)
+        .select(col("n")).localCheckpoint(false)
+      if (bad.isEmpty) converged = true
+      else e = e
+        .join(bad.withColumnRenamed("n", "u"), Seq("u"), "left_anti")
+        .join(bad.withColumnRenamed("n", "w"), Seq("w"), "left_anti")
+        .select("u", "w")
+        .localCheckpoint(false)
+    }
+    require(converged,
+      s"k-core did not reach the fixpoint in $maxIter rounds")
+    degrees(e)
+  }
 }

@@ -2435,6 +2435,56 @@ object PipelineQueries {
           AS clustering_coeff
       FROM ds, ec, tr"""))
 
+  /** k-core backbone of q160's word co-occurrence graph
+    * ([[graft.ops.GraphStats.kCore]], Seidman 1983): peel degree-<3
+    * vertices to the fixpoint, emit survivors with their within-core
+    * degree — the dense-backbone filter a graph-curation pass runs
+    * before trusting co-occurrence edges. The oracle unrolls 20 peel
+    * rounds as chained CTEs; peeling is idempotent past the fixpoint,
+    * so the over-provisioned depth is safe, and the engine's require
+    * throws loudly if a fixture ever needed more. */
+  val qKCoreBackbone = Q(
+    "q290_kcore",
+    (s, dir) => {
+      val edges = table(s, dir, "documents")
+        .select(explode(graft.functions.WordNgramsExpr
+          .ngrams(col("text"), 2, distinct = false)).as("b"))
+        .select(substring_index(col("b"), " ", 1).as("wa"),
+          substring_index(col("b"), " ", -1).as("wb"))
+        .where(col("wa") =!= col("wb"))
+        .select(least(col("wa"), col("wb")).as("u"),
+          greatest(col("wa"), col("wb")).as("w"))
+        .groupBy("u", "w").agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") >= 2)
+      graft.ops.GraphStats.kCore(edges, "u", "w", k = 3, maxIter = 20)
+        .orderBy("n")
+    },
+    Some {
+      val rounds = (1 to 20).map { r =>
+        val prev = s"e${r - 1}"
+        s"""d$r AS MATERIALIZED (SELECT n, count(*) AS dg FROM
+            (SELECT u AS n FROM $prev UNION ALL SELECT v FROM $prev)
+          GROUP BY n),
+        e$r AS MATERIALIZED (SELECT u, v FROM $prev
+          WHERE u IN (SELECT n FROM d$r WHERE dg >= 3)
+            AND v IN (SELECT n FROM d$r WHERE dg >= 3))"""
+      }.mkString(",\n      ")
+      s"""WITH w AS (SELECT $dkWords AS ws FROM documents),
+        bg AS (SELECT unnest([array_to_string(ws[i:i+1], ' ')
+                 for i in range(1, len(ws))]) AS b
+               FROM w WHERE len(ws) >= 2),
+        pr AS (SELECT string_split(b, ' ')[1] AS wa,
+                 string_split(b, ' ')[2] AS wb FROM bg),
+        e0 AS MATERIALIZED (SELECT least(wa, wb) AS u,
+                greatest(wa, wb) AS v
+              FROM pr WHERE wa <> wb GROUP BY 1, 2
+              HAVING count(*) >= 2),
+        $rounds
+      SELECT n, count(*) AS core_deg FROM
+        (SELECT u AS n FROM e20 UNION ALL SELECT v FROM e20)
+      GROUP BY n ORDER BY n"""
+    })
+
   /** Spherical k-means ([[graft.ops.Clustering.kmeansCentroids]]):
     * k=4 cosine Lloyd rounds from the deterministic lowest-id init,
     * final centroids in long format (cid, n, pos, val). The oracle
@@ -4436,7 +4486,7 @@ object PipelineQueries {
     qHardNegatives, qSemDedupPrune, qDedupSaturation,
     qMixInterleave, qBalancedShards, qVocabCoverage, qBurstiness,
     qCurationFunnel, qStreamingBudget, qKneserNey, qMmrSelect,
-    qBpeFertility,
+    qBpeFertility, qKCoreBackbone,
     qSimhashCombos, qPqAdcRecall, qIvfPqRecall, qRboRankings,
     qEpochShuffle, qBudgetTrim,
     qGlobalPacking, qLshCandClusters, qNdcgEval, qLabelProp,

@@ -101,4 +101,28 @@ class GraphStatsSpec extends SparkSpec {
     val dup = ranks(Seq((0L, 1L), (0L, 1L)), Seq(0L, 1L))
     assert(once == dup)
   }
+
+  test("kCore: cascading peel, whole-graph dissolution, maxIter guard") {
+    // triangle a-b-c with a pendant chain c-d-e: e (deg 1) peels
+    // first, which drops d to deg 1 -> second round peels d; the
+    // triangle is the 2-core.
+    val g = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"),
+      ("d", "e")).toDF("x", "y")
+    val core2 = GraphStats.kCore(g, "x", "y", k = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(core2 == Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+    // k=3: the triangle's degree-2 vertices peel too -> empty core
+    assert(GraphStats.kCore(g, "x", "y", k = 3).isEmpty)
+    // the cascade needs 2 peel rounds + 1 fixpoint check; maxIter=2
+    // must throw rather than return a non-fixpoint
+    intercept[IllegalArgumentException] {
+      GraphStats.kCore(g, "x", "y", k = 2, maxIter = 2)
+    }
+    // duplicate/reversed edges collapse before degrees are counted
+    val dup = Seq(("a", "b"), ("b", "a"), ("a", "b"), ("b", "c"),
+      ("a", "c")).toDF("x", "y")
+    val c = GraphStats.kCore(dup, "x", "y", k = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(c == Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+  }
 }
