@@ -856,6 +856,35 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** Distinct-n diversity ratios (Li et al., NAACL 2016): per group
+    * and n ∈ [1, maxN], distinct n-grams / total n-grams — the
+    * standard lexical-diversity readout for a corpus slice or a
+    * model's generations (ratios near 0 = template/boilerplate
+    * degeneration). ONE corpus scan: the per-n gram arrays ride a
+    * posexplode'd array-of-arrays, then one two-phase
+    * (group, n)-keyed count + distinct-count — no per-n rescan, both
+    * aggregates map-side combined. Returns (groupCol, n, total_ngrams,
+    * distinct_ngrams, distinct_ratio 6dp); groups shorter than n emit
+    * no row at that n. */
+  def distinctNgramRatios(df: DataFrame, textCol: String,
+      groupCol: String, maxN: Int): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"maxN must be in [1, 8]: $maxN")
+    val grams = array((1 to maxN).map(n =>
+      graft.functions.WordNgramsExpr
+        .ngrams(col(textCol), n, distinct = false)): _*)
+    df.where(col(textCol).isNotNull)
+      .select(col(groupCol).as("g"), posexplode(grams).as(Seq("p", "gr")))
+      .select(col("g"), (col("p") + 1).cast("int").as("n"),
+        explode(col("gr")).as("ng"))
+      .groupBy("g", "n")
+      .agg(count(lit(1)).as("total_ngrams"),
+        countDistinct(col("ng")).as("distinct_ngrams"))
+      .select(col("g").as(groupCol), col("n"), col("total_ngrams"),
+        col("distinct_ngrams"),
+        round(col("distinct_ngrams").cast("double")
+          / col("total_ngrams"), 6).as("distinct_ratio"))
+  }
+
   /** Tokenizer APPLY + fertility audit: learn `rounds` BPE rules with
     * [[bpeMerges]]' exact contract, encode the corpus under them, and
     * report per-group fertility — BPE tokens emitted per whitespace

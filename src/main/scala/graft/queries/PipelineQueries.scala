@@ -4272,6 +4272,35 @@ object PipelineQueries {
       GROUP BY source ORDER BY source"""
     })
 
+  /** Distinct-n lexical diversity per source ([[graft.ops
+    * .TextAnalysis.distinctNgramRatios]], Li et al. NAACL 2016):
+    * distinct/total n-grams for n=1..3 in one posexploded scan — the
+    * degeneration detector for both corpus slices and model
+    * generations. */
+  val qDistinctNgrams = Q(
+    "q291_distinct_ngrams",
+    (s, dir) =>
+      TextAnalysis.distinctNgramRatios(
+          table(s, dir, "documents"), "text", "source", maxN = 3)
+        .orderBy("source", "n"),
+    Some(s"""WITH w AS (SELECT source, $dkWords AS ws FROM documents),
+      g AS (
+        SELECT source, 1 AS n, unnest(ws) AS ng FROM w
+        UNION ALL
+        SELECT source, 2, unnest([array_to_string(ws[i:i+1], ' ')
+            for i in range(1, len(ws))])
+          FROM w WHERE len(ws) >= 2
+        UNION ALL
+        SELECT source, 3, unnest([array_to_string(ws[i:i+2], ' ')
+            for i in range(1, len(ws) - 1)])
+          FROM w WHERE len(ws) >= 3)
+      SELECT source, CAST(n AS INT) AS n,
+        count(*) AS total_ngrams,
+        CAST(count(DISTINCT ng) AS BIGINT) AS distinct_ngrams,
+        round(CAST(count(DISTINCT ng) AS DOUBLE) / count(*), 6)
+          AS distinct_ratio
+      FROM g GROUP BY source, n ORDER BY source, n"""))
+
   /** End-to-end curation funnel ([[graft.ops.Sampling
     * .curationFunnel]]): per-source doc/token mass through
     * raw → quality ≥ 0.8 → prefix-dedup keep-first → cap 10 — the
@@ -4486,7 +4515,7 @@ object PipelineQueries {
     qHardNegatives, qSemDedupPrune, qDedupSaturation,
     qMixInterleave, qBalancedShards, qVocabCoverage, qBurstiness,
     qCurationFunnel, qStreamingBudget, qKneserNey, qMmrSelect,
-    qBpeFertility, qKCoreBackbone,
+    qBpeFertility, qKCoreBackbone, qDistinctNgrams,
     qSimhashCombos, qPqAdcRecall, qIvfPqRecall, qRboRankings,
     qEpochShuffle, qBudgetTrim,
     qGlobalPacking, qLshCandClusters, qNdcgEval, qLabelProp,

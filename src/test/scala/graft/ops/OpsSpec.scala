@@ -1003,6 +1003,21 @@ class OpsSpec extends SparkSpec {
       (1, "a", "a", 4L), (2, "a", "b", 3L), (3, "aa", "ab", 2L)))
   }
 
+  test("distinctNgramRatios: hand-counted ratios, short docs skip high n") {
+    val docs = Seq(
+      ("A", "x x y"),   // uni: 3 tot 2 dist; bi: "x x","x y" 2/2
+      ("A", "x"),       // adds 1 uni tot, no new distinct, no bigram
+      ("B", "z")        // uni only; no bigram row for B
+    ).toDF("source", "text")
+    val out = TextAnalysis.distinctNgramRatios(docs, "text", "source", 2)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(("A", 1)) == ((4L, 2L, 0.5)))
+    assert(out(("A", 2)) == ((2L, 2L, 1.0)))
+    assert(out(("B", 1)) == ((1L, 1L, 1.0)))
+    assert(!out.contains(("B", 2)))
+  }
+
   test("bpeFertility: hand-traced encode and per-group rollup") {
     // corpus words: aaab x2 (srcA), ab x1 (srcA) + ab x2 (srcB).
     // r1: (a,b)=5 beats (a,a)=4 -> aaab=' a a ab ', ab=' ab '
