@@ -370,7 +370,12 @@ object Bench {
       // (word-shuffled replicas keep 8-gram collisions honest: shuffles
       // break long spans, exact-tile pairs within a replica family
       // still share windows)
-      "q262_stupid_backoff", "q263_dup_spans")
+      "q262_stupid_backoff", "q263_dup_spans",
+      // session-3 round-9 additions: the KN four-table count ladder,
+      // the 12-round BPE train+encode chain, and the iterative k-core
+      // peel (round count can GROW with corpus structure — exactly
+      // what a 10x reading should catch)
+      "q282_kneser_ney", "q286_bpe_fertility", "q290_kcore")
     val stressWaivers = Map(
       "q165_mutual_knn" -> ("documented O(n^2) exact-kNN oracle tool; " +
         "q26b/q26c/q27 are the approximate scale path"))

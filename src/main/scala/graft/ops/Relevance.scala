@@ -594,6 +594,45 @@ object Relevance {
         col("unseen_frac"), col("kn_logscore"))
   }
 
+  /** Two-stage retrieval — BM25 lexical RECALL, dense cosine RERANK:
+    * the production RAG shape (cheap sparse scan finds `recallK`
+    * candidates; the expensive similarity only ever scores that
+    * bounded set; q153's RRF is the rank-FUSION alternative, this is
+    * rank REPLACEMENT). The candidate list is bounded by construction,
+    * so the rerank is a broadcast of one query vector against a
+    * `recallK`-row join — no corpus-wide vector scan, which is the
+    * entire point of the two-stage design at 100 TB. Ranks at both
+    * stages use 6-dp-rounded scores with id tie-breaks (engine-exact
+    * sequences). Returns top `k`: (rnk, docIdCol, bm25_rnk, cos). */
+  def bm25DenseRerank(docs: DataFrame, docIdCol: String, textCol: String,
+      emb: DataFrame, vecIdCol: String, vecCol: String,
+      queryTerms: Seq[String], queryVecId: Long,
+      recallK: Int, k: Int): DataFrame = {
+    require(recallK >= k && k >= 1,
+      s"need recallK >= k >= 1, got recallK=$recallK k=$k")
+    import graft.functions.StatFunctions.{dotProduct, l2Norm}
+    val lex = bm25TopK(docs, docIdCol, textCol, queryTerms, recallK)
+      // bounded window: at most recallK rows survive the limit above
+      .withColumn("bm25_rnk", row_number().over(
+        Window.orderBy(col("score").desc, col(docIdCol).asc)))
+      .select(col(docIdCol).cast("long").as("id"), col("bm25_rnk"))
+    val e = emb.where(col(vecCol).isNotNull)
+      .select(col(vecIdCol).cast("long").as("id"),
+        col(vecCol).as("v"), l2Norm(col(vecCol)).as("nn"))
+    val q = e.where(col("id") === queryVecId)
+      .select(col("v").as("qv"), col("nn").as("qn"))
+    lex.where(col("id") =!= queryVecId)
+      .join(e, "id")
+      .crossJoin(broadcast(q))
+      .withColumn("cos", round(
+        dotProduct(col("qv"), col("v")) / (col("qn") * col("nn")), 6))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("cos").desc, col("id").asc)))
+      .where(col("rnk") <= k)
+      .select(col("rnk"), col("id").as(docIdCol), col("bm25_rnk"),
+        col("cos"))
+  }
+
   /** Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty,
     * SIGIR 2001 — the language-modeling counterpart to [[bm25TopK]]):
     *

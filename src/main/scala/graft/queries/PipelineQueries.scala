@@ -4272,6 +4272,49 @@ object PipelineQueries {
       GROUP BY source ORDER BY source"""
     })
 
+  /** Two-stage retrieval ([[graft.ops.Relevance.bm25DenseRerank]]):
+    * BM25 recalls 50 lexical candidates, the dense cosine reranks and
+    * keeps 10 — rank REPLACEMENT, next to q153's rank FUSION. The
+    * rerank only ever scores the bounded candidate set (one broadcast
+    * query vector), which is the point of the shape at scale; the
+    * oracle replays the full BM25 chain and the rerank join. */
+  val qBm25Rerank = Q(
+    "q292_bm25_rerank",
+    (s, dir) =>
+      Relevance.bm25DenseRerank(
+          table(s, dir, "documents"), "doc_id", "text",
+          table(s, dir, "embeddings"), "vec_id", "embedding",
+          queryTerms = Seq("hash", "join", "merge"), queryVecId = 0L,
+          recallK = 50, k = 10)
+        .orderBy("rnk"),
+    Some(s"""WITH w AS (SELECT doc_id AS id, $dkWords AS ws FROM documents),
+      dl AS (SELECT id, len(ws) AS dl FROM w),
+      corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      oc AS (SELECT id, unnest(ws) AS w FROM w),
+      qt AS (SELECT unnest(['hash', 'join', 'merge']) AS w),
+      dfq AS (SELECT w, count(DISTINCT id) AS df_w
+              FROM oc JOIN qt USING (w) GROUP BY 1),
+      tf AS (SELECT id, w, count(*) AS tf
+             FROM oc JOIN qt USING (w) GROUP BY 1, 2),
+      bscored AS (SELECT id,
+          ln((n_docs - df_w + 0.5) / (df_w + 0.5) + 1.0) * tf * (1.2 + 1.0)
+            / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS contrib
+        FROM tf JOIN dfq USING (w) JOIN dl USING (id) CROSS JOIN corpus),
+      btop AS (SELECT id AS doc_id, round(sum(contrib), 6) AS score
+        FROM bscored GROUP BY id
+        ORDER BY score DESC, doc_id LIMIT 50),
+      lex AS (SELECT doc_id, CAST(row_number() OVER
+                (ORDER BY score DESC, doc_id) AS INT) AS bm25_rnk
+              FROM btop),
+      p AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      r AS (SELECT lex.doc_id, lex.bm25_rnk, $dkCos AS cos
+            FROM lex JOIN embeddings e ON e.vec_id = lex.doc_id
+            CROSS JOIN p WHERE lex.doc_id <> 0)
+      SELECT * FROM (SELECT CAST(row_number() OVER
+            (ORDER BY cos DESC, doc_id) AS INT) AS rnk,
+          doc_id, bm25_rnk, cos FROM r)
+      WHERE rnk <= 10 ORDER BY rnk"""))
+
   /** Distinct-n lexical diversity per source ([[graft.ops
     * .TextAnalysis.distinctNgramRatios]], Li et al. NAACL 2016):
     * distinct/total n-grams for n=1..3 in one posexploded scan — the
@@ -4515,7 +4558,7 @@ object PipelineQueries {
     qHardNegatives, qSemDedupPrune, qDedupSaturation,
     qMixInterleave, qBalancedShards, qVocabCoverage, qBurstiness,
     qCurationFunnel, qStreamingBudget, qKneserNey, qMmrSelect,
-    qBpeFertility, qKCoreBackbone, qDistinctNgrams,
+    qBpeFertility, qKCoreBackbone, qDistinctNgrams, qBm25Rerank,
     qSimhashCombos, qPqAdcRecall, qIvfPqRecall, qRboRankings,
     qEpochShuffle, qBudgetTrim,
     qGlobalPacking, qLshCandClusters, qNdcgEval, qLabelProp,

@@ -2020,7 +2020,7 @@ object TemporalQueries {
           col("ts").isNotNull)
         .select(col("user_id"), col("ts").as("tus"),
           col("value").cast("double").as("v"))
-      val base = ev.where(col("user_id") < 20)
+      val base = ev.where(col("user_id") % 4 === 0)
       val mm = base.agg(min(col("v")), max(col("v"))).head()
       val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
       val binned = base.select(greatest(lit(0), least(
@@ -2030,8 +2030,9 @@ object TemporalQueries {
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
       val baseline = graft.streaming.StreamingDrift.Baseline.fromCounts(
         mn, mx, (0 until k).map(i => binned.getOrElse(i, 0L)))
-      val slice = ev.where(col("user_id") >= 20 && col("user_id") < 60)
+      val slice = ev.where(col("user_id") % 4 =!= 0)
         .select(col("tus"), col("v")).as[(Long, Double)].collect()
+      require(slice.nonEmpty, "empty stream slice")
       val maxTs = slice.iterator.map(_._1).max
       val minTs = slice.iterator.map(_._1).min
       val splitDay = ((minTs + maxTs) / 2 / DayUs) * DayUs
@@ -2081,16 +2082,16 @@ object TemporalQueries {
           WHERE value IS NOT NULL AND NOT isnan(value)
             AND ts IS NOT NULL),
         st AS (SELECT min(v) AS mn, max(v) AS mx FROM ev
-               WHERE user_id < 20),
+               WHERE user_id % 4 = 0),
         bb AS (SELECT GREATEST(LEAST(floor((v - st.mn)
               / ((st.mx - st.mn) / $k)), ${k - 1}), 0) AS bin
-            FROM ev, st WHERE user_id < 20),
+            FROM ev, st WHERE user_id % 4 = 0),
         bc AS (SELECT count(*) AS nb, ${condCounts("b")} FROM bb),
         sv AS (SELECT (tus // 86400000000) * 86400000000
               AS day_start_us,
             GREATEST(LEAST(floor((v - st.mn)
               / ((st.mx - st.mn) / $k)), ${k - 1}), 0) AS bin
-          FROM ev, st WHERE user_id >= 20 AND user_id < 60),
+          FROM ev, st WHERE user_id % 4 <> 0),
         dc AS (SELECT day_start_us, count(*) AS n, ${condCounts("c")}
             FROM sv GROUP BY 1)
       SELECT day_start_us,

@@ -408,6 +408,31 @@ class RelevanceSpec extends SparkSpec {
     assert(z == Seq(0.0, 0.0))
   }
 
+  test("bm25DenseRerank: recall bounds the rerank, cosine flips the order") {
+    import org.apache.spark.sql.functions.col
+    // docs 1-3 contain the query term; doc 4 does not (never recalled
+    // even though its vector is closest to the query). BM25 order by
+    // tf: 2 (x3), 1 (x2), 3 (x1); cosine rerank flips 1 and 2.
+    val docs = Seq(
+      (1L, "q q a"), (2L, "q q q"), (3L, "q b c"), (4L, "z z z")
+    ).toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Seq(1.0, 0.0)),              // query vector
+      (1L, Seq(1.0, 0.0)),              // cos 1.0
+      (2L, Seq(0.0, 1.0)),              // cos 0.0
+      (3L, Seq(1.0, 1.0)),              // cos ~0.707
+      (4L, Seq(1.0, 0.0))               // cos 1.0 but never recalled
+    ).toDF("vec_id", "embedding")
+    val out = Relevance.bm25DenseRerank(docs, "doc_id", "text",
+        emb, "vec_id", "embedding", Seq("q"), 0L, recallK = 3, k = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSeq == Seq((1, 1L, 2), (2, 3L, 3), (3, 2L, 1)))
+    intercept[IllegalArgumentException] {
+      Relevance.bm25DenseRerank(docs, "doc_id", "text",
+        emb, "vec_id", "embedding", Seq("q"), 0L, recallK = 2, k = 3)
+    }
+  }
+
   test("knBigramScore: all four probability branches, hand-computed") {
     import org.apache.spark.sql.functions.col
     // Train doc "a b a c": bigrams (a,b)1 (b,a)1 (a,c)1.
