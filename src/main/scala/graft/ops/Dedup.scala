@@ -1202,4 +1202,80 @@ object Dedup {
       .select(col("id").as(idCol), col("list_id"), col("ccos"),
         col("__drop").isNull.as("kept"))
   }
+
+  /** TRANSITIVE-CHAIN drift audit of near-dup clusters: connected
+    * components merge documents through chains (A~B, B~C ⇒ one
+    * cluster) even when the endpoints are NOT near-dups — the classic
+    * over-merge hazard of clustering by transitive closure that a
+    * production dedup pass must measure before keep-one-per-cluster
+    * deletes data. For every multi-doc cluster of the verified-pair
+    * graph, computes exact Jaccard over ALL member pairs (not just the
+    * edges) and reports the worst pair and how many fall below the
+    * edge threshold — n_below > 0 is exactly "this cluster exists only
+    * by chaining".
+    *
+    * Scale posture: the all-pairs step is quadratic in CLUSTER size,
+    * so it runs only on clusters ≤ `maxClusterSize` (pair volume then
+    * bounded by maxClusterSize · corpus); larger clusters are emitted
+    * as rows with NULL audit fields — visible, never silently dropped
+    * (the q250 ledger discipline). Joins: one equi self-join on the
+    * cluster id, one shingle-intersection count keyed on (pair,
+    * shingle), one bounded-key rollup. Returns (cluster, cluster_size,
+    * n_pairs, min_pair_jaccard 6dp, n_below). */
+  def clusterChainDrift(sh: DataFrame, docs: DataFrame, idCol: String,
+      numHashes: Int, bands: Int, threshold: Double,
+      maxClusterSize: Int): DataFrame =
+    clusterChainDriftFromPairs(sh,
+      minhashNearDupPairsFromShinglesCached(sh, numHashes, bands, threshold),
+      docs, idCol, threshold, maxClusterSize)
+
+  /** [[clusterChainDrift]]'s audit core over an explicit verified-pair
+    * edge list (i, j) — any near-dup pair source (MinHash, SimHash,
+    * embedding) composes with the same closure + all-pairs audit. */
+  def clusterChainDriftFromPairs(sh: DataFrame, pairs: DataFrame,
+      docs: DataFrame, idCol: String, threshold: Double,
+      maxClusterSize: Int): DataFrame = {
+    require(maxClusterSize >= 2, s"maxClusterSize >= 2: $maxClusterSize")
+    val labeled = ConnectedComponents.labelAll(
+      docs.select(col(idCol)), idCol, pairs, "i", "j", "cluster")
+    val sizes = labeled.groupBy("cluster")
+      .agg(count(lit(1)).as("cluster_size"))
+      .where(col("cluster_size") >= 2)
+      .localCheckpoint(false)
+    val aud = sizes.where(col("cluster_size") <= maxClusterSize)
+    val mem = labeled.join(aud.select("cluster"), "cluster")
+      .select(col("cluster"), col(idCol).as("id"))
+    val ap = mem.as("m1").join(mem.as("m2"),
+        col("m1.cluster") === col("m2.cluster") &&
+          col("m1.id") < col("m2.id"))
+      .select(col("m1.cluster").as("cluster"),
+        col("m1.id").as("i"), col("m2.id").as("j"))
+    val sz = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = ap
+      .join(sh.select(col("id").as("i"), col("g")), "i")
+      .join(sh.select(col("id").as("j"), col("g")), Seq("j", "g"))
+      .groupBy("cluster", "i", "j").agg(count(lit(1)).as("common"))
+    val jac = ap
+      .join(inter, Seq("cluster", "i", "j"), "left")
+      .join(sz.withColumnRenamed("id", "i").withColumnRenamed("sz", "sa"),
+        "i")
+      .join(sz.withColumnRenamed("id", "j").withColumnRenamed("sz", "sb"),
+        "j")
+      .select(col("cluster"),
+        round(coalesce(col("common"), lit(0L)).cast("double") /
+          (col("sa") + col("sb") - coalesce(col("common"), lit(0L))), 6)
+          .as("jac"))
+    val agg = jac.groupBy("cluster")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("jac")).as("min_pair_jaccard"),
+        sum(when(col("jac") < threshold, 1L).otherwise(0L)).as("n_below"))
+    aud.join(agg, "cluster")
+      .select(col("cluster"), col("cluster_size"), col("n_pairs"),
+        col("min_pair_jaccard"), col("n_below"))
+      .unionByName(sizes.where(col("cluster_size") > maxClusterSize)
+        .select(col("cluster"), col("cluster_size"),
+          lit(null).cast("long").as("n_pairs"),
+          lit(null).cast("double").as("min_pair_jaccard"),
+          lit(null).cast("long").as("n_below")))
+  }
 }

@@ -4272,6 +4272,57 @@ object PipelineQueries {
       GROUP BY source ORDER BY source"""
     })
 
+  /** Transitive-chain drift audit of the q106 near-dup clusters
+    * ([[graft.ops.Dedup.clusterChainDrift]]): exact Jaccard over ALL
+    * member pairs of every multi-doc cluster — n_below > 0 means the
+    * cluster exists only by A~B~C chaining and keep-one-per-cluster
+    * would over-delete. The oracle replays the whole LSH chain, the
+    * recursive closure, and the all-pairs audit. */
+  val qChainDrift = Q(
+    "q293_chain_drift",
+    (s, dir) =>
+      Dedup.clusterChainDrift(
+          Dedup.wordShingleTableCached(table(s, dir, "documents"),
+            "doc_id", "text", WORD_N),
+          table(s, dir, "documents"), "doc_id",
+          NUM_HASHES, BANDS, threshold = 0.7, maxClusterSize = 64)
+        .orderBy("cluster"),
+    Some(s"""WITH RECURSIVE $dkLshClusterCtes,
+      csz AS (SELECT cluster, count(*) AS cluster_size FROM lab
+              GROUP BY 1 HAVING count(*) >= 2),
+      aud AS (SELECT cluster, cluster_size FROM csz
+              WHERE cluster_size <= 64),
+      mem AS (SELECT l.doc_id AS id, l.cluster
+              FROM lab l JOIN aud USING (cluster)),
+      ap AS (SELECT m1.cluster, m1.id AS i, m2.id AS j
+             FROM mem m1 JOIN mem m2
+               ON m1.cluster = m2.cluster AND m1.id < m2.id),
+      ic AS (SELECT ap.cluster, ap.i, ap.j, count(*) AS common
+             FROM ap JOIN sh x ON x.id = ap.i
+             JOIN sh y ON y.id = ap.j AND y.g = x.g
+             GROUP BY 1, 2, 3),
+      jc AS (SELECT ap.cluster,
+               round(CAST(coalesce(ic.common, 0) AS DOUBLE)
+                 / (sa.sz + sb.sz - coalesce(ic.common, 0)), 6) AS jac
+             FROM ap
+             LEFT JOIN ic ON ic.cluster = ap.cluster
+               AND ic.i = ap.i AND ic.j = ap.j
+             JOIN sz sa ON sa.id = ap.i
+             JOIN sz sb ON sb.id = ap.j),
+      agg AS (SELECT cluster, count(*) AS n_pairs,
+               min(jac) AS min_pair_jaccard,
+               CAST(sum(CASE WHEN jac < 0.7 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_below
+              FROM jc GROUP BY 1)
+      SELECT a.cluster, CAST(a.cluster_size AS BIGINT) AS cluster_size,
+        CAST(n_pairs AS BIGINT) AS n_pairs, min_pair_jaccard, n_below
+      FROM aud a JOIN agg USING (cluster)
+      UNION ALL
+      SELECT cluster, CAST(cluster_size AS BIGINT),
+        NULL, NULL, NULL
+      FROM csz WHERE cluster_size > 64
+      ORDER BY cluster"""))
+
   /** Two-stage retrieval ([[graft.ops.Relevance.bm25DenseRerank]]):
     * BM25 recalls 50 lexical candidates, the dense cosine reranks and
     * keeps 10 — rank REPLACEMENT, next to q153's rank FUSION. The
@@ -4559,6 +4610,7 @@ object PipelineQueries {
     qMixInterleave, qBalancedShards, qVocabCoverage, qBurstiness,
     qCurationFunnel, qStreamingBudget, qKneserNey, qMmrSelect,
     qBpeFertility, qKCoreBackbone, qDistinctNgrams, qBm25Rerank,
+    qChainDrift,
     qSimhashCombos, qPqAdcRecall, qIvfPqRecall, qRboRankings,
     qEpochShuffle, qBudgetTrim,
     qGlobalPacking, qLshCandClusters, qNdcgEval, qLabelProp,

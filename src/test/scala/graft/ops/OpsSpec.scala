@@ -1003,6 +1003,33 @@ class OpsSpec extends SparkSpec {
       (1, "a", "a", 4L), (2, "a", "b", 3L), (3, "aa", "ab", 2L)))
   }
 
+  test("clusterChainDriftFromPairs: chained cluster flagged, cap ledgers") {
+    // cluster {1,2,3} exists only by chaining: J(1,2)=J(2,3)=0.6 but
+    // J(1,3)=1/3. cluster {5,6} is exact. doc 4 is a singleton.
+    val sh = Seq(
+      (1L, "a"), (1L, "b"), (1L, "c"), (1L, "d"),
+      (2L, "a"), (2L, "b"), (2L, "c"), (2L, "e"),
+      (3L, "b"), (3L, "c"), (3L, "e"), (3L, "f"),
+      (4L, "x"),
+      (5L, "p"), (5L, "q"), (5L, "r"),
+      (6L, "p"), (6L, "q"), (6L, "r")).toDF("id", "g")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("i", "j")
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val out = Dedup.clusterChainDriftFromPairs(sh, pairs, docs, "doc_id",
+        threshold = 0.6, maxClusterSize = 64)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))).toMap
+    assert(out.keySet == Set(1L, 5L)) // singletons emit nothing
+    assert(out(1L) == ((3L, 3L, 0.333333, 1L))) // the chained pair
+    assert(out(5L) == ((2L, 1L, 1.0, 0L)))
+    // cap: the size-3 cluster is ledgered with NULL audit fields
+    val capped = Dedup.clusterChainDriftFromPairs(sh, pairs, docs,
+        "doc_id", threshold = 0.6, maxClusterSize = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.isNullAt(2)))).toMap
+    assert(capped(1L) == ((3L, true)) && capped(5L) == ((2L, false)))
+  }
+
   test("distinctNgramRatios: hand-counted ratios, short docs skip high n") {
     val docs = Seq(
       ("A", "x x y"),   // uni: 3 tot 2 dist; bi: "x x","x y" 2/2
