@@ -2053,9 +2053,10 @@ object TemporalQueries {
         query.processAllAvailable()
         mem.addData(slice.filter(_._1 >= splitDay).toIndexedSeq)
         query.processAllAvailable()
+        // one sentinel: advancing the watermark past maxTs + 1 day
+        // closes every REAL window; the sentinel's own window is
+        // filtered out below, so it never needs to flush
         mem.addData((maxTs + 40L * DayUs, 0.0))
-        query.processAllAvailable()
-        mem.addData((maxTs + 80L * DayUs, 0.0))
         query.processAllAvailable()
       } finally query.stop()
       StreamGate.finish(s, sink, ckpt, s.table(sink)

@@ -460,6 +460,61 @@ class RelevanceSpec extends SparkSpec {
       r6(-(math.log(0.375) + math.log(0.5) + math.log(0.375)) / 3))))
   }
 
+  test("knBigramScore == in-memory reference on random corpora") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val docs = (0 until 30).map { i =>
+      val n = rnd.nextInt(11)
+      (i.toLong, i % 2, (0 until n).map(_ => vocab(rnd.nextInt(8)))
+        .mkString(" "))
+    }
+    val d = 0.75
+    // train tables from the t==1 docs
+    val trainBgs = docs.filter(_._2 == 1).flatMap { case (_, _, t) =>
+      val ws = t.split("\\s+").filter(_.nonEmpty)
+      ws.zip(ws.drop(1))
+    }
+    val cvw = trainBgs.groupBy(identity).view.mapValues(_.size).toMap
+    val cv = trainBgs.groupBy(_._1).view.mapValues(_.size).toMap
+    val n1pv = cvw.keys.toSeq.groupBy(_._1).view.mapValues(_.size).toMap
+    val n1pw = cvw.keys.toSeq.groupBy(_._2).view.mapValues(_.size).toMap
+    val n1pp = cvw.size
+    val nbg = trainBgs.size
+    val got = Relevance.knBigramScore(docs.toDF("doc_id", "t", "text"),
+        "doc_id", "text", trainFilter = col("t") === 1, discount = d)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    var rowsChecked = 0
+    docs.foreach { case (id, _, t) =>
+      val ws = t.split("\\s+").filter(_.nonEmpty)
+      val bgs = ws.zip(ws.drop(1))
+      if (bgs.isEmpty) assert(!got.contains(id))
+      else {
+        rowsChecked += 1
+        val prs = bgs.map { case (v, u) =>
+          val pcont = n1pw.getOrElse(u, 0).toDouble / n1pp
+          val pr0 =
+            if (cv.contains(v))
+              (math.max(cvw.getOrElse((v, u), 0) - d, 0.0) +
+                d * n1pv(v) * pcont) / cv(v)
+            else if (n1pw.contains(u)) pcont
+            else -1.0 // stands for NULL
+          val oov = !cvw.contains((v, u)) && !n1pw.contains(u)
+          val pr = if (pr0 <= 0.0) d / (nbg + n1pp).toDouble else pr0
+          (pr, oov)
+        }
+        val expScore = -prs.map(p => math.log(p._1)).sum / bgs.size
+        val expFrac = prs.count(_._2).toDouble / bgs.size
+        val (gn, gf, gs) = got(id)
+        assert(gn == bgs.size.toLong, s"doc $id n")
+        assert(math.abs(gf - expFrac) < 1.1e-6, s"doc $id frac")
+        assert(math.abs(gs - expScore) < 1.1e-6, s"doc $id score")
+      }
+    }
+    assert(rowsChecked > 20)
+  }
+
   test("knBigramScore: seen-context distribution sums to 1 over vocab") {
     import org.apache.spark.sql.functions.col
     // Probe every vocab word after context "a"; total mass must be 1

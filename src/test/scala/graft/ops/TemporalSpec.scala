@@ -248,6 +248,33 @@ class TemporalSpec extends SparkSpec {
 
   // ------------------------------------------------- randomized differential
 
+  test("rollingMedian == in-memory per-row reference on random data") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 400).map { i =>
+      (s"k${rnd.nextInt(4)}", rnd.nextInt(40).toLong, i.toLong,
+        if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(100) / 7.0))
+    }
+    val df = rows.toDF("k", "t", "id", "v")
+    for (frame <- Seq(1, 5, 12)) {
+      val got = Rolling.rollingMedian(df, "k", "t", "id", "v", frame)
+        .select("id", "n_frame", "median")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+      val byKey = rows.groupBy(_._1).view.mapValues(
+        _.sortBy(r => (r._2, r._3)))
+      for ((_, seq) <- byKey; (row, idx) <- seq.zipWithIndex) {
+        val vals = seq.slice(math.max(0, idx - frame + 1), idx + 1)
+          .flatMap(_._4).sorted
+        val exp =
+          if (vals.isEmpty) None
+          else if (vals.size % 2 == 1) Some(vals(vals.size / 2))
+          else Some((vals(vals.size / 2 - 1) + vals(vals.size / 2)) / 2.0)
+        assert(got(row._3) == ((vals.size.toLong, exp)),
+          s"frame=$frame id=${row._3}")
+      }
+    }
+  }
+
   test("asof backward/forward == naive per-row reference on random data") {
     val rnd = new scala.util.Random(42)
     val keys = Seq("a", "b", "c")
