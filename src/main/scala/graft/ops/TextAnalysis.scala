@@ -913,6 +913,11 @@ object TextAnalysis {
       s"rounds must be in [1, 64] (bounded merge-table collect): $rounds")
     val merges = bpeMerges(df, textCol, rounds)
       .orderBy("rnd").select("a", "b").collect()
+    // a corpus too small to yield `rounds` rules would leave the
+    // trainer's internal word table empty mid-run — refuse loudly
+    // instead of encoding under a silently shorter rule list
+    require(merges.length == rounds,
+      s"corpus yielded only ${merges.length} of $rounds BPE rules")
     val wc = df.where(col(textCol).isNotNull)
       .select(col(groupCol).as("g"), explode(words(col(textCol))).as("word"))
       .groupBy("g", "word").agg(count(lit(1)).as("cnt"))
