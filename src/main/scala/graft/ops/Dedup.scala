@@ -1278,4 +1278,82 @@ object Dedup {
           lit(null).cast("double").as("min_pair_jaccard"),
           lit(null).cast("long").as("n_below")))
   }
+
+  /** Position-encoding modulus for winnowing fingerprint keys: the low
+    * 32 bits of a key carry (2^32-1 - pos), the high bits the 28-bit
+    * gram hash, so a single BIGINT `min` per window picks the smallest
+    * hash AND, among equal hashes, the RIGHTMOST position — the
+    * standard winnowing tie-break — in one window aggregate. */
+  private val WinnowPosMod = 4294967296L // 2^32
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS local fingerprinting scheme), the scalable
+    * stand-in for suffix-array exact-substring dedup (Lee et al., ACL
+    * 2022 "Deduplicating Training Data Makes Language Models Better"):
+    * hash every word k-gram, slide a w-gram window over the hash
+    * sequence, and select the minimum hash of each window (rightmost
+    * on ties). GUARANTEE: any two documents sharing a verbatim word
+    * run of at least w + k - 1 tokens share at least one selected
+    * fingerprint; expected fingerprint density is 2/(w+1) of gram
+    * positions. Unlike MinHash (whole-document set resemblance), the
+    * selected positions are LOCAL, so matches witness contiguous
+    * copied spans — the memorization/license-leak signal MinHash
+    * cannot give.
+    *
+    * Output: one row per distinct (id, pos, h) — the selected gram
+    * position and its 28-bit hash (the md5 prefix family the minhash
+    * ops already replay engine-independently).
+    *
+    * Scale design (100 TB): the k-gram explode is map-side; the window
+    * min is ONE shuffle partitioned by document id (each document's
+    * hash sequence sorts locally — no global sort), and the trailing
+    * distinct re-uses the same hash-partitioned keys. No driver state,
+    * no data-dependent fanout: output is a deterministic ~2/(w+1)
+    * sample of gram positions regardless of content. */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame = {
+    require(k >= 1, s"gram size k must be >= 1: $k")
+    require(w >= 1, s"window size w must be >= 1: $w")
+    val grams = df.select(col(idCol).as("id"),
+      posexplode(graft.functions.WordNgramsExpr
+        .ngrams(col(textCol), k, distinct = false)).as(Seq("pos", "g")))
+    val h = conv(substring(md5(col("g")), 1, 7), 16, 10).cast("long")
+    val keyed = grams.select(col("id"), col("pos"),
+      (h * WinnowPosMod + (lit(WinnowPosMod - 1) - col("pos"))).as("key"))
+    val win = Window.partitionBy("id").orderBy("pos").rowsBetween(-(w - 1), 0)
+    keyed
+      .withColumn("fp", min(col("key")).over(win))
+      .where(col("pos") >= w - 1) // full windows only
+      .select(col("id"),
+        (lit(WinnowPosMod - 1) - col("fp").bitwiseAND(lit(WinnowPosMod - 1)))
+          .as("pos"),
+        shiftright(col("fp"), 32).as("h"))
+      .distinct()
+  }
+
+  /** Cross-document shared-span candidates from winnowing fingerprints:
+    * pairs of documents sharing at least `minShared` distinct selected
+    * hashes — each shared hash witnesses a verbatim k-token run, and by
+    * the winnowing guarantee every copied span of w + k - 1 tokens is
+    * caught. The corpus-frequency guard drops hashes selected in more
+    * than `maxDf` documents BEFORE the pair join (the q24 maxBucket
+    * discipline: one boilerplate sentence selected in B documents
+    * would otherwise fan out B·(B−1)/2 pairs), so per-hash join fanout
+    * is bounded by maxDf² and the plan survives templated corpora.
+    * Returns (i, j, n_shared) with i < j. */
+  def winnowSharedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, minShared: Int, maxDf: Int = 64): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    require(maxDf >= 2, s"maxDf must be >= 2 (a pair needs 2 docs): $maxDf")
+    val fp = winnowFingerprints(df, idCol, textCol, k, w)
+      .select("id", "h").distinct()
+    val ok = fp.groupBy("h").agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= maxDf).select("h")
+    val kept = fp.join(ok, Seq("h"))
+    kept.select(col("h"), col("id").as("i"))
+      .join(kept.select(col("h"), col("id").as("j")), Seq("h"))
+      .where(col("i") < col("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
 }

@@ -4603,6 +4603,70 @@ object PipelineQueries {
         ORDER BY rnk"""
     })
 
+  /** Shared winnowing CTE chain mirroring
+    * [[graft.ops.Dedup.winnowFingerprints]]: per-position word-k-gram
+    * 28-bit md5-prefix hashes, the combined (hash << 32 | 2^32-1-pos)
+    * key whose windowed `min` IS the winnowing selection (smallest
+    * hash, rightmost on ties), full windows only. Ends with `fp`:
+    * DISTINCT (id, h, fpos). */
+  private def dkWinnowCtes(k: Int, w: Int): String =
+    s"""ww AS (SELECT doc_id AS id, $dkWords AS ws FROM documents),
+      wg AS (SELECT id, unnest([{'pos': i - 1,
+               'g': array_to_string(ws[i:i+${k - 1}], ' ')}
+               for i in range(1, len(ws) - ${k - 2})]) AS u
+             FROM ww WHERE len(ws) >= $k),
+      wk AS (SELECT id, u.pos AS pos,
+               ('0x'||substr(md5(u.g),1,7))::BIGINT * 4294967296
+                 + (4294967295 - u.pos) AS key
+             FROM wg),
+      wsel AS (SELECT id, pos,
+               min(key) OVER (PARTITION BY id ORDER BY pos
+                 ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS fp
+              FROM wk),
+      fp AS (SELECT DISTINCT id, fp >> 32 AS h,
+               4294967295 - (fp & 4294967295) AS fpos
+             FROM wsel WHERE pos >= ${w - 1})"""
+
+  /** Winnowing fingerprint census ([[graft.ops.Dedup.winnowFingerprints]],
+    * Schleimer et al. SIGMOD 2003): per-document count/sum/min of the
+    * selected 28-bit hashes plus the last selected position — a full
+    * content certificate of the fingerprint table (any wrong hash, extra
+    * or missing selection shifts sum_h or n_fp) without gating the
+    * ~0.4·grams-wide table itself. */
+  val qWinnowFp = Q(
+    "q294_winnow_fp",
+    (s, dir) =>
+      Dedup.winnowFingerprints(table(s, dir, "documents"),
+          "doc_id", "text", k = 4, w = 4)
+        .groupBy("id")
+        .agg(count(lit(1)).as("n_fp"), sum(col("h")).as("sum_h"),
+          min(col("h")).as("min_h"), max(col("pos")).as("max_pos"))
+        .orderBy("id"),
+    Some(s"""WITH ${dkWinnowCtes(4, 4)}
+      SELECT id, count(*) AS n_fp, CAST(sum(h) AS BIGINT) AS sum_h,
+        min(h) AS min_h, max(fpos) AS max_pos
+      FROM fp GROUP BY id ORDER BY id"""))
+
+  /** Winnowed shared-span candidates ([[graft.ops.Dedup.winnowSharedSpans]]):
+    * document pairs sharing >= 2 selected fingerprints after the
+    * corpus-frequency guard (df <= 16) — the local-overlap/memorization
+    * detector the MinHash family cannot express (its signal is whole-set
+    * resemblance; this one witnesses contiguous verbatim runs of
+    * w + k - 1 = 7 tokens). */
+  val qWinnowSpans = Q(
+    "q295_winnow_spans",
+    (s, dir) =>
+      Dedup.winnowSharedSpans(table(s, dir, "documents"),
+          "doc_id", "text", k = 4, w = 4, minShared = 2, maxDf = 16)
+        .orderBy("i", "j"),
+    Some(s"""WITH ${dkWinnowCtes(4, 4)},
+      wd AS (SELECT DISTINCT id, h FROM fp),
+      wok AS (SELECT h FROM wd GROUP BY h HAVING count(*) <= 16),
+      wkd AS (SELECT wd.* FROM wd JOIN wok USING (h))
+      SELECT a.id AS i, b.id AS j, count(*) AS n_shared
+      FROM wkd a JOIN wkd b ON a.h = b.h AND a.id < b.id
+      GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY i, j"""))
+
   val all: Seq[Q] = Seq(qWeightedReservoir, qMinhashEstimate, qSimhashPairs,
     qStupidBackoff, qDupSpans, qDsirWeights, qQualitySweep, qSourceKl,
     qKCenter, qPriorityDedup, qPplBuckets, qQueryLikelihood,
@@ -4610,7 +4674,7 @@ object PipelineQueries {
     qMixInterleave, qBalancedShards, qVocabCoverage, qBurstiness,
     qCurationFunnel, qStreamingBudget, qKneserNey, qMmrSelect,
     qBpeFertility, qKCoreBackbone, qDistinctNgrams, qBm25Rerank,
-    qChainDrift,
+    qChainDrift, qWinnowFp, qWinnowSpans,
     qSimhashCombos, qPqAdcRecall, qIvfPqRecall, qRboRankings,
     qEpochShuffle, qBudgetTrim,
     qGlobalPacking, qLshCandClusters, qNdcgEval, qLabelProp,

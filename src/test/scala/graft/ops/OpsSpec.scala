@@ -14,6 +14,74 @@ class OpsSpec extends SparkSpec {
     (4L, "zz")                                           // shorter than shingle k
   ).toDF("doc_id", "text")
 
+  test("winnowFingerprints: differential vs in-memory winnowing, gap bound") {
+    // 24 pseudo-random docs over a small vocabulary (seeded, deterministic)
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val corpus = (0L until 24L).map { i =>
+      (i, Seq.fill(8 + rnd.nextInt(40))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val (k, w) = (3, 4)
+    val out = Dedup.winnowFingerprints(corpus, "doc_id", "text", k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // in-memory reference: same md5-prefix hash, min-of-window with
+    // rightmost tie-break, distinct
+    def h28(g: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 7), 16)
+    }
+    val expected = corpus.collect().flatMap { r =>
+      val id = r.getLong(0)
+      val ws = r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val hs = ws.sliding(k).map(_.mkString(" ")).map(h28).toArray
+      (w - 1 until hs.length).flatMap { p =>
+        val win = (p - w + 1) to p
+        val m = win.map(hs).min
+        val sel = win.filter(q => hs(q) == m).max // rightmost minimal
+        Some((id, sel.toLong, m))
+      }
+    }.toSet
+    assert(out == expected)
+    // winnowing gap property: consecutive selected positions differ <= w
+    val gaps = out.groupBy(_._1).values.flatMap { fps =>
+      val ps = fps.map(_._2).toSeq.sorted
+      ps.zip(ps.drop(1)).map { case (a, b) => b - a }
+    }
+    assert(gaps.forall(_ <= w))
+    intercept[IllegalArgumentException] {
+      Dedup.winnowFingerprints(corpus, "doc_id", "text", k, 0)
+    }
+  }
+
+  test("winnowSharedSpans: guarantee catches planted span; df guard drops boilerplate") {
+    val (k, w) = (4, 4) // guarantee threshold = w + k - 1 = 7 tokens
+    val span = "one two three four five six seven"
+    val corpus = Seq(
+      (0L, s"aa bb cc $span dd ee ff gg hh"),
+      (1L, s"xx yy zz qq $span rr ss tt uu"),
+      (2L, "totally unrelated words live in this document body here"),
+      // 3..9 share a boilerplate sentence -> its fingerprints exceed maxDf=4
+      (3L, "copyright footer text appears in every single page here aa"),
+      (4L, "copyright footer text appears in every single page here bb"),
+      (5L, "copyright footer text appears in every single page here cc"),
+      (6L, "copyright footer text appears in every single page here dd"),
+      (7L, "copyright footer text appears in every single page here ee"),
+      (8L, "copyright footer text appears in every single page here ff"),
+      (9L, "copyright footer text appears in every single page here gg")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowSharedSpans(corpus, "doc_id", "text", k, w,
+        minShared = 1, maxDf = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the 7-token planted span MUST be caught (winnowing guarantee)
+    assert(pairs.contains((0L, 1L)))
+    // the 7-doc boilerplate family's shared fingerprints all have df = 7
+    // > maxDf, so no pair among 3..9 survives the guard
+    assert(!pairs.exists { case (i, j) => i >= 3L && j >= 3L })
+  }
+
   test("exactDedup keeps one row per key, smallest keepBy") {
     val out = Dedup.exactDedup(docs, Seq("text"), "doc_id")
       .select("doc_id").as[Long].collect().sorted
@@ -1062,6 +1130,13 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TextAnalysis.bpeFertility(docs, "text", "source", rounds = 0)
     }
+    // a corpus whose pair vocabulary dries up before `rounds` rules must
+    // refuse loudly, not encode under a silently shorter rule list
+    val tiny = Seq((1L, "A", "ab ab")).toDF("doc_id", "source", "text")
+    val ex = intercept[IllegalArgumentException] {
+      TextAnalysis.bpeFertility(tiny, "text", "source", rounds = 8)
+    }
+    assert(ex.getMessage.contains("BPE rules"))
   }
 
   test("dsirLogWeights: identical target/raw corpora weigh exactly zero") {
