@@ -657,4 +657,82 @@ object Hypothesis {
           / (col("total") * bCol), 6).as("chi2_term"))
       .orderBy("digit")
   }
+
+  /** Poisson(1) CDF thresholds c_0..c_7 (e^{-1}·Σ 1/i!): a uniform u
+    * maps to the weight w = #{k : u >= c_k} ∈ 0..8 — the inverse-CDF
+    * draw written as a branchless sum of comparisons, identical
+    * arithmetic in any engine. Exposed for the oracle builder so the
+    * SQL interpolates the SAME Double literals this operator compares
+    * against (Double.toString round-trips, so both engines parse back
+    * the identical bit pattern). */
+  val poissonCdf1: IndexedSeq[Double] = {
+    val invE = math.exp(-1.0)
+    (0 to 7).scanLeft(0.0) { (acc, k) =>
+      acc + invE / (1 to k).product
+    }.tail.toIndexedSeq
+  }
+
+  /** Per-group Poisson bootstrap CI for the mean of an INTEGER metric
+    * (Chamandy, Muralidharan, Najmi & Naidu 2012, "Estimating
+    * uncertainty for massive data streams" — the one-pass bootstrap
+    * every planet-scale pipeline uses instead of resampling): each of
+    * `b` replicates reweights every row by an independent Poisson(1)
+    * count derived DETERMINISTICALLY from md5(replicate:id), so the
+    * whole bootstrap is one explode + two aggregations — no data
+    * movement proportional to b beyond the map side, no RNG state.
+    *
+    * Exactness: the metric is integral, so every replicate's weighted
+    * sum and weight total are exact BIGINTs and its mean is a SINGLE
+    * double division — bit-identical across engines and partitionings
+    * (no float accumulation-order sensitivity). The CI picks order
+    * statistics of the b replicate means: lo = sorted[floor(α/2·(B-1))],
+    * hi = sorted[ceil((1-α/2)·(B-1))] (0-based, conservative outward),
+    * B counting only replicates with nonzero total weight.
+    *
+    * Scale design (100 TB): the b-way explode is map-side and combines
+    * to (group, replicate) partials before the ONE shuffle — wire
+    * volume is groups·b rows regardless of input size; the final
+    * per-group sort is over b doubles. Returns
+    * (group, n, mean, b_eff, ci_lo, ci_hi), means 6 dp. */
+  def poissonBootstrapMeanCI(df: DataFrame, groupCol: String,
+      idCol: String, valueCol: String, b: Int = 64,
+      alpha: Double = 0.05): DataFrame = {
+    require(b >= 4 && b <= 512, s"replicates must be in [4, 512]: $b")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+    val x = col(valueCol).cast("long")
+    val base = df.where(x.isNotNull)
+      .select(col(groupCol).as("g"), col(idCol).cast("string").as("__id"),
+        x.as("x"))
+    val rep = base.select(col("g"), col("__id"), col("x"),
+      explode(sequence(lit(0), lit(b - 1))).as("r"))
+    val u = (conv(substring(md5(
+        concat(col("r").cast("string"), lit(":"), col("__id"))), 1, 15),
+      16, 10).cast("long").cast("double") / lit(1152921504606846976.0))
+    val w = poissonCdf1.map(c => (u >= lit(c)).cast("long"))
+      .reduce(_ + _)
+    val partials = rep
+      .select(col("g"), col("r"), w.as("w"), col("x"))
+      .groupBy("g", "r")
+      .agg(sum(col("w") * col("x")).as("sx"), sum(col("w")).as("sw"))
+      .where(col("sw") > 0)
+      .select(col("g"), col("r"),
+        (col("sx").cast("double") / col("sw")).as("m"))
+    val overall = base.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("x")).cast("double") / count(lit(1))).as("mean"))
+    val ci = partials.groupBy("g")
+      .agg(sort_array(collect_list(col("m"))).as("ms"),
+        count(lit(1)).as("b_eff"))
+      .select(col("g"), col("b_eff"),
+        element_at(col("ms"),
+          (floor(lit(alpha / 2) * (col("b_eff") - 1)) + 1).cast("int"))
+          .as("lo"),
+        element_at(col("ms"),
+          (ceil(lit(1 - alpha / 2) * (col("b_eff") - 1)) + 1).cast("int"))
+          .as("hi"))
+    overall.join(ci, Seq("g"))
+      .select(col("g").as(groupCol), col("n"),
+        round(col("mean"), 6).as("mean"), col("b_eff"),
+        round(col("lo"), 6).as("ci_lo"), round(col("hi"), 6).as("ci_hi"))
+  }
 }

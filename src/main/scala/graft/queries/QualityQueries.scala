@@ -1703,7 +1703,57 @@ object QualityQueries {
         ORDER BY pair"""
     })
 
-  val all: Seq[Q] = Seq(qPhikStages,
+  /** Per-source Poisson bootstrap CI for mean tokens/doc
+    * ([[graft.ops.Hypothesis.poissonBootstrapMeanCI]], Chamandy et al.
+    * 2012): 64 deterministic md5-seeded Poisson(1) reweightings, every
+    * replicate mean one exact-BIGINT division, CI = order statistics
+    * of the 64 means. The oracle replays every replicate from the SAME
+    * Double CDF thresholds this build interpolates from
+    * [[graft.ops.Hypothesis.poissonCdf1]]. */
+  val qBootstrapCI = Q(
+    "q296_bootstrap_ci",
+    (s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          size(graft.ops.TextAnalysis.words(col("text"))).as("x"))
+      Hypothesis.poissonBootstrapMeanCI(d, "source", "doc_id", "x",
+          b = 64, alpha = 0.05)
+        .orderBy("source")
+    },
+    Some {
+      val cdf = Hypothesis.poissonCdf1
+        .map(c => s"(u >= CAST('$c' AS DOUBLE))::BIGINT")
+        .mkString(" + ")
+      s"""WITH d AS (SELECT source, doc_id,
+            len(list_filter(string_split_regex(lower(text), '\\s+'),
+              x -> length(x) > 0)) AS x
+          FROM documents),
+        rep AS (SELECT source, doc_id, x, r,
+            ('0x'||substr(md5(r::VARCHAR || ':' || doc_id::VARCHAR),1,15))
+              ::BIGINT / 1152921504606846976.0 AS u
+          FROM d, range(0, 64) t(r)),
+        wtd AS (SELECT source, r, $cdf AS w, x FROM rep),
+        parts AS (SELECT source, r,
+            CAST(sum(w * x) AS BIGINT) AS sx, CAST(sum(w) AS BIGINT) AS sw
+          FROM wtd GROUP BY 1, 2 HAVING sum(w) > 0),
+        ms AS (SELECT source, r, CAST(sx AS DOUBLE) / sw AS m FROM parts),
+        ci AS (SELECT source, list_sort(list(m)) AS arr,
+            count(*) AS b_eff
+          FROM ms GROUP BY 1),
+        pick AS (SELECT source, b_eff,
+            arr[CAST(floor(0.025 * (b_eff - 1)) AS INT) + 1] AS lo,
+            arr[CAST(ceil(0.975 * (b_eff - 1)) AS INT) + 1] AS hi
+          FROM ci),
+        overall AS (SELECT source, count(*) AS n,
+            CAST(sum(x) AS DOUBLE) / count(*) AS mean
+          FROM d GROUP BY 1)
+        SELECT o.source, o.n, round(o.mean, 6) AS mean, p.b_eff,
+          round(p.lo, 6) AS ci_lo, round(p.hi, 6) AS ci_hi
+        FROM overall o JOIN pick p USING (source)
+        ORDER BY source"""
+    })
+
+  val all: Seq[Q] = Seq(qPhikStages, qBootstrapCI,
     qRidge, qCuped, qOlsTrend, qEffectSizes, qSequentialPsi,
     qJoinSize, qBenford, qLogisticGd, qLevene, qDecisionStump,
     qMahalanobis,

@@ -290,4 +290,42 @@ class HypothesisSpec extends SparkSpec {
       BigDecimal.RoundingMode.HALF_UP).isWhole ||
       math.abs(r.getAs[Double]("b1")) < 10.0)
   }
+
+  test("poissonCdf1: Poisson(1) CDF thresholds, monotone, near-total mass") {
+    val c = Hypothesis.poissonCdf1
+    assert(c.size == 8)
+    assert(math.abs(c(0) - math.exp(-1.0)) < 1e-15)
+    assert(math.abs(c(1) - 2 * math.exp(-1.0)) < 1e-15)
+    assert(c.zip(c.drop(1)).forall { case (a, b) => a < b })
+    assert(c.last > 0.999989 && c.last < 1.0)
+  }
+
+  test("poissonBootstrapMeanCI: constant metric collapses CI; deterministic; brackets mean") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = ((0 until 300).map(i => ("a", i.toLong, 40L + rnd.nextInt(21))) ++
+      (0 until 250).map(i => ("c", 1000L + i, 7L))) // constant group
+      .toDF("g", "id", "x")
+    def run() = Hypothesis.poissonBootstrapMeanCI(df, "g", "id", "x",
+        b = 64, alpha = 0.05)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        r.getDouble(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    val out = run()
+    // constant group: every replicate mean is exactly the constant
+    val (nc, mc, bc, loC, hiC) = out("c")
+    assert(nc == 250L && mc == 7.0 && loC == 7.0 && hiC == 7.0)
+    assert(bc <= 64L && bc >= 60L) // zero-total-weight replicates are rare
+    // varying group: interval is ordered, brackets the point mean, and
+    // is non-degenerate
+    val (na, ma, ba, loA, hiA) = out("a")
+    assert(na == 300L && ba <= 64L)
+    assert(loA < hiA && loA <= ma && ma <= hiA)
+    assert(math.abs(ma - 50.0) < 1.5) // mean of uniform {40..60}
+    // the whole pipeline is hash-deterministic: a second run is identical
+    assert(run() == out)
+    intercept[IllegalArgumentException] {
+      Hypothesis.poissonBootstrapMeanCI(df, "g", "id", "x", b = 2)
+    }
+  }
 }
