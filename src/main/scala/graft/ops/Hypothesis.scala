@@ -672,6 +672,50 @@ object Hypothesis {
     }.tail.toIndexedSeq
   }
 
+  /** Cohen's κ inter-rater agreement between two categorical raters
+    * (Cohen 1960) — the standard "do my two quality classifiers agree
+    * beyond chance" check run before trusting ensemble labels on a
+    * training corpus. po = observed agreement, pe = chance agreement
+    * from the marginal label distributions, κ = (po − pe)/(1 − pe)
+    * (NULL when pe = 1: a single shared category has no chance-
+    * corrected signal).
+    *
+    * Exactness: everything flows from integer cell counts of ONE
+    * contingency aggregation; the pe cross-product accumulates in
+    * decimal(38,0) (n_a·n_b overflows BIGINT once marginals pass
+    * ~3·10^9 rows — the Mann-Whitney discipline), and po/pe/κ are each
+    * a single double division — engine-identical at any scale. Rows
+    * where either rater is NULL are excluded (both-rated universe).
+    *
+    * Scale design (100 TB): one shuffle to the (a, b) cell table,
+    * whose size is bounded by the label-vocabulary square, then
+    * label-count joins on that bounded table. Returns one row
+    * (n, n_agree, po, pe, kappa), 6 dp. */
+  def cohenKappa(df: DataFrame, raterA: Column, raterB: Column): DataFrame = {
+    val cells = df
+      .select(raterA.cast("string").as("a"), raterB.cast("string").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull)
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    val tot = cells.agg(sum(col("c")).as("n"),
+      coalesce(sum(when(col("a") === col("b"), col("c"))), lit(0L))
+        .as("n_agree"))
+    val ma = cells.groupBy("a").agg(sum(col("c")).as("ca"))
+    val mb = cells.groupBy("b").agg(sum(col("c")).as("cb"))
+    val pesum = ma.join(mb, col("a") === col("b"))
+      .agg(coalesce(sum(col("ca").cast("decimal(38,0)") * col("cb")),
+        lit(0L).cast("decimal(38,0)")).as("pesum"))
+    tot.crossJoin(pesum)
+      .select(col("n"), col("n_agree"),
+        (col("n_agree").cast("double") / col("n")).as("rpo"),
+        (col("pesum").cast("double")
+          / (col("n").cast("double") * col("n"))).as("rpe"))
+      .select(col("n"), col("n_agree"),
+        round(col("rpo"), 6).as("po"), round(col("rpe"), 6).as("pe"),
+        when(col("rpe") < 1.0,
+          round((col("rpo") - col("rpe")) / (lit(1.0) - col("rpe")), 6))
+          .as("kappa"))
+  }
+
   /** Per-group Poisson bootstrap CI for the mean of an INTEGER metric
     * (Chamandy, Muralidharan, Najmi & Naidu 2012, "Estimating
     * uncertainty for massive data streams" — the one-pass bootstrap

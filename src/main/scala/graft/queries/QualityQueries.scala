@@ -1703,6 +1703,57 @@ object QualityQueries {
         ORDER BY pair"""
     })
 
+  /** Cohen's κ between two document-quality raters
+    * ([[graft.ops.Hypothesis.cohenKappa]]): the English-stopword-
+    * fraction gate vs the token-length gate — the agreement-beyond-
+    * chance check run before trusting either as a corpus filter. Both
+    * raters and the whole κ chain (integer cells, decimal(38,0) pe
+    * cross-product, three double divisions) replay in the oracle. */
+  val qCohenKappa = Q(
+    "q297_cohen_kappa",
+    (s, dir) => {
+      import graft.ops.TextAnalysis
+      val d = table(s, dir, "documents")
+      val nTok = size(TextAnalysis.words(col("text")))
+      Hypothesis.cohenKappa(d,
+        when(TextAnalysis.stopwordFraction(col("text"), "en") >= 0.25,
+          "pass").otherwise("fail"),
+        when(nTok.between(30, 2000), "pass").otherwise("fail"))
+    },
+    Some {
+      val sw = graft.ops.TextAnalysis.stopwords("en")
+        .map(w => s"'$w'").mkString(", ")
+      val words =
+        """list_filter(string_split_regex(lower(text), '\s+'),
+           x -> length(x) > 0)"""
+      val stopFrac =
+        s"""round(CAST(len(list_filter($words, w -> list_contains([$sw], w)))
+           AS DOUBLE) / greatest(len($words), 1), 6)"""
+      s"""WITH lab AS (SELECT
+          CASE WHEN $stopFrac >= 0.25 THEN 'pass' ELSE 'fail' END AS a,
+          CASE WHEN len($words) BETWEEN 30 AND 2000
+            THEN 'pass' ELSE 'fail' END AS b
+        FROM documents),
+      cells AS (SELECT a, b, count(*) AS c FROM lab GROUP BY 1, 2),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+          CAST(coalesce(sum(CASE WHEN a = b THEN c END), 0) AS BIGINT)
+            AS n_agree
+        FROM cells),
+      ma AS (SELECT a, CAST(sum(c) AS BIGINT) AS ca FROM cells GROUP BY 1),
+      mb AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM cells GROUP BY 1),
+      pes AS (SELECT coalesce(sum(CAST(ca AS DECIMAL(38,0)) * cb),
+          0) AS pesum
+        FROM ma JOIN mb ON ma.a = mb.b),
+      raw AS (SELECT n, n_agree,
+          CAST(n_agree AS DOUBLE) / n AS rpo,
+          CAST(pesum AS DOUBLE) / (CAST(n AS DOUBLE) * n) AS rpe
+        FROM tot CROSS JOIN pes)
+      SELECT n, n_agree, round(rpo, 6) AS po, round(rpe, 6) AS pe,
+        CASE WHEN rpe < 1.0
+          THEN round((rpo - rpe) / (1.0 - rpe), 6) END AS kappa
+      FROM raw"""
+    })
+
   /** Per-source Poisson bootstrap CI for mean tokens/doc
     * ([[graft.ops.Hypothesis.poissonBootstrapMeanCI]], Chamandy et al.
     * 2012): 64 deterministic md5-seeded Poisson(1) reweightings, every
@@ -1753,7 +1804,7 @@ object QualityQueries {
         ORDER BY source"""
     })
 
-  val all: Seq[Q] = Seq(qPhikStages, qBootstrapCI,
+  val all: Seq[Q] = Seq(qPhikStages, qBootstrapCI, qCohenKappa,
     qRidge, qCuped, qOlsTrend, qEffectSizes, qSequentialPsi,
     qJoinSize, qBenford, qLogisticGd, qLevene, qDecisionStump,
     qMahalanobis,

@@ -291,6 +291,29 @@ class HypothesisSpec extends SparkSpec {
       math.abs(r.getAs[Double]("b1")) < 10.0)
   }
 
+  test("cohenKappa: textbook 2x2 table, degenerate single label, null exclusion") {
+    import spark.implicits._
+    // confusion [[20,5],[10,15]]: po = 0.7, pe = 0.5, kappa = 0.4
+    val rows = Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+      Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n")) ++
+      Seq((null, "y"), ("y", null)) // unrated rows drop
+    val r = Hypothesis.cohenKappa(rows.toDF("a", "b"), col("a"), col("b"))
+      .head()
+    assert(r.getLong(0) == 50L && r.getLong(1) == 35L)
+    assert(r.getDouble(2) == 0.7 && r.getDouble(3) == 0.5)
+    assert(r.getDouble(4) == 0.4)
+    // both raters constant and agreeing: pe = 1 -> kappa NULL, po = 1
+    val deg = Hypothesis.cohenKappa(
+      Seq.fill(9)(("x", "x")).toDF("a", "b"), col("a"), col("b")).head()
+    assert(deg.getLong(0) == 9L && deg.getDouble(2) == 1.0)
+    assert(deg.getDouble(3) == 1.0 && deg.isNullAt(4))
+    // perfect disagreement on swapped labels: po = 0, kappa < 0
+    val sw = Hypothesis.cohenKappa(
+      (Seq.fill(6)(("y", "n")) ++ Seq.fill(6)(("n", "y")))
+        .toDF("a", "b"), col("a"), col("b")).head()
+    assert(sw.getDouble(2) == 0.0 && sw.getDouble(4) == -1.0)
+  }
+
   test("poissonCdf1: Poisson(1) CDF thresholds, monotone, near-total mass") {
     val c = Hypothesis.poissonCdf1
     assert(c.size == 8)
