@@ -942,4 +942,52 @@ object TextAnalysis {
         round(col("n_chars").cast("double") / col("n_tokens"), 6)
           .as("chars_per_token"))
   }
+
+  /** Per-group encoding-damage audit — the mojibake screen every
+    * web-crawl ingest runs before training (UTF-8 damage survives
+    * every later filter because the text still "looks like" language):
+    *
+    *   - `n_repl`     U+FFFD replacement characters (a decoder already
+    *                  gave up on those bytes);
+    *   - `n_ctrl`     C0 control characters other than tab/LF/CR
+    *                  (binary spill or transfer corruption);
+    *   - `n_moji`     U+00C3/U+00C2 occurrences — the signature of
+    *                  UTF-8 bytes decoded as Latin-1 ("Ã©" for "é"),
+    *                  the single most common mojibake family;
+    *   - `n_non_ascii` code points above U+007F (context for the
+    *                  mojibake rate: a clean French corpus is high
+    *                  non-ASCII, low mojibake).
+    *
+    * All four are counted per character via length deltas of
+    * replace/regexp-strip — one projection, no tokenization — then
+    * rolled up per group with `damaged_docs` (docs with any of the
+    * first three) and a 6 dp damage ratio per million chars kept
+    * exact as counts-over-counts. One map-side-combinable aggregation;
+    * at 100 TB the wire carries one partial row per (partition, group). */
+  def encodingAudit(df: DataFrame, groupCol: String, textCol: String)
+      : DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val nChars = length(t)
+    val nRepl = nChars - length(replace(t, lit("�"), lit("")))
+    val nCtrl = nChars - length(regexp_replace(t,
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""))
+    val nMoji = nChars - length(
+      replace(replace(t, lit("Ã"), lit("")), lit("Â"), lit("")))
+    val nNonAscii = nChars - length(regexp_replace(t, "[^\\x00-\\x7F]", ""))
+    df.select(col(groupCol).as("g"), nChars.cast("long").as("nc"),
+        nRepl.cast("long").as("nr"), nCtrl.cast("long").as("nx"),
+        nMoji.cast("long").as("nm"), nNonAscii.cast("long").as("na"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("n_chars"),
+        sum(col("nr")).as("n_repl"), sum(col("nx")).as("n_ctrl"),
+        sum(col("nm")).as("n_moji"), sum(col("na")).as("n_non_ascii"),
+        sum(when(col("nr") + col("nx") + col("nm") > 0, 1L).otherwise(0L))
+          .as("damaged_docs"))
+      .select(col("g").as(groupCol), col("n_docs"), col("n_chars"),
+        col("n_repl"), col("n_ctrl"), col("n_moji"), col("n_non_ascii"),
+        col("damaged_docs"),
+        round((col("n_repl") + col("n_ctrl") + col("n_moji"))
+          .cast("double") * 1000000.0 / greatest(col("n_chars"), lit(1L)), 6)
+          .as("damage_per_mchar"))
+  }
 }

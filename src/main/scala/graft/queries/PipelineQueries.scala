@@ -4667,6 +4667,40 @@ object PipelineQueries {
       FROM wkd a JOIN wkd b ON a.h = b.h AND a.id < b.id
       GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY i, j"""))
 
+  /** Encoding-damage audit ([[graft.ops.TextAnalysis.encodingAudit]]):
+    * per-source U+FFFD / stray-control / Latin-1-mojibake / non-ASCII
+    * character census. This corpus is clean — the gate certifies the
+    * zeros (and the per-source doc/char masses); the planted-damage
+    * paths are covered in OpsSpec. */
+  val qEncodingAudit = Q(
+    "q298_encoding_audit",
+    (s, dir) =>
+      TextAnalysis.encodingAudit(table(s, dir, "documents"),
+          "source", "text")
+        .orderBy("source"),
+    Some("""WITH d AS (SELECT source AS g, coalesce(text, '') AS t
+          FROM documents),
+      per AS (SELECT g, length(t) AS nc,
+          length(t) - length(replace(t, chr(65533), '')) AS nr,
+          length(t) - length(regexp_replace(t,
+            '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS nx,
+          length(t) - length(replace(replace(t, chr(195), ''),
+            chr(194), '')) AS nm,
+          length(t) - length(regexp_replace(t, '[^\x00-\x7F]', '', 'g'))
+            AS na
+        FROM d)
+      SELECT g AS source, count(*) AS n_docs,
+        CAST(sum(nc) AS BIGINT) AS n_chars,
+        CAST(sum(nr) AS BIGINT) AS n_repl,
+        CAST(sum(nx) AS BIGINT) AS n_ctrl,
+        CAST(sum(nm) AS BIGINT) AS n_moji,
+        CAST(sum(na) AS BIGINT) AS n_non_ascii,
+        CAST(sum(CASE WHEN nr + nx + nm > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS damaged_docs,
+        round(CAST(sum(nr) + sum(nx) + sum(nm) AS DOUBLE) * 1000000.0
+          / greatest(sum(nc), 1), 6) AS damage_per_mchar
+      FROM per GROUP BY 1 ORDER BY source"""))
+
   val all: Seq[Q] = Seq(qWeightedReservoir, qMinhashEstimate, qSimhashPairs,
     qStupidBackoff, qDupSpans, qDsirWeights, qQualitySweep, qSourceKl,
     qKCenter, qPriorityDedup, qPplBuckets, qQueryLikelihood,
@@ -4674,7 +4708,7 @@ object PipelineQueries {
     qMixInterleave, qBalancedShards, qVocabCoverage, qBurstiness,
     qCurationFunnel, qStreamingBudget, qKneserNey, qMmrSelect,
     qBpeFertility, qKCoreBackbone, qDistinctNgrams, qBm25Rerank,
-    qChainDrift, qWinnowFp, qWinnowSpans,
+    qChainDrift, qWinnowFp, qWinnowSpans, qEncodingAudit,
     qSimhashCombos, qPqAdcRecall, qIvfPqRecall, qRboRankings,
     qEpochShuffle, qBudgetTrim,
     qGlobalPacking, qLshCandClusters, qNdcgEval, qLabelProp,

@@ -1139,6 +1139,31 @@ class OpsSpec extends SparkSpec {
     assert(ex.getMessage.contains("BPE rules"))
   }
 
+  test("encodingAudit: planted damage counted per class, clean text zero") {
+    val corpus = Seq(
+      ("w", "clean ascii text only"),
+      ("w", "bad \uFFFD\uFFFD bytes and a \u0001 control"), // 2 repl + 1 ctrl
+      // the Latin-1-decoded-UTF-8 signature: C3 A9 / C2 A0 pairs
+      ("w", "latin mojibake caf\u00C3\u00A9 and\tmore \u00C2\u00A0"),
+      ("c", "caf\u00E9 r\u00E9sum\u00E9"), // clean accents are NOT damage
+      ("c", null)                          // null -> empty
+    ).toDF("src", "text")
+    val out = TextAnalysis.encodingAudit(corpus, "src", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val w = out("w")
+    assert(w.getLong(1) == 3L)                    // n_docs
+    assert(w.getLong(3) == 2L)                    // n_repl
+    assert(w.getLong(4) == 1L)                    // n_ctrl (tab/LF/CR exempt)
+    assert(w.getLong(5) == 2L)                    // n_moji (one C3 + one C2)
+    assert(w.getLong(6) == 6L)                    // 2 repl + C3,A9,C2,A0
+    assert(w.getLong(7) == 2L)                    // damaged docs
+    assert(w.getDouble(8) > 0.0)
+    val c = out("c")
+    assert(c.getLong(1) == 2L && c.getLong(3) == 0L && c.getLong(4) == 0L)
+    assert(c.getLong(5) == 0L && c.getLong(6) == 3L) // accents are NOT damage
+    assert(c.getLong(7) == 0L && c.getDouble(8) == 0.0)
+  }
+
   test("dsirLogWeights: identical target/raw corpora weigh exactly zero") {
     // Target and raw are the same multiset of texts -> every bucket has
     // ct == cr and tt == tr, so the smoothed log-ratio is identically 0
