@@ -1279,13 +1279,6 @@ object Dedup {
           lit(null).cast("long").as("n_below")))
   }
 
-  /** Position-encoding modulus for winnowing fingerprint keys: the low
-    * 32 bits of a key carry (2^32-1 - pos), the high bits the 28-bit
-    * gram hash, so a single BIGINT `min` per window picks the smallest
-    * hash AND, among equal hashes, the RIGHTMOST position — the
-    * standard winnowing tie-break — in one window aggregate. */
-  private val WinnowPosMod = 4294967296L // 2^32
-
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     * SIGMOD 2003 — the MOSS local fingerprinting scheme), the scalable
     * stand-in for suffix-array exact-substring dedup (Lee et al., ACL
@@ -1304,31 +1297,24 @@ object Dedup {
     * position and its 28-bit hash (the md5 prefix family the minhash
     * ops already replay engine-independently).
     *
-    * Scale design (100 TB): the k-gram explode is map-side; the window
-    * min is ONE shuffle partitioned by document id (each document's
-    * hash sequence sorts locally — no global sort), and the trailing
-    * distinct re-uses the same hash-partitioned keys. No driver state,
-    * no data-dependent fanout: output is a deterministic ~2/(w+1)
+    * Scale design (100 TB): winnowing is document-local, so the whole
+    * selection runs inside the codegen'd [[graft.functions.WinnowExpr]]
+    * — one O(grams) monotonic-deque pass per row — and fingerprinting
+    * is entirely MAP-SIDE: no gram explode across the wire, no
+    * per-document window shuffle, no trailing distinct (the in-row
+    * selection is already distinct). The relational equivalent
+    * (posexplode → hash → min over a per-id ROWS window → distinct,
+    * the form the DuckDB oracle replays) costs two corpus-wide
+    * exchanges; this costs zero. Output is a deterministic ~2/(w+1)
     * sample of gram positions regardless of content. */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
       k: Int, w: Int): DataFrame = {
     require(k >= 1, s"gram size k must be >= 1: $k")
     require(w >= 1, s"window size w must be >= 1: $w")
-    val grams = df.select(col(idCol).as("id"),
-      posexplode(graft.functions.WordNgramsExpr
-        .ngrams(col(textCol), k, distinct = false)).as(Seq("pos", "g")))
-    val h = conv(substring(md5(col("g")), 1, 7), 16, 10).cast("long")
-    val keyed = grams.select(col("id"), col("pos"),
-      (h * WinnowPosMod + (lit(WinnowPosMod - 1) - col("pos"))).as("key"))
-    val win = Window.partitionBy("id").orderBy("pos").rowsBetween(-(w - 1), 0)
-    keyed
-      .withColumn("fp", min(col("key")).over(win))
-      .where(col("pos") >= w - 1) // full windows only
-      .select(col("id"),
-        (lit(WinnowPosMod - 1) - col("fp").bitwiseAND(lit(WinnowPosMod - 1)))
-          .as("pos"),
-        shiftright(col("fp"), 32).as("h"))
-      .distinct()
+    df.select(col(idCol).as("id"),
+        explode(graft.functions.WinnowExpr.winnow(col(textCol), k, w))
+          .as("f"))
+      .select(col("id"), col("f.pos").as("pos"), col("f.h").as("h"))
   }
 
   /** Cross-document shared-span candidates from winnowing fingerprints:

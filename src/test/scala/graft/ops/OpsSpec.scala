@@ -54,6 +54,11 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Dedup.winnowFingerprints(corpus, "doc_id", "text", k, 0)
     }
+    // winnowing is document-local: the fingerprint table must plan as a
+    // pure map (no Exchange anywhere — the WinnowExpr design point)
+    val plan = Dedup.winnowFingerprints(corpus, "doc_id", "text", k, w)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
 
   test("winnowSharedSpans: guarantee catches planted span; df guard drops boilerplate") {
