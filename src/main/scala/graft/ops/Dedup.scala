@@ -1342,4 +1342,55 @@ object Dedup {
       .groupBy("i", "j").agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
   }
+
+  /** Diagonal alignment of winnowed matches — the MOSS-style
+    * refinement over [[winnowSharedSpans]]: two fingerprints of a pair
+    * that belong to ONE contiguous copied span sit on the same
+    * alignment diagonal (pos_a − pos_b constant), so grouping matches
+    * by (pair, diagonal) separates a long verbatim run (many matches,
+    * one diagonal, wide position span) from scattered phrase reuse
+    * (many diagonals, 1-2 matches each). Per qualifying pair
+    * (>= `minShared` distinct shared hashes after the df <= `maxDf`
+    * guard) emits
+    * (i, j, n_shared_h, n_matches, n_diags, best_diag_matches,
+    * best_span_tokens) where best_span_tokens = max(pos_a) − min(pos_a)
+    * + k over the best diagonal (matches desc, span desc, diag asc —
+    * a total, engine-replayable tie-break).
+    *
+    * Scale design: inherits the map-side fingerprint table and the
+    * frequency guard's bounded per-hash fanout; the diagonal rollup
+    * adds two hash aggregations and one window over per-pair diagonal
+    * groups (bounded by the pair's fingerprint count). */
+  def winnowAlignedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, minShared: Int, maxDf: Int = 64): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    require(maxDf >= 2, s"maxDf must be >= 2 (a pair needs 2 docs): $maxDf")
+    val fp = winnowFingerprints(df, idCol, textCol, k, w)
+    val ok = fp.select("id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= maxDf).select("h")
+    val kept = fp.join(ok, Seq("h"))
+    val m = kept.select(col("h"), col("id").as("i"), col("pos").as("pa"))
+      .join(kept.select(col("h"), col("id").as("j"), col("pos").as("pb")),
+        Seq("h"))
+      .where(col("i") < col("j"))
+    val diags = m
+      .groupBy(col("i"), col("j"), (col("pa") - col("pb")).as("diag"))
+      .agg(count(lit(1)).as("cnt"),
+        (max(col("pa")) - min(col("pa")) + lit(k.toLong)).as("span"))
+    val best = diags.withColumn("__rn", row_number().over(
+        Window.partitionBy("i", "j")
+          .orderBy(col("cnt").desc, col("span").desc, col("diag").asc)))
+      .where(col("__rn") === 1)
+      .select(col("i"), col("j"), col("cnt").as("best_diag_matches"),
+        col("span").as("best_span_tokens"))
+    val pairs = m.groupBy("i", "j")
+      .agg(count(lit(1)).as("n_matches"),
+        countDistinct(col("h")).as("n_shared_h"),
+        countDistinct(col("pa") - col("pb")).as("n_diags"))
+      .where(col("n_shared_h") >= minShared)
+    pairs.join(best, Seq("i", "j"))
+      .select(col("i"), col("j"), col("n_shared_h"), col("n_matches"),
+        col("n_diags"), col("best_diag_matches"), col("best_span_tokens"))
+  }
 }

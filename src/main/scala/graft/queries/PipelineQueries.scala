@@ -4667,6 +4667,42 @@ object PipelineQueries {
       FROM wkd a JOIN wkd b ON a.h = b.h AND a.id < b.id
       GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY i, j"""))
 
+  /** Diagonal alignment of winnowed matches
+    * ([[graft.ops.Dedup.winnowAlignedSpans]]): per candidate pair, the
+    * match count, diagonal count, and best-diagonal contiguous-span
+    * estimate — long-run verbatim copies vs scattered phrase reuse.
+    * The oracle replays the join, the diagonal rollup, and the
+    * (cnt, span, diag) total-order best pick. */
+  val qWinnowAligned = Q(
+    "q299_winnow_aligned",
+    (s, dir) =>
+      Dedup.winnowAlignedSpans(table(s, dir, "documents"),
+          "doc_id", "text", k = 4, w = 4, minShared = 2, maxDf = 16)
+        .orderBy("i", "j"),
+    Some(s"""WITH ${dkWinnowCtes(4, 4)},
+      wd AS (SELECT DISTINCT id, h FROM fp),
+      wok AS (SELECT h FROM wd GROUP BY h HAVING count(*) <= 16),
+      wk2 AS (SELECT fp.id, fp.h, fp.fpos FROM fp JOIN wok USING (h)),
+      m AS (SELECT a.id i, b.id j, a.h, a.fpos pa,
+              a.fpos - b.fpos AS diag
+            FROM wk2 a JOIN wk2 b ON a.h = b.h AND a.id < b.id),
+      diags AS (SELECT i, j, diag, count(*) cnt,
+              max(pa) - min(pa) + 4 AS span
+            FROM m GROUP BY 1, 2, 3),
+      best AS (SELECT i, j, cnt, span,
+              row_number() OVER (PARTITION BY i, j
+                ORDER BY cnt DESC, span DESC, diag ASC) AS rn
+            FROM diags),
+      pairs AS (SELECT i, j, count(*) AS n_matches,
+              count(DISTINCT h) AS n_shared_h,
+              count(DISTINCT diag) AS n_diags
+            FROM m GROUP BY 1, 2 HAVING count(DISTINCT h) >= 2)
+      SELECT p.i, p.j, p.n_shared_h, p.n_matches, p.n_diags,
+        b.cnt AS best_diag_matches,
+        CAST(b.span AS BIGINT) AS best_span_tokens
+      FROM pairs p JOIN best b ON b.i = p.i AND b.j = p.j AND b.rn = 1
+      ORDER BY p.i, p.j"""))
+
   /** Encoding-damage audit ([[graft.ops.TextAnalysis.encodingAudit]]):
     * per-source U+FFFD / stray-control / Latin-1-mojibake / non-ASCII
     * character census. This corpus is clean — the gate certifies the
@@ -4708,7 +4744,7 @@ object PipelineQueries {
     qMixInterleave, qBalancedShards, qVocabCoverage, qBurstiness,
     qCurationFunnel, qStreamingBudget, qKneserNey, qMmrSelect,
     qBpeFertility, qKCoreBackbone, qDistinctNgrams, qBm25Rerank,
-    qChainDrift, qWinnowFp, qWinnowSpans, qEncodingAudit,
+    qChainDrift, qWinnowFp, qWinnowSpans, qWinnowAligned, qEncodingAudit,
     qSimhashCombos, qPqAdcRecall, qIvfPqRecall, qRboRankings,
     qEpochShuffle, qBudgetTrim,
     qGlobalPacking, qLshCandClusters, qNdcgEval, qLabelProp,

@@ -87,6 +87,35 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.exists { case (i, j) => i >= 3L && j >= 3L })
   }
 
+  test("winnowAlignedSpans: one copied run = one diagonal; swapped runs = two") {
+    val (k, w) = (4, 4)
+    val run = (1 to 16).map(n => s"run$n").mkString(" ") // 16-token copy
+    val r1 = (1 to 8).map(n => s"red$n").mkString(" ")
+    val r2 = (1 to 8).map(n => s"blue$n").mkString(" ")
+    val corpus = Seq(
+      (0L, s"aa bb cc dd $run ee ff gg hh"),
+      (1L, s"xx yy $run zz qq rr ss tt uu vv"),
+      // same two runs, ORDER swapped -> two alignment diagonals
+      (2L, s"k1 k2 k3 $r1 k4 k5 k6 $r2 k7 k8"),
+      (3L, s"m1 m2 $r2 m3 m4 m5 m6 m7 $r1 m8")
+    ).toDF("doc_id", "text")
+    val out = Dedup.winnowAlignedSpans(corpus, "doc_id", "text", k, w,
+        minShared = 1, maxDf = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    // copied-run pair: every match comes from the single shared run, so
+    // all matches sit on ONE diagonal and the span fits inside the run
+    val cp = out((0L, 1L))
+    assert(cp.getLong(4) == 1L) // n_diags
+    assert(cp.getLong(5) == cp.getLong(3)) // best diag carries all matches
+    assert(cp.getLong(6) >= k && cp.getLong(6) <= 16L) // span within run
+    // swapped-runs pair: the two runs align at different offsets
+    val sw = out((2L, 3L))
+    assert(sw.getLong(4) == 2L) // n_diags
+    assert(sw.getLong(6) <= 8L) // best span bounded by a single run
+    // unrelated pairs absent
+    assert(!out.contains((0L, 2L)) && !out.contains((1L, 3L)))
+  }
+
   test("exactDedup keeps one row per key, smallest keepBy") {
     val out = Dedup.exactDedup(docs, Seq("text"), "doc_id")
       .select("doc_id").as[Long].collect().sorted
