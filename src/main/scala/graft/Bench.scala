@@ -375,7 +375,12 @@ object Bench {
       // the 12-round BPE train+encode chain, and the iterative k-core
       // peel (round count can GROW with corpus structure — exactly
       // what a 10x reading should catch)
-      "q282_kneser_ney", "q286_bpe_fertility", "q290_kcore")
+      "q282_kneser_ney", "q286_bpe_fertility", "q290_kcore",
+      // session-4: map-side winnowing (the 10x corpus's replica tiling
+      // multiplies shared fingerprints — the df guard must keep the
+      // pair join's fanout bounded) and the 64-replicate bootstrap
+      // (pure map + two aggregations: the reading should be ~linear)
+      "q295_winnow_spans", "q296_bootstrap_ci")
     val stressWaivers = Map(
       "q165_mutual_knn" -> ("documented O(n^2) exact-kNN oracle tool; " +
         "q26b/q26c/q27 are the approximate scale path"))

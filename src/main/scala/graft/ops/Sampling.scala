@@ -237,6 +237,69 @@ object Sampling {
     df.where(hashBucket(keyCol) < pctCol)
   }
 
+  /** Neyman-allocation stratified sampling (Neyman 1934 — the optimal
+    * allocation survey statisticians reach for before any fixed-rate
+    * stratified draw): a total budget of `totalN` rows is split across
+    * strata proportionally to N_h·σ_h, so high-variance strata get
+    * more of the budget than proportional allocation would give and
+    * near-constant strata almost none — the minimum-variance unbiased
+    * split for estimating the overall mean of `valueCol`.
+    *
+    * `valueCol` must be integral: per-stratum moments accumulate as
+    * exact decimal(38,0) sums (the Mann-Whitney discipline — n·Σx²
+    * stays exact past 10^12 rows), and the variance/σ/weight chain is
+    * then a fixed sequence of double ops identical in any engine. The
+    * draw itself ranks rows within each stratum by md5(id) (the shared
+    * deterministic hash family) and keeps the first alloc_h — so the
+    * sample is reproducible across runs, engines, and partitionings.
+    * alloc_h = floor(totalN·w_h/Σw + 0.5) capped at N_h; zero-variance
+    * strata get 0 (they contribute nothing to estimator variance; add
+    * a floor outside if coverage of every stratum is required).
+    *
+    * Scale design (100 TB): one map-side-combined moment aggregation
+    * (strata-bounded), a broadcast 1-row total, and ONE per-stratum
+    * rank window for the draw. Returns per stratum:
+    * (stratum, n_rows, sigma, alloc, n_sampled, id_sum) — id_sum is the
+    * exact-BIGINT membership certificate of the drawn sample. */
+  def neymanAllocation(df: DataFrame, stratumCol: String, idCol: String,
+      valueCol: String, totalN: Long): DataFrame = {
+    require(totalN >= 1, s"totalN must be >= 1: $totalN")
+    val base = df.where(col(valueCol).isNotNull)
+      .select(col(stratumCol).as("g"), col(idCol).cast("long").as("id"),
+        col(valueCol).cast("long").as("x"))
+    val st = base.groupBy("g").agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(38,0)")).as("s"),
+      sum(col("x").cast("decimal(38,0)") * col("x")).as("ss"))
+    val variance = when(col("n") > 1,
+      (col("n").cast("decimal(38,0)") * col("ss") - col("s") * col("s"))
+        .cast("double") / (col("n").cast("double") * (col("n") - 1)))
+      .otherwise(lit(0.0))
+    val weighted = st.select(col("g"), col("n"),
+      sqrt(variance).as("sigma"))
+      .select(col("g"), col("n"), col("sigma"),
+        (col("n").cast("double") * col("sigma")).as("w"))
+    val tot = weighted.agg(sum(col("w")).as("wtot"))
+    val alloc = weighted.crossJoin(broadcast(tot))
+      .select(col("g"), col("n"), col("sigma"),
+        when(col("wtot") > 0.0,
+          least(floor(lit(totalN.toDouble) * col("w") / col("wtot")
+            + 0.5).cast("long"), col("n")))
+          .otherwise(0L).as("alloc"))
+    val ranked = base.withColumn("__rnk", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy("g")
+        .orderBy(md5(col("id").cast("string")), col("id"))))
+    val drawn = ranked.join(alloc.select("g", "alloc"), Seq("g"))
+      .where(col("__rnk") <= col("alloc"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_sampled"), sum(col("id")).as("id_sum"))
+    alloc.join(drawn, Seq("g"), "left")
+      .select(col("g").as(stratumCol), col("n").as("n_rows"),
+        round(col("sigma"), 6).as("sigma"), col("alloc"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        coalesce(col("id_sum"), lit(0L)).as("id_sum"))
+  }
+
   /** Class-balanced downsampling: every class keeps exactly
     * min-class-count rows (the classic majority-downsample for a
     * skewed training label), chosen deterministically by the shared

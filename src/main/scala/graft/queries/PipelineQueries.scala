@@ -4667,6 +4667,51 @@ object PipelineQueries {
       FROM wkd a JOIN wkd b ON a.h = b.h AND a.id < b.id
       GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY i, j"""))
 
+  /** Neyman-allocation stratified sampling
+    * ([[graft.ops.Sampling.neymanAllocation]]): a 200-doc budget split
+    * across sources proportional to N_h·σ_h of tokens/doc, drawn by
+    * md5 rank. The oracle replays the exact-decimal moment chain, the
+    * double σ/weight/floor arithmetic, and the ranked draw; id_sum
+    * certifies the drawn membership row-for-row. */
+  val qNeyman = Q(
+    "q300_neyman_alloc",
+    (s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          size(TextAnalysis.words(col("text"))).as("x"))
+      Sampling.neymanAllocation(d, "source", "doc_id", "x", totalN = 200L)
+        .orderBy("source")
+    },
+    Some(s"""WITH d AS (SELECT source AS g, doc_id AS id, len($dkWords) AS x
+          FROM documents WHERE text IS NOT NULL),
+      st AS (SELECT g, count(*) AS n,
+          sum(CAST(x AS DECIMAL(38,0))) AS s,
+          sum(CAST(x AS DECIMAL(38,0)) * x) AS ss
+        FROM d GROUP BY 1),
+      sg AS (SELECT g, n,
+          sqrt(CASE WHEN n > 1
+            THEN CAST(CAST(n AS DECIMAL(38,0)) * ss - s * s AS DOUBLE)
+              / (CAST(n AS DOUBLE) * (n - 1)) ELSE 0.0 END) AS sigma
+        FROM st),
+      wt AS (SELECT g, n, sigma, CAST(n AS DOUBLE) * sigma AS w FROM sg),
+      tt AS (SELECT sum(w) AS wtot FROM wt),
+      alloc AS (SELECT g, n, sigma,
+          CASE WHEN wtot > 0.0
+            THEN least(CAST(floor(200.0 * w / wtot + 0.5) AS BIGINT), n)
+            ELSE 0 END AS alloc
+        FROM wt CROSS JOIN tt),
+      ranked AS (SELECT g, id, row_number() OVER (PARTITION BY g
+          ORDER BY md5(id::VARCHAR), id) AS rnk FROM d),
+      drawn AS (SELECT r.g, count(*) AS n_sampled,
+          CAST(sum(r.id) AS BIGINT) AS id_sum
+        FROM ranked r JOIN alloc a ON a.g = r.g AND r.rnk <= a.alloc
+        GROUP BY 1)
+      SELECT a.g AS source, a.n AS n_rows, round(a.sigma, 6) AS sigma,
+        a.alloc, coalesce(d.n_sampled, 0) AS n_sampled,
+        coalesce(d.id_sum, 0) AS id_sum
+      FROM alloc a LEFT JOIN drawn d ON d.g = a.g
+      ORDER BY source"""))
+
   /** Diagonal alignment of winnowed matches
     * ([[graft.ops.Dedup.winnowAlignedSpans]]): per candidate pair, the
     * match count, diagonal count, and best-diagonal contiguous-span
@@ -4745,6 +4790,7 @@ object PipelineQueries {
     qCurationFunnel, qStreamingBudget, qKneserNey, qMmrSelect,
     qBpeFertility, qKCoreBackbone, qDistinctNgrams, qBm25Rerank,
     qChainDrift, qWinnowFp, qWinnowSpans, qWinnowAligned, qEncodingAudit,
+    qNeyman,
     qSimhashCombos, qPqAdcRecall, qIvfPqRecall, qRboRankings,
     qEpochShuffle, qBudgetTrim,
     qGlobalPacking, qLshCandClusters, qNdcgEval, qLabelProp,

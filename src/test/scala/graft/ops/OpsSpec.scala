@@ -1198,6 +1198,45 @@ class OpsSpec extends SparkSpec {
     assert(c.getLong(7) == 0L && c.getDouble(8) == 0.0)
   }
 
+  test("neymanAllocation: variance-proportional split, zero-variance starved, md5 draw") {
+    // stratum a: high variance; b: lower; c: constant (sigma = 0)
+    val rows = (0L until 40L).map(i => ("a", i, if (i % 2 == 0) 0L else 100L)) ++
+      (100L until 140L).map(i => ("b", i, 50L + (i % 2) * 10L)) ++
+      (200L until 240L).map(i => ("c", i, 7L))
+    val df = rows.toDF("g", "id", "x")
+    val out = Sampling.neymanAllocation(df, "g", "id", "x", totalN = 30L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    // expected allocation from the same formula in driver-side doubles
+    def sig(xs: Seq[Long]): Double = {
+      val n = xs.size
+      math.sqrt((n.toDouble * xs.map(v => v * v).sum - {
+        val s = xs.map(BigInt(_)).sum; (s * s).toDouble
+      }) / (n.toDouble * (n - 1)))
+    }
+    val byG = rows.groupBy(_._1).view.mapValues(_.map(_._3)).toMap
+    val ws = byG.map { case (g, xs) => g -> xs.size * sig(xs) }
+    val wtot = ws.values.sum
+    for (g <- Seq("a", "b", "c")) {
+      val (n, sigma, alloc, nSampled, idSum) = out(g)
+      assert(n == 40L)
+      val expAlloc = math.min(math.floor(30.0 * ws(g) / wtot + 0.5).toLong, 40L)
+      assert(alloc == expAlloc, s"$g alloc")
+      assert(nSampled == alloc)
+      // replay the md5-ranked draw
+      def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val ids = rows.filter(_._1 == g).map(_._2)
+        .sortBy(i => (md5hex(i.toString), i)).take(alloc.toInt)
+      assert(idSum == ids.sum, s"$g draw membership")
+      assert(math.abs(sigma - BigDecimal(sig(byG(g)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+    assert(out("c")._3 == 0L) // zero-variance stratum starved
+    assert(out("a")._3 > out("b")._3) // variance-proportional
+  }
+
   test("dsirLogWeights: identical target/raw corpora weigh exactly zero") {
     // Target and raw are the same multiset of texts -> every bucket has
     // ct == cr and tt == tr, so the smoothed log-ratio is identically 0
