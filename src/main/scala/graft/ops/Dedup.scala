@@ -1343,6 +1343,53 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Discount-weighted effective token mass under duplication — the
+    * "repeated data is worth less" accounting of data-constrained
+    * scaling (Muennighoff et al. 2023 showed repeated epochs decay in
+    * value roughly geometrically; this is the per-duplicate-copy form
+    * with ratio 1/2, INTEGER-floored so the whole measure is exact):
+    * a text duplicated c times contributes Σ_{k=0}^{c−1} ⌊tok / 2^k⌋
+    * effective tokens — copy 1 full value, copy 2 half, … — instead of
+    * c·tok. Shifts cap at `maxShift` (terms are 0 beyond ⌊log2 tok⌋
+    * anyway), keeping the per-group expansion bounded at
+    * min(c, maxShift+1) rows regardless of how pathological a
+    * duplicate family is.
+    *
+    * Per group: (group, n_docs, n_unique, total_tokens, eff_tokens,
+    * eff_ratio 6 dp) — all token masses exact BIGINTs (no float
+    * accumulation: the geometric discount is integer halving), so the
+    * result is reproducible at any scale and partitioning.
+    *
+    * Scale design (100 TB): one shuffle to (group, normalized-text)
+    * duplicate groups (map-side combined), a ≤(maxShift+1)-row
+    * map-side expansion per GROUP (not per document), one final
+    * group rollup. */
+  def effectiveTokens(df: DataFrame, groupCol: String, textCol: String,
+      maxShift: Int = 40): DataFrame = {
+    require(maxShift >= 1 && maxShift <= 62,
+      s"maxShift must be in [1, 62]: $maxShift")
+    val groups = df.where(col(textCol).isNotNull)
+      .groupBy(col(groupCol).as("g"),
+        normalizedText(col(textCol)).as("t"))
+      .agg(count(lit(1)).as("c"),
+        min(TextAnalysis.nTokensWhitespace(col(textCol)).cast("long"))
+          .as("tok"))
+    val stats = groups.groupBy("g")
+      .agg(sum(col("c")).as("n_docs"), count(lit(1)).as("n_unique"),
+        sum(col("c") * col("tok")).as("total_tokens"))
+    val eff = groups
+      .select(col("g"), col("tok"),
+        explode(sequence(lit(0),
+          least(col("c") - 1, lit(maxShift)).cast("int"))).as("k"))
+      .groupBy("g")
+      .agg(sum(expr("shiftright(tok, k)")).as("eff_tokens"))
+    stats.join(eff, Seq("g"))
+      .select(col("g").as(groupCol), col("n_docs"), col("n_unique"),
+        col("total_tokens"), col("eff_tokens"),
+        round(col("eff_tokens").cast("double")
+          / greatest(col("total_tokens"), lit(1L)), 6).as("eff_ratio"))
+  }
+
   /** Diagonal alignment of winnowed matches — the MOSS-style
     * refinement over [[winnowSharedSpans]]: two fingerprints of a pair
     * that belong to ONE contiguous copied span sit on the same

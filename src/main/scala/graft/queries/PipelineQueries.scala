@@ -4667,6 +4667,35 @@ object PipelineQueries {
       FROM wkd a JOIN wkd b ON a.h = b.h AND a.id < b.id
       GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY i, j"""))
 
+  /** Discount-weighted effective tokens under duplication
+    * ([[graft.ops.Dedup.effectiveTokens]]): copy k of a duplicate
+    * family counts ⌊tok/2^(k−1)⌋ — the integer-exact per-copy decay of
+    * data-constrained scaling accounting. Every mass is a BIGINT; the
+    * oracle replays the dup grouping, the shift expansion, and the
+    * single ratio division. */
+  val qEffectiveTokens = Q(
+    "q301_effective_tokens",
+    (s, dir) =>
+      Dedup.effectiveTokens(table(s, dir, "documents"), "source", "text")
+        .orderBy("source"),
+    Some(s"""WITH grp AS (SELECT source AS g,
+          trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t,
+          count(*) AS c, min(len($dkWords)) AS tok
+        FROM documents WHERE text IS NOT NULL GROUP BY 1, 2),
+      stats AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_docs,
+          count(*) AS n_unique,
+          CAST(sum(c * tok) AS BIGINT) AS total_tokens
+        FROM grp GROUP BY 1),
+      eff AS (SELECT g, CAST(sum(x) AS BIGINT) AS eff_tokens
+        FROM (SELECT g, unnest([tok >> k
+                for k in range(0, least(c - 1, 40) + 1)]) AS x
+              FROM grp)
+        GROUP BY 1)
+      SELECT s.g AS source, n_docs, n_unique, total_tokens, eff_tokens,
+        round(CAST(eff_tokens AS DOUBLE) / greatest(total_tokens, 1), 6)
+          AS eff_ratio
+      FROM stats s JOIN eff USING (g) ORDER BY source"""))
+
   /** Neyman-allocation stratified sampling
     * ([[graft.ops.Sampling.neymanAllocation]]): a 200-doc budget split
     * across sources proportional to N_h·σ_h of tokens/doc, drawn by
@@ -4790,7 +4819,7 @@ object PipelineQueries {
     qCurationFunnel, qStreamingBudget, qKneserNey, qMmrSelect,
     qBpeFertility, qKCoreBackbone, qDistinctNgrams, qBm25Rerank,
     qChainDrift, qWinnowFp, qWinnowSpans, qWinnowAligned, qEncodingAudit,
-    qNeyman,
+    qNeyman, qEffectiveTokens,
     qSimhashCombos, qPqAdcRecall, qIvfPqRecall, qRboRankings,
     qEpochShuffle, qBudgetTrim,
     qGlobalPacking, qLshCandClusters, qNdcgEval, qLabelProp,

@@ -1198,6 +1198,28 @@ class OpsSpec extends SparkSpec {
     assert(c.getLong(7) == 0L && c.getDouble(8) == 0.0)
   }
 
+  test("effectiveTokens: integer halving per copy, caps, normalization groups") {
+    val corpus = Seq(
+      ("a", "one two three four"),        // 4 tokens, c=3 (with below)
+      ("a", "one  two three\tfour"),      // normalizes to the same text
+      ("a", "ONE TWO THREE FOUR"),        // case-normalized duplicate
+      ("a", "solo document here"),        // 3 tokens, c=1
+      ("b", "five six seven"),            // 3 tokens, c=2
+      ("b", "five six seven"),
+      ("b", null)                         // dropped
+    ).toDF("src", "text")
+    val out = Dedup.effectiveTokens(corpus, "src", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // a: dup family 4 tokens x3 -> 4 + 2 + 1 = 7 eff; solo 3 -> 3
+    assert(out("a") == ((4L, 2L, 15L, 10L)))
+    // b: 3 tokens x2 -> 3 + 1 = 4 eff
+    assert(out("b") == ((2L, 1L, 6L, 4L)))
+    intercept[IllegalArgumentException] {
+      Dedup.effectiveTokens(corpus, "src", "text", maxShift = 0)
+    }
+  }
+
   test("neymanAllocation: variance-proportional split, zero-variance starved, md5 draw") {
     // stratum a: high variance; b: lower; c: constant (sigma = 0)
     val rows = (0L until 40L).map(i => ("a", i, if (i % 2 == 0) 0L else 100L)) ++
