@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, StructType}
+
+/** Best-segmentation (Viterbi) score over a per-row lattice — the
+  * E-step scorer of a unigram-LM tokenizer (Kudo, ACL 2018; the
+  * SentencePiece unigram model): given the word's lattice edges
+  * (j, i, logp) — "the substring [j, i) is a vocabulary token with
+  * log-probability logp" — returns max over segmentations of the
+  * summed token log-probability, i.e. the DP
+  *
+  *   best(0) = 0;  best(i) = max over edges (j, i, lp) of best(j) + lp
+  *
+  * evaluated in one O(len · edges-per-position) in-row pass. NULL when
+  * position `len` is unreachable (some character has no vocabulary
+  * token covering it).
+  *
+  * Why an expression: the lattice is ROW-LOCAL and tiny (≤ maxWordLen ·
+  * maxTokenLen edges), but the DP is sequential in i — relationally
+  * that is maxWordLen chained joins (the shape the DuckDB oracle
+  * replays as unrolled materialized CTEs); in-row it is a loop that
+  * stays inside whole-stage codegen next to the collect_list that
+  * built the lattice. */
+case class ViterbiScoreExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = left.dataType match {
+      case ArrayType(st: StructType, _) =>
+        st.fields.length == 3 &&
+          st.fields(0).dataType == IntegerType &&
+          st.fields(1).dataType == IntegerType &&
+          st.fields(2).dataType == DoubleType
+      case _ => false
+    }
+    if (ok && right.dataType == IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_viterbi_score requires (array<struct<j int, i int, " +
+          s"lp double>>, int), got ${left.dataType.simpleString}, " +
+          right.dataType.simpleString)
+  }
+
+  override def nullSafeEval(edges: Any, len: Any): Any =
+    ViterbiScoreExpr.compute(
+      edges.asInstanceOf[ArrayData], len.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = "graft.functions.ViterbiScoreExpr"
+    nullSafeCodeGen(ctx, ev, (e, l) => {
+      val r = ctx.freshName("vit")
+      s"""Object $r = $fn.compute($e, $l);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((Double) $r).doubleValue(); }""".stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ViterbiScoreExpr =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_viterbi_score"
+}
+
+object ViterbiScoreExpr {
+
+  /** DP over the row's lattice. Edge arrays are tiny, so the O(E)
+    * sweep per position (E = numElements) needs no bucketing. Returns
+    * null (boxed) when best(len) is unreachable. */
+  def compute(edges: ArrayData, len: Int): java.lang.Double = {
+    if (len < 0) return null
+    if (len == 0) return java.lang.Double.valueOf(0.0)
+    val n = edges.numElements()
+    val best = new Array[Double](len + 1)
+    java.util.Arrays.fill(best, Double.NegativeInfinity)
+    best(0) = 0.0
+    var i = 1
+    while (i <= len) {
+      var e = 0
+      while (e < n) {
+        val row = edges.getStruct(e, 3)
+        if (row.getInt(1) == i) {
+          val j = row.getInt(0)
+          if (j >= 0 && j < i && best(j) != Double.NegativeInfinity) {
+            val cand = best(j) + row.getDouble(2)
+            if (cand > best(i)) best(i) = cand
+          }
+        }
+        e += 1
+      }
+      i += 1
+    }
+    if (best(len) == Double.NegativeInfinity) null
+    else java.lang.Double.valueOf(best(len))
+  }
+
+  /** Column API: best-segmentation log-probability, null if no full
+    * segmentation exists. */
+  def score(edges: Column, len: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(ViterbiScoreExpr(
+      ColumnBridge.expression(edges),
+      ColumnBridge.expression(len.cast("int"))))
+  }
+}

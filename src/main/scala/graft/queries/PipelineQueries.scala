@@ -4696,6 +4696,63 @@ object PipelineQueries {
           AS eff_ratio
       FROM stats s JOIN eff USING (g) ORDER BY source"""))
 
+  /** Unigram-LM tokenizer E-step
+    * ([[graft.ops.TextAnalysis.unigramLmScores]], Kudo ACL 2018): the
+    * substring-frequency vocabulary (top-256, total order), the word
+    * lattice, and the per-word Viterbi best-segmentation NLL computed
+    * in-row by [[graft.functions.ViterbiScoreExpr]]. The oracle
+    * rebuilds the vocabulary and replays the sequential DP as 12
+    * unrolled MATERIALIZED position CTEs (best(i) = max over lattice
+    * edges of best(j) + lp — the q290 k-core unroll discipline), so
+    * every word's score is certified against the relational form of
+    * the same recurrence. */
+  val qUnigramLm = Q(
+    "q302_unigram_lm",
+    (s, dir) =>
+      TextAnalysis.unigramLmScores(table(s, dir, "documents"), "text",
+          maxSubLen = 4, maxWordLen = 12, vocabK = 256)
+        .orderBy("word"),
+    Some {
+      val L = 12; val S = 4; val K = 256
+      val bCtes = (1 to L).map { i =>
+        val pu = (math.max(0, i - S) until i)
+          .map(j => s"SELECT word, $j AS j, s FROM b$j")
+          .mkString(" UNION ALL ")
+        s"""b$i AS MATERIALIZED (SELECT e.word, max(p.s + e.lp) AS s
+            FROM edges e JOIN ($pu) p
+              ON p.word = e.word AND p.j = e.j
+            WHERE e.i = $i GROUP BY 1)"""
+      }.mkString(",\n      ")
+      val resUnion = (1 to L)
+        .map(i => s"SELECT word, $i AS l, s FROM b$i")
+        .mkString(" UNION ALL ")
+      s"""WITH wc AS MATERIALIZED (SELECT w AS word, count(*) AS cnt
+          FROM (SELECT unnest($dkWords) AS w FROM documents)
+          WHERE length(w) BETWEEN 1 AND $L GROUP BY 1),
+      pos AS (SELECT a.j, b.i FROM range(0, $L) a(j), range(1, ${L + 1}) b(i)
+              WHERE b.i > a.j AND b.i - a.j <= $S),
+      subs AS MATERIALIZED (SELECT word, cnt, j, i,
+              substr(word, j + 1, i - j) AS sub
+            FROM wc JOIN pos ON pos.i <= length(word)),
+      freq AS (SELECT sub, CAST(sum(cnt) AS BIGINT) AS f
+               FROM subs GROUP BY 1),
+      vocab AS MATERIALIZED (SELECT sub, f FROM freq
+               ORDER BY f DESC, sub LIMIT $K),
+      tot AS (SELECT CAST(sum(f) AS BIGINT) AS t FROM vocab),
+      lp AS (SELECT sub, ln(CAST(f AS DOUBLE) / t) AS lp
+             FROM vocab CROSS JOIN tot),
+      edges AS MATERIALIZED (SELECT s.word, s.j, s.i, lp.lp
+             FROM subs s JOIN lp USING (sub)),
+      b0 AS (SELECT word, 0.0 AS s FROM wc),
+      $bCtes,
+      res AS ($resUnion)
+      SELECT wc.word, wc.cnt, CAST(length(wc.word) AS INT) AS len,
+        round(-r.s, 6) AS nll
+      FROM wc LEFT JOIN res r
+        ON r.word = wc.word AND r.l = length(wc.word)
+      ORDER BY wc.word"""
+    })
+
   /** Neyman-allocation stratified sampling
     * ([[graft.ops.Sampling.neymanAllocation]]): a 200-doc budget split
     * across sources proportional to N_h·σ_h of tokens/doc, drawn by
@@ -4819,7 +4876,7 @@ object PipelineQueries {
     qCurationFunnel, qStreamingBudget, qKneserNey, qMmrSelect,
     qBpeFertility, qKCoreBackbone, qDistinctNgrams, qBm25Rerank,
     qChainDrift, qWinnowFp, qWinnowSpans, qWinnowAligned, qEncodingAudit,
-    qNeyman, qEffectiveTokens,
+    qNeyman, qEffectiveTokens, qUnigramLm,
     qSimhashCombos, qPqAdcRecall, qIvfPqRecall, qRboRankings,
     qEpochShuffle, qBudgetTrim,
     qGlobalPacking, qLshCandClusters, qNdcgEval, qLabelProp,

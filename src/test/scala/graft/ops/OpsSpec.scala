@@ -1198,6 +1198,56 @@ class OpsSpec extends SparkSpec {
     assert(c.getLong(7) == 0L && c.getDouble(8) == 0.0)
   }
 
+  test("unigramLmScores: differential vs in-memory EM E-step reference") {
+    val rnd = new scala.util.Random(11)
+    val vocabLetters = "abcde"
+    val corpus = (0 until 40).map { _ =>
+      (0 until (3 + rnd.nextInt(6))).map { _ =>
+        (0 until (1 + rnd.nextInt(7)))
+          .map(_ => vocabLetters(rnd.nextInt(vocabLetters.length))).mkString
+      }.mkString(" ")
+    }.toDF("text")
+    val (maxSub, maxWord, k) = (3, 16, 24)
+    val out = TextAnalysis.unigramLmScores(corpus, "text", maxSub, maxWord, k)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getInt(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    // in-memory reference
+    val wcRef = corpus.collect().flatMap(
+        _.getString(0).toLowerCase.split("\\s+").filter(_.nonEmpty))
+      .filter(w => w.length >= 1 && w.length <= maxWord)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val freq = scala.collection.mutable.Map[String, Long]()
+    for ((w, c) <- wcRef; j <- 0 until w.length;
+         i <- (j + 1) to math.min(j + maxSub, w.length))
+      freq(w.substring(j, i)) = freq.getOrElse(w.substring(j, i), 0L) + c
+    val vocab = freq.toSeq.sortBy { case (s, f) => (-f, s) }.take(k).toMap
+    val t = vocab.values.sum.toDouble
+    def viterbi(w: String): Option[Double] = {
+      val best = Array.fill(w.length + 1)(Double.NegativeInfinity)
+      best(0) = 0.0
+      for (i <- 1 to w.length; j <- math.max(0, i - maxSub) until i) {
+        vocab.get(w.substring(j, i)).foreach { f =>
+          val cand = best(j) + math.log(f / t)
+          if (cand > best(i)) best(i) = cand
+        }
+      }
+      if (best(w.length) == Double.NegativeInfinity) None
+      else Some(BigDecimal(-best(w.length))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(out.keySet == wcRef.keySet)
+    for ((w, c) <- wcRef) {
+      val (cnt, len, nll) = out(w)
+      assert(cnt == c && len == w.length, s"word $w counts")
+      assert(nll == viterbi(w), s"word $w nll")
+    }
+    // with a tiny vocab cut some multi-char words must be unsegmentable
+    val tiny = TextAnalysis.unigramLmScores(corpus, "text", maxSub, maxWord, 2)
+      .collect()
+    assert(tiny.exists(_.isNullAt(3)))
+  }
+
   test("effectiveTokens: integer halving per copy, caps, normalization groups") {
     val corpus = Seq(
       ("a", "one two three four"),        // 4 tokens, c=3 (with below)
