@@ -71,7 +71,90 @@ case class ViterbiScoreExpr(left: Expression, right: Expression)
   override def prettyName: String = "graft_viterbi_score"
 }
 
+/** Best-segmentation score AND minimal token count — the
+  * [[ViterbiScoreExpr]] DP carrying a second array: among all
+  * max-score segmentations, the fewest tokens (the deterministic
+  * tie-break a fertility rollup needs; ties in score are REAL when
+  * several substrings share a frequency). Returns
+  * struct<s double, n int>, null when unreachable. The SQL oracle
+  * replays the same two-level recurrence (max score, then min count
+  * over score-achieving edges) with bit-identical double comparisons,
+  * so the tie-break agrees across engines. */
+case class ViterbiStatsExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ViterbiScoreExpr.StatsType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ViterbiScoreExpr(left, right).checkInputDataTypes()
+
+  override def nullSafeEval(edges: Any, len: Any): Any =
+    ViterbiScoreExpr.computeStats(
+      edges.asInstanceOf[ArrayData], len.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = "graft.functions.ViterbiScoreExpr"
+    nullSafeCodeGen(ctx, ev, (e, l) => {
+      val r = ctx.freshName("vitStats")
+      s"""org.apache.spark.sql.catalyst.InternalRow $r =
+         |  $fn.computeStats($e, $l);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r; }""".stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ViterbiStatsExpr =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_viterbi_stats"
+}
+
 object ViterbiScoreExpr {
+
+  val StatsType: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("s", DoubleType, nullable = false),
+    org.apache.spark.sql.types.StructField("n", IntegerType, nullable = false)))
+
+  /** Two-array DP: best(i) = max score; ntok(i) = min token count among
+    * edges ACHIEVING best(i) (double equality — both engines compute
+    * the same candidate values, so the tie set agrees bit-for-bit).
+    * Returns null when position len is unreachable. */
+  def computeStats(edges: ArrayData, len: Int)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    if (len < 0) return null
+    val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+    if (len == 0) { out.update(0, 0.0); out.update(1, 0); return out }
+    val n = edges.numElements()
+    val best = new Array[Double](len + 1)
+    val ntok = new Array[Int](len + 1)
+    java.util.Arrays.fill(best, Double.NegativeInfinity)
+    java.util.Arrays.fill(ntok, Int.MaxValue)
+    best(0) = 0.0
+    ntok(0) = 0
+    var i = 1
+    while (i <= len) {
+      var e = 0
+      while (e < n) {
+        val row = edges.getStruct(e, 3)
+        if (row.getInt(1) == i) {
+          val j = row.getInt(0)
+          if (j >= 0 && j < i && best(j) != Double.NegativeInfinity) {
+            val cand = best(j) + row.getDouble(2)
+            if (cand > best(i)) { best(i) = cand; ntok(i) = ntok(j) + 1 }
+            else if (cand == best(i) && ntok(j) + 1 < ntok(i))
+              ntok(i) = ntok(j) + 1
+          }
+        }
+        e += 1
+      }
+      i += 1
+    }
+    if (best(len) == Double.NegativeInfinity) null
+    else { out.update(0, best(len)); out.update(1, ntok(len)); out }
+  }
 
   /** DP over the row's lattice. Edge arrays are tiny, so the O(E)
     * sweep per position (E = numElements) needs no bucketing. Returns
@@ -108,6 +191,15 @@ object ViterbiScoreExpr {
   def score(edges: Column, len: Column): Column = {
     import org.apache.spark.sql.graft.ColumnBridge
     ColumnBridge.column(ViterbiScoreExpr(
+      ColumnBridge.expression(edges),
+      ColumnBridge.expression(len.cast("int"))))
+  }
+
+  /** Column API: struct<s, n> — best score and the minimal token count
+    * among max-score segmentations; null if unreachable. */
+  def stats(edges: Column, len: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(ViterbiStatsExpr(
       ColumnBridge.expression(edges),
       ColumnBridge.expression(len.cast("int"))))
   }

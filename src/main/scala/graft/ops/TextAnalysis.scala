@@ -986,6 +986,25 @@ object TextAnalysis {
       .select(explode(words(col(textCol))).as("word"))
       .where(length(col("word")).between(1, maxWordLen))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val lattice = unigramLattice(wc, maxSubLen, vocabK)
+    wc.join(lattice, Seq("word"), "left")
+      .select(col("word"), col("cnt"),
+        length(col("word")).as("len"),
+        round(-graft.functions.ViterbiScoreExpr.score(
+          coalesce(col("edges"), emptyLattice),
+          length(col("word"))), 6).as("nll"))
+  }
+
+  private def emptyLattice: Column =
+    array().cast("array<struct<j:int,i:int,lp:double>>")
+
+  /** Shared lattice builder of the unigram-LM family: substring
+    * frequencies from the (word, cnt) table, the top-`vocabK`
+    * vocabulary on the (freq desc, substring asc) total order, token
+    * log-probs, and per-word edge lists. The vocabulary and its probs
+    * broadcast into the edge join. */
+  private def unigramLattice(wc: DataFrame, maxSubLen: Int,
+      vocabK: Int): DataFrame = {
     val subs = wc
       .select(col("word"), col("cnt"),
         explode(sequence(lit(0), length(col("word")) - 1)).as("j"))
@@ -1000,16 +1019,63 @@ object TextAnalysis {
     val lp = vocab.crossJoin(broadcast(tot))
       .select(col("sub"),
         log(col("f").cast("double") / col("t")).as("lp"))
-    val lattice = subs.join(broadcast(lp), Seq("sub"))
+    subs.join(broadcast(lp), Seq("sub"))
       .groupBy("word")
       .agg(collect_list(struct(col("j"), col("i"), col("lp"))).as("edges"))
-    wc.join(lattice, Seq("word"), "left")
-      .select(col("word"), col("cnt"),
-        length(col("word")).as("len"),
-        round(-graft.functions.ViterbiScoreExpr.score(
-          coalesce(col("edges"),
-            array().cast("array<struct<j:int,i:int,lp:double>>")),
-          length(col("word"))), 6).as("nll"))
+  }
+
+  /** Per-group tokenizer fertility under the unigram LM — the
+    * counterpart of [[bpeFertility]] for the [[unigramLmScores]]
+    * model, closing the BPE-vs-unigram tokenizer design sweep: every
+    * word is segmented by the Viterbi DP (max score, then FEWEST
+    * tokens — the deterministic tie-break
+    * [[graft.functions.ViterbiStatsExpr]] carries), and groups roll up
+    * occurrence-weighted token counts. Words longer than `maxWordLen`
+    * or with an uncovered character count as unsegmentable (they fall
+    * outside the model) rather than vanishing.
+    *
+    * Returns per group: (group, n_words, n_seg_words, n_unseg_words,
+    * n_tokens, fertility, chars_per_token), ratios 6 dp over the
+    * segmentable mass. */
+  def unigramLmFertility(df: DataFrame, textCol: String, groupCol: String,
+      maxSubLen: Int = 4, maxWordLen: Int = 12,
+      vocabK: Int = 256): DataFrame = {
+    require(maxSubLen >= 1 && maxSubLen <= 8,
+      s"maxSubLen must be in [1, 8]: $maxSubLen")
+    require(maxWordLen >= maxSubLen && maxWordLen <= 32,
+      s"maxWordLen must be in [$maxSubLen, 32]: $maxWordLen")
+    require(vocabK >= 1, s"vocabK must be >= 1: $vocabK")
+    val wcg = df.where(col(textCol).isNotNull)
+      .select(col(groupCol).as("g"), explode(words(col(textCol))).as("word"))
+      .groupBy("g", "word").agg(count(lit(1)).as("cnt"))
+    val wc = wcg.groupBy("word").agg(sum(col("cnt")).as("cnt"))
+      .where(length(col("word")).between(1, maxWordLen))
+    val lattice = unigramLattice(wc, maxSubLen, vocabK)
+    val stats = wc.join(lattice, Seq("word"), "left")
+      .select(col("word"),
+        graft.functions.ViterbiScoreExpr.stats(
+          coalesce(col("edges"), emptyLattice),
+          length(col("word"))).as("st"))
+    wcg.join(stats, Seq("word"), "left")
+      .groupBy("g")
+      .agg(sum(col("cnt")).as("n_words"),
+        coalesce(sum(when(col("st").isNotNull, col("cnt"))), lit(0L))
+          .as("n_seg_words"),
+        coalesce(sum(when(col("st").isNull, col("cnt"))), lit(0L))
+          .as("n_unseg_words"),
+        coalesce(sum(when(col("st").isNotNull,
+          col("cnt") * col("st.n").cast("long"))), lit(0L)).as("n_tokens"),
+        coalesce(sum(when(col("st").isNotNull,
+          col("cnt") * length(col("word")).cast("long"))), lit(0L))
+          .as("seg_chars"))
+      .select(col("g").as(groupCol), col("n_words"), col("n_seg_words"),
+        col("n_unseg_words"), col("n_tokens"),
+        when(col("n_seg_words") > 0,
+          round(col("n_tokens").cast("double") / col("n_seg_words"), 6))
+          .as("fertility"),
+        when(col("n_tokens") > 0,
+          round(col("seg_chars").cast("double") / col("n_tokens"), 6))
+          .as("chars_per_token"))
   }
 
   /** Per-group encoding-damage audit — the mojibake screen every

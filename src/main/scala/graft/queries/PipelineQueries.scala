@@ -4753,6 +4753,88 @@ object PipelineQueries {
       ORDER BY wc.word"""
     })
 
+  /** Unigram-LM tokenizer fertility per source
+    * ([[graft.ops.TextAnalysis.unigramLmFertility]]): q302's model
+    * APPLIED — every word segmented by the (max score, fewest tokens)
+    * Viterbi tie-break of [[graft.functions.ViterbiStatsExpr]],
+    * occurrence-weighted per source. With q286's BPE fertility this
+    * closes the BPE-vs-unigram tokenizer design sweep. The oracle
+    * carries BOTH DP arrays through 12 unrolled materialized CTEs
+    * (window max for the score, min over score-achieving edges for the
+    * count — double equality agrees because both engines compute the
+    * identical candidate values). */
+  val qUnigramFertility = Q(
+    "q303_unigram_fertility",
+    (s, dir) =>
+      TextAnalysis.unigramLmFertility(table(s, dir, "documents"), "text",
+          "source", maxSubLen = 4, maxWordLen = 12, vocabK = 256)
+        .orderBy("source"),
+    Some {
+      val L = 12; val S = 4; val K = 256
+      val vCtes = (1 to L).map { i =>
+        val pu = (math.max(0, i - S) until i)
+          .map(j => s"SELECT word, $j AS j, s, n FROM v$j")
+          .mkString(" UNION ALL ")
+        s"""v$i AS MATERIALIZED (
+            SELECT word, max(cs) AS s,
+              min(CASE WHEN cs = mx THEN cn END) AS n
+            FROM (SELECT e.word, vp.s + e.lp AS cs, vp.n + 1 AS cn,
+                    max(vp.s + e.lp) OVER (PARTITION BY e.word) AS mx
+                  FROM edges e JOIN ($pu) vp
+                    ON vp.word = e.word AND vp.j = e.j
+                  WHERE e.i = $i)
+            GROUP BY word)"""
+      }.mkString(",\n      ")
+      val resUnion = (1 to L)
+        .map(i => s"SELECT word, $i AS l, n FROM v$i")
+        .mkString(" UNION ALL ")
+      s"""WITH wcg AS MATERIALIZED (SELECT source AS g, w AS word,
+            count(*) AS cnt
+          FROM (SELECT source, unnest($dkWords) AS w FROM documents)
+          GROUP BY 1, 2),
+      wc AS MATERIALIZED (SELECT word, CAST(sum(cnt) AS BIGINT) AS cnt
+          FROM wcg WHERE length(word) BETWEEN 1 AND $L GROUP BY 1),
+      pos AS (SELECT a.j, b.i FROM range(0, $L) a(j), range(1, ${L + 1}) b(i)
+              WHERE b.i > a.j AND b.i - a.j <= $S),
+      subs AS MATERIALIZED (SELECT word, cnt, j, i,
+              substr(word, j + 1, i - j) AS sub
+            FROM wc JOIN pos ON pos.i <= length(word)),
+      freq AS (SELECT sub, CAST(sum(cnt) AS BIGINT) AS f
+               FROM subs GROUP BY 1),
+      vocab AS MATERIALIZED (SELECT sub, f FROM freq
+               ORDER BY f DESC, sub LIMIT $K),
+      tot AS (SELECT CAST(sum(f) AS BIGINT) AS t FROM vocab),
+      lp AS (SELECT sub, ln(CAST(f AS DOUBLE) / t) AS lp
+             FROM vocab CROSS JOIN tot),
+      edges AS MATERIALIZED (SELECT s.word, s.j, s.i, lp.lp
+             FROM subs s JOIN lp USING (sub)),
+      v0 AS (SELECT word, 0.0 AS s, 0 AS n FROM wc),
+      $vCtes,
+      res AS ($resUnion),
+      st AS (SELECT wc.word, r.n FROM wc LEFT JOIN res r
+             ON r.word = wc.word AND r.l = length(wc.word)),
+      roll AS (SELECT w.g,
+          CAST(sum(w.cnt) AS BIGINT) AS n_words,
+          CAST(coalesce(sum(CASE WHEN st.n IS NOT NULL THEN w.cnt END), 0)
+            AS BIGINT) AS n_seg_words,
+          CAST(coalesce(sum(CASE WHEN st.n IS NULL THEN w.cnt END), 0)
+            AS BIGINT) AS n_unseg_words,
+          CAST(coalesce(sum(CASE WHEN st.n IS NOT NULL
+            THEN w.cnt * st.n END), 0) AS BIGINT) AS n_tokens,
+          CAST(coalesce(sum(CASE WHEN st.n IS NOT NULL
+            THEN w.cnt * length(w.word) END), 0) AS BIGINT) AS seg_chars
+        FROM wcg w LEFT JOIN st ON st.word = w.word
+        GROUP BY 1)
+      SELECT g AS source, n_words, n_seg_words, n_unseg_words, n_tokens,
+        CASE WHEN n_seg_words > 0
+          THEN round(CAST(n_tokens AS DOUBLE) / n_seg_words, 6) END
+          AS fertility,
+        CASE WHEN n_tokens > 0
+          THEN round(CAST(seg_chars AS DOUBLE) / n_tokens, 6) END
+          AS chars_per_token
+      FROM roll ORDER BY source"""
+    })
+
   /** Neyman-allocation stratified sampling
     * ([[graft.ops.Sampling.neymanAllocation]]): a 200-doc budget split
     * across sources proportional to N_h·σ_h of tokens/doc, drawn by
@@ -4876,7 +4958,7 @@ object PipelineQueries {
     qCurationFunnel, qStreamingBudget, qKneserNey, qMmrSelect,
     qBpeFertility, qKCoreBackbone, qDistinctNgrams, qBm25Rerank,
     qChainDrift, qWinnowFp, qWinnowSpans, qWinnowAligned, qEncodingAudit,
-    qNeyman, qEffectiveTokens, qUnigramLm,
+    qNeyman, qEffectiveTokens, qUnigramLm, qUnigramFertility,
     qSimhashCombos, qPqAdcRecall, qIvfPqRecall, qRboRankings,
     qEpochShuffle, qBudgetTrim,
     qGlobalPacking, qLshCandClusters, qNdcgEval, qLabelProp,

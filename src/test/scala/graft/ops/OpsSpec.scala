@@ -1248,6 +1248,64 @@ class OpsSpec extends SparkSpec {
     assert(tiny.exists(_.isNullAt(3)))
   }
 
+  test("unigramLmFertility: differential token counts with min-token tie-break") {
+    val rnd = new scala.util.Random(23)
+    val letters = "abc" // tiny alphabet makes score ties common
+    val corpus = (0 until 30).map { i =>
+      (if (i % 2 == 0) "s1" else "s2",
+        (0 until (2 + rnd.nextInt(5))).map { _ =>
+          (0 until (1 + rnd.nextInt(6)))
+            .map(_ => letters(rnd.nextInt(letters.length))).mkString
+        }.mkString(" "))
+    }.toDF("src", "text")
+    val (maxSub, maxWord, k) = (3, 12, 12)
+    val out = TextAnalysis.unigramLmFertility(corpus, "text", "src",
+        maxSub, maxWord, k)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // in-memory reference with the same (max score, min tokens) DP
+    val rows = corpus.collect().map(r => (r.getString(0), r.getString(1)))
+    val wcg = rows.flatMap { case (g, t) =>
+      t.toLowerCase.split("\\s+").filter(_.nonEmpty).map(w => (g, w))
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val wcRef = wcg.groupBy(_._1._2).view
+      .mapValues(_.values.sum).toMap
+      .filter { case (w, _) => w.length >= 1 && w.length <= maxWord }
+    val freq = scala.collection.mutable.Map[String, Long]()
+    for ((w, c) <- wcRef; j <- 0 until w.length;
+         i <- (j + 1) to math.min(j + maxSub, w.length))
+      freq(w.substring(j, i)) = freq.getOrElse(w.substring(j, i), 0L) + c
+    val vocab = freq.toSeq.sortBy { case (s, f) => (-f, s) }.take(k).toMap
+    val t = vocab.values.sum.toDouble
+    def ntok(w: String): Option[Int] = {
+      val best = Array.fill(w.length + 1)(Double.NegativeInfinity)
+      val n = Array.fill(w.length + 1)(Int.MaxValue)
+      best(0) = 0.0; n(0) = 0
+      for (i <- 1 to w.length; j <- math.max(0, i - maxSub) until i)
+        vocab.get(w.substring(j, i)).foreach { f =>
+          if (best(j) != Double.NegativeInfinity) {
+            val cand = best(j) + math.log(f / t)
+            if (cand > best(i)) { best(i) = cand; n(i) = n(j) + 1 }
+            else if (cand == best(i) && n(j) + 1 < n(i)) n(i) = n(j) + 1
+          }
+        }
+      if (best(w.length) == Double.NegativeInfinity) None else Some(n(w.length))
+    }
+    for (g <- Seq("s1", "s2")) {
+      val grpWords = wcg.collect { case ((gg, w), c) if gg == g => (w, c) }
+      val expWords = grpWords.map(_._2).sum
+      val expSeg = grpWords.collect {
+        case (w, c) if w.length <= maxWord && ntok(w).isDefined => c }.sum
+      val expTok = grpWords.collect {
+        case (w, c) if w.length <= maxWord && ntok(w).isDefined =>
+          c * ntok(w).get }.sum
+      val (nw, ns, nu, nt) = out(g)
+      assert(nw == expWords && ns == expSeg, s"group $g words")
+      assert(nu == expWords - expSeg, s"group $g unseg")
+      assert(nt == expTok, s"group $g tokens")
+    }
+  }
+
   test("effectiveTokens: integer halving per copy, caps, normalization groups") {
     val corpus = Seq(
       ("a", "one two three four"),        // 4 tokens, c=3 (with below)
