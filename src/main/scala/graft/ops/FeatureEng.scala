@@ -282,4 +282,64 @@ object FeatureEng {
         col("gini_parent"),
         (col("gain_q").cast("double") / lit(1e6)).as("gain"))
   }
+
+  /** Split-conformal prediction calibration (Vovk et al.; the
+    * distribution-free marginal-coverage recipe of Lei et al. JASA
+    * 2018): deterministic hash split into train / calibration / test,
+    * a per-group mean model fit on train, the (1−α) conformal quantile
+    * q̂ = the ⌈(1−α)(n_cal+1)⌉-th smallest absolute calibration
+    * residual, and the achieved test coverage of ŷ ± q̂ per group —
+    * the finite-sample guarantee check run before shipping any
+    * prediction interval.
+    *
+    * Exactness: the model means are single divisions of exact integer
+    * sums; residuals are one subtraction each; q̂ is an ORDER
+    * STATISTIC (TakeOrdered of the k smallest, max of those — no
+    * interpolation, so any engine agrees bit-for-bit). The only
+    * driver-side value is n_cal (one count), needed because the k of
+    * "k smallest" must be a plan literal; k clamps to n_cal when
+    * ⌈(1−α)(n+1)⌉ exceeds it (the vacuous-interval regime). Groups
+    * absent from the train split carry no model and are excluded from
+    * calibration and test.
+    *
+    * Returns per group: (group, n_test, n_covered, coverage 6dp,
+    * q_hat 6dp, n_cal) — q̂/n_cal are the global calibration facts
+    * repeated per row. */
+  def splitConformal(df: DataFrame, keyCol: String, groupCol: String,
+      valueCol: String, alpha: Double = 0.1,
+      trainPct: Int = 60, calPct: Int = 20): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+    require(trainPct > 0 && calPct > 0 && trainPct + calPct < 100,
+      s"need positive train/cal and a nonempty test split: " +
+        s"$trainPct/$calPct")
+    val b = pmod(graft.functions.StatFunctions
+      .hash64(col(keyCol).cast("string"), 0), lit(100))
+    val base = df.where(col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valueCol).cast("long").as("y"),
+        when(b < trainPct, "train")
+          .when(b < trainPct + calPct, "cal").otherwise("test").as("split"))
+    val model = base.where(col("split") === "train")
+      .groupBy("g")
+      .agg((sum(col("y")).cast("double") / count(lit(1))).as("yhat"))
+    val resid = base.where(col("split") =!= "train")
+      .join(model, Seq("g"))
+      .select(col("g"), col("split"),
+        abs(col("y").cast("double") - col("yhat")).as("r"))
+    val cal = resid.where(col("split") === "cal")
+    val nCal = cal.count() // driver: one Long — k must be a plan literal
+    val k = math.min(math.ceil((1 - alpha) * (nCal + 1)).toLong, nCal).toInt
+    val qhat = cal.orderBy(col("r")).limit(math.max(k, 1))
+      .agg(max(col("r")).as("q_hat"))
+    resid.where(col("split") === "test")
+      .crossJoin(broadcast(qhat))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("r") <= col("q_hat"), 1L).otherwise(0L))
+          .as("n_covered"),
+        first(col("q_hat")).as("qh"))
+      .select(col("g").as(groupCol), col("n_test"), col("n_covered"),
+        round(col("n_covered").cast("double") / col("n_test"), 6)
+          .as("coverage"),
+        round(col("qh"), 6).as("q_hat"), lit(nCal).as("n_cal"))
+  }
 }

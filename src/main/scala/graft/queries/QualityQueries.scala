@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Association, Drift, Hypothesis, JoinHealth, Outliers, Validate}
+import graft.ops.{Association, Drift, FeatureEng, Hypothesis, JoinHealth, Outliers, Validate}
 import graft.queries.QueryCatalog.table
 
 /** Data-quality / monitoring operators: Tukey outlier screening,
@@ -1754,6 +1754,55 @@ object QualityQueries {
       FROM raw"""
     })
 
+  /** Split-conformal prediction calibration
+    * ([[graft.ops.FeatureEng.splitConformal]], Lei et al. JASA 2018):
+    * hash-split train/cal/test, per-source mean model, conformal
+    * quantile as an exact order statistic, achieved test coverage per
+    * source. The oracle replays the split, the model, the k-th-smallest
+    * residual (row_number = k on the same total order), and the
+    * coverage rollup. */
+  val qSplitConformal = Q(
+    "q304_split_conformal",
+    (s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          size(graft.ops.TextAnalysis.words(col("text"))).as("y"))
+      FeatureEng.splitConformal(d, "doc_id", "source", "y",
+          alpha = 0.1, trainPct = 60, calPct = 20)
+        .orderBy("source")
+    },
+    Some {
+      val words =
+        """list_filter(string_split_regex(lower(text), '\s+'),
+           x -> length(x) > 0)"""
+      s"""WITH d AS (SELECT source AS g, len($words) AS y,
+            ('0x'||substr(md5('0:'||doc_id::VARCHAR),1,15))::BIGINT % 100
+              AS b
+          FROM documents WHERE text IS NOT NULL),
+        sp AS (SELECT g, y, CASE WHEN b < 60 THEN 'train'
+            WHEN b < 80 THEN 'cal' ELSE 'test' END AS split FROM d),
+        model AS (SELECT g, CAST(sum(y) AS DOUBLE) / count(*) AS yhat
+          FROM sp WHERE split = 'train' GROUP BY 1),
+        resid AS (SELECT sp.g, sp.split,
+            abs(CAST(y AS DOUBLE) - yhat) AS r
+          FROM sp JOIN model USING (g) WHERE split != 'train'),
+        cal AS (SELECT r FROM resid WHERE split = 'cal'),
+        kk AS (SELECT least(CAST(ceil(0.9 * (count(*) + 1)) AS BIGINT),
+            count(*)) AS k, count(*) AS n_cal FROM cal),
+        ranked AS (SELECT r, row_number() OVER (ORDER BY r) AS rn
+          FROM cal),
+        qh AS (SELECT r AS q_hat, kk.n_cal FROM ranked, kk
+          WHERE rn = greatest(kk.k, 1))
+        SELECT g AS source, count(*) AS n_test,
+          CAST(sum(CASE WHEN r <= q_hat THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_covered,
+          round(CAST(sum(CASE WHEN r <= q_hat THEN 1 ELSE 0 END)
+            AS DOUBLE) / count(*), 6) AS coverage,
+          round(q_hat, 6) AS q_hat, n_cal
+        FROM resid CROSS JOIN qh WHERE split = 'test'
+        GROUP BY g, q_hat, n_cal ORDER BY source"""
+    })
+
   /** Per-source Poisson bootstrap CI for mean tokens/doc
     * ([[graft.ops.Hypothesis.poissonBootstrapMeanCI]], Chamandy et al.
     * 2012): 64 deterministic md5-seeded Poisson(1) reweightings, every
@@ -1805,6 +1854,7 @@ object QualityQueries {
     })
 
   val all: Seq[Q] = Seq(qPhikStages, qBootstrapCI, qCohenKappa,
+    qSplitConformal,
     qRidge, qCuped, qOlsTrend, qEffectSizes, qSequentialPsi,
     qJoinSize, qBenford, qLogisticGd, qLevene, qDecisionStump,
     qMahalanobis,

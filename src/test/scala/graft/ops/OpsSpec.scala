@@ -1198,6 +1198,43 @@ class OpsSpec extends SparkSpec {
     assert(c.getLong(7) == 0L && c.getDouble(8) == 0.0)
   }
 
+  test("splitConformal: engineered residual ladder gives the exact order-stat quantile") {
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"0:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 15), 16) % 100
+    }
+    val ids = (0L until 400L)
+    val train = ids.filter(bucket(_) < 60)
+    val cal = ids.filter(i => bucket(i) >= 60 && bucket(i) < 80).sorted
+    val test = ids.filter(bucket(_) >= 80).sorted
+    // train rows all y = 10 -> model mean exactly 10; calibration row #i
+    // (1-based in id order) gets residual i; test rows straddle q_hat
+    val calRes = cal.zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    val rows =
+      train.map(id => ("g1", id, 10L)) ++
+      cal.map(id => ("g1", id, 10L + calRes(id))) ++
+      test.zipWithIndex.map { case (id, i) => ("g1", id, 10L + i + 1L) }
+    val out = FeatureEng.splitConformal(rows.toDF("g", "id", "y"),
+        "id", "g", "y", alpha = 0.1, trainPct = 60, calPct = 20)
+      .head()
+    val nCal = cal.size
+    val k = math.min(math.ceil(0.9 * (nCal + 1)).toLong, nCal.toLong)
+    assert(out.getLong(5) == nCal.toLong)
+    assert(out.getDouble(4) == k.toDouble) // q_hat = k-th smallest residual
+    // test residuals are 1..n_test; covered = those <= k
+    val expCovered = math.min(k, test.size.toLong)
+    assert(out.getLong(1) == test.size.toLong &&
+      out.getLong(2) == expCovered)
+    // constant group: zero residuals, q_hat still from the global ladder
+    val rows2 = rows ++ ids.map(id => ("g2", id + 10000L, 7L))
+    // note: g2's ids shift buckets, but constant y makes all residuals 0
+    val out2 = FeatureEng.splitConformal(rows2.toDF("g", "id", "y"),
+        "id", "g", "y", alpha = 0.1, trainPct = 60, calPct = 20)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out2("g2").getDouble(3) == 1.0) // constant group fully covered
+  }
+
   test("unigramLmScores: differential vs in-memory EM E-step reference") {
     val rnd = new scala.util.Random(11)
     val vocabLetters = "abcde"
