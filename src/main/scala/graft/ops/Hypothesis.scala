@@ -672,6 +672,38 @@ object Hypothesis {
     }.tail.toIndexedSeq
   }
 
+  /** Leave-one-group-out (jackknife) influence of each group on the
+    * corpus mean of an INTEGER metric — the "which source moves the
+    * number" attribution run before re-weighting a mix (Quenouille/
+    * Tukey delete-group jackknife): for each group g,
+    * loo_mean(g) = (S − S_g)/(N − n_g) and influence(g) =
+    * loo_mean(g) − mean. Groups covering the whole corpus (N = n_g)
+    * emit NULL loo/influence.
+    *
+    * Exactness: one map-side-combined aggregation produces exact
+    * BIGINT (S_g, n_g); the global (S, N) is their bounded rollup
+    * broadcast back; every emitted stat is a single double division or
+    * difference — engine-identical at any scale. Returns per group:
+    * (group, n, group_mean, loo_mean, influence), 6 dp. */
+  def jackknifeGroupInfluence(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("long")
+    val per = df.where(x.isNotNull)
+      .groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("n"), sum(x).as("s"))
+    val tot = per.agg(sum(col("n")).as("nn"), sum(col("s")).as("ss"))
+    per.crossJoin(broadcast(tot))
+      .select(col("g").as(groupCol), col("n"),
+        round(col("s").cast("double") / col("n"), 6).as("group_mean"),
+        when(col("nn") > col("n"),
+          round((col("ss") - col("s")).cast("double")
+            / (col("nn") - col("n")), 6)).as("loo_mean"),
+        when(col("nn") > col("n"),
+          round((col("ss") - col("s")).cast("double")
+            / (col("nn") - col("n"))
+            - col("ss").cast("double") / col("nn"), 6)).as("influence"))
+  }
+
   /** Cohen's κ inter-rater agreement between two categorical raters
     * (Cohen 1960) — the standard "do my two quality classifiers agree
     * beyond chance" check run before trusting ensemble labels on a

@@ -1754,6 +1754,39 @@ object QualityQueries {
       FROM raw"""
     })
 
+  /** Jackknife source influence
+    * ([[graft.ops.Hypothesis.jackknifeGroupInfluence]]): delete-one-
+    * source effect on the corpus mean tokens/doc — the attribution a
+    * mix re-weighting starts from. Exact integer sums, three double
+    * divisions, fully replayed. */
+  val qJackknife = Q(
+    "q305_jackknife_influence",
+    (s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("source"),
+          size(graft.ops.TextAnalysis.words(col("text"))).as("x"))
+      Hypothesis.jackknifeGroupInfluence(d, "source", "x")
+        .orderBy("source")
+    },
+    Some {
+      val words =
+        """list_filter(string_split_regex(lower(text), '\s+'),
+           x -> length(x) > 0)"""
+      s"""WITH d AS (SELECT source AS g, len($words) AS x
+            FROM documents WHERE text IS NOT NULL),
+        per AS (SELECT g, count(*) AS n, CAST(sum(x) AS BIGINT) AS s
+          FROM d GROUP BY 1),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+            CAST(sum(s) AS BIGINT) AS ss FROM per)
+        SELECT g AS source, n,
+          round(CAST(s AS DOUBLE) / n, 6) AS group_mean,
+          CASE WHEN nn > n THEN round(CAST(ss - s AS DOUBLE) / (nn - n), 6)
+            END AS loo_mean,
+          CASE WHEN nn > n THEN round(CAST(ss - s AS DOUBLE) / (nn - n)
+            - CAST(ss AS DOUBLE) / nn, 6) END AS influence
+        FROM per CROSS JOIN tot ORDER BY source"""
+    })
+
   /** Split-conformal prediction calibration
     * ([[graft.ops.FeatureEng.splitConformal]], Lei et al. JASA 2018):
     * hash-split train/cal/test, per-source mean model, conformal
@@ -1854,7 +1887,7 @@ object QualityQueries {
     })
 
   val all: Seq[Q] = Seq(qPhikStages, qBootstrapCI, qCohenKappa,
-    qSplitConformal,
+    qSplitConformal, qJackknife,
     qRidge, qCuped, qOlsTrend, qEffectSizes, qSequentialPsi,
     qJoinSize, qBenford, qLogisticGd, qLevene, qDecisionStump,
     qMahalanobis,

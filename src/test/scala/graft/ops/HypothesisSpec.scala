@@ -291,6 +291,26 @@ class HypothesisSpec extends SparkSpec {
       math.abs(r.getAs[Double]("b1")) < 10.0)
   }
 
+  test("jackknifeGroupInfluence: hand-computed deletions, single-group NULL") {
+    import spark.implicits._
+    // a: 4 rows sum 40; b: 2 rows sum 4; c: 2 rows sum 16. N=8, S=60.
+    val df = (Seq.fill(4)(("a", 10L)) ++ Seq(("b", 1L), ("b", 3L)) ++
+      Seq(("c", 7L), ("c", 9L))).toDF("g", "x")
+    val out = Hypothesis.jackknifeGroupInfluence(df, "g", "x")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("a") == ((4L, 10.0, 5.0, -2.5)))    // (60-40)/4 vs 7.5
+    assert(out("b") == ((2L, 2.0, r6(56.0 / 6), r6(56.0 / 6 - 7.5))))
+    assert(out("c") == ((2L, 8.0, r6(44.0 / 6), r6(44.0 / 6 - 7.5))))
+    // a single group covering the corpus: loo/influence NULL
+    val one = Hypothesis.jackknifeGroupInfluence(
+      Seq(("z", 5L), ("z", 7L)).toDF("g", "x"), "g", "x").head()
+    assert(one.getLong(1) == 2L && one.isNullAt(3) && one.isNullAt(4))
+  }
+
   test("cohenKappa: textbook 2x2 table, degenerate single label, null exclusion") {
     import spark.implicits._
     // confusion [[20,5],[10,15]]: po = 0.7, pe = 0.5, kappa = 0.4
