@@ -934,6 +934,57 @@ object RelationalQueries {
     * reuse). All dims broadcast except orders/customer (they scale
     * with the fact); the ratio divides the exact decimal sums only
     * after both are fixed, in double on both engines. */
+  /** TPC-H Q2-shaped minimum-cost-supplier: the correlated scalar MIN
+    * subquery in WHERE against a derived supplier-part cost table
+    * (this corpus has no partsupp; exact cent-quantized min unit cost
+    * per (part, supplier) from lineitem stands in). Catalyst
+    * decorrelates the `= (SELECT min ...)` into an aggregate + join —
+    * the classic pick-the-argmin-per-part shape — followed by the
+    * supplier→nation→region dimension chain and Q2's
+    * ORDER BY acctbal DESC ... LIMIT. Costs stay integer cents end to
+    * end, so the argmin set is exact on both engines. */
+  val qTpchQ2 = Q(
+    "q306_tpch_q2",
+    (s, dir) => {
+      val tag = java.util.UUID.randomUUID.toString.replace("-", "")
+        .take(8)
+      Seq("lineitem", "part", "supplier", "nation", "region").foreach(t =>
+        table(s, dir, t).createOrReplaceTempView(s"${t}_q2$tag"))
+      s.sql(s"""WITH ps AS (SELECT l_partkey AS ps_partkey,
+            l_suppkey AS ps_suppkey,
+            min(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS ps_cost
+          FROM lineitem_q2$tag GROUP BY 1, 2)
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+          ps_cost
+        FROM ps
+        JOIN part_q2$tag ON p_partkey = ps_partkey
+        JOIN supplier_q2$tag ON s_suppkey = ps_suppkey
+        JOIN nation_q2$tag ON n_nationkey = s_nationkey
+        JOIN region_q2$tag ON r_regionkey = n_regionkey
+        WHERE r_name = 'ASIA' AND p_size > 25
+          AND ps_cost = (SELECT min(ps2.ps_cost) FROM ps ps2
+                         WHERE ps2.ps_partkey = p_partkey)
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100""")
+    },
+    Some("""WITH ps AS (SELECT l_partkey AS ps_partkey,
+          l_suppkey AS ps_suppkey,
+          min(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS ps_cost
+        FROM lineitem GROUP BY 1, 2)
+      SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_cost
+      FROM ps
+      JOIN part ON p_partkey = ps_partkey
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+      WHERE r_name = 'ASIA' AND p_size > 25
+        AND ps_cost = (SELECT min(ps2.ps_cost) FROM ps ps2
+                       WHERE ps2.ps_partkey = p_partkey)
+      ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      LIMIT 100"""))
+
   val qTpchQ8 = Q(
     "q289_tpch_q8",
     (s, dir) => {
@@ -1001,5 +1052,5 @@ object RelationalQueries {
     qZOrderLayout, qCorrelatedExists, qAntiJoinQ22, qCubeEvents,
     qSkipEffect, qTpchQ1, qTpchQ6, qTpchQ14, qGroupingSets,
     qHilbertLayout, qBlameSupplier, qSmallQtyRevenue,
-    qOrderCountHist, qTopSupplier, qTpchQ8)
+    qOrderCountHist, qTopSupplier, qTpchQ8, qTpchQ2)
 }
