@@ -1390,6 +1390,49 @@ object Dedup {
           / greatest(col("total_tokens"), lit(1L)), 6).as("eff_ratio"))
   }
 
+  /** Winnowing-based decontamination: per (corpus doc, benchmark doc)
+    * pair, the fraction of the BENCHMARK doc's fingerprints found in
+    * the corpus doc — the asymmetric containment evidence an exact
+    * anti-join (q52) and an n-gram rate (q129) cannot localize:
+    * coverage 1.0 means every selected span of the benchmark document
+    * appears verbatim, 0.2 means one shared phrase. The corpus-side
+    * frequency guard (df ≤ `maxDf` corpus docs) drops boilerplate
+    * hashes BEFORE the cross-side join, and coverage is counted over
+    * distinct hashes so in-document repetition cannot inflate it.
+    * Returns (corpus_id, bench_id, n_shared, bench_fp, coverage 6dp)
+    * for pairs with coverage ≥ `minCoverage`.
+    *
+    * Scale design: both fingerprint tables are map-only
+    * ([[graft.functions.WinnowExpr]]); the join is hash-equi on the
+    * fingerprint with per-hash fanout ≤ maxDf · bench-df; benchmarks
+    * are bounded corpora so the bench side broadcasts in practice. */
+  def winnowContamination(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, k: Int, w: Int,
+      minCoverage: Double, maxDf: Int = 64): DataFrame = {
+    require(minCoverage >= 0.0 && minCoverage <= 1.0,
+      s"minCoverage must be in [0,1]: $minCoverage")
+    require(maxDf >= 1, s"maxDf must be >= 1: $maxDf")
+    val cfp = winnowFingerprints(corpus, idCol, textCol, k, w)
+      .select("id", "h").distinct()
+    val bfp = winnowFingerprints(bench, idCol, textCol, k, w)
+      .select("id", "h").distinct()
+    val ok = cfp.groupBy("h").agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= maxDf).select("h")
+    val bsz = bfp.groupBy("id").agg(count(lit(1)).as("bench_fp"))
+    cfp.join(ok, Seq("h"))
+      .select(col("h"), col("id").as("corpus_id"))
+      .join(bfp.select(col("h"), col("id").as("bench_id")), Seq("h"))
+      .groupBy("corpus_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .join(bsz.select(col("id").as("bench_id"), col("bench_fp")),
+        Seq("bench_id"))
+      .select(col("corpus_id"), col("bench_id"), col("n_shared"),
+        col("bench_fp"),
+        round(col("n_shared").cast("double") / col("bench_fp"), 6)
+          .as("coverage"))
+      .where(col("coverage") >= minCoverage)
+  }
+
   /** Diagonal alignment of winnowed matches — the MOSS-style
     * refinement over [[winnowSharedSpans]]: two fingerprints of a pair
     * that belong to ONE contiguous copied span sit on the same

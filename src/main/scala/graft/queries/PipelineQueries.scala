@@ -4610,22 +4610,31 @@ object PipelineQueries {
     * hash, rightmost on ties), full windows only. Ends with `fp`:
     * DISTINCT (id, h, fpos). */
   private def dkWinnowCtes(k: Int, w: Int): String =
-    s"""ww AS (SELECT doc_id AS id, $dkWords AS ws FROM documents),
-      wg AS (SELECT id, unnest([{'pos': i - 1,
+    dkWinnowCtesFor(k, w, "", "TRUE")
+
+  /** Prefix/predicate-parameterized variant: `p` prefixes every CTE
+    * name (so two slices can be winnowed in one oracle) and `where`
+    * restricts the documents slice. The final CTE is `${p}fp`:
+    * DISTINCT (id, h, fpos). */
+  private def dkWinnowCtesFor(k: Int, w: Int, p: String,
+      where: String): String =
+    s"""${p}ww AS (SELECT doc_id AS id, $dkWords AS ws FROM documents
+             WHERE $where),
+      ${p}wg AS (SELECT id, unnest([{'pos': i - 1,
                'g': array_to_string(ws[i:i+${k - 1}], ' ')}
                for i in range(1, len(ws) - ${k - 2})]) AS u
-             FROM ww WHERE len(ws) >= $k),
-      wk AS (SELECT id, u.pos AS pos,
+             FROM ${p}ww WHERE len(ws) >= $k),
+      ${p}wk AS (SELECT id, u.pos AS pos,
                ('0x'||substr(md5(u.g),1,7))::BIGINT * 4294967296
                  + (4294967295 - u.pos) AS key
-             FROM wg),
-      wsel AS (SELECT id, pos,
+             FROM ${p}wg),
+      ${p}wsel AS (SELECT id, pos,
                min(key) OVER (PARTITION BY id ORDER BY pos
                  ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS fp
-              FROM wk),
-      fp AS (SELECT DISTINCT id, fp >> 32 AS h,
+              FROM ${p}wk),
+      ${p}fp AS (SELECT DISTINCT id, fp >> 32 AS h,
                4294967295 - (fp & 4294967295) AS fpos
-             FROM wsel WHERE pos >= ${w - 1})"""
+             FROM ${p}wsel WHERE pos >= ${w - 1})"""
 
   /** Winnowing fingerprint census ([[graft.ops.Dedup.winnowFingerprints]],
     * Schleimer et al. SIGMOD 2003): per-document count/sum/min of the
@@ -4916,6 +4925,40 @@ object PipelineQueries {
       FROM pairs p JOIN best b ON b.i = p.i AND b.j = p.j AND b.rn = 1
       ORDER BY p.i, p.j"""))
 
+  /** Winnowing decontamination
+    * ([[graft.ops.Dedup.winnowContamination]]): fraction of each
+    * src0 "benchmark" document's fingerprints found verbatim in the
+    * rest of the corpus — localized containment evidence next to
+    * q52/q99/q129's membership answers. Oracle winnows both slices
+    * through the shared CTE chain and replays the guard, the
+    * cross-side join, and the coverage division. */
+  val qWinnowContamination = Q(
+    "q307_winnow_contamination",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      Dedup.winnowContamination(
+          docs.where(col("source") =!= "src0"),
+          docs.where(col("source") === "src0"),
+          "doc_id", "text", k = 4, w = 4,
+          minCoverage = 0.2, maxDf = 16)
+        .orderBy("corpus_id", "bench_id")
+    },
+    Some(s"""WITH ${dkWinnowCtesFor(4, 4, "c", "source != 'src0'")},
+      ${dkWinnowCtesFor(4, 4, "b", "source = 'src0'")},
+      cd AS (SELECT DISTINCT id, h FROM cfp),
+      bd AS (SELECT DISTINCT id, h FROM bfp),
+      ok AS (SELECT h FROM cd GROUP BY h HAVING count(*) <= 16),
+      bsz AS (SELECT id, count(*) AS bench_fp FROM bd GROUP BY 1),
+      m AS (SELECT c.id AS corpus_id, b.id AS bench_id,
+              count(*) AS n_shared
+            FROM cd c JOIN ok USING (h) JOIN bd b ON b.h = c.h
+            GROUP BY 1, 2)
+      SELECT m.corpus_id, m.bench_id, m.n_shared, bsz.bench_fp,
+        round(CAST(m.n_shared AS DOUBLE) / bsz.bench_fp, 6) AS coverage
+      FROM m JOIN bsz ON bsz.id = m.bench_id
+      WHERE round(CAST(m.n_shared AS DOUBLE) / bsz.bench_fp, 6) >= 0.2
+      ORDER BY corpus_id, bench_id"""))
+
   /** Encoding-damage audit ([[graft.ops.TextAnalysis.encodingAudit]]):
     * per-source U+FFFD / stray-control / Latin-1-mojibake / non-ASCII
     * character census. This corpus is clean — the gate certifies the
@@ -4958,6 +5001,7 @@ object PipelineQueries {
     qCurationFunnel, qStreamingBudget, qKneserNey, qMmrSelect,
     qBpeFertility, qKCoreBackbone, qDistinctNgrams, qBm25Rerank,
     qChainDrift, qWinnowFp, qWinnowSpans, qWinnowAligned, qEncodingAudit,
+    qWinnowContamination,
     qNeyman, qEffectiveTokens, qUnigramLm, qUnigramFertility,
     qSimhashCombos, qPqAdcRecall, qIvfPqRecall, qRboRankings,
     qEpochShuffle, qBudgetTrim,

@@ -87,6 +87,35 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.exists { case (i, j) => i >= 3L && j >= 3L })
   }
 
+  test("winnowContamination: full benchmark copy = coverage 1.0; repetition can't inflate") {
+    val (k, w) = (4, 4)
+    val benchText = (1 to 20).map(n => s"bench$n").mkString(" ")
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val corpus = Seq(
+      // doc 0 contains the WHOLE benchmark verbatim -> every benchmark
+      // fingerprint selected in doc 0's copy region... but selections
+      // depend on surrounding context, so assert coverage high, not 1.0
+      (0L, s"aa bb cc $benchText dd ee"),
+      // doc 1 contains it TWICE: distinct-hash counting caps coverage at 1
+      (1L, s"$benchText xx yy $benchText"),
+      (2L, "totally unrelated content with different words entirely")
+    ).toDF("doc_id", "text")
+    val out = Dedup.winnowContamination(corpus, bench, "doc_id", "text",
+        k, w, minCoverage = 0.0, maxDf = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out.contains(0L) && out(0L)._3 >= 0.5)
+    // the doubled copy may select more context-boundary fingerprints but
+    // coverage counts DISTINCT shared hashes over the benchmark's own set
+    assert(out(1L)._3 <= 1.0 && out(1L)._1 <= out(1L)._2)
+    assert(!out.contains(2L))
+    // a pure-copy benchmark == corpus doc text gives exactly 1.0
+    val exact = Dedup.winnowContamination(
+      Seq((5L, benchText)).toDF("doc_id", "text"), bench,
+      "doc_id", "text", k, w, minCoverage = 0.0, maxDf = 8).head()
+    assert(exact.getDouble(4) == 1.0)
+  }
+
   test("winnowAlignedSpans: one copied run = one diagonal; swapped runs = two") {
     val (k, w) = (4, 4)
     val run = (1 to 16).map(n => s"run$n").mkString(" ") // 16-token copy
