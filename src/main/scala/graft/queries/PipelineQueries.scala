@@ -4959,6 +4959,58 @@ object PipelineQueries {
       WHERE round(CAST(m.n_shared AS DOUBLE) / bsz.bench_fp, 6) >= 0.2
       ORDER BY corpus_id, bench_id"""))
 
+  /** STREAMING ingest-time decontamination
+    * ([[graft.streaming.StreamingContamination.flagContaminated]]):
+    * the stateless member of the winnowing family — per-row in-row
+    * fingerprinting intersected with the frozen src0 benchmark
+    * fingerprint set; zero state store, so the screen holds on an
+    * unbounded ingest. Real two-batch MemoryStream Append drive; the
+    * oracle winnows both slices in batch and replays the distinct-hash
+    * intersection count. */
+  val qStreamingContamination = Q(
+    "q308_streaming_contamination",
+    (s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.OutputMode
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val docs = table(s, dir, "documents")
+      val benchHashes = Dedup.winnowFingerprints(
+          docs.where(col("source") === "src0"), "doc_id", "text", 4, 4)
+        .select("h").distinct().collect().map(_.getLong(0))
+      val corpus = docs.where(col("source") =!= "src0")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect().sortBy(_._1)
+      val mid = corpus(corpus.length / 2)._1
+      val mem = MemoryStream[(Long, String)]
+      val src = mem.toDF.toDF("doc_id", "text")
+      val flagged = graft.streaming.StreamingContamination
+        .flagContaminated(src, "doc_id", "text", benchHashes, 4, 4,
+          minShared = 2)
+      val sink = "graft_scontam_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-scontam-gate").toString
+      val query = flagged.writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        mem.addData(corpus.filter(_._1 < mid).toIndexedSeq)
+        query.processAllAvailable()
+        mem.addData(corpus.filter(_._1 >= mid).toIndexedSeq)
+        query.processAllAvailable()
+      } finally query.stop()
+      StreamGate.finish(s, sink, ckpt, s.table(sink))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH ${dkWinnowCtesFor(4, 4, "c", "source != 'src0'")},
+      ${dkWinnowCtesFor(4, 4, "b", "source = 'src0'")},
+      bh AS (SELECT DISTINCT h FROM bfp),
+      cd AS (SELECT DISTINCT id, h FROM cfp)
+      SELECT cd.id AS doc_id, count(*) AS n_shared
+      FROM cd JOIN bh USING (h)
+      GROUP BY 1 HAVING count(*) >= 2 ORDER BY doc_id"""))
+
   /** Encoding-damage audit ([[graft.ops.TextAnalysis.encodingAudit]]):
     * per-source U+FFFD / stray-control / Latin-1-mojibake / non-ASCII
     * character census. This corpus is clean — the gate certifies the
@@ -5001,7 +5053,7 @@ object PipelineQueries {
     qCurationFunnel, qStreamingBudget, qKneserNey, qMmrSelect,
     qBpeFertility, qKCoreBackbone, qDistinctNgrams, qBm25Rerank,
     qChainDrift, qWinnowFp, qWinnowSpans, qWinnowAligned, qEncodingAudit,
-    qWinnowContamination,
+    qWinnowContamination, qStreamingContamination,
     qNeyman, qEffectiveTokens, qUnigramLm, qUnigramFertility,
     qSimhashCombos, qPqAdcRecall, qIvfPqRecall, qRboRankings,
     qEpochShuffle, qBudgetTrim,
