@@ -185,6 +185,38 @@ object Outliers {
 
   /** Render a double as a SQL literal that parses back bit-identically
     * (CAST from the shortest round-trip repr). */
+  /** Hill estimator of the right-tail index (Hill 1975 — the standard
+    * heavy-tail diagnostic; α̂ < 2 means infinite variance, α̂ < 1
+    * infinite mean, the regimes where mean-based monitoring silently
+    * lies): over the k largest positive values x_(1) ≥ … ≥ x_(k) with
+    * threshold x_(k+1),
+    *
+    *   1/α̂ = (1/k) Σ_{i≤k} ln(x_(i) / x_(k+1))
+    *
+    * The top-(k+1) values arrive via TakeOrdered (per-partition top-k,
+    * no global sort); ties at the threshold are fine (the estimator
+    * depends only on the multiset of top values). Values ≤ 0 are
+    * excluded (the tail index is defined for a positive right tail).
+    * Returns one row (n, k, x_k1, hill_inv, alpha), 6 dp. */
+  def hillTailIndex(df: DataFrame, vCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    val x = col(vCol).cast("double")
+    val pos = df.where(x.isNotNull && x > 0.0).select(x.as("x"))
+    val top = pos.orderBy(col("x").desc).limit(k + 1)
+    val thr = top.orderBy(col("x").asc).limit(1)
+      .select(col("x").as("xk1"))
+    val n = pos.agg(count(lit(1)).as("n"))
+    top.crossJoin(broadcast(thr)).where(col("x") > col("xk1"))
+      .agg(count(lit(1)).as("k_eff"),
+        sum(log(col("x") / col("xk1"))).as("s"),
+        first(col("xk1")).as("x_k1"))
+      .crossJoin(broadcast(n))
+      .select(col("n"), col("k_eff"),
+        round(col("x_k1"), 6).as("x_k1"),
+        round(col("s") / col("k_eff"), 6).as("hill_inv"),
+        round(col("k_eff") / col("s"), 6).as("alpha"))
+  }
+
   private def d(x: Double): String = s"CAST('$x' AS DOUBLE)"
 
   /** Top-k multivariate (2-feature) Mahalanobis outliers — the

@@ -171,4 +171,51 @@ object Skew {
           round(lit(2.0) * col("s1") / (col("n") * col("sx")) -
             (col("n") + lit(1.0)) / col("n"), 6)).as("gini"))
   }
+
+  /** Theil T inequality index with its exact between/within-group
+    * decomposition (Theil 1967 — the property Gini lacks:
+    * T = T_between + Σ_g s_g·T_g ADDITIVELY, so "how much of the
+    * token-mass inequality is across sources vs inside them" is a
+    * well-posed number). Over positive integer masses x with global
+    * mean μ and group means μ_g:
+    *
+    *   T_g       = (1/n_g) Σ_{i∈g} (x_i/μ_g) ln(x_i/μ_g)
+    *   share s_g = n_g μ_g / (N μ)  (the group's mass share, exact)
+    *   between_g = s_g ln(μ_g/μ)
+    *
+    * All counts and mass sums are exact BIGINTs; the only float sums
+    * ride per-DISTINCT-VALUE counts (the entropy-family discipline —
+    * bounded terms, 6 dp absorbs last-ulp association differences).
+    * Returns one row per group:
+    * (group, n, mean, theil_within, share, within_term, between_term)
+    * — Σ(within_term) + Σ(between_term) is the corpus Theil T. */
+  def theilDecomposition(df: DataFrame, groupCol: String,
+      vCol: String): DataFrame = {
+    val x = col(vCol).cast("long")
+    val base = df.where(x.isNotNull && x > 0)
+      .select(col(groupCol).as("g"), x.as("x"))
+    val vc = base.groupBy("g", "x").agg(count(lit(1)).as("c"))
+    val gs = vc.groupBy("g").agg(sum(col("c")).as("n"),
+      sum(col("c") * col("x")).as("sx"))
+    val tot = gs.agg(sum(col("n")).as("nn"), sum(col("sx")).as("ssx"))
+    val withMu = vc.join(gs, Seq("g"))
+      .select(col("g"), col("c"), col("x"),
+        (col("sx").cast("double") / col("n")).as("mu_g"))
+    val tg = withMu
+      .select(col("g"),
+        (col("c") * (col("x") / col("mu_g"))
+          * log(col("x") / col("mu_g"))).as("term"))
+      .groupBy("g").agg(sum(col("term")).as("tsum"))
+    gs.join(tg, Seq("g")).crossJoin(broadcast(tot))
+      .select(col("g").as(groupCol), col("n"),
+        round(col("sx").cast("double") / col("n"), 6).as("mean"),
+        round(col("tsum") / col("n"), 6).as("theil_within"),
+        round(col("sx").cast("double") / col("ssx"), 6).as("share"),
+        round((col("sx").cast("double") / col("ssx"))
+          * (col("tsum") / col("n")), 6).as("within_term"),
+        round((col("sx").cast("double") / col("ssx"))
+          * log((col("sx").cast("double") / col("n"))
+            / (col("ssx").cast("double") / col("nn"))), 6)
+          .as("between_term"))
+  }
 }

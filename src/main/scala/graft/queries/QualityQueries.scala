@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Association, Drift, FeatureEng, Hypothesis, JoinHealth, Outliers, Validate}
+import graft.ops.{Association, Drift, FeatureEng, Hypothesis, JoinHealth, Outliers, Skew, Validate}
 import graft.queries.QueryCatalog.table
 
 /** Data-quality / monitoring operators: Tukey outlier screening,
@@ -1754,6 +1754,70 @@ object QualityQueries {
       FROM raw"""
     })
 
+  /** Hill right-tail index ([[graft.ops.Outliers.hillTailIndex]],
+    * Hill 1975): heavy-tail diagnostic over extended prices — the
+    * "does the mean even exist" check mean-based monitors need. Top
+    * order statistics via TakeOrdered; strict-tail count deterministic
+    * under threshold ties; oracle replays the whole ladder. */
+  val qHillTail = Q(
+    "q309_hill_tail",
+    (s, dir) => Outliers.hillTailIndex(
+      table(s, dir, "lineitem"), "l_extendedprice", k = 64),
+    Some("""WITH pos AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x
+          FROM lineitem
+          WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0),
+      top AS (SELECT x FROM pos ORDER BY x DESC LIMIT 65),
+      thr AS (SELECT min(x) AS xk1 FROM top),
+      nn AS (SELECT count(*) AS n FROM pos),
+      agg AS (SELECT count(*) AS k_eff, sum(ln(x / xk1)) AS s,
+          min(xk1) AS x_k1
+        FROM top CROSS JOIN thr WHERE x > xk1)
+      SELECT nn.n, agg.k_eff, round(agg.x_k1, 6) AS x_k1,
+        round(agg.s / agg.k_eff, 6) AS hill_inv,
+        round(agg.k_eff / agg.s, 6) AS alpha
+      FROM agg CROSS JOIN nn"""))
+
+  /** Theil T inequality decomposition
+    * ([[graft.ops.Skew.theilDecomposition]]): per-source within/between
+    * split of token-mass inequality — the additive property Gini (q97)
+    * lacks. Float terms ride per-distinct-value counts; everything
+    * else is exact sums. */
+  val qTheil = Q(
+    "q310_theil_decomposition",
+    (s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("source"),
+          size(graft.ops.TextAnalysis.words(col("text"))).as("x"))
+      Skew.theilDecomposition(d, "source", "x").orderBy("source")
+    },
+    Some {
+      val words =
+        """list_filter(string_split_regex(lower(text), '\s+'),
+           x -> length(x) > 0)"""
+      s"""WITH base AS (SELECT source AS g, len($words) AS x
+            FROM documents WHERE text IS NOT NULL AND len($words) > 0),
+        vc AS (SELECT g, x, count(*) AS c FROM base GROUP BY 1, 2),
+        gs AS (SELECT g, CAST(sum(c) AS BIGINT) AS n,
+            CAST(sum(c * x) AS BIGINT) AS sx FROM vc GROUP BY 1),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+            CAST(sum(sx) AS BIGINT) AS ssx FROM gs),
+        tg AS (SELECT vc.g,
+            sum(vc.c * (vc.x / (CAST(gs.sx AS DOUBLE) / gs.n))
+              * ln(vc.x / (CAST(gs.sx AS DOUBLE) / gs.n))) AS tsum
+          FROM vc JOIN gs ON gs.g = vc.g GROUP BY 1)
+        SELECT gs.g AS source, gs.n,
+          round(CAST(gs.sx AS DOUBLE) / gs.n, 6) AS mean,
+          round(tg.tsum / gs.n, 6) AS theil_within,
+          round(CAST(gs.sx AS DOUBLE) / tot.ssx, 6) AS share,
+          round((CAST(gs.sx AS DOUBLE) / tot.ssx) * (tg.tsum / gs.n), 6)
+            AS within_term,
+          round((CAST(gs.sx AS DOUBLE) / tot.ssx)
+            * ln((CAST(gs.sx AS DOUBLE) / gs.n)
+              / (CAST(tot.ssx AS DOUBLE) / tot.nn)), 6) AS between_term
+        FROM gs JOIN tg ON tg.g = gs.g CROSS JOIN tot
+        ORDER BY source"""
+    })
+
   /** Jackknife source influence
     * ([[graft.ops.Hypothesis.jackknifeGroupInfluence]]): delete-one-
     * source effect on the corpus mean tokens/doc — the attribution a
@@ -1887,7 +1951,7 @@ object QualityQueries {
     })
 
   val all: Seq[Q] = Seq(qPhikStages, qBootstrapCI, qCohenKappa,
-    qSplitConformal, qJackknife,
+    qSplitConformal, qJackknife, qHillTail, qTheil,
     qRidge, qCuped, qOlsTrend, qEffectSizes, qSequentialPsi,
     qJoinSize, qBenford, qLogisticGd, qLevene, qDecisionStump,
     qMahalanobis,

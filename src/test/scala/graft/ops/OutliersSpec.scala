@@ -5,6 +5,27 @@ import graft.SparkSpec
 class OutliersSpec extends SparkSpec {
   import spark.implicits._
 
+  test("hillTailIndex: hand-computed ladder, Pareto recovery, tie threshold") {
+    // top-3 of {16,8,4,2,1} with k=2: threshold 4, 1/a = (ln4 + ln2)/2
+    val tiny = Seq(16.0, 8.0, 4.0, 2.0, 1.0, -3.0, 0.0).toDF("v")
+    val r = Outliers.hillTailIndex(tiny, "v", k = 2).head()
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getLong(0) == 5L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 4.0)
+    assert(r.getDouble(3) == r6((math.log(4.0) + math.log(2.0)) / 2))
+    assert(r.getDouble(4) == r6(2 / (math.log(4.0) + math.log(2.0))))
+    // Pareto(alpha=2) quantile grid: x = u^(-1/2) -> hill alpha ~ 2
+    val pareto = (1 to 2000).map(i => math.pow(i / 2001.0, -0.5)).toDF("v")
+    val p = Outliers.hillTailIndex(pareto, "v", k = 100).head()
+    assert(math.abs(p.getDouble(4) - 2.0) < 0.35)
+    // all-equal top: ties collapse the strict-tail to zero rows
+    val flat = Seq.fill(10)(5.0).toDF("v")
+    val f = Outliers.hillTailIndex(flat, "v", k = 3).head()
+    assert(f.getLong(1) == 0L && f.isNullAt(4))
+  }
+  import spark.implicits._
+
   test("tukey fences: planted outliers counted, clean column zero") {
     // clean: uniform 1..100 (q1=25.75, q3=75.25, iqr=49.5 -> fences far
     // outside the data); dirty: same but with planted extremes

@@ -4,6 +4,36 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
 class SkewSpec extends SparkSpec {
+
+  test("theilDecomposition: hand-computed groups, additive identity, equal group zero") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(("a", 2L), ("a", 2L), ("a", 4L), ("b", 1L), ("b", 1L))
+      .toDF("g", "x")
+    val out = Skew.theilDecomposition(df, "g", "x")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val muA = 8.0 / 3
+    val tA = (2 * (2 / muA) * math.log(2 / muA) +
+      (4 / muA) * math.log(4 / muA)) / 3
+    assert(out("a")._1 == 3L && out("a")._2 == r6(muA))
+    assert(out("a")._3 == r6(tA))
+    assert(out("a")._4 == 0.8) // mass share 8/10
+    assert(out("a")._5 == r6(0.8 * tA))
+    assert(out("a")._6 == r6(0.8 * math.log(muA / 2.0)))
+    // all-equal group: within-Theil exactly zero
+    assert(out("b")._3 == 0.0 && out("b")._5 == 0.0)
+    assert(out("b")._6 == r6(0.2 * math.log(1.0 / 2.0)))
+    // additive identity: sum(within) + sum(between) == direct corpus T
+    val mu = 2.0
+    val direct = Seq(2.0, 2.0, 4.0, 1.0, 1.0)
+      .map(x => (x / mu) * math.log(x / mu)).sum / 5
+    val total = out.values.map(v => v._5 + v._6).sum
+    assert(math.abs(total - direct) < 3e-6)
+  }
   import spark.implicits._
 
   // one hot key (0) carrying half the rows, plus a uniform tail
