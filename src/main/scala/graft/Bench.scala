@@ -96,6 +96,7 @@ object Bench {
     graft.ops.Dedup.clearShingleCache()
     graft.ops.IvfIndex.clearIndexCache()
     graft.queries.TemporalQueries.clearIntervalDriveCache()
+    graft.ops.EvalCache.clear()
     val pass2 = ordered.map { case (n, f) => n -> timeOnce(n, f) }.toMap
 
     // Streaming subsystem micro-bench: MemoryStream-driven (deterministic
@@ -387,9 +388,15 @@ object Bench {
     val stressFailed = scala.collection.mutable.LinkedHashSet[String]()
     val stressSection: Option[(String, Seq[String])] = stressDirOpt.map { sdir =>
       def passOver(d: String): Map[String, Double] = {
+        // EvalCache included: without it the base pass rides PQ
+        // codebooks / backoff-LM state primed by the MAIN passes over
+        // the same sfDir while the stress pass pays cold builds —
+        // measured as phantom 68x/41x "suspects" on q254/q262 before
+        // this clear landed (round 9 session 4)
         graft.ops.Dedup.clearShingleCache()
         graft.ops.IvfIndex.clearIndexCache()
         graft.queries.TemporalQueries.clearIntervalDriveCache()
+        graft.ops.EvalCache.clear()
         stressNames.map(n =>
           n -> timeOnceAt(n, d, stressFailed, SparkEntry.queries(n))).toMap
       }

@@ -203,8 +203,9 @@ object Outliers {
     val x = col(vCol).cast("double")
     val pos = df.where(x.isNotNull && x > 0.0).select(x.as("x"))
     val top = pos.orderBy(col("x").desc).limit(k + 1)
-    val thr = top.orderBy(col("x").asc).limit(1)
-      .select(col("x").as("xk1"))
+    // min-aggregate (not orderBy+limit 1): a 1-row AGGREGATE build side
+    // is structurally recognized as bounded by the plan sweep
+    val thr = top.agg(min(col("x")).as("xk1"))
     val n = pos.agg(count(lit(1)).as("n"))
     top.crossJoin(broadcast(thr)).where(col("x") > col("xk1"))
       .agg(count(lit(1)).as("k_eff"),
