@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, StructType}
 
 /** Best-segmentation (Viterbi) score over a per-row lattice — the
@@ -112,11 +112,116 @@ case class ViterbiStatsExpr(left: Expression, right: Expression)
   override def prettyName: String = "graft_viterbi_stats"
 }
 
+/** The argmax segmentation itself — the token spans of the
+  * [[ViterbiStatsExpr]] optimum, which is what an EM M-step counts.
+  * Tie-break is TOTAL and replayable: maximize score, then fewest
+  * tokens, then at every backtrace position take the achieving edge
+  * with the SMALLEST start j (given the two DP arrays, each backtrace
+  * choice is an independent argmin, so the same rule replays as
+  * unrolled SQL). Returns array<struct<j int, i int>> of spans in word
+  * order; null when no full segmentation exists. */
+case class ViterbiPathExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ViterbiScoreExpr.PathType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ViterbiScoreExpr(left, right).checkInputDataTypes()
+
+  override def nullSafeEval(edges: Any, len: Any): Any =
+    ViterbiScoreExpr.computePath(
+      edges.asInstanceOf[ArrayData], len.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = "graft.functions.ViterbiScoreExpr"
+    nullSafeCodeGen(ctx, ev, (e, l) => {
+      val r = ctx.freshName("vitPath")
+      s"""org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  $fn.computePath($e, $l);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r; }""".stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ViterbiPathExpr =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_viterbi_path"
+}
+
 object ViterbiScoreExpr {
 
   val StatsType: StructType = StructType(Seq(
     org.apache.spark.sql.types.StructField("s", DoubleType, nullable = false),
     org.apache.spark.sql.types.StructField("n", IntegerType, nullable = false)))
+
+  val PathType: ArrayType = ArrayType(
+    StructType(Seq(
+      org.apache.spark.sql.types.StructField("j", IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("i", IntegerType, nullable = false))),
+    containsNull = false)
+
+  /** Backtrace of the (max score, fewest tokens) optimum with the
+    * min-start-j tie rule at every step. Runs the two-array DP of
+    * [[computeStats]], then walks back from `len`. */
+  def computePath(edges: ArrayData, len: Int): ArrayData = {
+    if (len < 0) return null
+    if (len == 0) return new GenericArrayData(Array.empty[Any])
+    val n = edges.numElements()
+    val best = new Array[Double](len + 1)
+    val ntok = new Array[Int](len + 1)
+    java.util.Arrays.fill(best, Double.NegativeInfinity)
+    java.util.Arrays.fill(ntok, Int.MaxValue)
+    best(0) = 0.0
+    ntok(0) = 0
+    var i = 1
+    while (i <= len) {
+      var e = 0
+      while (e < n) {
+        val row = edges.getStruct(e, 3)
+        if (row.getInt(1) == i) {
+          val j = row.getInt(0)
+          if (j >= 0 && j < i && best(j) != Double.NegativeInfinity) {
+            val cand = best(j) + row.getDouble(2)
+            if (cand > best(i)) { best(i) = cand; ntok(i) = ntok(j) + 1 }
+            else if (cand == best(i) && ntok(j) + 1 < ntok(i))
+              ntok(i) = ntok(j) + 1
+          }
+        }
+        e += 1
+      }
+      i += 1
+    }
+    if (best(len) == Double.NegativeInfinity) return null
+    val spans = new java.util.ArrayList[Any](ntok(len))
+    var pos = len
+    while (pos > 0) {
+      // the achieving edge with the smallest start j
+      var bestJ = -1
+      var e = 0
+      while (e < n) {
+        val row = edges.getStruct(e, 3)
+        if (row.getInt(1) == pos) {
+          val j = row.getInt(0)
+          if (j >= 0 && j < pos && best(j) != Double.NegativeInfinity &&
+            best(j) + row.getDouble(2) == best(pos) &&
+            ntok(j) + 1 == ntok(pos) && (bestJ == -1 || j < bestJ))
+            bestJ = j
+        }
+        e += 1
+      }
+      val row = new GenericInternalRow(2)
+      row.update(0, bestJ)
+      row.update(1, pos)
+      spans.add(row)
+      pos = bestJ
+    }
+    java.util.Collections.reverse(spans)
+    new GenericArrayData(spans.toArray)
+  }
 
   /** Two-array DP: best(i) = max score; ntok(i) = min token count among
     * edges ACHIEVING best(i) (double equality — both engines compute
@@ -200,6 +305,16 @@ object ViterbiScoreExpr {
   def stats(edges: Column, len: Column): Column = {
     import org.apache.spark.sql.graft.ColumnBridge
     ColumnBridge.column(ViterbiStatsExpr(
+      ColumnBridge.expression(edges),
+      ColumnBridge.expression(len.cast("int"))))
+  }
+
+  /** Column API: array<struct<j, i>> — the argmax segmentation's token
+    * spans under the (score, fewest-tokens, min-j) total tie rule;
+    * null if unreachable. */
+  def path(edges: Column, len: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(ViterbiPathExpr(
       ColumnBridge.expression(edges),
       ColumnBridge.expression(len.cast("int"))))
   }

@@ -1003,18 +1003,27 @@ object TextAnalysis {
     * vocabulary on the (freq desc, substring asc) total order, token
     * log-probs, and per-word edge lists. The vocabulary and its probs
     * broadcast into the edge join. */
-  private def unigramLattice(wc: DataFrame, maxSubLen: Int,
-      vocabK: Int): DataFrame = {
-    val subs = wc
-      .select(col("word"), col("cnt"),
+  private def unigramSubs(wc: DataFrame, maxSubLen: Int): DataFrame =
+    wc.select(col("word"), col("cnt"),
         explode(sequence(lit(0), length(col("word")) - 1)).as("j"))
       .select(col("word"), col("cnt"), col("j"),
         explode(sequence(col("j") + 1,
           least(col("j") + maxSubLen, length(col("word"))))).as("i"))
       .select(col("word"), col("cnt"), col("j"), col("i"),
         expr("substring(word, j + 1, i - j)").as("sub"))
-    val vocab = subs.groupBy("sub").agg(sum(col("cnt")).as("f"))
+
+  /** The initial vocabulary: top-`vocabK` substrings by occurrence-
+    * weighted frequency, ties by substring (total order). */
+  private def unigramVocab(wc: DataFrame, maxSubLen: Int,
+      vocabK: Int): DataFrame =
+    unigramSubs(wc, maxSubLen).groupBy("sub")
+      .agg(sum(col("cnt")).as("f"))
       .orderBy(col("f").desc, col("sub").asc).limit(vocabK)
+
+  private def unigramLattice(wc: DataFrame, maxSubLen: Int,
+      vocabK: Int): DataFrame = {
+    val subs = unigramSubs(wc, maxSubLen)
+    val vocab = unigramVocab(wc, maxSubLen, vocabK)
     val tot = vocab.agg(sum(col("f")).as("t"))
     val lp = vocab.crossJoin(broadcast(tot))
       .select(col("sub"),
@@ -1076,6 +1085,56 @@ object TextAnalysis {
         when(col("n_tokens") > 0,
           round(col("seg_chars").cast("double") / col("n_tokens"), 6))
           .as("chars_per_token"))
+  }
+
+  /** Unigram-LM EM M-step (the re-estimation half of Kudo's ACL 2018
+    * trainer, completing [[unigramLmScores]]'s E-step): every word's
+    * argmax segmentation ([[graft.functions.ViterbiPathExpr]], the
+    * total (score, fewest-tokens, min-j) tie rule) is exploded into
+    * its token spans, and tokens are recounted weighted by word
+    * occurrences — the counts the next EM round would renormalize
+    * into probabilities. Tokens of the initial vocabulary that no
+    * argmax path uses come back with `cnt_new` 0 (the prune candidates
+    * of the SentencePiece loop). Unsegmentable words contribute
+    * nothing (out of model, as in [[unigramLmFertility]]).
+    *
+    * Returns one row per initial-vocabulary token:
+    * (token, f0, cnt_new, lp_new) — lp_new = ln(cnt_new / Σ cnt_new),
+    * NULL for unused tokens, 6 dp.
+    *
+    * Scale design: inherits the lattice's broadcast joins; the only
+    * additions are the bounded per-word span explode and one
+    * map-side-combinable token count. */
+  def unigramLmMStep(df: DataFrame, textCol: String,
+      maxSubLen: Int = 4, maxWordLen: Int = 12,
+      vocabK: Int = 256): DataFrame = {
+    require(maxSubLen >= 1 && maxSubLen <= 8,
+      s"maxSubLen must be in [1, 8]: $maxSubLen")
+    require(maxWordLen >= maxSubLen && maxWordLen <= 32,
+      s"maxWordLen must be in [$maxSubLen, 32]: $maxWordLen")
+    require(vocabK >= 1, s"vocabK must be >= 1: $vocabK")
+    val wc = df.where(col(textCol).isNotNull)
+      .select(explode(words(col(textCol))).as("word"))
+      .where(length(col("word")).between(1, maxWordLen))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val lattice = unigramLattice(wc, maxSubLen, vocabK)
+    val spans = wc.join(lattice, Seq("word"))
+      .select(col("word"), col("cnt"),
+        explode(graft.functions.ViterbiScoreExpr.path(
+          col("edges"), length(col("word")))).as("sp"))
+      .select(col("cnt"),
+        expr("substring(word, sp.j + 1, sp.i - sp.j)").as("token"))
+    val counts = spans.groupBy("token")
+      .agg(sum(col("cnt")).as("cnt_new"))
+    val totNew = counts.agg(sum(col("cnt_new")).as("tn"))
+    val vocab0 = unigramVocab(wc, maxSubLen, vocabK)
+    vocab0.join(counts, vocab0("sub") === counts("token"), "left")
+      .crossJoin(broadcast(totNew))
+      .select(col("sub").as("token"), col("f").as("f0"),
+        coalesce(col("cnt_new"), lit(0L)).as("cnt_new"),
+        when(coalesce(col("cnt_new"), lit(0L)) > 0,
+          round(log(col("cnt_new").cast("double") / col("tn")), 6))
+          .as("lp_new"))
   }
 
   /** Per-group encoding-damage audit — the mojibake screen every

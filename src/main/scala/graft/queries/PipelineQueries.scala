@@ -4844,6 +4844,89 @@ object PipelineQueries {
       FROM roll ORDER BY source"""
     })
 
+  /** Unigram-LM EM M-step
+    * ([[graft.ops.TextAnalysis.unigramLmMStep]]): token counts
+    * re-estimated from every word's ARGMAX segmentation — the
+    * re-estimation half of the SentencePiece loop on top of q302/q303.
+    * The oracle replays the full chain: both DP arrays through 12
+    * unrolled materialized CTEs, then the BACKTRACE as 12 more step
+    * CTEs (argmin start-j among achieving edges — the expression's
+    * exact tie rule), span → token explode, and the recount. */
+  val qUnigramMStep = Q(
+    "q311_unigram_mstep",
+    (s, dir) =>
+      TextAnalysis.unigramLmMStep(table(s, dir, "documents"), "text",
+          maxSubLen = 4, maxWordLen = 12, vocabK = 256)
+        .orderBy("token"),
+    Some {
+      val L = 12; val S = 4; val K = 256
+      val vCtes = (1 to L).map { i =>
+        val pu = (math.max(0, i - S) until i)
+          .map(j => s"SELECT word, $j AS j, s, n FROM v$j")
+          .mkString(" UNION ALL ")
+        s"""v$i AS MATERIALIZED (
+            SELECT word, max(cs) AS s,
+              min(CASE WHEN cs = mx THEN cn END) AS n
+            FROM (SELECT e.word, vp.s + e.lp AS cs, vp.n + 1 AS cn,
+                    max(vp.s + e.lp) OVER (PARTITION BY e.word) AS mx
+                  FROM edges e JOIN ($pu) vp
+                    ON vp.word = e.word AND vp.j = e.j
+                  WHERE e.i = $i)
+            GROUP BY word)"""
+      }.mkString(",\n      ")
+      val allvUnion = (0 to L)
+        .map(i => s"SELECT word, $i AS pos, s, n FROM v$i")
+        .mkString(" UNION ALL ")
+      val btCtes = (1 to L).map { k =>
+        s"""e$k AS MATERIALIZED (SELECT t.word, min(e.j) AS j,
+              t.pos AS i
+            FROM t${k - 1} t
+            JOIN edges e ON e.word = t.word AND e.i = t.pos
+            JOIN allv ai ON ai.word = t.word AND ai.pos = t.pos
+            JOIN allv aj ON aj.word = t.word AND aj.pos = e.j
+            WHERE aj.s + e.lp = ai.s AND aj.n + 1 = ai.n
+            GROUP BY 1, 3),
+      t$k AS (SELECT word, j AS pos FROM e$k WHERE j > 0)"""
+      }.mkString(",\n      ")
+      val spUnion = (1 to L).map(i => s"SELECT * FROM e$i")
+        .mkString(" UNION ALL ")
+      s"""WITH wc AS MATERIALIZED (SELECT w AS word, count(*) AS cnt
+          FROM (SELECT unnest($dkWords) AS w FROM documents)
+          WHERE length(w) BETWEEN 1 AND $L GROUP BY 1),
+      pos AS (SELECT a.j, b.i FROM range(0, $L) a(j), range(1, ${L + 1}) b(i)
+              WHERE b.i > a.j AND b.i - a.j <= $S),
+      subs AS MATERIALIZED (SELECT word, cnt, j, i,
+              substr(word, j + 1, i - j) AS sub
+            FROM wc JOIN pos ON pos.i <= length(word)),
+      freq AS (SELECT sub, CAST(sum(cnt) AS BIGINT) AS f
+               FROM subs GROUP BY 1),
+      vocab AS MATERIALIZED (SELECT sub, f FROM freq
+               ORDER BY f DESC, sub LIMIT $K),
+      tot AS (SELECT CAST(sum(f) AS BIGINT) AS t FROM vocab),
+      lp AS (SELECT sub, ln(CAST(f AS DOUBLE) / t) AS lp
+             FROM vocab CROSS JOIN tot),
+      edges AS MATERIALIZED (SELECT s.word, s.j, s.i, lp.lp
+             FROM subs s JOIN lp USING (sub)),
+      v0 AS (SELECT word, 0.0 AS s, 0 AS n FROM wc),
+      $vCtes,
+      allv AS MATERIALIZED ($allvUnion),
+      t0 AS (SELECT a.word, a.pos FROM allv a
+             WHERE a.pos = length(a.word) AND a.pos > 0),
+      $btCtes,
+      sp AS ($spUnion),
+      tokc AS (SELECT substr(sp.word, sp.j + 1, sp.i - sp.j) AS token,
+          CAST(sum(w2.cnt) AS BIGINT) AS cnt_new
+        FROM sp JOIN wc w2 ON w2.word = sp.word GROUP BY 1),
+      tn AS (SELECT CAST(sum(cnt_new) AS BIGINT) AS tn FROM tokc)
+      SELECT v.sub AS token, v.f AS f0,
+        coalesce(c.cnt_new, 0) AS cnt_new,
+        CASE WHEN coalesce(c.cnt_new, 0) > 0
+          THEN round(ln(CAST(c.cnt_new AS DOUBLE) / tn.tn), 6) END
+          AS lp_new
+      FROM vocab v LEFT JOIN tokc c ON c.token = v.sub
+      CROSS JOIN tn ORDER BY token"""
+    })
+
   /** Neyman-allocation stratified sampling
     * ([[graft.ops.Sampling.neymanAllocation]]): a 200-doc budget split
     * across sources proportional to N_h·σ_h of tokens/doc, drawn by
@@ -5055,6 +5138,7 @@ object PipelineQueries {
     qChainDrift, qWinnowFp, qWinnowSpans, qWinnowAligned, qEncodingAudit,
     qWinnowContamination, qStreamingContamination,
     qNeyman, qEffectiveTokens, qUnigramLm, qUnigramFertility,
+    qUnigramMStep,
     qSimhashCombos, qPqAdcRecall, qIvfPqRecall, qRboRankings,
     qEpochShuffle, qBudgetTrim,
     qGlobalPacking, qLshCandClusters, qNdcgEval, qLabelProp,

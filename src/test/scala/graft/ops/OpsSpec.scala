@@ -1372,6 +1372,72 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("unigramLmMStep: differential recount vs in-memory argmax paths") {
+    val rnd = new scala.util.Random(31)
+    val letters = "abc"
+    val corpus = (0 until 30).map { _ =>
+      (0 until (2 + rnd.nextInt(5))).map { _ =>
+        (0 until (1 + rnd.nextInt(6)))
+          .map(_ => letters(rnd.nextInt(letters.length))).mkString
+      }.mkString(" ")
+    }.toDF("text")
+    val (maxSub, maxWord, k) = (3, 12, 12)
+    val out = TextAnalysis.unigramLmMStep(corpus, "text",
+        maxSub, maxWord, k)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    // in-memory reference: same vocab, same (score, ntok, min-j) path
+    val wcRef = corpus.collect().flatMap(
+        _.getString(0).toLowerCase.split("\\s+").filter(_.nonEmpty))
+      .filter(w => w.length >= 1 && w.length <= maxWord)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val freq = scala.collection.mutable.Map[String, Long]()
+    for ((w, c) <- wcRef; j <- 0 until w.length;
+         i <- (j + 1) to math.min(j + maxSub, w.length))
+      freq(w.substring(j, i)) = freq.getOrElse(w.substring(j, i), 0L) + c
+    val vocab = freq.toSeq.sortBy { case (s, f) => (-f, s) }.take(k).toMap
+    val t = vocab.values.sum.toDouble
+    def pathOf(w: String): Option[Seq[(Int, Int)]] = {
+      val best = Array.fill(w.length + 1)(Double.NegativeInfinity)
+      val n = Array.fill(w.length + 1)(Int.MaxValue)
+      best(0) = 0.0; n(0) = 0
+      for (i <- 1 to w.length; j <- math.max(0, i - maxSub) until i)
+        vocab.get(w.substring(j, i)).foreach { f =>
+          if (best(j) != Double.NegativeInfinity) {
+            val cand = best(j) + math.log(f / t)
+            if (cand > best(i)) { best(i) = cand; n(i) = n(j) + 1 }
+            else if (cand == best(i) && n(j) + 1 < n(i)) n(i) = n(j) + 1
+          }
+        }
+      if (best(w.length) == Double.NegativeInfinity) return None
+      val spans = scala.collection.mutable.ListBuffer[(Int, Int)]()
+      var pos = w.length
+      while (pos > 0) {
+        val j = (math.max(0, pos - maxSub) until pos).filter { j =>
+          vocab.contains(w.substring(j, pos)) &&
+            best(j) != Double.NegativeInfinity &&
+            best(j) + math.log(vocab(w.substring(j, pos)) / t) == best(pos) &&
+            n(j) + 1 == n(pos)
+        }.min
+        spans.prepend((j, pos))
+        pos = j
+      }
+      Some(spans.toList)
+    }
+    val expCounts = scala.collection.mutable.Map[String, Long]()
+    for ((w, c) <- wcRef; p <- pathOf(w); (j, i) <- p)
+      expCounts(w.substring(j, i)) =
+        expCounts.getOrElse(w.substring(j, i), 0L) + c
+    assert(out.keySet == vocab.keySet)
+    for ((tok, f0) <- vocab) {
+      val (gotF0, gotNew) = out(tok)
+      assert(gotF0 == f0, s"token $tok f0")
+      assert(gotNew == expCounts.getOrElse(tok, 0L), s"token $tok cnt_new")
+    }
+    // mass conservation: total new counts == total tokens on all paths
+    assert(out.values.map(_._2).sum == expCounts.values.sum)
+  }
+
   test("effectiveTokens: integer halving per copy, caps, normalization groups") {
     val corpus = Seq(
       ("a", "one two three four"),        // 4 tokens, c=3 (with below)
