@@ -1137,6 +1137,37 @@ object TextAnalysis {
           .as("lp_new"))
   }
 
+  /** [[unigramLmScores]] under a SUPPLIED token-probability table
+    * (`probs`: (sub, lp)) instead of the corpus-derived initial
+    * vocabulary — the scoring half of every EM round after the first:
+    * feed [[unigramLmMStep]]'s surviving tokens back in and the corpus
+    * is re-scored under the re-estimated model. Same output shape as
+    * [[unigramLmScores]]: (word, cnt, len, nll), NULL when the word is
+    * unsegmentable under the supplied vocabulary (pruned tokens shrink
+    * coverage — the real SentencePiece trade). */
+  def unigramLmScoresWith(df: DataFrame, textCol: String,
+      probs: DataFrame, maxSubLen: Int = 4,
+      maxWordLen: Int = 12): DataFrame = {
+    require(maxSubLen >= 1 && maxSubLen <= 8,
+      s"maxSubLen must be in [1, 8]: $maxSubLen")
+    require(maxWordLen >= maxSubLen && maxWordLen <= 32,
+      s"maxWordLen must be in [$maxSubLen, 32]: $maxWordLen")
+    val wc = df.where(col(textCol).isNotNull)
+      .select(explode(words(col(textCol))).as("word"))
+      .where(length(col("word")).between(1, maxWordLen))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val lattice = unigramSubs(wc, maxSubLen)
+      .join(broadcast(probs.select(col("sub"), col("lp"))), Seq("sub"))
+      .groupBy("word")
+      .agg(collect_list(struct(col("j"), col("i"), col("lp"))).as("edges"))
+    wc.join(lattice, Seq("word"), "left")
+      .select(col("word"), col("cnt"),
+        length(col("word")).as("len"),
+        round(-graft.functions.ViterbiScoreExpr.score(
+          coalesce(col("edges"), emptyLattice),
+          length(col("word"))), 6).as("nll"))
+  }
+
   /** Per-group encoding-damage audit — the mojibake screen every
     * web-crawl ingest runs before training (UTF-8 damage survives
     * every later filter because the text still "looks like" language):

@@ -4927,6 +4927,113 @@ object PipelineQueries {
       CROSS JOIN tn ORDER BY token"""
     })
 
+  /** Second E-step of the unigram-LM EM loop
+    * ([[graft.ops.TextAnalysis.unigramLmScoresWith]] over
+    * [[graft.ops.TextAnalysis.unigramLmMStep]]'s surviving tokens):
+    * the corpus re-scored under the re-estimated model — one full EM
+    * round, end to end, on the gate. Words whose tokens were pruned
+    * (cnt_new = 0) go NULL (the coverage trade of the SentencePiece
+    * loop). The oracle chains the q311 recount with a second unrolled
+    * score DP over the re-estimated edge probabilities. */
+  val qUnigramEm2 = Q(
+    "q312_unigram_em2",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val m = TextAnalysis.unigramLmMStep(docs, "text",
+        maxSubLen = 4, maxWordLen = 12, vocabK = 256)
+      val probs1 = m.where(col("cnt_new") > 0)
+        .select(col("token").as("sub"), col("lp_new").as("lp"))
+      TextAnalysis.unigramLmScoresWith(docs, "text", probs1,
+          maxSubLen = 4, maxWordLen = 12)
+        .orderBy("word")
+    },
+    Some {
+      val L = 12; val S = 4; val K = 256
+      val vCtes = (1 to L).map { i =>
+        val pu = (math.max(0, i - S) until i)
+          .map(j => s"SELECT word, $j AS j, s, n FROM v$j")
+          .mkString(" UNION ALL ")
+        s"""v$i AS MATERIALIZED (
+            SELECT word, max(cs) AS s,
+              min(CASE WHEN cs = mx THEN cn END) AS n
+            FROM (SELECT e.word, vp.s + e.lp AS cs, vp.n + 1 AS cn,
+                    max(vp.s + e.lp) OVER (PARTITION BY e.word) AS mx
+                  FROM edges e JOIN ($pu) vp
+                    ON vp.word = e.word AND vp.j = e.j
+                  WHERE e.i = $i)
+            GROUP BY word)"""
+      }.mkString(",\n      ")
+      val allvUnion = (0 to L)
+        .map(i => s"SELECT word, $i AS pos, s, n FROM v$i")
+        .mkString(" UNION ALL ")
+      val btCtes = (1 to L).map { k =>
+        s"""e$k AS MATERIALIZED (SELECT t.word, min(e.j) AS j,
+              t.pos AS i
+            FROM t${k - 1} t
+            JOIN edges e ON e.word = t.word AND e.i = t.pos
+            JOIN allv ai ON ai.word = t.word AND ai.pos = t.pos
+            JOIN allv aj ON aj.word = t.word AND aj.pos = e.j
+            WHERE aj.s + e.lp = ai.s AND aj.n + 1 = ai.n
+            GROUP BY 1, 3),
+      t$k AS (SELECT word, j AS pos FROM e$k WHERE j > 0)"""
+      }.mkString(",\n      ")
+      val spUnion = (1 to L).map(i => s"SELECT * FROM e$i")
+        .mkString(" UNION ALL ")
+      val uCtes = (1 to L).map { i =>
+        val pu = (math.max(0, i - S) until i)
+          .map(j => s"SELECT word, $j AS j, s FROM u$j")
+          .mkString(" UNION ALL ")
+        s"""u$i AS MATERIALIZED (SELECT e.word, max(up.s + e.lp) AS s
+            FROM edges1 e JOIN ($pu) up
+              ON up.word = e.word AND up.j = e.j
+            WHERE e.i = $i GROUP BY 1)"""
+      }.mkString(",\n      ")
+      val resu = (1 to L)
+        .map(i => s"SELECT word, $i AS l, s FROM u$i")
+        .mkString(" UNION ALL ")
+      s"""WITH wc AS MATERIALIZED (SELECT w AS word, count(*) AS cnt
+          FROM (SELECT unnest($dkWords) AS w FROM documents)
+          WHERE length(w) BETWEEN 1 AND $L GROUP BY 1),
+      pos AS (SELECT a.j, b.i FROM range(0, $L) a(j), range(1, ${L + 1}) b(i)
+              WHERE b.i > a.j AND b.i - a.j <= $S),
+      subs AS MATERIALIZED (SELECT word, cnt, j, i,
+              substr(word, j + 1, i - j) AS sub
+            FROM wc JOIN pos ON pos.i <= length(word)),
+      freq AS (SELECT sub, CAST(sum(cnt) AS BIGINT) AS f
+               FROM subs GROUP BY 1),
+      vocab AS MATERIALIZED (SELECT sub, f FROM freq
+               ORDER BY f DESC, sub LIMIT $K),
+      tot AS (SELECT CAST(sum(f) AS BIGINT) AS t FROM vocab),
+      lp AS (SELECT sub, ln(CAST(f AS DOUBLE) / t) AS lp
+             FROM vocab CROSS JOIN tot),
+      edges AS MATERIALIZED (SELECT s.word, s.j, s.i, lp.lp
+             FROM subs s JOIN lp USING (sub)),
+      v0 AS (SELECT word, 0.0 AS s, 0 AS n FROM wc),
+      $vCtes,
+      allv AS MATERIALIZED ($allvUnion),
+      t0 AS (SELECT a.word, a.pos FROM allv a
+             WHERE a.pos = length(a.word) AND a.pos > 0),
+      $btCtes,
+      sp AS ($spUnion),
+      tokc AS (SELECT substr(sp.word, sp.j + 1, sp.i - sp.j) AS token,
+          CAST(sum(w2.cnt) AS BIGINT) AS cnt_new
+        FROM sp JOIN wc w2 ON w2.word = sp.word GROUP BY 1),
+      tn AS (SELECT CAST(sum(cnt_new) AS BIGINT) AS tn FROM tokc),
+      lp1 AS (SELECT token AS sub,
+          round(ln(CAST(cnt_new AS DOUBLE) / tn.tn), 6) AS lp
+        FROM tokc CROSS JOIN tn WHERE cnt_new > 0),
+      edges1 AS MATERIALIZED (SELECT s.word, s.j, s.i, lp1.lp
+             FROM subs s JOIN lp1 USING (sub)),
+      u0 AS (SELECT word, 0.0 AS s FROM wc),
+      $uCtes,
+      resu AS ($resu)
+      SELECT wc.word, wc.cnt, CAST(length(wc.word) AS INT) AS len,
+        round(-r.s, 6) AS nll
+      FROM wc LEFT JOIN resu r
+        ON r.word = wc.word AND r.l = length(wc.word)
+      ORDER BY wc.word"""
+    })
+
   /** Neyman-allocation stratified sampling
     * ([[graft.ops.Sampling.neymanAllocation]]): a 200-doc budget split
     * across sources proportional to N_h·σ_h of tokens/doc, drawn by
@@ -5138,7 +5245,7 @@ object PipelineQueries {
     qChainDrift, qWinnowFp, qWinnowSpans, qWinnowAligned, qEncodingAudit,
     qWinnowContamination, qStreamingContamination,
     qNeyman, qEffectiveTokens, qUnigramLm, qUnigramFertility,
-    qUnigramMStep,
+    qUnigramMStep, qUnigramEm2,
     qSimhashCombos, qPqAdcRecall, qIvfPqRecall, qRboRankings,
     qEpochShuffle, qBudgetTrim,
     qGlobalPacking, qLshCandClusters, qNdcgEval, qLabelProp,

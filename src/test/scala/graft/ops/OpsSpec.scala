@@ -1438,6 +1438,43 @@ class OpsSpec extends SparkSpec {
     assert(out.values.map(_._2).sum == expCounts.values.sum)
   }
 
+  test("unigramLmScoresWith: hard-EM round does not worsen still-covered words") {
+    val rnd = new scala.util.Random(41)
+    val letters = "ab"
+    val corpus = (0 until 40).map { _ =>
+      (0 until (2 + rnd.nextInt(5))).map { _ =>
+        (0 until (1 + rnd.nextInt(5)))
+          .map(_ => letters(rnd.nextInt(letters.length))).mkString
+      }.mkString(" ")
+    }.toDF("text")
+    val (maxSub, maxWord, k) = (3, 12, 8)
+    val m = TextAnalysis.unigramLmMStep(corpus, "text", maxSub, maxWord, k)
+    val probs1 = m.where(col("cnt_new") > 0)
+      .select(col("token").as("sub"), col("lp_new").as("lp"))
+    def scores(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        ((r.getLong(1), if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+        .toMap
+    val nll0 = scores(TextAnalysis.unigramLmScores(corpus, "text",
+      maxSub, maxWord, k))
+    val nll1 = scores(TextAnalysis.unigramLmScoresWith(corpus, "text",
+      probs1, maxSub, maxWord))
+    assert(nll0.keySet == nll1.keySet)
+    // every initially-segmentable word stays covered: its own argmax
+    // path's tokens all have cnt_new >= its count > 0
+    for ((w, (_, s0)) <- nll0 if s0.isDefined)
+      assert(nll1(w)._2.isDefined, s"word $w lost coverage")
+    // hard-EM guarantee: the COUNT-WEIGHTED total Viterbi NLL does not
+    // increase — new params are the MLE of the old paths' token counts
+    // (Gibbs), and re-Viterbi can only improve further; per-word scores
+    // may move either way. Tolerance covers the 6dp-rounded lp terms.
+    val seg = nll0.keys.filter(nll0(_)._2.isDefined).toSeq
+    assert(seg.nonEmpty)
+    val t0 = seg.map(w => nll0(w)._1 * nll0(w)._2.get).sum
+    val t1 = seg.map(w => nll1(w)._1 * nll1(w)._2.get).sum
+    assert(t1 <= t0 + 1e-3, s"EM round worsened weighted NLL: $t0 -> $t1")
+  }
+
   test("effectiveTokens: integer halving per copy, caps, normalization groups") {
     val corpus = Seq(
       ("a", "one two three four"),        // 4 tokens, c=3 (with below)
