@@ -1168,6 +1168,67 @@ object TextAnalysis {
           length(col("word"))), 6).as("nll"))
   }
 
+  /** Burrows' Delta stylometric profile (Burrows, LLC 2002 — the
+    * standard authorship/register distance; here per SOURCE against
+    * the corpus): take the `topM` corpus-frequent words, compute each
+    * source's relative frequency of each, z-score every (source, word)
+    * cell against the across-source mean/stddev of that word, and
+    * report Delta(s) = mean |z| — sources whose function-word profile
+    * sits far from the corpus norm surface at the top (template farms,
+    * machine-generated text, off-register crawls).
+    *
+    * Exactness: all counts are exact BIGINTs; each relative frequency
+    * is one division; the per-word moments are float sums over the
+    * SOURCE dimension (bounded — sources are a governance-scale set),
+    * and Delta is a mean over `topM` bounded terms — 6 dp absorbs
+    * association order. Words missing from a source count as relative
+    * frequency 0 (the Burrows convention), which the dense
+    * source × word grid materializes explicitly. σ = 0 words (same
+    * share everywhere) contribute 0.
+    *
+    * Returns per source: (source, n_tokens, delta), 6 dp, plus the
+    * per-word z extremes (max_abs_z, argmax word) for diagnosis.
+    *
+    * Scale design: one token count per (source, word) (map-side
+    * combined), a TakeOrdered top-M vocabulary broadcast into the
+    * grid, and two bounded rollups — sources × topM cells total. */
+  def burrowsDelta(df: DataFrame, groupCol: String, textCol: String,
+      topM: Int = 20): DataFrame = {
+    require(topM >= 2, s"topM must be >= 2: $topM")
+    val toks = df.where(col(textCol).isNotNull)
+      .select(col(groupCol).as("g"), explode(words(col(textCol))).as("w"))
+    val gw = toks.groupBy("g", "w").agg(count(lit(1)).as("c"))
+    val gTot = gw.groupBy("g").agg(sum(col("c")).as("nt"))
+    val top = gw.groupBy("w").agg(sum(col("c")).as("cf"))
+      .orderBy(col("cf").desc, col("w").asc).limit(topM)
+    // dense grid: every (source, top word), absent cells get c = 0
+    val grid = gTot.crossJoin(broadcast(top.select("w")))
+      .join(gw, Seq("g", "w"), "left")
+      .select(col("g"), col("w"), col("nt"),
+        (coalesce(col("c"), lit(0L)).cast("double") / col("nt")).as("f"))
+    val nSrc = gTot.agg(count(lit(1)).as("ns"))
+    val moments = grid.groupBy("w")
+      .agg(sum(col("f")).as("sf"), sum(col("f") * col("f")).as("sff"),
+        count(lit(1)).as("ns"))
+      .select(col("w"), (col("sf") / col("ns")).as("mu"),
+        when(col("ns") > 1,
+          sqrt(greatest(
+            (col("sff") - col("sf") * col("sf") / col("ns"))
+              / (col("ns") - 1), lit(0.0)))).otherwise(lit(0.0)).as("sd"))
+    val z = grid.join(broadcast(moments), Seq("w"))
+      .select(col("g"), col("w"), col("nt"),
+        when(col("sd") > 0.0, abs((col("f") - col("mu")) / col("sd")))
+          .otherwise(lit(0.0)).as("az"))
+    z.groupBy("g")
+      .agg(first(col("nt")).as("n_tokens"),
+        (sum(col("az")) / count(lit(1))).as("delta"),
+        max(struct(col("az"), col("w"))).as("mx"))
+      .select(col("g").as(groupCol), col("n_tokens"),
+        round(col("delta"), 6).as("delta"),
+        round(col("mx").getField("az"), 6).as("max_abs_z"),
+        col("mx").getField("w").as("top_word"))
+  }
+
   /** Per-group encoding-damage audit — the mojibake screen every
     * web-crawl ingest runs before training (UTF-8 damage survives
     * every later filter because the text still "looks like" language):

@@ -5034,6 +5034,44 @@ object PipelineQueries {
       ORDER BY wc.word"""
     })
 
+  /** Burrows' Delta stylometric screen
+    * ([[graft.ops.TextAnalysis.burrowsDelta]], Burrows LLC 2002):
+    * per-source mean |z| of top-20-word relative frequencies against
+    * the across-source norm — template farms and off-register crawls
+    * surface at the top. Oracle replays the dense grid, the per-word
+    * moments, and the (az desc, word desc) argmax tie rule. */
+  val qBurrowsDelta = Q(
+    "q313_burrows_delta",
+    (s, dir) =>
+      TextAnalysis.burrowsDelta(table(s, dir, "documents"),
+          "source", "text", topM = 20)
+        .orderBy("source"),
+    Some(s"""WITH toks AS (SELECT source AS g, unnest($dkWords) AS w
+          FROM documents),
+      gw AS (SELECT g, w, count(*) AS c FROM toks GROUP BY 1, 2),
+      gtot AS (SELECT g, CAST(sum(c) AS BIGINT) AS nt FROM gw GROUP BY 1),
+      topw AS (SELECT w, CAST(sum(c) AS BIGINT) AS cf FROM gw
+               GROUP BY 1 ORDER BY cf DESC, w LIMIT 20),
+      grid AS (SELECT gtot.g, topw.w, gtot.nt,
+          CAST(coalesce(gw.c, 0) AS DOUBLE) / gtot.nt AS f
+        FROM gtot CROSS JOIN topw
+        LEFT JOIN gw ON gw.g = gtot.g AND gw.w = topw.w),
+      mom AS (SELECT w, sum(f) / count(*) AS mu,
+          CASE WHEN count(*) > 1 THEN sqrt(greatest(
+            (sum(f * f) - sum(f) * sum(f) / count(*)) / (count(*) - 1),
+            0.0)) ELSE 0.0 END AS sd
+        FROM grid GROUP BY 1),
+      z AS (SELECT g, grid.w, nt,
+          CASE WHEN sd > 0.0 THEN abs((f - mu) / sd) ELSE 0.0 END AS az
+        FROM grid JOIN mom ON mom.w = grid.w),
+      agg AS (SELECT g, min(nt) AS n_tokens,
+          sum(az) / count(*) AS delta FROM z GROUP BY 1),
+      mx AS (SELECT g, az, w FROM z QUALIFY
+          row_number() OVER (PARTITION BY g ORDER BY az DESC, w DESC) = 1)
+      SELECT a.g AS source, a.n_tokens, round(a.delta, 6) AS delta,
+        round(mx.az, 6) AS max_abs_z, mx.w AS top_word
+      FROM agg a JOIN mx ON mx.g = a.g ORDER BY source"""))
+
   /** Neyman-allocation stratified sampling
     * ([[graft.ops.Sampling.neymanAllocation]]): a 200-doc budget split
     * across sources proportional to N_h·σ_h of tokens/doc, drawn by
@@ -5245,7 +5283,7 @@ object PipelineQueries {
     qChainDrift, qWinnowFp, qWinnowSpans, qWinnowAligned, qEncodingAudit,
     qWinnowContamination, qStreamingContamination,
     qNeyman, qEffectiveTokens, qUnigramLm, qUnigramFertility,
-    qUnigramMStep, qUnigramEm2,
+    qUnigramMStep, qUnigramEm2, qBurrowsDelta,
     qSimhashCombos, qPqAdcRecall, qIvfPqRecall, qRboRankings,
     qEpochShuffle, qBudgetTrim,
     qGlobalPacking, qLshCandClusters, qNdcgEval, qLabelProp,

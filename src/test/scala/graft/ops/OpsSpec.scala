@@ -1475,6 +1475,34 @@ class OpsSpec extends SparkSpec {
     assert(t1 <= t0 + 1e-3, s"EM round worsened weighted NLL: $t0 -> $t1")
   }
 
+  test("burrowsDelta: hand-computed two-source z-profile; off-register source tops") {
+    // vocabulary {x, y}: src a is x-heavy, src b is y-heavy, src c is
+    // balanced — with topM = 2 every relative frequency is hand-traceable
+    val corpus = Seq(
+      ("a", "x x x y"),   // f_a = (0.75, 0.25)
+      ("b", "x y y y"),   // f_b = (0.25, 0.75)
+      ("c", "x x y y")    // f_c = (0.50, 0.50)
+    ).toDF("src", "text")
+    val out = TextAnalysis.burrowsDelta(corpus, "src", "text", topM = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getString(4))))
+      .toMap
+    // per word across sources: mean 0.5; sample sd of {0.75,0.25,0.5}
+    val sd = math.sqrt(((0.0625 + 0.0625 + 0.0) / 2))
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val zBig = 0.25 / sd
+    assert(out("a")._1 == 4L && out("b")._1 == 4L)
+    assert(out("a")._2 == r6(zBig)) // both words at |z| = 0.25/sd
+    assert(out("b")._2 == r6(zBig))
+    assert(out("c")._2 == 0.0 && out("c")._3 == 0.0)
+    // argmax tie at equal |z| resolves to the lexicographically larger word
+    assert(out("a")._4 == "y" && out("b")._4 == "y")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.burrowsDelta(corpus, "src", "text", topM = 1)
+    }
+  }
+
   test("effectiveTokens: integer halving per copy, caps, normalization groups") {
     val corpus = Seq(
       ("a", "one two three four"),        // 4 tokens, c=3 (with below)
