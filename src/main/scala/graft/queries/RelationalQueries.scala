@@ -985,6 +985,40 @@ object RelationalQueries {
       ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
       LIMIT 100"""))
 
+  /** TPC-H Q4-shaped order-priority checking: EXISTS semi-join from
+    * orders into lineitem (this corpus has no commit/receipt dates, so
+    * "late" = any line shipped more than 60 calendar days after the
+    * order date) over a half-year order window, counted by priority.
+    * Catalyst rewrites the correlated EXISTS to a left-semi hash join;
+    * the day arithmetic is calendar-exact on both engines
+    * (date_add(CAST AS DATE, 60) == DATE + 60). */
+  val qTpchQ4 = Q(
+    "q314_tpch_q4",
+    (s, dir) => {
+      val tag = java.util.UUID.randomUUID.toString.replace("-", "")
+        .take(8)
+      table(s, dir, "orders").createOrReplaceTempView(s"ord_q4$tag")
+      table(s, dir, "lineitem").createOrReplaceTempView(s"li_q4$tag")
+      s.sql(s"""SELECT o_orderpriority, count(*) AS order_count
+        FROM ord_q4$tag o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1996-07-01'
+          AND EXISTS (SELECT 1 FROM li_q4$tag l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND CAST(l.l_shipdate AS DATE)
+                          > date_add(CAST(o.o_orderdate AS DATE), 60))
+        GROUP BY 1 ORDER BY 1""")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS order_count
+      FROM orders o
+      WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1996-07-01'
+        AND EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey
+                      AND CAST(l.l_shipdate AS DATE)
+                        > CAST(o.o_orderdate AS DATE) + 60)
+      GROUP BY 1 ORDER BY 1"""))
+
   val qTpchQ8 = Q(
     "q289_tpch_q8",
     (s, dir) => {
@@ -1052,5 +1086,5 @@ object RelationalQueries {
     qZOrderLayout, qCorrelatedExists, qAntiJoinQ22, qCubeEvents,
     qSkipEffect, qTpchQ1, qTpchQ6, qTpchQ14, qGroupingSets,
     qHilbertLayout, qBlameSupplier, qSmallQtyRevenue,
-    qOrderCountHist, qTopSupplier, qTpchQ8, qTpchQ2)
+    qOrderCountHist, qTopSupplier, qTpchQ8, qTpchQ2, qTpchQ4)
 }
