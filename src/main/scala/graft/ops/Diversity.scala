@@ -44,4 +44,41 @@ object Diversity {
         ((col("bin") + 1) * 0.25).as("hi"), col("n_keys"))
       .orderBy("bin")
   }
+
+  /** Hill-numbers diversity profile per group (Hill 1973; the
+    * "effective number of species" ladder ecology standardized and
+    * corpus linguistics borrowed): over each group's token
+    * distribution,
+    *
+    *   D0 = richness (distinct types)
+    *   D1 = exp(Shannon H)       (types weighted by their share)
+    *   D2 = 1 / Simpson λ        (dominance-weighted)
+    *
+    * D0 ≥ D1 ≥ D2 always; a big D0 with a small D2 is the template-
+    * farm signature (huge vocabulary, few tokens doing all the work).
+    * Evenness = D1/D0 normalizes register size away.
+    *
+    * Exactness: counts are exact BIGINTs; λ = Σc²/N² has an exact
+    * integer numerator (decimal(38,0) — c² overflows BIGINT past
+    * ~3e9-token types); H = ln N − (Σ c ln c)/N keeps the only float
+    * sum on per-DISTINCT-TYPE counts (the entropy-family discipline).
+    * Returns (group, n_tokens, d0, d1, d2, evenness), 6 dp. */
+  def hillNumbers(df: DataFrame, groupCol: String,
+      tokenCol: String): DataFrame = {
+    val counts = df.where(col(tokenCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), col(tokenCol).as("__t"))
+      .agg(count(lit(1)).as("c"))
+    val nd = col("n").cast("double")
+    counts.groupBy("g").agg(
+        sum(col("c")).as("n"),
+        count(lit(1)).as("d0"),
+        sum(col("c").cast("double") * log(col("c").cast("double")))
+          .as("clnc"),
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("c2"))
+      .select(col("g").as(groupCol), col("n").as("n_tokens"), col("d0"),
+        round(exp(log(nd) - col("clnc") / nd), 6).as("d1"),
+        round(nd * nd / col("c2").cast("double"), 6).as("d2"),
+        round(exp(log(nd) - col("clnc") / nd) / col("d0"), 6)
+          .as("evenness"))
+  }
 }

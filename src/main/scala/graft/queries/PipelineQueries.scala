@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{ConnectedComponents, Dedup, IvfIndex, MediaCodec, Multimodal, Relevance, Sampling, Similarity, TextAnalysis}
+import graft.ops.{ConnectedComponents, Dedup, Diversity, IvfIndex, MediaCodec, Multimodal, Relevance, Sampling, Similarity, TextAnalysis}
 import graft.queries.QueryCatalog.table
 
 /** LLM-data-pipeline operators as oracle-checked queries (north star in
@@ -5072,6 +5072,36 @@ object PipelineQueries {
         round(mx.az, 6) AS max_abs_z, mx.w AS top_word
       FROM agg a JOIN mx ON mx.g = a.g ORDER BY source"""))
 
+  /** Hill-numbers diversity profile
+    * ([[graft.ops.Diversity.hillNumbers]], Hill 1973): per-source
+    * effective-vocabulary ladder D0 ≥ D1 ≥ D2 over word tokens — big
+    * D0 with small D2 is the template-farm signature. Exact counts,
+    * exact-decimal Simpson numerator, entropy-discipline float sum. */
+  val qHillNumbers = Q(
+    "q315_hill_numbers",
+    (s, dir) => {
+      val toks = table(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .select(col("source"),
+          explode(TextAnalysis.words(col("text"))).as("w"))
+      Diversity.hillNumbers(toks, "source", "w").orderBy("source")
+    },
+    Some(s"""WITH toks AS (SELECT source AS g, unnest($dkWords) AS w
+          FROM documents WHERE text IS NOT NULL),
+      counts AS (SELECT g, w, count(*) AS c FROM toks GROUP BY 1, 2),
+      per AS (SELECT g, CAST(sum(c) AS BIGINT) AS n, count(*) AS d0,
+          sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clnc,
+          sum(CAST(c AS DECIMAL(38,0)) * c) AS c2
+        FROM counts GROUP BY 1)
+      SELECT g AS source, n AS n_tokens, d0,
+        round(exp(ln(CAST(n AS DOUBLE)) - clnc / CAST(n AS DOUBLE)), 6)
+          AS d1,
+        round(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) / CAST(c2 AS DOUBLE),
+          6) AS d2,
+        round(exp(ln(CAST(n AS DOUBLE)) - clnc / CAST(n AS DOUBLE)) / d0,
+          6) AS evenness
+      FROM per ORDER BY source"""))
+
   /** Neyman-allocation stratified sampling
     * ([[graft.ops.Sampling.neymanAllocation]]): a 200-doc budget split
     * across sources proportional to N_h·σ_h of tokens/doc, drawn by
@@ -5283,7 +5313,7 @@ object PipelineQueries {
     qChainDrift, qWinnowFp, qWinnowSpans, qWinnowAligned, qEncodingAudit,
     qWinnowContamination, qStreamingContamination,
     qNeyman, qEffectiveTokens, qUnigramLm, qUnigramFertility,
-    qUnigramMStep, qUnigramEm2, qBurrowsDelta,
+    qUnigramMStep, qUnigramEm2, qBurrowsDelta, qHillNumbers,
     qSimhashCombos, qPqAdcRecall, qIvfPqRecall, qRboRankings,
     qEpochShuffle, qBudgetTrim,
     qGlobalPacking, qLshCandClusters, qNdcgEval, qLabelProp,
