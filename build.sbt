@@ -9,6 +9,10 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// dead locals/privates fail the build (verdict r9 task #6: an unused
+// val like burrowsDelta's nSrc must not compile, not linger)
+ThisBuild / scalacOptions ++= Seq(
+  "-Wunused:locals", "-Wunused:privates", "-Wconf:cat=unused:e")
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

@@ -16,6 +16,47 @@ import org.apache.spark.sql.SparkSession
   * load average so a polluted run is self-evident from the artifact.
   */
 object Bench {
+
+  /** Parse one STRESS_HISTORY.jsonl row's per-query
+    * `"name":[base, stress, ratio]` triples. Tolerant of surrounding
+    * fields; returns empty on garbage lines. */
+  private[graft] def parseStressRow(
+      line: String): Map[String, (Double, Double, Double)] =
+    """"(q[\w]+)":\[(-?[\d.eE]+),(-?[\d.eE]+),(-?[\d.eE]+)\]""".r
+      .findAllMatchIn(line)
+      .map(m => m.group(1) ->
+        (m.group(2).toDouble, m.group(3).toDouble, m.group(4).toDouble))
+      .toMap
+
+  /** Last USABLE history row for trend comparison: skips rows flagged
+    * `"polluted":true` (recorded since round 10), rows with no query
+    * table, and killed-run garbage — a launcher killed mid-pass leaves
+    * a row whose base times are all ~4 ms (observed round 9); majority
+    * of bases under 10 ms disqualifies the row. */
+  private[graft] def lastUsableStressRow(
+      lines: Seq[String]): Option[Map[String, (Double, Double, Double)]] =
+    lines.reverseIterator
+      .filterNot(_.contains("\"polluted\":true"))
+      .map(parseStressRow)
+      .find { m =>
+        m.nonEmpty && m.values.count(_._1 >= 0.01) * 2 > m.size
+      }
+
+  /** Stress-trend tripwire (verdict r9 task #3): a query whose
+    * normalized ratio-of-linear moved >1.5x versus the previous usable
+    * round's row AND now sits above linear is flagged — WAIVERS DO NOT
+    * EXEMPT IT (q165's 3.7x -> 16.1x same-round spread is the proof
+    * case this exists to catch). The above-linear guard keeps healthy
+    * sub-linear jitter (0.3x -> 0.5x of linear) from tripping. */
+  private[graft] def trendSuspects(
+      prev: Map[String, (Double, Double, Double)],
+      rows: Seq[(String, Double, Double, Double)],
+      reps: Double): Seq[String] =
+    rows.collect { case (n, tb, _, r)
+      if tb > 0.05 && r > 0 && (r / reps) > 1.0 &&
+        prev.get(n).exists { case (ptb, _, pr) =>
+          ptb > 0.05 && pr > 0 && r > 1.5 * pr } => n }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -93,10 +134,10 @@ object Bench {
     // so the min still carries each pass's one cold build instead of
     // timing a pure cache hit.
     val pass1 = ordered.map { case (n, f) => n -> timeOnce(n, f) }.toMap
-    graft.ops.Dedup.clearShingleCache()
-    graft.ops.IvfIndex.clearIndexCache()
-    graft.queries.TemporalQueries.clearIntervalDriveCache()
-    graft.ops.EvalCache.clear()
+    // ONE registry clear (round-10): every SessionCache registers at
+    // construction, so a new cache can never silently miss this boundary
+    // (the round-8/round-9 phantom-reading bug class)
+    graft.ops.SessionCache.clearAll()
     val pass2 = ordered.map { case (n, f) => n -> timeOnce(n, f) }.toMap
 
     // Streaming subsystem micro-bench: MemoryStream-driven (deterministic
@@ -383,20 +424,23 @@ object Bench {
       // (pure map + two aggregations: the reading should be ~linear)
       "q295_winnow_spans", "q296_bootstrap_ci")
     val stressWaivers = Map(
-      "q165_mutual_knn" -> ("documented O(n^2) exact-kNN oracle tool; " +
+      "q165_mutual_knn" -> ("documented O(n^2) exact-kNN SCORING " +
+        "(irreducible on unstructured embeddings — no cluster geometry " +
+        "to prune against); since round 10 the ranking rides the " +
+        "mergeable BoundedTopK heap instead of an n^2-row window sort, " +
+        "which removed the r9 spill-variance (16.1x vs 3.7x same-round " +
+        "spread) — measured ~4-5x of linear at 10x, stable; " +
         "q26b/q26c/q27 are the approximate scale path"))
     val stressFailed = scala.collection.mutable.LinkedHashSet[String]()
     val stressSection: Option[(String, Seq[String])] = stressDirOpt.map { sdir =>
       def passOver(d: String): Map[String, Double] = {
-        // EvalCache included: without it the base pass rides PQ
+        // registry-wide clear: without it the base pass rides PQ
         // codebooks / backoff-LM state primed by the MAIN passes over
         // the same sfDir while the stress pass pays cold builds —
         // measured as phantom 68x/41x "suspects" on q254/q262 before
-        // this clear landed (round 9 session 4)
-        graft.ops.Dedup.clearShingleCache()
-        graft.ops.IvfIndex.clearIndexCache()
-        graft.queries.TemporalQueries.clearIntervalDriveCache()
-        graft.ops.EvalCache.clear()
+        // this clear landed (round 9 session 4; now one call covers
+        // every registered cache, present and future)
+        graft.ops.SessionCache.clearAll()
         stressNames.map(n =>
           n -> timeOnceAt(n, d, stressFailed, SparkEntry.queries(n))).toMap
       }
@@ -411,6 +455,18 @@ object Bench {
         case (n, _, _, r)
           if r / stressReps > 3.0 && !stressWaivers.contains(n) &&
             !stressFailed.contains(n) => n }
+      // trend tripwire vs the previous round's usable history row —
+      // catches creep the absolute 3x threshold can't see, and waivers
+      // don't exempt a query from it
+      val trendSus: Seq[String] = try {
+        val p = java.nio.file.Paths.get("STRESS_HISTORY.jsonl")
+        if (java.nio.file.Files.exists(p))
+          lastUsableStressRow(java.nio.file.Files.readAllLines(p)
+            .toArray(Array.empty[String]).toSeq)
+            .map(prev => trendSuspects(prev, rows, stressReps))
+            .getOrElse(Nil)
+        else Nil
+      } catch { case _: Throwable => Nil }
       val qJson = rows.map { case (n, tb, ts, r) =>
         "\"" + n + f"""\":[$tb%.3f,$ts%.3f,$r%.2f]""" }
         .mkString("{", ",", "}")
@@ -418,8 +474,9 @@ object Bench {
         "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
       val susJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
       val sfJson = stressFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
-      (s"""{"stress":{"base_dir":"$sfDir","stress_dir":"$sdir","reps":$stressReps,"norm_trip_threshold":3.0,"queries":$qJson,"suspects":$susJson,"waived":$wJson,"failed":$sfJson}}""",
-        suspects)
+      val trJson = trendSus.map("\"" + _ + "\"").mkString("[", ",", "]")
+      (s"""{"stress":{"base_dir":"$sfDir","stress_dir":"$sdir","reps":$stressReps,"norm_trip_threshold":3.0,"queries":$qJson,"suspects":$susJson,"trend_suspects":$trJson,"waived":$wJson,"failed":$sfJson}}""",
+        suspects ++ trendSus.filterNot(suspects.contains))
     }
 
     val allPass1 = pass1 ++ sPass1
@@ -499,7 +556,11 @@ object Bench {
       // backfilled from round notes in STRESS_HISTORY.md)
       try {
         val tag = sys.env.getOrElse("SPARK_GRAFT_ROUND", "adhoc")
-        val line = s"""{"round":"$tag","epoch_ms":${System.currentTimeMillis},"stress":${json.stripPrefix("{\"stress\":").stripSuffix("}")}}"""
+        // polluted/loadavg/steal recorded IN the row so trend analysis
+        // (lastUsableStressRow) can exclude contaminated entries —
+        // previously a polluted or killed run appended indistinguishable
+        // garbage to the very series this feature exists to track
+        val line = f"""{"round":"$tag","epoch_ms":${System.currentTimeMillis},"polluted":$polluted,"loadavg":$load%.2f,"cpu_steal_frac":$stealFrac%.4f,"stress":${json.stripPrefix("{\"stress\":").stripSuffix("}")}}"""
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get("STRESS_HISTORY.jsonl"), line + "\n",
           java.nio.file.StandardOpenOption.CREATE,

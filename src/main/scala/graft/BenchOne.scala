@@ -18,15 +18,20 @@ object BenchOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val wanted = args.toSet
+    // SPARK_GRAFT_REPS=n times each query n times in ONE JVM (rep 1 is
+    // the cold figure, later reps the warm steady state)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => wanted.isEmpty || wanted.contains(n) }
       .foreach { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage.take(200)}") }
-        System.err.println(
-          f"[bench] $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        (1 to reps).foreach { r =>
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage.take(200)}") }
+          System.err.println(
+            f"[bench] $name rep$r ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        }
       }
     spark.stop()
   }

@@ -52,9 +52,14 @@ object AsofJoin {
     * Same cost class (one hash shuffle + per-partition sort each) and
     * identical answers (AsOfJoinExecSpec fuzz-agrees the two paths;
     * q66/q243 share one oracle), so routing changes the PLAN, not the
-    * result. For widened types, `tolerance` is in the WIDENED unit —
-    * micros for timestamps, days for dates, the raw value for
-    * integrals (same contract as asofForward's toleranceWidened).
+    * result. For date/timestamp-typed times, `tolerance` is in the
+    * WIDENED unit — micros for timestamps, days for dates, the raw
+    * value for integrals (same contract as asofForward's
+    * toleranceWidened) — and the window fallback widens through the
+    * same toLongOrder mapping, so the contract holds on BOTH routes.
+    * The exec additionally requires left/right key and time pairs to
+    * widen to the SAME unit (a date-vs-timestamp pair falls back to
+    * the window path, whose unionByName coerces both sides).
     */
   def asof(
       left: DataFrame,
@@ -119,16 +124,28 @@ object AsofJoin {
       rightCols: Seq[String], rightTieBreak: Option[String]): Option[String] =
     rightTieBreak.filter { tb =>
       import org.apache.spark.sql.types._
-      def widenable(df: DataFrame, c: String) =
-        df.schema.fields.find(_.name == c).map(_.dataType).exists {
-          case ByteType | ShortType | IntegerType | LongType => true
-          case DateType | TimestampType | TimestampNTZType => true
-          case _ => false
+      // toLongOrder's unit class: integrals widen raw, dates to
+      // epoch-days, timestamps to epoch-micros. None = off the ladder.
+      def unit(df: DataFrame, c: String): Option[Int] =
+        df.schema.fields.find(_.name == c).map(_.dataType).flatMap {
+          case ByteType | ShortType | IntegerType | LongType => Some(0)
+          case DateType => Some(1)
+          case TimestampType | TimestampNTZType => Some(2)
+          case _ => None
         }
+      // left and right must widen to the SAME unit per column pair —
+      // a DateType left time vs TimestampType right time would compare
+      // epoch-days against epoch-micros in the exec; the window
+      // fallback's unionByName coerces both sides to one type, so only
+      // unit-consistent pairs may route to the exec.
+      def sameUnit(lc: String, rc: String): Boolean = (unit(left, lc),
+        unit(right, rc)) match {
+        case (Some(a), Some(b)) => a == b
+        case _ => false
+      }
       val rightNeed = (Seq(rightKey, rightTime, tb) ++ rightCols).distinct
-      widenable(left, leftKey) && widenable(left, leftTime) &&
-        widenable(right, rightKey) && widenable(right, rightTime) &&
-        widenable(right, tb) &&
+      sameUnit(leftKey, rightKey) && sameUnit(leftTime, rightTime) &&
+        unit(right, tb).isDefined &&
         rightNeed.toSet.intersect(left.columns.toSet).isEmpty &&
         !(left.columns ++ rightNeed).exists(n =>
           n.startsWith("__neg") || n.startsWith("__asof_"))
@@ -205,8 +222,22 @@ object AsofJoin {
     val inTol: Column = tolerance match {
       case None => leftValid && col("__mt").isNotNull
       case Some(tol) =>
+        // widen date/timestamp-typed times through the exec's
+        // toLongOrder so tolerance is in the SAME unit (days/micros)
+        // on both dispatch routes; raw subtraction only for types off
+        // the ladder (plain numerics), where it is already well-typed.
+        // __t and __mt share the union's coerced time type.
+        val tType = matched.schema("__t").dataType
+        def wide(c: Column): Column = tType match {
+          case org.apache.spark.sql.types.DateType |
+               org.apache.spark.sql.types.TimestampType |
+               org.apache.spark.sql.types.TimestampNTZType =>
+            graft.plans.AsOfJoinPhysical.toLongOrder(c, tType)
+          case _ => c
+        }
         val lagT =
-          if (forward) col("__mt") - col("__t") else col("__t") - col("__mt")
+          if (forward) wide(col("__mt")) - wide(col("__t"))
+          else wide(col("__t")) - wide(col("__mt"))
         leftValid && col("__mt").isNotNull && lagT <= tol
     }
 

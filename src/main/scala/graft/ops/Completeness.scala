@@ -34,10 +34,16 @@ object Completeness {
     val grouped = df.select(flags: _*)
       .groupBy(cols.map(c => col(s"${c}_missing")): _*)
       .agg(count(lit(1)).as("cnt"))
-    val total = sum(col("cnt")).over(
-      org.apache.spark.sql.expressions.Window.partitionBy())
-    grouped
-      .withColumn("pct", round(col("cnt") / total, 8))
+      // the <=2^k-row grid feeds both the totals agg and the output —
+      // materialize once so the corpus is still scanned exactly once
+      .localCheckpoint(false)
+    // total via broadcast 1-row aggregate, not a partition-less window:
+    // same answer, but no single-task window stage, and the plan-sweep
+    // detectors recognize the bounded build side structurally
+    val total = broadcast(grouped.agg(sum(col("cnt")).as("__tot")))
+    grouped.crossJoin(total)
+      .withColumn("pct", round(col("cnt") / col("__tot"), 8))
+      .drop("__tot")
       .orderBy(col("cnt").desc +: cols.map(c => col(s"${c}_missing")): _*)
   }
 }

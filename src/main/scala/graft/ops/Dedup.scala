@@ -112,20 +112,18 @@ object Dedup {
     * ContextCleaner once unreferenced. Opt-in via
     * [[wordShingleTableCached]] (NOT default: a cached checkpoint would
     * not see files that change under the same path mid-session). */
-  private val shingleCache = new java.util.LinkedHashMap[
-      (Int, Int, String, String, Int), DataFrame](8, 0.75f, true) {
-    override def removeEldestEntry(
-        e: java.util.Map.Entry[(Int, Int, String, String, Int), DataFrame])
-        : Boolean = size() > 4
-  }
+  private val shingleCache =
+    new SessionCache[(Int, Int, String, String, Int), DataFrame](4)
 
   /** Drop every memoized shingle AND derived-pairs table. Bench/test
     * hook: a min-of-two benchmark must clear this between passes, or the
     * second pass times a pure cache hit and the reported min never
-    * includes the shingle/verify build that a cold run pays. */
+    * includes the shingle/verify build that a cold run pays. Kept for
+    * targeted test use; Bench now clears the whole registry via
+    * [[SessionCache.clearAll]]. */
   def clearShingleCache(): Unit = {
-    shingleCache.synchronized { shingleCache.clear() }
-    pairsCache.synchronized { pairsCache.clear() }
+    shingleCache.clear()
+    pairsCache.clear()
   }
 
   /** Session-scoped cache of checkpointed VERIFIED-PAIR tables derived
@@ -136,25 +134,13 @@ object Dedup {
     * is the expensive half of the pipeline, so memoize it per
     * (session, shingle-table semantic hash, parameters) exactly like
     * [[shingleCache]] — bounded LRU(4), cleared together with it. */
-  private val pairsCache = new java.util.LinkedHashMap[
-      (Int, Int, String), DataFrame](8, 0.75f, true) {
-    override def removeEldestEntry(
-        e: java.util.Map.Entry[(Int, Int, String), DataFrame])
-        : Boolean = size() > 4
-  }
+  private val pairsCache = new SessionCache[(Int, Int, String), DataFrame](4)
 
   private def cachedPairs(sh: DataFrame, tag: String)(
-      build: => DataFrame): DataFrame = pairsCache.synchronized {
-    val key = (System.identityHashCode(sh.sparkSession),
-      sh.queryExecution.analyzed.semanticHash(), tag)
-    val hit = pairsCache.get(key)
-    if (hit != null) hit
-    else {
-      val v = build.localCheckpoint(false)
-      pairsCache.put(key, v)
-      v
-    }
-  }
+      build: => DataFrame): DataFrame =
+    pairsCache.getOrElseUpdate((System.identityHashCode(sh.sparkSession),
+      sh.queryExecution.analyzed.semanticHash(), tag))(
+      build.localCheckpoint(false))
 
   /** [[jaccardPairs]], memoized+checkpointed per (shingle table,
     * threshold) — share one prefix-filter join + verify across the
@@ -176,17 +162,10 @@ object Dedup {
     * materialized table, so downstream ops (signatures, LSH, verify)
     * share one shingle build. */
   def wordShingleTableCached(df: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame = shingleCache.synchronized {
-    val key = (System.identityHashCode(df.sparkSession),
-      df.queryExecution.analyzed.semanticHash(), idCol, textCol, n)
-    val hit = shingleCache.get(key)
-    if (hit != null) hit
-    else {
-      val v = wordShingleTable(df, idCol, textCol, n).localCheckpoint(false)
-      shingleCache.put(key, v)
-      v
-    }
-  }
+      n: Int): DataFrame =
+    shingleCache.getOrElseUpdate((System.identityHashCode(df.sparkSession),
+      df.queryExecution.analyzed.semanticHash(), idCol, textCol, n))(
+      wordShingleTable(df, idCol, textCol, n).localCheckpoint(false))
 
   /** Checkpoint once, idempotently: a table that is already a
     * checkpoint/RDD scan (e.g. from [[wordShingleTableCached]]) passes

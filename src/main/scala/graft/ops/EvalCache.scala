@@ -14,29 +14,19 @@ import org.apache.spark.sql.DataFrame
   * still prices one cold build per pass. */
 object EvalCache {
 
-  private val cache =
-    new java.util.LinkedHashMap[(Int, String), DataFrame](16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(Int, String), DataFrame]): Boolean =
-        size() > 8
-    }
+  private val cache = new SessionCache[(Int, String), DataFrame](8)
 
   /** `key` must encode every input that determines the result — use
     * [[semKey]] for DataFrame inputs plus the scalar params. */
   def cached(spark: org.apache.spark.sql.SparkSession, key: String)(
-      build: => DataFrame): DataFrame = cache.synchronized {
-    val k = (System.identityHashCode(spark), key)
-    val hit = cache.get(k)
-    if (hit != null) hit
-    else {
-      val v = build.localCheckpoint(false)
-      cache.put(k, v)
-      v
-    }
-  }
+      build: => DataFrame): DataFrame =
+    cache.getOrElseUpdate((System.identityHashCode(spark), key))(
+      build.localCheckpoint(false))
 
   /** Semantic fingerprint of a DataFrame input for cache keys. */
   def semKey(df: DataFrame): Int = df.queryExecution.analyzed.semanticHash()
 
-  def clear(): Unit = cache.synchronized { cache.clear() }
+  /** Kept for targeted test use; Bench now clears the whole registry
+    * via [[SessionCache.clearAll]]. */
+  def clear(): Unit = cache.clear()
 }

@@ -34,36 +34,23 @@ object IvfIndex {
     * the shingle cache: session identity + analyzed-plan semantic hash
     * + build params; bounded LRU(2) (a posting table is corpus-sized).
     * Opt-in via [[buildCached]]. */
-  private val indexCache = new java.util.LinkedHashMap[
-      (Int, Int, String, String, Int, Long, Int), Index](4, 0.75f, true) {
-    override def removeEldestEntry(
-        e: java.util.Map.Entry[(Int, Int, String, String, Int, Long, Int), Index])
-        : Boolean = size() > 2
-  }
+  private val indexCache =
+    new SessionCache[(Int, Int, String, String, Int, Long, Int), Index](2)
 
-  /** Drop every memoized index. Bench/test hook: a min-of-two benchmark
-    * must clear this between passes so the reported min still carries
-    * the k-means build a cold run pays. */
-  def clearIndexCache(): Unit =
-    indexCache.synchronized { indexCache.clear() }
+  /** Drop every memoized index. Kept for targeted test use; Bench now
+    * clears the whole registry via [[SessionCache.clearAll]]. */
+  def clearIndexCache(): Unit = indexCache.clear()
 
   /** [[build]], memoized per session + input plan + params, with the
     * posting table checkpointed so repeated searches share one k-means
     * run and one materialized layout. */
   def buildCached(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, seed: Long = 42L, maxIter: Int = 10): Index =
-    indexCache.synchronized {
-      val key = (System.identityHashCode(corpus.sparkSession),
-        corpus.queryExecution.analyzed.semanticHash(), idCol, vecCol,
-        nlist, seed, maxIter)
-      val hit = indexCache.get(key)
-      if (hit != null) hit
-      else {
-        val idx0 = build(corpus, idCol, vecCol, nlist, seed, maxIter)
-        val idx = idx0.copy(postings = idx0.postings.localCheckpoint(false))
-        indexCache.put(key, idx)
-        idx
-      }
+    indexCache.getOrElseUpdate((System.identityHashCode(corpus.sparkSession),
+      corpus.queryExecution.analyzed.semanticHash(), idCol, vecCol,
+      nlist, seed, maxIter)) {
+      val idx0 = build(corpus, idCol, vecCol, nlist, seed, maxIter)
+      idx0.copy(postings = idx0.postings.localCheckpoint(false))
     }
 
   def build(corpus: DataFrame, idCol: String, vecCol: String,

@@ -179,9 +179,15 @@ object Kendall {
     require(buckets >= 1 && buckets <= 1024, "buckets must be in [1, 1024]")
     val spark = df.sparkSession
     import spark.implicits._
+    // normalize -0.0 to 0.0 at the projection: DiscordantPairs sorts
+    // with java.lang.Double.compare semantics (-0.0 < 0.0) while the
+    // tiePairs groupBy normalizes -0.0 == 0.0 — unnormalized, a
+    // (-0.0, 0.0) pair would be counted BOTH as discordant and as a
+    // tie, double-counting and skewing tau_b.
+    def noNegZero(c: Column): Column = when(c === 0.0, 0.0).otherwise(c)
     val base = df
-      .select(col(xCol).cast("double").as("x"),
-        col(yCol).cast("double").as("y"))
+      .select(noNegZero(col(xCol).cast("double")).as("x"),
+        noNegZero(col(yCol).cast("double")).as("y"))
       .where(col("x").isNotNull && col("y").isNotNull &&
         !isnan(col("x")) && !isnan(col("y")))
       .localCheckpoint(false) // one materialization feeds all passes

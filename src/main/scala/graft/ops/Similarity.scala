@@ -155,15 +155,33 @@ object Similarity {
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     val b = broadcast(corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("cv"), l2Norm(col(vecCol)).as("cn")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id"))
+    // Per-query ranking rides the mergeable [[graft.functions
+    // .BoundedTopK]] heap on the 10⁻⁶-quantized cosine (the sq8TopK
+    // quantizer: exact integer recovery of the 6-dp-rounded score, so
+    // (ord desc, id asc) IS (cos desc, neighbor_id asc)) instead of
+    // row_number over a window: the window formulation shuffled and
+    // SORTED the full n² scored stream — at 10× scale that sort was
+    // the memory-pressure/spill variance the round-9 stress table
+    // caught on q165 (16.1× vs 3.73× of linear between same-round
+    // runs). The heap ships O(k) per query per map task, no n²-row
+    // exchange at all; the irreducible n²·d scoring stays (exact kNN
+    // over unstructured embeddings has no sub-quadratic exact path —
+    // triangle-inequality/centroid pruning needs cluster structure the
+    // random fixture lacks), but it is now pure streaming compute.
     a.crossJoin(b)
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", round(
         dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
-      .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos"))
+      .withColumn("ordq", floor(col("cos") * 1e6 + 0.5).cast("long"))
+      .groupBy("query_id")
+      .agg(graft.functions.BoundedTopK
+        .topK(col("ordq"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), (col("pos") + 1).as("rnk"),
+        col("t.id").as("neighbor_id"),
+        // k/1e6 divides back to the bit-identical 6-dp-rounded double
+        // (both are the nearest double to the same decimal)
+        (col("t.ord").cast("double") / 1e6).as("cos"))
   }
 
   /** Mutual (reciprocal) k-NN pairs: (i, j) with i < j where each is in

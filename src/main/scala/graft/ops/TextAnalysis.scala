@@ -762,7 +762,6 @@ object TextAnalysis {
   def bpeMerges(df: DataFrame, textCol: String,
       rounds: Int): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
-    val spark = df.sparkSession
     // vocabulary pass: (word, cnt), symbols pre-split char-wise with
     // sentinel spaces: "abc" -> " a b c "
     var seqs = df.where(col(textCol).isNotNull)
@@ -1206,7 +1205,6 @@ object TextAnalysis {
       .join(gw, Seq("g", "w"), "left")
       .select(col("g"), col("w"), col("nt"),
         (coalesce(col("c"), lit(0L)).cast("double") / col("nt")).as("f"))
-    val nSrc = gTot.agg(count(lit(1)).as("ns"))
     val moments = grid.groupBy("w")
       .agg(sum(col("f")).as("sf"), sum(col("f") * col("f")).as("sff"),
         count(lit(1)).as("ns"))

@@ -964,7 +964,6 @@ object TemporalQueries {
       import org.apache.spark.sql.streaming.OutputMode
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
-      val gapUs = 8L * HourUs
       // bounded slice: 30 of the generator's users (~2k rows at sf0.01)
       val slice = eventsUs(s, dir)
         .where(col("user_id") < 30)
@@ -1756,23 +1755,17 @@ object TemporalQueries {
     * drive. Cache contract matches the shingle/IVF caches: amortizes
     * within a Bench pass, cleared between passes. */
   private val intervalDriveCache =
-    new java.util.LinkedHashMap[(Int, String), org.apache.spark.sql.DataFrame](
-      4, 0.75f, true) {
-    override def removeEldestEntry(
-        e: java.util.Map.Entry[(Int, String), org.apache.spark.sql.DataFrame])
-        : Boolean = size() > 2
-  }
+    new graft.ops.SessionCache[(Int, String), org.apache.spark.sql.DataFrame](2)
 
+  /** Kept for targeted test use; Bench now clears the whole registry
+    * via [[graft.ops.SessionCache.clearAll]]. */
   private[graft] def clearIntervalDriveCache(): Unit =
-    intervalDriveCache.synchronized { intervalDriveCache.clear() }
+    intervalDriveCache.clear()
 
   private def intervalLeftOuterDrive(
       s: org.apache.spark.sql.SparkSession, dir: String)
-      : org.apache.spark.sql.DataFrame = intervalDriveCache.synchronized {
-    val key = (System.identityHashCode(s), dir)
-    val hit = intervalDriveCache.get(key)
-    if (hit != null) hit
-    else {
+      : org.apache.spark.sql.DataFrame =
+    intervalDriveCache.getOrElseUpdate((System.identityHashCode(s), dir)) {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import org.apache.spark.sql.streaming.OutputMode
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -1816,16 +1809,13 @@ object TemporalQueries {
         rmem.addData((-1L, maxTs + 40L * 24 * HourUs, -1L))
         query.processAllAvailable()
       } finally query.stop()
-      val out = StreamGate.finish(s, sink, ckpt, s.table(sink)
+      StreamGate.finish(s, sink, ckpt, s.table(sink)
         .where(col("user_id") >= 0)
         .select(col("user_id"), col("event_id"),
           unix_micros(col("ts")).as("e_ts_us"),
           col("r_event_id").as("marker_event_id"),
           unix_micros(col("r_ts")).as("m_ts_us")))
-      intervalDriveCache.put(key, out)
-      out
     }
-  }
 
   /** STREAM-STREAM interval join on the correctness gate — the last
     * streaming join shape whose ANSWERS weren't hash-checked (s05
@@ -2067,8 +2057,6 @@ object TemporalQueries {
     },
     Some {
       val k = 8
-      val q = (0 until k).map(i =>
-        s"(b$i + 0.5) / (nb + ${0.5 * k})").mkString(",\n          ")
       val terms = (0 until k).map { i =>
         val p = s"((c$i + 0.5) / (n + ${0.5 * k}))"
         val qq = s"((b$i + 0.5) / (nb + ${0.5 * k}))"

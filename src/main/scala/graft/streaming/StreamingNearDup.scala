@@ -138,16 +138,22 @@ object StreamingNearDup {
         shingleN, numHashes, bands, extra = Seq("__ts"))
       .as[(Int, String, Long, java.sql.Timestamp)]
       .groupByKey(t => (t._1, t._2))
-    keyed.flatMapGroupsWithState[List[Long], CandidatePair](
+    // state carries (members, maxSeenEventTimeMs): the timeout must be
+    // anchored to the bucket's RUNNING max event time, not the current
+    // batch's — a late-but-within-watermark batch carrying older
+    // timestamps would otherwise overwrite a later expiry with an
+    // earlier one, shortening the TTL below the documented contract.
+    keyed.flatMapGroupsWithState[(List[Long], Long), CandidatePair](
       OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
       case ((band, _), rows, state) =>
         if (state.hasTimedOut) {
           state.remove()
           Iterator.empty
         } else {
+          val (prevMembers, prevMaxTs) =
+            state.getOption.getOrElse((Nil, Long.MinValue))
           val members =
-            scala.collection.mutable.LinkedHashSet.from(
-              state.getOption.getOrElse(Nil))
+            scala.collection.mutable.LinkedHashSet.from(prevMembers)
           val out = List.newBuilder[CandidatePair]
           val batch = rows.toSeq
           batch.sortBy(_._3).foreach { r =>
@@ -158,12 +164,12 @@ object StreamingNearDup {
               members += id
             }
           }
-          state.update(members.toList)
-          // timeout must sit at/after the current watermark (late rows
-          // would otherwise schedule an already-expired timeout)
-          val maxTs = batch.map(_._4.getTime).max
+          val maxSeenTs = math.max(prevMaxTs, batch.map(_._4.getTime).max)
+          state.update((members.toList, maxSeenTs))
+          // timeout must also sit at/after the current watermark (late
+          // rows would otherwise schedule an already-expired timeout)
           state.setTimeoutTimestamp(
-            math.max(maxTs + ttlMs, state.getCurrentWatermarkMs() + 1))
+            math.max(maxSeenTs + ttlMs, state.getCurrentWatermarkMs() + 1))
           out.result().iterator
         }
     }

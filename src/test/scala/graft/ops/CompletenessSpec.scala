@@ -32,6 +32,13 @@ class CompletenessSpec extends SparkSpec {
     val out = Completeness.nullPatterns(df, Seq("a", "b"))
     assert(out.count() <= 4)
     val plan = out.queryExecution.executedPlan.toString
-    assert(!plan.contains("Join"), plan)
+    // the pct total rides a broadcast 1-row aggregate over the
+    // checkpointed <=2^k grid — never a cartesian product, never a
+    // partition-less window, and the SOURCE is scanned at most once
+    // (the grid checkpoint feeds both join sides)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(
+      "LocalTableScan".r.findAllMatchIn(plan).size <= 1, plan)
   }
 }

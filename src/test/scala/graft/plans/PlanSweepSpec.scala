@@ -75,6 +75,22 @@ class PlanSweepSpec extends SparkSpec {
     "q273_dedup_saturation" -> "groupNtile's per-group-count join: the literal single-group key folds out of the equi-join keys, leaving a BNLJ whose build side is the GROUPED count aggregate — one row per group, exactly 1 here (verified: the corpus-sized smaller/rank joins in the same plan are BroadcastHashJoin on __v)",
     "q313_burrows_delta" -> "sources x broadcast top-20 word list (TakeOrdered over the vocabulary aggregate - bounded by topM, not a 1-row aggregate, so not auto-recognized; TextAnalysis.burrowsDelta)")
 
+  /** Queries whose global (partition-less) window rides an input the
+    * structural [[rowBounded]] check can't prove bounded — each entry
+    * names the actual bound. */
+  private val globalWindowAllowed: Map[String, String] = Map(
+    "q81_benford_digits" -> "cumulative/total window over the <=9-row first-digit grid (digit domain bounds the grouped-agg input)",
+    "q84_psi_drift" -> "sum-over-all window on the k-bin drift grid (bins parameter bounds the grouped-agg input; Drift.psi)",
+    "q87_jsd_drift" -> "sum-over-all window on the k-bin drift grid (Drift.jsd)",
+    "q90_chi2_homogeneity" -> "totals window over the bounded category x group contingency grid (category domain bounds the grouped-agg input)",
+    "q131_km_retention" -> "cumulative KM windows over the duration grid - runtime requireBoundedGrid(maxGrid) guard runs BEFORE any window; the localCheckpoint hides the guarded subtree from the plan (Retention.scala:142)",
+    "q168_nelson_aalen" -> "cumulative hazard windows over the same runtime-guarded duration grid (Retention.scala:195)",
+    "q223_logrank" -> "risk-table windows over the same runtime-guarded duration grid (Retention.scala:334)",
+    "q137_lift" -> "cumulative-gain + totals windows over the <=bins-row bucket grid (grouped agg by bucket beneath)",
+    "q149_changepoint" -> "cumulative window over the dense period axis spark.range(lo, hi+1) - runtime require(span < maxPeriods) two lines above (Timeseries.scala:144); a Range leaf is structurally unbounded to the detector",
+    "q177_waterfill_mix" -> "water-filling threshold windows over the per-source totals grid (grouped agg by source beneath, <= source-domain rows; Sampling)",
+    "q229_decision_stump" -> "cumulative split-scan window over the <=bins-row localCheckpoint'ed histogram grid (FeatureEng.scala:250; the checkpoint hides the bounded aggregate)")
+
   /** Expand through AQE wrapper nodes so the traversal sees inside
     * finalized query stages and reused exchanges. */
   private def collectAll(p: SparkPlan): Seq[SparkPlan] = {
@@ -100,8 +116,40 @@ class PlanSweepSpec extends SparkSpec {
     }
   }
 
-  /** (cartesian?, unexplainedBnlj?) for one executed plan. */
-  private def violations(root: SparkPlan): (Boolean, Boolean) = {
+  /** Row-bounded subtree, recursively: limits, global aggregates and
+    * driver-materialized literals are bounded; any other node is
+    * bounded iff ALL its children are (joins/unions/generates over
+    * bounded inputs stay bounded); a raw leaf (file scan, range) is
+    * not. Used by the global-window detector — a WindowExec with an
+    * empty partitionSpec serializes its whole input through ONE task,
+    * acceptable only above a bounded subtree. */
+  private def rowBounded(p: SparkPlan): Boolean = p match {
+    case a: AdaptiveSparkPlanExec => rowBounded(a.executedPlan)
+    case q: QueryStageExec => rowBounded(q.plan)
+    case r: ReusedExchangeExec => rowBounded(r.child)
+    case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+    case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+    case _: org.apache.spark.sql.execution.CollectLimitExec => true
+    case _: org.apache.spark.sql.execution.LocalTableScanExec => true
+    case ag: BaseAggregateExec if ag.groupingExpressions.isEmpty => true
+    case other =>
+      other.children.nonEmpty && other.children.forall(rowBounded)
+  }
+
+  /** Global (partition-less) WindowExec nodes sitting above an
+    * UNBOUNDED subtree — the one scale-hazard class the BNLJ detector
+    * can't see (verdict r9 task #1): every such window serializes the
+    * full input through a single task. */
+  private def unboundedGlobalWindows(all: Seq[SparkPlan]): Seq[String] =
+    all.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty && !rowBounded(w.child) =>
+        s"global WindowExec over unbounded input: ${w.simpleStringWithNodeId()}"
+    }
+
+  /** (cartesian?, unexplainedBnlj?, unboundedGlobalWindows) for one
+    * executed plan. */
+  private def violations(root: SparkPlan): (Boolean, Boolean, Seq[String]) = {
     val all = collectAll(root)
     val cartesian = all.exists(
       _.getClass.getSimpleName.startsWith("CartesianProduct"))
@@ -109,7 +157,7 @@ class PlanSweepSpec extends SparkSpec {
       case b: BroadcastNestedLoopJoinExec => !buildSideBounded(b)
       case _ => false
     }
-    (cartesian, badBnlj)
+    (cartesian, badBnlj, unboundedGlobalWindows(all))
   }
 
   test("seeded negative: an unbounded cross join is detected") {
@@ -119,7 +167,7 @@ class PlanSweepSpec extends SparkSpec {
     val df = spark.range(0, 100).toDF("x")
       .crossJoin(spark.range(0, 100).toDF("y"))
     df.collect()
-    val (cart, bnlj) = violations(df.queryExecution.executedPlan)
+    val (cart, bnlj, _) = violations(df.queryExecution.executedPlan)
     assert(cart || bnlj, df.queryExecution.executedPlan.toString)
   }
 
@@ -128,8 +176,37 @@ class PlanSweepSpec extends SparkSpec {
     val base = spark.range(0, 100).toDF("x")
     val df = base.crossJoin(broadcast(base.agg(sum(col("x")).as("tot"))))
     df.collect()
-    val (cart, bnlj) = violations(df.queryExecution.executedPlan)
+    val (cart, bnlj, _) = violations(df.queryExecution.executedPlan)
     assert(!cart && !bnlj, df.queryExecution.executedPlan.toString)
+  }
+
+  test("seeded negative: a global window over an unbounded table is caught") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(0, 1000).toDF("x")
+      .withColumn("r", row_number().over(Window.orderBy(col("x"))))
+    df.collect()
+    val (_, _, gw) = violations(df.queryExecution.executedPlan)
+    assert(gw.nonEmpty, df.queryExecution.executedPlan.toString)
+  }
+
+  test("seeded positive: a global window over a bounded slice passes") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // limit-prefixed (the Sampling.scala:693 shape) and global-agg-fed
+    // global windows are both bounded
+    val lim = spark.range(0, 1000).toDF("x").orderBy(col("x").desc).limit(10)
+      .withColumn("r", row_number().over(Window.orderBy(col("x"))))
+    lim.collect()
+    val (_, _, gw) = violations(lim.queryExecution.executedPlan)
+    assert(gw.isEmpty, lim.queryExecution.executedPlan.toString)
+    // PARTITIONED window over an unbounded table: not a violation
+    val part = spark.range(0, 1000).toDF("x")
+      .withColumn("r",
+        row_number().over(Window.partitionBy(col("x") % 7).orderBy(col("x"))))
+    part.collect()
+    val (_, _, gw2) = violations(part.queryExecution.executedPlan)
+    assert(gw2.isEmpty, part.queryExecution.executedPlan.toString)
   }
 
   test("catalog sweep: no CartesianProduct/unbounded BNLJ anywhere") {
@@ -141,10 +218,12 @@ class PlanSweepSpec extends SparkSpec {
       try {
         val df = graft.SparkEntry.queries(name)(spark, dir)
         df.collect()
-        val (cart, bnlj) = violations(df.queryExecution.executedPlan)
+        val (cart, bnlj, gw) = violations(df.queryExecution.executedPlan)
         if (cart) bad += s"$name: CartesianProduct (never allowed)"
         if (bnlj && !bnljAllowed.contains(name))
           bad += s"$name: BNLJ with non-aggregate build side, not allowlisted"
+        if (gw.nonEmpty && !globalWindowAllowed.contains(name))
+          bad += s"$name: ${gw.mkString("; ")} — not allowlisted"
       } catch {
         case e: Throwable =>
           bad += s"$name: failed to execute at sf0.001 (${e.getMessage})"

@@ -13,7 +13,6 @@ class ProfilerPropertySpec extends SparkSpec with TableDrivenPropertyChecks {
 
   private val gen = Gen.listOfN(40,
     Gen.option(Gen.chooseNum(-1e6, 1e6, 0.0, 1.0, -1.0)))
-  private val seeds = org.scalacheck.rng.Seed(42L)
 
   private def sample(i: Int): List[Option[Double]] =
     gen(org.scalacheck.Gen.Parameters.default,
