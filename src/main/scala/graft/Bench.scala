@@ -360,6 +360,37 @@ object Bench {
             "spark.sql.streaming.stateStore.providerClass")
         }
       }
+      // the web-scale Bloom swap-in of q308's stateless decontamination
+      // screen (verdict r9 task #7): synthetic 40k-doc stream probed
+      // against a 50k-fingerprint Bloom (fpp 1%) — times the in-row
+      // winnow + bloom-filter path; the fp-rate contract is asserted in
+      // StreamingContaminationSpec
+      val scbSec = timeIt("s09_streaming_contamination_bloom") {
+        val bench = (0L until 50000L).map(_ * 2654435761L).toArray
+        val bloom = org.apache.spark.util.sketch.BloomFilter
+          .create(bench.length.toLong, 0.01)
+        bench.foreach(bloom.putLong)
+        val mem = MemoryStream[(Long, String)]
+        val ckpt = java.nio.file.Files
+          .createTempDirectory(s"graft-bench-scb-$tag").toString
+        val q = graft.streaming.StreamingContamination
+          .flagContaminatedBloom(mem.toDF.toDF("doc_id", "text"),
+            "doc_id", "text", bloom, k = 4, w = 4, minShared = 2)
+          .writeStream.format("memory").queryName(s"bench_scb_$tag")
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Append()).start()
+        (0 until 4).foreach { b =>
+          mem.addData((0 until 10000).map { i =>
+            val n = b * 10000 + i
+            (n.toLong, (0 until 30).map(j =>
+              s"w${(n * 31 + j * 7) % 100000}").mkString(" "))
+          })
+          if (b == 1 || b == 3) q.processAllAvailable()
+        }
+        q.stop()
+        spark.catalog.dropTempView(s"bench_scb_$tag")
+        deleteRecursively(new java.io.File(ckpt))
+      }
       Map("s01_streaming_profile" -> profileSec,
         "s02_streaming_dedup" -> dedupSec,
         "s03_streaming_sessionize" -> sessSec,
@@ -367,7 +398,8 @@ object Bench {
         "s05_streaming_interval_join" -> joinSec,
         "s06_streaming_heavy_hitters" -> hhSec,
         "s07_streaming_approx_distinct" -> adSec,
-        "s08_streaming_running_totals" -> rtSec)
+        "s08_streaming_running_totals" -> rtSec,
+        "s09_streaming_contamination_bloom" -> scbSec)
     }
     val sPass1 = streamingOnce("p1")
     val sPass2 = streamingOnce("p2")

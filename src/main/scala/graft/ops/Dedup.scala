@@ -1322,6 +1322,42 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** CHARACTER-PRECISION verification of winnowing candidates — the
+    * closing step of the fingerprint family (Lee et al. ACL 2022's
+    * candidate→exact-verify shape): [[winnowSharedSpans]] proposes the
+    * df-guarded candidate pairs ("these documents share fingerprints");
+    * this verifies each pair with the EXACT longest common substring of
+    * the two raw texts via the suffix-automaton expression
+    * [[graft.functions.LcsExpr]] (O(|a|+|b|) per pair, not the O(a·b)
+    * DP). Returns (i, j, n_shared, lcs_len, i_start, j_start) — starts
+    * 1-based in code points; a zero-length LCS (possible only for
+    * degenerate texts) yields (0, 0, 0) spans.
+    *
+    * Scale design: candidates are bounded by the maxDf guard before any
+    * text is joined back; the verify itself is pure map work over the
+    * candidate pairs (two broadcast-or-hash equi joins to fetch texts,
+    * then one codegen'd expression per pair) — no n² text comparison
+    * ever exists in the plan. */
+  def winnowExactSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, minShared: Int, maxDf: Int = 64): DataFrame = {
+    val cand = winnowSharedSpans(df, idCol, textCol, k, w, minShared, maxDf)
+    val ta = df.select(col(idCol).as("i"), col(textCol).as("__ta"))
+    val tb = df.select(col(idCol).as("j"), col(textCol).as("__tb"))
+    cand.join(ta, "i").join(tb, "j")
+      .withColumn("__lcs",
+        graft.functions.LcsExpr.lcs(col("__ta"), col("__tb")))
+      .select(col("i"), col("j"), col("n_shared"),
+        col("__lcs.len").as("lcs_len"),
+        // first occurrence in doc i of the maximal span found in doc j
+        // (locate/substr are code-point based on both engines)
+        when(col("__lcs.len") > 0,
+          expr("""CAST(locate(substring(__tb,
+                 CAST(__lcs.b_start AS INT), CAST(__lcs.len AS INT)),
+               __ta) AS BIGINT)"""))
+          .otherwise(lit(0L)).as("i_start"),
+        col("__lcs.b_start").as("j_start"))
+  }
+
   /** Discount-weighted effective token mass under duplication — the
     * "repeated data is worth less" accounting of data-constrained
     * scaling (Muennighoff et al. 2023 showed repeated epochs decay in

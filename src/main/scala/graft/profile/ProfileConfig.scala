@@ -103,6 +103,15 @@ final case class ProfileConfig(
       * pairs); min(pct, cap) hard-bounds it, and s.e. ~ 1/sqrt(n) makes
       * >10^4 rows statistically pointless anyway. */
     kendallSampleCap: Int = 10000,
+    /** Route the correlation matrix's Kendall through the EXACT
+      * distributed O(n log n) grid kernel
+      * ([[graft.ops.Kendall.tauBExactDistributed]], the q261 path)
+      * instead of the capped sample — the same exact-vs-sketch split
+      * the profiler already offers for distinct counts and quantiles.
+      * Full-table answer, cost = a few linear passes + a bounded
+      * per-bucket merge per pair; the capped sample (s.e. ~ 1/sqrt(n))
+      * stays the default. */
+    kendallExact: Boolean = false,
     /** phi-k for categorical pairs (off by default like the reference,
       * config_default.yaml:84-87). */
     computePhik: Boolean = false,

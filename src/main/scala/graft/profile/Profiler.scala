@@ -779,7 +779,23 @@ object Profiler {
     // ---- Optional Kendall / phi-k (off by default, reference parity) ---
     val kendallF: Future[Map[(String, String), Double]] = Future {
       if (!cfg.computeKendall || numericCols.size < 2) Map.empty
-      else {
+      else if (cfg.kendallExact) {
+        // opt-in exact path: full-table tau-b per pair through the
+        // distributed grid kernel (no sample, no O(n^2) pair space) —
+        // mirrors the exact-vs-sketch split for distinct/quantiles
+        timed("K:kendall-exact")(
+          (for { i <- numericCols.indices
+                 j <- (i + 1) until numericCols.size } yield {
+            val pair = working.select(
+              qcol(numericCols(i)).cast("double").as("x"),
+              qcol(numericCols(j)).cast("double").as("y"))
+            val r = graft.ops.Kendall
+              .tauBExactDistributed(pair, "x", "y")
+              .select("tau_b").head()
+            val tau = if (r.isNullAt(0)) Double.NaN else r.getDouble(0)
+            (numericCols(i), numericCols(j)) -> tau
+          }).toMap)
+      } else {
         // tie key must be unique per row pattern: concat_ws SKIPS nulls, so
         // (null,5) and (5,null) would both key as "5" and make the cap cut
         // run-dependent — coalesce every column to an explicit sentinel

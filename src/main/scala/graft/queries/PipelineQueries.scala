@@ -4676,6 +4676,58 @@ object PipelineQueries {
       FROM wkd a JOIN wkd b ON a.h = b.h AND a.id < b.id
       GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY i, j"""))
 
+  /** Exact maximal shared spans at character precision
+    * ([[graft.ops.Dedup.winnowExactSpans]]): every q295 candidate pair
+    * verified with the suffix-automaton longest-common-substring
+    * expression ([[graft.functions.LcsExpr]]) — closing the loop from
+    * "shared fingerprints" to "this exact span, at these positions".
+    * The oracle recomputes the LCS relationally: per-character
+    * position join, diagonal gaps-and-islands run lengths, max-length
+    * island with the earliest-end tie-break (exactly LcsExpr's
+    * contract), and strpos for the doc-i start — so the automaton is
+    * value-certified against the definitional form. */
+  val qWinnowExactSpans = Q(
+    "q316_winnow_exact_spans",
+    (s, dir) =>
+      Dedup.winnowExactSpans(table(s, dir, "documents"),
+          "doc_id", "text", k = 4, w = 4, minShared = 2, maxDf = 16)
+        .orderBy("i", "j"),
+    Some(s"""WITH ${dkWinnowCtes(4, 4)},
+      wd AS (SELECT DISTINCT id, h FROM fp),
+      wok AS (SELECT h FROM wd GROUP BY h HAVING count(*) <= 16),
+      wkd AS (SELECT wd.* FROM wd JOIN wok USING (h)),
+      cand AS (SELECT a.id AS i, b.id AS j, count(*) AS n_shared
+        FROM wkd a JOIN wkd b ON a.h = b.h AND a.id < b.id
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      prs AS (SELECT c.i, c.j, c.n_shared, a.text AS ta, b.text AS tb
+        FROM cand c JOIN documents a ON a.doc_id = c.i
+        JOIN documents b ON b.doc_id = c.j),
+      ca AS (SELECT i, j, u.p, substr(ta, u.p, 1) AS ch
+        FROM prs, unnest(range(1, length(ta) + 1)) AS u(p)),
+      cb AS (SELECT i, j, u.q, substr(tb, u.q, 1) AS ch
+        FROM prs, unnest(range(1, length(tb) + 1)) AS u(q)),
+      m AS (SELECT a.i, a.j, a.p, b.q
+        FROM ca a JOIN cb b ON a.i = b.i AND a.j = b.j AND a.ch = b.ch),
+      isl AS (SELECT i, j, p, q,
+          p - row_number() OVER (PARTITION BY i, j, p - q ORDER BY p)
+            AS grp
+        FROM m),
+      runs AS (SELECT i, j, p - q AS d, grp,
+          CAST(count(*) AS BIGINT) AS len, min(q) AS q0
+        FROM isl GROUP BY 1, 2, 3, 4),
+      best AS (SELECT i, j, len, q0,
+          row_number() OVER (PARTITION BY i, j
+            ORDER BY len DESC, q0 + len) AS rn
+        FROM runs QUALIFY rn = 1)
+      SELECT p.i AS i, p.j AS j, p.n_shared,
+        coalesce(b.len, 0) AS lcs_len,
+        CASE WHEN b.len > 0 THEN
+          CAST(strpos(p.ta, substr(p.tb, b.q0, b.len)) AS BIGINT)
+          ELSE 0 END AS i_start,
+        coalesce(b.q0, 0) AS j_start
+      FROM prs p LEFT JOIN best b ON b.i = p.i AND b.j = p.j
+      ORDER BY 1, 2"""))
+
   /** Discount-weighted effective tokens under duplication
     * ([[graft.ops.Dedup.effectiveTokens]]): copy k of a duplicate
     * family counts ⌊tok/2^(k−1)⌋ — the integer-exact per-copy decay of
@@ -5311,7 +5363,7 @@ object PipelineQueries {
     qCurationFunnel, qStreamingBudget, qKneserNey, qMmrSelect,
     qBpeFertility, qKCoreBackbone, qDistinctNgrams, qBm25Rerank,
     qChainDrift, qWinnowFp, qWinnowSpans, qWinnowAligned, qEncodingAudit,
-    qWinnowContamination, qStreamingContamination,
+    qWinnowContamination, qStreamingContamination, qWinnowExactSpans,
     qNeyman, qEffectiveTokens, qUnigramLm, qUnigramFertility,
     qUnigramMStep, qUnigramEm2, qBurrowsDelta, qHillNumbers,
     qSimhashCombos, qPqAdcRecall, qIvfPqRecall, qRboRankings,

@@ -26,6 +26,36 @@ class ProfilerCorrelationSpec extends SparkSpec {
     assert(json.contains("\"kendall\"") && json.contains("\"phik\""))
   }
 
+  test("kendallExact: exact grid path agrees with the full-sample path") {
+    // heavy ties + nulls + a duplicate-valued column: the shapes where
+    // sample-vs-exact and grid-vs-local could diverge. With
+    // kendallSamplePct=100 and cap above n, the SAMPLE path computes
+    // exact tau on the full table too (Knight's local kernel), so the
+    // two paths must agree to the exact kernel's 8-dp rounding.
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 800).map { i =>
+      val x = rnd.nextInt(12).toDouble // heavy ties
+      val y = x * 3 + rnd.nextInt(5)
+      val z = if (i % 7 == 0) None else Some(rnd.nextDouble() * 10)
+      (x, y, z, i.toLong)
+    }.toDF("x", "y", "z", "id")
+    val base = ProfileConfig.default.copy(
+      persist = false, computeCharStats = false,
+      computeKendall = true, kendallSamplePct = 100,
+      kendallSampleCap = 100000)
+    val sampled = Profiler.profile(df, base)
+    val exact = Profiler.profile(df, base.copy(kendallExact = true))
+    assert(exact.kendall.keySet == sampled.kendall.keySet)
+    exact.kendall.foreach { case (k, tExact) =>
+      val tSample = sampled.kendall(k)
+      assert(math.abs(tExact - tSample) < 1e-8,
+        s"$k: exact=$tExact sample(full)=$tSample")
+    }
+    // (degenerate/constant inputs are covered at the kernel level in
+    // KendallSpec — the profiler demotes constant columns before the
+    // correlation pass ever sees them)
+  }
+
   test("poolSize=1: full profile with Spearman on completes (no deadlock)") {
     // spearmanRanksF awaits numStatsF FROM a pool thread — FIFO-safe by
     // creation order today, but the same nested-await shape that once
