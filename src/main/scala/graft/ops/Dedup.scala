@@ -1322,6 +1322,50 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Per-document duplicated-span coverage — the Lee et al. ACL 2022
+    * "what fraction of each document is duplicated text" accounting,
+    * computed from winnowing fingerprints: a fingerprint selected in
+    * ≥ 2 documents witnesses a verbatim k-token run, so the words of
+    * doc d covered by its cross-document-shared fingerprints' spans
+    * [pos, pos+k−1] are d's duplicated mass. No pair join exists
+    * anywhere — the only corpus-wide state is the per-HASH document
+    * frequency (one map-side-combined groupBy), so boilerplate hashes
+    * cost one counter, never a fanout, and the span union is an exact
+    * ≤k-row explode per shared fingerprint + distinct positions per
+    * document. All-integer output: (id, n_words, n_fp, n_shared_fp,
+    * covered_words, dup_frac 6dp). */
+  def dupSpanCoverage(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame = {
+    val fp = winnowFingerprints(df, idCol, textCol, k, w)
+      .select("id", "pos", "h")
+    val docFreq = fp.select("id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("__df"))
+    val marked = fp.join(docFreq, Seq("h"))
+      .select(col("id"), col("pos"), (col("__df") >= 2).as("shared"))
+      .localCheckpoint(false) // feeds both the fp census and the union
+    val census = marked.groupBy("id")
+      .agg(count(lit(1)).as("n_fp"),
+        count(when(col("shared"), 1)).as("n_shared_fp"))
+    val covered = marked.where(col("shared"))
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("wp"))
+      .groupBy("id")
+      .agg(countDistinct(col("wp")).as("covered_words"))
+    val words = df.select(col(idCol).as("id"),
+      coalesce(size(graft.functions.WordNgramsExpr
+        .ngrams(col(textCol), 1, distinct = false)), lit(0))
+        .cast("long").as("n_words"))
+    words.join(census, Seq("id"), "left")
+      .join(covered, Seq("id"), "left")
+      .select(col("id"), col("n_words"),
+        coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+        coalesce(col("n_shared_fp"), lit(0L)).as("n_shared_fp"),
+        coalesce(col("covered_words"), lit(0L)).as("covered_words"),
+        when(col("n_words") > 0,
+          round(coalesce(col("covered_words"), lit(0L)).cast("double")
+            / col("n_words"), 6)).otherwise(lit(0.0)).as("dup_frac"))
+  }
+
   /** CHARACTER-PRECISION verification of winnowing candidates — the
     * closing step of the fingerprint family (Lee et al. ACL 2022's
     * candidate→exact-verify shape): [[winnowSharedSpans]] proposes the
@@ -1497,5 +1541,39 @@ object Dedup {
     pairs.join(best, Seq("i", "j"))
       .select(col("i"), col("j"), col("n_shared_h"), col("n_matches"),
         col("n_diags"), col("best_diag_matches"), col("best_span_tokens"))
+  }
+  /** LSH banding planner — which (bands, rows-per-band) split of the
+    * MinHash signature actually catches THIS corpus's near-duplicates:
+    * for every factorization b*r = numHashes, the expected detection
+    * probability P(s) = 1 - (1 - s^r)^b (the S-curve of Leskovec,
+    * Rajaraman & Ullman ch. 3) evaluated against the EMPIRICAL
+    * similarity list of verified near-dup pairs, not a hypothetical
+    * threshold. One aggregate over the bounded verified-pair table —
+    * the P columns are computed per factorization in a single pass and
+    * unpivoted with stack(), so no join of any kind exists in the
+    * plan. Returns per (bands, rows_per_band): n_pairs, avg_recall,
+    * min_recall (6 dp). */
+  def lshBandingPlan(pairs: DataFrame, simCol: String,
+      numHashes: Int): DataFrame = {
+    require(numHashes >= 2, s"numHashes must be >= 2: $numHashes")
+    val splits = (1 to numHashes)
+      .filter(numHashes % _ == 0)
+      .map(b => (b, numHashes / b))
+    val s = col(simCol).cast("double")
+    def pDetect(b: Int, r: Int) =
+      lit(1.0) - pow(lit(1.0) - pow(s, lit(r)), lit(b))
+    val aggs = count(lit(1)).as("n_pairs") +:
+      splits.flatMap { case (b, r) => Seq(
+        round(avg(pDetect(b, r)), 6).as(s"avg_$b"),
+        round(min(pDetect(b, r)), 6).as(s"min_$b")) }
+    val wide = pairs.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = splits.map { case (b, r) =>
+      s"$b, $r, avg_$b, min_$b" }.mkString(", ")
+    wide.select(col("n_pairs"), expr(
+        s"stack(${splits.size}, $stackArgs) AS " +
+          "(bands, rows_per_band, avg_recall, min_recall)"))
+      .select(col("bands"), col("rows_per_band"), col("n_pairs"),
+        col("avg_recall"), col("min_recall"))
+      .orderBy("bands")
   }
 }

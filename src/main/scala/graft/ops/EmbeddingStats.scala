@@ -133,4 +133,123 @@ object EmbeddingStats {
           .as("avg_keep_quarter"),
         (col("mh").cast("double") / lit(1e6)).as("min_keep_half"))
   }
+
+  /** Per-dimension Fisher class-separation ratio — which embedding
+    * coordinates actually separate the labels (the per-feature form of
+    * Fisher's linear discriminant, 1936): for dimension d,
+    * between-class variance Σ_c n_c(μ_cd − μ_d)²/n over within-class
+    * variance Σ_c Σ_i(x − μ_cd)²/n. The diagnostic a curation pipeline
+    * runs before trusting a labeled embedding space for hard-negative
+    * mining or class-balanced sampling — a space whose top dimensions
+    * carry all the separation is one PCA away from a cheaper index.
+    *
+    * Exactness discipline ([[int8QuantizationError]]'s): elements widen
+    * float→double (exact), then quantize to longs (value ×10⁹,
+    * square ×10¹²) BEFORE any aggregation, so every sum is exact
+    * integer arithmetic — order-invariant, bit-reproducible
+    * cross-engine; doubles only in the final per-dimension ratios.
+    * One posexplode + two map-side-combined groupBys (label×dim, then
+    * dim) — embarrassingly parallel, no shuffle wider than
+    * labels × dims cells.
+    *
+    * Returns (pos, n, between_var, within_var, fisher_ratio 6dp)
+    * ordered by pos; zero within-variance yields a null ratio. */
+  def fisherSeparation(df: DataFrame, labelCol: String,
+      vecCol: String): DataFrame = {
+    val base = df
+      .where(col(vecCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(labelCol).as("lab"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "v")))
+      .select(col("lab"), col("pos"),
+        floor(col("v") * lit(1e9) + lit(0.5)).cast("long").as("qv"),
+        floor(col("v") * col("v") * lit(1e12) + lit(0.5)).cast("long")
+          .as("qv2"))
+    val cells = base.groupBy("lab", "pos")
+      .agg(count(lit(1)).as("nc"), sum(col("qv")).as("s1"),
+        sum(col("qv2")).as("s2"))
+    val nD = col("nc").cast("double")
+    cells.groupBy("pos")
+      .agg(sum(col("nc")).as("n"),
+        sum(col("s1")).as("s1t"),
+        // within-class SS: Σ_c (S2_c/1e12 − (S1_c/1e9)²/n_c)
+        sum(col("s2").cast("double") / lit(1e12)
+          - (col("s1").cast("double") / lit(1e9))
+            * (col("s1").cast("double") / lit(1e9)) / nD).as("wss"),
+        // Σ_c n_c μ_cd² for the between term
+        sum((col("s1").cast("double") / lit(1e9))
+          * (col("s1").cast("double") / lit(1e9)) / nD).as("smu2"))
+      .select(col("pos"), col("n"),
+        round((col("smu2")
+          - (col("s1t").cast("double") / lit(1e9))
+            * (col("s1t").cast("double") / lit(1e9))
+            / col("n").cast("double")) / col("n").cast("double"), 6)
+          .as("between_var"),
+        round(col("wss") / col("n").cast("double"), 6).as("within_var"),
+        when(col("wss") > 0.0,
+          round((col("smu2")
+            - (col("s1t").cast("double") / lit(1e9))
+              * (col("s1t").cast("double") / lit(1e9))
+              / col("n").cast("double")) / col("wss"), 6))
+          .as("fisher_ratio"))
+      .orderBy("pos")
+  }
+
+  /** Two-NN intrinsic-dimension estimate (Facco, d'Errico, Rodriguez &
+    * Laio, Scientific Reports 2017): with μ_i = d2_i/d1_i the ratio of
+    * each point's second- to first-neighbor distance, the MLE of the
+    * manifold's intrinsic dimension is n / Σ ln μ_i — the curse-of-
+    * dimensionality gauge run before choosing an ANN index (IVF cell
+    * counts, PQ sub-dims and LSH band widths all degrade as intrinsic
+    * dimension approaches ambient).
+    *
+    * Exact-oracle tool of the q165 family: O(n²) pairwise by
+    * construction (neighbor distances rank on per-element-quantized
+    * squared distances — exact longs, so the d1/d2 selection is
+    * bit-deterministic cross-engine); at corpus scale take d1/d2 from
+    * the ANN ladder instead. Points with a zero first distance (exact
+    * duplicate vectors) are excluded, as the estimator requires.
+    * Returns one row (n_used, id_hat 4dp, ambient_dims). */
+  def intrinsicDimension(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val a = df.where(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("qid"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val b = broadcast(df.where(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("cid"),
+        col(vecCol).cast("array<double>").as("cv")))
+    // per-element-quantized squared distance: Σ floor((x−y)²·10¹² + ½)
+    // — exact long per pair, identical in any engine
+    val qdsq = aggregate(
+      zip_with(col("qv"), col("cv"),
+        (x, y) => floor((x - y) * (x - y) * lit(1e12) + lit(0.5))
+          .cast("long")),
+      lit(0L), (acc, t) => acc + t)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("qd"), col("cid"))
+    val nn2 = a.crossJoin(b)
+      .where(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), qdsq.as("qd"))
+      .where(col("qd") > 0L)
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 2)
+      .groupBy("qid")
+      .agg(count(lit(1)).as("k"),
+        min(when(col("rnk") === 1, col("qd"))).as("d1"),
+        min(when(col("rnk") === 2, col("qd"))).as("d2"))
+      .where(col("k") === 2)
+    val dims = df.where(col(vecCol).isNotNull)
+      .agg(min(size(col(vecCol))).as("nd"))
+    nn2.select(
+        // ln μ = ½ ln(d2/d1), both exact longs
+        (log(col("d2").cast("double") / col("d1").cast("double")) / 2.0)
+          .as("lnmu"))
+      .agg(count(lit(1)).as("n_used"), sum(col("lnmu")).as("slog"))
+      .crossJoin(broadcast(dims))
+      .select(col("n_used"),
+        when(col("slog") > 0.0,
+          round(col("n_used").cast("double") / col("slog"), 4))
+          .as("id_hat"),
+        col("nd").cast("int").as("ambient_dims"))
+  }
 }

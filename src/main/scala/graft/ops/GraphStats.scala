@@ -190,4 +190,46 @@ object GraphStats {
       s"k-core did not reach the fixpoint in $maxIter rounds")
     degrees(e)
   }
+
+  /** Degree assortativity coefficient (Newman, PRL 2002): the Pearson
+    * correlation of end-point degrees over all directed edge
+    * instances (each undirected edge counted in both orientations).
+    * Positive = hubs attach to hubs (a near-dup graph with assortative
+    * duplicate families collapses well under canonical-doc selection);
+    * negative = star-like boilerplate hubs.
+    *
+    * All sums are exact integer arithmetic over long degrees (no
+    * double accumulation anywhere — the correlation's five sufficient
+    * statistics are Σx, Σx², Σxy over integer degrees), so the result
+    * is bit-reproducible at any partitioning. Cost: one groupBy for
+    * degrees + two broadcast-or-hash joins back to the edge list.
+    * Returns one row (n_nodes, n_edges, assortativity 6dp — null for
+    * degree-regular graphs where the variance is zero). */
+  def assortativity(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val canon = canonical(edges, srcCol, dstCol)
+      .localCheckpoint(false) // degrees + both orientations share it
+    val deg = canon.select(col("u").as("n"))
+      .unionAll(canon.select(col("w").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val directed = canon.select(col("u").as("a"), col("w").as("b"))
+      .unionAll(canon.select(col("w").as("a"), col("u").as("b")))
+    val joined = directed
+      .join(deg.select(col("n").as("a"), col("deg").as("dx")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("deg").as("dy")), Seq("b"))
+    val stats = joined.agg(
+      count(lit(1)).as("m2"), // 2·|E|
+      sum(col("dx")).as("sx"),
+      sum(col("dx") * col("dx")).as("sxx"),
+      sum(col("dx") * col("dy")).as("sxy"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    // by symmetry of the doubled edge list, Σy = Σx and Σy² = Σx²
+    val m = col("m2").cast("double")
+    val sx2 = col("sx").cast("double") * col("sx").cast("double")
+    val num = (col("sxy").cast("double") * m) - sx2
+    val den = (col("sxx").cast("double") * m) - sx2
+    stats.crossJoin(broadcast(nNodes))
+      .select(col("n_nodes"), (col("m2") / 2).cast("long").as("n_edges"),
+        when(den > 0.0, round(num / den, 6)).as("assortativity"))
+  }
 }

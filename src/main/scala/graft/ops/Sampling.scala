@@ -793,4 +793,68 @@ object Sampling {
         cnt(col("pass_d")).as("n_dedup"), tok(col("pass_d")).as("t_dedup"),
         cnt(col("pass_c")).as("n_cap"), tok(col("pass_c")).as("t_cap"))
   }
+  /** Temperature-scaled source mixing (the multilingual-LM sampling
+    * rule of mC4/mT5, Xue et al. NAACL 2021 sec 3.2: sample source s
+    * with probability proportional to its mass^(1/T)): weights
+    * proportional to sqrt(token mass) — T = 2, the common flattening
+    * that up-samples small sources without letting any source's share
+    * collapse to its raw proportion. sqrt is IEEE-correctly-rounded in
+    * every engine (unlike pow), so the per-source weight is
+    * deterministic; the 20-source weight normalization is the only
+    * double sum and the output rounds to 6 dp. planned_docs derives
+    * from the ROUNDED weight (floor(w6 * budget + 1e-9)) so both
+    * engines floor the same quantity. Returns per source:
+    * (source, n_docs, tokens, raw_share 6dp, weight 6dp,
+    * planned_docs). */
+  def temperatureMix(df: DataFrame, sourceCol: String, textCol: String,
+      budgetDocs: Long): DataFrame = {
+    require(budgetDocs >= 1, s"budgetDocs must be >= 1: $budgetDocs")
+    val per = df.where(col(textCol).isNotNull)
+      .groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.nTokensWhitespace(col(textCol)).cast("long"))
+          .as("tokens"))
+      .localCheckpoint(false) // totals + the weighted scan share it
+    val totals = per.agg(sum(col("tokens")).as("tot"),
+      sum(sqrt(col("tokens").cast("double"))).as("sq_tot"))
+    per.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        round(col("tokens").cast("double") / col("tot"), 6)
+          .as("raw_share"),
+        round(sqrt(col("tokens").cast("double")) / col("sq_tot"), 6)
+          .as("weight"))
+      .withColumn("planned_docs",
+        floor(col("weight") * lit(budgetDocs.toDouble) + lit(1e-9))
+          .cast("long"))
+      .orderBy("source")
+  }
+  /** Sequence-packing padding waste at a fixed context length — the
+    * "how much compute do we burn on pad tokens" accounting of naive
+    * one-doc-per-sequence batching (the number global packing / q183
+    * exists to beat): per source, exact token mass, sequence count at
+    * ceil(tokens/seqLen) per doc, padded mass, waste and efficiency.
+    * All-integer except the final 6-dp ratio; one map-side-combined
+    * aggregate. */
+  def paddingWaste(df: DataFrame, sourceCol: String, textCol: String,
+      seqLen: Int): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1: $seqLen")
+    val n = TextAnalysis.nTokensWhitespace(col(textCol)).cast("long")
+    df.where(col(textCol).isNotNull)
+      .select(col(sourceCol).as("source"), n.as("n"))
+      // Column./ is DOUBLE division — ceil-divide with the integer
+      // `div` operator so every mass stays an exact long
+      .withColumn("n_seq", expr(s"(n + ${seqLen - 1}) div $seqLen"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("tokens"),
+        sum(col("n_seq")).as("n_seqs"),
+        sum(col("n_seq") * seqLen).as("padded_tokens"))
+      .select(col("source"), col("n_docs"), col("tokens"), col("n_seqs"),
+        col("padded_tokens"),
+        (col("padded_tokens") - col("tokens")).as("pad_waste"),
+        when(col("padded_tokens") > 0,
+          round(col("tokens").cast("double") / col("padded_tokens"), 6))
+          .otherwise(lit(1.0)).as("efficiency"))
+      .orderBy("source")
+  }
 }

@@ -1274,4 +1274,88 @@ object TextAnalysis {
           .cast("double") * 1000000.0 / greatest(col("n_chars"), lit(1L)), 6)
           .as("damage_per_mchar"))
   }
+  /** Distinctive vocabulary of one source vs the rest — Monroe,
+    * Colaresi & Quinn's "Fightin' Words" log-odds ratio with an
+    * informative Dirichlet prior (Political Analysis 2008, eq. 15-22):
+    * per word w, delta = ln((y_sw + a_w)/(n_s + a0 - y_sw - a_w))
+    * - ln((y_rw + a_w)/(n_r + a0 - y_rw - a_w)) with variance
+    * ~ 1/(y_sw + a_w) + 1/(y_rw + a_w), prior a_w = priorMass * f_w
+    * from the CORPUS-WIDE word distribution (the informative prior
+    * that shrinks rare-word noise, unlike raw PMI/TF-IDF contrasts).
+    * The standard "what is this source actually about" report of
+    * corpus curation.
+    *
+    * All counts are exact longs (two map-side-combined groupBys over
+    * the exploded words); doubles appear only in the per-word closed
+    * form (no double accumulation), and the z-score is 6-dp rounded
+    * BEFORE the top-k rank so ordering is engine-portable. Returns the
+    * `topM` words most distinctive FOR the source: (rank, word,
+    * y_source, y_rest, z 6dp) by (z desc, word asc). */
+  def logOddsTerms(df: DataFrame, sourceCol: String, textCol: String,
+      source: String, topM: Int = 15,
+      priorMass: Double = 500.0): DataFrame = {
+    require(topM >= 1, s"topM must be >= 1: $topM")
+    require(priorMass > 0, s"priorMass must be positive: $priorMass")
+    val toks = df.where(col(textCol).isNotNull)
+      .select((col(sourceCol) === source).as("in_src"),
+        explode(words(col(textCol))).as("w"))
+    val wc = toks.groupBy("w")
+      .agg(count(when(col("in_src"), 1)).as("ys"),
+        count(when(!col("in_src"), 1)).as("yr"))
+      .localCheckpoint(false) // totals + the scored scan share it
+    val totals = wc.agg(sum(col("ys")).as("ns"), sum(col("yr")).as("nr"),
+      sum(col("ys") + col("yr")).as("ntot"))
+    val aw = lit(priorMass) * (col("ys") + col("yr")).cast("double") /
+      col("ntot").cast("double")
+    val dS = col("ys").cast("double") + aw
+    val dR = col("yr").cast("double") + aw
+    val delta =
+      log(dS / (col("ns").cast("double") + lit(priorMass) - dS)) -
+        log(dR / (col("nr").cast("double") + lit(priorMass) - dR))
+    val z = round(delta / sqrt(lit(1.0) / dS + lit(1.0) / dR), 6)
+    val scored = wc.crossJoin(broadcast(totals))
+      .select(col("w"), col("ys"), col("yr"), z.as("z"))
+      .orderBy(col("z").desc, col("w")).limit(topM)
+    // rank over the bounded topM slice only
+    val w2 = org.apache.spark.sql.expressions.Window
+      .orderBy(col("z").desc, col("w"))
+    scored.withColumn("rank", row_number().over(w2))
+      .select(col("rank"), col("w").as("word"),
+        col("ys").as("y_source"), col("yr").as("y_rest"), col("z"))
+  }
+  /** Heaps'-law fit over per-source vocabulary points: V = K * N^beta
+    * estimated by log-log OLS over the (total tokens, distinct words)
+    * point per source (Heaps 1978; beta ~ 0.4-0.6 for natural text —
+    * a corpus whose beta rides near 1 is ID-like/templated, near 0 is
+    * a closed vocabulary). Two map-side-combined aggregates per source
+    * (token mass, exact distinct), then a 20-point closed-form
+    * regression — the vocabulary-growth sanity check run before sizing
+    * a tokenizer. Returns one row (n_sources, beta 6dp, k 6dp,
+    * r2 6dp); fewer than 2 usable points yields nulls. */
+  def heapsLawFit(df: DataFrame, sourceCol: String,
+      textCol: String): DataFrame = {
+    val toks = df.where(col(textCol).isNotNull)
+      .select(col(sourceCol).as("g"), explode(words(col(textCol))).as("w"))
+    val per = toks.groupBy("g")
+      .agg(count(lit(1)).as("nTok"), countDistinct(col("w")).as("vocab"))
+      .where(col("nTok") > 0 && col("vocab") > 0)
+    val pts = per.select(log(col("nTok").cast("double")).as("x"),
+      log(col("vocab").cast("double")).as("y"))
+    val st = pts.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val n = col("n").cast("double")
+    val covN = (n * col("sxy")) - (col("sx") * col("sy"))
+    val varXN = (n * col("sxx")) - (col("sx") * col("sx"))
+    val varYN = (n * col("syy")) - (col("sy") * col("sy"))
+    val beta = covN / varXN
+    st.select(col("n").as("n_sources"),
+      when(col("n") >= 2 && varXN > 0.0, round(beta, 6)).as("beta"),
+      when(col("n") >= 2 && varXN > 0.0,
+        round(exp((col("sy") - beta * col("sx")) / n), 6)).as("k"),
+      when(col("n") >= 2 && varXN > 0.0 && varYN > 0.0,
+        round((covN * covN) / (varXN * varYN), 6)).as("r2"))
+  }
 }

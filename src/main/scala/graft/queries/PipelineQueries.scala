@@ -5355,6 +5355,305 @@ object PipelineQueries {
           / greatest(sum(nc), 1), 6) AS damage_per_mchar
       FROM per GROUP BY 1 ORDER BY source"""))
 
+  /** Per-dimension Fisher class separation
+    * ([[graft.ops.EmbeddingStats.fisherSeparation]]): between/within
+    * class variance per embedding coordinate, all sums exact longs
+    * (value ×10⁹, square ×10¹² quantization) so the gate is
+    * bit-deterministic; oracle replays the quantized cell algebra. */
+  val qFisherSeparation = Q(
+    "q320_fisher_separation",
+    (s, dir) =>
+      graft.ops.EmbeddingStats.fisherSeparation(
+        table(s, dir, "embeddings"), "label", "embedding"),
+    Some("""WITH e AS (SELECT label,
+          unnest([{'pos': i - 1, 'v': CAST(embedding[i] AS DOUBLE)}
+            for i in range(1, len(embedding) + 1)]) AS u
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND label IS NOT NULL),
+      q AS (SELECT label, u.pos AS pos,
+          CAST(floor(u.v * 1e9 + 0.5) AS BIGINT) AS qv,
+          CAST(floor(u.v * u.v * 1e12 + 0.5) AS BIGINT) AS qv2
+        FROM e),
+      cells AS (SELECT label, pos, count(*) AS nc,
+          CAST(sum(qv) AS BIGINT) AS s1, CAST(sum(qv2) AS BIGINT) AS s2
+        FROM q GROUP BY 1, 2)
+      SELECT pos, CAST(sum(nc) AS BIGINT) AS n,
+        round((sum((s1::DOUBLE / 1e9) * (s1::DOUBLE / 1e9) / nc)
+          - (CAST(sum(s1) AS BIGINT)::DOUBLE / 1e9)
+            * (CAST(sum(s1) AS BIGINT)::DOUBLE / 1e9)
+            / sum(nc)) / sum(nc), 6) AS between_var,
+        round(sum(s2::DOUBLE / 1e12
+          - (s1::DOUBLE / 1e9) * (s1::DOUBLE / 1e9) / nc)
+          / sum(nc), 6) AS within_var,
+        CASE WHEN sum(s2::DOUBLE / 1e12
+            - (s1::DOUBLE / 1e9) * (s1::DOUBLE / 1e9) / nc) > 0 THEN
+          round((sum((s1::DOUBLE / 1e9) * (s1::DOUBLE / 1e9) / nc)
+            - (CAST(sum(s1) AS BIGINT)::DOUBLE / 1e9)
+              * (CAST(sum(s1) AS BIGINT)::DOUBLE / 1e9)
+              / sum(nc))
+            / sum(s2::DOUBLE / 1e12
+              - (s1::DOUBLE / 1e9) * (s1::DOUBLE / 1e9) / nc), 6)
+          END AS fisher_ratio
+      FROM cells GROUP BY pos ORDER BY pos"""))
+
+  /** Two-NN intrinsic dimension
+    * ([[graft.ops.EmbeddingStats.intrinsicDimension]], Facco et al.
+    * 2017): MLE n/Σln(d2/d1) over per-element-quantized exact squared
+    * distances — the O(n²) oracle-tool family (q165/q174); the oracle
+    * replays the quantized distance, the (d1, d2) selection, and the
+    * estimator. */
+  val qIntrinsicDim = Q(
+    "q321_intrinsic_dim",
+    (s, dir) =>
+      graft.ops.EmbeddingStats.intrinsicDimension(
+        table(s, dir, "embeddings"), "vec_id", "embedding"),
+    Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev
+        FROM embeddings WHERE embedding IS NOT NULL),
+      pd AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+          CAST(list_sum([CAST(floor((a.ev[i] - b.ev[i])
+              * (a.ev[i] - b.ev[i]) * 1e12 + 0.5) AS BIGINT)
+            for i in range(1, len(a.ev) + 1)]) AS BIGINT) AS qd
+        FROM v a CROSS JOIN v b WHERE a.vec_id != b.vec_id),
+      rk AS (SELECT qid, qd,
+          row_number() OVER (PARTITION BY qid ORDER BY qd, cid) AS rn
+        FROM pd WHERE qd > 0 QUALIFY rn <= 2),
+      nn AS (SELECT qid, count(*) AS k,
+          min(CASE WHEN rn = 1 THEN qd END) AS d1,
+          min(CASE WHEN rn = 2 THEN qd END) AS d2
+        FROM rk GROUP BY qid HAVING count(*) = 2),
+      est AS (SELECT count(*) AS n_used,
+          sum(ln(d2::DOUBLE / d1::DOUBLE) / 2) AS slog
+        FROM nn)
+      SELECT n_used,
+        CASE WHEN slog > 0 THEN round(n_used / slog, 4) END AS id_hat,
+        (SELECT CAST(min(len(ev)) AS INT) FROM v) AS ambient_dims
+      FROM est"""))
+
+  /** Per-document duplicated-span coverage
+    * ([[graft.ops.Dedup.dupSpanCoverage]], the Lee et al. ACL 2022
+    * corpus-duplication accounting): words covered by cross-document-
+    * shared winnowing fingerprints' k-token spans. All-integer gate;
+    * the oracle replays the df marking, the span explode, and the
+    * distinct-position union. */
+  val qDupCoverage = Q(
+    "q322_dup_coverage",
+    (s, dir) =>
+      Dedup.dupSpanCoverage(table(s, dir, "documents"),
+          "doc_id", "text", k = 4, w = 4)
+        .orderBy("id"),
+    Some(s"""WITH ${dkWinnowCtes(4, 4)},
+      dfq AS (SELECT h, count(DISTINCT id) AS df FROM fp GROUP BY h),
+      mk AS (SELECT fp.id, fp.fpos AS pos, dfq.df >= 2 AS shared
+        FROM fp JOIN dfq USING (h)),
+      census AS (SELECT id, count(*) AS n_fp,
+          count(CASE WHEN shared THEN 1 END) AS n_shared_fp
+        FROM mk GROUP BY id),
+      cov AS (SELECT id, count(DISTINCT pos + d) AS covered_words
+        FROM mk, unnest(range(0, 4)) AS u(d) WHERE shared GROUP BY id),
+      wrd AS (SELECT doc_id AS id,
+          CAST(coalesce(len($dkWords), 0) AS BIGINT) AS n_words
+        FROM documents)
+      SELECT w.id, w.n_words,
+        coalesce(c.n_fp, 0) AS n_fp,
+        coalesce(c.n_shared_fp, 0) AS n_shared_fp,
+        coalesce(v.covered_words, 0) AS covered_words,
+        CASE WHEN w.n_words > 0 THEN
+          round(coalesce(v.covered_words, 0)::DOUBLE / w.n_words, 6)
+          ELSE 0.0 END AS dup_frac
+      FROM wrd w LEFT JOIN census c ON c.id = w.id
+      LEFT JOIN cov v ON v.id = w.id
+      ORDER BY w.id"""))
+
+  /** Degree assortativity of the winnow candidate graph
+    * ([[graft.ops.GraphStats.assortativity]], Newman PRL 2002):
+    * Pearson of end-point degrees over both edge orientations, all
+    * sufficient statistics exact integer arithmetic. */
+  val qAssortativity = Q(
+    "q323_assortativity",
+    (s, dir) =>
+      graft.ops.GraphStats.assortativity(
+        Dedup.winnowSharedSpans(table(s, dir, "documents"),
+          "doc_id", "text", k = 4, w = 4, minShared = 2, maxDf = 16),
+        "i", "j"),
+    Some(s"""WITH ${dkWinnowCtes(4, 4)},
+      wd AS (SELECT DISTINCT id, h FROM fp),
+      wok AS (SELECT h FROM wd GROUP BY h HAVING count(*) <= 16),
+      wkd AS (SELECT wd.* FROM wd JOIN wok USING (h)),
+      cand AS (SELECT a.id AS i, b.id AS j
+        FROM wkd a JOIN wkd b ON a.h = b.h AND a.id < b.id
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM (
+          SELECT i AS n FROM cand UNION ALL SELECT j AS n FROM cand)
+        GROUP BY n),
+      dir2 AS (SELECT i AS a, j AS b FROM cand
+        UNION ALL SELECT j AS a, i AS b FROM cand),
+      st AS (SELECT CAST(count(*) AS BIGINT) AS m2,
+          CAST(sum(dx.deg) AS BIGINT) AS sx,
+          CAST(sum(dx.deg * dx.deg) AS BIGINT) AS sxx,
+          CAST(sum(dx.deg * dy.deg) AS BIGINT) AS sxy
+        FROM dir2 JOIN deg dx ON dx.n = dir2.a
+        JOIN deg dy ON dy.n = dir2.b)
+      SELECT (SELECT count(*) FROM deg) AS n_nodes,
+        m2 // 2 AS n_edges,
+        CASE WHEN sxx::DOUBLE * m2 - sx::DOUBLE * sx > 0 THEN
+          round((sxy::DOUBLE * m2 - sx::DOUBLE * sx)
+            / (sxx::DOUBLE * m2 - sx::DOUBLE * sx), 6) END
+          AS assortativity
+      FROM st"""))
+
+  /** Distinctive vocabulary via informative-Dirichlet log-odds
+    * ([[graft.ops.TextAnalysis.logOddsTerms]], Monroe, Colaresi &
+    * Quinn 2008): the top-15 words most characteristic of src0 vs the
+    * rest, z-scored with a corpus-frequency prior; the z is rounded
+    * BEFORE ranking so the top-k is engine-portable. */
+  val qLogOddsTerms = Q(
+    "q324_log_odds_terms",
+    (s, dir) =>
+      TextAnalysis.logOddsTerms(table(s, dir, "documents"),
+        "source", "text", source = "src0", topM = 15),
+    Some(s"""WITH toks AS (SELECT source = 'src0' AS in_src,
+          unnest($dkWords) AS w
+        FROM documents WHERE text IS NOT NULL),
+      wc AS (SELECT w,
+          CAST(count(CASE WHEN in_src THEN 1 END) AS BIGINT) AS ys,
+          CAST(count(CASE WHEN NOT in_src THEN 1 END) AS BIGINT) AS yr
+        FROM toks GROUP BY w),
+      tot AS (SELECT CAST(sum(ys) AS BIGINT) AS ns,
+          CAST(sum(yr) AS BIGINT) AS nr,
+          CAST(sum(ys + yr) AS BIGINT) AS ntot
+        FROM wc),
+      sc AS (SELECT w, ys, yr,
+          round((ln((ys + aw) / (ns + 500.0 - ys - aw))
+            - ln((yr + aw) / (nr + 500.0 - yr - aw)))
+            / sqrt(1.0 / (ys + aw) + 1.0 / (yr + aw)), 6) AS z
+        FROM (SELECT w, ys, yr, ns, nr,
+            500.0 * (ys + yr) / ntot AS aw
+          FROM wc CROSS JOIN tot)),
+      top AS (SELECT w, ys, yr, z FROM sc ORDER BY z DESC, w LIMIT 15)
+      SELECT CAST(row_number() OVER (ORDER BY z DESC, w) AS INT) AS rank,
+        w AS word, ys AS y_source, yr AS y_rest, z
+      FROM top ORDER BY rank"""))
+
+  /** Temperature-scaled source mixing
+    * ([[graft.ops.Sampling.temperatureMix]], the mT5/mC4 T=2 rule):
+    * per-source weight ∝ sqrt(token mass) — sqrt is correctly rounded
+    * in both engines, so the weights gate exactly; planned_docs floors
+    * the ROUNDED weight on both sides. */
+  val qTemperatureMix = Q(
+    "q325_temperature_mix",
+    (s, dir) =>
+      Sampling.temperatureMix(table(s, dir, "documents"),
+        "source", "text", budgetDocs = 200L),
+    Some(s"""WITH per AS (SELECT source,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(len($dkWords)) AS BIGINT) AS tokens
+        FROM documents WHERE text IS NOT NULL GROUP BY source),
+      tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS t,
+          sum(sqrt(tokens::DOUBLE)) AS sq FROM per)
+      SELECT source, n_docs, tokens,
+        round(tokens::DOUBLE / t, 6) AS raw_share,
+        round(sqrt(tokens::DOUBLE) / sq, 6) AS weight,
+        CAST(floor(round(sqrt(tokens::DOUBLE) / sq, 6) * 200 + 1e-9)
+          AS BIGINT) AS planned_docs
+      FROM per CROSS JOIN tot ORDER BY source"""))
+
+  /** Heaps'-law vocabulary-growth fit
+    * ([[graft.ops.TextAnalysis.heapsLawFit]]): log-log OLS of
+    * V = K·N^beta over the 20 per-source (token-mass, exact-distinct)
+    * points — the tokenizer-sizing sanity check. */
+  val qHeapsLaw = Q(
+    "q327_heaps_law",
+    (s, dir) =>
+      TextAnalysis.heapsLawFit(table(s, dir, "documents"),
+        "source", "text"),
+    Some(s"""WITH per AS (SELECT source,
+          CAST(count(*) AS BIGINT) AS nTok,
+          CAST(count(DISTINCT w) AS BIGINT) AS vocab
+        FROM (SELECT source, unnest($dkWords) AS w
+          FROM documents WHERE text IS NOT NULL)
+        GROUP BY source HAVING count(*) > 0 AND count(DISTINCT w) > 0),
+      pts AS (SELECT ln(nTok::DOUBLE) AS x, ln(vocab::DOUBLE) AS y
+        FROM per),
+      st AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+          sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx,
+          sum(y * y) AS syy
+        FROM pts)
+      SELECT n AS n_sources,
+        CASE WHEN n >= 2 AND n * sxx - sx * sx > 0 THEN
+          round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) END
+          AS beta,
+        CASE WHEN n >= 2 AND n * sxx - sx * sx > 0 THEN
+          round(exp((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+            * sx) / n), 6) END AS k,
+        CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+            AND n * syy - sy * sy > 0 THEN
+          round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) END AS r2
+      FROM st"""))
+
+  /** LSH banding planner ([[graft.ops.Dedup.lshBandingPlan]]): for
+    * every (b, r) factorization of the 16-hash signature, the S-curve
+    * detection probability 1−(1−s^r)^b averaged over the EMPIRICAL
+    * verified near-dup pair similarities (q22's list) — the banding
+    * choice evaluated against this corpus's actual duplicates, not a
+    * hypothetical threshold. No join in the plan: one aggregate pass
+    * computes every factorization's columns, stack() unpivots. */
+  val qLshPlanner = Q(
+    "q328_lsh_planner",
+    (s, dir) =>
+      Dedup.lshBandingPlan(
+        Dedup.jaccardPairsCached(
+          Dedup.wordShingleTableCached(table(s, dir, "documents"),
+            "doc_id", "text", 5), 0.8),
+        "jaccard", numHashes = 16),
+    Some(s"""WITH w AS (SELECT doc_id AS id, $dkWords AS ws FROM documents),
+      sh AS (SELECT id, unnest(list_distinct(
+               [array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws) - 3)])) AS g
+             FROM w WHERE len(ws) >= 5),
+      sz AS (SELECT id, count(*) sz FROM sh GROUP BY id),
+      cm AS (SELECT a.id i, b.id j, count(*) common
+             FROM sh a JOIN sh b ON a.g = b.g AND a.id < b.id GROUP BY 1, 2),
+      prs AS (SELECT round(CAST(common AS DOUBLE)
+              / (sa.sz + sb.sz - common), 6) AS s
+        FROM cm JOIN sz sa ON sa.id = i JOIN sz sb ON sb.id = j
+        WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.8),
+      facs AS (SELECT unnest([{'b': 1, 'r': 16}, {'b': 2, 'r': 8},
+          {'b': 4, 'r': 4}, {'b': 8, 'r': 2}, {'b': 16, 'r': 1}]) AS f),
+      agg AS (SELECT f.b AS bands, f.r AS rows_per_band,
+          (SELECT CAST(count(*) AS BIGINT) FROM prs) AS n_pairs,
+          (SELECT round(avg(1 - power(1 - power(s, f.r), f.b)), 6)
+            FROM prs) AS avg_recall,
+          (SELECT round(min(1 - power(1 - power(s, f.r), f.b)), 6)
+            FROM prs) AS min_recall
+        FROM facs)
+      SELECT CAST(bands AS INT) AS bands,
+        CAST(rows_per_band AS INT) AS rows_per_band,
+        n_pairs, avg_recall, min_recall
+      FROM agg ORDER BY bands"""))
+
+  /** Padding-waste accounting at context length 256
+    * ([[graft.ops.Sampling.paddingWaste]]): the all-integer
+    * one-doc-per-sequence waste table that the global packing row
+    * (q183) exists to beat. */
+  val qPaddingWaste = Q(
+    "q329_padding_waste",
+    (s, dir) =>
+      Sampling.paddingWaste(table(s, dir, "documents"),
+        "source", "text", seqLen = 256),
+    Some(s"""WITH d AS (SELECT source,
+          CAST(len($dkWords) AS BIGINT) AS n
+        FROM documents WHERE text IS NOT NULL)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n) AS BIGINT) AS tokens,
+        CAST(sum((n + 255) // 256) AS BIGINT) AS n_seqs,
+        CAST(sum(((n + 255) // 256) * 256) AS BIGINT) AS padded_tokens,
+        CAST(sum(((n + 255) // 256) * 256) - sum(n) AS BIGINT)
+          AS pad_waste,
+        CASE WHEN sum(((n + 255) // 256) * 256) > 0 THEN
+          round(sum(n)::DOUBLE / sum(((n + 255) // 256) * 256), 6)
+          ELSE 1.0 END AS efficiency
+      FROM d GROUP BY source ORDER BY source"""))
+
   val all: Seq[Q] = Seq(qWeightedReservoir, qMinhashEstimate, qSimhashPairs,
     qStupidBackoff, qDupSpans, qDsirWeights, qQualitySweep, qSourceKl,
     qKCenter, qPriorityDedup, qPplBuckets, qQueryLikelihood,
@@ -5364,6 +5663,8 @@ object PipelineQueries {
     qBpeFertility, qKCoreBackbone, qDistinctNgrams, qBm25Rerank,
     qChainDrift, qWinnowFp, qWinnowSpans, qWinnowAligned, qEncodingAudit,
     qWinnowContamination, qStreamingContamination, qWinnowExactSpans,
+    qFisherSeparation, qIntrinsicDim, qDupCoverage, qAssortativity,
+    qLogOddsTerms, qTemperatureMix, qHeapsLaw, qLshPlanner, qPaddingWaste,
     qNeyman, qEffectiveTokens, qUnigramLm, qUnigramFertility,
     qUnigramMStep, qUnigramEm2, qBurrowsDelta, qHillNumbers,
     qSimhashCombos, qPqAdcRecall, qIvfPqRecall, qRboRankings,

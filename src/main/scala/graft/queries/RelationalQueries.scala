@@ -1081,10 +1081,200 @@ object RelationalQueries {
       JOIN nation n2 ON n2.n_nationkey = s_nationkey
       GROUP BY 1 ORDER BY 1"""))
 
+  /** TPC-H Q7 shape (volume shipping): revenue flowing between two
+    * nations in either direction, by (supp_nation, cust_nation, year).
+    * Plan intent: the OR-of-two-nation-pairs predicate sits on the
+    * joined 25×25 nation pair — Catalyst pushes each nation's half to
+    * its broadcast side; lineitem⨝orders shuffles on the order key
+    * once; volume rides DECIMAL so the rollup is order-exact. */
+  val qTpchQ7 = Q(
+    "q317_tpch_q7",
+    (s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).as("l_year"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(18, 4)).as("volume"))
+      val sup = table(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val ord = table(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val cust = table(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val n1 = table(s, dir, "nation")
+        .select(col("n_nationkey").as("sn_key"),
+          col("n_name").as("supp_nation"))
+      val n2 = table(s, dir, "nation")
+        .select(col("n_nationkey").as("cn_key"),
+          col("n_name").as("cust_nation"))
+      li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
+        .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
+        .where((col("supp_nation") === "NATION_1" &&
+            col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_1"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(sum(col("volume")).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+    Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        CAST(year(l_shipdate) AS INT) AS l_year,
+        CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+          AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        count(*) AS n_items
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+
+  /** TPC-H Q10 shape (returned-item reporting): top 20 customers by
+    * revenue lost to returns in one quarter. Plan intent: the order-
+    * date range prunes orders BEFORE the fact-fact join; the returnflag
+    * filter prunes lineitem at the scan (PushedFilters); nation
+    * broadcasts; the top-20 is a TakeOrdered on the DECIMAL revenue
+    * (order-exact) with the customer key as tiebreak. */
+  val qTpchQ10 = Q(
+    "q318_tpch_q10",
+    (s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .where(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(18, 4)).as("rev"))
+      val ord = table(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val cust = table(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+      val nat = table(s, dir, "nation").select("n_nationkey", "n_name")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(sum(col("rev")).as("revenue_d"))
+        .orderBy(col("revenue_d").desc, col("c_custkey"))
+        .limit(20)
+        .select(col("c_custkey"), col("c_name"),
+          col("revenue_d").cast("double").as("revenue"),
+          round(col("c_acctbal"), 2).as("c_acctbal"), col("n_name"))
+    },
+    Some("""SELECT c_custkey, c_name,
+        CAST(revenue_d AS DOUBLE) AS revenue,
+        round(c_acctbal, 2) AS c_acctbal, n_name
+      FROM (SELECT c_custkey, c_name, c_acctbal, n_name,
+          sum(CAST(l_extendedprice * (1 - l_discount)
+            AS DECIMAL(18,4))) AS revenue_d
+        FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation ON n_nationkey = c_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+        GROUP BY 1, 2, 3, 4)
+      ORDER BY revenue_d DESC, c_custkey LIMIT 20"""))
+
+  /** TPC-H Q19 shape (discounted revenue, OR-of-conjuncts): three
+    * disjoint (brand, size, quantity) bands OR-ed into ONE predicate.
+    * Plan intent: Catalyst keeps this a single lineitem⨝part hash join
+    * with the disjunction evaluated post-join (and the common
+    * l_quantity bound derivable for scan pruning) — one pass, no
+    * union-of-three-scans. DECIMAL rollup, order-exact. */
+  val qTpchQ19 = Q(
+    "q319_tpch_q19",
+    (s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(18, 4)).as("rev"))
+      val p = table(s, dir, "part").select("p_partkey", "p_brand", "p_size")
+      val band = (col("p_brand") === "Brand#11" &&
+          col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#22" &&
+          col("p_size").between(10, 30) &&
+          col("l_quantity").between(10, 40)) ||
+        (col("p_brand") === "Brand#3" &&
+          col("p_size").between(20, 50) &&
+          col("l_quantity").between(20, 50))
+      li.join(p, col("l_partkey") === col("p_partkey"))
+        .where(band)
+        .agg(sum(col("rev")).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+    Some("""SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+          AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        count(*) AS n_items
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+          AND l_quantity BETWEEN 1 AND 20)
+        OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30
+          AND l_quantity BETWEEN 10 AND 40)
+        OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+          AND l_quantity BETWEEN 20 AND 50)"""))
+
+  /** TPC-H Q9 shape (product-type profit): profit per (nation, year)
+    * through a five-table join with a LIKE filter on the part name
+    * (no partsupp table in this fixture — supply cost proxied by
+    * p_retailprice·quantity, same plan shape). Plan intent: the LIKE
+    * prunes part before broadcast; supplier/nation broadcast;
+    * lineitem⨝orders is the one fact-fact shuffle; profit rides
+    * DECIMAL so the rollup is order-exact. */
+  val qTpchQ9 = Q(
+    "q326_tpch_q9",
+    (s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      val p = table(s, dir, "part")
+        .where(col("p_name").like("%green%"))
+        .select("p_partkey", "p_retailprice")
+      val sup = table(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val nat = table(s, dir, "nation").select("n_nationkey", "n_name")
+      val ord = table(s, dir, "orders")
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("n_name").as("nation"), col("o_year"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            - col("p_retailprice") * col("l_quantity"))
+            .cast(DecimalType(18, 4)).as("amount"))
+        .groupBy("nation", "o_year")
+        .agg(sum(col("amount")).cast("double").as("sum_profit"),
+          count(lit(1)).as("n_items"))
+        .orderBy("nation", "o_year")
+    },
+    Some("""SELECT n_name AS nation,
+        CAST(year(o_orderdate) AS INT) AS o_year,
+        CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+          - p_retailprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+          AS sum_profit,
+        count(*) AS n_items
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey AND p_name LIKE '%green%'
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN orders ON o_orderkey = l_orderkey
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[Q] = Seq(qJoinRevenue, qRollup, qSetOps, qPivot, qPageRank,
     qBucketedJoin, qStarJoinDeep, qZoneMap, qTpchQ3, qTpchQ18,
     qZOrderLayout, qCorrelatedExists, qAntiJoinQ22, qCubeEvents,
     qSkipEffect, qTpchQ1, qTpchQ6, qTpchQ14, qGroupingSets,
     qHilbertLayout, qBlameSupplier, qSmallQtyRevenue,
-    qOrderCountHist, qTopSupplier, qTpchQ8, qTpchQ2, qTpchQ4)
+    qOrderCountHist, qTopSupplier, qTpchQ8, qTpchQ2, qTpchQ4,
+    qTpchQ7, qTpchQ10, qTpchQ19, qTpchQ9)
 }

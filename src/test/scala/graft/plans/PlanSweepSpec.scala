@@ -73,7 +73,8 @@ class PlanSweepSpec extends SparkSpec {
     "q271_hard_negatives" -> "corpus x broadcast 10-row probe set (Similarity.hardNegativeTopK, the q26 brute-force shape)",
     "q292_bm25_rerank" -> "rerank side: 50-row BM25 candidate set x broadcast 1-ROW query vector (vec_id = 0 pushed to the embeddings scan, Relevance.bm25DenseRerank) — a filtered single-row table, not an aggregate, so not auto-recognized; the inner 1-row (n_docs, avgdl) cross IS structurally recognized",
     "q273_dedup_saturation" -> "groupNtile's per-group-count join: the literal single-group key folds out of the equi-join keys, leaving a BNLJ whose build side is the GROUPED count aggregate — one row per group, exactly 1 here (verified: the corpus-sized smaller/rank joins in the same plan are BroadcastHashJoin on __v)",
-    "q313_burrows_delta" -> "sources x broadcast top-20 word list (TakeOrdered over the vocabulary aggregate - bounded by topM, not a 1-row aggregate, so not auto-recognized; TextAnalysis.burrowsDelta)")
+    "q313_burrows_delta" -> "sources x broadcast top-20 word list (TakeOrdered over the vocabulary aggregate - bounded by topM, not a 1-row aggregate, so not auto-recognized; TextAnalysis.burrowsDelta)",
+    "q321_intrinsic_dim" -> "corpus x broadcast corpus — the documented O(n^2) exact two-NN oracle tool of the q165/q174 family (EmbeddingStats.intrinsicDimension); take d1/d2 from the ANN ladder at scale")
 
   /** Queries whose global (partition-less) window rides an input the
     * structural [[rowBounded]] check can't prove bounded — each entry
