@@ -50,13 +50,17 @@ object ProfileApp {
     graft.functions.GraftFunctions.register(spark) // SQL surface
 
     // Extension-dispatched scan (reference: utils/dataframe.py:24-67);
-    // formats with no Spark source (Stata/SAS/Excel/HDF) are unsupported.
+    // Stata .dta / Excel .xlsx ride the native graft DataSource V2
+    // readers (round 10); SAS/HDF remain unsupported (no documented
+    // public format + no writer to even fixture against).
     val df = input.replaceAll(".*\\.", "").toLowerCase match {
       case "csv" | "tsv" =>
         spark.read.option("header", "true").option("inferSchema", "true")
           .option("sep", if (input.endsWith(".tsv")) "\t" else ",").csv(input)
       case "json" | "jsonl" => spark.read.json(input)
       case "orc"            => spark.read.orc(input)
+      case "dta"            => spark.read.format("graft-stata").load(input)
+      case "xlsx"           => spark.read.format("graft-excel").load(input)
       case _                => spark.read.parquet(input)
     }
 

@@ -866,13 +866,44 @@ object ExtraQueries {
         FROM cv"""))
   }
 
+  /** Native Stata .dta scan ([[graft.sources.StataSource]], DSv2):
+    * reads the committed pandas-WRITTEN v118 fixture — the reference's
+    * own writer — and gates every cell against the parquet twin the
+    * same generator script emitted (scripts/gen_source_fixtures.py).
+    * float/double NaN→Stata-missing→SQL-null round-trips included.
+    * Closes part of SURVEY §2.1's waived legacy-format row. */
+  val qStataScan = Q(
+    "q330_stata_scan",
+    (s, _) =>
+      s.read.format("graft-stata")
+        .load("/root/repo/src/test/resources/graft/sources/people.dta")
+        .orderBy("pid"),
+    Some("""SELECT pid, age, grp, score, ratio, name
+      FROM '/root/repo/src/test/resources/graft/sources/people_twin.parquet'
+      ORDER BY pid"""))
+
+  /** Native .xlsx scan ([[graft.sources.ExcelSource]], DSv2): the
+    * hand-zipped SpreadsheetML fixture mixing sharedStrings, inline
+    * strings, numeric cells and EMPTY cells, gated against its parquet
+    * twin. All columns surface as strings (the csv-without-inferSchema
+    * contract). */
+  val qExcelScan = Q(
+    "q331_excel_scan",
+    (s, _) =>
+      s.read.format("graft-excel")
+        .load("/root/repo/src/test/resources/graft/sources/sample.xlsx")
+        .orderBy("city"),
+    Some("""SELECT city, pop, note
+      FROM '/root/repo/src/test/resources/graft/sources/sample_twin.parquet'
+      ORDER BY city"""))
+
   val all: Seq[Q] = Seq(
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qKendallExact,
     qMapValueCounts,
     qSaltedJoin, qCsvScan, qJsonlScan, qOrcScan, qObserveMetrics,
     qVariantExtract, qStratifiedSample,
-    qApproxTopK,
+    qApproxTopK, qStataScan, qExcelScan,
     qGroupedQuantiles, qEmbedCovariance, qUrlDedup, qIncrementalMerge,
     qEquiDepth, qWeightedSample, qTopMass, qBenford, qEntropy, qKsDrift,
     qPsiDrift, qPcaPower)

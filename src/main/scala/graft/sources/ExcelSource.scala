@@ -1,0 +1,238 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native `.xlsx` reader as a DataSource V2 — with [[StataSource]],
+  * closes part of the reference's legacy-format surface (pandas
+  * `read_excel`) that SURVEY §2.1 previously waived.
+  *
+  *   spark.read.format("graft-excel").load("book.xlsx")   // or a dir
+  *
+  * An xlsx workbook is a ZIP of ECMA-376 SpreadsheetML XML parts —
+  * java.util.zip + StAX read it with zero extra dependencies. Scope:
+  * the FIRST worksheet; row 1 is the header; every cell surfaces as a
+  * STRING column (shared-string `t="s"`, inline `t="inlineStr"`,
+  * boolean and raw numeric text alike — the csv-without-inferSchema
+  * contract: parsing to types is the caller's cast, where engine
+  * semantics stay explicit). Absent/empty cells are SQL nulls.
+  * Formulas surface their cached `<v>` result, like pandas.
+  *
+  * Scale design: one InputPartition per FILE (a ZIP has no internal
+  * split points; parallelism is the many-files layout). The sheet is
+  * STREAMED via StAX — constant memory in the row count — and the
+  * shared-string table is loaded once per file (it is bounded by
+  * distinct cell text, the same working set any xlsx reader holds).
+  */
+class ExcelSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-excel"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ExcelFormat.readSchema(ExcelFormat.resolveFiles(options.get("path")).head)
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new ExcelTable(properties.get("path"), schema)
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+private class ExcelTable(path: String, schema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-excel($path)"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = schema
+        override def toBatch: Batch = new Batch {
+          override def planInputPartitions(): Array[InputPartition] =
+            ExcelFormat.resolveFiles(path)
+              .map(f => ExcelPartition(f): InputPartition).toArray
+          override def createReaderFactory(): PartitionReaderFactory =
+            new ExcelReaderFactory(schema)
+        }
+      }
+    }
+}
+
+private case class ExcelPartition(file: String) extends InputPartition
+
+private class ExcelReaderFactory(schema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val rows = ExcelFormat
+      .readRows(partition.asInstanceOf[ExcelPartition].file, schema)
+    new PartitionReader[InternalRow] {
+      private val it = rows
+      private var cur: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { cur = it.next(); true } else false
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+}
+
+object ExcelFormat {
+
+  def resolveFiles(path: String): Seq[String] = {
+    require(path != null, "graft-excel needs a path")
+    val f = new java.io.File(path)
+    require(f.exists, s"no such file or directory: $path")
+    if (f.isFile) Seq(f.getPath)
+    else {
+      val fs = Option(f.listFiles).getOrElse(Array.empty)
+        .filter(x => x.isFile && x.getName.endsWith(".xlsx"))
+        .map(_.getPath).sorted.toSeq
+      require(fs.nonEmpty, s"no .xlsx files under: $path")
+      fs
+    }
+  }
+
+  /** "B7" → 0-based column index 1. */
+  private[sources] def colIndex(ref: String): Int = {
+    var i = 0
+    var acc = 0
+    while (i < ref.length && ref.charAt(i).isLetter) {
+      acc = acc * 26 + (ref.charAt(i).toUpper - 'A' + 1)
+      i += 1
+    }
+    require(acc >= 1, s"bad cell ref: $ref")
+    acc - 1
+  }
+
+  /** Parse the first worksheet into (headerRow, dataRows) of sparse
+    * (colIndex, text) cells. */
+  private def parseSheet(file: String)
+      : (Map[Int, String], Iterator[Map[Int, String]]) = {
+    val zip = new java.util.zip.ZipFile(file)
+    def entryBytes(name: String): Option[Array[Byte]] =
+      Option(zip.getEntry(name)).map { e =>
+        val in = zip.getInputStream(e)
+        try in.readAllBytes() finally in.close()
+      }
+    try {
+      val shared: IndexedSeq[String] =
+        entryBytes("xl/sharedStrings.xml").map(parseShared)
+          .getOrElse(IndexedSeq.empty)
+      val sheetName = (1 to 16).view
+        .map(i => s"xl/worksheets/sheet$i.xml")
+        .find(zip.getEntry(_) != null)
+        .getOrElse(throw new IllegalArgumentException(
+          s"$file: no xl/worksheets/sheetN.xml part — not an xlsx workbook"))
+      val sheet = entryBytes(sheetName).get
+      val rows = parseRows(sheet, shared)
+      if (rows.isEmpty)
+        throw new IllegalArgumentException(s"$file: empty worksheet")
+      (rows.head, rows.iterator.drop(1))
+    } finally zip.close()
+  }
+
+  private def parseShared(bytes: Array[Byte]): IndexedSeq[String] = {
+    val rd = javax.xml.stream.XMLInputFactory.newFactory()
+      .createXMLStreamReader(new java.io.ByteArrayInputStream(bytes))
+    val out = IndexedSeq.newBuilder[String]
+    var cur: StringBuilder = null
+    var inT = false
+    while (rd.hasNext) {
+      rd.next() match {
+        case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
+          rd.getLocalName match {
+            case "si" => cur = new StringBuilder
+            case "t" => inT = true
+            case _ =>
+          }
+        case javax.xml.stream.XMLStreamConstants.CHARACTERS if inT =>
+          cur.append(rd.getText)
+        case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
+          rd.getLocalName match {
+            case "t" => inT = false
+            case "si" => out += cur.toString
+            case _ =>
+          }
+        case _ =>
+      }
+    }
+    rd.close()
+    out.result()
+  }
+
+  private def parseRows(bytes: Array[Byte],
+      shared: IndexedSeq[String]): Vector[Map[Int, String]] = {
+    val rd = javax.xml.stream.XMLInputFactory.newFactory()
+      .createXMLStreamReader(new java.io.ByteArrayInputStream(bytes))
+    val rows = Vector.newBuilder[Map[Int, String]]
+    var row: scala.collection.mutable.Map[Int, String] = null
+    var cellCol = -1
+    var cellType = ""
+    var text: StringBuilder = null
+    var collecting = false
+    while (rd.hasNext) {
+      rd.next() match {
+        case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
+          rd.getLocalName match {
+            case "row" => row = scala.collection.mutable.Map.empty
+            case "c" =>
+              cellCol = colIndex(rd.getAttributeValue(null, "r"))
+              cellType = Option(rd.getAttributeValue(null, "t")).getOrElse("")
+            case "v" | "t" if cellCol >= 0 =>
+              text = new StringBuilder; collecting = true
+            case _ =>
+          }
+        case javax.xml.stream.XMLStreamConstants.CHARACTERS if collecting =>
+          text.append(rd.getText)
+        case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
+          rd.getLocalName match {
+            case "v" | "t" if collecting =>
+              collecting = false
+              val s = text.toString
+              val resolved =
+                if (cellType == "s") shared(s.trim.toInt) else s
+              if (cellCol >= 0 && row != null) row.update(cellCol, resolved)
+            case "c" => cellCol = -1
+            case "row" => rows += row.toMap; row = null
+            case _ =>
+          }
+        case _ =>
+      }
+    }
+    rd.close()
+    rows.result()
+  }
+
+  def readSchema(file: String): StructType = {
+    val (header, _) = parseSheet(file)
+    require(header.nonEmpty, s"$file: empty header row")
+    val cols = (0 to header.keys.max).map(i =>
+      header.getOrElse(i, s"_c$i"))
+    StructType(cols.map(c => StructField(c, StringType, nullable = true)))
+  }
+
+  def readRows(file: String, schema: StructType): Iterator[InternalRow] = {
+    val (_, data) = parseSheet(file)
+    val width = schema.length
+    data.map { cells =>
+      val vals = new Array[Any](width)
+      var i = 0
+      while (i < width) {
+        vals(i) = cells.get(i).map(UTF8String.fromString).orNull
+        i += 1
+      }
+      new GenericInternalRow(vals)
+    }
+  }
+}

@@ -1,0 +1,78 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Stata .dta and .xlsx DataSource V2 readers against the committed
+  * fixtures (scripts/gen_source_fixtures.py; people.dta is written by
+  * pandas itself, so agreement here is agreement with the reference's
+  * own reader). */
+class ForeignFormatSpec extends SparkSpec {
+
+  private val dir = "src/test/resources/graft/sources"
+
+  test("graft-stata: pandas-written v118 round-trips against the twin") {
+    val dta = spark.read.format("graft-stata").load(s"$dir/people.dta")
+    assert(dta.schema.map(f => (f.name, f.dataType.simpleString)) === Seq(
+      ("pid", "int"), ("age", "smallint"), ("grp", "tinyint"),
+      ("score", "double"), ("ratio", "float"), ("name", "string")))
+    val twin = spark.read.parquet(s"$dir/people_twin.parquet")
+    val a = dta.orderBy("pid").collect()
+    val b = twin.orderBy("pid")
+      .select(col("pid"), col("age").cast("smallint"),
+        col("grp").cast("tinyint"), col("score"), col("ratio"),
+        col("name")).collect()
+    assert(a.length === 25)
+    a.zip(b).foreach { case (x, y) => assert(x === y) }
+    // NaN in the pandas frame arrives as Stata missing -> SQL null
+    assert(dta.where(col("score").isNull).select("pid").head().getInt(0) === 4)
+    assert(dta.where(col("ratio").isNull).select("pid").head().getInt(0) === 8)
+  }
+
+  test("graft-stata: every numeric type's reserved missing code is null") {
+    val dta = spark.read.format("graft-stata")
+      .load(s"$dir/types_missing.dta").orderBy("l")
+    val rows = dta.collect()
+    assert(rows.length === 3)
+    val mid = dta.where(col("s") === "").head()
+    (0 until 5).foreach(i => assert(mid.isNullAt(i), s"col $i"))
+    val first = dta.where(col("s") === "alpha").head()
+    assert(first.getByte(0) === 1.toByte && first.getShort(1) === 100.toShort)
+    assert(first.getInt(2) === 100000 && first.getFloat(3) === 1.5f)
+    assert(first.getDouble(4) === 2.25)
+    // boundary: max NON-missing values survive
+    assert(dta.where(col("s") === "gamma").head().getDouble(4) === 1e10)
+  }
+
+  test("graft-stata: clear errors on non-dta and unsupported release") {
+    val e = intercept[Exception] {
+      spark.read.format("graft-stata")
+        .load(s"$dir/sample.xlsx").collect()
+    }
+    assert(e.getMessage.contains("not a dta-118"))
+  }
+
+  test("graft-excel: header schema, shared+inline strings, empty cells") {
+    val xl = spark.read.format("graft-excel").load(s"$dir/sample.xlsx")
+    assert(xl.columns.toSeq === Seq("city", "pop", "note"))
+    assert(xl.schema.forall(_.dataType ===
+      org.apache.spark.sql.types.StringType))
+    val rows = xl.orderBy("city").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.toSeq === Seq(
+      ("Lagos", "14862000", "coastal"),
+      ("Osaka", null, null),
+      ("Paris", "2161000", "capital")))
+  }
+
+  test("both sources register by short name and plan one partition per file") {
+    // a directory of one file still resolves, and the scan is one
+    // partition per file (the many-files parallelism contract)
+    val dta = spark.read.format("graft-stata").load(s"$dir/people.dta")
+    assert(dta.rdd.getNumPartitions === 1)
+    assert(ExcelFormat.colIndex("A1") === 0)
+    assert(ExcelFormat.colIndex("Z9") === 25)
+    assert(ExcelFormat.colIndex("AA3") === 26)
+    assert(ExcelFormat.colIndex("BC12") === 54)
+  }
+}
