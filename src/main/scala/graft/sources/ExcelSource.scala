@@ -54,15 +54,23 @@ private class ExcelTable(path: String, schema: StructType)
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
+    // column pruning: only the projected columns are materialized from
+    // the parsed rows (the XML row scan itself is unavoidable — a ZIP
+    // stream has no columnar layout — but per-row allocation shrinks)
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = schema
+      override def pruneColumns(requiredSchema: StructType): Unit = {
+        val keep = requiredSchema.fieldNames.toSet
+        required = StructType(schema.fields.filter(f => keep(f.name)))
+      }
       override def build(): Scan = new Scan {
-        override def readSchema(): StructType = schema
+        override def readSchema(): StructType = required
         override def toBatch: Batch = new Batch {
           override def planInputPartitions(): Array[InputPartition] =
             ExcelFormat.resolveFiles(path)
               .map(f => ExcelPartition(f): InputPartition).toArray
           override def createReaderFactory(): PartitionReaderFactory =
-            new ExcelReaderFactory(schema)
+            new ExcelReaderFactory(required)
         }
       }
     }
@@ -223,13 +231,21 @@ object ExcelFormat {
   }
 
   def readRows(file: String, schema: StructType): Iterator[InternalRow] = {
-    val (_, data) = parseSheet(file)
-    val width = schema.length
+    val (header, data) = parseSheet(file)
+    // `schema` may be a pruned subset: map each requested field back to
+    // its sheet column index through the header row
+    val byName = header.map { case (i, n) => n -> i } ++
+      (0 to (if (header.isEmpty) -1 else header.keys.max))
+        .filterNot(header.contains).map(i => s"_c$i" -> i)
+    val srcCols = schema.fieldNames.map { n =>
+      byName.getOrElse(n, throw new IllegalArgumentException(
+        s"$file: requested column '$n' not in the header row"))
+    }
     data.map { cells =>
-      val vals = new Array[Any](width)
+      val vals = new Array[Any](srcCols.length)
       var i = 0
-      while (i < width) {
-        vals(i) = cells.get(i).map(UTF8String.fromString).orNull
+      while (i < srcCols.length) {
+        vals(i) = cells.get(srcCols(i)).map(UTF8String.fromString).orNull
         i += 1
       }
       new GenericInternalRow(vals)

@@ -57,15 +57,23 @@ private class StataTable(path: String, schema: StructType)
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
+    // column pruning: a projection reaches the reader as a required-
+    // schema subset — the fixed-width layout decodes ONLY the pruned
+    // columns' offsets per row (ReadSchema in explain shows the cut)
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = schema
+      override def pruneColumns(requiredSchema: StructType): Unit = {
+        val keep = requiredSchema.fieldNames.toSet
+        required = StructType(schema.fields.filter(f => keep(f.name)))
+      }
       override def build(): Scan = new Scan {
-        override def readSchema(): StructType = schema
+        override def readSchema(): StructType = required
         override def toBatch: Batch = new Batch {
           override def planInputPartitions(): Array[InputPartition] =
             StataFormat.resolveFiles(path)
               .map(f => StataPartition(f): InputPartition).toArray
           override def createReaderFactory(): PartitionReaderFactory =
-            new StataReaderFactory(schema)
+            new StataReaderFactory(required)
         }
       }
     }
@@ -183,9 +191,15 @@ object StataFormat {
   def readRows(file: String, schema: StructType): Iterator[InternalRow] = {
     val bytes = readAll(file)
     val h = parseHeader(bytes, file)
-    require(h.names.toSeq == schema.fieldNames.toSeq,
-      s"$file: schema mismatch vs the inferred file " +
-        s"(${h.names.mkString(",")} vs ${schema.fieldNames.mkString(",")})")
+    // `schema` may be a PRUNED subset of the file's columns (column
+    // pushdown); decode only the requested ones via their fixed-width
+    // offsets in the file's full row layout
+    val byName = h.names.zipWithIndex.toMap
+    val fileCols = schema.fieldNames.map { n =>
+      byName.getOrElse(n, throw new IllegalArgumentException(
+        s"$file: requested column '$n' not in the file " +
+          s"(${h.names.mkString(",")})"))
+    }
     val widths = h.types.map(fieldType(_, file)._2)
     val rowWidth = widths.sum
     val bb = java.nio.ByteBuffer.wrap(bytes)
@@ -197,11 +211,12 @@ object StataFormat {
       private var base = h.dataOff
       override def hasNext: Boolean = r < h.n
       override def next(): InternalRow = {
-        val vals = new Array[Any](h.k)
-        var c = 0
-        while (c < h.k) {
+        val vals = new Array[Any](fileCols.length)
+        var ci = 0
+        while (ci < fileCols.length) {
+          val c = fileCols(ci)
           val off = (base + offsets(c)).toInt
-          vals(c) = h.types(c) match {
+          vals(ci) = h.types(c) match {
             case w if w <= 2045 =>
               var end = off
               val lim = off + w
@@ -229,7 +244,7 @@ object StataFormat {
               val v = bytes(off)
               if (v > 100) null else java.lang.Byte.valueOf(v)
           }
-          c += 1
+          ci += 1
         }
         r += 1
         base += rowWidth

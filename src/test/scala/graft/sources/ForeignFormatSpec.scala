@@ -65,6 +65,21 @@ class ForeignFormatSpec extends SparkSpec {
       ("Paris", "2161000", "capital")))
   }
 
+  test("column pruning reaches both scans (ReadSchema shrinks)") {
+    val dta = spark.read.format("graft-stata").load(s"$dir/people.dta")
+      .select("name")
+    val scan = dta.queryExecution.executedPlan.collectLeaves().head
+    assert(scan.output.map(_.name) === Seq("name"),
+      scan.toString) // the SCAN itself is pruned, not a project above it
+    assert(dta.collect().map(_.getString(0)).head.startsWith("person_"))
+    val xl = spark.read.format("graft-excel").load(s"$dir/sample.xlsx")
+      .select("pop")
+    val xscan = xl.queryExecution.executedPlan.collectLeaves().head
+    assert(xscan.output.map(_.name) === Seq("pop"), xscan.toString)
+    assert(xl.collect().map(r => Option(r.getString(0))).toSet ===
+      Set(Some("2161000"), Some("14862000"), None))
+  }
+
   test("both sources register by short name and plan one partition per file") {
     // a directory of one file still resolves, and the scan is one
     // partition per file (the many-files parallelism contract)
