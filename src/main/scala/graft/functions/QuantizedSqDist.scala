@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+
+/** Per-element-QUANTIZED squared Euclidean distance over two
+  * `array<double>` columns: Σᵢ floor((xᵢ−yᵢ)²·10¹² + ½) as an exact
+  * long — the engine-portable distance the exact-neighbor tools rank
+  * on (every term is an integer, so the sum is order-invariant and a
+  * DuckDB list comprehension reproduces it bit-for-bit; a raw double
+  * Σ(x−y)² would be accumulation-order-sensitive and engine-skewed in
+  * the last ulp, exactly where distance TIES decide neighbors).
+  *
+  * Codegen'd for the same reason as [[ArrayDot]]: the equivalent
+  * `aggregate(zip_with(...))` higher-order form runs INTERPRETED per
+  * element — measured unusable inside O(n²) scoring loops.
+  * Mismatched lengths use the shorter prefix; null input yields null.
+  */
+case class QuantizedSqDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _                        => false
+    })
+    if (ok)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_qsqdist requires array<double> inputs, got " +
+          s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      acc += math.floor(d * d * 1e12 + 0.5).toLong
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        long $acc = 0L;
+        for (int $i = 0; $i < $n; $i++) {
+          double $d = $a.getDouble($i) - $b.getDouble($i);
+          $acc += (long) java.lang.Math.floor($d * $d * 1e12 + 0.5);
+        }
+        ${ev.value} = $acc;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): QuantizedSqDist =
+    copy(left = newLeft, right = newRight)
+}
+
+object QuantizedSqDist {
+  /** Column API: qsqdist(a, b) with automatic cast to array<double>. */
+  def qsqdist(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(QuantizedSqDist(
+      ColumnBridge.expression(a.cast("array<double>")),
+      ColumnBridge.expression(b.cast("array<double>"))))
+  }
+}

@@ -219,12 +219,10 @@ object EmbeddingStats {
       .select(col(idCol).cast("long").as("cid"),
         col(vecCol).cast("array<double>").as("cv")))
     // per-element-quantized squared distance: Σ floor((x−y)²·10¹² + ½)
-    // — exact long per pair, identical in any engine
-    val qdsq = aggregate(
-      zip_with(col("qv"), col("cv"),
-        (x, y) => floor((x - y) * (x - y) * lit(1e12) + lit(0.5))
-          .cast("long")),
-      lit(0L), (acc, t) => acc + t)
+    // — exact long per pair, identical in any engine; codegen'd
+    // (the HOF zip_with/aggregate form runs interpreted per element —
+    // unusable inside this O(n²) scoring loop)
+    val qdsq = graft.functions.QuantizedSqDist.qsqdist(col("qv"), col("cv"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("qd"), col("cid"))
     val nn2 = a.crossJoin(b)
