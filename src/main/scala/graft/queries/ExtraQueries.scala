@@ -897,7 +897,40 @@ object ExtraQueries {
       FROM '/root/repo/src/test/resources/graft/sources/sample_twin.parquet'
       ORDER BY city"""))
 
+  /** Stata SINK round-trip ([[graft.sources.StataSource]] write side):
+    * lineitem (cast to the dta type lattice) → per-partition .dta part
+    * files → read back through the same source → aggregate, vs the
+    * oracle aggregating the parquet directly. Covers the writer's
+    * type encoders, the reader's directory fan-in, and the
+    * overwrite-truncate path, q47-style. */
+  val qStataRoundTrip = Q(
+    "q332_stata_roundtrip",
+    (s, dir) => {
+      val src = table(s, dir, "lineitem").select(
+        col("l_orderkey").cast("int").as("ok"),
+        col("l_linenumber").cast("smallint").as("ln"),
+        col("l_quantity").as("qty"),
+        col("l_returnflag").as("rf"))
+      val path = System.getProperty("java.io.tmpdir") +
+        s"/graft_dta_${Integer.toHexString(dir.hashCode)}_" +
+        ProcessHandle.current.pid
+      src.write.format("graft-stata").mode("overwrite").save(path)
+      s.read.format("graft-stata").load(path)
+        .groupBy("rf")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("ok").cast("long")).as("sum_ok"),
+          round(sum(col("qty")), 6).as("sum_qty"),
+          max(col("ln")).cast("int").as("max_ln"))
+        .orderBy("rf")
+    },
+    Some("""SELECT l_returnflag AS rf, count(*) AS cnt,
+        CAST(sum(CAST(l_orderkey AS INT)) AS BIGINT) AS sum_ok,
+        round(sum(l_quantity), 6) AS sum_qty,
+        CAST(max(CAST(l_linenumber AS SMALLINT)) AS INT) AS max_ln
+      FROM lineitem GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(
+    qStataRoundTrip,
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qKendallExact,
     qMapValueCounts,

@@ -46,15 +46,34 @@ class StataSource extends TableProvider with DataSourceRegister {
       properties: util.Map[String, String]): Table =
     new StataTable(properties.get("path"), schema)
 
-  override def supportsExternalMetadata(): Boolean = false
+  // writes hand the DataFrame's schema straight to getTable (the write
+  // path has no file to infer from); reads with an explicit user
+  // schema ride the same route
+  override def supportsExternalMetadata(): Boolean = true
 }
 
 private class StataTable(path: String, schema: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-stata($path)"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    import org.apache.spark.sql.connector.write._
+    new WriteBuilder with SupportsTruncate {
+      private var doTruncate = false
+      override def truncate(): WriteBuilder = { doTruncate = true; this }
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new StataBatchWrite(path, info.schema(), doTruncate)
+      }
+    }
+  }
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     // column pruning: a projection reaches the reader as a required-
@@ -252,4 +271,232 @@ object StataFormat {
       }
     }
   }
+
+  // ---- write side -----------------------------------------------------
+
+  /** Reject un-mappable column types up front with actionable errors
+    * (Stata has no 64-bit integer, no temporal types in this writer's
+    * scope — cast first). */
+  def validateWriteSchema(schema: StructType): Unit =
+    schema.fields.foreach { f =>
+      f.dataType match {
+        case ByteType | ShortType | IntegerType | FloatType | DoubleType |
+            StringType => ()
+        case LongType => throw new IllegalArgumentException(
+          s"graft-stata cannot write BIGINT column '${f.name}': the dta " +
+            "format has no 64-bit integer — cast to int (exact below " +
+            "2^31-21) or double (the lossy mapping Stata itself uses)")
+        case other => throw new IllegalArgumentException(
+          s"graft-stata cannot write ${other.simpleString} column " +
+            s"'${f.name}' — supported: tinyint/smallint/int/float/" +
+            "double/string; cast first")
+      }
+      require(f.name.getBytes("UTF-8").length <= 32,
+        s"dta variable names are limited to 32 bytes: '${f.name}'")
+    }
+
+  /** Assemble one v118 file for `rows` (already buffered — the format
+    * is a single fixed-width blob) and write it atomically-enough
+    * (in-memory assembly, one write). Nulls encode as the '.' missing
+    * codes; strings as UTF-8 str# at the partition's max byte width. */
+  def write(file: String, schema: StructType, rows: Seq[InternalRow])
+      : Unit = {
+    validateWriteSchema(schema)
+    val k = schema.length
+    // str widths: max UTF-8 byte length in this partition (min 1)
+    val widthsByCol = schema.fields.zipWithIndex.map { case (f, i) =>
+      f.dataType match {
+        case StringType =>
+          val m = rows.iterator.map { r =>
+            if (r.isNullAt(i)) 0
+            else r.getUTF8String(i).numBytes()
+          }.foldLeft(1)(math.max)
+          require(m <= 2045,
+            s"string column '${f.name}' exceeds str2045 ($m bytes); " +
+              "dta fixed-width strings cap at 2045 — truncate or split")
+          m
+        case DoubleType => 8
+        case FloatType => 4
+        case IntegerType => 4
+        case ShortType => 2
+        case ByteType => 1
+        case _ => 0
+      }
+    }
+    val typeCodes = schema.fields.zipWithIndex.map { case (f, i) =>
+      f.dataType match {
+        case StringType => widthsByCol(i)
+        case DoubleType => 65526
+        case FloatType => 65527
+        case IntegerType => 65528
+        case ShortType => 65529
+        case ByteType => 65530
+        case _ => 0
+      }
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    val marks = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    def w(str: String): Unit =
+      out.write(str.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    def wb(bs: Array[Byte]): Unit = out.write(bs)
+    def le(n: Int)(put: java.nio.ByteBuffer => Unit): Unit = {
+      val b = java.nio.ByteBuffer.allocate(n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      put(b); out.write(b.array())
+    }
+    def mark(name: String): Unit = marks(name) = out.size().toLong
+
+    mark("open"); w("<stata_dta><header>")
+    w("<release>118</release><byteorder>LSF</byteorder>")
+    w("<K>"); le(2)(_.putShort(k.toShort)); w("</K>")
+    w("<N>"); le(8)(_.putLong(rows.length.toLong)); w("</N>")
+    w("<label>"); le(2)(_.putShort(0)); w("</label>")
+    val ts = "01 Jan 2026 00:00"
+    w("<timestamp>"); out.write(ts.length); w(ts); w("</timestamp>")
+    w("</header>")
+    mark("map"); w("<map>")
+    val mapPos = out.size()
+    (0 until 14).foreach(_ => le(8)(_.putLong(0L)))
+    w("</map>")
+    mark("types"); w("<variable_types>")
+    typeCodes.foreach(t => le(2)(_.putShort(t.toShort)))
+    w("</variable_types>")
+    mark("names"); w("<varnames>")
+    schema.fieldNames.foreach { n =>
+      val b = n.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      wb(java.util.Arrays.copyOf(b, 129))
+    }
+    w("</varnames>")
+    mark("sortlist"); w("<sortlist>")
+    (0 to k).foreach(_ => le(2)(_.putShort(0)))
+    w("</sortlist>")
+    mark("formats"); w("<formats>")
+    (0 until k).foreach(_ => wb(new Array[Byte](57)))
+    w("</formats>")
+    mark("vlnames"); w("<value_label_names>")
+    (0 until k).foreach(_ => wb(new Array[Byte](129)))
+    w("</value_label_names>")
+    mark("varlabels"); w("<variable_labels>")
+    (0 until k).foreach(_ => wb(new Array[Byte](321)))
+    w("</variable_labels>")
+    mark("chars"); w("<characteristics></characteristics>")
+    mark("data"); w("<data>")
+    rows.foreach { r =>
+      var i = 0
+      while (i < k) {
+        schema.fields(i).dataType match {
+          case StringType =>
+            val width = widthsByCol(i)
+            val b =
+              if (r.isNullAt(i)) Array.empty[Byte]
+              else r.getUTF8String(i).getBytes
+            wb(java.util.Arrays.copyOf(b, width))
+          case DoubleType =>
+            le(8)(_.putLong(
+              if (r.isNullAt(i)) 0x7fe0000000000000L
+              else java.lang.Double.doubleToLongBits(r.getDouble(i))))
+          case FloatType =>
+            le(4)(_.putInt(
+              if (r.isNullAt(i)) 0x7f000000
+              else java.lang.Float.floatToIntBits(r.getFloat(i))))
+          case IntegerType =>
+            le(4)(_.putInt(
+              if (r.isNullAt(i)) 2147483621 else {
+                val v = r.getInt(i)
+                require(v <= 2147483620,
+                  s"int value $v collides with dta missing codes " +
+                    "(> 2147483620); cast to double")
+                v
+              }))
+          case ShortType =>
+            le(2)(_.putShort(
+              if (r.isNullAt(i)) 32741.toShort else {
+                val v = r.getShort(i)
+                require(v <= 32740,
+                  s"smallint value $v collides with dta missing codes")
+                v
+              }))
+          case ByteType =>
+            out.write(
+              if (r.isNullAt(i)) 101 else {
+                val v = r.getByte(i)
+                require(v <= 100,
+                  s"tinyint value $v collides with dta missing codes")
+                v.toInt & 0xff
+              })
+          case _ => ()
+        }
+        i += 1
+      }
+    }
+    w("</data>")
+    mark("strls"); w("<strls></strls>")
+    mark("vlabels"); w("<value_labels></value_labels>")
+    mark("close"); w("</stata_dta>")
+    mark("eof")
+    val buf = out.toByteArray
+    val bb = java.nio.ByteBuffer.wrap(buf)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val order = Seq("open", "map", "types", "names", "sortlist",
+      "formats", "vlnames", "varlabels", "chars", "data", "strls",
+      "vlabels", "close", "eof")
+    order.zipWithIndex.foreach { case (nm, i) =>
+      bb.putLong(mapPos + 8 * i, marks(nm))
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(file), buf)
+    ()
+  }
+}
+
+/** The WRITE side: each task writes one self-contained
+  * `part-<pid>-<task>.dta` (full v118 header + its partition's rows)
+  * under the target directory — a layout [[StataSource]] itself and
+  * any per-file Stata reader (pandas included) read back directly.
+  * Commit is write-to-final-name (single writer per distinct file
+  * name; abort leaves no half-file because the bytes are assembled in
+  * memory and written once). A .dta file is one fixed-width blob, so
+  * the per-partition buffering this needs is exactly the working set
+  * any Stata writer holds. */
+private class StataBatchWrite(path: String,
+    schema: org.apache.spark.sql.types.StructType, truncate: Boolean)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    StataFormat.validateWriteSchema(schema)
+    val dir = new java.io.File(path)
+    require(dir.isDirectory || dir.mkdirs(), s"cannot create $path")
+    if (truncate)
+      Option(dir.listFiles).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".dta")).foreach(_.delete())
+    new StataWriterFactory(path, schema)
+  }
+  override def commit(
+      messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private class StataWriterFactory(path: String,
+    schema: org.apache.spark.sql.types.StructType)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+      private val buf =
+        scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+      override def write(record: InternalRow): Unit =
+        buf += record.copy()
+      override def commit()
+          : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+        // empty partitions write no file (a zero-row .dta is legal but
+        // useless; readers would still accept it)
+        if (buf.nonEmpty)
+          StataFormat.write(
+            f"$path/part-$partitionId%05d-$taskId.dta", schema, buf.toSeq)
+        new org.apache.spark.sql.connector.write.WriterCommitMessage {}
+      }
+      override def abort(): Unit = ()
+      override def close(): Unit = buf.clear()
+    }
 }

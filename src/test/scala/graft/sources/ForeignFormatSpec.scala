@@ -80,6 +80,49 @@ class ForeignFormatSpec extends SparkSpec {
       Set(Some("2161000"), Some("14862000"), None))
   }
 
+  test("graft-stata write: round-trips values, nulls, and types exactly") {
+    import spark.implicits._
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-stata-write").toString
+    val df = Seq(
+      (1.toByte, 10.toShort, 100, 1.5f, 2.25, "alpha"),
+      (2.toByte, 20.toShort, 200, -0.5f, 1e10, "bé"), // multibyte utf-8
+      (3.toByte, 30.toShort, 300, 0f, 0d, ""))
+      .toDF("b", "i", "l", "f", "d", "s")
+      .select(col("b"), col("i"), col("l"), col("f"), col("d"),
+        when(col("l") === 200, lit(null)).otherwise(col("s")).as("s"),
+        when(col("l") === 300, lit(null).cast("double"))
+          .otherwise(col("d")).as("dn"))
+    df.write.format("graft-stata").mode("overwrite").save(out)
+    val back = spark.read.format("graft-stata").load(out)
+    // names and types round-trip; the reader is all-nullable by design
+    // (any column CAN carry missing codes)
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      df.schema.map(f => (f.name, f.dataType)))
+    val a = df.orderBy("l").collect()
+    val b = back.orderBy("l").collect()
+    // null string writes as "" (Stata has no missing string — the
+    // pandas convention); everything else round-trips bit-exactly
+    a.zip(b).foreach { case (x, y) =>
+      (0 until 5).foreach(i => assert(x.get(i) === y.get(i)))
+      assert(Option(x.getString(5)).getOrElse("") === y.getString(5))
+      assert(x.isNullAt(6) === y.isNullAt(6))
+      if (!x.isNullAt(6)) assert(x.getDouble(6) === y.getDouble(6))
+    }
+    // overwrite truncates prior part files
+    df.limit(1).write.format("graft-stata").mode("overwrite").save(out)
+    assert(spark.read.format("graft-stata").load(out).count() === 1)
+    // unsupported types are rejected up front with an actionable error
+    val e = intercept[Exception] {
+      Seq((1L, "x")).toDF("big", "s").write
+        .format("graft-stata").mode("overwrite").save(out)
+    }
+    assert(e.getMessage.contains("no 64-bit integer") ||
+      Option(e.getCause).exists(_.getMessage.contains("no 64-bit integer")),
+      e.toString)
+    graft.queries.StreamGate.deleteRecursively(out)
+  }
+
   test("both sources register by short name and plan one partition per file") {
     // a directory of one file still resolves, and the scan is one
     // partition per file (the many-files parallelism contract)
