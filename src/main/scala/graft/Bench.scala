@@ -28,6 +28,14 @@ object Bench {
         (m.group(2).toDouble, m.group(3).toDouble, m.group(4).toDouble))
       .toMap
 
+  /** The `"reps":N` field of a history row (10 when absent — every
+    * recorded round has used the default). Ratios are stored RAW
+    * (t_stress/t_base); trend comparison must normalize both sides by
+    * their OWN round's reps or a reps/fixture change trips everything. */
+  private[graft] def parseStressReps(line: String): Double =
+    """"reps":(-?[\d.eE]+)""".r.findFirstMatchIn(line)
+      .map(_.group(1).toDouble).filter(_ > 0).getOrElse(10.0)
+
   /** Last USABLE history row for trend comparison: skips rows flagged
     * `"polluted":true` (recorded since round 10), rows with no query
     * table, and killed-run garbage — a launcher killed mid-pass leaves
@@ -51,11 +59,14 @@ object Bench {
   private[graft] def trendSuspects(
       prev: Map[String, (Double, Double, Double)],
       rows: Seq[(String, Double, Double, Double)],
-      reps: Double): Seq[String] =
+      reps: Double, prevReps: Double = 10.0,
+      failed: Set[String] = Set.empty): Seq[String] =
     rows.collect { case (n, tb, _, r)
-      if tb > 0.05 && r > 0 && (r / reps) > 1.0 &&
+      if !failed.contains(n) && tb > 0.05 && r > 0 &&
+        (r / reps) > 1.0 &&
         prev.get(n).exists { case (ptb, _, pr) =>
-          ptb > 0.05 && pr > 0 && r > 1.5 * pr } => n }
+          ptb > 0.05 && pr > 0 &&
+            (r / reps) > 1.5 * (pr / prevReps) } => n }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -492,12 +503,19 @@ object Bench {
       // don't exempt a query from it
       val trendSus: Seq[String] = try {
         val p = java.nio.file.Paths.get("STRESS_HISTORY.jsonl")
-        if (java.nio.file.Files.exists(p))
-          lastUsableStressRow(java.nio.file.Files.readAllLines(p)
-            .toArray(Array.empty[String]).toSeq)
-            .map(prev => trendSuspects(prev, rows, stressReps))
+        if (java.nio.file.Files.exists(p)) {
+          val lines = java.nio.file.Files.readAllLines(p)
+            .toArray(Array.empty[String]).toSeq
+          val usable = lines.reverseIterator
+            .filterNot(_.contains("\"polluted\":true"))
+            .find { l =>
+              val m = parseStressRow(l)
+              m.nonEmpty && m.values.count(_._1 >= 0.01) * 2 > m.size
+            }
+          usable.map(l => trendSuspects(parseStressRow(l), rows,
+              stressReps, parseStressReps(l), stressFailed.toSet))
             .getOrElse(Nil)
-        else Nil
+        } else Nil
       } catch { case _: Throwable => Nil }
       val qJson = rows.map { case (n, tb, ts, r) =>
         "\"" + n + f"""\":[$tb%.3f,$ts%.3f,$r%.2f]""" }

@@ -14,10 +14,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * path in the similarity operators; this stays inside whole-stage
   * codegen).
   *
-  * Mismatched lengths use the shorter prefix; null input yields null.
+  * Mismatched lengths use the shorter prefix; a null ARRAY or a null
+  * ELEMENT on either side yields null.
   */
 case class ArrayDot(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  // always nullable: a null ELEMENT nulls the result even when both
+  // array columns are non-nullable, and codegen needs ev.isNull to be
+  // a real variable for the in-loop assignment
+  override def nullable: Boolean = true
 
   override def dataType: DataType = DoubleType
   override def checkInputDataTypes()
@@ -41,6 +47,9 @@ case class ArrayDot(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      // a null ELEMENT nulls the whole dot (an UnsafeArrayData would
+      // otherwise silently read the slot as 0.0)
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
@@ -56,6 +65,9 @@ case class ArrayDot(left: Expression, right: Expression)
         int $n = java.lang.Math.min($a.numElements(), $b.numElements());
         double $acc = 0.0;
         for (int $i = 0; $i < $n; $i++) {
+          if ($a.isNullAt($i) || $b.isNullAt($i)) {
+            ${ev.isNull} = true; break;
+          }
           $acc += $a.getDouble($i) * $b.getDouble($i);
         }
         ${ev.value} = $acc;

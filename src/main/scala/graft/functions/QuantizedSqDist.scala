@@ -22,6 +22,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 case class QuantizedSqDist(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // always nullable: a null ELEMENT nulls the result even when both
+  // array columns are non-nullable, and codegen needs ev.isNull to be
+  // a real variable for the in-loop assignment
+  override def nullable: Boolean = true
+
   override def dataType: DataType = LongType
 
   override def checkInputDataTypes()
@@ -45,6 +50,9 @@ case class QuantizedSqDist(left: Expression, right: Expression)
     var acc = 0L
     var i = 0
     while (i < n) {
+      // a null ELEMENT nulls the whole distance (an UnsafeArrayData
+      // would otherwise silently read the slot as 0.0)
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val d = x.getDouble(i) - y.getDouble(i)
       acc += math.floor(d * d * 1e12 + 0.5).toLong
       i += 1
@@ -62,6 +70,9 @@ case class QuantizedSqDist(left: Expression, right: Expression)
         int $n = java.lang.Math.min($a.numElements(), $b.numElements());
         long $acc = 0L;
         for (int $i = 0; $i < $n; $i++) {
+          if ($a.isNullAt($i) || $b.isNullAt($i)) {
+            ${ev.isNull} = true; break;
+          }
           double $d = $a.getDouble($i) - $b.getDouble($i);
           $acc += (long) java.lang.Math.floor($d * $d * 1e12 + 0.5);
         }

@@ -206,8 +206,11 @@ object EmbeddingStats {
     * construction (neighbor distances rank on per-element-quantized
     * squared distances — exact longs, so the d1/d2 selection is
     * bit-deterministic cross-engine); at corpus scale take d1/d2 from
-    * the ANN ladder instead. Points with a zero first distance (exact
-    * duplicate vectors) are excluded, as the estimator requires.
+    * the ANN ladder instead. ZERO-DISTANCE PAIRS are discarded, so a
+    * duplicated point's d1/d2 come from its nearest DISTINCT
+    * neighbors (the usual discard-zero convention; on duplicate-heavy
+    * corpora this biases mu toward 1 and INFLATES id_hat — run exact
+    * dedup first, which the pipeline's q21 family exists for).
     * Returns one row (n_used, id_hat 4dp, ambient_dims). */
   def intrinsicDimension(df: DataFrame, idCol: String,
       vecCol: String): DataFrame = {

@@ -150,11 +150,18 @@ object Similarity {
     // (the right side rides in broadcast), and a small parquet corpus
     // arrives as one input split — spread it first or the whole n²·d
     // work runs in a single task (measured 11.8 s → 1.7 s at sf0.1).
+    // zero-norm/null vectors are excluded on BOTH sides: their cosine
+    // is NaN, and the heap's long quantization would otherwise launder
+    // cast(NaN as long) = 0 into a fabricated cos of 0.0 mid-ranking
+    // (the window formulation surfaced them as NaN-first — neither is
+    // a neighbor anyone wants; cosine is undefined for them)
     val a = corpus.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       l2Norm(col(vecCol)).as("qn"))
+      .where(col("qn") > 0.0)
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     val b = broadcast(corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("cv"), l2Norm(col(vecCol)).as("cn")))
+      col(vecCol).as("cv"), l2Norm(col(vecCol)).as("cn"))
+      .where(col("cn") > 0.0))
     // Per-query ranking rides the mergeable [[graft.functions
     // .BoundedTopK]] heap on the 10⁻⁶-quantized cosine (the sq8TopK
     // quantizer: exact integer recovery of the 6-dp-rounded score, so

@@ -28,10 +28,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * Formulas surface their cached `<v>` result, like pandas.
   *
   * Scale design: one InputPartition per FILE (a ZIP has no internal
-  * split points; parallelism is the many-files layout). The sheet is
-  * STREAMED via StAX — constant memory in the row count — and the
-  * shared-string table is loaded once per file (it is bounded by
-  * distinct cell text, the same working set any xlsx reader holds).
+  * split points; parallelism is the many-files layout). The sheet
+  * part is parsed with StAX in one pass and materialized PER FILE
+  * (sheet bytes + one sparse row map each — the per-file working set
+  * any xlsx reader holds; memory is O(file), parallelism and scale
+  * come from many files, not from splitting one).
   */
 class ExcelSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-excel"
@@ -137,18 +138,67 @@ object ExcelFormat {
       val shared: IndexedSeq[String] =
         entryBytes("xl/sharedStrings.xml").map(parseShared)
           .getOrElse(IndexedSeq.empty)
-      val sheetName = (1 to 16).view
-        .map(i => s"xl/worksheets/sheet$i.xml")
-        .find(zip.getEntry(_) != null)
-        .getOrElse(throw new IllegalArgumentException(
-          s"$file: no xl/worksheets/sheetN.xml part — not an xlsx workbook"))
-      val sheet = entryBytes(sheetName).get
+      // the FIRST sheet is the one workbook.xml DECLARES first (sheet
+      // parts can be renumbered by deletions — sheet2.xml may be the
+      // only part while the workbook lists it first); fall back to the
+      // lowest-numbered part only when the workbook metadata is absent
+      val sheetName = firstSheetPart(entryBytes).getOrElse {
+        (1 to 64).view
+          .map(i => s"xl/worksheets/sheet$i.xml")
+          .find(zip.getEntry(_) != null)
+          .getOrElse(throw new IllegalArgumentException(
+            s"$file: no xl/worksheets/sheetN.xml part — not an xlsx workbook"))
+      }
+      val sheet = entryBytes(sheetName).getOrElse(
+        throw new IllegalArgumentException(
+          s"$file: workbook declares missing sheet part $sheetName"))
       val rows = parseRows(sheet, shared)
       if (rows.isEmpty)
         throw new IllegalArgumentException(s"$file: empty worksheet")
       (rows.head, rows.iterator.drop(1))
     } finally zip.close()
   }
+
+  /** Resolve the workbook's FIRST declared sheet to its zip part via
+    * workbook.xml (sheet order + r:id) and workbook.xml.rels (r:id →
+    * target). None when either metadata part is absent/unparsable. */
+  private def firstSheetPart(
+      entryBytes: String => Option[Array[Byte]]): Option[String] =
+    try {
+      for {
+        wb <- entryBytes("xl/workbook.xml")
+        rels <- entryBytes("xl/_rels/workbook.xml.rels")
+        rid <- {
+          val rd = javax.xml.stream.XMLInputFactory.newFactory()
+            .createXMLStreamReader(new java.io.ByteArrayInputStream(wb))
+          var found: Option[String] = None
+          while (found.isEmpty && rd.hasNext) {
+            if (rd.next() ==
+                javax.xml.stream.XMLStreamConstants.START_ELEMENT &&
+                rd.getLocalName == "sheet")
+              found = Option(rd.getAttributeValue(
+                "http://schemas.openxmlformats.org/officeDocument/2006/relationships",
+                "id"))
+          }
+          rd.close(); found
+        }
+        target <- {
+          val rd = javax.xml.stream.XMLInputFactory.newFactory()
+            .createXMLStreamReader(new java.io.ByteArrayInputStream(rels))
+          var found: Option[String] = None
+          while (found.isEmpty && rd.hasNext) {
+            if (rd.next() ==
+                javax.xml.stream.XMLStreamConstants.START_ELEMENT &&
+                rd.getLocalName == "Relationship" &&
+                rd.getAttributeValue(null, "Id") == rid)
+              found = Option(rd.getAttributeValue(null, "Target"))
+          }
+          rd.close(); found
+        }
+      } yield
+        if (target.startsWith("/")) target.stripPrefix("/")
+        else "xl/" + target
+    } catch { case _: Exception => None }
 
   private def parseShared(bytes: Array[Byte]): IndexedSeq[String] = {
     val rd = javax.xml.stream.XMLInputFactory.newFactory()
@@ -186,6 +236,7 @@ object ExcelFormat {
     val rows = Vector.newBuilder[Map[Int, String]]
     var row: scala.collection.mutable.Map[Int, String] = null
     var cellCol = -1
+    var lastCol = -1 // implicit position: c/@r is OPTIONAL in ECMA-376
     var cellType = ""
     var text: StringBuilder = null
     var collecting = false
@@ -193,9 +244,13 @@ object ExcelFormat {
       rd.next() match {
         case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
           rd.getLocalName match {
-            case "row" => row = scala.collection.mutable.Map.empty
+            case "row" =>
+              row = scala.collection.mutable.Map.empty
+              lastCol = -1
             case "c" =>
-              cellCol = colIndex(rd.getAttributeValue(null, "r"))
+              cellCol = Option(rd.getAttributeValue(null, "r"))
+                .map(colIndex).getOrElse(lastCol + 1)
+              lastCol = cellCol
               cellType = Option(rd.getAttributeValue(null, "t")).getOrElse("")
             case "v" | "t" if cellCol >= 0 =>
               text = new StringBuilder; collecting = true

@@ -214,10 +214,18 @@ object StataFormat {
     // pushdown); decode only the requested ones via their fixed-width
     // offsets in the file's full row layout
     val byName = h.names.zipWithIndex.toMap
-    val fileCols = schema.fieldNames.map { n =>
-      byName.getOrElse(n, throw new IllegalArgumentException(
-        s"$file: requested column '$n' not in the file " +
+    val fileCols = schema.fields.map { f =>
+      val idx = byName.getOrElse(f.name, throw new IllegalArgumentException(
+        s"$file: requested column '${f.name}' not in the file " +
           s"(${h.names.mkString(",")})"))
+      // a user-supplied schema must agree with the file's type codes:
+      // the decoder emits the FILE's types, and a silent mismatch would
+      // surface as ClassCastExceptions rows later
+      val actual = fieldType(h.types(idx), file)._1
+      require(f.dataType == actual,
+        s"$file: column '${f.name}' is ${actual.simpleString} in the " +
+          s"file but the supplied schema says ${f.dataType.simpleString}")
+      idx
     }
     val widths = h.types.map(fieldType(_, file)._2)
     val rowWidth = widths.sum
@@ -394,11 +402,27 @@ object StataFormat {
           case DoubleType =>
             le(8)(_.putLong(
               if (r.isNullAt(i)) 0x7fe0000000000000L
-              else java.lang.Double.doubleToLongBits(r.getDouble(i))))
+              else {
+                val bits = java.lang.Double.doubleToLongBits(r.getDouble(i))
+                // same collision discipline as the int paths: a legit
+                // value inside the reserved missing bit range must fail
+                // loudly, never round-trip as NULL
+                require(bits < 0x7fe0000000000000L,
+                  s"double value ${r.getDouble(i)} falls in the dta " +
+                    "reserved missing range (>= 8.99e307) and cannot " +
+                    "be represented")
+                bits
+              }))
           case FloatType =>
             le(4)(_.putInt(
               if (r.isNullAt(i)) 0x7f000000
-              else java.lang.Float.floatToIntBits(r.getFloat(i))))
+              else {
+                val bits = java.lang.Float.floatToIntBits(r.getFloat(i))
+                require(bits < 0x7f000000,
+                  s"float value ${r.getFloat(i)} falls in the dta " +
+                    "reserved missing range (>= 1.70e38); cast to double")
+                bits
+              }))
           case IntegerType =>
             le(4)(_.putInt(
               if (r.isNullAt(i)) 2147483621 else {
@@ -490,10 +514,18 @@ private class StataWriterFactory(path: String,
       override def commit()
           : org.apache.spark.sql.connector.write.WriterCommitMessage = {
         // empty partitions write no file (a zero-row .dta is legal but
-        // useless; readers would still accept it)
-        if (buf.nonEmpty)
-          StataFormat.write(
-            f"$path/part-$partitionId%05d-$taskId.dta", schema, buf.toSeq)
+        // useless; readers would still accept it). The FINAL name is
+        // deterministic per PARTITION (no taskId) and landed by atomic
+        // rename from a task-unique temp, so a retried/speculated task
+        // replaces its predecessor's file instead of duplicating rows.
+        if (buf.nonEmpty) {
+          val tmp = f"$path/.part-$partitionId%05d-$taskId.dta.tmp"
+          StataFormat.write(tmp, schema, buf.toSeq)
+          val fin = f"$path/part-$partitionId%05d.dta"
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(fin),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
         new org.apache.spark.sql.connector.write.WriterCommitMessage {}
       }
       override def abort(): Unit = ()

@@ -40,6 +40,20 @@ class BenchTrendSpec extends AnyFunSuite {
     assert(Bench.trendSuspects(prev, rows, 10.0).isEmpty)
   }
 
+  test("trendSuspects normalizes by each round's reps; failed excluded") {
+    val prev = Map("qA" -> ((1.0, 20.0, 20.0))) // reps 10: norm 2.0
+    // current round at reps=20: raw ratio 42 is norm 2.1 — NOT a trip
+    val rows = Seq(("qA", 1.0, 42.0, 42.0))
+    assert(Bench.trendSuspects(prev, rows, 20.0, 10.0).isEmpty)
+    // same raw ratio read at reps=10 IS a trip (norm 4.2 > 1.5*2.0)
+    assert(Bench.trendSuspects(prev, rows, 10.0, 10.0) === Seq("qA"))
+    // a stress-failed query never trips on its time-to-failure ratio
+    assert(Bench.trendSuspects(prev, rows, 10.0, 10.0,
+      failed = Set("qA")).isEmpty)
+    assert(Bench.parseStressReps("""{"reps":20.0,"x":1}""") === 20.0)
+    assert(Bench.parseStressReps("""{"x":1}""") === 10.0)
+  }
+
   test("lastUsableStressRow skips polluted and killed-run garbage rows") {
     val good = prevLine
     val polluted = prevLine.replace("\"round\":\"r9\"",

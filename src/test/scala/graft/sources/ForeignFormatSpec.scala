@@ -123,6 +123,55 @@ class ForeignFormatSpec extends SparkSpec {
     graft.queries.StreamGate.deleteRecursively(out)
   }
 
+  test("graft-stata write: values in the reserved missing range fail loudly") {
+    import spark.implicits._
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-stata-range").toString
+    val e = intercept[Exception] {
+      Seq((3.0e38f, "x")).toDF("f", "s").write
+        .format("graft-stata").mode("overwrite").save(out)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("reserved missing")),
+      e.toString)
+    graft.queries.StreamGate.deleteRecursively(out)
+  }
+
+  test("graft-excel: implicit cell refs and workbook-declared sheet order") {
+    // hand-zip a workbook whose ONLY sheet part is sheet3.xml (the
+    // original first sheets were deleted), declared first in
+    // workbook.xml, with cells that OMIT the optional r attribute
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-xlsx-implicit").toString
+    val f = s"$dir/implicit.xlsx"
+    val zip = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(f))
+    def put(name: String, body: String): Unit = {
+      zip.putNextEntry(new java.util.zip.ZipEntry(name))
+      zip.write(body.getBytes("UTF-8")); zip.closeEntry()
+    }
+    put("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/></Types>""")
+    put("_rels/.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>""")
+    put("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="Data" sheetId="3" r:id="rId9"/></sheets></workbook>""")
+    put("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId9" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet3.xml"/></Relationships>""")
+    put("xl/worksheets/sheet3.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+        """<row><c t="inlineStr"><is><t>k</t></is></c><c t="inlineStr"><is><t>v</t></is></c></row>""" +
+        """<row><c t="inlineStr"><is><t>a</t></is></c><c><v>7</v></c></row>""" +
+        """</sheetData></worksheet>""")
+    zip.close()
+    val xl = spark.read.format("graft-excel").load(f)
+    assert(xl.columns.toSeq === Seq("k", "v"))
+    val r = xl.head()
+    assert(r.getString(0) === "a" && r.getString(1) === "7")
+    graft.queries.StreamGate.deleteRecursively(dir)
+  }
+
   test("both sources register by short name and plan one partition per file") {
     // a directory of one file still resolves, and the scan is one
     // partition per file (the many-files parallelism contract)
