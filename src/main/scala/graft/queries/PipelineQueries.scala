@@ -5654,6 +5654,173 @@ object PipelineQueries {
           ELSE 1.0 END AS efficiency
       FROM d GROUP BY source ORDER BY source"""))
 
+  /** SPAN-VERIFIED near-dup clusters: connected components over only
+    * the q316 pairs whose exact maximal shared span reaches 200
+    * characters — the precision tier above fingerprint-count
+    * clustering (q49 clusters on whole-set resemblance, q185 on raw
+    * LSH candidates; this one demands a VERIFIED 200-char verbatim
+    * run, the Lee et al. dedup criterion at character precision).
+    * Oracle: the q316 relational-LCS chain, thresholded, closed with
+    * the q49 recursive-CTE reachability. */
+  val qSpanVerifiedClusters = Q(
+    "q333_span_verified_clusters",
+    (s, dir) => {
+      val pairs = Dedup.winnowExactSpans(table(s, dir, "documents"),
+          "doc_id", "text", k = 4, w = 4, minShared = 2, maxDf = 16)
+        .where(col("lcs_len") >= 200)
+        .select("i", "j")
+      Dedup.connectedComponents(pairs, "i", "j")
+        .select(col("i").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE ${dkWinnowCtes(4, 4)},
+      wd AS (SELECT DISTINCT id, h FROM fp),
+      wok AS (SELECT h FROM wd GROUP BY h HAVING count(*) <= 16),
+      wkd AS (SELECT wd.* FROM wd JOIN wok USING (h)),
+      cand AS (SELECT a.id AS i, b.id AS j
+        FROM wkd a JOIN wkd b ON a.h = b.h AND a.id < b.id
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      prs AS (SELECT c.i, c.j, a.text AS ta, b.text AS tb
+        FROM cand c JOIN documents a ON a.doc_id = c.i
+        JOIN documents b ON b.doc_id = c.j),
+      ca AS (SELECT i, j, u.p, substr(ta, u.p, 1) AS ch
+        FROM prs, unnest(range(1, length(ta) + 1)) AS u(p)),
+      cb AS (SELECT i, j, u.q, substr(tb, u.q, 1) AS ch
+        FROM prs, unnest(range(1, length(tb) + 1)) AS u(q)),
+      m AS (SELECT a.i, a.j, a.p, b.q
+        FROM ca a JOIN cb b ON a.i = b.i AND a.j = b.j AND a.ch = b.ch),
+      isl AS (SELECT i, j, p, q,
+          p - row_number() OVER (PARTITION BY i, j, p - q ORDER BY p)
+            AS grp
+        FROM m),
+      runs AS (SELECT i, j, CAST(count(*) AS BIGINT) AS len
+        FROM isl GROUP BY i, j, p - q, grp),
+      vp AS (SELECT DISTINCT i, j FROM runs WHERE len >= 200),
+      edges AS (SELECT i AS a, j AS b FROM vp UNION SELECT j, i FROM vp),
+      reach(n, m2) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m2
+      )
+      SELECT n AS doc_id, min(m2) AS component
+      FROM reach GROUP BY n ORDER BY doc_id"""))
+
+  /** Per-document curation DISPOSITION audit — the "why did this doc
+    * survive / get dropped" log a production dedup actually ships
+    * next to its output: for every non-benchmark document, its exact-
+    * duplicate canonical (normalized-text group min-id), its span-
+    * verified near-dup cluster (q333's criterion over the corpus
+    * slice), its benchmark fingerprint overlap, and the composed
+    * keep/drop decision with a single-reason precedence
+    * (exact_duplicate > near_duplicate > contaminated > kept).
+    * Every ingredient is an already-gated primitive; this row
+    * certifies their INTERACTION on one table. */
+  val qDedupDisposition = Q(
+    "q334_dedup_disposition",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val corpus = docs.where(col("source") =!= "src0")
+      val withT = corpus.select(col("doc_id"),
+        Dedup.normalizedText(col("text")).as("__t"))
+      val canon = withT.groupBy("__t")
+        .agg(min(col("doc_id")).as("__canon"),
+          count(lit(1)).as("__grp_n"))
+      val exactDisp = withT.join(canon, Seq("__t"))
+        .select(col("doc_id"),
+          when(col("__grp_n") > 1 && col("doc_id") =!= col("__canon"),
+            col("__canon")).as("exact_dup_of"))
+      val pairs = Dedup.winnowExactSpans(corpus,
+          "doc_id", "text", k = 4, w = 4, minShared = 2, maxDf = 16)
+        .where(col("lcs_len") >= 200).select("i", "j")
+      val comp = Dedup.connectedComponents(pairs, "i", "j")
+        .select(col("i").as("doc_id"), col("component").as("span_cluster"))
+      val benchH = Dedup.winnowFingerprints(
+          docs.where(col("source") === "src0"), "doc_id", "text", 4, 4)
+        .select("h").distinct()
+      val cont = Dedup.winnowFingerprints(corpus, "doc_id", "text", 4, 4)
+        .select("id", "h").distinct()
+        .join(benchH, Seq("h"))
+        .groupBy("id").agg(count(lit(1)).as("n_bench_shared"))
+        .select(col("id").as("doc_id"), col("n_bench_shared"))
+      exactDisp
+        .join(comp, Seq("doc_id"), "left")
+        .join(cont, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("exact_dup_of"), col("span_cluster"),
+          coalesce(col("n_bench_shared"), lit(0L)).as("n_bench_shared"))
+        .withColumn("reason",
+          when(col("exact_dup_of").isNotNull, "exact_duplicate")
+            .when(col("span_cluster").isNotNull &&
+              col("doc_id") =!= col("span_cluster"), "near_duplicate")
+            .when(col("n_bench_shared") >= 2, "contaminated")
+            .otherwise("kept"))
+        .withColumn("keep", col("reason") === "kept")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE
+      corpus AS (SELECT * FROM documents WHERE source != 'src0'),
+      nt AS (SELECT doc_id,
+          trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+        FROM corpus),
+      canon AS (SELECT t, min(doc_id) AS canon, count(*) AS grp_n
+        FROM nt GROUP BY t),
+      exd AS (SELECT nt.doc_id,
+          CASE WHEN c.grp_n > 1 AND nt.doc_id != c.canon
+            THEN c.canon END AS exact_dup_of
+        FROM nt JOIN canon c ON c.t = nt.t),
+      ${dkWinnowCtesFor(4, 4, "c", "source != 'src0'")},
+      ${dkWinnowCtesFor(4, 4, "b", "source = 'src0'")},
+      wd AS (SELECT DISTINCT id, h FROM cfp),
+      wok AS (SELECT h FROM wd GROUP BY h HAVING count(*) <= 16),
+      wkd AS (SELECT wd.* FROM wd JOIN wok USING (h)),
+      cand AS (SELECT a.id AS i, b.id AS j
+        FROM wkd a JOIN wkd b ON a.h = b.h AND a.id < b.id
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      prs AS (SELECT c2.i, c2.j, a.text AS ta, b.text AS tb
+        FROM cand c2 JOIN corpus a ON a.doc_id = c2.i
+        JOIN corpus b ON b.doc_id = c2.j),
+      ca AS (SELECT i, j, u.p, substr(ta, u.p, 1) AS ch
+        FROM prs, unnest(range(1, length(ta) + 1)) AS u(p)),
+      cb AS (SELECT i, j, u.q, substr(tb, u.q, 1) AS ch
+        FROM prs, unnest(range(1, length(tb) + 1)) AS u(q)),
+      mm AS (SELECT a.i, a.j, a.p, b.q
+        FROM ca a JOIN cb b ON a.i = b.i AND a.j = b.j AND a.ch = b.ch),
+      isl AS (SELECT i, j, p, q,
+          p - row_number() OVER (PARTITION BY i, j, p - q ORDER BY p)
+            AS grp
+        FROM mm),
+      runs AS (SELECT i, j, CAST(count(*) AS BIGINT) AS len
+        FROM isl GROUP BY i, j, p - q, grp),
+      vp AS (SELECT DISTINCT i, j FROM runs WHERE len >= 200),
+      edges AS (SELECT i AS a, j AS b FROM vp UNION SELECT j, i FROM vp),
+      reach(n, m2) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m2
+      ),
+      comp AS (SELECT n AS doc_id, min(m2) AS span_cluster
+        FROM reach GROUP BY n),
+      bh AS (SELECT DISTINCT h FROM bfp),
+      cont AS (SELECT cd.id AS doc_id,
+          CAST(count(*) AS BIGINT) AS n_bench_shared
+        FROM (SELECT DISTINCT id, h FROM cfp) cd JOIN bh USING (h)
+        GROUP BY 1)
+      SELECT e.doc_id, e.exact_dup_of, comp.span_cluster,
+        coalesce(cont.n_bench_shared, 0) AS n_bench_shared,
+        CASE WHEN e.exact_dup_of IS NOT NULL THEN 'exact_duplicate'
+          WHEN comp.span_cluster IS NOT NULL
+            AND e.doc_id != comp.span_cluster THEN 'near_duplicate'
+          WHEN coalesce(cont.n_bench_shared, 0) >= 2 THEN 'contaminated'
+          ELSE 'kept' END AS reason,
+        CASE WHEN e.exact_dup_of IS NOT NULL THEN FALSE
+          WHEN comp.span_cluster IS NOT NULL
+            AND e.doc_id != comp.span_cluster THEN FALSE
+          WHEN coalesce(cont.n_bench_shared, 0) >= 2 THEN FALSE
+          ELSE TRUE END AS keep
+      FROM exd e
+      LEFT JOIN comp ON comp.doc_id = e.doc_id
+      LEFT JOIN cont ON cont.doc_id = e.doc_id
+      ORDER BY e.doc_id"""))
+
   val all: Seq[Q] = Seq(qWeightedReservoir, qMinhashEstimate, qSimhashPairs,
     qStupidBackoff, qDupSpans, qDsirWeights, qQualitySweep, qSourceKl,
     qKCenter, qPriorityDedup, qPplBuckets, qQueryLikelihood,
@@ -5664,7 +5831,7 @@ object PipelineQueries {
     qChainDrift, qWinnowFp, qWinnowSpans, qWinnowAligned, qEncodingAudit,
     qWinnowContamination, qStreamingContamination, qWinnowExactSpans,
     qFisherSeparation, qIntrinsicDim, qDupCoverage, qAssortativity,
-    qLogOddsTerms, qTemperatureMix, qHeapsLaw, qLshPlanner, qPaddingWaste,
+    qLogOddsTerms, qTemperatureMix, qHeapsLaw, qLshPlanner, qPaddingWaste, qSpanVerifiedClusters, qDedupDisposition,
     qNeyman, qEffectiveTokens, qUnigramLm, qUnigramFertility,
     qUnigramMStep, qUnigramEm2, qBurrowsDelta, qHillNumbers,
     qSimhashCombos, qPqAdcRecall, qIvfPqRecall, qRboRankings,
