@@ -1306,6 +1306,19 @@ object Dedup {
     * would otherwise fan out B·(B−1)/2 pairs), so per-hash join fanout
     * is bounded by maxDf² and the plan survives templated corpora.
     * Returns (i, j, n_shared) with i < j. */
+  /** [[winnowSharedSpans]], memoized+checkpointed per (input plan,
+    * params) through the session-cache registry — the candidate-pair
+    * build is shared by the q295/q316/q333/q334 family exactly like
+    * [[jaccardPairsCached]]'s families. */
+  def winnowSharedSpansCached(df: DataFrame, idCol: String,
+      textCol: String, k: Int, w: Int, minShared: Int,
+      maxDf: Int = 64): DataFrame =
+    pairsCache.getOrElseUpdate((System.identityHashCode(df.sparkSession),
+      df.queryExecution.analyzed.semanticHash(),
+      s"winnow:$idCol:$textCol:$k:$w:$minShared:$maxDf"))(
+      winnowSharedSpans(df, idCol, textCol, k, w, minShared, maxDf)
+        .localCheckpoint(false))
+
   def winnowSharedSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int, w: Int, minShared: Int, maxDf: Int = 64): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1: $minShared")
@@ -1384,7 +1397,8 @@ object Dedup {
     * ever exists in the plan. */
   def winnowExactSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int, w: Int, minShared: Int, maxDf: Int = 64): DataFrame = {
-    val cand = winnowSharedSpans(df, idCol, textCol, k, w, minShared, maxDf)
+    val cand = winnowSharedSpansCached(df, idCol, textCol, k, w,
+      minShared, maxDf)
     val ta = df.select(col(idCol).as("i"), col(textCol).as("__ta"))
     val tb = df.select(col(idCol).as("j"), col(textCol).as("__tb"))
     cand.join(ta, "i").join(tb, "j")

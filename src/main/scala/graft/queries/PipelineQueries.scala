@@ -4665,7 +4665,7 @@ object PipelineQueries {
   val qWinnowSpans = Q(
     "q295_winnow_spans",
     (s, dir) =>
-      Dedup.winnowSharedSpans(table(s, dir, "documents"),
+      Dedup.winnowSharedSpansCached(table(s, dir, "documents"),
           "doc_id", "text", k = 4, w = 4, minShared = 2, maxDf = 16)
         .orderBy("i", "j"),
     Some(s"""WITH ${dkWinnowCtes(4, 4)},
@@ -5472,7 +5472,7 @@ object PipelineQueries {
     "q323_assortativity",
     (s, dir) =>
       graft.ops.GraphStats.assortativity(
-        Dedup.winnowSharedSpans(table(s, dir, "documents"),
+        Dedup.winnowSharedSpansCached(table(s, dir, "documents"),
           "doc_id", "text", k = 4, w = 4, minShared = 2, maxDf = 16),
         "i", "j"),
     Some(s"""WITH ${dkWinnowCtes(4, 4)},
