@@ -50,9 +50,9 @@ object ProfileApp {
     graft.functions.GraftFunctions.register(spark) // SQL surface
 
     // Extension-dispatched scan (reference: utils/dataframe.py:24-67);
-    // Stata .dta / Excel .xlsx ride the native graft DataSource V2
-    // readers (round 10); SAS/HDF remain unsupported (no documented
-    // public format + no writer to even fixture against).
+    // Stata .dta / Excel .xlsx / SAS XPORT .xpt ride the native graft
+    // DataSource V2 readers (round 10); sas7bdat/HDF remain unsupported
+    // (no documented public format).
     val df = input.replaceAll(".*\\.", "").toLowerCase match {
       case "csv" | "tsv" =>
         spark.read.option("header", "true").option("inferSchema", "true")
@@ -61,6 +61,7 @@ object ProfileApp {
       case "orc"            => spark.read.orc(input)
       case "dta"            => spark.read.format("graft-stata").load(input)
       case "xlsx"           => spark.read.format("graft-excel").load(input)
+      case "xpt"            => spark.read.format("graft-xpt").load(input)
       case _                => spark.read.parquet(input)
     }
 

@@ -929,8 +929,25 @@ object ExtraQueries {
         CAST(max(CAST(l_linenumber AS SMALLINT)) AS INT) AS max_ln
       FROM lineitem GROUP BY 1 ORDER BY 1"""))
 
+  /** Native SAS XPORT scan ([[graft.sources.XptSource]], DSv2): the
+    * hand-assembled TS-140 fixture — IBM System/360 doubles (exact
+    * IEEE round-trip incl. 0.1), '.'-missing codes, space-padded
+    * chars — validated by pandas.read_sas itself and gated against
+    * its parquet twin. With q330/q331 this closes the READABLE part
+    * of the reference's legacy-format surface (sas7bdat stays waived:
+    * undocumented proprietary layout). */
+  val qXptScan = Q(
+    "q335_xpt_scan",
+    (s, _) =>
+      s.read.format("graft-xpt")
+        .load("/root/repo/src/test/resources/graft/sources/mixed.xpt")
+        .orderBy("ID"),
+    Some("""SELECT "ID", "SCORE", "CITY"
+      FROM '/root/repo/src/test/resources/graft/sources/mixed_twin.parquet'
+      ORDER BY "ID""""))
+
   val all: Seq[Q] = Seq(
-    qStataRoundTrip,
+    qStataRoundTrip, qXptScan,
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qKendallExact,
     qMapValueCounts,

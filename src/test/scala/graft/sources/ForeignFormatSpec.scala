@@ -172,6 +172,40 @@ class ForeignFormatSpec extends SparkSpec {
     graft.queries.StreamGate.deleteRecursively(dir)
   }
 
+  test("graft-xpt: TS-140 fixture round-trips against the twin (IBM doubles)") {
+    val xpt = spark.read.format("graft-xpt").load(s"$dir/mixed.xpt")
+    assert(xpt.schema.map(f => (f.name, f.dataType.simpleString)) === Seq(
+      ("ID", "double"), ("SCORE", "double"), ("CITY", "string")))
+    val rows = xpt.orderBy("ID").collect()
+    assert(rows.length === 5)
+    // IBM->IEEE is exact for IEEE-written values: 0.1 comes back
+    // bit-identical, 1e10 and -17.5 too; the '.' missing code is null
+    assert(rows(0).getDouble(1) === 3.25 && rows(0).getString(2) === "Paris")
+    assert(rows(1).getDouble(1) === 1e10 && rows(1).getString(2) === "")
+    assert(rows(2).isNullAt(1) && rows(2).getString(2) === "Osaka")
+    assert(rows(3).getDouble(1) === -17.5)
+    assert(rows(4).getDouble(1) === 0.1 &&
+      rows(4).getString(2) === "QuitoEcuad")
+    val twin = spark.read.parquet(s"$dir/mixed_twin.parquet")
+      .orderBy("ID").collect()
+    rows.zip(twin).foreach { case (a, b) =>
+      assert(a.getDouble(0) === b.getDouble(0))
+      assert(a.isNullAt(1) === b.isNullAt(1))
+      if (!a.isNullAt(1)) assert(a.getDouble(1) === b.getDouble(1))
+      assert(a.getString(2) === b.getString(2))
+    }
+    // non-xpt input fails loudly
+    val e = intercept[Exception] {
+      spark.read.format("graft-xpt").load(s"$dir/people.dta").collect()
+    }
+    assert(e.getMessage.contains("not a SAS XPORT"), e.getMessage)
+    // column pruning reaches the scan
+    val pruned = spark.read.format("graft-xpt").load(s"$dir/mixed.xpt")
+      .select("CITY")
+    assert(pruned.queryExecution.executedPlan.collectLeaves()
+      .head.output.map(_.name) === Seq("CITY"))
+  }
+
   test("both sources register by short name and plan one partition per file") {
     // a directory of one file still resolves, and the scan is one
     // partition per file (the many-files parallelism contract)
