@@ -703,6 +703,48 @@ object PipelineQueries {
              ELSE 'de' END AS lang_pred
       FROM documents ORDER BY doc_id"""))
 
+  /** Language-ID CONFUSION MATRIX vs the stored ground-truth lang —
+    * the eval table behind q28's classifier (the first thing anyone
+    * does with a heuristic language ID before trusting it for routing
+    * or filtering): per (truth, predicted) doc counts plus per-truth
+    * recall. One scan, one grouped aggregate over the ≤|langs|²+1
+    * cell grid; recall totals ride a keyed window over that bounded
+    * grid. */
+  val qLangIdConfusion = Q(
+    "q336_langid_confusion",
+    (s, dir) =>
+      table(s, dir, "documents")
+        .select(col("lang").as("truth"),
+          TextAnalysis.langId(col("text")).as("predicted"))
+        .groupBy("truth", "predicted")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("truth_total",
+          sum(col("n")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("truth")))
+        .select(col("truth"), col("predicted"), col("n"),
+          col("truth_total"),
+          round(col("n").cast("double") / col("truth_total"), 6)
+            .as("rate"))
+        .orderBy("truth", "predicted"),
+    Some(s"""WITH pred AS (SELECT lang AS truth,
+        CASE WHEN greatest(${dkStopFrac("de")}, ${dkStopFrac("en")},
+                           ${dkStopFrac("es")}, ${dkStopFrac("fr")}) = 0
+             THEN 'und'
+             WHEN ${dkStopFrac("fr")} >= ${dkStopFrac("es")}
+              AND ${dkStopFrac("fr")} >= ${dkStopFrac("en")}
+              AND ${dkStopFrac("fr")} >= ${dkStopFrac("de")} THEN 'fr'
+             WHEN ${dkStopFrac("es")} >= ${dkStopFrac("en")}
+              AND ${dkStopFrac("es")} >= ${dkStopFrac("de")} THEN 'es'
+             WHEN ${dkStopFrac("en")} >= ${dkStopFrac("de")} THEN 'en'
+             ELSE 'de' END AS predicted
+      FROM documents),
+      cells AS (SELECT truth, predicted, count(*) AS n
+        FROM pred GROUP BY 1, 2)
+      SELECT truth, predicted, n,
+        CAST(sum(n) OVER (PARTITION BY truth) AS BIGINT) AS truth_total,
+        round(n::DOUBLE / sum(n) OVER (PARTITION BY truth), 6) AS rate
+      FROM cells ORDER BY truth, predicted"""))
+
   /** Per-document quality signals + composite score. */
   val qTextQuality = Q(
     "q29_text_quality",
@@ -5831,7 +5873,7 @@ object PipelineQueries {
     qChainDrift, qWinnowFp, qWinnowSpans, qWinnowAligned, qEncodingAudit,
     qWinnowContamination, qStreamingContamination, qWinnowExactSpans,
     qFisherSeparation, qIntrinsicDim, qDupCoverage, qAssortativity,
-    qLogOddsTerms, qTemperatureMix, qHeapsLaw, qLshPlanner, qPaddingWaste, qSpanVerifiedClusters, qDedupDisposition,
+    qLogOddsTerms, qTemperatureMix, qHeapsLaw, qLshPlanner, qPaddingWaste, qSpanVerifiedClusters, qDedupDisposition, qLangIdConfusion,
     qNeyman, qEffectiveTokens, qUnigramLm, qUnigramFertility,
     qUnigramMStep, qUnigramEm2, qBurrowsDelta, qHillNumbers,
     qSimhashCombos, qPqAdcRecall, qIvfPqRecall, qRboRankings,
