@@ -83,6 +83,10 @@ def main(out_dir, sf_dir, strict_types=True):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    try:
+        zero_allow = json.load(open(f"{out_dir}/zero_row_allowlist.json"))
+    except FileNotFoundError:
+        zero_allow = {}
     n_ok = n_bad = n_type = 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -123,8 +127,16 @@ def main(out_dir, sf_dir, strict_types=True):
                         f"{c}: spark={gs.get(c)} oracle={es.get(c)}")
 
         ce, cg = canon(exp), canon(got)
-        if ce == cg and not type_bad:
-            print(f"MATCH {name} ({len(got)} rows)")
+        if ce == cg and not type_bad and not got and name not in zero_allow:
+            # empty-vs-empty certifies nothing (the q326 class): a gate
+            # row with 0 Spark rows is a FAIL unless allowlisted with a
+            # reason in SparkEntry.zeroRowAllowlist
+            print(f"FAIL  {name}: VACUOUS 0-row gate (values match but "
+                  "certify nothing; not on zero_row_allowlist)")
+            n_bad += 1
+        elif ce == cg and not type_bad:
+            tag = " [0 rows, allowlisted]" if not got else ""
+            print(f"MATCH {name} ({len(got)} rows){tag}")
             n_ok += 1
         elif ce == cg:
             print(f"TYPEFAIL {name}: values match but column types differ "

@@ -123,19 +123,42 @@ object Bench {
     // a failed query must NOT pass off its time-to-failure as a timing:
     // it is recorded by name and forces polluted=true in the artifact
     val failedQueries = scala.collection.mutable.LinkedHashSet[String]()
+    // a bench row whose query returns ZERO rows times nothing real (the
+    // q326 lesson, same detector as Verify.dumpGated): pass 1 observes
+    // each query's output row count through a CollectMetrics node (no
+    // extra action, one counter per output row) and names offenders here
+    val vacuousQueries = scala.collection.mutable.LinkedHashSet[String]()
     def timeOnceAt(name: String, dir: String, failures: scala.collection.mutable.Set[String],
-        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        observeRows: Boolean = false): Double = {
       val t0 = System.nanoTime()
-      try fn(spark, dir).write.format("noop").mode("overwrite").save()
-      catch {
+      try {
+        val df = fn(spark, dir)
+        if (observeRows) {
+          val obs = org.apache.spark.sql.Observation(s"graft_rows_$name")
+          df.observe(obs, org.apache.spark.sql.functions
+              .count(org.apache.spark.sql.functions.lit(1)).as("rows"))
+            .write.format("noop").mode("overwrite").save()
+          val rows = obs.get.getOrElse("rows", 0L) match {
+            case n: Long => n; case n: Int => n.toLong; case _ => -1L
+          }
+          if (Verify.vacuous(name, rows)) {
+            vacuousQueries += name
+            System.err.println(s"[bench] $name VACUOUS: 0 output rows " +
+              "and not on SparkEntry.zeroRowAllowlist - this row times " +
+              "nothing real")
+          }
+        } else df.write.format("noop").mode("overwrite").save()
+      } catch {
         case e: Throwable =>
           failures += name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       (System.nanoTime() - t0) / 1e9
     }
-    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
-      timeOnceAt(name, sfDir, failedQueries, fn)
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        observeRows: Boolean = false): Double =
+      timeOnceAt(name, sfDir, failedQueries, fn, observeRows)
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     // two full passes, min per query: a transient host stall pollutes one
@@ -144,7 +167,8 @@ object Bench {
     // share one shingle build as designed — but are cleared BETWEEN passes
     // so the min still carries each pass's one cold build instead of
     // timing a pure cache hit.
-    val pass1 = ordered.map { case (n, f) => n -> timeOnce(n, f) }.toMap
+    val pass1 = ordered.map { case (n, f) =>
+      n -> timeOnce(n, f, observeRows = true) }.toMap
     // ONE registry clear (round-10): every SessionCache registers at
     // construction, so a new cache can never silently miss this boundary
     // (the round-8/round-9 phantom-reading bug class)
@@ -598,6 +622,7 @@ object Bench {
     val suspectJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     val coldJson = coldStarts.map("\"" + _ + "\"").mkString("[", ",", "]")
     val failedJson = failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val vacuousJson = vacuousQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
     stressSection.foreach { case (json, _) =>
       println(json)
       // tracked per-round series (verdict r8 task #8): super-linear
@@ -619,7 +644,7 @@ object Bench {
         System.err.println(s"[bench] stress-history append failed: ${e.getMessage}")
       }
     }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","streaming_total":$streamingTotal%.3f,"queries":$qs,"sf":"$sfDir","procs":$procs,"loadavg":$load%.2f,"loadavg_start":$loadStart%.2f,"cpu_busy_start":$busyStart%.3f,"cpu_steal_frac":$stealFrac%.4f,"polluted":$polluted,"suspect_queries":$suspectJson,"coldstart_queries":$coldJson,"failed_queries":$failedJson,"pass_totals":[$t1%.3f,$t2%.3f],"queries_passes":$qsBoth}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","streaming_total":$streamingTotal%.3f,"queries":$qs,"sf":"$sfDir","procs":$procs,"loadavg":$load%.2f,"loadavg_start":$loadStart%.2f,"cpu_busy_start":$busyStart%.3f,"cpu_steal_frac":$stealFrac%.4f,"polluted":$polluted,"suspect_queries":$suspectJson,"coldstart_queries":$coldJson,"failed_queries":$failedJson,"vacuous_queries":$vacuousJson,"pass_totals":[$t1%.3f,$t2%.3f],"queries_passes":$qsBoth}""")
     // The harness that archives this output keeps only the last ~2 KB;
     // the big line above front-loads its verdict fields, so a truncated
     // artifact loses its own pollution flag (round-5 lesson). Repeat the
@@ -630,7 +655,7 @@ object Bench {
     val stressRan = stressSection.isDefined
     val stressSusJson = stressSection.map(_._2).getOrElse(Nil)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"bench_summary":{"total":$total%.3f,"streaming_total":$streamingTotal%.3f,"polluted":$polluted,"cpu_steal_frac":$stealFrac%.4f,"cpu_busy_start":$busyStart%.3f,"suspect_queries":$suspectJson,"coldstart_queries":$coldJson,"failed_queries":$failedJson,"pass_totals":[$t1%.3f,$t2%.3f],"q00":$q00Sec%.3f,"q00b":$q00bSec%.3f,"n_queries":${results.size},"stress_ran":$stressRan,"stress_suspects":$stressSusJson}}""")
+    println(f"""{"bench_summary":{"total":$total%.3f,"streaming_total":$streamingTotal%.3f,"polluted":$polluted,"cpu_steal_frac":$stealFrac%.4f,"cpu_busy_start":$busyStart%.3f,"suspect_queries":$suspectJson,"coldstart_queries":$coldJson,"failed_queries":$failedJson,"vacuous_queries":$vacuousJson,"pass_totals":[$t1%.3f,$t2%.3f],"q00":$q00Sec%.3f,"q00b":$q00bSec%.3f,"n_queries":${results.size},"stress_ran":$stressRan,"stress_suspects":$stressSusJson}}""")
     spark.stop()
   }
 }

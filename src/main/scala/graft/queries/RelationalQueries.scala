@@ -1238,7 +1238,7 @@ object RelationalQueries {
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
           col("l_quantity"), col("l_extendedprice"), col("l_discount"))
       val p = table(s, dir, "part")
-        .where(col("p_name").like("%green%"))
+        .where(col("p_name").like("%red%"))
         .select("p_partkey", "p_retailprice")
       val sup = table(s, dir, "supplier").select("s_suppkey", "s_nationkey")
       val nat = table(s, dir, "nation").select("n_nationkey", "n_name")
@@ -1264,7 +1264,7 @@ object RelationalQueries {
           AS sum_profit,
         count(*) AS n_items
       FROM lineitem
-      JOIN part ON p_partkey = l_partkey AND p_name LIKE '%green%'
+      JOIN part ON p_partkey = l_partkey AND p_name LIKE '%red%'
       JOIN supplier ON s_suppkey = l_suppkey
       JOIN nation ON n_nationkey = s_nationkey
       JOIN orders ON o_orderkey = l_orderkey
