@@ -160,7 +160,18 @@ object Bench {
         observeRows: Boolean = false): Double =
       timeOnceAt(name, sfDir, failedQueries, fn, observeRows)
 
+    // Dev aid (same convention as Verify; driver leaves it unset):
+    // SPARK_GRAFT_ONLY=q165 restricts the batch passes AND the stress
+    // section to matching-prefix queries — for isolating one query's
+    // scaling behavior without a 6-minute full pass. Streaming drives
+    // are skipped too unless a listed prefix starts with "s".
+    val benchOnly = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    def selected(name: String): Boolean =
+      benchOnly.isEmpty || benchOnly.exists(name.startsWith)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => selected(q._1))
     // two full passes, min per query: a transient host stall pollutes one
     // pass; the min of two is the honest steady-state figure. Session
     // caches (shingle table, IVF index) amortize WITHIN a pass — q22/23/24
@@ -436,8 +447,9 @@ object Bench {
         "s08_streaming_running_totals" -> rtSec,
         "s09_streaming_contamination_bloom" -> scbSec)
     }
-    val sPass1 = streamingOnce("p1")
-    val sPass2 = streamingOnce("p2")
+    val runStreaming = benchOnly.isEmpty || benchOnly.exists(_.startsWith("s"))
+    val sPass1 = if (runStreaming) streamingOnce("p1") else Map.empty[String, Double]
+    val sPass2 = if (runStreaming) streamingOnce("p2") else Map.empty[String, Double]
 
     // ---- 10x stress section: the scaling table as a per-round artifact
     // (round-7 ran it by hand into NOTES prose; this regenerates it every
@@ -493,10 +505,13 @@ object Bench {
     val stressWaivers = Map(
       "q165_mutual_knn" -> ("documented O(n^2) exact-kNN SCORING " +
         "(irreducible on unstructured embeddings — no cluster geometry " +
-        "to prune against); since round 10 the ranking rides the " +
-        "mergeable BoundedTopK heap instead of an n^2-row window sort, " +
-        "which removed the r9 spill-variance (16.1x vs 3.7x same-round " +
-        "spread) — measured ~4-5x of linear at 10x, stable; " +
+        "to prune against); since round 11 the whole ranking is a " +
+        "BLOCKED mapPartitions scan against one broadcast corpus — no " +
+        "shuffle, no join, no aggregation map in the plan, per-task " +
+        "memory = broadcast + O(k) — which retired BOTH prior variance " +
+        "classes (r9 window-sort spill 16.1x/3.7x; r10 hash-agg buffer " +
+        "pressure 13.7x/4.0x): measured 0.28-0.30x of linear at 10x, " +
+        "three consecutive runs within a 1.09x band (1.87-2.04 s); " +
         "q26b/q26c/q27 are the approximate scale path"))
     val stressFailed = scala.collection.mutable.LinkedHashSet[String]()
     val stressSection: Option[(String, Seq[String])] = stressDirOpt.map { sdir =>
@@ -508,12 +523,12 @@ object Bench {
         // this clear landed (round 9 session 4; now one call covers
         // every registered cache, present and future)
         graft.ops.SessionCache.clearAll()
-        stressNames.map(n =>
+        stressNames.filter(selected).map(n =>
           n -> timeOnceAt(n, d, stressFailed, SparkEntry.queries(n))).toMap
       }
       val base = passOver(sfDir)
       val scaled = passOver(sdir)
-      val rows = stressNames.map { n =>
+      val rows = stressNames.filter(selected).map { n =>
         val (tb, ts) = (base(n), scaled(n))
         val ratio = if (tb > 0) ts / tb else -1.0
         (n, tb, ts, ratio)
@@ -629,7 +644,10 @@ object Bench {
       // CREEP is only visible as a trend, so every stress run appends
       // its full table to STRESS_HISTORY.jsonl (committed; r7/r8 rows
       // backfilled from round notes in STRESS_HISTORY.md)
-      try {
+      // a SPARK_GRAFT_ONLY-filtered run covers a subset of the stress
+      // table: appending it would poison the trend series with a row
+      // the majority-of-bases usability check can't always reject
+      if (benchOnly.isEmpty) try {
         val tag = sys.env.getOrElse("SPARK_GRAFT_ROUND", "adhoc")
         // polluted/loadavg/steal recorded IN the row so trend analysis
         // (lastUsableStressRow) can exclude contaminated entries —

@@ -54,7 +54,13 @@ case class QuantizedSqDist(left: Expression, right: Expression)
       // would otherwise silently read the slot as 0.0)
       if (x.isNullAt(i) || y.isNullAt(i)) return null
       val d = x.getDouble(i) - y.getDouble(i)
-      acc += math.floor(d * d * 1e12 + 0.5).toLong
+      val t = d * d * 1e12 + 0.5
+      // overflow fails LOUDLY instead of wrapping: a per-element diff
+      // beyond ~3e3 quantizes past 2^63 ((long) of an oversized double
+      // saturates, then the sum wraps) — silent ranking corruption for
+      // large-magnitude vectors. addExact guards the accumulation.
+      if (t >= 9.223372036854776e18) throw QuantizedSqDist.overflow(d)
+      acc = Math.addExact(acc, math.floor(t).toLong)
       i += 1
     }
     acc
@@ -74,7 +80,12 @@ case class QuantizedSqDist(left: Expression, right: Expression)
             ${ev.isNull} = true; break;
           }
           double $d = $a.getDouble($i) - $b.getDouble($i);
-          $acc += (long) java.lang.Math.floor($d * $d * 1e12 + 0.5);
+          double ${d}t = $d * $d * 1e12 + 0.5;
+          if (${d}t >= 9.223372036854776e18) {
+            throw graft.functions.QuantizedSqDist.overflow($d);
+          }
+          $acc = java.lang.Math.addExact($acc,
+            (long) java.lang.Math.floor(${d}t));
         }
         ${ev.value} = $acc;
       """
@@ -86,6 +97,15 @@ case class QuantizedSqDist(left: Expression, right: Expression)
 }
 
 object QuantizedSqDist {
+  /** Loud per-element overflow (called from interpreted AND generated
+    * code): the kernel's documented magnitude bound is
+    * |xᵢ−yᵢ| < ~3.0e3 (then (xᵢ−yᵢ)²·10¹² reaches 2^63). */
+  def overflow(d: Double): ArithmeticException =
+    new ArithmeticException(
+      f"graft_qsqdist overflow: per-element difference $d%.6g " +
+        "quantizes past 2^63 (|x-y| must stay below ~3.0e3); rescale " +
+        "the vectors before ranking on the quantized distance")
+
   /** Column API: qsqdist(a, b) with automatic cast to array<double>. */
   def qsqdist(a: Column, b: Column): Column = {
     import org.apache.spark.sql.graft.ColumnBridge

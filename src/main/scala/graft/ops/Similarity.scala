@@ -146,49 +146,139 @@ object Similarity {
     * Ranks on 6-dp-rounded cosine with id tie-break (engine-exact). */
   def knnGraph(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
-    // The scoring loop's parallelism is the LEFT side's partitioning
-    // (the right side rides in broadcast), and a small parquet corpus
-    // arrives as one input split — spread it first or the whole n²·d
-    // work runs in a single task (measured 11.8 s → 1.7 s at sf0.1).
-    // zero-norm/null vectors are excluded on BOTH sides: their cosine
-    // is NaN, and the heap's long quantization would otherwise launder
-    // cast(NaN as long) = 0 into a fabricated cos of 0.0 mid-ranking
-    // (the window formulation surfaced them as NaN-first — neither is
-    // a neighbor anyone wants; cosine is undefined for them)
-    val a = corpus.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      l2Norm(col(vecCol)).as("qn"))
-      .where(col("qn") > 0.0)
-      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
-    val b = broadcast(corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("cv"), l2Norm(col(vecCol)).as("cn"))
-      .where(col("cn") > 0.0))
-    // Per-query ranking rides the mergeable [[graft.functions
-    // .BoundedTopK]] heap on the 10⁻⁶-quantized cosine (the sq8TopK
-    // quantizer: exact integer recovery of the 6-dp-rounded score, so
-    // (ord desc, id asc) IS (cos desc, neighbor_id asc)) instead of
-    // row_number over a window: the window formulation shuffled and
-    // SORTED the full n² scored stream — at 10× scale that sort was
-    // the memory-pressure/spill variance the round-9 stress table
-    // caught on q165 (16.1× vs 3.73× of linear between same-round
-    // runs). The heap ships O(k) per query per map task, no n²-row
-    // exchange at all; the irreducible n²·d scoring stays (exact kNN
-    // over unstructured embeddings has no sub-quadratic exact path —
-    // triangle-inequality/centroid pruning needs cluster structure the
-    // random fixture lacks), but it is now pure streaming compute.
-    a.crossJoin(b)
-      .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(
-        dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
-      .withColumn("ordq", floor(col("cos") * 1e6 + 0.5).cast("long"))
-      .groupBy("query_id")
-      .agg(graft.functions.BoundedTopK
-        .topK(col("ordq"), col("neighbor_id"), k).as("top"))
-      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
-      .select(col("query_id"), (col("pos") + 1).as("rnk"),
-        col("t.id").as("neighbor_id"),
-        // k/1e6 divides back to the bit-identical 6-dp-rounded double
-        // (both are the nearest double to the same decimal)
-        (col("t.ord").cast("double") / 1e6).as("cos"))
+    // BLOCKED exact kNN (round-11): the corpus rides one broadcast and
+    // every task scans a bounded slice of probe INDICES against it with
+    // a single live k-selection at a time — per-task memory is
+    // broadcast + O(k), structurally. The previous two formulations
+    // both carried a same-commit stress-variance tail at 10× scale:
+    // the window one shuffled and SORTED the full n² scored stream
+    // (16.1× vs 3.7× of linear, round 9), and the crossJoin +
+    // BoundedTopK hash-agg one kept n concurrent heap buffers per task
+    // inside the partial aggregation map (13.7× vs 4.0×, the round-10
+    // driver trend trip). Here there is NO shuffle, NO join and NO
+    // aggregation map in the plan at all — the irreducible n²·d
+    // scoring (exact kNN over unstructured embeddings has no
+    // sub-quadratic exact path) streams through mapPartitions over a
+    // pre-split Range, so nothing is left to spill or rebuild.
+    //
+    // Semantics are unchanged and engine-exact: score = round(
+    // dot(qv,cv)/(|qv|·|cv|), 6) with Spark's HALF_UP decimal-string
+    // rounding (replicated via java BigDecimal.valueOf — what Round
+    // does), ranked by (cos desc, id asc); zero-norm / null-element
+    // vectors are excluded on BOTH sides (cosine is undefined for
+    // them). O(n²) pairwise by construction: the documented
+    // small/medium-corpus ORACLE tool — at 100 TB build the graph from
+    // [[lshTopK]]'s banded candidates instead (same output shape,
+    // bounded recall loss).
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val idType = corpus.schema(idCol).dataType
+    val integral = idType match {
+      case org.apache.spark.sql.types.ByteType |
+          org.apache.spark.sql.types.ShortType |
+          org.apache.spark.sql.types.IntegerType |
+          org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    // fail LOUDLY on non-integral ids: the long-keyed ranking would
+    // otherwise silently drop every row whose id casts to null (a
+    // string-id corpus would "have no neighbors" instead of erroring)
+    require(integral, s"knnGraph: id column '$idCol' must be an " +
+      s"integral type that widens losslessly to long (byte/short/int/" +
+      s"long), got ${idType.simpleString}; assign surrogate long ids " +
+      "first (e.g. zipWithIndex / monotonically_increasing_id) and " +
+      "join the originals back on them")
+    // one bounded gather: this operator broadcasts the corpus either
+    // way (that IS its memory contract), so collecting it to build the
+    // broadcast is the same footprint with none of the join machinery
+    val gathered = corpus
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .where(col("v").isNotNull)
+      .collect()
+    val clean = gathered.iterator.flatMap { r =>
+      val id = r.getLong(0)
+      val seq = r.getSeq[Any](1)
+      if (seq.contains(null)) None // null element: cosine undefined
+      else {
+        val arr = new Array[Double](seq.length)
+        var i = 0
+        var ss = 0.0
+        seq.foreach { x =>
+          val d = x.asInstanceOf[Double]
+          arr(i) = d; ss += d * d; i += 1
+        }
+        val norm = math.sqrt(ss) // = l2Norm: sqrt of seq. Σ d·d
+        if (norm > 0.0) Some((id, arr, norm)) else None
+      }
+    }.toArray.sortBy(_._1)
+    val n = clean.length
+    val bcIds = spark.sparkContext.broadcast(clean.map(_._1))
+    val bcVecs = spark.sparkContext.broadcast(clean.map(_._2))
+    val bcNorms = spark.sparkContext.broadcast(clean.map(_._3))
+    // pre-split Range: parallelism without a repartition exchange
+    val parts = math.max(1,
+      math.min(spark.sparkContext.defaultParallelism, n))
+    spark.range(0, n.toLong, 1, parts).as[Long].mapPartitions { it =>
+      val ids = bcIds.value
+      val vecs = bcVecs.value
+      val norms = bcNorms.value
+      val nn = ids.length
+      // Spark round(x, 6) semantics exactly: decimal-STRING HALF_UP
+      // (BigDecimal.valueOf), then the 1e6 integer recovery
+      def quantize(cos: Double): Long = {
+        val r = java.math.BigDecimal.valueOf(cos)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        math.floor(r * 1e6 + 0.5).toLong
+      }
+      it.flatMap { qi0 =>
+        val qi = qi0.toInt
+        val qv = vecs(qi)
+        val qn = norms(qi)
+        val selOrd = new Array[Long](k)
+        val selId = new Array[Long](k)
+        var m = 0
+        var ci = 0
+        while (ci < nn) {
+          if (ci != qi) {
+            val cv = vecs(ci)
+            val len = math.min(qv.length, cv.length)
+            var dot = 0.0
+            var j = 0
+            while (j < len) { dot += qv(j) * cv(j); j += 1 }
+            val cos = dot / (qn * norms(ci))
+            val t = cos * 1e6
+            // cheap prune once full: quantize() differs from
+            // floor(t + 0.5) by at most ~1 (half-a-decimal-ulp + float
+            // error), so t more than 2 below the current worst ord can
+            // neither beat it nor tie it — skip the BigDecimal
+            if (m < k || t >= selOrd(m - 1).toDouble - 2.0) {
+              val o = quantize(cos)
+              val cid = ids(ci)
+              if (m < k || o > selOrd(m - 1) ||
+                  (o == selOrd(m - 1) && cid < selId(m - 1))) {
+                var p = (if (m < k) m else k - 1) - 1
+                var hole = if (m < k) m else k - 1
+                while (p >= 0 && (selOrd(p) < o ||
+                    (selOrd(p) == o && selId(p) > cid))) {
+                  selOrd(hole) = selOrd(p); selId(hole) = selId(p)
+                  hole = p; p -= 1
+                }
+                selOrd(hole) = o; selId(hole) = cid
+                if (m < k) m += 1
+              }
+            }
+          }
+          ci += 1
+        }
+        val qid = ids(qi)
+        (0 until m).iterator.map { r =>
+          // ord/1e6 divides back to the bit-identical 6-dp-rounded
+          // double (both are the nearest double to the same decimal)
+          (qid, r + 1, selId(r), selOrd(r).toDouble / 1e6)
+        }
+      }
+    }.toDF("query_id", "rnk", "neighbor_id", "cos")
   }
 
   /** Mutual (reciprocal) k-NN pairs: (i, j) with i < j where each is in

@@ -206,12 +206,15 @@ object ExcelFormat {
     val out = IndexedSeq.newBuilder[String]
     var cur: StringBuilder = null
     var inT = false
+    var inRph = false // phonetic <rPh>/<phoneticPr> runs are NOT part of
+    // the string value (pandas/read_excel drops them too)
     while (rd.hasNext) {
       rd.next() match {
         case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
           rd.getLocalName match {
             case "si" => cur = new StringBuilder
-            case "t" => inT = true
+            case "rPh" => inRph = true
+            case "t" if !inRph => inT = true
             case _ =>
           }
         case javax.xml.stream.XMLStreamConstants.CHARACTERS if inT =>
@@ -219,6 +222,7 @@ object ExcelFormat {
         case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
           rd.getLocalName match {
             case "t" => inT = false
+            case "rPh" => inRph = false
             case "si" => out += cur.toString
             case _ =>
           }
@@ -238,8 +242,14 @@ object ExcelFormat {
     var cellCol = -1
     var lastCol = -1 // implicit position: c/@r is OPTIONAL in ECMA-376
     var cellType = ""
-    var text: StringBuilder = null
+    // accumulated across ALL <v>/<t> runs of ONE cell: a rich-text
+    // inline string (<is><r><t>a</t></r><r><t>b</t></r></is>) is the
+    // concatenation of its runs (pandas parity) — resolving per-</t>
+    // kept only the last run
+    var cellText: StringBuilder = null
+    var sawText = false
     var collecting = false
+    var inRph = false // phonetic runs are not part of the value
     while (rd.hasNext) {
       rd.next() match {
         case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
@@ -252,21 +262,27 @@ object ExcelFormat {
                 .map(colIndex).getOrElse(lastCol + 1)
               lastCol = cellCol
               cellType = Option(rd.getAttributeValue(null, "t")).getOrElse("")
-            case "v" | "t" if cellCol >= 0 =>
-              text = new StringBuilder; collecting = true
+              cellText = new StringBuilder
+              sawText = false
+            case "rPh" => inRph = true
+            case "v" | "t" if cellCol >= 0 && !inRph =>
+              sawText = true; collecting = true
             case _ =>
           }
         case javax.xml.stream.XMLStreamConstants.CHARACTERS if collecting =>
-          text.append(rd.getText)
+          cellText.append(rd.getText)
         case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
           rd.getLocalName match {
-            case "v" | "t" if collecting =>
-              collecting = false
-              val s = text.toString
-              val resolved =
-                if (cellType == "s") shared(s.trim.toInt) else s
-              if (cellCol >= 0 && row != null) row.update(cellCol, resolved)
-            case "c" => cellCol = -1
+            case "v" | "t" => collecting = false
+            case "rPh" => inRph = false
+            case "c" =>
+              if (cellCol >= 0 && row != null && sawText) {
+                val s = cellText.toString
+                val resolved =
+                  if (cellType == "s") shared(s.trim.toInt) else s
+                row.update(cellCol, resolved)
+              }
+              cellCol = -1
             case "row" => rows += row.toMap; row = null
             case _ =>
           }
@@ -277,21 +293,39 @@ object ExcelFormat {
     rows.result()
   }
 
+  /** Final column names in sheet-column order: header cells, `_cN` for
+    * gaps, and DUPLICATE header names uniquified csv-style (name,
+    * name_1, name_2, ... skipping any suffix already taken) — without
+    * this, readRows' name→index map silently bound every duplicate to
+    * the LAST sheet column. One function, used by BOTH readSchema and
+    * readRows, so the mapping can't diverge. */
+  private def columnNames(header: Map[Int, String]): IndexedSeq[String] = {
+    val raw = (0 to header.keys.max).map(i => header.getOrElse(i, s"_c$i"))
+    val taken = scala.collection.mutable.Set.empty[String]
+    raw.map { n =>
+      val name =
+        if (!taken.contains(n)) n
+        else Iterator.from(1).map(k => s"${n}_$k")
+          .find(c => !taken.contains(c) && !raw.contains(c)).get
+      taken += name
+      name
+    }
+  }
+
   def readSchema(file: String): StructType = {
     val (header, _) = parseSheet(file)
     require(header.nonEmpty, s"$file: empty header row")
-    val cols = (0 to header.keys.max).map(i =>
-      header.getOrElse(i, s"_c$i"))
-    StructType(cols.map(c => StructField(c, StringType, nullable = true)))
+    StructType(columnNames(header)
+      .map(c => StructField(c, StringType, nullable = true)))
   }
 
   def readRows(file: String, schema: StructType): Iterator[InternalRow] = {
     val (header, data) = parseSheet(file)
     // `schema` may be a pruned subset: map each requested field back to
-    // its sheet column index through the header row
-    val byName = header.map { case (i, n) => n -> i } ++
-      (0 to (if (header.isEmpty) -1 else header.keys.max))
-        .filterNot(header.contains).map(i => s"_c$i" -> i)
+    // its sheet column index through the (uniquified) header row
+    val byName: Map[String, Int] =
+      if (header.isEmpty) Map.empty
+      else columnNames(header).zipWithIndex.toMap
     val srcCols = schema.fieldNames.map { n =>
       byName.getOrElse(n, throw new IllegalArgumentException(
         s"$file: requested column '$n' not in the header row"))

@@ -494,7 +494,12 @@ private class StataBatchWrite(path: String,
     if (truncate)
       Option(dir.listFiles).getOrElse(Array.empty)
         .filter(_.getName.endsWith(".dta")).foreach(_.delete())
-    new StataWriterFactory(path, schema)
+    // job-unique tag in the FINAL file names: without it an APPEND
+    // write re-using the same partition ids silently REPLACED the
+    // previous job's part files (data loss); replace-on-retry still
+    // holds within one job because retried tasks share the tag+pid
+    new StataWriterFactory(path, schema,
+      java.util.UUID.randomUUID().toString.take(8))
   }
   override def commit(
       messages: Array[WriterCommitMessage]): Unit = ()
@@ -502,7 +507,7 @@ private class StataBatchWrite(path: String,
 }
 
 private class StataWriterFactory(path: String,
-    schema: org.apache.spark.sql.types.StructType)
+    schema: org.apache.spark.sql.types.StructType, jobTag: String)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
@@ -515,13 +520,15 @@ private class StataWriterFactory(path: String,
           : org.apache.spark.sql.connector.write.WriterCommitMessage = {
         // empty partitions write no file (a zero-row .dta is legal but
         // useless; readers would still accept it). The FINAL name is
-        // deterministic per PARTITION (no taskId) and landed by atomic
-        // rename from a task-unique temp, so a retried/speculated task
-        // replaces its predecessor's file instead of duplicating rows.
+        // deterministic per (JOB, PARTITION) — no taskId — and landed
+        // by atomic rename from a task-unique temp, so a retried/
+        // speculated task replaces its predecessor's file instead of
+        // duplicating rows, while a LATER append job (fresh jobTag)
+        // adds files instead of clobbering this job's.
         if (buf.nonEmpty) {
-          val tmp = f"$path/.part-$partitionId%05d-$taskId.dta.tmp"
+          val tmp = f"$path/.part-$partitionId%05d-$jobTag-$taskId.dta.tmp"
           StataFormat.write(tmp, schema, buf.toSeq)
-          val fin = f"$path/part-$partitionId%05d.dta"
+          val fin = f"$path/part-$partitionId%05d-$jobTag.dta"
           java.nio.file.Files.move(
             java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(fin),
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)

@@ -33,6 +33,36 @@ class ArrayKernelNullSpec extends SparkSpec {
     assert(out(2L).isEmpty && out(3L).isEmpty)
   }
 
+  test("QuantizedSqDist: oversized diffs fail loudly instead of wrapping") {
+    // ADVICE r10: floor(d*d*1e12) wraps Long once |d| reaches ~3e3,
+    // silently corrupting the ranking. Both the per-element guard and
+    // the addExact accumulation must throw instead.
+    // local mode surfaces the task failure either wrapped in a
+    // SparkException or as the raw ArithmeticException — walk the chain
+    def rootMsg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(_.toString).mkString(" | ")
+    val big = Seq((1L, Seq(0.0), Seq(4.0e3))).toDF("id", "a", "b")
+    val e = intercept[Throwable] {
+      big.select(QuantizedSqDist.qsqdist(col("a"), col("b"))).collect()
+    }
+    assert(rootMsg(e).contains("graft_qsqdist overflow"), rootMsg(e))
+    // accumulation overflow (each term fits, the sum does not):
+    // 32 elements x diff 2e3 -> 32 x 4e18 quantized, sum > 2^63
+    val acc = Seq((1L, Seq.fill(32)(0.0), Seq.fill(32)(2.0e3)))
+      .toDF("id", "a", "b")
+    val e2 = intercept[Throwable] {
+      acc.select(QuantizedSqDist.qsqdist(col("a"), col("b"))).collect()
+    }
+    assert(rootMsg(e2).toLowerCase.contains("overflow"), rootMsg(e2))
+    // the documented in-range regime is untouched
+    val ok = Seq((1L, Seq(0.0, 1.0), Seq(3.0, 1.5)))
+      .toDF("id", "a", "b")
+      .select(QuantizedSqDist.qsqdist(col("a"), col("b")).as("d"))
+      .head().getLong(0)
+    assert(ok === 9L * 1000000000000L + 250000000000L)
+  }
+
   test("knnGraph: zero-norm vectors excluded from both sides") {
     val emb = Seq(
       (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)),

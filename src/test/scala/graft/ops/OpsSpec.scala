@@ -594,17 +594,34 @@ class OpsSpec extends SparkSpec {
     assert(g.size == 12) // 4 nodes x k=3, no self edges
   }
 
-  test("knnGraph plan: scoring side spread wide, candidates broadcast") {
-    // the n²·d scoring loop's parallelism = left-side partitions; a
-    // one-split parquet corpus must NOT run it in a single task
+  test("knnGraph plan: blocked scan — no shuffle, no join, spread wide") {
+    // the blocked formulation's contract: corpus in ONE broadcast,
+    // probe indices pre-split at the Range leaf (parallelism without a
+    // repartition exchange), scoring streamed through mapPartitions —
+    // nothing in the plan can shuffle, hash-aggregate, or spill
     val pts = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
       .toDF("vec_id", "embedding").coalesce(1)
     val g = Similarity.knnGraph(pts, "vec_id", "embedding", k = 1)
     val plan = g.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastNestedLoopJoin"),
-      s"candidates not broadcast:\n$plan")
-    assert(plan.contains("RoundRobinPartitioning"),
-      s"scoring side not repartitioned:\n$plan")
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+    assert(!plan.contains("Aggregate"), s"unexpected aggregation:\n$plan")
+    assert(plan.contains("MapPartitions"), s"no mapPartitions:\n$plan")
+    // n=2 probes at local[4]: the Range leaf is pre-split into 2 tasks
+    assert(g.rdd.getNumPartitions == 2,
+      s"probe side not spread: ${g.rdd.getNumPartitions}")
+  }
+
+  test("knnGraph: non-integral id type fails loudly, not silently empty") {
+    // ADVICE r10: the long-keyed ranking would silently drop every row
+    // whose id casts to null — a string-id corpus must ERROR instead
+    val pts = Seq(("a", Array(1.0f, 0.0f)), ("b", Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.knnGraph(pts, "vec_id", "embedding", k = 1)
+    }
+    assert(e.getMessage.contains("integral type"), e.getMessage)
+    assert(e.getMessage.contains("surrogate"), e.getMessage)
   }
 
   test("mutualKnnPairs: only reciprocal edges survive, i < j once") {

@@ -206,6 +206,104 @@ class ForeignFormatSpec extends SparkSpec {
       .head.output.map(_.name) === Seq("CITY"))
   }
 
+  test("graft-excel: rich-text runs concatenate; rPh phonetics dropped") {
+    // ADVICE r10: each </t> used to OVERWRITE the cell value, keeping
+    // only the LAST run of a multi-run rich-text string; phonetic
+    // <rPh> runs in sharedStrings were appended into the value.
+    // pandas concatenates runs and drops phonetics — so do we.
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-xlsx-rich").toString
+    val f = s"$tmp/rich.xlsx"
+    val zip = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(f))
+    def put(name: String, body: String): Unit = {
+      zip.putNextEntry(new java.util.zip.ZipEntry(name))
+      zip.write(body.getBytes("UTF-8")); zip.closeEntry()
+    }
+    put("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/></Types>""")
+    put("_rels/.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>""")
+    put("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="Data" sheetId="1" r:id="rId2"/></sheets></workbook>""")
+    put("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/><Relationship Id="rId3" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/sharedStrings" Target="sharedStrings.xml"/></Relationships>""")
+    // shared string 0: two runs + a phonetic rPh block that must NOT
+    // land in the value (pandas drops it)
+    put("xl/sharedStrings.xml",
+      """<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="1" uniqueCount="1">""" +
+        """<si><r><t>To</t></r><r><t>kyo</t></r><rPh sb="0" eb="2"><t>トウキョウ</t></rPh><phoneticPr fontId="1"/></si>""" +
+        """</sst>""")
+    put("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+        """<row r="1"><c r="A1" t="inlineStr"><is><t>name</t></is></c><c r="B1" t="inlineStr"><is><t>note</t></is></c></row>""" +
+        // B2: rich-text INLINE string with three runs -> "a-b-c"
+        """<row r="2"><c r="A2" t="s"><v>0</v></c><c r="B2" t="inlineStr"><is><r><t>a-</t></r><r><t>b-</t></r><r><t>c</t></r></is></c></row>""" +
+        """</sheetData></worksheet>""")
+    zip.close()
+    val xl = spark.read.format("graft-excel").load(f)
+    val r = xl.head()
+    assert(r.getString(0) === "Tokyo", s"shared rich-text: ${r.getString(0)}")
+    assert(r.getString(1) === "a-b-c", s"inline rich-text: ${r.getString(1)}")
+    graft.queries.StreamGate.deleteRecursively(tmp)
+  }
+
+  test("graft-excel: duplicate header names uniquify instead of aliasing") {
+    // ADVICE r10: duplicate headers made the name->index map bind every
+    // copy to the LAST sheet column, silently reading the wrong data
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-xlsx-dup").toString
+    val f = s"$tmp/dup.xlsx"
+    val zip = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(f))
+    def put(name: String, body: String): Unit = {
+      zip.putNextEntry(new java.util.zip.ZipEntry(name))
+      zip.write(body.getBytes("UTF-8")); zip.closeEntry()
+    }
+    put("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/></Types>""")
+    put("_rels/.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>""")
+    put("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="Data" sheetId="1" r:id="rId2"/></sheets></workbook>""")
+    put("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""")
+    put("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+        """<row r="1"><c r="A1" t="inlineStr"><is><t>x</t></is></c><c r="B1" t="inlineStr"><is><t>x</t></is></c><c r="C1" t="inlineStr"><is><t>x_1</t></is></c></row>""" +
+        """<row r="2"><c r="A2"><v>1</v></c><c r="B2"><v>2</v></c><c r="C2"><v>3</v></c></row>""" +
+        """</sheetData></worksheet>""")
+    zip.close()
+    val xl = spark.read.format("graft-excel").load(f)
+    // B1's duplicate "x" can't take "x_1" (taken by C1) -> "x_2"
+    assert(xl.columns.toSeq === Seq("x", "x_2", "x_1"), xl.columns.toSeq)
+    val r = xl.head()
+    assert((r.getString(0), r.getString(1), r.getString(2)) ===
+      (("1", "2", "3")), "each uniquified name reads its OWN column")
+    graft.queries.StreamGate.deleteRecursively(tmp)
+  }
+
+  test("graft-stata write: append adds part files, never clobbers") {
+    // ADVICE r10: deterministic part-NNNNN names made a second append
+    // job silently REPLACE the first job's files
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-dta-append").toString
+    val path = s"$tmp/out"
+    Seq((1, "a"), (2, "b")).toDF("k", "v").coalesce(1)
+      .write.format("graft-stata").mode("append").save(path)
+    Seq((3, "c")).toDF("k", "v").coalesce(1)
+      .write.format("graft-stata").mode("append").save(path)
+    val back = spark.read.format("graft-stata").load(path)
+    assert(back.count() === 3, "append must ADD rows, not replace files")
+    assert(back.select("k").as[Int].collect().sorted.toSeq === Seq(1, 2, 3))
+    // overwrite still truncates to exactly the new rows
+    Seq((9, "z")).toDF("k", "v").coalesce(1)
+      .write.format("graft-stata").mode("overwrite").save(path)
+    assert(spark.read.format("graft-stata").load(path).count() === 1)
+    graft.queries.StreamGate.deleteRecursively(tmp)
+  }
+
   test("both sources register by short name and plan one partition per file") {
     // a directory of one file still resolves, and the scan is one
     // partition per file (the many-files parallelism contract)
