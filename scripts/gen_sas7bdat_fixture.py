@@ -1,23 +1,29 @@
 #!/usr/bin/env python3
 """Generate committed sas7bdat fixtures for the graft-sas7bdat source.
 
-A from-scratch sas7bdat ENCODER (32-bit little-endian layout, one meta
-page + data pages; optional SASYZCRL run-length compression), assembled
-per the publicly documented reverse-engineered layout (the sas7bdat
-format is described by the parso and ReadStat projects and by the
-"SAS7BDAT Database Binary Format" technical note; pandas carries an
-independent reader). pandas.read_sas is the GROUND TRUTH here: the
-script fails unless pandas reads back every fixture cell exactly, so
-the committed fixtures are certified by the reference's own reader —
-the same recipe that validated the .dta/.xpt fixtures in round 10.
+A from-scratch sas7bdat ENCODER (little-endian, 32-bit AND 64-bit
+layouts; one meta/mix page + data pages; optional SASYZCRL run-length
+compression), assembled per the publicly documented reverse-engineered
+layout (the sas7bdat format is described by the parso and ReadStat
+projects and by the "SAS7BDAT Database Binary Format" technical note;
+pandas carries an independent reader). pandas.read_sas is the GROUND
+TRUTH here: the script fails unless pandas reads back every fixture
+cell exactly, so the committed fixtures are certified by the
+reference's own reader — the same recipe that validated the .dta/.xpt
+fixtures in round 10.
 
   python3 scripts/gen_sas7bdat_fixture.py
 
 Outputs under src/test/resources/graft/sources/:
-  mixed.sas7bdat / mixed_twin.parquet          uncompressed, 3 data pages
-  mixed_rle.sas7bdat                           same VALUES, SASYZCRL rows
-                                               (char runs exercise the
-                                               blank/zero/repeat commands)
+  mixed.sas7bdat       32-bit LE, uncompressed, meta page + 3 data pages
+  mixed_rle.sas7bdat   32-bit LE, SASYZCRL rows as subheader blocks
+                       (char runs exercise blank/zero/repeat commands;
+                       incompressible rows stored raw at row_length)
+  mixed_u64.sas7bdat   64-bit LE, MIX page (subheaders + first rows
+                       co-located, pandas' align-correction rule) +
+                       data pages
+  mixed_sas_twin.parquet  the oracle twin (same values; SAS blank char
+                       and numeric NaN are SQL nulls)
 """
 import math
 import os
@@ -34,16 +40,17 @@ MAGIC = (b"\x00\x00\x00\x00\x00\x00\x00\x00"
          b"\x09\xc7\x31\x8c\x18\x1f\x10\x11")
 
 HEADER_LEN = 1024
-PAGE_LEN = 2048
-BIT_OFFSET = 16          # 32-bit page header prefix
-PTR_LEN = 12             # 32-bit subheader pointer
+PAGE_LEN = 4096
 
-SIG_ROWSIZE = b"\xF7\xF7\xF7\xF7"
-SIG_COLSIZE = b"\xF6\xF6\xF6\xF6"
-SIG_COLTEXT = b"\xFD\xFF\xFF\xFF"
-SIG_COLNAME = b"\xFF\xFF\xFF\xFF"
-SIG_COLATTR = b"\xFC\xFF\xFF\xFF"
-SIG_FMTLBL = b"\xFE\xFB\xFF\xFF"
+SIGS = {
+    # 32-bit signature and its 64-bit little-endian padding byte
+    "rowsize": (b"\xF7\xF7\xF7\xF7", b"\x00"),
+    "colsize": (b"\xF6\xF6\xF6\xF6", b"\x00"),
+    "coltext": (b"\xFD\xFF\xFF\xFF", b"\xFF"),
+    "colname": (b"\xFF\xFF\xFF\xFF", b"\xFF"),
+    "colattr": (b"\xFC\xFF\xFF\xFF", b"\xFF"),
+    "fmtlbl":  (b"\xFE\xFB\xFF\xFF", b"\xFF"),
+}
 
 
 def u16(v):
@@ -54,56 +61,71 @@ def u32(v):
     return struct.pack("<I", v)
 
 
-def header(page_count, name=b"MIXED"):
+class Layout:
+    def __init__(self, u64):
+        self.u64 = u64
+        self.int_len = 8 if u64 else 4
+        self.bit_off = 32 if u64 else 16
+        self.ptr_len = 24 if u64 else 12
+
+    def sig(self, name):
+        s, pad = SIGS[name]
+        return s + pad * 4 if self.u64 else s
+
+    def uint(self, v):
+        return struct.pack("<Q", v) if self.u64 else u32(v)
+
+
+def header(lay, page_count, name=b"MIXED"):
     h = bytearray(HEADER_LEN)
     h[0:32] = MAGIC
-    h[32] = 0x22          # NOT 0x33 -> 32-bit file, no align2
-    h[35] = 0x22          # NOT 0x33 -> no align1
-    h[37] = 0x01          # little-endian
-    h[39] = ord("1")      # unix
-    h[70] = 20            # utf-8
+    h[32] = 0x33 if lay.u64 else 0x22   # 0x33 -> 64-bit file
+    h[35] = 0x22                        # no align1: header offsets plain
+    h[37] = 0x01                        # little-endian
+    h[39] = ord("1")                    # unix
+    h[70] = 20                          # utf-8
     h[92:92 + len(name)] = name
     h[156:156 + 8] = b"DATA    "
-    # creation/modification dates (seconds since 1960): arbitrary
-    h[164:172] = struct.pack("<d", 2.0e9)
-    h[172:180] = struct.pack("<d", 2.0e9)
+    h[164:172] = struct.pack("<d", 2.0e9)   # created (s since 1960)
+    h[172:180] = struct.pack("<d", 2.0e9)   # modified
     h[196:200] = u32(HEADER_LEN)
     h[200:204] = u32(PAGE_LEN)
-    h[204:208] = u32(page_count)
+    # page count: documented as 4 bytes; the 64-bit layout reads
+    # int_len — little-endian with the high half zero satisfies both
+    h[204:204 + lay.int_len] = lay.uint(page_count)
     h[216:224] = b"9.0401M2"
     h[224:240] = b"Linux".ljust(16)
     return bytes(h)
 
 
-def subheaders(cols, n_rows, row_len, compressed):
-    """Build the metadata subheader blobs in processing order.
-
-    cols: list of (name, kind 'd'|'s', width).
-    Returns [(blob, compression_flag, type_flag), ...]."""
+def subheaders(lay, cols, n_rows, row_len, mix_rows, compressed):
+    """Metadata subheader blobs in processing order.
+    cols: list of (name, kind 'd'|'s', width)."""
     ncols = len(cols)
+    il = lay.int_len
 
-    rowsize = bytearray(480)
-    rowsize[0:4] = SIG_ROWSIZE
-    rowsize[5 * 4:5 * 4 + 4] = u32(row_len)     # row length
-    rowsize[6 * 4:6 * 4 + 4] = u32(n_rows)      # total row count
-    rowsize[9 * 4:9 * 4 + 4] = u32(ncols)       # col_count_p1
-    rowsize[10 * 4:10 * 4 + 4] = u32(0)         # col_count_p2
-    rowsize[15 * 4:15 * 4 + 4] = u32(0)         # rows on mix page
-    # lcs (354) / lcp (378) left 0: no creator-proc text
+    rowsize = bytearray(808 if lay.u64 else 480)
+    rowsize[0:il] = lay.sig("rowsize")
+    rowsize[5 * il:6 * il] = lay.uint(row_len)
+    rowsize[6 * il:7 * il] = lay.uint(n_rows)
+    rowsize[9 * il:10 * il] = lay.uint(ncols)       # col_count_p1
+    rowsize[10 * il:11 * il] = lay.uint(0)          # col_count_p2
+    rowsize[15 * il:16 * il] = lay.uint(mix_rows)   # rows on mix page
+    # lcs (354/682) / lcp (378/706) stay 0: no creator-proc text
 
-    colsize = bytearray(24)
-    colsize[0:4] = SIG_COLSIZE
-    colsize[4:8] = u32(ncols)
+    colsize = bytearray(4 * il)
+    colsize[0:il] = lay.sig("colsize")
+    colsize[il:2 * il] = lay.uint(ncols)
 
-    # column text blob: [u16 size][6 pad][optional SASYZCRL][names...];
+    # column text blob: [u16 size][pad to 8][optional SASYZCRL][names];
     # name offsets are relative to the blob START (the size field
-    # included — that is how readers slice column_names_raw)
+    # included — readers slice column_names_raw from subhdr+int_len)
     text = bytearray()
-    text += b"\x00\x00"   # size placeholder
+    text += b"\x00\x00"
     text += b"\x00" * 6
     if compressed:
         text += b"SASYZCRL"
-    name_refs = []        # (offset, length) per column
+    name_refs = []
     for name, _, _ in cols:
         nb = name.encode("utf-8")
         name_refs.append((len(text), len(nb)))
@@ -111,26 +133,26 @@ def subheaders(cols, n_rows, row_len, compressed):
         if len(text) % 4:
             text += b"\x00" * (4 - len(text) % 4)
     text[0:2] = u16(len(text))
-    coltext = bytearray(4 + len(text))
-    coltext[0:4] = SIG_COLTEXT
-    coltext[4:] = text
+    coltext = bytearray(il + len(text))
+    coltext[0:il] = lay.sig("coltext")
+    coltext[il:] = text
 
-    colname = bytearray(20 + 8 * ncols)
-    colname[0:4] = SIG_COLNAME
+    colname = bytearray(2 * il + 12 + 8 * ncols)
+    colname[0:il] = lay.sig("colname")
     for i, (off, ln) in enumerate(name_refs):
-        base = 12 + 8 * i
-        colname[base:base + 2] = u16(0)       # text subheader index
+        base = il + 8 * (i + 1)
+        colname[base:base + 2] = u16(0)     # text subheader index
         colname[base + 2:base + 4] = u16(off)
         colname[base + 4:base + 6] = u16(ln)
 
-    colattr = bytearray(20 + 12 * ncols)
-    colattr[0:4] = SIG_COLATTR
+    colattr = bytearray(2 * il + 12 + (il + 8) * ncols)
+    colattr[0:il] = lay.sig("colattr")
     off = 0
     for i, (_, kind, width) in enumerate(cols):
-        base = 12 + 12 * i
-        colattr[base:base + 4] = u32(off)
-        colattr[base + 4:base + 8] = u32(width)
-        colattr[base + 10] = 1 if kind == "d" else 2
+        stride = (il + 8) * i
+        colattr[il + 8 + stride:il + 8 + stride + il] = lay.uint(off)
+        colattr[2 * il + 8 + stride:2 * il + 12 + stride] = u32(width)
+        colattr[2 * il + 14 + stride] = 1 if kind == "d" else 2
         off += width
     assert off == row_len
 
@@ -138,41 +160,46 @@ def subheaders(cols, n_rows, row_len, compressed):
            (bytes(coltext), 0, 0), (bytes(colname), 0, 0),
            (bytes(colattr), 0, 0)]
     for _ in cols:
-        fmt = bytearray(64)
-        fmt[0:4] = SIG_FMTLBL
-        # all text refs zero -> no format, no label, no datetime coercion
+        fmt = bytearray(3 * il + 40)
+        fmt[0:il] = lay.sig("fmtlbl")
+        # all text refs zero -> no format/label, no datetime coercion
         out.append((bytes(fmt), 0, 0))
     return out
 
 
-def page(ptype, blocks, pointers_and_blobs):
-    """One page: [16 pad][u16 type][u16 block_count][u16 sub_count]
-    [2 pad][pointers][blobs from the page END downward]."""
+def page(lay, ptype, blocks, pointers_and_blobs, rows=()):
+    """One page: [bit_off pad][u16 type][u16 block_count][u16 n_subs]
+    [2 pad][pointers][mix rows at the align-corrected offset][subheader
+    blobs packed from the page END downward]."""
     pg = bytearray(PAGE_LEN)
-    pg[BIT_OFFSET:BIT_OFFSET + 2] = u16(ptype)
-    pg[BIT_OFFSET + 2:BIT_OFFSET + 4] = u16(blocks)
-    pg[BIT_OFFSET + 4:BIT_OFFSET + 6] = u16(len(pointers_and_blobs))
+    pg[lay.bit_off:lay.bit_off + 2] = u16(ptype)
+    pg[lay.bit_off + 2:lay.bit_off + 4] = u16(blocks)
+    pg[lay.bit_off + 4:lay.bit_off + 6] = u16(len(pointers_and_blobs))
     tail = PAGE_LEN
     for i, (blob, comp, typ) in enumerate(pointers_and_blobs):
         tail -= len(blob)
         pg[tail:tail + len(blob)] = blob
-        base = BIT_OFFSET + 8 + PTR_LEN * i
-        pg[base:base + 4] = u32(tail)
-        pg[base + 4:base + 8] = u32(len(blob))
-        pg[base + 8] = comp
-        pg[base + 9] = typ
-    ptr_end = BIT_OFFSET + 8 + PTR_LEN * len(pointers_and_blobs)
-    assert tail >= ptr_end, "page overflow"
+        base = lay.bit_off + 8 + lay.ptr_len * i
+        pg[base:base + lay.int_len] = lay.uint(tail)
+        pg[base + lay.int_len:base + 2 * lay.int_len] = lay.uint(len(blob))
+        pg[base + 2 * lay.int_len] = comp
+        pg[base + 2 * lay.int_len + 1] = typ
+    pos = lay.bit_off + 8 + lay.ptr_len * len(pointers_and_blobs)
+    pos += pos % 8   # pandas' mix-page align-correction rule, verbatim
+    for r in rows:
+        pg[pos:pos + len(r)] = r
+        pos += len(r)
+    assert pos <= tail, "page overflow"
     return bytes(pg)
 
 
-def data_page(rows_bytes):
-    """Type-0x100 page with rows packed from BIT_OFFSET + 8."""
+def data_page(lay, rows_bytes):
+    """Type-0x100 page with rows packed from bit_off + 8 (no align)."""
     pg = bytearray(PAGE_LEN)
-    pg[BIT_OFFSET:BIT_OFFSET + 2] = u16(0x0100)
-    pg[BIT_OFFSET + 2:BIT_OFFSET + 4] = u16(len(rows_bytes))
-    pg[BIT_OFFSET + 4:BIT_OFFSET + 6] = u16(0)
-    pos = BIT_OFFSET + 8
+    pg[lay.bit_off:lay.bit_off + 2] = u16(0x0100)
+    pg[lay.bit_off + 2:lay.bit_off + 4] = u16(len(rows_bytes))
+    pg[lay.bit_off + 4:lay.bit_off + 6] = u16(0)
+    pos = lay.bit_off + 8
     for r in rows_bytes:
         pg[pos:pos + len(r)] = r
         pos += len(r)
@@ -195,9 +222,9 @@ def encode_row(cols, row):
 def rle_encode(raw):
     """SASYZCRL encoding using the pandas-verified command subset:
     0x6 blank-run 17+, 0x7 zero-run 17+, 0xE blank 2-17, 0xF zero 2-17,
-    0xC repeat-byte 3-18, 0x8/0x0 literal copies. pandas decoding these
-    back bit-exactly IS the certification of the command semantics the
-    Scala decoder mirrors."""
+    0xC repeat-byte 3-18, 0x8 literal 1-16, 0x0 literal 64-4159.
+    pandas decoding these back bit-exactly IS the certification of the
+    command semantics the Scala decoder mirrors."""
     out = bytearray()
     i, n = 0, len(raw)
     lit = bytearray()
@@ -209,12 +236,12 @@ def rle_encode(raw):
             take = min(len(lit) - j, 4159)
             out.append(((take - 64) >> 8) & 0x0F)
             out.append((take - 64) & 0xFF)
-            out += lit[j:j + take]
+            out.extend(lit[j:j + take])
             j += take
         while len(lit) - j > 0:
             take = min(len(lit) - j, 16)
             out.append(0x80 | (take - 1))
-            out += lit[j:j + take]
+            out.extend(lit[j:j + take])
             j += take
         lit = bytearray()
 
@@ -260,38 +287,45 @@ def rle_encode(raw):
     return bytes(out)
 
 
-def build(path, cols, rows, compressed):
+def build(path, cols, rows, compressed=False, u64=False, mix_rows=0):
+    lay = Layout(u64)
     row_len = sum(w for _, _, w in cols)
-    subs = subheaders(cols, len(rows), row_len, compressed)
-    pages = [page(0x0000, len(subs), subs)]  # meta page
     encoded = [encode_row(cols, r) for r in rows]
+    subs = subheaders(lay, cols, len(rows), row_len, mix_rows, compressed)
+    pages = []
+    rest = encoded
+    if mix_rows > 0:
+        assert not compressed
+        head, rest = encoded[:mix_rows], encoded[mix_rows:]
+        pages.append(page(lay, 0x0200, len(subs) + len(head), subs, head))
+    else:
+        pages.append(page(lay, 0x0000, len(subs), subs))
     if not compressed:
-        per_page = (PAGE_LEN - BIT_OFFSET - 8) // row_len
-        for i in range(0, len(encoded), per_page):
-            pages.append(data_page(encoded[i:i + per_page]))
+        per_page = (PAGE_LEN - lay.bit_off - 8) // row_len
+        for i in range(0, len(rest), per_page):
+            pages.append(data_page(lay, rest[i:i + per_page]))
     else:
         # compressed rows ride as subheader blocks on meta pages,
         # pointer compression=4 type=1; an incompressible row is stored
         # RAW at exactly row_length (readers treat len==row_length as
         # uncompressed — SAS does the same)
         blocks = []
-        for r in encoded:
+        for r in rest:
             enc = rle_encode(r)
             blocks.append((enc if len(enc) < row_len else r, 4, 1))
-        cur = []
-        used = 0
-        budget = PAGE_LEN - BIT_OFFSET - 8
+        cur, used = [], 0
+        budget = PAGE_LEN - lay.bit_off - 8
         for blob in blocks:
-            need = len(blob[0]) + PTR_LEN
+            need = len(blob[0]) + lay.ptr_len
             if cur and used + need > budget:
-                pages.append(page(0x0000, len(cur), cur))
+                pages.append(page(lay, 0x0000, len(cur), cur))
                 cur, used = [], 0
             cur.append(blob)
             used += need
         if cur:
-            pages.append(page(0x0000, len(cur), cur))
+            pages.append(page(lay, 0x0000, len(cur), cur))
     with open(path, "wb") as f:
-        f.write(header(len(pages)))
+        f.write(header(lay, len(pages)))
         for p in pages:
             f.write(p)
 
@@ -304,8 +338,7 @@ def make_rows():
     rows = []
     cities = ["tokyo", "osaka", "", "lagos paris!", "x"]
     for i in range(150):
-        score = None if i % 11 == 3 else round(
-            math.sin(i) * 1000, 3)
+        score = None if i % 11 == 3 else round(math.sin(i) * 1000, 3)
         ratio = None if i % 17 == 5 else i / 7.0
         city = cities[i % len(cities)]
         # long space/zero-ish runs so RLE exercises blank/repeat cmds
@@ -329,10 +362,13 @@ def check(path, rows):
                     assert isinstance(g, float) and math.isnan(g), (i, name, g)
                 else:
                     assert g == v, (i, name, g, v)
+            elif v == "" or v is None:
+                # SAS char semantics: all-blank IS missing (pandas nan)
+                assert isinstance(g, float) and math.isnan(g), (i, name, g)
             else:
                 assert g == v, (i, name, repr(g), repr(v))
-    print(f"pandas cross-validation OK: {path} ({len(rows)} rows)")
-    return df
+    print(f"pandas cross-validation OK: {os.path.basename(path)} "
+          f"({len(rows)} rows)")
 
 
 def main():
@@ -340,12 +376,14 @@ def main():
     rows = make_rows()
     plain = os.path.join(OUT, "mixed.sas7bdat")
     rle = os.path.join(OUT, "mixed_rle.sas7bdat")
-    build(plain, COLS, rows, compressed=False)
+    u64 = os.path.join(OUT, "mixed_u64.sas7bdat")
+    build(plain, COLS, rows)
     build(rle, COLS, rows, compressed=True)
+    build(u64, COLS, rows, u64=True, mix_rows=20)
     check(plain, rows)
     check(rle, rows)
+    check(u64, rows)
     # parquet twin for the DuckDB oracle: same values, doubles + strings
-    # (None for missing / sas NaN)
     import pyarrow as pa
     import pyarrow.parquet as pq
     twin = {
@@ -356,8 +394,9 @@ def main():
         "id": pa.array(twin["id"], pa.float64()),
         "score": pa.array(twin["score"], pa.float64()),
         "ratio": pa.array(twin["ratio"], pa.float64()),
-        "city": pa.array(twin["city"], pa.string()),
-        "tag": pa.array(twin["tag"], pa.string()),
+        # all-blank char IS missing (the SAS semantic; pandas nan)
+        "city": pa.array([v or None for v in twin["city"]], pa.string()),
+        "tag": pa.array([v or None for v in twin["tag"]], pa.string()),
     })
     pq.write_table(tbl, os.path.join(OUT, "mixed_sas_twin.parquet"))
     print("twin written")

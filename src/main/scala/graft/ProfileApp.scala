@@ -50,9 +50,9 @@ object ProfileApp {
     graft.functions.GraftFunctions.register(spark) // SQL surface
 
     // Extension-dispatched scan (reference: utils/dataframe.py:24-67);
-    // Stata .dta / Excel .xlsx / SAS XPORT .xpt ride the native graft
-    // DataSource V2 readers (round 10); sas7bdat/HDF remain unsupported
-    // (no documented public format).
+    // Stata .dta / Excel .xlsx / SAS XPORT .xpt / SAS .sas7bdat ride
+    // the native graft DataSource V2 readers (rounds 10-11); HDF and
+    // legacy .xls remain unsupported.
     val df = input.replaceAll(".*\\.", "").toLowerCase match {
       case "csv" | "tsv" =>
         spark.read.option("header", "true").option("inferSchema", "true")
@@ -62,6 +62,7 @@ object ProfileApp {
       case "dta"            => spark.read.format("graft-stata").load(input)
       case "xlsx"           => spark.read.format("graft-excel").load(input)
       case "xpt"            => spark.read.format("graft-xpt").load(input)
+      case "sas7bdat"       => spark.read.format("graft-sas7bdat").load(input)
       case _                => spark.read.parquet(input)
     }
 

@@ -946,8 +946,51 @@ object ExtraQueries {
       FROM '/root/repo/src/test/resources/graft/sources/mixed_twin.parquet'
       ORDER BY "ID""""))
 
+  /** Native sas7bdat scan ([[graft.sources.SasSource]], DSv2): the
+    * hand-assembled 32-bit little-endian fixture — IEEE doubles with
+    * NaN missing, blank-char missing, meta page + multiple data pages
+    * — validated by pandas.read_sas itself at generation time
+    * (scripts/gen_sas7bdat_fixture.py) and gated against its parquet
+    * twin. Closes the LAST real-user row of the reference's
+    * `read_pandas` dispatch (utils/dataframe.py:24-67) short of
+    * HDF/.xls. */
+  val qSasScan = Q(
+    "q337_sas7bdat_scan",
+    (s, _) =>
+      s.read.format("graft-sas7bdat")
+        .load("/root/repo/src/test/resources/graft/sources/mixed.sas7bdat")
+        .orderBy("id"),
+    Some("""SELECT id, score, ratio, city, tag
+      FROM '/root/repo/src/test/resources/graft/sources/mixed_sas_twin.parquet'
+      ORDER BY id"""))
+
+  /** The SASYZCRL-compressed variant of q337 THROUGH an aggregation:
+    * rows arrive as per-row RLE subheader blocks (plus raw blocks for
+    * incompressible rows) and must decompress to the same cells the
+    * twin holds — grouped so the gate certifies the decompressed
+    * values, not just their order. The 64-bit mix-page layout is
+    * covered cell-by-cell in SasFormatSpec. */
+  val qSasRleScan = Q(
+    "q338_sas7bdat_rle",
+    (s, _) =>
+      s.read.format("graft-sas7bdat")
+        .load(
+          "/root/repo/src/test/resources/graft/sources/mixed_rle.sas7bdat")
+        .groupBy("city")
+        .agg(count(lit(1)).as("n"),
+          round(sum("score"), 6).as("sum_score"),
+          round(sum("ratio"), 6).as("sum_ratio"),
+          count(col("tag")).as("n_tag"))
+        .orderBy("city"),
+    Some("""SELECT city, count(*) AS n,
+        round(sum(score), 6) AS sum_score,
+        round(sum(ratio), 6) AS sum_ratio,
+        count(tag) AS n_tag
+      FROM '/root/repo/src/test/resources/graft/sources/mixed_sas_twin.parquet'
+      GROUP BY city ORDER BY city"""))
+
   val all: Seq[Q] = Seq(
-    qStataRoundTrip, qXptScan,
+    qStataRoundTrip, qXptScan, qSasScan, qSasRleScan,
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qKendallExact,
     qMapValueCounts,

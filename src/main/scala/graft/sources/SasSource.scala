@@ -1,0 +1,440 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native SAS dataset (`.sas7bdat`) reader as a DataSource V2 — the
+  * LAST format a real SAS shop hits through the reference's
+  * `read_pandas` dispatch (`utils/dataframe.py:24-67`,
+  * `pandas.read_sas(format="sas7bdat")`). The layout is proprietary
+  * but publicly reverse-engineered and documented by the parso and
+  * ReadStat projects and the "SAS7BDAT Database Binary Format"
+  * technical note; pandas ships an independent reader against the
+  * same documentation, and the committed fixtures here are validated
+  * by pandas itself (scripts/gen_sas7bdat_fixture.py fails unless
+  * pandas reads back every cell).
+  *
+  *   spark.read.format("graft-sas7bdat").load("data.sas7bdat") // or dir
+  *
+  * Layout: a self-describing header (magic, 32/64-bit flag at byte 32,
+  * endianness at 37, header/page sizes at 196/200) followed by
+  * page_count fixed-size pages. Metadata rides SUBHEADERS on meta/mix
+  * pages, each addressed by a (offset, length, compression, type)
+  * pointer after the page header and identified by a 4-byte signature:
+  * row size (0xF7F7F7F7: row length/count, mix-page row count),
+  * column size (0xF6F6F6F6), column text blobs (0xFDFFFFFF — also
+  * carry the "SASYZCRL"/"SASYZCR2" compression literal), column names
+  * (0xFFFFFFFF: (text-blob, offset, length) refs), column attributes
+  * (0xFCFFFFFF: per-column row offset, width, numeric/char flag) and
+  * per-column format/label (0xFEFBFFFF). Rows pack back-to-back on
+  * DATA pages (type 0x0100) at bit_offset+8, co-locate with subheaders
+  * on MIX pages (0x0200, 8-byte align-correction rule), or — when the
+  * file is compressed — ride as per-row subheader blocks
+  * (compression=4, type=1) decompressed with the SASYZCRL run-length
+  * scheme. Numerics are IEEE doubles (widths 3-7 store the HIGH-order
+  * bytes); NaN is the SAS missing value; all-blank char is missing.
+  *
+  * Supported: little-endian 32-bit AND 64-bit files, uncompressed and
+  * SASYZCRL (RLE). Big-endian files and SASYZCR2 (RDC) fail with a
+  * clear error instead of decoding garbage.
+  *
+  * Scale design: same as [[StataSource]]/[[XptSource]] — one
+  * InputPartition per file (the format has no internal split points:
+  * metadata subheaders may sit pages away from the rows they
+  * describe), column pruning pushed to the scan leaf, zero extra
+  * dependencies. */
+class SasSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-sas7bdat"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SasFormat.readSchema(SasFormat.resolveFiles(options.get("path")).head)
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new SasTable(properties.get("path"), schema)
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+private class SasTable(path: String, schema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-sas7bdat($path)"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = schema
+      override def pruneColumns(requiredSchema: StructType): Unit = {
+        val keep = requiredSchema.fieldNames.toSet
+        required = StructType(schema.fields.filter(f => keep(f.name)))
+      }
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = required
+        override def toBatch: Batch = new Batch {
+          override def planInputPartitions(): Array[InputPartition] =
+            SasFormat.resolveFiles(path)
+              .map(f => SasPartition(f): InputPartition).toArray
+          override def createReaderFactory(): PartitionReaderFactory =
+            new SasReaderFactory(required)
+        }
+      }
+    }
+}
+
+private case class SasPartition(file: String) extends InputPartition
+
+private class SasReaderFactory(schema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val rows = SasFormat
+      .readRows(partition.asInstanceOf[SasPartition].file, schema)
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean =
+        if (rows.hasNext) { cur = rows.next(); true } else false
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+}
+
+object SasFormat {
+
+  private val Magic = Array(
+    0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00,
+    0x00, 0x00, 0x00, 0x00, 0xc2, 0xea, 0x81, 0x60,
+    0xb3, 0x14, 0x11, 0xcf, 0xbd, 0x92, 0x08, 0x00,
+    0x09, 0xc7, 0x31, 0x8c, 0x18, 0x1f, 0x10, 0x11).map(_.toByte)
+
+  def resolveFiles(path: String): Seq[String] = {
+    require(path != null, "graft-sas7bdat needs a path")
+    val f = new java.io.File(path)
+    require(f.exists, s"no such file or directory: $path")
+    if (f.isFile) Seq(f.getPath)
+    else {
+      val fs = Option(f.listFiles).getOrElse(Array.empty)
+        .filter(x => x.isFile && x.getName.endsWith(".sas7bdat"))
+        .map(_.getPath).sorted.toSeq
+      require(fs.nonEmpty, s"no .sas7bdat files under: $path")
+      fs
+    }
+  }
+
+  private final case class Col(
+      name: String, isNum: Boolean, off: Int, width: Int)
+
+  /** Everything the row pass needs, assembled in ONE page sweep. */
+  private final case class Meta(
+      cols: IndexedSeq[Col], rowLength: Int, rowCount: Long,
+      mixPageRowCount: Long, rle: Boolean,
+      // row sources in file order: Left(pageOffset -> rowsOnPage) for
+      // packed data/mix pages, Right(blockOffset -> blockLength) for
+      // per-row compressed subheader blocks
+      rowSources: IndexedSeq[Either[(Int, Int), (Int, Int)]])
+
+  private def parseMeta(bytes: Array[Byte], file: String): Meta = {
+    require(bytes.length >= 1024 &&
+      java.util.Arrays.equals(bytes.slice(0, 32), Magic),
+      s"$file: not a sas7bdat file (magic mismatch)")
+    val u64 = bytes(32) == 0x33
+    val align1 = if (bytes(35) == 0x33) 4 else 0
+    require(bytes(37) == 0x01, s"$file: big-endian sas7bdat is not " +
+      "supported (re-export on a little-endian host, or convert via " +
+      "pandas/ReadStat)")
+    val intLen = if (u64) 8 else 4
+    val bitOff = if (u64) 32 else 16
+    val ptrLen = if (u64) 24 else 12
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def uint(off: Int, len: Int): Long = len match {
+      case 1 => bytes(off) & 0xffL
+      case 2 => bb.getShort(off) & 0xffffL
+      case 4 => bb.getInt(off) & 0xffffffffL
+      case 8 => bb.getLong(off)
+    }
+    val headerLen = uint(196 + align1, 4).toInt
+    val pageLen = uint(200 + align1, 4).toInt
+    val pageCount = uint(204 + align1, intLen)
+    require(headerLen > 0 && pageLen > 0 &&
+      headerLen + pageLen <= bytes.length,
+      s"$file: header/page sizes do not fit the file")
+
+    var rowLength = 0L
+    var rowCount = 0L
+    var mixRows = 0L
+    var colCount = 0
+    var compression = "" // "", "SASYZCRL", "SASYZCR2"
+    val textBlobs = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val nameRefs = scala.collection.mutable
+      .ArrayBuffer.empty[(Int, Int, Int)] // (blob idx, off, len)
+    val attrs = scala.collection.mutable
+      .ArrayBuffer.empty[(Long, Int, Boolean)] // (row off, width, isNum)
+    val rowSources = scala.collection.mutable
+      .ArrayBuffer.empty[Either[(Int, Int), (Int, Int)]]
+
+    val nPages = math.min(pageCount,
+      ((bytes.length - headerLen) / pageLen).toLong).toInt
+    var p = 0
+    while (p < nPages) {
+      val page = headerLen + p * pageLen
+      val pType = (uint(page + bitOff, 2) & 0xFF00L).toInt
+      val blockCount = uint(page + bitOff + 2, 2).toInt
+      val subCount = uint(page + bitOff + 4, 2).toInt
+      val isMeta = pType == 0x0000 || pType == 0x4000
+      val isData = pType == 0x0100
+      val isMix = pType == 0x0200
+      if (isMeta || isMix) {
+        var i = 0
+        var nCompRows = 0
+        while (i < subCount) {
+          val ptr = page + bitOff + 8 + ptrLen * i
+          val shOff = page + uint(ptr, intLen).toInt
+          val shLen = uint(ptr + intLen, intLen).toInt
+          val comp = uint(ptr + 2 * intLen, 1).toInt
+          val typ = uint(ptr + 2 * intLen + 1, 1).toInt
+          if (shLen > 0 && comp != 1) { // comp 1 = truncated: skip
+            // signatures are unique in their first 4 bytes for both
+            // the 32-bit and 64-bit-padded little-endian forms
+            val sig = bb.getInt(shOff)
+            sig match {
+              case 0xF7F7F7F7 => // row size
+                rowLength = uint(shOff + 5 * intLen, intLen)
+                rowCount = uint(shOff + 6 * intLen, intLen)
+                mixRows = uint(shOff + 15 * intLen, intLen)
+              case 0xF6F6F6F6 => // column size
+                colCount = uint(shOff + intLen, intLen).toInt
+              case 0xFFFFFFFD => // column text (LE bytes FD FF FF FF)
+                val size = uint(shOff + intLen, 2).toInt
+                val blob = java.util.Arrays.copyOfRange(
+                  bytes, shOff + intLen, shOff + intLen + size)
+                if (textBlobs.isEmpty) {
+                  val s = new String(blob,
+                    java.nio.charset.StandardCharsets.ISO_8859_1)
+                  if (s.contains("SASYZCRL")) compression = "SASYZCRL"
+                  else if (s.contains("SASYZCR2")) compression = "SASYZCR2"
+                }
+                textBlobs += blob
+              case 0xFFFFFFFF => // column names
+                val n = (shLen - 2 * intLen - 12) / 8
+                var j = 0
+                while (j < n) {
+                  val e = shOff + intLen + 8 * (j + 1)
+                  nameRefs += ((uint(e, 2).toInt, uint(e + 2, 2).toInt,
+                    uint(e + 4, 2).toInt))
+                  j += 1
+                }
+              case 0xFFFFFFFC => // column attributes (FC FF FF FF)
+                val n = (shLen - 2 * intLen - 12) / (intLen + 8)
+                var j = 0
+                while (j < n) {
+                  val stride = (intLen + 8) * j
+                  attrs += ((
+                    uint(shOff + intLen + 8 + stride, intLen),
+                    uint(shOff + 2 * intLen + 8 + stride, 4).toInt,
+                    uint(shOff + 2 * intLen + 14 + stride, 1) == 1L))
+                  j += 1
+                }
+              case 0xFFFFFBFE => // format/label (FE FB FF FF): unused
+              case 0xFFFFFFFE => // column list: unused
+              case 0xFFFFFC00 => // subheader counts (00 FC FF FF): unused
+              case _ =>
+                // a compressed DATA row riding as a subheader block
+                if (compression.nonEmpty &&
+                    (comp == 4 || comp == 0) && typ == 1) {
+                  rowSources += Right((shOff, shLen))
+                  nCompRows += 1
+                } else throw new IllegalArgumentException(
+                  s"$file: unknown subheader signature 0x${sig.toHexString}")
+            }
+          }
+          i += 1
+        }
+      }
+      if (isData) {
+        rowSources += Left((page + bitOff + 8, blockCount))
+      } else if (isMix) {
+        // pandas' align-correction rule, verbatim: rows start at
+        // base + (base % 8) past the pointer array
+        val base = bitOff + 8 + subCount * ptrLen
+        val start = page + base + (base % 8)
+        rowSources += Left((start, -1)) // count resolved below (mixRows)
+      }
+      p += 1
+    }
+    require(rowLength > 0 && colCount > 0,
+      s"$file: missing row-size/column-size metadata")
+    require(attrs.length == colCount && nameRefs.length == colCount,
+      s"$file: metadata mismatch (cols=$colCount, " +
+        s"attrs=${attrs.length}, names=${nameRefs.length})")
+    require(compression != "SASYZCR2", s"$file: SASYZCR2 (RDC) " +
+      "compression is not supported; re-export uncompressed or with " +
+      "COMPRESS=CHAR (SASYZCRL)")
+    val cols = (0 until colCount).map { i =>
+      val (bi, off, len) = nameRefs(i)
+      require(bi < textBlobs.length && off + len <= textBlobs(bi).length,
+        s"$file: column $i name reference out of range")
+      val name = new String(textBlobs(bi), off, len,
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      val (rowOff, width, isNum) = attrs(i)
+      Col(name, isNum, rowOff.toInt, width)
+    }
+    Meta(cols, rowLength.toInt, rowCount, mixRows,
+      compression == "SASYZCRL", rowSources.toIndexedSeq)
+  }
+
+  /** SASYZCRL (RLE) decompression — command table per the public
+    * documentation (parso/ReadStat; pandas `_sas.pyx` carries the same
+    * decoder): high nibble = command, low nibble = length modifier.
+    * The fixture generator's encoder uses the 0x0/0x6/0x7/0x8/0xC/0xE/
+    * 0xF subset, each certified by pandas decoding the committed
+    * fixture back bit-exactly. */
+  private[sources] def rleDecompress(
+      src: Array[Byte], srcOff: Int, srcLen: Int,
+      rowLength: Int): Array[Byte] = {
+    val out = new Array[Byte](rowLength)
+    var ip = srcOff
+    val end = srcOff + srcLen
+    var op = 0
+    def put(b: Byte, n: Int): Unit = {
+      java.util.Arrays.fill(out, op, op + n, b); op += n
+    }
+    while (ip < end && op < rowLength) {
+      val c = src(ip) & 0xF0
+      val lo = src(ip) & 0x0F
+      ip += 1
+      c match {
+        case 0x00 =>
+          val n = lo * 256 + (src(ip) & 0xff) + 64; ip += 1
+          System.arraycopy(src, ip, out, op, n); ip += n; op += n
+        case 0x40 =>
+          val n = lo * 16 + (src(ip) & 0xff) + 18; ip += 1
+          val b = src(ip); ip += 1; put(b, n)
+        case 0x60 =>
+          val n = lo * 256 + (src(ip) & 0xff) + 17; ip += 1
+          put(0x20, n)
+        case 0x70 =>
+          val n = lo * 256 + (src(ip) & 0xff) + 17; ip += 1
+          put(0x00, n)
+        case 0x80 =>
+          val n = lo + 1
+          System.arraycopy(src, ip, out, op, n); ip += n; op += n
+        case 0x90 =>
+          val n = lo + 17
+          System.arraycopy(src, ip, out, op, n); ip += n; op += n
+        case 0xA0 =>
+          val n = lo + 33
+          System.arraycopy(src, ip, out, op, n); ip += n; op += n
+        case 0xB0 =>
+          val n = lo + 49
+          System.arraycopy(src, ip, out, op, n); ip += n; op += n
+        case 0xC0 =>
+          val n = lo + 3
+          val b = src(ip); ip += 1; put(b, n)
+        case 0xD0 => put('@'.toByte, lo + 2)
+        case 0xE0 => put(0x20, lo + 2)
+        case 0xF0 => put(0x00, lo + 2)
+        case other => throw new IllegalArgumentException(
+          s"SASYZCRL: unknown control byte 0x${other.toHexString}")
+      }
+    }
+    require(op == rowLength,
+      s"SASYZCRL: decompressed $op bytes, row length is $rowLength")
+    out
+  }
+
+  def readSchema(file: String): StructType = {
+    val m = parseMeta(readAll(file), file)
+    StructType(m.cols.map(c => StructField(c.name,
+      if (c.isNum) DoubleType else StringType, nullable = true)))
+  }
+
+  private def readAll(file: String): Array[Byte] =
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file))
+
+  def readRows(file: String, schema: StructType): Iterator[InternalRow] = {
+    val bytes = readAll(file)
+    val m = parseMeta(bytes, file)
+    val byName = m.cols.map(c => c.name -> c).toMap
+    val cols = schema.fieldNames.map { n =>
+      byName.getOrElse(n, throw new IllegalArgumentException(
+        s"$file: requested column '$n' not in the file " +
+          s"(${m.cols.map(_.name).mkString(",")})"))
+    }
+    val scratch = new Array[Byte](8)
+    val bb = java.nio.ByteBuffer.wrap(scratch)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+
+    def decode(row: Array[Byte], base: Int): InternalRow = {
+      val vals = new Array[Any](cols.length)
+      var ci = 0
+      while (ci < cols.length) {
+        val c = cols(ci)
+        val off = base + c.off
+        vals(ci) =
+          if (c.isNum) {
+            // truncated numerics (width 3-7) store the HIGH-order
+            // bytes of the little-endian double: pad low bytes with 0
+            java.util.Arrays.fill(scratch, 0.toByte)
+            System.arraycopy(row, off, scratch, 8 - c.width, c.width)
+            val d = bb.getDouble(0)
+            if (java.lang.Double.isNaN(d)) null
+            else java.lang.Double.valueOf(d)
+          } else {
+            var end = off + c.width
+            while (end > off && (row(end - 1) == ' '.toByte ||
+                row(end - 1) == 0.toByte)) end -= 1
+            // all-blank char IS missing (the SAS semantic; pandas nan)
+            if (end == off) null
+            else UTF8String.fromBytes(row, off, end - off)
+          }
+        ci += 1
+      }
+      new GenericInternalRow(vals)
+    }
+
+    new Iterator[InternalRow] {
+      private var src = 0
+      private var inPage = 0
+      private var emitted = 0L
+      override def hasNext: Boolean = {
+        advance(); emitted < m.rowCount && src < m.rowSources.length
+      }
+      private def pageRows(s: Either[(Int, Int), (Int, Int)]): Int =
+        s match {
+          case Left((_, n)) =>
+            if (n >= 0) n else m.mixPageRowCount.toInt // mix page
+          case Right(_) => 1
+        }
+      private def advance(): Unit =
+        while (src < m.rowSources.length &&
+            inPage >= pageRows(m.rowSources(src))) {
+          src += 1; inPage = 0
+        }
+      override def next(): InternalRow = {
+        val r = m.rowSources(src) match {
+          case Left((off, _)) =>
+            decode(bytes, off + inPage * m.rowLength)
+          case Right((off, len)) =>
+            if (m.rle && len < m.rowLength)
+              decode(rleDecompress(bytes, off, len, m.rowLength), 0)
+            else decode(bytes, off) // raw block at full row length
+        }
+        inPage += 1
+        emitted += 1
+        r
+      }
+    }
+  }
+}
