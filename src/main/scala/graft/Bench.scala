@@ -501,7 +501,11 @@ object Bench {
       // multiplies shared fingerprints — the df guard must keep the
       // pair join's fanout bounded) and the 64-replicate bootstrap
       // (pure map + two aggregations: the reading should be ~linear)
-      "q295_winnow_spans", "q296_bootstrap_ci")
+      "q295_winnow_spans", "q296_bootstrap_ci",
+      // round-11: the two-NN intrinsic-dimension kernel moved to the
+      // blocked mapPartitions scan (the knnGraph pattern) — tracked so
+      // the O(n^2) family's flat-memory claim has a per-round number
+      "q321_intrinsic_dim")
     val stressWaivers = Map(
       "q165_mutual_knn" -> ("documented O(n^2) exact-kNN SCORING " +
         "(irreducible on unstructured embeddings — no cluster geometry " +

@@ -214,43 +214,96 @@ object EmbeddingStats {
     * Returns one row (n_used, id_hat 4dp, ambient_dims). */
   def intrinsicDimension(df: DataFrame, idCol: String,
       vecCol: String): DataFrame = {
-    val a = df.where(col(vecCol).isNotNull)
-      .select(col(idCol).cast("long").as("qid"),
-        col(vecCol).cast("array<double>").as("qv"))
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
-    val b = broadcast(df.where(col(vecCol).isNotNull)
-      .select(col(idCol).cast("long").as("cid"),
-        col(vecCol).cast("array<double>").as("cv")))
-    // per-element-quantized squared distance: Σ floor((x−y)²·10¹² + ½)
-    // — exact long per pair, identical in any engine; codegen'd
-    // (the HOF zip_with/aggregate form runs interpreted per element —
-    // unusable inside this O(n²) scoring loop)
-    val qdsq = graft.functions.QuantizedSqDist.qsqdist(col("qv"), col("cv"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("qd"), col("cid"))
-    val nn2 = a.crossJoin(b)
-      .where(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), qdsq.as("qd"))
-      .where(col("qd") > 0L)
-      .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= 2)
-      .groupBy("qid")
-      .agg(count(lit(1)).as("k"),
-        min(when(col("rnk") === 1, col("qd"))).as("d1"),
-        min(when(col("rnk") === 2, col("qd"))).as("d2"))
-      .where(col("k") === 2)
-    val dims = df.where(col(vecCol).isNotNull)
-      .agg(min(size(col(vecCol))).as("nd"))
-    nn2.select(
-        // ln μ = ½ ln(d2/d1), both exact longs
-        (log(col("d2").cast("double") / col("d1").cast("double")) / 2.0)
-          .as("lnmu"))
-      .agg(count(lit(1)).as("n_used"), sum(col("lnmu")).as("slog"))
-      .crossJoin(broadcast(dims))
+    // BLOCKED two-NN scan (round 11, the knnGraph pattern): corpus in
+    // one broadcast, probe indices pre-split at the Range leaf, one
+    // live (d1, d2) selection per probe streamed through mapPartitions
+    // — the previous crossJoin + row_number window shuffled and SORTED
+    // the full n²-row quantized-distance stream, the exact q165
+    // round-9 spill-variance class. Per-pair arithmetic replicates
+    // [[graft.functions.QuantizedSqDist]] term-for-term (Σ over the
+    // shorter prefix of floor((x−y)²·10¹² + ½) as exact longs, loud
+    // addExact overflow), so the d1/d2 selection stays
+    // bit-deterministic cross-engine and the DuckDB oracle unchanged.
+    val spark = df.sparkSession
+    import spark.implicits._
+    val gathered = df.where(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .collect()
+    // ambient dims: min length over ALL non-null vectors (null
+    // ELEMENTS still count here, as size() did)
+    val nd = gathered.iterator.map(_.getSeq[Any](1).length)
+      .reduceOption(math.min).getOrElse(0)
+    // a vector with a null element nulls qd against EVERY partner in
+    // the expression form -> it contributed nothing as probe or
+    // candidate; dropping it up front is the same semantics
+    val clean = gathered.iterator.flatMap { r =>
+      val seq = r.getSeq[Any](1)
+      if (seq.contains(null)) None
+      else {
+        val arr = new Array[Double](seq.length)
+        var i = 0
+        seq.foreach { x => arr(i) = x.asInstanceOf[Double]; i += 1 }
+        Some((r.getLong(0), arr))
+      }
+    }.toArray.sortBy(_._1)
+    val n = clean.length
+    val bcIds = spark.sparkContext.broadcast(clean.map(_._1))
+    val bcVecs = spark.sparkContext.broadcast(clean.map(_._2))
+    val parts = math.max(1,
+      math.min(spark.sparkContext.defaultParallelism, n))
+    val lnmu = spark.range(0, n.toLong, 1, parts).as[Long]
+      .mapPartitions { it =>
+        val ids = bcIds.value
+        val vecs = bcVecs.value
+        val nn = ids.length
+        it.flatMap { qi0 =>
+          val qi = qi0.toInt
+          val qv = vecs(qi)
+          // two smallest (qd, cid) with qd > 0, lexicographic — the
+          // row_number(orderBy qd, cid) <= 2 selection exactly
+          var d1 = Long.MaxValue; var c1 = Long.MaxValue
+          var d2 = Long.MaxValue; var c2 = Long.MaxValue
+          var m = 0
+          var ci = 0
+          while (ci < nn) {
+            if (ci != qi) {
+              val cv = vecs(ci)
+              val len = math.min(qv.length, cv.length)
+              var acc = 0L
+              var j = 0
+              while (j < len) {
+                val d = qv(j) - cv(j)
+                val t = d * d * 1e12 + 0.5
+                if (t >= 9.223372036854776e18)
+                  throw graft.functions.QuantizedSqDist.overflow(d)
+                acc = Math.addExact(acc, math.floor(t).toLong)
+                j += 1
+              }
+              if (acc > 0L) {
+                val cid = ids(ci)
+                if (m == 0 || acc < d1 || (acc == d1 && cid < c1)) {
+                  if (m > 0) { d2 = d1; c2 = c1 }
+                  d1 = acc; c1 = cid
+                  if (m < 2) m += 1
+                } else if (m < 2 || acc < d2 || (acc == d2 && cid < c2)) {
+                  d2 = acc; c2 = cid
+                  if (m < 2) m += 1
+                }
+              }
+            }
+            ci += 1
+          }
+          if (m == 2)
+            Iterator.single(math.log(d2.toDouble / d1.toDouble) / 2.0)
+          else Iterator.empty
+        }
+      }.toDF("lnmu")
+    lnmu.agg(count(lit(1)).as("n_used"), sum(col("lnmu")).as("slog"))
       .select(col("n_used"),
         when(col("slog") > 0.0,
           round(col("n_used").cast("double") / col("slog"), 4))
           .as("id_hat"),
-        col("nd").cast("int").as("ambient_dims"))
+        lit(nd).cast("int").as("ambient_dims"))
   }
 }

@@ -55,7 +55,6 @@ class PlanSweepSpec extends SparkSpec {
     "q59_semdedup_pairs" -> "vectors x broadcast nlist-bounded centroid table (Dedup.scala:686)",
     "q41_kendall" -> "self-join over the hard-capped (1e4) checkpointed pair sample — the bound is invisible structurally because localCheckpoint truncates lineage (Kendall.scala:27,74)",
     "q105_qq_table" -> "broadcast constant-size quantile frame (Ranking.scala:161)",
-    "q174_label_agreement" -> "exact 1-NN over the full embedding table — documented O(n^2) oracle tool of the q165/q175 family (Similarity.oneNnLabelAgreement)",
     "q189_ndcg_eval" -> "corpus x broadcast 50-row query slice, vec_id < 50 pushed to the scan (PipelineQueries q189)",
     "q109_fuzzy_name_join" -> "bounded distinct-name vocabulary pairs",
     "q120_weighted_quantiles" -> "broadcast constant-size quantile frame (Ranking.scala:161)",
@@ -69,12 +68,13 @@ class PlanSweepSpec extends SparkSpec {
     "q254_pq_adc_recall" -> "exact-recall side: corpus x broadcast 10-row probe set (Pq.adcRecall, the q26 brute-force shape); ADC side is all equi hash joins",
     "q255_ivfpq_recall" -> "exact-recall side: corpus x broadcast 10-row probe set (Pq.recallVsExact); IVF/ADC sides are map-side assigns + equi hash joins",
     "q256_rbo_rankings" -> "corpus x broadcast 10-row probe set for the two exact rankings (q26 brute-force shape); the RBO join itself is equi",
+    // q174/q321 entries removed round 11: the exact-kNN family now
+    // runs as a blocked mapPartitions scan (no BNLJ in the plan at all)
     "q222_naive_bayes" -> "bounded vocab x bounded class table (NaiveBayes.scala:62)",
     "q271_hard_negatives" -> "corpus x broadcast 10-row probe set (Similarity.hardNegativeTopK, the q26 brute-force shape)",
     "q292_bm25_rerank" -> "rerank side: 50-row BM25 candidate set x broadcast 1-ROW query vector (vec_id = 0 pushed to the embeddings scan, Relevance.bm25DenseRerank) — a filtered single-row table, not an aggregate, so not auto-recognized; the inner 1-row (n_docs, avgdl) cross IS structurally recognized",
     "q273_dedup_saturation" -> "groupNtile's per-group-count join: the literal single-group key folds out of the equi-join keys, leaving a BNLJ whose build side is the GROUPED count aggregate — one row per group, exactly 1 here (verified: the corpus-sized smaller/rank joins in the same plan are BroadcastHashJoin on __v)",
-    "q313_burrows_delta" -> "sources x broadcast top-20 word list (TakeOrdered over the vocabulary aggregate - bounded by topM, not a 1-row aggregate, so not auto-recognized; TextAnalysis.burrowsDelta)",
-    "q321_intrinsic_dim" -> "corpus x broadcast corpus — the documented O(n^2) exact two-NN oracle tool of the q165/q174 family (EmbeddingStats.intrinsicDimension); take d1/d2 from the ANN ladder at scale")
+    "q313_burrows_delta" -> "sources x broadcast top-20 word list (TakeOrdered over the vocabulary aggregate - bounded by topM, not a 1-row aggregate, so not auto-recognized; TextAnalysis.burrowsDelta)")
 
   /** Queries whose global (partition-less) window rides an input the
     * structural [[rowBounded]] check can't prove bounded — each entry
