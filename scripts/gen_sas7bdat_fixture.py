@@ -98,10 +98,14 @@ def header(lay, page_count, name=b"MIXED"):
     return bytes(h)
 
 
-def subheaders(lay, cols, n_rows, row_len, mix_rows, compressed):
+def subheaders(lay, cols, n_rows, row_len, mix_rows, compressed,
+               formats=None):
     """Metadata subheader blobs in processing order.
-    cols: list of (name, kind 'd'|'s', width)."""
+    cols: list of (name, kind 'd'|'s', width); formats: optional
+    per-column SAS display-format names (e.g. DATE, DATETIME) written
+    into the text blob and referenced from the format subheaders."""
     ncols = len(cols)
+    formats = formats or [""] * ncols
     il = lay.int_len
 
     rowsize = bytearray(808 if lay.u64 else 480)
@@ -132,6 +136,13 @@ def subheaders(lay, cols, n_rows, row_len, mix_rows, compressed):
         text += nb
         if len(text) % 4:
             text += b"\x00" * (4 - len(text) % 4)
+    fmt_refs = []
+    for f in formats:
+        fb = f.encode("utf-8")
+        fmt_refs.append((len(text), len(fb)))
+        text += fb
+        if len(text) % 4:
+            text += b"\x00" * (4 - len(text) % 4)
     text[0:2] = u16(len(text))
     coltext = bytearray(il + len(text))
     coltext[0:il] = lay.sig("coltext")
@@ -159,10 +170,17 @@ def subheaders(lay, cols, n_rows, row_len, mix_rows, compressed):
     out = [(bytes(rowsize), 0, 0), (bytes(colsize), 0, 0),
            (bytes(coltext), 0, 0), (bytes(colname), 0, 0),
            (bytes(colattr), 0, 0)]
-    for _ in cols:
+    for i in range(ncols):
         fmt = bytearray(3 * il + 40)
         fmt[0:il] = lay.sig("fmtlbl")
-        # all text refs zero -> no format/label, no datetime coercion
+        # format text ref at 3*int_len + 22/24/26 (idx, offset, length);
+        # label ref (28/30/32) stays zero. A zero-length ref means no
+        # format -> no datetime coercion.
+        off, ln = fmt_refs[i]
+        if ln:
+            fmt[3 * il + 22:3 * il + 24] = u16(0)
+            fmt[3 * il + 24:3 * il + 26] = u16(off)
+            fmt[3 * il + 26:3 * il + 28] = u16(ln)
         out.append((bytes(fmt), 0, 0))
     return out
 
@@ -287,11 +305,13 @@ def rle_encode(raw):
     return bytes(out)
 
 
-def build(path, cols, rows, compressed=False, u64=False, mix_rows=0):
+def build(path, cols, rows, compressed=False, u64=False, mix_rows=0,
+          formats=None):
     lay = Layout(u64)
     row_len = sum(w for _, _, w in cols)
     encoded = [encode_row(cols, r) for r in rows]
-    subs = subheaders(lay, cols, len(rows), row_len, mix_rows, compressed)
+    subs = subheaders(lay, cols, len(rows), row_len, mix_rows, compressed,
+                      formats)
     pages = []
     rest = encoded
     if mix_rows > 0:
@@ -371,6 +391,46 @@ def check(path, rows):
           f"({len(rows)} rows)")
 
 
+DATE_COLS = [("k", "d", 8), ("event_date", "d", 8),
+             ("when_ts", "d", 8), ("note", "s", 8)]
+DATE_FORMATS = ["", "DATE", "DATETIME", ""]
+
+
+def make_date_rows():
+    """SAS calendar values: dates as days since 1960-01-01, datetimes
+    as (fractional) seconds since 1960-01-01 00:00:00."""
+    rows = []
+    for i in range(40):
+        days = None if i % 13 == 7 else float(20000 + i * 37)  # ~2014+
+        secs = None if i % 9 == 4 else (1.9e9 + i * 86471.0 + i * 0.25)
+        rows.append((float(i), days, secs, f"n{i}"))
+    return rows
+
+
+def check_dates(path, rows):
+    df = pd.read_sas(path, format="sas7bdat", encoding="utf-8")
+    epoch = pd.Timestamp("1960-01-01")
+    assert str(df["event_date"].dtype).startswith("datetime64"), \
+        df["event_date"].dtype
+    assert str(df["when_ts"].dtype).startswith("datetime64"), \
+        df["when_ts"].dtype
+    for i, (_, days, secs, _) in enumerate(rows):
+        gd, gt = df["event_date"].iloc[i], df["when_ts"].iloc[i]
+        if days is None:
+            assert pd.isna(gd), (i, gd)
+        else:
+            assert gd == epoch + pd.Timedelta(days=days), (i, gd)
+        if secs is None:
+            assert pd.isna(gt), (i, gt)
+        else:
+            # pandas converts SAS datetimes through MILLISECONDS
+            # (cast_from_unit out_unit="ms"); compare at that grain
+            assert gt == epoch + pd.Timedelta(
+                milliseconds=round(secs * 1000)), (i, gt)
+    print(f"pandas cross-validation OK: {os.path.basename(path)} "
+          f"(dates/datetimes, {len(rows)} rows)")
+
+
 def main():
     os.makedirs(OUT, exist_ok=True)
     rows = make_rows()
@@ -383,6 +443,10 @@ def main():
     check(plain, rows)
     check(rle, rows)
     check(u64, rows)
+    dates = os.path.join(OUT, "dates.sas7bdat")
+    drows = make_date_rows()
+    build(dates, DATE_COLS, drows, formats=DATE_FORMATS)
+    check_dates(dates, drows)
     # parquet twin for the DuckDB oracle: same values, doubles + strings
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -399,7 +463,23 @@ def main():
         "tag": pa.array([v or None for v in twin["tag"]], pa.string()),
     })
     pq.write_table(tbl, os.path.join(OUT, "mixed_sas_twin.parquet"))
-    print("twin written")
+    # dates twin: date32 + timestamp[us] on the 1970 epoch
+    import datetime as dt
+    ep = dt.date(1960, 1, 1)
+    ept = dt.datetime(1960, 1, 1)
+    dtbl = pa.table({
+        "k": pa.array([r[0] for r in drows], pa.float64()),
+        "event_date": pa.array(
+            [None if r[1] is None else ep + dt.timedelta(days=r[1])
+             for r in drows], pa.date32()),
+        "when_ts": pa.array(
+            [None if r[2] is None else
+             ept + dt.timedelta(microseconds=round(r[2] * 1e6))
+             for r in drows], pa.timestamp("us")),
+        "note": pa.array([r[3] for r in drows], pa.string()),
+    })
+    pq.write_table(dtbl, os.path.join(OUT, "dates_sas_twin.parquet"))
+    print("twins written")
 
 
 if __name__ == "__main__":

@@ -989,8 +989,29 @@ object ExtraQueries {
       FROM '/root/repo/src/test/resources/graft/sources/mixed_sas_twin.parquet'
       GROUP BY city ORDER BY city"""))
 
+  /** SAS calendar semantics through the sas7bdat reader: columns whose
+    * display format is a DATE/DATETIME family name surface as Spark
+    * DATE (days since the SAS 1960-01-01 epoch rebased) and TIMESTAMP
+    * (seconds since 1960 rebased to micros) instead of raw doubles —
+    * what pandas.read_sas does, and the fixture is validated against
+    * pandas' own conversion at generation time. */
+  val qSasDates = Q(
+    "q339_sas7bdat_dates",
+    (s, _) =>
+      s.read.format("graft-sas7bdat")
+        .load("/root/repo/src/test/resources/graft/sources/dates.sas7bdat")
+        .select(col("k"), col("event_date"), col("when_ts"),
+          year(col("event_date")).as("yr"),
+          unix_micros(col("when_ts")).as("us"))
+        .orderBy("k"),
+    Some("""SELECT k, event_date, when_ts,
+        CAST(year(event_date) AS INT) AS yr,
+        CAST(epoch_us(when_ts) AS BIGINT) AS us
+      FROM '/root/repo/src/test/resources/graft/sources/dates_sas_twin.parquet'
+      ORDER BY k"""))
+
   val all: Seq[Q] = Seq(
-    qStataRoundTrip, qXptScan, qSasScan, qSasRleScan,
+    qStataRoundTrip, qXptScan, qSasScan, qSasRleScan, qSasDates,
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qKendallExact,
     qMapValueCounts,

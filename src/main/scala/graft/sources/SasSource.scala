@@ -132,8 +132,35 @@ object SasFormat {
     }
   }
 
+  /** kind: 0 = double, 1 = string, 2 = DATE (days since 1960-01-01),
+    * 3 = DATETIME (seconds since 1960-01-01 midnight). */
   private final case class Col(
-      name: String, isNum: Boolean, off: Int, width: Int)
+      name: String, kind: Int, off: Int, width: Int)
+
+  /** SAS display formats that make a numeric column a calendar value
+    * (the same lists pandas' reader converts): day-granularity formats
+    * surface as DATE, second-granularity as TIMESTAMP — both on the
+    * SAS epoch 1960-01-01. */
+  private val DateFormats = Set(
+    "B8601DA", "DATE", "DAY", "DDMMYY", "DDMMYYB", "DDMMYYC", "DDMMYYD",
+    "DDMMYYN", "DDMMYYP", "DDMMYYS", "DOWNAME", "E8601DA", "JULDAY",
+    "JULIAN", "MINGUO", "MMDDYY", "MMDDYYC", "MMDDYYD", "MMDDYYN",
+    "MMDDYYP", "MMDDYYS", "MMYY", "MMYYC", "MMYYD", "MMYYN", "MMYYP",
+    "MMYYS", "MONNAME", "MONTH", "MONYY", "NENGO", "QTR", "QTRR",
+    "WEEKDATE", "WEEKDATX", "WEEKDAY", "WEEKV", "WORDDATE", "WORDDATX",
+    "YEAR", "YYMM", "YYMMC", "YYMMD", "YYMMDD", "YYMMDDB", "YYMMDDC",
+    "YYMMDDD", "YYMMDDN", "YYMMDDP", "YYMMDDS", "YYMMN", "YYMMP",
+    "YYMMS", "YYMON", "YYQ", "YYQC", "YYQD", "YYQN", "YYQP", "YYQR",
+    "YYQRC", "YYQRD", "YYQRN", "YYQRP", "YYQRS", "YYQS")
+  private val DatetimeFormats = Set(
+    "B8601DN", "B8601DT", "B8601DX", "B8601DZ", "B8601LX", "DATEAMPM",
+    "DATETIME", "DTDATE", "DTMONYY", "DTWKDATX", "DTYEAR", "E8601DN",
+    "E8601DT", "E8601DX", "E8601DZ", "E8601LX", "MDYAMPM", "TOD")
+
+  /** Days between 1960-01-01 (the SAS epoch) and 1970-01-01 (Spark's):
+    * ten years, three leap days (1960/64/68). */
+  private val SasEpochDays = 3653
+  private val SasEpochMicros = SasEpochDays.toLong * 86400L * 1000000L
 
   /** Everything the row pass needs, assembled in ONE page sweep. */
   private final case class Meta(
@@ -181,6 +208,8 @@ object SasFormat {
       .ArrayBuffer.empty[(Int, Int, Int)] // (blob idx, off, len)
     val attrs = scala.collection.mutable
       .ArrayBuffer.empty[(Long, Int, Boolean)] // (row off, width, isNum)
+    val fmtRefs = scala.collection.mutable
+      .ArrayBuffer.empty[(Int, Int, Int)] // (blob idx, off, len)
     val rowSources = scala.collection.mutable
       .ArrayBuffer.empty[Either[(Int, Int), (Int, Int)]]
 
@@ -246,7 +275,12 @@ object SasFormat {
                     uint(shOff + 2 * intLen + 14 + stride, 1) == 1L))
                   j += 1
                 }
-              case 0xFFFFFBFE => // format/label (FE FB FF FF): unused
+              case 0xFFFFFBFE => // format/label (FE FB FF FF): one per
+                // column, in column order — carries the display-format
+                // text ref that decides date/datetime decoding
+                val e = shOff + 3 * intLen
+                fmtRefs += ((uint(e + 22, 2).toInt, uint(e + 24, 2).toInt,
+                  uint(e + 26, 2).toInt))
               case 0xFFFFFFFE => // column list: unused
               case 0xFFFFFC00 => // subheader counts (00 FC FF FF): unused
               case _ =>
@@ -281,14 +315,25 @@ object SasFormat {
     require(compression != "SASYZCR2", s"$file: SASYZCR2 (RDC) " +
       "compression is not supported; re-export uncompressed or with " +
       "COMPRESS=CHAR (SASYZCRL)")
-    val cols = (0 until colCount).map { i =>
-      val (bi, off, len) = nameRefs(i)
+    def textAt(ref: (Int, Int, Int)): String = {
+      val (bi, off, len) = ref
       require(bi < textBlobs.length && off + len <= textBlobs(bi).length,
-        s"$file: column $i name reference out of range")
-      val name = new String(textBlobs(bi), off, len,
+        s"$file: text reference out of range")
+      new String(textBlobs(bi), off, len,
         java.nio.charset.StandardCharsets.UTF_8).trim
+    }
+    val cols = (0 until colCount).map { i =>
+      val name = textAt(nameRefs(i))
       val (rowOff, width, isNum) = attrs(i)
-      Col(name, isNum, rowOff.toInt, width)
+      // the stored format field is the bare NAME (width/decimals are
+      // separate numeric fields) — exact match, as pandas does
+      val fmt = if (i < fmtRefs.length) textAt(fmtRefs(i)) else ""
+      val kind =
+        if (!isNum) 1
+        else if (DatetimeFormats.contains(fmt)) 3
+        else if (DateFormats.contains(fmt)) 2
+        else 0
+      Col(name, kind, rowOff.toInt, width)
     }
     Meta(cols, rowLength.toInt, rowCount, mixRows,
       compression == "SASYZCRL", rowSources.toIndexedSeq)
@@ -356,8 +401,12 @@ object SasFormat {
 
   def readSchema(file: String): StructType = {
     val m = parseMeta(readAll(file), file)
-    StructType(m.cols.map(c => StructField(c.name,
-      if (c.isNum) DoubleType else StringType, nullable = true)))
+    StructType(m.cols.map(c => StructField(c.name, c.kind match {
+      case 1 => StringType
+      case 2 => DateType
+      case 3 => TimestampType
+      case _ => DoubleType
+    }, nullable = true)))
   }
 
   private def readAll(file: String): Array[Byte] =
@@ -383,14 +432,22 @@ object SasFormat {
         val c = cols(ci)
         val off = base + c.off
         vals(ci) =
-          if (c.isNum) {
+          if (c.kind != 1) {
             // truncated numerics (width 3-7) store the HIGH-order
             // bytes of the little-endian double: pad low bytes with 0
             java.util.Arrays.fill(scratch, 0.toByte)
             System.arraycopy(row, off, scratch, 8 - c.width, c.width)
             val d = bb.getDouble(0)
             if (java.lang.Double.isNaN(d)) null
-            else java.lang.Double.valueOf(d)
+            else c.kind match {
+              case 2 => // SAS date: days since 1960-01-01 -> Spark days
+                java.lang.Integer.valueOf(
+                  math.floor(d).toInt - SasEpochDays)
+              case 3 => // SAS datetime: seconds since 1960 -> micros
+                java.lang.Long.valueOf(
+                  math.rint(d * 1e6).toLong - SasEpochMicros)
+              case _ => java.lang.Double.valueOf(d)
+            }
           } else {
             var end = off + c.width
             while (end > off && (row(end - 1) == ' '.toByte ||

@@ -85,6 +85,24 @@ class SasFormatSpec extends SparkSpec {
     graft.queries.StreamGate.deleteRecursively(tmp)
   }
 
+  test("date/datetime formats surface as DATE and TIMESTAMP (pandas parity)") {
+    val df = spark.read.format("graft-sas7bdat")
+      .load(s"$dir/dates.sas7bdat")
+    assert(df.schema.map(f => (f.name, f.dataType.simpleString)) ===
+      Seq(("k", "double"), ("event_date", "date"),
+        ("when_ts", "timestamp"), ("note", "string")))
+    val r0 = df.orderBy("k").select("event_date", "when_ts").head()
+    // generator row 0: 20000 days / 1.9e9 s past 1960-01-01
+    assert(r0.getDate(0).toString ===
+      java.time.LocalDate.of(1960, 1, 1).plusDays(20000).toString)
+    assert(r0.getTimestamp(1).toInstant ===
+      java.time.LocalDate.of(1960, 1, 1).atStartOfDay(
+        java.time.ZoneOffset.UTC).toInstant.plusSeconds(1900000000L))
+    // missing dates stay null (generator: days null when k % 13 == 7)
+    assert(df.where(col("event_date").isNull).count() ===
+      (0 until 40).count(_ % 13 == 7))
+  }
+
   test("clear errors: bad magic, big-endian, RDC compression") {
     val tmp = java.nio.file.Files
       .createTempDirectory("graft-sas-err").toString
