@@ -226,6 +226,13 @@ object EmbeddingStats {
     // bit-deterministic cross-engine and the DuckDB oracle unchanged.
     val spark = df.sparkSession
     import spark.implicits._
+    // scale guard (fail loudly, never funnel): same broadcast bound as
+    // the knnGraph family this tool belongs to
+    val n0 = df.where(col(vecCol).isNotNull).count()
+    require(n0 <= graft.ops.Similarity.MaxExactCorpus,
+      s"intrinsicDimension: $n0 vectors exceeds the exact two-NN " +
+        s"broadcast bound (${graft.ops.Similarity.MaxExactCorpus}); " +
+        "take d1/d2 from the ANN ladder at corpus scale")
     val gathered = df.where(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("v"))

@@ -17,6 +17,12 @@ import graft.functions.StatFunctions._
   */
 object Similarity {
 
+  /** Corpus bound for the blocked exact-kNN tools (knnGraph and the
+    * operators built on it): 2M 64-dim double vectors ≈ 1 GiB
+    * broadcast — the practical ceiling of the broadcast contract.
+    * Past it the answer is the ANN ladder, not a bigger driver. */
+  val MaxExactCorpus: Long = 2000000L
+
   /** Exact brute-force cosine top-k. The probe set is broadcast (it is
     * small by construction); the corpus is scanned once, no shuffle until
     * the bounded per-probe top-k. */
@@ -190,7 +196,16 @@ object Similarity {
       "join the originals back on them")
     // one bounded gather: this operator broadcasts the corpus either
     // way (that IS its memory contract), so collecting it to build the
-    // broadcast is the same footprint with none of the join machinery
+    // broadcast is the same footprint with none of the join machinery.
+    // Scale guard (fail loudly, never funnel): refuse a corpus past
+    // the broadcast contract instead of an opaque driver OOM — the
+    // count costs one cheap pre-pass and points at the ANN ladder.
+    val n0 = corpus.where(col(vecCol).isNotNull).count()
+    require(n0 <= MaxExactCorpus,
+      s"knnGraph: $n0 vectors exceeds the exact-kNN broadcast bound " +
+        s"($MaxExactCorpus); this is the O(n^2) small/medium-corpus " +
+        "ORACLE tool - at corpus scale build the graph from lshTopK's " +
+        "banded candidates (same output shape, bounded recall loss)")
     val gathered = corpus
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("v"))
