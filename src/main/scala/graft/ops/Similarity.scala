@@ -24,26 +24,54 @@ object Similarity {
   val MaxExactCorpus: Long = 2000000L
 
   /** Exact brute-force cosine top-k. The probe set is broadcast (it is
-    * small by construction); the corpus is scanned once, no shuffle until
-    * the bounded per-probe top-k. */
+    * small by construction); the corpus is scanned once, and since
+    * round 11 the per-probe ranking rides the mergeable
+    * [[graft.functions.BoundedTopK]] heap on the 10⁻⁶-quantized cosine
+    * (exact integer recovery of the 6-dp-rounded score, so (ord desc,
+    * id asc) IS (cos desc, neighbor_id asc)) instead of a row_number
+    * window — the window formulation shuffled and SORTED the full
+    * |corpus|·|probes| scored stream, while the heap ships O(k) per
+    * probe per map task and the partial-aggregation map holds at most
+    * |probes| bounded buffers. Ranking on the ROUNDED similarity with
+    * id tie-break stays deterministic across engines even when two raw
+    * cosines differ in the last ulp. */
   def bruteForceTopK(
       probes: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
+    // the heap ranks long-keyed ids: fail loudly on non-integral ids
+    // (the knnGraph ADVICE class) instead of silently ranking nothing
+    val idType = corpus.schema(idCol).dataType
+    require(Seq[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(idType),
+      s"bruteForceTopK: id column '$idCol' must be an integral type " +
+        s"that widens losslessly to long, got ${idType.simpleString}; " +
+        "assign surrogate long ids first")
+    // zero-norm / null-element vectors are excluded on BOTH sides
+    // (cosine undefined; the heap's long quantization would otherwise
+    // launder cast(NaN as long) = 0 into a fabricated cos mid-ranking
+    // — same rule as knnGraph)
     val p = probes.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       l2Norm(col(vecCol)).as("qn"))
+      .where(col("qn") > 0.0)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       l2Norm(col(vecCol)).as("cn"))
-    val scored = c.crossJoin(broadcast(p))
+      .where(col("cn") > 0.0)
+    c.crossJoin(broadcast(p))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", round(
         dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
-    // rank on the ROUNDED similarity with id tie-break: deterministic
-    // across engines even when two raw cosines differ in the last ulp
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos"))
+      .withColumn("ordq", floor(col("cos") * 1e6 + 0.5).cast("long"))
+      .groupBy("query_id")
+      .agg(graft.functions.BoundedTopK
+        .topK(col("ordq"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), (col("pos") + 1).as("rnk"),
+        col("t.id").as("neighbor_id"),
+        // ord/1e6 divides back to the bit-identical 6-dp-rounded double
+        (col("t.ord").cast("double") / 1e6).as("cos"))
   }
 
   /** Multi-band SRP-LSH bucket table: `bands` independent bucket ids per
