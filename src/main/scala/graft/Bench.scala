@@ -505,7 +505,14 @@ object Bench {
       // round-11: the two-NN intrinsic-dimension kernel moved to the
       // blocked mapPartitions scan (the knnGraph pattern) — tracked so
       // the O(n^2) family's flat-memory claim has a per-round number
-      "q321_intrinsic_dim")
+      "q321_intrinsic_dim",
+      // round-11: the round-10 span-verified dedup family (suffix-
+      // automaton LCS verify over df-guarded winnow candidates,
+      // components, per-doc disposition) — measured 0.14-0.29x of
+      // linear at 10x when added; tracked so candidate-fanout creep
+      // in the winnow df-guards would surface as a trend
+      "q316_winnow_exact_spans", "q333_span_verified_clusters",
+      "q334_dedup_disposition")
     val stressWaivers = Map(
       "q165_mutual_knn" -> ("documented O(n^2) exact-kNN SCORING " +
         "(irreducible on unstructured embeddings — no cluster geometry " +
