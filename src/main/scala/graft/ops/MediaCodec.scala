@@ -753,4 +753,76 @@ object MediaCodec {
     }
     out.array()
   }
+
+  /** Decoded grayscale raster: width, height, and one 0-255 luma per
+    * pixel in top-down row-major order. */
+  final case class GrayImage(width: Int, height: Int, gray: Array[Int])
+
+  /** PIXEL-level decode of an uncompressed 24-bpp BI_RGB BMP
+    * (BITMAPFILEHEADER + BITMAPINFOHEADER; bottom-up rows — or
+    * top-down when the height field is negative — padded to 4 bytes,
+    * BGR byte order), straight to the integer luma raster
+    * (299·R + 587·G + 114·B) / 1000 the perceptual-hash pipeline
+    * consumes. Returns None for anything that is not such a BMP or
+    * whose pixel array is truncated — hostile-bytes-safe like the
+    * header parsers above, never an exception. */
+  def decodeBmpGray(b: Array[Byte]): Option[GrayImage] = {
+    if (b.length < 54 || b(0) != 'B'.toByte || b(1) != 'M'.toByte)
+      return None
+    val dataOff = le32(b, 10)
+    val hdrSize = le32(b, 14)
+    if (hdrSize < 40) return None // BITMAPCOREHEADER not supported
+    val w = le32(b, 18)
+    val hRaw = le32(b, 22)
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    val bpp = le16(b, 28)
+    val compression = le32(b, 30)
+    if (w <= 0 || h == 0 || bpp != 24 || compression != 0) return None
+    if (w > (1 << 14) || h > (1 << 14)) return None // 16k cap: hostile
+    val rowSize = (w * 3 + 3) / 4 * 4
+    if (dataOff < 0 || dataOff.toLong + rowSize.toLong * h > b.length)
+      return None
+    val gray = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val srcRow = if (topDown) y else h - 1 - y
+      var x = 0
+      val base = dataOff + srcRow * rowSize
+      while (x < w) {
+        val blu = b(base + x * 3) & 0xff
+        val grn = b(base + x * 3 + 1) & 0xff
+        val red = b(base + x * 3 + 2) & 0xff
+        gray(y * w + x) = (299 * red + 587 * grn + 114 * blu) / 1000
+        x += 1
+      }
+      y += 1
+    }
+    Some(GrayImage(w, h, gray))
+  }
+
+  /** 64-bit difference hash over a decoded raster: nearest-neighbor
+    * resize to a 9×8 grid (s(x2,y2) = gray[y2·h/8][x2·w/9], integer
+    * floor), bit y·8+x set iff the left sample is darker than its
+    * right neighbor. The standard image near-dup fingerprint: stable
+    * under re-encoding, brightness shifts and small edits; hamming
+    * distance between hashes ≈ structural difference. The rule is
+    * replicated independently by scripts/gen_image_fixture.py, so the
+    * q340 gate certifies decode + grayscale + resize + hash together. */
+  def dHash64(img: GrayImage): Long = {
+    var hash = 0L
+    var y2 = 0
+    while (y2 < 8) {
+      val sy = y2 * img.height / 8
+      var x2 = 0
+      while (x2 < 8) {
+        val a = img.gray(sy * img.width + x2 * img.width / 9)
+        val c = img.gray(sy * img.width + (x2 + 1) * img.width / 9)
+        if (a < c) hash |= 1L << (y2 * 8 + x2)
+        x2 += 1
+      }
+      y2 += 1
+    }
+    hash
+  }
 }

@@ -206,4 +206,65 @@ object Multimodal {
       octet_length(b).cast("long").as("byte_length"),
       (floor(octet_length(b) / lit(256.0)).cast("int") + 1).as("n_chunks"))
   }
+
+  /** One image fingerprint row: dimensions + the 64-bit difference
+    * hash ([[graft.ops.MediaCodec.dHash64]]). */
+  final case class ImageHash(
+      id: Long, width: Int, height: Int, dhash: Long)
+
+  /** PIXEL-level perceptual fingerprinting of an image binary column:
+    * decode (24-bpp BMP; hostile bytes skipped, never an exception) →
+    * integer grayscale → nearest-neighbor 9×8 resize → 64-bit dHash.
+    * Map-only (mapPartitions over the scan, no shuffle): the per-image
+    * step of image dedup at any corpus size. Undecodable blobs are
+    * DROPPED — a fingerprint of garbage would poison the near-dup
+    * banding downstream. */
+  def imageDHash(df: DataFrame, idCol: String,
+      binCol: String): Dataset[ImageHash] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          MediaCodec.decodeBmpGray(Option(bytes).getOrElse(Array.empty))
+            .map(g => ImageHash(id, g.width, g.height,
+              MediaCodec.dHash64(g)))
+        }
+      }
+  }
+
+  /** Near-duplicate image pairs by dHash hamming distance ≤ maxBits,
+    * without an all-pairs join: the 64-bit hash splits into FOUR
+    * 16-bit bands, and two hashes within hamming ≤ 3 MUST agree on at
+    * least one band (pigeonhole, the SimHash q248 scheme) — so
+    * candidates come from four hash-equality self-joins, verified with
+    * one xor/bit_count. maxBits above 3 would need more/narrower
+    * bands; enforced loudly. Returns (i, j, hamming) with i < j, each
+    * pair once. */
+  def dhashNearDupPairs(hashes: DataFrame, idCol: String,
+      hashCol: String, maxBits: Int): DataFrame = {
+    require(maxBits >= 0 && maxBits <= 3,
+      s"dhashNearDupPairs: 4-band pigeonhole guarantees recall only " +
+        s"to hamming 3, got maxBits=$maxBits; re-band before raising")
+    // band INDEX rides along: equal values in DIFFERENT bands must not
+    // collide into candidates
+    val withIdx = hashes.select(col(idCol).cast("long").as("id"),
+        col(hashCol).cast("long").as("h"))
+      .select(col("id"), col("h"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("h"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+          .as(Seq("band_idx", "band_val")))
+    val l = withIdx.select(col("band_idx"), col("band_val"),
+      col("id").as("i"), col("h").as("hi"))
+    val r = withIdx.select(col("band_idx"), col("band_val"),
+      col("id").as("j"), col("h").as("hj"))
+    l.join(r, Seq("band_idx", "band_val"))
+      .where(col("i") < col("j"))
+      .select(col("i"), col("j"),
+        bit_count(col("hi").bitwiseXOR(col("hj"))).cast("int")
+          .as("hamming"))
+      .where(col("hamming") <= maxBits)
+      .distinct()
+  }
 }

@@ -1010,8 +1010,59 @@ object ExtraQueries {
       FROM '/root/repo/src/test/resources/graft/sources/dates_sas_twin.parquet'
       ORDER BY k"""))
 
+  /** PIXEL-level image fingerprinting ([[graft.ops.Multimodal
+    * .imageDHash]]): decode the committed 24-bpp BMPs (binaryFile
+    * scan), integer grayscale, nearest-neighbor 9×8 resize, 64-bit
+    * difference hash — gated against hashes computed INDEPENDENTLY
+    * from the same pixels by scripts/gen_image_fixture.py (no shared
+    * code), so a wrong row order, BGR mixup, padding slip or sampling
+    * offset breaks the hash compare. The multimodal
+    * decode→feature-extract→resize path, made real and oracle-checked. */
+  val qImageDHash = Q(
+    "q340_image_dhash",
+    (s, _) => {
+      val imgs = s.read.format("binaryFile")
+        .load("/root/repo/src/test/resources/graft/sources/images")
+        .select(regexp_extract(col("path"), "img_(\\d+)\\.bmp", 1)
+          .cast("long").as("img_id"), col("content"))
+      graft.ops.Multimodal.imageDHash(imgs, "img_id", "content").toDF()
+        .select(col("id").as("img_id"), col("width"), col("height"),
+          col("dhash"))
+        .orderBy("img_id")
+    },
+    Some("""SELECT img_id, width, height, dhash
+      FROM '/root/repo/src/test/resources/graft/sources/images_twin.parquet'
+      ORDER BY img_id"""))
+
+  /** Image near-dup pairs by dHash hamming ≤ 3 ([[graft.ops.Multimodal
+    * .dhashNearDupPairs]]): four 16-bit bands pigeonhole the 64-bit
+    * hash (any pair within hamming 3 agrees on ≥ 1 band), candidates
+    * come from band-equality self-joins, one xor/bit_count verifies.
+    * The oracle recomputes ALL C(60,2) pairs from the twin hashes in
+    * DuckDB — certifying the banding's RECALL (nothing ≤ 3 missed) as
+    * well as precision on the 10 planted near-dup pairs. */
+  val qImageNearDup = Q(
+    "q341_image_neardup",
+    (s, _) => {
+      val imgs = s.read.format("binaryFile")
+        .load("/root/repo/src/test/resources/graft/sources/images")
+        .select(regexp_extract(col("path"), "img_(\\d+)\\.bmp", 1)
+          .cast("long").as("img_id"), col("content"))
+      val h = graft.ops.Multimodal.imageDHash(imgs, "img_id", "content")
+      graft.ops.Multimodal.dhashNearDupPairs(h.toDF(), "id", "dhash", 3)
+        .orderBy("i", "j")
+    },
+    Some("""SELECT a.img_id AS i, b.img_id AS j,
+        CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+      FROM '/root/repo/src/test/resources/graft/sources/images_twin.parquet' a
+      JOIN '/root/repo/src/test/resources/graft/sources/images_twin.parquet' b
+        ON a.img_id < b.img_id
+      WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+      ORDER BY i, j"""))
+
   val all: Seq[Q] = Seq(
     qStataRoundTrip, qXptScan, qSasScan, qSasRleScan, qSasDates,
+    qImageDHash, qImageNearDup,
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qKendallExact,
     qMapValueCounts,

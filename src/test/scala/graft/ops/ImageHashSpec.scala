@@ -1,0 +1,117 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pixel-level BMP decode + dHash + banded near-dup. The committed
+  * fixture (scripts/gen_image_fixture.py) certifies the happy path
+  * end-to-end against independently-computed hashes; this spec pins
+  * the decoder's edge cases and the pigeonhole recall guarantee. */
+class ImageHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Hand-rolled 24-bpp BMP (same layout the fixture generator
+    * writes), with a top-down option via negative height. */
+  private def bmp(px: Seq[Seq[(Int, Int, Int)]],
+      topDown: Boolean = false): Array[Byte] = {
+    val h = px.length
+    val w = px.head.length
+    val rowSize = (w * 3 + 3) / 4 * 4
+    val out = java.nio.ByteBuffer.allocate(54 + rowSize * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte)
+    out.putInt(54 + rowSize * h).putInt(0).putInt(54)
+    out.putInt(40).putInt(w).putInt(if (topDown) -h else h)
+    out.putShort(1).putShort(24)
+    out.putInt(0).putInt(rowSize * h).putInt(2835).putInt(2835)
+    out.putInt(0).putInt(0)
+    val rows = if (topDown) px else px.reverse
+    rows.foreach { row =>
+      var written = 0
+      row.foreach { case (r, g, b) =>
+        out.put(b.toByte).put(g.toByte).put(r.toByte); written += 3
+      }
+      (written until rowSize).foreach(_ => out.put(0.toByte))
+    }
+    out.array()
+  }
+
+  private val grid: Seq[Seq[(Int, Int, Int)]] =
+    (0 until 16).map(y => (0 until 18).map(x =>
+      ((x * 14) % 256, (y * 16) % 256, ((x + y) * 7) % 256)))
+
+  test("decodeBmpGray: bottom-up and top-down decode to the same raster") {
+    val up = MediaCodec.decodeBmpGray(bmp(grid)).get
+    val down = MediaCodec.decodeBmpGray(bmp(grid, topDown = true)).get
+    assert(up.width === 18 && up.height === 16)
+    assert(up.gray.toSeq === down.gray.toSeq)
+    // spot-check the luma formula at (x=3, y=2): integer floor
+    val (r, g, b) = grid(2)(3)
+    assert(up.gray(2 * 18 + 3) === (299 * r + 587 * g + 114 * b) / 1000)
+  }
+
+  test("decodeBmpGray: hostile bytes return None, never throw") {
+    assert(MediaCodec.decodeBmpGray(Array.empty[Byte]).isEmpty)
+    assert(MediaCodec.decodeBmpGray("not a bmp at all".getBytes).isEmpty)
+    val truncated = bmp(grid).take(60) // header ok, pixels missing
+    assert(MediaCodec.decodeBmpGray(truncated).isEmpty)
+    val eightBpp = bmp(grid).clone; eightBpp(28) = 8 // bpp != 24
+    assert(MediaCodec.decodeBmpGray(eightBpp).isEmpty)
+    val rle = bmp(grid).clone; rle(30) = 1 // compression != BI_RGB
+    assert(MediaCodec.decodeBmpGray(rle).isEmpty)
+    val huge = bmp(grid).clone // hostile width: 2^20
+    java.nio.ByteBuffer.wrap(huge).order(
+      java.nio.ByteOrder.LITTLE_ENDIAN).putInt(18, 1 << 20)
+    assert(MediaCodec.decodeBmpGray(huge).isEmpty)
+  }
+
+  test("dHash64: a few flipped pixels move few bits; inversion moves many") {
+    val base = MediaCodec.decodeBmpGray(bmp(grid)).get
+    val h0 = MediaCodec.dHash64(base)
+    val tweaked = grid.zipWithIndex.map { case (row, y) =>
+      row.zipWithIndex.map { case (p, x) =>
+        if (x == 5 && y == 5) (255, 255, 255) else p } }
+    val h1 = MediaCodec.dHash64(MediaCodec.decodeBmpGray(bmp(tweaked)).get)
+    val inverted = grid.map(_.map { case (r, g, b) =>
+      (255 - r, 255 - g, 255 - b) })
+    val h2 = MediaCodec.dHash64(MediaCodec.decodeBmpGray(bmp(inverted)).get)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h0, h1) <= 3, s"one-pixel edit moved ${ham(h0, h1)} bits")
+    assert(ham(h0, h2) >= 20, s"inversion moved only ${ham(h0, h2)} bits")
+  }
+
+  test("imageDHash drops undecodable blobs; plan is map-only") {
+    val df = Seq(
+      (1L, bmp(grid)),
+      (2L, "garbage".getBytes),
+      (3L, bmp(grid, topDown = true))).toDF("id", "blob")
+    val out = Multimodal.imageDHash(df, "id", "blob")
+    val rows = out.collect()
+    assert(rows.map(_.id).sorted.toSeq === Seq(1L, 3L))
+    assert(rows.map(_.dhash).distinct.length === 1) // same raster
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
+  test("dhashNearDupPairs: pigeonhole recall is exhaustive to hamming 3") {
+    // adversarial hashes: bit flips CONCENTRATED in one band (the case
+    // a sloppy single-band scheme misses) plus cross-band flips
+    val base = 0x0123456789ABCDEFL
+    val hs = Seq(
+      0L -> base,
+      1L -> (base ^ 0x7L),                  // 3 flips, band 0
+      2L -> (base ^ (1L << 17) ^ (1L << 33) ^ (1L << 49)), // 3 bands
+      3L -> (base ^ 0xFFL),                 // 8 flips: NOT a pair
+      4L -> base)                           // exact dup
+      .toDF("id", "h")
+    val got = Multimodal.dhashNearDupPairs(hs, "id", "h", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .sortBy(p => (p._1, p._2))
+    assert(got.toSeq === Seq((0L, 1L, 3), (0L, 2L, 3), (0L, 4L, 0),
+      (1L, 4L, 3), (2L, 4L, 3)))
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.dhashNearDupPairs(hs, "id", "h", 4)
+    }
+    assert(e.getMessage.contains("pigeonhole"), e.getMessage)
+  }
+}
