@@ -1060,9 +1060,52 @@ object ExtraQueries {
       WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
       ORDER BY i, j"""))
 
+  /** Image dedup end-to-end: components over the q341 hamming-≤3 edge
+    * set label every image with its visual-duplicate cluster; the
+    * canonical keep is the minimum id per cluster — composition of
+    * [[graft.ops.Multimodal.dhashNearDupPairs]] with the same
+    * [[graft.ops.ConnectedComponents]] the text near-dup families use.
+    * Oracle closes the identical edge set with a recursive CTE (the
+    * q185 pattern) over the twin hashes. */
+  val qImageDedupClusters = Q(
+    "q342_image_dedup_clusters",
+    (s, _) => {
+      val imgs = s.read.format("binaryFile")
+        .load("/root/repo/src/test/resources/graft/sources/images")
+        .select(regexp_extract(col("path"), "img_(\\d+)\\.bmp", 1)
+          .cast("long").as("img_id"), col("content"))
+      val h = graft.ops.Multimodal.imageDHash(imgs, "img_id", "content")
+        .toDF().localCheckpoint(false) // two consumers: ids + pairs
+      val pairs = graft.ops.Multimodal
+        .dhashNearDupPairs(h, "id", "dhash", 3)
+      graft.ops.ConnectedComponents.labelAll(
+          h.select(col("id").as("img_id")), "img_id",
+          pairs, "i", "j", outCol = "cluster")
+        .groupBy("cluster")
+        .agg(count(lit(1)).cast("long").as("n_members"),
+          min(col("img_id")).as("keep_id"))
+        .orderBy("cluster")
+    },
+    Some("""WITH RECURSIVE t AS (SELECT img_id, dhash
+        FROM '/root/repo/src/test/resources/graft/sources/images_twin.parquet'),
+      p AS (SELECT a.img_id AS i, b.img_id AS j FROM t a JOIN t b
+            ON a.img_id < b.img_id
+            WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
+      edges AS (SELECT i AS a, b FROM (SELECT i, j AS b FROM p
+                UNION SELECT j, i FROM p) s(i, b)),
+      reach(n, m) AS (
+        SELECT img_id, img_id FROM t
+        UNION
+        SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m),
+      lab AS (SELECT n AS img_id, min(m) AS cluster
+              FROM reach GROUP BY n)
+      SELECT cluster, count(*) AS n_members,
+        min(img_id) AS keep_id
+      FROM lab GROUP BY cluster ORDER BY cluster"""))
+
   val all: Seq[Q] = Seq(
     qStataRoundTrip, qXptScan, qSasScan, qSasRleScan, qSasDates,
-    qImageDHash, qImageNearDup,
+    qImageDHash, qImageNearDup, qImageDedupClusters,
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qKendallExact,
     qMapValueCounts,
