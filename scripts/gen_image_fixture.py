@@ -83,6 +83,74 @@ def write_bmp(path, px):
             f.write(row)
 
 
+def write_png(path, px, color_type):
+    """8-bit non-interlaced PNG written from scratch (zlib stdlib —
+    no imaging library involved). Per-row filter types CYCLE 0..4 so
+    the Scala decoder's None/Sub/Up/Average/Paeth paths are all
+    exercised by real committed bytes. color_type: 0 gray (pixels must
+    be (v,v,v)), 2 RGB, 6 RGBA (alpha deterministic, must be ignored
+    by the luma pipeline)."""
+    import zlib
+    h, w = len(px), len(px[0])
+    channels = {0: 1, 2: 3, 6: 4}[color_type]
+
+    def sample(y, x):
+        r, g, b = px[y][x]
+        if color_type == 0:
+            assert r == g == b, "gray PNG needs r==g==b"
+            return bytes((r,))
+        if color_type == 2:
+            return bytes((r, g, b))
+        return bytes((r, g, b, (x * 3 + y) % 256))
+
+    raw = bytearray()
+    prev = bytearray(w * channels)
+    for y in range(h):
+        cur = bytearray()
+        for x in range(w):
+            cur += sample(y, x)
+        f = y % 5
+        raw.append(f)
+        bpp = channels
+        for i in range(len(cur)):
+            a = cur[i - bpp] if i >= bpp else 0
+            up = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if f == 0:
+                v = cur[i]
+            elif f == 1:
+                v = (cur[i] - a) % 256
+            elif f == 2:
+                v = (cur[i] - up) % 256
+            elif f == 3:
+                v = (cur[i] - (a + up) // 2) % 256
+            else:
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    (up if pb <= pc else c)
+                v = (cur[i] - pred) % 256
+            raw.append(v)
+        prev = cur
+
+    def chunk(typ, data):
+        body = typ + data
+        return (struct.pack(">I", len(data)) + body +
+                struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF))
+
+    with open(path, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\n")
+        f.write(chunk(b"IHDR", struct.pack(
+            ">IIBBBBB", w, h, 8, color_type, 0, 0, 0)))
+        f.write(chunk(b"IDAT", zlib.compress(bytes(raw), 6)))
+        f.write(chunk(b"IEND", b""))
+
+
+def gen_gray(i, w, h):
+    return [[((x * 11 + y * 5 + i * 23) % 256,) * 3
+             for x in range(w)] for y in range(h)]
+
+
 def dhash(px):
     h, w = len(px), len(px[0])
     gray = [[(299 * r + 587 * g + 114 * b) // 1000 for (r, g, b) in row]
@@ -106,6 +174,8 @@ def hamming(a, b):
 
 def main():
     os.makedirs(IMG_DIR, exist_ok=True)
+    for old in os.listdir(IMG_DIR):
+        os.remove(os.path.join(IMG_DIR, old))
     sizes = [(64, 48), (80, 60), (72, 40), (96, 64), (64, 64)]
     imgs = {}
     for i in range(50):
@@ -113,26 +183,58 @@ def main():
         imgs[i] = gen_pixels(i, w, h)
     for j in range(10):                      # 50..59 near-dup 0..9
         imgs[50 + j] = perturb(imgs[j], j)
+    # 100..109: the SAME pixels as 0..9, committed as PNG (RGB, all
+    # five filters) — cross-FORMAT exact duplicates, hamming 0
+    for j in range(10):
+        imgs[100 + j] = imgs[j]
+    # 110..119: fresh grayscale patterns, PNG color type 0
+    for j in range(10):
+        w, h = sizes[j % len(sizes)]
+        imgs[110 + j] = gen_gray(300 + j * 7, w, h)
+    # 120..129: fresh RGB patterns, PNG color type 6 (alpha ignored);
+    # slope/orientation varies with j so dHashes stay far apart
+    for j in range(10):
+        w, h = sizes[(j + 2) % len(sizes)]
+        imgs[120 + j] = [
+            [((x * (3 + j) + y * (11 - j) + j * 41) % 256,
+              (x * x // (j + 2) + y * 9 + j * 77) % 256,
+              ((x + j * 5) * (y + 3) // 4) % 256)
+             for x in range(w)] for y in range(h)]
 
     hashes = {i: dhash(px) for i, px in imgs.items()}
-    # planted near-dups must land <= 3 bits; everything else sampled
-    # must be far — otherwise the fixture can't discriminate
+    # planted relations: near-dups <= 3 bits, re-encodes EXACTLY 0;
+    # every unrelated pair must be far or the fixture can't discriminate
     for j in range(10):
-        d = hamming(hashes[j], hashes[50 + j])
-        assert d <= 3, (j, d)
-    for a in range(50):
-        for b in range(a + 1, 50):
+        assert hamming(hashes[j], hashes[50 + j]) <= 3
+        assert hashes[100 + j] == hashes[j]
+    related = {(j, 50 + j) for j in range(10)}
+    related |= {(j, 100 + j) for j in range(10)}
+    related |= {(50 + j, 100 + j) for j in range(10)}
+    ids = sorted(imgs)
+    n_close = 0
+    for ai, a in enumerate(ids):
+        for b in ids[ai + 1:]:
             d = hamming(hashes[a], hashes[b])
-            assert d > 3, (a, b, d)
-    pairs = sorted((j, 50 + j) for j in range(10))
-    print(f"planted pairs verified: {pairs}")
+            if (a, b) in related:
+                assert d <= 3, (a, b, d)
+                n_close += 1
+            else:
+                assert d > 3, (a, b, d)
+    print(f"planted relations verified: {n_close} close pairs, "
+          f"{len(ids) * (len(ids) - 1) // 2 - n_close} far")
 
     for i, px in imgs.items():
-        write_bmp(os.path.join(IMG_DIR, f"img_{i:03d}.bmp"), px)
+        if i < 100:
+            write_bmp(os.path.join(IMG_DIR, f"img_{i:03d}.bmp"), px)
+        elif i < 110:
+            write_png(os.path.join(IMG_DIR, f"img_{i:03d}.png"), px, 2)
+        elif i < 120:
+            write_png(os.path.join(IMG_DIR, f"img_{i:03d}.png"), px, 0)
+        else:
+            write_png(os.path.join(IMG_DIR, f"img_{i:03d}.png"), px, 6)
 
     import pyarrow as pa
     import pyarrow.parquet as pq
-    ids = sorted(imgs)
     tbl = pa.table({
         "img_id": pa.array(ids, pa.int64()),
         "width": pa.array([len(imgs[i][0]) for i in ids], pa.int32()),
@@ -140,7 +242,7 @@ def main():
         "dhash": pa.array([hashes[i] for i in ids], pa.int64()),
     })
     pq.write_table(tbl, os.path.join(OUT, "images_twin.parquet"))
-    print(f"wrote {len(ids)} BMPs + twin")
+    print(f"wrote {len(ids)} images (60 BMP + 30 PNG) + twin")
 
 
 if __name__ == "__main__":

@@ -801,6 +801,132 @@ object MediaCodec {
     Some(GrayImage(w, h, gray))
   }
 
+  /** PIXEL-level decode of an 8-bit non-interlaced PNG (ISO 15948 /
+    * RFC 2083) straight to the luma raster: IHDR constraints checked,
+    * all IDAT chunks concatenated and inflated with the JDK's zlib
+    * (`java.util.zip.Inflater`), the five scanline filters (None, Sub,
+    * Up, Average, Paeth) undone row-by-row, then gray/RGB/gray+alpha/
+    * RGBA collapse to the same integer luma the BMP path computes
+    * (alpha ignored). Palette (colour type 3), 16-bit depth and Adam7
+    * interlace return None — as does anything malformed: hostile-bytes
+    * safe, never an exception. Chunk CRCs are not verified (lenient,
+    * like most decoders; a corrupt stream fails structurally). */
+  def decodePngGray(b: Array[Byte]): Option[GrayImage] =
+    try decodePngGrayImpl(b)
+    catch { case _: Exception => None }
+
+  private def decodePngGrayImpl(b: Array[Byte]): Option[GrayImage] = {
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    if (b.length < 45 || !startsWith(b, sig)) return None
+    // IHDR must be first
+    if (be32(b, 8) != 13 ||
+      new String(b, 12, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        != "IHDR") return None
+    val w = be32(b, 16)
+    val h = be32(b, 20)
+    val bitDepth = u8(b, 24)
+    val colorType = u8(b, 25)
+    val interlace = u8(b, 28)
+    if (w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14)) return None
+    if (bitDepth != 8 || interlace != 0) return None
+    val channels = colorType match {
+      case 0 => 1 // gray
+      case 2 => 3 // rgb
+      case 4 => 2 // gray + alpha
+      case 6 => 4 // rgba
+      case _ => return None // palette / invalid
+    }
+    // concatenate IDAT payloads
+    val idat = new java.io.ByteArrayOutputStream()
+    var off = 33
+    var sawEnd = false
+    while (!sawEnd && off + 8 <= b.length) {
+      val len = be32(b, off)
+      if (len < 0 || off + 12 + len > b.length) return None
+      val typ = new String(b, off + 4, 4,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      if (typ == "IDAT") idat.write(b, off + 8, len)
+      if (typ == "IEND") sawEnd = true
+      off += 12 + len
+    }
+    val comp = idat.toByteArray
+    if (comp.isEmpty) return None
+    val stride = 1 + w * channels
+    val raw = new Array[Byte](stride * h)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(comp)
+    var got = 0
+    while (got < raw.length && !inf.finished()) {
+      val n = inf.inflate(raw, got, raw.length - got)
+      if (n == 0 && inf.needsInput()) { inf.end(); return None }
+      got += n
+    }
+    inf.end()
+    if (got < raw.length) return None
+    // undo the per-row filter in place (filter bytes stay in raw;
+    // pixel x of row y lives at raw(y*stride + 1 + x))
+    val bpp = channels
+    var y = 0
+    while (y < h) {
+      val rowOff = y * stride + 1
+      val filter = raw(rowOff - 1) & 0xff
+      if (filter > 4) return None
+      var i = 0
+      while (i < w * bpp) {
+        val x = raw(rowOff + i) & 0xff
+        val a = if (i >= bpp) raw(rowOff + i - bpp) & 0xff else 0
+        val up = if (y > 0) raw(rowOff - stride + i) & 0xff else 0
+        val c =
+          if (y > 0 && i >= bpp) raw(rowOff - stride + i - bpp) & 0xff
+          else 0
+        val recon = filter match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + up
+          case 3 => x + (a + up) / 2
+          case 4 => // Paeth
+            val p = a + up - c
+            val pa = math.abs(p - a)
+            val pb = math.abs(p - up)
+            val pc = math.abs(p - c)
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
+        }
+        raw(rowOff + i) = (recon & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    val gray = new Array[Int](w * h)
+    y = 0
+    while (y < h) {
+      val rowOff = y * stride + 1
+      var x = 0
+      while (x < w) {
+        val base = rowOff + x * channels
+        gray(y * w + x) = colorType match {
+          case 0 | 4 => raw(base) & 0xff // luma of (v,v,v) IS v
+          case _ =>
+            (299 * (raw(base) & 0xff) + 587 * (raw(base + 1) & 0xff) +
+              114 * (raw(base + 2) & 0xff)) / 1000
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Some(GrayImage(w, h, gray))
+  }
+
+  /** Format-dispatched pixel decode: BMP or PNG by magic sniff; None
+    * for everything else. The one entry point the perceptual-hash
+    * pipeline uses — a BMP and a PNG holding the same pixels decode to
+    * the same raster and therefore the same dHash (cross-FORMAT
+    * duplicate detection, gated in q341/q342). */
+  def decodeImageGray(b: Array[Byte]): Option[GrayImage] =
+    if (b.length >= 2 && b(0) == 'B'.toByte && b(1) == 'M'.toByte)
+      decodeBmpGray(b)
+    else decodePngGray(b)
+
   /** 64-bit difference hash over a decoded raster: nearest-neighbor
     * resize to a 9×8 grid (s(x2,y2) = gray[y2·h/8][x2·w/9], integer
     * floor), bit y·8+x set iff the left sample is darker than its

@@ -213,12 +213,16 @@ object Multimodal {
       id: Long, width: Int, height: Int, dhash: Long)
 
   /** PIXEL-level perceptual fingerprinting of an image binary column:
-    * decode (24-bpp BMP; hostile bytes skipped, never an exception) →
-    * integer grayscale → nearest-neighbor 9×8 resize → 64-bit dHash.
-    * Map-only (mapPartitions over the scan, no shuffle): the per-image
-    * step of image dedup at any corpus size. Undecodable blobs are
-    * DROPPED — a fingerprint of garbage would poison the near-dup
-    * banding downstream. */
+    * decode (24-bpp BMP or 8-bit PNG via
+    * [[graft.ops.MediaCodec.decodeImageGray]]; hostile bytes skipped,
+    * never an exception) → integer grayscale → nearest-neighbor 9×8
+    * resize → 64-bit dHash. The hash depends only on PIXELS, so the
+    * same image saved as BMP and as PNG fingerprints identically —
+    * cross-format duplicate detection for free. Map-only
+    * (mapPartitions over the scan, no shuffle): the per-image step of
+    * image dedup at any corpus size. Undecodable blobs are DROPPED —
+    * a fingerprint of garbage would poison the near-dup banding
+    * downstream. */
   def imageDHash(df: DataFrame, idCol: String,
       binCol: String): Dataset[ImageHash] = {
     val spark = df.sparkSession
@@ -227,7 +231,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
-          MediaCodec.decodeBmpGray(Option(bytes).getOrElse(Array.empty))
+          MediaCodec.decodeImageGray(Option(bytes).getOrElse(Array.empty))
             .map(g => ImageHash(id, g.width, g.height,
               MediaCodec.dHash64(g)))
         }

@@ -1023,7 +1023,7 @@ object ExtraQueries {
     (s, _) => {
       val imgs = s.read.format("binaryFile")
         .load("/root/repo/src/test/resources/graft/sources/images")
-        .select(regexp_extract(col("path"), "img_(\\d+)\\.bmp", 1)
+        .select(regexp_extract(col("path"), "img_(\\d+)\\.(?:bmp|png)", 1)
           .cast("long").as("img_id"), col("content"))
       graft.ops.Multimodal.imageDHash(imgs, "img_id", "content").toDF()
         .select(col("id").as("img_id"), col("width"), col("height"),
@@ -1046,7 +1046,7 @@ object ExtraQueries {
     (s, _) => {
       val imgs = s.read.format("binaryFile")
         .load("/root/repo/src/test/resources/graft/sources/images")
-        .select(regexp_extract(col("path"), "img_(\\d+)\\.bmp", 1)
+        .select(regexp_extract(col("path"), "img_(\\d+)\\.(?:bmp|png)", 1)
           .cast("long").as("img_id"), col("content"))
       val h = graft.ops.Multimodal.imageDHash(imgs, "img_id", "content")
       graft.ops.Multimodal.dhashNearDupPairs(h.toDF(), "id", "dhash", 3)
@@ -1072,7 +1072,7 @@ object ExtraQueries {
     (s, _) => {
       val imgs = s.read.format("binaryFile")
         .load("/root/repo/src/test/resources/graft/sources/images")
-        .select(regexp_extract(col("path"), "img_(\\d+)\\.bmp", 1)
+        .select(regexp_extract(col("path"), "img_(\\d+)\\.(?:bmp|png)", 1)
           .cast("long").as("img_id"), col("content"))
       val h = graft.ops.Multimodal.imageDHash(imgs, "img_id", "content")
         .toDF().localCheckpoint(false) // two consumers: ids + pairs

@@ -93,6 +93,74 @@ class ImageHashSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
 
+  /** Minimal PNG writer (filter 0 rows only — the committed fixture's
+    * PNGs exercise filters 1-4; this pins structural edge cases). */
+  private def png(px: Seq[Seq[(Int, Int, Int)]], colorType: Int = 2,
+      bitDepth: Int = 8, interlace: Int = 0): Array[Byte] = {
+    val h = px.length
+    val w = px.head.length
+    val channels = colorType match { case 0 => 1; case 2 => 3; case 6 => 4 }
+    val raw = new java.io.ByteArrayOutputStream()
+    px.foreach { row =>
+      raw.write(0) // filter none
+      row.foreach { case (r, g, b) =>
+        if (colorType == 0) raw.write(r)
+        else { raw.write(r); raw.write(g); raw.write(b)
+          if (colorType == 6) raw.write(128) }
+      }
+    }
+    assert(raw.size == h * (1 + w * channels))
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw.toByteArray); deflater.finish()
+    val comp = new Array[Byte](raw.size + 64)
+    val n = deflater.deflate(comp)
+    deflater.end()
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes); crc.update(data)
+      java.nio.ByteBuffer.allocate(12 + data.length)
+        .putInt(data.length).put(typ.getBytes).put(data)
+        .putInt(crc.getValue.toInt).array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(bitDepth.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(interlace.toByte).array()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte))
+    out.write(chunk("IHDR", ihdr))
+    out.write(chunk("IDAT", comp.take(n)))
+    out.write(chunk("IEND", Array.empty))
+    out.toByteArray
+  }
+
+  test("decodePngGray: same raster as the BMP of the same pixels") {
+    val fromBmp = MediaCodec.decodeBmpGray(bmp(grid)).get
+    val fromPng = MediaCodec.decodeImageGray(png(grid)).get
+    assert(fromPng.width === fromBmp.width)
+    assert(fromPng.gray.toSeq === fromBmp.gray.toSeq,
+      "PNG and BMP of the same pixels must fingerprint identically")
+    // RGBA: alpha ignored
+    val rgba = MediaCodec.decodePngGray(png(grid, colorType = 6)).get
+    assert(rgba.gray.toSeq === fromBmp.gray.toSeq)
+    // gray (r=g=b required): luma of (v,v,v) is v
+    val gpx = grid.map(_.map { case (r, _, _) => (r, r, r) })
+    val g = MediaCodec.decodePngGray(png(gpx, colorType = 0)).get
+    assert(g.gray.toSeq === gpx.flatten.map(_._1).toSeq)
+  }
+
+  test("decodePngGray: unsupported shapes return None, never throw") {
+    assert(MediaCodec.decodePngGray(png(grid, bitDepth = 16)).isEmpty)
+    assert(MediaCodec.decodePngGray(png(grid, interlace = 1)).isEmpty)
+    val palette = png(grid).clone; palette(25) = 3 // color type 3
+    assert(MediaCodec.decodePngGray(palette).isEmpty)
+    assert(MediaCodec.decodePngGray(png(grid).take(50)).isEmpty)
+    val corrupt = png(grid).clone
+    corrupt(60) = (corrupt(60) ^ 0x55).toByte // garbage inside IDAT
+    // either decodes-to-something or None; must not throw
+    MediaCodec.decodePngGray(corrupt)
+  }
+
   test("dhashNearDupPairs: pigeonhole recall is exhaustive to hamming 3") {
     // adversarial hashes: bit flips CONCENTRATED in one band (the case
     // a sloppy single-band scheme misses) plus cross-band flips
