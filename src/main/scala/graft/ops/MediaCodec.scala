@@ -917,6 +917,60 @@ object MediaCodec {
     Some(GrayImage(w, h, gray))
   }
 
+  /** Decoded PCM clip: RAW integer samples, interleaved in file order
+    * (16-bit: signed −32768..32767; 8-bit: unsigned 0..255 as stored —
+    * the WAV convention). */
+  final case class PcmAudio(
+      sampleRate: Int, channels: Int, bits: Int, frames: Long,
+      samples: Array[Int])
+
+  /** SAMPLE-level decode of a PCM RIFF/WAVE file (format tag 1, 8 or
+    * 16 bits): the fmt/data chunk walk [[parseWav]] does, plus the
+    * payload itself. A data chunk cut short decodes the frames that
+    * are actually present; non-PCM (float, ADPCM, extensible), other
+    * bit depths, and malformed containers return None — hostile-bytes
+    * safe, never an exception. */
+  def decodeWavPcm(b: Array[Byte]): Option[PcmAudio] = {
+    if (b.length < 44 ||
+      !startsWith(b, "RIFF".getBytes("US-ASCII")) ||
+      new String(b, 8, 4, "US-ASCII") != "WAVE") return None
+    var off = 12L
+    var sr = 0; var ch = 0; var bits = 0; var blockAlign = 0
+    var fmtTag = 0
+    var dataOff = -1L; var dataSize = -1L
+    while (off + 8 <= b.length) {
+      val id = new String(b, off.toInt, 4, "US-ASCII")
+      val size = le32(b, off.toInt + 4) & 0xffffffffL
+      val body = off + 8
+      if (id == "fmt " && size >= 16 && body + 16 <= b.length) {
+        fmtTag = le16(b, body.toInt)
+        ch = le16(b, body.toInt + 2)
+        sr = le32(b, body.toInt + 4)
+        blockAlign = le16(b, body.toInt + 12)
+        bits = le16(b, body.toInt + 14)
+      } else if (id == "data" && dataOff < 0) {
+        dataOff = body; dataSize = size
+      }
+      off = body + size + (size & 1L) // chunks are word-aligned
+    }
+    if (fmtTag != 1 || (bits != 8 && bits != 16) || ch < 1 || sr <= 0 ||
+      dataOff < 0 || blockAlign != ch * (bits / 8)) return None
+    val usable = math.min(dataSize, b.length - dataOff)
+    val frames = usable / blockAlign
+    if (frames <= 0 || frames > (1L << 28)) return None // 268M cap
+    val n = (frames * ch).toInt
+    val samples = new Array[Int](n)
+    var i = 0
+    val base = dataOff.toInt
+    while (i < n) {
+      samples(i) =
+        if (bits == 16) (le16(b, base + 2 * i) << 16) >> 16 // sign-ext
+        else u8(b, base + i)
+      i += 1
+    }
+    Some(PcmAudio(sr, ch, bits, frames, samples))
+  }
+
   /** Format-dispatched pixel decode: BMP or PNG by magic sniff; None
     * for everything else. The one entry point the perceptual-hash
     * pipeline uses — a BMP and a PNG holding the same pixels decode to

@@ -238,6 +238,64 @@ object Multimodal {
       }
   }
 
+  /** Per-clip audio quality signals ([[audioPcmStats]]). */
+  final case class AudioStats(
+      id: Long, sample_rate: Int, channels: Int, bits: Int,
+      n_samples: Long, duration_s: Double, rms: Double, peak: Double,
+      clip_frac: Double, silence_frac: Double)
+
+  /** SAMPLE-level audio curation signals over a PCM WAV binary column
+    * — the speech-corpus quality screen (clipped takes, dead air,
+    * loudness) computed from the DECODED waveform, not the header.
+    * Exact spec, replicated independently by the fixture generator
+    * (scripts/gen_audio_fixture.py) so q343 certifies decode + math:
+    * per interleaved raw sample s, x = s/32768 (16-bit signed) or
+    * (s−128)/128 (8-bit unsigned); duration = frames/rate;
+    * rms = sqrt(Σx²/n) with the sum sequential in file order (both
+    * implementations accumulate the same doubles in the same order —
+    * bit-identical); peak = max|x|; clip_frac counts samples AT the
+    * representable rails (−32768/32767, 0/255); silence_frac counts
+    * |x| < 0.01; every ratio rounded HALF_UP at 6 dp (Spark round
+    * semantics). Map-only; undecodable/non-PCM blobs are dropped. */
+  def audioPcmStats(df: DataFrame, idCol: String,
+      binCol: String): Dataset[AudioStats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          MediaCodec.decodeWavPcm(Option(bytes).getOrElse(Array.empty))
+            .map { a =>
+              val (lo, hi) = if (a.bits == 16) (-32768, 32767) else (0, 255)
+              var sumSq = 0.0
+              var peak = 0.0
+              var nClip = 0L
+              var nSil = 0L
+              var i = 0
+              while (i < a.samples.length) {
+                val s = a.samples(i)
+                val x =
+                  if (a.bits == 16) s / 32768.0 else (s - 128) / 128.0
+                sumSq += x * x
+                val ax = math.abs(x)
+                if (ax > peak) peak = ax
+                if (s == lo || s == hi) nClip += 1
+                if (ax < 0.01) nSil += 1
+                i += 1
+              }
+              val n = a.samples.length
+              AudioStats(id, a.sampleRate, a.channels, a.bits, n.toLong,
+                r6(a.frames.toDouble / a.sampleRate),
+                r6(math.sqrt(sumSq / n)), r6(peak),
+                r6(nClip.toDouble / n), r6(nSil.toDouble / n))
+            }
+        }
+      }
+  }
+
   /** Near-duplicate image pairs by dHash hamming distance ≤ maxBits,
     * without an all-pairs join: the 64-bit hash splits into FOUR
     * 16-bit bands, and two hashes within hamming ≤ 3 MUST agree on at

@@ -1103,9 +1103,39 @@ object ExtraQueries {
         min(img_id) AS keep_id
       FROM lab GROUP BY cluster ORDER BY cluster"""))
 
+  /** SAMPLE-level audio quality screen ([[graft.ops.Multimodal
+    * .audioPcmStats]]): PCM WAV waveforms decoded (16-bit signed and
+    * 8-bit unsigned, mono and stereo) and the speech-curation signals
+    * — duration, RMS loudness, peak, clipping fraction (samples at
+    * the representable rails), dead-air fraction — computed from the
+    * samples. Gated against stats computed INDEPENDENTLY by the
+    * generator (python stdlib `wave` writes the fixtures; no shared
+    * code) with sequential-sum parity, so decode AND math are
+    * certified. Planted truths: an overdriven clamped sine really
+    * clips, a half-silent take reads ≥ 0.5 dead air. */
+  val qAudioStats = Q(
+    "q343_audio_pcm_stats",
+    (s, _) => {
+      val clips = s.read.format("binaryFile")
+        .load("/root/repo/src/test/resources/graft/sources/audio")
+        .select(regexp_extract(col("path"), "clip_(\\d+)\\.wav", 1)
+          .cast("long").as("audio_id"), col("content"))
+      graft.ops.Multimodal.audioPcmStats(clips, "audio_id", "content")
+        .toDF()
+        .select(col("id").as("audio_id"), col("sample_rate"),
+          col("channels"), col("bits"), col("n_samples"),
+          col("duration_s"), col("rms"), col("peak"), col("clip_frac"),
+          col("silence_frac"))
+        .orderBy("audio_id")
+    },
+    Some("""SELECT audio_id, sample_rate, channels, bits, n_samples,
+        duration_s, rms, peak, clip_frac, silence_frac
+      FROM '/root/repo/src/test/resources/graft/sources/audio_twin.parquet'
+      ORDER BY audio_id"""))
+
   val all: Seq[Q] = Seq(
     qStataRoundTrip, qXptScan, qSasScan, qSasRleScan, qSasDates,
-    qImageDHash, qImageNearDup, qImageDedupClusters,
+    qImageDHash, qImageNearDup, qImageDedupClusters, qAudioStats,
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qKendallExact,
     qMapValueCounts,
