@@ -39,18 +39,24 @@ object ConnectedComponents {
     * Each round localCheckpoints the shrinking edge set (iterative
     * plans otherwise grow lineage exponentially) and stops at the
     * proven fixpoint (edge multiset unchanged), checked with a
-    * count+hash signature rather than a full self-join. */
+    * count+hash signature rather than a full self-join. Superseded
+    * checkpoints are freed per round through a [[CheckpointRing]]
+    * (round-12): leaving dozens of dead edge-set copies to GC +
+    * ContextCleaner put eviction/spill pressure on the storage pool of
+    * a long-lived session — the round-11 driver-host stress trips on
+    * exactly this operator family. */
   def run(
       edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 50): DataFrame = {
     require(maxIter >= 1, "maxIter must be >= 1")
-    var e = edges
+    val ring = new CheckpointRing(edges.sparkSession)
+    var e = ring.checkpoint(edges
       .where(col(srcCol).isNotNull && col(dstCol).isNotNull &&
         col(srcCol) =!= col(dstCol))
       .select(greatest(col(srcCol), col(dstCol)).as("u"),
         least(col(srcCol), col(dstCol)).as("v"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
+    ring.rotate()
 
     // count + XOR-of-hashes: a sound set signature because the edge
     // set is distinct() each round (and ANSI-safe — sum(hash) would
@@ -70,24 +76,26 @@ object ConnectedComponents {
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val lsMin = sym.groupBy("u").agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
-      val ls = sym.where(col("v") > col("u"))
+      val ls = ring.checkpoint(sym.where(col("v") > col("u"))
         .join(lsMin, "u")
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
-        .localCheckpoint()
+        .distinct())
       // small-star: key by the LARGER endpoint only; it and all its
       // smaller neighbors re-point at the smallest of them.
       val ssMin = ls.groupBy("u").agg(min(col("v")).as("m"))
-      val ss = ls.join(ssMin, "u")
+      val ss = ring.checkpoint(ls.join(ssMin, "u")
         .where(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .union(ssMin.select(col("u"), col("m").as("v")))
-        .distinct()
-        .localCheckpoint()
+        .distinct())
       val next = signature(ss)
       converged = next == sig && signature(ls) == sig
       sig = next
       e = ss
+      // this round's reads are done: the edge table from TWO rounds
+      // back (and its intermediate) can't be referenced again — free
+      // its blocks now instead of leaving them to GC
+      ring.rotate()
       it += 1
     }
     require(converged,

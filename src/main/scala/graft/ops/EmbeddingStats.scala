@@ -233,27 +233,26 @@ object EmbeddingStats {
       s"intrinsicDimension: $n0 vectors exceeds the exact two-NN " +
         s"broadcast bound (${graft.ops.Similarity.MaxExactCorpus}); " +
         "take d1/d2 from the ANN ladder at corpus scale")
-    val gathered = df.where(col(vecCol).isNotNull)
-      .select(col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<double>").as("v"))
-      .collect()
     // ambient dims: min length over ALL non-null vectors (null
-    // ELEMENTS still count here, as size() did)
-    val nd = gathered.iterator.map(_.getSeq[Any](1).length)
-      .reduceOption(math.min).getOrElse(0)
+    // ELEMENTS still count here, as size() did) — one executor-side
+    // aggregate, so null-element rows never reach the driver
+    val ndRow = df.where(col(vecCol).isNotNull)
+      .agg(min(size(col(vecCol)))).head()
+    val nd = if (ndRow.isNullAt(0)) 0 else ndRow.getInt(0)
     // a vector with a null element nulls qd against EVERY partner in
     // the expression form -> it contributed nothing as probe or
-    // candidate; dropping it up front is the same semantics
-    val clean = gathered.iterator.flatMap { r =>
-      val seq = r.getSeq[Any](1)
-      if (seq.contains(null)) None
-      else {
-        val arr = new Array[Double](seq.length)
-        var i = 0
-        seq.foreach { x => arr(i) = x.asInstanceOf[Double]; i += 1 }
-        Some((r.getLong(0), arr))
-      }
-    }.toArray.sortBy(_._1)
+    // candidate; dropping it up front (on EXECUTORS) is the same
+    // semantics. Pre-packed primitive gather as in knnGraph: the
+    // (Long, Array[Double]) encoder decodes straight to double[],
+    // skipping the boxed Seq[Any] intermediate that blew past the
+    // broadcast contract's advertised footprint at the corpus bound.
+    val clean = df
+      .select(col(idCol).cast("long").as("_1"),
+        col(vecCol).cast("array<double>").as("_2"))
+      .where(col("_2").isNotNull && !exists(col("_2"), _.isNull))
+      .as[(Long, Array[Double])]
+      .collect()
+      .sortBy(_._1)
     val n = clean.length
     val bcIds = spark.sparkContext.broadcast(clean.map(_._1))
     val bcVecs = spark.sparkContext.broadcast(clean.map(_._2))

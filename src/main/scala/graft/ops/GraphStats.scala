@@ -122,25 +122,32 @@ object GraphStats {
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .localCheckpoint(false)
     val base = (scale - scale * dampNum / dampDen) / n
-    var q = nd.select(col("id"), lit(scale / n).as("q"))
-      .localCheckpoint(false)
+    // superseded rank tables are freed through the ring (round-12, the
+    // ConnectedComponents discipline). The checkpoints are LAZY, so
+    // rank table q_{i-1} materializes during iteration i's dangling-
+    // mass head() — only THEN is q_{i-2} (read by that materialization)
+    // dead; rotate() sits right after the head() accordingly. e/nd/
+    // outdeg are loop-invariant and deliberately NOT on the ring.
+    val ring = new CheckpointRing(edges.sparkSession)
+    var q = ring.checkpoint(
+      nd.select(col("id"), lit(scale / n).as("q")), eager = false)
     for (_ <- 1 to iterations) {
       val withDeg = q.join(outdeg, q("id") === outdeg("src"), "left")
         .select(col("id"), col("q"), col("outdeg"))
       val danglingSum = withDeg.where(col("outdeg").isNull)
         .agg(coalesce(sum(col("q")), lit(0L)).as("s"))
         .head().getLong(0)
+      ring.rotate()
       val dShare = danglingSum / n
       val inSums = withDeg.where(col("outdeg").isNotNull)
         .select(col("id"), expr("q div outdeg").as("c"))
         .join(e, col("id") === e("src"))
         .groupBy("dst").agg(sum(col("c")).as("in_sum"))
-      q = nd.join(inSums, nd("id") === inSums("dst"), "left")
+      q = ring.checkpoint(nd.join(inSums, nd("id") === inSums("dst"), "left")
         .select(nd("id"),
           (lit(base) + expr(
             s"(${dampNum}L * (${dShare}L + coalesce(in_sum, 0L))) div ${dampDen}L"))
-            .as("q"))
-        .localCheckpoint(false)
+            .as("q")), eager = false)
     }
     q.select(col("id").as(idCol), col("q").as("rank_q"))
   }
@@ -168,7 +175,13 @@ object GraphStats {
       k: Int, maxIter: Int = 30): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
-    var e = canonical(edges, srcCol, dstCol).localCheckpoint(false)
+    // superseded peel rounds freed through the ring (round-12, the
+    // ConnectedComponents discipline): lazy checkpoints, so round i's
+    // edge table materializes during round i+1's isEmpty action —
+    // rotate() fires right after it, freeing round i-1's blocks.
+    val ring = new CheckpointRing(edges.sparkSession)
+    var e = ring.checkpoint(canonical(edges, srcCol, dstCol),
+      eager = false)
     def degrees(ed: DataFrame): DataFrame =
       ed.select(col("u").as("n"))
         .unionAll(ed.select(col("w").as("n")))
@@ -177,14 +190,15 @@ object GraphStats {
     var it = 0
     while (!converged && it < maxIter) {
       it += 1
-      val bad = degrees(e).where(col("core_deg") < k)
-        .select(col("n")).localCheckpoint(false)
-      if (bad.isEmpty) converged = true
-      else e = e
+      val bad = ring.checkpoint(degrees(e).where(col("core_deg") < k)
+        .select(col("n")), eager = false)
+      val empty = bad.isEmpty
+      ring.rotate()
+      if (empty) converged = true
+      else e = ring.checkpoint(e
         .join(bad.withColumnRenamed("n", "u"), Seq("u"), "left_anti")
         .join(bad.withColumnRenamed("n", "w"), Seq("w"), "left_anti")
-        .select("u", "w")
-        .localCheckpoint(false)
+        .select("u", "w"), eager = false)
     }
     require(converged,
       s"k-core did not reach the fixpoint in $maxIter rounds")

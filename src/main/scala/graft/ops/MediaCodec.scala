@@ -853,13 +853,21 @@ object MediaCodec {
     val comp = idat.toByteArray
     if (comp.isEmpty) return None
     val stride = 1 + w * channels
+    // DEFLATE expands at most ~1032:1 (stored 1-bit-per-symbol bound);
+    // a raster the payload cannot plausibly fill is hostile — reject
+    // BEFORE allocating, so a ~100-byte crafted header can't force a
+    // gigabyte transient allocation per blob.
+    if (stride.toLong * h > comp.length.toLong * 1032L + 64L) return None
     val raw = new Array[Byte](stride * h)
     val inf = new java.util.zip.Inflater()
     inf.setInput(comp)
     var got = 0
     while (got < raw.length && !inf.finished()) {
       val n = inf.inflate(raw, got, raw.length - got)
-      if (n == 0 && inf.needsInput()) { inf.end(); return None }
+      // n == 0 covers every stall: needsInput (truncated stream),
+      // needsDictionary (FDICT set — we have no preset dictionary, and
+      // inflate would return 0 forever), or any other no-progress state.
+      if (n == 0) { inf.end(); return None }
       got += n
     }
     inf.end()

@@ -296,6 +296,20 @@ object Multimodal {
       }
   }
 
+  /** The exploded (id, h, band_idx, band_val) table both the dHash
+    * pairs path and the skipped-band ledger band over — factored out
+    * so the cap and the ledger count the SAME buckets. Band INDEX
+    * rides along: equal values in DIFFERENT bands must not collide
+    * into candidates. */
+  private def dhashBands(hashes: DataFrame, idCol: String,
+      hashCol: String): DataFrame =
+    hashes.select(col(idCol).cast("long").as("id"),
+        col(hashCol).cast("long").as("h"))
+      .select(col("id"), col("h"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("h"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+          .as(Seq("band_idx", "band_val")))
+
   /** Near-duplicate image pairs by dHash hamming distance ≤ maxBits,
     * without an all-pairs join: the 64-bit hash splits into FOUR
     * 16-bit bands, and two hashes within hamming ≤ 3 MUST agree on at
@@ -303,23 +317,36 @@ object Multimodal {
     * candidates come from four hash-equality self-joins, verified with
     * one xor/bit_count. maxBits above 3 would need more/narrower
     * bands; enforced loudly. Returns (i, j, hamming) with i < j, each
-    * pair once. */
+    * pair once.
+    *
+    * `maxBucket` is the DEGENERATE-BAND guard the SimHash sibling
+    * (q250) carries: at corpus scale a hot band value — millions of
+    * uniform/black/letterboxed images sharing band 0x0000 — makes the
+    * band self-join quadratic WITHIN that bucket (B docs → B·(B−1)/2
+    * candidates). (band_idx, band_val) buckets above the cap are
+    * SKIPPED before the pair explosion via one map-side-combined
+    * aggregate + semi join; at that size they are either giant
+    * exact-dup families (an exact hash-groupBy collapses those first
+    * and cheaper) or degenerate rasters. The drop is silent in this
+    * method's OUTPUT by design; callers that need the recall loss read
+    * [[dhashSkippedBands]]. */
   def dhashNearDupPairs(hashes: DataFrame, idCol: String,
-      hashCol: String, maxBits: Int): DataFrame = {
+      hashCol: String, maxBits: Int,
+      maxBucket: Int = 4096): DataFrame = {
     require(maxBits >= 0 && maxBits <= 3,
       s"dhashNearDupPairs: 4-band pigeonhole guarantees recall only " +
         s"to hamming 3, got maxBits=$maxBits; re-band before raising")
-    // band INDEX rides along: equal values in DIFFERENT bands must not
-    // collide into candidates
-    val withIdx = hashes.select(col(idCol).cast("long").as("id"),
-        col(hashCol).cast("long").as("h"))
-      .select(col("id"), col("h"),
-        posexplode(array((0 until 4).map(b =>
-          shiftright(col("h"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
-          .as(Seq("band_idx", "band_val")))
-    val l = withIdx.select(col("band_idx"), col("band_val"),
+    require(maxBucket >= 2, "maxBucket must be >= 2")
+    val withIdx = dhashBands(hashes, idCol, hashCol)
+    val okBuckets = withIdx.groupBy("band_idx", "band_val")
+      .agg(count(lit(1)).as("__bsz"))
+      .where(col("__bsz") <= maxBucket)
+      .select("band_idx", "band_val")
+    val bounded = withIdx
+      .join(okBuckets, Seq("band_idx", "band_val"), "left_semi")
+    val l = bounded.select(col("band_idx"), col("band_val"),
       col("id").as("i"), col("h").as("hi"))
-    val r = withIdx.select(col("band_idx"), col("band_val"),
+    val r = bounded.select(col("band_idx"), col("band_val"),
       col("id").as("j"), col("h").as("hj"))
     l.join(r, Seq("band_idx", "band_val"))
       .where(col("i") < col("j"))
@@ -328,5 +355,20 @@ object Multimodal {
           .as("hamming"))
       .where(col("hamming") <= maxBits)
       .distinct()
+  }
+
+  /** The recall-loss ledger for [[dhashNearDupPairs]]'s degenerate-band
+    * guard: the (band_idx, band_val) buckets a `maxBucket` cap SKIPS,
+    * with their sizes — so the drop is observable (one giant exact-dup
+    * family? a sea of black frames?) instead of invisible. Same
+    * banding as the pairs path, one map-side-combined aggregate, no
+    * pair explosion. Empty when the guard dropped nothing. */
+  def dhashSkippedBands(hashes: DataFrame, idCol: String,
+      hashCol: String, maxBucket: Int = 4096): DataFrame = {
+    require(maxBucket >= 2, "maxBucket must be >= 2")
+    dhashBands(hashes, idCol, hashCol)
+      .groupBy("band_idx", "band_val")
+      .agg(count(lit(1)).as("bucket_size"))
+      .where(col("bucket_size") > maxBucket)
   }
 }

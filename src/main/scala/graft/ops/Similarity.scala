@@ -234,26 +234,26 @@ object Similarity {
         s"($MaxExactCorpus); this is the O(n^2) small/medium-corpus " +
         "ORACLE tool - at corpus scale build the graph from lshTopK's " +
         "banded candidates (same output shape, bounded recall loss)")
+    // gather PRE-PACKED primitive arrays: the (Long, Array[Double])
+    // encoder decodes UnsafeArrayData straight to double[], so the
+    // driver-side footprint at the MaxExactCorpus bound stays at the
+    // ~n·d·8B the broadcast contract advertises — a Row collect of
+    // Seq[Any] boxes every element into java.lang.Double (several GiB
+    // at 2M × 64-dim), which the scale guard never accounted for.
+    // Null ELEMENTS are filtered on EXECUTORS (cosine undefined; the
+    // primitive decode of a null element would throw).
     val gathered = corpus
-      .select(col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<double>").as("v"))
-      .where(col("v").isNotNull)
+      .select(col(idCol).cast("long").as("_1"),
+        col(vecCol).cast("array<double>").as("_2"))
+      .where(col("_2").isNotNull && !exists(col("_2"), _.isNull))
+      .as[(Long, Array[Double])]
       .collect()
-    val clean = gathered.iterator.flatMap { r =>
-      val id = r.getLong(0)
-      val seq = r.getSeq[Any](1)
-      if (seq.contains(null)) None // null element: cosine undefined
-      else {
-        val arr = new Array[Double](seq.length)
-        var i = 0
-        var ss = 0.0
-        seq.foreach { x =>
-          val d = x.asInstanceOf[Double]
-          arr(i) = d; ss += d * d; i += 1
-        }
-        val norm = math.sqrt(ss) // = l2Norm: sqrt of seq. Σ d·d
-        if (norm > 0.0) Some((id, arr, norm)) else None
-      }
+    val clean = gathered.iterator.flatMap { case (id, arr) =>
+      var ss = 0.0
+      var i = 0
+      while (i < arr.length) { ss += arr(i) * arr(i); i += 1 }
+      val norm = math.sqrt(ss) // = l2Norm: sqrt of Σ d·d
+      if (norm > 0.0) Some((id, arr, norm)) else None
     }.toArray.sortBy(_._1)
     val n = clean.length
     val bcIds = spark.sparkContext.broadcast(clean.map(_._1))
@@ -278,12 +278,17 @@ object Similarity {
         val qi = qi0.toInt
         val qv = vecs(qi)
         val qn = norms(qi)
+        val qid = ids(qi)
         val selOrd = new Array[Long](k)
         val selId = new Array[Long](k)
         var m = 0
         var ci = 0
         while (ci < nn) {
-          if (ci != qi) {
+          // skip the probe row itself AND any row sharing its id — a
+          // corpus with duplicate ids must not emit the duplicate as
+          // its own top neighbor (cos=1.0); bruteForceTopK filters on
+          // id equality and this path must agree
+          if (ci != qi && ids(ci) != qid) {
             val cv = vecs(ci)
             val len = math.min(qv.length, cv.length)
             var dot = 0.0
@@ -314,7 +319,6 @@ object Similarity {
           }
           ci += 1
         }
-        val qid = ids(qi)
         (0 until m).iterator.map { r =>
           // ord/1e6 divides back to the bit-identical 6-dp-rounded
           // double (both are the nearest double to the same decimal)

@@ -224,9 +224,9 @@ object SasFormat {
       val isMeta = pType == 0x0000 || pType == 0x4000
       val isData = pType == 0x0100
       val isMix = pType == 0x0200
+      var nCompRows = 0
       if (isMeta || isMix) {
         var i = 0
-        var nCompRows = 0
         while (i < subCount) {
           val ptr = page + bitOff + 8 + ptrLen * i
           val shOff = page + uint(ptr, intLen).toInt
@@ -298,9 +298,13 @@ object SasFormat {
       }
       if (isData) {
         rowSources += Left((page + bitOff + 8, blockCount))
-      } else if (isMix) {
+      } else if (isMix && nCompRows == 0) {
         // pandas' align-correction rule, verbatim: rows start at
-        // base + (base % 8) past the pointer array
+        // base + (base % 8) past the pointer array. A COMPRESSED mix
+        // page carries its rows as per-row subheader blocks instead
+        // (already appended as Right entries above) — appending the
+        // packed Left entry too would count the page twice, mis-
+        // emitting rows before the global rowCount cap truncates.
         val base = bitOff + 8 + subCount * ptrLen
         val start = page + base + (base % 8)
         rowSources += Left((start, -1)) // count resolved below (mixRows)

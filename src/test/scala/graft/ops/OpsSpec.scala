@@ -624,6 +624,24 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("surrogate"), e.getMessage)
   }
 
+  test("knnGraph: duplicate ids never emitted as their own neighbor") {
+    // ADVICE r11: the blocked rewrite excluded self-pairs by row INDEX
+    // only, so a corpus with duplicate ids emitted the duplicate row as
+    // its own top neighbor (cos=1.0) — bruteForceTopK filters on id
+    // equality and this path must agree
+    val pts = Seq(
+      (1L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)), // dup id
+      (2L, Array(0.9f, 0.1f)), (3L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val g = Similarity.knnGraph(pts, "vec_id", "embedding", k = 2)
+      .collect()
+    assert(g.forall(r => r.getLong(0) != r.getLong(2)),
+      s"self edge through a duplicate id:\n${g.mkString("\n")}")
+    // both copies of id 1 still rank the others: top neighbor is 2
+    val top1 = g.filter(r => r.getLong(0) == 1L && r.getInt(1) == 1)
+    assert(top1.nonEmpty && top1.forall(_.getLong(2) == 2L))
+  }
+
   test("mutualKnnPairs: only reciprocal edges survive, i < j once") {
     val pts = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
