@@ -18,11 +18,15 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** Parse one STRESS_HISTORY.jsonl row's per-query
-    * `"name":[base, stress, ratio]` triples. Tolerant of surrounding
-    * fields; returns empty on garbage lines. */
+    * `"name":[base, stress, ratio]` triples — tolerating the OPTIONAL
+    * fourth element (the in-run retry reading, emitted for tripped
+    * queries since round 12) and any future trailing elements, so a
+    * round that retries never becomes invisible to the NEXT round's
+    * trend comparison. Tolerant of surrounding fields; returns empty
+    * on garbage lines. */
   private[graft] def parseStressRow(
       line: String): Map[String, (Double, Double, Double)] =
-    """"(q[\w]+)":\[(-?[\d.eE]+),(-?[\d.eE]+),(-?[\d.eE]+)\]""".r
+    """"(q[\w]+)":\[(-?[\d.eE]+),(-?[\d.eE]+),(-?[\d.eE]+)(?:,[^\]]*)?\]""".r
       .findAllMatchIn(line)
       .map(m => m.group(1) ->
         (m.group(2).toDouble, m.group(3).toDouble, m.group(4).toDouble))
@@ -67,6 +71,46 @@ object Bench {
         prev.get(n).exists { case (ptb, _, pr) =>
           ptb > 0.05 && pr > 0 &&
             (r / reps) > 1.5 * (pr / prevReps) } => n }
+
+  /** Passive task-metrics aggregator for the stress section: sums task
+    * GC time, spill, and shuffle bytes, and tracks the max
+    * peakExecutionMemory, across all tasks between reset() and
+    * snapshot(). Attribution data, not timings — the round-11 driver
+    * stress trips were unactionable because the artifact carried a
+    * single wall-clock number and nothing naming the mechanism
+    * (spill? GC? shuffle growth?). Listener events post async; callers
+    * snapshot after a short drain sleep and treat the numbers as
+    * approximate per-query attribution, which is all they need to be. */
+  private final class TaskMetricsAgg
+      extends org.apache.spark.scheduler.SparkListener {
+    private var gcMs, spill, shRead, shWrite, peak = 0L
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      synchronized {
+        val m = te.taskMetrics
+        if (m != null) {
+          gcMs += m.jvmGCTime
+          spill += m.memoryBytesSpilled + m.diskBytesSpilled
+          shRead += m.shuffleReadMetrics.totalBytesRead
+          shWrite += m.shuffleWriteMetrics.bytesWritten
+          peak = math.max(peak, m.peakExecutionMemory)
+        }
+      }
+    def reset(): Unit = synchronized {
+      gcMs = 0; spill = 0; shRead = 0; shWrite = 0; peak = 0
+    }
+    /** (task_gc_ms, spill_bytes, shuffle_read, shuffle_write, peak). */
+    def snapshot(): (Long, Long, Long, Long, Long) =
+      synchronized { (gcMs, spill, shRead, shWrite, peak) }
+  }
+
+  private def metricsJson(m: (Long, Long, Long, Long, Long)): String = {
+    val (gc, sp, sr, sw, pk) = m
+    s""""task_gc_ms":$gc,"spill_mb":${sp / 1048576},""" +
+      s""""shuffle_read_mb":${sr / 1048576},""" +
+      s""""shuffle_write_mb":${sw / 1048576},""" +
+      s""""peak_exec_mb":${pk / 1048576}"""
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -512,7 +556,12 @@ object Bench {
       // linear at 10x when added; tracked so candidate-fanout creep
       // in the winnow df-guards would surface as a trend
       "q316_winnow_exact_spans", "q333_span_verified_clusters",
-      "q334_dedup_disposition")
+      "q334_dedup_disposition",
+      // round-12: the image-family's SCALE row — q340-q343 are
+      // fixture-bound (they cannot grow with the stress dir), so the
+      // banding+verify machinery gets its 10x reading through the
+      // doc_id-derived pseudo-dHash corpus instead
+      "q347_dhash_scale")
     val stressWaivers = Map(
       "q165_mutual_knn" -> ("documented O(n^2) exact-kNN SCORING " +
         "(irreducible on unstructured embeddings — no cluster geometry " +
@@ -525,8 +574,15 @@ object Bench {
         "three consecutive runs within a 1.09x band (1.87-2.04 s); " +
         "q26b/q26c/q27 are the approximate scale path"))
     val stressFailed = scala.collection.mutable.LinkedHashSet[String]()
+    // per-query task metrics on the SCALED pass (and retries): the
+    // attribution data round 11's trips lacked
+    val taskAgg = new TaskMetricsAgg
+    spark.sparkContext.addSparkListener(taskAgg)
+    val scaledMetrics = scala.collection.mutable
+      .LinkedHashMap[String, (Long, Long, Long, Long, Long)]()
     val stressSection: Option[(String, Seq[String])] = stressDirOpt.map { sdir =>
-      def passOver(d: String): Map[String, Double] = {
+      def passOver(d: String,
+          record: Boolean = false): Map[String, Double] = {
         // registry-wide clear: without it the base pass rides PQ
         // codebooks / backoff-LM state primed by the MAIN passes over
         // the same sfDir while the stress pass pays cold builds —
@@ -534,11 +590,18 @@ object Bench {
         // this clear landed (round 9 session 4; now one call covers
         // every registered cache, present and future)
         graft.ops.SessionCache.clearAll()
-        stressNames.filter(selected).map(n =>
-          n -> timeOnceAt(n, d, stressFailed, SparkEntry.queries(n))).toMap
+        stressNames.filter(selected).map { n =>
+          if (record) taskAgg.reset()
+          val t = timeOnceAt(n, d, stressFailed, SparkEntry.queries(n))
+          if (record) {
+            Thread.sleep(150) // listener-bus drain; metrics ≈ attribution
+            scaledMetrics(n) = taskAgg.snapshot()
+          }
+          n -> t
+        }.toMap
       }
       val base = passOver(sfDir)
-      val scaled = passOver(sdir)
+      val scaled = passOver(sdir, record = true)
       val rows = stressNames.filter(selected).map { n =>
         val (tb, ts) = (base(n), scaled(n))
         val ratio = if (tb > 0) ts / tb else -1.0
@@ -567,15 +630,55 @@ object Bench {
             .getOrElse(Nil)
         } else Nil
       } catch { case _: Throwable => Nil }
+      // ---- in-run retry of every trip (verdict r11 #2): one more
+      // timed run at the stress scale, with loadavg + driver-GC +
+      // task-metric deltas, so the ARTIFACT distinguishes "transient
+      // host event" (retry back in the builder band) from "real
+      // regression" (retry confirms) — ending the builder-vs-driver
+      // he-said-she-said. Caches cleared once, retries in list order:
+      // the same amortization shape as the pass being re-checked.
+      val trippedAll = (suspects ++ trendSus).distinct
+      val retries: Map[String, (Double, String)] =
+        if (trippedAll.isEmpty) Map.empty
+        else {
+          graft.ops.SessionCache.clearAll()
+          val osb = java.lang.management.ManagementFactory
+            .getOperatingSystemMXBean
+          def driverGcMs: Long = {
+            val it = java.lang.management.ManagementFactory
+              .getGarbageCollectorMXBeans.iterator()
+            var s = 0L
+            while (it.hasNext) s += math.max(0L, it.next().getCollectionTime)
+            s
+          }
+          stressNames.filter(trippedAll.contains).map { n =>
+            val g0 = driverGcMs
+            taskAgg.reset()
+            val t = timeOnceAt(n, sdir, stressFailed, SparkEntry.queries(n))
+            Thread.sleep(150)
+            val m = taskAgg.snapshot()
+            val meta = f""""loadavg":${osb.getSystemLoadAverage}%.2f,""" +
+              s""""driver_gc_ms":${driverGcMs - g0},${metricsJson(m)}"""
+            n -> (t, meta)
+          }.toMap
+        }
       val qJson = rows.map { case (n, tb, ts, r) =>
-        "\"" + n + f"""\":[$tb%.3f,$ts%.3f,$r%.2f]""" }
-        .mkString("{", ",", "}")
+        retries.get(n) match {
+          case Some((rt, _)) =>
+            "\"" + n + f"""\":[$tb%.3f,$ts%.3f,$r%.2f,$rt%.3f]"""
+          case None => "\"" + n + f"""\":[$tb%.3f,$ts%.3f,$r%.2f]"""
+        }
+      }.mkString("{", ",", "}")
       val wJson = stressWaivers.map { case (k, v) =>
         "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
       val susJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
       val sfJson = stressFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
       val trJson = trendSus.map("\"" + _ + "\"").mkString("[", ",", "]")
-      (s"""{"stress":{"base_dir":"$sfDir","stress_dir":"$sdir","reps":$stressReps,"norm_trip_threshold":3.0,"queries":$qJson,"suspects":$susJson,"trend_suspects":$trJson,"waived":$wJson,"failed":$sfJson}}""",
+      val tmJson = scaledMetrics.map { case (n, m) =>
+        "\"" + n + "\":{" + metricsJson(m) + "}" }.mkString("{", ",", "}")
+      val rmJson = retries.map { case (n, (_, meta)) =>
+        "\"" + n + "\":{" + meta + "}" }.mkString("{", ",", "}")
+      (s"""{"stress":{"base_dir":"$sfDir","stress_dir":"$sdir","reps":$stressReps,"norm_trip_threshold":3.0,"queries":$qJson,"suspects":$susJson,"trend_suspects":$trJson,"waived":$wJson,"failed":$sfJson,"task_metrics":$tmJson,"retry_meta":$rmJson}}""",
         suspects ++ trendSus.filterNot(suspects.contains))
     }
 

@@ -1133,9 +1133,62 @@ object ExtraQueries {
       FROM '/root/repo/src/test/resources/graft/sources/audio_twin.parquet'
       ORDER BY audio_id"""))
 
+  /** dHash BANDING at corpus scale: q340–q342 certify the pixel path
+    * on the committed fixture, but the band join is the part that has
+    * to survive 100 TB — and a fixture-bound row cannot scale with the
+    * stress dir. This row derives a deterministic 64-bit pseudo-dHash
+    * per document from doc_id ALONE (pure mod arithmetic, replicated
+    * term-for-term in the DuckDB oracle, which re-finds every pair by
+    * BRUTE all-pairs — recall certified, not just precision), plants
+    * exact (hamming 0) and near (hamming 1) duplicate pairs on ids
+    * ≡ 0,1 (mod 26), and rolls the pair stream up to a hamming
+    * histogram with id checksums. Scales with the documents table →
+    * the stress table's image-family row (verdict r11 #7). */
+  val qDhashScale = Q(
+    "q347_dhash_scale",
+    (s, dir) => {
+      val h = table(s, dir, "documents")
+        .select(col("doc_id"), expr("CASE WHEN doc_id % 26 < 2 THEN " +
+          "doc_id - doc_id % 2 ELSE doc_id END").as("k"))
+        .select(col("doc_id"),
+          ((expr("(k+0)*7919 % 65536") +
+            shiftleft(expr("(k+1)*104729 % 65536"), 16) +
+            shiftleft(expr("(k+2)*1299709 % 65536"), 32) +
+            shiftleft(expr("(k+3)*15485863 % 32768"), 48))
+            .bitwiseXOR(expr("CAST(CASE WHEN doc_id % 26 = 1 AND " +
+              "(doc_id div 26) % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)")))
+            .as("h"))
+      graft.ops.Multimodal.dhashNearDupPairs(h, "doc_id", "h", 3)
+        .groupBy("hamming")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("i")).as("sum_i"), sum(col("j")).as("sum_j"))
+        .orderBy("hamming")
+    },
+    Some("""WITH k AS (SELECT doc_id,
+        CASE WHEN doc_id % 26 < 2 THEN doc_id - doc_id % 2
+             ELSE doc_id END AS kk,
+        CASE WHEN doc_id % 26 = 1 AND (doc_id // 26) % 2 = 0
+             THEN 1 ELSE 0 END AS flip
+      FROM documents),
+      h AS (SELECT doc_id,
+        xor((kk+0)*7919 % 65536
+          + ((kk+1)*104729 % 65536) * 65536
+          + ((kk+2)*1299709 % 65536) * 4294967296
+          + ((kk+3)*15485863 % 32768) * 281474976710656,
+          CAST(flip AS BIGINT)) AS h
+      FROM k),
+      p AS (SELECT a.doc_id AS i, b.doc_id AS j,
+          bit_count(xor(a.h, b.h)) AS hm
+        FROM h a JOIN h b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.h, b.h)) <= 3)
+      SELECT CAST(hm AS INT) AS hamming, count(*) AS n_pairs,
+        CAST(sum(i) AS BIGINT) AS sum_i, CAST(sum(j) AS BIGINT) AS sum_j
+      FROM p GROUP BY hm ORDER BY hamming"""))
+
   val all: Seq[Q] = Seq(
     qStataRoundTrip, qXptScan, qSasScan, qSasRleScan, qSasDates,
     qImageDHash, qImageNearDup, qImageDedupClusters, qAudioStats,
+    qDhashScale,
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qKendallExact,
     qMapValueCounts,

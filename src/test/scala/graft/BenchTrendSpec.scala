@@ -18,6 +18,17 @@ class BenchTrendSpec extends AnyFunSuite {
     assert(Bench.parseStressRow("not json at all").isEmpty)
   }
 
+  test("parseStressRow tolerates the round-12 retry (4th) element") {
+    // a tripped query's row carries [base, stress, ratio, retry_s];
+    // the NEXT round's trend comparison must still see its triple
+    val line = """{"queries":{"q185_lsh_cand_clusters":[3.1,57.0,18.4,12.9],""" +
+      """"q67_range_join":[2.4,31.5,13.1]}}"""
+    val m = Bench.parseStressRow(line)
+    assert(m.size === 2)
+    assert(m("q185_lsh_cand_clusters") === ((3.1, 57.0, 18.4)))
+    assert(m("q67_range_join") === ((2.4, 31.5, 13.1)))
+  }
+
   test("trendSuspects trips on >1.5x normalized-ratio move above linear") {
     val prev = Bench.parseStressRow(prevLine)
     // q165 ratio 37.3 -> 161.0 (norm 3.73 -> 16.1): trips even though
