@@ -13,6 +13,14 @@ documented spec, so the q343 gate certifies decode + math end-to-end:
   peak       = max |x|
   clip_frac  = #(s at the representable rails: -32768/32767, 0/255)/n
   silence    = #(|x| < 0.01)/n
+  zcr        = #(frames i>=1, channels c: neg(s[i,c]) != neg(s[i-1,c]))
+               / (channels * (frames-1)); neg(s) = s<0 (16b) | s<128
+               (8b); 0.0 when frames < 2
+  rms_ch_c   = sqrt(sum over frames of x[.,c]^2 / frames), per-channel
+               sums SEQUENTIAL in frame order
+  rms_ch_min / rms_ch_max = min/max over channels (rounded after)
+  ch_imbalance = 1 - min/max of the UNROUNDED channel rms (0 when the
+               max is 0) — a dead mic on any channel reads 1.0
   every ratio rounded HALF_UP at 6 dp (java BigDecimal.valueOf parity
   via Decimal(repr(x)) — both shortest-round-trip decimal strings)
 
@@ -95,6 +103,24 @@ def make_clips():
         clips.append((j, rate, 1, 16,
                       sine16(rate // 2, rate, 100 + 90 * j,
                              0.1 + 0.09 * (j % 9))))
+    # DEAD LEFT CHANNEL (planted truth for q345's dead-mic detector):
+    # left all-zero, right a healthy sine -> ch_imbalance must read 1.0
+    dead = [0] * 6000
+    live = sine16(6000, 8000, 450, 0.5)
+    clips.append((18, 8000, 2, 16,
+                  [v for pair in zip(dead, live) for v in pair]))
+    # an 8-bit stereo with MILD imbalance: both channels live
+    def sine8v(n, rate, freq, amp):
+        out = []
+        for t in range(n):
+            v = amp * math.sin(2 * math.pi * freq * t / rate)
+            s = int(round(128 + v * 127))
+            out.append(max(0, min(255, s)))
+        return out
+    l8 = sine8v(4000, 8000, 220, 0.5)
+    r8 = sine8v(4000, 8000, 330, 0.4)
+    clips.append((19, 8000, 2, 8,
+                  [v for pair in zip(l8, r8) for v in pair]))
     return clips
 
 
@@ -112,10 +138,14 @@ def write_wav(path, rate, channels, bits, samples):
 
 def stats(rate, channels, bits, samples):
     lo, hi = (-32768, 32767) if bits == 16 else (0, 255)
+    mid = 0 if bits == 16 else 128        # neg(s) = s < mid
     sum_sq = 0.0
     peak = 0.0
     n_clip = n_sil = 0
-    for s in samples:
+    ch_sq = [0.0] * channels
+    prev_neg = [False] * channels
+    crossings = 0
+    for i, s in enumerate(samples):
         x = s / 32768.0 if bits == 16 else (s - 128) / 128.0
         sum_sq += x * x
         ax = abs(x)
@@ -125,15 +155,28 @@ def stats(rate, channels, bits, samples):
             n_clip += 1
         if ax < 0.01:
             n_sil += 1
+        c = i % channels
+        ch_sq[c] += x * x
+        neg = s < mid
+        if i >= channels and neg != prev_neg[c]:
+            crossings += 1
+        prev_neg[c] = neg
     n = len(samples)
     frames = n // channels
+    ch_rms = [math.sqrt(q / frames) for q in ch_sq]
+    mn, mx = min(ch_rms), max(ch_rms)
     return dict(
         n_samples=n,
         duration_s=r6(frames / rate),
         rms=r6(math.sqrt(sum_sq / n)),
         peak=r6(peak),
         clip_frac=r6(n_clip / n),
-        silence_frac=r6(n_sil / n))
+        silence_frac=r6(n_sil / n),
+        zcr=r6(crossings / (channels * (frames - 1))
+               if frames >= 2 else 0.0),
+        rms_ch_min=r6(mn),
+        rms_ch_max=r6(mx),
+        ch_imbalance=r6(1.0 - mn / mx) if mx > 0 else 0.0)
 
 
 def main():
@@ -154,6 +197,16 @@ def main():
     assert byid[0]["clip_frac"] == 0.0
     assert byid[3]["silence_frac"] >= 0.5
     assert byid[8]["silence_frac"] > 0.99
+    # q345 planted truths: a dead channel reads imbalance 1.0; healthy
+    # stereo reads well below; a 440 Hz sine at 8 kHz crosses ~11% of
+    # frame steps; mono clips carry zero imbalance
+    assert byid[18]["ch_imbalance"] == 1.0, byid[18]
+    assert byid[18]["rms_ch_min"] == 0.0, byid[18]
+    assert byid[19]["ch_imbalance"] < 0.5, byid[19]
+    assert 0.05 < byid[0]["zcr"] < 0.2, byid[0]
+    assert byid[5]["ch_imbalance"] > 0.0, byid[5]
+    assert all(byid[k]["ch_imbalance"] == 0.0
+               for k in (0, 1, 2, 4) ), "mono must read 0 imbalance"
 
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -171,6 +224,13 @@ def main():
         "clip_frac": pa.array([r[4]["clip_frac"] for r in rows],
                               pa.float64()),
         "silence_frac": pa.array([r[4]["silence_frac"] for r in rows],
+                                 pa.float64()),
+        "zcr": pa.array([r[4]["zcr"] for r in rows], pa.float64()),
+        "rms_ch_min": pa.array([r[4]["rms_ch_min"] for r in rows],
+                               pa.float64()),
+        "rms_ch_max": pa.array([r[4]["rms_ch_max"] for r in rows],
+                               pa.float64()),
+        "ch_imbalance": pa.array([r[4]["ch_imbalance"] for r in rows],
                                  pa.float64()),
     })
     pq.write_table(tbl, os.path.join(OUT, "audio_twin.parquet"))

@@ -979,14 +979,72 @@ object MediaCodec {
     Some(PcmAudio(sr, ch, bits, frames, samples))
   }
 
-  /** Format-dispatched pixel decode: BMP or PNG by magic sniff; None
-    * for everything else. The one entry point the perceptual-hash
-    * pipeline uses — a BMP and a PNG holding the same pixels decode to
-    * the same raster and therefore the same dHash (cross-FORMAT
-    * duplicate detection, gated in q341/q342). */
+  /** PIXEL-level decode of a JPEG straight to the luma raster, through
+    * the JDK's own baseline-DCT decoder (`javax.imageio`, in the JDK —
+    * not a dependency). JPEG is the format that actually dominates a
+    * real 100 TB web-image corpus (reference reads image files via PIL:
+    * `summary_helpers_image.py`); hand-rolling a DCT decoder would add
+    * thousands of lines for pixels the platform already produces, so
+    * ImageIO is the DECODE SEAM here and the q344 gate certifies it
+    * end-to-end: a JPEG re-encode of fixture pixels must dHash within
+    * hamming ≤ 3 of its independently-hashed BMP/PNG twin. Hostile
+    * bytes: magic sniffed first, dimensions read from the HEADER and
+    * capped at 16k per side BEFORE any raster allocation, every
+    * decoder exception swallowed to None. The in-memory stream cache
+    * is forced (no ImageIO temp files on executors). */
+  def decodeJpegGray(b: Array[Byte]): Option[GrayImage] =
+    try decodeJpegGrayImpl(b)
+    catch { case _: Exception => None }
+
+  private def decodeJpegGrayImpl(b: Array[Byte]): Option[GrayImage] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8 ||
+      (b(2) & 0xff) != 0xff) return None
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(b))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, true, true)
+        val w = reader.getWidth(0)
+        val h = reader.getHeight(0)
+        if (w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14))
+          return None
+        val img = reader.read(0)
+        val gray = new Array[Int](w * h)
+        val row = new Array[Int](w)
+        var y = 0
+        while (y < h) {
+          img.getRGB(0, y, w, 1, row, 0, w)
+          var x = 0
+          while (x < w) {
+            val p = row(x)
+            val red = (p >> 16) & 0xff
+            val grn = (p >> 8) & 0xff
+            val blu = p & 0xff
+            gray(y * w + x) = (299 * red + 587 * grn + 114 * blu) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        Some(GrayImage(w, h, gray))
+      } finally reader.dispose()
+    } finally iis.close()
+  }
+
+  /** Format-dispatched pixel decode: BMP, PNG or JPEG by magic sniff;
+    * None for everything else. The one entry point the perceptual-hash
+    * pipeline uses — the same pixels decode to the same raster and
+    * therefore the same dHash whatever the container (cross-FORMAT
+    * duplicate detection, gated in q341/q342 for BMP↔PNG and q344 for
+    * JPEG re-encodes). */
   def decodeImageGray(b: Array[Byte]): Option[GrayImage] =
     if (b.length >= 2 && b(0) == 'B'.toByte && b(1) == 'M'.toByte)
       decodeBmpGray(b)
+    else if (b.length >= 3 && (b(0) & 0xff) == 0xff &&
+      (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff)
+      decodeJpegGray(b)
     else decodePngGray(b)
 
   /** 64-bit difference hash over a decoded raster: nearest-neighbor

@@ -242,7 +242,8 @@ object Multimodal {
   final case class AudioStats(
       id: Long, sample_rate: Int, channels: Int, bits: Int,
       n_samples: Long, duration_s: Double, rms: Double, peak: Double,
-      clip_frac: Double, silence_frac: Double)
+      clip_frac: Double, silence_frac: Double, zcr: Double,
+      rms_ch_min: Double, rms_ch_max: Double, ch_imbalance: Double)
 
   /** SAMPLE-level audio curation signals over a PCM WAV binary column
     * — the speech-corpus quality screen (clipped takes, dead air,
@@ -255,8 +256,15 @@ object Multimodal {
     * implementations accumulate the same doubles in the same order —
     * bit-identical); peak = max|x|; clip_frac counts samples AT the
     * representable rails (−32768/32767, 0/255); silence_frac counts
-    * |x| < 0.01; every ratio rounded HALF_UP at 6 dp (Spark round
-    * semantics). Map-only; undecodable/non-PCM blobs are dropped. */
+    * |x| < 0.01; zcr counts per-channel sign flips between consecutive
+    * FRAMES (neg(s) = s<0 for 16-bit, s<128 for 8-bit) over
+    * channels·(frames−1) comparisons, 0 when frames < 2; per-channel
+    * rms accumulates frame-sequential per channel, rms_ch_min/max are
+    * its extremes and ch_imbalance = 1 − min/max of the UNROUNDED
+    * channel rms (0 when max is 0) — a dead mic on either side of a
+    * stereo take reads 1.0 (q345's planted truth); every ratio rounded
+    * HALF_UP at 6 dp (Spark round semantics). Map-only;
+    * undecodable/non-PCM blobs are dropped. */
   def audioPcmStats(df: DataFrame, idCol: String,
       binCol: String): Dataset[AudioStats] = {
     val spark = df.sparkSession
@@ -270,10 +278,15 @@ object Multimodal {
           MediaCodec.decodeWavPcm(Option(bytes).getOrElse(Array.empty))
             .map { a =>
               val (lo, hi) = if (a.bits == 16) (-32768, 32767) else (0, 255)
+              val mid = if (a.bits == 16) 0 else 128
+              val ch = a.channels
               var sumSq = 0.0
               var peak = 0.0
               var nClip = 0L
               var nSil = 0L
+              val chSq = new Array[Double](ch)
+              val prevNeg = new Array[Boolean](ch)
+              var crossings = 0L
               var i = 0
               while (i < a.samples.length) {
                 val s = a.samples(i)
@@ -284,13 +297,33 @@ object Multimodal {
                 if (ax > peak) peak = ax
                 if (s == lo || s == hi) nClip += 1
                 if (ax < 0.01) nSil += 1
+                val c = i % ch
+                chSq(c) += x * x
+                val neg = s < mid
+                if (i >= ch && neg != prevNeg(c)) crossings += 1
+                prevNeg(c) = neg
                 i += 1
               }
               val n = a.samples.length
+              val frames = n / ch
+              var mn = Double.MaxValue
+              var mx = 0.0
+              var c = 0
+              while (c < ch) {
+                val r = math.sqrt(chSq(c) / frames)
+                if (r < mn) mn = r
+                if (r > mx) mx = r
+                c += 1
+              }
               AudioStats(id, a.sampleRate, a.channels, a.bits, n.toLong,
                 r6(a.frames.toDouble / a.sampleRate),
                 r6(math.sqrt(sumSq / n)), r6(peak),
-                r6(nClip.toDouble / n), r6(nSil.toDouble / n))
+                r6(nClip.toDouble / n), r6(nSil.toDouble / n),
+                if (frames >= 2)
+                  r6(crossings.toDouble / (ch.toDouble * (frames - 1)))
+                else 0.0,
+                r6(mn), r6(mx),
+                if (mx > 0) r6(1.0 - mn / mx) else 0.0)
             }
         }
       }

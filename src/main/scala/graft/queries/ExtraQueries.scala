@@ -1133,6 +1133,86 @@ object ExtraQueries {
       FROM '/root/repo/src/test/resources/graft/sources/audio_twin.parquet'
       ORDER BY audio_id"""))
 
+  /** Audio channel-health screen ([[graft.ops.Multimodal
+    * .audioPcmStats]] round-12 columns): zero-crossing rate (the
+    * classic voiced/unvoiced + noise-vs-tone signal) and per-channel
+    * RMS extremes with their imbalance ratio — the DEAD-MIC detector
+    * (one silent channel of a stereo interview reads imbalance 1.0).
+    * Same independent-generator gate as q343: python stdlib `wave`
+    * writes the fixtures and computes the same spec (frame-sequential
+    * per-channel sums, sign-flip counting between consecutive frames),
+    * sharing no code with the Scala decoder. Planted truths: clip 18
+    * has an all-zero left channel (imbalance exactly 1.0, rms_ch_min
+    * 0.0), clip 19 is a mildly-imbalanced healthy 8-bit stereo, mono
+    * clips read imbalance 0. */
+  val qAudioChannelStats = Q(
+    "q345_audio_channel_stats",
+    (s, _) => {
+      val clips = s.read.format("binaryFile")
+        .load("/root/repo/src/test/resources/graft/sources/audio")
+        .select(regexp_extract(col("path"), "clip_(\\d+)\\.wav", 1)
+          .cast("long").as("audio_id"), col("content"))
+      graft.ops.Multimodal.audioPcmStats(clips, "audio_id", "content")
+        .toDF()
+        .select(col("id").as("audio_id"), col("channels"), col("zcr"),
+          col("rms_ch_min"), col("rms_ch_max"), col("ch_imbalance"))
+        .orderBy("audio_id")
+    },
+    Some("""SELECT audio_id, channels, zcr, rms_ch_min, rms_ch_max,
+        ch_imbalance
+      FROM '/root/repo/src/test/resources/graft/sources/audio_twin.parquet'
+      ORDER BY audio_id"""))
+
+  /** STREAMING image dedup on the gate ([[graft.streaming
+    * .StreamingImageDedup.firstSeenByDHash]]): the 90 fixture images
+    * arrive as TWO micro-batches — every BMP first, every PNG second —
+    * so the cross-batch state path is what's exercised: each planted
+    * PNG twin (ids 100..109, pixel-identical to BMPs 0..9) must be
+    * marked a duplicate of a canonical it never co-batched with. The
+    * batch/streaming symmetry of the multimodal pillar: same decode
+    * seam, same hash, state = one long per distinct perceptual hash.
+    * Oracle: first-seen = global min img_id per twin dhash (batches
+    * are split by id, so arrival order and id order agree). */
+  val qStreamingImageDedup = Q(
+    "q346_streaming_image_dedup",
+    (s, _) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.OutputMode
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val imgs = s.read.format("binaryFile")
+        .load("/root/repo/src/test/resources/graft/sources/images")
+        .select(regexp_extract(col("path"), "img_(\\d+)\\.(?:bmp|png)", 1)
+          .cast("long").as("img_id"), col("content"))
+        .as[(Long, Array[Byte])].collect().sortBy(_._1)
+      val mem = MemoryStream[(Long, Array[Byte])]
+      val src = mem.toDF.toDF("img_id", "content")
+      val seen = graft.streaming.StreamingImageDedup
+        .firstSeenByDHash(src, "img_id", "content")
+      val sink = "graft_simg_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-simg-gate").toString
+      val query = seen.toDF.writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        mem.addData(imgs.filter(_._1 < 80).toIndexedSeq)
+        query.processAllAvailable()
+        mem.addData(imgs.filter(_._1 >= 80).toIndexedSeq)
+        query.processAllAvailable()
+      } finally query.stop()
+      StreamGate.finish(s, sink, ckpt, s.table(sink))
+        .select(col("id").as("img_id"), col("dhash"), col("keep"),
+          col("canonical_id"))
+        .orderBy("img_id")
+    },
+    Some("""SELECT img_id, dhash,
+        img_id = min(img_id) OVER (PARTITION BY dhash) AS keep,
+        min(img_id) OVER (PARTITION BY dhash) AS canonical_id
+      FROM '/root/repo/src/test/resources/graft/sources/images_twin.parquet'
+      ORDER BY img_id"""))
+
   /** dHash BANDING at corpus scale: q340–q342 certify the pixel path
     * on the committed fixture, but the band join is the part that has
     * to survive 100 TB — and a fixture-bound row cannot scale with the
@@ -1185,10 +1265,55 @@ object ExtraQueries {
         CAST(sum(i) AS BIGINT) AS sum_i, CAST(sum(j) AS BIGINT) AS sum_j
       FROM p GROUP BY hm ORDER BY hamming"""))
 
+  /** JPEG pixel decode joins the perceptual-hash pipeline through the
+    * JDK's own baseline decoder ([[graft.ops.MediaCodec
+    * .decodeJpegGray]] — javax.imageio as the decode seam, per the
+    * reference's PIL reads in `summary_helpers_image.py:15-40`): each
+    * committed JPEG is a quality-0.95 grayscale re-encode of fixture
+    * image id−200's pixels (scripts/GenJpegFixture.java, which shares
+    * no code with the Scala path and asserts ≤ 2-bit round-trip margin
+    * at generation). The gate: the Spark-side JPEG decode → luma →
+    * dHash must land within hamming ≤ 3 of the INDEPENDENT python twin
+    * hash of the pre-encoding pixels, and the decoded dimensions must
+    * equal the twin's — certifying the ImageIO seam end-to-end against
+    * ground truth that never passed through it. The oracle derives the
+    * kept fixture ids from the committed files themselves (glob), so a
+    * silently-dropped (undecodable) JPEG is a row-count FAIL, not a
+    * quiet pass. */
+  val qJpegDHash = Q(
+    "q344_jpeg_dhash",
+    (s, _) => {
+      val jp = s.read.format("binaryFile")
+        .load("/root/repo/src/test/resources/graft/sources/images_jpeg")
+        .select(
+          (regexp_extract(col("path"), "img_(\\d+)\\.jpg", 1)
+            .cast("long") - 200).as("img_id"), col("content"))
+      val jh = graft.ops.Multimodal.imageDHash(jp, "img_id", "content")
+        .toDF()
+        .select(col("id").as("img_id"), col("width"), col("height"),
+          col("dhash").as("jhash"))
+      val twin = s.read.parquet(
+        "/root/repo/src/test/resources/graft/sources/images_twin.parquet")
+        .select(col("img_id"), col("dhash").as("thash"))
+      jh.join(twin, "img_id")
+        .select(col("img_id"), col("width"), col("height"),
+          (bit_count(col("jhash").bitwiseXOR(col("thash"))) <= 3)
+            .as("within3"))
+        .orderBy("img_id")
+    },
+    Some("""WITH j AS (SELECT
+        CAST(regexp_extract(file, 'img_(\d+)\.jpg', 1) AS BIGINT) - 200
+          AS img_id
+      FROM glob('/root/repo/src/test/resources/graft/sources/images_jpeg/*.jpg'))
+      SELECT t.img_id, t.width, t.height, true AS within3
+      FROM '/root/repo/src/test/resources/graft/sources/images_twin.parquet' t
+      JOIN j USING (img_id)
+      ORDER BY img_id"""))
+
   val all: Seq[Q] = Seq(
     qStataRoundTrip, qXptScan, qSasScan, qSasRleScan, qSasDates,
     qImageDHash, qImageNearDup, qImageDedupClusters, qAudioStats,
-    qDhashScale,
+    qDhashScale, qJpegDHash, qAudioChannelStats, qStreamingImageDedup,
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qKendallExact,
     qMapValueCounts,

@@ -210,6 +210,41 @@ class ImageHashSpec extends SparkSpec {
     assert(MediaCodec.decodePngGray(png(grid)).isDefined)
   }
 
+  test("decodeJpegGray: JDK round-trip decodes; luma exact for gray; " +
+      "hostile bytes return None") {
+    // encode a gray raster as JPEG in memory (JDK writer), decode
+    // through the dispatch entry point
+    val w = 36; val h = 24
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 6 + y * 3) % 256
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", bos)
+    val bytes = bos.toByteArray
+    assert((bytes(0) & 0xff) === 0xff && (bytes(1) & 0xff) === 0xd8)
+    val dec = MediaCodec.decodeImageGray(bytes).get
+    assert(dec.width === w && dec.height === h)
+    // smooth gradient at default quality: every luma within DCT noise
+    var maxErr = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val want = (x * 6 + y * 3) % 256
+      // wrap point of the %256 sawtooth rings; skip the 2 columns around it
+      if (x * 6 + y * 3 < 250)
+        maxErr = math.max(maxErr, math.abs(dec.gray(y * w + x) - want))
+    }
+    assert(maxErr <= 16, s"smooth-region luma error $maxErr > 16")
+    // hostile: truncation mid-stream, garbage after magic, empty
+    assert(MediaCodec.decodeJpegGray(bytes.take(20)).isEmpty)
+    assert(MediaCodec.decodeJpegGray(
+      Array(0xff, 0xd8, 0xff, 0x00, 0x13, 0x37).map(_.toByte)).isEmpty)
+    assert(MediaCodec.decodeJpegGray(Array.empty[Byte]).isEmpty)
+    // non-JPEG magic is not this decoder's problem: None, fast
+    assert(MediaCodec.decodeJpegGray(png(grid)).isEmpty)
+  }
+
   test("dhashNearDupPairs: pigeonhole recall is exhaustive to hamming 3") {
     // adversarial hashes: bit flips CONCENTRATED in one band (the case
     // a sloppy single-band scheme misses) plus cross-band flips
