@@ -570,8 +570,13 @@ object Bench {
         "shuffle, no join, no aggregation map in the plan, per-task " +
         "memory = broadcast + O(k) — which retired BOTH prior variance " +
         "classes (r9 window-sort spill 16.1x/3.7x; r10 hash-agg buffer " +
-        "pressure 13.7x/4.0x): measured 0.28-0.30x of linear at 10x, " +
-        "three consecutive runs within a 1.09x band (1.87-2.04 s); " +
+        "pressure 13.7x/4.0x). OBSERVED ENVELOPE at 10x, not a band " +
+        "claim (the r11 verdict's correction): builder 1.9-3.0 s, " +
+        "driver closing run 6.9 s — the residual spread is host-level " +
+        "(GC of the broadcast corpus arrays / JIT state), NOT plan " +
+        "structure: r12 task metrics show zero spill and flat O(k) " +
+        "memory, and the r12 CheckpointRing freed the session-level " +
+        "block-manager pressure the r11 driver host accumulated. " +
         "q26b/q26c/q27 are the approximate scale path"))
     val stressFailed = scala.collection.mutable.LinkedHashSet[String]()
     // per-query task metrics on the SCALED pass (and retries): the
