@@ -1033,6 +1033,195 @@ object MediaCodec {
     } finally iis.close()
   }
 
+  /** PIXEL-level decode of a GIF87a/GIF89a first frame straight to the
+    * luma raster: logical screen descriptor, global/local color table,
+    * extension-block skip, and a hand-rolled GIF-variant LZW
+    * decompressor (variable 3–12-bit codes LSB-first across
+    * concatenated sub-blocks, clear/EOI codes, 4096-entry dictionary —
+    * the public GIF89a spec, appendix F). The palette maps indices to
+    * RGB and the same integer luma collapses them, so a GIF holding
+    * the same pixels as a BMP/PNG fingerprints identically — and
+    * because a ≤256-distinct-value raster (any grayscale image)
+    * re-encodes LOSSLESSLY, the q348 gate is exact-hash, not a
+    * tolerance. Interlaced frames are de-interlaced (4-pass row map —
+    * the JDK's own GIF writer emits interlaced streams, so the
+    * committed fixtures certify this path); anything malformed,
+    * truncated, oversized (16k cap) or LZW-corrupt returns None —
+    * hostile-bytes safe, never an exception. */
+  def decodeGifGray(b: Array[Byte]): Option[GrayImage] =
+    try decodeGifGrayImpl(b)
+    catch { case _: Exception => None }
+
+  private def decodeGifGrayImpl(b: Array[Byte]): Option[GrayImage] = {
+    if (b.length < 13) return None
+    val sig = new String(b, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    val sw = le16(b, 6)
+    val sh = le16(b, 8)
+    if (sw <= 0 || sh <= 0 || sw > (1 << 14) || sh > (1 << 14)) return None
+    val gFlags = u8(b, 10)
+    var pos = 13
+    var globalPal: Array[Int] = null // packed 0xRRGGBB
+    if ((gFlags & 0x80) != 0) {
+      val n = 2 << (gFlags & 7)
+      if (pos + 3 * n > b.length) return None
+      globalPal = readPalette(b, pos, n)
+      pos += 3 * n
+    }
+    // walk blocks to the first image descriptor
+    while (pos < b.length) {
+      u8(b, pos) match {
+        case 0x21 => // extension: label + sub-blocks
+          pos += 2
+          while (pos < b.length && u8(b, pos) != 0) pos += 1 + u8(b, pos)
+          pos += 1 // terminator
+        case 0x2c =>
+          if (pos + 10 > b.length) return None
+          val w = le16(b, pos + 5)
+          val h = le16(b, pos + 7)
+          val iFlags = u8(b, pos + 9)
+          pos += 10
+          if (w <= 0 || h <= 0 || w > sw || h > sh) return None
+          val interlaced = (iFlags & 0x40) != 0
+          var pal = globalPal
+          if ((iFlags & 0x80) != 0) {
+            val n = 2 << (iFlags & 7)
+            if (pos + 3 * n > b.length) return None
+            pal = readPalette(b, pos, n)
+            pos += 3 * n
+          }
+          if (pal == null || pos >= b.length) return None
+          val minCode = u8(b, pos)
+          pos += 1
+          if (minCode < 2 || minCode > 8) return None
+          // concatenate the image sub-blocks
+          val data = new java.io.ByteArrayOutputStream()
+          while (pos < b.length && u8(b, pos) != 0) {
+            val n = u8(b, pos)
+            if (pos + 1 + n > b.length) return None
+            data.write(b, pos + 1, n)
+            pos += 1 + n
+          }
+          val idx = lzwDecode(data.toByteArray, minCode, w * h)
+          if (idx == null) return None
+          // interlace: the stream carries rows in the 4-pass order
+          // (0,8,16..; 4,12..; 2,6,10..; 1,3,5..) — map stream row k
+          // to its raster row (GIF89a spec, appendix E)
+          val rowOf: Int => Int =
+            if (!interlaced) identity
+            else {
+              val order = new Array[Int](h)
+              var k = 0
+              for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2));
+                   y <- start until h by step) { order(k) = y; k += 1 }
+              order
+            }
+          val gray = new Array[Int](w * h)
+          var sy = 0
+          while (sy < h) {
+            val dy = rowOf(sy)
+            var x = 0
+            while (x < w) {
+              val p = pal(math.min(idx(sy * w + x) & 0xff, pal.length - 1))
+              gray(dy * w + x) = (299 * ((p >> 16) & 0xff) +
+                587 * ((p >> 8) & 0xff) + 114 * (p & 0xff)) / 1000
+              x += 1
+            }
+            sy += 1
+          }
+          return Some(GrayImage(w, h, gray))
+        case 0x3b => return None // trailer before any image
+        case _ => return None // unknown block: structure lost
+      }
+    }
+    None
+  }
+
+  private def readPalette(b: Array[Byte], off: Int, n: Int): Array[Int] = {
+    val pal = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      pal(i) = ((b(off + 3 * i) & 0xff) << 16) |
+        ((b(off + 3 * i + 1) & 0xff) << 8) | (b(off + 3 * i + 2) & 0xff)
+      i += 1
+    }
+    pal
+  }
+
+  /** GIF-variant LZW: returns exactly `outLen` palette indices, or null
+    * on any structural corruption (bad code, dictionary overflow,
+    * stream exhaustion before the raster fills). */
+  private def lzwDecode(d: Array[Byte], minCode: Int,
+      outLen: Int): Array[Byte] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    // dictionary as (prefix link, appended byte); entries < clear are roots
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    var dictSize = eoi + 1
+    var codeSize = minCode + 1
+    val out = new Array[Byte](outLen)
+    var outPos = 0
+    var prev = -1
+    var acc = 0L
+    var accBits = 0
+    var bytePos = 0
+    val stack = new Array[Byte](4096)
+    def firstByte(code: Int): Byte = {
+      var c = code
+      while (c >= clear) c = prefix(c)
+      c.toByte
+    }
+    def emit(code: Int): Boolean = {
+      var sp = 0
+      var c = code
+      while (c >= clear) {
+        if (sp >= 4096) return false
+        stack(sp) = suffix(c); sp += 1; c = prefix(c)
+      }
+      if (outPos + sp + 1 > outLen) return false
+      out(outPos) = c.toByte; outPos += 1
+      while (sp > 0) { sp -= 1; out(outPos) = stack(sp); outPos += 1 }
+      true
+    }
+    while (outPos < outLen) {
+      while (accBits < codeSize) {
+        if (bytePos >= d.length) return null // exhausted early
+        acc |= (d(bytePos) & 0xffL) << accBits
+        accBits += 8
+        bytePos += 1
+      }
+      val code = (acc & ((1 << codeSize) - 1)).toInt
+      acc >>>= codeSize
+      accBits -= codeSize
+      if (code == clear) {
+        dictSize = eoi + 1
+        codeSize = minCode + 1
+        prev = -1
+      } else if (code == eoi) {
+        return if (outPos == outLen) out else null
+      } else if (prev == -1) {
+        if (code >= clear) return null // first code must be a root
+        out(outPos) = code.toByte; outPos += 1
+        prev = code
+      } else {
+        if (code > dictSize) return null
+        val known = code < dictSize
+        // add (prev + first byte) FIRST: the KwKwK case (code ==
+        // dictSize) refers to exactly this entry
+        if (dictSize < 4096) {
+          prefix(dictSize) = prev
+          suffix(dictSize) = firstByte(if (known) code else prev)
+          dictSize += 1
+          if (dictSize == (1 << codeSize) && codeSize < 12) codeSize += 1
+        } else if (!known) return null // full dict can't mint KwKwK
+        if (!emit(code)) return null
+        prev = code
+      }
+    }
+    out
+  }
+
   /** Format-dispatched pixel decode: BMP, PNG or JPEG by magic sniff;
     * None for everything else. The one entry point the perceptual-hash
     * pipeline uses — the same pixels decode to the same raster and
@@ -1045,6 +1234,9 @@ object MediaCodec {
     else if (b.length >= 3 && (b(0) & 0xff) == 0xff &&
       (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff)
       decodeJpegGray(b)
+    else if (b.length >= 4 && b(0) == 'G'.toByte && b(1) == 'I'.toByte &&
+      b(2) == 'F'.toByte && b(3) == '8'.toByte)
+      decodeGifGray(b)
     else decodePngGray(b)
 
   /** 64-bit difference hash over a decoded raster: nearest-neighbor

@@ -213,12 +213,13 @@ object Multimodal {
       id: Long, width: Int, height: Int, dhash: Long)
 
   /** PIXEL-level perceptual fingerprinting of an image binary column:
-    * decode (24-bpp BMP or 8-bit PNG via
+    * decode (24-bpp BMP, 8-bit PNG, baseline JPEG or GIF87a/89a via
     * [[graft.ops.MediaCodec.decodeImageGray]]; hostile bytes skipped,
     * never an exception) → integer grayscale → nearest-neighbor 9×8
     * resize → 64-bit dHash. The hash depends only on PIXELS, so the
-    * same image saved as BMP and as PNG fingerprints identically —
-    * cross-format duplicate detection for free. Map-only
+    * same image saved under any container fingerprints identically
+    * (bit-exact for the lossless formats, hamming ≤ 3 for high-quality
+    * JPEG) — cross-format duplicate detection for free. Map-only
     * (mapPartitions over the scan, no shuffle): the per-image step of
     * image dedup at any corpus size. Undecodable blobs are DROPPED —
     * a fingerprint of garbage would poison the near-dup banding

@@ -1163,6 +1163,42 @@ object ExtraQueries {
       FROM '/root/repo/src/test/resources/graft/sources/audio_twin.parquet'
       ORDER BY audio_id"""))
 
+  /** GIF pixel decode on the gate ([[graft.ops.MediaCodec
+    * .decodeGifGray]]): a hand-rolled GIF89a first-frame decoder —
+    * palette, extension-block walk, variable-width LSB-first LZW
+    * (clear/EOI, KwKwK, 4096-entry dictionary), 4-pass de-interlace —
+    * feeding the same luma→dHash pipeline. The committed GIFs are
+    * LOSSLESS re-encodes of fixture-image lumas (a ≤256-value raster
+    * fits a GIF palette exactly; scripts/GenGifFixture.java encodes
+    * with the JDK's writer — which emits INTERLACED streams, so the
+    * fixtures certify the de-interlace path — and asserts pixel-exact
+    * round trip via the JDK's independent reader at generation). The
+    * gate is therefore EXACT: decoded dims and dHash must equal the
+    * independent python twin's values, bit for bit, and the oracle
+    * derives the id set from the committed files so a dropped decode
+    * is a row-count FAIL. */
+  val qGifDHash = Q(
+    "q348_gif_dhash",
+    (s, _) => {
+      val gp = s.read.format("binaryFile")
+        .load("/root/repo/src/test/resources/graft/sources/images_gif")
+        .select(
+          (regexp_extract(col("path"), "img_(\\d+)\\.gif", 1)
+            .cast("long") - 400).as("img_id"), col("content"))
+      graft.ops.Multimodal.imageDHash(gp, "img_id", "content").toDF()
+        .select(col("id").as("img_id"), col("width"), col("height"),
+          col("dhash"))
+        .orderBy("img_id")
+    },
+    Some("""WITH j AS (SELECT
+        CAST(regexp_extract(file, 'img_(\d+)\.gif', 1) AS BIGINT) - 400
+          AS img_id
+      FROM glob('/root/repo/src/test/resources/graft/sources/images_gif/*.gif'))
+      SELECT t.img_id, t.width, t.height, t.dhash
+      FROM '/root/repo/src/test/resources/graft/sources/images_twin.parquet' t
+      JOIN j USING (img_id)
+      ORDER BY img_id"""))
+
   /** STREAMING image dedup on the gate ([[graft.streaming
     * .StreamingImageDedup.firstSeenByDHash]]): the 90 fixture images
     * arrive as TWO micro-batches — every BMP first, every PNG second —
@@ -1314,6 +1350,7 @@ object ExtraQueries {
     qStataRoundTrip, qXptScan, qSasScan, qSasRleScan, qSasDates,
     qImageDHash, qImageNearDup, qImageDedupClusters, qAudioStats,
     qDhashScale, qJpegDHash, qAudioChannelStats, qStreamingImageDedup,
+    qGifDHash,
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qKendallExact,
     qMapValueCounts,

@@ -245,6 +245,63 @@ class ImageHashSpec extends SparkSpec {
     assert(MediaCodec.decodeJpegGray(png(grid)).isEmpty)
   }
 
+  test("decodeGifGray: committed fixture decodes pixel-identical to its " +
+      "BMP twin (lossless palette re-encode + de-interlace)") {
+    val gif = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      "src/test/resources/graft/sources/images_gif/img_400.gif"))
+    val fromGif = MediaCodec.decodeImageGray(gif).get
+    val bmpBytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths
+      .get("src/test/resources/graft/sources/images/img_000.bmp"))
+    val fromBmp = MediaCodec.decodeBmpGray(bmpBytes).get
+    assert(fromGif.width === fromBmp.width)
+    assert(fromGif.gray.toSeq === fromBmp.gray.toSeq,
+      "GIF of the same luma must decode pixel-identical")
+    assert(MediaCodec.dHash64(fromGif) === MediaCodec.dHash64(fromBmp))
+  }
+
+  test("decodeGifGray: hostile bytes return None, never throw") {
+    val good = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      "src/test/resources/graft/sources/images_gif/img_401.gif"))
+    assert(MediaCodec.decodeGifGray(Array.empty[Byte]).isEmpty)
+    assert(MediaCodec.decodeGifGray("GIF89a".getBytes).isEmpty)
+    assert(MediaCodec.decodeGifGray(good.take(40)).isEmpty)     // mid-palette
+    assert(MediaCodec.decodeGifGray(good.take(800)).isEmpty)    // mid-LZW
+    val hugeW = good.clone // hostile logical-screen width 2^15
+    hugeW(6) = 0; hugeW(7) = 0x80.toByte
+    assert(MediaCodec.decodeGifGray(hugeW).isEmpty)
+    val junkLzw = good.clone // corrupt the LZW stream body
+    var i = good.length / 2
+    while (i < good.length / 2 + 64) { junkLzw(i) = 0x5A; i += 1 }
+    MediaCodec.decodeGifGray(junkLzw) // None or decoded; must not throw
+    // truncated AT a sub-block boundary mid-image: exhausts early
+    assert(MediaCodec.decodeGifGray(good.dropRight(20)).isEmpty)
+  }
+
+  test("decodeGifGray: hand-built non-interlaced GIF with the KwKwK " +
+      "LZW case decodes exactly") {
+    // 2x2 image, palette {0 -> black, 1 -> white}, pixels 1,1,1,1:
+    // encoder emits clear, 1, then code 6 (= "11", defined by that very
+    // step — the KwKwK case), then 1, then EOI. minCodeSize 2:
+    // clear=4 eoi=5. Widths: the dictionary reaches 8 entries after
+    // "111" is added, so the FINAL code (EOI) is read at 4 bits.
+    val codes = Seq((4, 3), (1, 3), (6, 3), (1, 3), (5, 4))
+    var acc = 0L; var nb = 0
+    codes.foreach { case (c, w) => acc |= c.toLong << nb; nb += w }
+    val lzw = (0 until (nb + 7) / 8).map(i => ((acc >> (8 * i)) & 0xff).toByte)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes)
+    out.write(Array[Byte](2, 0, 2, 0))               // screen 2x2
+    out.write(Array[Byte](0x80.toByte, 0, 0))        // GCT of 2, bg, aspect
+    out.write(Array[Byte](0, 0, 0, -1, -1, -1))      // palette: black, white
+    out.write(Array[Byte](0x2c, 0, 0, 0, 0, 2, 0, 2, 0, 0)) // descriptor
+    out.write(2)                                     // min code size
+    out.write(lzw.length); out.write(lzw.toArray); out.write(0) // sub-block
+    out.write(0x3b)                                  // trailer
+    val g = MediaCodec.decodeGifGray(out.toByteArray)
+    assert(g.isDefined, "KwKwK stream must decode")
+    assert(g.get.gray.toSeq === Seq(255, 255, 255, 255))
+  }
+
   test("dhashNearDupPairs: pigeonhole recall is exhaustive to hamming 3") {
     // adversarial hashes: bit flips CONCENTRATED in one band (the case
     // a sloppy single-band scheme misses) plus cross-band flips
