@@ -330,6 +330,98 @@ object Multimodal {
       }
   }
 
+  /** Per-clip spectral shape ([[audioSpectralStats]]). */
+  final case class AudioSpectral(
+      id: Long, frames_used: Int, spectral_centroid: Double,
+      spectral_spread: Double, spectral_rolloff: Double,
+      dominant_freq: Double, spectral_crest: Double)
+
+  /** FREQUENCY-domain audio curation signals over a PCM WAV binary
+    * column: channel-0 of the first 1024 frames (zero-padded when
+    * shorter), Hann-windowed, through [[Dsp.fft]] — whose portable
+    * trig and fixed butterfly order make every double BIT IDENTICAL
+    * to the independent python replay (scripts/gen_audio_spectral.py),
+    * so the q349 gate is exact. From the power spectrum P_k = |X_k|²,
+    * k = 1..512 (DC skipped), with f_k = k·rate/1024:
+    * centroid = Σf_k·P_k / ΣP_k (the spectral "center of mass" —
+    * hiss-vs-rumble), spread = √(Σ(f_k−centroid)²·P_k / ΣP_k)
+    * (tone vs noise width), rolloff = smallest f_k with cumulative
+    * power ≥ 0.85·total, dominant = f_argmax P_k (first max wins),
+    * crest = P_max/(total/512) (a pure sine reads huge, white noise
+    * ≈ small). All sums sequential ascending in k; every output
+    * rounded HALF_UP at 6 dp; all-zero frames (or silence) read 0
+    * across the board. Map-only; undecodable blobs dropped. */
+  def audioSpectralStats(df: DataFrame, idCol: String,
+      binCol: String): Dataset[AudioSpectral] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val N = 1024
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          MediaCodec.decodeWavPcm(Option(bytes).getOrElse(Array.empty))
+            .map { a =>
+              val used = math.min(a.frames.toLong, N.toLong).toInt
+              val re = new Array[Double](N)
+              val im = new Array[Double](N)
+              var i = 0
+              while (i < used) {
+                val s = a.samples(i * a.channels)
+                val x =
+                  if (a.bits == 16) s / 32768.0 else (s - 128) / 128.0
+                re(i) = x * Dsp.hann(i, N)
+                i += 1
+              }
+              Dsp.fft(re, im)
+              val half = N / 2
+              val p = new Array[Double](half + 1)
+              var k = 0
+              while (k <= half) {
+                p(k) = re(k) * re(k) + im(k) * im(k)
+                k += 1
+              }
+              var total = 0.0
+              k = 1
+              while (k <= half) { total += p(k); k += 1 }
+              if (total <= 0.0)
+                AudioSpectral(id, used, 0.0, 0.0, 0.0, 0.0, 0.0)
+              else {
+                def f(kk: Int): Double =
+                  kk.toDouble * a.sampleRate / N
+                var wsum = 0.0
+                k = 1
+                while (k <= half) { wsum += f(k) * p(k); k += 1 }
+                val centroid = wsum / total
+                var vsum = 0.0
+                k = 1
+                while (k <= half) {
+                  val d = f(k) - centroid
+                  vsum += d * d * p(k)
+                  k += 1
+                }
+                val spread = math.sqrt(vsum / total)
+                val thr = 0.85 * total
+                var cum = 0.0
+                var roll = 0.0
+                var kmax = 1
+                k = 1
+                while (k <= half) {
+                  cum += p(k)
+                  if (roll == 0.0 && cum >= thr) roll = f(k)
+                  if (p(k) > p(kmax)) kmax = k
+                  k += 1
+                }
+                AudioSpectral(id, used, r6(centroid), r6(spread),
+                  r6(roll), r6(f(kmax)), r6(p(kmax) / (total / half)))
+              }
+            }
+        }
+      }
+  }
+
   /** The exploded (id, h, band_idx, band_val) table both the dHash
     * pairs path and the skipped-band ledger band over — factored out
     * so the cap and the ledger count the SAME buckets. Band INDEX

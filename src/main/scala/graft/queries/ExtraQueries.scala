@@ -1249,6 +1249,36 @@ object ExtraQueries {
       FROM '/root/repo/src/test/resources/graft/sources/images_twin.parquet'
       ORDER BY img_id"""))
 
+  /** FREQUENCY-domain audio screen on the gate ([[graft.ops.Multimodal
+    * .audioSpectralStats]] over [[graft.ops.Dsp]]): Hann window +
+    * radix-2 FFT with PORTABLE spec'd-Taylor trig, so every double is
+    * bit-identical to the independent python replay
+    * (scripts/gen_audio_spectral.py, which re-reads the committed WAVs
+    * with stdlib `wave`) and the gate is EXACT — no tolerance. Planted
+    * truths certified at generation: the 440 Hz sine reads dominant
+    * bin 56 (437.5 Hz) with crest ≈ 300, LCG noise reads crest ≈ 6
+    * with 14× the spread, the silent-first-1024-frames clip and the
+    * dead-left-channel stereo read all-zero rows. */
+  val qAudioSpectral = Q(
+    "q349_audio_spectral",
+    (s, _) => {
+      val clips = s.read.format("binaryFile")
+        .load("/root/repo/src/test/resources/graft/sources/audio")
+        .select(regexp_extract(col("path"), "clip_(\\d+)\\.wav", 1)
+          .cast("long").as("audio_id"), col("content"))
+      graft.ops.Multimodal.audioSpectralStats(clips, "audio_id", "content")
+        .toDF()
+        .select(col("id").as("audio_id"), col("frames_used"),
+          col("spectral_centroid"), col("spectral_spread"),
+          col("spectral_rolloff"), col("dominant_freq"),
+          col("spectral_crest"))
+        .orderBy("audio_id")
+    },
+    Some("""SELECT audio_id, frames_used, spectral_centroid,
+        spectral_spread, spectral_rolloff, dominant_freq, spectral_crest
+      FROM '/root/repo/src/test/resources/graft/sources/audio_spectral_twin.parquet'
+      ORDER BY audio_id"""))
+
   /** dHash BANDING at corpus scale: q340–q342 certify the pixel path
     * on the committed fixture, but the band join is the part that has
     * to survive 100 TB — and a fixture-bound row cannot scale with the
@@ -1350,7 +1380,7 @@ object ExtraQueries {
     qStataRoundTrip, qXptScan, qSasScan, qSasRleScan, qSasDates,
     qImageDHash, qImageNearDup, qImageDedupClusters, qAudioStats,
     qDhashScale, qJpegDHash, qAudioChannelStats, qStreamingImageDedup,
-    qGifDHash,
+    qGifDHash, qAudioSpectral,
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qKendallExact,
     qMapValueCounts,
