@@ -1222,6 +1222,67 @@ object MediaCodec {
     out
   }
 
+  /** FRAME extraction from an MJPEG AVI (RIFF 'AVI ' container, the
+    * public OpenDML/VfW layout): walks the chunk tree to the 'movi'
+    * LIST and returns each video-frame chunk ('##dc'/'##db') payload —
+    * for Motion-JPEG streams each payload is a standalone baseline
+    * JPEG, which [[decodeJpegGray]] then turns into pixels. Container
+    * walk only (no codec assumptions beyond the caller's decode);
+    * bounds-checked at every step, frame count capped at 100k,
+    * anything malformed returns an empty result — hostile-bytes safe,
+    * never an exception. */
+  def aviFrames(b: Array[Byte]): Seq[Array[Byte]] =
+    try aviFramesImpl(b)
+    catch { case _: Exception => Seq.empty }
+
+  private def aviFramesImpl(b: Array[Byte]): Seq[Array[Byte]] = {
+    if (b.length < 12 || !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F')) return Seq.empty
+    if (!(b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' '))
+      return Seq.empty
+    val riffEnd = math.min(b.length.toLong, 8L + le32(b, 4)).toInt
+    val out = Seq.newBuilder[Array[Byte]]
+    var n = 0
+    // find every top-level-or-nested LIST 'movi' (strictly: top level,
+    // but a lenient walk tolerates writers that nest)
+    def walk(from: Int, to: Int, depth: Int): Unit = {
+      if (depth > 4) return
+      var pos = from
+      while (pos + 8 <= to) {
+        val size = le32(b, pos + 4)
+        if (size < 0 || pos + 8 + size.toLong > to) return
+        val isList = b(pos) == 'L' && b(pos + 1) == 'I' &&
+          b(pos + 2) == 'S' && b(pos + 3) == 'T'
+        if (isList && size >= 4) {
+          val lt = new String(b, pos + 8, 4,
+            java.nio.charset.StandardCharsets.US_ASCII)
+          if (lt == "movi") collectFrames(pos + 12, pos + 8 + size)
+          else walk(pos + 12, pos + 8 + size, depth + 1)
+        }
+        pos += 8 + size + (size & 1) // chunks pad to even
+      }
+    }
+    def collectFrames(from: Int, to: Int): Unit = {
+      var pos = from
+      while (pos + 8 <= to && n < 100000) {
+        val size = le32(b, pos + 4)
+        if (size < 0 || pos + 8 + size.toLong > to) return
+        val c2 = b(pos + 2); val c3 = b(pos + 3)
+        if ((c2 == 'd' && (c3 == 'c' || c3 == 'b'))) {
+          out += java.util.Arrays.copyOfRange(b, pos + 8, pos + 8 + size)
+          n += 1
+        } else if (b(pos) == 'L' && b(pos + 1) == 'I' &&
+          b(pos + 2) == 'S' && b(pos + 3) == 'T' && size >= 4) {
+          // 'rec ' grouping LIST: frames nest one level down
+          collectFrames(pos + 12, pos + 8 + size)
+        }
+        pos += 8 + size + (size & 1)
+      }
+    }
+    walk(12, riffEnd, 0)
+    out.result()
+  }
+
   /** Format-dispatched pixel decode: BMP, PNG or JPEG by magic sniff;
     * None for everything else. The one entry point the perceptual-hash
     * pipeline uses — the same pixels decode to the same raster and

@@ -330,6 +330,44 @@ object Multimodal {
       }
   }
 
+  /** One sampled video frame's fingerprint ([[videoFrameDHash]]). */
+  final case class VideoFrameHash(
+      id: Long, frame_idx: Int, width: Int, height: Int, dhash: Long)
+
+  /** FRAME-SAMPLE fingerprinting of a video binary column — the
+    * multimodal frame-sample operator made real for the one video
+    * codec the container can honestly decode: MJPEG AVI, where every
+    * frame is a standalone baseline JPEG ([[MediaCodec.aviFrames]]
+    * walks the RIFF container, [[MediaCodec.decodeJpegGray]] decodes
+    * the sampled frames through the same seam q344 certifies). Every
+    * `stride`-th frame (0, stride, 2·stride, …) is decoded to the
+    * SAME luma→9×8→dHash fingerprint the image pipeline uses, so
+    * video frames join the image near-dup/banding machinery directly
+    * — find the video a leaked thumbnail came from, dedup re-encoded
+    * clips by their sampled-frame hash sets. Frames that fail to
+    * decode are dropped (their frame_idx simply absent); map-only, no
+    * shuffle, the per-task cost is frames/stride JPEG decodes. */
+  def videoFrameDHash(df: DataFrame, idCol: String, binCol: String,
+      stride: Int = 1): Dataset[VideoFrameHash] = {
+    require(stride >= 1, "stride must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          MediaCodec.aviFrames(Option(bytes).getOrElse(Array.empty))
+            .iterator.zipWithIndex
+            .filter(_._2 % stride == 0)
+            .flatMap { case (frame, idx) =>
+              MediaCodec.decodeImageGray(frame).map(g =>
+                VideoFrameHash(id, idx, g.width, g.height,
+                  MediaCodec.dHash64(g)))
+            }
+        }
+      }
+  }
+
   /** Per-clip spectral shape ([[audioSpectralStats]]). */
   final case class AudioSpectral(
       id: Long, frames_used: Int, spectral_centroid: Double,

@@ -1279,6 +1279,52 @@ object ExtraQueries {
       FROM '/root/repo/src/test/resources/graft/sources/audio_spectral_twin.parquet'
       ORDER BY audio_id"""))
 
+  /** VIDEO frame sampling on the gate ([[graft.ops.Multimodal
+    * .videoFrameDHash]]): MJPEG AVI RIFF walk (one fixture nests its
+    * frames in a 'rec ' grouping LIST, exercising the lenient path) →
+    * every SECOND frame decoded through the q344-certified JPEG seam →
+    * the same luma dHash the image pipeline uses. The fixture AVIs are
+    * written by scripts/gen_avi_fixture.py (stdlib struct, no shared
+    * code) with committed JPEG fixtures as frames, and the mapping
+    * twin records which image landed at which (video, frame) — so the
+    * gate demands each sampled frame's hash lands within hamming ≤ 3
+    * of the INDEPENDENT pre-encoding twin hash of its source image,
+    * with exact dims, and the stride-2 sampling itself is gated by the
+    * oracle's frame_idx %% 2 filter (an off-by-one in sampling is a
+    * row-set mismatch). */
+  val qVideoFrames = Q(
+    "q350_video_frame_dhash",
+    (s, _) => {
+      val vids = s.read.format("binaryFile")
+        .load("/root/repo/src/test/resources/graft/sources/videos")
+        .select(regexp_extract(col("path"), "vid_(\\d+)\\.avi", 1)
+          .cast("long").as("video_id"), col("content"))
+      val fh = graft.ops.Multimodal
+        .videoFrameDHash(vids, "video_id", "content", stride = 2).toDF()
+        .select(col("id").as("video_id"), col("frame_idx"),
+          col("width"), col("height"), col("dhash").as("fhash"))
+      val map = s.read.parquet("/root/repo/src/test/resources/graft/" +
+        "sources/video_frames_twin.parquet")
+      val twin = s.read.parquet("/root/repo/src/test/resources/graft/" +
+        "sources/images_twin.parquet")
+        .select((col("img_id") + 200).as("img_id"),
+          col("dhash").as("thash"))
+      fh.join(map, Seq("video_id", "frame_idx"))
+        .join(twin, "img_id")
+        .select(col("video_id"), col("frame_idx"), col("width"),
+          col("height"),
+          (bit_count(col("fhash").bitwiseXOR(col("thash"))) <= 3)
+            .as("within3"))
+        .orderBy("video_id", "frame_idx")
+    },
+    Some("""SELECT m.video_id, m.frame_idx, t.width, t.height,
+        true AS within3
+      FROM '/root/repo/src/test/resources/graft/sources/video_frames_twin.parquet' m
+      JOIN '/root/repo/src/test/resources/graft/sources/images_twin.parquet' t
+        ON t.img_id = m.img_id - 200
+      WHERE m.frame_idx % 2 = 0
+      ORDER BY 1, 2"""))
+
   /** dHash BANDING at corpus scale: q340–q342 certify the pixel path
     * on the committed fixture, but the band join is the part that has
     * to survive 100 TB — and a fixture-bound row cannot scale with the
@@ -1380,7 +1426,7 @@ object ExtraQueries {
     qStataRoundTrip, qXptScan, qSasScan, qSasRleScan, qSasDates,
     qImageDHash, qImageNearDup, qImageDedupClusters, qAudioStats,
     qDhashScale, qJpegDHash, qAudioChannelStats, qStreamingImageDedup,
-    qGifDHash, qAudioSpectral,
+    qGifDHash, qAudioSpectral, qVideoFrames,
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qKendallExact,
     qMapValueCounts,

@@ -302,6 +302,42 @@ class ImageHashSpec extends SparkSpec {
     assert(g.get.gray.toSeq === Seq(255, 255, 255, 255))
   }
 
+  test("aviFrames: hand-built RIFF walk returns payloads in order; " +
+      "hostile bytes return empty, never throw") {
+    def ch(cc: String, p: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(cc.getBytes)
+      out.write(java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(p.length).array())
+      out.write(p)
+      if (p.length % 2 == 1) out.write(0)
+      out.toByteArray
+    }
+    def lst(t: String, p: Array[Byte]): Array[Byte] =
+      ch("LIST", t.getBytes ++ p)
+    val movi = lst("movi",
+      ch("00dc", Array[Byte](1, 2, 3)) ++
+        ch("01dc", Array[Byte](4, 5)) ++
+        ch("00db", Array[Byte](6)))
+    val body = "AVI ".getBytes ++ lst("hdrl", Array[Byte](0, 0, 0, 0)) ++ movi
+    val avi = ch("RIFF", body)
+    val frames = MediaCodec.aviFrames(avi)
+    assert(frames.map(_.toSeq) === Seq(Seq[Byte](1, 2, 3), Seq[Byte](4, 5),
+      Seq[Byte](6)))
+    // 'rec ' grouping LIST nests one level down
+    val rec = lst("movi", lst("rec ", ch("00dc", Array[Byte](9, 9))))
+    val avi2 = ch("RIFF", "AVI ".getBytes ++ rec)
+    assert(MediaCodec.aviFrames(avi2).map(_.toSeq) === Seq(Seq[Byte](9, 9)))
+    // hostile
+    assert(MediaCodec.aviFrames(Array.empty[Byte]).isEmpty)
+    assert(MediaCodec.aviFrames("RIFFxxxxWAVE".getBytes).isEmpty)
+    assert(MediaCodec.aviFrames(avi.take(30)).isEmpty)
+    val badSize = avi.clone // chunk size pointing past the buffer
+    java.nio.ByteBuffer.wrap(badSize).order(
+      java.nio.ByteOrder.LITTLE_ENDIAN).putInt(16, Int.MaxValue)
+    MediaCodec.aviFrames(badSize) // must not throw
+  }
+
   test("dhashNearDupPairs: pigeonhole recall is exhaustive to hamming 3") {
     // adversarial hashes: bit flips CONCENTRATED in one band (the case
     // a sloppy single-band scheme misses) plus cross-band flips
