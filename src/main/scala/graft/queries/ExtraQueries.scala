@@ -1325,6 +1325,34 @@ object ExtraQueries {
       WHERE m.frame_idx % 2 = 0
       ORDER BY 1, 2"""))
 
+  /** HTML → text extraction on the gate ([[graft.ops.HtmlExtract]]):
+    * the first step of every web corpus pipeline, as a single-pass
+    * state machine (not regex). The committed fixtures plant the
+    * branches that poison corpora when a stripper gets them wrong —
+    * `>` inside quoted attributes, `<div>` inside script bodies,
+    * comments containing tags, one-pass entity decoding (`&amp;lt;`
+    * stays `&lt;`), numeric/hex entities, nbsp, CAPS tags, bare `<`
+    * as text, unterminated script — and the twin is computed by an
+    * INDEPENDENT python implementation of the same documented spec
+    * (scripts/gen_html_fixture.py, planted truths asserted at
+    * generation). Gates text, link count and text density. */
+  val qHtmlExtract = Q(
+    "q351_html_extract",
+    (s, _) => {
+      val docs = s.read.format("binaryFile")
+        .load("/root/repo/src/test/resources/graft/sources/html")
+        .select(regexp_extract(col("path"), "doc_(\\d+)\\.html", 1)
+          .cast("long").as("doc_id"),
+          col("content").cast("string").as("html"))
+      graft.ops.HtmlExtract.htmlToText(docs, "doc_id", "html").toDF()
+        .select(col("id").as("doc_id"), col("text"), col("n_links"),
+          col("text_density"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, text, n_links, text_density
+      FROM '/root/repo/src/test/resources/graft/sources/html_twin.parquet'
+      ORDER BY doc_id"""))
+
   /** dHash BANDING at corpus scale: q340–q342 certify the pixel path
     * on the committed fixture, but the band join is the part that has
     * to survive 100 TB — and a fixture-bound row cannot scale with the
@@ -1426,7 +1454,7 @@ object ExtraQueries {
     qStataRoundTrip, qXptScan, qSasScan, qSasRleScan, qSasDates,
     qImageDHash, qImageNearDup, qImageDedupClusters, qAudioStats,
     qDhashScale, qJpegDHash, qAudioChannelStats, qStreamingImageDedup,
-    qGifDHash, qAudioSpectral, qVideoFrames,
+    qGifDHash, qAudioSpectral, qVideoFrames, qHtmlExtract,
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qKendallExact,
     qMapValueCounts,
