@@ -1353,6 +1353,33 @@ object ExtraQueries {
       FROM '/root/repo/src/test/resources/graft/sources/html_twin.parquet'
       ORDER BY doc_id"""))
 
+  /** Charset detection on the gate ([[graft.ops.EncodingDetect]]):
+    * BOM sniff (UTF-32/16 LE/BE, UTF-8) → ascii → strict RFC 3629
+    * UTF-8 validation → latin-1 fallback. The twin's utf-8 verdicts
+    * come from CPython's OWN strict decoder at generation
+    * (scripts/gen_encoding_fixture.py) — an independent reference
+    * validator — with planted overlongs (C0 AF, C0 80, E0 9F BF,
+    * F0 8F BF BF), a surrogate (ED A0 80), out-of-range leads
+    * (F5, F4 90), a truncated tail, a lone continuation byte, and the
+    * exact U+10FFFF maximum (valid). Mislabeling ANY of them — the
+    * classic hand-rolled-validator bugs — is a hash FAIL. */
+  val qEncodingDetect = Q(
+    "q352_encoding_detect",
+    (s, _) => {
+      val blobs = s.read.format("binaryFile")
+        .load("/root/repo/src/test/resources/graft/sources/encodings")
+        .select(regexp_extract(col("path"), "enc_(\\d+)\\.bin", 1)
+          .cast("long").as("enc_id"), col("content"))
+      graft.ops.EncodingDetect.detectEncoding(blobs, "enc_id", "content")
+        .toDF()
+        .select(col("id").as("enc_id"), col("encoding"), col("n_bytes"),
+          col("n_non_ascii"))
+        .orderBy("enc_id")
+    },
+    Some("""SELECT enc_id, encoding, n_bytes, n_non_ascii
+      FROM '/root/repo/src/test/resources/graft/sources/encodings_twin.parquet'
+      ORDER BY enc_id"""))
+
   /** dHash BANDING at corpus scale: q340–q342 certify the pixel path
     * on the committed fixture, but the band join is the part that has
     * to survive 100 TB — and a fixture-bound row cannot scale with the
@@ -1455,6 +1482,7 @@ object ExtraQueries {
     qImageDHash, qImageNearDup, qImageDedupClusters, qAudioStats,
     qDhashScale, qJpegDHash, qAudioChannelStats, qStreamingImageDedup,
     qGifDHash, qAudioSpectral, qVideoFrames, qHtmlExtract,
+    qEncodingDetect,
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qKendallExact,
     qMapValueCounts,
