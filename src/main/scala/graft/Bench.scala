@@ -561,7 +561,12 @@ object Bench {
       // fixture-bound (they cannot grow with the stress dir), so the
       // banding+verify machinery gets its 10x reading through the
       // doc_id-derived pseudo-dHash corpus instead
-      "q347_dhash_scale")
+      "q347_dhash_scale",
+      // round-12: the HTML extractor's SCALE row (markup synthesized
+      // from documents.text, real state machine, md5-gated) — a
+      // string-heavy map-only pipeline whose 10x reading should be
+      // ~linear; JIT/alloc creep in the scanner would surface here
+      "q353_html_scale")
     val stressWaivers = Map(
       "q165_mutual_knn" -> ("documented O(n^2) exact-kNN SCORING " +
         "(irreducible on unstructured embeddings — no cluster geometry " +

@@ -1380,6 +1380,46 @@ object ExtraQueries {
       FROM '/root/repo/src/test/resources/graft/sources/encodings_twin.parquet'
       ORDER BY enc_id"""))
 
+  /** HTML extraction at CORPUS scale: q351 certifies the state
+    * machine's branches on the planted fixture, but a fixture-bound
+    * row cannot grow with the stress dir — so this row synthesizes
+    * markup from every `documents.text` (entity-escaped, & first,
+    * then wrapped in p/ul/li/a tags), runs the REAL extractor, and
+    * gates md5(text) + n_links per document against a DuckDB replay:
+    * escape→decode round-trips to the original text exactly (one-pass
+    * decoding), so the oracle only has to replicate the documented
+    * whitespace spec (per-line collapse/trim, empty-drop, block-tag
+    * line structure) — expressible in SQL. The stress table's
+    * string-pipeline row (map-only; scales with the corpus). */
+  val qHtmlScale = Q(
+    "q353_html_scale",
+    (s, dir) => {
+      val esc = regexp_replace(regexp_replace(regexp_replace(
+        col("text"), lit("&"), lit("&amp;")),
+        lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("<p>"), esc, lit("</p><ul><li><a href=\"#\">"),
+            col("source"), lit("</a></li></ul>")).as("html"))
+      graft.ops.HtmlExtract.htmlToText(docs, "doc_id", "html").toDF()
+        .select(col("id").as("doc_id"), md5(col("text")).as("text_md5"),
+          col("n_links"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH cl AS (SELECT doc_id,
+        array_to_string(list_filter(list_transform(
+          string_split(text, chr(10)),
+          x -> trim(regexp_replace(x, '[ \t\r\x0B\x0C]+', ' ', 'g'))),
+          y -> y <> ''), chr(10)) AS ct,
+        trim(regexp_replace(source, '[ \t\r\x0B\x0C]+', ' ', 'g')) AS cs
+      FROM documents)
+      SELECT doc_id,
+        md5(CASE WHEN ct = '' THEN cs
+                 WHEN cs = '' THEN ct
+                 ELSE ct || chr(10) || cs END) AS text_md5,
+        CAST(1 AS INT) AS n_links
+      FROM cl ORDER BY doc_id"""))
+
   /** dHash BANDING at corpus scale: q340–q342 certify the pixel path
     * on the committed fixture, but the band join is the part that has
     * to survive 100 TB — and a fixture-bound row cannot scale with the
@@ -1482,7 +1522,7 @@ object ExtraQueries {
     qImageDHash, qImageNearDup, qImageDedupClusters, qAudioStats,
     qDhashScale, qJpegDHash, qAudioChannelStats, qStreamingImageDedup,
     qGifDHash, qAudioSpectral, qVideoFrames, qHtmlExtract,
-    qEncodingDetect,
+    qEncodingDetect, qHtmlScale,
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qKendallExact,
     qMapValueCounts,
