@@ -1420,6 +1420,31 @@ object ExtraQueries {
         CAST(1 AS INT) AS n_links
       FROM cl ORDER BY doc_id"""))
 
+  /** PDF → text extraction on the gate ([[graft.ops.PdfExtract]]):
+    * the dominant document format of any large corpus, as an honest
+    * subset parser — stream-object walk, bounded FlateDecode, BT/ET
+    * text blocks, Tj / TJ-array / ' operators, literal strings with
+    * octal + nested-paren escapes, hex strings with embedded
+    * whitespace, multi-page structure. The fixtures are CONSTRUCTED
+    * by scripts/gen_pdf_fixture.py from known line lists (stdlib
+    * struct/zlib, no shared code, never parses its own output) and
+    * the twin is those lines verbatim — a parser bug on any planted
+    * feature breaks the match. */
+  val qPdfExtract = Q(
+    "q354_pdf_extract",
+    (s, _) => {
+      val docs = s.read.format("binaryFile")
+        .load("/root/repo/src/test/resources/graft/sources/pdfs")
+        .select(regexp_extract(col("path"), "doc_(\\d+)\\.pdf", 1)
+          .cast("long").as("doc_id"), col("content"))
+      graft.ops.PdfExtract.pdfToText(docs, "doc_id", "content").toDF()
+        .select(col("id").as("doc_id"), col("text"), col("n_pages"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, text, n_pages
+      FROM '/root/repo/src/test/resources/graft/sources/pdf_twin.parquet'
+      ORDER BY doc_id"""))
+
   /** dHash BANDING at corpus scale: q340–q342 certify the pixel path
     * on the committed fixture, but the band join is the part that has
     * to survive 100 TB — and a fixture-bound row cannot scale with the
@@ -1522,7 +1547,7 @@ object ExtraQueries {
     qImageDHash, qImageNearDup, qImageDedupClusters, qAudioStats,
     qDhashScale, qJpegDHash, qAudioChannelStats, qStreamingImageDedup,
     qGifDHash, qAudioSpectral, qVideoFrames, qHtmlExtract,
-    qEncodingDetect, qHtmlScale,
+    qEncodingDetect, qHtmlScale, qPdfExtract,
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qKendallExact,
     qMapValueCounts,
