@@ -1445,6 +1445,58 @@ object ExtraQueries {
       FROM '/root/repo/src/test/resources/graft/sources/pdf_twin.parquet'
       ORDER BY doc_id"""))
 
+  /** WARC record enumeration on the gate ([[graft.ops.Warc.records]]):
+    * the container format of the web corpora that feed LLM pipelines
+    * (Common Crawl). Two committed archives hold IDENTICAL records —
+    * one plain .warc, one .warc.gz with each record gzipped as its own
+    * CONCATENATED member (the Common Crawl layout, exercising the JDK
+    * multi-member inflate) — so a gz-path bug shows as the two
+    * archives disagreeing. Gates record type, target URI, HTTP status,
+    * parameter-stripped content type and HTTP body length for all 9
+    * records × 2 archives, from twins written by the stdlib-only
+    * generator. */
+  val qWarcRecords = Q(
+    "q355_warc_records",
+    (s, _) => {
+      val arcs = s.read.format("binaryFile")
+        .load("/root/repo/src/test/resources/graft/sources/warc")
+        .select(regexp_extract(col("path"), "arc_(\\d+)\\.warc", 1)
+          .cast("long").as("arc_id"), col("content"))
+      graft.ops.Warc.records(arcs, "arc_id", "content").toDF()
+        .select(col("id").as("arc_id"), col("rec_idx"), col("rec_type"),
+          col("url"), col("http_status"), col("content_type"),
+          col("body_len"))
+        .orderBy("arc_id", "rec_idx")
+    },
+    Some("""SELECT arc_id, rec_idx, rec_type, url, http_status,
+        content_type, body_len
+      FROM '/root/repo/src/test/resources/graft/sources/warc_records_twin.parquet'
+      ORDER BY arc_id, rec_idx"""))
+
+  /** The composed web-ingestion front end on the gate ([[graft.ops
+    * .Warc.htmlPages]]): WARC(.gz) → 200-status text/html response
+    * bodies → the q351-certified HTML state machine → one text row
+    * per page — what a Common Crawl ingestion stage actually does, as
+    * one map-only operator. The twin composes the SAME independent
+    * python spec implementations (WARC writer + html extractor) over
+    * the same payloads; the 404 and the non-HTML 200 are planted to
+    * prove the filter. */
+  val qWarcPages = Q(
+    "q356_warc_html_pages",
+    (s, _) => {
+      val arcs = s.read.format("binaryFile")
+        .load("/root/repo/src/test/resources/graft/sources/warc")
+        .select(regexp_extract(col("path"), "arc_(\\d+)\\.warc", 1)
+          .cast("long").as("arc_id"), col("content"))
+      graft.ops.Warc.htmlPages(arcs, "arc_id", "content").toDF()
+        .select(col("id").as("arc_id"), col("rec_idx"), col("url"),
+          col("text"), col("n_links"))
+        .orderBy("arc_id", "rec_idx")
+    },
+    Some("""SELECT arc_id, rec_idx, url, text, n_links
+      FROM '/root/repo/src/test/resources/graft/sources/warc_pages_twin.parquet'
+      ORDER BY arc_id, rec_idx"""))
+
   /** dHash BANDING at corpus scale: q340–q342 certify the pixel path
     * on the committed fixture, but the band join is the part that has
     * to survive 100 TB — and a fixture-bound row cannot scale with the
@@ -1547,7 +1599,7 @@ object ExtraQueries {
     qImageDHash, qImageNearDup, qImageDedupClusters, qAudioStats,
     qDhashScale, qJpegDHash, qAudioChannelStats, qStreamingImageDedup,
     qGifDHash, qAudioSpectral, qVideoFrames, qHtmlExtract,
-    qEncodingDetect, qHtmlScale, qPdfExtract,
+    qEncodingDetect, qHtmlScale, qPdfExtract, qWarcRecords, qWarcPages,
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qKendallExact,
     qMapValueCounts,
