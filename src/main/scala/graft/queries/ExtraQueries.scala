@@ -1497,6 +1497,32 @@ object ExtraQueries {
       FROM '/root/repo/src/test/resources/graft/sources/warc_pages_twin.parquet'
       ORDER BY arc_id, rec_idx"""))
 
+  /** DOCX → text extraction on the gate ([[graft.ops.DocxExtract]]):
+    * ZIP walk (JDK) to word/document.xml, SAX handler (DTDs and
+    * external entities disabled) mapping w:t text, w:tab, w:br/w:cr
+    * and paragraph ends to the HtmlExtract line convention. Fixtures
+    * CONSTRUCTED by scripts/gen_docx_fixture.py (stdlib zipfile +
+    * hand-written WordprocessingML) from known paragraph lists; twin
+    * is those lines verbatim. Planted: multi-run lines with
+    * xml:space-preserved spacing, entities, tabs, soft breaks, table
+    * cells, styling that must contribute nothing, empty paragraphs
+    * that count but don't print. */
+  val qDocxExtract = Q(
+    "q357_docx_extract",
+    (s, _) => {
+      val docs = s.read.format("binaryFile")
+        .load("/root/repo/src/test/resources/graft/sources/docx")
+        .select(regexp_extract(col("path"), "doc_(\\d+)\\.docx", 1)
+          .cast("long").as("doc_id"), col("content"))
+      graft.ops.DocxExtract.docxToText(docs, "doc_id", "content").toDF()
+        .select(col("id").as("doc_id"), col("text"),
+          col("n_paragraphs"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, text, n_paragraphs
+      FROM '/root/repo/src/test/resources/graft/sources/docx_twin.parquet'
+      ORDER BY doc_id"""))
+
   /** dHash BANDING at corpus scale: q340–q342 certify the pixel path
     * on the committed fixture, but the band join is the part that has
     * to survive 100 TB — and a fixture-bound row cannot scale with the
@@ -1600,6 +1626,7 @@ object ExtraQueries {
     qDhashScale, qJpegDHash, qAudioChannelStats, qStreamingImageDedup,
     qGifDHash, qAudioSpectral, qVideoFrames, qHtmlExtract,
     qEncodingDetect, qHtmlScale, qPdfExtract, qWarcRecords, qWarcPages,
+    qDocxExtract,
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qKendallExact,
     qMapValueCounts,
