@@ -1523,6 +1523,38 @@ object ExtraQueries {
       FROM '/root/repo/src/test/resources/graft/sources/docx_twin.parquet'
       ORDER BY doc_id"""))
 
+  /** Code-corpus curation metrics on the gate ([[graft.ops
+    * .CodeMetrics]]): extension language ID, SPDX + phrase-heuristic
+    * license detection, comment fraction with a block-comment state
+    * machine (code after a block close on the same line, scaladoc,
+    * inline /* */ planted), blank/alpha fractions, line shape, and
+    * the DO-NOT-EDIT autogen flag — the columns a the-Stack-style
+    * code pipeline filters on. Twin computed by an INDEPENDENT python
+    * implementation of the same documented spec over the committed
+    * files (file_id keys come from the twin: fixture metadata, not
+    * expected values). */
+  val qCodeMetrics = Q(
+    "q358_code_metrics",
+    (s, _) => {
+      val files = s.read.format("binaryFile")
+        .load("/root/repo/src/test/resources/graft/sources/code")
+        .select(regexp_extract(col("path"), "([^/]+)$", 1)
+          .as("filename"), col("content").cast("string").as("text"))
+      val keys = s.read.parquet("/root/repo/src/test/resources/graft/" +
+        "sources/code_twin.parquet").select("file_id", "filename")
+      val keyed = files.join(broadcast(keys), "filename")
+      graft.ops.CodeMetrics
+        .codeMetrics(keyed, "file_id", "filename", "text").toDF()
+        .select(col("id").as("file_id"), col("lang"), col("n_lines"),
+          col("max_line_len"), col("blank_frac"), col("comment_frac"),
+          col("alpha_frac"), col("license"), col("autogen"))
+        .orderBy("file_id")
+    },
+    Some("""SELECT file_id, lang, n_lines, max_line_len, blank_frac,
+        comment_frac, alpha_frac, license, autogen
+      FROM '/root/repo/src/test/resources/graft/sources/code_twin.parquet'
+      ORDER BY file_id"""))
+
   /** dHash BANDING at corpus scale: q340–q342 certify the pixel path
     * on the committed fixture, but the band join is the part that has
     * to survive 100 TB — and a fixture-bound row cannot scale with the
@@ -1626,7 +1658,7 @@ object ExtraQueries {
     qDhashScale, qJpegDHash, qAudioChannelStats, qStreamingImageDedup,
     qGifDHash, qAudioSpectral, qVideoFrames, qHtmlExtract,
     qEncodingDetect, qHtmlScale, qPdfExtract, qWarcRecords, qWarcPages,
-    qDocxExtract,
+    qDocxExtract, qCodeMetrics,
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qKendallExact,
     qMapValueCounts,
