@@ -992,13 +992,35 @@ object MediaCodec {
     * capped at 16k per side BEFORE any raster allocation, every
     * decoder exception swallowed to None. The in-memory stream cache
     * is forced (no ImageIO temp files on executors). */
-  def decodeJpegGray(b: Array[Byte]): Option[GrayImage] =
-    try decodeJpegGrayImpl(b)
-    catch { case _: Exception => None }
-
-  private def decodeJpegGrayImpl(b: Array[Byte]): Option[GrayImage] = {
+  def decodeJpegGray(b: Array[Byte]): Option[GrayImage] = {
     if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8 ||
       (b(2) & 0xff) != 0xff) return None
+    decodeImageIoGray(b)
+  }
+
+  /** PIXEL-level decode of a TIFF through the SAME JDK ImageIO seam
+    * (the TIFF plugin ships with the JDK since 9). An uncompressed
+    * grayscale TIFF round-trips losslessly, so — like GIF (q348) and
+    * unlike JPEG — the q359 gate is EXACT hash equality against the
+    * independent twin. Same hostile-bytes contract: magic sniffed,
+    * header dims capped before raster allocation, None on anything
+    * malformed. */
+  def decodeTiffGray(b: Array[Byte]): Option[GrayImage] = {
+    val ii = b.length >= 4 && b(0) == 'I' && b(1) == 'I' &&
+      (b(2) & 0xff) == 42 && b(3) == 0
+    val mm = b.length >= 4 && b(0) == 'M' && b(1) == 'M' &&
+      b(2) == 0 && (b(3) & 0xff) == 42
+    if (!ii && !mm) return None
+    decodeImageIoGray(b)
+  }
+
+  /** Shared ImageIO decode seam (JPEG/TIFF): header-first dimension
+    * cap, in-memory stream cache, luma collapse, never an exception. */
+  private def decodeImageIoGray(b: Array[Byte]): Option[GrayImage] =
+    try decodeImageIoGrayImpl(b)
+    catch { case _: Exception => None }
+
+  private def decodeImageIoGrayImpl(b: Array[Byte]): Option[GrayImage] = {
     val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(b))
     try {
@@ -1298,6 +1320,12 @@ object MediaCodec {
     else if (b.length >= 4 && b(0) == 'G'.toByte && b(1) == 'I'.toByte &&
       b(2) == 'F'.toByte && b(3) == '8'.toByte)
       decodeGifGray(b)
+    else if (b.length >= 4 &&
+      ((b(0) == 'I'.toByte && b(1) == 'I'.toByte && (b(2) & 0xff) == 42 &&
+        b(3) == 0) ||
+        (b(0) == 'M'.toByte && b(1) == 'M'.toByte && b(2) == 0 &&
+          (b(3) & 0xff) == 42)))
+      decodeTiffGray(b)
     else decodePngGray(b)
 
   /** 64-bit difference hash over a decoded raster: nearest-neighbor

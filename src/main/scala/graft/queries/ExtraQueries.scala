@@ -1555,6 +1555,80 @@ object ExtraQueries {
       FROM '/root/repo/src/test/resources/graft/sources/code_twin.parquet'
       ORDER BY file_id"""))
 
+  /** TIFF pixel decode on the gate ([[graft.ops.MediaCodec
+    * .decodeTiffGray]] — the JDK ImageIO TIFF plugin as the seam,
+    * like q344's JPEG): the committed TIFFs are LOSSLESS gray
+    * re-encodes of fixture pixels (scripts/GenTiffFixture.java,
+    * pixel-exact round trip asserted at generation), so the gate is
+    * EXACT — decoded dims and dHash equal the independent python twin
+    * bit-for-bit, and the oracle derives the id set from the
+    * committed files (a dropped decode fails on row count). */
+  val qTiffDHash = Q(
+    "q359_tiff_dhash",
+    (s, _) => {
+      val tp = s.read.format("binaryFile")
+        .load("/root/repo/src/test/resources/graft/sources/images_tiff")
+        .select(
+          (regexp_extract(col("path"), "img_(\\d+)\\.tiff", 1)
+            .cast("long") - 600).as("img_id"), col("content"))
+      graft.ops.Multimodal.imageDHash(tp, "img_id", "content").toDF()
+        .select(col("id").as("img_id"), col("width"), col("height"),
+          col("dhash"))
+        .orderBy("img_id")
+    },
+    Some("""WITH j AS (SELECT
+        CAST(regexp_extract(file, 'img_(\d+)\.tiff', 1) AS BIGINT) - 600
+          AS img_id
+      FROM glob('/root/repo/src/test/resources/graft/sources/images_tiff/*.tiff'))
+      SELECT t.img_id, t.width, t.height, t.dhash
+      FROM '/root/repo/src/test/resources/graft/sources/images_twin.parquet' t
+      JOIN j USING (img_id)
+      ORDER BY img_id"""))
+
+  /** STREAMING web ingestion on the gate: [[graft.ops.Warc
+    * .htmlPages]] is map-only (container walk + HTML state machine,
+    * no state, no shuffle), so it runs UNCHANGED inside a Structured
+    * Streaming micro-batch — the batch/streaming symmetry of the
+    * ingestion front end, with archives arriving one per micro-batch
+    * as a crawl delivers them. Same oracle as q356: the streamed
+    * two-batch result must equal the batch replay exactly. */
+  val qStreamingWarc = Q(
+    "q360_streaming_warc_pages",
+    (s, _) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.OutputMode
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val arcs = s.read.format("binaryFile")
+        .load("/root/repo/src/test/resources/graft/sources/warc")
+        .select(regexp_extract(col("path"), "arc_(\\d+)\\.warc", 1)
+          .cast("long").as("arc_id"), col("content"))
+        .as[(Long, Array[Byte])].collect().sortBy(_._1)
+      val mem = MemoryStream[(Long, Array[Byte])]
+      val src = mem.toDF.toDF("arc_id", "content")
+      val pages = graft.ops.Warc.htmlPages(src, "arc_id", "content")
+      val sink = "graft_swarc_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-swarc-gate").toString
+      val query = pages.toDF.writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        arcs.foreach { a =>
+          mem.addData(Seq(a))
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      StreamGate.finish(s, sink, ckpt, s.table(sink))
+        .select(col("id").as("arc_id"), col("rec_idx"), col("url"),
+          col("text"), col("n_links"))
+        .orderBy("arc_id", "rec_idx")
+    },
+    Some("""SELECT arc_id, rec_idx, url, text, n_links
+      FROM '/root/repo/src/test/resources/graft/sources/warc_pages_twin.parquet'
+      ORDER BY arc_id, rec_idx"""))
+
   /** dHash BANDING at corpus scale: q340–q342 certify the pixel path
     * on the committed fixture, but the band join is the part that has
     * to survive 100 TB — and a fixture-bound row cannot scale with the
@@ -1658,7 +1732,7 @@ object ExtraQueries {
     qDhashScale, qJpegDHash, qAudioChannelStats, qStreamingImageDedup,
     qGifDHash, qAudioSpectral, qVideoFrames, qHtmlExtract,
     qEncodingDetect, qHtmlScale, qPdfExtract, qWarcRecords, qWarcPages,
-    qDocxExtract, qCodeMetrics,
+    qDocxExtract, qCodeMetrics, qTiffDHash, qStreamingWarc,
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qKendallExact,
     qMapValueCounts,

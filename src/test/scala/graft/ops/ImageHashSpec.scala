@@ -302,6 +302,22 @@ class ImageHashSpec extends SparkSpec {
     assert(g.get.gray.toSeq === Seq(255, 255, 255, 255))
   }
 
+  test("decodeTiffGray: committed fixture decodes pixel-identical to " +
+      "its BMP twin; hostile bytes return None") {
+    val tif = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      "src/test/resources/graft/sources/images_tiff/img_600.tiff"))
+    val fromTif = MediaCodec.decodeImageGray(tif).get
+    val bmpBytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths
+      .get("src/test/resources/graft/sources/images/img_000.bmp"))
+    val fromBmp = MediaCodec.decodeBmpGray(bmpBytes).get
+    assert(fromTif.gray.toSeq === fromBmp.gray.toSeq,
+      "TIFF of the same luma must decode pixel-identical")
+    assert(MediaCodec.dHash64(fromTif) === MediaCodec.dHash64(fromBmp))
+    assert(MediaCodec.decodeTiffGray(Array.empty[Byte]).isEmpty)
+    assert(MediaCodec.decodeTiffGray("II*x not tiff".getBytes).isEmpty)
+    assert(MediaCodec.decodeTiffGray(tif.take(40)).isEmpty)
+  }
+
   test("aviFrames: hand-built RIFF walk returns payloads in order; " +
       "hostile bytes return empty, never throw") {
     def ch(cc: String, p: Array[Byte]): Array[Byte] = {
