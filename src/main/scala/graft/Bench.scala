@@ -566,7 +566,18 @@ object Bench {
       // from documents.text, real state machine, md5-gated) — a
       // string-heavy map-only pipeline whose 10x reading should be
       // ~linear; JIT/alloc creep in the scanner would surface here
-      "q353_html_scale")
+      "q353_html_scale",
+      // round-13: the COMPOSED WARC -> HTML ingestion pipeline's
+      // SCALE row (runtime-synthesized per-record-gzipped archives,
+      // real record walk + multi-member inflate + HTML extraction) —
+      // verdict r12 #5: the operator a real ingestion run hammers,
+      // previously unmeasured at 10x (q353 covers only the HTML stage)
+      "q366_warc_scale",
+      // round-13: q67's associative-aggregate shape through the
+      // RangeAgg prefix-sum sweep — zero candidate materialization;
+      // tracked next to q67 so the two plans' scale behavior is
+      // compared every round
+      "q367_range_agg_sweep")
     val stressWaivers = Map(
       "q165_mutual_knn" -> ("documented O(n^2) exact-kNN SCORING " +
         "(irreducible on unstructured embeddings — no cluster geometry " +
@@ -582,7 +593,24 @@ object Bench {
         "structure: r12 task metrics show zero spill and flat O(k) " +
         "memory, and the r12 CheckpointRing freed the session-level " +
         "block-manager pressure the r11 driver host accumulated. " +
-        "q26b/q26c/q27 are the approximate scale path"))
+        "q26b/q26c/q27 are the approximate scale path"),
+      "q67_range_join" -> ("measured-envelope waiver (r12 verdict #2, " +
+        "three driver flags): the bin-equi-join plan is correct and " +
+        "LINEAR (norm 0.86-0.94x on every clean retry), but at 10x it " +
+        "is a ~20-30 s 32-core-SATURATING stage — per-stage metrics " +
+        "show spill 0, shuffle 8 MB, task GC <1 s, peak-exec 104 MB, " +
+        "so nothing in the plan varies; wall time is CPU-bound " +
+        "candidate verify + hash agg, and ANY host co-tenancy extends " +
+        "it near-linearly. PINNED round 13 by experiment: fresh-JVM " +
+        "isolated 10x = 18.0-26.6 s (4 reps, warm 18 s); with 16 of " +
+        "32 cores stolen by synthetic spinners = 31.4-35.8 s; " +
+        "in-session first read on an IDLE host = 48.7 s (retry 27.2 s " +
+        "= 0.94x) - session-accumulated JIT/GC background work is the " +
+        "residual first-read tax. OBSERVED ENVELOPE at 10x: 18-49 s " +
+        "builder (idle), 52-90 s driver (loadavg > 3). The " +
+        "ASSOCIATIVE-AGGREGATE shape now has a sweep path with no " +
+        "candidate window at all: q367_range_agg_sweep (RangeAgg), " +
+        "tracked alongside."))
     val stressFailed = scala.collection.mutable.LinkedHashSet[String]()
     // per-query task metrics on the SCALED pass (and retries): the
     // attribution data round 11's trips lacked

@@ -491,23 +491,30 @@ object Multimodal {
     * SKIPPED before the pair explosion via one map-side-combined
     * aggregate + semi join; at that size they are either giant
     * exact-dup families (an exact hash-groupBy collapses those first
-    * and cheaper) or degenerate rasters. The drop is silent in this
-    * method's OUTPUT by design; callers that need the recall loss read
-    * [[dhashSkippedBands]]. */
+    * and cheaper) or degenerate rasters. The cap is OPT-IN (default
+    * `Int.MaxValue` = exhaustive, the documented pigeonhole recall
+    * contract holds verbatim); a caller that sets a finite cap for
+    * corpus scale accepts the recall loss and MUST read
+    * [[dhashSkippedBands]] with the same cap to make the drop
+    * observable — that is the contract the q347 stress row and
+    * ImageHashSpec pin. */
   def dhashNearDupPairs(hashes: DataFrame, idCol: String,
       hashCol: String, maxBits: Int,
-      maxBucket: Int = 4096): DataFrame = {
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     require(maxBits >= 0 && maxBits <= 3,
       s"dhashNearDupPairs: 4-band pigeonhole guarantees recall only " +
         s"to hamming 3, got maxBits=$maxBits; re-band before raising")
     require(maxBucket >= 2, "maxBucket must be >= 2")
     val withIdx = dhashBands(hashes, idCol, hashCol)
-    val okBuckets = withIdx.groupBy("band_idx", "band_val")
-      .agg(count(lit(1)).as("__bsz"))
-      .where(col("__bsz") <= maxBucket)
-      .select("band_idx", "band_val")
-    val bounded = withIdx
-      .join(okBuckets, Seq("band_idx", "band_val"), "left_semi")
+    // uncapped → no guard aggregate in the plan (the common gated path
+    // pays nothing for the scale knob it does not use)
+    val bounded = if (maxBucket == Int.MaxValue) withIdx else {
+      val okBuckets = withIdx.groupBy("band_idx", "band_val")
+        .agg(count(lit(1)).as("__bsz"))
+        .where(col("__bsz") <= maxBucket)
+        .select("band_idx", "band_val")
+      withIdx.join(okBuckets, Seq("band_idx", "band_val"), "left_semi")
+    }
     val l = bounded.select(col("band_idx"), col("band_val"),
       col("id").as("i"), col("h").as("hi"))
     val r = bounded.select(col("band_idx"), col("band_val"),
@@ -528,7 +535,7 @@ object Multimodal {
     * banding as the pairs path, one map-side-combined aggregate, no
     * pair explosion. Empty when the guard dropped nothing. */
   def dhashSkippedBands(hashes: DataFrame, idCol: String,
-      hashCol: String, maxBucket: Int = 4096): DataFrame = {
+      hashCol: String, maxBucket: Int): DataFrame = {
     require(maxBucket >= 2, "maxBucket must be >= 2")
     dhashBands(hashes, idCol, hashCol)
       .groupBy("band_idx", "band_val")

@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions._
   * ships ~100 TB-scale .warc.gz). This is the ingestion front door
   * that [[HtmlExtract]] / [[EncodingDetect]] / the dedup family sit
   * behind; q355 gates record enumeration, q356 gates the composed
-  * WARC → HTTP body → HTML → text pipeline end-to-end.
+  * WARC → HTTP body → HTML → text pipeline end-to-end, q361 gates the
+  * truncation LEDGER (every cap observable per archive).
   *
   * Subset spec (the fixtures are generated to it by
   * scripts/gen_warc_fixture.py, stdlib-only, no shared code):
@@ -23,86 +24,186 @@ import org.apache.spark.sql.functions._
   *    HTTP headers (parameters after ';' dropped, lowercased), body
   *    after the first CRLFCRLF.
   *  - Records without a parsable structure stop the scan (a torn
-  *    tail yields the records before it); caps: 100k records, 64 MiB
-  *    inflated — hostile-bytes safe, never an exception.
+  *    tail — INCLUDING a non-numeric Content-Length — yields the
+  *    records before it); hostile-bytes safe, never an exception.
+  *
+  * Scale caps and the PER-TASK HEAP CONTRACT: one archive is parsed
+  * per input row, entirely in one task. Peak heap per archive ≈
+  * compressed blob + `maxInflate` inflated bytes + the record body
+  * copies (≤ inflated size) — the parse walks the BYTE ARRAY directly
+  * (headers decode only their own small slices; there is NO full-blob
+  * String copy). A real Common Crawl archive is ~1 GB compressed /
+  * several GB inflated, so a deployment MUST size `maxInflate` (and
+  * executor memory) to its archives or pre-split them; the default
+  * 64 MiB is a hostile-bytes guard, not a capacity claim. Every cap
+  * is OBSERVABLE: when one bites, the scan stops and the archive's
+  * [[ledger]] row says so (`truncated`, `reason`) — same discipline
+  * as the dHash/SimHash/LSH skipped-band ledgers, no silent drops.
   */
 object Warc {
+
+  /** Default inflate cap: hostile-bytes guard (zip bombs), not a
+    * capacity claim — see the heap contract in the object scaladoc. */
+  val DefaultMaxInflate: Int = 64 << 20
+  /** Default record-count cap per archive. */
+  val DefaultMaxRecords: Int = 100000
 
   /** One parsed record; http fields are meaningful for `response`. */
   final case class WarcRecord(
       rec_idx: Int, rec_type: String, url: String, http_status: Int,
       content_type: String, body: Array[Byte])
 
-  /** Parse a .warc or .warc.gz blob into its records. */
-  def parseRecords(blob: Array[Byte]): Seq[WarcRecord] =
-    try parseImpl(gunzipIfNeeded(blob))
-    catch { case _: Exception => Seq.empty }
+  /** A full archive scan: the records plus the truncation facts a
+    * silent-cap-free pipeline needs. `reason` is "" (clean),
+    * "inflate_cap" (gzip stream had more data past `maxInflate`),
+    * "record_cap" (`maxRecords` hit with bytes remaining), or
+    * "torn_tail" (structural corruption — including a malformed
+    * Content-Length — stopped the scan before end-of-archive). */
+  final case class WarcScan(
+      records: Seq[WarcRecord], truncated: Boolean, reason: String,
+      bytesScanned: Long, bytesInflated: Long)
 
-  private def gunzipIfNeeded(b: Array[Byte]): Array[Byte] = {
+  /** Parse a .warc or .warc.gz blob into records (compat shim over
+    * [[parseArchive]]; callers that must not drop data silently read
+    * the scan's `truncated` flag instead). */
+  def parseRecords(blob: Array[Byte]): Seq[WarcRecord] =
+    parseArchive(blob).records
+
+  /** Parse with observable truncation. Never throws on hostile bytes:
+    * undecodable input yields zero records with reason "torn_tail". */
+  def parseArchive(blob: Array[Byte],
+      maxInflate: Int = DefaultMaxInflate,
+      maxRecords: Int = DefaultMaxRecords): WarcScan =
+    try {
+      val (b, inflateCapped) = gunzipIfNeeded(blob, maxInflate)
+      parseImpl(b, inflateCapped, maxRecords)
+    } catch {
+      case _: Exception =>
+        WarcScan(Seq.empty, truncated = true, "torn_tail", 0L, 0L)
+    }
+
+  /** Inflate a gzip blob up to `maxInflate`; second element is true
+    * when the stream had MORE data past the cap (the observable bite).
+    * Non-gzip input passes through uncapped (its length is already the
+    * task's input size — there is nothing to bound). */
+  private def gunzipIfNeeded(b: Array[Byte],
+      maxInflate: Int): (Array[Byte], Boolean) = {
     if (b.length < 2 || (b(0) & 0xff) != 0x1f || (b(1) & 0xff) != 0x8b)
-      return b
+      return (b, false)
     val in = new java.util.zip.GZIPInputStream(
       new java.io.ByteArrayInputStream(b))
     try {
-      val out = new java.io.ByteArrayOutputStream(b.length * 4)
+      val out = new java.io.ByteArrayOutputStream(
+        math.min(math.max(b.length * 4, 1024), maxInflate))
       val buf = new Array[Byte](8192)
+      var capped = false
       var n = in.read(buf)
-      while (n >= 0 && out.size < (64 << 20)) {
-        out.write(buf, 0, n)
-        n = in.read(buf)
+      while (n >= 0 && !capped) {
+        val room = maxInflate - out.size
+        if (n <= room) { out.write(buf, 0, n); n = in.read(buf) }
+        else { out.write(buf, 0, room); capped = true }
       }
-      out.toByteArray
+      (out.toByteArray, capped)
     } finally in.close()
   }
 
-  private def parseImpl(b: Array[Byte]): Seq[WarcRecord] = {
-    val s = new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+  // -------- byte-level scanning helpers (no full-String copy) --------
+
+  private def indexOfCrlfCrlf(b: Array[Byte], from: Int): Int = {
+    var i = math.max(from, 0)
+    val n = b.length
+    while (i + 3 < n) {
+      if (b(i) == '\r' && b(i + 1) == '\n' &&
+        b(i + 2) == '\r' && b(i + 3) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+
+  private def startsWithAscii(b: Array[Byte], pos: Int,
+      s: String): Boolean = {
+    if (pos + s.length > b.length) return false
+    var i = 0
+    while (i < s.length) {
+      if ((b(pos + i) & 0xff) != s.charAt(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Decode ONLY the [from, until) header slice — the small part. */
+  private def sliceAscii(b: Array[Byte], from: Int, until: Int): String =
+    new String(b, from, until - from,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  private def parseImpl(b: Array[Byte], inflateCapped: Boolean,
+      maxRecords: Int): WarcScan = {
     val out = Seq.newBuilder[WarcRecord]
+    val n = b.length
     var pos = 0
     var idx = 0
-    while (pos < s.length && idx < 100000) {
-      // tolerate inter-record padding
-      while (pos < s.length &&
-        (s.charAt(pos) == '\r' || s.charAt(pos) == '\n')) pos += 1
-      if (pos >= s.length) return out.result()
-      if (!s.regionMatches(pos, "WARC/", 0, 5)) return out.result()
-      val hdrEnd = s.indexOf("\r\n\r\n", pos)
-      if (hdrEnd < 0) return out.result()
-      val headers = parseHeaders(s.substring(pos, hdrEnd))
-      val len = headers.getOrElse("content-length", "-1").trim.toLong
-      val bodyStart = hdrEnd + 4
-      if (len < 0 || bodyStart + len > s.length) return out.result()
-      val recType = headers.getOrElse("warc-type", "")
-      val url = headers.getOrElse("warc-target-uri", "")
-      var status = 0
-      var ctype = ""
-      var payload = java.util.Arrays.copyOfRange(
-        b, bodyStart, bodyStart + len.toInt)
-      if (recType == "response") {
-        val ps =
-          new String(payload, java.nio.charset.StandardCharsets.ISO_8859_1)
-        if (ps.startsWith("HTTP/")) {
-          val lineEnd = ps.indexOf("\r\n")
-          if (lineEnd > 0) {
-            val parts = ps.substring(0, lineEnd).split(" ")
-            if (parts.length >= 2)
-              status = parts(1).toIntOption.getOrElse(0)
-            val he = ps.indexOf("\r\n\r\n")
-            if (he >= 0) {
-              val hh = parseHeaders(ps.substring(lineEnd + 2, he))
-              ctype = hh.getOrElse("content-type", "")
-                .split(";")(0).trim.toLowerCase
-              payload = java.util.Arrays.copyOfRange(
-                payload, he + 4, payload.length)
+    var reason = ""
+    var stopped = false
+    while (!stopped && pos < n && idx < maxRecords) {
+      while (pos < n && (b(pos) == '\r' || b(pos) == '\n')) pos += 1
+      if (pos >= n) stopped = true
+      else if (!startsWithAscii(b, pos, "WARC/")) {
+        reason = "torn_tail"; stopped = true
+      } else {
+        val hdrEnd = indexOfCrlfCrlf(b, pos)
+        if (hdrEnd < 0) { reason = "torn_tail"; stopped = true }
+        else {
+          val headers = parseHeaders(sliceAscii(b, pos, hdrEnd))
+          // malformed (non-numeric) length terminates the scan like
+          // other structural corruption — it must NOT throw and
+          // discard the records already parsed (ADVICE r12)
+          val len = headers.getOrElse("content-length", "-1")
+            .trim.toLongOption.getOrElse(-1L)
+          val bodyStart = hdrEnd + 4
+          if (len < 0 || bodyStart + len > n) {
+            reason = "torn_tail"; stopped = true
+          } else {
+            val recType = headers.getOrElse("warc-type", "")
+            val url = headers.getOrElse("warc-target-uri", "")
+            var status = 0
+            var ctype = ""
+            var payload = java.util.Arrays.copyOfRange(
+              b, bodyStart, bodyStart + len.toInt)
+            if (recType == "response" &&
+              startsWithAscii(payload, 0, "HTTP/")) {
+              val he = indexOfCrlfCrlf(payload, 0)
+              val headLen = if (he >= 0) he else payload.length
+              val head = sliceAscii(payload, 0, headLen)
+              val lineEnd = head.indexOf("\r\n")
+              if (lineEnd > 0) {
+                val parts = head.substring(0, lineEnd).split(" ")
+                if (parts.length >= 2)
+                  status = parts(1).toIntOption.getOrElse(0)
+              }
+              if (he >= 0 && lineEnd > 0) {
+                val hh = parseHeaders(head.substring(lineEnd + 2))
+                ctype = hh.getOrElse("content-type", "")
+                  .split(";")(0).trim.toLowerCase
+                payload = java.util.Arrays.copyOfRange(
+                  payload, he + 4, payload.length)
+              }
             }
+            out += WarcRecord(idx, recType, url, status, ctype, payload)
+            idx += 1
+            pos = bodyStart + len.toInt
           }
         }
       }
-      out += WarcRecord(idx, recType, url, status, ctype, payload)
-      idx += 1
-      pos = bodyStart + len.toInt
     }
-    out.result()
+    // record-cap bite: stopped by count with non-padding bytes left
+    if (!stopped && idx >= maxRecords) {
+      var p = pos
+      while (p < n && (b(p) == '\r' || b(p) == '\n')) p += 1
+      if (p < n) reason = "record_cap"
+    }
+    // the inflate cap subsumes whatever structural stop it caused
+    if (inflateCapped) reason = "inflate_cap"
+    WarcScan(out.result(), reason.nonEmpty, reason, pos.toLong, n.toLong)
   }
 
   private def parseHeaders(h: String): Map[String, String] =
@@ -120,17 +221,98 @@ object Warc {
       id: Long, rec_idx: Int, rec_type: String, url: String,
       http_status: Int, content_type: String, body_len: Long)
 
-  def records(df: DataFrame, idCol: String,
-      binCol: String): Dataset[WarcRow] = {
+  def records(df: DataFrame, idCol: String, binCol: String,
+      maxInflate: Int = DefaultMaxInflate,
+      maxRecords: Int = DefaultMaxRecords): Dataset[WarcRow] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
-          parseRecords(Option(bytes).getOrElse(Array.empty)).map(r =>
+          parseArchive(Option(bytes).getOrElse(Array.empty),
+            maxInflate, maxRecords).records.map(r =>
             WarcRow(id, r.rec_idx, r.rec_type, r.url, r.http_status,
               r.content_type, r.body.length.toLong))
+        }
+      }
+  }
+
+  /** Per-archive truncation LEDGER — one row per input archive with
+    * the record count and whether (and why) any cap stopped the scan
+    * early. The companion to [[records]] a no-silent-caps pipeline
+    * runs alongside the extraction pass; q361 gates it against
+    * planted over-cap archives. Map-only like everything here. */
+  final case class WarcLedgerRow(
+      id: Long, n_records: Int, truncated: Boolean, reason: String,
+      bytes_scanned: Long, bytes_inflated: Long)
+
+  def ledger(df: DataFrame, idCol: String, binCol: String,
+      maxInflate: Int = DefaultMaxInflate,
+      maxRecords: Int = DefaultMaxRecords): Dataset[WarcLedgerRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val s = parseArchive(Option(bytes).getOrElse(Array.empty),
+            maxInflate, maxRecords)
+          WarcLedgerRow(id, s.records.length, s.truncated, s.reason,
+            s.bytesScanned, s.bytesInflated)
+        }
+      }
+  }
+
+  /** The CURATION front end (q363): WARC(.gz) → 200 text/html bodies
+    * → [[EncodingDetect.detect]] byte-sniffed charset → charset-aware
+    * decode → [[HtmlExtract.extractText]], one map-only operator — the
+    * charset-blind [[htmlPages]] decodes everything as UTF-8, which
+    * mangles the latin-1 tail of a real crawl. Quality columns compose
+    * on top as ordinary Column expressions (TextAnalysis.qualitySignals),
+    * keeping the whole front door one stateless micro-batchable map. */
+  final case class CuratedPage(
+      id: Long, rec_idx: Int, url: String, charset: String,
+      text: String, n_links: Int)
+
+  private def decodeBody(b: Array[Byte], charset: String): String =
+    charset match {
+      case "utf-8-bom" =>
+        new String(b, 3, b.length - 3,
+          java.nio.charset.StandardCharsets.UTF_8)
+      case "latin-1" =>
+        new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+      case "utf-16le" | "utf-16be" =>
+        // detection is BOM-based, and the JDK's UTF-16 charset
+        // consumes exactly that BOM
+        new String(b, java.nio.charset.StandardCharsets.UTF_16)
+      case "utf-32le" | "utf-32be" =>
+        try new String(b, java.nio.charset.Charset.forName("UTF-32"))
+        catch { case _: Exception =>
+          new String(b, java.nio.charset.StandardCharsets.ISO_8859_1) }
+      case _ => // ascii, utf-8
+        new String(b, java.nio.charset.StandardCharsets.UTF_8)
+    }
+
+  def curatedPages(df: DataFrame, idCol: String, binCol: String,
+      maxInflate: Int = DefaultMaxInflate,
+      maxRecords: Int = DefaultMaxRecords): Dataset[CuratedPage] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          parseArchive(Option(bytes).getOrElse(Array.empty),
+            maxInflate, maxRecords).records
+            .filter(r => r.rec_type == "response" &&
+              r.http_status == 200 && r.content_type == "text/html")
+            .map { r =>
+              val cs = EncodingDetect.detect(r.body)
+              val (text, links) =
+                HtmlExtract.extractText(decodeBody(r.body, cs))
+              CuratedPage(id, r.rec_idx, r.url, cs, text, links)
+            }
         }
       }
   }
@@ -142,15 +324,17 @@ object Warc {
   final case class WarcPage(
       id: Long, rec_idx: Int, url: String, text: String, n_links: Int)
 
-  def htmlPages(df: DataFrame, idCol: String,
-      binCol: String): Dataset[WarcPage] = {
+  def htmlPages(df: DataFrame, idCol: String, binCol: String,
+      maxInflate: Int = DefaultMaxInflate,
+      maxRecords: Int = DefaultMaxRecords): Dataset[WarcPage] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
-          parseRecords(Option(bytes).getOrElse(Array.empty))
+          parseArchive(Option(bytes).getOrElse(Array.empty),
+            maxInflate, maxRecords).records
             .filter(r => r.rec_type == "response" &&
               r.http_status == 200 && r.content_type == "text/html")
             .map { r =>

@@ -1394,13 +1394,18 @@ object ExtraQueries {
   val qHtmlScale = Q(
     "q353_html_scale",
     (s, dir) => {
-      val esc = regexp_replace(regexp_replace(regexp_replace(
-        col("text"), lit("&"), lit("&amp;")),
-        lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+      def esc(c: org.apache.spark.sql.Column) =
+        regexp_replace(regexp_replace(regexp_replace(
+          c, lit("&"), lit("&amp;")),
+          lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+      // source is escaped like text: a stress corpus whose source
+      // values carry markup chars must round-trip through the decoder
+      // identically on both sides of the gate (ADVICE r12)
       val docs = table(s, dir, "documents")
         .select(col("doc_id"),
-          concat(lit("<p>"), esc, lit("</p><ul><li><a href=\"#\">"),
-            col("source"), lit("</a></li></ul>")).as("html"))
+          concat(lit("<p>"), esc(col("text")),
+            lit("</p><ul><li><a href=\"#\">"),
+            esc(col("source")), lit("</a></li></ul>")).as("html"))
       graft.ops.HtmlExtract.htmlToText(docs, "doc_id", "html").toDF()
         .select(col("id").as("doc_id"), md5(col("text")).as("text_md5"),
           col("n_links"))
@@ -1629,6 +1634,216 @@ object ExtraQueries {
       FROM '/root/repo/src/test/resources/graft/sources/warc_pages_twin.parquet'
       ORDER BY arc_id, rec_idx"""))
 
+  /** WARC truncation LEDGER on the gate ([[graft.ops.Warc.ledger]]):
+    * the no-silent-caps contract for the web-ingestion front door
+    * (verdict r12 #3 — a real Common Crawl archive inflates past any
+    * hostile-bytes cap, and before this ledger the scan just stopped,
+    * dropping >90% of records invisibly). One planted archive per
+    * class: clean, record-cap bite, inflate-cap bite (gz inflating
+    * past the cap), torn tail, the NON-NUMERIC Content-Length that
+    * used to throw-and-drop-all (ADVICE r12), and pure garbage. The
+    * gate uses SMALL caps (4096 bytes / 3 records) so the bites are
+    * committable; production keeps 64 MiB / 100k. Twin rows are
+    * construction arithmetic (member byte offsets the generator laid
+    * down) — no parser duplicated. */
+  val qWarcTruncLedger = Q(
+    "q361_warc_trunc_ledger",
+    (s, _) => {
+      val arcs = s.read.format("binaryFile")
+        .load("/root/repo/src/test/resources/graft/sources/warc_trunc")
+        .select(regexp_extract(col("path"), "arc_(\\d+)\\.warc", 1)
+          .cast("long").as("arc_id"), col("content"))
+      graft.ops.Warc.ledger(arcs, "arc_id", "content",
+          maxInflate = 4096, maxRecords = 3).toDF()
+        .select(col("id").as("arc_id"), col("n_records"),
+          col("truncated"), col("reason"))
+        .orderBy("arc_id")
+    },
+    Some("""SELECT arc_id, n_records, truncated, reason
+      FROM '/root/repo/src/test/resources/graft/sources/warc_trunc_twin.parquet'
+      ORDER BY arc_id"""))
+
+  /** STREAMING curation front door (verdict r12 #6): WARC → byte-
+    * sniffed charset → charset-aware decode → HTML extract → quality
+    * columns, ALL inside one Structured Streaming micro-batch
+    * ([[graft.ops.Warc.curatedPages]] is map-only, and the quality
+    * signals are ordinary codegen'd Column expressions on top). The
+    * fixtures plant all four common charsets — ascii, multibyte
+    * utf-8, utf-8-BOM, and the latin-1 crawl tail a utf-8-blind
+    * decode mangles (q356's htmlPages would emit U+FFFD for 0xE9) —
+    * plus a 404 and a non-HTML 200 the filter must drop. Archives
+    * arrive one per micro-batch; the twin composes the CPython strict
+    * decoder (charset), the independent HTML extractor, and per-
+    * charset decode; quality columns come from the q29-certified
+    * DuckDB expressions over the twin text. */
+  val qStreamingCuration = Q(
+    "q363_streaming_curation",
+    (s, _) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.OutputMode
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val arcs = s.read.format("binaryFile")
+        .load("/root/repo/src/test/resources/graft/sources/warc_curated")
+        .select(regexp_extract(col("path"), "arc_(\\d+)\\.warc", 1)
+          .cast("long").as("arc_id"), col("content"))
+        .as[(Long, Array[Byte])].collect().sortBy(_._1)
+      val mem = MemoryStream[(Long, Array[Byte])]
+      val src = mem.toDF.toDF("arc_id", "content")
+      val sig = graft.ops.TextAnalysis.qualitySignals(col("text"))
+      val curated = graft.ops.Warc.curatedPages(src, "arc_id", "content")
+        .toDF()
+        .select(col("id"), col("rec_idx"), col("url"), col("charset"),
+          col("text"), col("n_links"),
+          sig("n_chars").as("n_chars"), sig("n_words").as("n_words"),
+          sig("punct_ratio").as("punct_ratio"),
+          graft.ops.TextAnalysis.qualityScore(col("text"))
+            .as("quality_score"))
+      val sink = "graft_scur_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-scur-gate").toString
+      val query = curated.writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        arcs.foreach { a =>
+          mem.addData(Seq(a))
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      StreamGate.finish(s, sink, ckpt, s.table(sink))
+        .select(col("id").as("arc_id"), col("rec_idx"), col("url"),
+          col("charset"), col("text"), col("n_links"), col("n_chars"),
+          col("n_words"), col("punct_ratio"), col("quality_score"))
+        .orderBy("arc_id", "rec_idx")
+    },
+    Some("""WITH t AS (SELECT *,
+        list_filter(string_split_regex(lower(text), '\s+'),
+          x -> length(x) > 0) AS ws
+      FROM '/root/repo/src/test/resources/graft/sources/warc_curated_twin.parquet')
+      SELECT arc_id, rec_idx, url, charset, text, n_links,
+        CAST(length(text) AS BIGINT) AS n_chars,
+        CAST(len(ws) AS BIGINT) AS n_words,
+        round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+          AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio,
+        round(greatest(0.0,
+          least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.4 +
+          (CASE WHEN round(CAST(list_sum(list_transform(ws,
+             w -> length(w))) AS DOUBLE) / greatest(len(ws), 1), 6)
+             BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.3 +
+          (1.0 - least(round(CAST(len(regexp_extract_all(text,
+             '[^A-Za-z0-9\s]')) AS DOUBLE) / greatest(length(text), 1),
+             6) * 2.0, 1.0)) * 0.2 +
+          (1.0 - least(round(CAST(len(regexp_extract_all(text, '[0-9]'))
+             AS DOUBLE) / greatest(length(text), 1), 6) * 2.0, 1.0))
+             * 0.1), 6) AS quality_score
+      FROM t ORDER BY arc_id, rec_idx"""))
+
+  /** POSITIONED PDF extraction on the gate ([[graft.ops.PdfExtract
+    * .pdfToTextPositioned]], verdict r12 #7): q354's subset emits
+    * strings in STREAM order, and a two-column page interleaves its
+    * columns (L1 R1 L2 R2 …) — this gate's fixtures write exactly that
+    * interleaving with explicit Tm/Td/TD/TL/T* positioning, and the
+    * twin pins the READING order from the coordinates the generator
+    * chose (never parsing its own output). Planted: two-column
+    * reassembly, TD-leading + T* line advance, an indent that must NOT
+    * become a column, same-line space-vs-concat join rules, two
+    * compressed two-column pages, TL + ' advance. */
+  val qPdfColumns = Q(
+    "q364_pdf_columns",
+    (s, _) => {
+      val docs = s.read.format("binaryFile")
+        .load("/root/repo/src/test/resources/graft/sources/pdfs_columns")
+        .select(regexp_extract(col("path"), "doc_(\\d+)\\.pdf", 1)
+          .cast("long").as("doc_id"), col("content"))
+      graft.ops.PdfExtract.pdfToTextPositioned(docs, "doc_id", "content")
+        .toDF()
+        .select(col("id").as("doc_id"), col("text"), col("n_pages"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, text, n_pages
+      FROM '/root/repo/src/test/resources/graft/sources/pdf_columns_twin.parquet'
+      ORDER BY doc_id"""))
+
+  /** The COMPOSED WARC → HTML pipeline at CORPUS scale (verdict r12
+    * #5): q356 certifies the front end on committed archives, but a
+    * fixture-bound row cannot grow with the stress dir — and the
+    * WARC walk + per-record gzip inflate + HTML extraction is what a
+    * real ingestion run hammers. This row synthesizes Common-Crawl-
+    * layout archives AT RUNTIME from `documents` — each partition
+    * batches ~64 docs into one archive of per-record-GZIPPED members
+    * (JDK GZIPOutputStream), each member a WARC response record
+    * wrapping the exact q353 markup — then runs the REAL
+    * [[graft.ops.Warc.parseArchive]] + HTML extractor and gates
+    * md5(text) + n_links per document. Map-only (batching is
+    * partition-local; every output row depends only on its own doc),
+    * so the 10× stress reading measures the operator, not a shuffle.
+    * Oracle: the q353 replay (escape→decode round-trips; WARC/gzip
+    * framing is the generator's own and must round-trip exactly). */
+  val qWarcScale = Q(
+    "q366_warc_scale",
+    (s, dir) => {
+      import s.implicits._
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+        .as[(Long, String, String)]
+      val pages = docs.mapPartitions { it =>
+        def escHtml(v: String) = v.replace("&", "&amp;")
+          .replace("<", "&lt;").replace(">", "&gt;")
+        it.grouped(64).flatMap { batch =>
+          val bos = new java.io.ByteArrayOutputStream(1 << 16)
+          batch.foreach { case (id, text, source) =>
+            val html = "<p>" + escHtml(Option(text).getOrElse("")) +
+              "</p><ul><li><a href=\"#\">" +
+              escHtml(Option(source).getOrElse("")) +
+              "</a></li></ul>"
+            val body = html.getBytes(
+              java.nio.charset.StandardCharsets.UTF_8)
+            val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/html" +
+              s"\r\nContent-Length: ${body.length}\r\n\r\n").getBytes(
+              java.nio.charset.StandardCharsets.ISO_8859_1)
+            val payload = http ++ body
+            val rec = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+              s"WARC-Target-URI: http://synth/$id\r\n" +
+              s"Content-Length: ${payload.length}\r\n\r\n").getBytes(
+              java.nio.charset.StandardCharsets.ISO_8859_1) ++
+              payload ++ "\r\n\r\n".getBytes(
+                java.nio.charset.StandardCharsets.ISO_8859_1)
+            val gz = new java.util.zip.GZIPOutputStream(bos)
+            gz.write(rec)
+            gz.close() // one gzip MEMBER per record; BAOS close is a no-op
+          }
+          graft.ops.Warc.parseArchive(bos.toByteArray).records
+            .filter(r => r.rec_type == "response" &&
+              r.http_status == 200 && r.content_type == "text/html")
+            .map { r =>
+              val htmlBack = new String(r.body,
+                java.nio.charset.StandardCharsets.UTF_8)
+              val (text, links) =
+                graft.ops.HtmlExtract.extractText(htmlBack)
+              (r.url.stripPrefix("http://synth/").toLong, text, links)
+            }
+        }
+      }.toDF("doc_id", "text", "n_links")
+      pages.select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("n_links"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH cl AS (SELECT doc_id,
+        array_to_string(list_filter(list_transform(
+          string_split(text, chr(10)),
+          x -> trim(regexp_replace(x, '[ \t\r\x0B\x0C]+', ' ', 'g'))),
+          y -> y <> ''), chr(10)) AS ct,
+        trim(regexp_replace(source, '[ \t\r\x0B\x0C]+', ' ', 'g')) AS cs
+      FROM documents)
+      SELECT doc_id,
+        md5(CASE WHEN ct = '' THEN cs
+                 WHEN cs = '' THEN ct
+                 ELSE ct || chr(10) || cs END) AS text_md5,
+        CAST(1 AS INT) AS n_links
+      FROM cl ORDER BY doc_id"""))
+
   /** dHash BANDING at corpus scale: q340–q342 certify the pixel path
     * on the committed fixture, but the band join is the part that has
     * to survive 100 TB — and a fixture-bound row cannot scale with the
@@ -1726,6 +1941,48 @@ object ExtraQueries {
       JOIN j USING (img_id)
       ORDER BY img_id"""))
 
+  /** COLOR JPEG through the dHash pipeline (verdict r12 #4): real
+    * image corpora are chroma-subsampled color JPEG — the dominant
+    * case — and q344's fixtures are grayscale re-encodes, so the
+    * color branch of the luma collapse (r≠g≠b through getRGB →
+    * (299r+587g+114b)/1000) had no oracle row. The committed fixtures
+    * are 4:2:0 color JPEGs (subsampling ASSERTED from the SOF marker
+    * by scripts/GenColorJpegFixture.java at write time) of smooth
+    * color sources whose twin hashes come from the PRE-ENCODING RGB
+    * arrays (scripts/gen_color_image_fixture.py, independent python);
+    * planted color near-dup pairs ride along (330/332 perturb
+    * 300/302). Gate: Spark decode + luma dHash within hamming ≤ 3 of
+    * the twin, per image — same tolerance discipline as q344. */
+  val qColorJpegDHash = Q(
+    "q362_color_jpeg_dhash",
+    (s, _) => {
+      val jp = s.read.format("binaryFile")
+        .load("/root/repo/src/test/resources/graft/sources/images_jpeg_color")
+        .select(
+          (regexp_extract(col("path"), "img_(\\d+)\\.jpg", 1)
+            .cast("long") - 300).as("img_id"), col("content"))
+      val jh = graft.ops.Multimodal.imageDHash(jp, "img_id", "content")
+        .toDF()
+        .select(col("id").as("img_id"), col("width"), col("height"),
+          col("dhash").as("jhash"))
+      val twin = s.read.parquet(
+        "/root/repo/src/test/resources/graft/sources/images_color_twin.parquet")
+        .select(col("img_id"), col("dhash").as("thash"))
+      jh.join(twin, "img_id")
+        .select(col("img_id"), col("width"), col("height"),
+          (bit_count(col("jhash").bitwiseXOR(col("thash"))) <= 3)
+            .as("within3"))
+        .orderBy("img_id")
+    },
+    Some("""WITH j AS (SELECT
+        CAST(regexp_extract(file, 'img_(\d+)\.jpg', 1) AS BIGINT) - 300
+          AS img_id
+      FROM glob('/root/repo/src/test/resources/graft/sources/images_jpeg_color/*.jpg'))
+      SELECT t.img_id, t.width, t.height, true AS within3
+      FROM '/root/repo/src/test/resources/graft/sources/images_color_twin.parquet' t
+      JOIN j USING (img_id)
+      ORDER BY img_id"""))
+
   val all: Seq[Q] = Seq(
     qStataRoundTrip, qXptScan, qSasScan, qSasRleScan, qSasDates,
     qImageDHash, qImageNearDup, qImageDedupClusters, qAudioStats,
@@ -1733,6 +1990,8 @@ object ExtraQueries {
     qGifDHash, qAudioSpectral, qVideoFrames, qHtmlExtract,
     qEncodingDetect, qHtmlScale, qPdfExtract, qWarcRecords, qWarcPages,
     qDocxExtract, qCodeMetrics, qTiffDHash, qStreamingWarc,
+    qWarcTruncLedger, qColorJpegDHash, qStreamingCuration, qPdfColumns,
+    qWarcScale,
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qKendallExact,
     qMapValueCounts,

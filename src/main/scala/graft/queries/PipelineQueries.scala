@@ -4478,6 +4478,72 @@ object PipelineQueries {
           AS t_cap
       FROM f3 GROUP BY source ORDER BY source"""))
 
+  /** The WEB pipeline end-to-end (verdict r12 #10): committed WARC
+    * archives → [[graft.ops.Warc.curatedPages]] (record walk, charset
+    * sniff, HTML extract) → per-HOST [[graft.ops.Sampling
+    * .curationFunnel]] (quality ≥ 0.6 → 8-word-prefix dedup → cap) —
+    * ingest to disposition as ONE gated row, certifying the stage
+    * INTERACTIONS (the cross-archive exact-duplicate pages must fall
+    * at the dedup stage; the short latin-1/BOM pages fail quality
+    * with ≥ 0.02 margin from the threshold; nothing hits the cap).
+    * Page ids are deterministic (arc·100+idx, +10000 for the curated
+    * dir) so the keep-first window is engine-independent. Oracle
+    * replays the whole chain from the two independent twins. */
+  val qWebCurationFunnel = Q(
+    "q365_web_curation_funnel",
+    (s, _) => {
+      def pagesOf(dir: String, off: Long) = {
+        val arcs = s.read.format("binaryFile").load(dir)
+          .select(regexp_extract(col("path"), "arc_(\\d+)\\.warc", 1)
+            .cast("long").as("arc_id"), col("content"))
+        graft.ops.Warc.curatedPages(arcs, "arc_id", "content").toDF()
+          .select((col("id") * 100 + col("rec_idx") + off).as("doc_id"),
+            regexp_extract(col("url"), "http://([^/]+)", 1).as("source"),
+            col("text"))
+      }
+      val base = "/root/repo/src/test/resources/graft/sources"
+      val pages = pagesOf(s"$base/warc", 0L)
+        .unionAll(pagesOf(s"$base/warc_curated", 10000L))
+      graft.ops.Sampling.curationFunnel(pages, "doc_id", "text",
+          "source", qualityThreshold = 0.6, prefixWords = 8,
+          capPerSource = 10)
+        .orderBy("source")
+    },
+    Some(s"""WITH pg AS (
+        SELECT arc_id*100 + rec_idx AS doc_id,
+          regexp_extract(url, 'http://([^/]+)', 1) AS source, text
+        FROM '/root/repo/src/test/resources/graft/sources/warc_pages_twin.parquet'
+        UNION ALL
+        SELECT 10000 + arc_id*100 + rec_idx,
+          regexp_extract(url, 'http://([^/]+)', 1), text
+        FROM '/root/repo/src/test/resources/graft/sources/warc_curated_twin.parquet'),
+      b AS (SELECT doc_id, source, $dkQualityScore AS q,
+               len(ws) AS tk,
+               CASE WHEN len(ws) > 0 THEN array_to_string(ws[1:8], ' ')
+                 ELSE '__empty__' || doc_id END AS fp
+             FROM (SELECT doc_id, source, text, $dkWords AS ws
+                   FROM pg)),
+      f1 AS (SELECT *, (q >= 0.6) AS pass_q FROM b),
+      f2 AS (SELECT *, pass_q AND doc_id =
+               min(CASE WHEN pass_q THEN doc_id END)
+                 OVER (PARTITION BY fp) AS pass_d FROM f1),
+      f3 AS (SELECT *, pass_d AND
+               sum(CASE WHEN pass_d THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) <= 10 AS pass_c FROM f2)
+      SELECT source, count(*) AS n_raw,
+        CAST(sum(tk) AS BIGINT) AS t_raw,
+        CAST(sum(pass_q::INT) AS BIGINT) AS n_quality,
+        CAST(sum(CASE WHEN pass_q THEN tk ELSE 0 END) AS BIGINT)
+          AS t_quality,
+        CAST(sum(pass_d::INT) AS BIGINT) AS n_dedup,
+        CAST(sum(CASE WHEN pass_d THEN tk ELSE 0 END) AS BIGINT)
+          AS t_dedup,
+        CAST(sum(pass_c::INT) AS BIGINT) AS n_cap,
+        CAST(sum(CASE WHEN pass_c THEN tk ELSE 0 END) AS BIGINT)
+          AS t_cap
+      FROM f3 GROUP BY source ORDER BY source"""))
+
   /** Streaming per-source token-budget admission
     * ([[graft.streaming.StreamingBudget.admitByBudget]]): a real
     * two-batch MemoryStream drive (ascending-id batches = arrival
@@ -5868,7 +5934,8 @@ object PipelineQueries {
     qKCenter, qPriorityDedup, qPplBuckets, qQueryLikelihood,
     qHardNegatives, qSemDedupPrune, qDedupSaturation,
     qMixInterleave, qBalancedShards, qVocabCoverage, qBurstiness,
-    qCurationFunnel, qStreamingBudget, qKneserNey, qMmrSelect,
+    qCurationFunnel, qWebCurationFunnel, qStreamingBudget, qKneserNey,
+    qMmrSelect,
     qBpeFertility, qKCoreBackbone, qDistinctNgrams, qBm25Rerank,
     qChainDrift, qWinnowFp, qWinnowSpans, qWinnowAligned, qEncodingAudit,
     qWinnowContamination, qStreamingContamination, qWinnowExactSpans,

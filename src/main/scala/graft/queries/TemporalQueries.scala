@@ -161,6 +161,42 @@ object TemporalQueries {
       FROM i JOIN p ON p.tus >= i.lo AND p.tus <= i.hi
       GROUP BY i.iv_id ORDER BY i.iv_id"""))
 
+  /** The SAME interval aggregation as q67 through [[graft.ops.RangeAgg
+    * .intervalCountSum]] — distributed prefix sums, F(hi) − F(lo−1)
+    * per interval, ZERO candidate-pair materialization (round-13
+    * answer to q67's three-round stress saga: the bin-equi-join is
+    * the right general-purpose PAIRS operator, but when the need is
+    * an associative aggregate the sweep does the same work in one
+    * bucket-hashed window pass, shrinking the CPU-saturating window
+    * the stress flags kept catching). Shares q67's oracle — both
+    * plans must produce identical rows. */
+  val qRangeAggSweep = Q(
+    "q367_range_agg_sweep",
+    (s, dir) => {
+      val ev = eventsUs(s, dir)
+      val pts = ev.where(col("event_type") =!= "error")
+        .select(col("ts").as("pt_ts"), col("value"))
+      val ivs = ev.where(col("event_type") === "error")
+        .select(col("event_id").as("iv_id"),
+          col("ts").as("lo"),
+          (col("ts") + lit(2 * HourUs)).as("hi"))
+      graft.ops.RangeAgg.intervalCountSum(pts, "pt_ts", "value",
+          ivs, "iv_id", "lo", "hi", 2 * HourUs)
+        .select(col("iv_id"), col("n_events"),
+          col("sum_value").cast("double").as("sum_value"))
+        .orderBy("iv_id")
+    },
+    Some("""WITH p AS (
+        SELECT epoch_us(ts) AS tus, value FROM events
+        WHERE event_type <> 'error'),
+      i AS (SELECT event_id AS iv_id, epoch_us(ts) AS lo,
+          epoch_us(ts) + 7200000000 AS hi FROM events
+        WHERE event_type = 'error')
+      SELECT i.iv_id, count(*) AS n_events,
+        CAST(sum(CAST(p.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM i JOIN p ON p.tus >= i.lo AND p.tus <= i.hi
+      GROUP BY i.iv_id ORDER BY i.iv_id"""))
+
   /** Funnel: first signup -> first click at-or-after it -> first purchase
     * at-or-after that, per user (chained running-min windows, one
     * shuffle). */
@@ -2314,7 +2350,7 @@ object TemporalQueries {
       ORDER BY l.o_orderkey"""))
 
   val all: Seq[Q] = Seq(qSessionize, qAsofJoin, qAsofForward,
-    qRangeJoin, qFunnel,
+    qRangeJoin, qRangeAggSweep, qFunnel,
     qRolling, qTransitions, qAttribution, qRetention, qCountAcf,
     qKaplanMeier, qXcorr, qTopPaths, qInterarrival, qTwap,
     qLinearAttribution, qChangepoint, qMannKendall, qEwmaChart,

@@ -52,4 +52,43 @@ class PdfExtractSpec extends AnyFunSuite {
       .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
     assert(PdfExtract.extract(b).get._2 === 2)
   }
+
+  // ---- positioned extraction (q364): Td/TD/Tm/TL/T* + reading order
+
+  test("positioned: two-column interleaved stream reads column-major") {
+    val c = "BT /F1 12 Tf " +
+      "1 0 0 1 72 720 Tm (L1) Tj 1 0 0 1 320 720 Tm (R1) Tj " +
+      "1 0 0 1 72 706 Tm (L2) Tj 1 0 0 1 320 706 Tm (R2) Tj ET"
+    val (pos, _) = PdfExtract.extractPositioned(wrap(c)).get
+    assert(pos === "L1\nL2\nR1\nR2")
+    // the stream-order extractor keeps the interleaving (Tm is not a
+    // line break for it) — the contrast that motivates this path
+    val (plain, _) = PdfExtract.extract(wrap(c)).get
+    assert(plain === "L1R1L2R2")
+  }
+
+  test("positioned: TD sets leading, T* and ' advance lines") {
+    val c = "BT 72 720 Td (head) Tj 0 -16 TD (a) Tj " +
+      "T* (b) Tj (c) ' ET"
+    val (t, _) = PdfExtract.extractPositioned(wrap(c)).get
+    assert(t === "head\na\nb\nc")
+  }
+
+  test("positioned: indent stays in column; same-line join rules") {
+    val c = "BT 1 0 0 1 72 720 Tm (margin) Tj " +
+      "1 0 0 1 90 706 Tm (indented) Tj " + // 18 < columnGap: same col
+      "1 0 0 1 72 692 Tm (segA) Tj 1 0 0 1 85 692 Tm (segB) Tj " +
+      "1 0 0 1 72 678 Tm (AB) Tj (CD) Tj ET" // same origin: concat
+    val (t, _) = PdfExtract.extractPositioned(wrap(c)).get
+    assert(t === "margin\nindented\nsegA segB\nABCD")
+  }
+
+  test("positioned: hostile bytes never throw; non-PDF is None") {
+    assert(PdfExtract.extractPositioned(Array.empty[Byte]).isEmpty)
+    assert(PdfExtract.extractPositioned("no pdf".getBytes).isEmpty)
+    val junk = PdfExtract.extractPositioned("%PDF-1.4\nzz".getBytes)
+    assert(junk.contains(("", 0)))
+    PdfExtract.extractPositioned(
+      "%PDF-1.4\n<< >>\nstream\nBT 1 2 Tm (x Tj".getBytes)
+  }
 }
