@@ -1,0 +1,134 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Native Avro reader against the committed avro-java-written fixtures
+  * (q369 gates the full value compare against the independent pyarrow
+  * twin; this pins schema mapping, pruning, codecs, and the
+  * hostile-bytes edges). */
+class AvroSourceSpec extends SparkSpec {
+
+  private val dir = "src/test/resources/graft/sources"
+
+  test("graft-avro: schema maps the primitive subset + nullable union") {
+    val df = spark.read.format("graft-avro").load(s"$dir/avro")
+    assert(df.schema.map(f => (f.name, f.dataType.simpleString,
+      f.nullable)) === Seq(
+      ("id", "bigint", false), ("rank", "int", false),
+      ("name", "string", false), ("value", "double", false),
+      ("ratio", "float", false), ("flag", "boolean", false),
+      ("opt_qty", "bigint", true), ("payload", "binary", false)))
+    assert(df.count() === 100) // both files, null + deflate codecs
+    // union null branch: every i % 4 == 0 id is null
+    assert(df.where(col("opt_qty").isNull).count() === 25)
+    assert(df.where(col("id") === 14).head().getString(2) === "n_14_café")
+  }
+
+  test("graft-avro: column pruning decodes only what is asked " +
+    "(skipped fields still advance the varint cursor correctly)") {
+    val df = spark.read.format("graft-avro").load(s"$dir/avro")
+      .select("name", "opt_qty") // skips long/int/double/float/bool/bytes
+    val r = df.where(col("name") === "n_13").head()
+    assert(r.getLong(1) === 91L)
+    assert(df.count() === 100)
+  }
+
+  test("graft-avro: corrupt sync marker and non-avro bytes fail loudly") {
+    val good = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/avro/avro_000.avro"))
+    val bad = good.clone()
+    bad(bad.length - 3) = (bad(bad.length - 3) ^ 0x7f).toByte // last sync
+    val tmp = java.nio.file.Files.createTempDirectory("graft-avro-bad")
+    java.nio.file.Files.write(tmp.resolve("x.avro"), bad)
+    val e = intercept[Exception] {
+      spark.read.format("graft-avro").load(tmp.toString).collect()
+    }
+    assert(e.getMessage != null)
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft-avro-bad2")
+    java.nio.file.Files.write(tmp2.resolve("y.avro"),
+      "not avro at all".getBytes)
+    intercept[Exception] {
+      spark.read.format("graft-avro").load(tmp2.toString).collect()
+    }
+  }
+
+  test("graft-avro WRITER output is readable by avro-java itself " +
+    "(the reference decoder — the round trip is not self-referential)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha", Some(2.5), true),
+      (2L, "bêta", None, false),
+      (3L, "gamma", Some(-0.125), true))
+      .toDF("id", "name", "opt", "flag")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-avro-w").toString
+    df.repartition(1).write.format("graft-avro")
+      .mode("overwrite").save(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".avro")).head
+    val reader = new org.apache.avro.file.DataFileReader(
+      part, new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    try {
+      assert(reader.getMetaString("avro.codec") === "deflate")
+      val got = scala.collection.mutable.ArrayBuffer[(Long, String,
+        Option[Double], Boolean)]()
+      while (reader.hasNext) {
+        val r = reader.next()
+        got += ((r.get("id").asInstanceOf[Long],
+          r.get("name").toString,
+          Option(r.get("opt")).map(_.asInstanceOf[Double]),
+          r.get("flag").asInstanceOf[Boolean]))
+      }
+      assert(got.sortBy(_._1).toSeq === Seq(
+        (1L, "alpha", Some(2.5), true),
+        (2L, "bêta", None, false),
+        (3L, "gamma", Some(-0.125), true)))
+    } finally reader.close()
+    // and our own reader agrees
+    val back = spark.read.format("graft-avro").load(tmp)
+    assert(back.orderBy("id").collect().map(_.getString(1)).toSeq ===
+      Seq("alpha", "bêta", "gamma"))
+  }
+
+  test("graft-avro: complex schemas are rejected at schema read, " +
+    "not misparsed") {
+    // hand-built container header with an array-typed field
+    val schema = """{"type":"record","name":"r","fields":[
+      {"name":"a","type":{"type":"array","items":"long"}}]}"""
+    intercept[Exception] {
+      AvroFormatTestHook.parse(schema)
+    }
+  }
+}
+
+/** Exposes the private schema parser for the rejection test. */
+object AvroFormatTestHook {
+  def parse(json: String): Unit = {
+    // drive through a minimal in-memory container header instead of
+    // reflection: magic + one metadata pair + sync + no blocks
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(Array[Byte]('O', 'b', 'j', 1))
+    def vlong(v0: Long): Unit = { // zigzag varint
+      var v = (v0 << 1) ^ (v0 >> 63)
+      var more = true
+      while (more) {
+        val b = (v & 0x7f).toInt
+        v >>>= 7
+        more = v != 0
+        bos.write(if (more) b | 0x80 else b)
+      }
+    }
+    def bstr(s: String): Unit = {
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      vlong(b.length.toLong); bos.write(b)
+    }
+    vlong(1L); bstr("avro.schema"); bstr(json); vlong(0L)
+    bos.write(new Array[Byte](16))
+    val tmp = java.nio.file.Files.createTempFile("graft-avro-hdr", ".avro")
+    java.nio.file.Files.write(tmp, bos.toByteArray)
+    AvroFormat.readSchema(tmp.toString)
+    ()
+  }
+}
