@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** robots.txt parsing + crawl-permission evaluation per RFC 9309 (the
+  * Robots Exclusion Protocol, published 2022) — the admission filter a
+  * compliant web-ingestion pipeline applies BEFORE the WARC front end
+  * keeps a page (q355/q356/q363 parse what was crawled; this decides
+  * what may be). q371 gates it against an independent python twin of
+  * the same RFC plus, on the wildcard-free subset, CPython's own
+  * urllib.robotparser as a third validator.
+  *
+  * Implemented semantics (RFC 9309 §2):
+  *  - lines `field: value`, `#` comments, field names case-insensitive;
+  *    `user-agent`, `allow`, `disallow` interpreted, others skipped;
+  *  - consecutive user-agent lines open a GROUP whose rules follow; a
+  *    user-agent line after rules starts a new group; groups naming
+  *    the same agent COMBINE (§2.2.1);
+  *  - group selection for a product token: case-insensitive exact
+  *    token match, else the `*` group, else default-allow;
+  *  - rule matching: `*` matches any octet run, `$` anchors the end;
+  *    the rule with the LONGEST pattern wins (§2.2.2 most-specific);
+  *    equal lengths → allow wins; empty-pattern disallow = allow-all;
+  *    no matching rule → allowed.
+  * Out of scope (documented): percent-encoding normalization, crawl-
+  * delay (non-standard), sitemap records (skipped, not errors).
+  */
+object Robots {
+
+  final case class Rule(allow: Boolean, pattern: String)
+
+  /** agent token (lowercased) → combined rules in file order. */
+  def parse(txt: String): Map[String, Seq[Rule]] = {
+    val acc = scala.collection.mutable.LinkedHashMap[String,
+      scala.collection.mutable.ArrayBuffer[Rule]]()
+    var agents: List[String] = Nil
+    var inRules = false
+    Option(txt).getOrElse("").split("\n", -1).foreach { raw =>
+      val noComment = {
+        val h = raw.indexOf('#')
+        if (h >= 0) raw.substring(0, h) else raw
+      }
+      val line = noComment.trim
+      val ci = line.indexOf(':')
+      if (ci > 0) {
+        val field = line.substring(0, ci).trim.toLowerCase
+        val value = line.substring(ci + 1).trim
+        field match {
+          case "user-agent" =>
+            if (inRules) { agents = Nil; inRules = false }
+            val a = value.toLowerCase
+            if (a.nonEmpty) {
+              agents = a :: agents
+              acc.getOrElseUpdate(a,
+                scala.collection.mutable.ArrayBuffer[Rule]())
+            }
+          case "allow" | "disallow" =>
+            inRules = true
+            // a rule before any user-agent line belongs to no group
+            // (RFC: rules outside a group are ignored)
+            if (agents.nonEmpty && !(field == "disallow" && value.isEmpty))
+              agents.foreach(a => acc(a) += Rule(field == "allow", value))
+            // empty disallow = allow-all: representable as no rule
+          case _ => () // sitemap / unknown fields: skipped
+        }
+      }
+    }
+    acc.map { case (k, v) => k -> v.toSeq }.toMap
+  }
+
+  /** `pattern` match against `path` from position 0: `*` wildcard,
+    * trailing `$` end-anchor. Iterative greedy wildcard matcher (no
+    * per-row regex compilation). */
+  private[ops] def patternMatches(pattern: String, path: String): Boolean = {
+    val (pat, anchored) =
+      if (pattern.endsWith("$")) (pattern.dropRight(1), true)
+      else (pattern, false)
+    // match pat as a PREFIX of path (or the whole path when anchored)
+    def m(pi: Int, si: Int): Boolean = {
+      var p = pi
+      var s = si
+      while (p < pat.length) {
+        if (pat.charAt(p) == '*') {
+          // collapse consecutive stars; then try every suffix
+          while (p < pat.length && pat.charAt(p) == '*') p += 1
+          if (p == pat.length) return true // trailing '*' eats the rest
+          var k = s
+          while (k <= path.length) {
+            if (m(p, k)) return true
+            k += 1
+          }
+          return false
+        } else if (s < path.length && path.charAt(s) == pat.charAt(p)) {
+          p += 1; s += 1
+        } else return false
+      }
+      !anchored || s == path.length
+    }
+    m(0, 0)
+  }
+
+  /** RFC 9309 verdict for one (groups, agent, path). */
+  def isAllowed(groups: Map[String, Seq[Rule]], agent: String,
+      path: String): Boolean = {
+    val rules = groups.getOrElse(agent.toLowerCase,
+      groups.getOrElse("*", Seq.empty))
+    var bestLen = -1
+    var bestAllow = true
+    rules.foreach { r =>
+      if (r.pattern.length >= bestLen && patternMatches(r.pattern, path)) {
+        // longer pattern wins; on EQUAL length allow wins (§2.2.2)
+        if (r.pattern.length > bestLen) {
+          bestLen = r.pattern.length
+          bestAllow = r.allow
+        } else if (r.pattern.length == bestLen && r.allow) {
+          bestAllow = true
+        }
+      }
+    }
+    if (bestLen < 0) true else bestAllow
+  }
+
+  /** Map-only permission column over (host, agent, path) probes joined
+    * to per-host robots bodies: robots tables are small relative to a
+    * crawl (one row per HOST), so the join side broadcasts and the
+    * evaluation is one partition-local pass with per-host parsed-group
+    * caching. */
+  def crawlFilter(probes: DataFrame, hostCol: String, agentCol: String,
+      pathCol: String, robots: DataFrame, robotsHostCol: String,
+      txtCol: String): DataFrame = {
+    val spark = probes.sparkSession
+    import spark.implicits._
+    val joined = probes
+      .select(col(hostCol).cast("string").as("host"),
+        col(agentCol).cast("string").as("agent"),
+        col(pathCol).cast("string").as("path"))
+      .join(broadcast(robots.select(
+        col(robotsHostCol).cast("string").as("host"),
+        col(txtCol).cast("string").as("__txt"))), Seq("host"), "left")
+      .as[(String, String, String, String)]
+    joined.mapPartitions { it =>
+      val cache = scala.collection.mutable.HashMap[String,
+        Map[String, Seq[Rule]]]()
+      it.map { case (host, agent, path, txt) =>
+        val allowed =
+          if (txt == null) true // no robots.txt → allowed (RFC §2.3.1.2)
+          else isAllowed(
+            cache.getOrElseUpdate(host, parse(txt)), agent, path)
+        (host, agent, path, allowed)
+      }
+    }.toDF("host", "agent", "path", "allowed")
+  }
+}

@@ -75,12 +75,37 @@ object Warc {
       maxInflate: Int = DefaultMaxInflate,
       maxRecords: Int = DefaultMaxRecords): WarcScan =
     try {
-      val (b, inflateCapped) = gunzipIfNeeded(blob, maxInflate)
-      parseImpl(b, inflateCapped, maxRecords)
+      val (b, inflateCapped) = decompressIfNeeded(blob, maxInflate)
+      // a non-empty compressed container decoding to ZERO bytes is a
+      // corrupt frame the decoder swallowed (zstd continuous mode
+      // EOFs on garbage instead of throwing) — flag it, don't report
+      // a clean empty archive
+      if (b.isEmpty && blob.nonEmpty)
+        WarcScan(Seq.empty, truncated = true, "torn_tail", 0L, 0L)
+      else parseImpl(b, inflateCapped, maxRecords)
     } catch {
       case _: Exception =>
         WarcScan(Seq.empty, truncated = true, "torn_tail", 0L, 0L)
     }
+
+  /** Container sniff: gzip (1F 8B) and zstd (28 B5 2F FD — the
+    * .warc.zst layout of the IIPC spec; concatenated frames supported
+    * via the decoder's continuous mode) inflate under the same cap
+    * contract; anything else passes through. */
+  private def decompressIfNeeded(b: Array[Byte],
+      maxInflate: Int): (Array[Byte], Boolean) = {
+    if (b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b)
+      return gunzipIfNeeded(b, maxInflate)
+    if (b.length >= 4 && (b(0) & 0xff) == 0x28 && (b(1) & 0xff) == 0xb5 &&
+      (b(2) & 0xff) == 0x2f && (b(3) & 0xff) == 0xfd) {
+      val in = new com.github.luben.zstd.ZstdInputStream(
+        new java.io.ByteArrayInputStream(b))
+      in.setContinuous(true) // concatenated frames (per-record layout)
+      try return readCapped(in, b.length, maxInflate)
+      finally in.close()
+    }
+    (b, false)
+  }
 
   /** Inflate a gzip blob up to `maxInflate`; second element is true
     * when the stream had MORE data past the cap (the observable bite).
@@ -92,19 +117,25 @@ object Warc {
       return (b, false)
     val in = new java.util.zip.GZIPInputStream(
       new java.io.ByteArrayInputStream(b))
-    try {
-      val out = new java.io.ByteArrayOutputStream(
-        math.min(math.max(b.length * 4, 1024), maxInflate))
-      val buf = new Array[Byte](8192)
-      var capped = false
-      var n = in.read(buf)
-      while (n >= 0 && !capped) {
-        val room = maxInflate - out.size
-        if (n <= room) { out.write(buf, 0, n); n = in.read(buf) }
-        else { out.write(buf, 0, room); capped = true }
-      }
-      (out.toByteArray, capped)
-    } finally in.close()
+    try readCapped(in, b.length, maxInflate)
+    finally in.close()
+  }
+
+  /** Drain a decompressor stream up to `maxInflate`; second element is
+    * true when the stream held MORE data past the cap. */
+  private def readCapped(in: java.io.InputStream, hint: Int,
+      maxInflate: Int): (Array[Byte], Boolean) = {
+    val out = new java.io.ByteArrayOutputStream(
+      math.min(math.max(hint * 4, 1024), maxInflate))
+    val buf = new Array[Byte](8192)
+    var capped = false
+    var n = in.read(buf)
+    while (n >= 0 && !capped) {
+      val room = maxInflate - out.size
+      if (n <= room) { out.write(buf, 0, n); n = in.read(buf) }
+      else { out.write(buf, 0, room); capped = true }
+    }
+    (out.toByteArray, capped)
   }
 
   // -------- byte-level scanning helpers (no full-String copy) --------

@@ -1673,6 +1673,92 @@ object ExtraQueries {
           AS sum_score
       FROM documents GROUP BY source ORDER BY source"""))
 
+  /** robots.txt crawl permissions on the gate ([[graft.ops.Robots]],
+    * RFC 9309): the admission filter a compliant ingestion pipeline
+    * applies BEFORE keeping a crawled page — completing the web
+    * pillar's front door (q371 decides what MAY be kept; q355/q356/
+    * q363 process what was). Planted: mid-pattern `*`, `$` anchors,
+    * longest-match precedence, the equal-length tie (allow wins),
+    * empty disallow, multi-agent groups, duplicate-group combining,
+    * case-insensitivity, a host with no robots.txt. Twin: an
+    * independent python RFC implementation, with CPython's own
+    * urllib.robotparser as a third validator on the probes where the
+    * 1994 first-match REP provably agrees. */
+  val qRobotsFilter = Q(
+    "q371_robots_filter",
+    (s, _) => {
+      val base = "/root/repo/src/test/resources/graft/sources"
+      val robots = s.read.format("binaryFile").load(s"$base/robots")
+        .select(regexp_extract(col("path"), "([^/]+)\\.txt$", 1)
+          .as("host"), col("content").cast("string").as("txt"))
+      val probes = s.read.parquet(s"$base/robots_twin.parquet")
+        .select("host", "agent", "path")
+      graft.ops.Robots.crawlFilter(probes, "host", "agent", "path",
+          robots, "host", "txt")
+        .orderBy("host", "agent", "path")
+    },
+    Some("""SELECT host, agent, path, allowed
+      FROM '/root/repo/src/test/resources/graft/sources/robots_twin.parquet'
+      ORDER BY host, agent, path"""))
+
+  /** Byte-level BPE encoding on the gate ([[graft.ops.ByteBpe]] — the
+    * GPT-2 tokenizer pipeline: documented pretokenizer scanner,
+    * published bytes-to-unicode table, ranked merge application).
+    * Token counts under the REAL tokenizer family are what LLM data
+    * budgeting runs on; q30's whitespace/regex counts approximate
+    * them. The merge table is INPUT (committed bpe_merges.txt, read
+    * by both sides); expected tokenizations come from an independent
+    * python implementation of the same published algorithm. Planted:
+    * contraction splits + re-fuses, rank-order cascade interplay,
+    * multibyte UTF-8 fusing through é, digit merges, whitespace-run
+    * lookahead (run minus last char), empty text, raw high bytes. */
+  val qByteBpe = Q(
+    "q372_bytelevel_bpe",
+    (s, _) => {
+      val base = "/root/repo/src/test/resources/graft/sources"
+      val merges = java.nio.file.Files
+        .readAllLines(java.nio.file.Paths.get(s"$base/bpe_merges.txt"),
+          java.nio.charset.StandardCharsets.UTF_8)
+        .toArray(Array.empty[String]).toSeq
+        .filter(_.nonEmpty)
+        .map { l =>
+          val sp = l.indexOf(' ')
+          (l.substring(0, sp), l.substring(sp + 1))
+        }
+      val texts = s.read.parquet(s"$base/bpe_texts.parquet")
+      graft.ops.ByteBpe.encode(texts, "id", "text", merges)
+        .orderBy("id")
+    },
+    Some("""SELECT id, n_tokens, tokens
+      FROM '/root/repo/src/test/resources/graft/sources/bpe_twin.parquet'
+      ORDER BY id"""))
+
+  /** .warc.zst container support on the gate (the IIPC zstd WARC
+    * layout; newer crawl tooling ships it next to .warc.gz). Two
+    * archives hold the IDENTICAL records of q355's arc_000 — one
+    * whole-archive frame, one frame PER RECORD concatenated
+    * (continuous-mode multi-frame decode) — compressed by the SYSTEM
+    * zstd binary, an encoder independent of the zstd-jni decoder
+    * under test; a zstd-path bug shows as the archives disagreeing
+    * (the q355 dual-archive discipline). */
+  val qWarcZstd = Q(
+    "q373_warc_zstd",
+    (s, _) => {
+      val arcs = s.read.format("binaryFile")
+        .load("/root/repo/src/test/resources/graft/sources/warc_zst")
+        .select(regexp_extract(col("path"), "arc_(\\d+)\\.warc", 1)
+          .cast("long").as("arc_id"), col("content"))
+      graft.ops.Warc.records(arcs, "arc_id", "content").toDF()
+        .select(col("id").as("arc_id"), col("rec_idx"), col("rec_type"),
+          col("url"), col("http_status"), col("content_type"),
+          col("body_len"))
+        .orderBy("arc_id", "rec_idx")
+    },
+    Some("""SELECT arc_id, rec_idx, rec_type, url, http_status,
+        content_type, body_len
+      FROM '/root/repo/src/test/resources/graft/sources/warc_zst_twin.parquet'
+      ORDER BY arc_id, rec_idx"""))
+
   /** TIFF pixel decode on the gate ([[graft.ops.MediaCodec
     * .decodeTiffGray]] — the JDK ImageIO TIFF plugin as the seam,
     * like q344's JPEG): the committed TIFFs are LOSSLESS gray
@@ -2105,6 +2191,7 @@ object ExtraQueries {
     qDocxExtract, qCodeMetrics, qTiffDHash, qStreamingWarc,
     qWarcTruncLedger, qColorJpegDHash, qStreamingCuration, qPdfColumns,
     qWarcScale, qStreamingCodeMetrics, qAvroScan, qAvroRoundTrip,
+    qRobotsFilter, qByteBpe, qWarcZstd,
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qKendallExact,
     qMapValueCounts,

@@ -88,6 +88,23 @@ class WarcSpec extends AnyFunSuite {
     assert(!exact.truncated, "exact-fit must not read as capped")
   }
 
+  test("zstd container: hostile frames never throw; cap reported") {
+    // zstd magic followed by garbage
+    val junk = Array(0x28, 0xb5, 0x2f, 0xfd, 0x13, 0x37, 0x00)
+      .map(_.toByte)
+    val s = Warc.parseArchive(junk)
+    assert(s.records.isEmpty && s.truncated && s.reason === "torn_tail")
+    // a real frame past the cap reads as inflate_cap
+    val blob = (1 to 4).map(_ =>
+      rec("metadata", "z" * 2000)).mkString.getBytes("ISO-8859-1")
+    val bos = new java.io.ByteArrayOutputStream()
+    val zout = new com.github.luben.zstd.ZstdOutputStream(bos)
+    zout.write(blob); zout.close()
+    val capped = Warc.parseArchive(bos.toByteArray, maxInflate = 4096)
+    assert(capped.truncated && capped.reason === "inflate_cap")
+    assert(capped.records.length === 1)
+  }
+
   // ---- curatedPages charset-aware decode (q363 unit edges) ----
 
   test("decode per detected charset: latin-1 body survives, " +
