@@ -130,6 +130,14 @@ ROBOTS = {
         "Disallow: /ignored-before-any-group/\n"
         "User-agent: *\n"
         "Disallow:\n"),            # empty disallow = allow all
+    # consumed by q375's robots-gated STREAMING ingestion (no probes
+    # here: q371's twin is the probe table and stays unchanged)
+    "cur.test": (
+        "User-agent: graftbot\n"
+        "Disallow: /latin1\n"
+        "Disallow: /bom\n"
+        "User-agent: *\n"
+        "Disallow: /\n"),
 }
 
 PROBES = [

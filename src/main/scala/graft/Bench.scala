@@ -577,7 +577,12 @@ object Bench {
       // RangeAgg prefix-sum sweep — zero candidate materialization;
       // tracked next to q67 so the two plans' scale behavior is
       // compared every round
-      "q367_range_agg_sweep")
+      "q367_range_agg_sweep",
+      // round-13: byte-level BPE over the whole corpus (map-only
+      // scanner + merge loop; the conservation-law gate) — the
+      // tokenizer path's 10x reading should be ~linear; merge-loop
+      // or scanner alloc creep would surface here
+      "q374_bpe_scale")
     val stressWaivers = Map(
       "q165_mutual_knn" -> ("documented O(n^2) exact-kNN SCORING " +
         "(irreducible on unstructured embeddings — no cluster geometry " +

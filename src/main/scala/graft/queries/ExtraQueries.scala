@@ -1759,6 +1759,118 @@ object ExtraQueries {
       FROM '/root/repo/src/test/resources/graft/sources/warc_zst_twin.parquet'
       ORDER BY arc_id, rec_idx"""))
 
+  /** Byte-level BPE at CORPUS scale (the q372 operator over every
+    * `documents.text`, so the tokenizer path gets a 10× stress row).
+    * The oracle cannot re-run BPE in SQL — instead the gate pins the
+    * algorithm's CONSERVATION LAW: pretokenization partitions the
+    * text and byte-to-unicode maps bytes 1:1 to symbols, so the total
+    * SYMBOL length across a document's tokens equals its UTF-8 octet
+    * length exactly. A dropped/duplicated token, a lost pretoken, or
+    * a merge that eats a symbol breaks per-source equality; q372
+    * certifies the token IDENTITIES on the fixture corpus. */
+  val qByteBpeScale = Q(
+    "q374_bpe_scale",
+    (s, dir) => {
+      val base = "/root/repo/src/test/resources/graft/sources"
+      val merges = java.nio.file.Files
+        .readAllLines(java.nio.file.Paths.get(s"$base/bpe_merges.txt"),
+          java.nio.charset.StandardCharsets.UTF_8)
+        .toArray(Array.empty[String]).toSeq
+        .filter(_.nonEmpty)
+        .map { l =>
+          val sp = l.indexOf(' ')
+          (l.substring(0, sp), l.substring(sp + 1))
+        }
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      // tokens are space-JOINED and the byte-unicode alphabet holds
+      // no real space, so symbols = length - (n_tokens - 1); an empty
+      // text has zero tokens AND zero symbols
+      val enc = graft.ops.ByteBpe.encode(docs, "doc_id", "text", merges)
+        .select(col("doc_id"),
+          when(col("n_tokens") === 0, lit(0))
+            .otherwise(length(col("tokens")) - col("n_tokens") + 1)
+            .as("n_symbols"))
+      docs.join(enc, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_symbols")).cast("long").as("total_symbols"))
+        .orderBy("source")
+    },
+    Some("""SELECT source, count(*) AS n_docs,
+        CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT)
+          AS total_symbols
+      FROM documents GROUP BY source ORDER BY source"""))
+
+  /** Robots-GATED streaming ingestion: the q363 curation front door
+    * with the q371 RFC 9309 admission filter composed INSIDE the same
+    * micro-batch — the compliant-crawler shape end-to-end (fetch →
+    * charset → extract → MAY-we-keep-it), all stateless map work. The
+    * per-host robots bodies are driver-collected and closure-shipped
+    * (a robots table is one small row per HOST — broadcast-scale by
+    * nature). cur.test's robots disallow /latin1 and /bom for
+    * graftbot, so exactly the two non-ascii-charset pages of the
+    * curated fixture must drop; the oracle filters the q363 twin by
+    * the same hand-pinned rule. */
+  val qStreamingRobotsGate = Q(
+    "q375_streaming_robots_ingest",
+    (s, _) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.OutputMode
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val base = "/root/repo/src/test/resources/graft/sources"
+      val robotsByHost = s.read.format("binaryFile")
+        .load(s"$base/robots")
+        .select(regexp_extract(col("path"), "([^/]+)\\.txt$", 1),
+          col("content").cast("string"))
+        .as[(String, String)].collect().toMap
+      val arcs = s.read.format("binaryFile").load(s"$base/warc_curated")
+        .select(regexp_extract(col("path"), "arc_(\\d+)\\.warc", 1)
+          .cast("long").as("arc_id"), col("content"))
+        .as[(Long, Array[Byte])].collect().sortBy(_._1)
+      val mem = MemoryStream[(Long, Array[Byte])]
+      val src = mem.toDF.toDF("arc_id", "content")
+      val pages = graft.ops.Warc.curatedPages(src, "arc_id", "content")
+      val admitted = pages.mapPartitions { it =>
+        val cache = scala.collection.mutable.HashMap[String,
+          Map[String, Seq[graft.ops.Robots.Rule]]]()
+        it.filter { p =>
+          val m = "http://([^/]+)(/.*)?".r.findFirstMatchIn(p.url)
+          m.forall { g =>
+            val host = g.group(1)
+            val path = Option(g.group(2)).getOrElse("/")
+            robotsByHost.get(host).forall(txt =>
+              graft.ops.Robots.isAllowed(
+                cache.getOrElseUpdate(host, graft.ops.Robots.parse(txt)),
+                "graftbot", path))
+          }
+        }
+      }
+      val sink = "graft_srob_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-srob-gate").toString
+      val query = admitted.toDF.writeStream.format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        arcs.foreach { a =>
+          mem.addData(Seq(a))
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      StreamGate.finish(s, sink, ckpt, s.table(sink))
+        .select(col("id").as("arc_id"), col("rec_idx"), col("url"),
+          col("charset"), col("text"), col("n_links"))
+        .orderBy("arc_id", "rec_idx")
+    },
+    Some("""SELECT arc_id, rec_idx, url, charset, text, n_links
+      FROM '/root/repo/src/test/resources/graft/sources/warc_curated_twin.parquet'
+      WHERE url NOT LIKE '%/latin1' AND url NOT LIKE '%/bom'
+      ORDER BY arc_id, rec_idx"""))
+
   /** TIFF pixel decode on the gate ([[graft.ops.MediaCodec
     * .decodeTiffGray]] — the JDK ImageIO TIFF plugin as the seam,
     * like q344's JPEG): the committed TIFFs are LOSSLESS gray
@@ -2191,7 +2303,8 @@ object ExtraQueries {
     qDocxExtract, qCodeMetrics, qTiffDHash, qStreamingWarc,
     qWarcTruncLedger, qColorJpegDHash, qStreamingCuration, qPdfColumns,
     qWarcScale, qStreamingCodeMetrics, qAvroScan, qAvroRoundTrip,
-    qRobotsFilter, qByteBpe, qWarcZstd,
+    qRobotsFilter, qByteBpe, qWarcZstd, qByteBpeScale,
+    qStreamingRobotsGate,
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qKendallExact,
     qMapValueCounts,

@@ -90,7 +90,8 @@ class PlanSweepSpec extends SparkSpec {
     "q137_lift" -> "cumulative-gain + totals windows over the <=bins-row bucket grid (grouped agg by bucket beneath)",
     "q149_changepoint" -> "cumulative window over the dense period axis spark.range(lo, hi+1) - runtime require(span < maxPeriods) two lines above (Timeseries.scala:144); a Range leaf is structurally unbounded to the detector",
     "q177_waterfill_mix" -> "water-filling threshold windows over the per-source totals grid (grouped agg by source beneath, <= source-domain rows; Sampling)",
-    "q229_decision_stump" -> "cumulative split-scan window over the <=bins-row localCheckpoint'ed histogram grid (FeatureEng.scala:250; the checkpoint hides the bounded aggregate)")
+    "q229_decision_stump" -> "cumulative split-scan window over the <=bins-row localCheckpoint'ed histogram grid (FeatureEng.scala:250; the checkpoint hides the bounded aggregate)",
+    "q367_range_agg_sweep" -> "bucket-prefix window over the time-span/bucketWidth totals grid (grouped agg by __bkt beneath — RangeAgg.scala's driver-small bucket table, the q81/q137 shape; the DATA never enters a global window)")
 
   /** Expand through AQE wrapper nodes so the traversal sees inside
     * finalized query stages and reused exchanges. */
