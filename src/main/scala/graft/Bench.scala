@@ -582,7 +582,12 @@ object Bench {
       // scanner + merge loop; the conservation-law gate) — the
       // tokenizer path's 10x reading should be ~linear; merge-loop
       // or scanner alloc creep would surface here
-      "q374_bpe_scale")
+      "q374_bpe_scale",
+      // round-13: KMV vocabulary-overlap sketches — one corpus-sized
+      // distinct shuffle + a bounded mergeable heap; the sketch table
+      // stays group-sized regardless of corpus, so the 10x reading
+      // measures the distinct, not the pairwise stage
+      "q376_kmv_overlap")
     val stressWaivers = Map(
       "q165_mutual_knn" -> ("documented O(n^2) exact-kNN SCORING " +
         "(irreducible on unstructured embeddings — no cluster geometry " +

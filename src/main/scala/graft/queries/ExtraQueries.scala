@@ -1871,6 +1871,32 @@ object ExtraQueries {
       WHERE url NOT LIKE '%/latin1' AND url NOT LIKE '%/bom'
       ORDER BY arc_id, rec_idx"""))
 
+  /** sitemap.xml frontier parsing on the gate ([[graft.ops.Sitemap]],
+    * sitemaps.org 0.9): the crawl-frontier source that pairs with
+    * robots (q371) and WARC (q355) — urlset + sitemapindex,
+    * namespaced and bare, full/minimal fields, malformed priority →
+    * null, loc-less entries dropped, `.xml.gz` delivery, a hostile
+    * DOCTYPE (XXE) file and raw garbage both yielding ZERO rows. Twin
+    * re-parses the same fixtures with CPython's xml.etree — an XML
+    * stack independent of the JDK SAX parser under test. */
+  val qSitemapScan = Q(
+    "q377_sitemap_scan",
+    (s, _) => {
+      val maps = s.read.format("binaryFile")
+        .load("/root/repo/src/test/resources/graft/sources/sitemaps")
+        .select(regexp_extract(col("path"), "map_(\\d+)\\.xml", 1)
+          .cast("long").as("map_id"), col("content"))
+      graft.ops.Sitemap.entries(maps, "map_id", "content").toDF()
+        .select(col("id").as("map_id"), col("kind"), col("entry_idx"),
+          col("loc"), col("lastmod"), col("changefreq"),
+          col("priority"))
+        .orderBy("map_id", "entry_idx")
+    },
+    Some("""SELECT map_id, kind, entry_idx, loc, lastmod, changefreq,
+        priority
+      FROM '/root/repo/src/test/resources/graft/sources/sitemap_twin.parquet'
+      ORDER BY map_id, entry_idx"""))
+
   /** TIFF pixel decode on the gate ([[graft.ops.MediaCodec
     * .decodeTiffGray]] — the JDK ImageIO TIFF plugin as the seam,
     * like q344's JPEG): the committed TIFFs are LOSSLESS gray
@@ -2304,7 +2330,7 @@ object ExtraQueries {
     qWarcTruncLedger, qColorJpegDHash, qStreamingCuration, qPdfColumns,
     qWarcScale, qStreamingCodeMetrics, qAvroScan, qAvroRoundTrip,
     qRobotsFilter, qByteBpe, qWarcZstd, qByteBpeScale,
-    qStreamingRobotsGate,
+    qStreamingRobotsGate, qSitemapScan,
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qKendallExact,
     qMapValueCounts,

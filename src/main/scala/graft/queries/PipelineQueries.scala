@@ -4544,6 +4544,54 @@ object PipelineQueries {
           AS t_cap
       FROM f3 GROUP BY source ORDER BY source"""))
 
+  /** KMV (bottom-k / theta-family) cross-source vocabulary overlap
+    * ([[graft.ops.KmvSketch.overlap]]): the sketch-based scale path
+    * next to q127's EXACT pairwise Jaccard — at 100 TB the distinct
+    * vocabulary per source stops fitting an exact pairwise join, and
+    * bottom-k sketches (k longs per source) estimate union/Jaccard/
+    * intersection from a group-sized broadcast self-join. The repo's
+    * md5-60-bit hash makes every sketch DETERMINISTIC, so the oracle
+    * replays the whole pipeline — distinct hashing, per-source
+    * bottom-64, merged-sketch union slice, shared-fraction — bit for
+    * bit, and the (k−1)/R estimator's arithmetic exactly. */
+  val qKmvOverlap = Q(
+    "q376_kmv_overlap",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("source"),
+          explode(TextAnalysis.words(col("text"))).as("word"))
+      graft.ops.KmvSketch.overlap(docs, "source", "word", k = 64)
+        .orderBy("src_a", "src_b")
+    },
+    Some(s"""WITH w AS (SELECT DISTINCT source,
+        CAST(('0x' || substr(md5(word), 1, 15)) AS BIGINT) AS h
+      FROM (SELECT source, unnest($dkWords) AS word FROM documents)),
+      r AS (SELECT source, h,
+        row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        FROM w),
+      s AS (SELECT source, list(h ORDER BY h) AS kmv
+        FROM r WHERE rn <= 64 GROUP BY source),
+      p AS (SELECT a.source AS src_a, b.source AS src_b,
+          a.kmv AS ka, b.kmv AS kb,
+          (list_sort(list_distinct(list_concat(a.kmv, b.kmv))))[1:64]
+            AS ku
+        FROM s a JOIN s b ON a.source < b.source),
+      e AS (SELECT src_a, src_b,
+          len(ku) AS k_eff,
+          len(list_filter(ku, x -> list_contains(ka, x)
+            AND list_contains(kb, x))) AS n_shared,
+          CASE WHEN len(ku) < 64 THEN CAST(len(ku) AS DOUBLE)
+               ELSE 63.0 * power(2, 60) / CAST(ku[len(ku)] AS DOUBLE)
+          END AS est_union_raw
+        FROM p)
+      SELECT src_a, src_b,
+        CAST(k_eff AS INT) AS k_eff,
+        CAST(n_shared AS INT) AS n_shared,
+        round(est_union_raw, 6) AS est_union,
+        round(CAST(n_shared AS DOUBLE) / k_eff, 6) AS jaccard_est,
+        round(est_union_raw * n_shared / k_eff, 6) AS est_intersection
+      FROM e ORDER BY src_a, src_b"""))
+
   /** Streaming per-source token-budget admission
     * ([[graft.streaming.StreamingBudget.admitByBudget]]): a real
     * two-batch MemoryStream drive (ascending-id batches = arrival
@@ -5934,8 +5982,8 @@ object PipelineQueries {
     qKCenter, qPriorityDedup, qPplBuckets, qQueryLikelihood,
     qHardNegatives, qSemDedupPrune, qDedupSaturation,
     qMixInterleave, qBalancedShards, qVocabCoverage, qBurstiness,
-    qCurationFunnel, qWebCurationFunnel, qStreamingBudget, qKneserNey,
-    qMmrSelect,
+    qCurationFunnel, qWebCurationFunnel, qKmvOverlap, qStreamingBudget,
+    qKneserNey, qMmrSelect,
     qBpeFertility, qKCoreBackbone, qDistinctNgrams, qBm25Rerank,
     qChainDrift, qWinnowFp, qWinnowSpans, qWinnowAligned, qEncodingAudit,
     qWinnowContamination, qStreamingContamination, qWinnowExactSpans,

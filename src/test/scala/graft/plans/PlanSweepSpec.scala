@@ -74,7 +74,8 @@ class PlanSweepSpec extends SparkSpec {
     "q271_hard_negatives" -> "corpus x broadcast 10-row probe set (Similarity.hardNegativeTopK, the q26 brute-force shape)",
     "q292_bm25_rerank" -> "rerank side: 50-row BM25 candidate set x broadcast 1-ROW query vector (vec_id = 0 pushed to the embeddings scan, Relevance.bm25DenseRerank) — a filtered single-row table, not an aggregate, so not auto-recognized; the inner 1-row (n_docs, avgdl) cross IS structurally recognized",
     "q273_dedup_saturation" -> "groupNtile's per-group-count join: the literal single-group key folds out of the equi-join keys, leaving a BNLJ whose build side is the GROUPED count aggregate — one row per group, exactly 1 here (verified: the corpus-sized smaller/rank joins in the same plan are BroadcastHashJoin on __v)",
-    "q313_burrows_delta" -> "sources x broadcast top-20 word list (TakeOrdered over the vocabulary aggregate - bounded by topM, not a 1-row aggregate, so not auto-recognized; TextAnalysis.burrowsDelta)")
+    "q313_burrows_delta" -> "sources x broadcast top-20 word list (TakeOrdered over the vocabulary aggregate - bounded by topM, not a 1-row aggregate, so not auto-recognized; TextAnalysis.burrowsDelta)",
+    "q376_kmv_overlap" -> "sketch-table self-pairs under src_a < src_b: BOTH sides are the per-GROUP bottom-k sketch table (a grouped aggregate of k longs per source — group-domain rows, never corpus rows; KmvSketch.overlap), the q175 k-x-k grid shape")
 
   /** Queries whose global (partition-less) window rides an input the
     * structural [[rowBounded]] check can't prove bounded — each entry
