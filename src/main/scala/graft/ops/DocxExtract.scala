@@ -93,6 +93,60 @@ object DocxExtract {
     Some((lines.mkString("\n"), paragraphs))
   }
 
+  /** FULL-package extraction (q378, closing the documented body-only
+    * boundary): body (word/document.xml) PLUS headers
+    * (word/headerN.xml, concatenated in file-name order), footers
+    * (word/footerN.xml, same), and footnotes (word/footnotes.xml —
+    * the w:type="separator"/"continuationSeparator" stubs hold no
+    * w:t text and drop naturally under the empty-line rule). Same
+    * per-part line convention, caps, and hostile-XML hardening as
+    * [[extract]]; None only when the blob is not a docx at all. */
+  final case class DocxFull(body: String, header_text: String,
+      footer_text: String, footnotes_text: String, n_paragraphs: Int)
+
+  def extractFull(b: Array[Byte]): Option[DocxFull] =
+    try extractFullImpl(b)
+    catch { case _: Exception => None }
+
+  private def extractFullImpl(b: Array[Byte]): Option[DocxFull] = {
+    if (b.length < 4 || b(0) != 'P' || b(1) != 'K') return None
+    val parts = scala.collection.mutable.LinkedHashMap[String,
+      Array[Byte]]()
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(b))
+    try {
+      var entry = zin.getNextEntry
+      while (entry != null) {
+        val n = entry.getName
+        val wanted = n == "word/document.xml" ||
+          n == "word/footnotes.xml" ||
+          (n.startsWith("word/header") && n.endsWith(".xml")) ||
+          (n.startsWith("word/footer") && n.endsWith(".xml"))
+        if (wanted) {
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var k = zin.read(buf)
+          while (k >= 0 && out.size < (64 << 20)) {
+            out.write(buf, 0, k)
+            k = zin.read(buf)
+          }
+          parts(n) = out.toByteArray
+        }
+        entry = zin.getNextEntry
+      }
+    } finally zin.close()
+    if (!parts.contains("word/document.xml")) return None
+    def textOf(name: String): (String, Int) =
+      parts.get(name).flatMap(parseDocumentXml).getOrElse(("", 0))
+    def joined(prefix: String): String =
+      parts.keys.toSeq.filter(n =>
+        n.startsWith(prefix) && n.endsWith(".xml")).sorted
+        .map(n => textOf(n)._1).filter(_.nonEmpty).mkString("\n")
+    val (body, nPara) = textOf("word/document.xml")
+    Some(DocxFull(body, joined("word/header"), joined("word/footer"),
+      textOf("word/footnotes.xml")._1, nPara))
+  }
+
   /** One extracted document. */
   final case class DocxText(id: Long, text: String, n_paragraphs: Int)
 
@@ -108,6 +162,27 @@ object DocxExtract {
         it.flatMap { case (id, bytes) =>
           extract(Option(bytes).getOrElse(Array.empty))
             .map { case (t, p) => DocxText(id, t, p) }
+        }
+      }
+  }
+
+  /** One fully-extracted document (q378). */
+  final case class DocxFullRow(id: Long, body: String,
+      header_text: String, footer_text: String, footnotes_text: String,
+      n_paragraphs: Int)
+
+  /** Map-only FULL-package extraction over a binary column. */
+  def docxToTextFull(df: DataFrame, idCol: String,
+      binCol: String): Dataset[DocxFullRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          extractFull(Option(bytes).getOrElse(Array.empty))
+            .map(f => DocxFullRow(id, f.body, f.header_text,
+              f.footer_text, f.footnotes_text, f.n_paragraphs))
         }
       }
   }

@@ -1897,6 +1897,33 @@ object ExtraQueries {
       FROM '/root/repo/src/test/resources/graft/sources/sitemap_twin.parquet'
       ORDER BY map_id, entry_idx"""))
 
+  /** FULL-package DOCX extraction on the gate ([[graft.ops
+    * .DocxExtract.extractFull]]): q357 certifies body text, and the
+    * r12 verdict recorded "body only" as a documented boundary — this
+    * closes it: headers (file-name order pinned by two differing
+    * headers), footers, and footnotes including the separator /
+    * continuationSeparator stubs that must contribute nothing; a
+    * header-less doc yields empty strings, not nulls. Constructed
+    * fixtures, twin verbatim (the q357 discipline). */
+  val qDocxFull = Q(
+    "q378_docx_full",
+    (s, _) => {
+      val docs = s.read.format("binaryFile")
+        .load("/root/repo/src/test/resources/graft/sources/docx_full")
+        .select(regexp_extract(col("path"), "doc_(\\d+)\\.docx", 1)
+          .cast("long").as("doc_id"), col("content"))
+      graft.ops.DocxExtract.docxToTextFull(docs, "doc_id", "content")
+        .toDF()
+        .select(col("id").as("doc_id"), col("body"), col("header_text"),
+          col("footer_text"), col("footnotes_text"),
+          col("n_paragraphs"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, body, header_text, footer_text,
+        footnotes_text, n_paragraphs
+      FROM '/root/repo/src/test/resources/graft/sources/docx_full_twin.parquet'
+      ORDER BY doc_id"""))
+
   /** TIFF pixel decode on the gate ([[graft.ops.MediaCodec
     * .decodeTiffGray]] — the JDK ImageIO TIFF plugin as the seam,
     * like q344's JPEG): the committed TIFFs are LOSSLESS gray
@@ -2330,7 +2357,7 @@ object ExtraQueries {
     qWarcTruncLedger, qColorJpegDHash, qStreamingCuration, qPdfColumns,
     qWarcScale, qStreamingCodeMetrics, qAvroScan, qAvroRoundTrip,
     qRobotsFilter, qByteBpe, qWarcZstd, qByteBpeScale,
-    qStreamingRobotsGate, qSitemapScan,
+    qStreamingRobotsGate, qSitemapScan, qDocxFull,
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qKendallExact,
     qMapValueCounts,
