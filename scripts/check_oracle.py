@@ -118,6 +118,20 @@ def main(out_dir, sf_dir, strict_types=True):
             n_bad += 1
             continue
 
+        # The driver's pandas row-sort crashes on a bytearray cell
+        # ('unhashable type', r13's q369), so a gate query must never
+        # emit a raw binary column — project hex()/md5() on BOTH
+        # sides instead. Flagged as a hard FAIL here so it never
+        # reaches the driver.
+        bin_cols = [f.name for f in got_tbl.schema
+                    if "binary" in canon_type(f.type)]
+        if bin_cols:
+            print(f"FAIL  {name}: binary column(s) {bin_cols} in gate "
+                  "output — the driver harness cannot row-sort bytes; "
+                  "project hex()/md5() on both sides")
+            n_bad += 1
+            continue
+
         type_bad = []
         if strict_types:
             es, gs = type_sig(exp_tbl), type_sig(got_tbl)

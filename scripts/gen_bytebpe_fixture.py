@@ -41,6 +41,22 @@ B2U = bytes_to_unicode()
 CONTRACTIONS = ["'s", "'t", "'re", "'ve", "'m", "'ll", "'d"]
 
 
+# The Scala op scans per UTF-16 CODE UNIT (a JVM Char): a
+# supplementary-plane character is two surrogates, each of which is
+# neither letter nor digit nor whitespace, so an astral char always
+# classifies as "other" — and, since both halves classify identically,
+# a surrogate pair can never split across pretokens. This twin pins
+# the SAME documented rule by overriding the per-char classes for
+# ord > 0xFFFF (python iterates code points, so one astral char here
+# corresponds to exactly one unsplittable surrogate pair there).
+def _alpha(c):
+    return ord(c) <= 0xFFFF and c.isalpha()
+
+
+def _digit(c):
+    return ord(c) <= 0xFFFF and c.isdigit()
+
+
 def pretokenize(s):
     out = []
     n = len(s)
@@ -62,15 +78,15 @@ def pretokenize(s):
         d = s[j0]
         if not d.isspace():
             j = j0
-            if d.isalpha():
-                while j < n and s[j].isalpha():
+            if _alpha(d):
+                while j < n and _alpha(s[j]):
                     j += 1
-            elif d.isdigit():
-                while j < n and s[j].isdigit():
+            elif _digit(d):
+                while j < n and _digit(s[j]):
                     j += 1
             else:
                 while (j < n and not s[j].isspace()
-                       and not s[j].isalpha() and not s[j].isdigit()):
+                       and not _alpha(s[j]) and not _digit(s[j])):
                     j += 1
             out.append(s[i:j])
             i = j
@@ -145,6 +161,10 @@ TEXTS = [
     (9, ""),
     (10, "don't can't won't"),
     (11, "ÐÑÒ raw high bytes and émigré"),
+    # supplementary plane: astral letters (𝕏𝕐) and an emoji classify
+    # as "other" per UTF-16 unit on BOTH engines (documented rule);
+    # the surrogate pair stays whole, so UTF-8 stays 4-byte proper
+    (12, "astral 𝕏𝕐 pair💡end"),
 ]
 
 
@@ -168,6 +188,19 @@ def main():
     assert "Ġ123" not in by[3] and "123" in by[3]  # digit merges, no Ġ1
     assert by[9] == ""                         # empty text, zero tokens
     assert "ĠĠ" in by[4]                      # collapsed ws run token
+    # astral row: letters break around the astral run; each astral
+    # char contributes its 4 proper UTF-8 bytes as one contiguous
+    # 4-symbol group (no CESU-8 6-byte surrogate encoding)
+    x_syms = "".join(B2U[b] for b in "𝕏".encode("utf-8"))
+    bulb_syms = "".join(B2U[b] for b in "💡".encode("utf-8"))
+    joined12 = by[12].replace(" ", "")
+    assert len(x_syms) == 4 and x_syms in joined12, by[12]
+    assert len(bulb_syms) == 4 and bulb_syms in joined12, by[12]
+    # conservation: concatenated symbol length == UTF-8 octet length
+    # (4-byte proper encoding for astral chars, never CESU-8's 6)
+    assert len(joined12) == len(TEXTS[12][1].encode("utf-8")), by[12]
+    # the letter run BREAKS at the astral chars ("astral" spells out)
+    assert by[12].split()[:6] == list("astral"), by[12]
     import pyarrow as pa
     import pyarrow.parquet as pq
     pq.write_table(pa.table({

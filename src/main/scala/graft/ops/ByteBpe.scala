@@ -29,8 +29,14 @@ import org.apache.spark.sql.functions._
   *
   * The merge table is INPUT (a crawl ships its tokenizer), broadcast
   * once; encoding is map-only. Characters are treated per UTF-16
-  * char; supplementary-plane letters are out of the documented scope
-  * (the fixtures pin BMP text). */
+  * char. Supplementary-plane behavior is DOCUMENTED and gated (the
+  * q372 fixture plants astral letters + an emoji): each surrogate
+  * half is neither letter nor digit nor whitespace, so an astral
+  * char always classifies as "other"; both halves classify the same
+  * way, so a surrogate pair can never split across pretokens, and
+  * `getBytes(UTF_8)` on the intact pair yields the proper 4-byte
+  * encoding (never CESU-8's 6). The twin pins the identical rule by
+  * classifying ord > 0xFFFF code points as "other". */
 object ByteBpe {
 
   /** The published bytes-to-unicode map (GPT-2 `bytes_to_unicode`). */
@@ -104,18 +110,20 @@ object ByteBpe {
       bytes.toVector.map(b => byteToUnicode(b & 0xff).toString)
     var done = parts.length < 2
     while (!done) {
+      // track the winning pair IN the scan: a real GPT-2 table has
+      // ~50k merges, so recovering the pair by re-scanning the rank
+      // map each iteration would dominate corpus-scale encoding
       var bestRank = Int.MaxValue
+      var ba: String = null
+      var bb: String = null
       var k = 0
       while (k < parts.length - 1) {
         val r = ranks.getOrElse((parts(k), parts(k + 1)), Int.MaxValue)
-        if (r < bestRank) bestRank = r
+        if (r < bestRank) { bestRank = r; ba = parts(k); bb = parts(k + 1) }
         k += 1
       }
       if (bestRank == Int.MaxValue) done = true
       else {
-        // fuse every left-to-right occurrence of the winning pair
-        val (ba, bb) = ranks.collectFirst {
-          case (p, r) if r == bestRank => p }.get
         val nb = scala.collection.mutable.ArrayBuffer[String]()
         var k2 = 0
         while (k2 < parts.length) {

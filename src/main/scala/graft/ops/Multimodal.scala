@@ -491,16 +491,18 @@ object Multimodal {
     * SKIPPED before the pair explosion via one map-side-combined
     * aggregate + semi join; at that size they are either giant
     * exact-dup families (an exact hash-groupBy collapses those first
-    * and cheaper) or degenerate rasters. The cap is OPT-IN (default
-    * `Int.MaxValue` = exhaustive, the documented pigeonhole recall
-    * contract holds verbatim); a caller that sets a finite cap for
-    * corpus scale accepts the recall loss and MUST read
+    * and cheaper) or degenerate rasters. Pass
+    * `Int.MaxValue` for the exhaustive path (the documented
+    * pigeonhole recall contract holds verbatim). The parameter is REQUIRED — like
+    * [[dhashSkippedBands]], the recall-vs-blowup tradeoff must be an
+    * explicit choice at every call site; a caller that sets a finite
+    * cap for corpus scale accepts the recall loss and MUST read
     * [[dhashSkippedBands]] with the same cap to make the drop
     * observable — that is the contract the q347 stress row and
     * ImageHashSpec pin. */
   def dhashNearDupPairs(hashes: DataFrame, idCol: String,
       hashCol: String, maxBits: Int,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
+      maxBucket: Int): DataFrame = {
     require(maxBits >= 0 && maxBits <= 3,
       s"dhashNearDupPairs: 4-band pigeonhole guarantees recall only " +
         s"to hamming 3, got maxBits=$maxBits; re-band before raising")

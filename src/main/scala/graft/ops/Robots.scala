@@ -100,15 +100,19 @@ object Robots {
     m(0, 0)
   }
 
-  /** RFC 9309 verdict for one (groups, agent, path). */
+  /** RFC 9309 verdict for one (groups, agent, path). Null agent/path
+    * are treated as empty strings — hostile probe rows must never
+    * throw inside a task (the repo-wide ingestion contract). */
   def isAllowed(groups: Map[String, Seq[Rule]], agent: String,
       path: String): Boolean = {
-    val rules = groups.getOrElse(agent.toLowerCase,
+    val agent0 = Option(agent).getOrElse("")
+    val path0 = Option(path).getOrElse("")
+    val rules = groups.getOrElse(agent0.toLowerCase,
       groups.getOrElse("*", Seq.empty))
     var bestLen = -1
     var bestAllow = true
     rules.foreach { r =>
-      if (r.pattern.length >= bestLen && patternMatches(r.pattern, path)) {
+      if (r.pattern.length >= bestLen && patternMatches(r.pattern, path0)) {
         // longer pattern wins; on EQUAL length allow wins (§2.2.2)
         if (r.pattern.length > bestLen) {
           bestLen = r.pattern.length
@@ -121,24 +125,48 @@ object Robots {
     if (bestLen < 0) true else bestAllow
   }
 
+  /** Default host-count gate for [[crawlFilter]]'s broadcast path: a
+    * robots row is a host name plus a body (median well under 1 KiB);
+    * 2M hosts is low tens of MiB serialized — comfortably within
+    * Spark's broadcast comfort zone. A full-web host census (~50M+
+    * hosts) must NOT broadcast; above the gate both sides shuffle on
+    * host instead and the evaluation stays partition-local. */
+  val DefaultMaxBroadcastHosts: Long = 2000000L
+
   /** Map-only permission column over (host, agent, path) probes joined
-    * to per-host robots bodies: robots tables are small relative to a
-    * crawl (one row per HOST), so the join side broadcasts and the
-    * evaluation is one partition-local pass with per-host parsed-group
-    * caching. */
+    * to per-host robots bodies, dual-path on robots size:
+    *
+    *  - BROADCAST (robots host count ≤ `maxBroadcastHosts`): the
+    *    common case — a crawl's robots table is one row per HOST and
+    *    small relative to the probes; the join is shuffle-free.
+    *  - PARTITIONED (above the gate): both sides hash-shuffle on
+    *    host (plain sort-merge join, co-partitioned output), so a
+    *    50M-host census never materializes on the driver.
+    *
+    * Either way the verdict pass is one mapPartitions with a per-host
+    * parsed-group cache: under the partitioned path every row of a
+    * host lands in the same partition, so the cache hits exactly as
+    * it does under broadcast. The gate costs one count() of the
+    * SMALL side (one scan of the host census, negligible vs the
+    * probe scan). Null agent/path rows evaluate as "" and never
+    * throw; hosts absent from robots are allowed (RFC §2.3.1.2). */
   def crawlFilter(probes: DataFrame, hostCol: String, agentCol: String,
       pathCol: String, robots: DataFrame, robotsHostCol: String,
-      txtCol: String): DataFrame = {
+      txtCol: String,
+      maxBroadcastHosts: Long = DefaultMaxBroadcastHosts): DataFrame = {
     val spark = probes.sparkSession
     import spark.implicits._
-    val joined = probes
+    val p = probes
       .select(col(hostCol).cast("string").as("host"),
         col(agentCol).cast("string").as("agent"),
         col(pathCol).cast("string").as("path"))
-      .join(broadcast(robots.select(
-        col(robotsHostCol).cast("string").as("host"),
-        col(txtCol).cast("string").as("__txt"))), Seq("host"), "left")
-      .as[(String, String, String, String)]
+    val r = robots.select(
+      col(robotsHostCol).cast("string").as("host"),
+      col(txtCol).cast("string").as("__txt"))
+    val joined =
+      (if (r.count() <= maxBroadcastHosts) p.join(broadcast(r), Seq("host"), "left")
+       else p.join(r, Seq("host"), "left"))
+        .as[(String, String, String, String)]
     joined.mapPartitions { it =>
       val cache = scala.collection.mutable.HashMap[String,
         Map[String, Seq[Rule]]]()

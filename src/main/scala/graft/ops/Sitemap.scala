@@ -110,6 +110,84 @@ object Sitemap {
     (kind, entries.toSeq)
   }
 
+  /** Walk a sitemap TREE to its page frontier: `<sitemapindex>`
+    * documents name child sitemaps; this composes index → child-blob
+    * lookup → urlset into one bounded-iteration op, closing the crawl
+    * loop (sitemap = what exists, [[Robots]] = what may be fetched,
+    * [[Warc]] = what was fetched).
+    *
+    * `blobs` holds every FETCHED sitemap body keyed by its URL;
+    * `seeds` are the root sitemap URLs (typically robots.txt
+    * `Sitemap:` records). Each level is one equi-join of the
+    * level's URL set against the blob table plus one map-only parse —
+    * the [[ConnectedComponents]] loop discipline: eager
+    * localCheckpoint per level (each level's parse runs exactly once;
+    * the checkpoint BACKS the returned rows, so levels stay live by
+    * design and the loop is bounded by `maxDepth`, not convergence
+    * luck). Cyclic references (an index naming itself or an
+    * ancestor) and diamond re-references are dropped by an anti-join
+    * against the visited set; loc-less entries are dropped by the
+    * parser; a child URL with no fetched blob simply contributes
+    * nothing (the inner join drops it — the caller's fetcher decides
+    * whether to go get it).
+    *
+    * Returns one row per urlset page entry:
+    * (sm_url, depth, entry_idx, loc, lastmod, changefreq, priority)
+    * where sm_url is the sitemap that listed the page and depth is
+    * its level below the seeds (a seed that IS a urlset emits at
+    * depth 0). */
+  def frontier(blobs: DataFrame, urlCol: String, binCol: String,
+      seeds: DataFrame, seedCol: String, maxDepth: Int = 5): DataFrame = {
+    require(maxDepth >= 0, "maxDepth must be >= 0")
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    val b = blobs.select(trim(col(urlCol)).cast("string").as("sm_url"),
+      col(binCol).cast("binary").as("bin"))
+    var cur = seeds
+      .select(trim(col(seedCol)).cast("string").as("sm_url"))
+      .where(col("sm_url").isNotNull && length(col("sm_url")) > 0)
+      .distinct()
+    var visited = cur
+    var pages: DataFrame = null
+    var depth = 0
+    var done = false
+    while (!done) {
+      val parsed = cur.join(b, Seq("sm_url"))
+        .as[(String, Array[Byte])]
+        .mapPartitions { it =>
+          it.flatMap { case (u, bytes) =>
+            val (kind, es) = parse(Option(bytes).getOrElse(Array.empty))
+            es.zipWithIndex.map { case ((loc, lm, cf, pr), i) =>
+              (u, kind, i, loc, lm, cf, pr)
+            }
+          }
+        }
+        .toDF("sm_url", "kind", "entry_idx", "loc", "lastmod",
+          "changefreq", "priority")
+        .localCheckpoint(true) // parse once; backs the returned rows
+      val pageRows = parsed.where(col("kind") === "urlset")
+        .select(col("sm_url"), lit(depth).as("depth"), col("entry_idx"),
+          col("loc"), col("lastmod"), col("changefreq"), col("priority"))
+      pages = if (pages == null) pageRows
+        else pages.unionByName(pageRows)
+      if (depth >= maxDepth) done = true
+      else {
+        val children = parsed.where(col("kind") === "sitemapindex")
+          .select(trim(col("loc")).as("sm_url"))
+          .where(length(col("sm_url")) > 0)
+          .distinct()
+          .join(visited, Seq("sm_url"), "left_anti") // cycle/diamond guard
+        if (children.head(1).isEmpty) done = true
+        else {
+          cur = children.localCheckpoint(true)
+          visited = visited.union(cur)
+          depth += 1
+        }
+      }
+    }
+    pages
+  }
+
   /** Flat frontier table over a binary column of sitemap(.gz) blobs —
     * map-only, like every ingestion front-end here. */
   def entries(df: DataFrame, idCol: String,

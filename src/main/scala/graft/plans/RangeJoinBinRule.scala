@@ -35,6 +35,13 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
   * bin width in the column's own units — pick it near the typical
   * interval length, exactly as for the manual operator).
   *
+  * Routing note: this rule produces the general-purpose PAIRS plan.
+  * When the join's ONLY consumer is an associative count/sum per
+  * interval, [[graft.ops.RangeAgg.intervalCountSum]] answers the same
+  * query with zero candidate-pair materialization (~9.5× cheaper at
+  * 10× scale) — see RangeAgg's decision table for the criteria; the
+  * aggregate-over-join auto-rewrite is deliberately caller-opt-in.
+  *
   * Rewrite (all exact integer arithmetic — epoch-nanos overflow a
   * double): the point side gains `__graft_bin = (p - pmod(p, w)) div
   * w`; the interval side is filtered to `lo <= hi` (a no-op for the

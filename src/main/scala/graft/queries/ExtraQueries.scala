@@ -1049,7 +1049,8 @@ object ExtraQueries {
         .select(regexp_extract(col("path"), "img_(\\d+)\\.(?:bmp|png)", 1)
           .cast("long").as("img_id"), col("content"))
       val h = graft.ops.Multimodal.imageDHash(imgs, "img_id", "content")
-      graft.ops.Multimodal.dhashNearDupPairs(h.toDF(), "id", "dhash", 3)
+      graft.ops.Multimodal.dhashNearDupPairs(h.toDF(), "id", "dhash", 3,
+        Int.MaxValue)
         .orderBy("i", "j")
     },
     Some("""SELECT a.img_id AS i, b.img_id AS j,
@@ -1077,7 +1078,7 @@ object ExtraQueries {
       val h = graft.ops.Multimodal.imageDHash(imgs, "img_id", "content")
         .toDF().localCheckpoint(false) // two consumers: ids + pairs
       val pairs = graft.ops.Multimodal
-        .dhashNearDupPairs(h, "id", "dhash", 3)
+        .dhashNearDupPairs(h, "id", "dhash", 3, Int.MaxValue)
       graft.ops.ConnectedComponents.labelAll(
           h.select(col("id").as("img_id")), "img_id",
           pairs, "i", "j", outCol = "cluster")
@@ -1629,9 +1630,17 @@ object ExtraQueries {
     (s, _) => {
       s.read.format("graft-avro")
         .load("/root/repo/src/test/resources/graft/sources/avro")
+        .withColumn("payload_hex", hex(col("payload")))
+        .drop("payload")
         .orderBy("id")
     },
-    Some("""SELECT id, rank, name, value, ratio, flag, opt_qty, payload
+    // The raw `payload` bytes column is projected as uppercase hex on
+    // BOTH sides: the driver harness row-sorts through pandas, which
+    // cannot hash a bytearray cell (r13's only red row). Byte-level
+    // exactness of the binary column itself stays pinned in
+    // AvroSourceSpec (read back through avro-java).
+    Some("""SELECT id, rank, name, value, ratio, flag, opt_qty,
+        hex(payload) AS payload_hex
       FROM '/root/repo/src/test/resources/graft/sources/avro_twin.parquet'
       ORDER BY id"""))
 
@@ -1896,6 +1905,36 @@ object ExtraQueries {
         priority
       FROM '/root/repo/src/test/resources/graft/sources/sitemap_twin.parquet'
       ORDER BY map_id, entry_idx"""))
+
+  /** Sitemap TREE walk on the gate ([[graft.ops.Sitemap.frontier]]):
+    * sitemapindex → child-blob lookup → urlset composed as one
+    * bounded-iteration op — the crawl loop closes (sitemap = what
+    * exists, robots q371 = what may be fetched, WARC q355 = what was
+    * fetched). Planted: a root index → 2 children → a gz grandchild,
+    * a SELF-CYCLE in the root, a diamond re-reference (child2 names
+    * the already-visited child1), a loc-less sitemap entry, a
+    * dangling never-fetched child, and a seed that is directly a
+    * urlset (depth-0 pages). Twin: an independent xml.etree walk of
+    * the same tree under the same documented rules. */
+  val qSitemapFrontier = Q(
+    "q379_sitemap_frontier",
+    (s, _) => {
+      import s.implicits._
+      val base = "/root/repo/src/test/resources/graft/sources/sitemap_tree"
+      val blobs = s.read.format("binaryFile").load(base)
+        .select(concat(lit("https://t.example/"),
+          regexp_extract(col("path"), "([^/]+)$", 1)).as("sm_url"),
+          col("content"))
+      val seeds = Seq("https://t.example/root.xml",
+        "https://t.example/leaf.xml").toDF("seed")
+      graft.ops.Sitemap.frontier(blobs, "sm_url", "content",
+          seeds, "seed", maxDepth = 5)
+        .orderBy("depth", "sm_url", "entry_idx")
+    },
+    Some("""SELECT sm_url, depth, entry_idx, loc, lastmod, changefreq,
+        priority
+      FROM '/root/repo/src/test/resources/graft/sources/sitemap_tree_twin.parquet'
+      ORDER BY depth, sm_url, entry_idx"""))
 
   /** FULL-package DOCX extraction on the gate ([[graft.ops
     * .DocxExtract.extractFull]]): q357 certifies body text, and the
@@ -2233,7 +2272,8 @@ object ExtraQueries {
             .bitwiseXOR(expr("CAST(CASE WHEN doc_id % 26 = 1 AND " +
               "(doc_id div 26) % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)")))
             .as("h"))
-      graft.ops.Multimodal.dhashNearDupPairs(h, "doc_id", "h", 3)
+      graft.ops.Multimodal.dhashNearDupPairs(h, "doc_id", "h", 3,
+        Int.MaxValue)
         .groupBy("hamming")
         .agg(count(lit(1)).as("n_pairs"),
           sum(col("i")).as("sum_i"), sum(col("j")).as("sum_j"))
@@ -2357,7 +2397,7 @@ object ExtraQueries {
     qWarcTruncLedger, qColorJpegDHash, qStreamingCuration, qPdfColumns,
     qWarcScale, qStreamingCodeMetrics, qAvroScan, qAvroRoundTrip,
     qRobotsFilter, qByteBpe, qWarcZstd, qByteBpeScale,
-    qStreamingRobotsGate, qSitemapScan, qDocxFull,
+    qStreamingRobotsGate, qSitemapScan, qDocxFull, qSitemapFrontier,
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qKendallExact,
     qMapValueCounts,

@@ -46,13 +46,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * reader shares no code with it — two implementations of the public
   * spec meeting at the q369 gate, the GIF/JPEG seam discipline.
   *
-  * Scale: one InputPartition per file (the siblings' contract).
-  * Avro is splittable on sync markers; at real scale planInputPartitions
-  * would scan block offsets once and deal blocks to partitions — the
-  * per-file reader below already walks blocks independently, so that
-  * extension is planning-only. Column pruning is pushed down (skipped
-  * fields are DECODED-AND-DISCARDED at the varint level, never
-  * materialized). */
+  * Scale: reads are SPLITTABLE on the container's sync markers.
+  * planInputPartitions parses each file's header once on the driver
+  * (a bounded prefix read), then walks block offsets with seek()s —
+  * O(#blocks) ~24-byte reads, never the payloads — and deals
+  * contiguous block ranges into partitions of ~`split_target_bytes`
+  * (option, default 128 MiB, Spark's maxPartitionBytes analog). A
+  * task reads ONLY its byte range, so a multi-GB .avro file fans out
+  * instead of pinning one straggler task. Column pruning is pushed
+  * down (skipped fields are DECODED-AND-DISCARDED at the varint
+  * level, never materialized). */
 class AvroSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-avro"
 
@@ -92,7 +95,9 @@ private class AvroTable(path: String, schema: StructType)
     }
   }
   override def newScanBuilder(
-      options: CaseInsensitiveStringMap): ScanBuilder =
+      options: CaseInsensitiveStringMap): ScanBuilder = {
+    val splitTarget = Option(options.get("split_target_bytes"))
+      .map(_.toLong).getOrElse(AvroFormat.DefaultSplitTargetBytes)
     new ScanBuilder with SupportsPushDownRequiredColumns {
       private var required: StructType = schema
       override def pruneColumns(requiredSchema: StructType): Unit = {
@@ -104,15 +109,22 @@ private class AvroTable(path: String, schema: StructType)
         override def toBatch: Batch = new Batch {
           override def planInputPartitions(): Array[InputPartition] =
             AvroFormat.resolveFiles(path)
-              .map(f => AvroPartition(f): InputPartition).toArray
+              .flatMap(f => AvroFormat.planSplits(f, splitTarget))
+              .map(p => p: InputPartition).toArray
           override def createReaderFactory(): PartitionReaderFactory =
             new AvroReaderFactory(required)
         }
       }
     }
+  }
 }
 
-private case class AvroPartition(file: String) extends InputPartition
+/** One task's slice: a CONTIGUOUS run of whole container blocks,
+  * [start, end) file bytes, plus the header facts (parsed field plan,
+  * codec, sync marker) so the task never re-reads the header. */
+private[sources] case class AvroPartition(file: String,
+    fields: Seq[AvroFormat.AvField], codec: String, sync: Array[Byte],
+    start: Long, end: Long) extends InputPartition
 
 /** Write side: per-partition part files, deflate codec, blocks of 500
   * rows — same commit discipline as [[StataBatchWrite]] (job-unique
@@ -173,7 +185,7 @@ private class AvroReaderFactory(schema: StructType)
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
     val rows = AvroFormat
-      .readRows(partition.asInstanceOf[AvroPartition].file, schema)
+      .readRows(partition.asInstanceOf[AvroPartition], schema)
     new PartitionReader[InternalRow] {
       private val it = rows
       private var cur: InternalRow = _
@@ -203,11 +215,15 @@ object AvroFormat {
 
   /** One field: Spark name/type plus whether it is a [null, T] union
     * (branch 0 = null by fixture convention; branch order is read
-    * from the schema, not assumed). */
-  private final case class AvField(name: String, tpe: String,
+    * from the schema, not assumed). Ships inside [[AvroPartition]]s,
+    * so it is serializable by construction. */
+  private[sources] final case class AvField(name: String, tpe: String,
       nullable: Boolean, nullBranch: Int)
   private final case class Header(fields: Seq[AvField], codec: String,
       sync: Array[Byte], dataOff: Int)
+
+  /** Default per-partition byte target for block-range splits. */
+  val DefaultSplitTargetBytes: Long = 128L * 1024 * 1024
 
   // ---- zigzag varint cursor over a byte array ----
   private final class Cur(val b: Array[Byte], var p: Int) {
@@ -319,13 +335,97 @@ object AvroFormat {
   }
 
   def readSchema(file: String): StructType = {
-    val h = parseHeader(readAll(file), file)
+    val h = readHeaderOnly(file)
     StructType(h.fields.map(f =>
       StructField(f.name, sparkType(f.tpe), nullable = f.nullable)))
   }
 
-  private def readAll(file: String): Array[Byte] =
-    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file))
+  /** Parse a file's header from a bounded PREFIX read (64 KiB, grown
+    * geometrically on the rare schema-bigger-than-that file) — never
+    * the whole file; the driver plans multi-GB containers without
+    * pulling their data. A short buffer surfaces as a cursor-overrun
+    * require(), retried with a bigger prefix; at full file length the
+    * error is genuine corruption and rethrows. */
+  private def readHeaderOnly(file: String): Header = {
+    val p = java.nio.file.Paths.get(file)
+    val len = java.nio.file.Files.size(p)
+    var cap = math.min(len, 64L * 1024).toInt
+    while (true) {
+      val in = java.nio.file.Files.newInputStream(p)
+      val buf = try in.readNBytes(cap) finally in.close()
+      try return parseHeader(buf, file)
+      catch {
+        case _: IllegalArgumentException if cap < len =>
+          cap = math.min(len, cap.toLong * 4).toInt
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Zigzag varint read off a seekable file (block HEADER fields only
+    * — payloads are seek()ed over, never read, during planning). */
+  private def rafVarint(raf: java.io.RandomAccessFile,
+      file: String): Long = {
+    var shift = 0
+    var acc = 0L
+    var more = true
+    while (more) {
+      val x = raf.read()
+      require(x >= 0 && shift <= 63, s"$file: varint overruns file")
+      acc |= (x & 0x7fL) << shift
+      shift += 7
+      more = (x & 0x80) != 0
+    }
+    (acc >>> 1) ^ -(acc & 1L)
+  }
+
+  /** Driver-side block-offset scan: seek from block header to block
+    * header verifying each sync marker, returning [start, end) byte
+    * ranges. O(#blocks) tiny reads regardless of file size. */
+  private def scanBlocks(file: String, h: Header): Seq[(Long, Long)] = {
+    val raf = new java.io.RandomAccessFile(file, "r")
+    try {
+      val len = raf.length()
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      raf.seek(h.dataOff.toLong)
+      while (raf.getFilePointer < len) {
+        val start = raf.getFilePointer
+        val nRows = rafVarint(raf, file)
+        val size = rafVarint(raf, file)
+        require(nRows >= 0 && size >= 0, s"$file: negative block header")
+        raf.seek(raf.getFilePointer + size)
+        val sync = new Array[Byte](16)
+        raf.readFully(sync)
+        require(java.util.Arrays.equals(sync, h.sync),
+          s"$file: block sync marker mismatch (torn or corrupt file)")
+        out += ((start, raf.getFilePointer))
+      }
+      out.toSeq
+    } finally raf.close()
+  }
+
+  /** Deal one file's blocks into contiguous ranges of ~targetBytes.
+    * Blocks stay whole (a block is the atomic codec unit); a single
+    * over-target block becomes its own partition. */
+  private[sources] def planSplits(file: String,
+      targetBytes: Long): Seq[AvroPartition] = {
+    require(targetBytes > 0, "split_target_bytes must be positive")
+    val h = readHeaderOnly(file)
+    val blocks = scanBlocks(file, h)
+    val out = scala.collection.mutable.ArrayBuffer[AvroPartition]()
+    var i = 0
+    while (i < blocks.length) {
+      val start = blocks(i)._1
+      var end = blocks(i)._2
+      i += 1
+      while (i < blocks.length && end - start < targetBytes) {
+        end = blocks(i)._2
+        i += 1
+      }
+      out += AvroPartition(file, h.fields, h.codec, h.sync, start, end)
+    }
+    out.toSeq
+  }
 
   private def inflateRaw(b: Array[Byte]): Array[Byte] = {
     val inf = new java.util.zip.Inflater(true) // raw DEFLATE per spec
@@ -520,28 +620,42 @@ object AvroFormat {
       s"unsupported write type $other")
   }
 
-  def readRows(file: String, schema: StructType): Iterator[InternalRow] = {
-    val bytes = readAll(file)
-    val h = parseHeader(bytes, file)
-    val byName = h.fields.map(f => f.name -> f).toMap
+  /** Decode one partition's [start, end) block range. The task reads
+    * ONLY its slice of the file; header facts ride in the partition. */
+  def readRows(part: AvroPartition,
+      schema: StructType): Iterator[InternalRow] = {
+    val file = part.file
+    val byName = part.fields.map(f => f.name -> f).toMap
     schema.fieldNames.foreach { n =>
       require(byName.contains(n), s"$file: requested column '$n' not " +
-        s"in the file (${h.fields.map(_.name).mkString(",")})")
+        s"in the file (${part.fields.map(_.name).mkString(",")})")
     }
     val wanted = schema.fieldNames.zipWithIndex.toMap
-    val plan = h.fields.map(f => (f, wanted.get(f.name))).toArray
+    val plan = part.fields.map(f => (f, wanted.get(f.name))).toArray
 
+    val bytes = {
+      val raf = new java.io.RandomAccessFile(file, "r")
+      try {
+        val n = part.end - part.start
+        require(n >= 0 && n <= Int.MaxValue,
+          s"$file: split [${part.start}, ${part.end}) out of range")
+        val buf = new Array[Byte](n.toInt)
+        raf.seek(part.start)
+        raf.readFully(buf)
+        buf
+      } finally raf.close()
+    }
     val blocks = scala.collection.mutable.ArrayBuffer[(Array[Byte], Long)]()
-    val fc = new Cur(bytes, h.dataOff)
+    val fc = new Cur(bytes, 0)
     while (fc.p < bytes.length) {
       val nRows = fc.readLong()
       val size = fc.readLong()
       require(nRows >= 0 && size >= 0, s"$file: negative block header")
       val payload = fc.readBytes(size.toInt)
       val sync = fc.readBytes(16)
-      require(java.util.Arrays.equals(sync, h.sync),
+      require(java.util.Arrays.equals(sync, part.sync),
         s"$file: block sync marker mismatch (torn or corrupt file)")
-      val data = if (h.codec == "deflate") inflateRaw(payload) else payload
+      val data = if (part.codec == "deflate") inflateRaw(payload) else payload
       blocks += ((data, nRows))
     }
 

@@ -365,13 +365,13 @@ class ImageHashSpec extends SparkSpec {
       3L -> (base ^ 0xFFL),                 // 8 flips: NOT a pair
       4L -> base)                           // exact dup
       .toDF("id", "h")
-    val got = Multimodal.dhashNearDupPairs(hs, "id", "h", 3)
+    val got = Multimodal.dhashNearDupPairs(hs, "id", "h", 3, Int.MaxValue)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
       .sortBy(p => (p._1, p._2))
     assert(got.toSeq === Seq((0L, 1L, 3), (0L, 2L, 3), (0L, 4L, 0),
       (1L, 4L, 3), (2L, 4L, 3)))
     val e = intercept[IllegalArgumentException] {
-      Multimodal.dhashNearDupPairs(hs, "id", "h", 4)
+      Multimodal.dhashNearDupPairs(hs, "id", "h", 4, Int.MaxValue)
     }
     assert(e.getMessage.contains("pigeonhole"), e.getMessage)
   }
@@ -404,7 +404,7 @@ class ImageHashSpec extends SparkSpec {
     assert(pairs.toSeq === Seq((9001L, 9002L, 1)),
       s"recall through non-degenerate bands changed: ${pairs.toSeq}")
     // and the default cap (4096) leaves the small fixture untouched
-    val uncapped = Multimodal.dhashNearDupPairs(hs, "id", "h", 3)
+    val uncapped = Multimodal.dhashNearDupPairs(hs, "id", "h", 3, Int.MaxValue)
       .collect()
     assert(uncapped.length === 1)
   }

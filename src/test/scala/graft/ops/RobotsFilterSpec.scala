@@ -1,0 +1,69 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Robots.crawlFilter]]'s dual execution paths (q371 gates values on
+  * the broadcast path; this pins path EQUIVALENCE, plan shape, and the
+  * never-throws-on-hostile-probes contract). */
+class RobotsFilterSpec extends SparkSpec {
+
+  private def fixtures() = {
+    import spark.implicits._
+    val robots = Seq(
+      ("a.com", "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n"),
+      ("b.com", "User-agent: bot\nDisallow: /\n")).toDF("host", "txt")
+    val probes = Seq(
+      ("a.com", "bot", "/private/x"),
+      ("a.com", "bot", "/private/ok/y"),
+      ("a.com", "bot", "/public"),
+      ("b.com", "bot", "/anything"),
+      ("b.com", "other", "/anything"),
+      ("c.com", "bot", "/no-robots-here"),
+      ("a.com", null, "/private/x"), // hostile: null agent
+      ("a.com", "bot", null) // hostile: null path
+    ).toDF("host", "agent", "path")
+    (probes, robots)
+  }
+
+  test("partitioned path (gate=0) returns exactly the broadcast " +
+    "path's verdicts, including null agent/path probes") {
+    val (probes, robots) = fixtures()
+    val bc = Robots.crawlFilter(probes, "host", "agent", "path",
+      robots, "host", "txt")
+    val part = Robots.crawlFilter(probes, "host", "agent", "path",
+      robots, "host", "txt", maxBroadcastHosts = 0L)
+    val key = Seq(col("host"), col("agent"), col("path"))
+    assert(part.orderBy(key: _*).collect().toSeq ===
+      bc.orderBy(key: _*).collect().toSeq)
+    // spot verdicts: null agent falls to the * group; null path
+    // evaluates as "" (prefix-of-nothing → only empty patterns match)
+    val m = part.collect().map(r => (r.getString(0),
+      Option(r.getString(1)), Option(r.getString(2))) -> r.getBoolean(3))
+      .toMap
+    assert(!m(("a.com", None, Some("/private/x")))) // * group disallows
+    assert(m(("a.com", Some("bot"), None))) // no rule matches ""
+    assert(m(("c.com", Some("bot"), Some("/no-robots-here")))) // no robots
+  }
+
+  test("path selection: above the gate the plan broadcasts, below " +
+    "it the join shuffles on host") {
+    val (probes, robots) = fixtures()
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // kill auto-broadcast so only the explicit hint can broadcast
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val bcPlan = Robots.crawlFilter(probes, "host", "agent", "path",
+        robots, "host", "txt").queryExecution.executedPlan.toString
+      val partPlan = Robots.crawlFilter(probes, "host", "agent", "path",
+        robots, "host", "txt", maxBroadcastHosts = 0L)
+        .queryExecution.executedPlan.toString
+      assert(bcPlan.contains("BroadcastHashJoin") ||
+        bcPlan.contains("BroadcastNestedLoopJoin"))
+      assert(!partPlan.contains("BroadcastHashJoin"))
+      assert(partPlan.contains("SortMergeJoin") ||
+        partPlan.contains("ShuffledHashJoin"))
+    } finally spark.conf.set(
+      "spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+}

@@ -148,4 +148,26 @@ class PlanPinSpec extends SparkSpec {
     val pruned = "list_id[^\\n]*(INSET|IN \\(|isin)".r.findFirstIn(plan)
     assert(pruned.isDefined, s"postings not pruned to probed lists:\n$plan")
   }
+
+  test("q367 RangeAgg sweep: zero pair materialization — no " +
+    "point×interval join, no explode; one window + one broadcast " +
+    "prefix join (the RangeAgg decision-table contract)") {
+    // AQE's toString prints Final AND Initial sections — count joins
+    // in the executed (final) section only
+    val plan = planOf("q367_range_agg_sweep")
+      .split("== Initial Plan ==").head
+    // the PAIRS plan's signatures must be absent: no nested loop /
+    // cartesian fallback, no bin-explode Generate fanout
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("Generate"), s"explode fanout in sweep:\n$plan")
+    // the only join is the driver-small bucket-prefix table riding a
+    // broadcast back onto the bound rows
+    assert(!plan.contains("SortMergeJoin"),
+      s"data-sized shuffle join in sweep:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size === 1,
+      s"expected exactly the prefix broadcast join in:\n$plan")
+    // the running F(x) rides a per-bucket window
+    assert(plan.contains("Window"), s"no window in sweep plan:\n$plan")
+  }
 }

@@ -101,6 +101,22 @@ class AvroSourceSpec extends SparkSpec {
       AvroFormatTestHook.parse(schema)
     }
   }
+
+  test("graft-avro: reads are SPLITTABLE on sync markers — a " +
+    "1-byte split target fans the multi-block fixture to more " +
+    "partitions than files, with identical values") {
+    val whole = spark.read.format("graft-avro").load(s"$dir/avro")
+    val split = spark.read.format("graft-avro")
+      .option("split_target_bytes", "1") // one container block per task
+      .load(s"$dir/avro")
+    val nWhole = whole.rdd.getNumPartitions
+    val nSplit = split.rdd.getNumPartitions
+    assert(nWhole === 2, s"default target: one partition per file")
+    assert(nSplit > nWhole,
+      s"multi-block avro_000 must fan out (got $nSplit partitions)")
+    assert(split.orderBy("id").collect().toSeq ===
+      whole.orderBy("id").collect().toSeq)
+  }
 }
 
 /** Exposes the private schema parser for the rejection test. */
