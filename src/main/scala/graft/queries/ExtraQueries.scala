@@ -1936,6 +1936,56 @@ object ExtraQueries {
       FROM '/root/repo/src/test/resources/graft/sources/sitemap_tree_twin.parquet'
       ORDER BY depth, sm_url, entry_idx"""))
 
+  /** STREAMING robots REFRESH on the gate ([[graft.streaming
+    * .StreamingRobots.allowedAtFetchTime]]): robots bodies change
+    * while a crawl runs, so each fetch is judged by the VERSION in
+    * force at fetch time — a stateless stream–static join (q209's
+    * protocol) on host + validity interval, then the q371 evaluator
+    * with a per-(host, version) parsed cache. Planted: rules that
+    * LOOSEN at a boundary, rules that TIGHTEN, a first robots fetch
+    * arriving mid-stream (earlier probes get the no-robots default
+    * allow), a never-fetched host, and both [from, to) boundary
+    * probes. Probes arrive over three micro-batches; twin = the q371
+    * python RFC implementation applied per version window. */
+  val qStreamingRobotsRefresh = Q(
+    "q380_streaming_robots_refresh",
+    (s, _) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.OutputMode
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val base = "/root/repo/src/test/resources/graft/sources"
+      val probes = s.read.parquet(s"$base/robots_stream_twin.parquet")
+        .select("host", "agent", "path", "fetch_ts_us")
+        .as[(String, String, String, Long)].collect()
+        .sortBy(p => (p._4, p._1, p._3))
+      val versions = s.read.parquet(s"$base/robots_versions.parquet")
+      val mem = MemoryStream[(String, String, String, Long)]
+      val src = mem.toDF.toDF("host", "agent", "path", "fetch_ts_us")
+      val verdicts = graft.streaming.StreamingRobots.allowedAtFetchTime(
+        src, "host", "agent", "path", "fetch_ts_us",
+        versions, "host", "valid_from_us", "valid_to_us", "txt")
+      val sink = "graft_srref_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-srref-gate").toString
+      val query = verdicts.writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        val third = (probes.length + 2) / 3
+        probes.grouped(math.max(1, third)).foreach { batch =>
+          mem.addData(batch.toIndexedSeq)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      StreamGate.finish(s, sink, ckpt, s.table(sink))
+        .orderBy("host", "agent", "path", "fetch_ts_us")
+    },
+    Some("""SELECT host, agent, path, fetch_ts_us, allowed
+      FROM '/root/repo/src/test/resources/graft/sources/robots_stream_twin.parquet'
+      ORDER BY host, agent, path, fetch_ts_us"""))
+
   /** FULL-package DOCX extraction on the gate ([[graft.ops
     * .DocxExtract.extractFull]]): q357 certifies body text, and the
     * r12 verdict recorded "body only" as a documented boundary — this
@@ -2398,6 +2448,7 @@ object ExtraQueries {
     qWarcScale, qStreamingCodeMetrics, qAvroScan, qAvroRoundTrip,
     qRobotsFilter, qByteBpe, qWarcZstd, qByteBpeScale,
     qStreamingRobotsGate, qSitemapScan, qDocxFull, qSitemapFrontier,
+    qStreamingRobotsRefresh,
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qKendallExact,
     qMapValueCounts,

@@ -66,4 +66,33 @@ class RobotsFilterSpec extends SparkSpec {
     } finally spark.conf.set(
       "spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
+
+  test("StreamingRobots.allowedAtFetchTime (batch drive): half-open " +
+    "[from, to) version windows; uncovered fetch times default-allow") {
+    import spark.implicits._
+    val versions = Seq(
+      ("h.com", 0L, 100L, "User-agent: *\nDisallow: /\n"),
+      ("h.com", 100L, Long.MaxValue, "User-agent: *\nDisallow: /p/\n")
+    ).toDF("host", "from_us", "to_us", "txt")
+    val probes = Seq(
+      ("h.com", "bot", "/p/x", 99L), // v1: deny-all
+      ("h.com", "bot", "/q", 99L), // v1: deny-all
+      ("h.com", "bot", "/p/x", 100L), // boundary -> v2: /p/ denied
+      ("h.com", "bot", "/q", 100L), // v2: allowed
+      ("h.com", "bot", "/q", -5L), // before any version: default allow
+      ("nope.com", "bot", "/q", 50L) // never fetched: default allow
+    ).toDF("host", "agent", "path", "ts")
+    val got = graft.streaming.StreamingRobots.allowedAtFetchTime(
+      probes, "host", "agent", "path", "ts",
+      versions, "host", "from_us", "to_us", "txt")
+      .collect()
+      .map(r => (r.getString(0), r.getString(2), r.getLong(3)) ->
+        r.getBoolean(4)).toMap
+    assert(!got(("h.com", "/p/x", 99L)))
+    assert(!got(("h.com", "/q", 99L)))
+    assert(!got(("h.com", "/p/x", 100L)))
+    assert(got(("h.com", "/q", 100L)))
+    assert(got(("h.com", "/q", -5L)))
+    assert(got(("nope.com", "/q", 50L)))
+  }
 }
