@@ -209,6 +209,57 @@ object TextAnalysis {
             .otherwise(lit(0.0)), 6).as(s"dup_${n}gram_frac"))
   }
 
+  /** LINE-level repetition signals — the other half of the Gopher
+    * repetition family (Rae et al., arXiv:2112.11446 §A1.1:
+    * duplicate-LINE fraction and duplicate-line CHARACTER fraction;
+    * [[repetitionTable]] covers the n-gram half). Boilerplate-heavy
+    * web text (nav bars, cookie banners, footer spam) repeats whole
+    * lines; n-gram fractions dilute that signal across the document.
+    *
+    * Rules (identical on the q381 oracle side): lines split on `\n`,
+    * space-trimmed, empty lines dropped (a `\r` from CRLF input stays
+    * part of the line — deliberately pinned by the fixture);
+    * dup_line_frac = (lines − distinct lines) / lines;
+    * dup_line_char_frac = chars in lines occurring >1 (ALL their
+    * occurrences) / total line chars; max_line_rep = the hottest
+    * line's occurrence count. Docs with no non-empty lines (or null
+    * text) emit zeros.
+    *
+    * Scale shape: explode → two map-side-combined hash aggregates
+    * keyed by (id, line) then id — no window, no collect_list, the
+    * hottest boilerplate line partial-aggregates before the shuffle. */
+  def lineRepetitionTable(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val lines = df
+      .select(col(idCol).as("id"),
+        explode(split(col(textCol), "\n")).as("l0"))
+      .select(col("id"), trim(col("l0")).as("l"))
+      .where(length(col("l")) > 0)
+    val perLine = lines.groupBy("id", "l")
+      .agg(count(lit(1)).as("c"))
+      .select(col("id"), col("c"), (col("c") * length(col("l"))).as("ch"))
+    val agg = perLine.groupBy("id").agg(
+      sum(col("c")).as("nl"),
+      count(lit(1)).as("ndl"),
+      max(col("c")).as("mx"),
+      sum(col("ch")).as("tot"),
+      sum(when(col("c") > 1, col("ch")).otherwise(lit(0L))).as("dup"))
+    df.select(col(idCol).as("id")).join(agg, Seq("id"), "left")
+      .select(
+        col("id"),
+        coalesce(col("nl"), lit(0L)).as("n_lines"),
+        coalesce(col("ndl"), lit(0L)).as("n_distinct_lines"),
+        coalesce(col("mx"), lit(0L)).as("max_line_rep"),
+        round(when(col("nl") > 0,
+          (col("nl") - col("ndl")).cast("double") /
+            col("nl").cast("double")).otherwise(lit(0.0)), 6)
+          .as("dup_line_frac"),
+        round(when(col("tot") > 0,
+          col("dup").cast("double") / col("tot").cast("double"))
+          .otherwise(lit(0.0)), 6)
+          .as("dup_line_char_frac"))
+  }
+
   /** Gopher-style document filter: word-count window, word-shape window,
     * repetition ceiling. Returns the per-rule booleans alongside the
     * composite `keep` so a pipeline can audit WHY a document dropped —

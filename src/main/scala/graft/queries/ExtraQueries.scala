@@ -1986,6 +1986,111 @@ object ExtraQueries {
       FROM '/root/repo/src/test/resources/graft/sources/robots_stream_twin.parquet'
       ORDER BY host, agent, path, fetch_ts_us"""))
 
+  /** LINE-level repetition on the gate ([[graft.ops.TextAnalysis
+    * .lineRepetitionTable]] — the Gopher duplicate-line /
+    * duplicate-line-character fractions; q43's gopherFilter covers
+    * the n-gram half). The driver documents are single-line, so the
+    * gate runs on a committed multi-line fixture planting boilerplate
+    * repetition, whitespace-only lines, CRLF (a `\r` stays part of
+    * the line), multibyte lines, the space-only trim rule (a tab-only
+    * line survives), empty and NULL texts. No twin file: the oracle
+    * is DuckDB re-deriving the same algebra from the same raw texts
+    * (two engines, one definition, one input — the q47 discipline). */
+  val qLineRepetition = Q(
+    "q381_line_repetition",
+    (s, _) => {
+      val docs = s.read.parquet("/root/repo/src/test/resources/graft/" +
+        "sources/line_rep_fixture.parquet")
+      graft.ops.TextAnalysis.lineRepetitionTable(docs, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+    Some("""WITH l AS (
+        SELECT doc_id, trim(x, ' ') AS l
+        FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS x
+              FROM '/root/repo/src/test/resources/graft/sources/line_rep_fixture.parquet')
+        WHERE length(trim(x, ' ')) > 0),
+      g AS (SELECT doc_id, l, count(*) AS c, length(l) AS len
+            FROM l GROUP BY 1, 2),
+      a AS (SELECT doc_id,
+          CAST(sum(c) AS BIGINT) AS nl,
+          count(*) AS ndl,
+          CAST(max(c) AS BIGINT) AS mx,
+          CAST(sum(c * len) AS BIGINT) AS tot,
+          CAST(sum(CASE WHEN c > 1 THEN c * len ELSE 0 END) AS BIGINT)
+            AS dup
+        FROM g GROUP BY 1)
+      SELECT d.doc_id,
+        COALESCE(a.nl, 0) AS n_lines,
+        COALESCE(a.ndl, 0) AS n_distinct_lines,
+        COALESCE(a.mx, 0) AS max_line_rep,
+        round(CASE WHEN a.nl > 0
+          THEN (a.nl - a.ndl) / CAST(a.nl AS DOUBLE) ELSE 0.0 END, 6)
+          AS dup_line_frac,
+        round(CASE WHEN a.tot > 0
+          THEN dup / CAST(a.tot AS DOUBLE) ELSE 0.0 END, 6)
+          AS dup_line_char_frac
+      FROM '/root/repo/src/test/resources/graft/sources/line_rep_fixture.parquet' d
+      LEFT JOIN a USING (doc_id)
+      ORDER BY doc_id"""))
+
+  /** CONCAT-CHUNK sequence packing on the gate ([[graft.ops
+    * .SequencePack.packConcat]] — GPT-style pretraining packing:
+    * concatenate per shard in id order with one EOS separator after
+    * each document, slice 256-token windows, documents straddle
+    * boundaries). Runs at CORPUS scale over every document (token
+    * counts via q30's portable whitespace rule); the oracle re-derives
+    * the identical offsets from a DuckDB running-sum window — exact
+    * SQL oracle because the chunk indices are closed-form in the
+    * prefix sum. */
+  val qPackConcat = Q(
+    "q382_pack_concat",
+    (s, dir) => {
+      val docs = table(s, dir, "documents").select(
+        col("source"), col("doc_id"),
+        graft.ops.TextAnalysis.nTokensWhitespace(col("text"))
+          .cast("long").as("n_tok"))
+      graft.ops.SequencePack.packConcat(docs, "doc_id", "source",
+          "n_tok", budget = 256L, sepTokens = 1L)
+        .orderBy("source", "doc_id")
+    },
+    Some("""WITH t AS (SELECT source, doc_id,
+        CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+          x -> length(x) > 0)) AS BIGINT) AS n_tokens
+      FROM documents),
+      o AS (SELECT source, doc_id, n_tokens,
+        CAST(COALESCE(sum(n_tokens + 1) OVER (PARTITION BY source
+          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+          1 PRECEDING), 0) AS BIGINT) AS start_off
+      FROM t)
+      SELECT source, doc_id, n_tokens, start_off,
+        start_off // 256 AS first_chunk,
+        CASE WHEN n_tokens > 0
+          THEN (start_off + n_tokens - 1) // 256
+          ELSE start_off // 256 END AS last_chunk
+      FROM o ORDER BY source, doc_id"""))
+
+  /** NEXT-FIT whole-document packing on the gate ([[graft.ops
+    * .SequencePack.packNextFit]] — no straddling, the
+    * instruction-tuning packing shape). Committed fixture plants the
+    * exact-fit boundary (60+40 stays at budget 100), the one-over
+    * spill, an oversize singleton + the forced fresh pack after it,
+    * zero and negative token counts, a single-doc group, and
+    * interleaved groups pinning per-group state reset. Twin: an
+    * independent python next-fit under the same documented rules. */
+  val qPackNextFit = Q(
+    "q383_pack_nextfit",
+    (s, _) => {
+      val docs = s.read.parquet("/root/repo/src/test/resources/graft/" +
+        "sources/pack_fixture.parquet")
+      graft.ops.SequencePack.packNextFit(docs, "doc_id", "grp",
+          "n_tok", budget = 100L)
+        .orderBy("grp", "doc_id")
+    },
+    Some("""SELECT grp, doc_id, n_tokens, pack_id, oversize
+      FROM '/root/repo/src/test/resources/graft/sources/pack_twin.parquet'
+      ORDER BY grp, doc_id"""))
+
   /** FULL-package DOCX extraction on the gate ([[graft.ops
     * .DocxExtract.extractFull]]): q357 certifies body text, and the
     * r12 verdict recorded "body only" as a documented boundary — this
@@ -2448,7 +2553,7 @@ object ExtraQueries {
     qWarcScale, qStreamingCodeMetrics, qAvroScan, qAvroRoundTrip,
     qRobotsFilter, qByteBpe, qWarcZstd, qByteBpeScale,
     qStreamingRobotsGate, qSitemapScan, qDocxFull, qSitemapFrontier,
-    qStreamingRobotsRefresh,
+    qStreamingRobotsRefresh, qLineRepetition, qPackConcat, qPackNextFit,
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qKendallExact,
     qMapValueCounts,
