@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Content-defined chunking (CDC) — gear-hash rolling boundaries in
+  * the FastCDC family (Xia et al., "FastCDC: a Fast and Efficient
+  * Content-Defined Chunking Approach for Data Deduplication", USENIX
+  * ATC'16; gear hashing from Xia et al., DDelta 2014). The
+  * SUB-document dedup primitive: byte-identical spans shared between
+  * documents (quoted paragraphs, license boilerplate, pasted code)
+  * chunk to identical (hash, length) pairs wherever they sit, because
+  * boundaries depend only on local CONTENT — an insertion re-anchors
+  * within one chunk instead of shifting every fixed-width block
+  * (the failure mode of offset-based chunking).
+  *
+  * Algorithm (deterministic, documented — the q384 twin implements
+  * the same spec in python with no shared code):
+  *  - GEAR table: 256 u64 constants from splitmix64 (Vigna's public
+  *    mix function) seeded 0..255 — reproducible everywhere;
+  *  - rolling hash h = (h << 1) + GEAR(byte), 64-bit wraparound;
+  *  - cut AFTER byte i when the chunk has >= minSize bytes and
+  *    (h & mask) == 0 (mask = 2^avgBits − 1, expected chunk size
+  *    ~2^avgBits past the minimum), or unconditionally at maxSize;
+  *  - h resets to 0 at every cut (chunk hashes must not depend on
+  *    prior chunks, or shared spans would not collide);
+  *  - the tail ships as a final chunk even when shorter than minSize;
+  *  - chunk identity = FNV-1a 64 over the chunk's bytes (portable:
+  *    exact in any 64-bit integer arithmetic), emitted as the signed
+  *    two's-complement long.
+  *
+  * Scale shape: chunking is document-local map-only work (one pass
+  * over the bytes, zero shuffle); the dedup statistics downstream are
+  * one hash aggregate on the chunk hash — the exact-dedup shape. */
+object ContentChunk {
+
+  /** splitmix64(i) for i = 0..255 — the published constants. */
+  private[ops] val Gear: Array[Long] = {
+    def splitmix64(seed: Long): Long = {
+      var z = seed + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    Array.tabulate(256)(i => splitmix64(i.toLong))
+  }
+
+  private[ops] def fnv1a64(bytes: Array[Byte], off: Int, len: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = off
+    val end = off + len
+    while (i < end) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** Chunk one byte array: (offset, length, fnv1a64) per chunk. */
+  private[ops] def chunks(bytes: Array[Byte], minSize: Int,
+      avgBits: Int, maxSize: Int): Seq[(Long, Long, Long)] = {
+    val mask = (1L << avgBits) - 1
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    var start = 0
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h << 1) + Gear(bytes(i) & 0xff)
+      val len = i - start + 1
+      if ((len >= minSize && (h & mask) == 0L) || len >= maxSize) {
+        out += ((start.toLong, len.toLong, fnv1a64(bytes, start, len)))
+        start = i + 1
+        h = 0L
+      }
+      i += 1
+    }
+    if (start < bytes.length) {
+      val len = bytes.length - start
+      out += ((start.toLong, len.toLong, fnv1a64(bytes, start, len)))
+    }
+    out.toSeq
+  }
+
+  final case class Chunk(id: Long, chunk_idx: Int, offset: Long,
+      length: Long, chunk_hash: Long)
+
+  /** Chunk table over a STRING column's UTF-8 bytes (null/empty text
+    * yields zero rows). minSize/avgBits/maxSize are the FastCDC knobs:
+    * expected chunk ≈ minSize + 2^avgBits, hard cap maxSize. */
+  def chunkText(df: DataFrame, idCol: String, textCol: String,
+      minSize: Int, avgBits: Int, maxSize: Int): Dataset[Chunk] = {
+    require(minSize >= 1 && maxSize >= minSize,
+      s"need 1 <= minSize <= maxSize, got $minSize/$maxSize")
+    require(avgBits >= 1 && avgBits <= 48, s"avgBits out of range: $avgBits")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val bytes = Option(text).getOrElse("")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          chunks(bytes, minSize, avgBits, maxSize).zipWithIndex.map {
+            case ((off, len, hash), idx) => Chunk(id, idx, off, len, hash)
+          }
+        }
+      }
+  }
+
+  /** Corpus-level shared-chunk statistics: for every chunk content
+    * seen more than once, how many documents and occurrences share it.
+    * One map-side-combined aggregate on (hash, length) — collision
+    * discipline: length rides with the hash, so a 64-bit collision
+    * must also match lengths to merge. */
+  def sharedChunks(chunkTable: Dataset[Chunk]): DataFrame =
+    chunkTable.toDF()
+      .groupBy("chunk_hash", "length")
+      .agg(countDistinct(col("id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .where(col("n_occurrences") > 1)
+}

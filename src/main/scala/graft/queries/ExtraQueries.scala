@@ -2091,6 +2091,64 @@ object ExtraQueries {
       FROM '/root/repo/src/test/resources/graft/sources/pack_twin.parquet'
       ORDER BY grp, doc_id"""))
 
+  /** Content-defined chunking on the gate ([[graft.ops.ContentChunk]]
+    * — gear-hash CDC, the FastCDC family): the SUB-document dedup
+    * primitive (pasted spans chunk identically wherever they sit,
+    * because boundaries depend only on local content). Fixture plants
+    * a long span shared verbatim by two docs at different offsets
+    * (≥2 identical interior (hash, length) chunks — asserted at
+    * generation), a sub-minSize doc, empty + NULL texts, an
+    * all-same-byte degenerate run (only the maxSize cap cuts), and
+    * multibyte UTF-8 (chunking is over BYTES). Twin: an independent
+    * python implementation of the same documented spec (splitmix64
+    * gear table, 64-bit rolling hash, FNV-1a identities). */
+  val qCdcChunks = Q(
+    "q384_cdc_chunks",
+    (s, _) => {
+      val docs = s.read.parquet("/root/repo/src/test/resources/graft/" +
+        "sources/cdc_fixture.parquet")
+      graft.ops.ContentChunk.chunkText(docs, "doc_id", "text",
+          minSize = 16, avgBits = 5, maxSize = 96).toDF()
+        .select(col("id").as("doc_id"), col("chunk_idx"),
+          col("offset").as("chunk_off"), // OFFSET is reserved in DuckDB
+          col("length").as("chunk_len"), col("chunk_hash"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+    Some("""SELECT doc_id, chunk_idx, "offset" AS chunk_off,
+        length AS chunk_len, chunk_hash
+      FROM '/root/repo/src/test/resources/graft/sources/cdc_twin.parquet'
+      ORDER BY doc_id, chunk_idx"""))
+
+  /** CDC at CORPUS scale (the q384 operator over every
+    * `documents.text`): the oracle pins the algorithm's CONSERVATION
+    * LAW — chunk lengths tile each document's UTF-8 byte length
+    * exactly (a dropped tail, an off-by-one boundary, or a
+    * double-emitted chunk breaks per-source equality), and every
+    * non-empty document chunks (doc-count parity). q384 certifies the
+    * chunk IDENTITIES on the fixture. */
+  val qCdcScale = Q(
+    "q385_cdc_scale",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val ch = graft.ops.ContentChunk.chunkText(docs, "doc_id", "text",
+          minSize = 32, avgBits = 6, maxSize = 256).toDF()
+        .groupBy("id").agg(sum(col("length")).as("doc_bytes"))
+      docs.join(ch, docs("doc_id") === ch("id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("id")).as("n_chunked_docs"),
+          sum(coalesce(col("doc_bytes"), lit(0L))).as("total_bytes"))
+        .orderBy("source")
+    },
+    Some("""SELECT source, count(*) AS n_docs,
+        CAST(sum(CASE WHEN text IS NOT NULL AND octet_length(
+          CAST(text AS BLOB)) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_chunked_docs,
+        CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT)
+          AS total_bytes
+      FROM documents GROUP BY source ORDER BY source"""))
+
   /** FULL-package DOCX extraction on the gate ([[graft.ops
     * .DocxExtract.extractFull]]): q357 certifies body text, and the
     * r12 verdict recorded "body only" as a documented boundary — this
@@ -2554,6 +2612,7 @@ object ExtraQueries {
     qRobotsFilter, qByteBpe, qWarcZstd, qByteBpeScale,
     qStreamingRobotsGate, qSitemapScan, qDocxFull, qSitemapFrontier,
     qStreamingRobotsRefresh, qLineRepetition, qPackConcat, qPackNextFit,
+    qCdcChunks, qCdcScale,
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qKendallExact,
     qMapValueCounts,
