@@ -587,7 +587,17 @@ object Bench {
       // distinct shuffle + a bounded mergeable heap; the sketch table
       // stays group-sized regardless of corpus, so the 10x reading
       // measures the distinct, not the pairwise stage
-      "q376_kmv_overlap")
+      "q376_kmv_overlap",
+      // round-14: concat-chunk sequence packing (per-shard prefix-sum
+      // window over token counts) — one shuffle on source + a sorted
+      // window; the 10x reading should be ~linear, window-partition
+      // growth (10x docs per source) is exactly what it measures
+      "q382_pack_concat",
+      // round-14: content-defined chunking over the whole corpus
+      // (map-only gear-hash scan + conservation aggregate) — the
+      // sub-document dedup front end; scanner alloc creep or a
+      // degenerate-boundary blowup would surface here
+      "q385_cdc_scale")
     val stressWaivers = Map(
       "q165_mutual_knn" -> ("documented O(n^2) exact-kNN SCORING " +
         "(irreducible on unstructured embeddings — no cluster geometry " +
