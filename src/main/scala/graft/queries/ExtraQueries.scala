@@ -2149,6 +2149,48 @@ object ExtraQueries {
           AS total_bytes
       FROM documents GROUP BY source ORDER BY source"""))
 
+  /** CRAWL ADMISSION composed end-to-end on the gate: the q379
+    * sitemap frontier (what exists) filtered by the q371 RFC 9309
+    * evaluator (what may be fetched) — the two halves of the crawl
+    * loop joined in one plan: tree walk → URL host/path split →
+    * [[graft.ops.Robots.crawlFilter]] → verdict per frontier page.
+    * The robots body makes the verdicts non-trivial ON frontier
+    * output: graftbot's own group disallows /deep/ with /deep/x
+    * allowed back by longest-match; the `*` group's /pages/ ban must
+    * NOT bind graftbot (own-group precedence). Twin composes the same
+    * two independent python implementations. */
+  val qCrawlAdmission = Q(
+    "q386_crawl_admission",
+    (s, _) => {
+      import s.implicits._
+      val base = "/root/repo/src/test/resources/graft/sources"
+      val blobs = s.read.format("binaryFile").load(s"$base/sitemap_tree")
+        .select(concat(lit("https://t.example/"),
+          regexp_extract(col("path"), "([^/]+)$", 1)).as("sm_url"),
+          col("content"))
+      val seeds = Seq("https://t.example/root.xml",
+        "https://t.example/leaf.xml").toDF("seed")
+      val pages = graft.ops.Sitemap.frontier(blobs, "sm_url", "content",
+          seeds, "seed", maxDepth = 5)
+        .select(col("loc"), col("depth"),
+          regexp_extract(col("loc"), "^https?://([^/]+)", 1).as("host"),
+          coalesce(nullif(regexp_extract(col("loc"),
+            "^https?://[^/]*(/.*)?$", 1), lit("")), lit("/")).as("path"))
+      val robots = s.read.format("binaryFile").load(s"$base/crawl_robots")
+        .select(regexp_extract(col("path"), "([^/]+)\\.txt$", 1)
+          .as("host"), col("content").cast("string").as("txt"))
+      val verdicts = graft.ops.Robots.crawlFilter(
+        pages.withColumn("agent", lit("graftbot")),
+        "host", "agent", "path", robots, "host", "txt")
+      pages.join(verdicts.select("host", "path", "allowed"),
+          Seq("host", "path"))
+        .select(col("loc"), col("depth"), col("allowed"))
+        .orderBy("loc")
+    },
+    Some("""SELECT loc, depth, allowed
+      FROM '/root/repo/src/test/resources/graft/sources/crawl_admission_twin.parquet'
+      ORDER BY loc"""))
+
   /** FULL-package DOCX extraction on the gate ([[graft.ops
     * .DocxExtract.extractFull]]): q357 certifies body text, and the
     * r12 verdict recorded "body only" as a documented boundary — this
@@ -2612,7 +2654,7 @@ object ExtraQueries {
     qRobotsFilter, qByteBpe, qWarcZstd, qByteBpeScale,
     qStreamingRobotsGate, qSitemapScan, qDocxFull, qSitemapFrontier,
     qStreamingRobotsRefresh, qLineRepetition, qPackConcat, qPackNextFit,
-    qCdcChunks, qCdcScale,
+    qCdcChunks, qCdcScale, qCrawlAdmission,
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qKendallExact,
     qMapValueCounts,
