@@ -144,6 +144,43 @@ object ByteBpe {
     pretokenize(Option(text).getOrElse(""))
       .flatMap(applyMerges(_, ranks))
 
+  /** Inverse byte map: each of the 256 alphabet chars → its byte. */
+  val unicodeToByte: Map[Char, Int] =
+    byteToUnicode.zipWithIndex.map { case (c, b) => c -> b }.toMap
+
+  /** DECODE: space-joined tokens → original text. Well-defined
+    * because the byte-unicode alphabet never contains a real space
+    * (0x20 maps to 'Ġ'), so separators are unambiguous and merges
+    * need no undoing — a token's chars map 1:1 back to bytes.
+    * Hostile input never throws: chars outside the 256-symbol
+    * alphabet are skipped; invalid UTF-8 byte runs decode to U+FFFD
+    * (the JDK's standard replacement). decode(encodeText(x)) == x
+    * for any valid-UTF-8 x — the q387 round-trip law. */
+  def decodeTokens(tokens: String): String = {
+    val t = Option(tokens).getOrElse("")
+    val out = new java.io.ByteArrayOutputStream(t.length)
+    var i = 0
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (c != ' ') unicodeToByte.get(c).foreach(out.write)
+      i += 1
+    }
+    new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Map-only decode: (id, text) from a tokens column. */
+  def decode(df: DataFrame, idCol: String,
+      tokensCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(tokensCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, toks) =>
+        (id, decodeTokens(toks))
+      })
+      .toDF(idCol, "text")
+  }
+
   /** Map-only encoding: (id, n_tokens, tokens space-joined — the
     * byte-unicode alphabet never contains a real space). Merges ship
     * as input data (rank = list order), closed over per executor. */

@@ -2191,6 +2191,36 @@ object ExtraQueries {
       FROM '/root/repo/src/test/resources/graft/sources/crawl_admission_twin.parquet'
       ORDER BY loc"""))
 
+  /** Byte-BPE ROUND TRIP at corpus scale ([[graft.ops.ByteBpe
+    * .decode]] inverts [[graft.ops.ByteBpe.encode]]): every document
+    * encodes through the committed merge table and decodes back, and
+    * the output must equal the raw table byte-for-byte — the
+    * strongest whole-cycle law (any scanner, byte-map, merge, or
+    * separator bug anywhere in the pipeline breaks SOME document).
+    * Decode needs no merge undoing: the alphabet has no real space,
+    * so tokens' chars map 1:1 back to bytes. Null text encodes to
+    * zero tokens and decodes to "" (oracle coalesces identically). */
+  val qBpeRoundTrip = Q(
+    "q387_bpe_roundtrip",
+    (s, dir) => {
+      val base = "/root/repo/src/test/resources/graft/sources"
+      val merges = java.nio.file.Files
+        .readAllLines(java.nio.file.Paths.get(s"$base/bpe_merges.txt"),
+          java.nio.charset.StandardCharsets.UTF_8)
+        .toArray(Array.empty[String]).toSeq
+        .filter(_.nonEmpty)
+        .map { l =>
+          val sp = l.indexOf(' ')
+          (l.substring(0, sp), l.substring(sp + 1))
+        }
+      val docs = table(s, dir, "documents").select("doc_id", "text")
+      val enc = graft.ops.ByteBpe.encode(docs, "doc_id", "text", merges)
+      graft.ops.ByteBpe.decode(enc, "doc_id", "tokens")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, COALESCE(text, '') AS text
+      FROM documents ORDER BY doc_id"""))
+
   /** FULL-package DOCX extraction on the gate ([[graft.ops
     * .DocxExtract.extractFull]]): q357 certifies body text, and the
     * r12 verdict recorded "body only" as a documented boundary — this
@@ -2654,7 +2684,7 @@ object ExtraQueries {
     qRobotsFilter, qByteBpe, qWarcZstd, qByteBpeScale,
     qStreamingRobotsGate, qSitemapScan, qDocxFull, qSitemapFrontier,
     qStreamingRobotsRefresh, qLineRepetition, qPackConcat, qPackNextFit,
-    qCdcChunks, qCdcScale, qCrawlAdmission,
+    qCdcChunks, qCdcScale, qCrawlAdmission, qBpeRoundTrip,
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qKendallExact,
     qMapValueCounts,

@@ -49,6 +49,22 @@ class ByteBpeSpec extends AnyFunSuite {
       utf8.toSeq.map(b => ByteBpe.byteToUnicode(b & 0xff).toString))
   }
 
+  test("decode inverts encode: round trip exact for BMP, astral, " +
+    "raw high bytes; hostile tokens never throw") {
+    val ranks = Map(("h", "e") -> 0, ("t", "he") -> 1)
+    for (t <- Seq("the cat", "café 𝕏𝕐💡", "a\nb\tc", "", "ÐÑÒ",
+      " leading  and trailing ")) {
+      val toks = ByteBpe.encodeText(t, ranks).mkString(" ")
+      assert(ByteBpe.decodeTokens(toks) === t, t)
+    }
+    assert(ByteBpe.decodeTokens(null) === "")
+    // chars outside the 256-symbol alphabet are skipped, not thrown
+    assert(ByteBpe.decodeTokens("ab 中 cd") === "abcd")
+    // a torn multibyte sequence decodes to replacement, never throws
+    val torn = ByteBpe.byteToUnicode(0xE4).toString // lone UTF-8 lead
+    assert(ByteBpe.decodeTokens(torn) === "�")
+  }
+
   test("realistic-scale merge table (>=1k merges, long pretokens): " +
     "optimized apply matches a naive reference implementation") {
     // Build a deterministic >=1k merge table the way a learned BPE
