@@ -102,12 +102,14 @@ ROBOTS = {
     "basic.example": (
         "# basic groups (allow listed FIRST so 1994 first-match and RFC\n"
         "# 9309 longest-match agree on every probe -> triangulatable)\n"
+        "SiteMap: https://basic.example/map-a.xml\n"   # mixed-case field
         "User-agent: graftbot\n"
         "Allow: /private/ok.html\n"
         "Disallow: /private/\n"
         "\n"
         "User-agent: *\n"
-        "Disallow: /tmp/\n"),
+        "Disallow: /tmp/\n"
+        "  Sitemap: https://basic.example/map-b.xml.gz  # trailing comment\n"),
     "wildcards.example": (
         "User-Agent: *\n"          # case-insensitive field
         "Disallow: /*.pdf$\n"
@@ -128,6 +130,7 @@ ROBOTS = {
         "Disallow: /y/\n"),
     "empty.example": (
         "Disallow: /ignored-before-any-group/\n"
+        "Sitemap:\n"               # empty value: dropped
         "User-agent: *\n"
         "Disallow:\n"),            # empty disallow = allow all
     # consumed by q375's robots-gated STREAMING ingestion (no probes
@@ -193,6 +196,29 @@ def main():
             rp.parse(ROBOTS[host].split("\n"))
             third = rp.can_fetch(agent, path)
             assert third == allowed, (host, agent, path, third, allowed)
+    # sitemap-record twin (q388): the SAME independent python pass
+    # extracts `Sitemap:` records per host — field case-insensitive,
+    # value verbatim, empty values dropped, comments stripped, order
+    # preserved (the discovery channel graft.ops.Robots.sitemapSeeds
+    # reads; evaluator verdicts above are unaffected, RFC treats the
+    # record as an "other record")
+    sm_rows = []
+    for host in sorted(ROBOTS):
+        idx = 0
+        for raw in ROBOTS[host].split("\n"):
+            line = raw.split("#", 1)[0].strip()
+            if ":" not in line:
+                continue
+            f, v = line.split(":", 1)
+            if f.strip().lower() == "sitemap" and v.strip():
+                sm_rows.append((host, idx, v.strip()))
+                idx += 1
+    assert [r for r in sm_rows if r[0] == "basic.example"] == [
+        ("basic.example", 0, "https://basic.example/map-a.xml"),
+        ("basic.example", 1, "https://basic.example/map-b.xml.gz")]
+    assert any(r[0] == "combine.example" for r in sm_rows)
+    assert all(r[0] != "empty.example" for r in sm_rows)
+
     # planted truths
     byp = {(h, a, p): al for h, a, p, al in rows}
     assert byp[("basic.example", "GraftBot", "/private/secret.html")] is False
@@ -215,6 +241,11 @@ def main():
         "path": pa.array([r[2] for r in rows], pa.string()),
         "allowed": pa.array([r[3] for r in rows], pa.bool_()),
     }), os.path.join(OUT, "robots_twin.parquet"))
+    pq.write_table(pa.table({
+        "host": pa.array([r[0] for r in sm_rows], pa.string()),
+        "rec_idx": pa.array([r[1] for r in sm_rows], pa.int32()),
+        "sm_url": pa.array([r[2] for r in sm_rows], pa.string()),
+    }), os.path.join(OUT, "robots_sitemap_twin.parquet"))
     print(f"wrote {len(ROBOTS)} robots files + twin ({len(rows)} probes,"
           f" {len(TRIANGULATE)} triangulated"
           " against urllib.robotparser)")

@@ -125,6 +125,52 @@ object Robots {
     if (bestLen < 0) true else bestAllow
   }
 
+  /** `Sitemap:` records from a robots.txt body — the sitemaps.org
+    * discovery channel ("submitting via robots.txt"; RFC 9309 treats
+    * them as other records, so [[parse]] skips them and verdicts are
+    * unaffected). These are THE seed source for [[Sitemap.frontier]]:
+    * robots names the sitemaps, the frontier walks them, and
+    * [[crawlFilter]] gates what the walk surfaced — the full crawl
+    * loop from one fetched file. Field name case-insensitive, values
+    * verbatim (absolute URLs per the protocol), order preserved,
+    * comments stripped, group position irrelevant (the record is
+    * global to the file). */
+  def sitemapRecords(txt: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    Option(txt).getOrElse("").split("\n", -1).foreach { raw =>
+      val noComment = {
+        val h = raw.indexOf('#')
+        if (h >= 0) raw.substring(0, h) else raw
+      }
+      val line = noComment.trim
+      val ci = line.indexOf(':')
+      if (ci > 0 &&
+        line.substring(0, ci).trim.equalsIgnoreCase("sitemap")) {
+        val v = line.substring(ci + 1).trim
+        if (v.nonEmpty) out += v
+      }
+    }
+    out.toSeq
+  }
+
+  /** (host, rec_idx, sm_url) seed table over per-host robots bodies —
+    * map-only, one row per `Sitemap:` record in file order, ready to
+    * feed [[Sitemap.frontier]]'s seeds. */
+  def sitemapSeeds(robots: DataFrame, hostCol: String,
+      txtCol: String): DataFrame = {
+    val spark = robots.sparkSession
+    import spark.implicits._
+    robots.select(col(hostCol).cast("string").as("host"),
+        col(txtCol).cast("string").as("txt"))
+      .as[(String, String)]
+      .flatMap { case (host, txt) =>
+        sitemapRecords(txt).zipWithIndex.map {
+          case (u, i) => (host, i, u)
+        }
+      }
+      .toDF("host", "rec_idx", "sm_url")
+  }
+
   /** Default host-count gate for [[crawlFilter]]'s broadcast path: a
     * robots row is a host name plus a body (median well under 1 KiB);
     * 2M hosts is low tens of MiB serialized — comfortably within

@@ -2221,6 +2221,31 @@ object ExtraQueries {
     Some("""SELECT doc_id, COALESCE(text, '') AS text
       FROM documents ORDER BY doc_id"""))
 
+  /** `Sitemap:` records from robots.txt on the gate ([[graft.ops
+    * .Robots.sitemapSeeds]] — the sitemaps.org discovery channel and
+    * THE seed source for q379's frontier walk: robots names the
+    * sitemaps, the frontier walks them, q371/q386 gate what the walk
+    * surfaced). Planted in the q371 fixtures: mixed-case `SiteMap:`
+    * field, an indented record with a trailing comment, a record
+    * inside a group (position irrelevant — the record is global),
+    * an empty-value record (dropped), hosts with none. Evaluator
+    * verdicts are UNCHANGED (RFC treats the record as an "other
+    * record" — q371 re-gates that). Twin: the same independent
+    * python pass over the same committed files. */
+  val qRobotsSitemapSeeds = Q(
+    "q388_robots_sitemap_seeds",
+    (s, _) => {
+      val base = "/root/repo/src/test/resources/graft/sources"
+      val robots = s.read.format("binaryFile").load(s"$base/robots")
+        .select(regexp_extract(col("path"), "([^/]+)\\.txt$", 1)
+          .as("host"), col("content").cast("string").as("txt"))
+      graft.ops.Robots.sitemapSeeds(robots, "host", "txt")
+        .orderBy("host", "rec_idx")
+    },
+    Some("""SELECT host, rec_idx, sm_url
+      FROM '/root/repo/src/test/resources/graft/sources/robots_sitemap_twin.parquet'
+      ORDER BY host, rec_idx"""))
+
   /** FULL-package DOCX extraction on the gate ([[graft.ops
     * .DocxExtract.extractFull]]): q357 certifies body text, and the
     * r12 verdict recorded "body only" as a documented boundary — this
@@ -2685,6 +2710,7 @@ object ExtraQueries {
     qStreamingRobotsGate, qSitemapScan, qDocxFull, qSitemapFrontier,
     qStreamingRobotsRefresh, qLineRepetition, qPackConcat, qPackNextFit,
     qCdcChunks, qCdcScale, qCrawlAdmission, qBpeRoundTrip,
+    qRobotsSitemapSeeds,
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qKendallExact,
     qMapValueCounts,

@@ -39,6 +39,20 @@ class RobotsSpec extends AnyFunSuite {
     assert(Robots.isAllowed(tie, "x", "/t/a"))
   }
 
+  test("sitemapRecords: case-insensitive field, verbatim values, " +
+    "comments and empties dropped, order preserved, parse() skips") {
+    val txt = "SiteMap: https://h/a.xml\nUser-agent: *\nDisallow: /x/\n" +
+      "  sitemap: https://h/b.xml.gz  # note\nSitemap:\n# Sitemap: no\n"
+    assert(Robots.sitemapRecords(txt) ===
+      Seq("https://h/a.xml", "https://h/b.xml.gz"))
+    assert(Robots.sitemapRecords(null) === Seq.empty)
+    assert(Robots.sitemapRecords("no records here") === Seq.empty)
+    // the record is invisible to the evaluator (RFC "other record")
+    val g = Robots.parse(txt)
+    assert(!Robots.isAllowed(g, "any", "/x/1"))
+    assert(Robots.isAllowed(g, "any", "/y"))
+  }
+
   test("hostile input: garbage lines, no throw, rules outside groups") {
     val g = Robots.parse(
       "Disallow: /orphan/\n::::\n\u0000 junk\nUser-agent: *\n" +
