@@ -119,4 +119,36 @@ object ContentChunk {
       .agg(countDistinct(col("id")).as("n_docs"),
         count(lit(1)).as("n_occurrences"))
       .where(col("n_occurrences") > 1)
+
+  /** Per-document DUPLICATION MASS — the curation signal that decides
+    * what dedup action a document warrants: the fraction of its bytes
+    * sitting in chunks that also appear in at least one OTHER
+    * document (within-doc repetition is deliberately excluded — that
+    * is the line/n-gram repetition family's domain; cross-doc shared
+    * mass is what sub-document dedup can actually reclaim).
+    *
+    * Shape: one aggregate on (hash, length) for the distinct-doc
+    * count, one shuffle join back, one aggregate by doc — all
+    * partial-aggregated; the hottest boilerplate chunk is one
+    * combiner row per partition, never a hot reduce key. Documents
+    * with zero chunks (empty/null text) emit zeros. */
+  def dupMass(docs: DataFrame, idCol: String,
+      chunkTable: Dataset[Chunk]): DataFrame = {
+    val ch = chunkTable.toDF()
+    val spread = ch.groupBy("chunk_hash", "length")
+      .agg(countDistinct(col("id")).as("__nd"))
+    val perDoc = ch.join(spread, Seq("chunk_hash", "length"))
+      .groupBy("id")
+      .agg(sum(col("length")).as("__tot"),
+        sum(when(col("__nd") > 1, col("length")).otherwise(lit(0L)))
+          .as("__shared"))
+    docs.select(col(idCol).cast("long").as("id")).distinct()
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("__tot"), lit(0L)).as("total_bytes"),
+        coalesce(col("__shared"), lit(0L)).as("shared_bytes"),
+        round(when(col("__tot") > 0,
+          col("__shared").cast("double") / col("__tot").cast("double"))
+          .otherwise(lit(0.0)), 6).as("dup_frac"))
+  }
 }

@@ -2246,6 +2246,46 @@ object ExtraQueries {
       FROM '/root/repo/src/test/resources/graft/sources/robots_sitemap_twin.parquet'
       ORDER BY host, rec_idx"""))
 
+  /** Per-document DUPLICATION MASS on the gate ([[graft.ops
+    * .ContentChunk.dupMass]]): the fraction of each document's bytes
+    * in chunks shared with at least one OTHER document — what
+    * sub-document dedup can actually reclaim per doc (the q384
+    * fixture's pasted span shows up as ~reciprocal dup_frac on docs
+    * 0 and 1; within-doc repetition deliberately excluded). Oracle:
+    * DuckDB re-derives the same algebra from the committed q384 twin
+    * (whose chunk values q384 certifies against the python CDC twin
+    * — so this gate is end-to-end: chunker AND mass algebra). */
+  val qCdcDupMass = Q(
+    "q389_cdc_dup_mass",
+    (s, _) => {
+      val docs = s.read.parquet("/root/repo/src/test/resources/graft/" +
+        "sources/cdc_fixture.parquet")
+      val ch = graft.ops.ContentChunk.chunkText(docs, "doc_id", "text",
+        minSize = 16, avgBits = 5, maxSize = 96)
+      graft.ops.ContentChunk.dupMass(docs, "doc_id", ch)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT * FROM
+        '/root/repo/src/test/resources/graft/sources/cdc_twin.parquet'),
+      d AS (SELECT chunk_hash, length, count(DISTINCT doc_id) AS nd
+            FROM t GROUP BY 1, 2),
+      j AS (SELECT t.doc_id, t.length, d.nd
+            FROM t JOIN d USING (chunk_hash, length)),
+      a AS (SELECT doc_id, CAST(sum(length) AS BIGINT) AS tot,
+            CAST(sum(CASE WHEN nd > 1 THEN length ELSE 0 END) AS BIGINT)
+              AS shared
+            FROM j GROUP BY 1)
+      SELECT f.doc_id,
+        COALESCE(a.tot, 0) AS total_bytes,
+        COALESCE(a.shared, 0) AS shared_bytes,
+        round(CASE WHEN a.tot > 0
+          THEN a.shared / CAST(a.tot AS DOUBLE) ELSE 0.0 END, 6)
+          AS dup_frac
+      FROM '/root/repo/src/test/resources/graft/sources/cdc_fixture.parquet' f
+      LEFT JOIN a USING (doc_id)
+      ORDER BY f.doc_id"""))
+
   /** FULL-package DOCX extraction on the gate ([[graft.ops
     * .DocxExtract.extractFull]]): q357 certifies body text, and the
     * r12 verdict recorded "body only" as a documented boundary — this
@@ -2710,7 +2750,7 @@ object ExtraQueries {
     qStreamingRobotsGate, qSitemapScan, qDocxFull, qSitemapFrontier,
     qStreamingRobotsRefresh, qLineRepetition, qPackConcat, qPackNextFit,
     qCdcChunks, qCdcScale, qCrawlAdmission, qBpeRoundTrip,
-    qRobotsSitemapSeeds,
+    qRobotsSitemapSeeds, qCdcDupMass,
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qKendallExact,
     qMapValueCounts,
