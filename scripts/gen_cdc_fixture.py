@@ -78,6 +78,11 @@ DOCS = [
     (4, None),                             # null: zero chunks
     (5, "z" * 300),                        # degenerate: maxSize cap only
     (6, "日本語のテキストはバイト単位で切られる。" * 8),  # multibyte
+    # repeats SHARED a third time — lands in the LAST micro-batch of
+    # the q390 streaming drive, so cross-batch chunk suppression is
+    # exercised against docs 0/1 from the first batch
+    (7, "yet another distinct preamble paragraph " + SHARED +
+        " and a distinct closing line."),
 ]
 
 
@@ -105,8 +110,10 @@ def main():
     # chunks across docs 0 and 1 despite different offsets
     h0 = {(c[4], c[3]) for c in by_doc[0][1:-1]}
     h1 = {(c[4], c[3]) for c in by_doc[1][1:-1]}
+    h7 = {(c[4], c[3]) for c in by_doc[7][1:-1]}
     shared = h0 & h1
     assert len(shared) >= 2, (len(shared), len(h0), len(h1))
+    assert len(h0 & h7) >= 2, len(h0 & h7)  # cross-batch repeat for q390
 
     import pyarrow as pa
     import pyarrow.parquet as pq

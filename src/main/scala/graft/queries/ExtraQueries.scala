@@ -2286,6 +2286,63 @@ object ExtraQueries {
       LEFT JOIN a USING (doc_id)
       ORDER BY f.doc_id"""))
 
+  /** STREAMING chunk-level novelty on the gate ([[graft.streaming
+    * .StreamingChunkDedup.novelChunks]] — first-seen state on CDC
+    * chunk keys, the incremental-ingest metric: new bytes per
+    * document given everything seen before it). The fixture docs
+    * stream in three doc-id-ordered micro-batches; docs 0/1 exercise
+    * WITHIN-batch suppression (same pasted span, same batch), doc 7
+    * CROSS-batch suppression (repeats the span two batches later),
+    * doc 5 within-doc suppression (three identical max-size chunks),
+    * empty/null docs emit nothing. Twin replays the identical
+    * protocol in python on the q384-certified chunker. */
+  val qStreamingChunkNovelty = Q(
+    "q390_streaming_chunk_novelty",
+    (s, _) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.OutputMode
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val docs = s.read.parquet("/root/repo/src/test/resources/graft/" +
+        "sources/cdc_fixture.parquet")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect().sortBy(_._1)
+      val mem = MemoryStream[(Long, String)]
+      val src = mem.toDF.toDF("doc_id", "text")
+      val seen = graft.streaming.StreamingChunkDedup.novelChunks(
+        src, "doc_id", "text", minSize = 16, avgBits = 5, maxSize = 96)
+      val sink = "graft_scnk_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-scnk-gate").toString
+      val query = seen.toDF.writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        val per = (docs.length + 2) / 3
+        docs.grouped(per).foreach { batch =>
+          mem.addData(batch.toIndexedSeq)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      // per-doc aggregation happens batch-side on the collected rows
+      // (an aggregate AFTER flatMapGroupsWithState in Append mode
+      // would need a watermark; the state op is the streaming part)
+      val all = s.read.parquet("/root/repo/src/test/resources/graft/" +
+        "sources/cdc_fixture.parquet").select(col("doc_id"))
+      StreamGate.finish(s, sink, ckpt,
+        all.join(s.table(sink), Seq("doc_id"), "left")
+          .groupBy("doc_id")
+          .agg(count(col("chunk_idx")).as("n_chunks"),
+            sum(coalesce(col("length"), lit(0L))).as("total_bytes"),
+            sum(when(col("novel"), col("length")).otherwise(lit(0L)))
+              .as("novel_bytes")))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, n_chunks, total_bytes, novel_bytes
+      FROM '/root/repo/src/test/resources/graft/sources/cdc_stream_twin.parquet'
+      ORDER BY doc_id"""))
+
   /** FULL-package DOCX extraction on the gate ([[graft.ops
     * .DocxExtract.extractFull]]): q357 certifies body text, and the
     * r12 verdict recorded "body only" as a documented boundary — this
@@ -2750,7 +2807,7 @@ object ExtraQueries {
     qStreamingRobotsGate, qSitemapScan, qDocxFull, qSitemapFrontier,
     qStreamingRobotsRefresh, qLineRepetition, qPackConcat, qPackNextFit,
     qCdcChunks, qCdcScale, qCrawlAdmission, qBpeRoundTrip,
-    qRobotsSitemapSeeds, qCdcDupMass,
+    qRobotsSitemapSeeds, qCdcDupMass, qStreamingChunkNovelty,
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qKendallExact,
     qMapValueCounts,
