@@ -2343,6 +2343,91 @@ object ExtraQueries {
       FROM '/root/repo/src/test/resources/graft/sources/cdc_stream_twin.parquet'
       ORDER BY doc_id"""))
 
+  /** HTML link extraction + RFC 3986 resolution on the gate
+    * ([[graft.ops.LinkExtract]] + [[graft.ops.UrlResolve]] — the
+    * link-graph front end: hrefs of opening `<a>` tags, quote-aware
+    * scan, script/comment exclusion, first-href-wins attribute rules,
+    * entity decode, then §5 reference resolution against the page
+    * URL). Planted: dot segments + beyond-root clamp, scheme-relative
+    * `//host`, query-only/fragment-only/empty refs, `&amp;` in a
+    * query string, unquoted/single-quoted/mixed-case HREF, boolean
+    * href and href-less `<a>` (skipped), a `>` inside a quoted
+    * attribute, decoy hrefs in comments and scripts (must NOT
+    * extract), an empty-base-path merge. Twin: independent python
+    * implementations of both specs, every resolution TRIANGULATED
+    * against CPython's urllib.parse.urljoin; UrlResolveSpec pins the
+    * RFC's own §5.4 normal+abnormal tables verbatim. */
+  val qHtmlLinks = Q(
+    "q391_html_links",
+    (s, _) => {
+      val base = "/root/repo/src/test/resources/graft/sources"
+      val pages = s.read.format("binaryFile").load(s"$base/html_links")
+        .select(regexp_extract(col("path"), "page_(\\d+)\\.html", 1)
+          .cast("long").as("page_id"),
+          col("content").cast("string").as("html"))
+      val urls = s.read.parquet(s"$base/html_links_twin.parquet")
+        .select("page_id", "page_url").distinct()
+      val docs = pages.join(urls, Seq("page_id"))
+      graft.ops.LinkExtract.links(docs, "page_id", "page_url", "html")
+        .toDF()
+        .select(col("id").as("page_id"), col("link_idx"), col("href"),
+          col("resolved"))
+        .orderBy("page_id", "link_idx")
+    },
+    Some("""SELECT page_id, link_idx, href, resolved
+      FROM '/root/repo/src/test/resources/graft/sources/html_links_twin.parquet'
+      ORDER BY page_id, link_idx"""))
+
+  /** Host-level LINK GRAPH at corpus scale: every document becomes a
+    * synthetic page (q353's discipline — the oracle knows the
+    * CONSTRUCTION, never re-implements extraction) with a page URL on
+    * its source's host, one deterministic link cycling relative /
+    * dot-segment / entity-encoded-query / absolute forms, one
+    * scheme-relative CDN link, and a decoy href inside a script that
+    * must NOT reach the graph. The real extractor + resolver + host
+    * aggregation run end-to-end; the oracle derives the same edges
+    * from the construction arithmetic. Relative forms resolving to
+    * the OWN host and absolute forms fanning to abs{0..6}/cdn{0..2}
+    * make every rule's failure visible as an edge-count shift. */
+  val qLinkGraphScale = Q(
+    "q392_link_graph_scale",
+    (s, dir) => {
+      val docs = table(s, dir, "documents").select(
+        col("doc_id"),
+        concat(lit("http://"), col("source"), lit(".example/d/"),
+          col("doc_id").cast("string")).as("page_url"),
+        concat(
+          lit("<p>t</p><a href=\""),
+          when(col("doc_id") % 4 === 0,
+            concat(lit("p/"), col("doc_id").cast("string")))
+            .when(col("doc_id") % 4 === 1,
+              concat(lit("../q"), col("doc_id").cast("string")))
+            .when(col("doc_id") % 4 === 2,
+              concat(lit("/r?a=1&amp;b="), col("doc_id").cast("string")))
+            .otherwise(concat(lit("http://abs"),
+              (col("doc_id") % 7).cast("string"), lit(".example/s"))),
+          lit("\">l</a><script>var a='<a href=\"http://decoy.example/x\">'"
+            + ";</script><a href=\"//cdn"),
+          (col("doc_id") % 3).cast("string"),
+          lit(".example/z\">m</a>")).as("html"))
+      val lt = graft.ops.LinkExtract.links(docs, "doc_id", "page_url",
+        "html")
+      graft.ops.LinkExtract.hostEdges(lt, docs, "doc_id", "page_url")
+        .orderBy("src_host", "dst_host")
+    },
+    Some("""WITH e AS (
+        SELECT source || '.example' AS src_host,
+          CASE WHEN doc_id % 4 = 3
+            THEN 'abs' || CAST(doc_id % 7 AS VARCHAR) || '.example'
+            ELSE source || '.example' END AS dst_host
+        FROM documents
+        UNION ALL
+        SELECT source || '.example',
+          'cdn' || CAST(doc_id % 3 AS VARCHAR) || '.example'
+        FROM documents)
+      SELECT src_host, dst_host, count(*) AS n_links
+      FROM e GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   /** FULL-package DOCX extraction on the gate ([[graft.ops
     * .DocxExtract.extractFull]]): q357 certifies body text, and the
     * r12 verdict recorded "body only" as a documented boundary — this
@@ -2808,6 +2893,7 @@ object ExtraQueries {
     qStreamingRobotsRefresh, qLineRepetition, qPackConcat, qPackNextFit,
     qCdcChunks, qCdcScale, qCrawlAdmission, qBpeRoundTrip,
     qRobotsSitemapSeeds, qCdcDupMass, qStreamingChunkNovelty,
+    qHtmlLinks, qLinkGraphScale,
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qKendallExact,
     qMapValueCounts,
