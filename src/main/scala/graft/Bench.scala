@@ -597,7 +597,12 @@ object Bench {
       // (map-only gear-hash scan + conservation aggregate) — the
       // sub-document dedup front end; scanner alloc creep or a
       // degenerate-boundary blowup would surface here
-      "q385_cdc_scale")
+      "q385_cdc_scale",
+      // round-14: the link-graph front end at corpus scale (synthetic
+      // pages per document: real href scan + RFC 3986 resolution +
+      // host-edge aggregate) — string-heavy map work + one shuffle;
+      // scanner or resolver alloc creep surfaces here
+      "q392_link_graph_scale")
     val stressWaivers = Map(
       "q165_mutual_knn" -> ("documented O(n^2) exact-kNN SCORING " +
         "(irreducible on unstructured embeddings — no cluster geometry " +
