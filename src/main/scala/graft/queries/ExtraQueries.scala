@@ -2428,6 +2428,99 @@ object ExtraQueries {
       SELECT src_host, dst_host, count(*) AS n_links
       FROM e GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Host-graph PAGERANK composed end-to-end (q392's extracted link
+    * graph → [[graft.ops.GraphStats.pageRank]]): the authority score
+    * a crawl scheduler ranks hosts by, computed over edges the REAL
+    * extractor + RFC resolver produced — not a hand-built edge list.
+    * Hosts map to node ids through the portable md5-60 hash (the
+    * dkHash contract, [[graft.functions.StatFunctions.hash64]]), so
+    * the oracle replays the identical ids; cdnN and absN sink hosts have
+    * no out-edges, exercising the dangling-mass redistribution. Exact
+    * integer quota arithmetic (q184's discipline) against the same
+    * unrolled recursive SQL, at 4 iterations to pin parametricity
+    * (q184 runs 5). */
+  val qHostPageRank = Q(
+    "q393_host_pagerank",
+    (s, dir) => {
+      val docs = table(s, dir, "documents").select(
+        col("doc_id"),
+        concat(lit("http://"), col("source"), lit(".example/d/"),
+          col("doc_id").cast("string")).as("page_url"),
+        concat(
+          lit("<p>t</p><a href=\""),
+          when(col("doc_id") % 4 === 0,
+            concat(lit("p/"), col("doc_id").cast("string")))
+            .when(col("doc_id") % 4 === 1,
+              concat(lit("../q"), col("doc_id").cast("string")))
+            .when(col("doc_id") % 4 === 2,
+              concat(lit("/r?a=1&amp;b="), col("doc_id").cast("string")))
+            .otherwise(concat(lit("http://abs"),
+              (col("doc_id") % 7).cast("string"), lit(".example/s"))),
+          lit("\">l</a><script>var a='<a href=\"http://decoy.example/x\">'"
+            + ";</script><a href=\"//cdn"),
+          (col("doc_id") % 3).cast("string"),
+          lit(".example/z\">m</a>")).as("html"))
+      val lt = graft.ops.LinkExtract.links(docs, "doc_id", "page_url",
+        "html")
+      val he = graft.ops.LinkExtract
+        .hostEdges(lt, docs, "doc_id", "page_url")
+      import graft.functions.StatFunctions.hash64
+      val edges = he.select(hash64(col("src_host"), 7).as("src"),
+        hash64(col("dst_host"), 7).as("dst"))
+      val hostIds = he.select(col("src_host").as("host"))
+        .unionAll(he.select(col("dst_host").as("host")))
+        .distinct()
+        .select(col("host"), hash64(col("host"), 7).as("id"))
+      val nodes = hostIds.select("id")
+      graft.ops.GraphStats.pageRank(edges, "src", "dst", nodes, "id",
+          iterations = 4)
+        .join(hostIds, Seq("id"))
+        .select(col("host"), col("rank_q"))
+        .orderBy("host")
+    },
+    Some {
+      val iterCtes = (1 to 4).map { i =>
+        val prev = s"r${i - 1}"
+        s"""d$i AS (SELECT coalesce(sum(q), 0) AS ds FROM $prev
+            LEFT JOIN odeg ON odeg.src = $prev.id WHERE odeg.src IS NULL),
+          c$i AS (SELECT e.dst AS id, sum(r.q // o.outdeg) AS insum
+                  FROM $prev r JOIN odeg o ON o.src = r.id
+                  JOIN e ON e.src = r.id GROUP BY 1),
+          r$i AS (SELECT nd.id,
+              (1000000000000 - (1000000000000 * 85) // 100)
+                // (SELECT n FROM nn)
+              + (85 * ((SELECT ds FROM d$i) // (SELECT n FROM nn)
+                       + coalesce(c.insum, 0))) // 100 AS q
+            FROM nd LEFT JOIN c$i c ON c.id = nd.id)"""
+      }.mkString(",\n          ")
+      s"""WITH he AS (
+            SELECT DISTINCT source || '.example' AS sh,
+              CASE WHEN doc_id % 4 = 3
+                THEN 'abs' || CAST(doc_id % 7 AS VARCHAR) || '.example'
+                ELSE source || '.example' END AS dh
+            FROM documents
+            UNION
+            SELECT DISTINCT source || '.example',
+              'cdn' || CAST(doc_id % 3 AS VARCHAR) || '.example'
+            FROM documents),
+          hosts AS (SELECT DISTINCT h AS host FROM (
+            SELECT sh AS h FROM he UNION SELECT dh FROM he)),
+          ids AS (SELECT host,
+              ('0x' || substr(md5('7:' || host), 1, 15))::BIGINT AS id
+            FROM hosts),
+          e AS (SELECT DISTINCT i1.id AS src, i2.id AS dst
+            FROM he JOIN ids i1 ON i1.host = he.sh
+            JOIN ids i2 ON i2.host = he.dh),
+          nd AS (SELECT id FROM ids),
+          odeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+          nn AS (SELECT count(*) AS n FROM nd),
+          r0 AS (SELECT id, 1000000000000 // (SELECT n FROM nn) AS q
+                 FROM nd),
+          $iterCtes
+        SELECT ids.host, CAST(q AS BIGINT) AS rank_q
+        FROM r4 JOIN ids ON ids.id = r4.id ORDER BY ids.host"""
+    })
+
   /** FULL-package DOCX extraction on the gate ([[graft.ops
     * .DocxExtract.extractFull]]): q357 certifies body text, and the
     * r12 verdict recorded "body only" as a documented boundary — this
@@ -2893,7 +2986,7 @@ object ExtraQueries {
     qStreamingRobotsRefresh, qLineRepetition, qPackConcat, qPackNextFit,
     qCdcChunks, qCdcScale, qCrawlAdmission, qBpeRoundTrip,
     qRobotsSitemapSeeds, qCdcDupMass, qStreamingChunkNovelty,
-    qHtmlLinks, qLinkGraphScale,
+    qHtmlLinks, qLinkGraphScale, qHostPageRank,
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qKendallExact,
     qMapValueCounts,
