@@ -100,10 +100,31 @@ def find_href(html, from_, until):
     return None
 
 
-def hrefs(html):
+def anchors(html):
+    """(href, anchor_text) pairs — same walk as the Scala op: a new
+    <a or a </a> closes the open anchor (no nesting); tags emit
+    nothing into anchor text; comments/raw bodies skip; entities
+    decode one-pass; U+00A0 -> space; explicit ASCII-ws runs collapse
+    to one space and single leading/trailing spaces strip."""
     out = []
     n = len(html)
     i = 0
+    cur_href = None
+    cur_text = []
+
+    def close_anchor():
+        nonlocal cur_href
+        if cur_href is not None:
+            t = "".join(cur_text).replace("\u00a0", " ")
+            t = re.sub("[ \t\n\r\f\x0b]+", " ", t)
+            if t.startswith(" "):
+                t = t[1:]
+            if t.endswith(" "):
+                t = t[:-1]
+            out.append((cur_href, t))
+            cur_href = None
+        cur_text.clear()
+
     while i < n:
         c = html[i]
         if c == "<" and html[i + 1:i + 4] == "!--":
@@ -133,11 +154,13 @@ def hrefs(html):
                 elif ch == ">":
                     end = k
                 k += 1
-            # unterminated tag: consume to end, fabricate NO link
-            if not closing and name == "a" and end >= 0:
-                h = find_href(html, j, end)
-                if h is not None:
-                    out.append(h)
+            if name == "a":
+                close_anchor()
+                # unterminated tag: consume to end, fabricate NO link
+                if not closing and end >= 0:
+                    h = find_href(html, j, end)
+                    if h is not None:
+                        cur_href = h
             i = n if end < 0 else end + 1
             if not closing and name in RAW and end >= 0:
                 m = re.compile("</" + name, re.I).search(html, i)
@@ -146,8 +169,31 @@ def hrefs(html):
                     i = n if gt < 0 else gt + 1
                 else:
                     i = n
-        else:
+        elif c == "&" and cur_href is not None:
+            semi = html.find(";", i + 1)
+            if semi > i and semi - i <= 12:
+                body = html[i + 1:semi]
+                if body in NAMED:
+                    cur_text.append(NAMED[body])
+                    i = semi + 1
+                    continue
+                if len(body) > 1 and body[0] == "#":
+                    try:
+                        cp = (int(body[2:], 16)
+                              if body[1] in "xX" else int(body[1:]))
+                    except ValueError:
+                        cp = -1
+                    if 0 <= cp < 0x110000:
+                        cur_text.append(chr(cp))
+                        i = semi + 1
+                        continue
+            cur_text.append(c)
             i += 1
+        else:
+            if cur_href is not None:
+                cur_text.append(c)
+            i += 1
+    close_anchor()  # torn anchor at EOF keeps its text
     return out
 
 
@@ -265,12 +311,12 @@ def main():
         with open(os.path.join(HL_DIR, f"page_{pid}.html"), "w",
                   encoding="utf-8") as f:
             f.write(html)
-        for idx, h in enumerate(hrefs(html)):
+        for idx, (h, anc) in enumerate(anchors(html)):
             r = resolve(url, h)
             # triangulate with CPython's own RFC 3986 implementation
             third = urljoin(url, h)
             assert third == r, (url, h, r, third)
-            rows.append((pid, url, idx, h, r))
+            rows.append((pid, url, idx, h, r, anc))
     byp = {}
     for r in rows:
         byp.setdefault(r[0], []).append(r)
@@ -291,6 +337,12 @@ def main():
     assert len(byp[1]) == 7, byp[1]          # boolean + no-href skipped
     assert byp[2][0][4] == "http://v.example/x/y"  # empty-base-path merge
     assert 3 not in byp
+    # anchor texts: tags contribute nothing, whitespace collapses
+    anc0 = {r[3]: r[5] for r in byp[0]}
+    assert anc0["sub/one"] == "rel"
+    anc1 = {r[3]: r[5] for r in byp[1]}
+    assert anc1["gt/inside"] == "quoted-gt"
+    assert anc1["多バイト/path"] == "multibyte"
 
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -300,6 +352,7 @@ def main():
         "link_idx": pa.array([r[2] for r in rows], pa.int32()),
         "href": pa.array([r[3] for r in rows], pa.string()),
         "resolved": pa.array([r[4] for r in rows], pa.string()),
+        "anchor": pa.array([r[5] for r in rows], pa.string()),
     }), os.path.join(OUT, "html_links_twin.parquet"))
     print(f"wrote {len(PAGES)} pages + twin ({len(rows)} links, "
           "all urljoin-triangulated)")

@@ -109,10 +109,41 @@ object LinkExtract {
   }
 
   /** href values of opening `<a>` tags, in document order. */
-  def hrefs(htmlRaw: String): Seq[String] = {
+  def hrefs(htmlRaw: String): Seq[String] = anchors(htmlRaw).map(_._1)
+
+  /** (href, anchor_text) of opening `<a>` tags, in document order —
+    * anchor text is THE classic description-of-the-TARGET signal (it
+    * is written by the linking page, not the linked one).
+    *
+    * Anchor-text rules (twin-replicated): text runs from after the
+    * opening `<a …>` to the earliest of its `</a>`, the NEXT opening
+    * `<a` (HTML forbids nesting — a second anchor implicitly closes
+    * the first), or end of input; intervening tags contribute
+    * nothing, comments and raw script/style/noscript bodies are
+    * skipped, entities decode with the text path's rules (U+00A0
+    * becomes a plain space), then ALL whitespace runs collapse to one
+    * space and ends trim. A torn anchor at end-of-input keeps the
+    * text gathered so far; a torn `<a` TAG still fabricates no link. */
+  def anchors(htmlRaw: String): Seq[(String, String)] = {
     val html = Option(htmlRaw).getOrElse("")
     val n = html.length
-    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    // open anchor state: href + accumulating text
+    var curHref: String = null
+    val curText = new StringBuilder
+    def closeAnchor(): Unit = {
+      if (curHref != null) {
+        // explicit ASCII ws class on BOTH engines (java \\s is
+        // ASCII-only but python's is unicode-aware; trim strips
+        // every char <= 0x20 - pin the documented set instead)
+        val collapsed = curText.toString.replace(' ', ' ')
+          .replaceAll("[ \\t\\n\\r\\f\\x0B]+", " ")
+        out += ((curHref,
+          collapsed.stripPrefix(" ").stripSuffix(" ")))
+        curHref = null
+      }
+      curText.setLength(0)
+    }
     var i = 0
     while (i < n) {
       val c = html.charAt(i)
@@ -140,10 +171,14 @@ object LinkExtract {
           else if (ch == '>') end = k
           k += 1
         }
-        // unterminated tag (a torn page at a truncation boundary):
-        // consume to end of input but fabricate NO link from it
-        if (!closing && name == "a" && end >= 0)
-          findHref(html, j, end).foreach(out += _)
+        if (name == "a") {
+          // a closing </a> or a NEW <a> both close the open anchor
+          closeAnchor()
+          // unterminated tag (a torn page at a truncation boundary):
+          // consume to end of input but fabricate NO link from it
+          if (!closing && end >= 0)
+            findHref(html, j, end).foreach(curHref = _)
+        }
         i = if (end < 0) n else end + 1
         if (!closing && Raw.contains(name) && end >= 0) {
           var m = i
@@ -158,17 +193,41 @@ object LinkExtract {
           }
           i = if (found < 0) n else found
         }
-      } else i += 1
+      } else if (c == '&' && curHref != null) {
+        // entity decode inside an open anchor (same one-pass rules)
+        val semi = html.indexOf(';', i + 1)
+        if (semi > i && semi - i <= 12) {
+          val body = html.substring(i + 1, semi)
+          if (Named.contains(body)) { curText.append(Named(body)); i = semi + 1 }
+          else if (body.length > 1 && body.charAt(0) == '#') {
+            val cp =
+              try {
+                if (body.length > 2 &&
+                  (body.charAt(1) == 'x' || body.charAt(1) == 'X'))
+                  Integer.parseInt(body.substring(2), 16)
+                else Integer.parseInt(body.substring(1))
+              } catch { case _: NumberFormatException => -1 }
+            if (cp >= 0 && cp < 0x110000) {
+              curText.appendAll(Character.toChars(cp)); i = semi + 1
+            } else { curText.append(c); i += 1 }
+          } else { curText.append(c); i += 1 }
+        } else { curText.append(c); i += 1 }
+      } else {
+        if (curHref != null) curText.append(c)
+        i += 1
+      }
     }
+    closeAnchor() // torn anchor at EOF keeps its text
     out.toSeq
   }
 
   final case class PageLink(id: Long, link_idx: Int, href: String,
-      resolved: String)
+      resolved: String, anchor: String)
 
-  /** Per-page links with RFC 3986 resolution against the page URL —
-    * map-only (the link graph's scan stage; host-level edges are one
-    * aggregate downstream). Null page URL → resolved null. */
+  /** Per-page links with RFC 3986 resolution against the page URL and
+    * the anchor text — map-only (the link graph's scan stage;
+    * host-level edges are one aggregate downstream). Null page URL →
+    * resolved null. */
   def links(df: DataFrame, idCol: String, urlCol: String,
       htmlCol: String): Dataset[PageLink] = {
     val spark = df.sparkSession
@@ -178,9 +237,9 @@ object LinkExtract {
       .as[(Long, String, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, url, html) =>
-          hrefs(html).zipWithIndex.map { case (h, idx) =>
+          anchors(html).zipWithIndex.map { case ((h, a), idx) =>
             PageLink(id, idx, h,
-              if (url == null) null else UrlResolve.resolve(url, h))
+              if (url == null) null else UrlResolve.resolve(url, h), a)
           }
         }
       }

@@ -2371,10 +2371,10 @@ object ExtraQueries {
       graft.ops.LinkExtract.links(docs, "page_id", "page_url", "html")
         .toDF()
         .select(col("id").as("page_id"), col("link_idx"), col("href"),
-          col("resolved"))
+          col("resolved"), col("anchor"))
         .orderBy("page_id", "link_idx")
     },
-    Some("""SELECT page_id, link_idx, href, resolved
+    Some("""SELECT page_id, link_idx, href, resolved, anchor
       FROM '/root/repo/src/test/resources/graft/sources/html_links_twin.parquet'
       ORDER BY page_id, link_idx"""))
 

@@ -31,6 +31,27 @@ class LinkExtractSpec extends AnyFunSuite {
     assert(LinkExtract.hrefs("<a href=x.html>t</a>") === Seq("x.html"))
   }
 
+  test("anchor text: tags strip, entities decode, ws collapses, a " +
+    "second <a> implicitly closes, torn anchors keep their text") {
+    assert(LinkExtract.anchors(
+      """<a href="x"><b>Bold</b>  and&amp;more
+      </a>""") === Seq(("x", "Bold and&more")))
+    // HTML forbids nested anchors: the second <a> closes the first
+    assert(LinkExtract.anchors(
+      """<a href="x">one <a href="y">two</a>""") ===
+      Seq(("x", "one"), ("y", "two")))
+    // torn anchor at EOF keeps gathered text
+    assert(LinkExtract.anchors("""<a href="x">dangling tex""") ===
+      Seq(("x", "dangling tex")))
+    // a script inside an anchor contributes nothing
+    assert(LinkExtract.anchors(
+      """<a href="x">ok<script>junk</script>!</a>""") ===
+      Seq(("x", "ok!")))
+    // nbsp becomes a plain space and collapses
+    assert(LinkExtract.anchors(
+      """<a href="x">a&nbsp;&nbsp;b</a>""") === Seq(("x", "a b")))
+  }
+
   test("entity decode in hrefs is one-pass; whitespace trimmed") {
     assert(LinkExtract.hrefs("""<a href=" /p?a=1&amp;b=2 ">x</a>""") ===
       Seq("/p?a=1&b=2"))
