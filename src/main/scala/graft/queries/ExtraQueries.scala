@@ -2521,6 +2521,67 @@ object ExtraQueries {
         FROM r4 JOIN ids ON ids.id = r4.id ORDER BY ids.host"""
     })
 
+  /** ANCHOR-TERM index on the gate: the IR-standard
+    * target-URL → top anchor terms table (anchor text describes the
+    * TARGET, so aggregating it across linking pages yields the
+    * best-known external description of each URL). Built from q391's
+    * certified links: lowercased whitespace terms → per-(target,
+    * term) counts → top-3 per target through the BOUNDED mergeable
+    * heap ([[graft.functions.BoundedTopK]], ord = count, id =
+    * portable md5-60 term hash) — a hot URL with millions of anchors
+    * ships O(k) per partition, never a collected anchor list. Oracle
+    * replays the identical (count DESC, hash ASC) order with a
+    * window over the twin (the q197 discipline). */
+  val qAnchorIndex = Q(
+    "q394_anchor_index",
+    (s, _) => {
+      val base = "/root/repo/src/test/resources/graft/sources"
+      val pages = s.read.format("binaryFile").load(s"$base/html_links")
+        .select(regexp_extract(col("path"), "page_(\\d+)\\.html", 1)
+          .cast("long").as("page_id"),
+          col("content").cast("string").as("html"))
+      val urls = s.read.parquet(s"$base/html_links_twin.parquet")
+        .select("page_id", "page_url").distinct()
+      val lt = graft.ops.LinkExtract.links(
+        pages.join(urls, Seq("page_id")), "page_id", "page_url", "html")
+      import graft.functions.StatFunctions.hash64
+      val termCounts = lt.toDF()
+        .select(col("resolved"),
+          explode(graft.ops.TextAnalysis.words(col("anchor")))
+            .as("term"))
+        .groupBy("resolved", "term")
+        .agg(count(lit(1)).as("cnt"))
+      val topK = termCounts
+        .select(col("resolved"), col("term"), col("cnt"),
+          hash64(col("term"), 11).as("tid"))
+        .groupBy("resolved")
+        .agg(graft.functions.BoundedTopK
+          .topK(col("cnt"), col("tid"), 3).as("top"))
+        .select(col("resolved"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("resolved"), (col("pos") + 1).cast("int").as("rnk"),
+          col("t.id").as("tid"), col("t.ord").as("n_refs"))
+      val names = termCounts
+        .select(col("term"), hash64(col("term"), 11).as("tid")).distinct()
+      topK.join(names, Seq("tid"))
+        .select(col("resolved"), col("rnk"), col("term"), col("n_refs"))
+        .orderBy("resolved", "rnk")
+    },
+    Some("""WITH terms AS (
+        SELECT resolved,
+          unnest(list_filter(string_split_regex(lower(anchor), '\s+'),
+            x -> length(x) > 0)) AS term
+        FROM '/root/repo/src/test/resources/graft/sources/html_links_twin.parquet'),
+      tc AS (SELECT resolved, term, count(*) AS cnt,
+          ('0x' || substr(md5('11:' || term), 1, 15))::BIGINT AS tid
+        FROM terms GROUP BY 1, 2),
+      rk AS (SELECT resolved, term, cnt,
+          row_number() OVER (PARTITION BY resolved
+            ORDER BY cnt DESC, tid ASC) AS rnk
+        FROM tc)
+      SELECT resolved, CAST(rnk AS INT) AS rnk, term,
+        CAST(cnt AS BIGINT) AS n_refs
+      FROM rk WHERE rnk <= 3 ORDER BY resolved, rnk"""))
+
   /** FULL-package DOCX extraction on the gate ([[graft.ops
     * .DocxExtract.extractFull]]): q357 certifies body text, and the
     * r12 verdict recorded "body only" as a documented boundary — this
@@ -2986,7 +3047,7 @@ object ExtraQueries {
     qStreamingRobotsRefresh, qLineRepetition, qPackConcat, qPackNextFit,
     qCdcChunks, qCdcScale, qCrawlAdmission, qBpeRoundTrip,
     qRobotsSitemapSeeds, qCdcDupMass, qStreamingChunkNovelty,
-    qHtmlLinks, qLinkGraphScale, qHostPageRank,
+    qHtmlLinks, qLinkGraphScale, qHostPageRank, qAnchorIndex,
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qKendallExact,
     qMapValueCounts,
