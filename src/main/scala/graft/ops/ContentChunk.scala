@@ -85,6 +85,18 @@ object ContentChunk {
   final case class Chunk(id: Long, chunk_idx: Int, offset: Long,
       length: Long, chunk_hash: Long)
 
+  /** Public per-buffer chunk boundaries (offset, length, fnv1a64) —
+    * the same scan [[chunkText]] runs, exposed for callers that must
+    * chunk inside their own map (e.g. the streaming TTL form, which
+    * keeps an event-time column alongside each chunk row). */
+  def chunksOf(bytes: Array[Byte], minSize: Int, avgBits: Int,
+      maxSize: Int): Seq[(Long, Long, Long)] = {
+    require(minSize >= 1 && maxSize >= minSize,
+      s"need 1 <= minSize <= maxSize, got $minSize/$maxSize")
+    require(avgBits >= 1 && avgBits <= 48, s"avgBits out of range: $avgBits")
+    chunks(bytes, minSize, avgBits, maxSize)
+  }
+
   /** Chunk table over a STRING column's UTF-8 bytes (null/empty text
     * yields zero rows). minSize/avgBits/maxSize are the FastCDC knobs:
     * expected chunk ≈ minSize + 2^avgBits, hard cap maxSize. */

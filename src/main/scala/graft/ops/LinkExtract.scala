@@ -245,6 +245,33 @@ object LinkExtract {
       }
   }
 
+  /** Canonical TARGET table over extracted links — the frontier /
+    * in-link-count form with RFC 3986 §6 equivalence applied: each
+    * resolved link drops its fragment (a fragment never reaches the
+    * wire) and canonicalizes ([[UrlResolve.canonicalize]] — scheme/
+    * host case, default ports, unreserved escapes, dot segments), so
+    * `HTTP://A.example:80/x` and `http://a.example/x` count as ONE
+    * target. Output (target, n_inlinks, n_forms): n_forms counts the
+    * DISTINCT raw resolved spellings that merged — the mass an
+    * uncanonicalized frontier would split (and the gate's signal).
+    * Map-only into one hash aggregate. */
+  def canonicalTargets(linkTable: Dataset[PageLink]): DataFrame = {
+    val spark = linkTable.sparkSession
+    import spark.implicits._
+    linkTable.toDF().select(col("resolved"))
+      .where(col("resolved").isNotNull)
+      .as[String]
+      .mapPartitions(_.map { r =>
+        val h = r.indexOf('#')
+        val noFrag = if (h >= 0) r.substring(0, h) else r
+        (UrlResolve.canonicalize(noFrag), r)
+      })
+      .toDF("target", "raw")
+      .groupBy("target")
+      .agg(count(lit(1)).as("n_inlinks"),
+        countDistinct(col("raw")).as("n_forms"))
+  }
+
   /** Host-level out-link edges: (src_host, dst_host, n_links),
     * fragments ignored by construction (a fragment never changes the
     * authority). One hash aggregate over the map-only link table. */

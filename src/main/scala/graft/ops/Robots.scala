@@ -192,25 +192,41 @@ object Robots {
     * Either way the verdict pass is one mapPartitions with a per-host
     * parsed-group cache: under the partitioned path every row of a
     * host lands in the same partition, so the cache hits exactly as
-    * it does under broadcast. The gate costs one count() of the
-    * SMALL side (one scan of the host census, negligible vs the
-    * probe scan). Null agent/path rows evaluate as "" and never
-    * throw; hosts absent from robots are allowed (RFC §2.3.1.2). */
+    * it does under broadcast. Sizing the gate: callers that already
+    * know the host-census size pass it as `robotsHostCount` and the
+    * robots frame stays LAZY (no job runs at construction time);
+    * absent a hint the projected robots frame is localCheckpoint-ed
+    * eagerly ONCE and the count reads the materialized blocks — an
+    * expensive upstream robots derivation is never evaluated twice
+    * (once for the count, again for the join). Null agent/path rows
+    * evaluate as "" and never throw; hosts absent from robots are
+    * allowed (RFC §2.3.1.2). */
   def crawlFilter(probes: DataFrame, hostCol: String, agentCol: String,
       pathCol: String, robots: DataFrame, robotsHostCol: String,
       txtCol: String,
-      maxBroadcastHosts: Long = DefaultMaxBroadcastHosts): DataFrame = {
+      maxBroadcastHosts: Long = DefaultMaxBroadcastHosts,
+      robotsHostCount: Option[Long] = None): DataFrame = {
     val spark = probes.sparkSession
     import spark.implicits._
     val p = probes
       .select(col(hostCol).cast("string").as("host"),
         col(agentCol).cast("string").as("agent"),
         col(pathCol).cast("string").as("path"))
-    val r = robots.select(
+    val r0 = robots.select(
       col(robotsHostCol).cast("string").as("host"),
       col(txtCol).cast("string").as("__txt"))
+    // (size, frame-to-join): with a caller hint the constructor stays
+    // fully lazy; without one the projected frame materializes once
+    // (eager localCheckpoint — the Sitemap.frontier discipline) and
+    // both the count and the join read the checkpointed blocks
+    val (nHosts, r) = robotsHostCount match {
+      case Some(n) => (n, r0)
+      case None =>
+        val mat = r0.localCheckpoint(true)
+        (mat.count(), mat)
+    }
     val joined =
-      (if (r.count() <= maxBroadcastHosts) p.join(broadcast(r), Seq("host"), "left")
+      (if (nHosts <= maxBroadcastHosts) p.join(broadcast(r), Seq("host"), "left")
        else p.join(r, Seq("host"), "left"))
         .as[(String, String, String, String)]
     joined.mapPartitions { it =>

@@ -101,6 +101,131 @@ object UrlResolve {
     sb.toString
   }
 
+  // ---------------- RFC 3986 §6 normalization ----------------
+
+  private def isUnreserved(c: Char): Boolean =
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+      (c >= '0' && c <= '9') || c == '-' || c == '.' || c == '_' ||
+      c == '~'
+
+  private def hexVal(c: Char): Int =
+    if (c >= '0' && c <= '9') c - '0'
+    else if (c >= 'a' && c <= 'f') c - 'a' + 10
+    else if (c >= 'A' && c <= 'F') c - 'A' + 10
+    else -1
+
+  private val HexUpper = "0123456789ABCDEF"
+
+  /** §6.2.2.2 percent-encoding normalization over one component:
+    * decode escapes of UNRESERVED characters (only those — decoding a
+    * reserved char could change which octets act as delimiters),
+    * uppercase the hex digits of every retained escape. Invalid
+    * escapes (truncated or non-hex) pass through verbatim — hostile
+    * bytes never throw. `lower` additionally lowercases literal and
+    * decoded characters (the host's §6.2.2.1 case rule) without
+    * touching retained escape hex digits. */
+  private[ops] def pctNormalize(s: String, lower: Boolean): String = {
+    val n = s.length
+    val sb = new StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < n && hexVal(s.charAt(i + 1)) >= 0 &&
+        hexVal(s.charAt(i + 2)) >= 0) {
+        val v = hexVal(s.charAt(i + 1)) * 16 + hexVal(s.charAt(i + 2))
+        val ch = v.toChar
+        if (v < 0x80 && isUnreserved(ch))
+          sb.append(if (lower) Character.toLowerCase(ch) else ch)
+        else {
+          sb.append('%')
+          sb.append(HexUpper.charAt(v >> 4))
+          sb.append(HexUpper.charAt(v & 0xf))
+        }
+        i += 3
+      } else {
+        sb.append(if (lower) Character.toLowerCase(c) else c)
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
+  /** Scheme → default port (§6.2.3; the schemes a crawl pipeline
+    * meets). Unknown schemes drop only an EMPTY port. */
+  private def defaultPort(scheme: String): String = scheme match {
+    case "http" | "ws" => "80"
+    case "https" | "wss" => "443"
+    case "ftp" => "21"
+    case _ => null
+  }
+
+  private def canonAuthority(a: String, scheme: String): String = {
+    val at = a.lastIndexOf('@')
+    val (user, hostPort) =
+      if (at >= 0) (a.substring(0, at), a.substring(at + 1))
+      else (null, a)
+    // IPv6 literals keep their brackets; the port follows the LAST
+    // ':' outside brackets (the host() rule)
+    val close = hostPort.lastIndexOf(']')
+    val colon = hostPort.indexOf(':', math.max(close, 0))
+    val (host, port) =
+      if (colon >= 0) (hostPort.substring(0, colon),
+        hostPort.substring(colon + 1))
+      else (hostPort, null)
+    val sb = new StringBuilder
+    if (user != null) { sb.append(pctNormalize(user, lower = false)); sb.append('@') }
+    sb.append(pctNormalize(host, lower = true))
+    // §6.2.3: omit the ':' when the port is empty or the scheme default
+    if (port != null && port.nonEmpty &&
+      (scheme == null || port != defaultPort(scheme))) {
+      sb.append(':'); sb.append(port)
+    }
+    sb.toString
+  }
+
+  /** RFC 3986 §6.2.2 syntax-based + §6.2.3 scheme-based normalization
+    * of an ABSOLUTE URL — the canonical graph-node / dedup key
+    * ([[resolve]] stops at §5 by design: resolution and normalization
+    * are separate RFC sections, and the raw resolved bytes are what a
+    * strict crawler requests; canonicalization is the equivalence
+    * step stacked on top for keys). Applied rules:
+    *
+    *  - §6.2.2.1 case: scheme and host lowercase;
+    *  - §6.2.2.2 percent-encoding: decode escapes of unreserved
+    *    characters, uppercase the hex of retained escapes (per
+    *    component — userinfo/host/path/query/fragment);
+    *  - §6.2.2.3 path segments: remove_dot_segments;
+    *  - §6.2.3 scheme-based: drop the port when empty or the scheme
+    *    default (http/ws 80, https/wss 443, ftp 21); empty path with
+    *    an authority → "/" for http(s).
+    *
+    * Defined/undefined distinctions survive (an EMPTY query keeps its
+    * '?'; the RFC leaves that equivalence to individual schemes).
+    * Null → "". Relative references are not this function's domain
+    * (resolve first); dot segments are still removed if one is
+    * passed. q395 gates it against an independent python twin with
+    * urllib quote/unquote triangulation where semantics agree. */
+  def canonicalize(url: String): String = {
+    val p = parse(url)
+    val scheme = if (p.scheme == null) null else p.scheme.toLowerCase
+    val auth =
+      if (p.authority == null) null else canonAuthority(p.authority, scheme)
+    var path = removeDotSegments(pctNormalize(p.path, lower = false))
+    if (auth != null && path.isEmpty &&
+      (scheme == "http" || scheme == "https")) path = "/"
+    val sb = new StringBuilder
+    if (scheme != null) { sb.append(scheme); sb.append(':') }
+    if (auth != null) { sb.append("//"); sb.append(auth) }
+    sb.append(path)
+    if (p.query != null) {
+      sb.append('?'); sb.append(pctNormalize(p.query, lower = false))
+    }
+    if (p.fragment != null) {
+      sb.append('#'); sb.append(pctNormalize(p.fragment, lower = false))
+    }
+    sb.toString
+  }
+
   /** Host of an absolute URL (authority minus userinfo/port),
     * lowercased — the link-graph aggregation key. Null when the URL
     * has no authority. */

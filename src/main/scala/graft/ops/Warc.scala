@@ -348,6 +348,35 @@ object Warc {
       }
   }
 
+  /** Raw HTML of 200-status text/html responses — the LINK-EXTRACTION
+    * feed ([[LinkExtract.links]] wants the markup, not the extracted
+    * text): charset-detected decode only, no text extraction. Map-only
+    * like the text path; the q400 crawl-pipeline composition runs it
+    * between the admission stage and the link graph. */
+  final case class WarcHtmlPage(
+      id: Long, rec_idx: Int, url: String, html: String)
+
+  def rawHtmlPages(df: DataFrame, idCol: String, binCol: String,
+      maxInflate: Int = DefaultMaxInflate,
+      maxRecords: Int = DefaultMaxRecords): Dataset[WarcHtmlPage] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          parseArchive(Option(bytes).getOrElse(Array.empty),
+            maxInflate, maxRecords).records
+            .filter(r => r.rec_type == "response" &&
+              r.http_status == 200 && r.content_type == "text/html")
+            .map { r =>
+              val cs = EncodingDetect.detect(r.body)
+              WarcHtmlPage(id, r.rec_idx, r.url, decodeBody(r.body, cs))
+            }
+        }
+      }
+  }
+
   /** The composed front end: WARC(.gz) → 200-status text/html
     * response bodies → [[HtmlExtract.extractText]] → one row per
     * page. What a Common Crawl ingestion stage actually does, as one

@@ -2582,6 +2582,384 @@ object ExtraQueries {
         CAST(cnt AS BIGINT) AS n_refs
       FROM rk WHERE rnk <= 3 ORDER BY resolved, rnk"""))
 
+  /** RFC 3986 §6 URL CANONICALIZATION on the gate ([[graft.ops
+    * .UrlResolve.canonicalize]] — §6.2.2 syntax-based + §6.2.3
+    * scheme-based normalization, the equivalence step [[UrlResolve
+    * .resolve]] deliberately stops short of: canonical graph-node /
+    * dedup keys). Planted in the fixture: scheme/host case, default
+    * ports 80/443/21 dropped vs non-default and leading-zero ports
+    * kept verbatim, empty port, %7E→~ / %41→A unreserved decodes,
+    * retained-escape hex uppercased (%2f→%2F), dot segments +
+    * beyond-root clamp, %2E decoding BEFORE dot-segment removal
+    * (§6.2.2's ordering), empty http(s) path → "/", userinfo escapes,
+    * IPv6 literal hosts, invalid escapes verbatim, empty-query '?'
+    * preserved. Twin: an independent stdlib python implementation of
+    * the same RFC sections, triangulated against urllib's
+    * urlsplit/unquote where the semantics agree. */
+  val qUrlCanonicalize = Q(
+    "q395_url_canonicalize",
+    (s, _) => {
+      import s.implicits._
+      s.read.parquet("/root/repo/src/test/resources/graft/sources/" +
+          "url_canon_twin.parquet")
+        .select(col("url_id"), col("raw"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, u) =>
+          (id, u, graft.ops.UrlResolve.canonicalize(u))
+        })
+        .toDF("url_id", "raw", "canonical")
+        .orderBy("url_id")
+    },
+    Some("""SELECT url_id, raw, canonical
+      FROM '/root/repo/src/test/resources/graft/sources/url_canon_twin.parquet'
+      ORDER BY url_id"""))
+
+  /** CANONICAL link-graph TARGETS at corpus scale ([[graft.ops
+    * .LinkExtract.canonicalTargets]] over the real extractor +
+    * resolver): each document becomes a synthetic page whose first
+    * link spells ONE target ('http://tgt.example/p/<doc_id%5>') in
+    * four RFC-equivalent forms cycling on doc_id%4 — uppercase
+    * scheme/host, explicit :80, a dot-segment detour, a %70('p')
+    * escape — and 4 ∤ 5 makes every form hit every target, so the
+    * canonical frontier must merge them (n_forms counts the distinct
+    * raw spellings that fused: the mass an uncanonicalized frontier
+    * splits). A per-doc relative link and a fragment-only link pin
+    * resolution + fragment-drop on the same rows. Oracle: the q392
+    * discipline — construction arithmetic, never re-extraction. */
+  val qCanonicalTargets = Q(
+    "q396_canonical_targets",
+    (s, dir) => {
+      val docs = table(s, dir, "documents").select(
+        col("doc_id"),
+        concat(lit("http://"), col("source"), lit(".example/d/"),
+          col("doc_id").cast("string")).as("page_url"),
+        concat(
+          lit("<a href=\""),
+          when(col("doc_id") % 4 === 0,
+            concat(lit("HTTP://TGT.Example/p/"),
+              (col("doc_id") % 5).cast("string")))
+            .when(col("doc_id") % 4 === 1,
+              concat(lit("http://tgt.example:80/p/"),
+                (col("doc_id") % 5).cast("string")))
+            .when(col("doc_id") % 4 === 2,
+              concat(lit("http://tgt.example/a/../p/"),
+                (col("doc_id") % 5).cast("string")))
+            .otherwise(concat(lit("http://tgt.example/%70/"),
+              (col("doc_id") % 5).cast("string"))),
+          lit("\">l</a><a href=\"q"), col("doc_id").cast("string"),
+          lit("\">m</a><a href=\"#sec\">n</a>")).as("html"))
+      val lt = graft.ops.LinkExtract.links(docs, "doc_id", "page_url",
+        "html")
+      graft.ops.LinkExtract.canonicalTargets(lt)
+        .orderBy("target")
+    },
+    Some("""WITH t1 AS (SELECT
+          'http://tgt.example/p/' || CAST(doc_id % 5 AS VARCHAR)
+            AS target, doc_id % 4 AS form
+        FROM documents),
+      g1 AS (SELECT target, count(*) AS n_inlinks,
+          count(DISTINCT form) AS n_forms FROM t1 GROUP BY 1),
+      g2 AS (SELECT 'http://' || source || '.example/d/q'
+            || CAST(doc_id AS VARCHAR) AS target,
+          CAST(1 AS BIGINT) AS n_inlinks, CAST(1 AS BIGINT) AS n_forms
+        FROM documents),
+      g3 AS (SELECT 'http://' || source || '.example/d/'
+            || CAST(doc_id AS VARCHAR),
+          CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+        FROM documents)
+      SELECT target, n_inlinks, n_forms FROM
+        (SELECT * FROM g1 UNION ALL SELECT * FROM g2
+         UNION ALL SELECT * FROM g3)
+      ORDER BY target"""))
+
+  /** CANONICAL-key URL dedup ([[graft.ops.UrlResolve.canonicalize]]
+    * as the dedup key — the §6 twin of q75's heuristic crawl
+    * canonicalizer): five RFC-equivalent spellings of each URL
+    * (plain, cased, :80, dot-segment detour, %64('d') escape) cycling
+    * on doc_id%5 against a doc_id%7 path key (5 ∤ 7: every spelling
+    * hits every group), grouped on the canonical form. An
+    * uncanonicalized key would read 5× the groups; n_forms pins
+    * exactly which spellings fused. */
+  val qUrlDedupCanonical = Q(
+    "q397_url_dedup_canonical",
+    (s, dir) => {
+      import s.implicits._
+      val urls = table(s, dir, "documents").select(
+        col("source"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("http://"), col("source"), lit(".example/d/"),
+            (col("doc_id") % 7).cast("string")))
+          .when(col("doc_id") % 5 === 1,
+            concat(lit("HTTP://"), upper(col("source")),
+              lit(".Example/d/"), (col("doc_id") % 7).cast("string")))
+          .when(col("doc_id") % 5 === 2,
+            concat(lit("http://"), col("source"), lit(".example:80/d/"),
+              (col("doc_id") % 7).cast("string")))
+          .when(col("doc_id") % 5 === 3,
+            concat(lit("http://"), col("source"),
+              lit(".example/a/../d/"), (col("doc_id") % 7).cast("string")))
+          .otherwise(concat(lit("http://"), col("source"),
+            lit(".example/%64/"), (col("doc_id") % 7).cast("string")))
+          .as("url"))
+      urls.as[(String, String)]
+        .mapPartitions(_.map { case (src, u) =>
+          (src, u, graft.ops.UrlResolve.canonicalize(u))
+        })
+        .toDF("source", "raw", "canonical_url")
+        .groupBy("canonical_url")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("raw")).as("n_forms"))
+        .orderBy("canonical_url")
+    },
+    Some("""SELECT 'http://' || source || '.example/d/'
+          || CAST(doc_id % 7 AS VARCHAR) AS canonical_url,
+        count(*) AS n_docs,
+        count(DISTINCT doc_id % 5) AS n_forms
+      FROM documents GROUP BY 1 ORDER BY 1"""))
+
+  /** STREAMING chunk novelty with EVENT-TIME TTL on the gate
+    * ([[graft.streaming.StreamingChunkDedup.novelChunksEventTime]] —
+    * the production recrawl form of q390: state expires ttlMs past a
+    * chunk's last event time once the watermark passes, so state is
+    * bounded by the TTL horizon's distinct chunks, not all history).
+    * The fixture streams four explicit event-time-ordered batches
+    * (TTL 30 s): alpha/beta chunks are novel in batch 1, suppressed
+    * on batch-1/-2 repeats (the batch-2 beta repeat RE-ARMS its
+    * timeout), spacer rows advance the watermark to 100 s so both
+    * states expire during batch 3, and the batch-4 recurrences read
+    * NOVEL AGAIN — the planted expiry — with a batch-4 within-batch
+    * dup still suppressed and an empty doc emitting nothing. Twin:
+    * the python CDC chunker (q384-certified) under an independent
+    * replay of the documented watermark/timeout protocol. */
+  val qStreamingChunkTtl = Q(
+    "q398_streaming_chunk_ttl",
+    (s, _) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.OutputMode
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val docs = s.read.parquet("/root/repo/src/test/resources/graft/" +
+          "sources/cdc_ttl_fixture.parquet")
+        .select(col("doc_id"), col("ts_sec"), col("text"))
+        .as[(Long, Long, String)].collect().sortBy(_._1)
+      val mem = MemoryStream[(Long, Long, String)]
+      val src = mem.toDF.toDF("doc_id", "ts_sec", "text")
+        .select(col("doc_id"), col("text"),
+          timestamp_micros(col("ts_sec") * 1000000L).as("ts"))
+      val seen = graft.streaming.StreamingChunkDedup.novelChunksEventTime(
+        src, "doc_id", "text", "ts", ttlMs = 30000L,
+        minSize = 16, avgBits = 5, maxSize = 96)
+      val sink = "graft_sctl_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-sctl-gate").toString
+      val query = seen.toDF.writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        // the twin's batch protocol: doc_id splits at 3 / 5 / 6
+        Seq((0L, 3L), (3L, 5L), (5L, 6L), (6L, 10L)).foreach {
+          case (lo, hi) =>
+            mem.addData(docs.filter(d => d._1 >= lo && d._1 < hi)
+              .toIndexedSeq)
+            query.processAllAvailable()
+        }
+      } finally query.stop()
+      StreamGate.finish(s, sink, ckpt, s.table(sink))
+        .select(col("doc_id"), col("chunk_idx"), col("length"),
+          col("novel"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+    Some("""SELECT doc_id, chunk_idx, length, novel
+      FROM '/root/repo/src/test/resources/graft/sources/cdc_ttl_twin.parquet'
+      ORDER BY doc_id, chunk_idx"""))
+
+  /** Avro ONE-LEVEL COMPLEX types on the gate ([[graft.sources
+    * .AvroSource]] — `array<primitive>` and `map<string,primitive>`,
+    * the shapes real corpus metadata (tags, per-field scores)
+    * routinely carries; the r14 verdict's task #7 closing the loud
+    * rejection at `AvroSource`'s schema reader). Fixtures are written
+    * by avro-java (scripts/GenAvroComplexFixture.java — null-codec
+    * multi-block AND deflate files, so container payloads ride the
+    * block walk), with primitives BETWEEN containers so any container
+    * mis-decode desynchronizes a gated primitive; the nullable
+    * `["null", array<long>]` union and empty containers are planted.
+    * The gate projects containers into SQL-comparable scalars (sizes,
+    * ordered csv joins, per-key lookups); twin computes the same
+    * scalars from the shared formula in pyarrow, no avro library. */
+  val qAvroComplex = Q(
+    "q399_avro_complex",
+    (s, _) => {
+      val df = s.read.format("graft-avro")
+        .load("/root/repo/src/test/resources/graft/sources/avro_complex")
+      df.select(
+        col("id"),
+        size(col("tags")).as("n_tags"),
+        concat_ws(",", col("tags")).as("tags_csv"),
+        col("w"),
+        size(col("scores")).as("n_scores"),
+        element_at(col("scores"), "a").as("score_a"),
+        element_at(col("scores"), "b").as("score_b"),
+        coalesce(size(col("opt_ids")), lit(-1)).as("n_opt"),
+        when(col("opt_ids").isNull, lit(null).cast("string"))
+          .otherwise(concat_ws(",",
+            transform(col("opt_ids"), x => x.cast("string"))))
+          .as("opt_csv"),
+        col("label"))
+        .orderBy("id")
+    },
+    Some("""SELECT id, n_tags, tags_csv, w, n_scores, score_a, score_b,
+        n_opt, opt_csv, label
+      FROM '/root/repo/src/test/resources/graft/sources/avro_complex_twin.parquet'
+      ORDER BY id"""))
+
+  /** The crawl pipeline composed END-TO-END on ONE gate (the
+    * round-14 shelf's q334-style capstone — r14 verdict task #4):
+    * robots `Sitemap:` seeds ([[graft.ops.Robots.sitemapSeeds]]) →
+    * sitemap frontier walk ([[graft.ops.Sitemap.frontier]]) →
+    * RFC 9309 admission ([[graft.ops.Robots.crawlFilter]]) → WARC
+    * fetch ([[graft.ops.Warc.rawHtmlPages]], with planted fetch
+    * FAILURES so the admitted⋈archive join is a real stage) → HTML
+    * link extraction + RFC 3986 resolution ([[graft.ops.LinkExtract
+    * .links]]) → host edges → integer-quota PageRank ([[graft.ops
+    * .GraphStats.pageRank]], 4 iterations, dangling deny-all host
+    * h3). Output: the per-host DISPOSITION LOG a crawl operator
+    * reads — discovered/admitted/fetched counts, out-link mass, and
+    * authority. Twin: every stage's already-certified python half
+    * composed (robots q371's, resolution q391's urljoin-triangulated,
+    * WARC framing q355's); the oracle replays counts and the
+    * PageRank arithmetic from the twin tables. */
+  val qCrawlPipeline = Q(
+    "q400_crawl_pipeline",
+    (s, _) => {
+      val base = "/root/repo/src/test/resources/graft/sources/" +
+        "crawl_pipeline"
+      val robots = s.read.format("binaryFile").load(s"$base/robots")
+        .select(regexp_extract(col("path"), "([^/]+)\\.txt$", 1)
+          .as("host"), col("content").cast("string").as("txt"))
+      // STAGE 1 — discover: robots Sitemap: records seed the frontier
+      val seeds = graft.ops.Robots.sitemapSeeds(robots, "host", "txt")
+      val blobs = s.read.format("binaryFile").load(s"$base/sitemaps")
+        .select(concat(lit("http://"),
+          regexp_replace(regexp_extract(col("path"), "([^/]+)$", 1),
+            "--", "/")).as("sm_url"), col("content"))
+      val pages = graft.ops.Sitemap.frontier(blobs, "sm_url", "content",
+          seeds, "sm_url", maxDepth = 5)
+        .select(col("loc"), col("depth"),
+          regexp_extract(col("loc"), "^https?://([^/]+)", 1).as("host"),
+          coalesce(nullif(regexp_extract(col("loc"),
+            "^https?://[^/]*(/.*)?$", 1), lit("")), lit("/")).as("path"))
+      // STAGE 2 — admit (RFC 9309, agent graftbot)
+      val verdicts = graft.ops.Robots.crawlFilter(
+        pages.withColumn("agent", lit("graftbot")),
+        "host", "agent", "path", robots, "host", "txt")
+      val judged = pages.join(
+        verdicts.select("host", "path", "allowed"), Seq("host", "path"))
+      // STAGE 3 — fetch: the committed archives; a planted admitted-
+      // but-missing URL shows up as fetched = false
+      val arcs = s.read.format("binaryFile").load(s"$base/arcs")
+        .select(regexp_extract(col("path"), "arc_(\\d+)\\.warc", 1)
+          .cast("long").as("arc_id"), col("content"))
+      val fetched = graft.ops.Warc
+        .rawHtmlPages(arcs, "arc_id", "content").toDF()
+        .select((col("id") * 1000 + col("rec_idx")).as("page_id"),
+          col("url"), col("html"))
+      val fetchedPages = judged.where(col("allowed"))
+        .join(fetched, judged("loc") === fetched("url"))
+        .select(col("page_id"), col("url"), col("html"))
+      // STAGE 4 — extract links + resolve + host edges
+      val lt = graft.ops.LinkExtract.links(fetchedPages, "page_id",
+        "url", "html")
+      val edges = graft.ops.LinkExtract.hostEdges(lt,
+        fetchedPages, "page_id", "url")
+      // STAGE 5 — rank: nodes = discovered hosts ∪ edge endpoints
+      import graft.functions.StatFunctions.hash64
+      val hosts = judged.select(col("host"))
+        .unionAll(edges.select(col("src_host").as("host")))
+        .unionAll(edges.select(col("dst_host").as("host")))
+        .distinct()
+      val hostIds = hosts.select(col("host"),
+        hash64(col("host"), 7).as("id"))
+      val ranks = graft.ops.GraphStats.pageRank(
+          edges.select(hash64(col("src_host"), 7).as("src"),
+            hash64(col("dst_host"), 7).as("dst")),
+          "src", "dst", hostIds.select("id"), "id", iterations = 4)
+        .join(hostIds, Seq("id"))
+      // the DISPOSITION LOG
+      val disp = judged.groupBy("host").agg(
+        count(lit(1)).as("n_discovered"),
+        sum(when(col("allowed"), 1L).otherwise(0L)).as("n_admitted"))
+      val fcnt = fetchedPages
+        .select(regexp_extract(col("url"), "^https?://([^/]+)", 1)
+          .as("host"))
+        .groupBy("host").agg(count(lit(1)).as("n_fetched"))
+      val lout = edges.groupBy("src_host")
+        .agg(sum(col("n_links")).as("n_links_out"))
+        .withColumnRenamed("src_host", "host")
+      ranks.select(col("host"), col("rank_q"))
+        .join(disp, Seq("host"), "left")
+        .join(fcnt, Seq("host"), "left")
+        .join(lout, Seq("host"), "left")
+        .select(col("host"),
+          coalesce(col("n_discovered"), lit(0L)).as("n_discovered"),
+          coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
+          coalesce(col("n_fetched"), lit(0L)).as("n_fetched"),
+          coalesce(col("n_links_out"), lit(0L)).as("n_links_out"),
+          col("rank_q"))
+        .orderBy("host")
+    },
+    Some {
+      val iterCtes = (1 to 4).map { i =>
+        val prev = s"r${i - 1}"
+        s"""d$i AS (SELECT coalesce(sum(q), 0) AS ds FROM $prev
+            LEFT JOIN odeg ON odeg.src = $prev.id WHERE odeg.src IS NULL),
+          c$i AS (SELECT e.dst AS id, sum(r.q // o.outdeg) AS insum
+                  FROM $prev r JOIN odeg o ON o.src = r.id
+                  JOIN e ON e.src = r.id GROUP BY 1),
+          r$i AS (SELECT nd.id,
+              (1000000000000 - (1000000000000 * 85) // 100)
+                // (SELECT n FROM nn)
+              + (85 * ((SELECT ds FROM d$i) // (SELECT n FROM nn)
+                       + coalesce(c.insum, 0))) // 100 AS q
+            FROM nd LEFT JOIN c$i c ON c.id = nd.id)"""
+      }.mkString(",\n          ")
+      s"""WITH u AS (SELECT * FROM
+            '/root/repo/src/test/resources/graft/sources/crawl_pipeline_urls_twin.parquet'),
+          e0 AS (SELECT * FROM
+            '/root/repo/src/test/resources/graft/sources/crawl_pipeline_edges_twin.parquet'),
+          d AS (SELECT host, count(*) AS n_disc,
+              CAST(sum(allowed::INT) AS BIGINT) AS n_adm,
+              CAST(sum(fetched::INT) AS BIGINT) AS n_fetch
+            FROM u GROUP BY 1),
+          lo AS (SELECT src_host AS host,
+              CAST(sum(n_links) AS BIGINT) AS nl FROM e0 GROUP BY 1),
+          hosts AS (SELECT DISTINCT h AS host FROM (
+            SELECT host AS h FROM u UNION SELECT src_host FROM e0
+            UNION SELECT dst_host FROM e0)),
+          ids AS (SELECT host,
+              ('0x' || substr(md5('7:' || host), 1, 15))::BIGINT AS id
+            FROM hosts),
+          e AS (SELECT DISTINCT i1.id AS src, i2.id AS dst
+            FROM e0 JOIN ids i1 ON i1.host = e0.src_host
+            JOIN ids i2 ON i2.host = e0.dst_host),
+          nd AS (SELECT id FROM ids),
+          odeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+          nn AS (SELECT count(*) AS n FROM nd),
+          r0 AS (SELECT id, 1000000000000 // (SELECT n FROM nn) AS q
+                 FROM nd),
+          $iterCtes
+        SELECT ids.host,
+          coalesce(d.n_disc, 0) AS n_discovered,
+          coalesce(d.n_adm, 0) AS n_admitted,
+          coalesce(d.n_fetch, 0) AS n_fetched,
+          coalesce(lo.nl, 0) AS n_links_out,
+          CAST(q AS BIGINT) AS rank_q
+        FROM r4 JOIN ids ON ids.id = r4.id
+        LEFT JOIN d ON d.host = ids.host
+        LEFT JOIN lo ON lo.host = ids.host
+        ORDER BY ids.host"""
+    })
+
   /** FULL-package DOCX extraction on the gate ([[graft.ops
     * .DocxExtract.extractFull]]): q357 certifies body text, and the
     * r12 verdict recorded "body only" as a documented boundary — this
@@ -3048,6 +3426,8 @@ object ExtraQueries {
     qCdcChunks, qCdcScale, qCrawlAdmission, qBpeRoundTrip,
     qRobotsSitemapSeeds, qCdcDupMass, qStreamingChunkNovelty,
     qHtmlLinks, qLinkGraphScale, qHostPageRank, qAnchorIndex,
+    qUrlCanonicalize, qCanonicalTargets, qUrlDedupCanonical,
+    qStreamingChunkTtl, qAvroComplex, qCrawlPipeline,
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qKendallExact,
     qMapValueCounts,

@@ -4,6 +4,7 @@ import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
@@ -32,9 +33,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Schema subset (honest, documented): the top level must be a record
   * whose fields are primitives (boolean/int/long/float/double/string/
-  * bytes) or 2-branch `["null", primitive]` unions (→ nullable
-  * column). Nested records/arrays/maps/enums/fixed/logical types are
-  * out of scope and rejected loudly at schema read.
+  * bytes), ONE-LEVEL containers of primitives — `array<primitive>`
+  * and `map<string, primitive>`, the shapes real corpus metadata
+  * (tags, per-field scores) routinely carries — or 2-branch
+  * `["null", T]` unions of any of those (→ nullable column). Nested
+  * records, container-of-container, enums/fixed/logical types, and
+  * nullable container ELEMENTS are out of scope and rejected loudly
+  * at schema read.
   *
   * Binary row encoding (spec): fields back-to-back in schema order —
   * int/long zigzag varints, float/double little-endian IEEE,
@@ -215,10 +220,13 @@ object AvroFormat {
 
   /** One field: Spark name/type plus whether it is a [null, T] union
     * (branch 0 = null by fixture convention; branch order is read
-    * from the schema, not assumed). Ships inside [[AvroPartition]]s,
-    * so it is serializable by construction. */
+    * from the schema, not assumed). `container` is "prim" for a bare
+    * primitive, "array"/"map" for one-level containers — there `tpe`
+    * names the ELEMENT/VALUE primitive (map keys are always string
+    * per the Avro spec). Ships inside [[AvroPartition]]s, so it is
+    * serializable by construction. */
   private[sources] final case class AvField(name: String, tpe: String,
-      nullable: Boolean, nullBranch: Int)
+      nullable: Boolean, nullBranch: Int, container: String = "prim")
   private final case class Header(fields: Seq[AvField], codec: String,
       sync: Array[Byte], dataOff: Int)
 
@@ -299,28 +307,51 @@ object AvroFormat {
       s"$file: record has no fields")
     val prim = Set("boolean", "int", "long", "float", "double",
       "string", "bytes")
-    (0 until fields.size()).map { i =>
-      val f = fields.get(i)
-      val name = f.path("name").asText()
-      val t = f.path("type")
+    // (tpe, container) for one non-null schema node: a textual
+    // primitive, or a one-level {"type":"array","items":prim} /
+    // {"type":"map","values":prim} object — anything deeper rejects
+    def leaf(t: com.fasterxml.jackson.databind.JsonNode,
+        name: String): (String, String) =
       if (t.isTextual) {
         val tt = t.asText()
         require(prim(tt), s"$file: field '$name' type '$tt' outside " +
           "the supported primitive subset")
-        AvField(name, tt, nullable = false, nullBranch = -1)
-      } else if (t.isArray && t.size() == 2) {
-        val b0 = t.get(0).asText()
-        val b1 = t.get(1).asText()
-        require(b0 == "null" ^ b1 == "null",
-          s"$file: field '$name' union must have exactly one null branch")
-        val other = if (b0 == "null") b1 else b0
-        require(prim(other), s"$file: field '$name' union branch " +
-          s"'$other' outside the supported primitive subset")
-        AvField(name, other, nullable = true,
-          nullBranch = if (b0 == "null") 0 else 1)
+        (tt, "prim")
+      } else if (t.isObject &&
+        (t.path("type").asText() == "array" ||
+          t.path("type").asText() == "map")) {
+        val container = t.path("type").asText()
+        val inner =
+          if (container == "array") t.path("items") else t.path("values")
+        require(inner.isTextual && prim(inner.asText()),
+          s"$file: field '$name' $container element type must be a " +
+            s"bare primitive (got: $inner) — container-of-container, " +
+            "nullable elements, and nested records are outside this " +
+            "reader's subset")
+        (inner.asText(), container)
       } else throw new IllegalArgumentException(
-        s"$file: field '$name' has a complex type — nested records/" +
-          "arrays/maps/enums/fixed are outside this reader's subset")
+        s"$file: field '$name' has an unsupported complex type — " +
+          "nested records/enums/fixed and containers of non-primitives " +
+          "are outside this reader's subset")
+    (0 until fields.size()).map { i =>
+      val f = fields.get(i)
+      val name = f.path("name").asText()
+      val t = f.path("type")
+      if (t.isArray && t.size() == 2) {
+        val b0 = t.get(0)
+        val b1 = t.get(1)
+        val n0 = b0.isTextual && b0.asText() == "null"
+        val n1 = b1.isTextual && b1.asText() == "null"
+        require(n0 ^ n1,
+          s"$file: field '$name' union must have exactly one null branch")
+        val (tt, container) = leaf(if (n0) b1 else b0, name)
+        AvField(name, tt, nullable = true,
+          nullBranch = if (n0) 0 else 1, container = container)
+      } else {
+        val (tt, container) = leaf(t, name)
+        AvField(name, tt, nullable = false, nullBranch = -1,
+          container = container)
+      }
     }
   }
 
@@ -334,10 +365,47 @@ object AvroFormat {
     case "bytes" => BinaryType
   }
 
+  private def fieldSparkType(f: AvField): DataType = f.container match {
+    case "array" => ArrayType(sparkType(f.tpe), containsNull = false)
+    case "map" =>
+      MapType(StringType, sparkType(f.tpe), valueContainsNull = false)
+    case _ => sparkType(f.tpe)
+  }
+
   def readSchema(file: String): StructType = {
     val h = readHeaderOnly(file)
     StructType(h.fields.map(f =>
-      StructField(f.name, sparkType(f.tpe), nullable = f.nullable)))
+      StructField(f.name, fieldSparkType(f), nullable = f.nullable)))
+  }
+
+  /** Driver-side memo for parsed headers and block-offset scans,
+    * keyed by (path, length, mtime) so a rewritten file can never
+    * serve a stale entry — inferSchema, planSplits, and repeated
+    * scans of the same file each cost the O(#blocks) seek walk ONCE
+    * per file version instead of once per planInputPartitions call.
+    * Bounded LRU (128 files) so a long-lived driver never grows it
+    * unboundedly; planning is driver-only, hence the synchronization
+    * is uncontended. */
+  private val memoCap = 128
+  private val headerMemo =
+    new java.util.LinkedHashMap[(String, Long, Long), Header](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long), Header]): Boolean =
+        size() > memoCap
+    }
+  private val blocksMemo =
+    new java.util.LinkedHashMap[(String, Long, Long), Seq[(Long, Long)]](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long),
+            Seq[(Long, Long)]]): Boolean =
+        size() > memoCap
+    }
+  private def fileKey(file: String): (String, Long, Long) = {
+    val p = java.nio.file.Paths.get(file)
+    (file, java.nio.file.Files.size(p),
+      java.nio.file.Files.getLastModifiedTime(p).toMillis)
   }
 
   /** Parse a file's header from a bounded PREFIX read (64 KiB, grown
@@ -345,8 +413,20 @@ object AvroFormat {
     * the whole file; the driver plans multi-GB containers without
     * pulling their data. A short buffer surfaces as a cursor-overrun
     * require(), retried with a bigger prefix; at full file length the
-    * error is genuine corruption and rethrows. */
+    * error is genuine corruption and rethrows. Memoized per file
+    * version. */
   private def readHeaderOnly(file: String): Header = {
+    val key = fileKey(file)
+    headerMemo.synchronized {
+      val hit = headerMemo.get(key)
+      if (hit != null) return hit
+    }
+    val h = readHeaderUncached(file)
+    headerMemo.synchronized { headerMemo.put(key, h) }
+    h
+  }
+
+  private def readHeaderUncached(file: String): Header = {
     val p = java.nio.file.Paths.get(file)
     val len = java.nio.file.Files.size(p)
     var cap = math.min(len, 64L * 1024).toInt
@@ -381,8 +461,22 @@ object AvroFormat {
 
   /** Driver-side block-offset scan: seek from block header to block
     * header verifying each sync marker, returning [start, end) byte
-    * ranges. O(#blocks) tiny reads regardless of file size. */
+    * ranges. O(#blocks) tiny reads regardless of file size; memoized
+    * per file version (a multi-scan plan over the same container
+    * walks the offsets once, not once per scan). */
   private def scanBlocks(file: String, h: Header): Seq[(Long, Long)] = {
+    val key = fileKey(file)
+    blocksMemo.synchronized {
+      val hit = blocksMemo.get(key)
+      if (hit != null) return hit
+    }
+    val out = scanBlocksUncached(file, h)
+    blocksMemo.synchronized { blocksMemo.put(key, out) }
+    out
+  }
+
+  private def scanBlocksUncached(file: String,
+      h: Header): Seq[(Long, Long)] = {
     val raf = new java.io.RandomAccessFile(file, "r")
     try {
       val len = raf.length()
@@ -481,6 +575,66 @@ object AvroFormat {
     case "string" | "bytes" => c.skip(c.readLong().toInt)
   }
 
+  /** Decode one container value: Avro arrays/maps are SERIES of
+    * blocks — (count, items…) with a terminating zero count; a
+    * NEGATIVE count carries abs(count) items prefixed by the block's
+    * byte size (the fast-skip affordance). Map keys are avro strings
+    * per the spec. */
+  private def readContainer(c: Cur, f: AvField): Any = {
+    if (f.container == "array") {
+      val out = scala.collection.mutable.ArrayBuffer[Any]()
+      var count = c.readLong()
+      while (count != 0L) {
+        val n = if (count < 0) { c.readLong(); -count } else count
+        var i = 0L
+        while (i < n) { out += readPrim(c, f.tpe); i += 1 }
+        count = c.readLong()
+      }
+      new GenericArrayData(out.toArray)
+    } else {
+      val keys = scala.collection.mutable.ArrayBuffer[Any]()
+      val vals = scala.collection.mutable.ArrayBuffer[Any]()
+      var count = c.readLong()
+      while (count != 0L) {
+        val n = if (count < 0) { c.readLong(); -count } else count
+        var i = 0L
+        while (i < n) {
+          keys += readPrim(c, "string")
+          vals += readPrim(c, f.tpe)
+          i += 1
+        }
+        count = c.readLong()
+      }
+      new ArrayBasedMapData(
+        new GenericArrayData(keys.toArray), new GenericArrayData(vals.toArray))
+    }
+  }
+
+  /** Skip one container without materializing — a size-carrying
+    * (negative-count) block skips its whole payload in ONE cursor
+    * move; plain blocks walk items at the varint level. */
+  private def skipContainer(c: Cur, f: AvField): Unit = {
+    var count = c.readLong()
+    while (count != 0L) {
+      if (count < 0) c.skip(c.readLong().toInt)
+      else {
+        var i = 0L
+        while (i < count) {
+          if (f.container == "map") skipPrim(c, "string")
+          skipPrim(c, f.tpe)
+          i += 1
+        }
+      }
+      count = c.readLong()
+    }
+  }
+
+  private def readValue(c: Cur, f: AvField): Any =
+    if (f.container == "prim") readPrim(c, f.tpe) else readContainer(c, f)
+
+  private def skipValue(c: Cur, f: AvField): Unit =
+    if (f.container == "prim") skipPrim(c, f.tpe) else skipContainer(c, f)
+
   // ----------------- write side (the q370 round trip) -----------------
 
   private val writableTypes: Map[DataType, String] = Map(
@@ -490,13 +644,29 @@ object AvroFormat {
 
   def validateWriteSchema(schema: StructType): Unit =
     schema.fields.foreach { f =>
-      require(writableTypes.contains(f.dataType),
-        s"graft-avro cannot write column '${f.name}' of type " +
-          s"${f.dataType.simpleString} (supported: " +
-          "boolean/int/long/float/double/string/binary)")
+      f.dataType match {
+        case t if writableTypes.contains(t) => ()
+        // encoder-derived schemas mark AnyRef elements containsNull =
+        // true even when no null ever occurs, so the FLAG is accepted
+        // and nullness is enforced per element at write time instead
+        case ArrayType(et, _) =>
+          require(writableTypes.contains(et),
+            s"graft-avro cannot write column '${f.name}' of type " +
+              s"${f.dataType.simpleString} — array elements must be " +
+              "primitives")
+        case MapType(StringType, vt, _) =>
+          require(writableTypes.contains(vt),
+            s"graft-avro cannot write column '${f.name}' of type " +
+              s"${f.dataType.simpleString} — map values must be " +
+              "primitives")
+        case _ => throw new IllegalArgumentException(
+          s"graft-avro cannot write column '${f.name}' of type " +
+            s"${f.dataType.simpleString} (supported: primitives, " +
+            "array<primitive>, map<string,primitive>)")
+      }
     }
 
-  /** Schema JSON for the flat-record subset; nullable → ["null", T]. */
+  /** Schema JSON for the supported subset; nullable → ["null", T]. */
   private[sources] def schemaJson(schema: StructType): String = {
     def esc(s: String) = s.flatMap {
       case '"' => "\\\""
@@ -504,8 +674,15 @@ object AvroFormat {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
+    def typeJson(dt: DataType): String = dt match {
+      case ArrayType(et, _) =>
+        s"""{"type":"array","items":"${writableTypes(et)}"}"""
+      case MapType(_, vt, _) =>
+        s"""{"type":"map","values":"${writableTypes(vt)}"}"""
+      case t => "\"" + writableTypes(t) + "\""
+    }
     val fs = schema.fields.map { f =>
-      val t = "\"" + writableTypes(f.dataType) + "\""
+      val t = typeJson(f.dataType)
       val tt = if (f.nullable) s"""["null",$t]""" else t
       s"""{"name":"${esc(f.name)}","type":$tt}"""
     }.mkString(",")
@@ -616,8 +793,52 @@ object AvroFormat {
       s.le64(java.lang.Double.doubleToLongBits(r.getDouble(i)))
     case StringType => s.lenBytes(r.getUTF8String(i).getBytes)
     case BinaryType => s.lenBytes(r.getBinary(i))
+    case ArrayType(et, _) =>
+      // one plain block (n, items) + terminating zero — the simplest
+      // legal series; avro-java reads it back verbatim
+      val arr = r.getArray(i)
+      if (arr.numElements() > 0) {
+        s.vlong(arr.numElements().toLong)
+        var k = 0
+        while (k < arr.numElements()) { writeElem(s, arr, k, et); k += 1 }
+      }
+      s.vlong(0L)
+    case MapType(_, vt, _) =>
+      val m = r.getMap(i)
+      val keys = m.keyArray()
+      val vals = m.valueArray()
+      if (m.numElements() > 0) {
+        s.vlong(m.numElements().toLong)
+        var k = 0
+        while (k < m.numElements()) {
+          s.lenBytes(keys.getUTF8String(k).getBytes)
+          writeElem(s, vals, k, vt)
+          k += 1
+        }
+      }
+      s.vlong(0L)
     case other => throw new IllegalArgumentException(
       s"unsupported write type $other")
+  }
+
+  private def writeElem(s: ByteSink,
+      a: org.apache.spark.sql.catalyst.util.ArrayData, k: Int,
+      t: DataType): Unit = t match {
+    case _ if a.isNullAt(k) => throw new IllegalArgumentException(
+      "graft-avro cannot write a NULL container element — avro " +
+        "array items / map values in this subset are non-null " +
+        "primitives")
+    case BooleanType => s.out.write(if (a.getBoolean(k)) 1 else 0)
+    case IntegerType => s.vlong(a.getInt(k).toLong)
+    case LongType => s.vlong(a.getLong(k))
+    case FloatType =>
+      s.le32(java.lang.Float.floatToIntBits(a.getFloat(k)))
+    case DoubleType =>
+      s.le64(java.lang.Double.doubleToLongBits(a.getDouble(k)))
+    case StringType => s.lenBytes(a.getUTF8String(k).getBytes)
+    case BinaryType => s.lenBytes(a.getBinary(k))
+    case other => throw new IllegalArgumentException(
+      s"unsupported element type $other")
   }
 
   /** Decode one partition's [start, end) block range. The task reads
@@ -672,9 +893,9 @@ object AvroFormat {
           }
           slot match {
             case Some(k) =>
-              vals(k) = if (isNull) null else readPrim(c, f.tpe)
+              vals(k) = if (isNull) null else readValue(c, f)
             case None =>
-              if (!isNull) skipPrim(c, f.tpe)
+              if (!isNull) skipValue(c, f)
           }
           i += 1
         }

@@ -25,7 +25,12 @@ import graft.ops.Robots
   * the left join then never duplicates a probe row). A probe whose
   * fetch time no version covers — the host was never fetched, or the
   * first robots fetch happened later — is ALLOWED, the same
-  * no-robots default as RFC §2.3.1.2.
+  * no-robots default as RFC §2.3.1.2. A probe with a NULL fetch
+  * timestamp takes the same branch (the SQL interval predicate is
+  * null → the left join matches no version) and keeps its null
+  * timestamp in the output — hostile probe rows never throw, the
+  * same contract as the null-agent/path handling in
+  * [[Robots.isAllowed]].
   *
   * Works identically on a batch `probes` frame (the join is
   * stateless), which is what the boundary-semantics unit test drives.
@@ -54,7 +59,10 @@ object StreamingRobots {
         "left")
       .select(col("host"), col("agent"), col("path"),
         col("fetch_ts_us"), col("__from"), col("__txt"))
-      .as[(String, String, String, Long, Option[Long], String)]
+      // fetch_ts_us is Option[Long]: a null probe timestamp must ride
+      // through (matching no version window), not throw on a
+      // primitive-Long encode
+      .as[(String, String, String, Option[Long], Option[Long], String)]
       .mapPartitions { it =>
         val cache = scala.collection.mutable.HashMap[(String, Long),
           Map[String, Seq[Robots.Rule]]]()

@@ -95,4 +95,41 @@ class RobotsFilterSpec extends SparkSpec {
     assert(got(("h.com", "/q", -5L)))
     assert(got(("nope.com", "/q", 50L)))
   }
+
+  test("StreamingRobots: a NULL fetch timestamp matches no version, " +
+    "defaults to allowed, and never throws (hostile probe contract)") {
+    import spark.implicits._
+    val versions = Seq(
+      ("h.com", 0L, Long.MaxValue, "User-agent: *\nDisallow: /\n")
+    ).toDF("host", "from_us", "to_us", "txt")
+    val probes = Seq(
+      ("h.com", "bot", "/p/x", Some(50L)), // covered: deny-all
+      ("h.com", "bot", "/p/x", None) // hostile: null fetch time
+    ).toDF("host", "agent", "path", "ts")
+    val got = graft.streaming.StreamingRobots.allowedAtFetchTime(
+      probes, "host", "agent", "path", "ts",
+      versions, "host", "from_us", "to_us", "txt")
+      .collect()
+      .map(r => (if (r.isNullAt(3)) None else Some(r.getLong(3))) ->
+        r.getBoolean(4)).toMap
+    assert(!got(Some(50L)))
+    assert(got(None), "null ts must default-allow, keeping its null")
+  }
+
+  test("crawlFilter: a robotsHostCount hint skips the eager count " +
+    "and yields identical verdicts on both paths") {
+    val (probes, robots) = fixtures()
+    val counted = Robots.crawlFilter(probes, "host", "agent", "path",
+      robots, "host", "txt")
+    val hintedBc = Robots.crawlFilter(probes, "host", "agent", "path",
+      robots, "host", "txt", robotsHostCount = Some(2L))
+    val hintedPart = Robots.crawlFilter(probes, "host", "agent", "path",
+      robots, "host", "txt", maxBroadcastHosts = 1L,
+      robotsHostCount = Some(2L))
+    val key = Seq(col("host"), col("agent"), col("path"))
+    assert(hintedBc.orderBy(key: _*).collect().toSeq ===
+      counted.orderBy(key: _*).collect().toSeq)
+    assert(hintedPart.orderBy(key: _*).collect().toSeq ===
+      counted.orderBy(key: _*).collect().toSeq)
+  }
 }

@@ -65,6 +65,61 @@ class UrlResolveSpec extends AnyFunSuite {
     }
   }
 
+  test("§6 canonicalize: case, ports, escapes, dot segments") {
+    val cases = Seq(
+      // §6.2.2.1 case + §6.2.3 default port + empty http path
+      "HTTP://WWW.Example.COM:80/a/b" -> "http://www.example.com/a/b",
+      "https://Example.com:443/" -> "https://example.com/",
+      "http://example.com" -> "http://example.com/",
+      "http://example.com:8080/x" -> "http://example.com:8080/x",
+      "http://example.com:/x" -> "http://example.com/x", // empty port
+      // leading-zero port is NOT the default string: kept verbatim
+      "https://example.com:00443/x" -> "https://example.com:00443/x",
+      // §6.2.2.2 unreserved decode + retained-escape uppercase
+      "http://example.com/%7Euser/%2fpath" ->
+        "http://example.com/~user/%2Fpath",
+      "http://EXAMPLE.com/%41%62c" -> "http://example.com/Abc",
+      "http://ex%41mple.com/x" -> "http://example.com/x",
+      // §6.2.2.3 dot segments (after escape decode: %2E -> '.')
+      "http://example.com/a/./b/../c" -> "http://example.com/a/c",
+      "http://example.com/a/b/../../../x" -> "http://example.com/x",
+      "http://example.com/a/%2E%2E/b" -> "http://example.com/b",
+      // userinfo escapes decode, case preserved
+      "http://u%7Eser:p@example.com/x" -> "http://u~ser:p@example.com/x",
+      // IPv6 literal: host lowercase, default port dropped
+      "http://[2001:DB8::1]:80/x" -> "http://[2001:db8::1]/x",
+      "http://[2001:db8::1]:8080/x" -> "http://[2001:db8::1]:8080/x",
+      // other schemes: ftp default port; empty path NOT forced to "/"
+      "ftp://Example.com:21/f" -> "ftp://example.com/f",
+      "ftp://example.com" -> "ftp://example.com",
+      "wss://Example.com:443/socket" -> "wss://example.com/socket",
+      // defined-but-empty query survives; fragments normalize too
+      "http://example.com/?" -> "http://example.com/?",
+      "http://example.com#f" -> "http://example.com/#f",
+      "http://example.com/x?q=%7e&b=%2F#Frag%7e" ->
+        "http://example.com/x?q=~&b=%2F#Frag~",
+      // invalid escapes pass through verbatim, never throw
+      "http://example.com/%zz/%4" -> "http://example.com/%zz/%4",
+      // no authority: only the scheme lowercases
+      "mailto:John@Example.com" -> "mailto:John@Example.com",
+      "Http://a.COM/p/../" -> "http://a.com/")
+    cases.foreach { case (raw, want) =>
+      assert(UrlResolve.canonicalize(raw) === want, s"raw=$raw")
+    }
+    assert(UrlResolve.canonicalize(null) === "")
+  }
+
+  test("canonicalize is idempotent on every spec vector") {
+    val vectors = Seq("HTTP://WWW.Example.COM:80/a/b",
+      "http://example.com/%7Euser/%2fpath", "http://example.com",
+      "http://u%7Eser:p@example.com/x", "http://[2001:DB8::1]:80/x",
+      "http://example.com/%zz/%4", "mailto:John@Example.com")
+    vectors.foreach { v =>
+      val once = UrlResolve.canonicalize(v)
+      assert(UrlResolve.canonicalize(once) === once, s"v=$v")
+    }
+  }
+
   test("authority edges: empty base path merge, host extraction") {
     assert(UrlResolve.resolve("http://h.example", "x/y") ===
       "http://h.example/x/y") // §5.2.3 first branch

@@ -92,14 +92,82 @@ class AvroSourceSpec extends SparkSpec {
       Seq("alpha", "bêta", "gamma"))
   }
 
-  test("graft-avro: complex schemas are rejected at schema read, " +
-    "not misparsed") {
-    // hand-built container header with an array-typed field
-    val schema = """{"type":"record","name":"r","fields":[
-      {"name":"a","type":{"type":"array","items":"long"}}]}"""
-    intercept[Exception] {
-      AvroFormatTestHook.parse(schema)
+  test("graft-avro: unsupported complex schemas are rejected at " +
+    "schema read, not misparsed (one-level containers now pass)") {
+    // one-level array<primitive> is SUPPORTED since round 15
+    AvroFormatTestHook.parse("""{"type":"record","name":"r","fields":[
+      {"name":"a","type":{"type":"array","items":"long"}}]}""")
+    // …but containers of containers, nested records, non-string-keyed
+    // shapes, and enums still reject loudly
+    Seq(
+      """{"type":"record","name":"r","fields":[{"name":"a","type":
+        {"type":"array","items":{"type":"array","items":"long"}}}]}""",
+      """{"type":"record","name":"r","fields":[{"name":"a","type":
+        {"type":"record","name":"x","fields":[]}}]}""",
+      """{"type":"record","name":"r","fields":[{"name":"a","type":
+        {"type":"map","values":{"type":"map","values":"int"}}}]}""",
+      """{"type":"record","name":"r","fields":[{"name":"a","type":
+        {"type":"enum","name":"e","symbols":["A"]}}]}""",
+      """{"type":"record","name":"r","fields":[{"name":"a","type":
+        ["null",{"type":"array","items":["null","long"]}]}]}"""
+    ).foreach { schema =>
+      intercept[Exception] { AvroFormatTestHook.parse(schema) }
     }
+  }
+
+  test("graft-avro: array/map WRITER output is readable by avro-java " +
+    "itself, and pruning skips container payloads correctly") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq("x", "y"), Map("a" -> 1.5), "r1"),
+      (2L, Seq.empty[String], Map.empty[String, Double], "r2"),
+      (3L, Seq("z"), Map("a" -> -0.5, "b" -> 2.0), "r3"))
+      .toDF("id", "tags", "scores", "label")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-avro-cx-w").toString
+    df.repartition(1).write.format("graft-avro")
+      .mode("overwrite").save(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".avro")).head
+    val reader = new org.apache.avro.file.DataFileReader(
+      part, new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    try {
+      val got = scala.collection.mutable.ArrayBuffer[(Long, Seq[String],
+        Map[String, Double], String)]()
+      while (reader.hasNext) {
+        val r = reader.next()
+        import scala.jdk.CollectionConverters._
+        got += ((r.get("id").asInstanceOf[Long],
+          r.get("tags").asInstanceOf[java.util.List[AnyRef]]
+            .asScala.map(_.toString).toSeq,
+          r.get("scores").asInstanceOf[java.util.Map[AnyRef, AnyRef]]
+            .asScala.map { case (k, v) =>
+              k.toString -> v.asInstanceOf[Double] }.toMap,
+          r.get("label").toString))
+      }
+      assert(got.sortBy(_._1).toSeq === Seq(
+        (1L, Seq("x", "y"), Map("a" -> 1.5), "r1"),
+        (2L, Seq.empty[String], Map.empty[String, Double], "r2"),
+        (3L, Seq("z"), Map("a" -> -0.5, "b" -> 2.0), "r3")))
+    } finally reader.close()
+    // pruning PAST the containers: only the trailing primitive asked —
+    // container skips must advance the cursor exactly
+    val labels = spark.read.format("graft-avro").load(tmp)
+      .select("label").orderBy("label").collect().map(_.getString(0))
+    assert(labels.toSeq === Seq("r1", "r2", "r3"))
+  }
+
+  test("graft-avro: complex fixture schema maps array/map + nullable " +
+    "container union") {
+    val df = spark.read.format("graft-avro").load(s"$dir/avro_complex")
+    assert(df.schema.map(f => (f.name, f.dataType.simpleString,
+      f.nullable)) === Seq(
+      ("id", "bigint", false), ("tags", "array<string>", false),
+      ("w", "double", false), ("scores", "map<string,double>", false),
+      ("opt_ids", "array<bigint>", true), ("label", "string", false)))
+    assert(df.count() === 60)
+    assert(df.where(col("opt_ids").isNull).count() === 10) // i%6==0
   }
 
   test("graft-avro: reads are SPLITTABLE on sync markers — a " +
