@@ -2960,6 +2960,377 @@ object ExtraQueries {
         ORDER BY ids.host"""
     })
 
+  /** The q392/q393 synthetic page construction (one messy link per
+    * doc + a CDN link + a script decoy), shared by the budget gates:
+    * the oracle always re-derives edges from this construction's
+    * arithmetic, never from re-extraction. */
+  private def linkGraphDocs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    table(s, dir, "documents").select(
+      col("doc_id"),
+      concat(lit("http://"), col("source"), lit(".example/d/"),
+        col("doc_id").cast("string")).as("page_url"),
+      concat(
+        lit("<p>t</p><a href=\""),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("p/"), col("doc_id").cast("string")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("../q"), col("doc_id").cast("string")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("/r?a=1&amp;b="), col("doc_id").cast("string")))
+          .otherwise(concat(lit("http://abs"),
+            (col("doc_id") % 7).cast("string"), lit(".example/s"))),
+        lit("\">l</a><script>var a='<a href=\"http://decoy.example/x\">'"
+          + ";</script><a href=\"//cdn"),
+        (col("doc_id") % 3).cast("string"),
+        lit(".example/z\">m</a>")).as("html"))
+
+  /** The q401/q402 ranked-budget preamble: the REAL extractor +
+    * resolver over [[linkGraphDocs]] → host edges → 4-iteration
+    * integer-quota PageRank → rank-proportional budget split
+    * ([[graft.ops.CrawlBudget.rankBudgets]]) of `total`. */
+  private def hostBudgetFrames(s: org.apache.spark.sql.SparkSession,
+      dir: String, total: Long): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import graft.functions.StatFunctions.hash64
+    val docs = linkGraphDocs(s, dir)
+    val lt = graft.ops.LinkExtract.links(docs, "doc_id", "page_url",
+      "html")
+    val he = graft.ops.LinkExtract
+      .hostEdges(lt, docs, "doc_id", "page_url")
+    val hostIds = he.select(col("src_host").as("host"))
+      .unionAll(he.select(col("dst_host").as("host")))
+      .distinct()
+      .select(col("host"), hash64(col("host"), 7).as("id"))
+    val ranks = graft.ops.GraphStats.pageRank(
+        he.select(hash64(col("src_host"), 7).as("src"),
+          hash64(col("dst_host"), 7).as("dst")),
+        "src", "dst", hostIds.select("id"), "id", iterations = 4)
+      .join(hostIds, Seq("id"))
+      .select(col("host"), col("rank_q"))
+    val budgets = graft.ops.CrawlBudget.rankBudgets(
+      ranks, "host", "rank_q", total)
+    val frontier = table(s, dir, "documents").select(
+      concat(col("source"), lit(".example")).as("host"),
+      col("doc_id").as("id"),
+      graft.ops.TextAnalysis.nTokensWhitespace(col("text"))
+        .cast("long").as("cost"))
+    (budgets, frontier)
+  }
+
+  /** DuckDB preamble shared by q401/q402: replays the construction
+    * edges, the q393 PageRank arithmetic (4 unrolled iterations), the
+    * integer quota split, and the per-host cumulative admission. */
+  private def hostBudgetOracleCtes(total: Long): String = {
+    val iterCtes = (1 to 4).map { i =>
+      val prev = s"r${i - 1}"
+      s"""d$i AS (SELECT coalesce(sum(q), 0) AS ds FROM $prev
+          LEFT JOIN odeg ON odeg.src = $prev.id WHERE odeg.src IS NULL),
+        c$i AS (SELECT e.dst AS id, sum(r.q // o.outdeg) AS insum
+                FROM $prev r JOIN odeg o ON o.src = r.id
+                JOIN e ON e.src = r.id GROUP BY 1),
+        r$i AS (SELECT nd.id,
+            (1000000000000 - (1000000000000 * 85) // 100)
+              // (SELECT n FROM nn)
+            + (85 * ((SELECT ds FROM d$i) // (SELECT n FROM nn)
+                     + coalesce(c.insum, 0))) // 100 AS q
+          FROM nd LEFT JOIN c$i c ON c.id = nd.id)"""
+    }.mkString(",\n          ")
+    s"""he AS (
+          SELECT DISTINCT source || '.example' AS sh,
+            CASE WHEN doc_id % 4 = 3
+              THEN 'abs' || CAST(doc_id % 7 AS VARCHAR) || '.example'
+              ELSE source || '.example' END AS dh
+          FROM documents
+          UNION
+          SELECT DISTINCT source || '.example',
+            'cdn' || CAST(doc_id % 3 AS VARCHAR) || '.example'
+          FROM documents),
+        hosts AS (SELECT DISTINCT h AS host FROM (
+          SELECT sh AS h FROM he UNION SELECT dh FROM he)),
+        ids AS (SELECT host,
+            ('0x' || substr(md5('7:' || host), 1, 15))::BIGINT AS id
+          FROM hosts),
+        e AS (SELECT DISTINCT i1.id AS src, i2.id AS dst
+          FROM he JOIN ids i1 ON i1.host = he.sh
+          JOIN ids i2 ON i2.host = he.dh),
+        nd AS (SELECT id FROM ids),
+        odeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+        nn AS (SELECT count(*) AS n FROM nd),
+        r0 AS (SELECT id, 1000000000000 // (SELECT n FROM nn) AS q
+               FROM nd),
+        $iterCtes,
+        ranks AS (SELECT ids.host, CAST(q AS BIGINT) AS rq
+          FROM r4 JOIN ids ON ids.id = r4.id),
+        tot AS (SELECT sum(rq) AS t FROM ranks),
+        bud AS (SELECT host,
+            CAST(($total * rq) // (SELECT t FROM tot) AS BIGINT)
+              AS budget_q
+          FROM ranks),
+        fr AS (SELECT source || '.example' AS host, doc_id AS id,
+            CAST(len(list_filter(string_split_regex(lower(text),
+              '\\s+'), x -> length(x) > 0)) AS BIGINT) AS cost
+          FROM documents),
+        adm AS (SELECT f.host, f.id, f.cost, b.budget_q,
+            sum(f.cost) OVER (PARTITION BY f.host ORDER BY f.id
+              ROWS UNBOUNDED PRECEDING) AS cum
+          FROM fr f JOIN bud b USING (host))"""
+  }
+
+  /** AUTHORITY-WEIGHTED per-host crawl budgets on the gate
+    * ([[graft.ops.CrawlBudget]] — r14 verdict task #5: q393's
+    * PageRank × q260's greedy-prefix budget discipline). The REAL
+    * extractor+resolver build the host graph, PageRank assigns
+    * authority, the total fetch budget splits as exact integer
+    * quotas (budget_h = total·rank div Σrank — floor truncation
+    * documented and visible), and each host's frontier admits its
+    * doc-ordered prefix within budget. Sink hosts (absN/cdnN) carry
+    * budgets but no frontier — n_frontier 0 pins them. Oracle
+    * replays construction edges, the unrolled PageRank, the quota
+    * split, and the window admission. */
+  val qHostBudget = Q(
+    "q401_host_budget",
+    (s, dir) => {
+      val (budgets, frontier) = hostBudgetFrames(s, dir, 20000L)
+      val admitted = graft.ops.CrawlBudget.admitByHostBudget(
+        frontier, "host", "id", "cost", budgets, "host", "budget_q")
+      val nf = frontier.groupBy("host")
+        .agg(count(lit(1)).as("n_frontier"))
+      val a2 = admitted.groupBy("host")
+        .agg(count(lit(1)).as("n_admitted"),
+          sum(col("cost")).as("cost_admitted"))
+      budgets.join(nf, Seq("host"), "left")
+        .join(a2, Seq("host"), "left")
+        .select(col("host"), col("budget_q"),
+          coalesce(col("n_frontier"), lit(0L)).as("n_frontier"),
+          coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
+          coalesce(col("cost_admitted"), lit(0L)).as("cost_admitted"))
+        .orderBy("host")
+    },
+    Some(s"""WITH ${hostBudgetOracleCtes(20000L)},
+        a2 AS (SELECT host, CAST(count(*) AS BIGINT) AS n_admitted,
+            CAST(sum(cost) AS BIGINT) AS cost_admitted
+          FROM adm WHERE cum <= budget_q GROUP BY 1),
+        nf AS (SELECT host, CAST(count(*) AS BIGINT) AS n_frontier
+          FROM fr GROUP BY 1)
+      SELECT b.host, b.budget_q,
+        coalesce(nf.n_frontier, 0) AS n_frontier,
+        coalesce(a2.n_admitted, 0) AS n_admitted,
+        coalesce(a2.cost_admitted, 0) AS cost_admitted
+      FROM bud b
+      LEFT JOIN nf ON nf.host = b.host
+      LEFT JOIN a2 ON a2.host = b.host
+      ORDER BY b.host"""))
+
+  /** STREAMING authority-weighted admission on the gate
+    * ([[graft.streaming.StreamingBudget.admitByBudgets]] — q401's
+    * budgets as the STATIC side of a stream–static join, the frontier
+    * as a two-batch ascending-id MemoryStream; state is one Long per
+    * host, bounded by the host dimension). The admitted set and
+    * running totals must equal the batch window contract — the same
+    * oracle CTEs as q401, emitted row-level. */
+  val qStreamingHostBudget = Q(
+    "q402_streaming_host_budget",
+    (s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.OutputMode
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val (budgets, frontier) = hostBudgetFrames(s, dir, 20000L)
+      val rows = frontier.as[(String, Long, Long)].collect().sortBy(_._2)
+      val mem = MemoryStream[(String, Long, Long)]
+      val src = mem.toDF.toDF("host", "id", "cost")
+      val admitted = graft.streaming.StreamingBudget.admitByBudgets(
+        src, "host", "id", "cost", budgets, "host", "budget_q")
+      val sink = "graft_shb_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-shb-gate").toString
+      val query = admitted.toDF.writeStream.format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        val half = (rows.length + 1) / 2
+        rows.grouped(math.max(1, half)).foreach { chunk =>
+          mem.addData(chunk.toIndexedSeq)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      StreamGate.finish(s, sink, ckpt, s.table(sink))
+        .select(col("source").as("host"), col("docId").as("id"),
+          col("tokens").as("cost"), col("cumTokens").as("cum_cost"))
+        .orderBy("host", "id")
+    },
+    Some(s"""WITH ${hostBudgetOracleCtes(20000L)}
+      SELECT host, id, cost, CAST(cum AS BIGINT) AS cum_cost
+      FROM adm WHERE cum <= budget_q ORDER BY host, id"""))
+
+  /** CDC over the CURATED WEB CORPUS on the gate (r14 verdict task
+    * #6 — the q363/q365 WARC→HTML curation front end's OUTPUT flows
+    * through [[graft.ops.ContentChunk]] into q389's per-doc
+    * duplication mass, so sub-document dedup is certified on
+    * extractor text, not just the documents fixture; the curated
+    * fixture re-serves warc bodies, so cross-doc shared chunks are
+    * REAL and the twin asserts non-vacuousness at generation). Twin
+    * chunks are the python CDC twin over the committed q355/q363
+    * page twins; the oracle replays the q389 mass algebra in DuckDB
+    * over that chunk table. */
+  val qCuratedCdc = Q(
+    "q403_curated_cdc",
+    (s, _) => {
+      def pagesOf(dir: String, off: Long) = {
+        val arcs = s.read.format("binaryFile").load(dir)
+          .select(regexp_extract(col("path"), "arc_(\\d+)\\.warc", 1)
+            .cast("long").as("arc_id"), col("content"))
+        graft.ops.Warc.curatedPages(arcs, "arc_id", "content").toDF()
+          .select((col("id") * 100 + col("rec_idx") + off).as("doc_id"),
+            col("text"))
+      }
+      val base = "/root/repo/src/test/resources/graft/sources"
+      val pages = pagesOf(s"$base/warc", 0L)
+        .unionAll(pagesOf(s"$base/warc_curated", 10000L))
+      val ch = graft.ops.ContentChunk.chunkText(pages, "doc_id", "text",
+        minSize = 16, avgBits = 5, maxSize = 96)
+      graft.ops.ContentChunk.dupMass(pages, "doc_id", ch)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT * FROM
+        '/root/repo/src/test/resources/graft/sources/curated_cdc_chunks_twin.parquet'),
+      docs AS (SELECT arc_id*100 + rec_idx AS doc_id
+          FROM '/root/repo/src/test/resources/graft/sources/warc_pages_twin.parquet'
+        UNION ALL
+        SELECT 10000 + arc_id*100 + rec_idx
+          FROM '/root/repo/src/test/resources/graft/sources/warc_curated_twin.parquet'),
+      d AS (SELECT chunk_hash, length, count(DISTINCT doc_id) AS nd
+            FROM t GROUP BY 1, 2),
+      j AS (SELECT t.doc_id, t.length, d.nd
+            FROM t JOIN d USING (chunk_hash, length)),
+      a AS (SELECT doc_id, CAST(sum(length) AS BIGINT) AS tot,
+            CAST(sum(CASE WHEN nd > 1 THEN length ELSE 0 END) AS BIGINT)
+              AS shared
+            FROM j GROUP BY 1)
+      SELECT docs.doc_id,
+        COALESCE(a.tot, 0) AS total_bytes,
+        COALESCE(a.shared, 0) AS shared_bytes,
+        round(CASE WHEN a.tot > 0
+          THEN a.shared / CAST(a.tot AS DOUBLE) ELSE 0.0 END, 6)
+          AS dup_frac
+      FROM docs LEFT JOIN a USING (doc_id)
+      ORDER BY docs.doc_id"""))
+
+  /** ANCHOR-TEXT RELEVANCE on the gate (r14 verdict stretch #9 —
+    * q394's anchor field as a BM25 ranking signal fused with q292's
+    * body BM25: the classic external-description signal, anchor text
+    * written by LINKING pages). Construction: every document's page
+    * links to target doc (d·31+7)%100 with a 3-token anchor
+    * (t{d%13} t{d%11} c) — the REAL extractor collects the anchors,
+    * targets aggregate them into an anchor FIELD, and both fields
+    * score through the same [[graft.ops.Relevance.bm25TopK]] math
+    * (body query hash/join/merge, anchor query t3/t7/c); combined =
+    * 0.7·body + 0.3·anchor over rounded field scores, top 10. The
+    * oracle replays extraction arithmetic (the q392 discipline),
+    * both BM25 computations, and the fusion. */
+  val qAnchorBm25 = Q(
+    "q404_anchor_bm25",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = table(s, dir, "documents")
+      val pages = docs.select(
+        col("doc_id"),
+        concat(lit("http://s"), (col("doc_id") % 10).cast("string"),
+          lit(".example/p/"), col("doc_id").cast("string"))
+          .as("page_url"),
+        concat(lit("<p>x</p><a href=\"http://t.example/d/"),
+          ((col("doc_id") * 31 + 7) % 100).cast("string"), lit("\">"),
+          concat(lit("t"), (col("doc_id") % 13).cast("string"),
+            lit(" t"), (col("doc_id") % 11).cast("string"), lit(" c")),
+          lit("</a><script>var a='<a href=\"http://decoy.example/x\">'"
+            + ";</script>")).as("html"))
+      val lt = graft.ops.LinkExtract.links(pages, "doc_id", "page_url",
+        "html")
+      val anchorDocs = lt.toDF()
+        .where(col("resolved").rlike("^http://t\\.example/d/\\d+$"))
+        .select(regexp_extract(col("resolved"), "/d/(\\d+)$", 1)
+          .cast("long").as("t"), col("anchor"))
+        .groupBy("t")
+        .agg(concat_ws(" ", collect_list(col("anchor"))).as("atext"))
+      val aScore = graft.ops.Relevance.bm25TopK(anchorDocs, "t",
+          "atext", Seq("t3", "t7", "c"), k = 1000000)
+        .withColumnRenamed("score", "anchor_score")
+      val bScore = graft.ops.Relevance.bm25TopK(docs, "doc_id",
+          "text", Seq("hash", "join", "merge"), k = 1000000)
+        .withColumnRenamed("score", "body_score")
+      val comb = anchorDocs.select(col("t"))
+        .join(aScore, Seq("t"), "left")
+        .join(bScore, col("t") === bScore("doc_id"), "left")
+        .select(col("t").as("target_doc"),
+          coalesce(col("body_score"), lit(0.0)).as("body_score"),
+          coalesce(col("anchor_score"), lit(0.0)).as("anchor_score"))
+        .withColumn("combined",
+          round(lit(0.7) * col("body_score")
+            + lit(0.3) * col("anchor_score"), 6))
+      comb.withColumn("rnk", row_number().over(
+          Window.orderBy(col("combined").desc, col("target_doc").asc))
+          .cast("int"))
+        .where(col("rnk") <= 10)
+        .select(col("rnk"), col("target_doc"), col("body_score"),
+          col("anchor_score"), col("combined"))
+        .orderBy("rnk")
+    },
+    Some("""WITH src AS (SELECT doc_id AS d,
+          (doc_id*31 + 7) % 100 AS t FROM documents),
+      toks AS (SELECT t, w FROM (SELECT t,
+          unnest(['t' || CAST(d % 13 AS VARCHAR),
+                  't' || CAST(d % 11 AS VARCHAR), 'c']) AS w
+        FROM src)),
+      aqt AS (SELECT unnest(['t3', 't7', 'c']) AS w),
+      atf AS (SELECT t, w, count(*) AS tf
+        FROM toks JOIN aqt USING (w) GROUP BY 1, 2),
+      adf AS (SELECT w, count(DISTINCT t) AS df_w FROM atf GROUP BY 1),
+      adl AS (SELECT t, CAST(count(*) AS BIGINT) AS dl
+        FROM toks GROUP BY 1),
+      acorp AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM adl),
+      ascored AS (SELECT atf.t,
+          ln((n_docs - df_w + 0.5) / (df_w + 0.5) + 1.0) * tf
+            * (1.2 + 1.0)
+            / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS contrib
+        FROM atf JOIN adf USING (w) JOIN adl ON adl.t = atf.t
+        CROSS JOIN acorp),
+      ascore AS (SELECT t, round(sum(contrib), 6) AS anchor_score
+        FROM ascored GROUP BY 1),
+      w AS (SELECT doc_id AS id,
+          list_filter(string_split_regex(lower(text), '\s+'),
+            x -> length(x) > 0) AS ws FROM documents),
+      bdl AS (SELECT id, len(ws) AS dl FROM w),
+      bcorp AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM bdl),
+      oc AS (SELECT id, unnest(ws) AS w FROM w),
+      bqt AS (SELECT unnest(['hash', 'join', 'merge']) AS w),
+      bdf AS (SELECT w, count(DISTINCT id) AS df_w
+        FROM oc JOIN bqt USING (w) GROUP BY 1),
+      btf AS (SELECT id, w, count(*) AS tf
+        FROM oc JOIN bqt USING (w) GROUP BY 1, 2),
+      bscored AS (SELECT id,
+          ln((n_docs - df_w + 0.5) / (df_w + 0.5) + 1.0) * tf
+            * (1.2 + 1.0)
+            / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS contrib
+        FROM btf JOIN bdf USING (w) JOIN bdl USING (id)
+        CROSS JOIN bcorp),
+      bscore AS (SELECT id, round(sum(contrib), 6) AS score
+        FROM bscored GROUP BY id),
+      tall AS (SELECT DISTINCT t FROM src),
+      comb AS (SELECT tall.t AS target_doc,
+          coalesce(b.score, 0) AS body_score,
+          coalesce(a.anchor_score, 0) AS anchor_score,
+          round(0.7 * coalesce(b.score, 0)
+            + 0.3 * coalesce(a.anchor_score, 0), 6) AS combined
+        FROM tall LEFT JOIN ascore a ON a.t = tall.t
+        LEFT JOIN bscore b ON b.id = tall.t)
+      SELECT CAST(row_number() OVER
+          (ORDER BY combined DESC, target_doc) AS INT) AS rnk,
+        target_doc, body_score, anchor_score, combined
+      FROM comb ORDER BY combined DESC, target_doc LIMIT 10"""))
+
   /** FULL-package DOCX extraction on the gate ([[graft.ops
     * .DocxExtract.extractFull]]): q357 certifies body text, and the
     * r12 verdict recorded "body only" as a documented boundary — this
@@ -3428,6 +3799,7 @@ object ExtraQueries {
     qHtmlLinks, qLinkGraphScale, qHostPageRank, qAnchorIndex,
     qUrlCanonicalize, qCanonicalTargets, qUrlDedupCanonical,
     qStreamingChunkTtl, qAvroComplex, qCrawlPipeline,
+    qHostBudget, qStreamingHostBudget, qCuratedCdc, qAnchorBm25,
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qKendallExact,
     qMapValueCounts,

@@ -30,6 +30,44 @@ object StreamingBudget {
   final case class Admit(
       source: String, docId: Long, tokens: Long, cumTokens: Long)
 
+  /** PER-KEY budgets: the authority-weighted crawl form
+    * ([[graft.ops.CrawlBudget]] — each host's fetch budget is its
+    * PageRank quota share, q401; this is the same greedy prefix with
+    * the budget RIDING THE ROWS via a stream–static join on the
+    * host-dimensioned budget table, broadcast per micro-batch, q209's
+    * stateless-join protocol). State stays one Long per key. A key
+    * absent from the budget table admits nothing (inner join — not in
+    * the plan = no budget), identical to the batch
+    * [[graft.ops.CrawlBudget.admitByHostBudget]] contract. */
+  def admitByBudgets(df: DataFrame, keyCol: String, idCol: String,
+      costCol: String, budgets: DataFrame, bKeyCol: String,
+      budgetCol: String): Dataset[Admit] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val b = budgets.select(col(bKeyCol).cast("string").as("__bk"),
+      col(budgetCol).cast("long").as("__budget"))
+    val keyed = df
+      .select(col(keyCol).cast("string").as("src"),
+        col(idCol).cast("long").as("id"),
+        col(costCol).cast("long").as("tk"))
+      .join(broadcast(b), col("src") === col("__bk"))
+      .select(col("src"), col("id"), col("tk"), col("__budget"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+    keyed.flatMapGroupsWithState[Long, Admit](
+      OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      case (src, rows, state: GroupState[Long]) =>
+        var cum = state.getOption.getOrElse(0L)
+        val admitted = rows.toSeq.sortBy(_._2).flatMap {
+          case (_, id, tk, budget) =>
+            cum += tk
+            if (cum <= budget) Some(Admit(src, id, tk, cum)) else None
+        }
+        state.update(cum)
+        admitted.iterator
+    }
+  }
+
   /** Admit stream rows (sourceCol, idCol, tokensCol) per-source until
     * `budget` tokens; emits admitted rows with their running total. */
   def admitByBudget(df: DataFrame, sourceCol: String, idCol: String,
