@@ -41,14 +41,18 @@ object Bench {
       .map(_.group(1).toDouble).filter(_ > 0).getOrElse(10.0)
 
   /** Last USABLE history row for trend comparison: skips rows flagged
-    * `"polluted":true` (recorded since round 10), rows with no query
-    * table, and killed-run garbage — a launcher killed mid-pass leaves
-    * a row whose base times are all ~4 ms (observed round 9); majority
-    * of bases under 10 ms disqualifies the row. */
+    * `"polluted":true` (recorded since round 10), rows flagged
+    * `"subset":true` (SPARK_GRAFT_ONLY-filtered runs opted in via
+    * SPARK_GRAFT_STRESS_APPEND — targeted scale evidence, not a trend
+    * point), rows with no query table, and killed-run garbage — a
+    * launcher killed mid-pass leaves a row whose base times are all
+    * ~4 ms (observed round 9); majority of bases under 10 ms
+    * disqualifies the row. */
   private[graft] def lastUsableStressRow(
       lines: Seq[String]): Option[Map[String, (Double, Double, Double)]] =
     lines.reverseIterator
       .filterNot(_.contains("\"polluted\":true"))
+      .filterNot(_.contains("\"subset\":true"))
       .map(parseStressRow)
       .find { m =>
         m.nonEmpty && m.values.count(_._1 >= 0.01) * 2 > m.size
@@ -848,14 +852,21 @@ object Bench {
       // backfilled from round notes in STRESS_HISTORY.md)
       // a SPARK_GRAFT_ONLY-filtered run covers a subset of the stress
       // table: appending it would poison the trend series with a row
-      // the majority-of-bases usability check can't always reject
-      if (benchOnly.isEmpty) try {
+      // the majority-of-bases usability check can't always reject.
+      // SPARK_GRAFT_STRESS_APPEND=1 opts a subset run in anyway —
+      // the row then carries "subset":true, which lastUsableStressRow
+      // EXCLUDES from trend selection, so targeted scale evidence
+      // (e.g. the round-15 100x readings for three flagship rows) can
+      // land in the committed series without touching the 10x trend
+      if (benchOnly.isEmpty ||
+        sys.env.get("SPARK_GRAFT_STRESS_APPEND").contains("1")) try {
         val tag = sys.env.getOrElse("SPARK_GRAFT_ROUND", "adhoc")
+        val subset = benchOnly.nonEmpty
         // polluted/loadavg/steal recorded IN the row so trend analysis
         // (lastUsableStressRow) can exclude contaminated entries —
         // previously a polluted or killed run appended indistinguishable
         // garbage to the very series this feature exists to track
-        val line = f"""{"round":"$tag","epoch_ms":${System.currentTimeMillis},"polluted":$polluted,"loadavg":$load%.2f,"cpu_steal_frac":$stealFrac%.4f,"stress":${json.stripPrefix("{\"stress\":").stripSuffix("}")}}"""
+        val line = f"""{"round":"$tag","subset":$subset,"epoch_ms":${System.currentTimeMillis},"polluted":$polluted,"loadavg":$load%.2f,"cpu_steal_frac":$stealFrac%.4f,"stress":${json.stripPrefix("{\"stress\":").stripSuffix("}")}}"""
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get("STRESS_HISTORY.jsonl"), line + "\n",
           java.nio.file.StandardOpenOption.CREATE,

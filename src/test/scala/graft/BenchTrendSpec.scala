@@ -77,4 +77,17 @@ class BenchTrendSpec extends AnyFunSuite {
     assert(Bench.lastUsableStressRow(Seq(killed)).isEmpty)
     assert(Bench.lastUsableStressRow(Nil).isEmpty)
   }
+
+  test("lastUsableStressRow skips subset rows (targeted 100x " +
+    "evidence must not become the trend baseline)") {
+    val good = prevLine
+    val subset =
+      """{"round":"r15x100","subset":true,"polluted":false,"stress":""" +
+        """{"reps":100,"queries":{"q392_link_graph_scale":""" +
+        """[0.5,10.0,20.0]}}}"""
+    // a later subset row must NOT shadow the last full row
+    assert(Bench.lastUsableStressRow(Seq(good, subset))
+      .exists(_.contains("q165_mutual_knn")))
+    assert(Bench.lastUsableStressRow(Seq(subset)).isEmpty)
+  }
 }
