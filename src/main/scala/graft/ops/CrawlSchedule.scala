@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Crawl SCHEDULING primitives — with admission (RFC 9309,
+  * [[Robots.crawlFilter]]) and budgeting ([[CrawlBudget]]) in place,
+  * the remaining scheduler questions are WHAT FIRST (which pages
+  * change fastest → [[changeRate]]) and WHEN (per-host politeness
+  * spacing → [[politenessSlots]]). q405/q406 gate both.
+  *
+  * Scale shape: both are one shuffle on their partition key (url /
+  * host) followed by window or aggregate work inside the partition —
+  * no driver state, no collect, partition-local memory O(1) beyond
+  * the window frame. */
+object CrawlSchedule {
+
+  /** Per-URL CHANGE-RATE estimation from a fetch history — the
+    * recrawl-frequency estimator of Cho & Garcia-Molina ("Estimating
+    * Frequency of Change", ACM TOIT 3(3), 2003): a page fetched
+    * n+1 times (n intervals, average spacing Δ̄) showing X changed
+    * intervals gets
+    *
+    *   λ̂ = −ln((n − X + 0.5) / (n + 0.5))
+    *
+    * — their bias-corrected improvement over the naive X/n, which
+    * systematically underestimates when a page changes more than once
+    * between fetches (the +0.5 terms are the continuity correction
+    * keeping X = n finite). λ̂ here is DIMENSIONLESS — changes per
+    * mean fetch interval Δ̄ = (t_last − t_first)/n; divide by Δ̄ for
+    * an absolute rate (keeping the output unit-free sidesteps the
+    * per-microsecond ~1e-11 magnitudes that fixed-decimal rounding
+    * would destroy). Changes are DETECTED, not taken on faith:
+    * consecutive fetches of a URL (ts order) compare content hashes,
+    * X = #(hash ≠ previous hash). Output per URL: (url, n_fetches,
+    * n_changes, lambda_hat rounded 8, due_us) where due_us =
+    * floor(t_last + Δ̄/λ̂) on the ROUNDED λ̂ (the expected next
+    * change — the recrawl deadline a scheduler orders by), null when
+    * no change was ever observed (λ̂ = 0: nothing schedules it) or
+    * only one fetch exists (no interval to estimate from).
+    * One shuffle on url; the lag + aggregate are partition-local. */
+  def changeRate(history: DataFrame, urlCol: String, tsCol: String,
+      hashCol: String): DataFrame = {
+    val w = Window.partitionBy("url").orderBy("ts")
+    val lagged = history
+      .select(col(urlCol).cast("string").as("url"),
+        col(tsCol).cast("long").as("ts"),
+        col(hashCol).cast("string").as("h"))
+      .withColumn("__prev", lag(col("h"), 1).over(w))
+      .withColumn("__chg",
+        when(col("__prev").isNotNull &&
+          col("__prev") =!= col("h"), 1L).otherwise(0L))
+    val agg = lagged.groupBy("url").agg(
+      count(lit(1)).as("n_fetches"),
+      sum(col("__chg")).as("n_changes"),
+      min(col("ts")).as("__t0"),
+      max(col("ts")).as("__t1"))
+    agg
+      .withColumn("__n", col("n_fetches") - 1)
+      .withColumn("__dbar",
+        when(col("__n") > 0,
+          (col("__t1") - col("__t0")).cast("double") / col("__n")))
+      .withColumn("lambda_hat",
+        round(when(col("__n") > 0,
+          -log((col("__n") - col("n_changes") + 0.5) /
+            (col("__n") + 0.5))), 8))
+      .withColumn("due_us",
+        when(col("lambda_hat") > 0 && col("__dbar") > 0,
+          floor(col("__t1") + col("__dbar") / col("lambda_hat"))
+            .cast("long")))
+      .select(col("url"), col("n_fetches"), col("n_changes"),
+        col("lambda_hat"), col("due_us"))
+  }
+
+  /** Per-host POLITENESS schedule: admitted URLs of one host are
+    * spaced `delayUs` apart (slot k fetches at k·delayUs on the
+    * host's own clock — hosts run in parallel, requests to ONE host
+    * never burst), deterministic within-host order by `orderCol`.
+    * Output (host, url, slot, fetch_at_us). One window per host. */
+  def politenessSlots(admitted: DataFrame, hostCol: String,
+      urlCol: String, delayUs: Long): DataFrame = {
+    require(delayUs > 0, s"delayUs must be positive: $delayUs")
+    val w = Window.partitionBy("host").orderBy("url")
+    admitted
+      .select(col(hostCol).cast("string").as("host"),
+        col(urlCol).cast("string").as("url"))
+      .withColumn("slot", (row_number().over(w) - 1).cast("int"))
+      .withColumn("fetch_at_us", col("slot").cast("long") * delayUs)
+  }
+}

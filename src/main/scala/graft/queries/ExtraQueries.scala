@@ -3331,6 +3331,113 @@ object ExtraQueries {
         target_doc, body_score, anchor_score, combined
       FROM comb ORDER BY combined DESC, target_doc LIMIT 10"""))
 
+  /** RECRAWL change-rate estimation on the gate ([[graft.ops
+    * .CrawlSchedule.changeRate]] — Cho & Garcia-Molina's
+    * bias-corrected estimator λ̂ = −ln((n−X+0.5)/(n+0.5)), ACM TOIT
+    * 2003: the scheduler signal for WHAT to refetch first). Corpus-
+    * scale construction: every document gets a 6-fetch history whose
+    * content hash increments on a deterministic (doc, interval)
+    * pattern — the op must DETECT X from consecutive-hash comparison
+    * (lag over the ts order), not read it; per-doc ts offsets keep
+    * the history non-aligned. due_us derives from the ROUNDED λ̂ on
+    * both sides (floor on both — Spark's double→long cast truncates,
+    * DuckDB's rounds, so the oracle floors explicitly). */
+  val qRecrawlRate = Q(
+    "q405_recrawl_rate",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hist = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+        .withColumn("i", explode(sequence(lit(0), lit(5))))
+        .select(
+          concat(lit("http://"), col("source"), lit(".example/d/"),
+            col("doc_id").cast("string")).as("url"),
+          ((col("doc_id") % 97) * 1000000L +
+            col("i").cast("long") * 86400000000L).as("ts"),
+          col("doc_id"), col("i"))
+        .withColumn("c",
+          when(col("i") >= 1 &&
+            (col("doc_id") + lit(5) * col("i")) % 7 < 3, 1L)
+            .otherwise(0L))
+        .withColumn("ver", sum(col("c")).over(
+          Window.partitionBy("url").orderBy("i")))
+        .select(col("url"), col("ts"),
+          concat(lit("h"), col("ver").cast("string")).as("hash"))
+      graft.ops.CrawlSchedule.changeRate(hist, "url", "ts", "hash")
+        .orderBy("url")
+    },
+    Some("""WITH h AS (SELECT
+          'http://' || source || '.example/d/' || CAST(doc_id AS VARCHAR)
+            AS url,
+          (doc_id % 97) * 1000000 + i * 86400000000 AS ts,
+          doc_id, i,
+          CASE WHEN i >= 1 AND (doc_id + 5*i) % 7 < 3 THEN 1 ELSE 0 END
+            AS c
+        FROM documents, (SELECT unnest(range(6)) AS i)),
+      v AS (SELECT url, ts,
+          sum(c) OVER (PARTITION BY url ORDER BY i) AS ver FROM h),
+      lg AS (SELECT url, ts, ver,
+          lag(ver) OVER (PARTITION BY url ORDER BY ts) AS pv FROM v),
+      agg AS (SELECT url, count(*) AS nf,
+          sum(CASE WHEN pv IS NOT NULL AND ver <> pv THEN 1 ELSE 0 END)
+            AS x,
+          min(ts) AS t0, max(ts) AS t1 FROM lg GROUP BY 1),
+      est AS (SELECT url, nf, x, t0, t1,
+          round(CASE WHEN nf > 1 THEN
+            -ln((nf - 1 - x + 0.5) / (nf - 1 + 0.5)) END, 8)
+            AS lambda_hat
+        FROM agg)
+      SELECT url, CAST(nf AS BIGINT) AS n_fetches,
+        CAST(x AS BIGINT) AS n_changes, lambda_hat,
+        CASE WHEN lambda_hat > 0 THEN
+          CAST(floor(t1 + ((t1 - t0) / CAST(nf - 1 AS DOUBLE))
+            / lambda_hat) AS BIGINT) END AS due_us
+      FROM est ORDER BY url"""))
+
+  /** Per-host POLITENESS schedule on the gate ([[graft.ops
+    * .CrawlSchedule.politenessSlots]] over the q400 pipeline's REAL
+    * admission output — WHEN each admitted URL may fetch: one host's
+    * requests are spaced delayUs apart on its own clock, hosts run in
+    * parallel). The discover + admit stages run live (seeds →
+    * frontier → RFC 9309); the oracle windows the committed urls twin
+    * where allowed. */
+  val qPolitenessSchedule = Q(
+    "q406_politeness_schedule",
+    (s, _) => {
+      val base = "/root/repo/src/test/resources/graft/sources/" +
+        "crawl_pipeline"
+      val robots = s.read.format("binaryFile").load(s"$base/robots")
+        .select(regexp_extract(col("path"), "([^/]+)\\.txt$", 1)
+          .as("host"), col("content").cast("string").as("txt"))
+      val seeds = graft.ops.Robots.sitemapSeeds(robots, "host", "txt")
+      val blobs = s.read.format("binaryFile").load(s"$base/sitemaps")
+        .select(concat(lit("http://"),
+          regexp_replace(regexp_extract(col("path"), "([^/]+)$", 1),
+            "--", "/")).as("sm_url"), col("content"))
+      val pages = graft.ops.Sitemap.frontier(blobs, "sm_url", "content",
+          seeds, "sm_url", maxDepth = 5)
+        .select(col("loc"),
+          regexp_extract(col("loc"), "^https?://([^/]+)", 1).as("host"),
+          coalesce(nullif(regexp_extract(col("loc"),
+            "^https?://[^/]*(/.*)?$", 1), lit("")), lit("/")).as("path"))
+      val verdicts = graft.ops.Robots.crawlFilter(
+        pages.withColumn("agent", lit("graftbot")),
+        "host", "agent", "path", robots, "host", "txt")
+      val admitted = pages.join(
+          verdicts.select("host", "path", "allowed"), Seq("host", "path"))
+        .where(col("allowed"))
+      graft.ops.CrawlSchedule.politenessSlots(admitted, "host", "loc",
+          delayUs = 1500000L)
+        .orderBy("host", "slot")
+    },
+    Some("""SELECT host, loc AS url,
+        CAST(row_number() OVER (PARTITION BY host ORDER BY loc) - 1
+          AS INT) AS slot,
+        CAST((row_number() OVER (PARTITION BY host ORDER BY loc) - 1)
+          * 1500000 AS BIGINT) AS fetch_at_us
+      FROM '/root/repo/src/test/resources/graft/sources/crawl_pipeline_urls_twin.parquet'
+      WHERE allowed ORDER BY host, slot"""))
+
   /** FULL-package DOCX extraction on the gate ([[graft.ops
     * .DocxExtract.extractFull]]): q357 certifies body text, and the
     * r12 verdict recorded "body only" as a documented boundary — this
@@ -3800,6 +3907,7 @@ object ExtraQueries {
     qUrlCanonicalize, qCanonicalTargets, qUrlDedupCanonical,
     qStreamingChunkTtl, qAvroComplex, qCrawlPipeline,
     qHostBudget, qStreamingHostBudget, qCuratedCdc, qAnchorBm25,
+    qRecrawlRate, qPolitenessSchedule,
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qKendallExact,
     qMapValueCounts,
