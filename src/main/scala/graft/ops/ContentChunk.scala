@@ -132,6 +132,66 @@ object ContentChunk {
         count(lit(1)).as("n_occurrences"))
       .where(col("n_occurrences") > 1)
 
+  final case class Reclaimed(id: Long, n_chunks: Int, n_kept: Int,
+      total_bytes: Long, kept_bytes: Long, kept_bin: Array[Byte])
+
+  /** Sub-document dedup ACTION — the rewrite [[dupMass]] only
+    * measures: every chunk CONTENT keeps exactly its globally-first
+    * occurrence (minimal (doc id, chunk_idx) — the q390 winner rule)
+    * and every other occurrence is dropped; each document is
+    * reconstructed as the byte concatenation of its kept chunks in
+    * document order. Output carries the kept BYTES (`kept_bin`) plus
+    * the audit counters — bytes, not a decoded string, because CDC
+    * boundaries are byte-level and may split a multibyte sequence;
+    * the caller (or gate) hashes or decodes under its own policy.
+    * Documents with zero chunks (null/empty text) emit zero counters
+    * and empty bytes.
+    *
+    * Shape: the map-only chunk scan, ONE (hash, length) aggregate
+    * electing winners (min(struct(id, idx)) — partial-aggregated, a
+    * hot boilerplate chunk is one combiner row per partition), a
+    * shuffle join back, then a per-doc sort_array(collect_list) +
+    * byte-slice reconstruction; per-doc memory is O(#chunks of that
+    * doc), bounded by len/minSize. */
+  def reclaim(docs: DataFrame, idCol: String, textCol: String,
+      minSize: Int, avgBits: Int, maxSize: Int): Dataset[Reclaimed] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val d = docs.select(col(idCol).cast("long").as("id"),
+      col(textCol).cast("string").as("__text"))
+    val ch = chunkText(d, "id", "__text", minSize, avgBits, maxSize)
+      .toDF()
+    val winners = ch.groupBy("chunk_hash", "length")
+      .agg(min(struct(col("id"), col("chunk_idx"))).as("__w"))
+    val flagged = ch.join(winners, Seq("chunk_hash", "length"))
+      .withColumn("__keep",
+        col("id") === col("__w.id") &&
+          col("chunk_idx") === col("__w.chunk_idx"))
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("chunk_idx"),
+        col("offset"), col("length"), col("__keep")))).as("__chunks"))
+    d.join(flagged, Seq("id"), "left")
+      .select(col("id"), col("__text"), col("__chunks"))
+      .as[(Long, String, Seq[(Int, Long, Long, Boolean)])]
+      .map { case (id, text, chunksOrNull) =>
+        val chunks = Option(chunksOrNull).getOrElse(Seq.empty)
+        val bytes = Option(text).getOrElse("")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val out = new java.io.ByteArrayOutputStream()
+        var kept = 0
+        var keptBytes = 0L
+        chunks.foreach { case (_, off, len, keep) =>
+          if (keep) {
+            out.write(bytes, off.toInt, len.toInt)
+            kept += 1
+            keptBytes += len
+          }
+        }
+        Reclaimed(id, chunks.size, kept, chunks.map(_._3).sum,
+          keptBytes, out.toByteArray)
+      }
+  }
+
   /** Per-document DUPLICATION MASS — the curation signal that decides
     * what dedup action a document warrants: the fraction of its bytes
     * sitting in chunks that also appear in at least one OTHER

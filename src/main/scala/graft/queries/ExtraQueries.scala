@@ -3438,6 +3438,125 @@ object ExtraQueries {
       FROM '/root/repo/src/test/resources/graft/sources/crawl_pipeline_urls_twin.parquet'
       WHERE allowed ORDER BY host, slot"""))
 
+  /** STREAMING recrawl change-rate on the gate ([[graft.streaming
+    * .StreamingRecrawl.changeRateUpdates]] — the online twin of q405:
+    * fetch events update five scalars of per-URL state and each batch
+    * emits the refreshed λ̂/due row, the live feed a continuous
+    * crawler reprioritizes from). The q405 construction streams in
+    * three ts-ordered batches (splits at fetch index 2 and 4) so
+    * every URL's counts MERGE across batches and its last hash
+    * crosses batch boundaries; the final emission per URL (all six
+    * fetches seen) must equal the batch estimator — the two gates
+    * share one oracle. */
+  val qStreamingRecrawl = Q(
+    "q407_streaming_recrawl",
+    (s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.OutputMode
+      import org.apache.spark.sql.expressions.Window
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val hist = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+        .withColumn("i", explode(sequence(lit(0), lit(5))))
+        .select(
+          concat(lit("http://"), col("source"), lit(".example/d/"),
+            col("doc_id").cast("string")).as("url"),
+          ((col("doc_id") % 97) * 1000000L +
+            col("i").cast("long") * 86400000000L).as("ts"),
+          col("doc_id"), col("i"))
+        .withColumn("c",
+          when(col("i") >= 1 &&
+            (col("doc_id") + lit(5) * col("i")) % 7 < 3, 1L)
+            .otherwise(0L))
+        .withColumn("ver", sum(col("c")).over(
+          Window.partitionBy("url").orderBy("i")))
+        .select(col("url"), col("ts"),
+          concat(lit("h"), col("ver").cast("string")).as("hash"),
+          col("i"))
+        .as[(String, Long, String, Int)].collect()
+      val mem = MemoryStream[(String, Long, String)]
+      val src = mem.toDF.toDF("url", "ts", "hash")
+      val updates = graft.streaming.StreamingRecrawl
+        .changeRateUpdates(src, "url", "ts", "hash")
+      val sink = "graft_srcr_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-srcr-gate").toString
+      val query = updates.toDF.writeStream.format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        Seq(0 until 2, 2 until 4, 4 until 6).foreach { r =>
+          mem.addData(hist.filter(h => r.contains(h._4))
+            .map(h => (h._1, h._2, h._3)).toIndexedSeq)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      StreamGate.finish(s, sink, ckpt,
+        s.table(sink).where(col("n_fetches") === 6))
+        .select(col("url"), col("n_fetches"), col("n_changes"),
+          col("lambda_hat"), col("due_us"))
+        .orderBy("url")
+    },
+    Some("""WITH h AS (SELECT
+          'http://' || source || '.example/d/' || CAST(doc_id AS VARCHAR)
+            AS url,
+          (doc_id % 97) * 1000000 + i * 86400000000 AS ts,
+          doc_id, i,
+          CASE WHEN i >= 1 AND (doc_id + 5*i) % 7 < 3 THEN 1 ELSE 0 END
+            AS c
+        FROM documents, (SELECT unnest(range(6)) AS i)),
+      v AS (SELECT url, ts,
+          sum(c) OVER (PARTITION BY url ORDER BY i) AS ver FROM h),
+      lg AS (SELECT url, ts, ver,
+          lag(ver) OVER (PARTITION BY url ORDER BY ts) AS pv FROM v),
+      agg AS (SELECT url, count(*) AS nf,
+          sum(CASE WHEN pv IS NOT NULL AND ver <> pv THEN 1 ELSE 0 END)
+            AS x,
+          min(ts) AS t0, max(ts) AS t1 FROM lg GROUP BY 1),
+      est AS (SELECT url, nf, x, t0, t1,
+          round(CASE WHEN nf > 1 THEN
+            -ln((nf - 1 - x + 0.5) / (nf - 1 + 0.5)) END, 8)
+            AS lambda_hat
+        FROM agg)
+      SELECT url, CAST(nf AS BIGINT) AS n_fetches,
+        CAST(x AS BIGINT) AS n_changes, lambda_hat,
+        CASE WHEN lambda_hat > 0 THEN
+          CAST(floor(t1 + ((t1 - t0) / CAST(nf - 1 AS DOUBLE))
+            / lambda_hat) AS BIGINT) END AS due_us
+      FROM est ORDER BY url"""))
+
+  /** Sub-document dedup RECLAIM on the gate ([[graft.ops.ContentChunk
+    * .reclaim]] — the rewrite q389's dup-mass only measures: every
+    * chunk content keeps its globally-first occurrence, documents are
+    * rebuilt as kept-byte concatenations). The kept content certifies
+    * through md5 over the RAW bytes (CDC boundaries may split
+    * multibyte sequences — a decoded-string compare would drag in
+    * replacement-char semantics). Fixture truths: doc 0 keeps all its
+    * chunks, doc 1 drops the span it shares with doc 0, doc 5 keeps
+    * one copy of its triple max-size repeat; empty/null docs rebuild
+    * to the empty md5. Twin replays chunker + election + rebuild in
+    * python. */
+  val qCdcReclaim = Q(
+    "q408_cdc_reclaim",
+    (s, _) => {
+      val docs = s.read.parquet("/root/repo/src/test/resources/graft/" +
+        "sources/cdc_fixture.parquet")
+      graft.ops.ContentChunk.reclaim(docs, "doc_id", "text",
+          minSize = 16, avgBits = 5, maxSize = 96)
+        .toDF()
+        .select(col("id").as("doc_id"), col("n_chunks"), col("n_kept"),
+          col("total_bytes"), col("kept_bytes"),
+          md5(col("kept_bin")).as("kept_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, n_chunks, n_kept, total_bytes, kept_bytes,
+        kept_md5
+      FROM '/root/repo/src/test/resources/graft/sources/cdc_reclaim_twin.parquet'
+      ORDER BY doc_id"""))
+
   /** FULL-package DOCX extraction on the gate ([[graft.ops
     * .DocxExtract.extractFull]]): q357 certifies body text, and the
     * r12 verdict recorded "body only" as a documented boundary — this
@@ -3907,7 +4026,7 @@ object ExtraQueries {
     qUrlCanonicalize, qCanonicalTargets, qUrlDedupCanonical,
     qStreamingChunkTtl, qAvroComplex, qCrawlPipeline,
     qHostBudget, qStreamingHostBudget, qCuratedCdc, qAnchorBm25,
-    qRecrawlRate, qPolitenessSchedule,
+    qRecrawlRate, qPolitenessSchedule, qStreamingRecrawl, qCdcReclaim,
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qKendallExact,
     qMapValueCounts,

@@ -62,4 +62,38 @@ class ContentChunkSpec extends SparkSpec {
     assert(shared.getLong(1) === 2L, "pasted span not found across docs")
     assert(shared.getLong(0) >= 4L)
   }
+
+  test("reclaim keeps the globally-first occurrence and rebuilds " +
+    "byte-exact kept content (conservation: kept+dropped = total)") {
+    import spark.implicits._
+    val span = text(13L, 2000)
+    val docs = Seq(
+      (1L, "aaa prefix " + span + " suffix one"),
+      (2L, "a completely different and longer start here " + span),
+      (3L, ""), (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val r = ContentChunk.reclaim(docs, "doc_id", "text", 32, 6, 256)
+      .collect().map(x => x.id -> x).toMap
+    // doc 1 (lower id) owns the span's first occurrence: keeps all
+    assert(r(1L).n_kept === r(1L).n_chunks)
+    assert(r(1L).kept_bytes === r(1L).total_bytes)
+    assert(new String(r(1L).kept_bin,
+      java.nio.charset.StandardCharsets.UTF_8) ===
+      "aaa prefix " + span + " suffix one")
+    // doc 2 drops the shared interior chunks — strictly fewer kept
+    assert(r(2L).n_kept < r(2L).n_chunks)
+    assert(r(2L).kept_bytes < r(2L).total_bytes)
+    // the rebuilt doc-2 content is its bytes minus the dropped chunks
+    // — still a prefix+suffix of the original in document order
+    val rebuilt = new String(r(2L).kept_bin,
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(rebuilt.startsWith("a completely different"))
+    assert(r(2L).kept_bytes ===
+      rebuilt.getBytes(java.nio.charset.StandardCharsets.UTF_8).length)
+    // empty/null docs: zero counters, empty bytes, present in output
+    Seq(3L, 4L).foreach { id =>
+      assert(r(id).n_chunks === 0 && r(id).kept_bytes === 0L &&
+        r(id).kept_bin.isEmpty)
+    }
+  }
 }
