@@ -606,7 +606,17 @@ object Bench {
       // pages per document: real href scan + RFC 3986 resolution +
       // host-edge aggregate) — string-heavy map work + one shuffle;
       // scanner or resolver alloc creep surfaces here
-      "q392_link_graph_scale")
+      "q392_link_graph_scale",
+      // round-15: the authority-weighted budget composition (extract →
+      // PageRank → quota split → per-host window admission) — the
+      // host dimension stays FIXED at 10x while the frontier grows,
+      // so the reading isolates the frontier shuffle + window; a
+      // rank-table recompute creep would also surface here
+      "q401_host_budget",
+      // round-15: recrawl change-rate estimation (6-fetch history per
+      // document: one url shuffle, lag + aggregate inside the
+      // partition) — the per-url window family's scale row
+      "q405_recrawl_rate")
     val stressWaivers = Map(
       "q165_mutual_knn" -> ("documented O(n^2) exact-kNN SCORING " +
         "(irreducible on unstructured embeddings — no cluster geometry " +
