@@ -3557,6 +3557,45 @@ object ExtraQueries {
       FROM '/root/repo/src/test/resources/graft/sources/cdc_reclaim_twin.parquet'
       ORDER BY doc_id"""))
 
+  /** REDIRECT-chain resolution on the gate ([[graft.ops.Redirects
+    * .resolveChains]] — the seam between fetching and the canonical
+    * frontier: every URL maps to the terminal location it serves
+    * from, with exact hop counts and loop detection). Corpus-scale
+    * construction: documents form 4-URL chains (position p redirects
+    * to p−1, the group head is the terminal), and every 10th group's
+    * head redirects BACK to its tail — a planted 4-cycle whose four
+    * members must all read `loop_or_limit` with null final/hops.
+    * Oracle: closed-form construction arithmetic. */
+  val qRedirectResolve = Q(
+    "q409_redirect_resolve",
+    (s, dir) => {
+      def u(c: org.apache.spark.sql.Column) =
+        concat(lit("http://r.example/u/"), c.cast("string"))
+      val docs = table(s, dir, "documents").select(col("doc_id"))
+      val chainEdges = docs.where(col("doc_id") % 4 =!= 0)
+        .select(u(col("doc_id")).as("src"),
+          u(col("doc_id") - 1).as("dst"))
+      val cycleEdges = docs.where(col("doc_id") % 4 === 0 &&
+          (col("doc_id") / 4).cast("long") % 10 === 0)
+        .select(u(col("doc_id")).as("src"),
+          u(col("doc_id") + 3).as("dst"))
+      val redirects = chainEdges.unionAll(cycleEdges)
+      graft.ops.Redirects.resolveChains(redirects, "src", "dst",
+          docs.select(u(col("doc_id")).as("url")), "url", maxHops = 8)
+        .orderBy("url")
+    },
+    Some("""WITH d AS (SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS p
+        FROM documents)
+      SELECT 'http://r.example/u/' || CAST(doc_id AS VARCHAR) AS url,
+        CASE WHEN g % 10 = 0 THEN NULL
+          ELSE 'http://r.example/u/' || CAST(g*4 AS VARCHAR) END
+          AS final_url,
+        CASE WHEN g % 10 = 0 THEN NULL ELSE CAST(p AS INT) END
+          AS n_hops,
+        CASE WHEN g % 10 = 0 THEN 'loop_or_limit' ELSE 'ok' END
+          AS status
+      FROM d ORDER BY url"""))
+
   /** FULL-package DOCX extraction on the gate ([[graft.ops
     * .DocxExtract.extractFull]]): q357 certifies body text, and the
     * r12 verdict recorded "body only" as a documented boundary — this
@@ -4027,6 +4066,7 @@ object ExtraQueries {
     qStreamingChunkTtl, qAvroComplex, qCrawlPipeline,
     qHostBudget, qStreamingHostBudget, qCuratedCdc, qAnchorBm25,
     qRecrawlRate, qPolitenessSchedule, qStreamingRecrawl, qCdcReclaim,
+    qRedirectResolve,
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qKendallExact,
     qMapValueCounts,
