@@ -73,6 +73,47 @@ object CrawlSchedule {
         col("lambda_hat"), col("due_us"))
   }
 
+  /** Politeness-constrained EARLIEST-FEASIBLE fetch plan: each host's
+    * due URLs ([[changeRate]]'s due_us — when a page is EXPECTED to
+    * have changed) are fetched as early as allowed under the
+    * recurrence
+    *
+    *   fetch_at(0) = due(0)
+    *   fetch_at(k) = max(due(k), fetch_at(k−1) + delayUs)
+    *
+    * — never before a page is due, never two host requests closer
+    * than delayUs. The recurrence is NOT a plain window aggregate,
+    * but it has the closed form
+    *
+    *   fetch_at(k) = delayUs·k + running_max(due(j) − delayUs·j)
+    *
+    * (induction: max(due(k), fetch_at(k−1)+delay) distributes over
+    * the shifted maxima), which IS one running-max window — exact
+    * 64-bit integer arithmetic end to end, replayed verbatim by the
+    * oracle. Within a host the order is (due_us, url): earliest-due
+    * first, url as the stable tiebreak. Output (host, url, due_us,
+    * slot, fetch_at_us); one shuffle on host. */
+  def dueSchedule(due: DataFrame, hostCol: String, urlCol: String,
+      dueCol: String, delayUs: Long): DataFrame = {
+    require(delayUs > 0, s"delayUs must be positive: $delayUs")
+    val ord = Window.partitionBy("host").orderBy("due_us", "url")
+    val run = Window.partitionBy("host").orderBy("due_us", "url")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    due
+      .select(col(hostCol).cast("string").as("host"),
+        col(urlCol).cast("string").as("url"),
+        col(dueCol).cast("long").as("due_us"))
+      .where(col("due_us").isNotNull)
+      .withColumn("slot", (row_number().over(ord) - 1).cast("int"))
+      .withColumn("__adj",
+        col("due_us") - lit(delayUs) * col("slot").cast("long"))
+      .withColumn("fetch_at_us",
+        lit(delayUs) * col("slot").cast("long") +
+          max(col("__adj")).over(run))
+      .select(col("host"), col("url"), col("due_us"), col("slot"),
+        col("fetch_at_us"))
+  }
+
   /** Per-host POLITENESS schedule: admitted URLs of one host are
     * spaced `delayUs` apart (slot k fetches at k·delayUs on the
     * host's own clock — hosts run in parallel, requests to ONE host

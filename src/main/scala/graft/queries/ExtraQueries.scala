@@ -3596,6 +3596,82 @@ object ExtraQueries {
           AS status
       FROM d ORDER BY url"""))
 
+  /** The FETCH PLAN composed on the gate ([[graft.ops.CrawlSchedule
+    * .dueSchedule]] over [[graft.ops.CrawlSchedule.changeRate]] —
+    * what the scheduler actually emits: each host's due URLs at their
+    * earliest FEASIBLE times under fetch_at(k) = max(due(k),
+    * fetch_at(k−1)+delay), computed as the closed-form running max
+    * delay·k + max_j(due(j)−delay·j) in exact integer arithmetic).
+    * The q405 history construction feeds the real estimator; URLs
+    * never observed changing (null due) schedule nothing. Oracle:
+    * the q405 CTEs + the identical window recurrence. */
+  val qFetchPlan = Q(
+    "q410_fetch_plan",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hist = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+        .withColumn("i", explode(sequence(lit(0), lit(5))))
+        .select(
+          concat(lit("http://"), col("source"), lit(".example/d/"),
+            col("doc_id").cast("string")).as("url"),
+          ((col("doc_id") % 97) * 1000000L +
+            col("i").cast("long") * 86400000000L).as("ts"),
+          col("doc_id"), col("i"))
+        .withColumn("c",
+          when(col("i") >= 1 &&
+            (col("doc_id") + lit(5) * col("i")) % 7 < 3, 1L)
+            .otherwise(0L))
+        .withColumn("ver", sum(col("c")).over(
+          Window.partitionBy("url").orderBy("i")))
+        .select(col("url"), col("ts"),
+          concat(lit("h"), col("ver").cast("string")).as("hash"))
+      val rate = graft.ops.CrawlSchedule
+        .changeRate(hist, "url", "ts", "hash")
+        .where(col("due_us").isNotNull)
+        .withColumn("host",
+          regexp_extract(col("url"), "^https?://([^/]+)", 1))
+      graft.ops.CrawlSchedule.dueSchedule(rate, "host", "url",
+          "due_us", delayUs = 8000000L)
+        .orderBy("host", "slot")
+    },
+    Some("""WITH h AS (SELECT
+          'http://' || source || '.example/d/' || CAST(doc_id AS VARCHAR)
+            AS url,
+          (doc_id % 97) * 1000000 + i * 86400000000 AS ts,
+          doc_id, i,
+          CASE WHEN i >= 1 AND (doc_id + 5*i) % 7 < 3 THEN 1 ELSE 0 END
+            AS c
+        FROM documents, (SELECT unnest(range(6)) AS i)),
+      v AS (SELECT url, ts,
+          sum(c) OVER (PARTITION BY url ORDER BY i) AS ver FROM h),
+      lg AS (SELECT url, ts, ver,
+          lag(ver) OVER (PARTITION BY url ORDER BY ts) AS pv FROM v),
+      agg AS (SELECT url, count(*) AS nf,
+          sum(CASE WHEN pv IS NOT NULL AND ver <> pv THEN 1 ELSE 0 END)
+            AS x,
+          min(ts) AS t0, max(ts) AS t1 FROM lg GROUP BY 1),
+      est AS (SELECT url, nf, x, t0, t1,
+          round(CASE WHEN nf > 1 THEN
+            -ln((nf - 1 - x + 0.5) / (nf - 1 + 0.5)) END, 8)
+            AS lambda_hat
+        FROM agg),
+      due AS (SELECT regexp_extract(url, '^https?://([^/]+)', 1)
+            AS host, url,
+          CAST(floor(t1 + ((t1 - t0) / CAST(nf - 1 AS DOUBLE))
+            / lambda_hat) AS BIGINT) AS due_us
+        FROM est WHERE lambda_hat > 0),
+      sl AS (SELECT host, url, due_us,
+          CAST(row_number() OVER (PARTITION BY host
+            ORDER BY due_us, url) - 1 AS INT) AS slot
+        FROM due),
+      adj AS (SELECT *, due_us - 8000000*slot AS a FROM sl)
+      SELECT host, url, due_us, slot,
+        CAST(8000000*slot + max(a) OVER (PARTITION BY host
+          ORDER BY due_us, url ROWS UNBOUNDED PRECEDING) AS BIGINT)
+          AS fetch_at_us
+      FROM adj ORDER BY host, slot"""))
+
   /** FULL-package DOCX extraction on the gate ([[graft.ops
     * .DocxExtract.extractFull]]): q357 certifies body text, and the
     * r12 verdict recorded "body only" as a documented boundary — this
@@ -4066,7 +4142,7 @@ object ExtraQueries {
     qStreamingChunkTtl, qAvroComplex, qCrawlPipeline,
     qHostBudget, qStreamingHostBudget, qCuratedCdc, qAnchorBm25,
     qRecrawlRate, qPolitenessSchedule, qStreamingRecrawl, qCdcReclaim,
-    qRedirectResolve,
+    qRedirectResolve, qFetchPlan,
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qKendallExact,
     qMapValueCounts,

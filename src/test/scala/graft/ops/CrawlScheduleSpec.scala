@@ -1,0 +1,45 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** [[CrawlSchedule]] mechanics at unit scale (q405/q406/q410 gate the
+  * corpus-scale compositions): the dueSchedule feasibility recurrence
+  * including the cascade, and per-host clock independence. */
+class CrawlScheduleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dueSchedule: the feasibility recurrence cascades — " +
+    "fetch_at(k) = max(due(k), fetch_at(k-1) + delay)") {
+    // one host, dues 0 / 1 / 2 / 100, delay 10: the recurrence gives
+    // 0, 10, 20, 100 (two cascaded pushes, then a due-bound reset)
+    val due = Seq(("h", "u0", 0L), ("h", "u1", 1L), ("h", "u2", 2L),
+      ("h", "u3", 100L), ("g", "v0", 5L)).toDF("host", "url", "due")
+    val got = CrawlSchedule.dueSchedule(due, "host", "url", "due",
+        delayUs = 10L)
+      .collect().map(r => r.getString(1) ->
+        ((r.getInt(3), r.getLong(4)))).toMap
+    assert(got("u0") === ((0, 0L)))
+    assert(got("u1") === ((1, 10L)), "pushed by politeness")
+    assert(got("u2") === ((2, 20L)), "cascaded push")
+    assert(got("u3") === ((3, 100L)), "due-bound after the gap")
+    assert(got("v0") === ((0, 5L)), "hosts run on their own clocks")
+  }
+
+  test("changeRate: X detected from hashes; zero-change urls carry " +
+    "lambda 0 and schedule nothing") {
+    val hist = Seq(
+      ("u", 0L, "h0"), ("u", 10L, "h0"), ("u", 20L, "h1"),
+      ("w", 0L, "s"), ("w", 10L, "s"), ("w", 20L, "s")
+    ).toDF("url", "ts", "hash")
+    val got = CrawlSchedule.changeRate(hist, "url", "ts", "hash")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          r.isNullAt(4)))).toMap
+    val lamU = BigDecimal(-math.log(1.5 / 2.5))
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("u") === ((3L, 1L, Some(lamU), false)))
+    assert(got("w") === ((3L, 0L, Some(0.0), true)),
+      "never-changed url: lambda 0, null due")
+  }
+}

@@ -47,4 +47,5 @@ class RedirectsSpec extends SparkSpec {
         Seq("a").toDF("url"), "url")
     }
   }
+
 }
