@@ -4143,6 +4143,7 @@ object ExtraQueries {
     qHostBudget, qStreamingHostBudget, qCuratedCdc, qAnchorBm25,
     qRecrawlRate, qPolitenessSchedule, qStreamingRecrawl, qCdcReclaim,
     qRedirectResolve, qFetchPlan,
+    qDustRules, qConditionalFetch, qCrawlTraps,
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qKendallExact,
     qMapValueCounts,
@@ -4182,4 +4183,247 @@ object ExtraQueries {
           AS psi,
         CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
       FROM m CROSS JOIN t GROUP BY n1, n2"""))
+
+  /** DUST parameter-rule mining on the gate ([[graft.ops.Dust
+    * .paramRules]] — Bar-Yossef et al., WWW 2007: a query parameter
+    * is droppable on a host when every URL carrying it serves
+    * byte-identical content to the same URL without it). Corpus-scale
+    * construction over documents: `sess` is planted as pure noise
+    * (stripping it always lands on an existing URL with the SAME
+    * hash — from both 1-param and 2-param spellings), `page` is
+    * planted as load-bearing (stripping it lands on the base page
+    * with a DIFFERENT hash), and 2-param rows exercise
+    * order-preserving single-param stripping plus the no-evidence
+    * path (stripped spelling absent from the crawl is never
+    * counted). Oracle: an independent DuckDB implementation of the
+    * mining — range-explode over the split param list, list-slice
+    * reconstruction, self-join on the stripped spelling. */
+  lazy val qDustRules = Q(
+    "q411_dust_rules",
+    (s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          (col("doc_id") % 120).as("pid"))
+      def base(c: org.apache.spark.sql.Column*) =
+        concat((Seq(lit("http://"), col("source"), lit(".example/p/"),
+          col("pid").cast("string")) ++ c): _*)
+      val bhash = concat(lit("h-"), col("source"), lit("-"),
+        col("pid").cast("string"))
+      val crawl = d.select(base().as("url"), bhash.as("hash")).distinct()
+        .unionAll(d.where(col("doc_id") % 3 === 0)
+          .select(base(lit("?sess="), col("doc_id").cast("string"))
+            .as("url"), bhash.as("hash")))
+        .unionAll(d.where(col("doc_id") % 5 === 0)
+          .select(base(lit("?page=2")).as("url"),
+            concat(bhash, lit("-v2")).as("hash")).distinct())
+        .unionAll(d.where(col("doc_id") % 7 === 0)
+          .select(base(lit("?page=2&sess="), col("doc_id").cast("string"))
+            .as("url"), concat(bhash, lit("-v2")).as("hash")))
+      graft.ops.Dust.paramRules(crawl, "url", "hash", minSupport = 2)
+        .orderBy("host", "param")
+    },
+    Some("""WITH d AS (SELECT doc_id, source, doc_id % 120 AS pid
+          FROM documents),
+      crawl AS (
+        SELECT DISTINCT 'http://' || source || '.example/p/' ||
+            CAST(pid AS VARCHAR) AS url,
+          'h-' || source || '-' || CAST(pid AS VARCHAR) AS hash FROM d
+        UNION ALL
+        SELECT 'http://' || source || '.example/p/' ||
+            CAST(pid AS VARCHAR) || '?sess=' || CAST(doc_id AS VARCHAR),
+          'h-' || source || '-' || CAST(pid AS VARCHAR)
+          FROM d WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT DISTINCT 'http://' || source || '.example/p/' ||
+            CAST(pid AS VARCHAR) || '?page=2',
+          'h-' || source || '-' || CAST(pid AS VARCHAR) || '-v2'
+          FROM d WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT 'http://' || source || '.example/p/' ||
+            CAST(pid AS VARCHAR) || '?page=2&sess=' ||
+            CAST(doc_id AS VARCHAR),
+          'h-' || source || '-' || CAST(pid AS VARCHAR) || '-v2'
+          FROM d WHERE doc_id % 7 = 0),
+      rows_ AS (SELECT DISTINCT url, hash FROM crawl),
+      wq AS (SELECT url, hash, instr(url, '?') AS qp FROM rows_
+        WHERE instr(url, '?') > 0),
+      parsed AS (SELECT url, hash, substring(url, 1, qp - 1) AS pre,
+          string_split(substring(url, qp + 1), '&') AS params FROM wq),
+      expl AS (SELECT url, hash, pre, params, CAST(gs.i AS INT) AS pos
+        FROM parsed, (SELECT unnest(range(1, 11)) AS i) gs
+        WHERE gs.i <= len(params)),
+      cand AS (SELECT
+          regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)
+            AS host,
+          string_split(params[pos], '=')[1] AS param, hash,
+          CASE WHEN len(params) = 1 THEN pre
+            ELSE pre || '?' || array_to_string(
+              list_concat(params[1:pos-1], params[pos+1:]), '&') END
+            AS stripped
+        FROM expl),
+      ev AS (SELECT c.host, c.param, c.hash, r.hash AS thash
+        FROM cand c JOIN rows_ r ON c.stripped = r.url)
+      SELECT host, param, count(*) AS n_evidence,
+        CAST(sum(CASE WHEN hash = thash THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_support,
+        CAST(sum(CASE WHEN hash <> thash THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_violation,
+        (sum(CASE WHEN hash = thash THEN 1 ELSE 0 END) >= 2 AND
+         sum(CASE WHEN hash <> thash THEN 1 ELSE 0 END) = 0) AS safe
+      FROM ev GROUP BY 1, 2 ORDER BY host, param"""))
+
+  /** Conditional-fetch ledger on the gate ([[graft.ops.Revalidation
+    * .ledger]] — RFC 9110 §13.1 revalidation accounting: unchanged
+    * pages whose stored copy held a validator answer 304 and save
+    * their body bytes; unchanged pages without one are full 200s for
+    * identical content — the wasted class that justifies storing
+    * validators). Planted classes over documents: every 10th URL is
+    * new (absent from the previous state), another tenth gone, every
+    * doc_id % 4 == 1 modified (previous hash differs), and the
+    * unchanged remainder splits on validator presence (even doc_ids
+    * stored an ETag). Bytes ride n_chars. Oracle: the identical
+    * full-outer reconciliation in DuckDB. */
+  lazy val qConditionalFetch = Q(
+    "q412_conditional_fetch",
+    (s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val u = concat(lit("http://"), col("source"), lit(".example/d/"),
+        col("doc_id").cast("string"))
+      val prev = d.where(col("doc_id") % 10 =!= 9)
+        .select(u.as("url"),
+          concat(lit("h"), col("doc_id").cast("string"),
+            when(col("doc_id") % 4 === 1, lit("-old")).otherwise(lit("")))
+            .as("hash"),
+          when(col("doc_id") % 2 === 0,
+            concat(lit("etag-"), col("doc_id").cast("string")))
+            .as("validator"))
+      val cur = d.where(col("doc_id") % 10 =!= 8)
+        .select(u.as("url"),
+          concat(lit("h"), col("doc_id").cast("string")).as("hash"),
+          col("n_chars").as("bytes"))
+      graft.ops.Revalidation.ledger(prev, "url", "hash", "validator",
+          cur, "url", "hash", "bytes")
+        .orderBy("host")
+    },
+    Some("""WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+      prev AS (SELECT 'http://' || source || '.example/d/' ||
+            CAST(doc_id AS VARCHAR) AS url,
+          'h' || CAST(doc_id AS VARCHAR) ||
+            CASE WHEN doc_id % 4 = 1 THEN '-old' ELSE '' END AS hash,
+          CASE WHEN doc_id % 2 = 0
+            THEN 'etag-' || CAST(doc_id AS VARCHAR) END AS validator
+        FROM d WHERE doc_id % 10 <> 9),
+      cur AS (SELECT 'http://' || source || '.example/d/' ||
+            CAST(doc_id AS VARCHAR) AS url,
+          'h' || CAST(doc_id AS VARCHAR) AS hash, n_chars AS bytes
+        FROM d WHERE doc_id % 10 <> 8),
+      j AS (SELECT coalesce(p.url, c.url) AS url, p.url AS purl,
+          c.url AS curl, p.hash AS ph, c.hash AS ch, p.validator AS v,
+          c.bytes AS b
+        FROM prev p FULL OUTER JOIN cur c ON p.url = c.url),
+      cls AS (SELECT
+          regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)
+            AS host,
+          CASE WHEN purl IS NULL THEN 'new'
+            WHEN curl IS NULL THEN 'gone'
+            WHEN ph = ch AND v IS NOT NULL THEN 'revalidated'
+            WHEN ph = ch THEN 'unchanged_refetch'
+            ELSE 'modified' END AS cl, b
+        FROM j)
+      SELECT host,
+        CAST(sum(CASE WHEN cl = 'revalidated' THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_revalidated,
+        CAST(sum(CASE WHEN cl = 'unchanged_refetch' THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_unchanged_refetch,
+        CAST(sum(CASE WHEN cl = 'modified' THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_modified,
+        CAST(sum(CASE WHEN cl = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_new,
+        CAST(sum(CASE WHEN cl = 'gone' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_gone,
+        CAST(sum(CASE WHEN cl = 'revalidated' THEN b ELSE 0 END)
+          AS BIGINT) AS bytes_saved,
+        CAST(sum(CASE WHEN cl = 'unchanged_refetch' THEN b ELSE 0 END)
+          AS BIGINT) AS bytes_wasted,
+        CAST(sum(CASE WHEN cl IN ('modified', 'new') THEN b ELSE 0 END)
+          AS BIGINT) AS bytes_paid
+      FROM cls GROUP BY host ORDER BY host"""))
+
+  /** Crawl-trap host detection on the gate ([[graft.ops.Dust
+    * .trapHosts]] — a host whose distinct-URL count races ahead of
+    * its distinct-content count is minting URLs, not pages). Planted
+    * hosts: the source-derived hosts are healthy (one content per
+    * page URL, ratio 1), `cal.example` serves every doc_id a unique
+    * calendar URL from 3 page bodies, `facet.example` a unique
+    * session-tagged URL from 40 bodies — both must flag at
+    * minUrls=50, maxRatio=10, with depth and query-rate signals
+    * replayed exactly. Oracle: the identical per-host aggregate in
+    * DuckDB. */
+  lazy val qCrawlTraps = Q(
+    "q413_crawl_traps",
+    (s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          (col("doc_id") % 120).as("pid"))
+      val crawl = d.select(
+          concat(lit("http://"), col("source"), lit(".example/p/"),
+            col("pid").cast("string")).as("url"),
+          concat(lit("h-"), col("source"), lit("-"),
+            col("pid").cast("string")).as("hash")).distinct()
+        .unionAll(d.select(
+          concat(lit("http://cal.example/cal?d="),
+            col("doc_id").cast("string")).as("url"),
+          concat(lit("c"), (col("doc_id") % 3).cast("string"))
+            .as("hash")))
+        .unionAll(d.select(
+          concat(lit("http://facet.example/list/"),
+            (col("doc_id") % 40).cast("string"), lit("/"),
+            (col("doc_id") % 7).cast("string"), lit("?s="),
+            col("doc_id").cast("string")).as("url"),
+          concat(lit("f"), (col("doc_id") % 40).cast("string"))
+            .as("hash")))
+      graft.ops.Dust.trapHosts(crawl, "url", "hash",
+          minUrls = 50L, maxRatio = 10.0)
+        .orderBy("host")
+    },
+    Some("""WITH d AS (SELECT doc_id, source, doc_id % 120 AS pid
+          FROM documents),
+      crawl AS (
+        SELECT DISTINCT 'http://' || source || '.example/p/' ||
+            CAST(pid AS VARCHAR) AS url,
+          'h-' || source || '-' || CAST(pid AS VARCHAR) AS hash FROM d
+        UNION ALL
+        SELECT 'http://cal.example/cal?d=' || CAST(doc_id AS VARCHAR),
+          'c' || CAST(doc_id % 3 AS VARCHAR) FROM d
+        UNION ALL
+        SELECT 'http://facet.example/list/' ||
+            CAST(doc_id % 40 AS VARCHAR) || '/' ||
+            CAST(doc_id % 7 AS VARCHAR) || '?s=' ||
+            CAST(doc_id AS VARCHAR),
+          'f' || CAST(doc_id % 40 AS VARCHAR) FROM d),
+      rows_ AS (SELECT DISTINCT url, hash FROM crawl),
+      p AS (SELECT url, hash,
+          regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)
+            AS host,
+          regexp_extract(url,
+            '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
+          CASE WHEN instr(url, '?') > 0 THEN 1.0 ELSE 0.0 END AS hq
+        FROM rows_),
+      pd AS (SELECT host, url, hash, hq,
+          CASE WHEN path = '' THEN 0
+            ELSE len(string_split(path, '/')) - 1 END AS depth
+        FROM p)
+      SELECT host,
+        CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+        CAST(count(DISTINCT hash) AS BIGINT) AS n_contents,
+        round(CAST(count(DISTINCT url) AS DOUBLE) /
+          count(DISTINCT hash), 8) AS url_per_content,
+        round(avg(depth), 8) AS avg_depth,
+        CAST(max(depth) AS INT) AS max_depth,
+        round(avg(hq), 8) AS p_query,
+        (count(DISTINCT url) >= 50 AND
+         CAST(count(DISTINCT url) AS DOUBLE) / count(DISTINCT hash)
+           >= 10.0) AS is_trap
+      FROM pd GROUP BY host ORDER BY host"""))
 }
