@@ -122,6 +122,61 @@ object Dust {
         col("n_support") >= minSupport && col("n_violation") === 0)
   }
 
+  /** Apply mined DUST rules to a frontier — the payoff of
+    * [[paramRules]]: canonicalize URLs WITHOUT fetching by dropping
+    * every parameter the crawl proved content-free on that host.
+    * Output is (url, canonical_url): each frontier URL with its
+    * safe params removed (remaining params keep their ORIGINAL
+    * order — the reconstruction must be reproducible from the rule
+    * set alone), the `?` dropped when nothing remains, fragments
+    * stripped. URLs on hosts with no rules pass through unchanged.
+    *
+    * `rules` is [[paramRules]] output (or any (host, param) frame);
+    * only rows with `safe = true` are applied. Compose with
+    * [[UrlResolve.canonicalize]] (spec-guaranteed equivalence) for
+    * the full frontier key.
+    *
+    * Scale (100 TB): the rule table is (host × param)-dimensioned —
+    * bounded by the host dimension times single-digit params, so it
+    * broadcasts (the [[Robots]] argument; a >2M-host rule set would
+    * want the same dual-path treatment). The frontier side is
+    * map-only parse + posexplode (fan-out bounded by params/URL),
+    * one broadcast-hash join, one groupBy(url) to reassemble — the
+    * single shuffle, partially aggregated, keyed by the frontier URL
+    * so skew follows URL frequency (dedupe first if the frontier
+    * carries repeats). */
+  def applyRules(frontier: DataFrame, urlCol: String,
+      rules: DataFrame): DataFrame = {
+    val safe = rules.where(col("safe"))
+      .select(col("host").as("__rhost"), col("param").as("__rparam"))
+      .distinct()
+    val base = frontier
+      .select(col(urlCol).cast("string").as("url"))
+      .where(col("url").isNotNull)
+      .withColumn("__defrag", defragged(col("url")))
+      .withColumn("__qpos", instr(col("__defrag"), "?"))
+    val noQuery = base.where(col("__qpos") === 0)
+      .select(col("url"), col("__defrag").as("canonical_url"))
+    val kept = base.where(col("__qpos") > 0)
+      .withColumn("__pre", expr("substring(__defrag, 1, __qpos - 1)"))
+      .withColumn("host", hostOf(col("__defrag")))
+      .select(col("url"), col("__pre"), col("host"),
+        posexplode(split(expr("substring(__defrag, __qpos + 1)"), "&"))
+          .as(Seq("__i", "__p")))
+      .join(broadcast(safe), col("host") === col("__rhost") &&
+        substring_index(col("__p"), "=", 1) === col("__rparam"), "left")
+      .groupBy("url", "__pre")
+      .agg(array_sort(collect_list(
+        when(col("__rhost").isNull, struct(col("__i"), col("__p")))))
+        .as("__keep"))
+      .select(col("url"),
+        when(size(col("__keep")) === 0, col("__pre"))
+          .otherwise(concat(col("__pre"), lit("?"),
+            array_join(transform(col("__keep"), x => x("__p")), "&")))
+          .as("canonical_url"))
+    noQuery.unionByName(kept)
+  }
+
   /** Flag crawler-trap hosts from a crawl log.
     *
     * Per host: `n_urls` (distinct URLs seen), `n_contents` (distinct

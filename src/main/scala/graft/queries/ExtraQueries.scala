@@ -4143,7 +4143,7 @@ object ExtraQueries {
     qHostBudget, qStreamingHostBudget, qCuratedCdc, qAnchorBm25,
     qRecrawlRate, qPolitenessSchedule, qStreamingRecrawl, qCdcReclaim,
     qRedirectResolve, qFetchPlan,
-    qDustRules, qConditionalFetch, qCrawlTraps,
+    qDustRules, qConditionalFetch, qCrawlTraps, qDustApply,
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qKendallExact,
     qMapValueCounts,
@@ -4271,6 +4271,126 @@ object ExtraQueries {
         (sum(CASE WHEN hash = thash THEN 1 ELSE 0 END) >= 2 AND
          sum(CASE WHEN hash <> thash THEN 1 ELSE 0 END) = 0) AS safe
       FROM ev GROUP BY 1, 2 ORDER BY host, param"""))
+
+  /** DUST rule APPLICATION on the gate ([[graft.ops.Dust
+    * .applyRules]] — the mining's payoff: canonicalize the frontier
+    * WITHOUT fetching by dropping every param the crawl proved
+    * content-free). Composes q411's mining with its own crawl as the
+    * frontier: `sess` is safe on every host, so `?sess=k` spellings
+    * collapse onto their base pages and `?page=2&sess=k` spellings
+    * onto `?page=2` (order-preserving partial strip); `page` is
+    * load-bearing and survives. Per-host rollup: raw vs canonical
+    * distinct counts and the merged mass. Oracle: the q411 mining
+    * replay + an independent DuckDB application (ordered string_agg
+    * over non-dropped params). */
+  lazy val qDustApply = Q(
+    "q414_dust_apply",
+    (s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          (col("doc_id") % 120).as("pid"))
+      def base(c: org.apache.spark.sql.Column*) =
+        concat((Seq(lit("http://"), col("source"), lit(".example/p/"),
+          col("pid").cast("string")) ++ c): _*)
+      val bhash = concat(lit("h-"), col("source"), lit("-"),
+        col("pid").cast("string"))
+      val crawl = d.select(base().as("url"), bhash.as("hash")).distinct()
+        .unionAll(d.where(col("doc_id") % 3 === 0)
+          .select(base(lit("?sess="), col("doc_id").cast("string"))
+            .as("url"), bhash.as("hash")))
+        .unionAll(d.where(col("doc_id") % 5 === 0)
+          .select(base(lit("?page=2")).as("url"),
+            concat(bhash, lit("-v2")).as("hash")).distinct())
+        .unionAll(d.where(col("doc_id") % 7 === 0)
+          .select(base(lit("?page=2&sess="), col("doc_id").cast("string"))
+            .as("url"), concat(bhash, lit("-v2")).as("hash")))
+      val rules = graft.ops.Dust.paramRules(crawl, "url", "hash",
+        minSupport = 2)
+      graft.ops.Dust.applyRules(crawl.select("url").distinct(), "url",
+          rules)
+        .withColumn("host",
+          regexp_extract(col("canonical_url"),
+            "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
+        .groupBy("host")
+        .agg(countDistinct(col("url")).as("n_raw"),
+          countDistinct(col("canonical_url")).as("n_canonical"))
+        .withColumn("n_merged", col("n_raw") - col("n_canonical"))
+        .orderBy("host")
+    },
+    Some("""WITH d AS (SELECT doc_id, source, doc_id % 120 AS pid
+          FROM documents),
+      crawl AS (
+        SELECT DISTINCT 'http://' || source || '.example/p/' ||
+            CAST(pid AS VARCHAR) AS url,
+          'h-' || source || '-' || CAST(pid AS VARCHAR) AS hash FROM d
+        UNION ALL
+        SELECT 'http://' || source || '.example/p/' ||
+            CAST(pid AS VARCHAR) || '?sess=' || CAST(doc_id AS VARCHAR),
+          'h-' || source || '-' || CAST(pid AS VARCHAR)
+          FROM d WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT DISTINCT 'http://' || source || '.example/p/' ||
+            CAST(pid AS VARCHAR) || '?page=2',
+          'h-' || source || '-' || CAST(pid AS VARCHAR) || '-v2'
+          FROM d WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT 'http://' || source || '.example/p/' ||
+            CAST(pid AS VARCHAR) || '?page=2&sess=' ||
+            CAST(doc_id AS VARCHAR),
+          'h-' || source || '-' || CAST(pid AS VARCHAR) || '-v2'
+          FROM d WHERE doc_id % 7 = 0),
+      rows_ AS (SELECT DISTINCT url, hash FROM crawl),
+      wq AS (SELECT url, hash, instr(url, '?') AS qp FROM rows_
+        WHERE instr(url, '?') > 0),
+      parsed AS (SELECT url, hash, substring(url, 1, qp - 1) AS pre,
+          string_split(substring(url, qp + 1), '&') AS params FROM wq),
+      expl AS (SELECT url, hash, pre, params, CAST(gs.i AS INT) AS pos
+        FROM parsed, (SELECT unnest(range(1, 11)) AS i) gs
+        WHERE gs.i <= len(params)),
+      cand AS (SELECT
+          regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)
+            AS host,
+          string_split(params[pos], '=')[1] AS param, hash,
+          CASE WHEN len(params) = 1 THEN pre
+            ELSE pre || '?' || array_to_string(
+              list_concat(params[1:pos-1], params[pos+1:]), '&') END
+            AS stripped
+        FROM expl),
+      ev AS (SELECT c.host, c.param, c.hash, r.hash AS thash
+        FROM cand c JOIN rows_ r ON c.stripped = r.url),
+      rules AS (SELECT host, param FROM ev GROUP BY 1, 2
+        HAVING sum(CASE WHEN hash = thash THEN 1 ELSE 0 END) >= 2 AND
+          sum(CASE WHEN hash <> thash THEN 1 ELSE 0 END) = 0),
+      front AS (SELECT DISTINCT url FROM crawl),
+      fq AS (SELECT url, instr(url, '?') AS qp FROM front),
+      noq AS (SELECT url, url AS canon FROM fq WHERE qp = 0),
+      fp AS (SELECT url, substring(url, 1, qp - 1) AS pre,
+          string_split(substring(url, qp + 1), '&') AS params,
+          regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)
+            AS host
+        FROM fq WHERE qp > 0),
+      fe AS (SELECT url, pre, host, params[CAST(gs.i AS INT)] AS p,
+          CAST(gs.i AS INT) AS pos
+        FROM fp, (SELECT unnest(range(1, 11)) AS i) gs
+        WHERE gs.i <= len(params)),
+      fk AS (SELECT fe.url, fe.pre, fe.p, fe.pos,
+          (r.host IS NOT NULL) AS dropd
+        FROM fe LEFT JOIN rules r ON fe.host = r.host AND
+          string_split(fe.p, '=')[1] = r.param),
+      fa AS (SELECT url, pre,
+          string_agg(p, '&' ORDER BY pos) FILTER (WHERE NOT dropd)
+            AS keptq
+        FROM fk GROUP BY url, pre),
+      appq AS (SELECT url, CASE WHEN keptq IS NULL THEN pre
+          ELSE pre || '?' || keptq END AS canon FROM fa),
+      app AS (SELECT * FROM noq UNION ALL SELECT * FROM appq)
+      SELECT regexp_extract(canon,
+          '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1) AS host,
+        CAST(count(DISTINCT url) AS BIGINT) AS n_raw,
+        CAST(count(DISTINCT canon) AS BIGINT) AS n_canonical,
+        CAST(count(DISTINCT url) - count(DISTINCT canon) AS BIGINT)
+          AS n_merged
+      FROM app GROUP BY 1 ORDER BY host"""))
 
   /** Conditional-fetch ledger on the gate ([[graft.ops.Revalidation
     * .ledger]] — RFC 9110 §13.1 revalidation accounting: unchanged

@@ -72,6 +72,43 @@ class DustSpec extends SparkSpec {
       "both spellings strip to the defragged base")
   }
 
+  test("applyRules: safe params drop, order kept, ? vanishes when " +
+    "nothing remains, other hosts untouched") {
+    val rules = Seq(
+      ("a.example", "sess", true),
+      ("a.example", "page", false)
+    ).toDF("host", "param", "safe")
+    val frontier = Seq(
+      "http://a.example/x?page=2&sess=1",   // partial strip
+      "http://a.example/x?sess=9",          // full strip -> no '?'
+      "http://a.example/x?page=2",          // unsafe param survives
+      "http://a.example/x",                 // no query passes through
+      "http://b.example/x?sess=1",          // no rule on this host
+      "http://a.example/x?sess=2#frag"      // fragment stripped first
+    ).toDF("url")
+    val got = Dust.applyRules(frontier, "url", rules)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("http://a.example/x?page=2&sess=1") ===
+      "http://a.example/x?page=2")
+    assert(got("http://a.example/x?sess=9") === "http://a.example/x")
+    assert(got("http://a.example/x?page=2") ===
+      "http://a.example/x?page=2")
+    assert(got("http://a.example/x") === "http://a.example/x")
+    assert(got("http://b.example/x?sess=1") ===
+      "http://b.example/x?sess=1")
+    assert(got("http://a.example/x?sess=2#frag") ===
+      "http://a.example/x")
+  }
+
+  test("applyRules: multi-param order is preserved around a dropped " +
+    "middle param") {
+    val rules = Seq(("a.example", "s", true)).toDF("host", "param", "safe")
+    val frontier = Seq("http://a.example/x?b=2&s=1&a=9").toDF("url")
+    val got = Dust.applyRules(frontier, "url", rules).collect().head
+    assert(got.getString(1) === "http://a.example/x?b=2&a=9",
+      "remaining params keep original relative order, never re-sorted")
+  }
+
   test("trapHosts: ratio + floor thresholds, depth and query stats") {
     val healthy = (1 to 60).map(i =>
       (s"http://ok.example/p/$i", s"h$i"))
