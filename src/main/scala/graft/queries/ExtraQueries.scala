@@ -4144,6 +4144,7 @@ object ExtraQueries {
     qRecrawlRate, qPolitenessSchedule, qStreamingRecrawl, qCdcReclaim,
     qRedirectResolve, qFetchPlan,
     qDustRules, qConditionalFetch, qCrawlTraps, qDustApply,
+    qTrapBudget, qStreamingRevalidation,
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qKendallExact,
     qMapValueCounts,
@@ -4469,6 +4470,196 @@ object ExtraQueries {
         CAST(sum(CASE WHEN cl IN ('modified', 'new') THEN b ELSE 0 END)
           AS BIGINT) AS bytes_paid
       FROM cls GROUP BY host ORDER BY host"""))
+
+  /** TRAP-AWARE authority budgets on the gate (composition: [[graft
+    * .ops.Dust.trapHosts]] → [[graft.ops.CrawlBudget]] — a flagged
+    * trap host is not merely down-weighted, it is REMOVED from the
+    * quota split, so its authority mass redistributes to healthy
+    * hosts and its frontier admits nothing (absent from the budget
+    * table = no budget, the q401 contract). The authority proxy is
+    * the SAME aggregate that produced the trap verdict
+    * (distinct-content counts), so the gate certifies the two ops
+    * composing through one shared table. cal/facet flood the
+    * frontier with 500 URLs each and must admit zero. Oracle:
+    * replays the trap aggregate, the exclusion, the integer quota
+    * split, and the window admission. */
+  lazy val qTrapBudget = Q(
+    "q415_trap_budget",
+    (s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          (col("doc_id") % 120).as("pid"))
+      val crawl = d.select(
+          concat(lit("http://"), col("source"), lit(".example/p/"),
+            col("pid").cast("string")).as("url"),
+          concat(lit("h-"), col("source"), lit("-"),
+            col("pid").cast("string")).as("hash")).distinct()
+        .unionAll(d.select(
+          concat(lit("http://cal.example/cal?d="),
+            col("doc_id").cast("string")).as("url"),
+          concat(lit("c"), (col("doc_id") % 3).cast("string"))
+            .as("hash")))
+        .unionAll(d.select(
+          concat(lit("http://facet.example/list/"),
+            (col("doc_id") % 40).cast("string"), lit("/"),
+            (col("doc_id") % 7).cast("string"), lit("?s="),
+            col("doc_id").cast("string")).as("url"),
+          concat(lit("f"), (col("doc_id") % 40).cast("string"))
+            .as("hash")))
+      val th = graft.ops.Dust.trapHosts(crawl, "url", "hash",
+        minUrls = 50L, maxRatio = 10.0)
+      val budgets = graft.ops.CrawlBudget.rankBudgets(
+        th.where(!col("is_trap")), "host", "n_contents", 200L)
+      val cost = (lit(1L) + col("doc_id") % 3).as("cost")
+      val frontier = d.select(
+          concat(col("source"), lit(".example")).as("host"),
+          col("doc_id").as("id"), cost)
+        .unionAll(d.select(lit("cal.example").as("host"),
+          col("doc_id").as("id"), cost))
+        .unionAll(d.select(lit("facet.example").as("host"),
+          col("doc_id").as("id"), cost))
+      val admitted = graft.ops.CrawlBudget.admitByHostBudget(
+        frontier, "host", "id", "cost", budgets, "host", "budget_q")
+      val nf = frontier.groupBy("host")
+        .agg(count(lit(1)).as("n_frontier"))
+      val a2 = admitted.groupBy("host")
+        .agg(count(lit(1)).as("n_admitted"),
+          sum(col("cost")).as("cost_admitted"))
+      budgets.join(nf, Seq("host"), "left")
+        .join(a2, Seq("host"), "left")
+        .select(col("host"), col("budget_q"),
+          coalesce(col("n_frontier"), lit(0L)).as("n_frontier"),
+          coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
+          coalesce(col("cost_admitted"), lit(0L)).as("cost_admitted"))
+        .orderBy("host")
+    },
+    Some("""WITH d AS (SELECT doc_id, source, doc_id % 120 AS pid
+          FROM documents),
+      crawl AS (
+        SELECT DISTINCT 'http://' || source || '.example/p/' ||
+            CAST(pid AS VARCHAR) AS url,
+          'h-' || source || '-' || CAST(pid AS VARCHAR) AS hash FROM d
+        UNION ALL
+        SELECT 'http://cal.example/cal?d=' || CAST(doc_id AS VARCHAR),
+          'c' || CAST(doc_id % 3 AS VARCHAR) FROM d
+        UNION ALL
+        SELECT 'http://facet.example/list/' ||
+            CAST(doc_id % 40 AS VARCHAR) || '/' ||
+            CAST(doc_id % 7 AS VARCHAR) || '?s=' ||
+            CAST(doc_id AS VARCHAR),
+          'f' || CAST(doc_id % 40 AS VARCHAR) FROM d),
+      rows_ AS (SELECT DISTINCT url, hash FROM crawl),
+      th AS (SELECT
+          regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)
+            AS host,
+          count(DISTINCT url) AS nu, count(DISTINCT hash) AS nc
+        FROM rows_ GROUP BY 1),
+      healthy AS (SELECT host, nc FROM th
+        WHERE NOT (nu >= 50 AND CAST(nu AS DOUBLE) / nc >= 10.0)),
+      tot AS (SELECT sum(nc) AS t FROM healthy),
+      bud AS (SELECT host, CAST(200 * nc // t AS BIGINT) AS budget_q
+        FROM healthy, tot),
+      fr AS (SELECT source || '.example' AS host, doc_id AS id,
+            1 + doc_id % 3 AS cost FROM d
+        UNION ALL SELECT 'cal.example', doc_id, 1 + doc_id % 3 FROM d
+        UNION ALL SELECT 'facet.example', doc_id, 1 + doc_id % 3 FROM d),
+      adm AS (SELECT f.host, f.id, f.cost, b.budget_q,
+          sum(f.cost) OVER (PARTITION BY f.host ORDER BY f.id
+            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM fr f JOIN bud b ON f.host = b.host),
+      a2 AS (SELECT host, CAST(count(*) AS BIGINT) AS n_admitted,
+          CAST(sum(cost) AS BIGINT) AS cost_admitted
+        FROM adm WHERE cum <= budget_q GROUP BY 1),
+      nf AS (SELECT host, CAST(count(*) AS BIGINT) AS n_frontier
+        FROM fr GROUP BY 1)
+      SELECT b.host, b.budget_q,
+        coalesce(nf.n_frontier, 0) AS n_frontier,
+        coalesce(a2.n_admitted, 0) AS n_admitted,
+        coalesce(a2.cost_admitted, 0) AS cost_admitted
+      FROM bud b
+      LEFT JOIN nf ON nf.host = b.host
+      LEFT JOIN a2 ON a2.host = b.host
+      ORDER BY b.host"""))
+
+  /** STREAMING conditional-fetch dispositions on the gate
+    * ([[graft.streaming.StreamingRevalidation.dispositions]] — each
+    * arriving fetch result reconciled against the stored (url →
+    * hash, validator) state via a stateless per-batch stream–static
+    * join; `gone` is unobservable online and stays a q412 batch
+    * product). The q412 construction's prev state is the static
+    * side; the current fetch log streams in two ascending-url
+    * batches. Row-level oracle: the same left-join classification in
+    * DuckDB, 304 rows carrying zero wire bytes. */
+  lazy val qStreamingRevalidation = Q(
+    "q416_streaming_revalidation",
+    (s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.OutputMode
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val u = concat(lit("http://"), col("source"), lit(".example/d/"),
+        col("doc_id").cast("string"))
+      val prev = d.where(col("doc_id") % 10 =!= 9)
+        .select(u.as("url"),
+          concat(lit("h"), col("doc_id").cast("string"),
+            when(col("doc_id") % 4 === 1, lit("-old")).otherwise(lit("")))
+            .as("hash"),
+          when(col("doc_id") % 2 === 0,
+            concat(lit("etag-"), col("doc_id").cast("string")))
+            .as("validator"))
+      val curRows = d.where(col("doc_id") % 10 =!= 8)
+        .select(u.as("url"),
+          concat(lit("h"), col("doc_id").cast("string")).as("hash"),
+          col("n_chars").as("bytes"))
+        .as[(String, String, Long)].collect().sortBy(_._1)
+      val mem = MemoryStream[(String, String, Long)]
+      val src = mem.toDF.toDF("url", "hash", "bytes")
+      val out = graft.streaming.StreamingRevalidation.dispositions(
+        src, "url", "hash", "bytes", prev, "url", "hash", "validator")
+      val sink = "graft_srv_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-srv-gate").toString
+      val query = out.writeStream.format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        val half = (curRows.length + 1) / 2
+        curRows.grouped(math.max(1, half)).foreach { chunk =>
+          mem.addData(chunk.toIndexedSeq)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      StreamGate.finish(s, sink, ckpt, s.table(sink))
+        .orderBy("url")
+    },
+    Some("""WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+      prev AS (SELECT 'http://' || source || '.example/d/' ||
+            CAST(doc_id AS VARCHAR) AS url,
+          'h' || CAST(doc_id AS VARCHAR) ||
+            CASE WHEN doc_id % 4 = 1 THEN '-old' ELSE '' END AS hash,
+          CASE WHEN doc_id % 2 = 0
+            THEN 'etag-' || CAST(doc_id AS VARCHAR) END AS validator
+        FROM d WHERE doc_id % 10 <> 9),
+      cur AS (SELECT 'http://' || source || '.example/d/' ||
+            CAST(doc_id AS VARCHAR) AS url,
+          'h' || CAST(doc_id AS VARCHAR) AS hash, n_chars AS bytes
+        FROM d WHERE doc_id % 10 <> 8),
+      cls AS (SELECT c.url,
+          CASE WHEN p.url IS NULL THEN 'new'
+            WHEN c.hash = p.hash AND p.validator IS NOT NULL
+              THEN 'revalidated'
+            WHEN c.hash = p.hash THEN 'unchanged_refetch'
+            ELSE 'modified' END AS disposition,
+          c.bytes
+        FROM cur c LEFT JOIN prev p ON c.url = p.url)
+      SELECT url, disposition, bytes,
+        CASE WHEN disposition = 'revalidated' THEN 0 ELSE bytes END
+          AS bytes_on_wire
+      FROM cls ORDER BY url"""))
 
   /** Crawl-trap host detection on the gate ([[graft.ops.Dust
     * .trapHosts]] — a host whose distinct-URL count races ahead of
