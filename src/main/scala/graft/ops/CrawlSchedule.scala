@@ -114,6 +114,96 @@ object CrawlSchedule {
         col("fetch_at_us"))
   }
 
+  /** [[dueSchedule]] with a PER-HOST delay — the politeness interval
+    * is a host attribute (robots `Crawl-delay`, [[Robots
+    * .crawlDelaySeeds]]; or a latency-derived policy), not a crawl
+    * constant. `due` must carry the delay on its rows (join the
+    * host-dimensioned delay table before calling — one broadcast
+    * join, the delay table is bounded by the host dimension). The
+    * closed form still holds because the delay is CONSTANT within a
+    * window partition:
+    *
+    *   fetch_at(k) = delay_h·k + running_max(due(j) − delay_h·j)
+    *
+    * Non-positive / null delays are rejected loudly — a zero delay
+    * is "no politeness", which is a policy decision the caller
+    * should make by passing 1 µs explicitly, not a default this
+    * function should silently honor. Exact 64-bit integer arithmetic
+    * end to end; one shuffle on host. */
+  def dueSchedulePerHost(due: DataFrame, hostCol: String,
+      urlCol: String, dueCol: String, delayCol: String): DataFrame = {
+    val bad = due.where(col(delayCol).isNull ||
+      col(delayCol).cast("long") <= 0)
+    require(bad.isEmpty,
+      s"$delayCol must be positive on every row — null/zero delays " +
+        "are a policy decision, not a default")
+    val ord = Window.partitionBy("host").orderBy("due_us", "url")
+    val run = Window.partitionBy("host").orderBy("due_us", "url")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    due
+      .select(col(hostCol).cast("string").as("host"),
+        col(urlCol).cast("string").as("url"),
+        col(dueCol).cast("long").as("due_us"),
+        col(delayCol).cast("long").as("delay_us"))
+      .where(col("due_us").isNotNull)
+      .withColumn("slot", (row_number().over(ord) - 1).cast("int"))
+      .withColumn("__adj",
+        col("due_us") - col("delay_us") * col("slot").cast("long"))
+      .withColumn("fetch_at_us",
+        col("delay_us") * col("slot").cast("long") +
+          max(col("__adj")).over(run))
+      .select(col("host"), col("url"), col("due_us"), col("delay_us"),
+        col("slot"), col("fetch_at_us"))
+  }
+
+  /** Sitemap-lastmod STALENESS triage — what a recrawler does with a
+    * freshly fetched sitemap (sitemaps.org 0.9: `lastmod` is the
+    * publisher's claim of last modification): reconcile the entry
+    * list against the stored fetch state and class every URL:
+    *
+    *   0 `never_fetched`  no stored state — discovery, fetch first
+    *   1 `stale`          publisher claims a change after our fetch
+    *   2 `aged`           no lastmod claim and our copy is older
+    *                      than `maxAgeUs` at `asOfUs` — refresh on
+    *                      age alone (the no-claim fallback; sitemap
+    *                      lastmod is OPTIONAL and often missing)
+    *   3 `fresh`          claim predates our fetch, or no claim and
+    *                      the copy is young
+    *
+    * The `priority` integer is the scheduling key (lower first);
+    * within a class the caller orders by lastmod/fetch age. A
+    * publisher-claimed lastmod NEWER than `asOfUs` still reads
+    * `stale` (claims are hints, not clocks — Cho & Garcia-Molina's
+    * λ̂ is the tool that learns which publishers lie; compose via
+    * [[changeRate]]). One left equi-join on url, map-only CASE;
+    * state is corpus-dimensioned so neither side broadcasts. */
+  def sitemapStaleness(entries: DataFrame, urlCol: String,
+      lastmodUsCol: String, state: DataFrame, stUrlCol: String,
+      fetchedUsCol: String, asOfUs: Long, maxAgeUs: Long): DataFrame = {
+    require(maxAgeUs > 0, s"maxAgeUs must be positive: $maxAgeUs")
+    val e = entries.select(col(urlCol).cast("string").as("url"),
+        col(lastmodUsCol).cast("long").as("lastmod_us"))
+      .where(col("url").isNotNull)
+    val st = state.select(col(stUrlCol).cast("string").as("__surl"),
+        col(fetchedUsCol).cast("long").as("fetched_us"))
+      .where(col("__surl").isNotNull && col("fetched_us").isNotNull)
+    e.join(st, e("url") === st("__surl"), "left")
+      .withColumn("pclass",
+        when(col("__surl").isNull, "never_fetched")
+          .when(col("lastmod_us").isNotNull &&
+            col("lastmod_us") > col("fetched_us"), "stale")
+          .when(col("lastmod_us").isNull &&
+            lit(asOfUs) - col("fetched_us") > maxAgeUs, "aged")
+          .otherwise("fresh"))
+      .withColumn("priority",
+        when(col("pclass") === "never_fetched", 0)
+          .when(col("pclass") === "stale", 1)
+          .when(col("pclass") === "aged", 2)
+          .otherwise(3))
+      .select(col("url"), col("pclass"), col("priority"),
+        col("lastmod_us"), col("fetched_us"))
+  }
+
   /** Per-host POLITENESS schedule: admitted URLs of one host are
     * spaced `delayUs` apart (slot k fetches at k·delayUs on the
     * host's own clock — hosts run in parallel, requests to ONE host

@@ -23,8 +23,11 @@ import org.apache.spark.sql.functions._
   *    the rule with the LONGEST pattern wins (§2.2.2 most-specific);
   *    equal lengths → allow wins; empty-pattern disallow = allow-all;
   *    no matching rule → allowed.
-  * Out of scope (documented): percent-encoding normalization, crawl-
-  * delay (non-standard), sitemap records (skipped, not errors).
+  * Out of scope (documented): percent-encoding normalization.
+  * `Sitemap:` records surface via [[sitemapRecords]]/[[sitemapSeeds]];
+  * the non-standard `Crawl-delay` via [[crawlDelay]]/
+  * [[crawlDelaySeeds]] (ignored by [[isAllowed]], which stays pure
+  * RFC 9309).
   */
 object Robots {
 
@@ -169,6 +172,89 @@ object Robots {
         }
       }
       .toDF("host", "rec_idx", "sm_url")
+  }
+
+  /** `Crawl-delay` for a product token — non-standard but widely
+    * honored (Bing/Yandex document it; Google ignores it): seconds a
+    * polite crawler waits between requests to the host. Group
+    * selection mirrors [[isAllowed]]: the agent's OWN group beats
+    * `*`, no group → None. Within the selected group the LAST valid
+    * numeric value wins (file order — later directives override,
+    * the same discipline user agents apply to repeated fields);
+    * non-numeric / negative values are ignored, never a throw. A
+    * group whose only directive is an invalid delay still COUNTS as
+    * the selected group (selection is by user-agent match, not by
+    * directive validity). */
+  def crawlDelay(txt: String, agent: String): Option[Double] = {
+    val delays = scala.collection.mutable.LinkedHashMap[String,
+      Option[Double]]()
+    var agents: List[String] = Nil
+    var inRules = false
+    Option(txt).getOrElse("").split("\n", -1).foreach { raw =>
+      val noComment = {
+        val h = raw.indexOf('#')
+        if (h >= 0) raw.substring(0, h) else raw
+      }
+      val line = noComment.trim
+      val ci = line.indexOf(':')
+      if (ci > 0) {
+        val field = line.substring(0, ci).trim.toLowerCase
+        val value = line.substring(ci + 1).trim
+        field match {
+          case "user-agent" =>
+            if (inRules) { agents = Nil; inRules = false }
+            val a = value.toLowerCase
+            if (a.nonEmpty) {
+              agents = a :: agents
+              delays.getOrElseUpdate(a, None)
+            }
+          case "allow" | "disallow" =>
+            inRules = true
+          case "crawl-delay" =>
+            inRules = true
+            val parsed = value.toDoubleOption
+              .filter(d => d >= 0 && !d.isNaN && !d.isInfinite)
+            if (parsed.isDefined)
+              agents.foreach(a => delays(a) = parsed)
+          case _ => ()
+        }
+      }
+    }
+    val tok = Option(agent).getOrElse("").toLowerCase
+    delays.get(tok).orElse(delays.get("*")).flatten
+  }
+
+  /** (host, delay_us) politeness table over per-host robots bodies —
+    * map-only, one row per host: the [[crawlDelay]] directive for
+    * `agent` converted to microseconds, `defaultDelayUs` where the
+    * host declares none, and capped at `maxDelayUs` (a hostile
+    * `Crawl-delay: 9e9` must not freeze a scheduler slot — Bing caps
+    * what it honors the same way; the cap keeps the
+    * [[CrawlSchedule.dueSchedulePerHost]] closed form inside 64-bit
+    * range at any frontier size). Feed the result straight into the
+    * per-host schedule via a broadcast join — the table is bounded
+    * by the host dimension. */
+  def crawlDelaySeeds(robots: DataFrame, hostCol: String,
+      txtCol: String, agent: String, defaultDelayUs: Long,
+      maxDelayUs: Long = 60000000L): DataFrame = {
+    require(defaultDelayUs > 0,
+      s"defaultDelayUs must be positive: $defaultDelayUs")
+    require(maxDelayUs >= defaultDelayUs,
+      s"maxDelayUs ($maxDelayUs) must be >= defaultDelayUs " +
+        s"($defaultDelayUs)")
+    val spark = robots.sparkSession
+    import spark.implicits._
+    robots.select(col(hostCol).cast("string").as("host"),
+        col(txtCol).cast("string").as("txt"))
+      .as[(String, String)]
+      .map { case (host, txt) =>
+        val us = crawlDelay(txt, agent)
+          .map(d => math.min((d * 1000000L).toLong, maxDelayUs))
+          .map(u => math.max(u, 1L)) // 0s declared -> minimal spacing
+          .getOrElse(defaultDelayUs)
+        (host, us)
+      }
+      .toDF("host", "delay_us")
   }
 
   /** Default host-count gate for [[crawlFilter]]'s broadcast path: a

@@ -4144,7 +4144,8 @@ object ExtraQueries {
     qRecrawlRate, qPolitenessSchedule, qStreamingRecrawl, qCdcReclaim,
     qRedirectResolve, qFetchPlan,
     qDustRules, qConditionalFetch, qCrawlTraps, qDustApply,
-    qTrapBudget, qStreamingRevalidation,
+    qTrapBudget, qStreamingRevalidation, qSitemapStaleness,
+    qRobotsDelaySchedule,
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qKendallExact,
     qMapValueCounts,
@@ -4470,6 +4471,131 @@ object ExtraQueries {
         CAST(sum(CASE WHEN cl IN ('modified', 'new') THEN b ELSE 0 END)
           AS BIGINT) AS bytes_paid
       FROM cls GROUP BY host ORDER BY host"""))
+
+  /** Sitemap-lastmod STALENESS triage on the gate ([[graft.ops
+    * .CrawlSchedule.sitemapStaleness]] — a fresh sitemap reconciled
+    * against the stored fetch state: never_fetched / stale / aged /
+    * fresh with the scheduling priority). Construction plants all
+    * four classes: every 5th URL has no stored state, lastmod is
+    * absent on every 4th entry (sitemaps.org makes it OPTIONAL — the
+    * aged-vs-fresh split runs on copy age alone there), and the
+    * claim/fetch-time arithmetic splits stale vs fresh on doc_id%3.
+    * Oracle: the identical left-join CASE in DuckDB. */
+  lazy val qSitemapStaleness = Q(
+    "q417_sitemap_staleness",
+    (s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"),
+        col("source"))
+      val u = concat(lit("http://"), col("source"), lit(".example/d/"),
+        col("doc_id").cast("string"))
+      val entries = d.select(u.as("url"),
+        when(col("doc_id") % 4 === 0, lit(null).cast("long"))
+          .otherwise((col("doc_id") % 97) * 1000000L +
+            (col("doc_id") % 3) * 86400000000L).as("lastmod_us"))
+      val state = d.where(col("doc_id") % 5 =!= 0)
+        .select(u.as("url"),
+          ((col("doc_id") % 89) * 1000000L + 43200000000L)
+            .as("fetched_us"))
+      graft.ops.CrawlSchedule.sitemapStaleness(entries, "url",
+          "lastmod_us", state, "url", "fetched_us",
+          asOfUs = 140000000000L, maxAgeUs = 96000000000L)
+        .orderBy("url")
+    },
+    Some("""WITH d AS (SELECT doc_id, source FROM documents),
+      e AS (SELECT 'http://' || source || '.example/d/' ||
+            CAST(doc_id AS VARCHAR) AS url,
+          CASE WHEN doc_id % 4 = 0 THEN NULL
+            ELSE (doc_id % 97) * 1000000 +
+              (doc_id % 3) * 86400000000 END AS lastmod_us
+        FROM d),
+      st AS (SELECT 'http://' || source || '.example/d/' ||
+            CAST(doc_id AS VARCHAR) AS url,
+          (doc_id % 89) * 1000000 + 43200000000 AS fetched_us
+        FROM d WHERE doc_id % 5 <> 0),
+      j AS (SELECT e.url, e.lastmod_us, st.fetched_us,
+          (st.url IS NOT NULL) AS has FROM e
+        LEFT JOIN st ON e.url = st.url),
+      c AS (SELECT url,
+          CASE WHEN NOT has THEN 'never_fetched'
+            WHEN lastmod_us IS NOT NULL AND lastmod_us > fetched_us
+              THEN 'stale'
+            WHEN lastmod_us IS NULL AND
+              140000000000 - fetched_us > 96000000000 THEN 'aged'
+            ELSE 'fresh' END AS pclass,
+          lastmod_us, fetched_us
+        FROM j)
+      SELECT url, pclass,
+        CASE pclass WHEN 'never_fetched' THEN 0 WHEN 'stale' THEN 1
+          WHEN 'aged' THEN 2 ELSE 3 END AS priority,
+        CAST(lastmod_us AS BIGINT) AS lastmod_us,
+        CAST(fetched_us AS BIGINT) AS fetched_us
+      FROM c ORDER BY url"""))
+
+  /** Robots `Crawl-delay` driving the PER-HOST fetch plan on the gate
+    * ([[graft.ops.Robots.crawlDelaySeeds]] →
+    * [[graft.ops.CrawlSchedule.dueSchedulePerHost]] — the politeness
+    * interval as a host ATTRIBUTE read from robots.txt, not a crawl
+    * constant). Host constructions cycle on the source index: a `*`
+    * group with the delay, an own-group (`graftbot`) delay that must
+    * beat a decoy `*` delay of 9s, and a no-directive host that
+    * falls back to the 5s default. The dues are sized so the
+    * politeness push binds. Oracle: the construction's delay
+    * arithmetic + the q410 closed-form window replay with the delay
+    * joined per host. */
+  lazy val qRobotsDelaySchedule = Q(
+    "q418_robots_delay_schedule",
+    (s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"),
+        col("source"),
+        substring(col("source"), 4, 10).cast("int").as("sidx"))
+      val robots = d.select(
+          concat(col("source"), lit(".example")).as("host"),
+          col("sidx")).distinct()
+        .select(col("host"),
+          when(col("sidx") % 3 === 0,
+            concat(lit("User-agent: *\nDisallow: /private\n" +
+              "Crawl-delay: "), (lit(1) + col("sidx") % 5),
+              lit("\n")))
+          .when(col("sidx") % 3 === 1,
+            concat(lit("User-agent: graftbot\nCrawl-delay: "),
+              (lit(2) + col("sidx") % 4),
+              lit("\nUser-agent: *\nCrawl-delay: 9\n")))
+          .otherwise(lit("User-agent: *\nDisallow:\n")).as("txt"))
+      val delays = graft.ops.Robots.crawlDelaySeeds(robots, "host",
+        "txt", "graftbot", defaultDelayUs = 5000000L)
+      val due = d.select(
+        concat(col("source"), lit(".example")).as("host"),
+        concat(lit("http://"), col("source"), lit(".example/d/"),
+          col("doc_id").cast("string")).as("url"),
+        ((col("doc_id") % 53) * 1000000L).as("due_us"))
+      graft.ops.CrawlSchedule.dueSchedulePerHost(
+          due.join(broadcast(delays), Seq("host")),
+          "host", "url", "due_us", "delay_us")
+        .orderBy("host", "slot")
+    },
+    Some("""WITH d AS (SELECT doc_id, source,
+          CAST(substring(source, 4) AS INT) AS sidx FROM documents),
+      del AS (SELECT DISTINCT source || '.example' AS host,
+          CASE WHEN sidx % 3 = 0 THEN (1 + sidx % 5) * 1000000
+            WHEN sidx % 3 = 1 THEN (2 + sidx % 4) * 1000000
+            ELSE 5000000 END AS delay_us
+        FROM d),
+      due AS (SELECT source || '.example' AS host,
+          'http://' || source || '.example/d/' ||
+            CAST(doc_id AS VARCHAR) AS url,
+          (doc_id % 53) * 1000000 AS due_us
+        FROM d),
+      sl AS (SELECT due.host, url, due_us, delay_us,
+          CAST(row_number() OVER (PARTITION BY due.host
+            ORDER BY due_us, url) - 1 AS INT) AS slot
+        FROM due JOIN del ON due.host = del.host),
+      adj AS (SELECT *, due_us - delay_us * slot AS a FROM sl)
+      SELECT host, url, due_us, CAST(delay_us AS BIGINT) AS delay_us,
+        slot,
+        CAST(delay_us * slot + max(a) OVER (PARTITION BY host
+          ORDER BY due_us, url ROWS UNBOUNDED PRECEDING) AS BIGINT)
+          AS fetch_at_us
+      FROM adj ORDER BY host, slot"""))
 
   /** TRAP-AWARE authority budgets on the gate (composition: [[graft
     * .ops.Dust.trapHosts]] → [[graft.ops.CrawlBudget]] — a flagged

@@ -25,6 +25,48 @@ class CrawlScheduleSpec extends SparkSpec {
     assert(got("v0") === ((0, 5L)), "hosts run on their own clocks")
   }
 
+  test("dueSchedulePerHost: each host cascades on ITS OWN delay; " +
+    "null/zero delays reject loudly") {
+    val due = Seq(
+      ("h", "u0", 0L, 10L), ("h", "u1", 1L, 10L),
+      ("g", "v0", 0L, 3L), ("g", "v1", 1L, 3L)
+    ).toDF("host", "url", "due", "delay")
+    val got = CrawlSchedule.dueSchedulePerHost(due, "host", "url",
+        "due", "delay")
+      .collect().map(r => r.getString(1) -> r.getLong(5)).toMap
+    assert(got("u1") === 10L, "pushed by h's 10us delay")
+    assert(got("v1") === 3L, "pushed by g's own 3us delay")
+    val e = intercept[IllegalArgumentException] {
+      CrawlSchedule.dueSchedulePerHost(
+        Seq(("h", "u", 0L, 0L)).toDF("host", "url", "due", "delay"),
+        "host", "url", "due", "delay")
+    }
+    assert(e.getMessage.contains("positive"))
+  }
+
+  test("sitemapStaleness: all four classes and the priority order") {
+    val entries = Seq(
+      ("u_never", Some(50L)), ("u_stale", Some(200L)),
+      ("u_fresh_claim", Some(50L)), ("u_aged", None),
+      ("u_young", None)
+    ).toDF("url", "lastmod")
+    val state = Seq(
+      ("u_stale", 100L), ("u_fresh_claim", 100L),
+      ("u_aged", 100L), ("u_young", 900L)
+    ).toDF("url", "fetched")
+    val got = CrawlSchedule.sitemapStaleness(entries, "url", "lastmod",
+        state, "url", "fetched", asOfUs = 1000L, maxAgeUs = 500L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getInt(2)))).toMap
+    assert(got("u_never") === (("never_fetched", 0)))
+    assert(got("u_stale") === (("stale", 1)))
+    assert(got("u_aged") === (("aged", 2)),
+      "no claim + copy older than maxAge at asOf")
+    assert(got("u_fresh_claim") === (("fresh", 3)))
+    assert(got("u_young") === (("fresh", 3)),
+      "no claim but the copy is young")
+  }
+
   test("changeRate: X detected from hashes; zero-change urls carry " +
     "lambda 0 and schedule nothing") {
     val hist = Seq(

@@ -132,4 +132,23 @@ class RobotsFilterSpec extends SparkSpec {
     assert(hintedPart.orderBy(key: _*).collect().toSeq ===
       counted.orderBy(key: _*).collect().toSeq)
   }
+
+  test("crawlDelaySeeds: default, cap, zero->1us, fractional") {
+    import spark.implicits._
+    val robots = Seq(
+      ("a", "User-agent: *\nCrawl-delay: 2\n"),
+      ("b", "User-agent: *\nDisallow:\n"),            // default
+      ("c", "User-agent: *\nCrawl-delay: 9999999\n"), // capped
+      ("d", "User-agent: *\nCrawl-delay: 0\n"),       // declared zero
+      ("e", "User-agent: *\nCrawl-delay: 0.25\n")
+    ).toDF("host", "txt")
+    val got = Robots.crawlDelaySeeds(robots, "host", "txt", "bot",
+        defaultDelayUs = 5000000L, maxDelayUs = 60000000L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("a") === 2000000L)
+    assert(got("b") === 5000000L)
+    assert(got("c") === 60000000L, "hostile delay capped")
+    assert(got("d") === 1L, "declared 0 -> minimal spacing, not default")
+    assert(got("e") === 250000L)
+  }
 }

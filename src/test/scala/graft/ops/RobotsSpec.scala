@@ -53,6 +53,29 @@ class RobotsSpec extends AnyFunSuite {
     assert(Robots.isAllowed(g, "any", "/y"))
   }
 
+  test("crawlDelay: own group beats *, fractional seconds, last " +
+    "valid wins, invalid ignored") {
+    val txt = "User-agent: graftbot\nCrawl-delay: 2\n" +
+      "Crawl-delay: 3\n" + // later directive overrides
+      "User-agent: *\nCrawl-delay: 9\n"
+    assert(Robots.crawlDelay(txt, "GraftBot") === Some(3.0))
+    assert(Robots.crawlDelay(txt, "other") === Some(9.0))
+    assert(Robots.crawlDelay("User-agent: *\nCrawl-delay: 0.5\n",
+      "x") === Some(0.5))
+    assert(Robots.crawlDelay("User-agent: *\nCrawl-delay: soon\n",
+      "x") === None, "invalid value is ignored, never a throw")
+    assert(Robots.crawlDelay("User-agent: *\nCrawl-delay: -1\n",
+      "x") === None)
+    assert(Robots.crawlDelay("User-agent: *\nDisallow: /\n", "x")
+      === None)
+    assert(Robots.crawlDelay(null, "x") === None)
+    // a selected group with only an invalid delay does NOT fall
+    // through to * (selection is by agent match, not validity)
+    val inv = "User-agent: graftbot\nCrawl-delay: junk\n" +
+      "User-agent: *\nCrawl-delay: 4\n"
+    assert(Robots.crawlDelay(inv, "graftbot") === None)
+  }
+
   test("hostile input: garbage lines, no throw, rules outside groups") {
     val g = Robots.parse(
       "Disallow: /orphan/\n::::\n\u0000 junk\nUser-agent: *\n" +
