@@ -4145,7 +4145,7 @@ object ExtraQueries {
     qRedirectResolve, qFetchPlan,
     qDustRules, qConditionalFetch, qCrawlTraps, qDustApply,
     qTrapBudget, qStreamingRevalidation, qSitemapStaleness,
-    qRobotsDelaySchedule,
+    qRobotsDelaySchedule, qFrontierKey,
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qKendallExact,
     qMapValueCounts,
@@ -4786,6 +4786,93 @@ object ExtraQueries {
         CASE WHEN disposition = 'revalidated' THEN 0 ELSE bytes END
           AS bytes_on_wire
       FROM cls ORDER BY url"""))
+
+  /** The CANONICAL FRONTIER KEY composed end-to-end on the gate —
+    * the capstone of the URL-equivalence shelf: raw crawl spellings
+    * flow through [[graft.ops.Redirects.resolveChains]] (hop to the
+    * terminal location) → [[graft.ops.UrlResolve.canonicalize]]
+    * (RFC 3986 §6: case, :80, dot segments) → [[graft.ops.Dust
+    * .applyRules]] (crawl-proven noise params dropped) into ONE
+    * dedup key. Five spellings cycle on doc_id%5 — plain, cased+
+    * ported, dot-segment detour, sess-tagged, and a redirect hop —
+    * and 49 ⊥ 5 makes every spelling family hit every target page,
+    * so each of the 49 canonical keys must fuse 3 fixed + one
+    * per-doc sess + one per-doc redirect spelling. A key that fails
+    * ANY stage splits and the counts break. Oracle: construction
+    * arithmetic (the q396 discipline — the expected key is known by
+    * construction, never re-derived). */
+  lazy val qFrontierKey = Q(
+    "q419_frontier_key",
+    (s, dir) => {
+      import s.implicits._
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % 49).as("pid"),
+          (col("doc_id") % 5).as("m"))
+      val tgt = concat(lit("http://tgt.example/p/"),
+        col("pid").cast("string"))
+      val docRaw = d.select(col("doc_id"), col("pid"),
+        when(col("m") === 0, tgt)
+          .when(col("m") === 1,
+            concat(lit("HTTP://TGT.Example:80/p/"),
+              col("pid").cast("string")))
+          .when(col("m") === 2,
+            concat(lit("http://tgt.example/a/../p/"),
+              col("pid").cast("string")))
+          .when(col("m") === 3,
+            concat(tgt, lit("?sess="), col("doc_id").cast("string")))
+          .otherwise(concat(lit("http://redir.example/r/"),
+            col("doc_id").cast("string"))).as("raw"))
+      val edges = d.where(col("m") === 4)
+        .select(concat(lit("http://redir.example/r/"),
+          col("doc_id").cast("string")).as("src"), tgt.as("dst"))
+      val crawl = d.select(tgt.as("url"),
+          concat(lit("h"), col("pid").cast("string")).as("hash"))
+        .distinct()
+        .unionAll(d.where(col("m") === 3)
+          .select(concat(tgt, lit("?sess="), col("doc_id").cast("string"))
+            .as("url"),
+            concat(lit("h"), col("pid").cast("string")).as("hash")))
+      val rules = graft.ops.Dust.paramRules(crawl, "url", "hash",
+        minSupport = 2)
+      val resolved = graft.ops.Redirects.resolveChains(edges, "src",
+        "dst", docRaw.select(col("raw").as("url")), "url", maxHops = 4)
+      val canon0 = resolved.select(col("url"), col("final_url"))
+        .as[(String, String)]
+        .mapPartitions(_.map { case (u, f) =>
+          (u, graft.ops.UrlResolve.canonicalize(f))
+        })
+        .toDF("r_url", "c1")
+      val applied = graft.ops.Dust.applyRules(
+        canon0.select(col("c1")).distinct(), "c1", rules)
+      val keyed = canon0
+        .join(applied, canon0("c1") === applied("url"))
+        .select(col("r_url"), col("canonical_url"))
+      docRaw.join(keyed, docRaw("raw") === keyed("r_url"))
+        .groupBy("canonical_url")
+        .agg(countDistinct(col("raw")).as("n_forms"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("canonical_url")
+    },
+    Some("""WITH d AS (SELECT doc_id, doc_id % 49 AS pid,
+          doc_id % 5 AS m FROM documents),
+      r AS (SELECT doc_id, pid,
+          CASE m
+            WHEN 0 THEN 'http://tgt.example/p/' || CAST(pid AS VARCHAR)
+            WHEN 1 THEN 'HTTP://TGT.Example:80/p/' ||
+              CAST(pid AS VARCHAR)
+            WHEN 2 THEN 'http://tgt.example/a/../p/' ||
+              CAST(pid AS VARCHAR)
+            WHEN 3 THEN 'http://tgt.example/p/' ||
+              CAST(pid AS VARCHAR) || '?sess=' ||
+              CAST(doc_id AS VARCHAR)
+            ELSE 'http://redir.example/r/' || CAST(doc_id AS VARCHAR)
+          END AS raw
+        FROM d)
+      SELECT 'http://tgt.example/p/' || CAST(pid AS VARCHAR)
+          AS canonical_url,
+        CAST(count(DISTINCT raw) AS BIGINT) AS n_forms,
+        count(*) AS n_docs
+      FROM r GROUP BY 1 ORDER BY canonical_url"""))
 
   /** Crawl-trap host detection on the gate ([[graft.ops.Dust
     * .trapHosts]] — a host whose distinct-URL count races ahead of
