@@ -156,6 +156,40 @@ object CrawlSchedule {
         col("slot"), col("fetch_at_us"))
   }
 
+  /** ADAPTIVE per-host politeness from observed latency — the
+    * Heritrix discipline (crawler-beans `delayFactor` /
+    * `minDelayMs` / `maxDelayMs`: wait a multiple of how long the
+    * host took to answer, clamped): a slow server gets a long gap, a
+    * CDN a short one, and the clamp bounds both hostile outliers and
+    * the aggression floor. This variant uses the per-host MEDIAN
+    * latency (robust to a single 30 s timeout skewing the mean;
+    * Spark `percentile` and DuckDB `quantile_cont` share the
+    * numpy-linear definition — the q05 seam) rather than Heritrix's
+    * last-fetch-only rule, which a batch planner has no reason to
+    * prefer. delay = clamp(minDelayUs, maxDelayUs,
+    * floor(factor · p50)). Output (host, delay_us) feeds
+    * [[dueSchedulePerHost]] via a broadcast join. One groupBy(host)
+    * carrying one exact percentile buffer per host; negative/null
+    * latencies drop (clock skew is a logging bug, not a policy
+    * input). */
+  def adaptiveDelays(fetches: DataFrame, hostCol: String,
+      latencyCol: String, factor: Double, minDelayUs: Long,
+      maxDelayUs: Long): DataFrame = {
+    require(factor > 0, s"factor must be positive: $factor")
+    require(minDelayUs > 0 && minDelayUs <= maxDelayUs,
+      s"need 0 < minDelayUs <= maxDelayUs: $minDelayUs, $maxDelayUs")
+    fetches
+      .select(col(hostCol).cast("string").as("host"),
+        col(latencyCol).cast("long").as("__lat"))
+      .where(col("host").isNotNull && col("__lat").isNotNull &&
+        col("__lat") >= 0)
+      .groupBy("host")
+      .agg(expr("percentile(__lat, 0.5)").as("__p50"))
+      .select(col("host"),
+        least(greatest(floor(lit(factor) * col("__p50")).cast("long"),
+          lit(minDelayUs)), lit(maxDelayUs)).as("delay_us"))
+  }
+
   /** Sitemap-lastmod STALENESS triage — what a recrawler does with a
     * freshly fetched sitemap (sitemaps.org 0.9: `lastmod` is the
     * publisher's claim of last modification): reconcile the entry

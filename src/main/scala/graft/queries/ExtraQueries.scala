@@ -4145,7 +4145,7 @@ object ExtraQueries {
     qRedirectResolve, qFetchPlan,
     qDustRules, qConditionalFetch, qCrawlTraps, qDustApply,
     qTrapBudget, qStreamingRevalidation, qSitemapStaleness,
-    qRobotsDelaySchedule, qFrontierKey,
+    qRobotsDelaySchedule, qFrontierKey, qAdaptiveDelay,
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qKendallExact,
     qMapValueCounts,
@@ -4584,6 +4584,65 @@ object ExtraQueries {
           'http://' || source || '.example/d/' ||
             CAST(doc_id AS VARCHAR) AS url,
           (doc_id % 53) * 1000000 AS due_us
+        FROM d),
+      sl AS (SELECT due.host, url, due_us, delay_us,
+          CAST(row_number() OVER (PARTITION BY due.host
+            ORDER BY due_us, url) - 1 AS INT) AS slot
+        FROM due JOIN del ON due.host = del.host),
+      adj AS (SELECT *, due_us - delay_us * slot AS a FROM sl)
+      SELECT host, url, due_us, CAST(delay_us AS BIGINT) AS delay_us,
+        slot,
+        CAST(delay_us * slot + max(a) OVER (PARTITION BY host
+          ORDER BY due_us, url ROWS UNBOUNDED PRECEDING) AS BIGINT)
+          AS fetch_at_us
+      FROM adj ORDER BY host, slot"""))
+
+  /** ADAPTIVE politeness composed on the gate ([[graft.ops
+    * .CrawlSchedule.adaptiveDelays]] → [[graft.ops.CrawlSchedule
+    * .dueSchedulePerHost]] — the Heritrix delayFactor discipline:
+    * each host waits factor × its own MEDIAN observed latency,
+    * clamped, then the q410 closed-form plan runs on the derived
+    * delays). Host latency bases cycle on the source index so the
+    * clamp exercises all three regimes (min-clamped fast hosts,
+    * pass-through, max-clamped slow hosts) — verified non-vacuous at
+    * generation. Oracle: quantile_cont (the q05 percentile seam) +
+    * the clamp + the window replay. */
+  lazy val qAdaptiveDelay = Q(
+    "q420_adaptive_delay",
+    (s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"),
+        col("source"),
+        substring(col("source"), 4, 10).cast("int").as("sidx"))
+      val host = concat(col("source"), lit(".example"))
+      val fetches = d.select(host.as("host"),
+        (lit(20000L) * (lit(1) + col("sidx") % 4) +
+          (col("doc_id") % 23) * 7000L).as("latency_us"))
+      val delays = graft.ops.CrawlSchedule.adaptiveDelays(fetches,
+        "host", "latency_us", factor = 2.0, minDelayUs = 250000L,
+        maxDelayUs = 310000L)
+      val due = d.select(host.as("host"),
+        concat(lit("http://"), col("source"), lit(".example/d/"),
+          col("doc_id").cast("string")).as("url"),
+        ((col("doc_id") % 31) * 500000L).as("due_us"))
+      graft.ops.CrawlSchedule.dueSchedulePerHost(
+          due.join(broadcast(delays), Seq("host")),
+          "host", "url", "due_us", "delay_us")
+        .orderBy("host", "slot")
+    },
+    Some("""WITH d AS (SELECT doc_id, source,
+          CAST(substring(source, 4) AS INT) AS sidx FROM documents),
+      f AS (SELECT source || '.example' AS host,
+          20000 * (1 + sidx % 4) + (doc_id % 23) * 7000 AS latency_us
+        FROM d),
+      del AS (SELECT host,
+          CAST(least(greatest(
+            CAST(floor(2.0 * quantile_cont(latency_us, 0.5)) AS BIGINT),
+            250000), 310000) AS BIGINT) AS delay_us
+        FROM f GROUP BY 1),
+      due AS (SELECT source || '.example' AS host,
+          'http://' || source || '.example/d/' ||
+            CAST(doc_id AS VARCHAR) AS url,
+          (doc_id % 31) * 500000 AS due_us
         FROM d),
       sl AS (SELECT due.host, url, due_us, delay_us,
           CAST(row_number() OVER (PARTITION BY due.host

@@ -67,6 +67,25 @@ class CrawlScheduleSpec extends SparkSpec {
       "no claim but the copy is young")
   }
 
+  test("adaptiveDelays: factor x median, clamped both ways, hostile " +
+    "latencies drop") {
+    val fetches = Seq(
+      ("fast", 1000L), ("fast", 2000L), ("fast", 3000L),  // p50 2000
+      ("slow", 400000L), ("slow", 500000L),               // p50 450000
+      ("mid", 50000L), ("mid", 60000L), ("mid", 70000L),  // p50 60000
+      ("mid", -5L)                                        // drops
+    ).toDF("host", "latency_us")
+    val got = CrawlSchedule.adaptiveDelays(fetches, "host",
+        "latency_us", factor = 2.0, minDelayUs = 10000L,
+        maxDelayUs = 200000L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("fast") === 10000L, "2x2000 clamps up to the floor")
+    assert(got("slow") === 200000L, "2x450000 clamps down to the cap")
+    assert(got("mid") === 120000L,
+      "2x median(50k,60k,70k) passes through; the -5 row dropped " +
+        "(median over 4 rows would interpolate to 55000)")
+  }
+
   test("changeRate: X detected from hashes; zero-change urls carry " +
     "lambda 0 and schedule nothing") {
     val hist = Seq(
