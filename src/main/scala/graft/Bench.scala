@@ -616,7 +616,19 @@ object Bench {
       // round-15: recrawl change-rate estimation (6-fetch history per
       // document: one url shuffle, lag + aggregate inside the
       // partition) — the per-url window family's scale row
-      "q405_recrawl_rate")
+      "q405_recrawl_rate",
+      // round-15 session 2: DUST rule mining (map-only param
+      // explode + ONE equi-join of candidates against the crawl on
+      // the stripped spelling + (host,param) aggregate) — the join's
+      // both sides grow with the corpus, so the reading measures the
+      // url-keyed shuffle; evidence-fanout creep would surface here
+      "q411_dust_rules",
+      // round-15 session 2: the composed canonical-frontier-key
+      // pipeline (redirect resolution joins + per-url canonicalize
+      // map + rule mining/application + the key aggregate) — the
+      // URL-equivalence capstone's scale row; a regression in ANY
+      // stage's plan shows up as a super-linear composite reading
+      "q419_frontier_key")
     val stressWaivers = Map(
       "q165_mutual_knn" -> ("documented O(n^2) exact-kNN SCORING " +
         "(irreducible on unstructured embeddings — no cluster geometry " +
