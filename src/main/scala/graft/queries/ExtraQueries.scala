@@ -4146,6 +4146,8 @@ object ExtraQueries {
     qDustRules, qConditionalFetch, qCrawlTraps, qDustApply,
     qTrapBudget, qStreamingRevalidation, qSitemapStaleness,
     qRobotsDelaySchedule, qFrontierKey, qAdaptiveDelay,
+    qHostMirrors, qCircuitBreaker, qStreamingBreaker, qSoft404,
+    qStreamingTrapScreen,
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qKendallExact,
     qMapValueCounts,
@@ -4932,6 +4934,335 @@ object ExtraQueries {
         CAST(count(DISTINCT raw) AS BIGINT) AS n_forms,
         count(*) AS n_docs
       FROM r GROUP BY 1 ORDER BY canonical_url"""))
+
+  /** MIRROR-host detection on the gate ([[graft.ops.CrawlHealth
+    * .hostMirrors]] — Bharat & Broder WWW 1999: hosts serving
+    * largely the same content SET are mirrors; exact Jaccard over
+    * content hashes with the paper's size-ratio prune). Planted per
+    * source host: a FULL mirror (same hash set, J=1) and a PARTIAL
+    * mirror (pids with pid%3≠0, J≈2/3, asymmetric containments);
+    * cross-source pairs share nothing and must prune out. Oracle:
+    * the identical set arithmetic in DuckDB. */
+  lazy val qHostMirrors = Q(
+    "q421_host_mirrors",
+    (s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          (col("doc_id") % 120).as("pid"))
+      val h = concat(lit("h-"), col("source"), lit("-"),
+        col("pid").cast("string"))
+      val crawl = d.select(
+          concat(col("source"), lit(".example")).as("host"), h.as("hash"))
+        .unionAll(d.select(
+          concat(lit("m-"), col("source"), lit(".example")).as("host"),
+          h.as("hash")))
+        .unionAll(d.where(col("pid") % 3 =!= 0).select(
+          concat(lit("p-"), col("source"), lit(".example")).as("host"),
+          h.as("hash")))
+      graft.ops.CrawlHealth.hostMirrors(crawl, "host", "hash",
+          minJaccard = 0.5)
+        .orderBy("host_a", "host_b")
+    },
+    Some("""WITH d AS (SELECT doc_id, source, doc_id % 120 AS pid
+          FROM documents),
+      crawl AS (
+        SELECT source || '.example' AS host,
+          'h-' || source || '-' || CAST(pid AS VARCHAR) AS hash FROM d
+        UNION ALL
+        SELECT 'm-' || source || '.example',
+          'h-' || source || '-' || CAST(pid AS VARCHAR) FROM d
+        UNION ALL
+        SELECT 'p-' || source || '.example',
+          'h-' || source || '-' || CAST(pid AS VARCHAR)
+          FROM d WHERE pid % 3 <> 0),
+      rows_ AS (SELECT DISTINCT host, hash FROM crawl),
+      sz AS (SELECT host, count(*) AS n FROM rows_ GROUP BY 1),
+      sh AS (SELECT a.host AS host_a, b.host AS host_b,
+          count(*) AS n_shared
+        FROM rows_ a JOIN rows_ b ON a.hash = b.hash
+        WHERE a.host < b.host GROUP BY 1, 2),
+      j AS (SELECT host_a, host_b, sa.n AS n_a, sb.n AS n_b, n_shared
+        FROM sh
+        JOIN sz sa ON sa.host = sh.host_a
+        JOIN sz sb ON sb.host = sh.host_b
+        WHERE CAST(least(sa.n, sb.n) AS DOUBLE) /
+          greatest(sa.n, sb.n) >= 0.5)
+      SELECT host_a, host_b, n_a, n_b, n_shared,
+        round(CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared), 8)
+          AS jaccard,
+        round(CAST(n_shared AS DOUBLE) / n_a, 8) AS containment_a,
+        round(CAST(n_shared AS DOUBLE) / n_b, 8) AS containment_b
+      FROM j
+      WHERE round(CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared), 8)
+        >= 0.5
+      ORDER BY host_a, host_b"""))
+
+  /** Circuit-breaker states on the gate ([[graft.ops.CrawlHealth
+    * .circuitBreakers]] — per-host longest and trailing
+    * consecutive-failure runs from a fetch-outcome log, tripped at
+    * 3). Outcomes derive from (doc_id·7)%10 — scattered ~30%
+    * failures whose run structure varies organically per host, with
+    * both tripped and healthy hosts and nonzero trailing runs.
+    * Oracle: the standard gaps-and-islands double row_number in
+    * DuckDB. */
+  lazy val qCircuitBreaker = Q(
+    "q422_circuit_breaker",
+    (s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"),
+        col("source"))
+      val events = d.select(
+        concat(col("source"), lit(".example")).as("host"),
+        col("doc_id").as("ord"),
+        ((col("doc_id") * 7) % 10 >= 3).as("ok"))
+      graft.ops.CrawlHealth.circuitBreakers(events, "host", "ord",
+          "ok", tripAt = 3)
+        .orderBy("host")
+    },
+    Some("""WITH e AS (SELECT source || '.example' AS host,
+          doc_id AS ord, (doc_id * 7) % 10 >= 3 AS ok
+        FROM documents),
+      g AS (SELECT host, ord, ok,
+          row_number() OVER (PARTITION BY host ORDER BY ord) -
+          row_number() OVER (PARTITION BY host, ok ORDER BY ord)
+            AS grp
+        FROM e),
+      fr AS (SELECT host, grp, count(*) AS len, max(ord) AS endo
+        FROM g WHERE NOT ok GROUP BY 1, 2),
+      base AS (SELECT host, count(*) AS n_events,
+          CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT)
+            AS n_fail,
+          max(ord) AS last_ord
+        FROM e GROUP BY 1),
+      mx AS (SELECT host, max(len) AS max_fail_run FROM fr GROUP BY 1)
+      SELECT b.host, b.n_events, b.n_fail,
+        coalesce(mx.max_fail_run, 0) AS max_fail_run,
+        coalesce(o.len, 0) AS open_run,
+        (coalesce(mx.max_fail_run, 0) >= 3) AS tripped
+      FROM base b
+      LEFT JOIN mx ON mx.host = b.host
+      LEFT JOIN fr o ON o.host = b.host AND o.endo = b.last_ord
+      ORDER BY b.host"""))
+
+  /** STREAMING circuit breaker on the gate ([[graft.streaming
+    * .StreamingCircuitBreaker.breakerStates]] — q422's outcome log
+    * as a two-batch ascending-ord stream; state is four Longs per
+    * host, no TTL by design). The LAST emitted row per host must
+    * equal the batch gaps-and-islands answer — one oracle, two
+    * engines (the q407 discipline). */
+  lazy val qStreamingBreaker = Q(
+    "q423_streaming_breaker",
+    (s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.OutputMode
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val d = table(s, dir, "documents").select(col("doc_id"),
+        col("source"))
+      val rows = d.select(
+          concat(col("source"), lit(".example")).as("host"),
+          col("doc_id").as("ord"),
+          ((col("doc_id") * 7) % 10 >= 3).as("ok"))
+        .as[(String, Long, Boolean)].collect().sortBy(_._2)
+      val mem = MemoryStream[(String, Long, Boolean)]
+      val src = mem.toDF.toDF("host", "ord", "ok")
+      val out = graft.streaming.StreamingCircuitBreaker.breakerStates(
+        src, "host", "ord", "ok", tripAt = 3)
+      val sink = "graft_scb_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-scb-gate").toString
+      val query = out.toDF.writeStream.format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        val half = (rows.length + 1) / 2
+        rows.grouped(math.max(1, half)).foreach { chunk =>
+          mem.addData(chunk.toIndexedSeq)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      val all = StreamGate.finish(s, sink, ckpt, s.table(sink))
+      val last = all.groupBy("host").agg(max(col("seq")).as("seq"))
+      all.join(last, Seq("host", "seq"))
+        .select(col("host"), col("nEvents").as("n_events"),
+          col("nFail").as("n_fail"),
+          col("maxFailRun").as("max_fail_run"),
+          col("openRun").as("open_run"), col("tripped"))
+        .orderBy("host")
+    },
+    Some("""WITH e AS (SELECT source || '.example' AS host,
+          doc_id AS ord, (doc_id * 7) % 10 >= 3 AS ok
+        FROM documents),
+      g AS (SELECT host, ord, ok,
+          row_number() OVER (PARTITION BY host ORDER BY ord) -
+          row_number() OVER (PARTITION BY host, ok ORDER BY ord)
+            AS grp
+        FROM e),
+      fr AS (SELECT host, grp, count(*) AS len, max(ord) AS endo
+        FROM g WHERE NOT ok GROUP BY 1, 2),
+      base AS (SELECT host, count(*) AS n_events,
+          CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT)
+            AS n_fail,
+          max(ord) AS last_ord
+        FROM e GROUP BY 1),
+      mx AS (SELECT host, max(len) AS max_fail_run FROM fr GROUP BY 1)
+      SELECT b.host, b.n_events, b.n_fail,
+        coalesce(mx.max_fail_run, 0) AS max_fail_run,
+        coalesce(o.len, 0) AS open_run,
+        (coalesce(mx.max_fail_run, 0) >= 3) AS tripped
+      FROM base b
+      LEFT JOIN mx ON mx.host = b.host
+      LEFT JOIN fr o ON o.host = b.host AND o.endo = b.last_ord
+      ORDER BY b.host"""))
+
+  /** SOFT-404 detection on the gate ([[graft.ops.CrawlHealth
+    * .soft404]] — the WWW 2004 random-probe protocol: a host's
+    * error fingerprint is the body served for a URL that cannot
+    * exist; any 200 page serving that body is a soft 404). Every
+    * 7th page serves its host's error body; every 5th host has no
+    * probe row and must pass through UNflagged (null fingerprint ≠
+    * unknown-is-error). Oracle: the identical left-join CASE. */
+  lazy val qSoft404 = Q(
+    "q424_soft404",
+    (s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          substring(col("source"), 4, 10).cast("int").as("sidx"))
+      val pages = d.select(
+        concat(col("source"), lit(".example")).as("host"),
+        concat(lit("/d/"), col("doc_id").cast("string")).as("url"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit("e-"), col("source")))
+          .otherwise(concat(lit("h"), col("doc_id").cast("string")))
+          .as("hash"))
+      val probes = d.where(col("sidx") % 5 =!= 0)
+        .select(concat(col("source"), lit(".example")).as("host"),
+          concat(lit("e-"), col("source")).as("fp"))
+        .distinct()
+      graft.ops.CrawlHealth.soft404(pages, "host", "url", "hash",
+          probes, "host", "fp")
+        .orderBy("host", "url")
+    },
+    Some("""WITH d AS (SELECT doc_id, source,
+          CAST(substring(source, 4) AS INT) AS sidx FROM documents),
+      pages AS (SELECT source || '.example' AS host,
+          '/d/' || CAST(doc_id AS VARCHAR) AS url,
+          CASE WHEN doc_id % 7 = 0 THEN 'e-' || source
+            ELSE 'h' || CAST(doc_id AS VARCHAR) END AS hash,
+          sidx
+        FROM d),
+      probes AS (SELECT DISTINCT source || '.example' AS host,
+          'e-' || source AS fp
+        FROM d WHERE sidx % 5 <> 0)
+      SELECT p.host, p.url, p.hash,
+        (pr.fp IS NOT NULL AND p.hash = pr.fp) AS soft404
+      FROM pages p LEFT JOIN probes pr ON p.host = pr.host
+      ORDER BY p.host, p.url"""))
+
+  /** STREAMING trap screen on the gate ([[graft.streaming
+    * .StreamingTrapScreen.screen]] — q413's URL-minting verdict
+    * online, with per-host KMV bottom-k sketch state instead of
+    * unbounded exact sets; KMV is a function of the distinct SET, so
+    * the streamed sketch equals the batch sketch over the same
+    * observations). cal.example mints a URL per doc_id from 3
+    * bodies (the estimate path: 500 ≫ k=64); source hosts stay
+    * exact below k and unflagged. Oracle: a DuckDB KMV replay on
+    * the q376 md5-60-bit convention — exact below k,
+    * (k−1)·2⁶⁰/kth at k. */
+  lazy val qStreamingTrapScreen = Q(
+    "q425_streaming_trap_screen",
+    (s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.OutputMode
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          (col("doc_id") % 120).as("pid"))
+      val rows = d.select(
+          concat(col("source"), lit(".example")).as("host"),
+          concat(lit("http://"), col("source"), lit(".example/p/"),
+            col("pid").cast("string")).as("url"),
+          concat(lit("h-"), col("source"), lit("-"),
+            col("pid").cast("string")).as("hash"),
+          col("doc_id"))
+        .unionAll(d.select(lit("cal.example").as("host"),
+          concat(lit("http://cal.example/cal?d="),
+            col("doc_id").cast("string")).as("url"),
+          concat(lit("c"), (col("doc_id") % 3).cast("string"))
+            .as("hash"),
+          col("doc_id")))
+        .as[(String, String, String, Long)].collect().sortBy(_._4)
+        .map(t => (t._1, t._2, t._3))
+      val mem = MemoryStream[(String, String, String)]
+      val src = mem.toDF.toDF("host", "url", "hash")
+      val out = graft.streaming.StreamingTrapScreen.screen(
+        src, "host", "url", "hash", k = 64, minUrls = 50.0,
+        maxRatio = 10.0)
+      val sink = "graft_sts_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-sts-gate").toString
+      val query = out.toDF.writeStream.format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        val half = (rows.length + 1) / 2
+        rows.grouped(math.max(1, half)).foreach { chunk =>
+          mem.addData(chunk.toIndexedSeq)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      val all = StreamGate.finish(s, sink, ckpt, s.table(sink))
+      val last = all.groupBy("host").agg(max(col("seq")).as("seq"))
+      all.join(last, Seq("host", "seq"))
+        .select(col("host"), col("estUrls").as("est_urls"),
+          col("estHashes").as("est_hashes"), col("ratio"),
+          col("flagged"))
+        .orderBy("host")
+    },
+    Some("""WITH d AS (SELECT doc_id, source, doc_id % 120 AS pid
+          FROM documents),
+      obs AS (
+        SELECT source || '.example' AS host,
+          'http://' || source || '.example/p/' || CAST(pid AS VARCHAR)
+            AS url,
+          'h-' || source || '-' || CAST(pid AS VARCHAR) AS hash
+        FROM d
+        UNION ALL
+        SELECT 'cal.example',
+          'http://cal.example/cal?d=' || CAST(doc_id AS VARCHAR),
+          'c' || CAST(doc_id % 3 AS VARCHAR)
+        FROM d),
+      hu AS (SELECT DISTINCT host,
+          CAST(('0x' || substr(md5(url), 1, 15)) AS BIGINT) AS h
+        FROM obs),
+      hh AS (SELECT DISTINCT host,
+          CAST(('0x' || substr(md5(hash), 1, 15)) AS BIGINT) AS h
+        FROM obs),
+      ku AS (SELECT host, h, row_number() OVER (PARTITION BY host
+          ORDER BY h) AS rn FROM hu),
+      kh AS (SELECT host, h, row_number() OVER (PARTITION BY host
+          ORDER BY h) AS rn FROM hh),
+      eu AS (SELECT host, count(*) AS nk, max(h) AS kth
+        FROM ku WHERE rn <= 64 GROUP BY 1),
+      eh AS (SELECT host, count(*) AS nk, max(h) AS kth
+        FROM kh WHERE rn <= 64 GROUP BY 1),
+      est AS (SELECT eu.host,
+          round(CASE WHEN eu.nk < 64 THEN CAST(eu.nk AS DOUBLE)
+            ELSE 63.0 * CAST(1152921504606846976 AS DOUBLE) / eu.kth
+            END, 6) AS est_urls,
+          round(CASE WHEN eh.nk < 64 THEN CAST(eh.nk AS DOUBLE)
+            ELSE 63.0 * CAST(1152921504606846976 AS DOUBLE) / eh.kth
+            END, 6) AS est_hashes
+        FROM eu JOIN eh ON eu.host = eh.host)
+      SELECT host, est_urls, est_hashes,
+        round(est_urls / est_hashes, 6) AS ratio,
+        (est_urls >= 50.0 AND round(est_urls / est_hashes, 6) >= 10.0)
+          AS flagged
+      FROM est ORDER BY host"""))
 
   /** Crawl-trap host detection on the gate ([[graft.ops.Dust
     * .trapHosts]] — a host whose distinct-URL count races ahead of
