@@ -245,4 +245,69 @@ object UrlResolve {
       if (h.isEmpty) null else h.toLowerCase
     }
   }
+
+  /** Multi-label PUBLIC suffixes — a FROZEN subset of the Public
+    * Suffix List (publicsuffix.org; Mozilla's registry of suffixes
+    * under which domains are registered to distinct parties). The
+    * full list is ~10k entries and versioned; a crawl deployment
+    * ships the current file and feeds it through the same
+    * longest-match rule — the subset here covers the major ccTLD
+    * second-level registries plus the highest-traffic PRIVATE
+    * registries (a.blogspot.com and b.blogspot.com are different
+    * publishers and must not share a politeness clock or an
+    * authority score). Single-label suffixes (com, org, any TLD)
+    * need no table: they are the longest-match fallback. */
+  private val MultiLabelSuffixes: Set[String] = Set(
+    // ccTLD second-level registries
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br", "gov.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "com.mx", "org.mx", "gob.mx",
+    "co.in", "net.in", "org.in", "gov.in",
+    "co.kr", "or.kr", "go.kr",
+    "com.tw", "org.tw", "com.sg", "com.hk", "com.my",
+    "co.za", "org.za", "com.ar", "com.tr", "com.pl",
+    "co.nz", "org.nz", "net.nz",
+    // private registries (PSL "PRIVATE DOMAINS" section)
+    "blogspot.com", "github.io", "gitlab.io", "herokuapp.com",
+    "appspot.com", "netlify.app", "vercel.app", "web.app",
+    "s3.amazonaws.com", "cloudfront.net", "azurewebsites.net",
+    "wordpress.com", "tumblr.com", "neocities.org")
+
+  private def isIpv4(host: String): Boolean = {
+    val parts = host.split("\\.", -1)
+    parts.length == 4 && parts.forall(p =>
+      p.nonEmpty && p.length <= 3 && p.forall(_.isDigit) &&
+        p.toInt <= 255)
+  }
+
+  /** Registrable domain (eTLD+1) of a host — the PARTY boundary a
+    * crawler schedules and scores by: `www.site.com` and `site.com`
+    * are one publisher (one politeness clock, one authority bucket);
+    * `a.blogspot.com` and `b.blogspot.com` are two. Longest-suffix
+    * match against [[MultiLabelSuffixes]] (3- then 2-label), else
+    * the single-label TLD; registrable = suffix + one label. A host
+    * that IS a suffix (or shorter) returns itself; IPv4 literals and
+    * bracketed IPv6 return verbatim (an IP is its own party); null →
+    * null. Input is assumed already lowercased ([[canonicalize]] /
+    * [[host]] output) but is lowercased defensively. */
+  def registrableDomain(hostName: String): String = {
+    if (hostName == null) return null
+    val h = hostName.toLowerCase
+    if (h.isEmpty || h.startsWith("[") || isIpv4(h)) return h
+    val labels = h.split("\\.", -1)
+    val n = labels.length
+    val suffixLen =
+      if (n >= 4 && MultiLabelSuffixes(labels.takeRight(3).mkString(".")))
+        3
+      else if (n >= 3 &&
+        MultiLabelSuffixes(labels.takeRight(2).mkString("."))) 2
+      else if (n >= 3 &&
+        MultiLabelSuffixes(labels.takeRight(3).mkString("."))) 3
+      else 1
+    if (n <= suffixLen + 1) h
+    else labels.takeRight(suffixLen + 1).mkString(".")
+  }
 }

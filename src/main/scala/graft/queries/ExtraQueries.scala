@@ -4147,7 +4147,7 @@ object ExtraQueries {
     qTrapBudget, qStreamingRevalidation, qSitemapStaleness,
     qRobotsDelaySchedule, qFrontierKey, qAdaptiveDelay,
     qHostMirrors, qCircuitBreaker, qStreamingBreaker, qSoft404,
-    qStreamingTrapScreen,
+    qStreamingTrapScreen, qRegistrableDomain, qDomainPoliteness,
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qKendallExact,
     qMapValueCounts,
@@ -5263,6 +5263,131 @@ object ExtraQueries {
         (est_urls >= 50.0 AND round(est_urls / est_hashes, 6) >= 10.0)
           AS flagged
       FROM est ORDER BY host"""))
+
+  /** Registrable-domain (eTLD+1) extraction on the gate ([[graft.ops
+    * .UrlResolve.registrableDomain]] — the PARTY boundary a crawler
+    * schedules and scores by, longest-suffix match against a frozen
+    * PSL subset). Six host families cycle per doc: www + bare
+    * (one party), a ccTLD second-level registry (co.uk), a PRIVATE
+    * registry (blogspot.com — each subdomain its own party), a
+    * 5-label org, and an IPv4 literal (its own party, verbatim).
+    * Oracle: the expected mapping is construction arithmetic. */
+  lazy val qRegistrableDomain = Q(
+    "q426_registrable_domain",
+    (s, dir) => {
+      import s.implicits._
+      val d = table(s, dir, "documents")
+        .select((col("doc_id") % 29).as("k"), (col("doc_id") % 6).as("m"))
+      val ks = col("k").cast("string")
+      val hosts = d.select(
+          when(col("m") === 0, concat(lit("www.site"), ks, lit(".com")))
+            .when(col("m") === 1,
+              concat(lit("a.b.site"), ks, lit(".co.uk")))
+            .when(col("m") === 2,
+              concat(lit("blog"), ks, lit(".blogspot.com")))
+            .when(col("m") === 3, concat(lit("site"), ks, lit(".com")))
+            .when(col("m") === 4,
+              concat(lit("deep.x.y.site"), ks, lit(".org")))
+            .otherwise(concat(lit("203.0.113."), ks)).as("host"))
+        .distinct()
+      hosts.as[String]
+        .map(h => (h, graft.ops.UrlResolve.registrableDomain(h)))
+        .toDF("host", "domain")
+        .orderBy("host")
+    },
+    Some("""WITH d AS (SELECT DISTINCT doc_id % 29 AS k,
+          doc_id % 6 AS m FROM documents),
+      h AS (SELECT
+          CASE m
+            WHEN 0 THEN 'www.site' || CAST(k AS VARCHAR) || '.com'
+            WHEN 1 THEN 'a.b.site' || CAST(k AS VARCHAR) || '.co.uk'
+            WHEN 2 THEN 'blog' || CAST(k AS VARCHAR) || '.blogspot.com'
+            WHEN 3 THEN 'site' || CAST(k AS VARCHAR) || '.com'
+            WHEN 4 THEN 'deep.x.y.site' || CAST(k AS VARCHAR) || '.org'
+            ELSE '203.0.113.' || CAST(k AS VARCHAR) END AS host,
+          CASE m
+            WHEN 0 THEN 'site' || CAST(k AS VARCHAR) || '.com'
+            WHEN 1 THEN 'site' || CAST(k AS VARCHAR) || '.co.uk'
+            WHEN 2 THEN 'blog' || CAST(k AS VARCHAR) || '.blogspot.com'
+            WHEN 3 THEN 'site' || CAST(k AS VARCHAR) || '.com'
+            WHEN 4 THEN 'site' || CAST(k AS VARCHAR) || '.org'
+            ELSE '203.0.113.' || CAST(k AS VARCHAR) END AS domain
+        FROM d)
+      SELECT DISTINCT host, domain FROM h ORDER BY host"""))
+
+  /** DOMAIN-grouped politeness on the gate (composition:
+    * [[graft.ops.UrlResolve.registrableDomain]] → [[graft.ops
+    * .CrawlSchedule.dueSchedule]] — the politeness clock runs per
+    * PARTY, not per hostname: www.siteK.com and siteK.com interleave
+    * on ONE clock, while each blogspot subdomain keeps its own). The
+    * q426 host families feed a due table; the schedule keys on the
+    * registrable domain. Oracle: the arithmetic domain mapping + the
+    * q410 closed-form window replay keyed by it. */
+  lazy val qDomainPoliteness = Q(
+    "q427_domain_politeness",
+    (s, dir) => {
+      import s.implicits._
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % 29).as("k"),
+          (col("doc_id") % 6).as("m"))
+      val ks = col("k").cast("string")
+      val rows = d.select(col("doc_id"),
+        when(col("m") === 0, concat(lit("www.site"), ks, lit(".com")))
+          .when(col("m") === 1,
+            concat(lit("a.b.site"), ks, lit(".co.uk")))
+          .when(col("m") === 2,
+            concat(lit("blog"), ks, lit(".blogspot.com")))
+          .when(col("m") === 3, concat(lit("site"), ks, lit(".com")))
+          .when(col("m") === 4,
+            concat(lit("deep.x.y.site"), ks, lit(".org")))
+          .otherwise(concat(lit("203.0.113."), ks)).as("host"),
+        ((col("doc_id") % 37) * 1000000L).as("due_us"))
+      val hostDomain = rows.select(col("host")).distinct().as[String]
+        .map(h => (h, graft.ops.UrlResolve.registrableDomain(h)))
+        .toDF("host", "domain")
+      val due = rows.join(broadcast(hostDomain), Seq("host"))
+        .select(col("domain"),
+          concat(lit("http://"), col("host"), lit("/d/"),
+            col("doc_id").cast("string")).as("url"),
+          col("due_us"))
+      graft.ops.CrawlSchedule.dueSchedule(due, "domain", "url",
+          "due_us", delayUs = 2000000L)
+        .withColumnRenamed("host", "domain")
+        .orderBy("domain", "slot")
+    },
+    Some("""WITH d AS (SELECT doc_id, doc_id % 29 AS k,
+          doc_id % 6 AS m FROM documents),
+      r AS (SELECT doc_id,
+          CASE m
+            WHEN 0 THEN 'www.site' || CAST(k AS VARCHAR) || '.com'
+            WHEN 1 THEN 'a.b.site' || CAST(k AS VARCHAR) || '.co.uk'
+            WHEN 2 THEN 'blog' || CAST(k AS VARCHAR) || '.blogspot.com'
+            WHEN 3 THEN 'site' || CAST(k AS VARCHAR) || '.com'
+            WHEN 4 THEN 'deep.x.y.site' || CAST(k AS VARCHAR) || '.org'
+            ELSE '203.0.113.' || CAST(k AS VARCHAR) END AS host,
+          CASE m
+            WHEN 0 THEN 'site' || CAST(k AS VARCHAR) || '.com'
+            WHEN 1 THEN 'site' || CAST(k AS VARCHAR) || '.co.uk'
+            WHEN 2 THEN 'blog' || CAST(k AS VARCHAR) || '.blogspot.com'
+            WHEN 3 THEN 'site' || CAST(k AS VARCHAR) || '.com'
+            WHEN 4 THEN 'site' || CAST(k AS VARCHAR) || '.org'
+            ELSE '203.0.113.' || CAST(k AS VARCHAR) END AS domain,
+          (doc_id % 37) * 1000000 AS due_us
+        FROM d),
+      due AS (SELECT domain,
+          'http://' || host || '/d/' || CAST(doc_id AS VARCHAR) AS url,
+          due_us
+        FROM r),
+      sl AS (SELECT domain, url, due_us,
+          CAST(row_number() OVER (PARTITION BY domain
+            ORDER BY due_us, url) - 1 AS INT) AS slot
+        FROM due),
+      adj AS (SELECT *, due_us - 2000000 * slot AS a FROM sl)
+      SELECT domain, url, due_us, slot,
+        CAST(2000000 * slot + max(a) OVER (PARTITION BY domain
+          ORDER BY due_us, url ROWS UNBOUNDED PRECEDING) AS BIGINT)
+          AS fetch_at_us
+      FROM adj ORDER BY domain, slot"""))
 
   /** Crawl-trap host detection on the gate ([[graft.ops.Dust
     * .trapHosts]] — a host whose distinct-URL count races ahead of

@@ -130,4 +130,28 @@ class UrlResolveSpec extends AnyFunSuite {
     assert(UrlResolve.host("mailto:x@y") === null) // no authority
     assert(UrlResolve.host("http:///p") === null) // empty authority
   }
+
+  test("registrableDomain: PSL longest match, private registries, " +
+    "IP literals, suffix-only hosts") {
+    val rd = UrlResolve.registrableDomain _
+    assert(rd("www.site.com") === "site.com")
+    assert(rd("site.com") === "site.com")
+    assert(rd("a.b.site.co.uk") === "site.co.uk",
+      "ccTLD second-level registry")
+    assert(rd("x.co.uk") === "x.co.uk")
+    assert(rd("co.uk") === "co.uk", "a host that IS a suffix")
+    assert(rd("a.blogspot.com") === "a.blogspot.com",
+      "private registry: each subdomain its own party")
+    assert(rd("deep.a.blogspot.com") === "a.blogspot.com")
+    assert(rd("bucket.s3.amazonaws.com") === "bucket.s3.amazonaws.com",
+      "3-label private suffix")
+    assert(rd("deep.x.y.site.org") === "site.org")
+    assert(rd("203.0.113.7") === "203.0.113.7", "IPv4 verbatim")
+    assert(rd("999.0.113.7") === "113.7",
+      "not a valid IPv4 octet -> treated as labels")
+    assert(rd("[2001:db8::1]") === "[2001:db8::1]", "IPv6 verbatim")
+    assert(rd("WWW.Site.COM") === "site.com", "defensive lowercase")
+    assert(rd("com") === "com")
+    assert(rd(null) === null)
+  }
 }
