@@ -246,4 +246,79 @@ object GraphStats {
       .select(col("n_nodes"), (col("m2") / 2).cast("long").as("n_edges"),
         when(den > 0.0, round(num / den, 6)).as("assortativity"))
   }
+
+  /** HITS (Kleinberg, "Authoritative sources in a hyperlinked
+    * environment", JACM 1999) — the hub/authority complement of
+    * [[pageRank]]: an AUTHORITY is pointed to by good hubs, a HUB
+    * points to good authorities; the mutual recursion a(j) = Σ h(i)
+    * over in-edges, h(i) = Σ a(j) over out-edges, normalized each
+    * half-step. Where PageRank scores global endorsement flow, HITS
+    * separates directories/link-lists (hubs) from the pages worth
+    * fetching (authorities) — the classic crawl-frontier pairing.
+    *
+    * INTEGER variant (the q393 quota discipline — Kleinberg's L2
+    * normalization needs a sqrt no two float engines agree on):
+    * scores live on [0, scale]; each half-iteration computes the
+    * exact BIGINT in-sums, then max-normalizes with floor division
+    * score = scale·raw div max(raw). Deterministic in any 64-bit
+    * engine; the induced RANKING is the standard HITS one (max- vs
+    * L2-normalization rescales, it does not reorder). Sums are exact
+    * while max-indegree·scale < 2⁶³ — at scale=10⁶ that is ~9·10¹²
+    * in-edges on one node, beyond any real host graph.
+    *
+    * Scale design: each half-iteration is one hash join of the score
+    * table with the edge list + a map-side-combined groupBy, exactly
+    * the [[pageRank]] plan; the max is a single-row aggregate
+    * (bounded driver traffic: one long per half-iteration); score
+    * tables rotate through a [[CheckpointRing]] so lineage stays
+    * flat. Output (id, auth_q, hub_q); isolated-direction nodes
+    * carry 0. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 4, scale: Long = 1000000L): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    require(scale >= 2, s"scale must be >= 2: $scale")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint(false)
+    val nd = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(false)
+    val ring = new CheckpointRing(edges.sparkSession)
+    var h = ring.checkpoint(
+      nd.select(col("id"), lit(scale).as("s")), eager = false)
+    var a: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val rawA = e.join(h, e("src") === h("id"))
+        .groupBy("dst").agg(sum(col("s")).as("raw"))
+      val mA = rawA.agg(coalesce(max(col("raw")), lit(0L)))
+        .head().getLong(0)
+      ring.rotate()
+      a = ring.checkpoint(
+        nd.join(rawA, nd("id") === rawA("dst"), "left")
+          .select(nd("id"),
+            (if (mA == 0) lit(0L)
+             else expr(s"${scale}L * coalesce(raw, 0L) div ${mA}L"))
+              .as("s")), eager = false)
+      val rawH = e.join(a, e("dst") === a("id"))
+        .groupBy("src").agg(sum(col("s")).as("raw"))
+      val mH = rawH.agg(coalesce(max(col("raw")), lit(0L)))
+        .head().getLong(0)
+      ring.rotate()
+      h = ring.checkpoint(
+        nd.join(rawH, nd("id") === rawH("src"), "left")
+          .select(nd("id"),
+            (if (mH == 0) lit(0L)
+             else expr(s"${scale}L * coalesce(raw, 0L) div ${mH}L"))
+              .as("s")), eager = false)
+    }
+    nd.join(a.select(col("id").as("__ai"), col("s").as("auth_q")),
+        nd("id") === col("__ai"), "left")
+      .join(h.select(col("id").as("__hi"), col("s").as("hub_q")),
+        nd("id") === col("__hi"), "left")
+      .select(nd("id"), coalesce(col("auth_q"), lit(0L)).as("auth_q"),
+        coalesce(col("hub_q"), lit(0L)).as("hub_q"))
+  }
 }

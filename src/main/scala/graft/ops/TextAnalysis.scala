@@ -1409,4 +1409,64 @@ object TextAnalysis {
       when(col("n") >= 2 && varXN > 0.0 && varYN > 0.0,
         round((covN * covN) / (varXN * varYN), 6)).as("r2"))
   }
+
+  /** HOST-level template detection and stripping — the CCNet-style
+    * per-site boilerplate pass (Wenzek et al., LREC 2020 run it per
+    * shard; trafilatura/jusText model the same chrome): a line that
+    * appears on ≥ `minFraction` of a host's pages is site chrome
+    * (nav, cookie banner, footer), not content, and inflates both
+    * dedup similarity (every page of the host shares it) and token
+    * counts. Only hosts with ≥ `minPages` pages are judged — on a
+    * 2-page host every line is "100% of pages".
+    *
+    * Lines are trimmed; empty lines drop; reassembly joins the KEPT
+    * trimmed lines with \n in original order (the cleaned text is a
+    * normalized artifact, not a byte-faithful substring — CDC-grade
+    * reclaim needs [[graft.ops.ContentChunk]]'s byte discipline
+    * instead). Output per page: (id, host, n_lines, n_stripped,
+    * text_clean).
+    *
+    * Scale shape: one exploded (host, line) doc-frequency aggregate
+    * (map-side combined), the template verdict joined back to the
+    * exploded lines on (host, line) — both sides hash-partition on
+    * the same key, no broadcast assumption (template tables scale
+    * with hosts × chrome lines) — then ONE per-page reassembly
+    * aggregate (sort_array over (pos, line) structs; bounded by page
+    * size). */
+  def hostTemplateStrip(pages: DataFrame, hostCol: String,
+      idCol: String, textCol: String, minPages: Long,
+      minFraction: Double): DataFrame = {
+    require(minPages >= 2, s"minPages must be >= 2: $minPages")
+    require(minFraction > 0 && minFraction <= 1,
+      s"minFraction must be in (0, 1]: $minFraction")
+    val lines = pages
+      .select(col(hostCol).cast("string").as("host"),
+        col(idCol).as("id"),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+          .as(Seq("pos", "l0")))
+      .select(col("host"), col("id"), col("pos"),
+        trim(col("l0")).as("l"))
+      .where(length(col("l")) > 0)
+    val nPages = pages.groupBy(col(hostCol).cast("string").as("host"))
+      .agg(countDistinct(col(idCol)).as("__np"))
+    val lineDf = lines.select(col("host"), col("id"), col("l"))
+      .distinct()
+      .groupBy("host", "l").agg(count(lit(1)).as("__df"))
+    val templates = lineDf.join(nPages, Seq("host"))
+      .where(col("__np") >= minPages &&
+        col("__df").cast("double") / col("__np") >= minFraction)
+      .select(col("host").as("__th"), col("l").as("__tl"))
+    val marked = lines.join(templates,
+      col("host") === col("__th") && col("l") === col("__tl"), "left")
+    marked.groupBy("host", "id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("__th").isNotNull, 1L).otherwise(0L))
+          .as("n_stripped"),
+        array_sort(collect_list(when(col("__th").isNull,
+          struct(col("pos"), col("l"))))).as("__keep"))
+      .select(col("id"), col("host"), col("n_lines"),
+        col("n_stripped"),
+        array_join(transform(col("__keep"), x => x("l")), "\n")
+          .as("text_clean"))
+  }
 }

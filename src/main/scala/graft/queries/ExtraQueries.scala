@@ -4148,6 +4148,7 @@ object ExtraQueries {
     qRobotsDelaySchedule, qFrontierKey, qAdaptiveDelay,
     qHostMirrors, qCircuitBreaker, qStreamingBreaker, qSoft404,
     qStreamingTrapScreen, qRegistrableDomain, qDomainPoliteness,
+    qHostTemplate, qHits,
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qKendallExact,
     qMapValueCounts,
@@ -5388,6 +5389,101 @@ object ExtraQueries {
           ORDER BY due_us, url ROWS UNBOUNDED PRECEDING) AS BIGINT)
           AS fetch_at_us
       FROM adj ORDER BY domain, slot"""))
+
+  /** HOST-template stripping on the gate ([[graft.ops.TextAnalysis
+    * .hostTemplateStrip]] — the CCNet-style per-site boilerplate
+    * pass: a line on ≥ 80% of a host's pages is chrome, not
+    * content). Every page carries its host's nav + footer (df 100%,
+    * stripped), a unique body line (kept), and every second page a
+    * promo line (df ≈ 50% — UNDER the threshold, kept: the gate
+    * pins that near-majority chrome survives an 0.8 bar). Oracle:
+    * construction arithmetic per page. */
+  lazy val qHostTemplate = Q(
+    "q428_host_template",
+    (s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"),
+        col("source"))
+      val pages = d.select(
+        concat(col("source"), lit(".example")).as("host"),
+        col("doc_id").as("id"),
+        concat(lit("nav-"), col("source"), lit("\nbody-"),
+          col("doc_id").cast("string"),
+          // parity of the WITHIN-source row index — doc_id parity
+          // itself is constant per source (source = src{doc_id%20})
+          when(expr("(doc_id div 20) % 2") === 0,
+            concat(lit("\npromo-"), col("source"))).otherwise(lit("")),
+          lit("\nfooter-"), col("source")).as("text"))
+      graft.ops.TextAnalysis.hostTemplateStrip(pages, "host", "id",
+          "text", minPages = 5L, minFraction = 0.8)
+        .orderBy("id")
+    },
+    Some("""WITH d AS (SELECT doc_id, source FROM documents)
+      SELECT doc_id AS id, source || '.example' AS host,
+        CASE WHEN (doc_id // 20) % 2 = 0 THEN 4 ELSE 3 END AS n_lines,
+        2 AS n_stripped,
+        'body-' || CAST(doc_id AS VARCHAR) ||
+          CASE WHEN (doc_id // 20) % 2 = 0
+            THEN chr(10) || 'promo-' || source ELSE '' END AS text_clean
+      FROM d ORDER BY id"""))
+
+  /** HITS hub/authority scores on the gate ([[graft.ops.GraphStats
+    * .hits]] — Kleinberg JACM 1999 in the q393 integer-quota
+    * discipline: exact BIGINT in-sums, max-normalized with floor
+    * division each half-step; L2 normalization would need a sqrt no
+    * two float engines agree on). The constructed graph is
+    * deliberately IRREGULAR (hub k's out-degree is 4 or 5 by k%3;
+    * three super-sink authorities collect the second tier), so the
+    * second iteration genuinely reorders. Oracle: both iterations
+    * unrolled in DuckDB CTEs, every sum cast off HUGEINT. */
+  lazy val qHits = Q(
+    "q429_hits",
+    (s, dir) => {
+      val d = table(s, dir, "documents")
+        .select((col("doc_id") % 20).as("k"), (col("doc_id") % 7).as("j"))
+        .distinct()
+      val e1 = d.where((col("k") + col("j")) % 3 =!= 0)
+        .select((col("k") + 100).as("src"), col("j").as("dst"))
+      val e2 = d.select(col("j").as("src"),
+        (lit(200) + col("j") % 3).as("dst")).distinct()
+      graft.ops.GraphStats.hits(e1.unionAll(e2), "src", "dst",
+          iterations = 2, scale = 1000000L)
+        .orderBy("id")
+    },
+    Some("""WITH d AS (SELECT DISTINCT doc_id % 20 AS k,
+          doc_id % 7 AS j FROM documents),
+      e AS (SELECT DISTINCT 100 + k AS src, j AS dst FROM d
+          WHERE (k + j) % 3 <> 0
+        UNION
+        SELECT DISTINCT j, 200 + j % 3 FROM d),
+      n AS (SELECT DISTINCT id FROM
+        (SELECT src AS id FROM e UNION SELECT dst FROM e)),
+      ra1 AS (SELECT dst, CAST(sum(1000000) AS BIGINT) AS raw
+        FROM e GROUP BY 1),
+      ma1 AS (SELECT max(raw) AS m FROM ra1),
+      a1 AS (SELECT n.id, CAST(CASE WHEN ra1.raw IS NULL THEN 0
+          ELSE 1000000 * ra1.raw // ma1.m END AS BIGINT) AS s
+        FROM n LEFT JOIN ra1 ON ra1.dst = n.id CROSS JOIN ma1),
+      rh1 AS (SELECT e.src, CAST(sum(a1.s) AS BIGINT) AS raw
+        FROM e JOIN a1 ON a1.id = e.dst GROUP BY 1),
+      mh1 AS (SELECT max(raw) AS m FROM rh1),
+      h1 AS (SELECT n.id, CAST(CASE WHEN rh1.raw IS NULL THEN 0
+          ELSE 1000000 * rh1.raw // mh1.m END AS BIGINT) AS s
+        FROM n LEFT JOIN rh1 ON rh1.src = n.id CROSS JOIN mh1),
+      ra2 AS (SELECT e.dst, CAST(sum(h1.s) AS BIGINT) AS raw
+        FROM e JOIN h1 ON h1.id = e.src GROUP BY 1),
+      ma2 AS (SELECT max(raw) AS m FROM ra2),
+      a2 AS (SELECT n.id, CAST(CASE WHEN ra2.raw IS NULL THEN 0
+          ELSE 1000000 * ra2.raw // ma2.m END AS BIGINT) AS s
+        FROM n LEFT JOIN ra2 ON ra2.dst = n.id CROSS JOIN ma2),
+      rh2 AS (SELECT e.src, CAST(sum(a2.s) AS BIGINT) AS raw
+        FROM e JOIN a2 ON a2.id = e.dst GROUP BY 1),
+      mh2 AS (SELECT max(raw) AS m FROM rh2),
+      h2 AS (SELECT n.id, CAST(CASE WHEN rh2.raw IS NULL THEN 0
+          ELSE 1000000 * rh2.raw // mh2.m END AS BIGINT) AS s
+        FROM n LEFT JOIN rh2 ON rh2.src = n.id CROSS JOIN mh2)
+      SELECT n.id, a2.s AS auth_q, h2.s AS hub_q
+      FROM n JOIN a2 ON a2.id = n.id JOIN h2 ON h2.id = n.id
+      ORDER BY n.id"""))
 
   /** Crawl-trap host detection on the gate ([[graft.ops.Dust
     * .trapHosts]] — a host whose distinct-URL count races ahead of

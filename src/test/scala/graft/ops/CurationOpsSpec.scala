@@ -235,4 +235,30 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.filter(!_._2).keySet == Set(100L, 101L)) // copies drop
     assert(out(0L) && out(1L))                          // originals keep
   }
+
+  // TextAnalysis.hostTemplateStrip
+
+  test("hostTemplateStrip: chrome at threshold strips, body and " +
+    "sub-threshold lines keep order, tiny hosts are never judged") {
+    val pages = Seq(
+      // host a: 4 pages; NAV on all 4 (df 1.0), PROMO on 2 (df 0.5)
+      ("a", 1L, "NAV\nbody-1\nPROMO"),
+      ("a", 2L, "NAV\nbody-2"),
+      ("a", 3L, "NAV\nPROMO\nbody-3"),
+      ("a", 4L, "  NAV  \nbody-4"),       // trims before matching
+      // host b: only 2 pages -> below minPages, nothing strips
+      ("b", 5L, "SAME\nx"), ("b", 6L, "SAME\ny")
+    ).toDF("host", "id", "text")
+    val got = graft.ops.TextAnalysis.hostTemplateStrip(pages, "host",
+        "id", "text", minPages = 3L, minFraction = 0.8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got(1L) === ((3L, 1L, "body-1\nPROMO")),
+      "PROMO at df 0.5 survives an 0.8 bar")
+    assert(got(2L) === ((2L, 1L, "body-2")))
+    assert(got(3L) === ((3L, 1L, "PROMO\nbody-3")), "order preserved")
+    assert(got(4L) === ((2L, 1L, "body-4")), "trimmed NAV matched")
+    assert(got(5L) === ((2L, 0L, "SAME\nx")),
+      "a 2-page host is never judged")
+  }
 }

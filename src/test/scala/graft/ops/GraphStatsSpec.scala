@@ -125,4 +125,30 @@ class GraphStatsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(c == Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
   }
+
+  test("hits: hubs and authorities separate; max-normalization " +
+    "yields exact integer scores") {
+    // two hubs point at one shared authority; hub 1 also points at a
+    // second, weaker authority. After one iteration:
+    //   rawA: a10 <- h1+h2 = 2e6 (max), a11 <- 1e6 -> auth 1e6 / 5e5
+    //   rawH: h1 <- a10+a11 = 1.5e6 (max) -> 1e6; h2 <- a10 -> 666666
+    val edges = Seq((1L, 10L), (2L, 10L), (1L, 11L))
+      .toDF("src", "dst")
+    val got = GraphStats.hits(edges, "src", "dst", iterations = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(10L) === ((1000000L, 0L)))
+    assert(got(11L) === ((500000L, 0L)))
+    assert(got(1L) === ((0L, 1000000L)), "the two-authority hub wins")
+    assert(got(2L) === ((0L, 666666L)), "floor division, exact")
+  }
+
+  test("hits: a pure-sink graph converges without dividing by zero") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val got = GraphStats.hits(edges, "src", "dst", iterations = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(2L) === ((1000000L, 0L)))
+    assert(got(1L) === ((0L, 1000000L)))
+  }
 }
