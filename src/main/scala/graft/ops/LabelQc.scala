@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** LABEL and SCORE quality control — the QC pass a training-data
+  * pipeline runs over its classifier outputs and human annotations
+  * before trusting either:
+  *
+  *  - [[calibrationBins]] / [[calibrationSummary]]: is the quality
+  *    classifier's score a PROBABILITY? (reliability diagram bins;
+  *    expected/maximum calibration error, Naeini et al. AAAI 2015;
+  *    Brier 1950 score). A filter thresholding an uncalibrated score
+  *    throws away different mass than it thinks.
+  *  - [[cohenKappa]]: two-rater chance-corrected agreement (Cohen,
+  *    1960) — the instruction/preference-data QC number; raw percent
+  *    agreement flatters imbalanced label sets.
+  *  - [[fleissKappa]]: the n-rater generalization (Fleiss, 1971)
+  *    for panel-labeled data, fixed raters-per-item.
+  *
+  * All four are one or two aggregates with closed-form arithmetic —
+  * fixed-decimal rounded so any engine replays them. Reference
+  * analog: none (the reference profiles unlabeled frames); this is
+  * the labeled-data half a curation pipeline adds. Gates q430–q433.
+  */
+object LabelQc {
+
+  /** Reliability-diagram bins over (score ∈ [0,1], binary label):
+    * equal-width bins on the score, each with its size, mean
+    * confidence, empirical accuracy, and signed gap. Scores exactly
+    * 1.0 land in the top bin. One map-side-combined aggregate. */
+  def calibrationBins(df: DataFrame, scoreCol: String,
+      labelCol: String, bins: Int): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins must be in [2,1000]: $bins")
+    df.select(col(scoreCol).cast("double").as("s"),
+        col(labelCol).cast("double").as("y"))
+      .where(col("s").isNotNull && col("y").isNotNull &&
+        col("s") >= 0 && col("s") <= 1)
+      .withColumn("bin",
+        least(floor(col("s") * bins), lit(bins - 1)).cast("int"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("s")), 8).as("confidence"),
+        round(avg(col("y")), 8).as("accuracy"))
+      .withColumn("gap",
+        round(col("accuracy") - col("confidence"), 8))
+  }
+
+  /** One-row calibration summary: ECE (bin-weighted |gap|), MCE
+    * (worst bin |gap|), Brier score (mean squared error of the
+    * probability), n. ECE/MCE are computed from the UNROUNDED bin
+    * stats and rounded once at the end. */
+  def calibrationSummary(df: DataFrame, scoreCol: String,
+      labelCol: String, bins: Int): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins must be in [2,1000]: $bins")
+    val rows = df.select(col(scoreCol).cast("double").as("s"),
+        col(labelCol).cast("double").as("y"))
+      .where(col("s").isNotNull && col("y").isNotNull &&
+        col("s") >= 0 && col("s") <= 1)
+      .withColumn("bin",
+        least(floor(col("s") * bins), lit(bins - 1)).cast("int"))
+    val perBin = rows.groupBy("bin")
+      .agg(count(lit(1)).as("n"), avg(col("s")).as("c"),
+        avg(col("y")).as("a"))
+    val brier = rows.agg(
+      round(avg((col("s") - col("y")) * (col("s") - col("y"))), 8)
+        .as("brier"),
+      count(lit(1)).as("n"))
+    perBin
+      .agg(
+        round(sum(abs(col("a") - col("c")) * col("n")) /
+          sum(col("n")), 8).as("ece"),
+        round(max(abs(col("a") - col("c"))), 8).as("mce"))
+      .crossJoin(broadcast(brier))
+      .select(col("ece"), col("mce"), col("brier"), col("n"))
+  }
+
+  /** Cohen's κ over two-rater rows (labelA, labelB): κ =
+    * (p_o − p_e)/(1 − p_e) with p_e from the raters' marginal label
+    * distributions. Output one row (n, po, pe, kappa); κ null when
+    * p_e = 1 (both raters constant — agreement is undefined, not
+    * perfect). Two aggregates over the label dimension. */
+  def cohenKappa(df: DataFrame, labelACol: String,
+      labelBCol: String): DataFrame = {
+    val rows = df.select(col(labelACol).cast("string").as("a"),
+        col(labelBCol).cast("string").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull)
+    val n = rows.agg(count(lit(1)).as("n"),
+      avg(when(col("a") === col("b"), 1.0).otherwise(0.0)).as("po"))
+    val margA = rows.groupBy("a").agg(count(lit(1)).as("ca"))
+    val margB = rows.groupBy(col("b").as("a"))
+      .agg(count(lit(1)).as("cb"))
+    val pe = margA.join(margB, Seq("a"))
+      .agg(sum(col("ca") * col("cb")).as("sum_ab"))
+    n.crossJoin(broadcast(pe))
+      .select(col("n"),
+        round(col("po"), 8).as("po"),
+        round(col("sum_ab").cast("double") / (col("n") * col("n")), 8)
+          .as("pe"),
+        when(col("sum_ab").cast("double") / (col("n") * col("n")) < 1.0,
+          round((col("po") - col("sum_ab").cast("double") /
+            (col("n") * col("n"))) /
+            (lit(1.0) - col("sum_ab").cast("double") /
+              (col("n") * col("n"))), 8)).as("kappa"))
+  }
+
+  /** Fleiss' κ over (item, label) assignment rows with a FIXED
+    * rater count per item (`ratersPerItem` — rejected loudly if any
+    * item disagrees: variable panels need Krippendorff, not a
+    * silent reweighting). One (item,label) aggregate, one item
+    * aggregate, one label-marginal aggregate. Output one row
+    * (n_items, p_bar, pe_bar, kappa); κ null when pe_bar = 1. */
+  def fleissKappa(df: DataFrame, itemCol: String, labelCol: String,
+      ratersPerItem: Int): DataFrame = {
+    require(ratersPerItem >= 2,
+      s"ratersPerItem must be >= 2: $ratersPerItem")
+    val r = ratersPerItem.toDouble
+    val cell = df.select(col(itemCol).as("i"),
+        col(labelCol).cast("string").as("c"))
+      .where(col("i").isNotNull && col("c").isNotNull)
+      .groupBy("i", "c").agg(count(lit(1)).as("nic"))
+    val perItem = cell.groupBy("i")
+      .agg(sum(col("nic")).as("ni"),
+        sum(col("nic") * col("nic")).as("sq"))
+    val badItems = perItem.where(col("ni") =!= ratersPerItem)
+    require(badItems.isEmpty,
+      s"every item must carry exactly $ratersPerItem ratings")
+    val pBar = perItem.agg(
+      count(lit(1)).as("n_items"),
+      avg((col("sq") - r) / (r * (r - 1.0))).as("p_bar"))
+    val peBar = cell.groupBy("c").agg(sum(col("nic")).as("nc"))
+      .crossJoin(broadcast(perItem.agg(
+        sum(col("ni")).as("tot"))))
+      .agg(sum((col("nc").cast("double") / col("tot")) *
+        (col("nc").cast("double") / col("tot"))).as("pe_bar"))
+    pBar.crossJoin(broadcast(peBar))
+      .select(col("n_items"),
+        round(col("p_bar"), 8).as("p_bar"),
+        round(col("pe_bar"), 8).as("pe_bar"),
+        when(col("pe_bar") < 1.0,
+          round((col("p_bar") - col("pe_bar")) /
+            (lit(1.0) - col("pe_bar")), 8)).as("kappa"))
+  }
+}

@@ -4148,7 +4148,8 @@ object ExtraQueries {
     qRobotsDelaySchedule, qFrontierKey, qAdaptiveDelay,
     qHostMirrors, qCircuitBreaker, qStreamingBreaker, qSoft404,
     qStreamingTrapScreen, qRegistrableDomain, qDomainPoliteness,
-    qHostTemplate, qHits,
+    qHostTemplate, qHits, qCalibrationBins, qCalibrationEce,
+    qBradleyTerry, qCohenKappa, qFleissKappa,
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qKendallExact,
     qMapValueCounts,
@@ -5484,6 +5485,233 @@ object ExtraQueries {
       SELECT n.id, a2.s AS auth_q, h2.s AS hub_q
       FROM n JOIN a2 ON a2.id = n.id JOIN h2 ON h2.id = n.id
       ORDER BY n.id"""))
+
+  /** Calibration reliability bins on the gate ([[graft.ops.LabelQc
+    * .calibrationBins]] — is the quality classifier's score a
+    * probability?). Scores and labels derive arithmetically with a
+    * DELIBERATE miscalibration (label rate tracks s², so low bins
+    * over-confident, high bins under-) — every bin's gap is
+    * non-trivial. Oracle: the identical binned aggregate. */
+  lazy val qCalibrationBins = Q(
+    "q430_calibration_bins",
+    (s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"))
+        .withColumn("s",
+          ((col("doc_id") * 37) % 100) / lit(100.0) + 0.005)
+        .withColumn("y",
+          when(((col("doc_id") * 13) % 100) / lit(100.0) <
+            col("s") * col("s"), 1.0).otherwise(0.0))
+      graft.ops.LabelQc.calibrationBins(d, "s", "y", bins = 10)
+        .orderBy("bin")
+    },
+    Some("""WITH r AS (SELECT
+          ((doc_id*37) % 100) / 100.0 + 0.005 AS s,
+          CASE WHEN ((doc_id*13) % 100) / 100.0 <
+            (((doc_id*37) % 100) / 100.0 + 0.005) *
+            (((doc_id*37) % 100) / 100.0 + 0.005)
+            THEN 1.0 ELSE 0.0 END AS y
+        FROM documents),
+      b AS (SELECT CAST(least(floor(s * 10), 9) AS INT) AS bin, s, y
+        FROM r)
+      SELECT bin, count(*) AS n,
+        round(avg(s), 8) AS confidence,
+        round(avg(y), 8) AS accuracy,
+        round(round(avg(y), 8) - round(avg(s), 8), 8) AS gap
+      FROM b GROUP BY bin ORDER BY bin"""))
+
+  /** Calibration summary on the gate ([[graft.ops.LabelQc
+    * .calibrationSummary]] — ECE/MCE per Naeini et al. AAAI 2015 +
+    * the Brier score): one row over the q430 construction; ECE/MCE
+    * from the UNROUNDED bin stats, rounded once. */
+  lazy val qCalibrationEce = Q(
+    "q431_calibration_ece",
+    (s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"))
+        .withColumn("s",
+          ((col("doc_id") * 37) % 100) / lit(100.0) + 0.005)
+        .withColumn("y",
+          when(((col("doc_id") * 13) % 100) / lit(100.0) <
+            col("s") * col("s"), 1.0).otherwise(0.0))
+      graft.ops.LabelQc.calibrationSummary(d, "s", "y", bins = 10)
+    },
+    Some("""WITH r AS (SELECT
+          ((doc_id*37) % 100) / 100.0 + 0.005 AS s,
+          CASE WHEN ((doc_id*13) % 100) / 100.0 <
+            (((doc_id*37) % 100) / 100.0 + 0.005) *
+            (((doc_id*37) % 100) / 100.0 + 0.005)
+            THEN 1.0 ELSE 0.0 END AS y
+        FROM documents),
+      b AS (SELECT CAST(least(floor(s * 10), 9) AS INT) AS bin, s, y
+        FROM r),
+      pb AS (SELECT bin, count(*) AS n, avg(s) AS c, avg(y) AS a
+        FROM b GROUP BY bin),
+      br AS (SELECT round(avg((s - y) * (s - y)), 8) AS brier,
+          count(*) AS n FROM b)
+      SELECT round(sum(abs(pb.a - pb.c) * pb.n) / sum(pb.n), 8) AS ece,
+        round(max(abs(pb.a - pb.c)), 8) AS mce,
+        br.brier, br.n
+      FROM pb CROSS JOIN br GROUP BY br.brier, br.n"""))
+
+  /** Bradley–Terry preference ranking on the gate ([[graft.ops
+    * .Preference.bradleyTerry]] — Hunter's MM iteration over
+    * pairwise (winner, loser) rows, the RLHF reward-data primitive).
+    * Eight planted "models" with win probability rising for lower
+    * indices ((doc_id·11)%10 < 5+b−a), so the fitted strengths must
+    * recover the planted order. The corpus-scale (winner, loser)
+    * aggregate is the only big shuffle; the MM loop runs on the
+    * item²-dimensioned matrix (the centroid discipline). Oracle:
+    * both MM iterations unrolled in DuckDB, rank on the ROUNDED
+    * score. */
+  lazy val qBradleyTerry = Q(
+    "q432_bradley_terry",
+    (s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % 8).as("a"),
+          expr("(doc_id div 8) % 8").as("b"))
+        .where(col("a") =!= col("b"))
+      val aWins = (col("doc_id") * 11) % 10 < lit(5) + col("b") - col("a")
+      val pairs = d.select(
+        concat(lit("m"), when(aWins, col("a")).otherwise(col("b"))
+          .cast("string")).as("w"),
+        concat(lit("m"), when(aWins, col("b")).otherwise(col("a"))
+          .cast("string")).as("l"))
+      graft.ops.Preference.bradleyTerry(pairs, "w", "l",
+          iterations = 2)
+        .orderBy("item")
+    },
+    Some("""WITH d AS (SELECT doc_id, doc_id % 8 AS a,
+          (doc_id // 8) % 8 AS b FROM documents
+        WHERE doc_id % 8 <> (doc_id // 8) % 8),
+      g AS (SELECT
+          CASE WHEN (doc_id*11) % 10 < 5 + b - a THEN a ELSE b END AS w,
+          CASE WHEN (doc_id*11) % 10 < 5 + b - a THEN b ELSE a END AS l
+        FROM d),
+      wl AS (SELECT 'm' || CAST(w AS VARCHAR) AS w,
+          'm' || CAST(l AS VARCHAR) AS l, count(*) AS n
+        FROM g GROUP BY 1, 2),
+      items AS (SELECT DISTINCT i FROM
+        (SELECT w AS i FROM wl UNION SELECT l FROM wl)),
+      wt AS (SELECT items.i AS i,
+          CAST(coalesce(sum(wl.n), 0) AS BIGINT) AS wins
+        FROM items LEFT JOIN wl ON wl.w = items.i GROUP BY items.i),
+      m AS (SELECT i, j, CAST(sum(n) AS DOUBLE) AS g FROM
+          (SELECT w AS i, l AS j, n FROM wl
+           UNION ALL SELECT l, w, n FROM wl)
+        GROUP BY 1, 2),
+      d1 AS (SELECT m.i, sum(m.g / 2.0) AS denom FROM m GROUP BY 1),
+      p1r AS (SELECT wt.i, wt.wins,
+          CASE WHEN d1.denom > 0 THEN wt.wins / d1.denom ELSE 0 END
+            AS p
+        FROM wt JOIN d1 ON d1.i = wt.i),
+      s1 AS (SELECT sum(p) AS s, count(*) AS k FROM p1r),
+      p1 AS (SELECT i, p * k / s AS p FROM p1r CROSS JOIN s1),
+      d2 AS (SELECT m.i, sum(m.g / (pi.p + pj.p)) AS denom
+        FROM m JOIN p1 pi ON pi.i = m.i JOIN p1 pj ON pj.i = m.j
+        GROUP BY 1),
+      p2r AS (SELECT wt.i, wt.wins,
+          CASE WHEN d2.denom > 0 THEN wt.wins / d2.denom ELSE 0 END
+            AS p
+        FROM wt JOIN d2 ON d2.i = wt.i),
+      s2 AS (SELECT sum(p) AS s, count(*) AS k FROM p2r),
+      p2 AS (SELECT i, wins, p * k / s AS p FROM p2r CROSS JOIN s2),
+      gtot AS (SELECT i, CAST(sum(g) AS BIGINT) AS games
+        FROM m GROUP BY 1)
+      SELECT p2.i AS item, p2.wins, gtot.games,
+        round(p2.p, 6) AS bt_score,
+        CAST(row_number() OVER (ORDER BY round(p2.p, 6) DESC, p2.i)
+          AS INT) AS rank
+      FROM p2 JOIN gtot ON gtot.i = p2.i
+      ORDER BY item"""))
+
+  /** Cohen's κ on the gate ([[graft.ops.LabelQc.cohenKappa]] —
+    * two-rater chance-corrected agreement, the annotation-QC
+    * number). Rater B copies rater A on ~70% of rows and rotates
+    * the label otherwise, over an IMBALANCED three-label marginal —
+    * exactly the regime where raw percent agreement flatters.
+    * Oracle: the identical marginal arithmetic. */
+  lazy val qCohenKappa = Q(
+    "q433_cohen_kappa",
+    (s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"))
+      val a = when((col("doc_id") * 3) % 5 < 2, "good")
+        .when((col("doc_id") * 3) % 5 < 4, "ok").otherwise("bad")
+      val rot = when(a === "good", "ok").when(a === "ok", "bad")
+        .otherwise("good")
+      val rows = d.select(a.as("la"),
+        when((col("doc_id") * 7) % 10 < 7, a).otherwise(rot).as("lb"))
+      graft.ops.LabelQc.cohenKappa(rows, "la", "lb")
+    },
+    Some("""WITH d AS (SELECT doc_id,
+          CASE WHEN (doc_id*3) % 5 < 2 THEN 'good'
+            WHEN (doc_id*3) % 5 < 4 THEN 'ok' ELSE 'bad' END AS la
+        FROM documents),
+      r AS (SELECT la,
+          CASE WHEN (doc_id*7) % 10 < 7 THEN la
+            ELSE CASE la WHEN 'good' THEN 'ok' WHEN 'ok' THEN 'bad'
+              ELSE 'good' END END AS lb
+        FROM d),
+      n AS (SELECT count(*) AS n,
+          avg(CASE WHEN la = lb THEN 1.0 ELSE 0.0 END) AS po FROM r),
+      ma AS (SELECT la AS c, count(*) AS ca FROM r GROUP BY 1),
+      mb AS (SELECT lb AS c, count(*) AS cb FROM r GROUP BY 1),
+      pe AS (SELECT CAST(sum(ca * cb) AS BIGINT) AS sum_ab
+        FROM ma JOIN mb ON ma.c = mb.c)
+      SELECT n.n, round(n.po, 8) AS po,
+        round(CAST(sum_ab AS DOUBLE) / (n.n * n.n), 8) AS pe,
+        CASE WHEN CAST(sum_ab AS DOUBLE) / (n.n * n.n) < 1.0 THEN
+          round((n.po - CAST(sum_ab AS DOUBLE) / (n.n * n.n)) /
+            (1.0 - CAST(sum_ab AS DOUBLE) / (n.n * n.n)), 8) END
+          AS kappa
+      FROM n CROSS JOIN pe"""))
+
+  /** Fleiss' κ on the gate ([[graft.ops.LabelQc.fleissKappa]] — the
+    * n-rater panel generalization, fixed 3 raters per item). Each
+    * rater perturbs the base label on its own ~30% arithmetic
+    * pattern, so per-item agreement varies across the whole range.
+    * Oracle: the identical (item,label) cell arithmetic. */
+  lazy val qFleissKappa = Q(
+    "q434_fleiss_kappa",
+    (s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"))
+      def rater(t: Int) = d.select(col("doc_id").as("item"),
+        concat(lit("c"),
+          ((col("doc_id") +
+            when((col("doc_id") * (t + 3)) % 10 < 3, 1).otherwise(0))
+            % 3).cast("string")).as("label"))
+      val rows = rater(0).unionAll(rater(1)).unionAll(rater(2))
+      graft.ops.LabelQc.fleissKappa(rows, "item", "label",
+        ratersPerItem = 3)
+    },
+    Some("""WITH d AS (SELECT doc_id FROM documents),
+      rows_ AS (
+        SELECT doc_id AS item, 'c' || CAST((doc_id +
+            CASE WHEN (doc_id*3) % 10 < 3 THEN 1 ELSE 0 END) % 3
+            AS VARCHAR) AS label FROM d
+        UNION ALL
+        SELECT doc_id, 'c' || CAST((doc_id +
+            CASE WHEN (doc_id*4) % 10 < 3 THEN 1 ELSE 0 END) % 3
+            AS VARCHAR) FROM d
+        UNION ALL
+        SELECT doc_id, 'c' || CAST((doc_id +
+            CASE WHEN (doc_id*5) % 10 < 3 THEN 1 ELSE 0 END) % 3
+            AS VARCHAR) FROM d),
+      cell AS (SELECT item, label, count(*) AS nic FROM rows_
+        GROUP BY 1, 2),
+      pi AS (SELECT item, CAST(sum(nic) AS BIGINT) AS ni,
+          CAST(sum(nic * nic) AS BIGINT) AS sq FROM cell GROUP BY 1),
+      pb AS (SELECT count(*) AS n_items,
+          avg((sq - 3.0) / (3.0 * 2.0)) AS p_bar FROM pi),
+      tot AS (SELECT CAST(sum(ni) AS BIGINT) AS tot FROM pi),
+      pe AS (SELECT sum((CAST(nc AS DOUBLE) / tot) *
+            (CAST(nc AS DOUBLE) / tot)) AS pe_bar
+        FROM (SELECT label, CAST(sum(nic) AS BIGINT) AS nc FROM cell
+          GROUP BY 1) CROSS JOIN tot)
+      SELECT pb.n_items, round(pb.p_bar, 8) AS p_bar,
+        round(pe.pe_bar, 8) AS pe_bar,
+        CASE WHEN pe.pe_bar < 1.0 THEN
+          round((pb.p_bar - pe.pe_bar) / (1.0 - pe.pe_bar), 8) END
+          AS kappa
+      FROM pb CROSS JOIN pe"""))
 
   /** Crawl-trap host detection on the gate ([[graft.ops.Dust
     * .trapHosts]] — a host whose distinct-URL count races ahead of
