@@ -75,6 +75,91 @@ object LabelQc {
       .select(col("ece"), col("mce"), col("brier"), col("n"))
   }
 
+  /** Threshold-free ranking quality of a scorer: one row with
+    * ROC-AUC (the Mann–Whitney form with AVERAGE ranks over score
+    * ties — tie-safe and order-free, so any engine replays it
+    * exactly), Gini = 2·AUC − 1, and average precision in the
+    * step-interpolated distinct-threshold form AP = Σ (R_t −
+    * R_{t−1})·P_t (the scikit-learn definition — again a function
+    * of the distinct-score table, never of a per-row tie order).
+    * AUC/AP null when a class is empty. Scale shape: one
+    * distinct-score aggregate (scores dimension ≪ rows), one window
+    * over it. */
+  def rankingMetrics(df: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perScore = df.select(col(scoreCol).cast("double").as("s"),
+        col(labelCol).cast("double").as("y"))
+      .where(col("s").isNotNull && col("y").isNotNull)
+      .groupBy("s").agg(count(lit(1)).as("cnt"),
+        sum(col("y")).as("pos"))
+    val asc = Window.orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val desc = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = perScore
+      .withColumn("__cum", sum(col("cnt")).over(asc))
+      .withColumn("__avg_rank",
+        col("__cum").cast("double") - (col("cnt") - 1) / 2.0)
+      .withColumn("__tp", sum(col("pos")).over(desc))
+      .withColumn("__n_at", sum(col("cnt")).over(desc))
+    val tot = ranked.agg(
+      sum(col("cnt")).as("n"), sum(col("pos")).as("np"),
+      sum(col("pos") * col("__avg_rank")).as("sum_pos_rank"))
+    val ap = ranked
+      .withColumn("__prec",
+        col("__tp").cast("double") / col("__n_at"))
+      .crossJoin(broadcast(tot.select(col("np").as("__np"))))
+      .where(col("__np") > 0)
+      .withColumn("__rec", col("__tp").cast("double") / col("__np"))
+      .withColumn("__prev_rec",
+        lag(col("__rec"), 1, 0.0).over(Window.orderBy(col("s").desc)))
+      .agg(sum((col("__rec") - col("__prev_rec")) * col("__prec"))
+        .as("ap_raw"))
+    tot.crossJoin(broadcast(ap))
+      .select(col("n"), col("np").cast("long").as("n_pos"),
+        when(col("np") > 0 && col("n") > col("np"),
+          round((col("sum_pos_rank") -
+            col("np") * (col("np") + 1) / 2.0) /
+            (col("np").cast("double") * (col("n") - col("np"))), 8))
+          .as("auc"),
+        when(col("np") > 0 && col("n") > col("np"),
+          round((col("sum_pos_rank") -
+            col("np") * (col("np") + 1) / 2.0) /
+            (col("np").cast("double") * (col("n") - col("np"))) * 2
+            - 1, 8)).as("gini"),
+        when(col("np") > 0, round(col("ap_raw"), 8)).as("ap"))
+  }
+
+  /** Precision/recall curve at every DISTINCT score threshold
+    * (descending): predicted-positive = score ≥ threshold. One
+    * distinct-score aggregate + one window; the curve table is
+    * score-dimensioned. */
+  def prCurve(df: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perScore = df.select(col(scoreCol).cast("double").as("s"),
+        col(labelCol).cast("double").as("y"))
+      .where(col("s").isNotNull && col("y").isNotNull)
+      .groupBy("s").agg(count(lit(1)).as("cnt"),
+        sum(col("y")).as("pos"))
+    val desc = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val np = perScore.agg(sum(col("pos")).as("__np"))
+    perScore
+      .withColumn("__tp", sum(col("pos")).over(desc))
+      .withColumn("__n_at", sum(col("cnt")).over(desc))
+      .crossJoin(broadcast(np))
+      .select(col("s").as("threshold"),
+        col("__tp").cast("long").as("tp"),
+        (col("__n_at") - col("__tp")).cast("long").as("fp"),
+        round(col("__tp").cast("double") / col("__n_at"), 8)
+          .as("precision"),
+        when(col("__np") > 0,
+          round(col("__tp").cast("double") / col("__np"), 8))
+          .as("recall"))
+  }
+
   /** Cohen's κ over two-rater rows (labelA, labelB): κ =
     * (p_o − p_e)/(1 − p_e) with p_e from the raters' marginal label
     * distributions. Output one row (n, po, pe, kappa); κ null when

@@ -4149,7 +4149,8 @@ object ExtraQueries {
     qHostMirrors, qCircuitBreaker, qStreamingBreaker, qSoft404,
     qStreamingTrapScreen, qRegistrableDomain, qDomainPoliteness,
     qHostTemplate, qHits, qCalibrationBins, qCalibrationEce,
-    qBradleyTerry, qCohenKappa, qFleissKappa,
+    qBradleyTerry, qCohenKappa, qFleissKappa, qRankingMetrics,
+    qPrCurve,
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qKendallExact,
     qMapValueCounts,
@@ -5712,6 +5713,100 @@ object ExtraQueries {
           round((pb.p_bar - pe.pe_bar) / (1.0 - pe.pe_bar), 8) END
           AS kappa
       FROM pb CROSS JOIN pe"""))
+
+  /** Ranking metrics on the gate ([[graft.ops.LabelQc
+    * .rankingMetrics]] — ROC-AUC in the tie-safe average-rank
+    * Mann–Whitney form, Gini, and step-interpolated average
+    * precision: all functions of the DISTINCT-SCORE table, never of
+    * a per-row tie order, so both engines replay them exactly). Same
+    * (score, label) construction as the calibration gates. */
+  lazy val qRankingMetrics = Q(
+    "q435_ranking_metrics",
+    (s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"))
+        .withColumn("s",
+          ((col("doc_id") * 37) % 100) / lit(100.0) + 0.005)
+        .withColumn("y",
+          when(((col("doc_id") * 13) % 100) / lit(100.0) <
+            col("s") * col("s"), 1.0).otherwise(0.0))
+      graft.ops.LabelQc.rankingMetrics(d, "s", "y")
+    },
+    Some("""WITH r AS (SELECT
+          ((doc_id*37) % 100) / 100.0 + 0.005 AS s,
+          CASE WHEN ((doc_id*13) % 100) / 100.0 <
+            (((doc_id*37) % 100) / 100.0 + 0.005) *
+            (((doc_id*37) % 100) / 100.0 + 0.005)
+            THEN 1.0 ELSE 0.0 END AS y
+        FROM documents),
+      ps AS (SELECT s, count(*) AS cnt, sum(y) AS pos
+        FROM r GROUP BY 1),
+      rk AS (SELECT s, cnt, pos,
+          sum(cnt) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cum,
+          sum(pos) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING)
+            AS tp,
+          sum(cnt) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING)
+            AS n_at
+        FROM ps),
+      rk2 AS (SELECT *, CAST(cum AS DOUBLE) - (cnt - 1) / 2.0
+          AS avg_rank FROM rk),
+      tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+          CAST(sum(pos) AS BIGINT) AS np,
+          sum(pos * avg_rank) AS spr FROM rk2),
+      apx AS (SELECT sum((rec - prev_rec) * prec) AS ap_raw FROM
+        (SELECT CAST(tp AS DOUBLE) / n_at AS prec,
+            CAST(tp AS DOUBLE) / np AS rec,
+            coalesce(lag(CAST(tp AS DOUBLE) / np)
+              OVER (ORDER BY s DESC), 0.0) AS prev_rec
+          FROM rk2 CROSS JOIN tot WHERE np > 0))
+      SELECT tot.n, tot.np AS n_pos,
+        CASE WHEN tot.np > 0 AND tot.n > tot.np THEN
+          round((tot.spr - tot.np * (tot.np + 1) / 2.0) /
+            (CAST(tot.np AS DOUBLE) * (tot.n - tot.np)), 8) END
+          AS auc,
+        CASE WHEN tot.np > 0 AND tot.n > tot.np THEN
+          round((tot.spr - tot.np * (tot.np + 1) / 2.0) /
+            (CAST(tot.np AS DOUBLE) * (tot.n - tot.np)) * 2 - 1, 8)
+          END AS gini,
+        CASE WHEN tot.np > 0 THEN round(apx.ap_raw, 8) END AS ap
+      FROM tot CROSS JOIN apx"""))
+
+  /** PR curve on the gate ([[graft.ops.LabelQc.prCurve]] — precision
+    * and recall at every distinct score threshold, descending; the
+    * curve table is score-dimensioned). */
+  lazy val qPrCurve = Q(
+    "q436_pr_curve",
+    (s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"))
+        .withColumn("s",
+          ((col("doc_id") * 37) % 100) / lit(100.0) + 0.005)
+        .withColumn("y",
+          when(((col("doc_id") * 13) % 100) / lit(100.0) <
+            col("s") * col("s"), 1.0).otherwise(0.0))
+      graft.ops.LabelQc.prCurve(d, "s", "y")
+        .orderBy(col("threshold").desc)
+    },
+    Some("""WITH r AS (SELECT
+          ((doc_id*37) % 100) / 100.0 + 0.005 AS s,
+          CASE WHEN ((doc_id*13) % 100) / 100.0 <
+            (((doc_id*37) % 100) / 100.0 + 0.005) *
+            (((doc_id*37) % 100) / 100.0 + 0.005)
+            THEN 1.0 ELSE 0.0 END AS y
+        FROM documents),
+      ps AS (SELECT s, count(*) AS cnt, sum(y) AS pos
+        FROM r GROUP BY 1),
+      np AS (SELECT CAST(sum(pos) AS BIGINT) AS np FROM ps),
+      rk AS (SELECT s,
+          sum(pos) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING)
+            AS tp,
+          sum(cnt) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING)
+            AS n_at
+        FROM ps)
+      SELECT s AS threshold, CAST(tp AS BIGINT) AS tp,
+        CAST(n_at - tp AS BIGINT) AS fp,
+        round(CAST(tp AS DOUBLE) / n_at, 8) AS precision,
+        CASE WHEN np.np > 0
+          THEN round(CAST(tp AS DOUBLE) / np.np, 8) END AS recall
+      FROM rk CROSS JOIN np ORDER BY threshold DESC"""))
 
   /** Crawl-trap host detection on the gate ([[graft.ops.Dust
     * .trapHosts]] — a host whose distinct-URL count races ahead of

@@ -1,8 +1,9 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
-/** [[LabelQc]] + [[Preference]] at unit scale (q430–q434 gate the
+/** [[LabelQc]] + [[Preference]] at unit scale (q430–q436 gate the
   * corpus-scale constructions): hand-computed kappa/calibration
   * values and the Bradley–Terry recovery of a planted order. */
 class LabelQcSpec extends SparkSpec {
@@ -62,6 +63,39 @@ class LabelQcSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("exactly 3"))
   }
+
+  test("rankingMetrics: perfect separation gives AUC 1; ties take " +
+    "average ranks; degenerate labels go null") {
+    val perfect = Seq((0.9, 1.0), (0.8, 1.0), (0.2, 0.0), (0.1, 0.0))
+      .toDF("s", "y")
+    val p = LabelQc.rankingMetrics(perfect, "s", "y").collect().head
+    assert((p.getDouble(2), p.getDouble(3), p.getDouble(4)) ===
+      ((1.0, 1.0, 1.0)))
+    // one positive and one negative share score 0.5 -> that pair
+    // contributes 0.5: AUC = (1*1 + 0.5)/2... hand: pos ranks avg
+    val tied = Seq((0.9, 1.0), (0.5, 1.0), (0.5, 0.0), (0.1, 0.0))
+      .toDF("s", "y")
+    val t = LabelQc.rankingMetrics(tied, "s", "y").collect().head
+    assert(t.getDouble(2) === 0.875, "tie counts half")
+    val allPos = Seq((0.9, 1.0), (0.1, 1.0)).toDF("s", "y")
+    val a = LabelQc.rankingMetrics(allPos, "s", "y").collect().head
+    assert(a.isNullAt(2) && a.isNullAt(3), "AUC undefined one-class")
+  }
+
+  test("prCurve: thresholds descend, tp/fp accumulate, precision " +
+    "and recall agree with hand counts") {
+    val df = Seq((0.9, 1.0), (0.7, 0.0), (0.5, 1.0)).toDF("s", "y")
+    val rows = LabelQc.prCurve(df, "s", "y")
+      .orderBy(col("threshold").desc).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows(0) === ((0.9, 1L, 0L, 1.0, 0.5)))
+    assert(rows(1) === ((0.7, 1L, 1L, 0.5, 0.5)))
+    assert(rows(2) === ((0.5, 2L, 1L, round8(2.0 / 3), 1.0)))
+  }
+
+  private def round8(x: Double): Double =
+    BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   test("bradleyTerry: a dominance chain recovers the planted order " +
     "and self-pairs drop") {
