@@ -189,6 +189,49 @@ object LabelQc {
               (col("n") * col("n"))), 8)).as("kappa"))
   }
 
+  /** Krippendorff's α (nominal metric) over (item, label) rows with
+    * VARIABLE raters per item — the agreement coefficient
+    * [[fleissKappa]] points to when panels are ragged (Krippendorff,
+    * Content Analysis, 2004). Items with fewer than 2 ratings carry
+    * no pairable information and are dropped (counted separately in
+    * the output). Closed form over the coincidence matrix:
+    *
+    *   α = 1 − (n−1) · Σ_u (n_u² − Σ_c n_uc²)/(n_u−1)
+    *             / (n² − Σ_c n_c²)
+    *
+    * (n = pairable ratings, n_uc = ratings of category c on unit u,
+    * n_c = category marginals over pairable units). α null when the
+    * denominator is 0 — every pairable rating in one category means
+    * agreement is undefined, not perfect (the κ discipline). Three
+    * aggregates; the unit dimension is the only big key. */
+  def krippendorffAlpha(df: DataFrame, itemCol: String,
+      labelCol: String): DataFrame = {
+    val cell = df.select(col(itemCol).as("i"),
+        col(labelCol).cast("string").as("c"))
+      .where(col("i").isNotNull && col("c").isNotNull)
+      .groupBy("i", "c").agg(count(lit(1)).as("nic"))
+    val perUnit = cell.groupBy("i")
+      .agg(sum(col("nic")).as("nu"),
+        sum(col("nic") * col("nic")).as("sq"))
+    val pairable = perUnit.where(col("nu") >= 2)
+    val unitAgg = pairable.agg(
+      count(lit(1)).as("n_units"),
+      sum(col("nu")).as("n"),
+      sum((col("nu") * col("nu") - col("sq")).cast("double") /
+        (col("nu") - 1)).as("num"))
+    val dropped = perUnit.where(col("nu") < 2)
+      .agg(count(lit(1)).as("n_dropped"))
+    val marg = cell.join(pairable.select(col("i")), Seq("i"))
+      .groupBy("c").agg(sum(col("nic")).as("nc"))
+      .agg(sum(col("nc") * col("nc")).as("sum_nc2"))
+    unitAgg.crossJoin(broadcast(marg)).crossJoin(broadcast(dropped))
+      .select(col("n_units"), col("n_dropped"), col("n"),
+        when(col("n") * col("n") - col("sum_nc2") > 0,
+          round(lit(1.0) - (col("n") - 1).cast("double") * col("num") /
+            (col("n") * col("n") - col("sum_nc2")).cast("double"), 8))
+          .as("alpha"))
+  }
+
   /** Fleiss' κ over (item, label) assignment rows with a FIXED
     * rater count per item (`ratersPerItem` — rejected loudly if any
     * item disagrees: variable panels need Krippendorff, not a

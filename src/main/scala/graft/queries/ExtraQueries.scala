@@ -4150,7 +4150,7 @@ object ExtraQueries {
     qStreamingTrapScreen, qRegistrableDomain, qDomainPoliteness,
     qHostTemplate, qHits, qCalibrationBins, qCalibrationEce,
     qBradleyTerry, qCohenKappa, qFleissKappa, qRankingMetrics,
-    qPrCurve,
+    qPrCurve, qKrippendorff,
     qUrlStats, qPathStats, qJsonExtract, qScatter2d, qNullityCorr,
     qExtremeObs, qHashSample, qMemoryEstimate, qKendall, qKendallExact,
     qMapValueCounts,
@@ -5807,6 +5807,61 @@ object ExtraQueries {
         CASE WHEN np.np > 0
           THEN round(CAST(tp AS DOUBLE) / np.np, 8) END AS recall
       FROM rk CROSS JOIN np ORDER BY threshold DESC"""))
+
+  /** Krippendorff's α on the gate ([[graft.ops.LabelQc
+    * .krippendorffAlpha]] — the ragged-panel agreement coefficient
+    * Fleiss points to). Panels VARY per item (2 + doc_id%3 raters,
+    * so 2/3/4-rater units all occur); every 11th item gets a single
+    * rating and must be DROPPED as unpairable, not silently kept.
+    * Oracle: the identical coincidence arithmetic. */
+  lazy val qKrippendorff = Q(
+    "q437_krippendorff",
+    (s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"))
+        .withColumn("nr",
+          when(col("doc_id") % 11 === 0, 1)
+            .otherwise((lit(2) + col("doc_id") % 3).cast("int")))
+      val rows = d
+        .select(col("doc_id").as("item"),
+          explode(sequence(lit(0), col("nr") - 1)).as("t"))
+        .select(col("item"),
+          concat(lit("c"),
+            ((col("item") +
+              when((col("item") * (col("t") + 3)) % 10 < 3, 1)
+                .otherwise(0)) % 3).cast("string")).as("label"))
+      graft.ops.LabelQc.krippendorffAlpha(rows, "item", "label")
+    },
+    Some("""WITH d AS (SELECT doc_id,
+          CASE WHEN doc_id % 11 = 0 THEN 1
+            ELSE 2 + CAST(doc_id % 3 AS INT) END AS nr
+        FROM documents),
+      rows_ AS (SELECT doc_id AS item,
+          'c' || CAST((doc_id +
+            CASE WHEN (doc_id * (t.t + 3)) % 10 < 3 THEN 1 ELSE 0 END)
+            % 3 AS VARCHAR) AS label
+        FROM d, (SELECT unnest(range(0, 4)) AS t) t
+        WHERE t.t < d.nr),
+      cell AS (SELECT item, label, count(*) AS nic FROM rows_
+        GROUP BY 1, 2),
+      pu AS (SELECT item, CAST(sum(nic) AS BIGINT) AS nu,
+          CAST(sum(nic * nic) AS BIGINT) AS sq FROM cell GROUP BY 1),
+      pair AS (SELECT * FROM pu WHERE nu >= 2),
+      ua AS (SELECT CAST(count(*) AS BIGINT) AS n_units,
+          CAST(sum(nu) AS BIGINT) AS n,
+          sum(CAST(nu * nu - sq AS DOUBLE) / (nu - 1)) AS num
+        FROM pair),
+      drp AS (SELECT CAST(count(*) AS BIGINT) AS n_dropped FROM pu
+        WHERE nu < 2),
+      marg AS (SELECT CAST(sum(nc * nc) AS BIGINT) AS sum_nc2 FROM
+        (SELECT cell.label, CAST(sum(cell.nic) AS BIGINT) AS nc
+          FROM cell JOIN pair ON pair.item = cell.item
+          GROUP BY 1))
+      SELECT ua.n_units, drp.n_dropped, ua.n,
+        CASE WHEN ua.n * ua.n - marg.sum_nc2 > 0 THEN
+          round(1.0 - CAST(ua.n - 1 AS DOUBLE) * ua.num /
+            CAST(ua.n * ua.n - marg.sum_nc2 AS DOUBLE), 8) END
+          AS alpha
+      FROM ua CROSS JOIN marg CROSS JOIN drp"""))
 
   /** Crawl-trap host detection on the gate ([[graft.ops.Dust
     * .trapHosts]] — a host whose distinct-URL count races ahead of

@@ -97,6 +97,32 @@ class LabelQcSpec extends SparkSpec {
   private def round8(x: Double): Double =
     BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("krippendorffAlpha: hand case with a ragged panel; " +
+    "single-rating units drop; unanimity gives null") {
+    // unit 1: a,a (agree); unit 2: a,b (disagree); unit 3: single ->
+    // dropped. n=4, num = (4-4)/1 + (4-2)/1 = 2; marginals over
+    // pairable: a=3, b=1 -> sum_nc2 = 10; den = 16-10 = 6
+    // alpha = 1 - 3*2/6 = 0
+    val rows = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "b"),
+      (3L, "a")).toDF("item", "label")
+    val r = LabelQc.krippendorffAlpha(rows, "item", "label")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ===
+      ((2L, 1L, 4L)))
+    assert(r.getDouble(3) === 0.0)
+    // perfect agreement on two categories: alpha 1
+    val perfect = Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b"))
+      .toDF("item", "label")
+    val p = LabelQc.krippendorffAlpha(perfect, "item", "label")
+      .collect().head
+    assert(p.getDouble(3) === 1.0)
+    // everything one category: undefined, not perfect
+    val uni = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "a"))
+      .toDF("item", "label")
+    assert(LabelQc.krippendorffAlpha(uni, "item", "label")
+      .collect().head.isNullAt(3))
+  }
+
   test("bradleyTerry: a dominance chain recovers the planted order " +
     "and self-pairs drop") {
     val pairs = (Seq.fill(9)(("a", "b")) ++ Seq.fill(1)(("b", "a")) ++
