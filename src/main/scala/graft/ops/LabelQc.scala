@@ -83,16 +83,25 @@ object LabelQc {
     * R_{t−1})·P_t (the scikit-learn definition — again a function
     * of the distinct-score table, never of a per-row tie order).
     * AUC/AP null when a class is empty. Scale shape: one
-    * distinct-score aggregate (scores dimension ≪ rows), one window
-    * over it. */
+    * distinct-score aggregate, then cumulative windows that run in
+    * ONE task over that grid — so the score domain must be bounded:
+    * `maxDistinctScores` enforces it loudly (the
+    * [[Retention]]-family bounded-grid contract; a continuous scorer
+    * should be quantized to a fixed grid first — binned AUC is
+    * within 1/bins of exact, and the grid IS the resolution a
+    * downstream threshold sweep can act on anyway). The grid is
+    * checkpointed once; guard count and windows reuse it. */
   def rankingMetrics(df: DataFrame, scoreCol: String,
-      labelCol: String): DataFrame = {
+      labelCol: String, maxDistinctScores: Long = 100000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val perScore = df.select(col(scoreCol).cast("double").as("s"),
         col(labelCol).cast("double").as("y"))
       .where(col("s").isNotNull && col("y").isNotNull)
       .groupBy("s").agg(count(lit(1)).as("cnt"),
         sum(col("y")).as("pos"))
+      .localCheckpoint(true)
+    requireBoundedScoreGrid(perScore, maxDistinctScores,
+      "rankingMetrics")
     val asc = Window.orderBy("s")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val desc = Window.orderBy(col("s").desc)
@@ -133,16 +142,19 @@ object LabelQc {
 
   /** Precision/recall curve at every DISTINCT score threshold
     * (descending): predicted-positive = score ≥ threshold. One
-    * distinct-score aggregate + one window; the curve table is
-    * score-dimensioned. */
+    * distinct-score aggregate + a cumulative window in ONE task over
+    * that grid — bounded by `maxDistinctScores` (the
+    * [[rankingMetrics]] contract; quantize continuous scorers). */
   def prCurve(df: DataFrame, scoreCol: String,
-      labelCol: String): DataFrame = {
+      labelCol: String, maxDistinctScores: Long = 100000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val perScore = df.select(col(scoreCol).cast("double").as("s"),
         col(labelCol).cast("double").as("y"))
       .where(col("s").isNotNull && col("y").isNotNull)
       .groupBy("s").agg(count(lit(1)).as("cnt"),
         sum(col("y")).as("pos"))
+      .localCheckpoint(true)
+    requireBoundedScoreGrid(perScore, maxDistinctScores, "prCurve")
     val desc = Window.orderBy(col("s").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val np = perScore.agg(sum(col("pos")).as("__np"))
@@ -158,6 +170,20 @@ object LabelQc {
         when(col("__np") > 0,
           round(col("__tp").cast("double") / col("__np"), 8))
           .as("recall"))
+  }
+
+  /** The ranking ops' bounded-grid window contract (the
+    * [[Retention]] posture): cumulative windows downstream run
+    * single-task over the distinct-score grid, so an unbounded score
+    * domain must fail loudly BEFORE the window — the grid is already
+    * checkpointed, so the count is a cheap local scan. */
+  private def requireBoundedScoreGrid(grid: DataFrame, maxGrid: Long,
+      op: String): Unit = {
+    val n = grid.count()
+    require(n <= maxGrid,
+      s"$op: $n distinct scores exceed maxDistinctScores=$maxGrid — " +
+        "the cumulative windows run single-task over this grid; " +
+        "quantize the score (fixed-width bins) or raise the cap")
   }
 
   /** Cohen's κ over two-rater rows (labelA, labelB): κ =

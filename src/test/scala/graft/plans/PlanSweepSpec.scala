@@ -92,7 +92,9 @@ class PlanSweepSpec extends SparkSpec {
     "q149_changepoint" -> "cumulative window over the dense period axis spark.range(lo, hi+1) - runtime require(span < maxPeriods) two lines above (Timeseries.scala:144); a Range leaf is structurally unbounded to the detector",
     "q177_waterfill_mix" -> "water-filling threshold windows over the per-source totals grid (grouped agg by source beneath, <= source-domain rows; Sampling)",
     "q229_decision_stump" -> "cumulative split-scan window over the <=bins-row localCheckpoint'ed histogram grid (FeatureEng.scala:250; the checkpoint hides the bounded aggregate)",
-    "q367_range_agg_sweep" -> "bucket-prefix window over the time-span/bucketWidth totals grid (grouped agg by __bkt beneath — RangeAgg.scala's driver-small bucket table, the q81/q137 shape; the DATA never enters a global window)")
+    "q367_range_agg_sweep" -> "bucket-prefix window over the time-span/bucketWidth totals grid (grouped agg by __bkt beneath — RangeAgg.scala's driver-small bucket table, the q81/q137 shape; the DATA never enters a global window)",
+    "q435_ranking_metrics" -> "rank/cumulative windows over the distinct-score grid — runtime requireBoundedScoreGrid(maxDistinctScores) guard runs BEFORE any window; the localCheckpoint hides the guarded subtree from the plan (LabelQc.scala, the q131 Retention discipline)",
+    "q436_pr_curve" -> "cumulative window over the same runtime-guarded distinct-score grid (LabelQc.prCurve)")
 
   /** Expand through AQE wrapper nodes so the traversal sees inside
     * finalized query stages and reused exchanges. */
