@@ -117,6 +117,7 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    val benchStartMs = System.currentTimeMillis
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // load average BEFORE this JVM does any work: external contention at
@@ -228,11 +229,24 @@ object Bench {
     // timing a pure cache hit.
     val pass1 = ordered.map { case (n, f) =>
       n -> timeOnce(n, f, observeRows = true) }.toMap
+    // Graceful degradation under a launcher timeout (round-15 lesson:
+    // rc=124 loses EVERYTHING): when SPARK_GRAFT_TIME_BUDGET_S is set and
+    // the elapsed wall clock (from main entry) exceeds it, the remaining
+    // pass-2 queries reuse their pass-1 reading instead of re-running —
+    // a single-pass number beats a dead process. Reused names are listed
+    // in "single_pass" so the artifact says which rows lack a retime.
+    val timeBudgetS = sys.env.get("SPARK_GRAFT_TIME_BUDGET_S")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).filter(_ > 0)
+    def overBudget: Boolean = timeBudgetS.exists(b =>
+      (System.currentTimeMillis - benchStartMs) / 1000.0 > b)
+    val singlePass = scala.collection.mutable.LinkedHashSet[String]()
     // ONE registry clear (round-10): every SessionCache registers at
     // construction, so a new cache can never silently miss this boundary
     // (the round-8/round-9 phantom-reading bug class)
     graft.ops.SessionCache.clearAll()
-    val pass2 = ordered.map { case (n, f) => n -> timeOnce(n, f) }.toMap
+    val pass2 = ordered.map { case (n, f) =>
+      if (overBudget) { singlePass += n; n -> pass1(n) }
+      else n -> timeOnce(n, f) }.toMap
 
     // Streaming subsystem micro-bench: MemoryStream-driven (deterministic
     // row count, no wall-clock-dependent rate source), end-to-end through
@@ -497,13 +511,21 @@ object Bench {
     }
     val runStreaming = benchOnly.isEmpty || benchOnly.exists(_.startsWith("s"))
     val sPass1 = if (runStreaming) streamingOnce("p1") else Map.empty[String, Double]
-    val sPass2 = if (runStreaming) streamingOnce("p2") else Map.empty[String, Double]
+    val sPass2 =
+      if (!runStreaming) Map.empty[String, Double]
+      else if (overBudget) { singlePass ++= sPass1.keys.toSeq.sorted; sPass1 }
+      else streamingOnce("p2")
 
     // ---- 10x stress section: the scaling table as a per-round artifact
     // (round-7 ran it by hand into NOTES prose; this regenerates it every
-    // round). SPARK_GRAFT_STRESS_DIR names a graft.StressData tiling of
-    // sfDir (default: /tmp/graft_sf1 when present — the pre-generated 10x
-    // of sf0.1); absent -> the section is skipped and stress_ran=false.
+    // round). OPT-IN since round 16: SPARK_GRAFT_STRESS_DIR names a
+    // graft.StressData tiling of sfDir, or SPARK_GRAFT_STRESS=1 uses the
+    // pre-generated /tmp/graft_sf1 (10x of sf0.1) when present; BOTH
+    // unset -> the section is skipped and stress_ran=false. The old
+    // behavior (auto-enable whenever /tmp/graft_sf1 exists) is what blew
+    // the round-15 driver budget: the committed STRESS_HISTORY rows are
+    // the builder's job, and an unattended run must not pay ~450 s of
+    // stress it never asked for.
     // One pass per scale on the now-warm JVM, session caches cleared
     // before each scale so ratios measure operator cost, not cache hits
     // (WITHIN a scale the family caches amortize by design, as in the
@@ -515,6 +537,7 @@ object Bench {
     val stressDirOpt = sys.env.get("SPARK_GRAFT_STRESS_DIR")
       .filter(_.nonEmpty)
       .orElse(Some("/tmp/graft_sf1")
+        .filter(_ => sys.env.get("SPARK_GRAFT_STRESS").contains("1"))
         .filter(d => new java.io.File(d).isDirectory))
     val stressReps = sys.env.getOrElse("SPARK_GRAFT_STRESS_REPS", "10").toDouble
     val stressNames = Seq(
@@ -669,7 +692,10 @@ object Bench {
     spark.sparkContext.addSparkListener(taskAgg)
     val scaledMetrics = scala.collection.mutable
       .LinkedHashMap[String, (Long, Long, Long, Long, Long)]()
-    val stressSection: Option[(String, Seq[String])] = stressDirOpt.map { sdir =>
+    // a def, not a val: the stress passes must EXECUTE only after the
+    // main-pass JSON has been printed (round-15: a kill during stress
+    // threw away two completed, unprinted main passes)
+    def runStressSection(): Option[(String, Seq[String])] = stressDirOpt.map { sdir =>
       def passOver(d: String,
           record: Boolean = false): Map[String, Double] = {
         // registry-wide clear: without it the base pass rides PQ
@@ -866,6 +892,29 @@ object Bench {
     val coldJson = coldStarts.map("\"" + _ + "\"").mkString("[", ",", "]")
     val failedJson = failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
     val vacuousJson = vacuousQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val singlePassJson = singlePass.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val q00Sec = results.toMap.getOrElse("q00_profile_lineitem", -1.0)
+    val q00bSec = results.toMap.getOrElse("q00b_profile_sketch", -1.0)
+    def emitMainLines(stressRan: Boolean, stressSus: Seq[String]): Unit = {
+      val stressSusJson = stressSus.map("\"" + _ + "\"")
+        .mkString("[", ",", "]")
+      println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","streaming_total":$streamingTotal%.3f,"queries":$qs,"sf":"$sfDir","procs":$procs,"loadavg":$load%.2f,"loadavg_start":$loadStart%.2f,"cpu_busy_start":$busyStart%.3f,"cpu_steal_frac":$stealFrac%.4f,"polluted":$polluted,"suspect_queries":$suspectJson,"coldstart_queries":$coldJson,"failed_queries":$failedJson,"vacuous_queries":$vacuousJson,"single_pass":$singlePassJson,"pass_totals":[$t1%.3f,$t2%.3f],"queries_passes":$qsBoth}""")
+      // The harness that archives this output keeps only the last ~2 KB;
+      // the big line above front-loads its verdict fields, so a truncated
+      // artifact loses its own pollution flag (round-5 lesson). Repeat the
+      // gate verdict in a compact SECOND line so the retained tail always
+      // carries it.
+      println(f"""{"bench_summary":{"total":$total%.3f,"streaming_total":$streamingTotal%.3f,"polluted":$polluted,"cpu_steal_frac":$stealFrac%.4f,"cpu_busy_start":$busyStart%.3f,"suspect_queries":$suspectJson,"coldstart_queries":$coldJson,"failed_queries":$failedJson,"vacuous_queries":$vacuousJson,"single_pass":$singlePassJson,"pass_totals":[$t1%.3f,$t2%.3f],"q00":$q00Sec%.3f,"q00b":$q00bSec%.3f,"n_queries":${results.size},"stress_ran":$stressRan,"stress_suspects":$stressSusJson}}""")
+    }
+    // Printed IMMEDIATELY after the passes (round-15 lesson: the driver's
+    // rc=124 timeout during the then-auto-enabled stress section threw
+    // away two completed main passes because these lines only printed at
+    // the very end). When the opt-in stress section runs, the SAME two
+    // lines are re-printed after it with the stress fields filled in, so
+    // a parser reading either the first or the last occurrence sees the
+    // identical timing table.
+    emitMainLines(stressRan = false, Nil)
+    val stressSection = runStressSection()
     stressSection.foreach { case (json, _) =>
       println(json)
       // tracked per-round series (verdict r8 task #8): super-linear
@@ -897,18 +946,8 @@ object Bench {
         System.err.println(s"[bench] stress-history append failed: ${e.getMessage}")
       }
     }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","streaming_total":$streamingTotal%.3f,"queries":$qs,"sf":"$sfDir","procs":$procs,"loadavg":$load%.2f,"loadavg_start":$loadStart%.2f,"cpu_busy_start":$busyStart%.3f,"cpu_steal_frac":$stealFrac%.4f,"polluted":$polluted,"suspect_queries":$suspectJson,"coldstart_queries":$coldJson,"failed_queries":$failedJson,"vacuous_queries":$vacuousJson,"pass_totals":[$t1%.3f,$t2%.3f],"queries_passes":$qsBoth}""")
-    // The harness that archives this output keeps only the last ~2 KB;
-    // the big line above front-loads its verdict fields, so a truncated
-    // artifact loses its own pollution flag (round-5 lesson). Repeat the
-    // gate verdict in a compact SECOND line so the retained tail always
-    // carries it.
-    val q00Sec = results.toMap.getOrElse("q00_profile_lineitem", -1.0)
-    val q00bSec = results.toMap.getOrElse("q00b_profile_sketch", -1.0)
-    val stressRan = stressSection.isDefined
-    val stressSusJson = stressSection.map(_._2).getOrElse(Nil)
-      .map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"bench_summary":{"total":$total%.3f,"streaming_total":$streamingTotal%.3f,"polluted":$polluted,"cpu_steal_frac":$stealFrac%.4f,"cpu_busy_start":$busyStart%.3f,"suspect_queries":$suspectJson,"coldstart_queries":$coldJson,"failed_queries":$failedJson,"vacuous_queries":$vacuousJson,"pass_totals":[$t1%.3f,$t2%.3f],"q00":$q00Sec%.3f,"q00b":$q00bSec%.3f,"n_queries":${results.size},"stress_ran":$stressRan,"stress_suspects":$stressSusJson}}""")
+    stressSection.foreach { case (_, sus) =>
+      emitMainLines(stressRan = true, sus) }
     spark.stop()
   }
 }

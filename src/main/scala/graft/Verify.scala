@@ -73,15 +73,12 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
-    SparkEntry.queries
-      .filter { case (name, _) =>
-        only.isEmpty || only.exists(name.startsWith) }
-      .foreach { case (name, fn) =>
-      try dumpGated(spark, name, fn(spark, sfDir), outDir)
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
+    // oracle_sql.json + the zero-row allowlist are written BEFORE the
+    // dump loop (round-15 lesson: both depend only on SparkEntry, and a
+    // driver timeout mid-loop used to leave dumped outputs but NO oracle
+    // file, so the compare recorded {} — the whole round's correctness
+    // signal lost to ordering). Written first, a partial dump still
+    // yields partial-but-usable correctness rows.
     val json = SparkEntry.oracleSql
       // keep oracle_sql.json consistent with the dumped subset, so a
       // filtered dev run doesn't flood check_oracle.py with
@@ -96,6 +93,15 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(
       Paths.get(s"$outDir/zero_row_allowlist.json"), allowJson)
+    SparkEntry.queries
+      .filter { case (name, _) =>
+        only.isEmpty || only.exists(name.startsWith) }
+      .foreach { case (name, fn) =>
+      try dumpGated(spark, name, fn(spark, sfDir), outDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+    }
     spark.stop()
   }
 }
