@@ -123,31 +123,35 @@ object GraphStats {
       .localCheckpoint(false)
     val base = (scale - scale * dampNum / dampDen) / n
     // superseded rank tables are freed through the ring (round-12, the
-    // ConnectedComponents discipline). The checkpoints are LAZY, so
-    // rank table q_{i-1} materializes during iteration i's dangling-
-    // mass head() — only THEN is q_{i-2} (read by that materialization)
-    // dead; rotate() sits right after the head() accordingly. e/nd/
-    // outdeg are loop-invariant and deliberately NOT on the ring.
+    // ConnectedComponents discipline). r16: the per-iteration dangling
+    // mass no longer round-trips through the driver — it rides the plan
+    // as a broadcast one-row aggregate (`__ds div n` is the same
+    // non-negative integer floor division the driver computed), so each
+    // iteration is exactly ONE action: the EAGER checkpoint of the new
+    // rank table (previously: one dangling head() job + one lazy
+    // materialization job). rotate() sits after the checkpoint — the
+    // materialization point — so q_{i-2} is freed only once q_i's
+    // blocks exist. e/nd/outdeg are loop-invariant and deliberately NOT
+    // on the ring.
     val ring = new CheckpointRing(edges.sparkSession)
     var q = ring.checkpoint(
       nd.select(col("id"), lit(scale / n).as("q")), eager = false)
     for (_ <- 1 to iterations) {
       val withDeg = q.join(outdeg, q("id") === outdeg("src"), "left")
         .select(col("id"), col("q"), col("outdeg"))
-      val danglingSum = withDeg.where(col("outdeg").isNull)
-        .agg(coalesce(sum(col("q")), lit(0L)).as("s"))
-        .head().getLong(0)
-      ring.rotate()
-      val dShare = danglingSum / n
+      val dangling = withDeg.where(col("outdeg").isNull)
+        .agg(coalesce(sum(col("q")), lit(0L)).as("__ds"))
       val inSums = withDeg.where(col("outdeg").isNotNull)
         .select(col("id"), expr("q div outdeg").as("c"))
         .join(e, col("id") === e("src"))
         .groupBy("dst").agg(sum(col("c")).as("in_sum"))
       q = ring.checkpoint(nd.join(inSums, nd("id") === inSums("dst"), "left")
+        .crossJoin(broadcast(dangling))
         .select(nd("id"),
           (lit(base) + expr(
-            s"(${dampNum}L * (${dShare}L + coalesce(in_sum, 0L))) div ${dampDen}L"))
-            .as("q")), eager = false)
+            s"(${dampNum}L * ((__ds div ${n}L) + coalesce(in_sum, 0L))) div ${dampDen}L"))
+            .as("q")))
+      ring.rotate()
     }
     q.select(col("id").as(idCol), col("q").as("rank_q"))
   }
@@ -286,6 +290,24 @@ object GraphStats {
     val nd = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .localCheckpoint(false)
+    // r16: each half-iteration's max-normalizer rides the plan as a
+    // broadcast one-row aggregate instead of a driver head() — one
+    // EAGER checkpoint action per half-iteration (previously two jobs:
+    // the max collect + the lazy materialization). The normalization
+    // multiply runs in DECIMAL(38,0) (exact; IntegralDivide on decimals
+    // returns the same floor-division long), which also removes the
+    // silent Long wrap the plain `scale * raw` multiply hit once a
+    // node's in-degree exceeded 2^63/scale² — sums are exact while
+    // max-indegree·scale < 2^63, and the normalization now never
+    // overflows below that same bound.
+    def normalized(nd0: DataFrame, raw: DataFrame, key: String): DataFrame =
+      nd0.join(raw, nd0("id") === raw(key), "left")
+        .crossJoin(broadcast(
+          raw.agg(coalesce(max(col("raw")), lit(0L)).as("__m"))))
+        .select(nd0("id"),
+          when(col("__m") === 0L, lit(0L)).otherwise(expr(
+            s"CAST($scale AS DECIMAL(38,0)) * coalesce(raw, 0L) div __m"))
+            .as("s"))
     val ring = new CheckpointRing(edges.sparkSession)
     var h = ring.checkpoint(
       nd.select(col("id"), lit(scale).as("s")), eager = false)
@@ -293,26 +315,17 @@ object GraphStats {
     for (_ <- 1 to iterations) {
       val rawA = e.join(h, e("src") === h("id"))
         .groupBy("dst").agg(sum(col("s")).as("raw"))
-      val mA = rawA.agg(coalesce(max(col("raw")), lit(0L)))
-        .head().getLong(0)
+      // rotate BEFORE each eager checkpoint (the lazy-era cadence): the
+      // generation freed is two back, never the one the materialization
+      // below reads, and the loop ends with BOTH final score tables
+      // (a_n in the last-but-one generation, h_n in the last) alive for
+      // the output join.
       ring.rotate()
-      a = ring.checkpoint(
-        nd.join(rawA, nd("id") === rawA("dst"), "left")
-          .select(nd("id"),
-            (if (mA == 0) lit(0L)
-             else expr(s"${scale}L * coalesce(raw, 0L) div ${mA}L"))
-              .as("s")), eager = false)
+      a = ring.checkpoint(normalized(nd, rawA, "dst"))
       val rawH = e.join(a, e("dst") === a("id"))
         .groupBy("src").agg(sum(col("s")).as("raw"))
-      val mH = rawH.agg(coalesce(max(col("raw")), lit(0L)))
-        .head().getLong(0)
       ring.rotate()
-      h = ring.checkpoint(
-        nd.join(rawH, nd("id") === rawH("src"), "left")
-          .select(nd("id"),
-            (if (mH == 0) lit(0L)
-             else expr(s"${scale}L * coalesce(raw, 0L) div ${mH}L"))
-              .as("s")), eager = false)
+      h = ring.checkpoint(normalized(nd, rawH, "src"))
     }
     nd.join(a.select(col("id").as("__ai"), col("s").as("auth_q")),
         nd("id") === col("__ai"), "left")

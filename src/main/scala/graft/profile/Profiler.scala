@@ -55,7 +55,44 @@ object Profiler {
       fields.map(f => f -> ProfileType.fromDataType(f.dataType))
     val supported = declared.filter(_._2 != ProfileType.Unsupported)
 
-    val working = if (cfg.persist) canon.persist(StorageLevel.MEMORY_AND_DISK) else canon
+    // Scale-adaptive parallelism for the multi-pass scans (r16, guide
+    // §2/§6): a table that arrives as FEWER scan partitions than the
+    // pass width below (one 10 MB parquet file = 3 splits under the
+    // bytesPerCore/openCost split rule) runs every pass — pass A's
+    // fused aggregates, B's explode→groupBy map sides, D's MAD, G's
+    // co-moment scans — at that width, leaving most cores idle even
+    // with the job pool overlapping passes. One round-robin repartition
+    // at persist time widens every downstream pass for the cost of
+    // shuffling the input once. Width: defaultParallelism/4, NOT the
+    // full core count — the pool overlaps ~poolSize single-stage jobs,
+    // so per-job width cores/4 keeps in-flight tasks ≈ 2× cores
+    // (measured at sf0.1/32 cores, whole profile incl. the shuffle:
+    // raw 3-split 11.7-12.9 s, width 8 = 8.1-9.2 s, width 32 =
+    // 10.8-11.7 s — full-width oversubscribes and loses the win).
+    // Guards keep it scale-safe and output-safe:
+    //   - only when the scan is UNDER-parallelized (at 100 TB the scan
+    //     has thousands of splits and this is a no-op — no shuffle);
+    //   - only above a size floor (a few-MB table profiles faster in
+    //     one task than the exchange costs; tiny oracle fixtures keep
+    //     their exact historical plan and byte-identical output);
+    //   - only when persisting (no persist = each pass re-reads the
+    //     source; repartitioning would add a shuffle per pass).
+    // The head sample is taken from the PRE-repartition plan below, so
+    // sampled rows are unaffected. Exact aggregates are partition-
+    // invariant; float moments can move in the last ulp (the gates
+    // round at 4-6 dp for exactly this noise class — q04's convention).
+    val passWidth =
+      math.max(2, df.sparkSession.sparkContext.defaultParallelism / 4)
+    val repartitioned = cfg.persist && {
+      canon.rdd.getNumPartitions < passWidth &&
+        canon.queryExecution.optimizedPlan.stats.sizeInBytes >=
+          BigInt(8L * 1024 * 1024)
+    }
+    val working =
+      if (repartitioned)
+        canon.repartition(passWidth).persist(StorageLevel.MEMORY_AND_DISK)
+      else if (cfg.persist) canon.persist(StorageLevel.MEMORY_AND_DISK)
+      else canon
     def timed[T](name: String)(body: => T): T = {
       val t0 = System.nanoTime()
       val r = body
@@ -400,7 +437,12 @@ object Profiler {
       }
     }
     val headF: Future[Seq[Map[String, String]]] = Future {
-      working.limit(cfg.sampleHead).collect().map { r =>
+      // head rows come from the PRE-repartition plan: a round-robin
+      // exchange reorders rows, and the sample must stay byte-identical
+      // to the unrepartitioned profile (limit(10) on the raw scan reads
+      // almost nothing, so this costs ~0 even when `working` differs)
+      (if (repartitioned) canon else working)
+        .limit(cfg.sampleHead).collect().map { r =>
         fields.map(f =>
           f.name -> Option(r.getAs[Any](f.name)).map(_.toString).orNull).toMap
       }.toSeq
