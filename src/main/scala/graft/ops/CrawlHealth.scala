@@ -53,25 +53,36 @@ object CrawlHealth {
       minJaccard: Double = 0.5): DataFrame = {
     require(minJaccard > 0 && minJaccard <= 1,
       s"minJaccard must be in (0, 1]: $minJaccard")
+    // r16 (output-identical restructure, guide §2.3/§2.4): the distinct
+    // signature table feeds THREE consumers (sizes + both join sides) —
+    // checkpoint it once instead of recomputing the corpus distinct per
+    // consumer; and the Bharat–Broder size-ratio prune moves INTO the
+    // pair join, so pairs that cannot pass are dropped before the
+    // (host_a, host_b) aggregate shuffles them (previously the prune ran
+    // post-aggregate). Kept pairs and their n_shared are unchanged: the
+    // prune predicate is exactly the old post-aggregate filter, and
+    // dropping a pair never affects another pair's count. The inherent
+    // hot-hash fan-out (hosts²/2 probe rows for a universally-served
+    // hash) remains — the capped-ledger redesign is a gate-schema
+    // change, left for a build round (see OPTIMIZATION_r16.md).
     val rows = crawl
       .select(col(hostCol).cast("string").as("host"),
         col(hashCol).cast("string").as("h"))
       .where(col("host").isNotNull && col("h").isNotNull)
       .distinct()
+      .localCheckpoint(false)
     val sizes = rows.groupBy("host").agg(count(lit(1)).as("n"))
-    val a = rows.select(col("host").as("host_a"), col("h"))
-    val b = rows.select(col("host").as("host_b"), col("h"))
+    val a = rows.join(sizes, Seq("host"))
+      .select(col("host").as("host_a"), col("h"), col("n").as("n_a"))
+    val b = rows.join(sizes, Seq("host"))
+      .select(col("host").as("host_b"), col("h"), col("n").as("n_b"))
     val shared = a.join(b, Seq("h"))
-      .where(col("host_a") < col("host_b"))
-      .groupBy("host_a", "host_b")
+      .where(col("host_a") < col("host_b") &&
+        least(col("n_a"), col("n_b")).cast("double") /
+          greatest(col("n_a"), col("n_b")) >= minJaccard)
+      .groupBy("host_a", "host_b", "n_a", "n_b")
       .agg(count(lit(1)).as("n_shared"))
     shared
-      .join(sizes.select(col("host").as("host_a"), col("n").as("n_a")),
-        Seq("host_a"))
-      .join(sizes.select(col("host").as("host_b"), col("n").as("n_b")),
-        Seq("host_b"))
-      .where(least(col("n_a"), col("n_b")).cast("double") /
-        greatest(col("n_a"), col("n_b")) >= minJaccard)
       .withColumn("jaccard",
         round(col("n_shared").cast("double") /
           (col("n_a") + col("n_b") - col("n_shared")), 8))
