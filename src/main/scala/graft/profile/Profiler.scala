@@ -214,8 +214,17 @@ object Profiler {
     // (sort-based ObjectHashAggregate) and pass D gates on its medians —
     // launching it before the scalar chunks packs the pool better. The
     // HLL distinct chunk (sketch mode only) runs CONCURRENTLY with it.
+    // r16: the sketch/distinct groups are themselves SPLIT into <= 6
+    // aggregates per job — a 16-column HLL group fused in ONE
+    // ObjectHashAggregate was the measured pass-A critical path (warm
+    // 4.5 s while most cores idled; the pass runs at the repartitioned
+    // width, so one job occupies only passWidth tasks). Splitting
+    // changes ONLY which columns share a job — each column's aggregate
+    // still runs over the same partitions, so every result is
+    // bit-identical; the pool overlaps the extra jobs.
     val aJobs: Seq[Future[Row]] =
-      (Seq(sketchAggs.toSeq, distinctAggs.toSeq, topkAggs.toSeq)
+      ((sketchAggs.toSeq.grouped(6) ++ distinctAggs.toSeq.grouped(6) ++
+        topkAggs.toSeq.grouped(6)).toSeq
         .filter(_.nonEmpty) ++ scalarChunks)
         .zipWithIndex.map { case (ch, i) =>
           Future {
