@@ -12,12 +12,12 @@ import graft.functions.StatFunctions.dotProduct
   *
   * Times, in one warm JVM with Bench's session config:
   *   1. q254 end-to-end (construction vs noop execution), reps;
-  *   2. the ENCODE stage alone, literal-tree (production
-  *      [[graft.ops.Pq.encode]]) vs a semantics-identical broadcast-join
-  *      variant (same 6-dp rounded distance off the same codegen'd
-  *      sequential dot product, same (d, cid) tie-break, cc precomputed
-  *      on the driver exactly like the literal path), split into
-  *      plan-construction time and execution time;
+  *   2. the ENCODE stage alone, the pre-r17 literal-tree shape vs the
+  *      production broadcast-join [[graft.ops.Pq.encode]] (same 6-dp
+  *      rounded distance off the same codegen'd sequential dot product,
+  *      same (d, cid) tie-break, cc precomputed on the driver exactly
+  *      like the literal path), split into plan-construction time and
+  *      execution time;
   *   3. an equality check (except() both ways) proving the variant
   *      computes the identical codes table.
   *
@@ -26,16 +26,13 @@ import graft.functions.StatFunctions.dotProduct
   */
 object PqExperiment {
 
-  /** Broadcast-join encode: one row per (vector, subspace) via
-    * posexplode of the subvector slices, broadcast-hash-joined with the
-    * (s, cid, cv, cc) codebook relation, min(struct(d, cid)) argmin.
-    * Distance arithmetic is term-for-term the literal path's:
-    * round(xx - 2*dot(sv, cv) + cc, 6) with cc summed left-to-right on
-    * the driver. */
-  private def encodeJoin(corpus: DataFrame, idCol: String, vecCol: String,
+  /** The PRE-r17 literal-tree encode (assignCodes' projection shape),
+    * kept here verbatim so the A/B against the production broadcast-join
+    * [[graft.ops.Pq.encode]] stays reproducible: per subspace, the m*k
+    * centroids ride the expression as typedLit arrays and the argmin is
+    * sort_array(array(struct(d, cid)))(0). */
+  private def encodeLiteral(corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, m: Int, cents: DataFrame): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val subDim = dim / m
     val cmap: Map[(Int, Int), Array[Double]] = cents.collect()
       .map(r => ((r.getInt(0), r.getInt(1)), (r.getInt(2), r.getDouble(3))))
@@ -45,24 +42,23 @@ object PqExperiment {
         rs.foreach { case (_, (pos, v)) => arr(pos) = v }
         key -> arr
       }
-    val centRows = cmap.toSeq.map { case ((s, cid), c) =>
-      (s, cid, c.toSeq, c.map(v => v * v).sum) // cc: driver left-to-right
-    }.toDF("s", "cid", "cv", "cc")
     val xd = col(vecCol).cast("array<double>")
-    val subs = (0 until m).map(s =>
-      struct(lit(s).as("s"), slice(xd, s * subDim + 1, subDim).as("sv")))
-    val exploded = corpus.where(col(vecCol).isNotNull)
-      .select(col(idCol).as("id"), explode(array(subs: _*)).as("kv"))
-      .select(col("id"), col("kv.s").as("s"), col("kv.sv").as("sv"))
-    exploded.join(broadcast(centRows), "s")
-      .select(col("id"), col("s"),
+    val perSub = (0 until m).map { s =>
+      val sv = slice(xd, s * subDim + 1, subDim)
+      val xx = dotProduct(sv, sv)
+      val scored = cmap.collect { case ((`s`, cid), c) =>
+        val cc = c.map(v => v * v).sum
         struct(
-          round(dotProduct(col("sv"), col("sv")) -
-            lit(2.0) * dotProduct(col("sv"), col("cv").cast("array<double>")) +
-            col("cc"), 6).as("d"),
-          col("cid").as("cid")).as("sc"))
-      .groupBy("id", "s").agg(min(col("sc")).as("best"))
-      .select(col("id"), col("s"), col("best.cid").as("code"))
+          round(xx - lit(2.0) * dotProduct(sv, typedLit(c.toSeq)) + lit(cc),
+            6).as("d"),
+          lit(cid).as("cid"))
+      }.toSeq
+      struct(lit(s).as("s"),
+        sort_array(array(scored: _*)).getItem(0).getField("cid").as("code"))
+    }
+    corpus.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), explode(array(perSub: _*)).as("__pq_sc"))
+      .select(col("id"), col("__pq_sc.s").as("s"), col("__pq_sc.code").as("code"))
   }
 
   def main(args: Array[String]): Unit = {
@@ -109,9 +105,10 @@ object PqExperiment {
       e, "vec_id", "embedding", dim, m, k, rounds = 1)
       .localCheckpoint(true)
     Seq(
-      ("literal", () => graft.ops.Pq.encode(
+      ("literal", () => encodeLiteral(
         e, "vec_id", "embedding", dim, m, cents)),
-      ("join", () => encodeJoin(e, "vec_id", "embedding", dim, m, cents))
+      ("join", () => graft.ops.Pq.encode(
+        e, "vec_id", "embedding", dim, m, cents))
     ).foreach { case (tag, mk) =>
       (1 to reps).foreach { r =>
         val t0 = System.nanoTime()
@@ -126,8 +123,8 @@ object PqExperiment {
     }
 
     // ---- 3. equality: the join variant must be bit-identical ----------
-    val lit0 = graft.ops.Pq.encode(e, "vec_id", "embedding", dim, m, cents)
-    val join0 = encodeJoin(e, "vec_id", "embedding", dim, m, cents)
+    val lit0 = encodeLiteral(e, "vec_id", "embedding", dim, m, cents)
+    val join0 = graft.ops.Pq.encode(e, "vec_id", "embedding", dim, m, cents)
     val d1 = lit0.except(join0).count()
     val d2 = join0.except(lit0).count()
     System.err.println(s"[pqexp] equality: literal\\join=$d1 join\\literal=$d2" +

@@ -121,13 +121,55 @@ object Pq {
       .drop("__pq_sc")
   }
 
-  /** Encode the corpus: (id, s, code) — m rows per vector. */
+  /** Encode the corpus: (id, s, code) — m rows per vector.
+    *
+    * r17: broadcast-relation join instead of the [[assignCodes]]
+    * literal-tree projection. The PqExperiment A/B (sf0.1, 32 cores)
+    * measured the literal expression at 1.53 s/scan vs 0.24-0.63 s for
+    * this shape with byte-identical output (except() empty both ways):
+    * q254's cost was never Catalyst planning (~0.1 s warm) but the
+    * EXECUTION of the m*k unrolled dot-product/sort_array tree per row.
+    * Arithmetic is term-for-term the literal path's — the same
+    * codegen'd sequential [[dotProduct]], cc summed left-to-right on
+    * the driver, round(..., 6), and min(struct(d, cid)) reproduces
+    * sort_array's (d, cid) tie-break — so the oracle replay is
+    * untouched. Scale shape: the codebook relation is m*k rows
+    * (broadcast), the explode emits m SUBVECTOR rows per vector, and
+    * the (id, s) argmin groupBy reduces map-side to one narrow row per
+    * group before the exchange — ~20 B * m per vector, negligible next
+    * to the corpus scan. [[trainCodebooks]] keeps the literal
+    * projection: its Lloyd update needs the assigned SUBVECTOR after
+    * the argmin, and carrying it through this groupBy would shuffle
+    * corpus*dim bytes per round (the guide's "shuffle heavy payloads
+    * once" rule, inverted) — zero-shuffle assignment wins there. */
   def encode(corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, m: Int, cents: DataFrame): DataFrame = {
-    val cmap = centMap(cents)
+    require(!corpus.columns.exists(Set("s", "code", "__pq_sc")),
+      "PQ input must not carry columns named s, code, or __pq_sc " +
+        "(reserved working/output names); rename them first")
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val subDim = dim / m
-    assignCodes(corpus.where(col(vecCol).isNotNull), vecCol, m, subDim, cmap)
-      .select(col(idCol).as("id"), col("s"), col("code"))
+    val centRows = centMap(cents).toSeq.map { case ((s, cid), c) =>
+      // cc on the driver: Array.sum folds left-to-right in index order,
+      // the same sequence as an in-engine dot product (assignCodes' rule)
+      (s, cid, c.toSeq, c.map(v => v * v).sum)
+    }.toDF("s", "cid", "cv", "cc")
+    val xd = col(vecCol).cast("array<double>")
+    val subs = (0 until m).map(s =>
+      struct(lit(s).as("s"), slice(xd, s * subDim + 1, subDim).as("sv")))
+    corpus.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), explode(array(subs: _*)).as("kv"))
+      .select(col("id"), col("kv.s").as("s"), col("kv.sv").as("sv"))
+      .join(broadcast(centRows), "s")
+      .select(col("id"), col("s"),
+        struct(
+          round(dotProduct(col("sv"), col("sv")) -
+            lit(2.0) * dotProduct(col("sv"), col("cv")) +
+            col("cc"), 6).as("d"),
+          col("cid").as("cid")).as("sc"))
+      .groupBy("id", "s").agg(min(col("sc")).as("best"))
+      .select(col("id"), col("s"), col("best.cid").as("code"))
   }
 
   /** [[encode]], memoized per (corpus, codebooks, params): the codes
