@@ -796,8 +796,24 @@ object Profiler {
         // final application waited for the demotion decision, and it
         // uses the post-demotion column subset of the pre-built state
         case Some(Left(maps)) =>
+          // r17: the co-moment scan is the LAST job of the profile (it
+          // gates on demotion, so the pool is idle by now) — at the
+          // passWidth the persisted table runs 1.6 s on 8 of 32 cores.
+          // When the input was repartition-eligible (>= 8 MB, scan
+          // under-parallelized), widen just this NARROW projection
+          // (numeric doubles only) to the full core count: the
+          // exchange is tens of MB against a 3x scan win. Partition
+          // regrouping moves the Welford pairwise merge order — the
+          // same last-ulp drift class as the pass-width repartition
+          // itself (gates round at 4-6 dp); sub-floor fixtures keep
+          // the historical plan byte-for-byte.
+          val base =
+            if (repartitioned)
+              working.select(numericCols.map(qcol): _*).repartition(
+                df.sparkSession.sparkContext.defaultParallelism)
+            else working
           Some(timed("G:spearman")(
-            spearmanViaRankMaps(working, numericCols, maps)))
+            spearmanViaRankMaps(base, numericCols, maps)))
         case Some(Right(ranks)) =>
           Some(timed("G:spearman")(
             spearmanMatrix(working, numericCols, Some(ranks))))
@@ -1156,8 +1172,6 @@ object Profiler {
         System.err.println(f"[profiler] $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
       r
     }
-    val byCol = scala.collection.mutable.Map
-      .empty[String, scala.collection.mutable.HashMap[Double, Long]]
     // typed collect: primitive tuple decode, no per-field Row boxing on
     // a table that can be millions of rows
     val rows = vtimed("G:spearman-maps-collect")(
@@ -1167,22 +1181,67 @@ object Profiler {
           Encoders.STRING, Encoders.scalaDouble, Encoders.scalaLong))
         .collect())
     vtimed("G:spearman-maps-rank") {
+      // r17: this was 1.5 s of single-threaded boxed-tuple sorting on
+      // q00's critical path. Now: one cheap bucketing pass into
+      // primitive (order-encoded key, count) arrays per column, then
+      // the per-column merge + primitive sort + prefix sum runs on a
+      // DEDICATED short-lived pool (columns are independent, so
+      // per-column parallelism is bit-identical — and a fresh pool
+      // cannot deadlock against the profiler's bounded job pool the
+      // way nested Futures would). enc() maps non-NaN double bits to
+      // signed longs whose order matches the double order (flip all
+      // bits but the sign for negatives; self-inverse), so
+      // Arrays.sort(long[]) replaces the boxed sortBy and the decoded
+      // key IS the doubleToLongBits key the rank-map consumers use.
+      // NaN never reaches here (both call sites filter it) and -0.0 is
+      // folded before encoding.
+      def enc(bits: Long): Long = bits ^ ((bits >> 63) & 0x7fffffffffffffffL)
+      val keyBufs = scala.collection.mutable.Map
+        .empty[String, scala.collection.mutable.ArrayBuilder.ofLong]
+      val cntBufs = scala.collection.mutable.Map
+        .empty[String, scala.collection.mutable.ArrayBuilder.ofLong]
       rows.foreach { case (c, v0, n) =>
         val v = if (v0 == 0.0) 0.0 else v0 // fold -0.0 before accumulating
-        val m = byCol.getOrElseUpdate(c,
-          scala.collection.mutable.HashMap.empty[Double, Long])
-        m.update(v, m.getOrElse(v, 0L) + n)
+        keyBufs.getOrElseUpdate(c,
+          new scala.collection.mutable.ArrayBuilder.ofLong) +=
+          enc(java.lang.Double.doubleToLongBits(v))
+        cntBufs.getOrElseUpdate(c,
+          new scala.collection.mutable.ArrayBuilder.ofLong) += n
       }
-      cols.map { c =>
+      def rankOne(c: String): scala.collection.mutable.LongMap[Double] = {
         val out = scala.collection.mutable.LongMap.empty[Double]
-        var cum = 0L
-        byCol.getOrElse(c, scala.collection.mutable.HashMap.empty[Double, Long])
-          .toArray.sortBy(_._1).foreach { case (v, n) =>
-            out.update(java.lang.Double.doubleToLongBits(v), cum + (n + 1) / 2.0)
-            cum += n
-          }
-        c -> out
-      }.toMap
+        (keyBufs.get(c), cntBufs.get(c)) match {
+          case (Some(kb), Some(nb)) =>
+            val ks = kb.result(); val ns = nb.result()
+            val m = scala.collection.mutable.LongMap.empty[Long]
+            var i = 0
+            while (i < ks.length) { // fold duplicate values across input rows
+              m.update(ks(i), m.getOrElse(ks(i), 0L) + ns(i)); i += 1
+            }
+            val sorted = new Array[Long](m.size)
+            var j = 0
+            m.foreachKey { k => sorted(j) = k; j += 1 }
+            java.util.Arrays.sort(sorted)
+            var cum = 0L
+            j = 0
+            while (j < sorted.length) {
+              val n = m(sorted(j))
+              out.update(enc(sorted(j)), cum + (n + 1) / 2.0) // enc = decode
+              cum += n
+              j += 1
+            }
+          case _ => ()
+        }
+        out
+      }
+      val pool = Executors.newFixedThreadPool(math.max(1, math.min(cols.size,
+        Runtime.getRuntime.availableProcessors)))
+      try {
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        Await.result(
+          Future.sequence(cols.map(c => Future(c -> rankOne(c)))),
+          Duration.Inf).toMap
+      } finally pool.shutdown()
     }
   }
 
