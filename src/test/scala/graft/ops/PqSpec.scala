@@ -54,6 +54,56 @@ class PqSpec extends SparkSpec {
       s >= 0 && s < 2 && code >= 0 && code < 4 })
   }
 
+  test("broadcast-join encode == literal-tree reference (r17 plan change)") {
+    // r17 replaced encode's typedLit centroid projection with a
+    // broadcast-relation join; this pins the two shapes to identical
+    // codes on vectors with negatives and float-cast values, including
+    // the (d, cid) tie-break (duplicate vectors quantize identically,
+    // and k > distinct-subvector count forces distance ties onto the
+    // carry-forward centroids).
+    import org.apache.spark.sql.functions.{array, broadcast => _, _}
+    val mixed = ((0 until 12).map { i =>
+      (i.toLong, Array(-3.0 + i, (i % 2) * -5.0, 2.5 - i, i * 0.25)
+        .map(_.toFloat).toSeq)
+    } ++ Seq((12L, Seq(-3.0f, 0.0f, 2.5f, 0.0f)))) // duplicate of id 0
+      .toDF("vec_id", "embedding")
+    val cents = Pq.trainCodebooks(mixed, "vec_id", "embedding",
+      dim = 4, m = 2, k = 8, rounds = 2)
+    val joined = Pq.encode(mixed, "vec_id", "embedding", dim = 4, m = 2, cents)
+    // literal-tree reference: the pre-r17 shape, inlined
+    val cmap = cents.collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), (r.getInt(2), r.getDouble(3))))
+      .groupBy(_._1)
+      .map { case (k2, rs) =>
+        val arr = new Array[Double](rs.length)
+        rs.foreach { case (_, (pos, v)) => arr(pos) = v }
+        k2 -> arr
+      }
+    val xd = col("embedding").cast("array<double>")
+    val perSub = (0 until 2).map { s =>
+      val sv = slice(xd, s * 2 + 1, 2)
+      val xx = graft.functions.StatFunctions.dotProduct(sv, sv)
+      val scored = cmap.collect { case ((`s`, cid), c) =>
+        val cc = c.map(v => v * v).sum
+        struct(
+          round(xx - lit(2.0) * graft.functions.StatFunctions
+            .dotProduct(sv, typedLit(c.toSeq)) + lit(cc), 6).as("d"),
+          lit(cid).as("cid"))
+      }.toSeq
+      struct(lit(s).as("s"),
+        sort_array(array(scored: _*)).getItem(0).getField("cid").as("code"))
+    }
+    val literal = mixed
+      .select(col("vec_id").as("id"), explode(array(perSub: _*)).as("sc"))
+      .select(col("id"), col("sc.s").as("s"), col("sc.code").as("code"))
+    val a = joined.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val b = literal.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(a == b, s"join=$a literal=$b")
+    assert(a.size == 13 * 2)
+  }
+
   test("partial nprobe can only shrink the candidate set (recall <= flat PQ + pruning visible)") {
     // clustered data: two well-separated groups; nprobe=1 restricts each
     // query to its own group, so neighbors from the other group cannot

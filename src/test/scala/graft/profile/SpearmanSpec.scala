@@ -71,6 +71,47 @@ class SpearmanSpec extends SparkSpec {
     assert(x(java.lang.Double.doubleToLongBits(7.0)) == 8.0)
   }
 
+  test("primitive rank build matches a naive reference on a dense randomized table") {
+    // r17 pins buildRankMapsFromCounts' order-encoded primitive sort
+    // (enc/decode bit trick + per-column parallel fold) against a
+    // straightforward boxed reference over values that exercise every
+    // ordering regime: negatives, positives, +-0.0, +-Infinity,
+    // subnormals, duplicates across input rows, and skewed column sizes.
+    val rnd = new scala.util.Random(20260819)
+    val raw: Seq[(String, Double, Long)] =
+      (1 to 4000).map { i =>
+        val v = rnd.nextInt(8) match {
+          case 0 => -rnd.nextDouble() * 1e9
+          case 1 => rnd.nextDouble() * 1e-300 // subnormal-ish
+          case 2 => Double.PositiveInfinity
+          case 3 => Double.NegativeInfinity
+          case 4 => if (rnd.nextBoolean()) 0.0 else -0.0
+          case _ => (rnd.nextGaussian() * 1e3 * 1e6).floor / 1e6
+        }
+        (if (i % 5 == 0) "b" else "a", v, 1L + rnd.nextInt(3))
+      } ++ Seq(("c", 42.0, 7L)) // single-value column
+    val counts = raw.toDF("c", "v", "cnt")
+    val cols = Seq("a", "b", "c")
+    val got = Profiler.buildRankMapsFromCounts(counts, cols)
+    // naive reference: fold -0.0, merge duplicates, boxed sort, prefix
+    val ref: Map[String, Map[Long, Double]] = cols.map { c =>
+      val m = scala.collection.mutable.HashMap.empty[Double, Long]
+      raw.filter(_._1 == c).foreach { case (_, v0, n) =>
+        val v = if (v0 == 0.0) 0.0 else v0
+        m.update(v, m.getOrElse(v, 0L) + n)
+      }
+      var cum = 0L
+      c -> m.toSeq.sortBy(_._1).map { case (v, n) =>
+        val r = java.lang.Double.doubleToLongBits(v) -> (cum + (n + 1) / 2.0)
+        cum += n
+        r
+      }.toMap
+    }.toMap
+    cols.foreach { c =>
+      assert(got(c).toMap == ref(c), s"column $c rank maps differ")
+    }
+  }
+
   test("spearman handles ties and perfect monotonicity") {
     val df = Seq((1.0, 10.0), (2.0, 20.0), (2.0, 25.0), (3.0, 30.0))
       .toDF("x", "y")
